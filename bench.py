@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing excludes session startup; each query is executed to completion
+with a count() action (full pipeline, no driver-side result transfer
+beyond the count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_ingestion_framework_spark import registry  # noqa: E402
+from data_ingestion_framework_spark.session import get_spark  # noqa: E402
+
+registry.load_all_queries()
+
+#: Headline set: one per operator family (agg, star join, window,
+#: CDC, SCD, DQ, dedup exact+fuzzy, text, similarity, events).
+HEADLINE = [
+    "pricing_summary",
+    "shipping_priority",
+    "region_revenue",
+    "latest_order_per_customer",
+    "customer_order_running",
+    "cdc_find_delta",
+    "cdc_hash_keys",
+    "scd2_stamp_initial",
+    "dq_violation_counts",
+    "dedup_exact_groups",
+    "dedup_minhash_pairs",
+    "text_token_stats",
+    "similarity_cosine_topk",
+    "events_daily_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+
+    # warm the JVM/catalyst path once so per-query numbers measure the
+    # queries, not first-run class loading
+    registry.QUERIES["filter_project"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

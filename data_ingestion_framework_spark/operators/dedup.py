@@ -1,0 +1,309 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Beyond-reference surface (BASELINE.json north star). Scale design notes:
+
+- **Exact**: group by content hash — the only thing shuffled is
+  (md5, doc_id), ~40 bytes/row at 100 TB.
+- **MinHash + LSH**: signatures are computed scan-side (explode shingles
+  → groupBy doc — one shuffle on doc_id); banding turns near-dup search
+  into an equi-join on (band_id, band_hash) — no O(n²) pairs. Candidate
+  pairs are then verified with exact Jaccard on the candidate set only.
+- **SimHash**: 64-bit signature from token hashes, pure expressions;
+  near-dup = signatures equal on k bands (hamming via xor bit_count).
+- All hash functions are md5/xxhash64-derived and deterministic — no
+  Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from data_ingestion_framework_spark.operators.text import normalize_text
+
+
+# -- exact -------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id document per identical normalized text.
+
+    groupBy on the md5 fingerprint (not the body): the shuffle carries
+    32-byte hashes. Equivalent SQL: min(id) per md5 + semi join back.
+    """
+    fp = F.md5(normalize_text(text_col))
+    w = W.partitionBy(fp).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-group report: (fingerprint, n_copies, keeper_id)."""
+    return (
+        df.select(F.md5(normalize_text(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+# -- shingling ---------------------------------------------------------------
+
+def char_shingles(col: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text, as an array —
+    computed with sequence+transform (JVM, no UDF)."""
+    s = normalize_text(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1))),
+            lambda i: s.substr(i, F.lit(n)),
+        )
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (token shingles) of the normalized text."""
+    words = F.split(normalize_text(col), " ")
+    k = F.size(words)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed i, min over shingles of
+    xxhash64(i, shingle). Returns array<bigint> of length num_hashes."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    Bands of r = num_hashes/bands signature slots hash to a bucket key;
+    docs sharing any band bucket become a candidate pair. The join is an
+    equi-join on (band, bucket_hash) — the scalable alternative to an
+    O(n²) similarity cross-join. Output: (id_a, id_b) with id_a < id_b,
+    distinct.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(char_shingles(text_col, shingle_size), num_hashes).alias("__sig"),
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("__sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_similarity(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two shingle arrays (candidate verification)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union).cast("double")
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    Only candidate pairs re-join the shingle arrays (semi-join pattern);
+    the full corpus never self-joins.
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_size)
+    sh = df.select(
+        F.col(id_col), char_shingles(text_col, shingle_size).alias("__sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(jaccard_similarity(F.col("__sh_a"), F.col("__sh_b")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- n-gram Jaccard (blocked, exact) ----------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: Column | None = None,
+    shingle_size: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over char shingles within blocking buckets.
+
+    ``block_col`` (default: a coarse length bucket) bounds the pair
+    blow-up; within a block the self-join is an equi-join on the block
+    key. For unblocked exactness use minhash_dedup_pairs instead.
+    """
+    block = block_col if block_col is not None else (F.floor(F.length(text_col) / 100))
+    sh = df.select(
+        F.col(id_col),
+        block.alias("__block"),
+        char_shingles(text_col, shingle_size).alias("__sh"),
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("__block"), F.col("__sh").alias("__sh_a")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__block").alias("__block_b"),
+        F.col("__sh").alias("__sh_b"),
+    )
+    return (
+        a.join(b, (F.col("__block") == F.col("__block_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("jaccard", F.round(jaccard_similarity(F.col("__sh_a"), F.col("__sh_b")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+def simhash64(col: Column | str, n_bits: int = 64) -> Column:
+    """64-bit SimHash of the normalized token stream.
+
+    Per token t: h = xxhash64(t); bit i contributes +1 if set else -1;
+    signature bit i = 1 iff the sum is positive. Pure array expressions
+    (aggregate over tokens), no UDF, no shuffle.
+    """
+    words = F.split(normalize_text(col), " ")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    # Precomputed bit masks (bit 63 is the sign bit of a signed long).
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(n_bits)]
+
+    def _vote(mask):
+        # Plain 2-arg closure: PySpark derives lambda arity from the
+        # Python signature, so no default-arg capture here.
+        def merge(acc, h):
+            return acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+
+        return merge
+
+    sig = F.lit(0).cast("bigint")
+    for i, mask in enumerate(masks):
+        vote = F.aggregate(hashes, F.lit(0), _vote(mask))
+        sig = sig + F.when(vote > 0, F.lit(mask).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return sig
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into
+    ``bands`` chunks (pigeonhole: hamming ≤ bands-1 ⇒ some band equal),
+    equi-join on any equal band, verify hamming ≤ max_hamming via
+    xor bit_count."""
+    sig = df.select(F.col(id_col), simhash64(text_col).alias("__sim"))
+    width = 64 // bands
+    banded = sig.select(
+        id_col,
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("__sim"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "__sim", "bb.band", "bb.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

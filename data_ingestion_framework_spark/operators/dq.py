@@ -1,0 +1,170 @@
+"""Data-quality rule engine.
+
+Reference parity: the SQL-generated rule engine's 9 rule types
+(reference/dq_rule_builder_common.py:228-339), the flag/result-array
+contract ``data_quality_valid_flag`` / ``data_quality_result_array``
+(reference/di_landing_to_raw_generic_v2.py:301-314,585-611), per-rule
+violation counts via conditional sum + unpivot
+(di_landing_to_raw_generic_v2.py:604-653), and the simple-form
+``custom_sql`` rules that pass iff the query returns 0 rows
+(dq/dq.py:52-59).
+
+Design difference vs the reference: rules compile to Catalyst ``Column``
+expressions — never ``eval`` (the reference evals rule strings,
+dq/dq.py:45-49). Row-local rules are pure projections (zero extra
+shuffles, evaluated inside whole-stage codegen alongside the ingest
+write); ``orphan_check`` broadcasts the distinct FK keyset;
+``unique_check`` is a window count over the grouping key (one shuffle,
+shared with the merge partitioning when keys match).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+VALID_FLAG = "data_quality_valid_flag"
+RESULT_ARRAY = "data_quality_result_array"
+
+ROW_LOCAL_TYPES = {
+    "null_check",
+    "range_check",
+    "datatype_check",
+    "special_char_check",
+    "date_format_check",
+    "string_fixed_length",
+    "valid_values_check",
+}
+
+
+@dataclass
+class DQRule:
+    """One rule row of the rule-dimension model
+    (reference/dq_rule_builder_common.py:132-161, FIXTURES.md F6)."""
+
+    rule_id: str
+    rule_type: str  # one of the 9 types, or 'custom_sql'
+    column: str | None = None
+    operator: str | None = None  # range_check: < > between 'not between' <> =
+    threshold_low: float | str | None = None
+    threshold_high: float | str | None = None
+    expected_datatype: str | None = None  # datatype_check: castable target type
+    expected_date_format: str | None = None  # date_format_check
+    allowed_regex: str | None = None  # special_char_check: chars to strip
+    max_length: int | None = None  # string_fixed_length
+    valid_values: list[str] = field(default_factory=list)  # valid_values_check
+    related_table: str | None = None  # orphan_check FK target (key in `related`)
+    related_column: str | None = None
+    grouping_columns: list[str] = field(default_factory=list)  # unique_check
+    sql: str | None = None  # custom_sql
+    enabled: bool = True
+
+
+def violation_expr(rule: DQRule) -> Column:
+    """Compile a row-local rule to a boolean violation expression
+    (True = row violates). Mirrors dq_rule_builder_common.py:228-339
+    CASE-projection semantics."""
+    c = F.col(rule.column) if rule.column else None
+    t = rule.rule_type
+    if t == "null_check":  # :228
+        return c.isNull()
+    if t == "range_check":  # :237-272
+        lo, hi = F.lit(rule.threshold_low), F.lit(rule.threshold_high)
+        op = (rule.operator or "between").lower()
+        sat = {
+            "<": c < lo,
+            ">": c > lo,
+            "=": c == lo,
+            "<>": c != lo,
+            "between": (c >= lo) & (c <= hi),
+            "not between": (c < lo) | (c > hi),
+        }[op]
+        return c.isNotNull() & ~sat
+    if t == "datatype_check":  # :296-300 (typeof) → portable try_cast probe
+        return c.isNotNull() & c.cast("string").try_cast(rule.expected_datatype).isNull()
+    if t == "special_char_check":  # :305-311 regexp_replace idempotence
+        return c.isNotNull() & (F.regexp_replace(c, rule.allowed_regex, "") != F.lit(""))
+    if t == "date_format_check":  # :316-319 (try_to_date: ANSI-safe null on parse failure)
+        return c.isNotNull() & F.try_to_date(c, rule.expected_date_format).isNull()
+    if t == "string_fixed_length":  # :323-329 (len > k)
+        return c.isNotNull() & (F.length(c) > F.lit(rule.max_length))
+    if t == "valid_values_check":  # :335-339 NOT IN list
+        return c.isNotNull() & ~c.isin(rule.valid_values)
+    raise ValueError(f"not a row-local rule: {t}")
+
+
+def apply_rules(
+    df: DataFrame,
+    rules: list[DQRule],
+    related: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Evaluate rules, appending one ``__dq_<rule_id>`` violation flag per
+    rule plus the reference's ``data_quality_valid_flag`` /
+    ``data_quality_result_array`` columns
+    (di_landing_to_raw_generic_v2.py:585-611)."""
+    related = related or {}
+    flags: list[str] = []
+    for rule in rules:
+        if not rule.enabled:
+            continue
+        flag = f"__dq_{rule.rule_id}"
+        if rule.rule_type in ROW_LOCAL_TYPES:
+            df = df.withColumn(flag, violation_expr(rule))
+        elif rule.rule_type == "orphan_check":  # :276-280 FK left join
+            fk = related[rule.related_table].select(
+                F.col(rule.related_column).alias("__fk")
+            ).distinct()
+            df = df.join(
+                F.broadcast(fk), df[rule.column] == F.col("__fk"), "left"
+            ).withColumn(
+                flag, F.col(rule.column).isNotNull() & F.col("__fk").isNull()
+            ).drop("__fk")
+        elif rule.rule_type == "unique_check":  # :287-292 group-by-count>1
+            grp = rule.grouping_columns or [rule.column]
+            w = W.partitionBy(*grp)
+            df = df.withColumn(flag, F.count(F.lit(1)).over(w) > 1)
+        else:
+            raise ValueError(f"unknown rule type: {rule.rule_type}")
+        flags.append(flag)
+
+    result_arr = F.array_compact(
+        F.array(
+            *[
+                F.when(F.col(f"__dq_{r.rule_id}"), F.lit(r.rule_id))
+                for r in rules
+                if r.enabled
+            ]
+        )
+    ) if flags else F.array().cast("array<string>")
+    valid = F.size(result_arr) == 0
+    return df.withColumn(RESULT_ARRAY, result_arr).withColumn(VALID_FLAG, valid)
+
+
+def violation_counts(df_with_flags: DataFrame, rules: list[DQRule]) -> DataFrame:
+    """Per-rule violation counts in long format ``(rule_id, n_violations)``
+    — the reference's conditional-sum + unpivot pipeline
+    (di_landing_to_raw_generic_v2.py:604-653) as one aggregation +
+    ``DataFrame.unpivot`` (Spark >= 3.4)."""
+    active = [r for r in rules if r.enabled]
+    agg = df_with_flags.agg(
+        *[
+            F.sum(F.when(F.col(f"__dq_{r.rule_id}"), 1).otherwise(0)).alias(r.rule_id)
+            for r in active
+        ]
+    )
+    return agg.unpivot([], [r.rule_id for r in active], "rule_id", "n_violations")
+
+
+def run_custom_sql_rule(spark, rule: DQRule) -> bool:
+    """``custom_sql`` rule: passes iff the query returns 0 rows
+    (dq/dq.py:52-59)."""
+    return len(spark.sql(rule.sql).limit(1).take(1)) == 0
+
+
+def quarantine_split(df_with_flags: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split into (valid, quarantined) on the flag column — downstream of
+    the reference's flag stamping; both frames share the parent plan."""
+    return df_with_flags.where(F.col(VALID_FLAG)), df_with_flags.where(~F.col(VALID_FLAG))

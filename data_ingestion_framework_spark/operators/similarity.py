@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns.
+
+Beyond-reference surface (BASELINE.json north star): brute-force cosine
+top-k as the exact baseline, plus an LSH-bucketed approximate variant as
+the 100 TB path.
+
+Scale design: queries are a *small* set broadcast to every partition —
+the corpus never self-joins. The dot product / norm math is pure array
+expressions (``zip_with`` + ``aggregate``), JVM-side; the top-k is a
+per-query window over the (few) query partitions. The random-hyperplane
+LSH variant replaces the full scan with an equi-join on bucket
+signatures for ANN at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sum of elementwise products, left-to-right (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _to_double(a), _to_double(b)
+    denom = l2_norm(da) * l2_norm(db)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(da, db) / denom)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the query set, score
+    every (query, corpus) pair scan-side, keep k per query via window.
+
+    Similarities are rounded before ranking so ordering (and therefore
+    the result set) is reproducible across engines; ties break on the
+    corpus id. One shuffle total (the per-query window).
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col("__qv"), F.col(vec_col)), round_to).alias("cos_sim"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.where(F.col(query_id_col) != F.col(id_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (hash-derived, no RNG
+    state) for sign-LSH."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            # xorshift-style integer mix of (seed, p, d) → [-1, 1)
+            x = (seed * 1_000_003 + p * 10_007 + d * 101) & 0xFFFFFFFF
+            x ^= (x >> 13)
+            x = (x * 0x5BD1E995) & 0xFFFFFFFF
+            x ^= (x >> 15)
+            row.append((x / 2**31) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit p = 1 iff vec · plane_p > 0."""
+    bucket = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        d = dot(_to_double(vec), F.array(*[F.lit(v) for v in plane]))
+        bucket = bucket + F.when(
+            d > 0, F.shiftleft(F.lit(1).cast("bigint"), p)
+        ).otherwise(F.lit(0).cast("bigint"))
+    return bucket
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: sign-LSH buckets both sides, scores only
+    same-bucket pairs (equi-join on bucket), then per-query top-k.
+    Recall < 1.0 by construction; the 100 TB variant of cosine_topk —
+    the cross-join is replaced by a bucket equi-join, so cost scales
+    with collision counts, not |corpus| × |queries|."""
+    planes = random_hyperplanes(dim, n_planes)
+    c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    scored = c.join(F.broadcast(q), "__bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col("__qv"), F.col(vec_col)), round_to).alias("cos_sim"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.where(F.col(query_id_col) != F.col(id_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — all as pure
+JVM-side column expressions (no Python UDFs), so a 100 TB documents
+scan stays inside whole-stage codegen with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Small deterministic English stopword set for the n-gram/stopword
+#: language heuristic and quality ratios.
+EN_STOPWORDS = [
+    "the", "and", "of", "to", "in", "is", "that", "it", "for", "was",
+    "on", "are", "with", "as", "be", "at", "by", "this", "have", "from",
+]
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Whitespace-collapsed, lower-cased canonical form (used by
+    fingerprinting and shingling)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("bigint")
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c).cast("bigint")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text — the exact-dup
+    join key at scale (hash, not the document body, crosses the shuffle)."""
+    return F.md5(normalize_text(col))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords (quality + lang-id input)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(normalize_text(c), " ")
+    hits = F.size(F.filter(words, lambda w: w.isin(*(stopwords or EN_STOPWORDS))))
+    return (hits / F.greatest(F.size(words), F.lit(1))).cast("double")
+
+
+def digit_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    digits = n - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return (digits / F.greatest(n, F.lit(1))).cast("double")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = n - F.length(F.regexp_replace(c, r"[.,;:!?'\"()\[\]{}-]", ""))
+    return (punct / F.greatest(n, F.lit(1))).cast("double")
+
+
+def non_ascii_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    ascii_only = F.length(F.regexp_replace(c, r"[^\x00-\x7F]", ""))
+    return ((n - ascii_only) / F.greatest(n, F.lit(1))).cast("double")
+
+
+def mean_token_length(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    norm = normalize_text(c)
+    n_tokens = token_count(norm)
+    n_chars = F.length(F.regexp_replace(norm, " ", ""))
+    return F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        n_chars / n_tokens
+    ).cast("double")
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: non-Latin script by codepoint ratio, then
+    English-stopword density, else 'latin_other'. Deterministic n-gram
+    heuristic — a real model would slot in as a Pandas UDF, but the
+    bucketing/plumbing (and the hot path for Latin text) stays JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(non_ascii_ratio(c) > 0.3, F.lit("non_latin"))
+        .when(stopword_ratio(c) >= 0.08, F.lit("en"))
+        .otherwise(F.lit("latin_other"))
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite 0..1 quality heuristic: length sweet-spot, stopword
+    presence, low digit/punct noise. Weights are fixed constants so the
+    score is reproducible across engines and runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = char_count(c)
+    len_ok = F.when((n >= 100) & (n <= 20000), F.lit(1.0)).when(
+        n > 0, F.lit(0.5)
+    ).otherwise(F.lit(0.0))
+    sw = F.least(stopword_ratio(c) * 5, F.lit(1.0))
+    noise = F.greatest(
+        F.lit(0.0), F.lit(1.0) - digit_ratio(c) * 2 - punct_ratio(c) * 2
+    )
+    return (len_ok * 0.4 + sw * 0.3 + noise * 0.3).cast("double")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stamp the full text-analysis column family — one projection, no
+    shuffle; at 100 TB this pipelines with the parquet scan."""
+    return df.withColumns(
+        {
+            "n_chars_computed": char_count(text_col),
+            "n_tokens": token_count(text_col),
+            "mean_token_len": mean_token_length(text_col),
+            "stopword_ratio": stopword_ratio(text_col),
+            "digit_ratio": digit_ratio(text_col),
+            "punct_ratio": punct_ratio(text_col),
+            "non_ascii_ratio": non_ascii_ratio(text_col),
+            "lang_pred": lang_id(text_col),
+            "quality": quality_score(text_col),
+            "fingerprint": fingerprint(text_col),
+        }
+    )

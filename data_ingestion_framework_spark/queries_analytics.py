@@ -1,0 +1,398 @@
+"""Analytics queries: aggregation, joins, windows, set ops, sorts.
+
+These exercise the engine's projection/filter/join/aggregation/window
+operator surface (SURVEY.md §2.3-§2.9) on the driver's TPC-H-ish
+tables. Written with the DataFrame API so Catalyst sees a declarative
+plan: filters/projections push down to the parquet scans, small dims
+broadcast, aggregates get map-side partial combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from data_ingestion_framework_spark.registry import bench_query, load
+
+_DEC = "decimal(18,4)"
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: the flagship aggregation (groupBy + many aggs;
+# map-side partial aggregation, one shuffle on the two low-cardinality keys).
+# Reference parity: conditional/multi-agg surface of SURVEY §2.5.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    tax = F.col("l_tax").cast(_DEC)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum((price * (1 - disc) * (1 + tax)).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3-style shipping priority: selective filters on both sides of a 3-way
+# join; customer is small → broadcast; agg after join.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    """,
+)
+def shipping_priority(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (1 - F.col("l_discount").cast(_DEC))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5-style local-supplier revenue: 6-way star join; all dims broadcast, the
+# single shuffle is the final groupBy on n_name.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "region_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def region_revenue(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast(_DEC) * (1 - F.col("l_discount").cast(_DEC))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter + projection pushdown showcase (SURVEY §2.3): the physical scan
+# must read only 4 columns with both predicates in PushedFilters.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag = 'R'
+    """,
+)
+def filter_project(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Latest-record-per-key via ROW_NUMBER — the reference's single most-used
+# pattern (writers/writer.py:41,73,84,439,483,608; SURVEY §2.6/§2.7).
+# One shuffle on the partition key; no global sort.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) t WHERE rn = 1
+    """,
+)
+def latest_order_per_customer(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function spread: rank + lag + running sum with a tie-broken
+# ordering (SURVEY §2.6 "not present in reference but free in Spark").
+# ---------------------------------------------------------------------------
+@bench_query(
+    "customer_order_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_rank,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+    FROM orders
+    """,
+)
+def customer_order_running(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("order_rank"),
+        F.sum(F.col("o_totalprice").cast(_DEC))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.8): UNION ALL / EXCEPT / INTERSECT composed to
+# a deterministic result.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "customer_set_ops",
+    oracle="""
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         rich     AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+         either_only AS (
+           (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM rich)
+           UNION ALL
+           (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM building)
+         ),
+         both_segs AS (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich)
+    SELECT 'exclusive' AS bucket, COUNT(*) AS n FROM either_only
+    UNION ALL
+    SELECT 'both' AS bucket, COUNT(*) AS n FROM both_segs
+    """,
+)
+def customer_set_ops(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    exclusive = building.exceptAll(rich).unionAll(rich.exceptAll(building)).distinct()
+    # NOTE: oracle's EXCEPT is distinct-semantics; inputs are key-unique so
+    # exceptAll+distinct ≡ EXCEPT here, and it exercises both operators.
+    both = building.intersect(rich)
+    return exclusive.agg(
+        F.lit("exclusive").alias("bucket"), F.count(F.lit(1)).alias("n")
+    ).unionAll(both.agg(F.lit("both").alias("bucket"), F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Top-k (global sort + limit, SURVEY §2.7): top 10 revenue orders. Spark
+# plans TakeOrderedAndProject — no full global sort materialization.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def top_orders(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-family showcase (SURVEY §2.4): left_semi (EXISTS), left_anti
+# (NOT EXISTS) and a left join + IS NULL — the reference's new-row
+# detection idiom (Raw-To-Curated-Material_Dim.py:240-243).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@bench_query(
+    "suppliers_in_asia",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (
+      SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA')
+    """,
+)
+def suppliers_in_asia(spark, sf_dir):
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    return supp.join(
+        F.broadcast(asia_nations), supp.s_nationkey == asia_nations.n_nationkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation (SURVEY §2.5: sum(when(...))) + HAVING-style
+# post-filter: order-priority counts per month bucket.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_large
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_counts(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)).alias("n_large"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: tumbling daily window aggregation — the batch shape of the
+# streaming windowed agg (SURVEY §2.10; watermarked variant lives in
+# streaming/). date_trunc keeps the oracle expressible.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_daily_counts",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_daily_counts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested aggregation: collect_list(struct) → to_json, the reference's
+# attribute-array build (material_external_dim.py:304-539). JSON text must
+# match the oracle, so elements are ordered inside the aggregation.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "part_brand_attributes",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(MAX(p_retailprice) AS DOUBLE) AS max_price,
+           STRING_AGG(p_type, ',' ORDER BY p_type, p_partkey) AS types_csv
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def part_brand_attributes(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.max("p_retailprice").cast("double").alias("max_price"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("p_type"), F.col("p_partkey")))
+                ),
+                lambda s: s.p_type,
+            ),
+            ",",
+        ).alias("types_csv"),
+    )

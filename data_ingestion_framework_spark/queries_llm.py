@@ -1,0 +1,219 @@
+"""Training-data-pipeline queries: dedup, text analysis, similarity.
+
+Oracles are written where the semantics are expressible in portable SQL
+(exact dedup, token stats, fingerprints, brute-force cosine top-k);
+hash-family operators whose primitives differ across engines
+(xxhash64-based MinHash/SimHash) are registered without an oracle — the
+driver records a rows-only check and pytest pins their semantics on
+hand-built fixtures instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_framework_spark.operators import dedup, similarity, text
+from data_ingestion_framework_spark.registry import bench_query, load
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: duplicate-group report keyed by normalized-text md5.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(docs)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: surviving rows (lowest doc_id per fingerprint).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "dedup_exact_keep",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               ORDER BY doc_id ASC) AS rn
+      FROM documents
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_exact_keep(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Token / char counting (whitespace tokenizer).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_computed,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.char_count("text").alias("n_chars_computed"),
+        text.token_count("text").alias("n_tokens"),
+        text.fingerprint("text").alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality ratios: digit/punct/non-ascii ratios are portable arithmetic.
+# Rounded to 6 decimals on both sides (integer-ratio division is exact
+# double math, but rounding guards engine formatting differences).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "text_quality_ratios",
+    oracle="""
+    SELECT doc_id,
+           ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                 / GREATEST(length(text), 1), 6) AS digit_ratio,
+           ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+                 / GREATEST(length(text), 1), 6) AS non_ascii_ratio
+    FROM documents
+    """,
+)
+def text_quality_ratios(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(text.digit_ratio("text"), 6).alias("digit_ratio"),
+        F.round(text.non_ascii_ratio("text"), 6).alias("non_ascii_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-distribution rollup over the predicted language.
+# (lang_id itself is heuristic but fully deterministic + SQL-expressible;
+# the rollup keeps the oracle compact.)
+# ---------------------------------------------------------------------------
+@bench_query(
+    "text_source_stats",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           SUM(length(text)) AS total_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def text_source_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k similarity search: queries = vec_id < 5,
+# k=10 over the full corpus. Oracle computes the same dot/norm math via
+# UNNEST WITH ORDINALITY; similarities rounded to 4 before ranking.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "similarity_cosine_topk",
+    oracle="""
+    WITH elems AS (
+      -- parallel UNNESTs zip in DuckDB: element + its ordinal
+      SELECT vec_id,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM elems GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS q_id, i, x FROM elems WHERE vec_id < 5),
+    dots AS (
+      SELECT q.q_id, e.vec_id, SUM(q.x * e.x) AS dp
+      FROM q JOIN elems e ON q.i = e.i
+      GROUP BY q.q_id, e.vec_id
+    ),
+    scored AS (
+      SELECT d.q_id, d.vec_id,
+             ROUND(CASE WHEN nq.nrm * ne.nrm = 0 THEN 0.0
+                        ELSE d.dp / (nq.nrm * ne.nrm) END, 4) AS cos_sim
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.q_id
+      JOIN norms ne ON ne.vec_id = d.vec_id
+      WHERE d.q_id <> d.vec_id
+    )
+    SELECT q_id, vec_id, cos_sim
+    FROM (
+      SELECT q_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 10
+    """,
+)
+def similarity_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries, k=10).select(
+        "q_id", "vec_id", "cos_sim"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup pairs — xxhash64-based, not portable to DuckDB:
+# registered without an oracle (driver rows-only check; semantics pinned
+# by tests/test_dedup.py on synthetic near-duplicates).
+# ---------------------------------------------------------------------------
+@bench_query("dedup_minhash_pairs")
+def dedup_minhash_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, threshold=0.5)
+
+
+@bench_query("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Blocked n-gram Jaccard pairs — fully deterministic and SQL-expressible,
+# but the oracle would need DuckDB list shingling; registered rows-only
+# for now (exact pair semantics pinned in tests).
+# ---------------------------------------------------------------------------
+@bench_query("dedup_ngram_jaccard")
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+
+
+@bench_query("similarity_lsh_topk")
+def similarity_lsh_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    dim = len(emb.select("embedding").first()["embedding"])
+    # 6 planes → 64 buckets: enough selectivity to skip most of the
+    # corpus while keeping non-empty candidate sets at test scale.
+    return similarity.lsh_cosine_topk(
+        emb, queries, dim=dim, k=10, n_planes=6
+    ).select("q_id", "vec_id", "cos_sim")

@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from data_ingestion_framework_spark.operators import cdc
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(pk=pk, a=a, b=b) for pk, a, b in rows], "pk int, a string, b int"
+    )
+
+
+def test_find_delta_classification(spark):
+    old = _df(spark, [(1, "x", 1), (2, "y", 2), (3, "z", 3)])
+    new = _df(spark, [(2, "y", 2), (3, "z9", 3), (4, "w", 4)])
+    out = {r["pk"]: r["change_type"] for r in cdc.find_delta(old, new, ["pk"]).collect()}
+    assert out == {1: "delete", 2: "unchanged", 3: "update", 4: "insert"}
+
+
+def test_brute_force_diff_flags(spark):
+    old = _df(spark, [(1, "x", 1), (2, "y", 2)])
+    new = _df(spark, [(1, "x", 9), (2, "y", 2)])
+    rows = cdc.brute_force_diff(old, new, ["pk"]).collect()
+    assert len(rows) == 1 and rows[0]["pk"] == 1
+    assert rows[0]["a_diff"] == 0 and rows[0]["b_diff"] == 1
+
+
+def test_brute_force_diff_null_safe(spark):
+    old = spark.createDataFrame([Row(pk=1, a=None)], "pk int, a string")
+    new = spark.createDataFrame([Row(pk=1, a=None)], "pk int, a string")
+    assert cdc.brute_force_diff(old, new, ["pk"]).count() == 0
+
+
+def test_cdc_transactions_splits(spark):
+    df = spark.createDataFrame(
+        [Row(pk=1, _op="insert"), Row(pk=2, _op="update"), Row(pk=3, _op="delete")]
+    )
+    tx = cdc.CDCTransactions(df, ["pk"])
+    assert [r["pk"] for r in tx.get_inserts().collect()] == [1]
+    assert [r["pk"] for r in tx.get_updates().collect()] == [2]
+    assert [r["pk"] for r in tx.get_deletes().collect()] == [3]
+    assert {r["pk"] for r in tx.get_upserts().collect()} == {1, 2}
+
+
+def test_primary_key_validation(spark):
+    ok = _df(spark, [(1, "a", 1), (2, "b", 2)])
+    dup = _df(spark, [(1, "a", 1), (1, "b", 2)])
+    withnull = spark.createDataFrame(
+        [Row(pk=None, a="a", b=1)], "pk int, a string, b int"
+    )
+    assert cdc.is_valid_primary_key(ok, ["pk"])
+    assert not cdc.is_valid_primary_key(dup, ["pk"])
+    assert not cdc.is_valid_primary_key(withnull, ["pk"])
+
+
+def test_out_of_order_deletes(spark):
+    target = _df(spark, [(1, "a", 1), (2, "b", 2)])
+    deletes = _df(spark, [(2, "b", 2)])
+    left = cdc.handle_out_of_order_deletes(target, deletes, ["pk"])
+    assert [r["pk"] for r in left.collect()] == [1]

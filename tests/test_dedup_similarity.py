@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_ingestion_framework_spark.operators import dedup, similarity, text
+
+DOC_A = "the quick brown fox jumps over the lazy dog and runs far away today"
+DOC_A_NEAR = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+DOC_B = "completely different content about spark distributed query processing engines"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=DOC_A),
+            Row(doc_id=2, text=DOC_A),  # exact dup of 1
+            Row(doc_id=3, text="  " + DOC_A.upper() + "  "),  # normalized dup of 1
+            Row(doc_id=4, text=DOC_A_NEAR),  # near dup of 1
+            Row(doc_id=5, text=DOC_B),
+        ]
+    )
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    out = dedup.exact_dedup(_docs(spark))
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 4, 5]
+
+
+def test_exact_dup_groups(spark):
+    groups = {r["keeper_id"]: r["n_copies"] for r in dedup.exact_dup_groups(_docs(spark)).collect()}
+    assert groups == {1: 3, 4: 1, 5: 1}
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = dedup.minhash_dedup_pairs(_docs(spark), threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # all dup/near-dup combinations of {1,2,3,4} are candidates; B never pairs
+    assert (1, 2) in got and (1, 4) in got
+    assert all(5 not in p for p in got)
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    pairs = dedup.simhash_near_dups(_docs(spark), max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 0
+    assert all(5 not in (a, b) for (a, b) in got)
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark), block_col=F.lit(1), threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 4)] > 0.8
+    assert all(5 not in (a, b) for (a, b) in got)
+
+
+def test_cosine_topk_exact(spark):
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[1.0, 0.1, 0.0]),  # closest to 0
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),  # orthogonal
+            Row(vec_id=3, embedding=[-1.0, 0.0, 0.0]),  # opposite
+        ]
+    )
+    q = vecs.where(F.col("vec_id") == 0)
+    out = similarity.cosine_topk(vecs, q, k=3).collect()
+    ranked = [r["vec_id"] for r in sorted(out, key=lambda r: -r["cos_sim"])]
+    assert ranked == [1, 2, 3]
+    top = {r["vec_id"]: r["cos_sim"] for r in out}
+    assert abs(top[1] - 0.995) < 0.001 and top[2] == 0.0 and top[3] == -1.0
+
+
+def test_text_stats_family(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="The quick brown fox. It is 42 years old!"), Row(doc_id=2, text="")]
+    )
+    out = {r["doc_id"]: r for r in text.with_text_stats(df).collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[2]["n_tokens"] == 0
+    assert 0 < out[1]["digit_ratio"] < 0.1
+    assert out[1]["lang_pred"] == "en"
+    assert out[1]["fingerprint"] != out[2]["fingerprint"]
+    assert 0.0 <= out[1]["quality"] <= 1.0

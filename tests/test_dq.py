@@ -1,0 +1,77 @@
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from data_ingestion_framework_spark.operators import dq
+
+
+def test_row_local_rules(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, name="ok", bal=50.0, seg="A", phone="123", d="2024-01-01"),
+            Row(id=2, name=None, bal=50.0, seg="A", phone="123", d="2024-01-01"),
+            Row(id=3, name="ok", bal=99999.0, seg="Z", phone="123", d="2024-01-01"),
+            Row(id=4, name="ok", bal=50.0, seg="A", phone="12345678901", d="nope"),
+        ]
+    )
+    rules = [
+        dq.DQRule("r_null", "null_check", column="name"),
+        dq.DQRule(
+            "r_range", "range_check", column="bal",
+            operator="between", threshold_low=0.0, threshold_high=1000.0,
+        ),
+        dq.DQRule("r_vals", "valid_values_check", column="seg", valid_values=["A", "B"]),
+        dq.DQRule("r_len", "string_fixed_length", column="phone", max_length=10),
+        dq.DQRule("r_date", "date_format_check", column="d", expected_date_format="yyyy-MM-dd"),
+    ]
+    out = dq.apply_rules(df, rules)
+    got = {r["id"]: sorted(r[dq.RESULT_ARRAY]) for r in out.collect()}
+    assert got == {
+        1: [],
+        2: ["r_null"],
+        3: ["r_range", "r_vals"],
+        4: ["r_date", "r_len"],
+    }
+    valid = {r["id"]: r[dq.VALID_FLAG] for r in out.collect()}
+    assert valid == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_orphan_and_unique_checks(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, fk=10), Row(id=2, fk=99), Row(id=3, fk=10), Row(id=3, fk=11)]
+    )
+    fk_table = spark.createDataFrame([Row(k=10), Row(k=11)])
+    rules = [
+        dq.DQRule(
+            "r_orphan", "orphan_check", column="fk",
+            related_table="dim", related_column="k",
+        ),
+        dq.DQRule("r_uniq", "unique_check", column="id"),
+    ]
+    out = dq.apply_rules(df, rules, related={"dim": fk_table})
+    counts = {
+        r["rule_id"]: r["n_violations"]
+        for r in dq.violation_counts(out, rules).collect()
+    }
+    assert counts == {"r_orphan": 1, "r_uniq": 2}
+
+
+def test_datatype_and_special_char_checks(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, v="123"), Row(id=2, v="abc"), Row(id=3, v="12x")]
+    )
+    rules = [
+        dq.DQRule("r_dtype", "datatype_check", column="v", expected_datatype="int"),
+        dq.DQRule("r_chars", "special_char_check", column="v", allowed_regex="[0-9]"),
+    ]
+    out = dq.apply_rules(df, rules)
+    got = {r["id"]: sorted(r[dq.RESULT_ARRAY]) for r in out.collect()}
+    assert got == {1: [], 2: ["r_chars", "r_dtype"], 3: ["r_chars", "r_dtype"]}
+
+
+def test_quarantine_split(spark):
+    df = spark.createDataFrame([Row(id=1, name="a"), Row(id=2, name=None)])
+    out = dq.apply_rules(df, [dq.DQRule("r", "null_check", column="name")])
+    good, bad = dq.quarantine_split(out)
+    assert [r["id"] for r in good.collect()] == [1]
+    assert [r["id"] for r in bad.collect()] == [2]

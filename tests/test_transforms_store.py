@@ -1,0 +1,123 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_ingestion_framework_spark.functions.hashes import with_hash_keys
+from data_ingestion_framework_spark.operators import transforms as tr
+from data_ingestion_framework_spark.sources import ParquetTable
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [Row(**{"A Col": 1, "b/col": "x", "C": "7"}), Row(**{"A Col": 2, "b/col": "y", "C": "8"})]
+    )
+
+
+def test_normalize_and_lower(spark):
+    df = tr.normalize_column_names(_df(spark))
+    assert df.columns == ["A_Col", "b_col", "C"]
+    assert tr.columns_to_lower(df).columns == ["a_col", "b_col", "c"]
+
+
+def test_transform_queue(spark):
+    steps = [
+        {"type": "normalize_cols"},
+        {"type": "column_names_to_lower"},
+        {"type": "cast", "casts": {"c": "int"}},
+        {"type": "rename", "mapping": {"c": "c_int"}},
+        {"type": "where", "predicate": "c_int > 7"},
+        {"type": "select", "columns": ["a_col", "c_int"]},
+    ]
+    out = tr.apply_transformations(_df(spark), steps)
+    assert out.columns == ["a_col", "c_int"]
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["c_int"] == 8
+
+
+def test_sql_and_expr_transforms(spark):
+    df = spark.createDataFrame([Row(x=1), Row(x=2)])
+    out = tr.sql_transform(df, "SELECT x * 10 AS x10 FROM {{table_view}}")
+    assert sorted(r["x10"] for r in out.collect()) == [10, 20]
+    out2 = tr.with_column_expr(df, "y", "x + 1")
+    assert sorted(r["y"] for r in out2.collect()) == [2, 3]
+
+
+def test_py_function_registry(spark):
+    df = spark.createDataFrame([Row(x=1)])
+
+    def double_col(d, column):
+        return d.withColumn(column, F.col(column) * 2)
+
+    out = tr.apply_transformations(
+        df, [{"type": "py", "fn": "double_col", "column": "x"}],
+        user_functions={"double_col": double_col},
+    )
+    assert out.collect()[0]["x"] == 2
+
+
+def test_hash_keys_stable_and_null_canon(spark):
+    df = spark.createDataFrame(
+        [Row(pk=1, a="x", b=1.5), Row(pk=1, a="x", b=1.5), Row(pk=2, a=None, b=None)]
+    )
+    out = with_hash_keys(df, ["pk"]).collect()
+    assert out[0]["hdiff"] == out[1]["hdiff"]
+    assert out[0]["hkey"] == out[1]["hkey"]
+    assert out[2]["hkey"] != out[0]["hkey"]
+
+
+def test_parquet_table_roundtrip(spark, tmp_table_path):
+    t = ParquetTable(spark, tmp_table_path)
+    assert not t.exists()
+    df = spark.createDataFrame([Row(a=1), Row(a=2)])
+    t.overwrite(df)
+    assert t.exists() and t.read().count() == 2
+    t.append(spark.createDataFrame([Row(a=3)]))
+    assert t.read().count() == 3
+
+
+def test_parquet_table_overwrite_from_self(spark, tmp_table_path):
+    """The merge-commit pattern: new state derived from the current read."""
+    t = ParquetTable(spark, tmp_table_path)
+    t.overwrite(spark.createDataFrame([Row(a=i) for i in range(10)]))
+    new_state = t.read().where(F.col("a") < 5)
+    t.overwrite(new_state)
+    assert sorted(r["a"] for r in t.read().collect()) == [0, 1, 2, 3, 4]
+
+
+def test_parquet_table_create_empty(spark, tmp_table_path):
+    t = ParquetTable(spark, tmp_table_path)
+    t.create_empty("a int, b string")
+    assert t.exists() and t.read().count() == 0
+    t.create_empty("a int, b string")  # idempotent
+    assert t.read().columns == ["a", "b"]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+def test_read_batch_formats(spark, tmp_path, fmt):
+    from data_ingestion_framework_spark.sources import read_batch
+
+    df = spark.createDataFrame([Row(a=1, b="x")])
+    path = str(tmp_path / fmt)
+    writer = df.write.format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
+    opts = {"header": "true", "inferSchema": "true"} if fmt == "csv" else {}
+    out = read_batch(spark, path, fmt, opts)
+    assert out.count() == 1
+
+
+def test_control_columns(spark, tmp_path):
+    from data_ingestion_framework_spark.sources import CONTROL_COLUMNS, read_parquet
+
+    df = spark.createDataFrame([Row(a=1)])
+    path = str(tmp_path / "cc")
+    df.write.parquet(path)
+    out = read_parquet(spark, path)
+    for c in CONTROL_COLUMNS:
+        assert c in out.columns
+    row = out.collect()[0]
+    assert row["file_path"].startswith("file:")
+    assert row["is_current"] == 1 and row["delete_time"] is None
