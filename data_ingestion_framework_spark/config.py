@@ -1,0 +1,175 @@
+"""Typed pipeline configuration (the reference's config-table row).
+
+Reference parity: the per-source-table config row with JSON-typed
+columns (framework/src/template/sap_cdc_ingestion/config/
+create_sap_config_table.py:172-195, FIXTURES.md F5), its parsing in
+``get_user_args`` (framework/src/non_cdc_generic_notebook_foreach_
+medallion.py:85-123), validation and table-indirection resolution in
+``ConfigHandler`` (utils/config_handler.py:7-117).
+
+Design: dataclasses instead of loose dicts; every JSON column of the
+reference maps to a typed field; ``from_row`` accepts a config-table
+row (all-string columns, JSON where nested) exactly like the
+reference's control table, so existing config tables port unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from data_ingestion_framework_spark.sources.batch import config_scalar_lookup
+
+
+def _parse_bool(v: Any, default: bool = False) -> bool:
+    if v is None:
+        return default
+    if isinstance(v, bool):
+        return v
+    return str(v).strip().lower() in ("true", "1", "yes")
+
+
+def _parse_json(v: Any, default):
+    if v is None or v == "":
+        return default
+    if isinstance(v, (dict, list)):
+        return v
+    return json.loads(v)
+
+
+@dataclass
+class WriteConfig:
+    """One entry of the ``writes`` JSON list (FIXTURES.md F5):
+    medallion layer + mode + SCD type + target."""
+
+    table_medallion_layer: str = "silver"  # bronze | silver | gold
+    path: str | None = None  # target table path (OSS stand-in for catalog.schema.table)
+    mode: str = "merge"  # append | merge | overwrite
+    scd_type: int = 1
+    checkpoint_location: str | None = None
+    partition_by: list[str] = field(default_factory=list)
+    except_column_list: list[str] = field(default_factory=list)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "WriteConfig":
+        return cls(
+            table_medallion_layer=d.get("table_medallion_layer", "silver"),
+            path=d.get("path") or d.get("external_location"),
+            mode=d.get("mode", "merge"),
+            scd_type=int(d.get("scd_type", 1)),
+            checkpoint_location=d.get("checkpointLocation") or d.get("checkpoint_location"),
+            partition_by=list(d.get("partition_by", [])),
+            except_column_list=list(d.get("except_column_list", [])),
+        )
+
+
+@dataclass
+class PipelineConfig:
+    """The full per-table pipeline config (FIXTURES.md F5 schema)."""
+
+    data_product_name: str = "default"
+    table_name: str = ""
+    pkeys: list[str] = field(default_factory=list)
+    source_filepath: str = ""
+    source_data_type: str = "parquet"
+    source_reader_options: dict[str, str] = field(default_factory=dict)
+    source_orderby_column: str = "file_modification_time"
+    source_extraction_type: str = "FE"  # FE | IE
+    streaming: bool = False
+    cast_column: dict[str, str] = field(default_factory=dict)
+    transformations: list[dict] = field(default_factory=list)
+    run_dq_rules: bool = False
+    dq_rules: list[dict] = field(default_factory=list)
+    audit_write: bool = False
+    audit_table_path: str | None = None
+    writes: list[WriteConfig] = field(default_factory=list)
+    is_table_enabled: bool = True
+    trigger: str = "availableNow"
+    verbose: bool = False
+
+    @classmethod
+    def from_row(cls, row: dict, spark: SparkSession | None = None) -> "PipelineConfig":
+        """Build from a config-table row (all-string columns, JSON-typed
+        nested fields — get_user_args semantics, non_cdc_generic_
+        notebook_foreach_medallion.py:85-123). Values of the shape
+        ``{"table","col","key","key_col"}`` are resolved by lookup
+        (utils/config_handler.py:26-53) when ``spark`` is given."""
+        row = dict(row)
+        if spark is not None:
+            for k, v in list(row.items()):
+                resolved = _maybe_indirect(spark, v)
+                if resolved is not None:
+                    row[k] = resolved
+        audit_cfg = _parse_json(row.get("audit_config"), {})
+        dq_cfg = _parse_json(row.get("dq_config"), {})
+        return cls(
+            data_product_name=row.get("data_product_name", "default"),
+            table_name=row.get("table_name", ""),
+            pkeys=[k.strip() for k in str(row.get("pkeys", "")).split(",") if k.strip()],
+            source_filepath=row.get("source_filepath", ""),
+            source_data_type=row.get("source_data_type", "parquet"),
+            source_reader_options=_parse_json(row.get("source_reader_options"), {}),
+            source_orderby_column=row.get(
+                "source_orderBy_column", row.get("source_orderby_column", "file_modification_time")
+            ),
+            source_extraction_type=row.get("source_extraction_type", "FE"),
+            streaming=_parse_bool(row.get("streaming")),
+            cast_column=_parse_json(row.get("cast_column"), {}),
+            transformations=_parse_json(row.get("transformations"), []),
+            run_dq_rules=_parse_bool(row.get("run_dq_rules")),
+            dq_rules=_parse_json(dq_cfg.get("rules") if dq_cfg else None, []),
+            audit_write=_parse_bool(row.get("audit_write")),
+            audit_table_path=(audit_cfg or {}).get("audit_table_path"),
+            writes=[WriteConfig.from_dict(d) for d in _parse_json(row.get("writes"), [])],
+            is_table_enabled=_parse_bool(row.get("is_table_enabled"), True),
+            trigger=row.get("trigger", "availableNow"),
+            verbose=_parse_bool(row.get("verbose")),
+        )
+
+    def validate(self) -> None:
+        """Mutual-exclusion / required-field checks
+        (utils/config_handler.py:90-94)."""
+        if not self.source_filepath:
+            raise ValueError("source_filepath is required")
+        for w in self.writes:
+            if w.mode == "merge" and not self.pkeys:
+                raise ValueError("merge writes require pkeys")
+            if not w.path:
+                raise ValueError("every write needs a target path")
+
+    def writes_for_layer(self, layer: str) -> list[WriteConfig]:
+        """_medallion_config filter (builder/engine.py:143-159)."""
+        return [w for w in self.writes if w.table_medallion_layer == layer]
+
+
+def _maybe_indirect(spark: SparkSession, v: Any):
+    """Resolve ``{"table","col","key","key_col"}`` indirection values
+    (utils/config_handler.py:26-53); returns None when not applicable."""
+    d = None
+    if isinstance(v, str) and v.startswith("{"):
+        try:
+            d = json.loads(v)
+        except (ValueError, TypeError):
+            return None
+    elif isinstance(v, dict):
+        d = v
+    if isinstance(d, dict) and {"table", "col", "key", "key_col"} <= set(d):
+        return config_scalar_lookup(spark, d["table"], d["col"], d["key_col"], d["key"])
+    return None
+
+
+def load_enabled_configs(
+    spark: SparkSession, config_table_path: str, data_product_name: str | None = None
+) -> list[PipelineConfig]:
+    """Read the config table and return enabled pipelines — the fan-out
+    read (jobs/Foreach_taskvalues_generic_v2.py:16-32). Control-plane
+    sized: collect is sanctioned here."""
+    df = spark.read.parquet(config_table_path)
+    if data_product_name:
+        df = df.where(df.data_product_name == data_product_name)
+    rows = [r.asDict() for r in df.collect()]
+    cfgs = [PipelineConfig.from_row(r, spark) for r in rows]
+    return [c for c in cfgs if c.is_table_enabled]

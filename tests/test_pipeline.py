@@ -1,0 +1,142 @@
+"""End-to-end medallion pipeline tests: config row → PipelineBuilder →
+bronze append + silver SCD merge, with transforms, DQ and audit."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+
+from data_ingestion_framework_spark.config import PipelineConfig, load_enabled_configs
+from data_ingestion_framework_spark.plans import PipelineBuilder
+from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+
+def _landing(spark, path, rows):
+    spark.createDataFrame(rows, "pk int, val string, amt double").coalesce(
+        1
+    ).write.mode("append").parquet(str(path))
+    return str(path)
+
+
+def _config_row(landing, tmp_path, streaming=False):
+    return {
+        "data_product_name": "test_dp",
+        "table_name": "t1",
+        "pkeys": "pk",
+        "source_filepath": landing,
+        "source_data_type": "parquet",
+        "source_orderBy_column": "file_modification_time",
+        "streaming": str(streaming),
+        "cast_column": json.dumps({"amt": "decimal(12,2)"}),
+        "transformations": json.dumps(
+            [{"type": "with_column", "column": "amt_x2", "expr": "amt * 2"}]
+        ),
+        "run_dq_rules": "True",
+        "dq_config": json.dumps(
+            {"rules": [{"rule_id": "r_null_val", "rule_type": "null_check", "column": "val"}]}
+        ),
+        "audit_write": "True",
+        "audit_config": json.dumps({"audit_table_path": f"{tmp_path}/audit"}),
+        "writes": json.dumps(
+            [
+                {
+                    "table_medallion_layer": "bronze",
+                    "path": f"{tmp_path}/bronze",
+                    "mode": "append",
+                },
+                {
+                    "table_medallion_layer": "silver",
+                    "path": f"{tmp_path}/silver",
+                    "mode": "merge",
+                    "scd_type": 2,
+                },
+            ]
+        ),
+        "is_table_enabled": "True",
+    }
+
+
+def test_config_from_row_parsing(tmp_path):
+    cfg = PipelineConfig.from_row(_config_row("/x", tmp_path))
+    assert cfg.pkeys == ["pk"]
+    assert cfg.cast_column == {"amt": "decimal(12,2)"}
+    assert len(cfg.writes) == 2
+    assert cfg.writes[1].scd_type == 2
+    assert cfg.dq_rules[0]["rule_id"] == "r_null_val"
+
+
+def test_run_medallion_end_to_end(spark, tmp_path):
+    landing = _landing(
+        spark, tmp_path / "landing", [Row(pk=1, val="a", amt=1.5), Row(pk=2, val="b", amt=2.5)]
+    )
+    cfg = PipelineConfig.from_row(_config_row(landing, tmp_path))
+    pb = PipelineBuilder(spark, cfg)
+    pb.run_medallion()
+
+    bronze = spark.read.parquet(f"{tmp_path}/bronze")
+    assert bronze.count() == 2 and "row_creation_time" in bronze.columns
+
+    silver = spark.read.parquet(f"{tmp_path}/silver")
+    rows = {r["pk"]: r for r in silver.collect()}
+    assert set(rows) == {1, 2}
+    assert str(rows[1]["amt"]) == "1.50"  # cast applied
+    assert rows[1]["amt_x2"] is not None  # transform applied
+    assert rows[1]["data_quality_valid_flag"] is True  # DQ applied
+    assert all(r["is_current"] == 1 for r in rows.values())
+
+    audit = spark.read.parquet(f"{tmp_path}/audit")
+    ops = {r["audit_operation"] for r in audit.collect()}
+    assert {"append", "merge"} <= ops
+
+    # second run: pk1 changes → SCD2 history row appears
+    _landing(spark, tmp_path / "landing", [Row(pk=1, val="a2", amt=9.0)])
+    pb2 = PipelineBuilder(spark, PipelineConfig.from_row(_config_row(landing, tmp_path)))
+    pb2.run_medallion()
+    silver = spark.read.parquet(f"{tmp_path}/silver")
+    pk1 = [r for r in silver.collect() if r["pk"] == 1]
+    assert sorted((r["val"], r["is_current"]) for r in pk1) == [("a", 0), ("a2", 1)]
+
+
+def test_streaming_merge_pipeline(spark, tmp_path):
+    landing = _landing(
+        spark, tmp_path / "landing", [Row(pk=1, val="a", amt=1.0), Row(pk=2, val="b", amt=2.0)]
+    )
+    row = _config_row(landing, tmp_path, streaming=True)
+    row["writes"] = json.dumps(
+        [
+            {
+                "table_medallion_layer": "silver",
+                "path": f"{tmp_path}/silver_s",
+                "mode": "merge",
+                "scd_type": 1,
+                "checkpointLocation": f"{tmp_path}/ckpt_s",
+            }
+        ]
+    )
+    cfg = PipelineConfig.from_row(row)
+    pb = PipelineBuilder(spark, cfg)
+    pb.run_streaming_merge(cfg.writes[0])
+    got = {r["pk"]: r["val"] for r in spark.read.parquet(f"{tmp_path}/silver_s").collect()}
+    assert got == {1: "a", 2: "b"}
+
+    # incremental file + rerun: upsert applies, checkpoint skips old files
+    _landing(spark, tmp_path / "landing", [Row(pk=1, val="a2", amt=3.0)])
+    pb.run_streaming_merge(cfg.writes[0])
+    got = {r["pk"]: r["val"] for r in spark.read.parquet(f"{tmp_path}/silver_s").collect()}
+    assert got == {1: "a2", 2: "b"}
+
+
+def test_load_enabled_configs(spark, tmp_path):
+    rows = [
+        {"data_product_name": "dp", "table_name": "a", "is_table_enabled": "True",
+         "source_filepath": "/x", "pkeys": "k",
+         "writes": json.dumps([{"path": "/t", "mode": "merge"}])},
+        {"data_product_name": "dp", "table_name": "b", "is_table_enabled": "False",
+         "source_filepath": "/y", "pkeys": "k", "writes": "[]"},
+    ]
+    import pandas as pd
+
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(f"{tmp_path}/cfg")
+    cfgs = load_enabled_configs(spark, f"{tmp_path}/cfg", "dp")
+    assert [c.table_name for c in cfgs] == ["a"]

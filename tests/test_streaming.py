@@ -1,0 +1,124 @@
+"""Streaming-path tests (FIXTURES.md F8): checkpointed append with no
+duplicates on re-run, foreachBatch SCD merge parity with the batch
+path, and a watermarked tumbling-window aggregation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_ingestion_framework_spark.operators import scd
+from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+from data_ingestion_framework_spark.streaming import (
+    foreach_batch_scd_merge,
+    read_file_stream,
+    stream_append,
+)
+
+T = dt.datetime(2024, 1, 1)
+
+
+def _stage_files(spark, root, batches):
+    """Write each batch as one parquet file into a landing dir."""
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "pk int, val string, mtime timestamp")
+        df.coalesce(1).write.mode("append").parquet(str(root))
+    return str(root)
+
+
+def test_stream_append_exactly_once(spark, tmp_path):
+    landing = _stage_files(
+        spark,
+        tmp_path / "landing",
+        [[Row(pk=1, val="a", mtime=T)], [Row(pk=2, val="b", mtime=T)]],
+    )
+    out = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = read_file_stream(spark, landing, "parquet", control_columns=True)
+    assert stream.isStreaming
+    stream_append(stream.drop("_metadata"), out, ckpt)
+    assert spark.read.parquet(out).count() == 2
+
+    # re-run with the same checkpoint: no new files → no duplicates
+    stream = read_file_stream(spark, landing, "parquet", control_columns=True)
+    stream_append(stream.drop("_metadata"), out, ckpt)
+    assert spark.read.parquet(out).count() == 2
+
+    # new file arrives → only it is appended
+    spark.createDataFrame(
+        [Row(pk=3, val="c", mtime=T)], "pk int, val string, mtime timestamp"
+    ).coalesce(1).write.mode("append").parquet(landing)
+    stream = read_file_stream(spark, landing, "parquet", control_columns=True)
+    stream_append(stream.drop("_metadata"), out, ckpt)
+    bronze = spark.read.parquet(out)
+    assert bronze.count() == 3
+    assert {c for c in bronze.columns} >= {"pk", "val", "row_creation_time", "file_path"}
+
+
+def test_foreach_batch_scd1_merge_matches_batch(spark, tmp_path):
+    t0 = [Row(pk=1, val="a", mtime=T), Row(pk=2, val="b", mtime=T)]
+    t1 = [Row(pk=1, val="a2", mtime=T + dt.timedelta(days=1)), Row(pk=3, val="c", mtime=T + dt.timedelta(days=1))]
+    landing = _stage_files(spark, tmp_path / "landing", [t0, t1])
+
+    table = ParquetTable(spark, str(tmp_path / "silver"))
+    stream = read_file_stream(spark, landing, "parquet", control_columns=False)
+    foreach_batch_scd_merge(
+        stream, table, ["pk"], "mtime", str(tmp_path / "ckpt"), scd_type=1
+    )
+    got = {r["pk"]: r["val"] for r in table.read().collect()}
+
+    # batch-path reference result on the same data
+    batch = spark.read.parquet(landing)
+    expect = {
+        r["pk"]: r["val"]
+        for r in scd.scd1_apply(None, batch, ["pk"], "mtime").collect()
+    }
+    assert got == expect == {1: "a2", 2: "b", 3: "c"}
+
+
+def test_foreach_batch_scd2_merge_builds_history(spark, tmp_path):
+    t0 = [Row(pk=1, val="a", mtime=T)]
+    t1 = [Row(pk=1, val="a2", mtime=T + dt.timedelta(days=1))]
+    landing = _stage_files(spark, tmp_path / "landing", [t0, t1])
+
+    table = ParquetTable(spark, str(tmp_path / "hist"))
+    stream = read_file_stream(
+        spark, landing, "parquet", control_columns=False, max_files_per_trigger=1
+    )
+    foreach_batch_scd_merge(
+        stream, table, ["pk"], "mtime", str(tmp_path / "ckpt"), scd_type=2
+    )
+    rows = sorted(table.read().collect(), key=lambda r: r["start_time"])
+    assert [(r["val"], r["is_current"]) for r in rows] == [("a", 0), ("a2", 1)]
+    assert rows[0]["end_time"] == rows[1]["start_time"]
+
+
+def test_watermarked_tumbling_window(spark, tmp_path):
+    rows = [
+        Row(ts=T + dt.timedelta(hours=h), k="x", v=1.0) for h in (1, 2, 30)
+    ]
+    landing = str(tmp_path / "ev")
+    spark.createDataFrame(rows, "ts timestamp, k string, v double").write.parquet(landing)
+
+    stream = read_file_stream(spark, landing, "parquet", control_columns=False)
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["w"]["start"].day, r["n"]) for r in spark.table("win_counts").collect()
+    }
+    assert got == {(1, 2), (2, 1)}
