@@ -84,16 +84,50 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 # -- MinHash + LSH -----------------------------------------------------------
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: for seed i, min over shingles of
-    xxhash64(i, shingle). Returns array<bigint> of length num_hashes."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))
-            )
-            for i in range(num_hashes)
-        ]
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Per-document MinHash signature columns ``h0..h{k-1}``.
+
+    Scale shape: explode shingles → hash each shingle once per seed →
+    groupBy(doc) with ``min`` aggregation. The min is computed map-side
+    (partial aggregation), so the shuffle carries one k-long row per
+    doc per input partition — not the shingle set. This also avoids the
+    expression-inlining trap of computing k array-transforms over the
+    shingling expression (CollapseProject would duplicate the shingle
+    computation k times).
+    """
+    # Spread documents across the cluster before the hash-heavy explode:
+    # a landing table often arrives as few large files, which would
+    # serialize the shingling. The shuffled payload is (id, text) only.
+    spread = df.select(F.col(id_col), F.col(text_col)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    exploded = spread.select(
+        F.col(id_col),
+        F.explode(char_shingles(text_col, shingle_size)).alias("__sh"),
+    )
+    # Two real hashes per shingle; the k-member family is derived with
+    # XOR-rotate mixing (the double-hashing MinHash construction, kept
+    # in bit ops so ANSI overflow checking never trips). 2 xxhash64
+    # calls per shingle instead of k.
+    h1, h2 = F.xxhash64(F.lit(1), F.col("__sh")), F.xxhash64(F.lit(2), F.col("__sh"))
+
+    def g(i: int):
+        if i == 0:
+            return h1
+        rot = F.shiftrightunsigned(h2, i % 64).bitwiseOR(F.shiftleft(h2, 64 - (i % 64)))
+        return h1.bitwiseXOR(rot)
+
+    hashed = exploded.select(
+        id_col, *[g(i).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
 
 
@@ -114,10 +148,7 @@ def minhash_lsh_candidates(
     distinct.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(char_shingles(text_col, shingle_size), num_hashes).alias("__sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
     banded = sig.select(
         id_col,
         F.explode(
@@ -129,7 +160,7 @@ def minhash_lsh_candidates(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.col("__sig")[b * rows_per_band + r].cast("string")
+                                    F.col(f"h{b * rows_per_band + r}").cast("string")
                                     for r in range(rows_per_band)
                                 ],
                             )
@@ -178,8 +209,10 @@ def minhash_dedup_pairs(
     the full corpus never self-joins.
     """
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_size)
-    sh = df.select(
-        F.col(id_col), char_shingles(text_col, shingle_size).alias("__sh")
+    sh = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col), char_shingles(text_col, shingle_size).alias("__sh"))
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
@@ -208,8 +241,11 @@ def ngram_jaccard_pairs(
     blow-up; within a block the self-join is an equi-join on the block
     key. For unblocked exactness use minhash_dedup_pairs instead.
     """
-    block = block_col if block_col is not None else (F.floor(F.length(text_col) / 100))
-    sh = df.select(
+    block = block_col if block_col is not None else (F.floor(F.length(text_col) / 20))
+    spread = df.select(F.col(id_col), F.col(text_col)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    sh = spread.select(
         F.col(id_col),
         block.alias("__block"),
         char_shingles(text_col, shingle_size).alias("__sh"),
@@ -272,7 +308,10 @@ def simhash_near_dups(
     ``bands`` chunks (pigeonhole: hamming ≤ bands-1 ⇒ some band equal),
     equi-join on any equal band, verify hamming ≤ max_hamming via
     xor bit_count."""
-    sig = df.select(F.col(id_col), simhash64(text_col).alias("__sim"))
+    spread = df.select(F.col(id_col), F.col(text_col)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    sig = spread.select(F.col(id_col), simhash64(text_col).alias("__sim"))
     width = 64 // bands
     banded = sig.select(
         id_col,

@@ -245,6 +245,31 @@ def scd2_apply(
     )
 
 
+def late_arriving_dim_defaults(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    defaults: dict[str, object],
+) -> DataFrame:
+    """Default dimension rows for fact keys missing from the dimension
+    — the late-arriving-dimension insert
+    (reference/material_external_dim.py:1294+, SURVEY §7.2 step 10).
+
+    left_anti on the (broadcastable) dim keyset; one distinct over the
+    fact keys. The caller appends the result to the dim table; a later
+    real dimension row supersedes it through the normal SCD2 merge.
+    """
+    missing = (
+        fact.select(F.col(fact_key).alias(dim_key))
+        .distinct()
+        .join(dim.select(dim_key), on=dim_key, how="left_anti")
+    )
+    for col, val in defaults.items():
+        missing = missing.withColumn(col, F.lit(val))
+    return missing.withColumn("is_inferred", F.lit(1))
+
+
 def current_view(scd2: DataFrame) -> DataFrame:
     """SCD1 projection of an SCD2 table (the IE dual-target 'current'
     table, writers/writer.py:284-420)."""

@@ -1,0 +1,346 @@
+"""ETL-lifecycle queries: full SCD merges, late-arriving dims, reshape
+operators (pivot/rollup/unpivot), JSON and scalar-function surfaces,
+multimodal metadata.
+
+These run the actual merge operators (operators/scd.py) end-to-end with
+literal timestamps so the whole new-table-state is oracle-checkable in
+portable SQL — the strongest correctness artifact for the merge engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_framework_spark.operators import scd
+from data_ingestion_framework_spark.operators.multimodal import pack_media
+from data_ingestion_framework_spark.registry import bench_query, load
+
+T0 = "2024-01-01 00:00:00"
+T1 = "2024-01-02 00:00:00"
+
+
+def _v(df, cols):
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# SCD1 merge lifecycle (writers/batch_writers.py:99-127 semantics):
+# target = even orderkeys @t0, source = %3 keys @t1 with bumped price.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "scd1_merge_state",
+    oracle=f"""
+    WITH target AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price,
+             TIMESTAMP '{T0}' AS mtime
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    source AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice + 500.0 AS price,
+             TIMESTAMP '{T1}' AS mtime
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT pk, status, price, mtime FROM target
+    WHERE pk NOT IN (SELECT pk FROM source)
+    UNION ALL
+    SELECT pk, status, price, mtime FROM source
+    """,
+)
+def scd1_merge_state(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    target = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(T0).cast("timestamp").alias("mtime"),
+    )
+    source = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice") + 500.0).alias("price"),
+        F.lit(T1).cast("timestamp").alias("mtime"),
+    )
+    return scd.scd1_apply(target, source, ["pk"], "mtime")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 full-lifecycle merge (writers/writer.py:177-281 semantics incl.
+# WHEN NOT MATCHED BY SOURCE soft delete): the entire new table state is
+# oracle-checked — close-outs, new versions, untouched rows, deletes.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "scd2_merge_state",
+    oracle=f"""
+    WITH v0 AS (SELECT p_partkey AS pk, p_retailprice AS price FROM part),
+    v1 AS (
+      SELECT p_partkey AS pk,
+             CASE WHEN p_partkey % 4 = 0 THEN p_retailprice + 50.0
+                  ELSE p_retailprice END AS price
+      FROM part WHERE p_partkey % 2 = 0
+    )
+    SELECT pk, price, TIMESTAMP '{T0}' AS start_time, TIMESTAMP '{T1}' AS end_time,
+           0 AS is_current, CAST(NULL AS TIMESTAMP) AS delete_time
+    FROM v0 WHERE pk % 4 = 0
+    UNION ALL
+    SELECT pk, price, TIMESTAMP '{T1}', CAST(NULL AS TIMESTAMP), 1, CAST(NULL AS TIMESTAMP)
+    FROM v1 WHERE pk % 4 = 0
+    UNION ALL
+    SELECT pk, price, TIMESTAMP '{T0}', CAST(NULL AS TIMESTAMP), 1, CAST(NULL AS TIMESTAMP)
+    FROM v0 WHERE pk % 2 = 0 AND pk % 4 <> 0
+    UNION ALL
+    SELECT pk, price, TIMESTAMP '{T0}', TIMESTAMP '{T1}', 0, TIMESTAMP '{T1}'
+    FROM v0 WHERE pk % 2 <> 0
+    """,
+)
+def scd2_merge_state(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    v0 = part.select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_retailprice").alias("price"),
+        F.lit(T0).cast("timestamp").alias("mtime"),
+    )
+    state = scd.scd2_apply(None, v0, ["pk"], "mtime")
+    v1 = part.where(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("pk"),
+        F.when(
+            F.col("p_partkey") % 4 == 0, F.col("p_retailprice") + 50.0
+        ).otherwise(F.col("p_retailprice")).alias("price"),
+        F.lit(T1).cast("timestamp").alias("mtime"),
+    )
+    state = scd.scd2_apply(
+        state, v1, ["pk"], "mtime", full_extract=True, deleted_at=T1
+    )
+    return state.select(
+        "pk", "price", "start_time", "end_time", "is_current", "delete_time"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD1 current view of the SCD2 state (the IE dual-target 'current'
+# table, writers/writer.py:284-420).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "scd2_current_view",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT p_partkey AS pk,
+             CASE WHEN p_partkey % 4 = 0 THEN p_retailprice + 50.0
+                  ELSE p_retailprice END AS price
+      FROM part WHERE p_partkey % 2 = 0
+    )
+    SELECT pk, price FROM v1
+    """,
+)
+def scd2_current_view(spark, sf_dir):
+    return scd.current_view(scd2_merge_state(spark, sf_dir)).select("pk", "price")
+
+
+# ---------------------------------------------------------------------------
+# Late-arriving dimension defaults (material_external_dim.py:1294+):
+# fact keys missing from the dim produce inferred default rows.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "late_arriving_dim",
+    oracle="""
+    SELECT DISTINCT l_partkey AS p_partkey,
+           'UNKNOWN' AS p_name, CAST(0.0 AS DOUBLE) AS p_retailprice,
+           1 AS is_inferred
+    FROM lineitem
+    WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 3 <> 0)
+    """,
+)
+def late_arriving_dim(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    dim = load(spark, sf_dir, "part").where(F.col("p_partkey") % 3 != 0)
+    return scd.late_arriving_dim_defaults(
+        li, dim, "l_partkey", "p_partkey",
+        {"p_name": "UNKNOWN", "p_retailprice": 0.0},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (SURVEY §2.5 'free in Spark'): order counts+revenue by priority,
+# pivoted on status.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orders_pivot_status(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").cast("double").alias("F"),
+        F.col("O").cast("double").alias("O"),
+        F.col("P").cast("double").alias("P"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup (grouping sets): revenue by (status, priority) with subtotals.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot wide→long (DataFrame.unpivot, Spark ≥3.4 — the DQ result
+# reshape, di_landing_to_raw_generic_v2.py:617).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "part_unpivot_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+)
+def part_unpivot_metrics(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (audit payloads, §2.9): events.props is a JSON string.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k_val,
+           event_type
+    FROM events
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        "event_type",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar string-function surface (§2.9): portable subset, exercised as
+# one projection.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "customer_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           replace(c_name, '#', '-') AS name_dashed,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           split_part(c_name, '#', 1) AS name_head
+    FROM customer
+    """,
+)
+def customer_string_funcs(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_head"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time function surface (§2.9): extraction + interval arithmetic.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+           quarter(o_orderdate) AS q,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           o_orderdate + INTERVAL 30 DAY AS due_ts
+    FROM orders
+    """,
+)
+def orders_date_funcs(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata (binary-column contract): byte length + payload
+# hash + media type, all JVM-side (operators/multimodal.py).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "multimodal_media_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           'document' AS media_type
+    FROM documents
+    """,
+)
+def multimodal_media_meta(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_media(docs, "text", media_type="document")
+    return packed.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.payload_md5").alias("payload_md5"),
+        F.col("media_meta.media_type").alias("media_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal decode path (mapInPandas stub decoder) — Python-side,
+# rows-only check; semantics pinned in tests/test_multimodal.py.
+# ---------------------------------------------------------------------------
+@bench_query("multimodal_decode_dims")
+def multimodal_decode_dims(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.multimodal import decode_images
+
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_media(docs, "text", media_type="image")
+    return decode_images(packed).select("doc_id", "width", "height", "channels")

@@ -71,6 +71,7 @@ def load_all_queries() -> None:
     """Import every query module so registrations run."""
     from data_ingestion_framework_spark import (  # noqa: F401
         queries_analytics,
+        queries_etl,
         queries_llm,
         queries_scd,
     )

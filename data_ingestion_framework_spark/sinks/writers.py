@@ -11,9 +11,55 @@ operators/scd.py; this module is the thin commit layer.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from data_ingestion_framework_spark.operators import scd
 from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+
+def ordered_base_paths(df: DataFrame, depth: int = -1) -> list[str]:
+    """Distinct source directories ordered by their newest file's
+    modification time — the per-source-directory replay order
+    (writers/writer.py:158-174 ``get_base_file_path_list_from_table``).
+    Computed entirely in Spark (the reference round-trips via pandas);
+    the result is a directory list, so collecting it is control-plane
+    sized."""
+    base = F.substring_index(F.col("file_path"), "/", depth)
+    ordered = (
+        df.select(base.alias("base_path"), F.col("file_modification_time"))
+        .groupBy("base_path")
+        .agg(F.max("file_modification_time").alias("max_mtime"))
+        .orderBy("max_mtime", "base_path")
+    )
+    return [r["base_path"] for r in ordered.collect()]
+
+
+def replay_merge_by_source_dir(
+    df: DataFrame,
+    table: ParquetTable,
+    key_cols: list[str],
+    order_col: str = "file_modification_time",
+    scd_type: int = 2,
+    full_extract: bool = False,
+    depth: int = -1,
+) -> None:
+    """Ordered per-source-directory merge replay
+    (writers/writer.py:177-281 ``_upsert_to_delta_batch_fe``): process
+    each base directory's rows as one merge batch, in mtime order.
+    Correctness shape for out-of-order landings; within a batch the
+    merge is fully parallel. Prefer a single merge (batch_write) when
+    directory order provably doesn't matter (SURVEY §7.4 #4)."""
+    for path in ordered_base_paths(df, depth):
+        batch = df.where(F.col("file_path").startswith(path))
+        batch_write(
+            batch,
+            table,
+            mode="merge",
+            key_cols=key_cols,
+            order_col=order_col,
+            scd_type=scd_type,
+            full_extract=full_extract,
+        )
 
 
 def batch_write(
