@@ -37,12 +37,15 @@ HEADLINE = [
     "cdc_find_delta",
     "cdc_hash_keys",
     "scd2_stamp_initial",
+    "scd2_merge_state",
     "dq_violation_counts",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
     "text_token_stats",
     "similarity_cosine_topk",
     "events_daily_counts",
+    "events_sessionize",
 ]
 
 

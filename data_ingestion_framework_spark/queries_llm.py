@@ -197,11 +197,33 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Blocked n-gram Jaccard pairs — fully deterministic and SQL-expressible,
-# but the oracle would need DuckDB list shingling; registered rows-only
-# for now (exact pair semantics pinned in tests).
+# Blocked n-gram Jaccard pairs — fully deterministic; the oracle builds
+# the same 5-char shingle sets with a DuckDB list comprehension and the
+# same length-bucket blocking.
 # ---------------------------------------------------------------------------
-@bench_query("dedup_ngram_jaccard")
+@bench_query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             CAST(floor(length(text) / 20) AS BIGINT) AS block,
+             list_distinct([
+               substring(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), i, 5)
+               for i in generate_series(
+                 1,
+                 greatest(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) - 4, 1))
+             ]) AS s
+      FROM documents
+    ),
+    scored AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.3
+    """,
+)
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, threshold=0.3)

@@ -1,0 +1,106 @@
+"""Window-composition and advanced-aggregation queries: sessionization,
+cube, scalar-subquery-style filtering.
+
+Sessionization is the canonical event-stream window composition (lag →
+gap flag → cumulative session id) — the batch shape of what
+``applyInPandasWithState`` would do in a live stream; at 100 TB it is
+one shuffle on user_id shared by all three window steps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from data_ingestion_framework_spark.registry import bench_query, load
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, in microseconds
+
+
+@bench_query(
+    "events_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM sessioned GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > _GAP_US),
+        1,
+    ).otherwise(0)
+    sessioned = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@bench_query(
+    "orders_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_cube(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery-style filter: orders above their customer's average.
+# Comparison is cross-multiplied in DECIMAL (price·n > sum) so no
+# engine-specific decimal-division scale is involved.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_above_customer_avg",
+    oracle="""
+    WITH stats AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderkey, o.o_custkey
+    FROM orders o JOIN stats t ON o.o_custkey = t.o_custkey
+    WHERE CAST(o.o_totalprice AS DECIMAL(18,4)) * t.n > t.s
+    """,
+)
+def orders_above_customer_avg(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    stats = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        orders.join(stats, "o_custkey")
+        .where(F.col("o_totalprice").cast("decimal(18,4)") * F.col("n") > F.col("s"))
+        .select("o_orderkey", "o_custkey")
+    )

@@ -74,4 +74,5 @@ def load_all_queries() -> None:
         queries_etl,
         queries_llm,
         queries_scd,
+        queries_windows,
     )
