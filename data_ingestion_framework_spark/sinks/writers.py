@@ -23,8 +23,13 @@ def ordered_base_paths(df: DataFrame, depth: int = -1) -> list[str]:
     (writers/writer.py:158-174 ``get_base_file_path_list_from_table``).
     Computed entirely in Spark (the reference round-trips via pandas);
     the result is a directory list, so collecting it is control-plane
-    sized."""
-    base = F.substring_index(F.col("file_path"), "/", depth)
+    sized. ``depth=-1`` (default) strips the filename; a positive depth
+    keeps the first N path segments (the reference's substring_index
+    form, writers/writer.py:161)."""
+    if depth == -1:
+        base = F.regexp_replace(F.col("file_path"), r"/[^/]+$", "")
+    else:
+        base = F.substring_index(F.col("file_path"), "/", depth)
     ordered = (
         df.select(base.alias("base_path"), F.col("file_modification_time"))
         .groupBy("base_path")
@@ -60,6 +65,65 @@ def replay_merge_by_source_dir(
             scd_type=scd_type,
             full_extract=full_extract,
         )
+
+
+def ie_dual_target_merge(
+    current_table: ParquetTable,
+    history_table: ParquetTable,
+    source: DataFrame,
+    key_cols: list[str],
+    order_col: str = "file_modification_time",
+    delete_feed: DataFrame | None = None,
+    deleted_at=None,
+) -> None:
+    """Incremental-extract upsert into two targets
+    (writers/writer.py:284-420 ``_upsert_to_delta_batch_ie``):
+
+    - ``current``  (SCD1): latest row per key, hard-deleted from the
+      delete feed (``MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE``);
+    - ``history``  (SCD2): full version history, soft-deleted
+      (close-out + ``delete_time``) for keys in the delete feed.
+
+    The delete feed is the reference's ``delete_source_filepath``
+    (FIXTURES.md F2). Both merges share the same key partitioning; the
+    feed joins as a broadcast when small.
+    """
+    cur = current_table.read() if current_table.exists() else None
+    new_cur = scd.scd1_apply(cur, source, key_cols, order_col)
+    hist = history_table.read() if history_table.exists() else None
+    new_hist = scd.scd2_apply(hist, source, key_cols, order_col)
+
+    if delete_feed is not None:
+        del_keys = delete_feed.select(*key_cols).distinct()
+        new_cur = new_cur.join(del_keys, on=key_cols, how="left_anti")
+        ts = (
+            F.lit(deleted_at).cast("timestamp")
+            if deleted_at is not None
+            else F.current_timestamp()
+        )
+        live_deleted = (
+            (F.col("is_current") == 1) & F.col("delete_time").isNull()
+        )
+        new_hist = (
+            new_hist.join(del_keys.withColumn("__del", F.lit(1)), on=key_cols, how="left")
+            .withColumns(
+                {
+                    "delete_time": F.when(
+                        (F.col("__del") == 1) & live_deleted, ts
+                    ).otherwise(F.col("delete_time")),
+                    "end_time": F.when(
+                        (F.col("__del") == 1) & live_deleted, ts
+                    ).otherwise(F.col("end_time")),
+                    "is_current": F.when(
+                        (F.col("__del") == 1) & live_deleted, F.lit(0)
+                    ).otherwise(F.col("is_current")),
+                }
+            )
+            .drop("__del")
+        )
+
+    current_table.overwrite(new_cur)
+    history_table.overwrite(new_hist)
 
 
 def batch_write(
