@@ -183,20 +183,32 @@ def scd2_apply(
     if target is not None:
         live = target.where((F.col("is_current") == 1) & F.col("delete_time").isNull())
         closed = target.where(~((F.col("is_current") == 1) & F.col("delete_time").isNull()))
-        cur_hash = live.withColumn("__cur_hdiff", hash_diff(live, compare_cols)).select(
-            *key_cols, "__cur_hdiff"
+        cur_info = live.withColumn("__cur_hdiff", hash_diff(live, compare_cols)).select(
+            *key_cols,
+            F.col("start_time").alias("__cur_start"),
+            "__cur_hdiff",
         )
     else:
         live = None
         closed = None
-        cur_hash = None
+        cur_info = None
+
+    # (0) replay protection: only versions strictly newer than the key's
+    # current start_time apply. A replayed batch (same files, same
+    # mtimes) therefore no-ops — the idempotence the reference gets from
+    # MERGE matching on full-row equality (writers/writer.py:505-524).
+    if cur_info is not None:
+        src = src.join(cur_info, on=key_cols, how="left")
+        src = src.where(
+            F.col("__cur_start").isNull()
+            | (F.col(order_col).cast("timestamp") > F.col("__cur_start"))
+        )
 
     # (1) collapse consecutive unchanged versions within the batch, and
     # drop a leading version equal to the target's current image.
     w_asc = W.partitionBy(*key_cols).orderBy(F.col(order_col).asc(), *key_cols)
     src = src.withColumn("__prev_hdiff", F.lag("__hdiff").over(w_asc))
-    if cur_hash is not None:
-        src = src.join(cur_hash, on=key_cols, how="left")
+    if cur_info is not None:
         changed = (
             (F.col("__prev_hdiff").isNull() & (
                 F.col("__cur_hdiff").isNull() | (F.col("__hdiff") != F.col("__cur_hdiff"))
@@ -207,7 +219,9 @@ def scd2_apply(
         changed = F.col("__prev_hdiff").isNull() | (
             F.col("__hdiff") != F.col("__prev_hdiff")
         )
-    new_versions = src.where(changed).drop("__prev_hdiff", "__cur_hdiff", "__hdiff")
+    new_versions = src.where(changed).drop(
+        "__prev_hdiff", "__cur_hdiff", "__cur_start", "__hdiff"
+    )
 
     # (2) chained validity stamps for surviving versions.
     stamped = stamp_scd2_initial(new_versions, key_cols, order_col)

@@ -96,5 +96,24 @@ class ParquetTable:
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         self._writer(df, "overwrite").parquet(self.path)
 
+    def compact(self, target_files: int | None = None) -> None:
+        """Small-file compaction — the engine's ``OPTIMIZE`` parity
+        (writers/writer.py:276-281 runs ``OPTIMIZE`` every 101st
+        micro-batch; Delta OSS bin-packs the same way). Rewrites the
+        table into ``target_files`` files (default: current shuffle
+        parallelism) via coalesce — no shuffle, pure file merge."""
+        if not self.exists():
+            return
+        n = target_files or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        self.overwrite(self.read().coalesce(n))
+
+    def file_count(self) -> int:
+        count = 0
+        for _root, _dirs, files in os.walk(self.path):
+            count += sum(1 for f in files if f.endswith(".parquet"))
+        return count
+
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

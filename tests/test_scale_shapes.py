@@ -1,0 +1,99 @@
+"""Physical-plan shape tests — the scale contract, asserted:
+pushdown + pruning reach the scans, small dims broadcast, bucketed
+(co-partitioned) joins skip the exchange, compaction bounds file
+counts. These are the properties that keep the engine viable at 100 TB,
+pinned so a refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark, tmp_path):
+    spark.createDataFrame(
+        [Row(a=i, b=str(i), c=float(i)) for i in range(100)]
+    ).write.parquet(f"{tmp_path}/t")
+    df = (
+        spark.read.parquet(f"{tmp_path}/t")
+        .where(F.col("a") > 50)
+        .select("a", "b")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(a), GreaterThan(a,50)]" in plan
+    assert "ReadSchema: struct<a:bigint,b:string>" in plan  # c pruned
+
+
+def test_small_dim_broadcasts(spark, tmp_path):
+    spark.createDataFrame([Row(k=i, v=i) for i in range(1000)]).write.parquet(
+        f"{tmp_path}/fact"
+    )
+    spark.createDataFrame([Row(k=i, name=str(i)) for i in range(10)]).write.parquet(
+        f"{tmp_path}/dim"
+    )
+    fact = spark.read.parquet(f"{tmp_path}/fact")
+    dim = spark.read.parquet(f"{tmp_path}/dim")
+    plan = _plan(fact.join(dim, "k"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key co-locates partitions —
+    the SortMergeJoin runs without an Exchange (SURVEY §2.4: join
+    co-location via bucketing)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.createDataFrame([Row(k=i, v=i * 2) for i in range(1000)])
+        df.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("tb_left")
+        df.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("tb_right")
+        joined = spark.table("tb_left").join(spark.table("tb_right"), "k")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS tb_left")
+        spark.sql("DROP TABLE IF EXISTS tb_right")
+
+
+def test_window_and_join_share_partitioning(spark, tmp_path):
+    """dedupe_latest window followed by a key join must not re-shuffle:
+    the window's hash partitioning on the key is reused by SMJ."""
+    from data_ingestion_framework_spark.operators import scd
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.createDataFrame(
+            [Row(pk=i % 50, mtime=i, v=i) for i in range(500)]
+        )
+        right = spark.createDataFrame([Row(pk=i, name=str(i)) for i in range(50)])
+        latest = scd.dedupe_latest(left, ["pk"], "mtime")
+        plan = _plan(latest.join(right, "pk"))
+        # one exchange per input for the initial partitioning, but no
+        # *extra* exchange between the window and the join on the left
+        assert plan.count("Exchange hashpartitioning(pk") <= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_compaction_bounds_file_count(spark, tmp_path):
+    t = ParquetTable(spark, f"{tmp_path}/frag")
+    for i in range(12):
+        t.append(spark.createDataFrame([Row(a=i)]))
+    assert t.file_count() >= 12
+    t.compact(target_files=2)
+    assert t.file_count() <= 2
+    assert t.read().count() == 12
+
+
+def test_aqe_enabled_defaults(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
