@@ -1,0 +1,55 @@
+"""Skew mitigation: deterministic salted joins.
+
+AQE's skew-join handling (enabled in session.py) is the first line of
+defense; explicit salting remains useful when one hot key dominates a
+*broadcast-ineligible* join or an aggregation. The salt here is
+hash-derived (xxhash64 of the whole row), not random — results stay
+deterministic and replayable.
+
+Scale shape: the big side gains a salt in [0, S); the small side is
+replicated S× (explode over a literal range). The join key becomes
+(key, salt), splitting each hot key's rows across S reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, buckets: int, salt_col: str = "__salt") -> DataFrame:
+    """Deterministic salt in [0, buckets) derived from all columns."""
+    h = F.xxhash64(*[F.col(c) for c in df.columns])
+    return df.withColumn(salt_col, F.pmod(h, F.lit(buckets)).cast("int"))
+
+
+def replicate_for_salt(df: DataFrame, buckets: int, salt_col: str = "__salt") -> DataFrame:
+    """Small-side replication: one copy per salt value."""
+    return df.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with salted keys: big side salted, small side
+    replicated, join on keys + salt. Output drops the salt."""
+    b = with_salt(big, buckets)
+    s = replicate_for_salt(small, buckets)
+    return b.join(s, on=on + ["__salt"], how=how).drop("__salt")
+
+
+def salted_count_per_key(
+    df: DataFrame, key_cols: list[str], buckets: int = 8
+) -> DataFrame:
+    """Two-phase aggregation for hot grouping keys: partial count per
+    (key, salt), then final combine per key — the map-side-combine
+    pattern made explicit for pathologically hot keys."""
+    salted = with_salt(df, buckets)
+    partial = salted.groupBy(*key_cols, "__salt").agg(F.count(F.lit(1)).alias("__n"))
+    return partial.groupBy(*key_cols).agg(F.sum("__n").alias("n"))

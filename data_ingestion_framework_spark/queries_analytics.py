@@ -25,12 +25,17 @@ _DEC = "decimal(18,4)"
 @bench_query(
     "pricing_summary",
     oracle="""
+    -- final sums are cast to their TRUE scale (2dp money × 2dp rates →
+    -- ≤4/6 real decimals) before DOUBLE: lossless, and the scaled
+    -- integer stays < 2^53 so decimal→double is a single correctly-
+    -- rounded division in both engines (DuckDB otherwise double-rounds
+    -- via int128→double/10^s at scale 8).
     SELECT
       l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(20,4)) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(20,2)) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(20,4)) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS DECIMAL(22,6)) AS DOUBLE) AS sum_charge,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -47,10 +52,14 @@ def pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(qty).cast("decimal(20,4)").cast("double").alias("sum_qty"),
+            F.sum(price).cast("decimal(20,2)").cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc))
+            .cast("decimal(20,4)")
+            .cast("double")
+            .alias("sum_disc_price"),
             F.sum((price * (1 - disc) * (1 + tax)).cast("decimal(18,6)"))
+            .cast("decimal(22,6)")
             .cast("double")
             .alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
@@ -103,7 +112,7 @@ def shipping_priority(spark, sf_dir):
     "region_revenue",
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(20,4)) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -132,7 +141,7 @@ def region_revenue(spark, sf_dir):
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(F.sum(rev).cast("decimal(20,4)").cast("double").alias("revenue"))
     )
 
 

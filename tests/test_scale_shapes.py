@@ -97,3 +97,35 @@ def test_compaction_bounds_file_count(spark, tmp_path):
 def test_aqe_enabled_defaults(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_partition_pruning(spark, tmp_path):
+    """Partitioned table + partition filter → scan lists only matching
+    partitions (PartitionFilters in the scan node)."""
+    df = spark.createDataFrame(
+        [Row(day=f"2024-01-0{d}", v=i) for d in (1, 2, 3) for i in range(10)]
+    )
+    df.write.partitionBy("day").parquet(f"{tmp_path}/pt")
+    scan = spark.read.parquet(f"{tmp_path}/pt").where(F.col("day") == "2024-01-02")
+    plan = _plan(scan)
+    assert "PartitionFilters" in plan and "2024-01-02" in plan
+    assert scan.count() == 10
+
+
+def test_salted_join_correctness(spark):
+    from data_ingestion_framework_spark.operators.skew import (
+        salted_count_per_key,
+        salted_join,
+    )
+
+    # one hot key (90% of rows) + a long tail
+    big = spark.createDataFrame(
+        [Row(k=0 if i % 10 else i, v=i) for i in range(1000)]
+    )
+    small = spark.createDataFrame([Row(k=i, name=f"n{i}") for i in range(200)])
+    plain = big.join(small, "k").count()
+    salted = salted_join(big, small, ["k"], buckets=4).count()
+    assert salted == plain
+
+    counts = {r["k"]: r["n"] for r in salted_count_per_key(big, ["k"], 4).collect()}
+    assert counts[0] == 901  # 900 from i%10!=0 plus i=0 itself
