@@ -161,6 +161,27 @@ def _maybe_indirect(spark: SparkSession, v: Any):
     return None
 
 
+def mark_initial_completed(
+    spark: SparkSession, config_table_path: str, table_name: str
+) -> None:
+    """Config write-back: flip ``is_initial_completed`` after the first
+    load (framework/src/sap_cdc_generic_notebook_foreach.py:166's
+    ``UPDATE config SET ...``). Without a transactional table format the
+    rewrite goes through the staging-swap store."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    t = ParquetTable(spark, config_table_path)
+    updated = t.read().withColumn(
+        "is_initial_completed",
+        F.when(F.col("table_name") == table_name, F.lit("True")).otherwise(
+            F.col("is_initial_completed")
+        ),
+    )
+    t.overwrite(updated)
+
+
 def load_enabled_configs(
     spark: SparkSession, config_table_path: str, data_product_name: str | None = None
 ) -> list[PipelineConfig]:

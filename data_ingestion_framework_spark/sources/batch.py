@@ -153,6 +153,26 @@ def read_jdbc(
     return reader.load()
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    options: dict[str, str] | None = None,
+) -> None:
+    """JDBC append/overwrite (audit rows to an external DB —
+    audit/utils.py:7-29 ``sql_server_write`` and the ~12 inline JDBC
+    appends in reference/di_landing_to_raw_generic_v2.py:115-127).
+    Control-plane sized writes; for bulk exports prefer parquet + a
+    native bulk loader."""
+    writer = (
+        df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    )
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def config_scalar_lookup(
     spark: SparkSession,
     table: str,
