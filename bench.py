@@ -7,8 +7,9 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Timing excludes session startup; each query is executed to completion
-with a count() action (full pipeline, no driver-side result transfer
-beyond the count).
+into the ``noop`` sink — unlike ``count()``, noop evaluates every output
+column (count lets Catalyst prune the projections away, understating
+expression-heavy queries), while still avoiding driver-side transfer.
 """
 
 from __future__ import annotations
@@ -55,15 +56,18 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench")
 
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
     # warm the JVM/catalyst path once so per-query numbers measure the
     # queries, not first-run class loading
-    registry.QUERIES["filter_project"](spark, sf_dir).count()
+    run(registry.QUERIES["filter_project"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         t0 = time.time()
-        fn(spark, sf_dir).count()
+        run(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
     print(

@@ -58,10 +58,18 @@ def exact_dup_groups(
 
 # -- shingling ---------------------------------------------------------------
 
-def char_shingles(col: Column | str, n: int = 5) -> Column:
+def char_shingles(
+    col: Column | str, n: int = 5, pre_normalized: bool = False
+) -> Column:
     """Distinct character n-grams of the normalized text, as an array —
-    computed with sequence+transform (JVM, no UDF)."""
-    s = normalize_text(col)
+    computed with sequence+transform (JVM, no UDF).
+
+    IMPORTANT perf contract: when the input is an *expression* (not a
+    materialized column), Catalyst inlines it into the per-element
+    lambda — a regexp-based normalize would then run once per shingle.
+    Callers materialize the normalized text across an exchange first
+    (see ``_spread_normalized``) and pass ``pre_normalized=True``."""
+    s = (F.col(col) if isinstance(col, str) else col) if pre_normalized else normalize_text(col)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1))),
@@ -80,6 +88,17 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
             lambda i: F.array_join(F.slice(words, i + 1, n), " "),
         )
     )
+
+
+def _spread_normalized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __norm) spread across the cluster: normalization runs once
+    per row *before* the exchange; the exchange is also a CollapseProject
+    barrier, so downstream per-element lambdas (shingling, token hashes)
+    reference a materialized column instead of re-running the regexp per
+    element. The shuffled payload is (id, normalized text) only."""
+    return df.select(
+        F.col(id_col), normalize_text(text_col).alias("__norm")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
 
 
 # -- MinHash + LSH -----------------------------------------------------------
@@ -101,15 +120,10 @@ def minhash_signatures(
     shingling expression (CollapseProject would duplicate the shingle
     computation k times).
     """
-    # Spread documents across the cluster before the hash-heavy explode:
-    # a landing table often arrives as few large files, which would
-    # serialize the shingling. The shuffled payload is (id, text) only.
-    spread = df.select(F.col(id_col), F.col(text_col)).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    spread = _spread_normalized(df, id_col, text_col)
     exploded = spread.select(
         F.col(id_col),
-        F.explode(char_shingles(text_col, shingle_size)).alias("__sh"),
+        F.explode(char_shingles("__norm", shingle_size, pre_normalized=True)).alias("__sh"),
     )
     # Two real hashes per shingle; the k-member family is derived with
     # XOR-rotate mixing (the double-hashing MinHash construction, kept
@@ -209,10 +223,8 @@ def minhash_dedup_pairs(
     the full corpus never self-joins.
     """
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_size)
-    sh = (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-        .select(F.col(id_col), char_shingles(text_col, shingle_size).alias("__sh"))
+    sh = _spread_normalized(df, id_col, text_col).select(
+        F.col(id_col), char_shingles("__norm", shingle_size, pre_normalized=True).alias("__sh")
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
@@ -242,13 +254,14 @@ def ngram_jaccard_pairs(
     key. For unblocked exactness use minhash_dedup_pairs instead.
     """
     block = block_col if block_col is not None else (F.floor(F.length(text_col) / 20))
-    spread = df.select(F.col(id_col), F.col(text_col)).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    blocked = df.select(F.col(id_col), F.col(text_col), block.alias("__block"))
+    spread = blocked.select(
+        F.col(id_col), F.col("__block"), normalize_text(text_col).alias("__norm")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     sh = spread.select(
         F.col(id_col),
-        block.alias("__block"),
-        char_shingles(text_col, shingle_size).alias("__sh"),
+        F.col("__block"),
+        char_shingles("__norm", shingle_size, pre_normalized=True).alias("__sh"),
     )
     a = sh.select(
         F.col(id_col).alias("id_a"), F.col("__block"), F.col("__sh").alias("__sh_a")
@@ -268,14 +281,18 @@ def ngram_jaccard_pairs(
 
 # -- SimHash -----------------------------------------------------------------
 
-def simhash64(col: Column | str, n_bits: int = 64) -> Column:
+def simhash64(
+    col: Column | str, n_bits: int = 64, pre_normalized: bool = False
+) -> Column:
     """64-bit SimHash of the normalized token stream.
 
     Per token t: h = xxhash64(t); bit i contributes +1 if set else -1;
     signature bit i = 1 iff the sum is positive. Pure array expressions
-    (aggregate over tokens), no UDF, no shuffle.
+    (aggregate over tokens), no UDF, no shuffle. Same inlining caveat as
+    ``char_shingles`` — pass a materialized normalized column.
     """
-    words = F.split(normalize_text(col), " ")
+    base = (F.col(col) if isinstance(col, str) else col) if pre_normalized else normalize_text(col)
+    words = F.split(base, " ")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
     # Precomputed bit masks (bit 63 is the sign bit of a signed long).
     masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(n_bits)]
@@ -308,10 +325,10 @@ def simhash_near_dups(
     ``bands`` chunks (pigeonhole: hamming ≤ bands-1 ⇒ some band equal),
     equi-join on any equal band, verify hamming ≤ max_hamming via
     xor bit_count."""
-    spread = df.select(F.col(id_col), F.col(text_col)).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    spread = _spread_normalized(df, id_col, text_col)
+    sig = spread.select(
+        F.col(id_col), simhash64("__norm", pre_normalized=True).alias("__sim")
     )
-    sig = spread.select(F.col(id_col), simhash64(text_col).alias("__sim"))
     width = 64 // bands
     banded = sig.select(
         id_col,
