@@ -103,6 +103,41 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup variant of
+    similarity search): sign-LSH self-join on bucket signature, exact
+    cosine verification ≥ threshold. High-cosine pairs almost always
+    share all hyperplane signs, so the bucket equi-join keeps recall
+    high while cutting the O(n²) pair space by ~2^planes."""
+    planes = random_hyperplanes(dim, n_planes)
+    b = corpus.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("__bucket")
+    )
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__bucket")
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__bucket")
+    )
+    return (
+        left.join(right, ["__bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), round_to)
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

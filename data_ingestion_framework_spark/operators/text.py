@@ -35,6 +35,21 @@ def token_count(col: Column | str) -> Column:
     ).cast("bigint")
 
 
+#: GPT-2-style pre-tokenizer pattern, restricted to RE2-compatible
+#: syntax (no lookarounds) so it behaves identically in Spark (Java
+#: regex) and DuckDB (RE2): contractions, letter runs, digit runs,
+#: punctuation runs — each with an optional leading space.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Subword-ish token count via the BPE pre-tokenizer regex —
+    approximates LLM token counts far better than whitespace splitting
+    (the 'BPE-ish regex' counter of the north star)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0)).cast("bigint")
+
+
 def char_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c).cast("bigint")

@@ -239,3 +239,75 @@ def similarity_lsh_topk(spark, sf_dir):
     return similarity.lsh_cosine_topk(
         emb, queries, dim=dim, k=10, n_planes=6
     ).select("q_id", "vec_id", "cos_sim")
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish subword token counting (RE2-compatible pattern → identical in
+# Java regex and DuckDB).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "text_bpe_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))
+           AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.bpe_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (LSH-bucketed self-join + exact
+# verification) — xxhash-free, deterministic hyperplanes, but the plane
+# math is engine-specific; rows-only (semantics pinned in tests).
+# ---------------------------------------------------------------------------
+@bench_query("dedup_embedding_pairs")
+def dedup_embedding_pairs(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    # synthetic embeddings are near-orthogonal; 0.3 exercises the
+    # verify path with a non-empty result (real corpora use ~0.95)
+    return similarity.embedding_near_dups(emb, dim=dim, threshold=0.3, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles (Spark percentile == DuckDB
+# quantile_cont, both linear interpolation; rounded to 4).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "lineitem_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_percentiles(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate sketches (HLL distinct, approx quantile) — approximate by
+# construction, so rows-only; exposed because the reference lacks them
+# and Spark gives them free (SURVEY §2.5 'not present').
+# ---------------------------------------------------------------------------
+@bench_query("events_sketches")
+def events_sketches(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("approx_p50_value"),
+    )

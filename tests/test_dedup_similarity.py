@@ -85,3 +85,30 @@ def test_text_stats_family(spark):
     assert out[1]["lang_pred"] == "en"
     assert out[1]["fingerprint"] != out[2]["fingerprint"]
     assert 0.0 <= out[1]["quality"] <= 1.0
+
+
+def test_embedding_near_dups(spark):
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.99, 0.01, 0.0]),  # near-dup of 0
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+            Row(vec_id=3, embedding=[0.0, 0.98, 0.02]),  # near-dup of 2
+        ]
+    )
+    pairs = similarity.embedding_near_dups(vecs, dim=3, threshold=0.95, n_planes=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (2, 3) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="Hello world, it's 2024!"), Row(doc_id=2, text="")]
+    )
+    out = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", text.bpe_token_count("text").alias("n")
+    ).collect()}
+    # Hello| world|,| it|'s| 2024|! → 7 pieces
+    assert out[1] == 7
+    assert out[2] == 0
