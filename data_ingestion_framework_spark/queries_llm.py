@@ -311,3 +311,90 @@ def events_sketches(spark, sf_dir):
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("approx_p50_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID predictions, oracle-backed: the full heuristic (non-ascii
+# codepoint ratio → stopword density → fallback) reproduced in DuckDB
+# list/lambda SQL. Same stopword list, same thresholds.
+# ---------------------------------------------------------------------------
+_SW = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+
+@bench_query(
+    "text_lang_pred",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+             CAST(length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+               / GREATEST(length(text), 1) AS non_ascii
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, non_ascii,
+             CAST(len(list_filter(string_split(norm, ' '),
+                                  x -> list_contains([{_SW}], x))) AS DOUBLE)
+               / GREATEST(len(string_split(norm, ' ')), 1) AS sw_ratio
+      FROM f
+    )
+    SELECT doc_id,
+           CASE WHEN non_ascii > 0.3 THEN 'non_latin'
+                WHEN sw_ratio >= 0.08 THEN 'en'
+                ELSE 'latin_other' END AS lang_pred
+    FROM g
+    """,
+)
+def text_lang_pred(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id("text").alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# STREAMING query, oracle-backed: stage events to a landing dir, run an
+# availableNow file-stream with watermark + tumbling daily window, and
+# return the completed aggregation. Over bounded input the streaming
+# result equals the batch aggregation, so the batch SQL is a true
+# oracle for the streaming execution path.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "streaming_daily_counts",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_daily_counts(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from data_ingestion_framework_spark.streaming import read_file_stream
+
+    tmp = tempfile.mkdtemp(prefix="difs_stream_")
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(f"{tmp}/landing")
+    stream = read_file_stream(
+        spark, f"{tmp}/landing", "parquet", control_columns=False
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+    name = f"sdc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("day"), "event_type", "n_events", "total_value"
+    )

@@ -122,3 +122,68 @@ def test_watermarked_tumbling_window(spark, tmp_path):
         (r["w"]["start"].day, r["n"]) for r in spark.table("win_counts").collect()
     }
     assert got == {(1, 2), (2, 1)}
+
+
+def test_stateful_distinct_keys_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a key arriving in a later micro-batch is
+    emitted only on first sight (cross-batch state)."""
+    from data_ingestion_framework_spark.streaming.stateful import (
+        stateful_distinct_keys,
+    )
+
+    landing = _stage_files(
+        spark,
+        tmp_path / "land",
+        [
+            [Row(pk=1, val="a", mtime=T), Row(pk=2, val="b", mtime=T)],
+            [Row(pk=1, val="a2", mtime=T), Row(pk=3, val="c", mtime=T)],
+        ],
+    )
+    stream = read_file_stream(
+        spark, landing, "parquet", control_columns=False, max_files_per_trigger=1
+    )
+    out = stateful_distinct_keys(stream, ["pk"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("distinct_keys")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = [r["pk"] for r in spark.table("distinct_keys").collect()]
+    assert sorted(rows) == [1, 2, 3]  # pk=1 exactly once despite 2 arrivals
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    from data_ingestion_framework_spark.streaming.stateful import (
+        stateful_running_counts,
+    )
+
+    landing = _stage_files(
+        spark,
+        tmp_path / "land2",
+        [
+            [Row(pk=1, val="a", mtime=T)],
+            [Row(pk=1, val="b", mtime=T)],
+        ],
+    )
+    stream = read_file_stream(
+        spark, landing, "parquet", control_columns=False, max_files_per_trigger=1
+    ).withColumn("v", F.lit(2.5))
+    out = stateful_running_counts(stream, ["pk"], "v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        spark.table("running_counts").collect(), key=lambda r: r["n"]
+    )
+    # two micro-batches → running state (1, 2.5) then (2, 5.0)
+    assert (rows[-1]["n"], rows[-1]["total"]) == (2, 5.0)
