@@ -344,3 +344,32 @@ def multimodal_decode_dims(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     packed = pack_media(docs, "text", media_type="image")
     return decode_images(packed).select("doc_id", "width", "height", "channels")
+
+
+# ---------------------------------------------------------------------------
+# Curated-layer attribute array: to_json(collect_list(struct(...)))
+# (material_external_dim.py:304-539's 150-field pattern, miniaturized).
+# Elements are sorted inside the aggregation so the JSON text is
+# deterministic; both engines emit compact JSON.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "part_attr_json",
+    oracle="""
+    SELECT p_brand,
+           CAST(to_json(list(struct_pack(t := p_type, s := p_size)
+                             ORDER BY p_type, p_partkey)) AS VARCHAR) AS attrs
+    FROM part GROUP BY p_brand
+    """,
+)
+def part_attr_json(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.to_json(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("p_type", "p_partkey", "p_size"))
+                ),
+                lambda x: F.struct(x.p_type.alias("t"), x.p_size.alias("s")),
+            )
+        ).alias("attrs")
+    )
