@@ -373,3 +373,72 @@ def part_attr_json(spark, sf_dir):
             )
         ).alias("attrs")
     )
+
+
+# ---------------------------------------------------------------------------
+# IE dual-target merge, oracle-backed end-to-end: two incremental merges
+# + a delete feed through real ParquetTable commits (staging-swap), then
+# the HISTORY table state is checked against the closed-form oracle.
+# Covers writers/writer.py:284-420 (_upsert_to_delta_batch_ie).
+# ---------------------------------------------------------------------------
+T2 = "2024-01-03 00:00:00"
+
+
+@bench_query(
+    "ie_history_state",
+    oracle=f"""
+    WITH v0 AS (SELECT o_orderkey AS pk, o_totalprice AS price FROM orders),
+    v1 AS (SELECT o_orderkey AS pk, o_totalprice + 500.0 AS price
+           FROM orders WHERE o_orderkey % 3 = 0)
+    -- updated keys: closed-out v0 row
+    SELECT pk, price, TIMESTAMP '{T0}' AS start_time, TIMESTAMP '{T1}' AS end_time,
+           0 AS is_current, CAST(NULL AS TIMESTAMP) AS delete_time
+    FROM v0 WHERE pk % 3 = 0
+    UNION ALL
+    -- updated keys, not deleted: new current version
+    SELECT pk, price, TIMESTAMP '{T1}', CAST(NULL AS TIMESTAMP), 1, CAST(NULL AS TIMESTAMP)
+    FROM v1 WHERE pk % 5 <> 0
+    UNION ALL
+    -- updated keys later deleted: new version soft-closed at T2
+    SELECT pk, price, TIMESTAMP '{T1}', TIMESTAMP '{T2}', 0, TIMESTAMP '{T2}'
+    FROM v1 WHERE pk % 5 = 0
+    UNION ALL
+    -- untouched keys, not deleted: still current from T0
+    SELECT pk, price, TIMESTAMP '{T0}', CAST(NULL AS TIMESTAMP), 1, CAST(NULL AS TIMESTAMP)
+    FROM v0 WHERE pk % 3 <> 0 AND pk % 5 <> 0
+    UNION ALL
+    -- untouched keys deleted by the feed: soft-deleted v0 row
+    SELECT pk, price, TIMESTAMP '{T0}', TIMESTAMP '{T2}', 0, TIMESTAMP '{T2}'
+    FROM v0 WHERE pk % 3 <> 0 AND pk % 5 = 0
+    """,
+)
+def ie_history_state(spark, sf_dir):
+    import tempfile
+
+    from data_ingestion_framework_spark.sinks.writers import ie_dual_target_merge
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    tmp = tempfile.mkdtemp(prefix="difs_ie_")
+    cur = ParquetTable(spark, f"{tmp}/current")
+    hist = ParquetTable(spark, f"{tmp}/history")
+    orders = load(spark, sf_dir, "orders")
+    v0 = orders.select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(T0).cast("timestamp").alias("mtime"),
+    )
+    ie_dual_target_merge(cur, hist, v0, ["pk"], "mtime")
+    v1 = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("pk"),
+        (F.col("o_totalprice") + 500.0).alias("price"),
+        F.lit(T1).cast("timestamp").alias("mtime"),
+    )
+    deletes = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("pk")
+    )
+    ie_dual_target_merge(
+        cur, hist, v1, ["pk"], "mtime", delete_feed=deletes, deleted_at=T2
+    )
+    return hist.read().select(
+        "pk", "price", "start_time", "end_time", "is_current", "delete_time"
+    )
