@@ -398,3 +398,46 @@ def streaming_daily_counts(spark, sf_dir):
     return spark.table(name).select(
         F.col("w.start").alias("day"), "event_type", "n_events", "total_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Full composite quality score, oracle-backed: every component (length
+# sweet-spot, stopword density, digit/punct noise) reproduced in DuckDB.
+# Integer-ratio math is exact; fixed-constant arithmetic is identical
+# IEEE double math; rounded to 6.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "text_quality_score",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             length(text) AS n,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n,
+             CAST(len(list_filter(string_split(norm, ' '),
+                                  x -> list_contains([{_SW}], x))) AS DOUBLE)
+               / GREATEST(len(string_split(norm, ' ')), 1) AS sw_ratio,
+             CAST(n - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               / GREATEST(n, 1) AS digit_ratio,
+             CAST(n - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+               / GREATEST(n, 1) AS punct_ratio
+      FROM f
+    )
+    SELECT doc_id,
+           ROUND(
+             (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                   WHEN n > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+             + LEAST(sw_ratio * 5, 1.0) * 0.3
+             + GREATEST(0.0, 1.0 - digit_ratio * 2 - punct_ratio * 2) * 0.3,
+           6) AS quality
+    FROM g
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(text.quality_score("text"), 6).alias("quality")
+    )

@@ -104,3 +104,55 @@ def orders_above_customer_avg(spark, sf_dir):
         .where(F.col("o_totalprice").cast("decimal(18,4)") * F.col("n") > F.col("s"))
         .select("o_orderkey", "o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Map explode from JSON (SURVEY §2.9 map family: the reference explodes
+# Delta operationMetrics maps; here the events props JSON → map →
+# explode into key/value rows).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_map_explode",
+    oracle="""
+    SELECT event_id,
+           UNNEST(json_keys(props)) AS key,
+           CAST(props->>('$.' || UNNEST(json_keys(props))) AS BIGINT) AS value
+    FROM events
+    """,
+)
+def events_map_explode(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Min-per-group join-back (the TPC-H Q2 shape without partsupp):
+# parts priced at their brand's minimum.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "cheapest_part_per_brand",
+    oracle="""
+    SELECT p.p_brand, p.p_partkey, p.p_retailprice
+    FROM part p
+    JOIN (SELECT p_brand, MIN(p_retailprice) AS min_price
+          FROM part GROUP BY p_brand) m
+      ON p.p_brand = m.p_brand AND p.p_retailprice = m.min_price
+    """,
+)
+def cheapest_part_per_brand(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    mins = (
+        part.groupBy("p_brand")
+        .agg(F.min("p_retailprice").alias("min_price"))
+        .withColumnRenamed("p_brand", "mb")
+    )
+    return (
+        part.join(
+            F.broadcast(mins),
+            (part.p_brand == mins.mb) & (part.p_retailprice == mins.min_price),
+        )
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
