@@ -441,3 +441,70 @@ def text_quality_score(spark, sf_dir):
     return docs.select(
         "doc_id", F.round(text.quality_score("text"), 6).alias("quality")
     )
+
+
+# ---------------------------------------------------------------------------
+# Word-shingle (3-gram) Jaccard pairs — the word-level variant, oracle
+# via DuckDB list comprehension over the token array.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "dedup_word_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             CAST(floor(length(text) / 40) AS BIGINT) AS block,
+             list_distinct([
+               array_to_string(w[i:i+2], ' ')
+               for i in generate_series(1, greatest(len(w) - 2, 1))
+             ]) AS s
+      FROM (
+        SELECT doc_id, text,
+               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+        FROM documents
+      )
+    ),
+    scored AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2
+    """,
+)
+def dedup_word_ngram_jaccard(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    spread = docs.select(
+        "doc_id",
+        F.floor(F.length("text") / 40).alias("__block"),
+        F.split(text.normalize_text("text"), " ").alias("__w"),
+    ).repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    sh = spread.select(
+        "doc_id",
+        "__block",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("__w") - 2, F.lit(1))
+                ),
+                lambda i: F.array_join(F.slice("__w", i, 3), " "),
+            )
+        ).alias("__s"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), "__block", F.col("__s").alias("__sa")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("__block").alias("__b2"),
+        F.col("__s").alias("__sb"),
+    )
+    return (
+        a.join(b, (F.col("__block") == F.col("__b2")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn(
+            "jaccard",
+            F.round(dedup.jaccard_similarity(F.col("__sa"), F.col("__sb")), 4),
+        )
+        .where(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", "jaccard")
+    )
