@@ -405,3 +405,25 @@ def part_brand_attributes(spark, sf_dir):
             ",",
         ).alias("types_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark SQL API surface: the same engine consumed as SQL over registered
+# views (the sql_transform path, transformations/sql_transformation.py) —
+# one query text serves both engines.
+# ---------------------------------------------------------------------------
+_SQL_API_TEXT = """
+    SELECT n_name,
+           COUNT(*) AS n_customers,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(20,2)) AS DOUBLE) AS total_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 0
+    GROUP BY n_name
+"""
+
+
+@bench_query("sql_api_balance_by_nation", oracle=_SQL_API_TEXT)
+def sql_api_balance_by_nation(spark, sf_dir):
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_SQL_API_TEXT)
