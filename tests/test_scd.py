@@ -133,3 +133,21 @@ def test_current_view(spark):
     state = scd.scd2_apply(state, _batch(spark, [(1, "a2", T1)]), ["pk"], "mtime")
     cur = scd.current_view(state)
     assert {r["val"] for r in cur.collect()} == {"a2", "b"}
+
+
+def test_empty_batch_is_noop(spark):
+    """A run that picks up zero new rows (empty cursor slice) must not
+    change either SCD state."""
+    b0 = _batch(spark, [(1, "a", T0), (2, "b", T1)])
+    s2 = scd.scd2_apply(None, b0, ["pk"], "mtime")
+    empty = b0.limit(0)
+    cols = ["pk", "val", "start_time", "end_time", "is_current"]
+    after2 = scd.scd2_apply(s2, empty, ["pk"], "mtime")
+    assert sorted(map(tuple, after2.select(*cols).collect())) == sorted(
+        map(tuple, s2.select(*cols).collect())
+    )
+    s1 = scd.scd1_apply(None, b0, ["pk"], "mtime")
+    after1 = scd.scd1_apply(s1, empty, ["pk"], "mtime")
+    assert sorted(map(tuple, after1.select("pk", "val").collect())) == sorted(
+        map(tuple, s1.select("pk", "val").collect())
+    )
