@@ -114,7 +114,7 @@ def text_quality_ratios(spark, sf_dir):
     oracle="""
     SELECT source, lang,
            COUNT(*) AS n_docs,
-           SUM(length(text)) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_doc_id
     FROM documents
     GROUP BY source, lang

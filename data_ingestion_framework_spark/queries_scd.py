@@ -238,24 +238,25 @@ _DQ_RULES = [
     "dq_violation_counts",
     oracle="""
     SELECT 'null_c_name' AS rule_id,
-           SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS n_violations FROM customer
+           CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM customer
     UNION ALL
     SELECT 'range_c_acctbal',
-           SUM(CASE WHEN c_acctbal IS NOT NULL
+           CAST(SUM(CASE WHEN c_acctbal IS NOT NULL
                      AND NOT (c_acctbal >= -999.0 AND c_acctbal <= 9999.0)
-                    THEN 1 ELSE 0 END) FROM customer
+                    THEN 1 ELSE 0 END) AS BIGINT) FROM customer
     UNION ALL
     SELECT 'valid_mktsegment',
-           SUM(CASE WHEN c_mktsegment IS NOT NULL
+           CAST(SUM(CASE WHEN c_mktsegment IS NOT NULL
                      AND c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY')
-                    THEN 1 ELSE 0 END) FROM customer
+                    THEN 1 ELSE 0 END) AS BIGINT) FROM customer
     UNION ALL
     SELECT 'unique_custkey',
-           SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
     FROM (SELECT COUNT(*) OVER (PARTITION BY c_custkey) AS cnt FROM customer) t
     UNION ALL
     SELECT 'orphan_nationkey',
-           SUM(CASE WHEN c_nationkey IS NOT NULL AND n_nationkey IS NULL THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN c_nationkey IS NOT NULL AND n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM customer LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
       ON c_nationkey = n_nationkey
     """,

@@ -87,11 +87,19 @@ def main() -> int:
             res = con.execute(oracle)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            # The driver fetches through a pandas-style path where DuckDB
+            # HUGEINT (uncast integer SUM) float-izes and hash-mismatches
+            # Spark's bigint even though fetchall() returns exact ints.
+            # Mirror that trap locally: any HUGEINT output column is a FAIL.
+            dtypes = con.execute(f"DESCRIBE ({oracle})").fetchall()
+            huge = [r[0] for r in dtypes if "HUGEINT" in str(r[1]).upper()]
         except Exception as e:
             print(f"FAIL  {name:32s} duckdb error: {e}")
             failures += 1
             continue
         problems = []
+        if huge:
+            problems.append(f"HUGEINT oracle cols (driver float-izes): {huge}")
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):
