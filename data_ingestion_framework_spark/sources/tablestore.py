@@ -1,32 +1,71 @@
-"""Path-backed table store with transactional-enough commits for the
-merge engine.
+"""Path-backed table store with transactional-enough commits, a
+per-commit metadata log, and commit-id time travel.
 
 The reference targets Delta tables and drives every upsert through
-``MERGE INTO`` (writers/writer.py:177-692). On a lakehouse deployment
-our SCD/merge operators (operators/scd.py) would commit the same plans
-through Delta/Iceberg ``MERGE``; in this environment (no delta-spark on
-the classpath) the store commits a *full new table state* computed as a
-DataFrame, using a write-to-staging + atomic-directory-swap protocol so
-a failed job never leaves a half-written table.
+``MERGE INTO`` (writers/writer.py:177-692), reads commit metadata via
+``DESCRIBE HISTORY`` operationMetrics
+(di_landing_to_raw_generic_v2.py:813-891) and reconstructs past states
+via ``TIMESTAMP AS OF`` (di_landing_to_raw_generic_v2.py:774-794). On a
+lakehouse deployment our SCD/merge operators (operators/scd.py) would
+commit the same plans through Delta/Iceberg ``MERGE``; in this
+environment (no delta-spark on the classpath) the store provides the
+same contract natively:
 
-Scale note: rewrite-on-merge is O(table) per commit, which is exactly
-what Delta MERGE does to touched files anyway; the operators are written
-so the *computation* (join/dedup/close-out) is identical under either
-commit strategy, and `partition_by` limits rewrites to touched
-partitions when callers overwrite partition-wise.
+- **Atomic-ish commits**: new state is written to a staging directory
+  and swapped in with directory renames; on a failed swap the previous
+  state is restored, so a failed job never leaves a half-written table.
+- **Commit log** (``DESCRIBE HISTORY`` parity): every commit appends a
+  JSON record under ``{path}/_commits/`` — seq, timestamp, operation,
+  caller metrics (e.g. merge_stats rows in/out), rows written, and the
+  list of data files constituting the table after the commit. Spark
+  ignores underscore-prefixed directories, so the log is invisible to
+  ``spark.read.parquet(path)``.
+- **Time travel** (``VERSION AS OF`` parity): ``overwrite`` retains the
+  replaced state under ``{path}/_history/pre{seq}/`` (the Delta model:
+  old files are removed from the snapshot, not deleted) and
+  ``overwrite_partitions`` retains only the replaced partition
+  directories; ``as_of(seq)`` re-reads the exact file snapshot of any
+  logged commit until ``vacuum()``.
+
+Scale note: the *data* written per commit is proportional to the commit
+(append = batch, overwrite_partitions = touched partitions only); the
+commit-log bookkeeping is control-plane sized (file listings + parquet
+footers of files written this commit).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+LOG_DIR = "_commits"
+HIST_DIR = "_history"
+_AUX = (LOG_DIR, HIST_DIR)
+
+
+def _is_hidden(rel: str) -> bool:
+    return any(seg.startswith(("_", ".")) for seg in rel.split(os.sep))
+
+
+def _fmt_partition_value(v) -> str:
+    """Format one partition value the way Spark names partition
+    directories (``col=value``). Covers the scalar types this engine
+    partitions by (ints for key-hash buckets, dates, plain strings)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
 
 class ParquetTable:
-    """A parquet-directory table with create/append/overwrite/read.
+    """A parquet-directory table with create/append/overwrite/read, a
+    commit log and commit-id time travel.
 
     Mirrors the reference's create-if-absent + write dispatch
     (writers/batch_writers.py:8-56, writers/writer.py:122-155) without a
@@ -42,13 +81,133 @@ class ParquetTable:
     def exists(self) -> bool:
         if not os.path.isdir(self.path):
             return False
-        for root, _dirs, files in os.walk(self.path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+        return bool(self._data_files())
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
+
+    # -- commit log ----------------------------------------------------------
+    def _log_dir(self) -> str:
+        return os.path.join(self.path, LOG_DIR)
+
+    def _hist_dir(self) -> str:
+        return os.path.join(self.path, HIST_DIR)
+
+    def history(self) -> list[dict]:
+        """All commit records, oldest first — ``DESCRIBE HISTORY``
+        parity (di_landing_to_raw_generic_v2.py:813-891). Each record:
+        ``{seq, ts, op, rows_written, metrics, files}``."""
+        d = self._log_dir()
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".json"):
+                with open(os.path.join(d, name)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda r: r["seq"])
+
+    def _next_seq(self) -> int:
+        h = self.history()
+        return (h[-1]["seq"] + 1) if h else 1
+
+    def _data_files(self, root: str | None = None) -> list[str]:
+        """Relative paths of live data files (skips ``_commits``,
+        ``_history``, ``_SUCCESS`` and other hidden entries, like
+        Spark's own path filter does)."""
+        root = root or self.path
+        out = []
+        for dirpath, dirnames, files in os.walk(root):
+            rel_dir = os.path.relpath(dirpath, root)
+            if rel_dir != "." and _is_hidden(rel_dir):
+                dirnames[:] = []
+                continue
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    rel = os.path.normpath(os.path.join(rel_dir, f))
+                    out.append(rel)
+        return sorted(out)
+
+    @staticmethod
+    def _footer_rows(paths: list[str]) -> int:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+    def _record_commit(
+        self, op: str, metrics: dict | None, new_files: list[str] | None = None
+    ) -> dict:
+        """Append one commit record. ``rows_written`` comes from parquet
+        footers of the files written this commit (control-plane: footer
+        reads only, proportional to commit size)."""
+        seq = self._next_seq()
+        files = self._data_files()
+        counted = files if new_files is None else new_files
+        rec = {
+            "seq": seq,
+            "ts": time.time(),
+            "op": op,
+            "rows_written": self._footer_rows(
+                [os.path.join(self.path, f) for f in counted]
+            ),
+            "metrics": metrics or {},
+            "files": files,
+        }
+        os.makedirs(self._log_dir(), exist_ok=True)
+        tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.rename(tmp, os.path.join(self._log_dir(), f"{seq:08d}.json"))
+        return rec
+
+    # -- time travel ---------------------------------------------------------
+    def as_of(self, seq: int) -> DataFrame:
+        """Read the table exactly as it was after commit ``seq`` —
+        ``VERSION AS OF`` parity (di_landing_to_raw_generic_v2.py:774-794).
+        Files replaced since then are resolved from ``_history/pre*``
+        retained snapshots; raises if ``vacuum()`` already removed them."""
+        recs = [r for r in self.history() if r["seq"] == seq]
+        if not recs:
+            raise ValueError(f"no commit {seq} in log for {self.path}")
+        roots = [self.path]
+        hist = self._hist_dir()
+        if os.path.isdir(hist):
+            roots += [
+                os.path.join(hist, d) for d in sorted(os.listdir(hist))
+            ]
+        by_root: dict[str, list[str]] = {}
+        for rel in recs[0]["files"]:
+            for root in roots:
+                cand = os.path.join(root, rel)
+                if os.path.isfile(cand):
+                    by_root.setdefault(root, []).append(cand)
+                    break
+            else:
+                raise ValueError(
+                    f"file {rel} of commit {seq} no longer retained "
+                    f"(vacuumed?) in {self.path}"
+                )
+        frames = []
+        for root, paths in by_root.items():
+            r = self.spark.read
+            if self.partition_by:
+                r = r.option("basePath", root)
+            frames.append(r.parquet(*paths))
+        df = frames[0]
+        for other in frames[1:]:
+            df = df.unionByName(other)
+        return df
+
+    def vacuum(self) -> int:
+        """Drop retained historical file snapshots (Delta ``VACUUM``).
+        Commit metadata stays; ``as_of`` for rewritten commits will
+        raise afterwards. Returns the number of snapshot dirs removed."""
+        hist = self._hist_dir()
+        if not os.path.isdir(hist):
+            return 0
+        n = len(os.listdir(hist))
+        shutil.rmtree(hist, ignore_errors=True)
+        return n
 
     # -- writes --------------------------------------------------------------
     def _writer(self, df: DataFrame, mode: str):
@@ -57,44 +216,120 @@ class ParquetTable:
             w = w.partitionBy(*self.partition_by)
         return w
 
-    def create_empty(self, schema) -> None:
+    def create_empty(self, schema, metrics: dict | None = None) -> None:
         """writers/writer.py:142-155 ``_create_table_by_scd_type``."""
         if not self.exists():
             df = self.spark.createDataFrame([], schema)
             self._writer(df, "overwrite").parquet(self.path)
+            self._record_commit("create", metrics, new_files=[])
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, metrics: dict | None = None) -> None:
         """writers/batch_writers.py:29-41 ``append_write`` /
         writers/writer.py:941-949 ``simple_append_write_to_delta``."""
+        before = set(self._data_files()) if os.path.isdir(self.path) else set()
         self._writer(df, "append").parquet(self.path)
+        new = [f for f in self._data_files() if f not in before]
+        self._record_commit("append", metrics, new_files=new)
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, metrics: dict | None = None, op: str = "overwrite") -> None:
         """Safe even when ``df`` was derived from ``self.read()``: the
         new state is materialized into a staging directory first, then
-        swapped in with directory renames (the local stand-in for a
-        Delta transaction commit)."""
+        swapped in with directory renames. On a failed swap the previous
+        state is renamed back, so the table is never lost; on success
+        the previous state is retained under ``_history/pre{seq}`` for
+        time travel (removed by ``vacuum()``)."""
         staging = f"{self.path}.__staging__{uuid.uuid4().hex[:8]}"
         backup = f"{self.path}.__old__{uuid.uuid4().hex[:8]}"
         w = df.write.mode("overwrite")
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
-        w.parquet(staging)
         try:
-            if os.path.isdir(self.path):
+            w.parquet(staging)
+            seq = self._next_seq()
+            had_prior = os.path.isdir(self.path)
+            if had_prior:
                 os.rename(self.path, backup)
-            os.rename(staging, self.path)
+            try:
+                os.rename(staging, self.path)
+            except BaseException:
+                if had_prior:
+                    os.rename(backup, self.path)  # restore — never lose the table
+                raise
+            if had_prior:
+                # carry the commit log and retained history into the new
+                # state, then retain the replaced data files for as_of.
+                for aux in _AUX:
+                    src = os.path.join(backup, aux)
+                    if os.path.isdir(src):
+                        os.rename(src, os.path.join(self.path, aux))
+                os.makedirs(self._hist_dir(), exist_ok=True)
+                os.rename(backup, os.path.join(self._hist_dir(), f"pre{seq:08d}"))
         finally:
-            shutil.rmtree(backup, ignore_errors=True)
             shutil.rmtree(staging, ignore_errors=True)
+        self._record_commit(op, metrics)
 
-    def overwrite_partitions(self, df: DataFrame) -> None:
-        """Dynamic-partition overwrite: replaces only the partitions
-        present in ``df`` (the scale path for partition-scoped SCD1
-        ``INSERT OVERWRITE``, writers/writer.py:209-216)."""
+    def touched_partitions(self, df: DataFrame) -> list[str]:
+        """Relative partition directories the batch ``df`` writes into —
+        a ``distinct`` over the partition expressions, control-plane
+        sized by construction (the partition count, not the row count)."""
+        if not self.partition_by:
+            raise ValueError("touched_partitions requires partition_by")
+        rows = df.select(*self.partition_by).distinct().collect()
+        out = []
+        for r in rows:
+            out.append(
+                os.path.join(
+                    *[
+                        f"{c}={_fmt_partition_value(r[c])}"
+                        for c in self.partition_by
+                    ]
+                )
+            )
+        return sorted(out)
+
+    def overwrite_partitions(self, df: DataFrame, metrics: dict | None = None) -> None:
+        """Partition-scoped commit: replaces only the partitions present
+        in ``df``, leaving all other partitions' files in place — the
+        scale path for incremental merges (Delta MERGE rewrites touched
+        files only, writers/writer.py:177-281; this rewrites touched
+        *partitions* only). Replaced partition dirs are retained under
+        ``_history/pre{seq}`` so ``as_of`` still works, and the session's
+        ``partitionOverwriteMode`` is restored afterwards."""
         if not self.partition_by:
             raise ValueError("overwrite_partitions requires partition_by")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        self._writer(df, "overwrite").parquet(self.path)
+        touched = self.touched_partitions(df)
+        seq = self._next_seq()
+        retained = os.path.join(self._hist_dir(), f"pre{seq:08d}")
+        for rel in touched:
+            src = os.path.join(self.path, rel)
+            if os.path.isdir(src):
+                dst = os.path.join(retained, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(src, dst)
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prior = self.spark.conf.get(conf_key, None)
+        self.spark.conf.set(conf_key, "dynamic")
+        try:
+            self._writer(df, "overwrite").parquet(self.path)
+        except BaseException:
+            # put the retained partitions back — never lose data
+            for rel in touched:
+                dst = os.path.join(retained, rel)
+                if os.path.isdir(dst):
+                    target = os.path.join(self.path, rel)
+                    shutil.rmtree(target, ignore_errors=True)
+                    os.makedirs(os.path.dirname(target), exist_ok=True)
+                    os.rename(dst, target)
+            raise
+        finally:
+            if prior is None:
+                self.spark.conf.unset(conf_key)
+            else:
+                self.spark.conf.set(conf_key, prior)
+        self._record_commit(
+            "overwrite_partitions",
+            dict(metrics or {}, touched_partitions=touched),
+        )
 
     def compact(self, target_files: int | None = None) -> None:
         """Small-file compaction — the engine's ``OPTIMIZE`` parity
@@ -107,13 +342,10 @@ class ParquetTable:
         n = target_files or int(
             self.spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        self.overwrite(self.read().coalesce(n))
+        self.overwrite(self.read().coalesce(n), op="compact")
 
     def file_count(self) -> int:
-        count = 0
-        for _root, _dirs, files in os.walk(self.path):
-            count += sum(1 for f in files if f.endswith(".parquet"))
-        return count
+        return len(self._data_files())
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

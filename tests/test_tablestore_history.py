@@ -1,0 +1,121 @@
+"""Commit-log, time-travel, and commit-safety tests for ParquetTable —
+the engine's DESCRIBE HISTORY / VERSION AS OF / touched-files-only
+parity surface (reference di_landing_to_raw_generic_v2.py:774-891,
+writers/writer.py:177-281)."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+
+@pytest.fixture
+def tpath(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_commit_log_and_rows_written(spark, tpath):
+    t = ParquetTable(spark, tpath)
+    t.overwrite(spark.createDataFrame([Row(a=1), Row(a=2)]))
+    t.append(spark.createDataFrame([Row(a=3)]), metrics={"source": "batch2"})
+    t.overwrite(t.read().where(F.col("a") >= 2))
+    h = t.history()
+    assert [r["op"] for r in h] == ["overwrite", "append", "overwrite"]
+    assert [r["seq"] for r in h] == [1, 2, 3]
+    assert h[0]["rows_written"] == 2
+    assert h[1]["rows_written"] == 1  # append counts only the new files
+    assert h[1]["metrics"] == {"source": "batch2"}
+    assert h[2]["rows_written"] == 2
+
+
+def test_as_of_reconstructs_each_commit(spark, tpath):
+    t = ParquetTable(spark, tpath)
+    t.overwrite(spark.createDataFrame([Row(a=1), Row(a=2)]))
+    t.append(spark.createDataFrame([Row(a=3)]))
+    t.overwrite(t.read().where(F.col("a") >= 2))
+    assert sorted(r["a"] for r in t.as_of(1).collect()) == [1, 2]
+    assert sorted(r["a"] for r in t.as_of(2).collect()) == [1, 2, 3]
+    assert sorted(r["a"] for r in t.as_of(3).collect()) == [2, 3]
+    assert sorted(r["a"] for r in t.read().collect()) == [2, 3]
+
+
+def test_vacuum_drops_history_keeps_current(spark, tpath):
+    t = ParquetTable(spark, tpath)
+    t.overwrite(spark.createDataFrame([Row(a=1)]))
+    t.overwrite(spark.createDataFrame([Row(a=2)]))
+    assert t.vacuum() == 1
+    assert len(t.history()) == 2  # metadata survives vacuum
+    with pytest.raises(ValueError, match="no longer retained"):
+        t.as_of(1)
+    assert [r["a"] for r in t.as_of(2).collect()] == [2]
+
+
+def test_failed_swap_restores_table(spark, tpath, monkeypatch):
+    t = ParquetTable(spark, tpath)
+    t.overwrite(spark.createDataFrame([Row(a=1), Row(a=2)]))
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if "__staging__" in src and dst == tpath:
+            raise OSError("simulated swap failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(OSError, match="simulated swap failure"):
+        t.overwrite(spark.createDataFrame([Row(a=99)]))
+    monkeypatch.undo()
+    # the original table is fully restored — no data loss, no staging left
+    assert sorted(r["a"] for r in t.read().collect()) == [1, 2]
+    parent = os.path.dirname(tpath)
+    assert not [d for d in os.listdir(parent) if "__staging__" in d or "__old__" in d]
+
+
+def test_overwrite_partitions_rewrites_only_touched(spark, tpath):
+    t = ParquetTable(spark, tpath, partition_by=["b"])
+    t.overwrite(
+        spark.createDataFrame(
+            [Row(a=1, b=0), Row(a=2, b=1), Row(a=3, b=2)]
+        ).repartition(3)
+    )
+    untouched = {
+        f for f in t._data_files() if f.startswith(("b=1", "b=2"))
+    }
+    batch = spark.createDataFrame([Row(a=10, b=0)])
+    assert t.touched_partitions(batch) == ["b=0"]
+    t.overwrite_partitions(batch)
+    after = set(t._data_files())
+    # untouched partitions keep their exact files; b=0 was replaced
+    assert untouched <= after
+    assert not [f for f in after if f.startswith("b=0") and f in t.history()[0]["files"]]
+    assert sorted((r["a"], r["b"]) for r in t.read().collect()) == [
+        (2, 1), (3, 2), (10, 0),
+    ]
+    # history retained the replaced partition: as_of(1) still sees a=1
+    assert sorted(r["a"] for r in t.as_of(1).collect()) == [1, 2, 3]
+    assert t.history()[-1]["metrics"]["touched_partitions"] == ["b=0"]
+
+
+def test_overwrite_partitions_restores_conf(spark, tpath):
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    t = ParquetTable(spark, tpath, partition_by=["b"])
+    t.overwrite(spark.createDataFrame([Row(a=1, b=0)]))
+    t.overwrite_partitions(spark.createDataFrame([Row(a=2, b=0)]))
+    assert spark.conf.get(key) == "static"
+    spark.conf.unset(key)
+
+
+def test_compact_is_a_logged_commit(spark, tpath):
+    t = ParquetTable(spark, tpath)
+    t.overwrite(spark.createDataFrame([Row(a=i) for i in range(10)]).repartition(8))
+    assert t.file_count() >= 4
+    t.compact(target_files=1)
+    assert t.file_count() == 1
+    assert t.read().count() == 10
+    assert t.history()[-1]["op"] == "compact"
+    # time travel across compaction still works (same rows, old files)
+    assert t.as_of(1).count() == 10
