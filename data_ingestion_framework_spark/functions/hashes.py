@@ -21,13 +21,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _SEP = "\x1f"  # unit separator: avoids 'a'+'bc' == 'ab'+'c' collisions
+# NULL sentinel: concat_ws SKIPS null values, so without it ('a', NULL)
+# and (NULL, 'a') would concatenate identically and collide — missed
+# updates in find_delta / SCD2 change detection. Record-separator
+# framing keeps it distinct from any plausible real value.
+_NULL = "\x1eNULL\x1e"
 
 
 def _canon(df: DataFrame, col: str) -> Column:
     dt = df.schema[col].dataType
     if isinstance(dt, (T.DoubleType, T.FloatType)):
-        return F.col(col).cast("decimal(38,6)").cast("string")
-    return F.col(col).cast("string")
+        s = F.col(col).cast("decimal(38,6)").cast("string")
+    else:
+        s = F.col(col).cast("string")
+    return F.coalesce(s, F.lit(_NULL))
 
 
 def hash_key(df: DataFrame, key_cols: list[str]) -> Column:

@@ -95,18 +95,6 @@ def stamp_scd2_initial(
     )
 
 
-def _aligned(df: DataFrame, template: DataFrame) -> DataFrame:
-    """Project ``df`` to ``template``'s column order (union-by-position
-    safety; missing control columns filled with nulls)."""
-    cols = []
-    for c in template.columns:
-        if c in df.columns:
-            cols.append(F.col(c))
-        else:
-            cols.append(F.lit(None).cast(template.schema[c].dataType).alias(c))
-    return df.select(*cols)
-
-
 def scd1_apply(
     target: DataFrame | None,
     source: DataFrame,
@@ -134,11 +122,18 @@ def scd1_apply(
     untouched = target.join(keys, on=key_cols, how="left_anti")
     if full_extract:
         ts = F.lit(deleted_at).cast("timestamp") if deleted_at else F.current_timestamp()
-        untouched = untouched.withColumn(
-            "delete_time",
-            F.when(F.col("delete_time").isNull(), ts).otherwise(F.col("delete_time")),
-        )
-    return _aligned(untouched, latest).unionByName(latest)
+        if "delete_time" in untouched.columns:
+            untouched = untouched.withColumn(
+                "delete_time",
+                F.when(F.col("delete_time").isNull(), ts).otherwise(F.col("delete_time")),
+            )
+        else:
+            untouched = untouched.withColumn("delete_time", ts)
+    # union over the UNION of both schemas: target-only columns (e.g. a
+    # previously stamped delete_time) survive on untouched rows as nulls
+    # on the source side, and source-only columns (schema widening)
+    # appear as nulls on untouched rows — never silently dropped.
+    return untouched.unionByName(latest, allowMissingColumns=True)
 
 
 def scd2_apply(
@@ -252,10 +247,12 @@ def scd2_apply(
         kept = untouched_live.join(src_keys, on=key_cols, how="left_semi")
         untouched_live = kept.unionByName(gone)
 
-    # (5) assemble the new state.
-    stamped = _aligned(stamped, target)
+    # (5) assemble the new state over the union of both schemas (see
+    # scd1_apply: target-only and source-only columns both survive).
     return (
-        closed.unionByName(closed_out).unionByName(untouched_live).unionByName(stamped)
+        closed.unionByName(closed_out)
+        .unionByName(untouched_live)
+        .unionByName(stamped, allowMissingColumns=True)
     )
 
 

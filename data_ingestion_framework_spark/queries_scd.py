@@ -27,13 +27,13 @@ from data_ingestion_framework_spark.registry import bench_query, load
     "cdc_hash_keys",
     oracle="""
     SELECT o_orderkey,
-           md5(CAST(o_orderkey AS VARCHAR)) AS hkey,
+           md5(COALESCE(CAST(o_orderkey AS VARCHAR), chr(30) || 'NULL' || chr(30))) AS hkey,
            md5(concat_ws(chr(31),
-               CAST(o_custkey AS VARCHAR),
-               o_orderstatus,
-               CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR),
-               CAST(o_orderdate AS VARCHAR),
-               o_orderpriority)) AS hdiff
+               COALESCE(CAST(o_custkey AS VARCHAR), chr(30) || 'NULL' || chr(30)),
+               COALESCE(o_orderstatus, chr(30) || 'NULL' || chr(30)),
+               COALESCE(CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR), chr(30) || 'NULL' || chr(30)),
+               COALESCE(CAST(o_orderdate AS VARCHAR), chr(30) || 'NULL' || chr(30)),
+               COALESCE(o_orderpriority, chr(30) || 'NULL' || chr(30)))) AS hdiff
     FROM orders
     """,
 )

@@ -54,6 +54,37 @@ def test_scd1_full_extract_soft_delete(spark):
     assert rows[1]["delete_time"] is None
 
 
+def test_scd1_full_extract_source_without_control_cols(spark):
+    """A raw source batch (read_csv/read_json defaults) carries no
+    delete_time; surviving target rows must keep their stamped one and
+    absent keys must still get stamped — target-only columns are never
+    dropped by schema alignment."""
+    b0 = _batch(spark, [(1, "a", T0), (2, "b", T0), (3, "c", T0)]).withColumn(
+        "delete_time", F.lit(None).cast("timestamp")
+    )
+    state = scd.scd1_apply(b0, _batch(spark, [(1, "a", T0)]),
+                           ["pk"], "mtime", full_extract=True, deleted_at=T1)
+    rows = {r["pk"]: r for r in state.collect()}
+    assert rows[2]["delete_time"] == T1 and rows[3]["delete_time"] == T1
+    assert rows[1]["delete_time"] is None  # matched key resurrected
+    # a later batch re-sending pk=2 clears the soft delete; pk=3 keeps it
+    state2 = scd.scd1_apply(state, _batch(spark, [(2, "b2", T2)]), ["pk"], "mtime")
+    rows2 = {r["pk"]: r for r in state2.collect()}
+    assert rows2[2]["delete_time"] is None and rows2[2]["val"] == "b2"
+    assert rows2[3]["delete_time"] == T1  # survived the merge untouched
+
+
+def test_scd1_target_without_delete_time_full_extract(spark):
+    """Even the target may lack delete_time (first full-extract run over
+    a plain table): the column is created, not crashed on."""
+    b0 = _batch(spark, [(1, "a", T0), (2, "b", T0)])
+    state = scd.scd1_apply(b0, _batch(spark, [(1, "a", T1)]),
+                           ["pk"], "mtime", full_extract=True, deleted_at=T1)
+    rows = {r["pk"]: r for r in state.collect()}
+    assert rows[2]["delete_time"] == T1
+    assert rows[1]["delete_time"] is None
+
+
 def test_scd2_initial_stamping(spark):
     df = _batch(spark, [(1, "a", T0), (1, "b", T1), (2, "x", T0)])
     out = scd.stamp_scd2_initial(df, ["pk"], "mtime", tiebreak_cols=["val"])

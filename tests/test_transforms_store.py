@@ -67,6 +67,18 @@ def test_hash_keys_stable_and_null_canon(spark):
     assert out[2]["hkey"] != out[0]["hkey"]
 
 
+def test_hash_null_shift_does_not_collide(spark):
+    """concat_ws skips NULLs, so without a NULL sentinel ('a', NULL) and
+    (NULL, 'a') would hash identically — a missed update in change
+    detection."""
+    df = spark.createDataFrame(
+        [Row(pk=1, a="x", b=None), Row(pk=1, a=None, b="x")],
+        "pk int, a string, b string",
+    )
+    out = with_hash_keys(df, ["pk"]).collect()
+    assert out[0]["hdiff"] != out[1]["hdiff"]
+
+
 def test_parquet_table_roundtrip(spark, tmp_table_path):
     t = ParquetTable(spark, tmp_table_path)
     assert not t.exists()
