@@ -45,6 +45,7 @@ def _data_cols(df: DataFrame, key_cols: list[str], exclude: list[str] | None = N
         "file_path",
         "hkey",
         "hdiff",
+        "bucket_id",  # key-hash partition bucket (sinks/writers.py) — derived, not business state
     } | set(exclude or [])
     return [c for c in df.columns if c not in skip]
 

@@ -16,6 +16,58 @@ from pyspark.sql import functions as F
 from data_ingestion_framework_spark.operators import scd
 from data_ingestion_framework_spark.sources.tablestore import ParquetTable
 
+#: Partition column for key-hash bucketed merge targets. Not
+#: underscore-prefixed: Spark's path filter hides ``_*`` directories,
+#: which would make ``bucket_id=N`` partition dirs invisible to reads.
+BUCKET_COL = "bucket_id"
+
+
+def stamp_bucket(df: DataFrame, key_cols: list[str], num_buckets: int) -> DataFrame:
+    """Stable key-hash bucket for partition-scoped merges: every version
+    of a key lands in the same bucket, so a merge only ever needs the
+    target partitions whose buckets appear in the source batch — Delta
+    MERGE's touched-files-only behavior (writers/writer.py:177-281) at
+    partition granularity. Cast to int so the stamped column round-trips
+    identically through Hive-style partition-directory type inference."""
+    return df.withColumn(
+        BUCKET_COL,
+        F.pmod(F.xxhash64(*key_cols), F.lit(num_buckets)).cast("int"),
+    )
+
+
+def is_bucketed(table: ParquetTable) -> bool:
+    return table.partition_by == [BUCKET_COL]
+
+
+def _bucket_count(table: ParquetTable, requested: int | None) -> int:
+    """The table's persisted bucket count; fixed at first write. A later
+    caller asking for a different count is an error — silently restamping
+    would scatter a key's versions across buckets and corrupt merges."""
+    props = table.properties()
+    stored = props.get("num_buckets")
+    if stored is not None:
+        if requested is not None and requested != stored:
+            raise ValueError(
+                f"table {table.path} is bucketed with num_buckets={stored}; "
+                f"got {requested}"
+            )
+        return stored
+    n = requested or 32
+    table.set_properties({"num_buckets": n})
+    return n
+
+
+def _touched_buckets(df: DataFrame) -> list[int]:
+    """Distinct bucket ids in the batch — control-plane sized (bounded
+    by num_buckets, regardless of batch rows)."""
+    return sorted(r[BUCKET_COL] for r in df.select(BUCKET_COL).distinct().collect())
+
+
+def _pruned_target(table: ParquetTable, buckets: list[int]) -> DataFrame:
+    """Read ONLY the touched buckets' partitions (PartitionFilters prune
+    the rest at planning) — the merge never scans data it cannot change."""
+    return table.read().where(F.col(BUCKET_COL).isin(buckets))
+
 
 def ordered_base_paths(df: DataFrame, depth: int = -1) -> list[str]:
     """Distinct source directories ordered by their newest file's
@@ -75,6 +127,7 @@ def ie_dual_target_merge(
     order_col: str = "file_modification_time",
     delete_feed: DataFrame | None = None,
     deleted_at=None,
+    num_buckets: int | None = None,
 ) -> None:
     """Incremental-extract upsert into two targets
     (writers/writer.py:284-420 ``_upsert_to_delta_batch_ie``):
@@ -87,10 +140,36 @@ def ie_dual_target_merge(
     The delete feed is the reference's ``delete_source_filepath``
     (FIXTURES.md F2). Both merges share the same key partitioning; the
     feed joins as a broadcast when small.
+
+    When both targets are bucketed (``partition_by=[BUCKET_COL]``) the
+    merge is partition-scoped: touched buckets = source buckets ∪
+    delete-feed buckets (delete keys hash to buckets too), only those
+    partitions are read and rewritten, and a bucket the delete feed
+    empties is removed rather than left stale (``extra_touched``).
     """
-    cur = current_table.read() if current_table.exists() else None
+    bucketed = is_bucketed(current_table) and is_bucketed(history_table)
+    buckets: list[int] = []
+    if bucketed:
+        n = _bucket_count(current_table, num_buckets)
+        if history_table.path != current_table.path:
+            n2 = _bucket_count(history_table, n)
+            assert n2 == n
+        source = stamp_bucket(source, key_cols, n)
+        src_buckets = _touched_buckets(source)
+        del_buckets: list[int] = []
+        if delete_feed is not None:
+            delete_feed = stamp_bucket(delete_feed, key_cols, n)
+            del_buckets = _touched_buckets(delete_feed)
+        buckets = sorted(set(src_buckets) | set(del_buckets))
+
+    def _read(table: ParquetTable):
+        if not table.exists():
+            return None
+        return _pruned_target(table, buckets) if bucketed else table.read()
+
+    cur = _read(current_table)
     new_cur = scd.scd1_apply(cur, source, key_cols, order_col)
-    hist = history_table.read() if history_table.exists() else None
+    hist = _read(history_table)
     new_hist = scd.scd2_apply(hist, source, key_cols, order_col)
 
     if delete_feed is not None:
@@ -122,8 +201,12 @@ def ie_dual_target_merge(
             .drop("__del")
         )
 
-    current_table.overwrite(new_cur)
-    history_table.overwrite(new_hist)
+    extra = [f"{BUCKET_COL}={b}" for b in buckets]
+    for table, state in ((current_table, new_cur), (history_table, new_hist)):
+        if bucketed and table.exists():
+            table.overwrite_partitions(state, extra_touched=extra)
+        else:
+            table.overwrite(state)
 
 
 def batch_write(
@@ -135,13 +218,17 @@ def batch_write(
     scd_type: int = 1,
     full_extract: bool = False,
     except_columns: list[str] | None = None,
+    num_buckets: int | None = None,
 ) -> None:
     """Route a batch write (writers/writer.py:866-933 dispatch):
 
     - ``append``     → plain append
     - ``overwrite``  → snapshot replace (window-deduped when keys given,
       the intended ``_overwrite_delta`` semantics, writers/writer.py:34-60)
-    - ``merge``      → SCD1/SCD2 upsert via operators/scd.py
+    - ``merge``      → SCD1/SCD2 upsert via operators/scd.py; when the
+      table is bucketed (``partition_by=[BUCKET_COL]``) the merge is
+      partition-scoped: only buckets present in the batch are read and
+      rewritten (``num_buckets`` fixes the bucket count at first write).
     """
     if except_columns:
         df = df.drop(*except_columns)  # SELECT * EXCEPT(...) OSS form
@@ -156,8 +243,30 @@ def batch_write(
     if mode == "merge":
         if not key_cols:
             raise ValueError("merge requires key_cols")
-        target = table.read() if table.exists() else None
         apply = scd.scd1_apply if scd_type == 1 else scd.scd2_apply
+        if is_bucketed(table):
+            n = _bucket_count(table, num_buckets)
+            df = stamp_bucket(df, key_cols, n)
+            if table.exists() and not full_extract:
+                # partition-scoped merge: read and rewrite ONLY the
+                # buckets this batch touches; all other partitions'
+                # files stay in place. O(touched data), not O(table).
+                buckets = _touched_buckets(df)
+                new_state = apply(
+                    _pruned_target(table, buckets), df, key_cols, order_col
+                )
+                table.overwrite_partitions(
+                    new_state,
+                    extra_touched=[f"{BUCKET_COL}={b}" for b in buckets],
+                )
+                return
+            # initial load, or full-extract (absent-key soft deletes can
+            # hit ANY bucket, so the whole table is in play by semantics)
+            target = table.read() if table.exists() else None
+            table.overwrite(apply(target, df, key_cols, order_col,
+                                  full_extract=full_extract))
+            return
+        target = table.read() if table.exists() else None
         new_state = apply(
             target, df, key_cols, order_col, full_extract=full_extract
         )

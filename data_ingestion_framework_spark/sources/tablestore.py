@@ -45,7 +45,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 LOG_DIR = "_commits"
 HIST_DIR = "_history"
-_AUX = (LOG_DIR, HIST_DIR)
+PROPS_FILE = "_table.json"
+_AUX = (LOG_DIR, HIST_DIR, PROPS_FILE)
 
 
 def _is_hidden(rel: str) -> bool:
@@ -92,6 +93,24 @@ class ParquetTable:
 
     def _hist_dir(self) -> str:
         return os.path.join(self.path, HIST_DIR)
+
+    def properties(self) -> dict:
+        """Durable table properties (e.g. ``num_buckets`` for key-hash
+        bucketed targets) — the TBLPROPERTIES analogue. Stored as an
+        underscore-prefixed JSON file Spark's path filter ignores."""
+        f = os.path.join(self.path, PROPS_FILE)
+        if os.path.isfile(f):
+            with open(f) as fh:
+                return json.load(fh)
+        return {}
+
+    def set_properties(self, props: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        merged = {**self.properties(), **props}
+        tmp = os.path.join(self.path, f".tmp-props-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump(merged, fh)
+        os.rename(tmp, os.path.join(self.path, PROPS_FILE))
 
     def history(self) -> list[dict]:
         """All commit records, oldest first — ``DESCRIBE HISTORY``
@@ -260,7 +279,7 @@ class ParquetTable:
                 # state, then retain the replaced data files for as_of.
                 for aux in _AUX:
                     src = os.path.join(backup, aux)
-                    if os.path.isdir(src):
+                    if os.path.exists(src):
                         os.rename(src, os.path.join(self.path, aux))
                 os.makedirs(self._hist_dir(), exist_ok=True)
                 os.rename(backup, os.path.join(self._hist_dir(), f"pre{seq:08d}"))
@@ -287,45 +306,68 @@ class ParquetTable:
             )
         return sorted(out)
 
-    def overwrite_partitions(self, df: DataFrame, metrics: dict | None = None) -> None:
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        metrics: dict | None = None,
+        extra_touched: list[str] | None = None,
+    ) -> None:
         """Partition-scoped commit: replaces only the partitions present
         in ``df``, leaving all other partitions' files in place — the
         scale path for incremental merges (Delta MERGE rewrites touched
         files only, writers/writer.py:177-281; this rewrites touched
-        *partitions* only). Replaced partition dirs are retained under
-        ``_history/pre{seq}`` so ``as_of`` still works, and the session's
-        ``partitionOverwriteMode`` is restored afterwards."""
+        *partitions* only).
+
+        Safe even when ``df`` was derived from ``self.read()``: the new
+        partition data is fully materialized into a staging directory
+        *before* any live partition is moved, so the lazy write job never
+        races its own input (same staging discipline as ``overwrite``).
+        Replaced partition dirs are retained under ``_history/pre{seq}``
+        so ``as_of`` still works.
+
+        ``extra_touched`` lists partition dirs (``col=value`` relative
+        paths) that the commit logically touches even if ``df`` carries
+        no rows for them — e.g. a merge whose delete feed empties a
+        bucket. Those partitions are removed from the live table (and
+        retained in history); without this, a partition the new state
+        says is empty would silently keep its stale files."""
         if not self.partition_by:
             raise ValueError("overwrite_partitions requires partition_by")
-        touched = self.touched_partitions(df)
-        seq = self._next_seq()
-        retained = os.path.join(self._hist_dir(), f"pre{seq:08d}")
-        for rel in touched:
-            src = os.path.join(self.path, rel)
-            if os.path.isdir(src):
-                dst = os.path.join(retained, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.rename(src, dst)
-        conf_key = "spark.sql.sources.partitionOverwriteMode"
-        prior = self.spark.conf.get(conf_key, None)
-        self.spark.conf.set(conf_key, "dynamic")
+        staging = f"{self.path}.__staging__{uuid.uuid4().hex[:8]}"
         try:
-            self._writer(df, "overwrite").parquet(self.path)
-        except BaseException:
-            # put the retained partitions back — never lose data
+            self._writer(df, "overwrite").parquet(staging)
+            staged = sorted(
+                {os.path.dirname(rel) for rel in self._data_files(staging)}
+            )
+            touched = sorted(set(staged) | set(extra_touched or []))
+            seq = self._next_seq()
+            retained = os.path.join(self._hist_dir(), f"pre{seq:08d}")
+            moved = []
             for rel in touched:
-                dst = os.path.join(retained, rel)
-                if os.path.isdir(dst):
+                src = os.path.join(self.path, rel)
+                if os.path.isdir(src):
+                    dst = os.path.join(retained, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(src, dst)
+                    moved.append(rel)
+            try:
+                for rel in staged:
+                    src = os.path.join(staging, rel)
+                    dst = os.path.join(self.path, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(src, dst)
+            except BaseException:
+                # put the retained partitions back — never lose data
+                for rel in moved:
+                    dst = os.path.join(retained, rel)
                     target = os.path.join(self.path, rel)
                     shutil.rmtree(target, ignore_errors=True)
                     os.makedirs(os.path.dirname(target), exist_ok=True)
                     os.rename(dst, target)
-            raise
+                shutil.rmtree(retained, ignore_errors=True)
+                raise
         finally:
-            if prior is None:
-                self.spark.conf.unset(conf_key)
-            else:
-                self.spark.conf.set(conf_key, prior)
+            shutil.rmtree(staging, ignore_errors=True)
         self._record_commit(
             "overwrite_partitions",
             dict(metrics or {}, touched_partitions=touched),

@@ -95,3 +95,110 @@ def test_ie_dual_target_merge_with_delete_feed(spark, tmp_path):
         key=lambda r: r["start_time"],
     )
     assert pk2[-1]["val"] == "b2" and pk2[-1]["is_current"] == 1
+
+
+# -- bucketed (partition-scoped) merges --------------------------------------
+
+
+def _files_by_partition(t):
+    out = {}
+    for f in t._data_files():
+        out.setdefault(f.rsplit("/", 1)[0], set()).add(f)
+    return out
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    from data_ingestion_framework_spark.sinks.writers import BUCKET_COL
+
+    t = ParquetTable(spark, f"{tmp_path}/b", partition_by=[BUCKET_COL])
+    initial = spark.createDataFrame(
+        [Row(pk=i, val=f"v{i}", mtime=T0) for i in range(200)],
+        "pk int, val string, mtime timestamp",
+    )
+    batch_write(initial, t, mode="merge", key_cols=["pk"], order_col="mtime",
+                scd_type=2, num_buckets=8)
+    before = _files_by_partition(t)
+    assert len(before) > 1  # actually partitioned by bucket
+
+    # incremental: 2 keys updated + 1 new key
+    batch = _df(spark, [
+        Row(pk=3, val="v3b", mtime=T1),
+        Row(pk=7, val="v7b", mtime=T1),
+        Row(pk=900, val="new", mtime=T1),
+    ])
+    batch_write(batch, t, mode="merge", key_cols=["pk"], order_col="mtime",
+                scd_type=2)
+
+    touched = set(t.history()[-1]["metrics"]["touched_partitions"])
+    assert 1 <= len(touched) <= 3  # at most one partition per key
+    after = _files_by_partition(t)
+    for part, files in before.items():
+        if part not in touched:
+            assert after[part] == files  # untouched: exact same files
+        else:
+            assert after[part].isdisjoint(files)  # touched: fully rewritten
+
+    # state equals the non-bucketed full merge
+    from data_ingestion_framework_spark.operators import scd as scd_ops
+
+    full = ParquetTable(spark, f"{tmp_path}/full")
+    batch_write(initial, full, mode="merge", key_cols=["pk"],
+                order_col="mtime", scd_type=2)
+    batch_write(batch, full, mode="merge", key_cols=["pk"], order_col="mtime",
+                scd_type=2)
+    cols = ["pk", "val", "start_time", "end_time", "is_current", "delete_time"]
+    got = sorted(map(tuple, t.read().select(*cols).collect()))
+    want = sorted(map(tuple, full.read().select(*cols).collect()))
+    assert got == want
+
+    # round-trip sanity: a second merge of the same batch no-ops (replay)
+    batch_write(batch, t, mode="merge", key_cols=["pk"], order_col="mtime",
+                scd_type=2)
+    assert sorted(map(tuple, t.read().select(*cols).collect())) == want
+
+
+def test_bucketed_merge_rejects_bucket_count_change(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_ingestion_framework_spark.sinks.writers import BUCKET_COL
+
+    t = ParquetTable(spark, f"{tmp_path}/b", partition_by=[BUCKET_COL])
+    batch_write(_df(spark, [Row(pk=1, val="a", mtime=T0)]), t, mode="merge",
+                key_cols=["pk"], order_col="mtime", num_buckets=8)
+    with _pytest.raises(ValueError, match="num_buckets=8"):
+        batch_write(_df(spark, [Row(pk=2, val="b", mtime=T1)]), t,
+                    mode="merge", key_cols=["pk"], order_col="mtime",
+                    num_buckets=16)
+
+
+def test_bucketed_ie_merge_delete_feed_empties_bucket(spark, tmp_path):
+    """A delete feed that removes every key in a bucket must remove the
+    bucket's partition from the current table — not leave stale files
+    (the extra_touched path)."""
+    from data_ingestion_framework_spark.sinks.writers import BUCKET_COL
+
+    cur = ParquetTable(spark, f"{tmp_path}/cur", partition_by=[BUCKET_COL])
+    hist = ParquetTable(spark, f"{tmp_path}/hist", partition_by=[BUCKET_COL])
+    rows = [Row(pk=i, val=f"v{i}", mtime=T0) for i in range(20)]
+    ie_dual_target_merge(cur, hist, _df(spark, rows), ["pk"], "mtime",
+                         num_buckets=4)
+    assert cur.read().count() == 20
+
+    # delete ALL keys (every bucket emptied in current), no new data...
+    # but ie merge needs a source; send one updated row so one bucket stays
+    ie_dual_target_merge(
+        cur, hist,
+        _df(spark, [Row(pk=0, val="v0b", mtime=T1)]),
+        ["pk"], "mtime",
+        delete_feed=_df(spark, [Row(pk=i, val="", mtime=T1) for i in range(1, 20)]),
+        deleted_at=T1,
+    )
+    got = {r["pk"]: r["val"] for r in cur.read().collect()}
+    assert got == {0: "v0b"}  # all deleted keys gone, incl. whole buckets
+    # history soft-deleted every removed key
+    h = hist.read().collect()
+    deleted = [r for r in h if r["pk"] != 0]
+    assert len(deleted) == 19
+    assert all(r["delete_time"] == T1 and r["is_current"] == 0 for r in deleted)
+    # time travel still reconstructs the pre-delete current state
+    assert cur.as_of(1).count() == 20
