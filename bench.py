@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
+    "dedup_word_ngram_jaccard",
     "text_token_stats",
     "similarity_cosine_topk",
     "events_daily_counts",

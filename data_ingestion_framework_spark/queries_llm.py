@@ -187,19 +187,23 @@ def similarity_cosine_topk(spark, sf_dir):
 @bench_query("dedup_minhash_pairs")
 def dedup_minhash_pairs(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    return dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    return dedup.minhash_dedup_pairs(docs, threshold=0.5, max_bucket_size=1000)
 
 
 @bench_query("dedup_simhash_pairs")
 def dedup_simhash_pairs(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(docs, max_hamming=3)
+    return dedup.simhash_near_dups(docs, max_hamming=3, max_bucket_size=1000)
 
 
 # ---------------------------------------------------------------------------
 # Blocked n-gram Jaccard pairs — fully deterministic; the oracle builds
-# the same 5-char shingle sets with a DuckDB list comprehension and the
-# same length-bucket blocking.
+# the same 5-char shingle sets with a DuckDB list comprehension, the
+# same length-bucket blocking, and the same block-size cap (QUALIFY
+# mirrors the Spark count-window filter; never triggers at test SFs but
+# pins the capped semantics). Spark verifies hashed bigint shingle sets
+# (operators/dedup.py hashed_shingle_set) — same cardinalities, same
+# Jaccard values, ~2.5× cheaper than string intersects.
 # ---------------------------------------------------------------------------
 @bench_query(
     "dedup_ngram_jaccard",
@@ -214,6 +218,7 @@ def dedup_simhash_pairs(spark, sf_dir):
                  greatest(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) - 4, 1))
              ]) AS s
       FROM documents
+      QUALIFY count(*) OVER (PARTITION BY CAST(floor(length(text) / 20) AS BIGINT)) <= 2000
     ),
     scored AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -226,7 +231,7 @@ def dedup_simhash_pairs(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_block_size=2000)
 
 
 @bench_query("similarity_lsh_topk")
@@ -445,23 +450,26 @@ def text_quality_score(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Word-shingle (3-gram) Jaccard pairs — the word-level variant, oracle
-# via DuckDB list comprehension over the token array.
+# via DuckDB list comprehension over the token array; same capped
+# blocking + hashed-set verification as dedup_ngram_jaccard.
 # ---------------------------------------------------------------------------
 @bench_query(
     "dedup_word_ngram_jaccard",
     oracle="""
     WITH sh AS (
       SELECT doc_id,
-             CAST(floor(length(text) / 40) AS BIGINT) AS block,
+             block,
              list_distinct([
                array_to_string(w[i:i+2], ' ')
                for i in generate_series(1, greatest(len(w) - 2, 1))
              ]) AS s
       FROM (
-        SELECT doc_id, text,
+        SELECT doc_id,
+               CAST(floor(length(text) / 40) AS BIGINT) AS block,
                string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
         FROM documents
       )
+      QUALIFY count(*) OVER (PARTITION BY block) <= 2000
     ),
     scored AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -474,37 +482,6 @@ def text_quality_score(spark, sf_dir):
 )
 def dedup_word_ngram_jaccard(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    spread = docs.select(
-        "doc_id",
-        F.floor(F.length("text") / 40).alias("__block"),
-        F.split(text.normalize_text("text"), " ").alias("__w"),
-    ).repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
-    sh = spread.select(
-        "doc_id",
-        "__block",
-        F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("__w") - 2, F.lit(1))
-                ),
-                lambda i: F.array_join(F.slice("__w", i, 3), " "),
-            )
-        ).alias("__s"),
-    )
-    a = sh.select(
-        F.col("doc_id").alias("id_a"), "__block", F.col("__s").alias("__sa")
-    )
-    b = sh.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("__block").alias("__b2"),
-        F.col("__s").alias("__sb"),
-    )
-    return (
-        a.join(b, (F.col("__block") == F.col("__b2")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn(
-            "jaccard",
-            F.round(dedup.jaccard_similarity(F.col("__sa"), F.col("__sb")), 4),
-        )
-        .where(F.col("jaccard") >= 0.2)
-        .select("id_a", "id_b", "jaccard")
+    return dedup.word_ngram_jaccard_pairs(
+        docs, shingle_size=3, threshold=0.2, max_block_size=2000
     )

@@ -112,3 +112,63 @@ def test_bpe_token_count(spark):
     # Hello| world|,| it|'s| 2024|! → 7 pieces
     assert out[1] == 7
     assert out[2] == 0
+
+
+def test_word_ngram_jaccard_pairs(spark):
+    pairs = dedup.word_ngram_jaccard_pairs(
+        _docs(spark), block_col=F.lit(1), threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 4)] > 0.7
+    assert all(5 not in (a, b) for (a, b) in got)
+
+
+def _pathological(spark, n=300):
+    """An all-identical shard: every doc lands in the same LSH buckets
+    and the same length block — the quadratic worst case the caps bound."""
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=DOC_A) for i in range(n)] + [Row(doc_id=999, text=DOC_B)]
+    )
+
+
+def test_lsh_bucket_cap_bounds_pairs_and_reports(spark):
+    docs = _pathological(spark)
+    # uncapped would emit 300*299/2 ≈ 45k pairs; the cap drops the
+    # degenerate buckets entirely → bounded output, observable drop
+    capped = dedup.minhash_lsh_candidates(docs, max_bucket_size=100)
+    assert capped.count() == 0
+    banded = dedup.minhash_banded(docs)
+    dropped = dedup.lsh_oversize_buckets(banded, 100).collect()
+    assert dropped and all(r["n_docs"] == 300 for r in dropped)
+    # small clusters below the cap are unaffected
+    ok = dedup.minhash_lsh_candidates(_docs(spark), max_bucket_size=100)
+    assert {(r["id_a"], r["id_b"]) for r in ok.collect()} >= {(1, 2), (1, 3)}
+
+
+def test_simhash_bucket_cap(spark):
+    docs = _pathological(spark)
+    assert dedup.simhash_near_dups(docs, max_bucket_size=100).count() == 0
+    assert dedup.simhash_near_dups(docs, max_bucket_size=1000).count() > 0
+
+
+def test_ngram_block_cap_and_report(spark):
+    docs = _pathological(spark)
+    capped = dedup.ngram_jaccard_pairs(
+        docs, block_col=F.lit(1), threshold=0.5, max_block_size=100
+    )
+    assert capped.count() == 0
+    # the drop is reportable: one block of 301 docs over the cap
+    from data_ingestion_framework_spark.operators.dedup import (
+        hashed_shingle_set,
+        char_shingles,
+        oversize_blocks,
+    )
+    from data_ingestion_framework_spark.operators.text import normalize_text
+
+    sh = docs.select(
+        "doc_id", F.lit(1).alias("__block"),
+        hashed_shingle_set(char_shingles("text")).alias("__sh"),
+    )
+    rep = oversize_blocks(sh, 100).collect()
+    assert len(rep) == 1 and rep[0]["n_docs"] == 301
