@@ -133,9 +133,15 @@ class PipelineBuilder:
     def _run_bronze(self) -> None:
         """Raw append to bronze (engine.py:162-181)."""
         c = self.config
-        self.bronze_row_creation_time = dt.datetime.now(dt.timezone.utc).replace(
-            tzinfo=None
-        )
+        # Cursor comes from Spark's own clock: collect() renders the
+        # timestamp in the session timezone and F.lit() re-interprets it
+        # in the same timezone, so the bronze slice in _run_silver stays
+        # correct even after set_session_timezone — a driver-side
+        # datetime.now(utc) would be offset by the TZ delta and could
+        # silently select zero rows.
+        self.bronze_row_creation_time = self.spark.sql(
+            "SELECT current_timestamp() AS t"
+        ).collect()[0]["t"]
         bronze_writes = c.writes_for_layer("bronze")
         if not bronze_writes:
             return

@@ -98,6 +98,33 @@ def test_run_medallion_end_to_end(spark, tmp_path):
     assert sorted((r["val"], r["is_current"]) for r in pk1) == [("a", 0), ("a2", 1)]
 
 
+def test_medallion_cursor_survives_non_utc_session_tz(spark, tmp_path):
+    """The bronze→silver cursor must come from Spark's clock: with
+    session tz America/Los_Angeles a naive driver-side UTC datetime
+    would be interpreted 7-8h in the future and the silver slice would
+    silently select zero rows."""
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        landing = _landing(
+            spark, tmp_path / "landing_tz", [Row(pk=1, val="a", amt=1.0)]
+        )
+        row = _config_row(landing, tmp_path)
+        row["writes"] = json.dumps(
+            [
+                {"table_medallion_layer": "bronze", "path": f"{tmp_path}/bronze_tz",
+                 "mode": "append"},
+                {"table_medallion_layer": "silver", "path": f"{tmp_path}/silver_tz",
+                 "mode": "merge", "scd_type": 1},
+            ]
+        )
+        row["audit_write"] = "False"
+        PipelineBuilder(spark, PipelineConfig.from_row(row)).run_medallion()
+        assert spark.read.parquet(f"{tmp_path}/silver_tz").count() == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
+
+
 def test_streaming_merge_pipeline(spark, tmp_path):
     landing = _landing(
         spark, tmp_path / "landing", [Row(pk=1, val="a", amt=1.0), Row(pk=2, val="b", amt=2.0)]
