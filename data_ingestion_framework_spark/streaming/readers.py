@@ -40,6 +40,7 @@ def read_file_stream(
     run_start_time=None,
     max_files_per_trigger: int | None = None,
     sanitize_columns: bool = True,
+    schema_location: str | None = None,
 ) -> DataFrame:
     """Incremental file stream over a landing directory.
 
@@ -48,12 +49,25 @@ def read_file_stream(
     start* literal (constant within a run), file metadata comes from
     ``_metadata``. ``max_files_per_trigger`` maps Auto Loader's batch
     sizing onto the OSS file source.
+
+    ``schema_location`` persists the inferred schema across runs
+    (Auto Loader ``cloudFiles.schemaLocation`` parity,
+    db_config_current_schema.py:93): run 1 infers and registers, later
+    runs EVOLVE the registered schema — new columns append, known
+    columns keep their registered type — instead of silently
+    re-inferring (see ``SchemaRegistry``).
     """
     options = dict(options or {})
     if max_files_per_trigger is not None:
         options["maxFilesPerTrigger"] = str(max_files_per_trigger)
     if schema is None:
         schema = snapshot_schema(spark, path, fmt, options)
+        if schema_location is not None:
+            from data_ingestion_framework_spark.streaming.schema_registry import (
+                SchemaRegistry,
+            )
+
+            schema = SchemaRegistry(schema_location).evolve(schema)
     df = (
         spark.readStream.format(fmt)
         .schema(schema)
