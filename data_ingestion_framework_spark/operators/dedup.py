@@ -265,26 +265,27 @@ def jaccard_similarity(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union).cast("double")
 
 
-def minhash_dedup_pairs(
+def verify_candidate_pairs(
     df: DataFrame,
+    cands: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    threshold: float = 0.8,
-    num_hashes: int = 64,
-    bands: int = 16,
     shingle_size: int = 5,
-    max_bucket_size: int | None = None,
+    threshold: float = 0.8,
 ) -> DataFrame:
-    """LSH candidates verified with exact Jaccard ≥ threshold.
+    """Exact-Jaccard verification of a ``(id_a, id_b)`` candidate frame —
+    the shared second stage of every candidate-generating dedup operator
+    (MinHash-LSH here; any external blocker can feed it too).
 
     Only candidate pairs re-join the shingle arrays (semi-join pattern);
-    the full corpus never self-joins.
-    """
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_size, max_bucket_size
-    )
+    the full corpus never self-joins. Shingle sets are hashed bigint
+    arrays (``hashed_shingle_set``) — identical Jaccard values, cheaper
+    intersects."""
     sh = _spread_normalized(df, id_col, text_col).select(
-        F.col(id_col), char_shingles("__norm", shingle_size, pre_normalized=True).alias("__sh")
+        F.col(id_col),
+        hashed_shingle_set(
+            char_shingles("__norm", shingle_size, pre_normalized=True)
+        ).alias("__sh"),
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
@@ -295,6 +296,24 @@ def minhash_dedup_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold
+    (``minhash_lsh_candidates`` → ``verify_candidate_pairs``)."""
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_size, max_bucket_size
+    )
+    return verify_candidate_pairs(df, cands, id_col, text_col, shingle_size, threshold)
 
 
 # -- n-gram Jaccard (blocked, exact) ----------------------------------------

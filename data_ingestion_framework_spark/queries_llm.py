@@ -190,6 +190,55 @@ def dedup_minhash_pairs(spark, sf_dir):
     return dedup.minhash_dedup_pairs(docs, threshold=0.5, max_bucket_size=1000)
 
 
+# ---------------------------------------------------------------------------
+# Candidate-verification stage under oracle: the exact-Jaccard verify
+# used by dedup_minhash_pairs (operators/dedup.py verify_candidate_pairs)
+# fed a DETERMINISTIC candidate set — pairs sharing the first 16 chars
+# of normalized text — so DuckDB can reproduce it end-to-end. The LSH
+# candidate *generator* stays rows-only (xxhash64 isn't expressible in
+# DuckDB) but the stage that decides the final pairs is value-checked.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "dedup_candidate_verify",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, substring(t, 1, 16) AS p,
+             list_distinct([
+               substring(t, i, 5)
+               for i in generate_series(1, greatest(length(t) - 4, 1))
+             ]) AS s
+      FROM n
+    ),
+    scored AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.p = b.p AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2
+    """,
+)
+def dedup_candidate_verify(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pref = docs.select(
+        "doc_id", F.substring(text.normalize_text("text"), 1, 16).alias("__p")
+    )
+    cands = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.__p") == F.col("b.__p"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return dedup.verify_candidate_pairs(docs, cands, threshold=0.2)
+
+
 @bench_query("dedup_simhash_pairs")
 def dedup_simhash_pairs(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
