@@ -110,38 +110,48 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_size: int = 5,
 ) -> DataFrame:
-    """Per-document MinHash signature columns ``h0..h{k-1}``.
+    """Per-document MinHash signature ``sig: array<bigint>[k]``.
 
-    Scale shape: explode shingles → hash each shingle once per seed →
-    groupBy(doc) with ``min`` aggregation. The min is computed map-side
-    (partial aggregation), so the shuffle carries one k-long row per
-    doc per input partition — not the shingle set. This also avoids the
-    expression-inlining trap of computing k array-transforms over the
-    shingling expression (CollapseProject would duplicate the shingle
-    computation k times).
+    Scale shape: the whole signature is ONE narrow per-row expression —
+    shingles map to ``(xxhash64₁, xxhash64₂)`` structs (each shingle
+    hashed exactly twice; the k-member family derives by XOR-rotate
+    mixing, the double-hashing MinHash construction, kept in bit ops so
+    ANSI overflow checking never trips), then ``aggregate`` folds
+    ``zip_with(acc, family, least)`` over them. Nothing per-shingle is
+    ever materialized into rows: the old explode→groupBy(min) shape
+    wrote a k-column Tungsten row per shingle and shuffled partial
+    aggregates; this computes the same mins inside one projection and
+    shuffles exactly one (id, k-long) row per doc.
+
+    The closing ``repartition`` is both the distribution for the
+    downstream band join and the CollapseProject barrier: band
+    expressions reference ``sig`` many times, and without the exchange
+    the whole aggregate would inline (and re-run) once per reference.
     """
     spread = _spread_normalized(df, id_col, text_col)
-    exploded = spread.select(
-        F.col(id_col),
-        F.explode(char_shingles("__norm", shingle_size, pre_normalized=True)).alias("__sh"),
-    )
-    # Two real hashes per shingle; the k-member family is derived with
-    # XOR-rotate mixing (the double-hashing MinHash construction, kept
-    # in bit ops so ANSI overflow checking never trips). 2 xxhash64
-    # calls per shingle instead of k.
-    h1, h2 = F.xxhash64(F.lit(1), F.col("__sh")), F.xxhash64(F.lit(2), F.col("__sh"))
 
-    def g(i: int):
-        if i == 0:
-            return h1
-        rot = F.shiftrightunsigned(h2, i % 64).bitwiseOR(F.shiftleft(h2, 64 - (i % 64)))
-        return h1.bitwiseXOR(rot)
+    def family(h1, h2):
+        cols = [h1]
+        for i in range(1, num_hashes):
+            r = i % 64
+            rot = F.shiftrightunsigned(h2, r).bitwiseOR(F.shiftleft(h2, 64 - r))
+            cols.append(h1.bitwiseXOR(rot))
+        return F.array(*cols)
 
-    hashed = exploded.select(
-        id_col, *[g(i).alias(f"h{i}") for i in range(num_hashes)]
+    sig = F.aggregate(
+        F.transform(
+            char_shingles("__norm", shingle_size, pre_normalized=True),
+            lambda s: F.struct(
+                F.xxhash64(F.lit(1), s).alias("h1"), F.xxhash64(F.lit(2), s).alias("h2")
+            ),
+        ),
+        F.array_repeat(F.lit(9223372036854775807), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc, family(h["h1"], h["h2"]), lambda a, b: F.least(a, b)
+        ),
     )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    return spread.select(F.col(id_col), sig.alias("sig")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
 
 
@@ -234,6 +244,8 @@ def minhash_banded(
     reporting with the same parameters as the candidate join."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    # bucket = hash of the band's signature slice (one xxhash64 over an
+    # array beats md5 over concat_ws'd strings — no string materialization)
     return sig.select(
         id_col,
         F.explode(
@@ -241,14 +253,8 @@ def minhash_banded(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"h{b * rows_per_band + r}").cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
                         ).alias("bucket"),
                     )
                     for b in range(bands)
