@@ -106,12 +106,26 @@ def read_orc(spark, path, options=None, control_columns=False):
     return read_batch(spark, path, "orc", options, control_columns)
 
 
-def read_delta_path(spark, path, options=None):
-    """readers/batch_readers.py:82-86. Falls back to parquet when the
-    delta format is not on the classpath (local test env)."""
+def read_delta_path(spark, path, options=None, version=None):
+    """readers/batch_readers.py:82-86 (+ ``VERSION AS OF`` when
+    ``version`` is given). Resolution order: the real delta data source
+    if it is on the classpath; else the built-in transaction-log reader
+    (sources/delta_log.py — correctly skips remove-tombstoned files,
+    which a naive parquet read would resurrect); else plain parquet for
+    directories that aren't Delta tables at all."""
     try:
-        return spark.read.format("delta").options(**(options or {})).load(path)
+        r = spark.read.format("delta").options(**(options or {}))
+        if version is not None:
+            r = r.option("versionAsOf", str(version))
+        return r.load(path)
     except Exception:
+        from data_ingestion_framework_spark.sources.delta_log import (
+            is_delta_table,
+            read_delta_log,
+        )
+
+        if is_delta_table(path):
+            return read_delta_log(spark, path, version, options)
         return spark.read.options(**(options or {})).parquet(path)
 
 
