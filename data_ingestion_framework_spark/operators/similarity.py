@@ -103,6 +103,30 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def cosine_verify_pairs(
+    corpus: DataFrame,
+    cands: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact-cosine verification of an ``(id_a, id_b)`` candidate frame
+    — the embedding analogue of ``dedup.verify_candidate_pairs``. Only
+    candidate pairs re-join the vectors; the corpus never self-joins."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), round_to)
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     dim: int,

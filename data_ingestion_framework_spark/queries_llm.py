@@ -321,6 +321,75 @@ def text_bpe_tokens(spark, sf_dir):
 # verification) — xxhash-free, deterministic hyperplanes, but the plane
 # math is engine-specific; rows-only (semantics pinned in tests).
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Embedding cosine verification under oracle: the exact-cosine verify
+# stage (similarity.cosine_verify_pairs — shared shape with
+# embedding_near_dups) fed a DETERMINISTIC candidate set, pairs agreeing
+# on the sign pattern of their first 4 components, which DuckDB
+# reproduces end-to-end. The sign-LSH bucket generator itself stays
+# rows-only (hash-derived hyperplanes aren't worth porting to SQL).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "embedding_candidate_verify",
+    oracle="""
+    WITH elems AS (
+      SELECT vec_id,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM elems GROUP BY vec_id
+    ),
+    blocks AS (
+      SELECT vec_id,
+             CAST(embedding[1] >= 0 AS INT)
+           + 2 * CAST(embedding[2] >= 0 AS INT)
+           + 4 * CAST(embedding[3] >= 0 AS INT)
+           + 8 * CAST(embedding[4] >= 0 AS INT) AS blk
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT p.id_a, p.id_b, SUM(ea.x * eb.x) AS dp
+      FROM pairs p
+      JOIN elems ea ON ea.vec_id = p.id_a
+      JOIN elems eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+      GROUP BY p.id_a, p.id_b
+    ),
+    scored AS (
+      SELECT d.id_a, d.id_b,
+             ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                        ELSE d.dp / (na.nrm * nb.nrm) END, 4) AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.id_a
+      JOIN norms nb ON nb.vec_id = d.id_b
+    )
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.2
+    """,
+)
+def embedding_candidate_verify(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    blk = sum(
+        (e[i] >= 0).cast("int") * (2**i) for i in range(4)
+    )
+    blocks = emb.select("vec_id", blk.alias("__blk"))
+    cands = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    )
+    return similarity.cosine_verify_pairs(emb, cands, threshold=0.2)
+
+
 @bench_query("dedup_embedding_pairs")
 def dedup_embedding_pairs(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")

@@ -154,6 +154,28 @@ def test_streaming_merge_pipeline(spark, tmp_path):
     assert got == {1: "a2", 2: "b"}
 
 
+def test_mark_initial_completed_write_back(spark, tmp_path):
+    from data_ingestion_framework_spark.config import mark_initial_completed
+
+    import pandas as pd
+
+    rows = [
+        {"data_product_name": "dp", "table_name": "a", "is_initial_completed": "False"},
+        {"data_product_name": "dp", "table_name": "b", "is_initial_completed": "False"},
+    ]
+    path = f"{tmp_path}/cfg_wb"
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(path)
+    mark_initial_completed(spark, path, "a")
+    got = {r["table_name"]: r["is_initial_completed"]
+           for r in spark.read.parquet(path).collect()}
+    assert got == {"a": "True", "b": "False"}
+    # idempotent re-run
+    mark_initial_completed(spark, path, "a")
+    got = {r["table_name"]: r["is_initial_completed"]
+           for r in spark.read.parquet(path).collect()}
+    assert got == {"a": "True", "b": "False"}
+
+
 def test_load_enabled_configs(spark, tmp_path):
     rows = [
         {"data_product_name": "dp", "table_name": "a", "is_table_enabled": "True",
