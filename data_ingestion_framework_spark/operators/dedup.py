@@ -543,3 +543,87 @@ def simhash_near_dups(
         .distinct()
     )
     return pairs.where(F.col("hamming") <= max_hamming)
+
+
+# -- duplicate clustering (connected components) -----------------------------
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: ``(doc_id,
+    cluster_id)`` where ``cluster_id`` is the minimum doc id reachable
+    in the pair graph — the step that turns pairwise dedup output into
+    keep-one-per-cluster decisions (transitivity: a~b and b~c dedup to
+    ONE survivor even when a~c was never emitted as a pair).
+
+    Distributed shape: iterative min-label propagation. Each round is
+    one join (labels onto edges) + one groupBy(min) — both shuffle on
+    the same node key, so AQE co-partitions them. Rounds needed = graph
+    diameter; duplicate clusters are small and dense (diameter ≲ 3-4 in
+    practice), and the loop exits as soon as a round changes nothing.
+    The convergence check is a control-plane ``count`` of changed
+    labels, and each round's frame is localCheckpoint()ed to cut the
+    lineage (an unbounded iterative plan otherwise re-executes from the
+    source every round and eventually breaks codegen).
+
+    Only documents that appear in ``pairs`` come out — singletons are
+    their own cluster by definition and joining them in would turn a
+    pair-sized frame back into a corpus-sized one.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    # materialize the edge list once — without this every propagation
+    # round re-executes the (expensive) pair-generation lineage
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("nbr_min")).alias("label"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), F.col("label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("new_label"),
+                F.col("label"),
+            )
+        ).localCheckpoint()
+        changed = updated.where(F.col("new_label") != F.col("label")).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_per_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative per duplicate cluster: the cluster_id
+    member survives, other members drop, documents not in any cluster
+    pass through (left join on the pair-sized cluster frame)."""
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    # plain left_anti: AQE broadcasts the drop list when it is small and
+    # falls back to a shuffled anti join when it is not (at 100 TB the
+    # non-representative set can itself be huge — never force broadcast)
+    return df.join(drop, df[id_col] == drop["doc_id"], "left_anti")

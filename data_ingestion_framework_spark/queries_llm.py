@@ -283,6 +283,52 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_block_size=2000)
 
 
+# ---------------------------------------------------------------------------
+# Duplicate clustering: connected components over the (deterministic)
+# blocked-Jaccard pair graph — the transitive keep-one-per-cluster step.
+# Spark runs iterative min-label propagation (operators/dedup.py
+# dup_clusters); the oracle computes the same components with a
+# recursive transitive-closure CTE over the identical pair set.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "dedup_cluster_assign",
+    oracle="""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id,
+             CAST(floor(length(text) / 20) AS BIGINT) AS block,
+             list_distinct([
+               substring(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), i, 5)
+               for i in generate_series(
+                 1,
+                 greatest(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) - 4, 1))
+             ]) AS s
+      FROM documents
+      QUALIFY count(*) OVER (PARTITION BY CAST(floor(length(text) / 20) AS BIGINT)) <= 2000
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.3
+    ),
+    nodes AS (SELECT id_a AS n FROM p UNION SELECT id_b FROM p),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT n, n AS m FROM nodes
+      UNION
+      SELECT r.n, e.b AS m FROM reach r JOIN edges e ON e.a = r.m
+    )
+    SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+    """,
+)
+def dedup_cluster_assign(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_block_size=2000)
+    return dedup.dup_clusters(pairs)
+
+
 @bench_query("similarity_lsh_topk")
 def similarity_lsh_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")

@@ -172,3 +172,23 @@ def test_ngram_block_cap_and_report(spark):
     )
     rep = oversize_blocks(sh, 100).collect()
     assert len(rep) == 1 and rep[0]["n_docs"] == 301
+
+
+def test_dup_clusters_transitive_chain(spark):
+    # path graph 1-2-3-4-5 plus separate component 10-11: min-label
+    # needs multiple propagation rounds to reach the chain's far end
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a int, id_b int"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keep_per_cluster(spark):
+    docs = _docs(spark)
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int")
+    clusters = dedup.dup_clusters(pairs)
+    kept = dedup.dedup_keep_per_cluster(docs, clusters)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 2 and 3 collapse into representative 1; 4 and 5 untouched
+    assert ids == [1, 4, 5]
