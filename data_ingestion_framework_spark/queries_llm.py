@@ -284,6 +284,41 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS): minimum md5(k-gram) per sliding window
+# over normalized text. md5 hex + lexicographic min gives identical
+# semantics in both engines, so the whole operator sits under the
+# value-hash gate. k=8, window=25.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "text_winnowing_fingerprints",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    kh AS (
+      SELECT doc_id,
+             [md5(substring(t, i, 8))
+              for i in generate_series(1, greatest(length(t) - 7, 1))] AS h
+      FROM n
+    ),
+    fps AS (
+      SELECT doc_id,
+             list_distinct([
+               list_min(h[i:i+24])
+               for i in generate_series(1, greatest(len(h) - 24, 1))
+             ]) AS f
+      FROM kh
+    )
+    SELECT doc_id, UNNEST(f) AS fingerprint FROM fps
+    """,
+)
+def text_winnowing_fingerprints(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.winnowing_fingerprints(docs, k=8, window=25)
+
+
+# ---------------------------------------------------------------------------
 # Duplicate clustering: connected components over the (deterministic)
 # blocked-Jaccard pair graph — the transitive keep-one-per-cluster step.
 # Spark runs iterative min-label propagation (operators/dedup.py

@@ -192,3 +192,23 @@ def test_dedup_keep_per_cluster(spark):
     ids = sorted(r["doc_id"] for r in kept.collect())
     # 2 and 3 collapse into representative 1; 4 and 5 untouched
     assert ids == [1, 4, 5]
+
+
+def test_winnowing_fingerprints_overlap(spark):
+    from data_ingestion_framework_spark.operators.text import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog and runs far away"),
+            Row(doc_id=2, text="PREFIX the quick brown fox jumps over the lazy dog and runs far away"),
+            Row(doc_id=3, text="completely different content here with nothing shared at all ok"),
+        ]
+    )
+    fps = winnowing_fingerprints(docs, k=8, window=10).collect()
+    by = {}
+    for r in fps:
+        by.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    # winnowing guarantee: long shared substrings share fingerprints
+    # even when one doc is shifted by a prefix
+    assert len(by[1] & by[2]) >= 5
+    assert not (by[1] & by[3])
