@@ -199,3 +199,120 @@ def lsh_cosine_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# -- IVF (inverted-file) ANN -------------------------------------------------
+
+def _centroid_literal(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def _nearest_cells(vec_col: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids by cosine (ties on
+    cell id). Centroids are expression literals — evaluated scan-side,
+    nothing broadcast except the plan itself."""
+    dv = _to_double(vec_col)
+    scored = F.array(
+        *[
+            F.struct(
+                (-F.round(cosine(dv, _centroid_literal(c)), 6)).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cell"]
+    )
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means centroids for the IVF index.
+
+    Init: the ``n_cells`` corpus vectors with the lowest
+    ``xxhash64(id)`` (a deterministic pseudo-random sample — no RNG
+    state, stable across runs). Each Lloyd iteration assigns rows to
+    their nearest centroid scan-side and recomputes means via
+    ``posexplode → groupBy(cell, pos) → avg``: the only driver-side
+    data is the (n_cells × dim) centroid table itself — control-plane
+    sized by construction, never the corpus."""
+    seed_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    for _ in range(iters):
+        # two selects: a generator (posexplode) in the same projection
+        # as the struct-lambda assignment makes Spark's generator
+        # rewrite canonicalize the struct field names away
+        # (FIELD_NOT_FOUND on `cell`)
+        assigned = corpus.select(
+            _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
+            vec_col,
+        ).select(
+            "__cell", F.posexplode(_to_double(F.col(vec_col))).alias("__pos", "__x")
+        )
+        means = (
+            assigned.groupBy("__cell", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["__cell"], {})[r["__pos"]] = r["__m"]
+        centroids = [
+            [by_cell[c][p] for p in sorted(by_cell[c])] if c in by_cell else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their nearest
+    centroid's cell; each query probes its ``nprobe`` nearest cells and
+    scores only those cells' members (equi-join on cell id). The 100 TB
+    shape: cost scales with |corpus| × nprobe / n_cells instead of
+    |corpus| × |queries|, and the cell assignment is a pure scan-side
+    expression — the index "build" ships no data anywhere."""
+    c = corpus.withColumn(
+        "__cell", _nearest_cells(F.col(vec_col), centroids, 1)[0]
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_nearest_cells(F.col(vec_col), centroids, nprobe)).alias("__cell"),
+    )
+    scored = c.join(F.broadcast(q), "__cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col("__qv"), F.col(vec_col)), round_to).alias("cos_sim"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    # no dedup needed: a corpus row lives in exactly one cell and a
+    # query's probed cells are distinct, so (q, doc) appears at most once
+    return (
+        scored.where(F.col(query_id_col) != F.col(id_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -364,6 +364,22 @@ def dedup_cluster_assign(spark, sf_dir):
     return dedup.dup_clusters(pairs)
 
 
+# ---------------------------------------------------------------------------
+# IVF approximate top-k — the inverted-file ANN scale path (centroid
+# build is deterministic k-means, so the result IS reproducible, but
+# the Lloyd iterations aren't worth porting to SQL: rows-only driver
+# check; recall vs brute force is pinned in tests).
+# ---------------------------------------------------------------------------
+@bench_query("similarity_ivf_topk")
+def similarity_ivf_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_train_centroids(emb, n_cells=8, iters=2)
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_cosine_topk(
+        emb, queries, centroids, k=10, nprobe=4
+    ).select("q_id", "vec_id", "cos_sim")
+
+
 @bench_query("similarity_lsh_topk")
 def similarity_lsh_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")

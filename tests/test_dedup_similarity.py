@@ -212,3 +212,36 @@ def test_winnowing_fingerprints_overlap(spark):
     # even when one doc is shifted by a prefix
     assert len(by[1] & by[2]) >= 5
     assert not (by[1] & by[3])
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    import math
+
+    from data_ingestion_framework_spark.operators import similarity as sim
+
+    # three well-separated clusters in 8-d, 30 vectors each
+    def vec(center, j):
+        return [c + 0.01 * math.sin(j * (i + 1)) for i, c in enumerate(center)]
+
+    centers = [
+        [1, 0, 0, 0, 1, 0, 0, 0],
+        [0, 1, 0, 1, 0, 0, 1, 0],
+        [0, 0, 1, 0, 0, 1, 0, 1],
+    ]
+    rows = [
+        Row(vec_id=c * 100 + j, embedding=vec(center, j))
+        for c, center in enumerate(centers)
+        for j in range(30)
+    ]
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.where(F.col("vec_id").isin([0, 100, 200]))
+
+    centroids = sim.ivf_train_centroids(corpus, n_cells=3, iters=2)
+    assert len(centroids) == 3 and len(centroids[0]) == 8
+
+    exact = sim.cosine_topk(corpus, queries, k=10)
+    approx = sim.ivf_cosine_topk(corpus, queries, centroids, k=10, nprobe=1)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    # clusters are separated, so even nprobe=1 recovers the exact top-k
+    assert len(a & e) / len(e) >= 0.9
