@@ -24,9 +24,19 @@ from data_ingestion_framework_spark.operators.transforms import normalize_column
 
 def snapshot_schema(spark: SparkSession, path: str, fmt: str, options: dict | None = None):
     """Schema snapshot from a zero-row batch read of the same path
-    (streaming_readers.py:44-51)."""
+    (streaming_readers.py:44-51).
+
+    Parquet snapshots force ``mergeSchema``: default parquet inference
+    reads ONE footer picked arbitrarily, so a landing directory whose
+    newest files widened the schema would (non-deterministically) miss
+    the new columns. Footer-merge cost is proportional to the landing
+    directory's file count — at very large scale pass an explicit
+    ``schema`` (or use ``schema_location``'s registry) instead."""
+    options = dict(options or {})
+    if fmt == "parquet":
+        options.setdefault("mergeSchema", "true")
     return (
-        spark.read.options(**(options or {})).format(fmt).load(path).limit(0).schema
+        spark.read.options(**options).format(fmt).load(path).limit(0).schema
     )
 
 
