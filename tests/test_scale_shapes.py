@@ -129,3 +129,25 @@ def test_salted_join_correctness(spark):
 
     counts = {r["k"]: r["n"] for r in salted_count_per_key(big, ["k"], 4).collect()}
     assert counts[0] == 901  # 900 from i%10!=0 plus i=0 itself
+
+
+def test_winnowing_is_shuffle_free(spark):
+    """winnowing_fingerprints claims one narrow projection — no
+    Exchange may appear anywhere in its plan."""
+    from data_ingestion_framework_spark.operators.text import winnowing_fingerprints
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="abcdefghij" * 5)])
+    plan = _plan(winnowing_fingerprints(docs, k=8, window=10))
+    assert "Exchange" not in plan
+
+
+def test_minhash_signatures_single_exchange(spark):
+    """The signature fold must shuffle exactly once (the doc-id
+    repartition barrier) — the explode->groupBy shape it replaced
+    shuffled per-shingle partial aggregates."""
+    from data_ingestion_framework_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="abcdefghij" * 5)])
+    plan = _plan(minhash_signatures(docs))
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" not in plan
