@@ -373,6 +373,61 @@ class ParquetTable:
             dict(metrics or {}, touched_partitions=touched),
         )
 
+    # -- incremental reads ---------------------------------------------------
+    def read_since(self, seq: int) -> DataFrame:
+        """Rows appended after commit ``seq`` — the commit-log
+        incremental read (Delta Change Data Feed's insert-only subset).
+        File-level increments are only sound while every later commit is
+        file-additive, so any overwrite/compact after ``seq`` raises:
+        fall back to ``read()`` (or ``changed_partitions_since`` for
+        partition-scoped merges) there. Cost is proportional to the new
+        files, never the table."""
+        hist = self.history()
+        if not any(r["seq"] == seq for r in hist):
+            raise ValueError(f"no commit {seq} in log for {self.path}")
+        newer = [r for r in hist if r["seq"] > seq]
+        bad = [r for r in newer if r["op"] not in ("append", "create")]
+        if bad:
+            raise ValueError(
+                f"read_since({seq}) unsound: commit {bad[0]['seq']} is "
+                f"{bad[0]['op']!r} (not file-additive) — read() instead"
+            )
+        base = set(next(r["files"] for r in hist if r["seq"] == seq))
+        latest = hist[-1]["files"]
+        new = [f for f in latest if f not in base]
+        if not new:
+            return self.read().limit(0)
+        r = self.spark.read
+        if self.partition_by:
+            r = r.option("basePath", self.path)
+        return r.parquet(*[os.path.join(self.path, f) for f in new])
+
+    def changed_partitions_since(self, seq: int) -> list[str]:
+        """Partition dirs touched by any commit after ``seq`` — drives
+        incremental downstream rebuilds over partition-scoped merge
+        commits (each ``overwrite_partitions`` records its touched set
+        in the commit metrics; appends contribute the partitions of
+        their new files)."""
+        hist = self.history()
+        if not any(r["seq"] == seq for r in hist):
+            raise ValueError(f"no commit {seq} in log for {self.path}")
+        by_seq = {r["seq"]: r["files"] for r in hist}
+        touched: set[str] = set()
+        for r in hist:
+            if r["seq"] <= seq:
+                continue
+            recorded = r.get("metrics", {}).get("touched_partitions")
+            if recorded is not None:
+                touched.update(recorded)
+            else:
+                prev = set(by_seq.get(r["seq"] - 1, []))
+                for f in r["files"]:
+                    if f not in prev:
+                        d = os.path.dirname(f)
+                        if d and d != ".":
+                            touched.add(d)
+        return sorted(touched)
+
     def compact(self, target_files: int | None = None) -> None:
         """Small-file compaction — the engine's ``OPTIMIZE`` parity
         (writers/writer.py:276-281 runs ``OPTIMIZE`` every 101st

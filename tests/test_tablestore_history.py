@@ -119,3 +119,33 @@ def test_compact_is_a_logged_commit(spark, tpath):
     assert t.history()[-1]["op"] == "compact"
     # time travel across compaction still works (same rows, old files)
     assert t.as_of(1).count() == 10
+
+
+def test_read_since_appends_only_new_rows(spark, tpath):
+    t = ParquetTable(spark, tpath)
+    t.overwrite(spark.createDataFrame([Row(pk=1), Row(pk=2)]))
+    seq1 = t.history()[-1]["seq"]
+    t.append(spark.createDataFrame([Row(pk=3)]))
+    t.append(spark.createDataFrame([Row(pk=4), Row(pk=5)]))
+    got = sorted(r["pk"] for r in t.read_since(seq1).collect())
+    assert got == [3, 4, 5]
+    # since the latest commit: empty frame, same schema
+    latest = t.history()[-1]["seq"]
+    assert t.read_since(latest).count() == 0
+    # an overwrite breaks file-additivity -> loud error, not wrong rows
+    t.overwrite(t.read().where(F.col("pk") != 3))
+    with pytest.raises(ValueError, match="not file-additive"):
+        t.read_since(seq1)
+
+
+def test_changed_partitions_since(spark, tpath):
+    t = ParquetTable(spark, tpath, partition_by=["p"])
+    t.overwrite(
+        spark.createDataFrame([Row(pk=1, p="a"), Row(pk=2, p="b")])
+    )
+    seq1 = t.history()[-1]["seq"]
+    # partition-scoped merge touches only p=b; append adds p=c
+    t.overwrite_partitions(spark.createDataFrame([Row(pk=20, p="b")]))
+    t.append(spark.createDataFrame([Row(pk=30, p="c")]))
+    assert t.changed_partitions_since(seq1) == ["p=b", "p=c"]
+    assert t.changed_partitions_since(t.history()[-1]["seq"]) == []
