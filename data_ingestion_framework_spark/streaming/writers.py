@@ -22,7 +22,6 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 
-from data_ingestion_framework_spark.operators import scd
 from data_ingestion_framework_spark.sources.tablestore import ParquetTable
 
 
@@ -69,20 +68,29 @@ def foreach_batch_scd_merge(
 
     ``transform`` runs inside the callback (per-micro-batch projection,
     e.g. the silver transformation queue).
+
+    The commit goes through ``batch_write(mode="merge")``, so a
+    key-hash-bucketed target gets the partition-scoped commit path —
+    each micro-batch reads and rewrites only the buckets it touches
+    (O(touched data), the property that keeps a long-running stream
+    from rewriting the whole table every trigger) — and an unbucketed
+    target gets the staged full-state swap.
     """
+    from data_ingestion_framework_spark.sinks.writers import batch_write
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         if transform is not None:
             batch_df = transform(batch_df)
         batch_df = batch_df.drop("_metadata")
-        target = table.read() if table.exists() else None
-        apply = scd.scd1_apply if scd_type == 1 else scd.scd2_apply
-        new_state = apply(
-            target, batch_df, key_cols, order_col, full_extract=full_extract
+        batch_write(
+            batch_df,
+            table,
+            mode="merge",
+            key_cols=key_cols,
+            order_col=order_col,
+            scd_type=scd_type,
+            full_extract=full_extract,
         )
-        # Materialized commit: staging write + directory swap (the
-        # Delta MERGE stand-in; see sources/tablestore.py docstring).
-        table.overwrite(new_state)
 
     writer = (
         df.writeStream.foreachBatch(_upsert)

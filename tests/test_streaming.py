@@ -187,3 +187,32 @@ def test_stateful_running_counts(spark, tmp_path):
     )
     # two micro-batches → running state (1, 2.5) then (2, 5.0)
     assert (rows[-1]["n"], rows[-1]["total"]) == (2, 5.0)
+
+
+def test_foreach_batch_merge_bucketed_partition_scoped(spark, tmp_path):
+    """A bucketed streaming target commits partition-scoped: the second
+    micro-batch run rewrites only the buckets its keys hash into."""
+    from data_ingestion_framework_spark.sinks.writers import BUCKET_COL, batch_write
+
+    table = ParquetTable(spark, str(tmp_path / "silver_b"), partition_by=[BUCKET_COL])
+    initial = spark.createDataFrame(
+        [Row(pk=i, val=f"v{i}", mtime=T) for i in range(100)],
+        "pk int, val string, mtime timestamp",
+    )
+    batch_write(initial, table, mode="merge", key_cols=["pk"], order_col="mtime",
+                scd_type=1, num_buckets=8)
+
+    landing = _stage_files(
+        spark,
+        tmp_path / "landing_b",
+        [[Row(pk=3, val="v3b", mtime=T + dt.timedelta(days=1))]],
+    )
+    stream = read_file_stream(spark, landing, "parquet", control_columns=False)
+    foreach_batch_scd_merge(
+        stream, table, ["pk"], "mtime", str(tmp_path / "ckpt_b"), scd_type=1
+    )
+    last = table.history()[-1]
+    assert last["op"] == "overwrite_partitions"
+    assert len(last["metrics"]["touched_partitions"]) == 1
+    got = {r["pk"]: r["val"] for r in table.read().collect()}
+    assert got[3] == "v3b" and got[4] == "v4" and len(got) == 100
