@@ -66,6 +66,8 @@ class PipelineBuilder:
         )
         #: bronze cursor (builder/engine.py:166-167)
         self.bronze_row_creation_time: dt.datetime | None = None
+        #: commit-seq cursor set by _run_bronze ("fresh" = new table)
+        self._bronze_cursor: int | str | None = None
 
     # -- stages --------------------------------------------------------------
     def read(self) -> DataFrame:
@@ -154,26 +156,43 @@ class PipelineBuilder:
                     w.checkpoint_location or f"{w.path}__ckpt",
                 )
             else:
-                ParquetTable(self.spark, w.path, w.partition_by or None).append(df)
+                t = ParquetTable(self.spark, w.path, w.partition_by or None)
+                # remember the pre-append commit so silver can read
+                # exactly this run's files (commit cursor); "fresh"
+                # means the table didn't exist yet — everything is new
+                hist = t.history()
+                self._bronze_cursor = hist[-1]["seq"] if hist else "fresh"
+                t.append(df)
             if self.audit:
                 self.audit.log(w.path, "append", {"layer": "bronze"})
 
     def _run_silver(self) -> None:
         """Incremental bronze→silver merge (engine.py:183-221): only
-        rows ingested by this run (cursor filter — partition-prunes when
-        bronze is partitioned on the cursor)."""
+        rows ingested by this run. Primary cursor is the bronze COMMIT
+        (``read_since`` — scans exactly the files this run appended,
+        O(new data)); the ``row_creation_time`` filter is the fallback
+        when no commit cursor exists (streaming bronze, foreign tables)
+        — that one scans bronze and prunes only if partitioned on the
+        cursor column."""
         c = self.config
         silver_writes = c.writes_for_layer("silver")
         if not silver_writes:
             return
         bronze_writes = c.writes_for_layer("bronze")
         if bronze_writes:
-            df = ParquetTable(self.spark, bronze_writes[0].path).read()
-            if self.bronze_row_creation_time is not None:
-                df = df.where(
-                    F.col("row_creation_time")
-                    >= F.lit(self.bronze_row_creation_time)
-                )
+            t = ParquetTable(self.spark, bronze_writes[0].path)
+            cursor = getattr(self, "_bronze_cursor", None)
+            if cursor == "fresh":
+                df = t.read()  # table born this run: everything is new
+            elif cursor is not None:
+                df = t.read_since(cursor)
+            else:
+                df = t.read()
+                if self.bronze_row_creation_time is not None:
+                    df = df.where(
+                        F.col("row_creation_time")
+                        >= F.lit(self.bronze_row_creation_time)
+                    )
         else:
             df = self.read()  # no bronze layer: direct source → silver
         df = self.transform(df)
