@@ -200,3 +200,72 @@ def winnowing_fingerprints(
         )[0]
     )
     return df.select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+
+
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document-quality filters (Rae et al. 2021, public
+    heuristics): per-document metrics + pass/fail flags, all as one
+    narrow JVM projection (tokenization and line splits are array
+    expressions — no UDF, no shuffle).
+
+    Metrics/rules (the paper's thresholds):
+      - word count in [50, 100000]
+      - mean word length in [3, 10]
+      - symbol-to-word ratio ('#' or '...') <= 0.1
+      - fraction of words with an alphabetic character >= 0.8
+      - at least 2 canonical stopwords
+    The overall ``gopher_pass`` is the conjunction. Ratios are rounded
+    to 4 decimals so the operator is oracle-portable.
+    """
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    n_words = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(words))
+    mean_wl = F.when(
+        n_words > 0,
+        F.round(
+            F.aggregate(
+                words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+            ).cast("double")
+            / n_words,
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    n_hash = F.size(F.split(t, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(t, r"\.\.\.", -1)) - 1
+    symbol_ratio = F.when(
+        n_words > 0, F.round((n_hash + n_ellipsis) / n_words.cast("double"), 4)
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.round(
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+            / n_words.cast("double"),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    lower_words = F.transform(words, lambda w: F.lower(w))
+    stop_count = F.size(
+        F.filter(lower_words, lambda w: w.isin(_GOPHER_STOPWORDS))
+    )
+    out = df.withColumns(
+        {
+            "n_words": n_words.cast("bigint"),
+            "mean_word_len": mean_wl,
+            "symbol_word_ratio": symbol_ratio,
+            "alpha_word_frac": alpha_frac,
+            "stopword_count": stop_count.cast("bigint"),
+        }
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("stopword_count") >= 2),
+    )

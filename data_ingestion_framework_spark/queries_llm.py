@@ -284,6 +284,59 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Gopher quality filters (Rae et al. 2021 public heuristics): word
+# count, mean word length, symbol ratio, alphabetic-word fraction,
+# stopword count, and the conjunction gate — all mirrored in DuckDB.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "text_gopher_flags",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS words,
+             trim(text) AS t
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN length(t) = 0 THEN 0 ELSE len(words) END AS n_words,
+             CASE WHEN length(t) = 0 OR len(words) = 0 THEN 0.0
+                  ELSE ROUND(CAST(list_sum([length(x) for x in words]) AS DOUBLE)
+                             / len(words), 4) END AS mean_word_len,
+             CASE WHEN length(t) = 0 OR len(words) = 0 THEN 0.0
+                  ELSE ROUND(CAST((len(string_split(t, '#')) - 1)
+                                  + (len(string_split(t, '...')) - 1) AS DOUBLE)
+                             / len(words), 4) END AS symbol_word_ratio,
+             CASE WHEN length(t) = 0 OR len(words) = 0 THEN 0.0
+                  ELSE ROUND(CAST(len(list_filter(words,
+                                     x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                             / len(words), 4) END AS alpha_word_frac,
+             len(list_filter([lower(x) for x in words],
+                 x -> x IN ('the','be','to','of','and','that','have','with')))
+               AS stopword_count
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           mean_word_len, symbol_word_ratio, alpha_word_frac,
+           CAST(stopword_count AS BIGINT) AS stopword_count,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND symbol_word_ratio <= 0.1
+            AND alpha_word_frac >= 0.8
+            AND stopword_count >= 2) AS gopher_pass
+    FROM m
+    """,
+)
+def text_gopher_flags(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.gopher_quality_flags(docs).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "alpha_word_frac", "stopword_count", "gopher_pass",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints (MOSS): minimum md5(k-gram) per sliding window
 # over normalized text. md5 hex + lexicographic min gives identical
 # semantics in both engines, so the whole operator sits under the

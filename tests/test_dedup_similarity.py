@@ -245,3 +245,22 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
     # clusters are separated, so even nprobe=1 recovers the exact top-k
     assert len(a & e) / len(e) >= 0.9
+
+
+def test_gopher_quality_flags(spark):
+    from data_ingestion_framework_spark.operators.text import gopher_quality_flags
+
+    good = ("the data is prepared to be of use and that pipelines have "
+            "run with care in every stage of processing today ") * 3
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),                    # passes all gates
+            Row(doc_id=2, text="too short of a doc"),    # word count < 50
+            Row(doc_id=3, text=("### " * 60)),           # symbols, no alpha, no stopwords
+        ]
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert rows[1]["gopher_pass"] is True
+    assert rows[2]["gopher_pass"] is False and rows[2]["n_words"] < 50
+    assert rows[3]["gopher_pass"] is False
+    assert rows[3]["alpha_word_frac"] == 0.0 and rows[3]["symbol_word_ratio"] > 0.1
