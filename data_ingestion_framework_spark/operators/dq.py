@@ -168,3 +168,65 @@ def quarantine_split(df_with_flags: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split into (valid, quarantined) on the flag column — downstream of
     the reference's flag stamping; both frames share the parent plan."""
     return df_with_flags.where(F.col(VALID_FLAG)), df_with_flags.where(~F.col(VALID_FLAG))
+
+
+# -- dataset-level checks ----------------------------------------------------
+
+def freshness_check(
+    df: DataFrame,
+    ts_col: str,
+    max_age_seconds: int,
+    now=None,
+) -> dict:
+    """Table-level freshness gate: is the newest ``ts_col`` within
+    ``max_age_seconds`` of ``now``? One MAX aggregation (pushes to
+    column statistics where the format carries them). Returns
+    ``{ok, max_ts, lag_seconds}`` — dataset checks report, they don't
+    stamp per-row flags."""
+    ref = (
+        F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    )
+    row = df.select(
+        F.max(F.col(ts_col)).alias("max_ts"),
+        (F.unix_timestamp(ref) - F.unix_timestamp(F.max(F.col(ts_col)))).alias(
+            "lag"
+        ),
+    ).collect()[0]
+    lag = row["lag"]
+    return {
+        "ok": lag is not None and lag <= max_age_seconds,
+        "max_ts": row["max_ts"],
+        "lag_seconds": lag,
+    }
+
+
+def row_count_drift(table, tolerance: float = 0.5) -> dict:
+    """Volume-anomaly gate over the commit log: compares the latest
+    commit's ``rows_written`` to the median of the prior commits of the
+    same op type and flags a relative drift beyond ``tolerance``
+    (|latest - median| / max(median, 1) > tolerance). Control-plane
+    only — reads commit records, never data files. A brand-new table
+    (fewer than 2 comparable commits) reports ``ok=True`` with
+    ``median=None``."""
+    hist = table.history()
+    if not hist:
+        return {"ok": True, "latest": None, "median": None, "drift": None}
+    latest = hist[-1]
+    prior = [
+        r["rows_written"] for r in hist[:-1] if r["op"] == latest["op"]
+    ]
+    if not prior:
+        return {"ok": True, "latest": latest["rows_written"], "median": None,
+                "drift": None}
+    prior.sort()
+    n = len(prior)
+    median = (
+        prior[n // 2] if n % 2 == 1 else (prior[n // 2 - 1] + prior[n // 2]) / 2
+    )
+    drift = abs(latest["rows_written"] - median) / max(median, 1)
+    return {
+        "ok": drift <= tolerance,
+        "latest": latest["rows_written"],
+        "median": median,
+        "drift": round(drift, 4),
+    }

@@ -75,3 +75,39 @@ def test_quarantine_split(spark):
     good, bad = dq.quarantine_split(out)
     assert [r["id"] for r in good.collect()] == [1]
     assert [r["id"] for r in bad.collect()] == [2]
+
+
+def test_freshness_check(spark):
+    import datetime as dt
+
+    from data_ingestion_framework_spark.operators.dq import freshness_check
+
+    now = dt.datetime(2024, 1, 10, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10, 11, 30)), (2, dt.datetime(2024, 1, 9))],
+        "pk int, ts timestamp",
+    )
+    fresh = freshness_check(df, "ts", max_age_seconds=3600, now=now)
+    assert fresh["ok"] is True and fresh["lag_seconds"] == 1800
+    stale = freshness_check(df, "ts", max_age_seconds=60, now=now)
+    assert stale["ok"] is False
+    empty = freshness_check(df.limit(0), "ts", 60, now=now)
+    assert empty["ok"] is False and empty["max_ts"] is None
+
+
+def test_row_count_drift_over_commit_log(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from data_ingestion_framework_spark.operators.dq import row_count_drift
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "drift"))
+    for n in (100, 110, 90):
+        t.append(spark.createDataFrame([Row(pk=i) for i in range(n)]))
+    ok = row_count_drift(t, tolerance=0.5)
+    assert ok["ok"] is True and ok["median"] == 105
+
+    # a 10x batch trips the gate
+    t.append(spark.createDataFrame([Row(pk=i) for i in range(1000)]))
+    bad = row_count_drift(t, tolerance=0.5)
+    assert bad["ok"] is False and bad["latest"] == 1000
