@@ -1,0 +1,62 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Sampling at 100 TB must be reproducible (re-runs and backfills pick the
+SAME rows — no RNG state, no seed-per-partition drift) and cheap (a
+scan-side predicate, no shuffle). Both operators key on an md5 prefix
+of the id: uniform in expectation, stable across engines (md5 hex is
+engine-portable, unlike Spark's ``rand()`` or ``TABLESAMPLE``), and
+composable — a row's membership never changes when the corpus grows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_WIDTH = 8
+_HEX_SPACE = 16 ** _HEX_WIDTH
+
+
+def _threshold_hex(fraction: float) -> str:
+    f = min(max(fraction, 0.0), 1.0)
+    return format(int(f * _HEX_SPACE), f"0{_HEX_WIDTH}x")
+
+
+def hash_bucket_hex(id_col: Column | str, salt: str = "") -> Column:
+    """First 8 hex chars of ``md5(salt || id)`` — the sampling key.
+    Lexicographic comparison of the zero-padded hex equals numeric
+    comparison, so thresholds are plain string literals."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, _HEX_WIDTH)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by id hash: pure scan-side
+    filter (pushes into the source where possible), reproducible across
+    runs/engines, disjoint for disjoint salts. ``salt`` gives
+    independent draws (e.g. train/holdout splits)."""
+    return df.where(hash_bucket_hex(id_col, salt) < F.lit(_threshold_hex(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (domain-mixing weights): each
+    stratum keeps its own fraction, still one scan-side predicate — no
+    shuffle, no per-group passes. Strata absent from ``fractions`` keep
+    ``default_fraction``."""
+    thr = F.lit(_threshold_hex(default_fraction))
+    col = F.col(strata_col)
+    for k, frac in sorted(fractions.items()):
+        thr = F.when(col == k, F.lit(_threshold_hex(frac))).otherwise(thr)
+    return df.where(hash_bucket_hex(id_col, salt) < thr)

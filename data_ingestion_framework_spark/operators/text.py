@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 #: Small deterministic English stopword set for the n-gram/stopword
 #: language heuristic and quality ratios.
@@ -268,4 +269,50 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("symbol_word_ratio") <= 0.1)
         & (F.col("alpha_word_frac") >= 0.8)
         & (F.col("stopword_count") >= 2),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_count_col: Column | None = None,
+    shard_col: Column | str | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs:
+    ``(id, n_tokens, pack_shard, pack_id)``.
+
+    Start-offset packing: within a shard, docs ordered by ``order_col``
+    (default: id) take ``pack_id = floor((cumsum - n_tokens) /
+    budget)`` — each document belongs wholly to the pack where it
+    STARTS, so a pack may overflow by at most one document (the
+    standard best-effort packing used when exact bin-packing isn't
+    worth a sequential pass; truncation/splitting is the tokenizer's
+    job downstream).
+
+    Scale shape: the cumulative sum runs per ``shard_col`` (default:
+    a hash of the id into 32 shards), so the window parallelizes
+    instead of serializing the corpus through one partition — training
+    packs don't care about global order, only that each pack's members
+    are known."""
+    n_tok = (
+        token_count_col if token_count_col is not None else token_count(F.col("text"))
+    )
+    if shard_col is None:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(32)).cast("int")
+    else:
+        shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+    order = F.col(order_col if order_col is not None else id_col)
+    base = df.select(
+        F.col(id_col), n_tok.cast("bigint").alias("n_tokens"),
+        shard.alias("pack_shard"), order.alias("__ord"),
+    )
+    w = W.partitionBy("pack_shard").orderBy(F.col("__ord"), F.col(id_col))
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col,
+        "n_tokens",
+        "pack_shard",
+        F.floor((cum - F.col("n_tokens")) / budget).cast("bigint").alias("pack_id"),
     )

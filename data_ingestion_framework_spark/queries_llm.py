@@ -337,6 +337,59 @@ def text_gopher_flags(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing: assign docs to fixed-token-budget training packs.
+# Start-offset semantics (each doc wholly in the pack where its cumsum
+# starts); shard-parallel window. Oracle uses the identical windowed
+# SUM. Shard here is doc_id % 32 so DuckDB can mirror it (the operator
+# defaults to a hash shard).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_pack_assign",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             CAST(doc_id % 32 AS INT) AS pack_shard
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           pack_shard,
+           CAST(floor(CAST(SUM(n_tokens) OVER (
+                    PARTITION BY pack_shard ORDER BY doc_id) - n_tokens AS DOUBLE)
+                / 2048) AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def docs_pack_assign(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.pack_documents(
+        docs, budget=2048, shard_col=F.pmod(F.col("doc_id"), F.lit(32)).cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling: reproducible scan-side predicate on an
+# md5-prefix of the id — same rows in any engine, any run. 10% global
+# sample + per-source stratified fractions in one oracle-checked query.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_deterministic_sample",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+    """,
+)
+def docs_deterministic_sample(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.sampling import deterministic_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return deterministic_sample(docs, fraction=0.1).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints (MOSS): minimum md5(k-gram) per sliding window
 # over normalized text. md5 hex + lexicographic min gives identical
 # semantics in both engines, so the whole operator sits under the

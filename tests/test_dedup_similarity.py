@@ -264,3 +264,51 @@ def test_gopher_quality_flags(spark):
     assert rows[2]["gopher_pass"] is False and rows[2]["n_words"] < 50
     assert rows[3]["gopher_pass"] is False
     assert rows[3]["alpha_word_frac"] == 0.0 and rows[3]["symbol_word_ratio"] > 0.1
+
+
+def test_pack_documents_budget_semantics(spark):
+    from data_ingestion_framework_spark.operators.text import pack_documents
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * 600)) for i in range(1, 7)]
+    )
+    out = pack_documents(
+        docs, budget=1000, shard_col=F.lit(0)
+    ).collect()
+    by_id = {r["doc_id"]: r["pack_id"] for r in out}
+    # 600-token docs, budget 1000, start-offset packing:
+    # starts at 0,600,1200,1800,2400,3000 -> packs 0,0,1,1,2,3
+    assert by_id == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 3}
+    # every doc wholly assigned; packs overflow by at most one doc
+    totals = {}
+    for r in out:
+        totals[r["pack_id"]] = totals.get(r["pack_id"], 0) + r["n_tokens"]
+    assert all(t <= 1000 + 600 for t in totals.values())
+
+
+def test_deterministic_sample_reproducible_and_stratified(spark):
+    from data_ingestion_framework_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, grp="a" if i % 2 == 0 else "b") for i in range(1000)]
+    )
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, 0.2).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(docs, 0.2).collect()}
+    assert s1 == s2 and 120 <= len(s1) <= 280  # reproducible, ~20%
+    # growing the corpus never changes membership of existing rows
+    bigger = spark.createDataFrame(
+        [Row(doc_id=i, grp="a") for i in range(2000)]
+    )
+    s3 = {r["doc_id"] for r in deterministic_sample(bigger, 0.2).collect()}
+    assert s1 == {i for i in s3 if i < 1000}
+    # disjoint salts give independent draws
+    alt = {r["doc_id"] for r in deterministic_sample(docs, 0.2, salt="v2").collect()}
+    assert alt != s1
+    # stratified: group a keeps ~40%, group b dropped
+    st = stratified_sample(docs, {"a": 0.4}, "grp")
+    rows = st.collect()
+    assert all(r["grp"] == "a" for r in rows)
+    assert 120 <= len(rows) <= 280  # ~40% of 500
