@@ -316,3 +316,68 @@ def pack_documents(
         "pack_shard",
         F.floor((cum - F.col("n_tokens")) / budget).cast("bigint").alias("pack_id"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher repetition filters: ``(id, dup_line_frac,
+    top_bigram_share, repetition_pass)``.
+
+    - ``dup_line_frac``: fraction of non-blank lines that are repeats of
+      an earlier line — computed narrowly from the per-doc line array
+      (``1 - distinct/size``), no shuffle.
+    - ``top_bigram_share``: the most frequent word bigram's share of all
+      bigram occurrences. Deliberately explode → groupBy(doc, gram) →
+      per-doc max: linear in corpus size with one shuffle — the per-doc
+      quadratic ``filter(count)`` alternative blows up on long
+      documents, which is exactly where repetition filters matter.
+    Thresholds (paper): dup_line_frac <= 0.3, top_bigram_share <= 0.2.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    dup_line_frac = F.when(
+        F.size(lines) > 0,
+        F.round(
+            (F.size(lines) - F.size(F.array_distinct(lines)))
+            / F.size(lines).cast("double"),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    base = df.select(
+        F.col(id_col),
+        dup_line_frac.alias("dup_line_frac"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    )
+    # Guard: a <2-word doc has no bigrams (sequence(1,0) would descend),
+    # and explode_outer keeps it alive with a NULL gram so its share
+    # aggregates to 0.0 instead of the doc silently vanishing.
+    gram_arr = F.when(
+        F.size("__w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__w") - 1),
+            lambda i: F.concat_ws(" ", F.col("__w")[i - 1], F.col("__w")[i]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        id_col, "dup_line_frac", F.explode_outer(gram_arr).alias("__g")
+    )
+    counts = grams.groupBy(id_col, "dup_line_frac", "__g").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    real = F.when(F.col("__g").isNotNull(), F.col("__n"))
+    shares = counts.groupBy(id_col, "dup_line_frac").agg(
+        F.coalesce(
+            F.round(F.max(real) / F.sum(real).cast("double"), 4), F.lit(0.0)
+        ).alias("top_bigram_share")
+    )
+    return shares.select(
+        id_col,
+        "dup_line_frac",
+        "top_bigram_share",
+        (
+            (F.col("dup_line_frac") <= 0.3) & (F.col("top_bigram_share") <= 0.2)
+        ).alias("repetition_pass"),
+    )

@@ -337,6 +337,56 @@ def text_gopher_flags(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Gopher repetition filters (part 2): duplicate-line fraction (narrow
+# array expression) + top-bigram share (linear explode -> groupBy; the
+# per-doc quadratic alternative dies on long documents). DuckDB mirrors
+# the guarded bigram list and the LEFT JOIN restores <2-word docs at
+# share 0.0, matching Spark's explode_outer + conditional agg.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "text_repetition_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        l -> trim(l)),
+                         l -> length(l) > 0) AS lines,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS words
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CASE WHEN len(lines) > 0
+                  THEN round((len(lines) - len(list_distinct(lines)))
+                             / CAST(len(lines) AS DOUBLE), 4)
+                  ELSE 0.0 END AS dup_line_frac,
+             CASE WHEN len(words) >= 2
+                  THEN [words[i] || ' ' || words[i + 1]
+                        for i in range(1, len(words))]
+                  ELSE [] END AS grams
+      FROM d
+    ), c AS (
+      SELECT doc_id, gram, count(*) AS n
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM m)
+      GROUP BY doc_id, gram
+    ), s AS (
+      SELECT doc_id, round(max(n) / CAST(sum(n) AS DOUBLE), 4) AS share
+      FROM c GROUP BY doc_id
+    )
+    SELECT m.doc_id,
+           m.dup_line_frac,
+           coalesce(s.share, 0.0) AS top_bigram_share,
+           (m.dup_line_frac <= 0.3
+            AND coalesce(s.share, 0.0) <= 0.2) AS repetition_pass
+    FROM m LEFT JOIN s ON m.doc_id = s.doc_id
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.repetition_stats(docs)
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing: assign docs to fixed-token-budget training packs.
 # Start-offset semantics (each doc wholly in the pack where its cumsum
 # starts); shard-parallel window. Oracle uses the identical windowed

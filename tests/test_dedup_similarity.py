@@ -312,3 +312,29 @@ def test_deterministic_sample_reproducible_and_stratified(spark):
     rows = st.collect()
     assert all(r["grp"] == "a" for r in rows)
     assert 120 <= len(rows) <= 280  # ~40% of 500
+
+
+def test_repetition_stats_semantics(spark):
+    from data_ingestion_framework_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 non-blank lines, 2 distinct -> dup_line_frac 0.5 (fails)
+            Row(doc_id=1, text="alpha beta\ngamma delta\nalpha beta\ngamma delta"),
+            # dominant bigram: "buy now" repeated -> share > 0.2 (fails)
+            Row(doc_id=2, text="buy now " * 20 + "once only here"),
+            # varied prose -> passes both gates
+            Row(doc_id=3, text="the quick brown fox jumps over a lazy dog today"),
+            # single word: no bigrams -> share 0.0, passes
+            Row(doc_id=4, text="hello"),
+            # empty text: no lines, no bigrams -> 0.0/0.0, passes
+            Row(doc_id=5, text=""),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert len(rows) == 5  # short/empty docs survive explode_outer
+    assert rows[1]["dup_line_frac"] == 0.5 and rows[1]["repetition_pass"] is False
+    assert rows[2]["top_bigram_share"] > 0.2 and rows[2]["repetition_pass"] is False
+    assert rows[3]["repetition_pass"] is True
+    assert rows[4]["top_bigram_share"] == 0.0 and rows[4]["repetition_pass"] is True
+    assert rows[5]["dup_line_frac"] == 0.0 and rows[5]["repetition_pass"] is True
