@@ -1,0 +1,179 @@
+"""Corpus-cleaning operators for training-data pipelines: benchmark
+decontamination, PII redaction, and boilerplate-line removal.
+
+Beyond-reference surface (BASELINE.json north star). All three are
+pure DataFrame programs: redaction is a narrow projection (pipelines
+with the parquet scan, zero shuffles); decontamination and boilerplate
+removal each cost the minimal shuffles their semantics require, and
+the shuffled payloads are hashes/lines — never whole documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+__all__ = [
+    "decontaminate",
+    "redact_pii",
+    "remove_boilerplate_lines",
+    "PII_PATTERNS",
+]
+
+
+def _word_gram_hashes(text: Column, n: int) -> Column:
+    """Distinct md5 hashes of word n-grams of the normalized text.
+
+    md5 (not xxhash64) so the operator is oracle-portable; the hash —
+    not the gram text — is what crosses the exchange. Documents shorter
+    than ``n`` words contribute no grams (an eval answer can't be
+    "contained" in a shorter fragment).
+    """
+    words = F.split(normalize_text(text), " ")
+    k = F.size(words)
+    return F.when(
+        k >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k - n + 1),
+                lambda i: F.md5(F.array_join(F.slice(words, i, n), " ")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM procedure): flag every
+    training document that shares at least one word ``n``-gram with the
+    benchmark/eval set. Returns ``(id, n_contaminated_grams,
+    contaminated)`` — one row per input document.
+
+    Scale shape: the benchmark's distinct gram hashes are a *small*
+    relation (eval sets are KBs against a 100 TB corpus) and are
+    broadcast; the corpus side explodes to ``(id, gram_hash)`` and
+    inner-joins map-side — no corpus-wide shuffle. The per-doc count
+    then aggregates on ``id`` (partial map-side combine), and a final
+    broadcast-back of the *contaminated id set* would be wrong at scale
+    (it can be large), so the flag rejoins on the id key instead.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(_word_gram_hashes(F.col(bench_text_col), n)).alias("__g")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(_word_gram_hashes(F.col(text_col), n)).alias("__g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_grams", F.lit(0)).cast("bigint").alias(
+                "n_contaminated_grams"
+            ),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+#: Redaction patterns, applied in order. RE2-compatible (no lookarounds,
+#: no backrefs) so Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+#: URLs first — an email-shaped substring inside a URL redacts as URL.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / URLs / IPv4s / phone-shaped numbers, adding
+    ``redacted_text`` plus per-kind match counts (``n_url``, ``n_email``,
+    ``n_ipv4``, ``n_phone``).
+
+    One narrow projection — regexp_replace chains JVM-side inside
+    whole-stage codegen, so at 100 TB this is scan-speed. Counts are
+    taken on the *working* text at each stage (after earlier patterns
+    applied), so a URL containing an email counts once, as a URL —
+    mirroring exactly what the replacement does.
+    """
+    work = F.col(text_col)
+    counts: dict[str, Column] = {}
+    for kind, pattern, token in PII_PATTERNS:
+        counts[f"n_{kind}"] = (
+            F.size(F.regexp_extract_all(work, F.lit(pattern), 0)).cast("bigint")
+        )
+        work = F.regexp_replace(work, pattern, token)
+    return df.withColumns({**counts, "redacted_text": work})
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove corpus-frequent (boilerplate) lines: any line whose
+    trimmed form occurs in >= ``min_docs`` *distinct* documents is
+    dropped from every document. Returns ``(id, clean_text,
+    n_removed_lines)``.
+
+    The C4/RefinedWeb-style structural dedup: headers, footers, nav
+    bars and cookie banners repeat across pages and survive
+    document-level dedup. Shape: posexplode lines → count distinct
+    docs per line (one shuffle, line-keyed, partial-agg) → mark →
+    reassemble per doc ordered by position (second shuffle, id-keyed).
+    Blank lines are never counted or removed (they're structure, not
+    boilerplate).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__key", F.trim(F.col("__line")))
+    freq = (
+        lines.where(F.length("__key") > 0)
+        .groupBy("__key")
+        .agg(F.count_distinct(id_col).alias("__docs"))
+        .where(F.col("__docs") >= min_docs)
+        .select("__key")
+    )
+    marked = lines.join(
+        freq.withColumn("__boiler", F.lit(True)), "__key", "left"
+    )
+    kept = F.filter(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__pos"),
+                    F.col("__line"),
+                    F.coalesce("__boiler", F.lit(False)).alias("__b"),
+                )
+            )
+        ),
+        lambda s: ~s["__b"],
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(F.transform(kept, lambda s: s["__line"]), "\n").alias(
+            "clean_text"
+        ),
+        F.sum(F.when(F.coalesce("__boiler", F.lit(False)), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed_lines"),
+    )

@@ -856,3 +856,165 @@ def dedup_word_ngram_jaccard(spark, sf_dir):
     return dedup.word_ngram_jaccard_pairs(
         docs, shingle_size=3, threshold=0.2, max_block_size=2000
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3/PaLM procedure): flag training docs
+# sharing any word 13-gram with the eval set (here: doc_id % 97 == 0 as
+# a deterministic stand-in benchmark). Gram hashes are md5 so DuckDB
+# mirrors them; the benchmark side is broadcast in Spark.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_decontaminate",
+    oracle="""
+    WITH nw AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 13
+                  THEN list_distinct([md5(array_to_string(w[i:i+12], ' '))
+                                      for i in range(1, len(w) - 11)])
+                  ELSE [] END AS grams
+      FROM nw
+    ), bg AS (
+      SELECT DISTINCT unnest(grams) AS gh FROM g WHERE doc_id % 97 = 0
+    ), dg AS (
+      SELECT doc_id, unnest(grams) AS gh FROM g
+    ), hits AS (
+      SELECT dg.doc_id, count(*) AS n
+      FROM dg JOIN bg ON dg.gh = bg.gh
+      GROUP BY dg.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+           coalesce(h.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def docs_decontaminate(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import cleaning
+
+    docs = load(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    return cleaning.decontaminate(docs, benchmark, n=13)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: the corpus has no PII, so the query stamps a
+# deterministic contact block onto each doc (identical expression in
+# both engines), then redacts URLs/emails/IPv4s/phones in order. The
+# hash gate covers both the counts and the full redacted text.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_redact_pii",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or https://site.example/p/'
+                  || CAST(doc_id AS VARCHAR)
+                  || ' ip 10.0.0.1 call 555-123-4567' AS text
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_url,
+             regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS text
+      FROM t
+    ), s2 AS (
+      SELECT doc_id, n_url,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, n_url, n_email,
+             CAST(len(regexp_extract_all(text,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+             regexp_replace(text,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS text
+      FROM s2
+    )
+    SELECT doc_id, n_url, n_email, n_ipv4,
+           CAST(len(regexp_extract_all(text,
+             '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS BIGINT) AS n_phone,
+           regexp_replace(text,
+             '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS redacted_text
+    FROM s3
+    """,
+)
+def docs_redact_pii(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import cleaning
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://site.example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ip 10.0.0.1 call 555-123-4567"),
+        ).alias("text"),
+    )
+    return cleaning.redact_pii(docs).select(
+        "doc_id", "n_url", "n_email", "n_ipv4", "n_phone", "redacted_text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-line removal (C4/RefinedWeb structural dedup): the corpus
+# is single-line, so the query builds a deterministic 3-line page —
+# body / newsletter banner on even ids (unique ref line on odd) /
+# site-wide copyright footer — and strips every line occurring in >= 2
+# distinct docs. Even docs lose the banner, all docs lose the footer,
+# exact-dup bodies collapse too.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_remove_boilerplate",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id,
+             text || chr(10)
+                  || CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter'
+                          ELSE 'ref ' || CAST(doc_id AS VARCHAR) END
+                  || chr(10) || 'copyright 2026 example corp' AS text
+      FROM documents
+    ), d AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM pages
+    ), l AS (
+      SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS pos
+      FROM d
+    ), freq AS (
+      SELECT trim(line) AS key
+      FROM l WHERE length(trim(line)) > 0
+      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ), m AS (
+      SELECT l.doc_id, l.pos, l.line, (f.key IS NOT NULL) AS boiler
+      FROM l LEFT JOIN freq f ON trim(l.line) = f.key
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
+                               chr(10) ORDER BY pos), '') AS clean_text,
+           CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed_lines
+    FROM m GROUP BY doc_id
+    """,
+)
+def docs_remove_boilerplate(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import cleaning
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("subscribe to our newsletter"))
+            .otherwise(F.concat(F.lit("ref "), F.col("doc_id").cast("string"))),
+            F.lit("\ncopyright 2026 example corp"),
+        ).alias("text"),
+    )
+    return cleaning.remove_boilerplate_lines(docs, min_docs=2)

@@ -1,0 +1,73 @@
+"""Corpus-cleaning operators: decontamination, PII redaction,
+boilerplate-line removal (operators/cleaning.py)."""
+
+from pyspark.sql import Row
+
+from data_ingestion_framework_spark.operators.cleaning import (
+    decontaminate,
+    redact_pii,
+    remove_boilerplate_lines,
+)
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    eval_q = "what is the capital city of france and when was it founded exactly"
+    docs = spark.createDataFrame(
+        [
+            # contains the full 13-gram benchmark question verbatim
+            Row(doc_id=1, text="quiz answers here " + eval_q + " trailing words"),
+            # shares words but no 13-gram run
+            Row(doc_id=2, text="the capital of france is paris a lovely city"),
+            # too short to hold any 13-gram
+            Row(doc_id=3, text="short doc"),
+        ]
+    )
+    bench = spark.createDataFrame([Row(doc_id=100, text=eval_q)])
+    rows = {r["doc_id"]: r for r in decontaminate(docs, bench, n=13).collect()}
+    assert len(rows) == 3  # every input doc gets a row
+    assert rows[1]["contaminated"] is True and rows[1]["n_contaminated_grams"] >= 1
+    assert rows[2]["contaminated"] is False
+    assert rows[3]["contaminated"] is False and rows[3]["n_contaminated_grams"] == 0
+
+
+def test_redact_pii_patterns_and_order(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                text="mail a@b.com visit https://x.org/u?e=c@d.com "
+                "from 192.168.0.1 call 555-123-4567",
+            ),
+            Row(doc_id=2, text="clean text with no identifiers at all"),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    r1 = rows[1]
+    # the email inside the URL redacts as part of the URL, not as email
+    assert r1["n_url"] == 1 and r1["n_email"] == 1
+    assert r1["n_ipv4"] == 1 and r1["n_phone"] == 1
+    assert r1["redacted_text"] == "mail <EMAIL> visit <URL> from <IP> call <PHONE>"
+    r2 = rows[2]
+    assert r2["redacted_text"] == r2["text"]
+    assert r2["n_url"] == r2["n_email"] == r2["n_ipv4"] == r2["n_phone"] == 0
+
+
+def test_remove_boilerplate_lines(spark):
+    footer = "copyright example corp"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"unique body one\n{footer}\n\nlast line one"),
+            Row(doc_id=2, text=f"unique body two\n{footer}"),
+            # same line twice in ONE doc is not boilerplate (distinct docs)
+            Row(doc_id=3, text="repeat me\nrepeat me"),
+        ]
+    )
+    rows = {
+        r["doc_id"]: r for r in remove_boilerplate_lines(docs, min_docs=2).collect()
+    }
+    # footer removed everywhere; blank line preserved; order kept
+    assert rows[1]["clean_text"] == "unique body one\n\nlast line one"
+    assert rows[1]["n_removed_lines"] == 1
+    assert rows[2]["clean_text"] == "unique body two"
+    assert rows[3]["clean_text"] == "repeat me\nrepeat me"
+    assert rows[3]["n_removed_lines"] == 0
