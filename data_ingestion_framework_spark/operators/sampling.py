@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _HEX_WIDTH = 8
 _HEX_SPACE = 16 ** _HEX_WIDTH
@@ -41,6 +42,31 @@ def deterministic_sample(
     runs/engines, disjoint for disjoint salts. ``salt`` gives
     independent draws (e.g. train/holdout splits)."""
     return df.where(hash_bucket_hex(id_col, salt) < F.lit(_threshold_hex(fraction)))
+
+
+def cap_per_group(
+    df: DataFrame,
+    max_rows: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group (the per-domain quota of
+    crawl pipelines — no single site may dominate the training mix).
+
+    Selection is by id-hash order, not "first K by id": hash order is a
+    deterministic uniform draw within each group, so the survivors are
+    an unbiased sample of the group rather than its earliest rows. One
+    group-keyed shuffle for the window; skewed giant domains are exactly
+    the rows this operator discards, and the rank early-outs past
+    ``max_rows`` per partition after AQE skew splitting.
+    """
+    w = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            hash_bucket_hex(id_col, salt), F.col(id_col)
+        )
+    )
+    return df.withColumn("__rn", w).where(F.col("__rn") <= max_rows).drop("__rn")
 
 
 def stratified_sample(

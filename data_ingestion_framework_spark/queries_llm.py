@@ -1018,3 +1018,55 @@ def docs_remove_boilerplate(spark, sf_dir):
         ).alias("text"),
     )
     return cleaning.remove_boilerplate_lines(docs, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# Stratified (per-source) deterministic sampling: domain-mix weights as
+# one scan-side predicate — src0 keeps 50%, src1 keeps 20%, everything
+# else 10%. The md5-prefix key makes the draw engine-portable.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_stratified_sample",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE source
+            WHEN 'src0' THEN '80000000'
+            WHEN 'src1' THEN '33333333'
+            ELSE '19999999' END
+    """,
+)
+def docs_stratified_sample(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, {"src0": 0.5, "src1": 0.2}, "source", default_fraction=0.1
+    ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quota (cap_per_group): at most 5 docs per source, chosen
+# by id-hash order so survivors are an unbiased within-group draw, not
+# the earliest ids.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_cap_per_source",
+    oracle="""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def docs_cap_per_source(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.sampling import cap_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    return cap_per_group(docs, 5, "source").select("doc_id", "source")

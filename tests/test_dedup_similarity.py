@@ -338,3 +338,21 @@ def test_repetition_stats_semantics(spark):
     assert rows[3]["repetition_pass"] is True
     assert rows[4]["top_bigram_share"] == 0.0 and rows[4]["repetition_pass"] is True
     assert rows[5]["dup_line_frac"] == 0.0 and rows[5]["repetition_pass"] is True
+
+
+def test_cap_per_group_quota_and_determinism(spark):
+    from data_ingestion_framework_spark.operators.sampling import cap_per_group
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, src="big" if i < 900 else "small") for i in range(1000)]
+    )
+    out = cap_per_group(docs, 10, "src").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], set()).add(r["doc_id"])
+    assert len(by_src["big"]) == 10  # giant domain capped
+    assert len(by_src["small"]) == 10
+    # deterministic across runs and NOT the earliest ids (hash order)
+    again = {r["doc_id"] for r in cap_per_group(docs, 10, "src").collect()}
+    assert again == by_src["big"] | by_src["small"]
+    assert by_src["big"] != set(range(10))
