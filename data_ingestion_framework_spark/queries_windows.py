@@ -156,3 +156,43 @@ def cheapest_part_per_brand(spark, sf_dir):
         )
         .select("p_brand", "p_partkey", "p_retailprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# Built-in session windows (F.session_window): the same 30-minute-gap
+# sessionization as events_sessionize, but through Spark's native
+# session-window operator — the expression that runs state-store-backed
+# in Structured Streaming. A session spans [first_ts, last_ts + gap);
+# an event at >= the running session end opens a new session, so the
+# DuckDB oracle breaks islands at gap >= 30 min and re-derives the end
+# as MAX(ts) + 30 min.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessioned GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark, sf_dir):
+    from data_ingestion_framework_spark.streaming.windows import session_window_agg
+
+    ev = load(spark, sf_dir, "events")
+    return session_window_agg(ev, "ts", ["user_id"], gap="30 minutes")

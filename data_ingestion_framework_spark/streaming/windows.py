@@ -1,0 +1,79 @@
+"""Event-time session windows and watermark-bounded streaming dedup.
+
+Reference parity: the reference's stream pipelines dedup landing batches
+inside each merge (dedup-in-merge, writers/writer.py:203-219) and have
+no session operator at all; these are the two Structured-Streaming
+surfaces a training-data event pipeline needs beyond tumbling windows:
+
+* ``session_window_agg`` — gap-based session aggregation via the
+  built-in ``F.session_window`` (state-store backed in streaming,
+  plain groupBy in batch — same expression both ways).
+* ``dedup_within_watermark`` — ``dropDuplicatesWithinWatermark``:
+  cross-micro-batch dedup whose state is bounded by the watermark
+  delay, unlike ``dropDuplicates`` on a stream which retains every key
+  forever. This is the ONLY safe streaming-dedup default at 100 TB:
+  state size is O(keys arriving within the delay), not O(all keys).
+
+Scale notes: both operators shuffle once on their keys and keep state
+partitioned by the same hash — session state per key is one (start,
+end, aggs) tuple, dedup state one flag per in-horizon key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "30 minutes",
+    aggs: list[Column] | None = None,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Group events into gap-based sessions and aggregate.
+
+    A session covers ``[first_ts, last_ts + gap)``: an event whose
+    timestamp is >= the current session's end starts a new session
+    (equivalently: consecutive-event gaps strictly below ``gap``
+    merge). Works identically on batch and streaming frames; for
+    streams pass ``watermark_delay`` so closed sessions are emitted
+    and their state dropped.
+
+    Output: key columns + ``session_start`` / ``session_end`` +
+    ``n_events`` + any ``aggs``.
+    """
+    if watermark_delay is not None:
+        df = df.withWatermark(ts_col, watermark_delay)
+    agg_list = [F.count(F.lit(1)).alias("n_events")] + list(aggs or [])
+    grouped = df.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("session_window"), *key_cols
+    ).agg(*agg_list)
+    return grouped.select(
+        *key_cols,
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *[c for c in grouped.columns if c not in {"session_window", *key_cols}],
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """First-seen-wins dedup across micro-batches with watermark-bounded
+    state (``dropDuplicatesWithinWatermark``).
+
+    Two records with equal ``key_cols`` arriving within ``delay`` of
+    each other collapse to the first; a re-arrival after the watermark
+    has passed the first's event time is treated as new (its state was
+    dropped). That trade — bounded state for a bounded dedup horizon —
+    is what makes streaming dedup viable on unbounded key domains.
+    """
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )

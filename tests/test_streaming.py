@@ -216,3 +216,100 @@ def test_foreach_batch_merge_bucketed_partition_scoped(spark, tmp_path):
     assert len(last["metrics"]["touched_partitions"]) == 1
     got = {r["pk"]: r["val"] for r in table.read().collect()}
     assert got[3] == "v3b" and got[4] == "v4" and len(got) == 100
+
+
+def test_session_window_stream_agg(spark, tmp_path):
+    """F.session_window on a stream: events <30min apart merge into one
+    session; a >=30min gap opens a new one; end = last_ts + gap."""
+    from data_ingestion_framework_spark.streaming.windows import session_window_agg
+
+    m = dt.timedelta(minutes=1)
+    rows = [
+        Row(ts=T, u="a"),
+        Row(ts=T + 10 * m, u="a"),     # merges (gap 10m)
+        Row(ts=T + 45 * m, u="a"),     # new session (gap 35m)
+        Row(ts=T, u="b"),
+    ]
+    landing = str(tmp_path / "ev")
+    spark.createDataFrame(rows, "ts timestamp, u string").write.parquet(landing)
+
+    stream = read_file_stream(spark, landing, "parquet", control_columns=False)
+    agg = session_window_agg(
+        stream, "ts", ["u"], gap="30 minutes", watermark_delay="1 hour"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["u"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sessions").collect()
+    }
+    assert got == {
+        ("a", T, T + 40 * m, 2),
+        ("a", T + 45 * m, T + 75 * m, 1),
+        ("b", T, T + 30 * m, 1),
+    }
+
+
+def test_session_window_batch_matches_lag_cumsum(spark):
+    """The session_window operator and the manual lag→cumsum sessionizer
+    agree on batch data (same gap, strict-< merge semantics)."""
+    from data_ingestion_framework_spark.streaming.windows import session_window_agg
+
+    m = dt.timedelta(minutes=1)
+    rows = [
+        Row(ts=T + off * m, u=u)
+        for u in ("x", "y")
+        for off in (0, 5, 29, 60, 89, 90, 180)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, u string")
+    got = {
+        (r["u"], r["session_start"], r["n_events"])
+        for r in session_window_agg(df, "ts", ["u"], gap="30 minutes").collect()
+    }
+    # islands by hand: 0,5,29 | 60,89 | 90 merges? gap(90-89)=1m < 30m → merges | 180
+    assert got == {
+        (u, T, 3) for u in ("x", "y")
+    } | {
+        (u, T + 60 * m, 3) for u in ("x", "y")
+    } | {
+        (u, T + 180 * m, 1) for u in ("x", "y")
+    }
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: same key arriving in a later
+    micro-batch within the delay is dropped; output has one row/key."""
+    from data_ingestion_framework_spark.streaming.windows import dedup_within_watermark
+
+    b0 = [Row(k=1, ts=T, v="first"), Row(k=2, ts=T, v="first")]
+    b1 = [Row(k=1, ts=T + dt.timedelta(minutes=5), v="dup")]
+    landing = _stage_files(
+        spark,
+        tmp_path / "landing",
+        [
+            [Row(pk=r.k, val=r.v, mtime=r.ts) for r in b0],
+            [Row(pk=r.k, val=r.v, mtime=r.ts) for r in b1],
+        ],
+    )
+    stream = read_file_stream(
+        spark, landing, "parquet", control_columns=False, max_files_per_trigger=1
+    )
+    deduped = dedup_within_watermark(stream, ["pk"], "mtime", delay="1 hour")
+    out = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["pk"], r["val"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "first"), (2, "first")}
