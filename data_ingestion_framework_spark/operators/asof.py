@@ -1,0 +1,133 @@
+"""As-of (nearest-preceding) joins and bounded range joins.
+
+Neither exists as a Spark join type, and the naive formulations are
+scale-killers: an as-of expressed as `l.ts >= r.ts` + latest-wins is an
+inequality join (BroadcastNestedLoopJoin — O(|L|·|R|) per key), and a
+raw interval join is the same. The reference engine has no counterpart
+either (its joins are all equi/anti, writers/writer.py merges); these
+are the time-series surfaces a training-data event pipeline needs.
+
+Scale designs:
+
+* ``asof_join`` — union-marker + window: tag right rows 0 / left rows
+  1, union, and take ``last(right_value, ignorenulls=True)`` over
+  (keys) ordered by (ts, marker, tiebreak). ONE shuffle on the keys,
+  no join node at all; each output row costs O(1) window state. The
+  marker sorts a right row at the same timestamp *before* the left
+  row, making the match inclusive (ts_r <= ts_l).
+* ``range_join_binned`` — bucket both sides by a bin the width of the
+  interval: a right row lands in exactly one bin, a left interval
+  spans at most two, so the equi-join on (keys, bin) bounds fan-out to
+  2 candidate bins per left row, then the exact range predicate
+  filters. Co-locates by (keys, bin) — skew is bounded by bin
+  population, never |L|·|R|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tiebreak: str | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` on the same keys (backward as-of).
+
+    Right ``value_cols`` come back prefixed ``asof_`` plus an
+    ``asof_ts`` column; unmatched left rows keep them NULL.
+    ``tiebreak`` orders right rows sharing a timestamp (last wins);
+    ``tolerance_seconds`` nulls out matches older than the tolerance.
+    """
+    carried = [f"asof_{c}" for c in value_cols]
+    lhs = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_m"),
+        F.lit(None).cast("long").alias("_tb"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(a) for c, a in zip(value_cols, carried)],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_asof_ts"),
+        F.struct(*left.columns).alias("_row"),
+    )
+    rhs = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_m"),
+        (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("_tb"),
+        *[F.col(c).alias(a) for c, a in zip(value_cols, carried)],
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(None).cast(lhs.schema["_row"].dataType).alias("_row"),
+    )
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("_ts", "_m", "_tb")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = lhs.unionByName(rhs).select(
+        "_m",
+        "_row",
+        F.last("_asof_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[F.last(a, ignorenulls=True).over(w).alias(a) for a in carried],
+    )
+    out = filled.where(F.col("_m") == 1)
+    if tolerance_seconds is not None:
+        stale = (
+            F.unix_micros(F.col("_row")[left_ts]) - F.unix_micros(F.col("asof_ts"))
+        ) > tolerance_seconds * 1_000_000
+        out = out.select(
+            "_m",
+            "_row",
+            *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c) for c in ["asof_ts", *carried]],
+        )
+    return out.select(*[F.col("_row")[c].alias(c) for c in left.columns], "asof_ts", *carried)
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Inner-join pairs where ``left_ts <= right_ts < left_ts + window``
+    on the same keys, without a nested-loop join.
+
+    Bin width == window width, so each left interval spans at most two
+    bins (its own and the next) and each right row sits in exactly one
+    — the (keys, bin) equi-join enumerates every candidate exactly
+    once. Columns from both sides survive with ``l_`` / ``r_``
+    prefixes on collisions.
+    """
+    w_us = window_seconds * 1_000_000
+    lbin = (F.unix_micros(F.col(left_ts)) / w_us).cast("long")
+    rbin = (F.unix_micros(F.col(right_ts)) / w_us).cast("long")
+
+    overlap = set(left.columns) & set(right.columns)
+    jk = [f"_k_{k}" for k in keys]
+    lsel = left.select(
+        *[F.col(c).alias(f"l_{c}" if c in overlap else c) for c in left.columns],
+        F.explode(F.array_distinct(F.array(lbin, lbin + 1))).alias("_bin"),
+        *[F.col(k).alias(a) for k, a in zip(keys, jk)],
+    )
+    rsel = right.select(
+        *[F.col(c).alias(f"r_{c}" if c in overlap else c) for c in right.columns],
+        rbin.alias("_bin"),
+        *[F.col(k).alias(a) for k, a in zip(keys, jk)],
+    )
+    lts = f"l_{left_ts}" if left_ts in overlap else left_ts
+    rts = f"r_{right_ts}" if right_ts in overlap else right_ts
+    joined = lsel.join(rsel, ["_bin", *jk], "inner").where(
+        (F.col(rts) >= F.col(lts))
+        & (F.unix_micros(F.col(rts)) < F.unix_micros(F.col(lts)) + w_us)
+    )
+    return joined.drop("_bin", *jk)

@@ -196,3 +196,86 @@ def events_session_window(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     return session_window_agg(ev, "ts", ["user_id"], gap="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each click gets the user's most recent purchase at or
+# before it. Spark side is the union-marker + window plan (one shuffle,
+# no join node — operators/asof.py); the oracle is DuckDB's native
+# ASOF LEFT JOIN, an independent implementation of the same semantics.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_asof_purchase",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS asof_ts, r.value AS asof_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_purchase(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded range join: clicks within 10 minutes AFTER each purchase,
+# counted per purchase. Spark side bins both streams at the window
+# width and equi-joins (user_id, bin) — at most 2 candidate bins per
+# purchase, never a nested-loop join; the oracle is the plain
+# inequality join DuckDB can afford at oracle scale.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_range_join_counts",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts
+     AND c.ts < p.ts + INTERVAL 10 MINUTE
+    GROUP BY p.event_id
+    """,
+)
+def events_range_join_counts(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.asof import range_join_binned
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    pairs = range_join_binned(
+        purchases, clicks, keys=["user_id"], left_ts="ts", right_ts="ts",
+        window_seconds=600,
+    )
+    counts = pairs.groupBy("l_event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+    return (
+        purchases.join(
+            counts, purchases.event_id == counts.l_event_id, "left"
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+        )
+    )

@@ -1,0 +1,91 @@
+"""As-of join and binned range join semantics + plan shapes."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from data_ingestion_framework_spark.operators.asof import (
+    asof_join,
+    range_join_binned,
+)
+
+T = dt.datetime(2024, 1, 1)
+M = dt.timedelta(minutes=1)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            Row(lid=1, k="a", ts=T + 10 * M),
+            Row(lid=2, k="a", ts=T + 30 * M),
+            Row(lid=3, k="a", ts=T + 5 * M),   # before any right row
+            Row(lid=4, k="b", ts=T + 10 * M),  # key with no right rows
+        ],
+        "lid int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            Row(rid=10, k="a", ts=T + 10 * M, v=1.0),  # equal ts → inclusive
+            Row(rid=11, k="a", ts=T + 20 * M, v=2.0),
+        ],
+        "rid int, k string, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_and_unmatched(spark):
+    left, right = _frames(spark)
+    got = {
+        r["lid"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["v"], tiebreak="rid"
+        ).collect()
+    }
+    assert got[1] == (T + 10 * M, 1.0)   # equal timestamp matches
+    assert got[2] == (T + 20 * M, 2.0)   # latest preceding wins
+    assert got[3] == (None, None)        # nothing at-or-before
+    assert got[4] == (None, None)        # key absent on right
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left, right = _frames(spark)
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["v"], tolerance_seconds=300
+        ).collect()
+    }
+    # lid=2 at +30m: nearest purchase +20m is 10m old > 5m tolerance
+    assert got[1] == 1.0 and got[2] is None
+
+
+def test_asof_plan_has_no_join(spark):
+    left, right = _frames(spark)
+    plan = (
+        asof_join(left, right, ["k"], "ts", "ts", ["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan  # one window over a union, no join node
+
+
+def test_range_join_binned_boundaries_and_spanning(spark):
+    left = spark.createDataFrame(
+        [Row(lid=1, k="a", ts=T + 9 * M)], "lid int, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            Row(rid=20, k="a", ts=T + 9 * M),        # == left_ts → included
+            Row(rid=21, k="a", ts=T + 15 * M),       # in next bin, in range
+            Row(rid=22, k="a", ts=T + 19 * M),       # == left_ts + w → excluded
+            Row(rid=23, k="a", ts=T + 8 * M),        # before → excluded
+            Row(rid=24, k="b", ts=T + 10 * M),       # other key → excluded
+        ],
+        "rid int, k string, ts timestamp",
+    )
+    pairs = range_join_binned(left, right, ["k"], "ts", "ts", 600)
+    assert {r["rid"] for r in pairs.collect()} == {20, 21}
+    # candidates come from an equi-join, never a nested loop
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
