@@ -1,0 +1,96 @@
+"""KMV (k-minimum-values) distinct-count sketches.
+
+Spark ships HLL (``approx_count_distinct``) but its binary registers
+are opaque — not comparable across engines, not inspectable, not
+value-testable. KMV is the complementary sketch: keep the k smallest
+values of a uniform hash per group; then with R_k = the k-th smallest
+hash normalized to [0,1), distinct ≈ (k-1)/R_k. Everything is plain
+rows and deterministic md5 arithmetic, so a DuckDB oracle can verify
+the *values*, not just the row count — the property the rest of this
+repo's sketch surface (○ events_sketches) can't offer.
+
+Scale shape (100 TB): stage 1 is ``distinct`` on (group, hash) —
+map-side partial dedup means the shuffle carries at most
+|distinct values| rows, and duplicate-heavy event streams collapse
+early. Stage 2 is a per-group top-k (window rank ≤ k) — state per
+group is k longs, independent of input size. A sketch IS its row set
+(group, h): merging shards = ``unionByName`` the row sets and re-apply
+``kmv_rows``'s top-k — associative and idempotent, the same merge
+Delta-style rollup tables need.
+
+Hash: first 15 hex digits of md5 → 60-bit uniform integer. Chosen
+over xxhash64 deliberately: identical expression exists in DuckDB
+(``('0x'||substr(md5(v),1,15))::BIGINT``), keeping the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+#: 2^60 — the hash domain size; hashes normalize to h / DOMAIN ∈ [0,1).
+DOMAIN = float(1 << 60)
+
+
+def kmv_hash(col) -> "F.Column":
+    """60-bit uniform hash: md5 hex prefix parsed as an integer.
+    Deterministic, engine-portable (same md5 bytes in any engine)."""
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string") if isinstance(col, str) else col.cast("string")), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def kmv_rows(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """The sketch itself: per group, the ≤k smallest distinct hash
+    values of ``value_col`` as rows ``(*group_cols, __h)``.
+
+    Merge sketches by unioning their row frames and calling this
+    again on the union (idempotent: top-k of top-k's is top-k).
+    """
+    dist = df.select(
+        *group_cols, kmv_hash(value_col).alias("__h")
+    ).distinct()
+    w = W.partitionBy(*group_cols).orderBy("__h")
+    return (
+        dist.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    rows: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Finalize a ``kmv_rows`` sketch into per-group estimates.
+
+    If a group holds fewer than k hashes the sketch saw every distinct
+    value — the count is exact. Otherwise distinct ≈ (k-1)/R_k with
+    R_k = max(h)/2^60. FLOOR (not ROUND) avoids the half-way tie whose
+    rounding direction is engine-specific.
+    """
+    agg = rows.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__m"), F.max("__h").alias("__hk")
+    )
+    est = F.when(F.col("__m") < k, F.col("__m").cast("double")).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(DOMAIN) / F.col("__hk").cast("double")
+        ).cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        F.col("__m").cast("bigint").alias("sketch_size"),
+        est.cast("bigint").alias("approx_distinct"),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """``kmv_rows`` → ``kmv_estimate``: per-group approximate distinct
+    counts with value-level cross-engine determinism."""
+    return kmv_estimate(kmv_rows(df, group_cols, value_col, k), group_cols, k)

@@ -1070,3 +1070,40 @@ def docs_cap_per_source(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return cap_per_group(docs, 5, "source").select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch, value-checked: unlike HLL's opaque registers the
+# k-minimum-values sketch is deterministic md5 arithmetic, so the
+# ESTIMATES themselves hash-match the DuckDB oracle (operators/
+# sketches.py). k=64: sf0.001 (15 users/type) exercises the exact
+# branch, sf0.01+ (150+ users/type) the estimator branch.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_kmv_distinct_users",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS sketch_size,
+           CAST(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE FLOOR(63.0 * 1152921504606846976.0
+                           / CAST(MAX(h) AS DOUBLE)) END AS BIGINT)
+             AS approx_distinct
+    FROM r WHERE rn <= 64
+    GROUP BY event_type
+    """,
+)
+def events_kmv_distinct_users(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.sketches import kmv_distinct
+
+    ev = load(spark, sf_dir, "events")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=64)

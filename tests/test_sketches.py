@@ -1,0 +1,46 @@
+"""KMV sketch: estimate accuracy, exact small-group branch, and
+shard-merge associativity (the property rollup tables rely on)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_framework_spark.operators.sketches import (
+    kmv_distinct,
+    kmv_estimate,
+    kmv_rows,
+)
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(40).select(
+        F.lit("g").alias("g"), (F.col("id") % 10).alias("v")
+    )
+    row = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    assert row["sketch_size"] == 10 and row["approx_distinct"] == 10
+
+
+def test_kmv_estimator_accuracy(spark):
+    n = 20_000
+    df = spark.range(n).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    est = kmv_distinct(df, ["g"], "v", k=256).collect()[0]["approx_distinct"]
+    # std err ≈ n/sqrt(k) = 6.25%; 4σ bound keeps the test deterministic-safe
+    assert abs(est - n) / n < 0.25
+
+
+def test_kmv_merge_equals_whole(spark):
+    """Sketching two shards, unioning the row sketches, and re-taking
+    top-k gives byte-identical estimates to sketching everything."""
+    a = spark.range(0, 5000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    b = spark.range(2500, 7500).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    whole = kmv_distinct(a.unionByName(b), ["g"], "v", k=128).collect()[0]
+    # merge at the ROW level: union the sketch rows + re-take top-k
+    # (re-calling kmv_rows would hash the hashes)
+    from pyspark.sql.window import Window as W
+
+    u = kmv_rows(a, ["g"], "v", k=128).unionByName(kmv_rows(b, ["g"], "v", k=128)).distinct()
+    w = W.partitionBy("g").orderBy("__h")
+    topk = u.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 128).drop("rn")
+    merged = kmv_estimate(topk, ["g"], k=128).collect()[0]
+    assert merged["approx_distinct"] == whole["approx_distinct"]
+    assert merged["sketch_size"] == whole["sketch_size"]
