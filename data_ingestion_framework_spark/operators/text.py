@@ -381,3 +381,53 @@ def repetition_stats(
             (F.col("dup_line_frac") <= 0.3) & (F.col("top_bigram_share") <= 0.2)
         ).alias("repetition_pass"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (sklearn convention: idf = ln((N+1)/(df+1)) + 1, tfidf = tf·idf).
+
+    Ranking happens on the ROUNDED score (4 dp) with the term as
+    tiebreak, so ordering is stable across engines — a raw-double sort
+    could flip ties on last-ulp ln() differences.
+
+    Scale shape: explode → (doc, term) counts (shuffle 1, map-side
+    combine), term document-frequencies from that same frame
+    (shuffle 2 — carries one row per distinct (doc, term)), join back
+    on term, per-doc top-k window (shuffle 3). N arrives via a 1-row
+    broadcast cross join, never a driver round-trip.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1107,3 +1107,42 @@ def events_kmv_distinct_users(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     return kmv_distinct(ev, ["event_type"], "user_id", k=64)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (smoothed sklearn idf), fully value-
+# checked: ranking runs on the 4-dp-rounded score with the term as
+# tiebreak so engine ulp differences in ln() can't reorder the top-k.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             ROUND(t.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0), 4) AS tfidf
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, "doc_id", "text", k=3)

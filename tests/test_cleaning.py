@@ -71,3 +71,24 @@ def test_remove_boilerplate_lines(spark):
     assert rows[2]["clean_text"] == "unique body two"
     assert rows[3]["clean_text"] == "repeat me\nrepeat me"
     assert rows[3]["n_removed_lines"] == 0
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    from data_ingestion_framework_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common zebra"),
+            (2, "common common yak yak yak"),
+            (3, "common plain"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["term"]
+        for r in tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    }
+    # the rare word outscores the corpus-wide one despite lower tf ...
+    assert got[1] == "zebra"
+    # ... and raw tf still wins within a doc when idf is equal-ish
+    assert got[2] == "yak"
