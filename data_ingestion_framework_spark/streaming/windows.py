@@ -77,3 +77,49 @@ def dedup_within_watermark(
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    left_delay: str = "1 hour",
+    right_delay: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: pairs on ``keys`` where
+    ``left_ts <= right_ts < left_ts + window``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions — that pair is what lets Spark expire
+    buffered rows: a left row older than
+    ``watermark(right) - window`` can never match again and its state
+    drops. Without the interval bound the state store grows without
+    limit; this wrapper makes the bounded form the only one callable.
+
+    Outer variants emit their null-padded rows only once the watermark
+    passes the row's horizon — at ``availableNow`` end-of-stream the
+    trailing rows may be withheld until a later trigger (Structured
+    Streaming semantics, not a bug here).
+
+    Batch frames join identically (watermarks are a no-op in batch),
+    so batch parity tests pin the pairing logic.
+    """
+    lw = left.withWatermark(left_ts, left_delay)
+    rw = right.withWatermark(right_ts, right_delay)
+    cond = None
+    for k in keys:
+        c = lw[k] == rw[k]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (rw[right_ts] >= lw[left_ts])
+        & (
+            F.unix_micros(rw[right_ts])
+            < F.unix_micros(lw[left_ts]) + window_seconds * 1_000_000
+        )
+    )
+    return lw.join(rw, cond, how)

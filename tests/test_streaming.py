@@ -313,3 +313,44 @@ def test_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     got = {(r["pk"], r["val"]) for r in spark.read.parquet(out).collect()}
     assert got == {(1, "first"), (2, "first")}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two file streams joined on key within a 10-minute event-time
+    interval; watermarks on both sides bound the join state."""
+    from data_ingestion_framework_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    m = dt.timedelta(minutes=1)
+    pdir, cdir = str(tmp_path / "purchases"), str(tmp_path / "clicks")
+    spark.createDataFrame(
+        [Row(pid=1, u="a", pts=T), Row(pid=2, u="a", pts=T + 60 * m)],
+        "pid int, u string, pts timestamp",
+    ).write.parquet(pdir)
+    spark.createDataFrame(
+        [
+            Row(cid=10, u="a", cts=T + 5 * m),    # joins pid=1
+            Row(cid=11, u="a", cts=T + 15 * m),   # outside both windows
+            Row(cid=12, u="a", cts=T + 60 * m),   # joins pid=2 (boundary ==)
+            Row(cid=13, u="b", cts=T + 2 * m),    # key with no purchases
+        ],
+        "cid int, u string, cts timestamp",
+    ).write.parquet(cdir)
+
+    purchases = read_file_stream(spark, pdir, "parquet", control_columns=False)
+    clicks = read_file_stream(spark, cdir, "parquet", control_columns=False)
+    joined = stream_stream_interval_join(
+        purchases, clicks, ["u"], "pts", "cts", window_seconds=600
+    ).select("pid", "cid")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["pid"], r["cid"]) for r in spark.table("ssj").collect()}
+    assert got == {(1, 10), (2, 12)}
