@@ -1,0 +1,83 @@
+"""End-to-end training-corpus pipeline: the composition a data team
+actually runs, as ONE declarative DataFrame program.
+
+Stage order follows the public pipeline recipes (C4, Gopher/MassiveText,
+RefinedWeb): structural cleanup first (boilerplate lines), then PII
+redaction, then document-level quality gating, then exact dedup, then
+benchmark decontamination, then mixing controls (per-source quota +
+deterministic sampling). Order matters: dedup must see *cleaned* text
+(two pages differing only in nav bars are duplicates), and
+decontamination must run after dedup (fewer docs to gram-hash), while
+quota/sampling come last so earlier filters can't skew the draw.
+
+The whole chain is lazy — Catalyst sees one plan, so column pruning and
+predicate pushdown cross stage boundaries; nothing materializes between
+stages. Every stage is one of this package's tested operators; the
+composite itself is value-checked end-to-end by the
+``corpus_pipeline_end2end`` driver oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_ingestion_framework_spark.operators import cleaning
+from data_ingestion_framework_spark.operators.dedup import exact_dedup
+from data_ingestion_framework_spark.operators.sampling import (
+    cap_per_group,
+    deterministic_sample,
+)
+from data_ingestion_framework_spark.operators.text import token_count
+
+
+def corpus_pipeline(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    boiler_min_docs: int = 2,
+    min_words: int = 15,
+    decontam_n: int = 13,
+    max_per_source: int | None = None,
+    sample_fraction: float | None = None,
+    sample_salt: str = "s2",
+) -> DataFrame:
+    """Clean → redact → quality-gate → dedup → decontaminate → quota →
+    sample. Returns ``(id, source, text, n_tokens)`` where ``text`` is
+    the cleaned+redacted body.
+
+    ``benchmark`` is the eval set to decontaminate against (its own
+    raw text column ``text_col``); at 100 TB it is KBs and broadcast.
+    """
+    cleaned = cleaning.remove_boilerplate_lines(
+        docs, min_docs=boiler_min_docs, id_col=id_col, text_col=text_col
+    ).join(docs.select(id_col, source_col), id_col)
+    redacted = cleaning.redact_pii(
+        cleaned.select(id_col, source_col, F.col("clean_text").alias(text_col)),
+        text_col=text_col,
+    ).select(id_col, source_col, F.col("redacted_text").alias(text_col))
+
+    gated = redacted.withColumn("n_tokens", token_count(text_col)).where(
+        F.col("n_tokens") >= min_words
+    )
+
+    deduped = exact_dedup(gated, id_col=id_col, text_col=text_col)
+
+    contam = cleaning.decontaminate(
+        deduped, benchmark, n=decontam_n, id_col=id_col, text_col=text_col
+    ).where(~F.col("contaminated")).select(id_col)
+    survivors = deduped.join(contam, id_col)
+
+    if max_per_source is not None:
+        survivors = cap_per_group(
+            survivors, max_per_source, group_col=source_col, id_col=id_col
+        )
+    if sample_fraction is not None:
+        survivors = deterministic_sample(
+            survivors, sample_fraction, id_col=id_col, salt=sample_salt
+        )
+    return survivors.select(
+        id_col, source_col, text_col, F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )

@@ -1146,3 +1146,142 @@ def events_kmv_distinct_users(spark, sf_dir):
 def text_tfidf_top_terms(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return text.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+# ---------------------------------------------------------------------------
+# THE composite: full corpus pipeline end-to-end under one oracle —
+# boilerplate-line removal → PII redaction → min-length gate → exact
+# dedup → 13-gram decontamination → per-source quota → deterministic
+# 50% sample. Each stage reuses the CTE text of its stand-alone oracle
+# (docs_remove_boilerplate, docs_redact_pii, dedup_exact_keep,
+# docs_decontaminate, docs_cap_per_source, docs_deterministic_sample),
+# so a failure localizes to a stage. Values, not just counts: the gate
+# hashes doc_id, source, the final cleaned TEXT, and token counts.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "corpus_pipeline_end2end",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or https://site.example/p/'
+                  || CAST(doc_id AS VARCHAR)
+                  || ' ip 10.0.0.1 call 555-123-4567'
+                  || chr(10)
+                  || CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter'
+                          ELSE 'ref ' || CAST(doc_id AS VARCHAR) END
+                  || chr(10) || 'copyright 2026 example corp' AS text
+      FROM documents
+    ), d AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM pages
+    ), l AS (
+      SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS pos
+      FROM d
+    ), freq AS (
+      SELECT trim(line) AS key
+      FROM l WHERE length(trim(line)) > 0
+      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ), m AS (
+      SELECT l.doc_id, l.pos, l.line, (f.key IS NOT NULL) AS boiler
+      FROM l LEFT JOIN freq f ON trim(l.line) = f.key
+    ), clean AS (
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
+                                 chr(10) ORDER BY pos), '') AS text
+      FROM m GROUP BY doc_id
+    ), s1 AS (
+      SELECT doc_id, regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS text
+      FROM clean
+    ), s2 AS (
+      SELECT doc_id, regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, regexp_replace(text,
+        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS text
+      FROM s2
+    ), s4 AS (
+      SELECT doc_id, regexp_replace(text,
+        '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS text
+      FROM s3
+    ), gated AS (
+      SELECT s4.doc_id, doc.source, s4.text,
+             CAST(len(string_split_regex(trim(s4.text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM s4 JOIN documents doc ON s4.doc_id = doc.doc_id
+      WHERE length(trim(s4.text)) > 0
+        AND len(string_split_regex(trim(s4.text), '\\s+')) >= 15
+    ), deduped AS (
+      SELECT doc_id, source, text, n_tokens FROM (
+        SELECT gated.*, ROW_NUMBER() OVER (
+          PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+          ORDER BY doc_id ASC) AS rn
+        FROM gated) t WHERE rn = 1
+    ), nw AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+      FROM deduped
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 13
+                  THEN list_distinct([md5(array_to_string(w[i:i+12], ' '))
+                                      for i in range(1, len(w) - 11)])
+                  ELSE [] END AS grams
+      FROM nw
+    ), bnw AS (
+      SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+      FROM documents WHERE doc_id % 97 = 0
+    ), bg AS (
+      SELECT DISTINCT unnest(CASE WHEN len(w) >= 13
+                  THEN list_distinct([md5(array_to_string(w[i:i+12], ' '))
+                                      for i in range(1, len(w) - 11)])
+                  ELSE [] END) AS gh
+      FROM bnw
+    ), contam AS (
+      SELECT DISTINCT dg.doc_id
+      FROM (SELECT doc_id, unnest(grams) AS gh FROM g) dg
+      JOIN bg ON dg.gh = bg.gh
+    ), surv AS (
+      SELECT d.* FROM deduped d
+      LEFT JOIN contam c ON d.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL
+    ), capped AS (
+      SELECT doc_id, source, text, n_tokens FROM (
+        SELECT surv.*, ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+        FROM surv) t WHERE rn <= 30
+    )
+    SELECT doc_id, source, text, n_tokens
+    FROM capped
+    WHERE substring(md5('s2' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+    """,
+)
+def corpus_pipeline_end2end(spark, sf_dir):
+    from data_ingestion_framework_spark.plans.corpus import corpus_pipeline
+
+    raw = load(spark, sf_dir, "documents")
+    docs = raw.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://site.example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ip 10.0.0.1 call 555-123-4567\n"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("subscribe to our newsletter"))
+            .otherwise(F.concat(F.lit("ref "), F.col("doc_id").cast("string"))),
+            F.lit("\ncopyright 2026 example corp"),
+        ).alias("text"),
+    )
+    benchmark = raw.where(F.col("doc_id") % 97 == 0)
+    return corpus_pipeline(
+        docs,
+        benchmark,
+        min_words=15,
+        max_per_source=30,
+        sample_fraction=0.5,
+        sample_salt="s2",
+    )

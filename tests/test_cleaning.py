@@ -2,6 +2,7 @@
 boilerplate-line removal (operators/cleaning.py)."""
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from data_ingestion_framework_spark.operators.cleaning import (
     decontaminate,
@@ -92,3 +93,33 @@ def test_tfidf_top_terms_ranks_distinctive_words(spark):
     assert got[1] == "zebra"
     # ... and raw tf still wins within a doc when idf is equal-ish
     assert got[2] == "yak"
+
+
+def test_corpus_pipeline_stage_invariants(spark):
+    """Composite pipeline: no surviving doc is contaminated, duplicated,
+    under-length, over-quota, or outside the sample draw."""
+    from data_ingestion_framework_spark.plans.corpus import corpus_pipeline
+
+    body = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = []
+    for i in range(40):
+        text = f"{body} variant {i}" if i % 4 else body  # exact dups every 4th
+        rows.append((i, "srcA" if i < 30 else "srcB", text))
+    rows.append((100, "srcB", "short text"))              # fails min_words
+    docs = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    benchmark = docs.where(F.col("doc_id") == 1)          # contaminates variant 1
+
+    out = corpus_pipeline(
+        docs, benchmark, min_words=5, max_per_source=8, sample_fraction=1.0
+    )
+    got = out.collect()
+    ids = {r["doc_id"] for r in got}
+    assert 100 not in ids                      # min-words gate
+    assert 1 not in ids                        # decontaminated (shares 13-gram)
+    assert len([i for i in ids if i % 4 == 0]) <= 1  # dups collapsed to keeper
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], 0)
+        by_src[r["source"]] += 1
+    assert all(n <= 8 for n in by_src.values())  # per-source quota
+    assert all(r["n_tokens"] >= 5 for r in got)
