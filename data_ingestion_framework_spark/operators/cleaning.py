@@ -17,6 +17,7 @@ from .text import normalize_text
 
 __all__ = [
     "decontaminate",
+    "decontaminate_filter",
     "redact_pii",
     "remove_boilerplate_lines",
     "PII_PATTERNS",
@@ -129,6 +130,7 @@ def remove_boilerplate_lines(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Remove corpus-frequent (boilerplate) lines: any line whose
     trimmed form occurs in >= ``min_docs`` *distinct* documents is
@@ -145,6 +147,7 @@ def remove_boilerplate_lines(
     """
     lines = df.select(
         F.col(id_col),
+        *passthrough,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
     ).withColumn("__key", F.trim(F.col("__line")))
     freq = (
@@ -169,6 +172,9 @@ def remove_boilerplate_lines(
         ),
         lambda s: ~s["__b"],
     )
+    # passthrough columns ride the id-keyed aggregation (constant per
+    # id) instead of a join-back to the source — one fewer corpus scan
+    # per caller; ``corpus_pipeline`` relies on this.
     return marked.groupBy(id_col).agg(
         F.array_join(F.transform(kept, lambda s: s["__line"]), "\n").alias(
             "clean_text"
@@ -176,4 +182,40 @@ def remove_boilerplate_lines(
         F.sum(F.when(F.coalesce("__boiler", F.lit(False)), 1).otherwise(0))
         .cast("bigint")
         .alias("n_removed_lines"),
+        *[F.first(c).alias(c) for c in passthrough],
     )
+
+
+def decontaminate_filter(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """``decontaminate`` as a filter: drop every doc sharing a word
+    n-gram with the benchmark, keeping all input columns.
+
+    Same hit computation as ``decontaminate`` (broadcast bench grams,
+    corpus explode, map-side join) but the result applies as a
+    ``left_anti`` on the contaminated-id set — no flag column, no
+    second pass over the corpus frame. Use this inside pipelines;
+    use ``decontaminate`` when the *report* (per-doc hit counts) is
+    the product."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(_word_gram_hashes(F.col(bench_text_col), n)).alias("__g")
+        )
+        .distinct()
+    )
+    contaminated = (
+        docs.select(
+            F.col(id_col),
+            F.explode(_word_gram_hashes(F.col(text_col), n)).alias("__g"),
+        )
+        .join(F.broadcast(bench_grams), "__g")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(contaminated, id_col, "left_anti")

@@ -52,8 +52,12 @@ def corpus_pipeline(
     raw text column ``text_col``); at 100 TB it is KBs and broadcast.
     """
     cleaned = cleaning.remove_boilerplate_lines(
-        docs, min_docs=boiler_min_docs, id_col=id_col, text_col=text_col
-    ).join(docs.select(id_col, source_col), id_col)
+        docs,
+        min_docs=boiler_min_docs,
+        id_col=id_col,
+        text_col=text_col,
+        passthrough=(source_col,),
+    )
     redacted = cleaning.redact_pii(
         cleaned.select(id_col, source_col, F.col("clean_text").alias(text_col)),
         text_col=text_col,
@@ -65,10 +69,9 @@ def corpus_pipeline(
 
     deduped = exact_dedup(gated, id_col=id_col, text_col=text_col)
 
-    contam = cleaning.decontaminate(
+    survivors = cleaning.decontaminate_filter(
         deduped, benchmark, n=decontam_n, id_col=id_col, text_col=text_col
-    ).where(~F.col("contaminated")).select(id_col)
-    survivors = deduped.join(contam, id_col)
+    )
 
     if max_per_source is not None:
         survivors = cap_per_group(

@@ -89,3 +89,48 @@ def test_range_join_binned_boundaries_and_spanning(spark):
     # candidates come from an equi-join, never a nested loop
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Property: asof_join (union-marker + window plan) agrees with the
+# brute-force definition (latest right row at-or-before, per key) on
+# arbitrary small inputs, including duplicate timestamps and keys that
+# exist on only one side.
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+pairs_st = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=0, max_size=12
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=pairs_st, right=pairs_st)
+def test_asof_matches_bruteforce(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, dt.datetime(2024, 1, 1) + t * dt.timedelta(minutes=1))
+         for i, (k, t) in enumerate(left)],
+        "lid int, k int, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, dt.datetime(2024, 1, 1) + t * dt.timedelta(minutes=1), float(i))
+         for i, (k, t) in enumerate(right)],
+        "rid int, k int, ts timestamp, v double",
+    )
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(ldf, rdf, ["k"], "ts", "ts", ["v"], tiebreak="rid").collect()
+    }
+    # brute force: per left row, right rows at-or-before; latest ts wins,
+    # highest rid breaks timestamp ties (the operator's tiebreak order)
+    for i, (k, t) in enumerate(left):
+        cands = [
+            (rt, ri) for ri, (rk, rt) in enumerate(right) if rk == k and rt <= t
+        ]
+        expect = float(max(cands)[1]) if cands else None
+        assert got.get(i) == expect, (i, k, t, cands)
