@@ -431,3 +431,68 @@ def tfidf_top_terms(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def pack_documents_ffd(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_count_col: Column | None = None,
+    shard_col: Column | str | None = None,
+) -> DataFrame:
+    """First-fit-decreasing bin packing: ``(id, n_tokens, pack_shard,
+    pack_id)`` where no pack exceeds ``budget`` (oversize docs get a
+    solo pack).
+
+    The higher-utilization counterpart of ``pack_documents``: FFD is
+    inherently sequential per shard (each placement depends on every
+    earlier bin's fill), which no window/agg composition expresses —
+    this is the legitimate ``applyInPandas`` case, Arrow-batched, one
+    shuffle on the shard key. Shards (default: 32-way id hash) bound
+    the sequential span; packs are shard-local, which is exactly what
+    training packs want (no global order, bounded skew).
+
+    Deterministic: within a shard docs place in (n_tokens DESC, id)
+    order, ties and bin choice are fully ordered, so re-runs and
+    engines agree.
+    """
+    import pandas as pd
+
+    n_tok = (
+        token_count_col if token_count_col is not None else token_count(F.col("text"))
+    )
+    if shard_col is None:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(32)).cast("int")
+    else:
+        shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        shard.alias("pack_shard"),
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "__id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        remaining: list[int] = []   # capacity left per pack
+        assigned: list[int] = []
+        for tok in pdf["n_tokens"]:
+            for i, cap in enumerate(remaining):
+                if tok <= cap:
+                    remaining[i] = cap - tok
+                    assigned.append(i)
+                    break
+            else:
+                remaining.append(max(budget - tok, 0))
+                assigned.append(len(remaining) - 1)
+        pdf["pack_id"] = pd.Series(assigned, dtype="int64")
+        return pdf
+
+    out_schema = "__id long, n_tokens long, pack_shard int, pack_id long"
+    return (
+        base.groupBy("pack_shard")
+        .applyInPandas(ffd, schema=out_schema)
+        .withColumnRenamed("__id", id_col)
+        .select(id_col, "n_tokens", "pack_shard", "pack_id")
+    )

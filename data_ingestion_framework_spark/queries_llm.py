@@ -1285,3 +1285,18 @@ def corpus_pipeline_end2end(spark, sf_dir):
         sample_fraction=0.5,
         sample_salt="s2",
     )
+
+
+# ---------------------------------------------------------------------------
+# First-fit-decreasing pack assignment (rows-only: FFD is a sequential
+# per-shard loop — each placement depends on all previous bins' fill —
+# which is exactly the non-SQL-expressible case the driver's weaker
+# rows-only check exists for; semantics are pinned by
+# test_pack_documents_ffd_* instead).
+# ---------------------------------------------------------------------------
+@bench_query("docs_pack_ffd")
+def docs_pack_ffd(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.text import pack_documents_ffd
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_documents_ffd(docs, budget=512)

@@ -123,3 +123,39 @@ def test_corpus_pipeline_stage_invariants(spark):
         by_src[r["source"]] += 1
     assert all(n <= 8 for n in by_src.values())  # per-source quota
     assert all(r["n_tokens"] >= 5 for r in got)
+
+
+def test_pack_documents_ffd_respects_budget_and_beats_nextfit(spark):
+    from data_ingestion_framework_spark.operators.text import (
+        pack_documents,
+        pack_documents_ffd,
+    )
+
+    rows = [(i, "x " * ((i * 37) % 90 + 10)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    packed = pack_documents_ffd(df, budget=128, shard_col=F.lit(0)).collect()
+    assert len(packed) == 120                       # every doc assigned
+    fills = {}
+    for r in packed:
+        fills.setdefault(r["pack_id"], 0)
+        fills[r["pack_id"]] += r["n_tokens"]
+    assert all(v <= 128 for v in fills.values())    # hard budget (no doc >128 here)
+    # FFD should not need more packs than start-offset packing
+    nf = pack_documents(df, budget=128, shard_col=F.lit(0)).select("pack_id").distinct().count()
+    assert len(fills) <= nf + 1
+
+    # determinism across runs
+    again = pack_documents_ffd(df, budget=128, shard_col=F.lit(0)).collect()
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
+
+
+def test_pack_documents_ffd_oversize_doc_gets_solo_pack(spark):
+    from data_ingestion_framework_spark.operators.text import pack_documents_ffd
+
+    df = spark.createDataFrame(
+        [(1, "w " * 300), (2, "w " * 10), (3, "w " * 10)],
+        "doc_id int, text string",
+    )
+    packed = {r["doc_id"]: r for r in pack_documents_ffd(df, 64, shard_col=F.lit(0)).collect()}
+    assert packed[1]["pack_id"] != packed[2]["pack_id"]
+    assert packed[2]["pack_id"] == packed[3]["pack_id"]
