@@ -316,3 +316,43 @@ def ivf_cosine_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# -- int8 quantization --------------------------------------------------------
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q_i = floor(x_i /
+    scale · 127 + 0.5)``, ``scale = max|x|`` — the 4× storage cut
+    (float32 → int8 + one scale) embedding stores take at 100 TB.
+
+    Returns ``(id, qvec array<int>, scale double)``. One narrow
+    projection, zero shuffles. Deterministic across engines: every
+    operand is cast to DOUBLE before arithmetic (FLOAT/FLOAT division
+    is engine-specific in output type) and the explicit ``floor(·+0.5)``
+    is half-up rounding with no engine tie-break involved. A zero
+    vector quantizes to zeros with scale 0.
+    """
+    xs = _to_double(F.col(vec_col))
+    scale = F.array_max(F.transform(xs, F.abs))
+    q = F.when(scale == 0, F.transform(xs, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            xs, lambda x: F.floor(x / scale * F.lit(127.0) + F.lit(0.5)).cast("int")
+        )
+    )
+    return df.select(
+        F.col(id_col), q.alias("qvec"), F.round(scale, 6).alias("scale")
+    )
+
+
+def dequantize_int8(
+    df: DataFrame, qvec_col: str = "qvec", scale_col: str = "scale"
+) -> Column:
+    """Reconstruction expression ``q_i · scale / 127`` (array<double>)
+    — compose into a select to measure quantization error or feed the
+    cosine helpers."""
+    return F.transform(
+        F.col(qvec_col),
+        lambda x: x.cast("double") * F.col(scale_col) / F.lit(127.0),
+    )

@@ -1300,3 +1300,32 @@ def docs_pack_ffd(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return pack_documents_ffd(docs, budget=512)
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization, value-checked element-by-element: all
+# math in DOUBLE with explicit floor(x+0.5) half-up rounding, so the
+# int arrays hash identically across engines.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "embeddings_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS xs,
+             list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN scale = 0
+                THEN [CAST(0 AS INTEGER) for x in xs]
+                ELSE [CAST(floor(x / scale * 127.0 + 0.5) AS INTEGER) for x in xs]
+           END AS qvec,
+           ROUND(scale, 6) AS scale
+    FROM s
+    """,
+)
+def embeddings_quantize_int8(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.similarity import quantize_int8
+
+    emb = load(spark, sf_dir, "embeddings")
+    return quantize_int8(emb)

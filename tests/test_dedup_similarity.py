@@ -356,3 +356,37 @@ def test_cap_per_group_quota_and_determinism(spark):
     again = {r["doc_id"] for r in cap_per_group(docs, 10, "src").collect()}
     assert again == by_src["big"] | by_src["small"]
     assert by_src["big"] != set(range(10))
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_framework_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    q = quantize_int8(df)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert rows[1]["qvec"] == [64, -127, 32, 0]   # floor(x/1*127+0.5)
+    assert rows[2]["qvec"] == [0, 0, 0, 0] and rows[2]["scale"] == 0.0
+    # reconstruction error ≤ scale/254 per element (half a quant step)
+    err = (
+        q.join(df, "vec_id")
+        .select(
+            F.array_max(
+                F.zip_with(
+                    dequantize_int8(q),
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    lambda a, b: F.abs(a - b),
+                )
+            ).alias("e"),
+            "scale",
+        )
+        .collect()
+    )
+    assert all(r["e"] <= r["scale"] / 254 + 1e-12 for r in err)
