@@ -496,3 +496,44 @@ def pack_documents_ffd(
         .withColumnRenamed("__id", id_col)
         .select(id_col, "n_tokens", "pack_shard", "pack_id")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks:
+    ``(id, chunk_id, chunk_text, n_tokens)`` — the context-window
+    chunker RAG indexing and long-document pretraining both need.
+
+    Chunks start every ``chunk_tokens - overlap`` tokens and span up to
+    ``chunk_tokens``; the final chunk may be shorter but a document
+    never yields a chunk that is pure overlap (starts past the end).
+    Empty/blank docs produce no chunks.
+
+    Scale shape: one narrow projection builds the word array once per
+    row, a per-row ``sequence`` of start offsets explodes to chunk
+    rows, and each chunk materializes via ``slice`` + ``array_join`` —
+    no shuffle at all; chunking pipelines with the scan.
+    """
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    words = F.split(F.trim(normalize_text(text_col)), " ")
+    n = F.size(words)
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step))
+    base = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        words.alias("__w"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    piece = F.slice(F.col("__w"), F.col("__start"), chunk_tokens)
+    return base.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+    )

@@ -1329,3 +1329,38 @@ def embeddings_quantize_int8(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return quantize_int8(emb)
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (128-token windows, 32-token overlap): chunk
+# text and counts value-checked; starts every 96 tokens, so the oracle
+# enumerates range(1, greatest(n-32,1), 96) over the same normalized
+# word list.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_chunk_windows",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),
+                          ' ') AS ws
+      FROM documents
+      WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(ws[s:s+127], ' ') AS chunk_text,
+           CAST(len(ws[s:s+127]) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT doc_id, ws,
+             unnest(range(1, greatest(len(ws) - 32, 1) + 1, 96)) AS s,
+             unnest(range(0, len(range(1, greatest(len(ws) - 32, 1) + 1, 96)))) AS i
+      FROM w
+    ) t
+    """,
+)
+def docs_chunk_windows(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=128, overlap=32)

@@ -159,3 +159,30 @@ def test_pack_documents_ffd_oversize_doc_gets_solo_pack(spark):
     packed = {r["doc_id"]: r for r in pack_documents_ffd(df, 64, shard_col=F.lit(0)).collect()}
     assert packed[1]["pack_id"] != packed[2]["pack_id"]
     assert packed[2]["pack_id"] == packed[3]["pack_id"]
+
+
+def test_chunk_documents_overlap_and_boundaries(spark):
+    from data_ingestion_framework_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "only three words"), (3, "   ")],
+        "doc_id int, text string",
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_text"], r["n_tokens"]))
+    # starts at 0,2,4,6 (step 2), each spanning 4 words; no chunk starts
+    # past n - overlap = 8
+    assert by_doc[1] == [
+        ("w0 w1 w2 w3", 4),
+        ("w2 w3 w4 w5", 4),
+        ("w4 w5 w6 w7", 4),
+        ("w6 w7 w8 w9", 4),
+    ]
+    assert by_doc[2] == [("only three words", 3)]  # short doc → one chunk
+    assert 3 not in by_doc                         # blank doc → no chunks
