@@ -230,3 +230,45 @@ def row_count_drift(table, tolerance: float = 0.5) -> dict:
         "median": median,
         "drift": round(drift, 4),
     }
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Per-group z-score outlier report for an INTEGER metric column
+    (lengths, token counts, event counts): rows whose value sits more
+    than ``threshold`` population standard deviations from their
+    group's mean. Output: group cols + the row's id-bearing columns
+    pass through untouched, plus ``z`` (4 dp).
+
+    Determinism: z is computed as (x·n − Σx) / √(n·Σx² − (Σx)²) — all
+    integer arithmetic (DECIMAL-staged, order-independent) until one
+    final sqrt/division in DOUBLE. Mean/stddev of doubles would sum in
+    engine- and partition-dependent order and break value parity; this
+    form never sums a float.
+
+    One shuffle: the group stats aggregate; the join back is on the
+    same key (co-partitioned). Degenerate groups (n < 2 or zero
+    variance) emit no outliers.
+    """
+    x = F.col(value_col).cast("decimal(38,0)")
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(x).alias("__s1"),
+        F.sum(x * x).alias("__s2"),
+    )
+    num = (x * F.col("__n") - F.col("__s1")).cast("double")
+    var_n2 = (F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")).cast(
+        "double"
+    )
+    z = F.round(num / F.sqrt(var_n2), 4)
+    return (
+        df.join(stats, group_cols)
+        .where((F.col("__n") >= 2) & (var_n2 > 0))
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) > threshold)
+        .drop("__n", "__s1", "__s2")
+    )

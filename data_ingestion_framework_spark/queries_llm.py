@@ -1364,3 +1364,38 @@ def docs_chunk_windows(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_tokens=128, overlap=32)
+
+
+# ---------------------------------------------------------------------------
+# Per-source length outliers by z-score, value-checked: the z statistic
+# is integer-exact ((x·n − Σx)/√(n·Σx² − (Σx)²)) until a single final
+# sqrt, so no engine-order float summation can break the hash.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_length_zscore_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, source, CAST(length(text) AS HUGEINT) AS x FROM documents
+    ),
+    s AS (
+      SELECT source, COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2
+      FROM v GROUP BY source
+    )
+    SELECT v.doc_id, v.source,
+           ROUND(CAST(v.x * s.n - s.s1 AS DOUBLE)
+                 / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)), 4) AS z
+    FROM v JOIN s ON v.source = s.source
+    WHERE s.n >= 2 AND s.n * s.s2 - s.s1 * s.s1 > 0
+      AND abs(CAST(v.x * s.n - s.s1 AS DOUBLE)
+              / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE))) > 1.5
+    """,
+)
+def docs_length_zscore_outliers(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.dq import zscore_outliers
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("len")
+    )
+    return zscore_outliers(docs, "len", ["source"], threshold=1.5).select(
+        "doc_id", "source", "z"
+    )

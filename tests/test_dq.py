@@ -111,3 +111,17 @@ def test_row_count_drift_over_commit_log(spark, tmp_path):
     t.append(spark.createDataFrame([Row(pk=i) for i in range(1000)]))
     bad = row_count_drift(t, tolerance=0.5)
     assert bad["ok"] is False and bad["latest"] == 1000
+
+
+def test_zscore_outliers_flags_extreme_value(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_framework_spark.operators.dq import zscore_outliers
+
+    rows = [(i, "g", 100) for i in range(20)] + [(99, "g", 1000), (50, "h", 7)]
+    df = spark.createDataFrame(rows, "id int, grp string, v int")
+    got = zscore_outliers(df, "v", ["grp"], threshold=2.0).collect()
+    # only the 1000 in group g is an outlier; group h (n=1) emits none,
+    # and the 20 identical values are not outliers of themselves
+    assert [(r["id"], r["grp"]) for r in got] == [(99, "g")]
+    assert got[0]["z"] > 4
