@@ -1399,3 +1399,36 @@ def docs_length_zscore_outliers(spark, sf_dir):
     return zscore_outliers(docs, "len", ["source"], threshold=1.5).select(
         "doc_id", "source", "z"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide vocabulary top-k: global heavy hitters via partial-agg →
+# TakeOrdered (no global sort materializes); deterministic (count DESC,
+# term ASC) tiebreak.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "corpus_vocab_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT UNNEST(string_split(
+        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks WHERE term <> ''
+    GROUP BY term
+    ORDER BY n DESC, term ASC
+    LIMIT 25
+    """,
+)
+def corpus_vocab_top_terms(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(text.normalize_text("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(25)
+    )

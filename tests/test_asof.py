@@ -134,3 +134,36 @@ def test_asof_matches_bruteforce(spark, left, right):
         ]
         expect = float(max(cands)[1]) if cands else None
         assert got.get(i) == expect, (i, k, t, cands)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=pairs_st, right=pairs_st)
+def test_range_join_matches_bruteforce(spark, left, right):
+    """range_join_binned (bin equi-join) == the O(n·m) definition:
+    pairs on the key with right_ts in [left_ts, left_ts + w)."""
+    W_SEC = 180  # 3-minute window over minute-granularity data
+    ldf = spark.createDataFrame(
+        [(i, k, dt.datetime(2024, 1, 1) + t * dt.timedelta(minutes=1))
+         for i, (k, t) in enumerate(left)],
+        "lid int, k int, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, dt.datetime(2024, 1, 1) + t * dt.timedelta(minutes=1))
+         for i, (k, t) in enumerate(right)],
+        "rid int, k int, rts timestamp",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join_binned(ldf, rdf, ["k"], "lts", "rts", W_SEC).collect()
+    }
+    expect = {
+        (li, ri)
+        for li, (lk, lt) in enumerate(left)
+        for ri, (rk, rt) in enumerate(right)
+        if lk == rk and lt <= rt < lt + 3
+    }
+    assert got == expect
