@@ -48,6 +48,8 @@ HEADLINE = [
     "similarity_cosine_topk",
     "events_daily_counts",
     "events_sessionize",
+    "events_asof_purchase",
+    "events_kmv_distinct_users",
 ]
 
 
