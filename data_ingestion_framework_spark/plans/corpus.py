@@ -43,6 +43,7 @@ def corpus_pipeline(
     max_per_source: int | None = None,
     sample_fraction: float | None = None,
     sample_salt: str = "s2",
+    stage_store=None,
 ) -> DataFrame:
     """Clean → redact → quality-gate → dedup → decontaminate → quota →
     sample. Returns ``(id, source, text, n_tokens)`` where ``text`` is
@@ -50,6 +51,14 @@ def corpus_pipeline(
 
     ``benchmark`` is the eval set to decontaminate against (its own
     raw text column ``text_col``); at 100 TB it is KBs and broadcast.
+
+    ``stage_store`` (a ``ParquetTable``) materializes the deduped frame
+    as a real silver table before decontamination. Without it the plan
+    is fully lazy — correct, but the decontamination anti-join consumes
+    the clean/dedup subplan TWICE (once deriving contaminated ids, once
+    as the surviving side), so a 100 TB run pays the expensive stages
+    double. Staging writes them once, makes the pipeline restartable
+    from silver, and leaves a commit in the table's history log.
     """
     cleaned = cleaning.remove_boilerplate_lines(
         docs,
@@ -68,6 +77,9 @@ def corpus_pipeline(
     )
 
     deduped = exact_dedup(gated, id_col=id_col, text_col=text_col)
+    if stage_store is not None:
+        stage_store.overwrite(deduped)
+        deduped = stage_store.read()
 
     survivors = cleaning.decontaminate_filter(
         deduped, benchmark, n=decontam_n, id_col=id_col, text_col=text_col

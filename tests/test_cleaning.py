@@ -186,3 +186,22 @@ def test_chunk_documents_overlap_and_boundaries(spark):
     ]
     assert by_doc[2] == [("only three words", 3)]  # short doc → one chunk
     assert 3 not in by_doc                         # blank doc → no chunks
+
+
+def test_corpus_pipeline_staged_matches_lazy(spark, tmp_path):
+    """stage_store materializes silver; the final output is identical
+    to the fully lazy plan and the staged table holds the deduped set."""
+    from data_ingestion_framework_spark.plans.corpus import corpus_pipeline
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, "s", f"{body} tail {i}") for i in range(20)],
+        "doc_id int, source string, text string",
+    )
+    bench = docs.limit(0)
+    lazy = corpus_pipeline(docs, bench, min_words=3)
+    store = ParquetTable(spark, str(tmp_path / "silver"))
+    staged = corpus_pipeline(docs, bench, min_words=3, stage_store=store)
+    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, staged.collect()))
+    assert store.read().count() == 20
