@@ -94,3 +94,74 @@ def kmv_distinct(
     """``kmv_rows`` → ``kmv_estimate``: per-group approximate distinct
     counts with value-level cross-engine determinism."""
     return kmv_estimate(kmv_rows(df, group_cols, value_col, k), group_cols, k)
+
+
+def hash_rank_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group deterministic uniform sample of up to k ROWS: rank
+    rows by an md5 hash of their ID (NOT of the value — value-hashing
+    would sample distinct values and erase duplicated mass, biasing
+    any downstream statistic) and keep the k smallest ranks.
+
+    The KMV idea applied to QUANTILES: the k lowest-ranked rows are a
+    uniform subset of the group, so their order statistics estimate
+    the group's quantiles with error O(1/√k). Merge shards by
+    unioning sample rows and re-taking the k smallest ranks — the
+    same associative law as ``kmv_rows``.
+    """
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        kmv_hash(F.concat(F.col(id_col).cast("string"), F.lit(":q"))).alias("__r"),
+    )
+    w = W.partitionBy(*group_cols).orderBy("__r", "__v")
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def sampled_quantiles(
+    sample: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+) -> DataFrame:
+    """Finalize a ``hash_rank_sample`` into per-group quantile
+    estimates: exact nearest-rank quantiles OF THE SAMPLE (index
+    ``ceil(p·m)`` into the sorted sample of size m). All integer
+    indexing — no interpolation, so values are members of the input
+    and engine-portable."""
+    m = F.size(F.col("__vals"))
+    agg = sample.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("__v")).alias("__vals")
+    )
+    cols = [
+        F.element_at(
+            F.col("__vals"),
+            F.greatest(F.ceil(F.lit(float(p)) * m), F.lit(1)).cast("int"),
+        ).alias(f"q{str(p).replace('.', '_')}")
+        for p in probs
+    ]
+    return agg.select(*group_cols, *cols)
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    probs: list[float],
+    k: int = 256,
+) -> DataFrame:
+    """``hash_rank_sample`` → ``sampled_quantiles``: mergeable,
+    deterministic approximate quantiles (the value-checkable
+    complement of ``percentile_approx``)."""
+    return sampled_quantiles(
+        hash_rank_sample(df, group_cols, value_col, id_col, k), group_cols, probs
+    )

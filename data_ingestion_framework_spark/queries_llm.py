@@ -1432,3 +1432,40 @@ def corpus_vocab_top_terms(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("term").asc())
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch (hash-rank sample → nearest-rank order statistics):
+# the value-checkable complement of percentile_approx — every estimate
+# is a member of the input chosen by deterministic md5 rank, so the
+# oracle reproduces it exactly.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_quantile_sketch",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value AS v,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':q'),
+                                        1, 15))::BIGINT, value) AS rn
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type, list_sort(list(v)) AS vals
+      FROM ranked WHERE rn <= 256 GROUP BY event_type
+    )
+    SELECT event_type,
+           vals[greatest(CAST(ceil(0.5 * len(vals)) AS INT), 1)] AS q0_5,
+           vals[greatest(CAST(ceil(0.9 * len(vals)) AS INT), 1)] AS q0_9,
+           vals[greatest(CAST(ceil(0.99 * len(vals)) AS INT), 1)] AS q0_99
+    FROM agg
+    """,
+)
+def events_quantile_sketch(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.sketches import quantile_sketch
+
+    ev = load(spark, sf_dir, "events")
+    return quantile_sketch(
+        ev, ["event_type"], "value", "event_id", probs=[0.5, 0.9, 0.99], k=256
+    )

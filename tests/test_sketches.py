@@ -44,3 +44,26 @@ def test_kmv_merge_equals_whole(spark):
     merged = kmv_estimate(topk, ["g"], k=128).collect()[0]
     assert merged["approx_distinct"] == whole["approx_distinct"]
     assert merged["sketch_size"] == whole["sketch_size"]
+
+
+def test_quantile_sketch_accuracy_and_exact_small_groups(spark):
+    from data_ingestion_framework_spark.operators.sketches import quantile_sketch
+
+    # big group: uniform 0..9999 → q50≈5000, q90≈9000 within O(1/√k)
+    big = spark.range(10_000).select(
+        F.lit("big").alias("g"), F.col("id").alias("v"), F.col("id").alias("rid")
+    )
+    # small group (< k): sketch must be EXACT nearest-rank quantiles
+    small = spark.createDataFrame(
+        [("small", v, 100 + v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]],
+        "g string, v long, rid long",
+    )
+    out = {
+        r["g"]: r
+        for r in quantile_sketch(
+            big.unionByName(small), ["g"], "v", "rid", probs=[0.5, 0.9], k=256
+        ).collect()
+    }
+    assert abs(out["big"]["q0_5"] - 5000) < 1500   # 4σ-ish for k=256
+    assert abs(out["big"]["q0_9"] - 9000) < 1200
+    assert out["small"]["q0_5"] == 5 and out["small"]["q0_9"] == 9
