@@ -19,6 +19,8 @@ composite itself is value-checked end-to-end by the
 
 from __future__ import annotations
 
+from dataclasses import dataclass, fields
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -95,4 +97,59 @@ def corpus_pipeline(
         )
     return survivors.select(
         id_col, source_col, text_col, F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+
+
+@dataclass
+class CorpusConfig:
+    """Config-row form of ``corpus_pipeline`` — the same config-table
+    philosophy as the reference's pipeline rows (PipelineConfig
+    .from_row), so a corpus job is DATA, not code: store these rows
+    in a config table, fan out enabled ones, run each.
+    """
+
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    source_col: str = "source"
+    boiler_min_docs: int = 2
+    min_words: int = 15
+    decontam_n: int = 13
+    max_per_source: int | None = None
+    sample_fraction: float | None = None
+    sample_salt: str = "s2"
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CorpusConfig":
+        known = {f.name for f in fields(cls)}
+        unknown = set(d) - known
+        if unknown:
+            raise ValueError(f"unknown corpus config keys: {sorted(unknown)}")
+        out = cls(**{k: v for k, v in d.items() if k in known})
+        if out.boiler_min_docs < 2:
+            raise ValueError("boiler_min_docs must be >= 2")
+        if out.sample_fraction is not None and not (0.0 <= out.sample_fraction <= 1.0):
+            raise ValueError("sample_fraction must be in [0, 1]")
+        return out
+
+
+def run_corpus_config(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    cfg: CorpusConfig,
+    stage_store=None,
+) -> DataFrame:
+    """``corpus_pipeline`` driven by a ``CorpusConfig`` row."""
+    return corpus_pipeline(
+        docs,
+        benchmark,
+        id_col=cfg.id_col,
+        text_col=cfg.text_col,
+        source_col=cfg.source_col,
+        boiler_min_docs=cfg.boiler_min_docs,
+        min_words=cfg.min_words,
+        decontam_n=cfg.decontam_n,
+        max_per_source=cfg.max_per_source,
+        sample_fraction=cfg.sample_fraction,
+        sample_salt=cfg.sample_salt,
+        stage_store=stage_store,
     )

@@ -205,3 +205,24 @@ def test_corpus_pipeline_staged_matches_lazy(spark, tmp_path):
     staged = corpus_pipeline(docs, bench, min_words=3, stage_store=store)
     assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, staged.collect()))
     assert store.read().count() == 20
+
+
+def test_corpus_config_round_trip_and_validation(spark):
+    import pytest
+
+    from data_ingestion_framework_spark.plans.corpus import (
+        CorpusConfig,
+        run_corpus_config,
+    )
+
+    cfg = CorpusConfig.from_dict({"min_words": 3, "max_per_source": 5})
+    docs = spark.createDataFrame(
+        [(i, "s", f"one two three four five tail {i}") for i in range(10)],
+        "doc_id int, source string, text string",
+    )
+    out = run_corpus_config(docs, docs.limit(0), cfg)
+    assert out.count() == 5  # quota applied from config
+    with pytest.raises(ValueError):
+        CorpusConfig.from_dict({"min_wordz": 3})
+    with pytest.raises(ValueError):
+        CorpusConfig.from_dict({"sample_fraction": 1.5})
