@@ -153,3 +153,52 @@ def run_corpus_config(
         sample_salt=cfg.sample_salt,
         stage_store=stage_store,
     )
+
+
+def corpus_stream_ingest(
+    stream: DataFrame,
+    table,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 15,
+):
+    """Incremental corpus ingestion: per micro-batch PII redaction and
+    min-length gating, then an SCD1 merge keyed on the CONTENT
+    fingerprint — so a document re-arriving in any later batch (same
+    text, any id) lands on the same key and the table stays
+    exact-deduped across the whole stream without any extra state.
+
+    Corpus-wide stages (boilerplate frequencies, MinHash, per-source
+    quotas) don't belong in a micro-batch — run them as batch
+    ``corpus_pipeline`` passes over the ingested table.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from data_ingestion_framework_spark.operators.text import (
+        normalize_text,
+        token_count,
+    )
+    from data_ingestion_framework_spark.streaming.writers import (
+        foreach_batch_scd_merge,
+    )
+
+    def _clean(batch: DataFrame) -> DataFrame:
+        red = cleaning.redact_pii(batch, text_col=text_col).select(
+            *[c for c in batch.columns if c != text_col],
+            F.col("redacted_text").alias(text_col),
+        )
+        gated = red.withColumn("n_tokens", token_count(text_col)).where(
+            F.col("n_tokens") >= min_words
+        )
+        return gated.withColumn("fingerprint", F.md5(normalize_text(text_col)))
+
+    return foreach_batch_scd_merge(
+        stream,
+        table,
+        key_cols=["fingerprint"],
+        order_col=id_col,
+        checkpoint=checkpoint,
+        scd_type=1,
+        transform=_clean,
+    )

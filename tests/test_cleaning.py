@@ -226,3 +226,37 @@ def test_corpus_config_round_trip_and_validation(spark):
         CorpusConfig.from_dict({"min_wordz": 3})
     with pytest.raises(ValueError):
         CorpusConfig.from_dict({"sample_fraction": 1.5})
+
+
+def test_corpus_stream_ingest_dedups_across_batches(spark, tmp_path):
+    """Streaming ingest: PII redacted, short docs gated, and a document
+    re-arriving in a later micro-batch (same text, new id) does not
+    duplicate — the content-fingerprint merge key absorbs it."""
+    from data_ingestion_framework_spark.plans.corpus import corpus_stream_ingest
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+    from data_ingestion_framework_spark.streaming import read_file_stream
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [(1, f"{body} one mail a@b.com"), (2, f"{body} two")],
+        "doc_id int, text string",
+    ).coalesce(1).write.mode("append").parquet(landing)
+    spark.createDataFrame(
+        [(9, f"{body} one mail a@b.com"), (3, "too short"), (4, f"{body} four")],
+        "doc_id int, text string",
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    table = ParquetTable(spark, str(tmp_path / "corpus"))
+    stream = read_file_stream(
+        spark, landing, "parquet", control_columns=False, max_files_per_trigger=1
+    )
+    corpus_stream_ingest(
+        stream, table, str(tmp_path / "ckpt"), min_words=5
+    )
+    rows = table.read().collect()
+    texts = sorted(r["text"] for r in rows)
+    assert len(rows) == 3                          # dup + short doc absorbed
+    assert texts == sorted(
+        [f"{body} one mail <EMAIL>", f"{body} two", f"{body} four"]
+    )
