@@ -537,3 +537,71 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("bigint").alias("n_tokens"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    ``pmi = ln(c12·N / (c1·c2))`` with N = total corpus tokens —
+    the classic "new york"/"machine learning" phrase detector.
+
+    Ranking uses the 4-dp-rounded score with (w1, w2) tiebreak so
+    engine ulp differences in ln() can't reorder the cut. Counts stay
+    integer-exact until one final double division.
+
+    Scale shape: bigrams explode from a per-row ``zip`` projection,
+    aggregate with map-side combine (shuffle carries (w1,w2,count)),
+    then two broadcast-joinable unigram lookups — unigram vocab of a
+    100 TB corpus still fits an executor; if it didn't, the join key
+    is the shuffle key and Catalyst falls back to sort-merge.
+    """
+    words = F.split(normalize_text(text_col), " ")
+    toks = df.select(F.explode(words).alias("w")).where(F.col("w") != "")
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_total = toks.agg(F.count(F.lit(1)).alias("__n"))
+
+    grams = (
+        df.select(
+            F.explode(
+                F.when(
+                    F.size(words) >= 2,
+                    F.zip_with(
+                        F.slice(words, 1, F.size(words) - 1),
+                        F.slice(words, 2, F.size(words) - 1),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    c12 = (
+        grams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    scored = (
+        c12.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("__n").cast("double"))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(top_k)

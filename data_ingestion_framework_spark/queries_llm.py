@@ -1469,3 +1469,44 @@ def events_quantile_sketch(spark, sf_dir):
     return quantile_sketch(
         ev, ["event_type"], "value", "event_id", probs=[0.5, 0.9, 0.99], k=256
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI bigram collocations: integer-exact counts, one final double
+# division into ln(), ranked on the rounded score.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "corpus_pmi_collocations",
+    oracle="""
+    WITH w AS (
+      SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS ws
+      FROM documents
+    ),
+    toks AS (SELECT UNNEST(ws) AS w FROM w),
+    uni AS (SELECT w, COUNT(*) AS c FROM toks WHERE w <> '' GROUP BY w),
+    n AS (SELECT COUNT(*) AS n FROM toks WHERE w <> ''),
+    grams AS (
+      SELECT ws[i] AS w1, ws[i+1] AS w2
+      FROM w, UNNEST(range(1, len(ws))) t(i)
+      WHERE len(ws) >= 2
+    ),
+    c12 AS (
+      SELECT w1, w2, COUNT(*) AS c12
+      FROM grams WHERE w1 <> '' AND w2 <> ''
+      GROUP BY w1, w2 HAVING COUNT(*) >= 5
+    )
+    SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS c12,
+           ROUND(ln((CAST(b.c12 AS DOUBLE) * CAST(n.n AS DOUBLE))
+                    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 4) AS pmi
+    FROM c12 b
+    JOIN uni u1 ON b.w1 = u1.w
+    JOIN uni u2 ON b.w2 = u2.w
+    CROSS JOIN n
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT 20
+    """,
+)
+def corpus_pmi_collocations(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.pmi_collocations(docs, min_count=5, top_k=20)

@@ -260,3 +260,17 @@ def test_corpus_stream_ingest_dedups_across_batches(spark, tmp_path):
     assert texts == sorted(
         [f"{body} one mail <EMAIL>", f"{body} two", f"{body} four"]
     )
+
+
+def test_pmi_collocations_finds_fixed_phrase(spark):
+    from data_ingestion_framework_spark.operators.text import pmi_collocations
+
+    # "hong kong" always co-occurs; filler words are independent
+    rows = [
+        (i, "hong kong " + " ".join(f"u{i}x{k}" for k in range(8)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    top = pmi_collocations(df, min_count=5, top_k=3).collect()
+    assert (top[0]["w1"], top[0]["w2"]) == ("hong", "kong")
+    assert top[0]["pmi"] > 0
