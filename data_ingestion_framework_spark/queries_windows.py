@@ -279,3 +279,37 @@ def events_range_join_counts(spark, sf_dir):
             F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style continuous aggregate: hourly + daily + per-type
+# totals in ONE pass via ROLLUP over (type, day, hour) time buckets —
+# the multi-granularity rollup a time-series store materializes. The
+# grouping-id columns disambiguate aggregation levels.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_time_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP),
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP))
+    """,
+)
+def events_time_rollup(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .rollup("event_type", "day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
