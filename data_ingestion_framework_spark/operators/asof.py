@@ -62,7 +62,15 @@ def asof_join(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_m"),
-        (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")).alias("_tb"),
+        # Without an explicit tiebreak, order right rows sharing
+        # (keys, ts) by a hash of the carried values — deterministic
+        # across re-runs, where a constant would let F.last pick an
+        # arbitrary (partition-order-dependent) row.
+        (
+            F.col(tiebreak).cast("long")
+            if tiebreak
+            else F.xxhash64(*[F.col(c) for c in value_cols])
+        ).alias("_tb"),
         *[F.col(c).alias(a) for c, a in zip(value_cols, carried)],
         F.col(right_ts).alias("_asof_ts"),
         F.lit(None).cast(lhs.schema["_row"].dataType).alias("_row"),

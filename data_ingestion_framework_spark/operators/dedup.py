@@ -130,12 +130,28 @@ def minhash_signatures(
     """
     spread = _spread_normalized(df, id_col, text_col)
 
+    if not 1 <= num_hashes <= 4096:
+        raise ValueError(f"num_hashes must be in [1, 4096], got {num_hashes}")
+
     def family(h1, h2):
+        # Two-level XOR-rotate mix: member i rotates h2 by i%64 and h1 by
+        # i//64, so i and i+64 are DISTINCT functions (a single-level
+        # family would silently repeat past 64 members, and shiftleft by
+        # 64 is a JVM no-op — the r==0 guard avoids that degenerate mix).
         cols = [h1]
         for i in range(1, num_hashes):
-            r = i % 64
-            rot = F.shiftrightunsigned(h2, r).bitwiseOR(F.shiftleft(h2, 64 - r))
-            cols.append(h1.bitwiseXOR(rot))
+            r, q = i % 64, i // 64
+            rot = (
+                h2
+                if r == 0
+                else F.shiftrightunsigned(h2, r).bitwiseOR(F.shiftleft(h2, 64 - r))
+            )
+            base = (
+                h1
+                if q == 0
+                else F.shiftrightunsigned(h1, q).bitwiseOR(F.shiftleft(h1, 64 - q))
+            )
+            cols.append(base.bitwiseXOR(rot))
         return F.array(*cols)
 
     sig = F.aggregate(

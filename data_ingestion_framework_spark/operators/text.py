@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 #: Small deterministic English stopword set for the n-gram/stopword
@@ -489,7 +490,16 @@ def pack_documents_ffd(
         pdf["pack_id"] = pd.Series(assigned, dtype="int64")
         return pdf
 
-    out_schema = "__id long, n_tokens long, pack_shard int, pack_id long"
+    # Output schema carries the caller's id type (string doc ids are
+    # common) — a hardcoded 'long' would miscast or fail at runtime.
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", df.schema[id_col].dataType),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("pack_shard", T.IntegerType()),
+            T.StructField("pack_id", T.LongType()),
+        ]
+    )
     return (
         base.groupBy("pack_shard")
         .applyInPandas(ffd, schema=out_schema)

@@ -159,9 +159,14 @@ class PipelineBuilder:
                 t = ParquetTable(self.spark, w.path, w.partition_by or None)
                 # remember the pre-append commit so silver can read
                 # exactly this run's files (commit cursor); "fresh"
-                # means the table didn't exist yet — everything is new
+                # means the table didn't exist yet — everything is new.
+                # Keyed by table path: with multiple bronze writes a
+                # single scalar would record the LAST table's seq and
+                # then be applied to the FIRST table's commit log.
                 hist = t.history()
-                self._bronze_cursor = hist[-1]["seq"] if hist else "fresh"
+                if not hasattr(self, "_bronze_cursors"):
+                    self._bronze_cursors = {}
+                self._bronze_cursors[w.path] = hist[-1]["seq"] if hist else "fresh"
                 t.append(df)
             if self.audit:
                 self.audit.log(w.path, "append", {"layer": "bronze"})
@@ -181,7 +186,9 @@ class PipelineBuilder:
         bronze_writes = c.writes_for_layer("bronze")
         if bronze_writes:
             t = ParquetTable(self.spark, bronze_writes[0].path)
-            cursor = getattr(self, "_bronze_cursor", None)
+            cursor = getattr(self, "_bronze_cursors", {}).get(
+                bronze_writes[0].path
+            )
             if cursor == "fresh":
                 df = t.read()  # table born this run: everything is new
             elif cursor is not None:

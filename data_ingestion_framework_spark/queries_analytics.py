@@ -96,8 +96,11 @@ def shipping_priority(spark, sf_dir):
     )
     rev = F.col("l_extendedprice").cast(_DEC) * (1 - F.col("l_discount").cast(_DEC))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # orders/customer grow with the scale factor: no forced broadcast —
+        # AQE picks broadcast at small sf and falls back to shuffle-hash/SMJ
+        # at 100 TB, where a forced build side would OOM the executors.
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -132,8 +135,10 @@ def region_revenue(spark, sf_dir):
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     rev = F.col("l_extendedprice").cast(_DEC) * (1 - F.col("l_discount").cast(_DEC))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # Broadcast hints only on true dims (region/nation/supplier);
+        # orders/customer are sf-proportional — AQE decides those joins.
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),

@@ -285,7 +285,12 @@ class ParquetTable:
                 os.rename(backup, os.path.join(self._hist_dir(), f"pre{seq:08d}"))
         finally:
             shutil.rmtree(staging, ignore_errors=True)
-        self._record_commit(op, metrics)
+        # After the swap the live tree holds exactly this commit's staged
+        # files — pass them so _record_commit reads only their footers
+        # (new_files=None would re-read EVERY live footer, O(table) driver
+        # work per overwrite, and would record full-table row counts where
+        # append commits record per-commit counts).
+        self._record_commit(op, metrics, new_files=self._data_files())
 
     def touched_partitions(self, df: DataFrame) -> list[str]:
         """Relative partition directories the batch ``df`` writes into —
@@ -336,9 +341,8 @@ class ParquetTable:
         staging = f"{self.path}.__staging__{uuid.uuid4().hex[:8]}"
         try:
             self._writer(df, "overwrite").parquet(staging)
-            staged = sorted(
-                {os.path.dirname(rel) for rel in self._data_files(staging)}
-            )
+            staged_files = self._data_files(staging)
+            staged = sorted({os.path.dirname(rel) for rel in staged_files})
             touched = sorted(set(staged) | set(extra_touched or []))
             seq = self._next_seq()
             retained = os.path.join(self._hist_dir(), f"pre{seq:08d}")
@@ -368,9 +372,14 @@ class ParquetTable:
                 raise
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+        # Count only this commit's staged files (their relative paths are
+        # unchanged by the move) — new_files=None would footer-read every
+        # live file including UNTOUCHED partitions: O(table) driver work
+        # and a full-table rows_written where appends record per-commit.
         self._record_commit(
             "overwrite_partitions",
             dict(metrics or {}, touched_partitions=touched),
+            new_files=staged_files,
         )
 
     # -- incremental reads ---------------------------------------------------

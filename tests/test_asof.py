@@ -167,3 +167,20 @@ def test_range_join_matches_bruteforce(spark, left, right):
         if lk == rk and lt <= rt < lt + 3
     }
     assert got == expect
+
+
+def test_asof_default_tiebreak_is_deterministic(spark):
+    """Several right rows share (k, ts) and no tiebreak is given: the
+    carried value must still be stable across partitionings/re-runs
+    (default tiebreak = hash of carried values, not partition order)."""
+    left = spark.createDataFrame([Row(k="a", ts=T + 10 * M)], "k string, ts timestamp")
+    right = spark.createDataFrame(
+        [Row(k="a", ts=T + 5 * M, v=float(i)) for i in range(20)],
+        "k string, ts timestamp, v double",
+    )
+    picks = {
+        asof_join(left, right.repartition(n), ["k"], "ts", "ts", ["v"])
+        .collect()[0]["asof_v"]
+        for n in (1, 3, 7)
+    }
+    assert len(picks) == 1

@@ -274,3 +274,17 @@ def test_pmi_collocations_finds_fixed_phrase(spark):
     top = pmi_collocations(df, min_count=5, top_k=3).collect()
     assert (top[0]["w1"], top[0]["w2"]) == ("hong", "kong")
     assert top[0]["pmi"] > 0
+
+
+def test_pack_documents_ffd_preserves_id_type(spark):
+    """String doc ids are common in corpus pipelines — the applyInPandas
+    output schema must carry the caller's id type, not a hardcoded long."""
+    from data_ingestion_framework_spark.operators.text import pack_documents_ffd
+
+    df = spark.createDataFrame(
+        [(f"doc-{i}", "w " * (5 * (i + 1))) for i in range(6)],
+        "doc_id string, text string",
+    )
+    out = pack_documents_ffd(df, budget=32, shard_col=F.lit(0))
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert {r["doc_id"] for r in out.collect()} == {f"doc-{i}" for i in range(6)}

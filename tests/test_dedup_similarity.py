@@ -390,3 +390,19 @@ def test_quantize_int8_roundtrip_error_bounded(spark):
         .collect()
     )
     assert all(r["e"] <= r["scale"] / 254 + 1e-12 for r in err)
+
+
+def test_minhash_family_independent_beyond_64(spark):
+    """Two-level XOR-rotate mix: members i and i+64 must be DISTINCT
+    hash functions (a single-level i%64 rotation silently repeats the
+    family past 64, halving the effective signature)."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([Row(doc_id=1, text=DOC_A)])
+    sig = dedup.minhash_signatures(docs, num_hashes=128).collect()[0]["sig"]
+    assert len(sig) == 128
+    assert sig[:64] != sig[64:]          # not a verbatim repeat
+    assert len(set(sig)) > 100           # mostly independent minima
+
+    with _pytest.raises(ValueError):
+        dedup.minhash_signatures(docs, num_hashes=5000)

@@ -189,3 +189,34 @@ def test_load_enabled_configs(spark, tmp_path):
     spark.createDataFrame(pd.DataFrame(rows)).write.parquet(f"{tmp_path}/cfg")
     cfgs = load_enabled_configs(spark, f"{tmp_path}/cfg", "dp")
     assert [c.table_name for c in cfgs] == ["a"]
+
+
+def test_multi_bronze_cursor_is_per_table(spark, tmp_path):
+    """With TWO bronze writes the silver cursor must be the FIRST
+    bronze table's pre-append seq. A single scalar cursor records the
+    LAST table's seq and applies it to the first table's commit log —
+    once their histories diverge that either raises or slices the
+    wrong file set (silver re-processing or dropping rows)."""
+    landing = _landing(spark, tmp_path / "landing_mb", [Row(pk=1, val="a", amt=1.0)])
+    row = _config_row(landing, tmp_path)
+    row["writes"] = json.dumps(
+        [
+            {"table_medallion_layer": "bronze", "path": f"{tmp_path}/bronze_a", "mode": "append"},
+            {"table_medallion_layer": "bronze", "path": f"{tmp_path}/bronze_b", "mode": "append"},
+            {"table_medallion_layer": "silver", "path": f"{tmp_path}/silver_mb",
+             "mode": "merge", "scd_type": 1},
+        ]
+    )
+    row["audit_write"] = "False"
+    PipelineBuilder(spark, PipelineConfig.from_row(row)).run_medallion()
+    assert spark.read.parquet(f"{tmp_path}/silver_mb").count() == 1
+
+    # desync the two bronze histories: bronze_b gains an extra commit,
+    # so its seq no longer equals bronze_a's
+    tb = ParquetTable(spark, f"{tmp_path}/bronze_b")
+    tb.append(tb.read())
+
+    _landing(spark, tmp_path / "landing_mb", [Row(pk=2, val="b", amt=2.0)])
+    PipelineBuilder(spark, PipelineConfig.from_row(row)).run_medallion()
+    silver = {r["pk"]: r["val"] for r in spark.read.parquet(f"{tmp_path}/silver_mb").collect()}
+    assert silver == {1: "a", 2: "b"}  # exactly this run's delta merged

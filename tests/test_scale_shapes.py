@@ -151,3 +151,20 @@ def test_minhash_signatures_single_exchange(spark):
     plan = _plan(minhash_signatures(docs))
     assert plan.count("Exchange") == 1
     assert "HashAggregate" not in plan
+
+
+def test_fact_fact_joins_are_aqe_decided(spark):
+    """shipping_priority / region_revenue must not force-broadcast the
+    sf-proportional tables (orders, customer): a forced build side is
+    an executor OOM at 100x scale. Hints are allowed only on the true
+    dims (region/nation/supplier)."""
+    from data_ingestion_framework_spark import queries_analytics as qa
+
+    sf = "/root/testdata/sf0.001"
+    sp = qa.shipping_priority(spark, sf)
+    assert "ResolvedHint" not in sp._jdf.queryExecution().analyzed().toString()
+
+    rr = qa.region_revenue(spark, sf)
+    analyzed = rr._jdf.queryExecution().analyzed().toString()
+    # exactly the three true-dim hints; orders/customer joins AQE-decided
+    assert analyzed.count("ResolvedHint") == 3

@@ -149,3 +149,19 @@ def test_changed_partitions_since(spark, tpath):
     t.append(spark.createDataFrame([Row(pk=30, p="c")]))
     assert t.changed_partitions_since(seq1) == ["p=b", "p=c"]
     assert t.changed_partitions_since(t.history()[-1]["seq"]) == []
+
+
+def test_overwrite_partitions_counts_only_staged_files(spark, tpath):
+    """overwrite_partitions must record rows_written from THIS commit's
+    staged files only — counting every live file would footer-read
+    untouched partitions (O(table) driver work) and log full-table
+    counts where appends log per-commit counts."""
+    t = ParquetTable(spark, tpath, partition_by=["p"])
+    t.append(
+        spark.createDataFrame([Row(p=p, v=i) for p in ("a", "b", "c") for i in range(4)])
+    )
+    t.overwrite_partitions(spark.createDataFrame([Row(p="b", v=99)]))
+    h = t.history()
+    assert h[-1]["op"] == "overwrite_partitions"
+    assert h[-1]["rows_written"] == 1  # not 9 (the 'a'/'c' partitions untouched)
+    assert t.read().count() == 9
