@@ -11,10 +11,12 @@ Reference parity (the core of the framework):
 - the curated layer's "merge_key trick" Type2+Type1 single pass
   (reference/Raw-To-Curated-Material_Dim.py:219-285)
 
-Spark-first design: instead of generating MERGE SQL, each operator is a
-pure DataFrame program ``(target_state, source) -> new_target_state``.
-On Delta/Iceberg the same frames feed ``MERGE INTO``; here the caller
-commits via ``ParquetTable.overwrite`` (sources/tablestore.py). All
+Spark-first design: each operator is a pure DataFrame program
+``(target_state, source) -> new_target_state``; the caller commits via
+``ParquetTable.overwrite`` (sources/tablestore.py). For Delta/Iceberg
+targets, ``sinks/merge_sql.py`` renders the equivalent ``MERGE INTO``
+statements from the same inputs (equivalence pinned by
+``tests/test_merge_sql.py``). All
 per-key reasoning is one shuffle on the business key (window + join
 share the partitioning); change detection compares md5 hashes computed
 JVM-side, so the exchange carries keys + 32-byte hashes, not full rows.

@@ -136,6 +136,121 @@ def scd2_current_view(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Lakehouse MERGE SQL path under the oracle gate (sinks/merge_sql.py):
+# the same lifecycles as scd{1,2}_merge_state, but computed by EXECUTING
+# the emitted state-equivalent SQL — proving the rendered MERGE
+# semantics match the DataFrame engine, checked against DuckDB.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "merge_sql_scd1_state",
+    oracle=f"""
+    WITH target AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price,
+             TIMESTAMP '{T0}' AS mtime, CAST(NULL AS TIMESTAMP) AS delete_time
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    source AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice + 500.0 AS price,
+             TIMESTAMP '{T1}' AS mtime
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT pk, status, price, mtime, TIMESTAMP '{T1}' AS delete_time
+    FROM target WHERE pk NOT IN (SELECT pk FROM source)
+    UNION ALL
+    SELECT pk, status, price, mtime, CAST(NULL AS TIMESTAMP) FROM source
+    """,
+)
+def merge_sql_scd1_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sinks.merge_sql import scd1_state_sql
+
+    orders = load(spark, sf_dir, "orders")
+    orders.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(T0).cast("timestamp").alias("mtime"),
+        F.lit(None).cast("timestamp").alias("delete_time"),
+    ).createOrReplaceTempView("__msql1_target")
+    orders.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice") + 500.0).alias("price"),
+        F.lit(T1).cast("timestamp").alias("mtime"),
+    ).createOrReplaceTempView("__msql1_source")
+    return spark.sql(
+        scd1_state_sql(
+            "__msql1_target",
+            "__msql1_source",
+            ["pk"],
+            "mtime",
+            ["pk", "status", "price", "mtime"],
+            full_extract=True,
+            now_expr=f"TIMESTAMP '{T1}'",
+        )
+    )
+
+
+@bench_query(
+    "merge_sql_scd2_state",
+    oracle=f"""
+    WITH v0 AS (SELECT p_partkey AS pk, p_retailprice AS price FROM part),
+    v1 AS (
+      SELECT p_partkey AS pk,
+             CASE WHEN p_partkey % 4 = 0 THEN p_retailprice + 50.0
+                  ELSE p_retailprice END AS price
+      FROM part WHERE p_partkey % 2 = 0
+    )
+    SELECT pk, price, TIMESTAMP '{T0}' AS start_time, TIMESTAMP '{T1}' AS end_time,
+           0 AS is_current, CAST(NULL AS TIMESTAMP) AS delete_time
+    FROM v0 WHERE pk % 4 = 0
+    UNION ALL
+    SELECT pk, price, TIMESTAMP '{T1}', CAST(NULL AS TIMESTAMP), 1, CAST(NULL AS TIMESTAMP)
+    FROM v1 WHERE pk % 4 = 0
+    UNION ALL
+    SELECT pk, price, TIMESTAMP '{T0}', CAST(NULL AS TIMESTAMP), 1, CAST(NULL AS TIMESTAMP)
+    FROM v0 WHERE pk % 2 = 0 AND pk % 4 <> 0
+    UNION ALL
+    SELECT pk, price, TIMESTAMP '{T0}', TIMESTAMP '{T1}', 0, TIMESTAMP '{T1}'
+    FROM v0 WHERE pk % 2 <> 0
+    """,
+)
+def merge_sql_scd2_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sinks.merge_sql import scd2_state_sql
+
+    part = load(spark, sf_dir, "part")
+    cols = ["pk", "price", "mtime"]
+    part.select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_retailprice").alias("price"),
+        F.lit(T0).cast("timestamp").alias("mtime"),
+    ).createOrReplaceTempView("__msql2_v0")
+    spark.sql(
+        scd2_state_sql(None, "__msql2_v0", ["pk"], "mtime", cols)
+    ).createOrReplaceTempView("__msql2_s0")
+    part.where(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("pk"),
+        F.when(F.col("p_partkey") % 4 == 0, F.col("p_retailprice") + 50.0)
+        .otherwise(F.col("p_retailprice"))
+        .alias("price"),
+        F.lit(T1).cast("timestamp").alias("mtime"),
+    ).createOrReplaceTempView("__msql2_v1")
+    state = spark.sql(
+        scd2_state_sql(
+            "__msql2_s0",
+            "__msql2_v1",
+            ["pk"],
+            "mtime",
+            cols,
+            full_extract=True,
+            deleted_at=T1,
+        )
+    )
+    return state.select(
+        "pk", "price", "start_time", "end_time", "is_current", "delete_time"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Late-arriving dimension defaults (material_external_dim.py:1294+):
 # fact keys missing from the dim produce inferred default rows.
 # ---------------------------------------------------------------------------
