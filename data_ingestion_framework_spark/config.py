@@ -85,6 +85,9 @@ class PipelineConfig:
     dq_rules: list[dict] = field(default_factory=list)
     audit_write: bool = False
     audit_table_path: str | None = None
+    audit_jdbc_url: str | None = None
+    audit_jdbc_table: str = "audit_log"
+    audit_jdbc_options: dict[str, str] = field(default_factory=dict)
     writes: list[WriteConfig] = field(default_factory=list)
     is_table_enabled: bool = True
     trigger: str = "availableNow"
@@ -123,6 +126,9 @@ class PipelineConfig:
             dq_rules=_parse_json(dq_cfg.get("rules") if dq_cfg else None, []),
             audit_write=_parse_bool(row.get("audit_write")),
             audit_table_path=(audit_cfg or {}).get("audit_table_path"),
+            audit_jdbc_url=(audit_cfg or {}).get("jdbc_url"),
+            audit_jdbc_table=(audit_cfg or {}).get("jdbc_table", "audit_log"),
+            audit_jdbc_options=(audit_cfg or {}).get("jdbc_options", {}),
             writes=[WriteConfig.from_dict(d) for d in _parse_json(row.get("writes"), [])],
             is_table_enabled=_parse_bool(row.get("is_table_enabled"), True),
             trigger=row.get("trigger", "availableNow"),

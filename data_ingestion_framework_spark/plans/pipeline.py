@@ -60,14 +60,21 @@ class PipelineBuilder:
         self.fncs = fncs or {}
         self.dq_related = dq_related or {}
         self.audit = (
-            AuditLogger(spark, config.audit_table_path)
-            if config.audit_write and config.audit_table_path
+            AuditLogger(
+                spark,
+                config.audit_table_path,
+                jdbc_url=config.audit_jdbc_url,
+                jdbc_table=config.audit_jdbc_table,
+                jdbc_options=config.audit_jdbc_options,
+            )
+            if config.audit_write
+            and (config.audit_table_path or config.audit_jdbc_url)
             else None
         )
         #: bronze cursor (builder/engine.py:166-167)
         self.bronze_row_creation_time: dt.datetime | None = None
-        #: commit-seq cursor set by _run_bronze ("fresh" = new table)
-        self._bronze_cursor: int | str | None = None
+        #: per-table commit-seq cursors set by _run_bronze ("fresh" = new table)
+        self._bronze_cursors: dict[str, int | str] = {}
 
     # -- stages --------------------------------------------------------------
     def read(self) -> DataFrame:
@@ -164,8 +171,6 @@ class PipelineBuilder:
                 # single scalar would record the LAST table's seq and
                 # then be applied to the FIRST table's commit log.
                 hist = t.history()
-                if not hasattr(self, "_bronze_cursors"):
-                    self._bronze_cursors = {}
                 self._bronze_cursors[w.path] = hist[-1]["seq"] if hist else "fresh"
                 t.append(df)
             if self.audit:
@@ -186,9 +191,7 @@ class PipelineBuilder:
         bronze_writes = c.writes_for_layer("bronze")
         if bronze_writes:
             t = ParquetTable(self.spark, bronze_writes[0].path)
-            cursor = getattr(self, "_bronze_cursors", {}).get(
-                bronze_writes[0].path
-            )
+            cursor = self._bronze_cursors.get(bronze_writes[0].path)
             if cursor == "fresh":
                 df = t.read()  # table born this run: everything is new
             elif cursor is not None:

@@ -38,12 +38,34 @@ AUDIT_SCHEMA = T.StructType(
 
 
 class AuditLogger:
-    """Append-only audit log over a path-backed table."""
+    """Append-only audit log over a path-backed table and/or a JDBC
+    target.
 
-    def __init__(self, spark: SparkSession, path: str, job_id: str = ""):
+    The reference appends its audit/DQ facts to SQL Server
+    (audit/utils.py:7-29 ``sql_server_write``; ~12 call sites in
+    reference/di_landing_to_raw_generic_v2.py:115-127). Pass
+    ``jdbc_url`` (+ ``jdbc_table``/``jdbc_options``, e.g. the driver
+    class) to mirror every audit row to the external DB; ``path=None``
+    makes the logger JDBC-only. Both writes are control-plane sized
+    (one row per operation)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str | None,
+        job_id: str = "",
+        jdbc_url: str | None = None,
+        jdbc_table: str = "audit_log",
+        jdbc_options: dict[str, str] | None = None,
+    ):
+        if path is None and jdbc_url is None:
+            raise ValueError("AuditLogger needs a path and/or a jdbc_url")
         self.spark = spark
-        self.table = ParquetTable(spark, path)
+        self.table = ParquetTable(spark, path) if path else None
         self.job_id = job_id
+        self.jdbc_url = jdbc_url
+        self.jdbc_table = jdbc_table
+        self.jdbc_options = jdbc_options or {}
 
     def log(
         self,
@@ -66,10 +88,27 @@ class AuditLogger:
         df = self.spark.createDataFrame([row], AUDIT_SCHEMA).withColumn(
             "audit_timestamp", F.current_timestamp()
         )
-        self.table.append(df)
+        if self.table is not None:
+            self.table.append(df)
+        if self.jdbc_url is not None:
+            from data_ingestion_framework_spark.sources.batch import write_jdbc
+
+            write_jdbc(
+                df,
+                self.jdbc_url,
+                self.jdbc_table,
+                mode="append",
+                options=self.jdbc_options,
+            )
 
     def read(self) -> DataFrame:
-        return self.table.read()
+        if self.table is not None:
+            return self.table.read()
+        from data_ingestion_framework_spark.sources.batch import read_jdbc
+
+        return read_jdbc(
+            self.spark, self.jdbc_url, self.jdbc_table, options=self.jdbc_options
+        )
 
 
 def merge_stats(change_frame: DataFrame) -> dict[str, int]:

@@ -72,3 +72,48 @@ def test_jdbc_pushdown_subquery(spark, derby_url):
     # Spark-side predicates on a JDBC relation are pushed to the source
     plan = back.where("k > 4")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "JDBCRelation" in plan
+
+
+def test_audit_logger_to_jdbc(spark, derby_url):
+    """AuditLogger mirrors audit + DQ-violation facts to the JDBC
+    target (reference audit/utils.py:7-29 sql_server_write) — Derby
+    round-trip of both fact kinds, accumulating across operations."""
+    from data_ingestion_framework_spark.operators import dq as dq_mod
+    from data_ingestion_framework_spark.sinks.audit import AuditLogger
+
+    logger = AuditLogger(
+        spark,
+        path=None,
+        job_id="job-42",
+        jdbc_url=derby_url,
+        jdbc_table="audit_log",
+        jdbc_options={
+            **_opts(),
+            "createTableColumnTypes": (
+                "table_name VARCHAR(128), audit_operation VARCHAR(32),"
+                " audit_user VARCHAR(64), audit_info VARCHAR(1024),"
+                " job_id VARCHAR(64), base_file_path VARCHAR(256)"
+            ),
+        },
+    )
+    logger.log("silver.customer", "merge", {"num_inserted": 5})
+
+    # DQ violation facts ride the same sink
+    rules = [dq_mod.DQRule(rule_id="r_null", rule_type="null_check", column="v")]
+    flagged = dq_mod.apply_rules(
+        spark.createDataFrame([Row(v="a"), Row(v=None)]), rules
+    )
+    counts = {
+        r["rule_id"]: r["n_violations"]
+        for r in dq_mod.violation_counts(flagged, rules).collect()
+    }
+    logger.log("silver.customer", "dq", {"violations": counts})
+
+    back = logger.read().collect()
+    assert len(back) == 2
+    ops = {r["audit_operation"] for r in back}
+    assert ops == {"merge", "dq"}
+    by_op = {r["audit_operation"]: r for r in back}
+    assert '"num_inserted": 5' in by_op["merge"]["audit_info"]
+    assert '"r_null": 1' in by_op["dq"]["audit_info"]
+    assert by_op["dq"]["job_id"] == "job-42"
