@@ -91,6 +91,7 @@ class PipelineConfig:
     writes: list[WriteConfig] = field(default_factory=list)
     is_table_enabled: bool = True
     trigger: str = "availableNow"
+    path_glob_filter: str | None = None
     verbose: bool = False
 
     @classmethod
@@ -132,6 +133,7 @@ class PipelineConfig:
             writes=[WriteConfig.from_dict(d) for d in _parse_json(row.get("writes"), [])],
             is_table_enabled=_parse_bool(row.get("is_table_enabled"), True),
             trigger=row.get("trigger", "availableNow"),
+            path_glob_filter=row.get("path_glob_filter"),
             verbose=_parse_bool(row.get("verbose")),
         )
 

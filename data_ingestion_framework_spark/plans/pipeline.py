@@ -89,6 +89,7 @@ class PipelineBuilder:
                 options=c.source_reader_options,
                 control_columns=True,
                 run_start_time=self.bronze_row_creation_time,
+                path_glob_filter=c.path_glob_filter,
             )
         df = read_batch(
             self.spark,
@@ -161,6 +162,7 @@ class PipelineBuilder:
                     df.drop("_metadata"),
                     w.path,
                     w.checkpoint_location or f"{w.path}__ckpt",
+                    trigger=c.trigger,
                 )
             else:
                 t = ParquetTable(self.spark, w.path, w.partition_by or None)

@@ -51,6 +51,7 @@ def read_file_stream(
     max_files_per_trigger: int | None = None,
     sanitize_columns: bool = True,
     schema_location: str | None = None,
+    path_glob_filter: str | None = None,
 ) -> DataFrame:
     """Incremental file stream over a landing directory.
 
@@ -70,6 +71,13 @@ def read_file_stream(
     options = dict(options or {})
     if max_files_per_trigger is not None:
         options["maxFilesPerTrigger"] = str(max_files_per_trigger)
+    if path_glob_filter is not None:
+        # landing-dir isolation: only files matching the glob are
+        # discovered/ingested — the autoloader's pathGlobFilter
+        # (reference/di_landing_to_raw_generic_v2.py:294-314). Applies
+        # to the schema snapshot too, so a non-matching file with a
+        # different schema can't pollute inference.
+        options["pathGlobFilter"] = path_glob_filter
     if schema is None:
         schema = snapshot_schema(spark, path, fmt, options)
         if schema_location is not None:

@@ -25,29 +25,53 @@ from pyspark.sql import DataFrame
 from data_ingestion_framework_spark.sources.tablestore import ParquetTable
 
 
+def apply_trigger(writer, trigger: str):
+    """Map a config-declared trigger mode onto the writer — the
+    reference's SAP config rows declare both ``availableNow`` and
+    ``processingTime`` (template/sap_cdc_ingestion/config/
+    create_sap_config_table.py:191). Accepted forms:
+    ``"availableNow"`` (drain-and-stop) and
+    ``"processingTime=<interval>"`` (continuous micro-batches, e.g.
+    ``processingTime=10 seconds``)."""
+    if trigger == "availableNow":
+        return writer.trigger(availableNow=True)
+    if trigger.startswith("processingTime"):
+        interval = trigger.split("=", 1)[1].strip() if "=" in trigger else "0 seconds"
+        return writer.trigger(processingTime=interval)
+    raise ValueError(
+        f"unknown trigger {trigger!r}: expected 'availableNow' or "
+        f"'processingTime=<interval>'"
+    )
+
+
+def _maybe_await(q, await_termination, trigger):
+    """``None`` = await only drain-and-stop triggers (a processingTime
+    query never terminates on its own — the caller manages it)."""
+    if await_termination is None:
+        await_termination = trigger == "availableNow"
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def stream_append(
     df: DataFrame,
     path: str,
     checkpoint: str,
     fmt: str = "parquet",
     query_name: str | None = None,
-    await_termination: bool = True,
+    await_termination: bool | None = None,
+    trigger: str = "availableNow",
 ):
-    """Append the stream to a path-backed table with an availableNow
-    trigger (writers/streaming_writers.py:3-39). Drops the ``_metadata``
+    """Append the stream to a path-backed table
+    (writers/streaming_writers.py:3-39). Drops the ``_metadata``
     struct implicitly (it is not part of the projected columns)."""
-    writer = (
-        df.writeStream.format(fmt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
-    )
+    writer = apply_trigger(
+        df.writeStream.format(fmt).outputMode("append"), trigger
+    ).option("checkpointLocation", checkpoint)
     if query_name:
         writer = writer.queryName(query_name)
-    q = writer.start(path)
-    if await_termination:
-        q.awaitTermination()
-    return q
+    return _maybe_await(writer.start(path), await_termination, trigger)
 
 
 def foreach_batch_scd_merge(
@@ -60,7 +84,8 @@ def foreach_batch_scd_merge(
     full_extract: bool = False,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     query_name: str | None = None,
-    await_termination: bool = True,
+    await_termination: bool | None = None,
+    trigger: str = "availableNow",
 ):
     """Micro-batch SCD merge via ``foreachBatch``
     (writers/writer.py:695-758): each micro-batch runs the *batch* SCD
@@ -92,14 +117,9 @@ def foreach_batch_scd_merge(
             full_extract=full_extract,
         )
 
-    writer = (
-        df.writeStream.foreachBatch(_upsert)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
+    writer = apply_trigger(df.writeStream.foreachBatch(_upsert), trigger).option(
+        "checkpointLocation", checkpoint
     )
     if query_name:
         writer = writer.queryName(query_name)
-    q = writer.start()
-    if await_termination:
-        q.awaitTermination()
-    return q
+    return _maybe_await(writer.start(), await_termination, trigger)

@@ -354,3 +354,71 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination()
     got = {(r["pid"], r["cid"]) for r in spark.table("ssj").collect()}
     assert got == {(1, 10), (2, 12)}
+
+
+def test_processing_time_trigger_runs_to_stop_condition(spark, tmp_path):
+    """processingTime trigger (reference create_sap_config_table.py:191):
+    the query keeps polling for new files in continuous micro-batches —
+    files landed AFTER start are picked up without a restart; the caller
+    stops the query (it never self-terminates)."""
+    import time
+
+    from data_ingestion_framework_spark.streaming.writers import stream_append
+
+    land = str(tmp_path / "land_pt")
+    spark.createDataFrame([Row(a=1)]).coalesce(1).write.mode("append").parquet(land)
+    stream = read_file_stream(spark, land, "parquet", control_columns=False)
+    q = stream_append(
+        stream,
+        str(tmp_path / "out_pt"),
+        str(tmp_path / "ckpt_pt"),
+        trigger="processingTime=1 seconds",
+    )
+    try:
+        assert q.isActive  # auto-await is skipped for processingTime
+        # a file landing while the query runs is ingested by a later batch
+        spark.createDataFrame([Row(a=2)]).coalesce(1).write.mode("append").parquet(land)
+        deadline = time.time() + 60
+        seen = set()
+        while time.time() < deadline and seen != {1, 2}:
+            try:
+                seen = {
+                    r["a"]
+                    for r in spark.read.parquet(str(tmp_path / "out_pt")).collect()
+                }
+            except Exception:
+                pass  # sink dir not created yet
+            time.sleep(0.5)
+        assert seen == {1, 2}
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
+def test_path_glob_filter_ingests_only_matching_files(spark, tmp_path):
+    """pathGlobFilter (reference di_landing_to_raw_generic_v2.py:294-314):
+    only files matching the glob are discovered — schema inference and
+    ingest both skip the rest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # the glob matches leaf FILE names — write named files directly
+    land = tmp_path / "land_glob"
+    land.mkdir()
+    pq.write_table(pa.table({"a": [1, 2]}), str(land / "data_a.parquet"))
+    # decoy with a DIFFERENT schema: if the glob leaked, inference or
+    # ingest would pick it up
+    pq.write_table(pa.table({"z": ["nope"]}), str(land / "skip_b.parquet"))
+    stream = read_file_stream(
+        spark,
+        str(land),
+        "parquet",
+        control_columns=False,
+        path_glob_filter="data_*.parquet",
+    )
+    from data_ingestion_framework_spark.streaming.writers import stream_append
+
+    stream_append(stream, str(tmp_path / "out_glob"), str(tmp_path / "ckpt_glob"))
+    out = spark.read.parquet(str(tmp_path / "out_glob"))
+    assert set(out.columns) == {"a"}
+    assert {r["a"] for r in out.collect()} == {1, 2}
