@@ -16,12 +16,57 @@ reference's control table, so existing config tables port unchanged.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import SparkSession
 
 from data_ingestion_framework_spark.sources.batch import config_scalar_lookup
+
+
+def warehouse_dir(spark: SparkSession) -> str:
+    """The session's warehouse root (``spark.sql.warehouse.dir``),
+    normalized to a plain filesystem path."""
+    wd = spark.conf.get("spark.sql.warehouse.dir")
+    for prefix in ("file://", "file:"):
+        if wd.startswith(prefix):
+            return wd[len(prefix):]
+    return wd
+
+
+def resolve_table_path(name: str, warehouse: str) -> str:
+    """Map a catalog-style table name to a warehouse path: 3-level
+    ``catalog.schema.table`` and 2-level ``db.table`` both become
+    nested directories under the warehouse root — the reference's UC /
+    hive-metastore naming (utils/config_handler.py:101-117) without
+    requiring a metastore."""
+    parts = [p for p in name.split(".") if p]
+    if not 2 <= len(parts) <= 3:
+        raise ValueError(
+            f"table name {name!r} must be db.table or catalog.schema.table"
+        )
+    return os.path.join(warehouse, *parts)
+
+
+def ensure_registered(spark: SparkSession, name: str, path: str) -> bool:
+    """Best-effort ``saveAsTable`` parity: register the path-backed
+    table as an EXTERNAL table in the session metastore so
+    ``spark.table('db.table')`` works. 2-level names register in the
+    session catalog (database auto-created); 3-level names need a
+    configured catalog plugin — returns False when the catalog can't
+    host the name (path addressing still works)."""
+    parts = name.split(".")
+    try:
+        if len(parts) == 2:
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS {parts[0]}")
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} USING parquet "
+            f"LOCATION '{path}'"
+        )
+        return True
+    except Exception:
+        return False
 
 
 def _parse_bool(v: Any, default: bool = False) -> bool:
@@ -52,9 +97,23 @@ class WriteConfig:
     checkpoint_location: str | None = None
     partition_by: list[str] = field(default_factory=list)
     except_column_list: list[str] = field(default_factory=list)
+    #: catalog-style addressing (utils/config_handler.py:101-117):
+    #: 3-level catalog.schema.table or 2-level database.table; resolved
+    #: to a warehouse path when no explicit ``path`` is given.
+    catalog: str | None = None
+    table_schema: str | None = None
+    database: str | None = None
+    table: str | None = None
+    #: register the resolved path as an external metastore table so
+    #: ``spark.table(name)`` works (saveAsTable parity).
+    register_in_metastore: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "WriteConfig":
+        if d.get("catalog") and (d.get("target_database") or d.get("database")):
+            # reference raises on the ambiguous combination
+            # (utils/config_handler.py:90-94)
+            raise ValueError("catalog and database cannot be specified together")
         return cls(
             table_medallion_layer=d.get("table_medallion_layer", "silver"),
             path=d.get("path") or d.get("external_location"),
@@ -63,7 +122,33 @@ class WriteConfig:
             checkpoint_location=d.get("checkpointLocation") or d.get("checkpoint_location"),
             partition_by=list(d.get("partition_by", [])),
             except_column_list=list(d.get("except_column_list", [])),
+            catalog=d.get("catalog"),
+            table_schema=d.get("schema") or d.get("table_schema"),
+            database=d.get("target_database") or d.get("database"),
+            table=d.get("table"),
+            register_in_metastore=_parse_bool(d.get("register_in_metastore")),
         )
+
+    def target_name(self) -> str | None:
+        """Dotted catalog name (``get_target_table_name``,
+        utils/config_handler.py:110-117)."""
+        if self.catalog and self.table:
+            return f"{self.catalog}.{self.table_schema}.{self.table}"
+        if self.database and self.table:
+            return f"{self.database}.{self.table}"
+        return None
+
+    def resolve_path(self, spark: SparkSession) -> str:
+        """The physical target: an explicit ``path`` wins; otherwise
+        the catalog name maps under the session warehouse."""
+        if self.path:
+            return self.path
+        name = self.target_name()
+        if name is None:
+            raise ValueError(
+                "write needs a path, catalog.schema.table, or database.table"
+            )
+        return resolve_table_path(name, warehouse_dir(spark))
 
 
 @dataclass
@@ -145,8 +230,10 @@ class PipelineConfig:
         for w in self.writes:
             if w.mode == "merge" and not self.pkeys:
                 raise ValueError("merge writes require pkeys")
-            if not w.path:
-                raise ValueError("every write needs a target path")
+            if not w.path and not w.target_name():
+                raise ValueError(
+                    "every write needs a target path or a catalog table name"
+                )
 
     def writes_for_layer(self, layer: str) -> list[WriteConfig]:
         """_medallion_config filter (builder/engine.py:143-159)."""

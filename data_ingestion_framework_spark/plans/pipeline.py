@@ -25,7 +25,11 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestion_framework_spark.config import PipelineConfig, WriteConfig
+from data_ingestion_framework_spark.config import (
+    PipelineConfig,
+    WriteConfig,
+    ensure_registered,
+)
 from data_ingestion_framework_spark.operators import dq as dq_mod
 from data_ingestion_framework_spark.operators.transforms import (
     apply_transformations,
@@ -120,7 +124,8 @@ class PipelineBuilder:
 
     def write(self, df: DataFrame, write: WriteConfig) -> None:
         c = self.config
-        table = ParquetTable(self.spark, write.path, write.partition_by or None)
+        path = write.resolve_path(self.spark)
+        table = ParquetTable(self.spark, path, write.partition_by or None)
         batch_write(
             df,
             table,
@@ -131,8 +136,11 @@ class PipelineBuilder:
             full_extract=(c.source_extraction_type == "FE" and write.mode == "merge"),
             except_columns=write.except_column_list,
         )
+        name = write.target_name()
+        if write.register_in_metastore and name:
+            ensure_registered(self.spark, name, path)
         if self.audit:
-            self.audit.log(write.path, write.mode, {"layer": write.table_medallion_layer})
+            self.audit.log(name or path, write.mode, {"layer": write.table_medallion_layer})
 
     # -- orchestration -------------------------------------------------------
     def run_medallion(self) -> None:
@@ -157,15 +165,16 @@ class PipelineBuilder:
             return
         df = self.read()
         for w in bronze_writes:
+            path = w.resolve_path(self.spark)
             if c.streaming:
                 stream_append(
                     df.drop("_metadata"),
-                    w.path,
-                    w.checkpoint_location or f"{w.path}__ckpt",
+                    path,
+                    w.checkpoint_location or f"{path}__ckpt",
                     trigger=c.trigger,
                 )
             else:
-                t = ParquetTable(self.spark, w.path, w.partition_by or None)
+                t = ParquetTable(self.spark, path, w.partition_by or None)
                 # remember the pre-append commit so silver can read
                 # exactly this run's files (commit cursor); "fresh"
                 # means the table didn't exist yet — everything is new.
@@ -173,10 +182,10 @@ class PipelineBuilder:
                 # single scalar would record the LAST table's seq and
                 # then be applied to the FIRST table's commit log.
                 hist = t.history()
-                self._bronze_cursors[w.path] = hist[-1]["seq"] if hist else "fresh"
+                self._bronze_cursors[path] = hist[-1]["seq"] if hist else "fresh"
                 t.append(df)
             if self.audit:
-                self.audit.log(w.path, "append", {"layer": "bronze"})
+                self.audit.log(w.target_name() or path, "append", {"layer": "bronze"})
 
     def _run_silver(self) -> None:
         """Incremental bronze→silver merge (engine.py:183-221): only
@@ -192,8 +201,9 @@ class PipelineBuilder:
             return
         bronze_writes = c.writes_for_layer("bronze")
         if bronze_writes:
-            t = ParquetTable(self.spark, bronze_writes[0].path)
-            cursor = self._bronze_cursors.get(bronze_writes[0].path)
+            bpath = bronze_writes[0].resolve_path(self.spark)
+            t = ParquetTable(self.spark, bpath)
+            cursor = self._bronze_cursors.get(bpath)
             if cursor == "fresh":
                 df = t.read()  # table born this run: everything is new
             elif cursor is not None:
@@ -224,15 +234,20 @@ class PipelineBuilder:
             options=c.source_reader_options,
             control_columns=True,
         )
-        table = ParquetTable(self.spark, write.path, write.partition_by or None)
+        path = write.resolve_path(self.spark)
+        table = ParquetTable(self.spark, path, write.partition_by or None)
         foreach_batch_scd_merge(
             stream,
             table,
             c.pkeys,
             c.source_orderby_column,
-            write.checkpoint_location or f"{write.path}__ckpt",
+            write.checkpoint_location or f"{path}__ckpt",
             scd_type=write.scd_type,
             transform=lambda d: self.run_dq(self.transform(d)),
         )
         if self.audit:
-            self.audit.log(write.path, "streaming_merge", {"scd_type": write.scd_type})
+            self.audit.log(
+                write.target_name() or path,
+                "streaming_merge",
+                {"scd_type": write.scd_type},
+            )

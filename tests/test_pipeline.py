@@ -220,3 +220,64 @@ def test_multi_bronze_cursor_is_per_table(spark, tmp_path):
     PipelineBuilder(spark, PipelineConfig.from_row(row)).run_medallion()
     silver = {r["pk"]: r["val"] for r in spark.read.parquet(f"{tmp_path}/silver_mb").collect()}
     assert silver == {1: "a", 2: "b"}  # exactly this run's delta merged
+
+
+def test_catalog_name_addressing(spark, tmp_path):
+    """catalog.schema.table and database.table write targets resolve
+    under the session warehouse (utils/config_handler.py:101-117);
+    register_in_metastore makes spark.table('db.table') work; the
+    catalog+database combination is rejected like the reference."""
+    import pytest as _pytest
+
+    from data_ingestion_framework_spark.config import (
+        WriteConfig,
+        resolve_table_path,
+        warehouse_dir,
+    )
+
+    wh = warehouse_dir(spark)
+    w3 = WriteConfig.from_dict(
+        {"catalog": "main", "schema": "silver", "table": "cust", "mode": "append"}
+    )
+    assert w3.target_name() == "main.silver.cust"
+    assert w3.resolve_path(spark) == f"{wh}/main/silver/cust"
+
+    w2 = WriteConfig.from_dict(
+        {"target_database": "lake_db", "table": "cust2", "mode": "append",
+         "register_in_metastore": "true"}
+    )
+    assert w2.resolve_path(spark) == resolve_table_path("lake_db.cust2", wh)
+
+    with _pytest.raises(ValueError):
+        WriteConfig.from_dict({"catalog": "c", "target_database": "d", "table": "t"})
+
+    # end-to-end: a pipeline writing to both name forms
+    landing = _landing(
+        spark, tmp_path / "landing_cat", [Row(pk=1, val="a", amt=1.0)]
+    )
+    row = _config_row(landing, tmp_path)
+    row["writes"] = json.dumps(
+        [
+            {"table_medallion_layer": "bronze", "path": f"{tmp_path}/bronze_cat",
+             "mode": "append"},
+            {"table_medallion_layer": "silver", "catalog": "main",
+             "schema": "silver", "table": "cust", "mode": "merge", "scd_type": 1},
+            {"table_medallion_layer": "silver", "target_database": "lake_db",
+             "table": "cust2", "mode": "merge", "scd_type": 1,
+             "register_in_metastore": "true"},
+        ]
+    )
+    row["audit_write"] = "False"
+    try:
+        PipelineBuilder(spark, PipelineConfig.from_row(row)).run_medallion()
+        assert spark.read.parquet(f"{wh}/main/silver/cust").count() == 1
+        assert spark.read.parquet(f"{wh}/lake_db/cust2").count() == 1
+        # saveAsTable parity: the 2-level name is queryable by name
+        assert spark.table("lake_db.cust2").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lake_db.cust2")
+        spark.sql("DROP DATABASE IF EXISTS lake_db")
+        import shutil
+
+        shutil.rmtree(f"{wh}/main", ignore_errors=True)
+        shutil.rmtree(f"{wh}/lake_db", ignore_errors=True)
