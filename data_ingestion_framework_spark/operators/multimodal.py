@@ -4,12 +4,13 @@ Beyond-reference surface (BASELINE.json north star): media is carried
 as opaque ``binary`` columns with typed metadata; decode / feature
 extraction / frame sampling run as Arrow-batched ``mapInPandas`` UDFs.
 
-The decode step itself is STUBBED in this environment (no image/audio
-libraries in the container): ``default_image_decoder`` produces
-deterministic fake dimensions from the payload hash, and a real decoder
-(PIL/torchaudio/ffmpeg) drops into the same ``decoder`` slot unchanged.
-Everything Spark-side — schema, batch shape, partitioning, the
-metadata expressions — is real and tested.
+The decoder slot is real-when-possible: ``best_image_decoder`` picks
+Pillow (``pil_image_decoder``) when importable and falls back to the
+deterministic hash stub (``default_image_decoder``) in environments
+without an image library, like this container. Audio/video extractors
+(torchaudio/ffmpeg) drop into the same ``decoder``/``frame_extractor``
+slots unchanged. Everything Spark-side — schema, batch shape,
+partitioning, the metadata expressions — is real and tested either way.
 
 Scale notes: metadata extraction (size/hash/magic sniff) is pure JVM
 expressions — no Python. The Pandas-UDF decode is the one sanctioned
@@ -64,15 +65,36 @@ def pack_media(
 
 def default_image_decoder(payload: bytes) -> tuple[int, int, int]:
     """STUB decoder — deterministic fake (w, h, channels) derived from
-    the payload hash. Replace with a real decoder, e.g.::
-
-        from PIL import Image; import io
-        def pil_decoder(b): im = Image.open(io.BytesIO(b)); return (*im.size, len(im.getbands()))
-
-    (PIL is not installed in this container.)
-    """
+    the payload hash, for environments without an image library (this
+    sandbox) and for fixture payloads that aren't real images."""
     h = hashlib.md5(payload or b"").digest()
     return (64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 4)
+
+
+def pil_image_decoder(payload: bytes) -> tuple[int, int, int]:
+    """Real decoder: Pillow ``Image.open`` over the payload bytes →
+    (width, height, channels). Raises on non-image payloads — real
+    pipelines want the loud failure (or a try/except wrapper routing
+    to a quarantine column), not silent fake dimensions."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return (im.width, im.height, len(im.getbands()))
+
+
+def best_image_decoder() -> Callable[[bytes], tuple[int, int, int]]:
+    """The decoder ``decode_images`` uses when none is passed: Pillow
+    when importable, the deterministic stub otherwise — so the
+    component is real wherever an image library exists, with no code
+    change."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return pil_image_decoder
+    except ImportError:
+        return default_image_decoder
 
 
 def decode_images(
@@ -85,7 +107,7 @@ def decode_images(
     the three decode columns; one Python hop, no shuffle."""
     import pandas as pd
 
-    decoder = decoder or default_image_decoder
+    decoder = decoder or best_image_decoder()
     from pyspark.sql import types as T
 
     out_schema = T.StructType(

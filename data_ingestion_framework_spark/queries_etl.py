@@ -454,11 +454,19 @@ def multimodal_media_meta(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @bench_query("multimodal_decode_dims")
 def multimodal_decode_dims(spark, sf_dir):
-    from data_ingestion_framework_spark.operators.multimodal import decode_images
+    from data_ingestion_framework_spark.operators.multimodal import (
+        decode_images,
+        default_image_decoder,
+    )
 
     docs = load(spark, sf_dir, "documents")
     packed = pack_media(docs, "text", media_type="image")
-    return decode_images(packed).select("doc_id", "width", "height", "channels")
+    # the fixture payloads are text, not real images — pin the
+    # deterministic stub decoder so the query's results don't depend
+    # on whether Pillow happens to be installed
+    return decode_images(packed, decoder=default_image_decoder).select(
+        "doc_id", "width", "height", "channels"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -66,3 +66,34 @@ def test_access_sql_select_into_and_dates():
     out = convert_access_sql("SELECT a, Date() AS d, Now() AS n INTO tgt FROM src")
     assert out.startswith("CREATE OR REPLACE TEMPORARY VIEW tgt AS")
     assert "CURRENT_DATE" in out and "CURRENT_TIMESTAMP" in out
+
+
+def test_pil_decoder_selected_when_available(spark):
+    """best_image_decoder: Pillow when importable, stub otherwise —
+    the decode component is real by construction wherever an image
+    library exists."""
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    picked = mm.best_image_decoder()
+    assert picked is (mm.pil_image_decoder if has_pil else mm.default_image_decoder)
+
+
+def test_pil_decoder_real_png():
+    """skipped without Pillow: a real 1-pixel PNG decodes to its true
+    dimensions through the same decoder slot."""
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")
+    import base64
+
+    # 1x1 red PNG
+    png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGP4"
+        "z8DwHwAFBQIAX8jx0gAAAABJRU5ErkJggg=="
+    )
+    assert mm.pil_image_decoder(png) == (1, 1, 3)
