@@ -50,6 +50,9 @@ HEADLINE = [
     "events_sessionize",
     "events_asof_purchase",
     "events_kmv_distinct_users",
+    # flagship composite: clean→redact→gate→dedup→decontam→quota→sample
+    # with silver staging (the restartable, single-materialization form)
+    "corpus_pipeline_staged",
 ]
 
 

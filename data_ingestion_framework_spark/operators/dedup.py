@@ -298,6 +298,30 @@ def jaccard_from_sizes(inter: Column, n_a: Column, n_b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union).cast("double")
 
 
+def hashed_shingle_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 5,
+) -> DataFrame:
+    """``(id, __sh hashed-shingle-array)`` with the exchange barrier
+    BELOW the shingling projection (the ``_spread_normalized`` shape):
+    the shuffle carries only (id, normalized text) and each consumer
+    re-derives the hashed sets above the shared exchange.
+
+    Measured alternative (rejected): repartitioning ABOVE the shingling
+    so shuffle files hold the hashed arrays computes the shingles once
+    but shuffles ~8 bytes/shingle ≈ 8× the text bytes — verify went
+    1.3 s → 2.8 s at sf0.1, and the fat shuffle only gets worse at
+    100 TB. Recompute-over-reshuffle is the right trade here."""
+    return _spread_normalized(df, id_col, text_col).select(
+        F.col(id_col),
+        hashed_shingle_set(
+            char_shingles("__norm", shingle_size, pre_normalized=True)
+        ).alias("__sh"),
+    )
+
+
 def verify_candidate_pairs(
     df: DataFrame,
     cands: DataFrame,
@@ -305,6 +329,7 @@ def verify_candidate_pairs(
     text_col: str = "text",
     shingle_size: int = 5,
     threshold: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of a ``(id_a, id_b)`` candidate frame —
     the shared second stage of every candidate-generating dedup operator
@@ -313,12 +338,13 @@ def verify_candidate_pairs(
     Only candidate pairs re-join the shingle arrays (semi-join pattern);
     the full corpus never self-joins. Shingle sets are hashed bigint
     arrays (``hashed_shingle_set``) — identical Jaccard values, cheaper
-    intersects."""
-    sh = _spread_normalized(df, id_col, text_col).select(
-        F.col(id_col),
-        hashed_shingle_set(
-            char_shingles("__norm", shingle_size, pre_normalized=True)
-        ).alias("__sh"),
+    intersects. Pass ``shingles`` (a ``hashed_shingle_frame``) to share
+    one shingling pass across the two join sides and with the caller's
+    other stages."""
+    sh = (
+        shingles
+        if shingles is not None
+        else hashed_shingle_frame(df, id_col, text_col, shingle_size)
     )
     a = sh.select(
         F.col(id_col).alias("id_a"),

@@ -1158,9 +1158,7 @@ def text_tfidf_top_terms(spark, sf_dir):
 # so a failure localizes to a stage. Values, not just counts: the gate
 # hashes doc_id, source, the final cleaned TEXT, and token counts.
 # ---------------------------------------------------------------------------
-@bench_query(
-    "corpus_pipeline_end2end",
-    oracle="""
+_CORPUS_PIPELINE_ORACLE = """
     WITH pages AS (
       SELECT doc_id,
              text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -1255,11 +1253,12 @@ def text_tfidf_top_terms(spark, sf_dir):
     SELECT doc_id, source, text, n_tokens
     FROM capped
     WHERE substring(md5('s2' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
-    """,
-)
-def corpus_pipeline_end2end(spark, sf_dir):
-    from data_ingestion_framework_spark.plans.corpus import corpus_pipeline
+    """
 
+
+def _corpus_pipeline_inputs(spark, sf_dir):
+    """Shared fixture of the end-to-end corpus queries: raw documents
+    decorated with boilerplate + PII so every cleaning stage has work."""
     raw = load(spark, sf_dir, "documents")
     docs = raw.select(
         "doc_id",
@@ -1277,6 +1276,14 @@ def corpus_pipeline_end2end(spark, sf_dir):
         ).alias("text"),
     )
     benchmark = raw.where(F.col("doc_id") % 97 == 0)
+    return docs, benchmark
+
+
+@bench_query("corpus_pipeline_end2end", oracle=_CORPUS_PIPELINE_ORACLE)
+def corpus_pipeline_end2end(spark, sf_dir):
+    from data_ingestion_framework_spark.plans.corpus import corpus_pipeline
+
+    docs, benchmark = _corpus_pipeline_inputs(spark, sf_dir)
     return corpus_pipeline(
         docs,
         benchmark,
@@ -1284,6 +1291,33 @@ def corpus_pipeline_end2end(spark, sf_dir):
         max_per_source=30,
         sample_fraction=0.5,
         sample_salt="s2",
+    )
+
+
+@bench_query("corpus_pipeline_staged", oracle=_CORPUS_PIPELINE_ORACLE)
+def corpus_pipeline_staged(spark, sf_dir):
+    """The same pipeline with silver staging (stage_store=): the
+    deduped frame materializes ONCE instead of the lazy plan paying
+    clean+dedup twice (the decontamination anti-join re-reads its own
+    subplan), and the run is restartable from the staged table. Same
+    oracle as the lazy form — staging must not change a single value."""
+    import tempfile
+
+    from data_ingestion_framework_spark.plans.corpus import corpus_pipeline
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    docs, benchmark = _corpus_pipeline_inputs(spark, sf_dir)
+    stage = ParquetTable(
+        spark, tempfile.mkdtemp(prefix="corpus_stage_") + "/silver"
+    )
+    return corpus_pipeline(
+        docs,
+        benchmark,
+        min_words=15,
+        max_per_source=30,
+        sample_fraction=0.5,
+        sample_salt="s2",
+        stage_store=stage,
     )
 
 
