@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from data_ingestion_framework_spark.functions.time import epoch_micros, event_time
+
 
 def asof_join(
     left: DataFrame,
@@ -47,20 +49,24 @@ def asof_join(
     ``asof_ts`` column; unmatched left rows keep them NULL.
     ``tiebreak`` orders right rows sharing a timestamp (last wins);
     ``tolerance_seconds`` nulls out matches older than the tolerance.
+
+    Both timestamp columns may be ``TIMESTAMP`` or ``TIMESTAMP_NTZ``
+    (even mixed across the two sides): the internal ``_ts`` ordering
+    column and the returned ``asof_ts`` are normalized to ``TIMESTAMP``.
     """
     carried = [f"asof_{c}" for c in value_cols]
     lhs = left.select(
         *keys,
-        F.col(left_ts).alias("_ts"),
+        event_time(left_ts).alias("_ts"),
         F.lit(1).alias("_m"),
         F.lit(None).cast("long").alias("_tb"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(a) for c, a in zip(value_cols, carried)],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_asof_ts"),
+        F.lit(None).cast("timestamp").alias("_asof_ts"),
         F.struct(*left.columns).alias("_row"),
     )
     rhs = right.select(
         *keys,
-        F.col(right_ts).alias("_ts"),
+        event_time(right_ts).alias("_ts"),
         F.lit(0).alias("_m"),
         # Without an explicit tiebreak, order right rows sharing
         # (keys, ts) by a hash of the carried values — deterministic
@@ -72,7 +78,7 @@ def asof_join(
             else F.xxhash64(*[F.col(c) for c in value_cols])
         ).alias("_tb"),
         *[F.col(c).alias(a) for c, a in zip(value_cols, carried)],
-        F.col(right_ts).alias("_asof_ts"),
+        event_time(right_ts).alias("_asof_ts"),
         F.lit(None).cast(lhs.schema["_row"].dataType).alias("_row"),
     )
     w = (
@@ -89,7 +95,7 @@ def asof_join(
     out = filled.where(F.col("_m") == 1)
     if tolerance_seconds is not None:
         stale = (
-            F.unix_micros(F.col("_row")[left_ts]) - F.unix_micros(F.col("asof_ts"))
+            epoch_micros(F.col("_row")[left_ts]) - epoch_micros(F.col("asof_ts"))
         ) > tolerance_seconds * 1_000_000
         out = out.select(
             "_m",
@@ -117,8 +123,8 @@ def range_join_binned(
     prefixes on collisions.
     """
     w_us = window_seconds * 1_000_000
-    lbin = (F.unix_micros(F.col(left_ts)) / w_us).cast("long")
-    rbin = (F.unix_micros(F.col(right_ts)) / w_us).cast("long")
+    lbin = (epoch_micros(left_ts) / w_us).cast("long")
+    rbin = (epoch_micros(right_ts) / w_us).cast("long")
 
     overlap = set(left.columns) & set(right.columns)
     jk = [f"_k_{k}" for k in keys]
@@ -135,7 +141,7 @@ def range_join_binned(
     lts = f"l_{left_ts}" if left_ts in overlap else left_ts
     rts = f"r_{right_ts}" if right_ts in overlap else right_ts
     joined = lsel.join(rsel, ["_bin", *jk], "inner").where(
-        (F.col(rts) >= F.col(lts))
-        & (F.unix_micros(F.col(rts)) < F.unix_micros(F.col(lts)) + w_us)
+        (event_time(rts) >= event_time(lts))
+        & (epoch_micros(rts) < epoch_micros(lts) + w_us)
     )
     return joined.drop("_bin", *jk)

@@ -750,11 +750,13 @@ def streaming_daily_counts(spark, sf_dir):
 
     tmp = tempfile.mkdtemp(prefix="difs_stream_")
     load(spark, sf_dir, "events").write.mode("overwrite").parquet(f"{tmp}/landing")
+    from data_ingestion_framework_spark.functions.time import ensure_event_time
+
     stream = read_file_stream(
         spark, f"{tmp}/landing", "parquet", control_columns=False
     )
     agg = (
-        stream.withWatermark("ts", "1 day")
+        ensure_event_time(stream, "ts").withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from data_ingestion_framework_spark.functions.time import epoch_micros
 from data_ingestion_framework_spark.registry import bench_query, load
 
 _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, in microseconds
@@ -46,7 +47,7 @@ def events_sessionize(spark, sf_dir):
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     new_sess = F.when(
-        prev.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > _GAP_US),
+        prev.isNull() | (epoch_micros("ts") - epoch_micros(prev) > _GAP_US),
         1,
     ).otherwise(0)
     sessioned = ev.withColumn(

@@ -24,6 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_ingestion_framework_spark.functions.time import (
+    ensure_event_time,
+    epoch_micros,
+)
+
 
 def session_window_agg(
     df: DataFrame,
@@ -45,6 +50,7 @@ def session_window_agg(
     Output: key columns + ``session_start`` / ``session_end`` +
     ``n_events`` + any ``aggs``.
     """
+    df = ensure_event_time(df, ts_col)
     if watermark_delay is not None:
         df = df.withWatermark(ts_col, watermark_delay)
     agg_list = [F.count(F.lit(1)).alias("n_events")] + list(aggs or [])
@@ -74,6 +80,7 @@ def dedup_within_watermark(
     dropped). That trade — bounded state for a bounded dedup horizon —
     is what makes streaming dedup viable on unbounded key domains.
     """
+    stream = ensure_event_time(stream, ts_col)
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         key_cols
     )
@@ -108,8 +115,8 @@ def stream_stream_interval_join(
     Batch frames join identically (watermarks are a no-op in batch),
     so batch parity tests pin the pairing logic.
     """
-    lw = left.withWatermark(left_ts, left_delay)
-    rw = right.withWatermark(right_ts, right_delay)
+    lw = ensure_event_time(left, left_ts).withWatermark(left_ts, left_delay)
+    rw = ensure_event_time(right, right_ts).withWatermark(right_ts, right_delay)
     cond = None
     for k in keys:
         c = lw[k] == rw[k]
@@ -118,8 +125,8 @@ def stream_stream_interval_join(
         cond
         & (rw[right_ts] >= lw[left_ts])
         & (
-            F.unix_micros(rw[right_ts])
-            < F.unix_micros(lw[left_ts]) + window_seconds * 1_000_000
+            epoch_micros(rw[right_ts])
+            < epoch_micros(lw[left_ts]) + window_seconds * 1_000_000
         )
     )
     return lw.join(rw, cond, how)

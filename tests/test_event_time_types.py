@@ -1,0 +1,177 @@
+"""Driver-testdata type parity: TIMESTAMP vs TIMESTAMP_NTZ.
+
+Round-3 regression class: every streaming/time test built its own
+``TIMESTAMP``-typed frames, so pytest stayed green while the driver's
+parquet (µs timestamps without a timezone annotation → read as
+``TIMESTAMP_NTZ``) broke sessionize / range-join / watermark paths at
+runtime. These tests read the ACTUAL driver testdata and run every
+time-based operator on both type variants of ``ts``, asserting
+identical results.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_framework_spark.functions.time import (
+    ensure_event_time,
+    epoch_micros,
+)
+from data_ingestion_framework_spark.operators.asof import (
+    asof_join,
+    range_join_binned,
+)
+from data_ingestion_framework_spark.registry import load
+from data_ingestion_framework_spark.streaming.windows import session_window_agg
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{SF_DIR}/events.parquet"),
+    reason="driver testdata not present",
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    """Driver events via registry.load — must come back TIMESTAMP."""
+    df = load(spark, SF_DIR, "events").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def events_ntz(spark, events):
+    """The same rows with ``ts`` forced to TIMESTAMP_NTZ — what Spark
+    reads directly off the driver parquet (no timezone annotation)."""
+    df = events.withColumn("ts", F.col("ts").cast("timestamp_ntz")).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_raw_driver_parquet_is_ntz_and_load_normalizes(spark, events):
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # The guard this file exists for: if the driver's encoding changes
+    # again, this assertion localizes it immediately.
+    assert dict(raw.dtypes)["ts"] in ("timestamp_ntz", "timestamp", "bigint")
+    assert dict(events.dtypes)["ts"] == "timestamp"
+
+
+def test_epoch_micros_both_types(events, events_ntz):
+    a = events.select(F.sum(epoch_micros("ts")).alias("s")).first()["s"]
+    b = events_ntz.select(F.sum(epoch_micros("ts")).alias("s")).first()["s"]
+    assert a == b
+
+
+def test_ensure_event_time_rewrites_only_ntz(events, events_ntz):
+    assert ensure_event_time(events, "ts") is events  # no-op, no projection
+    fixed = ensure_event_time(events_ntz, "ts")
+    assert dict(fixed.dtypes)["ts"] == "timestamp"
+
+
+def _sessionize(df):
+    from data_ingestion_framework_spark.queries_windows import _GAP_US
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (epoch_micros("ts") - epoch_micros(prev) > _GAP_US), 1
+    ).otherwise(0)
+    return (
+        df.withColumn(
+            "sid",
+            F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("user_id", "sid")
+        .count()
+    )
+
+
+def test_sessionize_parity(events, events_ntz):
+    a = sorted(map(tuple, _sessionize(events).collect()))
+    b = sorted(map(tuple, _sessionize(events_ntz).collect()))
+    assert a == b and len(a) > 0
+
+
+def _asof_pairs(df, tolerance=None):
+    clicks = df.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = df.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts", ["value"],
+        tolerance_seconds=tolerance,
+    )
+    return sorted(
+        (r["event_id"], r["asof_ts"], r["asof_value"]) for r in out.collect()
+    )
+
+
+def test_asof_parity_including_tolerance(events, events_ntz):
+    assert _asof_pairs(events) == _asof_pairs(events_ntz)
+    tol_t = _asof_pairs(events, tolerance=3600)
+    tol_n = _asof_pairs(events_ntz, tolerance=3600)
+    assert tol_t == tol_n
+    # the tolerance path must actually null something at this SF
+    assert tol_t != _asof_pairs(events)
+
+
+def test_range_join_parity(events, events_ntz):
+    def run(df):
+        p = df.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        c = df.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        pairs = range_join_binned(p, c, ["user_id"], "ts", "ts", 600)
+        return sorted(
+            (r["l_event_id"], r["r_event_id"]) for r in pairs.collect()
+        )
+
+    a, b = run(events), run(events_ntz)
+    assert a == b and len(a) > 0
+
+
+def test_session_window_parity(events, events_ntz):
+    def run(df):
+        out = session_window_agg(df, "ts", ["user_id"], gap="30 minutes")
+        return sorted(map(tuple, out.collect()))
+
+    a, b = run(events), run(events_ntz)
+    assert a == b and len(a) > 0
+
+
+def test_watermark_agg_on_ntz_stream(spark, events_ntz, tmp_path):
+    """withWatermark rejects NTZ; ensure_event_time must make the
+    driver-shaped stream aggregable (the exact r3 bench crash)."""
+    landing = str(tmp_path / "landing")
+    events_ntz.write.parquet(landing)
+    stream = (
+        spark.readStream.schema(events_ntz.schema).parquet(landing)
+    )
+    agg = (
+        ensure_event_time(stream, "ts")
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ntz_wm_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("ntz_wm_test").agg(F.sum("count").alias("n")).first()["n"]
+    assert got == events_ntz.count()
