@@ -4,10 +4,14 @@ Beyond-reference surface (BASELINE.json north star): media is carried
 as opaque ``binary`` columns with typed metadata; decode / feature
 extraction / frame sampling run as Arrow-batched ``mapInPandas`` UDFs.
 
-The decoder slot is real-when-possible: ``best_image_decoder`` picks
-Pillow (``pil_image_decoder``) when importable and falls back to the
-deterministic hash stub (``default_image_decoder``) in environments
-without an image library, like this container. Audio/video extractors
+The decoder slot is real by default: ``best_image_decoder`` picks
+Pillow (``pil_image_decoder``) when importable and otherwise
+``header_image_decoder`` — a pure-stdlib ``struct`` parse of the
+public PNG IHDR / GIF logical-screen-descriptor / JPEG SOF header
+layouts, which yields true width/height/channels with no image
+library at all. Both real decoders fail loudly on non-image bytes;
+the hash stub (``default_image_decoder``) remains only for fixture
+payloads that aren't images. Audio/video extractors
 (torchaudio/ffmpeg) drop into the same ``decoder``/``frame_extractor``
 slots unchanged. Everything Spark-side — schema, batch shape,
 partitioning, the metadata expressions — is real and tested either way.
@@ -63,6 +67,64 @@ def pack_media(
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → sample channels (spec: greyscale, truecolor,
+#: indexed, grey+alpha, truecolor+alpha)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: JPEG start-of-frame markers (C0-CF minus DHT C4 / JPG C8 / DAC CC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_dims(payload: bytes) -> tuple[int, int, int] | None:
+    """Pure-stdlib (width, height, channels) from PNG / GIF / JPEG
+    header bytes; ``None`` when the payload is none of the three.
+
+    Reads only the public container layouts — PNG's IHDR chunk
+    (8-byte signature, then len+``IHDR``+13 data bytes: two u32be
+    dims, bit depth, color type), GIF's logical screen descriptor
+    (two u16le dims after ``GIF8?a``), and JPEG's first SOF segment
+    (marker scan; u16be height, width, component count) — no image
+    library and no pixel decoding.
+    """
+    import struct
+
+    if payload is None:
+        return None
+    if len(payload) >= 26 and payload[:8] == _PNG_SIG and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        channels = _PNG_CHANNELS.get(payload[25])
+        return None if channels is None else (w, h, channels)
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        # indexed-color frames resolve to RGB triples
+        return (w, h, 3)
+    if len(payload) >= 4 and payload[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return (w, h, payload[i + 9])
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def header_image_decoder(payload: bytes) -> tuple[int, int, int]:
+    """Real decoder with zero dependencies: header parse via
+    ``parse_image_dims``. Like the Pillow path it raises on
+    non-image payloads — loud failure, no fake dimensions."""
+    dims = parse_image_dims(payload)
+    if dims is None:
+        raise ValueError(
+            f"not a parseable PNG/GIF/JPEG payload ({(payload or b'')[:8]!r})"
+        )
+    return dims
+
+
 def default_image_decoder(payload: bytes) -> tuple[int, int, int]:
     """STUB decoder — deterministic fake (w, h, channels) derived from
     the payload hash, for environments without an image library (this
@@ -86,15 +148,58 @@ def pil_image_decoder(payload: bytes) -> tuple[int, int, int]:
 
 def best_image_decoder() -> Callable[[bytes], tuple[int, int, int]]:
     """The decoder ``decode_images`` uses when none is passed: Pillow
-    when importable, the deterministic stub otherwise — so the
-    component is real wherever an image library exists, with no code
-    change."""
+    when importable (full decode, any format Pillow knows), else the
+    stdlib header parser — real dimensions either way, with no code
+    change and no dependency."""
     try:
         import PIL.Image  # noqa: F401
 
         return pil_image_decoder
     except ImportError:
-        return default_image_decoder
+        return header_image_decoder
+
+
+def _be_bytes(col, n_bytes: int):
+    """Big-endian unsigned bytes of an integral column, JVM-side
+    (hex → left-pad → unhex)."""
+    return F.unhex(F.lpad(F.hex(col), 2 * n_bytes, "0"))
+
+
+def _le2_bytes(col):
+    """Little-endian u16 bytes of an integral column (byte-swapped
+    big-endian)."""
+    h = F.lpad(F.hex(col), 4, "0")
+    return F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)))
+
+
+def synthesize_png_header(width, height, color_type):
+    """A spec-valid PNG signature + IHDR chunk as a binary Column,
+    built entirely from JVM expressions (dims u32be, bit depth 8,
+    CRC-32 via ``F.crc32`` — the same polynomial PNG mandates). Enough
+    image for any header-level decoder; pixel chunks are absent by
+    design (dimension plumbing, not pixel fabrication)."""
+    ihdr_body = F.concat(
+        F.lit(b"IHDR"),
+        _be_bytes(width, 4),
+        _be_bytes(height, 4),
+        F.lit(b"\x08"),
+        _be_bytes(color_type, 1),
+        F.lit(b"\x00\x00\x00"),
+    )
+    return F.concat(
+        F.lit(_PNG_SIG),
+        _be_bytes(F.lit(13), 4),
+        ihdr_body,
+        _be_bytes(F.crc32(ihdr_body), 4),
+    )
+
+
+def synthesize_gif_header(width, height):
+    """A GIF89a logical screen descriptor as a binary Column (dims
+    u16le + minimal packed fields)."""
+    return F.concat(
+        F.lit(b"GIF89a"), _le2_bytes(width), _le2_bytes(height), F.lit(b"\xf7\x00\x00")
+    )
 
 
 def decode_images(

@@ -449,22 +449,50 @@ def multimodal_media_meta(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Multimodal decode path (mapInPandas stub decoder) — Python-side,
-# rows-only check; semantics pinned in tests/test_multimodal.py.
+# Multimodal decode path, oracle-backed: each document gets a
+# spec-valid PNG or GIF header synthesized JVM-side with dimensions
+# derived from doc_id (operators/multimodal.py synthesize_*), and the
+# stdlib header decoder recovers (width, height, channels) through the
+# Arrow mapInPandas decode hop. The oracle recomputes the dims straight
+# from the synthesis spec — a broken synthesis, parse, or decode
+# plumbing all surface as value mismatches. The header decoder is
+# pinned (not best_image_decoder) so results don't depend on whether
+# Pillow is installed.
 # ---------------------------------------------------------------------------
-@bench_query("multimodal_decode_dims")
+@bench_query(
+    "multimodal_decode_dims",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 480 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 480 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 3
+                     ELSE CASE ((doc_id // 2) % 3)
+                          WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                END AS INT) AS channels
+    FROM documents
+    """,
+)
 def multimodal_decode_dims(spark, sf_dir):
     from data_ingestion_framework_spark.operators.multimodal import (
         decode_images,
-        default_image_decoder,
+        header_image_decoder,
+        synthesize_gif_header,
+        synthesize_png_header,
     )
 
     docs = load(spark, sf_dir, "documents")
-    packed = pack_media(docs, "text", media_type="image")
-    # the fixture payloads are text, not real images — pin the
-    # deterministic stub decoder so the query's results don't depend
-    # on whether Pillow happens to be installed
-    return decode_images(packed, decoder=default_image_decoder).select(
+    w = (F.lit(16) + F.col("doc_id") % 480).cast("bigint")
+    h = (F.lit(16) + (F.col("doc_id") * 7) % 480).cast("bigint")
+    color_type = F.expr(
+        "CASE ((doc_id div 2) % 3) WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END"
+    )
+    payload = F.when(F.col("doc_id") % 2 == 0, synthesize_png_header(w, h, color_type)).otherwise(
+        synthesize_gif_header(w, h)
+    )
+    packed = pack_media(
+        docs.select("doc_id").withColumn("payload", payload), "payload", "image"
+    )
+    return decode_images(packed, decoder=header_image_decoder).select(
         "doc_id", "width", "height", "channels"
     )
 

@@ -536,15 +536,84 @@ def similarity_ivf_topk(spark, sf_dir):
     ).select("q_id", "vec_id", "cos_sim")
 
 
-@bench_query("similarity_lsh_topk")
+# ---------------------------------------------------------------------------
+# Sign-LSH machinery shared by the LSH top-k and embedding-near-dup
+# oracles: the hyperplanes are deterministic driver-side constants
+# (similarity.random_hyperplanes — no RNG state), so the SAME plane
+# values are inlined into the DuckDB oracle as list literals and the
+# whole bucket assignment is reproduced independently. The testdata
+# embeddings are 64-dim at every scale factor.
+# ---------------------------------------------------------------------------
+_EMB_DIM = 64
+
+
+def _bucket_expr_sql(n_planes: int) -> str:
+    """The sign-LSH bucket id as DuckDB SQL with the exact hyperplane
+    constants Spark uses inlined as list literals (``repr`` round-trips
+    Python floats exactly)."""
+    terms = []
+    for p, plane in enumerate(similarity.random_hyperplanes(_EMB_DIM, n_planes)):
+        lits = ", ".join(repr(v) for v in plane)
+        terms.append(
+            f"{2 ** p} * CAST(list_dot_product("
+            f"CAST(embedding AS DOUBLE[]), [{lits}]) > 0 AS INT)"
+        )
+    return " + ".join(terms)
+
+
+# ---------------------------------------------------------------------------
+# LSH top-k, oracle-backed end-to-end: bucket both sides with the
+# inlined hyperplanes, score only same-bucket (query, corpus) pairs,
+# exact cosine, deterministic top-10 (cos desc, vec_id asc).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "similarity_lsh_topk",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT vec_id, {_bucket_expr_sql(6)} AS blk FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, blk FROM buckets WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.q_id, c.vec_id
+      FROM q JOIN buckets c ON c.blk = q.blk
+      WHERE c.vec_id <> q.q_id
+    ),
+    elems AS (
+      SELECT vec_id,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM elems GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT p.q_id, p.vec_id, SUM(ea.x * eb.x) AS dp
+      FROM pairs p
+      JOIN elems ea ON ea.vec_id = p.q_id
+      JOIN elems eb ON eb.vec_id = p.vec_id AND eb.i = ea.i
+      GROUP BY p.q_id, p.vec_id
+    ),
+    scored AS (
+      SELECT d.q_id, d.vec_id,
+             ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                        ELSE d.dp / (na.nrm * nb.nrm) END, 4) AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.q_id
+      JOIN norms nb ON nb.vec_id = d.vec_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM scored
+    QUALIFY row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id ASC) <= 10
+    """,
+)
 def similarity_lsh_topk(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5)
-    dim = len(emb.select("embedding").first()["embedding"])
     # 6 planes → 64 buckets: enough selectivity to skip most of the
     # corpus while keeping non-empty candidate sets at test scale.
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
     return similarity.lsh_cosine_topk(
-        emb, queries, dim=dim, k=10, n_planes=6
+        emb, queries, dim=_EMB_DIM, k=10, n_planes=6
     ).select("q_id", "vec_id", "cos_sim")
 
 
@@ -643,13 +712,61 @@ def embedding_candidate_verify(spark, sf_dir):
     return similarity.cosine_verify_pairs(emb, cands, threshold=0.2)
 
 
-@bench_query("dedup_embedding_pairs")
+# ---------------------------------------------------------------------------
+# Embedding near-dup pairs, oracle-backed end-to-end: the sign-LSH
+# hyperplanes are deterministic driver-side constants
+# (similarity.random_hyperplanes — no RNG state), so the SAME plane
+# values are inlined into the DuckDB oracle as list literals and the
+# whole pipeline — bucket assignment, bucket self-join, exact-cosine
+# verify ≥ threshold — is reproduced independently. The testdata
+# embeddings are 64-dim at every scale factor.
+# ---------------------------------------------------------------------------
+
+
+@bench_query(
+    "dedup_embedding_pairs",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT vec_id, {_bucket_expr_sql(4)} AS blk FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b ON a.blk = b.blk AND a.vec_id < b.vec_id
+    ),
+    elems AS (
+      SELECT vec_id,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM elems GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT p.id_a, p.id_b, SUM(ea.x * eb.x) AS dp
+      FROM pairs p
+      JOIN elems ea ON ea.vec_id = p.id_a
+      JOIN elems eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+      GROUP BY p.id_a, p.id_b
+    ),
+    scored AS (
+      SELECT d.id_a, d.id_b,
+             ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                        ELSE d.dp / (na.nrm * nb.nrm) END, 4) AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.id_a
+      JOIN norms nb ON nb.vec_id = d.id_b
+    )
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3
+    """,
+)
 def dedup_embedding_pairs(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
     # synthetic embeddings are near-orthogonal; 0.3 exercises the
     # verify path with a non-empty result (real corpora use ~0.95)
-    return similarity.embedding_near_dups(emb, dim=dim, threshold=0.3, n_planes=4)
+    return similarity.embedding_near_dups(
+        emb, dim=_EMB_DIM, threshold=0.3, n_planes=4
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -676,16 +793,52 @@ def lineitem_percentiles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Approximate sketches (HLL distinct, approx quantile) — approximate by
-# construction, so rows-only; exposed because the reference lacks them
-# and Spark gives them free (SURVEY §2.5 'not present').
+# Approximate sketches (HLL distinct, approx quantile), oracle-backed
+# as a BOUNDED-GUARANTEE check: the approximate numbers themselves are
+# engine-specific, so the query emits the exact distinct count plus
+# booleans asserting each sketch landed inside its published error
+# bound (HLL rsd=0.05 → ±15% is generous; percentile_approx with
+# accuracy=1000 has rank error 1/1000 → the result must sit between the
+# exact 0.49 and 0.51 quantiles). The oracle recomputes the exact count
+# and expects every guarantee flag to be 1 — a sketch drifting out of
+# bounds (or the exact aggregation diverging) fails the value hash.
+# Exposed because the reference lacks sketches and Spark gives them
+# free (SURVEY §2.5 'not present').
 # ---------------------------------------------------------------------------
-@bench_query("events_sketches")
+@bench_query(
+    "events_sketches",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           CAST(1 AS INT) AS approx_users_ok,
+           CAST(1 AS INT) AS approx_p50_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def events_sketches(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("approx_p50_value"),
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id").alias("__approx_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("__approx_p50"),
+        F.percentile("value", F.lit(0.49)).alias("__p49"),
+        F.percentile("value", F.lit(0.51)).alias("__p51"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            (F.col("__approx_users") >= 0.85 * F.col("n_users_exact"))
+            & (F.col("__approx_users") <= 1.15 * F.col("n_users_exact"))
+        )
+        .cast("int")
+        .alias("approx_users_ok"),
+        (
+            (F.col("__approx_p50") >= F.col("__p49"))
+            & (F.col("__approx_p50") <= F.col("__p51"))
+        )
+        .cast("int")
+        .alias("approx_p50_ok"),
     )
 
 

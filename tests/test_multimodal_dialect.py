@@ -28,9 +28,9 @@ def test_pack_media_metadata_and_sniffing(spark):
 def test_decode_images_stub_deterministic(spark):
     packed = mm.pack_media(_media_df(spark), "payload")
     out1 = {r["doc_id"]: (r["width"], r["height"], r["channels"])
-            for r in mm.decode_images(packed).collect()}
+            for r in mm.decode_images(packed, decoder=mm.default_image_decoder).collect()}
     out2 = {r["doc_id"]: (r["width"], r["height"], r["channels"])
-            for r in mm.decode_images(packed).collect()}
+            for r in mm.decode_images(packed, decoder=mm.default_image_decoder).collect()}
     assert out1 == out2  # deterministic stub
     for w, h, c in out1.values():
         assert 64 <= w < 256 and 64 <= h < 256 and 1 <= c <= 4
@@ -68,10 +68,10 @@ def test_access_sql_select_into_and_dates():
     assert "CURRENT_DATE" in out and "CURRENT_TIMESTAMP" in out
 
 
-def test_pil_decoder_selected_when_available(spark):
-    """best_image_decoder: Pillow when importable, stub otherwise —
-    the decode component is real by construction wherever an image
-    library exists."""
+def test_best_decoder_is_always_real(spark):
+    """best_image_decoder: Pillow when importable, the stdlib header
+    parser otherwise — a real decoder in every environment; the hash
+    stub is never the default."""
     try:
         import PIL  # noqa: F401
 
@@ -80,7 +80,76 @@ def test_pil_decoder_selected_when_available(spark):
         has_pil = False
 
     picked = mm.best_image_decoder()
-    assert picked is (mm.pil_image_decoder if has_pil else mm.default_image_decoder)
+    assert picked is (mm.pil_image_decoder if has_pil else mm.header_image_decoder)
+
+
+# 1x1 red PNG (full file, base64) — shared by the header-parse and
+# Pillow tests so both decoders are checked against the same bytes.
+def _real_png() -> bytes:
+    import base64
+
+    return base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGP4"
+        "z8DwHwAFBQIAX8jx0gAAAABJRU5ErkJggg=="
+    )
+
+
+def test_parse_image_dims_formats():
+    import struct
+
+    # color type 6 in the IHDR → RGBA, 4 channels
+    assert mm.parse_image_dims(_real_png()) == (1, 1, 4)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    assert mm.parse_image_dims(gif) == (320, 200, 3)
+    jpeg = (
+        b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 33, 77) + b"\x03"
+    )
+    assert mm.parse_image_dims(jpeg) == (77, 33, 3)
+    assert mm.parse_image_dims(b"not an image") is None
+    assert mm.parse_image_dims(b"") is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.header_image_decoder(b"garbage bytes")
+
+
+def test_synthesized_headers_roundtrip(spark):
+    """synthesize_png_header/synthesize_gif_header build spec-valid
+    bytes JVM-side (including the PNG CRC-32) that the stdlib parser
+    decodes back to the exact input dimensions."""
+    import struct
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    w = (F.lit(10) + F.col("doc_id")).cast("bigint")
+    h = (F.lit(100) + F.col("doc_id")).cast("bigint")
+    png = df.withColumn("p", mm.synthesize_png_header(w, h, F.lit(2)))
+    for r in png.collect():
+        b = bytes(r["p"])
+        assert mm.parse_image_dims(b) == (10 + r["doc_id"], 100 + r["doc_id"], 3)
+        body, crc = b[12:29], struct.unpack(">I", b[29:33])[0]
+        assert crc == zlib.crc32(body)  # PNG-mandated CRC polynomial
+    gif = df.withColumn("p", mm.synthesize_gif_header(w, h))
+    for r in gif.collect():
+        assert mm.parse_image_dims(bytes(r["p"])) == (
+            10 + r["doc_id"], 100 + r["doc_id"], 3,
+        )
+
+
+def test_decode_images_default_on_real_headers(spark):
+    """The no-argument decode path (best_image_decoder) returns true
+    dimensions for real image bytes in any environment."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=_real_png())], "doc_id int, payload binary"
+    )
+    packed = mm.pack_media(df, "payload")
+    out = mm.decode_images(packed).collect()
+    assert (out[0]["width"], out[0]["height"]) == (1, 1)
 
 
 def test_pil_decoder_real_png():
@@ -91,9 +160,9 @@ def test_pil_decoder_real_png():
     _pytest.importorskip("PIL")
     import base64
 
-    # 1x1 red PNG
+    # 1x1 red PNG, color type 6 → RGBA
     png = base64.b64decode(
         "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGP4"
         "z8DwHwAFBQIAX8jx0gAAAABJRU5ErkJggg=="
     )
-    assert mm.pil_image_decoder(png) == (1, 1, 3)
+    assert mm.pil_image_decoder(png) == (1, 1, 4)
