@@ -49,7 +49,10 @@ HEADLINE = [
     "events_daily_counts",
     "events_sessionize",
     "events_asof_purchase",
+    "events_range_join_counts",
+    "events_time_rollup",
     "events_kmv_distinct_users",
+    "multimodal_decode_dims",
     # flagship composite: clean→redact→gate→dedup→decontam→quota→sample
     # with silver staging (the restartable, single-materialization form)
     "corpus_pipeline_staged",

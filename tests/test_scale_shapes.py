@@ -168,3 +168,45 @@ def test_fact_fact_joins_are_aqe_decided(spark):
     analyzed = rr._jdf.queryExecution().analyzed().toString()
     # exactly the three true-dim hints; orders/customer joins AQE-decided
     assert analyzed.count("ResolvedHint") == 3
+
+
+def test_asof_join_has_no_join_node(spark):
+    """asof_join's scale claim (operators/asof.py): union-marker +
+    window — ONE hash exchange on the keys and NO join operator of any
+    kind (the naive formulation is a BroadcastNestedLoopJoin)."""
+    import datetime as dt
+
+    from data_ingestion_framework_spark.operators.asof import asof_join
+
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [Row(k="a", ts=t)], "k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", ts=t, v=1.0)], "k string, ts timestamp, v double"
+    )
+    plan = _plan(asof_join(left, right, ["k"], "ts", "ts", ["v"]))
+    for join_node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                      "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_node not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """range_join_binned's scale claim: the interval predicate rides an
+    EQUI-join on (keys, bin) — never a nested-loop/cartesian plan."""
+    import datetime as dt
+
+    from data_ingestion_framework_spark.operators.asof import range_join_binned
+
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [Row(lid=1, k="a", ts=t)], "lid int, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [Row(rid=1, k="a", ts=t)], "rid int, k string, ts timestamp"
+    )
+    plan = _plan(range_join_binned(left, right, ["k"], "ts", "ts", 600))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
