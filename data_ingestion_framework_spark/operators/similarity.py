@@ -236,15 +236,16 @@ def ivf_train_centroids(
     """Deterministic k-means centroids for the IVF index.
 
     Init: the ``n_cells`` corpus vectors with the lowest
-    ``xxhash64(id)`` (a deterministic pseudo-random sample — no RNG
-    state, stable across runs). Each Lloyd iteration assigns rows to
-    their nearest centroid scan-side and recomputes means via
-    ``posexplode → groupBy(cell, pos) → avg``: the only driver-side
-    data is the (n_cells × dim) centroid table itself — control-plane
-    sized by construction, never the corpus."""
+    ``md5(id)`` (a deterministic pseudo-random sample — no RNG state,
+    stable across runs, and reproducible by any engine with md5 — the
+    driver's DuckDB oracle re-derives the same seeds). Each Lloyd
+    iteration assigns rows to their nearest centroid scan-side and
+    recomputes means via ``posexplode → groupBy(cell, pos) → avg``:
+    the only driver-side data is the (n_cells × dim) centroid table
+    itself — control-plane sized by construction, never the corpus."""
     seed_rows = (
         corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_cells)
         .collect()
     )

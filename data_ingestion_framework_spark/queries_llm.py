@@ -526,7 +526,105 @@ def dedup_cluster_assign(spark, sf_dir):
 # the Lloyd iterations aren't worth porting to SQL: rows-only driver
 # check; recall vs brute force is pinned in tests).
 # ---------------------------------------------------------------------------
-@bench_query("similarity_ivf_topk")
+# ---------------------------------------------------------------------------
+# IVF top-k, oracle-backed end-to-end: the entire index build is
+# deterministic — md5-ordered seed selection, two Lloyd iterations of
+# scan-side assignment + mean recomputation — so DuckDB re-derives the
+# same centroids from the same data with recursive-free CTEs (seeds →
+# assign → average, unrolled twice), probes the same nprobe cells, and
+# reproduces the exact-cosine top-k. Cosines are rounded to 6 decimals
+# before argmin (ties on cell id) exactly as _nearest_cells does, so
+# the cell assignments match across engines.
+# ---------------------------------------------------------------------------
+def _ivf_iteration_sql(prev: str, n: int) -> str:
+    """One Lloyd iteration as CTE text: distances to ``prev`` centroids,
+    argmin cell per vector, per-cell per-position means (cells that
+    lose every member keep their previous centroid)."""
+    return f"""
+    d{n} AS (
+      SELECT e.vec_id, c.cell, SUM(e.x * c.m) AS dp, sqrt(SUM(c.m * c.m)) AS cn
+      FROM e JOIN {prev} c ON c.i = e.i GROUP BY e.vec_id, c.cell
+    ),
+    a{n} AS (
+      SELECT vec_id, cell FROM (
+        SELECT d.vec_id, d.cell,
+               row_number() OVER (PARTITION BY d.vec_id
+                 ORDER BY ROUND(CASE WHEN v.nrm * d.cn = 0 THEN 0.0
+                                     ELSE d.dp / (v.nrm * d.cn) END, 6) DESC,
+                          d.cell) AS rn
+        FROM d{n} d JOIN vnorm v ON v.vec_id = d.vec_id)
+      WHERE rn = 1
+    ),
+    m{n} AS (
+      SELECT a.cell, e.i, AVG(e.x) AS m
+      FROM a{n} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.cell, e.i
+    ),
+    c{n} AS (
+      SELECT * FROM m{n}
+      UNION ALL
+      SELECT p.cell, p.i, p.m FROM {prev} p
+      WHERE p.cell NOT IN (SELECT DISTINCT cell FROM m{n})
+    )"""
+
+
+@bench_query(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    vnorm AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+    seeds AS (
+      SELECT vec_id, rn - 1 AS cell FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings)
+      WHERE rn <= 8
+    ),
+    c0 AS (SELECT s.cell, e.i, e.x AS m FROM seeds s JOIN e ON e.vec_id = s.vec_id),
+    {_ivf_iteration_sql('c0', 1)},
+    {_ivf_iteration_sql('c1', 2)},
+    dq AS (
+      SELECT e.vec_id, c.cell, SUM(e.x * c.m) AS dp, sqrt(SUM(c.m * c.m)) AS cn
+      FROM e JOIN c2 c ON c.i = e.i GROUP BY e.vec_id, c.cell
+    ),
+    ranked AS (
+      SELECT d.vec_id, d.cell,
+             row_number() OVER (PARTITION BY d.vec_id
+               ORDER BY ROUND(CASE WHEN v.nrm * d.cn = 0 THEN 0.0
+                                   ELSE d.dp / (v.nrm * d.cn) END, 6) DESC,
+                        d.cell) AS rn
+      FROM dq d JOIN vnorm v ON v.vec_id = d.vec_id
+    ),
+    corpus_cell AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+    query_cells AS (SELECT vec_id AS q_id, cell FROM ranked WHERE rn <= 4 AND vec_id < 5),
+    cand AS (
+      SELECT q.q_id, c.vec_id
+      FROM query_cells q JOIN corpus_cell c ON c.cell = q.cell
+      WHERE c.vec_id <> q.q_id
+    ),
+    dots AS (
+      SELECT p.q_id, p.vec_id, SUM(ea.x * eb.x) AS dp
+      FROM cand p
+      JOIN e ea ON ea.vec_id = p.q_id
+      JOIN e eb ON eb.vec_id = p.vec_id AND eb.i = ea.i
+      GROUP BY p.q_id, p.vec_id
+    ),
+    scored AS (
+      SELECT d.q_id, d.vec_id,
+             ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                        ELSE d.dp / (na.nrm * nb.nrm) END, 4) AS cos_sim
+      FROM dots d
+      JOIN vnorm na ON na.vec_id = d.q_id
+      JOIN vnorm nb ON nb.vec_id = d.vec_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM scored
+    QUALIFY row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id ASC) <= 10
+    """,
+)
 def similarity_ivf_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     centroids = similarity.ivf_train_centroids(emb, n_cells=8, iters=2)
