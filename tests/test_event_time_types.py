@@ -57,9 +57,25 @@ def events_ntz(spark, events):
 def test_raw_driver_parquet_is_ntz_and_load_normalizes(spark, events):
     raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
     # The guard this file exists for: if the driver's encoding changes
-    # again, this assertion localizes it immediately.
-    assert dict(raw.dtypes)["ts"] in ("timestamp_ntz", "timestamp", "bigint")
+    # again, this assertion localizes it immediately. (registry.load
+    # normalizes all four of these encodings to TIMESTAMP.)
+    assert dict(raw.dtypes)["ts"] in ("timestamp_ntz", "timestamp", "bigint", "string")
     assert dict(events.dtypes)["ts"] == "timestamp"
+
+
+def test_load_normalizes_string_ts(spark, events, tmp_path):
+    """A string-encoded ts (a plausible future testdata mutation) also
+    comes back TIMESTAMP with identical values."""
+    import os
+
+    path = str(tmp_path / "events_str")
+    events.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")).write.parquet(path)
+    os.symlink(f"{path}", f"{tmp_path}/events.parquet")
+    df = load(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    a = events.select(F.sum(epoch_micros("ts")).alias("s")).first()["s"]
+    b = df.select(F.sum(epoch_micros("ts")).alias("s")).first()["s"]
+    assert a == b
 
 
 def test_epoch_micros_both_types(events, events_ntz):
