@@ -26,6 +26,7 @@ media shuffles nothing — mapInPandas is a narrow transformation.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Callable, Iterator
 
 from pyspark.sql import DataFrame
@@ -86,8 +87,6 @@ def parse_image_dims(payload: bytes) -> tuple[int, int, int] | None:
     (marker scan; u16be height, width, component count) — no image
     library and no pixel decoding.
     """
-    import struct
-
     if payload is None:
         return None
     if len(payload) >= 26 and payload[:8] == _PNG_SIG and payload[12:16] == b"IHDR":
@@ -100,7 +99,8 @@ def parse_image_dims(payload: bytes) -> tuple[int, int, int] | None:
         return (w, h, 3)
     if len(payload) >= 4 and payload[:3] == b"\xff\xd8\xff":
         i = 2
-        while i + 9 <= len(payload):
+        # an SOF read touches payload[i+9], so the guard is i+10 <= len
+        while i + 10 <= len(payload):
             if payload[i] != 0xFF:
                 return None
             marker = payload[i + 1]

@@ -18,6 +18,27 @@ from data_ingestion_framework_spark.registry import bench_query, load
 _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, in microseconds
 
 
+def sessionize(df, gap_us: int = _GAP_US, user_col: str = "user_id",
+               ts_col: str = "ts", tiebreak_col: str = "event_id"):
+    """lag → gap flag → cumulative session id: appends ``session_id``
+    per (user, gap-delimited run). The single implementation behind
+    ``events_sessionize`` AND the type-parity tests — tests must drive
+    this exact code path, not a copy (the round-3 'pytest green,
+    driver red' failure mode came from test-local reimplementations).
+    All three window steps share one shuffle on ``user_col``; the
+    timestamp may be TIMESTAMP or TIMESTAMP_NTZ (epoch_micros)."""
+    w = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(ts_col).over(w)
+    new_sess = F.when(
+        prev.isNull() | (epoch_micros(ts_col) - epoch_micros(prev) > gap_us),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+
+
 @bench_query(
     "events_sessionize",
     oracle=f"""
@@ -44,16 +65,7 @@ _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, in microseconds
 )
 def events_sessionize(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    new_sess = F.when(
-        prev.isNull() | (epoch_micros("ts") - epoch_micros(prev) > _GAP_US),
-        1,
-    ).otherwise(0)
-    sessioned = ev.withColumn(
-        "session_id",
-        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
+    sessioned = sessionize(ev)
     return sessioned.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),

@@ -74,6 +74,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         elif ts_type == "string":
+            # under ANSI mode (Spark 4 default) to_timestamp raises
+            # CAST_INVALID_INPUT on malformed strings — an unparseable
+            # future encoding fails loudly here, not as silent NULLs
             df = df.withColumn("ts", F.to_timestamp("ts"))
         return ensure_event_time(df, "ts")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

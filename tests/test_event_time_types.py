@@ -91,22 +91,11 @@ def test_ensure_event_time_rewrites_only_ntz(events, events_ntz):
 
 
 def _sessionize(df):
-    from data_ingestion_framework_spark.queries_windows import _GAP_US
-    from pyspark.sql.window import Window as W
+    # the PRODUCTION sessionizer — not a test-local copy, so a
+    # regression in the shipped code path cannot hide behind this test
+    from data_ingestion_framework_spark.queries_windows import sessionize
 
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    new_sess = F.when(
-        prev.isNull() | (epoch_micros("ts") - epoch_micros(prev) > _GAP_US), 1
-    ).otherwise(0)
-    return (
-        df.withColumn(
-            "sid",
-            F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-        )
-        .groupBy("user_id", "sid")
-        .count()
-    )
+    return sessionize(df).groupBy("user_id", "session_id").count()
 
 
 def test_sessionize_parity(events, events_ntz):
