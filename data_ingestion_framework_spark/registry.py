@@ -132,11 +132,16 @@ _PRIORITY = [
     "dedup_word_ngram_jaccard",
     "docs_pack_ffd",
     "dedup_embedding_pairs",
-    # never driver-graded: sketches / embeddings
+    # never driver-graded: sketches / embeddings / ANN (the similarity
+    # and multimodal entries gained oracles in round 4 and have never
+    # been hash-graded — they belong inside the window)
     "events_kmv_distinct_users",
     "events_quantile_sketch",
     "events_sketches",
     "embeddings_quantize_int8",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "multimodal_decode_dims",
     # representatives of the round-3-green block (one per family)
     "pricing_summary",
     "shipping_priority",
@@ -145,9 +150,6 @@ _PRIORITY = [
     "late_arriving_dim",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
-    "dedup_candidate_verify",
-    "similarity_cosine_topk",
-    "events_daily_counts",
 ]
 
 

@@ -180,3 +180,28 @@ def test_watermark_agg_on_ntz_stream(spark, events_ntz, tmp_path):
     q.awaitTermination()
     got = spark.table("ntz_wm_test").agg(F.sum("count").alias("n")).first()["n"]
     assert got == events_ntz.count()
+
+
+def test_driver_grading_window_covers_priority_queries():
+    """The driver's correctness gate samples the FIRST 50 registered
+    queries; the round-3 NTZ breakage hid outside that window for two
+    rounds. Pin the high-risk names inside it."""
+    from data_ingestion_framework_spark import registry
+
+    registry.load_all_queries()
+    first50 = list(registry.QUERIES)[:50]
+    for name in [
+        "events_sessionize",
+        "events_range_join_counts",
+        "streaming_daily_counts",
+        "corpus_pipeline_staged",
+        "cdc_find_delta",
+        "dq_violation_counts",
+        "events_asof_purchase",
+        "similarity_ivf_topk",
+        "similarity_lsh_topk",
+        "multimodal_decode_dims",
+        "dedup_embedding_pairs",
+        "events_sketches",
+    ]:
+        assert name in first50, f"{name} fell out of the driver's grading window"
