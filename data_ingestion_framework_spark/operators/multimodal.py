@@ -206,31 +206,55 @@ def decode_images(
     df: DataFrame,
     bytes_col: str = "media_bytes",
     decoder: Callable[[bytes], tuple[int, int, int]] | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode media payloads to (width, height, channels) via
     Arrow-batched ``mapInPandas``. Keeps every input column and appends
-    the three decode columns; one Python hop, no shuffle."""
+    the three decode columns; one Python hop, no shuffle.
+
+    ``on_error`` picks the failure policy for undecodable payloads:
+    ``"raise"`` (default — a corrupt payload fails the job loudly) or
+    ``"quarantine"`` — dims come back NULL and a ``decode_error``
+    string column carries the exception text, so a 100 TB run routes
+    bad payloads to a quarantine sink (filter on ``decode_error IS NOT
+    NULL``) instead of dying on the first truncated file.
+    """
     import pandas as pd
 
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
     decoder = decoder or best_image_decoder()
     from pyspark.sql import types as T
 
-    out_schema = T.StructType(
-        list(df.schema.fields)
-        + [
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("channels", T.IntegerType()),
-        ]
-    )
+    out_fields = list(df.schema.fields) + [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+    if on_error == "quarantine":
+        out_fields.append(T.StructField("decode_error", T.StringType()))
+    out_schema = T.StructType(out_fields)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [decoder(b) for b in pdf[bytes_col]]
             pdf = pdf.copy()
+            if on_error == "raise":
+                decoded = [decoder(b) for b in pdf[bytes_col]]
+                errors = None
+            else:
+                decoded, errors = [], []
+                for b in pdf[bytes_col]:
+                    try:
+                        decoded.append(decoder(b))
+                        errors.append(None)
+                    except Exception as e:  # noqa: BLE001 — routed, not dropped
+                        decoded.append((None, None, None))
+                        errors.append(f"{type(e).__name__}: {e}")
             pdf["width"] = [d[0] for d in decoded]
             pdf["height"] = [d[1] for d in decoded]
             pdf["channels"] = [d[2] for d in decoded]
+            if errors is not None:
+                pdf["decode_error"] = errors
             yield pdf
 
     return df.mapInPandas(_decode, schema=out_schema)

@@ -166,3 +166,28 @@ def test_pil_decoder_real_png():
         "z8DwHwAFBQIAX8jx0gAAAABJRU5ErkJggg=="
     )
     assert mm.pil_image_decoder(png) == (1, 1, 4)
+
+
+def test_decode_images_quarantine_routing(spark):
+    """on_error='quarantine': bad payloads get NULL dims + an error
+    string instead of failing the job; good payloads decode normally."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=_real_png()), Row(doc_id=2, payload=b"junk")],
+        "doc_id int, payload binary",
+    )
+    packed = mm.pack_media(df, "payload")
+    out = {r["doc_id"]: r for r in
+           mm.decode_images(packed, on_error="quarantine").collect()}
+    assert (out[1]["width"], out[1]["height"]) == (1, 1)
+    assert out[1]["decode_error"] is None
+    assert out[2]["width"] is None
+    assert "ValueError" in out[2]["decode_error"]
+
+    # default stays loud
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        mm.decode_images(packed).collect()
+    with _pytest.raises(ValueError):
+        mm.decode_images(packed, on_error="bogus")
