@@ -290,14 +290,17 @@ def sample_frames(
     )
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one whole-batch copy per frame index (n_frames is small),
+        # not a per-row iterrows loop — the only per-payload Python is
+        # the extractor call itself
+        cols = [f.name for f in out_schema.fields]
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                for i in range(n_frames):
-                    r = row.to_dict()
-                    r["frame_idx"] = i
-                    r["frame_bytes"] = frame_extractor(row[bytes_col], i)
-                    rows.append(r)
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            frames = []
+            for i in range(n_frames):
+                c = pdf.copy()
+                c["frame_idx"] = i
+                c["frame_bytes"] = [frame_extractor(b, i) for b in pdf[bytes_col]]
+                frames.append(c)
+            yield pd.concat(frames, ignore_index=True)[cols]
 
     return df.mapInPandas(_sample, schema=out_schema)
