@@ -86,6 +86,36 @@ def dedup_within_watermark(
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Enrich a stream against a static dimension frame — the
+    stream-static join Structured Streaming supports natively (the
+    static side is re-evaluated per micro-batch, so a dim table read
+    via ``spark.read`` picks up new files between batches).
+
+    The dim is broadcast by default: stream-static joins cannot
+    shuffle the streaming side into a stateful join, and a broadcast
+    keeps the stream's partitioning intact — the right shape for a
+    dimension of ordinary size. Pass ``broadcast_dim=False`` for a
+    genuinely huge static side and let the planner decide.
+
+    Stateless (no watermark required); inner and left-outer are the
+    supported modes for a streaming left side.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"stream-static joins support 'inner' or 'left' for a streaming "
+            f"left side, got {how!r}"
+        )
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(right, keys, how)
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -422,3 +422,38 @@ def test_path_glob_filter_ingests_only_matching_files(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out_glob"))
     assert set(out.columns) == {"a"}
     assert {r["a"] for r in out.collect()} == {1, 2}
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static join: a file stream broadcast-enriched against a
+    static dim frame; left rows with no dim match keep NULLs."""
+    from data_ingestion_framework_spark.streaming.windows import (
+        stream_static_enrich,
+    )
+
+    edir = str(tmp_path / "events_in")
+    spark.createDataFrame(
+        [Row(eid=1, u="a"), Row(eid=2, u="b"), Row(eid=3, u="zz")],
+        "eid int, u string",
+    ).write.parquet(edir)
+    dim = spark.createDataFrame(
+        [Row(u="a", region="emea"), Row(u="b", region="amer")],
+        "u string, region string",
+    )
+    stream = read_file_stream(spark, edir, "parquet", control_columns=False)
+    enriched = stream_static_enrich(stream, dim, ["u"])
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("sse")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["eid"], r["region"]) for r in spark.table("sse").collect()}
+    assert got == {(1, "emea"), (2, "amer"), (3, None)}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stream_static_enrich(stream, dim, ["u"], how="right")
