@@ -406,3 +406,49 @@ def test_minhash_family_independent_beyond_64(spark):
 
     with _pytest.raises(ValueError):
         dedup.minhash_signatures(docs, num_hashes=5000)
+
+
+def test_minhash_ground_truth_recall_on_driver_data(spark):
+    """The rows-only minhash query, held against brute-force ground
+    truth on the REAL driver testdata: every emitted pair must be a
+    true >= 0.5 Jaccard pair (precision 1.0 — guaranteed by the exact
+    verify stage) and recall must stay high (empirically 1.0 at this
+    SF; bound at 0.95 to absorb benign testdata drift)."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        import pytest as _pytest
+
+        _pytest.skip("driver testdata not present")
+    from data_ingestion_framework_spark.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.hashed_shingle_frame(docs)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sa"),
+                  F.size("__sh").alias("na"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sb"),
+                  F.size("__sh").alias("nb"))
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "j",
+            dedup.jaccard_from_sizes(
+                F.size(F.array_intersect("sa", "sb")), F.col("na"), F.col("nb")
+            ),
+        )
+        .where(F.col("j") >= 0.5)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(
+            docs, threshold=0.5, max_bucket_size=1000
+        ).collect()
+    }
+    assert found <= truth                       # precision 1.0
+    assert len(found) >= 0.95 * len(truth)      # recall
+    assert len(truth) > 0
