@@ -452,3 +452,39 @@ def test_minhash_ground_truth_recall_on_driver_data(spark):
     assert found <= truth                       # precision 1.0
     assert len(found) >= 0.95 * len(truth)      # recall
     assert len(truth) > 0
+
+
+def test_simhash_ground_truth_exact_on_driver_data(spark):
+    """Pigeonhole banding is a theorem, not a heuristic: with 4 bands
+    over 64 bits, any pair at hamming <= 3 leaves at least one band
+    intact, so (absent cap drops) the banded output must EQUAL the
+    brute-force hamming<=3 pair set on the real driver testdata."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        import pytest as _pytest
+
+        _pytest.skip("driver testdata not present")
+    from data_ingestion_framework_spark.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", dedup.simhash64("text").alias("s"))
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_dups(
+            docs, max_hamming=3, max_bucket_size=1000
+        ).collect()
+    }
+    assert found == truth
+    assert len(truth) > 0
