@@ -86,3 +86,51 @@ def stratified_sample(
     for k, frac in sorted(fractions.items()):
         thr = F.when(col == k, F.lit(_threshold_hex(frac))).otherwise(thr)
     return df.where(hash_bucket_hex(id_col, salt) < thr)
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """Cumulative hex thresholds for :func:`split_assign` — exposed so
+    oracle SQL can inline the exact same literals Spark compares
+    against. The LAST split gets no threshold (it absorbs the rounding
+    remainder of the hex space, so every row lands somewhere)."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    names = list(weights)
+    out: list[tuple[str, str]] = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        out.append((name, _threshold_hex(cum)))
+    return out
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment.
+
+    Every row gets exactly one split label, chosen by comparing its id
+    hash against the cumulative weight thresholds: a pure scan-side
+    projection — zero shuffles, no RNG state, reproducible across
+    engines and runs. Because membership depends only on the row's own
+    id, splits are STABLE under corpus growth (new rows never move old
+    rows between splits — the property that keeps eval sets
+    uncontaminated across dataset versions), and disjoint salts give
+    independent re-splits.
+
+    ``weights`` is an ordered ``{name: weight}``; weights are
+    normalized, so ``{"train": 8, "val": 1, "test": 1}`` works.
+    """
+    names = list(weights)
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    b = hash_bucket_hex(id_col, salt)
+    col = None
+    for name, th in split_thresholds(weights):
+        col = (F.when if col is None else col.when)(b < F.lit(th), F.lit(name))
+    return df.withColumn(split_col, col.otherwise(F.lit(names[-1])))

@@ -440,6 +440,43 @@ def docs_deterministic_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Deterministic train/val/test split: every row gets exactly one label
+# by comparing its md5-prefix against cumulative weight thresholds —
+# scan-side projection, zero shuffles, stable under corpus growth (new
+# rows never move old rows between splits). The oracle inlines the
+# SAME hex thresholds Spark compares against (split_thresholds), so
+# the assignment is reproduced bit-for-bit cross-engine.
+# ---------------------------------------------------------------------------
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_case_sql() -> str:
+    from data_ingestion_framework_spark.operators.sampling import split_thresholds
+
+    whens = "\n           ".join(
+        f"WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{th}' THEN '{name}'"
+        for name, th in split_thresholds(_SPLIT_WEIGHTS)
+    )
+    last = list(_SPLIT_WEIGHTS)[-1]
+    return f"CASE {whens}\n           ELSE '{last}' END"
+
+
+@bench_query(
+    "docs_split_assign",
+    oracle=f"""
+    SELECT doc_id, source,
+           {_split_case_sql()} AS split
+    FROM documents
+    """,
+)
+def docs_split_assign(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.sampling import split_assign
+
+    docs = load(spark, sf_dir, "documents")
+    return split_assign(docs, _SPLIT_WEIGHTS).select("doc_id", "source", "split")
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints (MOSS): minimum md5(k-gram) per sliding window
 # over normalized text. md5 hex + lexicographic min gives identical
 # semantics in both engines, so the whole operator sits under the

@@ -142,6 +142,8 @@ _PRIORITY = [
     "similarity_ivf_topk",
     "similarity_lsh_topk",
     "multimodal_decode_dims",
+    # round-5 additions — never driver-graded, all oracle-backed
+    "docs_split_assign",
     # representatives of the round-3-green block (one per family)
     "pricing_summary",
     "shipping_priority",

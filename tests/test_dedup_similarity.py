@@ -314,6 +314,26 @@ def test_deterministic_sample_reproducible_and_stratified(spark):
     assert 120 <= len(rows) <= 280  # ~40% of 500
 
 
+def test_split_assign_partitions_disjoint_stable(spark):
+    from data_ingestion_framework_spark.operators.sampling import split_assign
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(1000)])
+    weights = {"train": 8, "val": 1, "test": 1}  # un-normalized on purpose
+    rows = {r["doc_id"]: r["split"] for r in split_assign(docs, weights).collect()}
+    # total partition: every row gets exactly one label
+    assert len(rows) == 1000 and set(rows.values()) == {"train", "val", "test"}
+    counts = {s: sum(1 for v in rows.values() if v == s) for s in ("train", "val", "test")}
+    assert 700 <= counts["train"] <= 900  # ~80%
+    assert 50 <= counts["val"] <= 160 and 50 <= counts["test"] <= 160
+    # stability: growing the corpus never relabels existing rows
+    bigger = spark.createDataFrame([Row(doc_id=i) for i in range(2000)])
+    rows2 = {r["doc_id"]: r["split"] for r in split_assign(bigger, weights).collect()}
+    assert all(rows2[i] == rows[i] for i in range(1000))
+    # disjoint salts give an independent re-split
+    alt = {r["doc_id"]: r["split"] for r in split_assign(docs, weights, salt="v2").collect()}
+    assert alt != rows
+
+
 def test_repetition_stats_semantics(spark):
     from data_ingestion_framework_spark.operators.text import repetition_stats
 

@@ -203,5 +203,6 @@ def test_driver_grading_window_covers_priority_queries():
         "multimodal_decode_dims",
         "dedup_embedding_pairs",
         "events_sketches",
+        "docs_split_assign",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
