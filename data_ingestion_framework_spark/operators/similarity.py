@@ -319,6 +319,62 @@ def ivf_cosine_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster-then-dedup).
+
+    Each vector is assigned to its nearest k-means centroid scan-side
+    (same deterministic index build as IVF — ``ivf_train_centroids``);
+    pairwise cosine is then computed ONLY within a cell via an
+    equi-join on cell id, and a row is dropped iff a lower-id row in
+    its cell sits at cosine ≥ ``threshold``. Returns
+    ``(id, cell, keep)`` — a total partition of the corpus, so the
+    caller filters ``keep`` for the survivors or inspects the drops.
+
+    The 100 TB shape is the whole point: clustering bounds the
+    quadratic pair term to cell populations (n²/k for k cells instead
+    of n²), cells scale out with the corpus (grow ``n_cells`` with n),
+    and the pair scoring is a same-key self-join — no crossJoin node
+    anywhere in the plan. Keeper choice (lowest id per ε-ball) is the
+    deterministic greedy that makes re-runs reproducible.
+    """
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
+    )
+    a = c.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__cell"
+    )
+    b = c.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__cell"
+    )
+    dup_ids = (
+        a.join(b, "__cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(cosine(F.col("__va"), F.col("__vb")), round_to)
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        c.join(dup_ids.withColumn("__dup", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__cell").alias("cell"),
+            F.coalesce(F.col("__dup") != F.lit(True), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 # -- int8 quantization --------------------------------------------------------
 
 def quantize_int8(

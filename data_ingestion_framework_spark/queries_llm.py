@@ -604,10 +604,11 @@ def _ivf_iteration_sql(prev: str, n: int) -> str:
     )"""
 
 
-@bench_query(
-    "similarity_ivf_topk",
-    oracle=f"""
-    WITH e AS (
+# The deterministic index build (seeds → two unrolled Lloyd
+# iterations → per-vector cell ranking) shared by every IVF-derived
+# oracle: ends with ``ranked``/``corpus_cell`` CTEs ready to compose.
+_IVF_INDEX_SQL = f"""
+    e AS (
       SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
              UNNEST(generate_series(1, len(embedding))) AS i
       FROM embeddings
@@ -635,7 +636,13 @@ def _ivf_iteration_sql(prev: str, n: int) -> str:
                         d.cell) AS rn
       FROM dq d JOIN vnorm v ON v.vec_id = d.vec_id
     ),
-    corpus_cell AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+    corpus_cell AS (SELECT vec_id, cell FROM ranked WHERE rn = 1)"""
+
+
+@bench_query(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH {_IVF_INDEX_SQL},
     query_cells AS (SELECT vec_id AS q_id, cell FROM ranked WHERE rn <= 4 AND vec_id < 5),
     cand AS (
       SELECT q.q_id, c.vec_id
@@ -669,6 +676,51 @@ def similarity_ivf_topk(spark, sf_dir):
     return similarity.ivf_cosine_topk(
         emb, queries, centroids, k=10, nprobe=4
     ).select("q_id", "vec_id", "cos_sim")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup, oracle-backed end-to-end: the same
+# deterministic IVF index build assigns every vector a cell; within-cell
+# pairwise cosine marks a row a duplicate iff a LOWER-id row sits at
+# cosine >= threshold (the reproducible keep-one-per-ε-ball greedy).
+# The oracle re-derives the whole thing: index CTEs + pair dots + the
+# NOT-EXISTS keeper rule. Threshold 0.35 because the synthetic driver
+# embeddings are diffuse (within-cell max cos ≈ 0.49) — real corpora
+# run the same operator at ~0.95; semantics are threshold-independent.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "semantic_dedup_keep",
+    oracle=f"""
+    WITH {_IVF_INDEX_SQL},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus_cell a JOIN corpus_cell b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT p.id_a, p.id_b, SUM(ea.x * eb.x) AS dp
+      FROM pairs p
+      JOIN e ea ON ea.vec_id = p.id_a
+      JOIN e eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+      GROUP BY p.id_a, p.id_b
+    ),
+    dups AS (
+      SELECT DISTINCT d.id_b
+      FROM dots d
+      JOIN vnorm na ON na.vec_id = d.id_a
+      JOIN vnorm nb ON nb.vec_id = d.id_b
+      WHERE ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                       ELSE d.dp / (na.nrm * nb.nrm) END, 4) >= 0.35
+    )
+    SELECT c.vec_id, c.cell,
+           c.vec_id NOT IN (SELECT id_b FROM dups) AS keep
+    FROM corpus_cell c
+    """,
+)
+def semantic_dedup_keep(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_train_centroids(emb, n_cells=8, iters=2)
+    return similarity.semantic_dedup(emb, centroids, threshold=0.35)
 
 
 # ---------------------------------------------------------------------------

@@ -144,6 +144,7 @@ _PRIORITY = [
     "multimodal_decode_dims",
     # round-5 additions — never driver-graded, all oracle-backed
     "docs_split_assign",
+    "semantic_dedup_keep",
     # representatives of the round-3-green block (one per family)
     "pricing_summary",
     "shipping_priority",

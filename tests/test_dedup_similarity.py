@@ -314,6 +314,56 @@ def test_deterministic_sample_reproducible_and_stratified(spark):
     assert 120 <= len(rows) <= 280  # ~40% of 500
 
 
+def test_semantic_dedup_matches_brute_force_on_planted_clusters(spark):
+    """Planted well-separated clusters with exact/near duplicates: the
+    cell-bucketed SemDeDup must agree with a cell-blind brute force
+    (every near-dup pair shares a cell when clusters are separated),
+    keep the lowest id per ε-ball, and return a total partition."""
+    import math
+
+    from data_ingestion_framework_spark.operators.similarity import (
+        ivf_train_centroids,
+        semantic_dedup,
+    )
+
+    def unit(axis, dim=8, eps=0.0, eps_axis=None):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        if eps_axis is not None:
+            v[eps_axis] = eps
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    vid = 0
+    for axis in range(4):  # 4 orthogonal clusters
+        for j in range(5):
+            # j=0 is the archetype; j>0 are tiny perturbations (cos≈1)
+            rows.append(Row(vec_id=vid, embedding=unit(axis, eps=0.01 * j, eps_axis=(axis + 4))))
+            vid += 1
+    emb = spark.createDataFrame(rows)
+    cents = ivf_train_centroids(emb, n_cells=4, iters=2)
+    got = {r["vec_id"]: r for r in semantic_dedup(emb, cents, threshold=0.95).collect()}
+    assert len(got) == 20  # total partition
+    # brute force, cell-blind: drop iff any lower id has cos >= 0.95
+    vecs = {r["vec_id"]: r["embedding"] for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return 0.0 if na * nb == 0 else d / (na * nb)
+
+    for i, vi in vecs.items():
+        expect_keep = not any(
+            round(cos(vecs[j], vi), 4) >= 0.95 for j in vecs if j < i
+        )
+        assert got[i]["keep"] == expect_keep, i
+    # each cluster keeps exactly its archetype
+    keepers = sorted(i for i in got if got[i]["keep"])
+    assert keepers == [0, 5, 10, 15]
+
+
 def test_split_assign_partitions_disjoint_stable(spark):
     from data_ingestion_framework_spark.operators.sampling import split_assign
 

@@ -204,5 +204,6 @@ def test_driver_grading_window_covers_priority_queries():
         "dedup_embedding_pairs",
         "events_sketches",
         "docs_split_assign",
+        "semantic_dedup_keep",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
