@@ -434,6 +434,62 @@ def tfidf_top_terms(
     )
 
 
+def unigram_cross_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document unigram cross-entropy against the corpus language
+    model — the CCNet-style fluency proxy (lower = more typical text,
+    high = gibberish/outlier; used to gate or mix training data when a
+    real LM is unavailable).
+
+    ``H(d) = -(Σ_t tf(d,t) · log2 p(t)) / |d|`` with ``p(t)`` the
+    corpus unigram MLE. Returns ``(id, n_tokens, unigram_ce)``; docs
+    with no tokens have no distribution and drop out (mirror of the
+    tokenizing explode).
+
+    Cross-engine determinism: each (doc, term) contribution is rounded
+    to 6 dp and cast to DECIMAL before summation, so the per-doc sum is
+    exact and order-independent — a raw double Σ would differ between
+    engines/partitionings in the last ulp. The final division happens
+    in DOUBLE on both engines.
+
+    Scale shape: same skeleton as :func:`tfidf_top_terms` — explode →
+    (doc, term) counts with map-side combine, term totals from that
+    (one row per distinct term), join back on term, final per-doc agg.
+    The corpus total arrives as a 1-row broadcast, never a driver
+    round-trip; no collect, no UDF.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    freq = tf.groupBy("term").agg(F.sum("tf").alias("__c"))
+    total = freq.agg(F.sum("__c").alias("__n_total"))
+    contrib = (
+        F.col("tf").cast("decimal(18,0)")
+        * F.round(
+            F.log2(F.col("__c").cast("double") / F.col("__n_total").cast("double")),
+            6,
+        ).cast("decimal(18,6)")
+    )
+    return (
+        tf.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(
+                (-F.sum(contrib)).cast("double") / F.sum("tf").cast("double"),
+                round_to,
+            ).alias("unigram_ce"),
+        )
+    )
+
+
 def pack_documents_ffd(
     df: DataFrame,
     budget: int,

@@ -1516,6 +1516,47 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Unigram cross-entropy (CCNet-style LM fluency proxy): per-doc mean
+# -log2 of the corpus unigram probabilities of its tokens. Per-pair
+# contributions are rounded to 6 dp and summed as DECIMAL on both
+# engines (order-independent, exact), so the value hash matches; the
+# final division runs in DOUBLE on both.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "text_unigram_ce",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    freq AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
+    tot AS (SELECT SUM(c) AS n_total FROM freq),
+    contrib AS (
+      SELECT t.doc_id, t.tf,
+             CAST(t.tf AS DECIMAL(18,0))
+             * CAST(ROUND(log2(CAST(f.c AS DOUBLE) / CAST(x.n_total AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS con
+      FROM tf t JOIN freq f USING (term) CROSS JOIN tot x
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           ROUND(CAST(-SUM(con) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 4)
+             AS unigram_ce
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def text_unigram_ce(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.unigram_cross_entropy(docs)
+
+
+# ---------------------------------------------------------------------------
 # THE composite: full corpus pipeline end-to-end under one oracle —
 # boilerplate-line removal → PII redaction → min-length gate → exact
 # dedup → 13-gram decontamination → per-source quota → deterministic

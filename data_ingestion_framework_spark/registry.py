@@ -145,6 +145,7 @@ _PRIORITY = [
     # round-5 additions — never driver-graded, all oracle-backed
     "docs_split_assign",
     "semantic_dedup_keep",
+    "text_unigram_ce",
     # representatives of the round-3-green block (one per family)
     "pricing_summary",
     "shipping_priority",

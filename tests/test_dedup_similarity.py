@@ -384,6 +384,35 @@ def test_split_assign_partitions_disjoint_stable(spark):
     assert alt != rows
 
 
+def test_unigram_cross_entropy_hand_computed(spark):
+    import math
+
+    from data_ingestion_framework_spark.operators.text import unigram_cross_entropy
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a b"),
+            Row(doc_id=2, text="A  b"),  # normalization folds case/space
+            Row(doc_id=3, text="   "),  # tokenless: drops out
+        ]
+    )
+    got = {r["doc_id"]: r for r in unigram_cross_entropy(docs).collect()}
+    assert set(got) == {1, 2}
+    # corpus: a×3, b×2, N=5
+    la, lb = round(math.log2(3 / 5), 6), round(math.log2(2 / 5), 6)
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["unigram_ce"] == round(-(2 * la + lb) / 3, 4)
+    assert got[2]["n_tokens"] == 2
+    assert got[2]["unigram_ce"] == round(-(la + lb) / 2, 4)
+    # the common-token doc is more "typical" than a gibberish one
+    more = spark.createDataFrame(
+        [Row(doc_id=i, text="the cat sat") for i in range(10)]
+        + [Row(doc_id=99, text="zxqv wkjy")]
+    )
+    ce = {r["doc_id"]: r["unigram_ce"] for r in unigram_cross_entropy(more).collect()}
+    assert ce[99] > ce[0]
+
+
 def test_repetition_stats_semantics(spark):
     from data_ingestion_framework_spark.operators.text import repetition_stats
 

@@ -205,5 +205,6 @@ def test_driver_grading_window_covers_priority_queries():
         "events_sketches",
         "docs_split_assign",
         "semantic_dedup_keep",
+        "text_unigram_ce",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
