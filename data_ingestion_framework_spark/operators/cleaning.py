@@ -93,6 +93,122 @@ def decontaminate(
     )
 
 
+def build_gram_bloom(
+    grams: DataFrame, col: str = "__g", m_bits: int = 1 << 18, k: int = 4
+) -> DataFrame:
+    """Build a Bloom filter over a gram-hash column as a 1-row
+    ``(bloom array<bigint>)`` DataFrame ready to broadcast.
+
+    Spark 4 doesn't expose ``bloom_filter_agg`` in the public function
+    registry, so the bitmap is built from first principles: each gram
+    sets ``k`` bit positions ``xxhash64(i, gram) & (m-1)`` (independent
+    hashes via the seed column, no overflow-prone arithmetic under ANSI
+    mode); positions fold into 64-bit words with a ``bit_or`` aggregate.
+    Only the word table (≤ ``m_bits/64`` longs — control-plane sized,
+    e.g. 2 MiB for m=2²⁷) ever reaches the driver, never the grams.
+    """
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+    g = F.col(col).cast("string")
+    pos = F.array(
+        *[F.xxhash64(F.lit(i), g).bitwiseAND(F.lit(m_bits - 1)) for i in range(k)]
+    )
+    words = (
+        grams.select(F.explode(pos).alias("__p"))
+        .select(
+            F.shiftright("__p", 6).cast("int").alias("__w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                F.col("__p").bitwiseAND(F.lit(63)).cast("int"),
+            ).alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__m").alias("__bits"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[r["__w"]] = r["__bits"]
+    return grams.sparkSession.createDataFrame(
+        [(bitmap,)], "bloom array<bigint>"
+    )
+
+
+def bloom_might_contain(
+    col: str, m_bits: int, k: int, bloom_col: str = "bloom"
+) -> Column:
+    """Membership predicate against a :func:`build_gram_bloom` bitmap
+    column (compose after a broadcast cross join of the 1-row bloom):
+    true iff ALL ``k`` probed bits are set. No false negatives; false
+    positives at the classic ``(1-e^{-kn/m})^k`` rate."""
+    g = F.col(col).cast("string")
+    cond = F.lit(True)
+    for i in range(k):
+        p = F.xxhash64(F.lit(i), g).bitwiseAND(F.lit(m_bits - 1))
+        word = F.element_at(F.col(bloom_col), F.shiftright(p, 6).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("bigint"),
+            p.bitwiseAND(F.lit(63)).cast("int"),
+        )
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom prefilter — the shape for
+    benchmark/eval gram sets too large to broadcast as an exact
+    relation (decontaminating against *every* known eval suite at
+    once). Results are IDENTICAL to ``decontaminate``: the bloom only
+    prunes, an exact join on the survivors kills false positives.
+
+    Scale shape: the bitmap (m_bits/64 longs) broadcasts instead of
+    the gram strings (~32 B each — a 10M-gram suite is ~320 MB exact
+    vs 2 MiB bloom at m=2²⁷); the corpus gram stream is filtered
+    scan-side by pure bit arithmetic, so the exact verification join's
+    left side shrinks to true hits + the fp residue, and AQE picks its
+    strategy on that small frame.
+    """
+    bench_grams = benchmark.select(
+        F.explode(_word_gram_hashes(F.col(bench_text_col), n)).alias("__g")
+    ).distinct()
+    bloom = build_gram_bloom(bench_grams, "__g", m_bits, k)
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(_word_gram_hashes(F.col(text_col), n)).alias("__g")
+    )
+    pre = (
+        doc_grams.crossJoin(F.broadcast(bloom))
+        .where(bloom_might_contain("__g", m_bits, k))
+        .drop("bloom")
+    )
+    hits = (
+        pre.join(bench_grams, "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_grams", F.lit(0)).cast("bigint").alias(
+                "n_contaminated_grams"
+            ),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 #: Redaction patterns, applied in order. RE2-compatible (no lookarounds,
 #: no backrefs) so Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
 #: URLs first — an email-shaped substring inside a URL redacts as URL.

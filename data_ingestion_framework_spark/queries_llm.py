@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_ingestion_framework_spark.operators import dedup, similarity, text
-from data_ingestion_framework_spark.registry import bench_query, load
+from data_ingestion_framework_spark.registry import ORACLES, bench_query, load
 
 
 # ---------------------------------------------------------------------------
@@ -1267,6 +1267,22 @@ def docs_decontaminate(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     benchmark = docs.where(F.col("doc_id") % 97 == 0)
     return cleaning.decontaminate(docs, benchmark, n=13)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination: the scale shape for eval-gram sets
+# too big to broadcast exactly (bitmap broadcast + scan-side bit probes
+# + exact verify on survivors). The bloom only PRUNES — results are
+# identical to docs_decontaminate, so it shares that oracle verbatim:
+# the driver hash-checks that the approximate path loses nothing.
+# ---------------------------------------------------------------------------
+@bench_query("docs_decontaminate_bloom", oracle=ORACLES["docs_decontaminate"])
+def docs_decontaminate_bloom(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import cleaning
+
+    docs = load(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    return cleaning.decontaminate_bloom(docs, benchmark, n=13, m_bits=1 << 18, k=4)
 
 
 # ---------------------------------------------------------------------------

@@ -146,6 +146,7 @@ _PRIORITY = [
     "docs_split_assign",
     "semantic_dedup_keep",
     "text_unigram_ce",
+    "docs_decontaminate_bloom",
     # representatives of the round-3-green block (one per family)
     "pricing_summary",
     "shipping_priority",

@@ -31,6 +31,43 @@ def test_decontaminate_flags_ngram_overlap(spark):
     assert rows[3]["contaminated"] is False and rows[3]["n_contaminated_grams"] == 0
 
 
+def test_decontaminate_bloom_matches_exact_and_has_no_false_negatives(spark):
+    from data_ingestion_framework_spark.operators.cleaning import (
+        bloom_might_contain,
+        build_gram_bloom,
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    base = "w%d " * 20
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=(base % tuple(range(i, i + 20)))) for i in range(40)]
+    )
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    exact = {
+        (r["doc_id"], r["n_contaminated_grams"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=13).collect()
+    }
+    # a deliberately tiny bitmap (high fp rate) still yields identical
+    # results — the exact verify join kills every false positive
+    for m_bits in (1 << 10, 1 << 16):
+        got = {
+            (r["doc_id"], r["n_contaminated_grams"], r["contaminated"])
+            for r in decontaminate_bloom(docs, bench, n=13, m_bits=m_bits, k=3).collect()
+        }
+        assert got == exact, m_bits
+    # membership predicate itself: every inserted gram is found (no
+    # false negatives — the bloom guarantee the prefilter relies on)
+    grams = spark.createDataFrame([Row(__g=f"gram-{i}") for i in range(200)])
+    bloom = build_gram_bloom(grams, "__g", m_bits=1 << 12, k=4)
+    kept = (
+        grams.crossJoin(F.broadcast(bloom))
+        .where(bloom_might_contain("__g", 1 << 12, 4))
+        .count()
+    )
+    assert kept == 200
+
+
 def test_redact_pii_patterns_and_order(spark):
     docs = spark.createDataFrame(
         [

@@ -206,5 +206,6 @@ def test_driver_grading_window_covers_priority_queries():
         "docs_split_assign",
         "semantic_dedup_keep",
         "text_unigram_ce",
+        "docs_decontaminate_bloom",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
