@@ -53,6 +53,10 @@ HEADLINE = [
     "events_time_rollup",
     "events_kmv_distinct_users",
     "multimodal_decode_dims",
+    # round-5 additions: semantic dedup, bloom decontamination, LM proxy
+    "semantic_dedup_keep",
+    "docs_decontaminate_bloom",
+    "text_unigram_ce",
     # flagship composite: clean→redact→gate→dedup→decontam→quota→sample
     # with silver staging (the restartable, single-materialization form)
     "corpus_pipeline_staged",

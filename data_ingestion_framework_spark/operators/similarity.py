@@ -344,24 +344,38 @@ def semantic_dedup(
     anywhere in the plan. Keeper choice (lowest id per ε-ball) is the
     deterministic greedy that makes re-runs reproducible.
     """
+    dv = _to_double(F.col(vec_col))
+    # cast + norm happen once per ROW here; the cell-keyed exchange of
+    # the self-join materializes them (CollapseProject barrier), so the
+    # per-PAIR work below is a single dot product — computing cosine()
+    # wholesale per pair would re-traverse both arrays 5× per candidate.
+    # The float math is identical (same ops, same order) to cosine().
     c = corpus.select(
         F.col(id_col),
-        F.col(vec_col),
+        dv.alias("__v"),
+        l2_norm(dv).alias("__n"),
         _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
     )
     a = c.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__cell"
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "__cell",
     )
     b = c.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__cell"
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "__cell",
+    )
+    denom = F.col("__na") * F.col("__nb")
+    pair_cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("__va"), F.col("__vb")) / denom
     )
     dup_ids = (
         a.join(b, "__cell")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            F.round(cosine(F.col("__va"), F.col("__vb")), round_to)
-            >= F.lit(threshold)
-        )
+        .where(F.round(pair_cos, round_to) >= F.lit(threshold))
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
