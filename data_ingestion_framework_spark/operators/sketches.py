@@ -165,3 +165,72 @@ def quantile_sketch(
     return sampled_quantiles(
         hash_rank_sample(df, group_cols, value_col, id_col, k), group_cols, probs
     )
+
+
+def mg_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    shard_key_col: str,
+    n_shards: int = 8,
+    m: int = 16,
+    k: int = 10,
+) -> DataFrame:
+    """Sharded Misra-Gries / SpaceSaving-style heavy hitters: top-k
+    frequent values with deterministic error bounds, in bounded state.
+
+    Occurrences are split into ``n_shards`` deterministic shards by an
+    md5 hash of the ROW key (``shard_key_col`` — not the value: value
+    sharding would make local counts exact and the summary unbounded).
+    Each shard keeps its exact top-``m`` values (its MG summary; state
+    = m counters per shard); the per-shard error bound ``err_s`` is the
+    largest DROPPED count — a value absent from shard s has true shard
+    count ≤ err_s, the mergeable-summaries guarantee (Agarwal et al.,
+    SIGMOD'12, public). Merging the shard summaries gives, per value:
+    ``est ≤ true ≤ est + Σ_{s: value absent} err_s = upper_bound``.
+
+    Returns the top-``k`` candidates by ``est_count`` (ties on value):
+    ``(value, est_count, upper_bound)``. Every value whose true count
+    exceeds ``Σ_s err_s`` is guaranteed present among the candidates.
+
+    Scale shape: stage 1 is one (shard, value)-keyed count with
+    map-side combine; everything after operates on ≤ n_shards·m rows —
+    control-plane sized by construction. Deterministic md5 sharding
+    (not ``spark_partition_id``) keeps the result independent of file
+    splits and reproducible by any engine."""
+    shard = F.pmod(kmv_hash(shard_key_col), F.lit(n_shards))
+    loc = (
+        df.select(shard.alias("__s"), F.col(value_col))
+        .groupBy("__s", value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = W.partitionBy("__s").orderBy(F.col("__c").desc(), F.col(value_col).asc())
+    ranked = loc.withColumn("__rn", F.row_number().over(w))
+    kept = ranked.where(F.col("__rn") <= m)
+    errs = (
+        ranked.where(F.col("__rn") > m)
+        .groupBy("__s")
+        .agg(F.max("__c").alias("__err"))
+    )
+    total = errs.agg(F.coalesce(F.sum("__err"), F.lit(0)).alias("__total_err"))
+    est = (
+        kept.join(errs, "__s", "left")
+        .groupBy(value_col)
+        .agg(
+            F.sum("__c").alias("__est"),
+            F.sum(F.coalesce("__err", F.lit(0))).alias("__present_err"),
+        )
+    )
+    topw = W.orderBy(F.col("est_count").desc(), F.col(value_col).asc())
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            F.col(value_col),
+            F.col("__est").cast("bigint").alias("est_count"),
+            (F.col("__est") + F.col("__total_err") - F.col("__present_err"))
+            .cast("bigint")
+            .alias("upper_bound"),
+        )
+        .withColumn("__rn", F.row_number().over(topw))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

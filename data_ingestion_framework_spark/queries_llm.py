@@ -1493,6 +1493,48 @@ def events_kmv_distinct_users(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Sharded Misra-Gries heavy hitters, oracle-backed end-to-end: the
+# md5-derived shard split, per-shard top-m summaries, dropped-max error
+# bounds and the merged (est, upper) interval are all deterministic
+# integer arithmetic, so DuckDB re-derives the identical top-k — a
+# VALUE-level gate on an approximate sketch, like events_kmv.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_heavy_hitter_users",
+    oracle="""
+    WITH loc AS (
+      SELECT (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 8)
+               AS s,
+             user_id, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT s, user_id, c,
+             row_number() OVER (PARTITION BY s ORDER BY c DESC, user_id) AS rn
+      FROM loc
+    ),
+    kept AS (SELECT * FROM ranked WHERE rn <= 16),
+    errs AS (SELECT s, MAX(c) AS err FROM ranked WHERE rn > 16 GROUP BY s),
+    tot AS (SELECT COALESCE(SUM(err), 0) AS total_err FROM errs),
+    est AS (
+      SELECT k.user_id, SUM(k.c) AS est, SUM(COALESCE(e.err, 0)) AS present_err
+      FROM kept k LEFT JOIN errs e ON e.s = k.s GROUP BY k.user_id
+    )
+    SELECT user_id,
+           CAST(est AS BIGINT) AS est_count,
+           CAST(est + t.total_err - present_err AS BIGINT) AS upper_bound
+    FROM est CROSS JOIN tot t
+    QUALIFY row_number() OVER (ORDER BY est DESC, user_id) <= 10
+    """,
+)
+def events_heavy_hitter_users(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.sketches import mg_heavy_hitters
+
+    ev = load(spark, sf_dir, "events")
+    return mg_heavy_hitters(ev, "user_id", "event_id", n_shards=8, m=16, k=10)
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms per document (smoothed sklearn idf), fully value-
 # checked: ranking runs on the 4-dp-rounded score with the term as
 # tiebreak so engine ulp differences in ln() can't reorder the top-k.

@@ -147,6 +147,7 @@ _PRIORITY = [
     "semantic_dedup_keep",
     "text_unigram_ce",
     "docs_decontaminate_bloom",
+    "events_heavy_hitter_users",
     # representatives of the round-3-green block (one per family)
     "pricing_summary",
     "shipping_priority",

@@ -67,3 +67,32 @@ def test_quantile_sketch_accuracy_and_exact_small_groups(spark):
     assert abs(out["big"]["q0_5"] - 5000) < 1500   # 4σ-ish for k=256
     assert abs(out["big"]["q0_9"] - 9000) < 1200
     assert out["small"]["q0_5"] == 5 and out["small"]["q0_9"] == 9
+
+
+def test_mg_heavy_hitters_bounds_and_recall(spark):
+    """The mergeable-summaries guarantee on a zipf-ish stream: for
+    every emitted candidate est <= exact <= upper_bound, and every
+    value whose true count dominates the summed shard error appears
+    among the candidates."""
+    from data_ingestion_framework_spark.operators.sketches import mg_heavy_hitters
+
+    # value v appears ceil(2000/v) times: classic heavy head, long tail
+    rows = []
+    rid = 0
+    for v in range(1, 200):
+        for _ in range(-(-2000 // v)):
+            rows.append((rid, f"u{v:03d}"))
+            rid += 1
+    df = spark.createDataFrame(rows, "rid long, val string")
+    exact = {r["val"]: r["n"] for r in df.groupBy("val").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = mg_heavy_hitters(df, "val", "rid", n_shards=8, m=16, k=10).collect()
+    assert len(got) == 10
+    for r in got:
+        assert r["est_count"] <= exact[r["val"]] <= r["upper_bound"], r
+    # the true top value must be found, and the output order is by est
+    assert got[0]["val"] == "u001"
+    ests = [r["est_count"] for r in got]
+    assert ests == sorted(ests, reverse=True)
+    # determinism: same input -> same summary
+    again = mg_heavy_hitters(df, "val", "rid", n_shards=8, m=16, k=10).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
