@@ -114,14 +114,21 @@ def cosine_verify_pairs(
     """Exact-cosine verification of an ``(id_a, id_b)`` candidate frame
     — the embedding analogue of ``dedup.verify_candidate_pairs``. Only
     candidate pairs re-join the vectors; the corpus never self-joins."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    dv = _to_double(F.col(vec_col))
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), dv.alias("__va"), l2_norm(dv).alias("__na")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), dv.alias("__vb"), l2_norm(dv).alias("__nb")
+    )
+    denom = F.col("__na") * F.col("__nb")
+    pair_cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("__va"), F.col("__vb")) / denom
+    )
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn(
-            "cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), round_to)
-        )
+        .withColumn("cos_sim", F.round(pair_cos, round_to))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -142,21 +149,36 @@ def embedding_near_dups(
     share all hyperplane signs, so the bucket equi-join keeps recall
     high while cutting the O(n²) pair space by ~2^planes."""
     planes = random_hyperplanes(dim, n_planes)
+    dv = _to_double(F.col(vec_col))
+    # cast + norm once per ROW (materialized by the bucket-keyed
+    # exchange); per-PAIR work is a single dot product. Same float ops
+    # in the same order as cosine(), so values are unchanged.
     b = corpus.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("__bucket")
+        F.col(id_col),
+        dv.alias("__v"),
+        l2_norm(dv).alias("__n"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
     left = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__bucket")
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        F.col("__bucket"),
     )
     right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__bucket")
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        F.col("__bucket"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    pair_cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("__va"), F.col("__vb")) / denom
     )
     return (
         left.join(right, ["__bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), round_to)
-        )
+        .withColumn("cos_sim", F.round(pair_cos, round_to))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
