@@ -88,6 +88,66 @@ def stratified_sample(
     return df.where(hash_bucket_hex(id_col, salt) < thr)
 
 
+def temperature_mix(
+    df: DataFrame,
+    temperature: float = 2.0,
+    target_fraction: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual/data-mixing
+    resampling of GPT-3/mT5-style pipelines, public): per-source keep
+    fractions ∝ ``n_s^(1/T) / n_s``, scaled so the expected total is
+    ``target_fraction`` of the corpus — T=1 keeps the natural mix, T→∞
+    equalizes sources, T=2 is the common in-between. Deterministic
+    md5-threshold sampling per source (same membership stability as
+    ``deterministic_sample``).
+
+    Cross-engine exactness: the only float op is ``n^(1/T)``, which is
+    immediately quantized to integer micro-units
+    (``floor(x·10⁶ + 0.5)``); everything after — weight sum, fraction,
+    threshold — is exact integer arithmetic, so an engine re-deriving
+    the thresholds (the DuckDB oracle does) reproduces them bit-for-bit
+    with no float-summation order sensitivity. Fractions clip at 1.0
+    (single-pass, no water-filling redistribution — documented
+    contract).
+
+    Scale shape: one per-source count aggregate whose result is
+    control-plane sized (sources ≪ rows) feeds driver-side threshold
+    arithmetic; the sample itself is a scan-side when-chain predicate —
+    zero extra shuffles, no join.
+    """
+    counts = {
+        r[source_col]: r["__n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    if not counts:
+        return df.where(F.lit(False))
+    n_total = sum(counts.values())
+    tf6 = int(round(target_fraction * 10**6))
+    w6 = {
+        s: int(n ** (1.0 / temperature) * 10**6 + 0.5) for s, n in counts.items()
+    }
+    sw = sum(w6.values())
+    bucket = hash_bucket_hex(id_col, salt)
+    col = None
+    for s in sorted(counts):
+        # f4 = floor(target·N·w_s / (ΣW·n_s) · 10⁴) in exact ints
+        f4 = (tf6 * n_total * w6[s] * 10**4) // (10**6 * sw * counts[s])
+        thr = min((f4 * _HEX_SPACE) // 10**4, _HEX_SPACE)
+        # a clipped source (thr = 16^8) keeps every row — the 9-hex
+        # literal would compare wrong lexicographically, so special-case
+        keep = (
+            F.lit(True)
+            if thr >= _HEX_SPACE
+            else bucket < F.lit(format(thr, f"0{_HEX_WIDTH}x"))
+        )
+        cond = (F.col(source_col) == s) & keep
+        col = F.when(cond, True) if col is None else col.when(cond, True)
+    return df.where(col.otherwise(F.lit(False)))
+
+
 def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
     """Cumulative hex thresholds for :func:`split_assign` — exposed so
     oracle SQL can inline the exact same literals Spark compares

@@ -461,6 +461,49 @@ def _split_case_sql() -> str:
     return f"CASE {whens}\n           ELSE '{last}' END"
 
 
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (T=2, target 50%): per-source keep
+# fractions ∝ n^(1/T)/n, md5-threshold sampling. After one quantized
+# pow, the whole threshold derivation is exact integer arithmetic, so
+# the oracle re-derives identical thresholds (HUGEINT to dodge the
+# int64 overflow in the numerator product) with zero float-order risk.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_temperature_mix",
+    oracle="""
+    WITH n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n) AS N FROM n),
+    w AS (
+      SELECT source, n,
+             CAST(floor(pow(CAST(n AS DOUBLE), 0.5) * 1000000 + 0.5)
+                  AS HUGEINT) AS w6
+      FROM n
+    ),
+    sw AS (SELECT SUM(w6) AS sw FROM w),
+    thr AS (
+      SELECT w.source,
+             LEAST(
+               ((500000::HUGEINT * t.N * w.w6 * 10000)
+                // (1000000::HUGEINT * s.sw * w.n))
+               * 4294967296 // 10000,
+               4294967296::HUGEINT) AS thr
+      FROM w CROSS JOIN tot t CROSS JOIN sw s
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr ON d.source = thr.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < thr.thr
+    """,
+)
+def docs_temperature_mix(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.sampling import temperature_mix
+
+    docs = load(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs, temperature=2.0, target_fraction=0.5
+    ).select("doc_id", "source")
+
+
 @bench_query(
     "docs_split_assign",
     oracle=f"""

@@ -148,13 +148,17 @@ _PRIORITY = [
     "text_unigram_ce",
     "docs_decontaminate_bloom",
     "events_heavy_hitter_users",
-    # representatives of the round-3-green block (one per family)
-    "pricing_summary",
-    "shipping_priority",
+    "docs_temperature_mix",
+    # representatives of the round-3-green block — the round-5 query
+    # additions push most of these out of the 50-query window (they've
+    # been driver-graded green since r2/r3; the judge's full local gate
+    # still covers them); the SCD flagship is kept inside first
     "scd2_merge_state",
     "merge_sql_scd2_state",
     "late_arriving_dim",
     "dedup_exact_groups",
+    "pricing_summary",
+    "shipping_priority",
     "dedup_minhash_pairs",
 ]
 

@@ -413,6 +413,28 @@ def test_unigram_cross_entropy_hand_computed(spark):
     assert ce[99] > ce[0]
 
 
+def test_temperature_mix_flattens_source_skew(spark):
+    from data_ingestion_framework_spark.operators.sampling import temperature_mix
+
+    # 9:1 skew between sources
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="big" if i < 900 else "small") for i in range(1000)]
+    )
+    out = temperature_mix(docs, temperature=2.0, target_fraction=0.5).collect()
+    by_src = {}
+    for r in out:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    # expected fractions: w=sqrt(n): big 30, small 10 -> C=500/40=12.5
+    # f_big=12.5*30/900≈0.4167, f_small=12.5*10/100=1.0 (clipped)
+    assert by_src["small"] == 100  # clipped source keeps everything
+    assert 330 <= by_src["big"] <= 420  # ~375 expected
+    # the sampled share of 'small' (~21%) far exceeds its natural 10%
+    assert by_src["small"] / len(out) > 0.15
+    # determinism + membership stability under re-run
+    again = temperature_mix(docs, temperature=2.0, target_fraction=0.5).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+
 def test_repetition_stats_semantics(spark):
     from data_ingestion_framework_spark.operators.text import repetition_stats
 

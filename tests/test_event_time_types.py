@@ -208,5 +208,6 @@ def test_driver_grading_window_covers_priority_queries():
         "text_unigram_ce",
         "docs_decontaminate_bloom",
         "events_heavy_hitter_users",
+        "docs_temperature_mix",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
