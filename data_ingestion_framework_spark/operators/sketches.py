@@ -205,19 +205,37 @@ def mg_heavy_hitters(
     )
     w = W.partitionBy("__s").orderBy(F.col("__c").desc(), F.col(value_col).asc())
     ranked = loc.withColumn("__rn", F.row_number().over(w))
-    kept = ranked.where(F.col("__rn") <= m)
-    errs = (
-        ranked.where(F.col("__rn") > m)
-        .groupBy("__s")
-        .agg(F.max("__c").alias("__err"))
-    )
-    total = errs.agg(F.coalesce(F.sum("__err"), F.lit(0)).alias("__total_err"))
-    est = (
-        kept.join(errs, "__s", "left")
-        .groupBy(value_col)
+    # ONE corpus pass: each shard's summary (top-m entries + dropped-max
+    # error) comes out of a single aggregation; the result is at most
+    # n_shards rows of m-element arrays — control-plane sized — so it's
+    # materialized (localCheckpoint) instead of letting the three
+    # consumers below re-scan the corpus per branch (collect_list skips
+    # the NULLs the rn-conditionals produce).
+    per_shard = (
+        ranked.groupBy("__s")
         .agg(
-            F.sum("__c").alias("__est"),
-            F.sum(F.coalesce("__err", F.lit(0))).alias("__present_err"),
+            F.collect_list(
+                F.when(
+                    F.col("__rn") <= m,
+                    F.struct(F.col(value_col).alias("v"), F.col("__c").alias("c")),
+                )
+            ).alias("__kept"),
+            F.max(F.when(F.col("__rn") > m, F.col("__c"))).alias("__err"),
+        )
+        .localCheckpoint()
+    )
+    total = per_shard.agg(
+        F.coalesce(F.sum("__err"), F.lit(0)).alias("__total_err")
+    )
+    est = (
+        per_shard.select(
+            F.coalesce("__err", F.lit(0)).alias("__e"),
+            F.explode("__kept").alias("__kv"),
+        )
+        .groupBy(F.col("__kv.v").alias(value_col))
+        .agg(
+            F.sum("__kv.c").alias("__est"),
+            F.sum("__e").alias("__present_err"),
         )
     )
     topw = W.orderBy(F.col("est_count").desc(), F.col(value_col).asc())
