@@ -1016,6 +1016,94 @@ def dedup_embedding_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Hybrid lexical+semantic dedup: near-dup EDGES from two independent
+# generators — blocked n-gram Jaccard over text AND sign-LSH-bucketed
+# embedding cosine — union into one graph, then connected components
+# pick one keeper per cluster across BOTH modalities. The oracle
+# re-derives each edge set with the already-proven CTE forms
+# (dedup_cluster_assign's shingle blocks, dedup_embedding_pairs'
+# inlined hyperplanes) and closes the union with a recursive CTE.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "hybrid_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id,
+             CAST(floor(length(text) / 20) AS BIGINT) AS block,
+             list_distinct([
+               substring(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), i, 5)
+               for i in generate_series(
+                 1,
+                 greatest(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) - 4, 1))
+             ]) AS s
+      FROM documents
+      QUALIFY count(*) OVER (PARTITION BY CAST(floor(length(text) / 20) AS BIGINT)) <= 2000
+    ),
+    tp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.3
+    ),
+    buckets AS (
+      SELECT vec_id, {_bucket_expr_sql(4)} AS blk FROM embeddings
+    ),
+    bp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b ON a.blk = b.blk AND a.vec_id < b.vec_id
+    ),
+    elems AS (
+      SELECT vec_id,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM elems GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT p.id_a, p.id_b, SUM(ea.x * eb.x) AS dp
+      FROM bp p
+      JOIN elems ea ON ea.vec_id = p.id_a
+      JOIN elems eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+      GROUP BY p.id_a, p.id_b
+    ),
+    ep AS (
+      SELECT d.id_a, d.id_b
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.id_a
+      JOIN norms nb ON nb.vec_id = d.id_b
+      WHERE ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                       ELSE d.dp / (na.nrm * nb.nrm) END, 4) >= 0.3
+    ),
+    p AS (SELECT id_a, id_b FROM tp UNION SELECT id_a, id_b FROM ep),
+    nodes AS (SELECT id_a AS n FROM p UNION SELECT id_b FROM p),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT n, n AS m FROM nodes
+      UNION
+      SELECT r.n, e.b AS m FROM reach r JOIN edges e ON e.a = r.m
+    )
+    SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+    """,
+)
+def hybrid_dedup_clusters(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    _check_embedding_dim(emb)
+    text_pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.3, max_block_size=2000
+    ).select("id_a", "id_b")
+    emb_pairs = similarity.embedding_near_dups(
+        emb, dim=_EMB_DIM, threshold=0.3, n_planes=4
+    ).select("id_a", "id_b")
+    edges = text_pairs.unionByName(emb_pairs).distinct()
+    return dedup.dup_clusters(edges)
+
+
+# ---------------------------------------------------------------------------
 # Exact interpolated percentiles (Spark percentile == DuckDB
 # quantile_cont, both linear interpolation; rounded to 4).
 # ---------------------------------------------------------------------------

@@ -149,6 +149,7 @@ _PRIORITY = [
     "docs_decontaminate_bloom",
     "events_heavy_hitter_users",
     "docs_temperature_mix",
+    "hybrid_dedup_clusters",
     # representatives of the round-3-green block — the round-5 query
     # additions push most of these out of the 50-query window (they've
     # been driver-graded green since r2/r3; the judge's full local gate

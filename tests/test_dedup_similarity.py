@@ -413,6 +413,43 @@ def test_unigram_cross_entropy_hand_computed(spark):
     assert ce[99] > ce[0]
 
 
+def test_hybrid_dedup_unions_lexical_and_semantic_edges(spark):
+    """A text edge (1-2) and an embedding edge (2-3) must merge into
+    ONE cluster — the union graph connects modalities transitively."""
+    from data_ingestion_framework_spark.operators.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from data_ingestion_framework_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog now"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog too"),
+            Row(doc_id=3, text="completely different content with other words entirely"),
+            Row(doc_id=4, text="nothing like any of the others at all in text"),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=2, embedding=[1.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=3, embedding=[0.999, 0.04, 0.0, 0.0]),  # ≈ vec 2
+            Row(vec_id=4, embedding=[0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        ]
+    )
+    tp = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    ep = embedding_near_dups(emb, dim=4, threshold=0.95, n_planes=2).select(
+        "id_a", "id_b"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(tp.unionByName(ep).distinct()).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}  # one cluster spanning both edge types
+
+
 def test_temperature_mix_flattens_source_skew(spark):
     from data_ingestion_framework_spark.operators.sampling import temperature_mix
 
