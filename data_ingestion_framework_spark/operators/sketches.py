@@ -197,21 +197,22 @@ def mg_heavy_hitters(
     control-plane sized by construction. Deterministic md5 sharding
     (not ``spark_partition_id``) keeps the result independent of file
     splits and reproducible by any engine."""
-    shard = F.pmod(kmv_hash(shard_key_col), F.lit(n_shards))
-    loc = (
-        df.select(shard.alias("__s"), F.col(value_col))
-        .groupBy("__s", value_col)
-        .agg(F.count(F.lit(1)).alias("__c"))
+    return mg_finalize(
+        mg_summary(df, value_col, shard_key_col, n_shards, m), value_col, k
     )
+
+
+def _mg_truncate(counts: DataFrame, value_col: str, m: int) -> DataFrame:
+    """(s, value, c, base_err) → one summary row per shard: top-m kept
+    entries + accumulated error (``base_err`` + the largest count
+    dropped by THIS truncation). ONE pass over ``counts``; the result
+    is ≤ n_shards rows of m-element arrays — control-plane sized — so
+    it's materialized (localCheckpoint) instead of letting downstream
+    branches re-run the corpus aggregation (collect_list skips the
+    NULLs the rank conditionals produce)."""
     w = W.partitionBy("__s").orderBy(F.col("__c").desc(), F.col(value_col).asc())
-    ranked = loc.withColumn("__rn", F.row_number().over(w))
-    # ONE corpus pass: each shard's summary (top-m entries + dropped-max
-    # error) comes out of a single aggregation; the result is at most
-    # n_shards rows of m-element arrays — control-plane sized — so it's
-    # materialized (localCheckpoint) instead of letting the three
-    # consumers below re-scan the corpus per branch (collect_list skips
-    # the NULLs the rn-conditionals produce).
-    per_shard = (
+    ranked = counts.withColumn("__rn", F.row_number().over(w))
+    return (
         ranked.groupBy("__s")
         .agg(
             F.collect_list(
@@ -220,17 +221,85 @@ def mg_heavy_hitters(
                     F.struct(F.col(value_col).alias("v"), F.col("__c").alias("c")),
                 )
             ).alias("__kept"),
-            F.max(F.when(F.col("__rn") > m, F.col("__c"))).alias("__err"),
+            (
+                F.first("__base_err")
+                + F.coalesce(
+                    F.max(F.when(F.col("__rn") > m, F.col("__c"))), F.lit(0)
+                )
+            ).alias("__err"),
         )
         .localCheckpoint()
     )
-    total = per_shard.agg(
+
+
+def mg_summary(
+    df: DataFrame,
+    value_col: str,
+    shard_key_col: str,
+    n_shards: int = 8,
+    m: int = 16,
+) -> DataFrame:
+    """Build the per-shard MG summary frame ``(s, kept array<(v,c)>,
+    err)`` for :func:`mg_heavy_hitters` — the sketch STATE. Merge two
+    summaries of disjoint data with :func:`mg_merge` (associative,
+    error bounds add), finalize with :func:`mg_finalize`."""
+    shard = F.pmod(kmv_hash(shard_key_col), F.lit(n_shards))
+    loc = (
+        df.select(shard.alias("__s"), F.col(value_col))
+        .groupBy("__s", value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__base_err", F.lit(0).cast("bigint"))
+    )
+    return _mg_truncate(loc, value_col, m)
+
+
+def mg_merge(a: DataFrame, b: DataFrame, value_col: str, m: int = 16) -> DataFrame:
+    """Merge two :func:`mg_summary` frames over DISJOINT inputs: add
+    counters per (shard, value), re-truncate to top-m, accumulate both
+    sides' error plus the merge's own dropped-max (the mergeable-
+    summaries law — a value absent from a shard summary has true count
+    ≤ that summary's err). Operates on control-plane-sized frames, so
+    streaming ingest can fold one summary per micro-batch."""
+
+    def expand(s: DataFrame, side: str) -> DataFrame:
+        kept = s.select(
+            "__s", F.col("__err").alias("__e"), F.explode_outer("__kept").alias("__kv")
+        )
+        return kept.select(
+            "__s",
+            F.lit(side).alias("__side"),
+            F.col("__kv.v").alias(value_col),
+            F.coalesce(F.col("__kv.c"), F.lit(0)).alias("__c"),
+            "__e",
+        )
+
+    both = expand(a, "a").unionByName(expand(b, "b"))
+    # per (shard, side) the err is a single value — distinct before the
+    # sum so the kept-entry fan-out doesn't multiply it, while two sides
+    # sharing one numeric err value still BOTH contribute
+    errs = (
+        both.select("__s", "__side", "__e").distinct().groupBy("__s").agg(
+            F.sum("__e").alias("__base_err")
+        )
+    )
+    counts = (
+        both.where(F.col(value_col).isNotNull())
+        .groupBy("__s", value_col)
+        .agg(F.sum("__c").alias("__c"))
+        .join(errs, "__s")
+    )
+    return _mg_truncate(counts, value_col, m)
+
+
+def mg_finalize(summary: DataFrame, value_col: str, k: int = 10) -> DataFrame:
+    """Finalize an MG summary into ``(value, est_count, upper_bound)``
+    top-k: ``est ≤ true ≤ est + Σ_{s: value absent} err_s``."""
+    total = summary.agg(
         F.coalesce(F.sum("__err"), F.lit(0)).alias("__total_err")
     )
     est = (
-        per_shard.select(
-            F.coalesce("__err", F.lit(0)).alias("__e"),
-            F.explode("__kept").alias("__kv"),
+        summary.select(
+            F.col("__err").alias("__e"), F.explode("__kept").alias("__kv")
         )
         .groupBy(F.col("__kv.v").alias(value_col))
         .agg(

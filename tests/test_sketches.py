@@ -96,3 +96,40 @@ def test_mg_heavy_hitters_bounds_and_recall(spark):
     # determinism: same input -> same summary
     again = mg_heavy_hitters(df, "val", "rid", n_shards=8, m=16, k=10).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_mg_summary_merge_law(spark):
+    """Split a stream in two, summarize each half, merge — the merged
+    sketch's bounds must hold against the WHOLE stream's exact counts,
+    and its candidate set must still surface the heavy head. This is
+    the micro-batch fold a streaming ingest applies per batch."""
+    from data_ingestion_framework_spark.operators.sketches import (
+        mg_finalize,
+        mg_merge,
+        mg_summary,
+    )
+
+    rows = []
+    rid = 0
+    for v in range(1, 120):
+        for _ in range(-(-1500 // v)):
+            rows.append((rid, f"u{v:03d}"))
+            rid += 1
+    df = spark.createDataFrame(rows, "rid long, val string")
+    exact = {
+        r["val"]: r["n"]
+        for r in df.groupBy("val").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    half_a = df.where(F.col("rid") % 2 == 0)
+    half_b = df.where(F.col("rid") % 2 == 1)
+    merged = mg_merge(
+        mg_summary(half_a, "val", "rid", n_shards=4, m=12),
+        mg_summary(half_b, "val", "rid", n_shards=4, m=12),
+        "val",
+        m=12,
+    )
+    got = mg_finalize(merged, "val", k=8).collect()
+    assert len(got) == 8
+    for r in got:
+        assert r["est_count"] <= exact[r["val"]] <= r["upper_bound"], r
+    assert got[0]["val"] == "u001"
