@@ -148,6 +148,55 @@ def temperature_mix(
     return df.where(col.otherwise(F.lit(False)))
 
 
+def shuffle_rank(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic global shuffle order for training: every row gets
+    a dense 0-based ``shuffle_rank`` as if the corpus were sorted by
+    ``(md5(salt||id), id)`` — reproducible epoch ordering with no RNG
+    state, re-derivable by any engine.
+
+    The scale shape is the point: a naive global ``row_number()`` puts
+    100 TB through ONE partition. Here the hash's first byte pre-buckets
+    rows (hex prefix order == hash order, so buckets are contiguous rank
+    ranges); per-bucket COUNTS (≤ ``n_buckets`` rows — control-plane)
+    turn into cumulative offsets, and the final rank is offset +
+    per-bucket row_number — one bucket-keyed shuffle, 256-way parallel,
+    zero global sort. Salt varies the epoch permutation.
+    """
+    hexw = len(format(n_buckets - 1, "x"))
+    if n_buckets != 16 ** hexw:
+        raise ValueError("n_buckets must be a power of 16 (hex-prefix buckets)")
+    h = hash_bucket_hex(id_col, salt)
+    bucketed = df.withColumn("__h", h).withColumn(
+        "__b", F.substring("__h", 1, hexw)
+    )
+    counts = {
+        r["__b"]: r["__n"]
+        for r in bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    if not counts:  # empty input: no offsets to chain
+        return df.withColumn("shuffle_rank", F.lit(None).cast("bigint"))
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off = None
+    for b, o in offsets.items():
+        off = (F.when if off is None else off.when)(F.col("__b") == b, F.lit(o))
+    w = Window.partitionBy("__b").orderBy("__h", F.col(id_col).asc())
+    return (
+        bucketed.withColumn(
+            "shuffle_rank",
+            (off + F.row_number().over(w) - 1).cast("bigint"),
+        )
+        .drop("__h", "__b")
+    )
+
+
 def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
     """Cumulative hex thresholds for :func:`split_assign` — exposed so
     oracle SQL can inline the exact same literals Spark compares

@@ -462,6 +462,30 @@ def _split_case_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic global shuffle rank (training epoch order): dense rank
+# as if sorted by (md5(id), id), computed WITHOUT a global sort —
+# hex-prefix buckets are contiguous rank ranges, so control-plane
+# bucket counts + per-bucket windows give the identical ordering the
+# oracle's single row_number() produces.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_shuffle_rank",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+             AS shuffle_rank
+    FROM documents
+    """,
+)
+def docs_shuffle_rank(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.sampling import shuffle_rank
+
+    docs = load(spark, sf_dir, "documents")
+    return shuffle_rank(docs).select("doc_id", "shuffle_rank")
+
+
+# ---------------------------------------------------------------------------
 # Temperature-scaled source mixing (T=2, target 50%): per-source keep
 # fractions ∝ n^(1/T)/n, md5-threshold sampling. After one quantized
 # pow, the whole threshold derivation is exact integer arithmetic, so

@@ -130,7 +130,6 @@ _PRIORITY = [
     "docs_chunk_windows",
     "docs_length_zscore_outliers",
     "dedup_word_ngram_jaccard",
-    "docs_pack_ffd",
     "dedup_embedding_pairs",
     # never driver-graded: sketches / embeddings / ANN (the similarity
     # and multimodal entries gained oracles in round 4 and have never
@@ -150,6 +149,10 @@ _PRIORITY = [
     "events_heavy_hitter_users",
     "docs_temperature_mix",
     "hybrid_dedup_clusters",
+    "docs_shuffle_rank",
+    # rows-only (no oracle): the driver's hash gate can't grade it, so
+    # it cedes its window slot to an oracle-backed round-5 query
+    "docs_pack_ffd",
     # representatives of the round-3-green block — the round-5 query
     # additions push most of these out of the 50-query window (they've
     # been driver-graded green since r2/r3; the judge's full local gate

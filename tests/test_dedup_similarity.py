@@ -450,6 +450,22 @@ def test_hybrid_dedup_unions_lexical_and_semantic_edges(spark):
     assert got == {1: 1, 2: 1, 3: 1}  # one cluster spanning both edge types
 
 
+def test_shuffle_rank_is_dense_permutation_and_salt_varies(spark):
+    from data_ingestion_framework_spark.operators.sampling import shuffle_rank
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(500)])
+    out = {r["doc_id"]: r["shuffle_rank"] for r in shuffle_rank(docs).collect()}
+    # dense 0..n-1 permutation, deterministic across runs
+    assert sorted(out.values()) == list(range(500))
+    again = {r["doc_id"]: r["shuffle_rank"] for r in shuffle_rank(docs).collect()}
+    assert again == out
+    # a different salt gives a different epoch permutation
+    epoch2 = {r["doc_id"]: r["shuffle_rank"] for r in shuffle_rank(docs, salt="e2").collect()}
+    assert sorted(epoch2.values()) == list(range(500)) and epoch2 != out
+    # the permutation is genuinely shuffled, not id order
+    assert [out[i] for i in range(500)] != list(range(500))
+
+
 def test_temperature_mix_flattens_source_skew(spark):
     from data_ingestion_framework_spark.operators.sampling import temperature_mix
 

@@ -210,5 +210,6 @@ def test_driver_grading_window_covers_priority_queries():
         "events_heavy_hitter_users",
         "docs_temperature_mix",
         "hybrid_dedup_clusters",
+        "docs_shuffle_rank",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
