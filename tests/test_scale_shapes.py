@@ -210,3 +210,59 @@ def test_range_join_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert any(j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+
+
+def test_semantic_dedup_joins_on_cell_no_cartesian(spark):
+    """SemDeDup's pair scoring must be a cell equi-join (the bounded
+    n²/k term), never a cartesian product, and the hoisted per-row
+    norm must ride the exchange instead of recomputing per pair."""
+    from data_ingestion_framework_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 7), 1.0, 0.0]) for i in range(100)]
+    )
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    plan = _plan(semantic_dedup(emb, cents, threshold=0.9))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "__cell" in plan  # the equi-join key
+
+def test_split_and_mix_are_scan_side(spark):
+    """Split assignment is a pure projection and temperature mixing a
+    pure filter: neither may introduce an exchange or a join."""
+    from data_ingestion_framework_spark.operators.sampling import (
+        split_assign,
+        temperature_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s" + str(i % 3)) for i in range(300)]
+    )
+    p1 = _plan(split_assign(docs, {"train": 0.9, "val": 0.1}))
+    assert "Exchange" not in p1 and "Join" not in p1
+    p2 = _plan(temperature_mix(docs, temperature=2.0, target_fraction=0.5))
+    assert "Exchange" not in p2 and "Join" not in p2
+
+def test_shuffle_rank_avoids_global_single_partition_sort(spark):
+    """The global ordering must come from per-bucket windows, not a
+    single-partition window over the whole corpus."""
+    from data_ingestion_framework_spark.operators.sampling import shuffle_rank
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(1000)])
+    plan = _plan(shuffle_rank(docs))
+    # the rank window partitions by the hash-prefix bucket; a global
+    # row_number would show an empty partition spec + SinglePartition
+    assert "windowspecdefinition(__b" in plan
+    assert "Exchange SinglePartition" not in plan
+
+def test_bloom_decontaminate_broadcasts_bitmap_not_grams(spark):
+    """The bloom bitmap (1 row) must broadcast; the gram stream must be
+    filtered scan-side before the exact verify join."""
+    from data_ingestion_framework_spark.operators.cleaning import decontaminate_bloom
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=("w%d " % i) * 30) for i in range(50)]
+    )
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    plan = _plan(decontaminate_bloom(docs, bench, n=13, m_bits=1 << 12, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
