@@ -1943,6 +1943,37 @@ def corpus_pipeline_staged(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# The pipeline composed one stage further: deterministic train/val/test
+# split labels on the final corpus — the handoff artifact a training
+# job consumes. Split assignment is a pure projection (no extra scan,
+# no shuffle), and the oracle wraps the WHOLE chained pipeline oracle
+# as a subquery and applies the identical threshold CASE.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "corpus_pipeline_splits",
+    oracle=f"""
+    SELECT doc_id, source, text, n_tokens,
+           {_split_case_sql()} AS split
+    FROM ({_CORPUS_PIPELINE_ORACLE}) final
+    """,
+)
+def corpus_pipeline_splits(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.sampling import split_assign
+    from data_ingestion_framework_spark.plans.corpus import corpus_pipeline
+
+    docs, benchmark = _corpus_pipeline_inputs(spark, sf_dir)
+    out = corpus_pipeline(
+        docs,
+        benchmark,
+        min_words=15,
+        max_per_source=30,
+        sample_fraction=0.5,
+        sample_salt="s2",
+    )
+    return split_assign(out, _SPLIT_WEIGHTS)
+
+
+# ---------------------------------------------------------------------------
 # First-fit-decreasing pack assignment (rows-only: FFD is a sequential
 # per-shard loop — each placement depends on all previous bins' fill —
 # which is exactly the non-SQL-expressible case the driver's weaker

@@ -115,7 +115,9 @@ _PRIORITY = [
     "cheapest_part_per_brand",
     "lineitem_percentiles",
     # never driver-graded: corpus / text / cleaning / sampling
-    "corpus_pipeline_end2end",
+    # (corpus_pipeline_end2end shares corpus_pipeline_staged's oracle
+    # verbatim — the staged form keeps the window slot, the lazy twin
+    # moved after the round-5 block)
     "corpus_pipeline_staged",
     "docs_decontaminate",
     "docs_redact_pii",
@@ -150,6 +152,8 @@ _PRIORITY = [
     "docs_temperature_mix",
     "hybrid_dedup_clusters",
     "docs_shuffle_rank",
+    "corpus_pipeline_splits",
+    "corpus_pipeline_end2end",
     # rows-only (no oracle): the driver's hash gate can't grade it, so
     # it cedes its window slot to an oracle-backed round-5 query
     "docs_pack_ffd",

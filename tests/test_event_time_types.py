@@ -211,5 +211,6 @@ def test_driver_grading_window_covers_priority_queries():
         "docs_temperature_mix",
         "hybrid_dedup_clusters",
         "docs_shuffle_rank",
+        "corpus_pipeline_splits",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
