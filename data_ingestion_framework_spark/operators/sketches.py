@@ -203,11 +203,15 @@ def mg_heavy_hitters(
 
 
 def _mg_truncate(counts: DataFrame, value_col: str, m: int) -> DataFrame:
-    """(s, value, c, base_err) → one summary row per shard: top-m kept
-    entries + accumulated error (``base_err`` + the largest count
-    dropped by THIS truncation). ONE pass over ``counts``; the result
-    is ≤ n_shards rows of m-element arrays — control-plane sized — so
-    it's materialized (localCheckpoint) instead of letting downstream
+    """(s, value, c, e, base_err) → one summary row per shard: top-m
+    kept entries (each carrying its own undercount bound ``e`` — a
+    value's true shard count lies in ``[c, c+e]``) plus the shard error
+    ``err = max(base_err, max dropped (c+e))``, which bounds every
+    value ABSENT from the kept list: absent-everywhere values are
+    covered by ``base_err``, values dropped by this truncation by their
+    own ``c+e``. ONE pass over ``counts``; the result is ≤ n_shards
+    rows of m-element arrays — control-plane sized — so it's
+    materialized (localCheckpoint) instead of letting downstream
     branches re-run the corpus aggregation (collect_list skips the
     NULLs the rank conditionals produce)."""
     w = W.partitionBy("__s").orderBy(F.col("__c").desc(), F.col(value_col).asc())
@@ -218,14 +222,21 @@ def _mg_truncate(counts: DataFrame, value_col: str, m: int) -> DataFrame:
             F.collect_list(
                 F.when(
                     F.col("__rn") <= m,
-                    F.struct(F.col(value_col).alias("v"), F.col("__c").alias("c")),
+                    F.struct(
+                        F.col(value_col).alias("v"),
+                        F.col("__c").alias("c"),
+                        F.col("__e").alias("e"),
+                    ),
                 )
             ).alias("__kept"),
-            (
-                F.first("__base_err")
-                + F.coalesce(
-                    F.max(F.when(F.col("__rn") > m, F.col("__c"))), F.lit(0)
-                )
+            F.greatest(
+                F.first("__base_err"),
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("__rn") > m, F.col("__c") + F.col("__e"))
+                    ),
+                    F.lit(0).cast("bigint"),
+                ),
             ).alias("__err"),
         )
         .localCheckpoint()
@@ -248,6 +259,8 @@ def mg_summary(
         df.select(shard.alias("__s"), F.col(value_col))
         .groupBy("__s", value_col)
         .agg(F.count(F.lit(1)).alias("__c"))
+        # fresh counts are exact: zero per-entry uncertainty
+        .withColumn("__e", F.lit(0).cast("bigint"))
         .withColumn("__base_err", F.lit(0).cast("bigint"))
     )
     return _mg_truncate(loc, value_col, m)
@@ -263,14 +276,17 @@ def mg_merge(a: DataFrame, b: DataFrame, value_col: str, m: int = 16) -> DataFra
 
     def expand(s: DataFrame, side: str) -> DataFrame:
         kept = s.select(
-            "__s", F.col("__err").alias("__e"), F.explode_outer("__kept").alias("__kv")
+            "__s",
+            F.col("__err").alias("__serr"),
+            F.explode_outer("__kept").alias("__kv"),
         )
         return kept.select(
             "__s",
             F.lit(side).alias("__side"),
             F.col("__kv.v").alias(value_col),
             F.coalesce(F.col("__kv.c"), F.lit(0)).alias("__c"),
-            "__e",
+            F.coalesce(F.col("__kv.e"), F.lit(0)).alias("__e"),
+            "__serr",
         )
 
     both = expand(a, "a").unionByName(expand(b, "b"))
@@ -278,33 +294,49 @@ def mg_merge(a: DataFrame, b: DataFrame, value_col: str, m: int = 16) -> DataFra
     # sum so the kept-entry fan-out doesn't multiply it, while two sides
     # sharing one numeric err value still BOTH contribute
     errs = (
-        both.select("__s", "__side", "__e").distinct().groupBy("__s").agg(
-            F.sum("__e").alias("__base_err")
+        both.select("__s", "__side", "__serr").distinct().groupBy("__s").agg(
+            F.sum("__serr").alias("__base_err")
         )
     )
+    # merged entry: count = Σ present sides' counts; uncertainty = Σ
+    # present sides' own entry e + the errs of the sides it was ABSENT
+    # from (= base_err − Σ present sides' shard errs)
     counts = (
         both.where(F.col(value_col).isNotNull())
         .groupBy("__s", value_col)
-        .agg(F.sum("__c").alias("__c"))
+        .agg(
+            F.sum("__c").alias("__c"),
+            F.sum("__e").alias("__esum"),
+            F.sum("__serr").alias("__present_serr"),
+        )
         .join(errs, "__s")
+        .withColumn(
+            "__e",
+            F.col("__esum") + (F.col("__base_err") - F.col("__present_serr")),
+        )
+        .drop("__esum", "__present_serr")
     )
     return _mg_truncate(counts, value_col, m)
 
 
 def mg_finalize(summary: DataFrame, value_col: str, k: int = 10) -> DataFrame:
     """Finalize an MG summary into ``(value, est_count, upper_bound)``
-    top-k: ``est ≤ true ≤ est + Σ_{s: value absent} err_s``."""
+    top-k: ``est = Σ_{s: present} c`` and ``upper = Σ_{s: present}
+    (c + e) + Σ_{s: absent} err_s`` — for a single-pass summary every
+    entry ``e`` is 0, so the bound collapses to the classic
+    ``est + absent-shard errors``."""
     total = summary.agg(
         F.coalesce(F.sum("__err"), F.lit(0)).alias("__total_err")
     )
     est = (
         summary.select(
-            F.col("__err").alias("__e"), F.explode("__kept").alias("__kv")
+            F.col("__err").alias("__serr"), F.explode("__kept").alias("__kv")
         )
         .groupBy(F.col("__kv.v").alias(value_col))
         .agg(
             F.sum("__kv.c").alias("__est"),
-            F.sum("__e").alias("__present_err"),
+            F.sum("__kv.e").alias("__entry_err"),
+            F.sum("__serr").alias("__present_err"),
         )
     )
     topw = W.orderBy(F.col("est_count").desc(), F.col(value_col).asc())
@@ -313,7 +345,12 @@ def mg_finalize(summary: DataFrame, value_col: str, k: int = 10) -> DataFrame:
         .select(
             F.col(value_col),
             F.col("__est").cast("bigint").alias("est_count"),
-            (F.col("__est") + F.col("__total_err") - F.col("__present_err"))
+            (
+                F.col("__est")
+                + F.col("__entry_err")
+                + F.col("__total_err")
+                - F.col("__present_err")
+            )
             .cast("bigint")
             .alias("upper_bound"),
         )

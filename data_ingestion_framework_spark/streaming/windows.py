@@ -160,3 +160,53 @@ def stream_stream_interval_join(
         )
     )
     return lw.join(rw, cond, how)
+
+
+def stream_mg_heavy_hitters(
+    stream: DataFrame,
+    state_table,
+    checkpoint: str,
+    value_col: str,
+    shard_key_col: str,
+    n_shards: int = 8,
+    m: int = 16,
+):
+    """Streaming heavy hitters: fold one MG summary per micro-batch
+    into a persistent state table via ``sketches.mg_merge`` — the
+    mergeable-summaries law applied as stream state. The state stays
+    ≤ n_shards rows of m-element arrays regardless of stream volume;
+    finalize any time with ``sketches.mg_finalize(state_table.read())``.
+
+    Replay safety: foreachBatch is at-least-once, and a summary fold is
+    NOT idempotent, so the state row carries the last folded batch id —
+    a replayed batch (id ≤ last) is skipped instead of double-counted.
+    """
+    from data_ingestion_framework_spark.operators.sketches import (
+        mg_merge,
+        mg_summary,
+    )
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        summary = mg_summary(batch, value_col, shard_key_col, n_shards, m)
+        try:
+            prev = state_table.read()
+            exists = True
+        except Exception:
+            exists = False
+        if exists:
+            last = prev.agg(F.max("__last_batch")).first()[0]
+            if last is not None and batch_id <= last:
+                return  # replayed micro-batch: already folded
+            merged = mg_merge(prev, summary, value_col, m)
+        else:
+            merged = summary
+        state_table.overwrite(
+            merged.withColumn("__last_batch", F.lit(batch_id).cast("bigint"))
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

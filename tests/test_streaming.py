@@ -457,3 +457,55 @@ def test_stream_static_enrich(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         stream_static_enrich(stream, dim, ["u"], how="right")
+
+
+def test_stream_mg_heavy_hitters_folds_batches(spark, tmp_path):
+    """Two micro-batches fold into one bounded MG state whose finalized
+    bounds hold against the exact counts of the whole stream; re-running
+    with the same checkpoint leaves the state untouched (replay guard)."""
+    from data_ingestion_framework_spark.operators.sketches import mg_finalize
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+    from data_ingestion_framework_spark.streaming.windows import (
+        stream_mg_heavy_hitters,
+    )
+
+    def batch_rows(lo, hi):
+        rows, rid = [], lo * 100_000
+        for v in range(1, 60):
+            for _ in range(-(-400 // v)):
+                rows.append(Row(rid=rid, val=f"u{v:03d}"))
+                rid += 1
+        return rows
+
+    landing = str(tmp_path / "landing")
+    for i in range(2):
+        spark.createDataFrame(batch_rows(i, i + 1), "rid long, val string") \
+            .coalesce(1).write.mode("append").parquet(landing)
+
+    state = ParquetTable(spark, str(tmp_path / "state"))
+    ckpt = str(tmp_path / "ckpt")
+    # one file per trigger so the fold's MERGE path genuinely runs
+    stream = read_file_stream(
+        spark, landing, "parquet", control_columns=False, max_files_per_trigger=1
+    )
+    q = stream_mg_heavy_hitters(stream, state, ckpt, "val", "rid", n_shards=4, m=12)
+    q.awaitTermination()
+    assert state.read().agg(F.max("__last_batch")).first()[0] >= 1  # ≥2 batches folded
+
+    exact = {}
+    for i in range(2):
+        for r in batch_rows(i, i + 1):
+            exact[r.val] = exact.get(r.val, 0) + 1
+    got = mg_finalize(state.read(), "val", k=8).collect()
+    assert len(got) == 8 and got[0]["val"] == "u001"
+    for r in got:
+        assert r["est_count"] <= exact[r["val"]] <= r["upper_bound"], r
+    # bounded state regardless of volume
+    assert state.read().count() <= 4
+
+    # same checkpoint, no new files -> state byte-identical (no refold)
+    before = sorted(tuple(r) for r in state.read().collect())
+    stream = read_file_stream(spark, landing, "parquet", control_columns=False)
+    q = stream_mg_heavy_hitters(stream, state, ckpt, "val", "rid", n_shards=4, m=12)
+    q.awaitTermination()
+    assert sorted(tuple(r) for r in state.read().collect()) == before
