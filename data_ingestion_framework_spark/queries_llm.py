@@ -1648,6 +1648,46 @@ def events_kmv_distinct_users(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Ordered funnel (view → click → purchase, strictly-after semantics):
+# per-user stage-chained min timestamps, counted per stage. The oracle
+# mirrors the chain as nested per-stage aggregates over the same
+# filtered scans.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s1 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts > s0.t
+      GROUP BY e.user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t
+      GROUP BY e.user_id
+    )
+    SELECT 0 AS stage_idx, 'view' AS stage,
+           CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS users
+    UNION ALL
+    SELECT 1, 'click', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+    UNION ALL
+    SELECT 2, 'purchase', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    """,
+)
+def events_funnel_conversion(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.funnel import funnel_counts
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+# ---------------------------------------------------------------------------
 # Sharded Misra-Gries heavy hitters, oracle-backed end-to-end: the
 # md5-derived shard split, per-shard top-m summaries, dropped-max error
 # bounds and the merged (est, upper) interval are all deterministic

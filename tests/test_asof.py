@@ -184,3 +184,39 @@ def test_asof_default_tiebreak_is_deterministic(spark):
         for n in (1, 3, 7)
     }
     assert len(picks) == 1
+
+
+def test_funnel_strictly_after_ordering(spark):
+    from data_ingestion_framework_spark.operators.funnel import (
+        funnel_counts,
+        funnel_stage_times,
+    )
+
+    T = dt.datetime(2026, 1, 1)
+
+    def ev(u, t, offs):
+        return Row(user_id=u, event_type=t, ts=T + dt.timedelta(minutes=offs))
+
+    events = spark.createDataFrame(
+        [
+            # u1 completes in order
+            ev(1, "view", 0), ev(1, "click", 5), ev(1, "purchase", 9),
+            # u2: purchase BEFORE the view — must not count as converted
+            ev(2, "purchase", 0), ev(2, "view", 5), ev(2, "click", 7),
+            # u3: click only, never viewed — enters no stage
+            ev(3, "click", 1),
+            # u4: view then click, stalls before purchase
+            ev(4, "view", 2), ev(4, "click", 3),
+        ]
+    )
+    counts = {
+        r["stage"]: r["users"]
+        for r in funnel_counts(events, ["view", "click", "purchase"]).collect()
+    }
+    assert counts == {"view": 3, "click": 3, "purchase": 1}
+    times = {r["user_id"]: r for r in
+             funnel_stage_times(events, ["view", "click", "purchase"]).collect()}
+    assert times[1]["t_2"] is not None
+    assert times[2]["t_2"] is None and times[2]["t_1"] is not None
+    assert 3 not in times  # never entered the funnel
+    assert times[4]["t_2"] is None
