@@ -1688,6 +1688,50 @@ def events_funnel_conversion(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Weekly cohort retention: cohort = ISO week of a user's first event;
+# a cell counts users of that cohort active k weeks later. Two
+# aggregates + one user-keyed join; week offsets are exact integer
+# multiples under UTC (no DST), so the division is engine-safe.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(MIN(date_trunc('week', ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, a.w) // 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.to_date(F.min(F.date_trunc("week", F.col("ts")))).alias("cohort_week")
+    )
+    a = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("w")
+    ).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sharded Misra-Gries heavy hitters, oracle-backed end-to-end: the
 # md5-derived shard split, per-shard top-m summaries, dropped-max error
 # bounds and the merged (est, upper) interval are all deterministic
