@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .text import normalize_text
 
@@ -299,6 +300,50 @@ def remove_boilerplate_lines(
         .cast("bigint")
         .alias("n_removed_lines"),
         *[F.first(c).alias(c) for c in passthrough],
+    )
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-global keep-FIRST line dedup (the C4-style span dedup at
+    line granularity): every non-blank line keeps only its first
+    occurrence across the whole corpus, ordered by ``(id, position)``;
+    later repeats are dropped from their documents. Complements
+    :func:`remove_boilerplate_lines`, which drops frequent lines from
+    EVERY document including the first.
+
+    Returns ``(id, clean_text, n_removed_lines)``. Shape: posexplode →
+    one window keyed on the line's md5 (the shuffle carries a 32-byte
+    hash + position, never the corpus body twice) → reassemble per doc.
+    Blank lines are structure, not content — always kept, never ranked.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__key", F.md5(F.trim(F.col("__line"))))
+    w = Window.partitionBy("__key").orderBy(F.col(id_col).asc(), F.col("__pos").asc())
+    marked = lines.withColumn(
+        "__dup",
+        (F.length(F.trim("__line")) > 0) & (F.row_number().over(w) > 1),
+    )
+    kept = F.filter(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("__pos"), F.col("__line"), F.col("__dup"))
+            )
+        ),
+        lambda s: ~s["__dup"],
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(F.transform(kept, lambda s: s["__line"]), "\n").alias(
+            "clean_text"
+        ),
+        F.sum(F.when(F.col("__dup"), 1).otherwise(0)).cast("bigint").alias(
+            "n_removed_lines"
+        ),
     )
 
 

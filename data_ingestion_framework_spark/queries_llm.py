@@ -1425,6 +1425,56 @@ def docs_decontaminate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Corpus-global keep-first line dedup (C4-style span dedup at line
+# granularity): repeated lines survive only at their first (doc, pos)
+# occurrence. The raw docs are single-line, so the query synthesizes
+# multi-line pages with cross-document repeats (same device as the
+# corpus-pipeline oracle) — the tail lines dedup down to one keeper.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_dedup_lines",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id,
+             text || chr(10) || 'shared tail ' || CAST(doc_id % 5 AS VARCHAR)
+                  || chr(10) || 'copyright 2026 example corp' AS text
+      FROM documents
+    ), l AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      FROM pages
+    ), m AS (
+      SELECT doc_id, pos, line,
+             (length(trim(line)) > 0 AND
+              row_number() OVER (PARTITION BY md5(trim(line))
+                                 ORDER BY doc_id, pos) > 1) AS dup
+      FROM l
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT dup THEN line END,
+                               chr(10) ORDER BY pos), '') AS clean_text,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed_lines
+    FROM m GROUP BY doc_id
+    """,
+)
+def docs_dedup_lines(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import cleaning
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nshared tail "),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("\ncopyright 2026 example corp"),
+        ).alias("text"),
+    )
+    return cleaning.remove_duplicate_lines(pages)
+
+
+# ---------------------------------------------------------------------------
 # Bloom-prefiltered decontamination: the scale shape for eval-gram sets
 # too big to broadcast exactly (bitmap broadcast + scan-side bit probes
 # + exact verify on survivors). The bloom only PRUNES — results are

@@ -68,6 +68,29 @@ def test_decontaminate_bloom_matches_exact_and_has_no_false_negatives(spark):
     assert kept == 200
 
 
+def test_remove_duplicate_lines_keeps_first_occurrence(spark):
+    from data_ingestion_framework_spark.operators.cleaning import (
+        remove_duplicate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha\n\ncommon line\nunique one"),
+            Row(doc_id=2, text="common line\nbeta\n\ncommon line"),
+            Row(doc_id=3, text="gamma\ncommon line"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in remove_duplicate_lines(docs).collect()}
+    # doc 1 owns the first occurrence; blanks always survive
+    assert got[1]["clean_text"] == "alpha\n\ncommon line\nunique one"
+    assert got[1]["n_removed_lines"] == 0
+    # BOTH of doc 2's repeats drop (including its own second copy)
+    assert got[2]["clean_text"] == "beta\n"
+    assert got[2]["n_removed_lines"] == 2
+    assert got[3]["clean_text"] == "gamma"
+    assert got[3]["n_removed_lines"] == 1
+
+
 def test_redact_pii_patterns_and_order(spark):
     docs = spark.createDataFrame(
         [
