@@ -197,6 +197,43 @@ def shuffle_rank(
     )
 
 
+def top_fraction_per_group(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``fraction`` of each group by score (the
+    quality-classifier thresholding of FineWeb-style curation, public:
+    score every page, keep the best X% per domain/source so no group's
+    score distribution dominates another's).
+
+    The cut is ``rank ≤ ceil(fraction · |group|)`` with the fraction
+    quantized to micro-units so the threshold is exact integer
+    arithmetic (engine-portable, no float boundary). Ties break on the
+    id for determinism. One group-keyed shuffle (rank + count share the
+    same window partitioning).
+    """
+    tf6 = int(round(fraction * 10**6))
+    w = Window.partitionBy(group_col)
+    rank = F.row_number().over(
+        w.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    return (
+        df.withColumn("__rn", rank)
+        .withColumn("__cnt", cnt)
+        # integer ceil-division (`div`, not `/`): bigint-exact at any
+        # group size — a double division would lose precision past 2^53
+        .where(
+            F.col("__rn")
+            <= F.expr(f"(__cnt * {tf6}L + {10**6 - 1}L) div {10**6}L")
+        )
+        .drop("__rn", "__cnt")
+    )
+
+
 def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
     """Cumulative hex thresholds for :func:`split_assign` — exposed so
     oracle SQL can inline the exact same literals Spark compares

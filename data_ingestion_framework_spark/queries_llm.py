@@ -1342,6 +1342,67 @@ def text_quality_score(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# FineWeb-style curation cut: keep the top 50% of each source by the
+# composite quality score (per-group cut so one source's score
+# distribution can't starve another). The cut rank is exact integer
+# ceil-division on both engines; ties break on doc_id.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_quality_topfrac",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, source, text,
+             length(text) AS n,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, n,
+             CAST(len(list_filter(string_split(norm, ' '),
+                                  x -> list_contains([{_SW}], x))) AS DOUBLE)
+               / GREATEST(len(string_split(norm, ' ')), 1) AS sw_ratio,
+             CAST(n - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               / GREATEST(n, 1) AS digit_ratio,
+             CAST(n - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+               / GREATEST(n, 1) AS punct_ratio
+      FROM f
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             ROUND(
+               (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                     WHEN n > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+               + LEAST(sw_ratio * 5, 1.0) * 0.3
+               + GREATEST(0.0, 1.0 - digit_ratio * 2 - punct_ratio * 2) * 0.3,
+             6) AS quality
+      FROM g
+    )
+    SELECT doc_id, source, quality FROM (
+      SELECT scored.*,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM scored) t
+    WHERE rn <= (cnt * 500000 + 999999) // 1000000
+    """,
+)
+def docs_quality_topfrac(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.sampling import (
+        top_fraction_per_group,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(text.quality_score("text"), 6).alias("quality"),
+    )
+    return top_fraction_per_group(
+        scored, score_col="quality", group_col="source", fraction=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
 # Word-shingle (3-gram) Jaccard pairs — the word-level variant, oracle
 # via DuckDB list comprehension over the token array; same capped
 # blocking + hashed-set verification as dedup_ngram_jaccard.

@@ -160,6 +160,7 @@ _PRIORITY = [
     "events_funnel_conversion",
     "events_cohort_retention",
     "docs_dedup_lines",
+    "docs_quality_topfrac",
     # representatives of the round-3-green block — the round-5 query
     # additions push most of these out of the 50-query window (they've
     # been driver-graded green since r2/r3; the judge's full local gate

@@ -466,6 +466,31 @@ def test_shuffle_rank_is_dense_permutation_and_salt_varies(spark):
     assert [out[i] for i in range(500)] != list(range(500))
 
 
+def test_top_fraction_per_group_exact_cut(spark):
+    from data_ingestion_framework_spark.operators.sampling import (
+        top_fraction_per_group,
+    )
+
+    rows = [Row(doc_id=i, grp="a", score=float(i)) for i in range(10)]  # 10 rows
+    rows += [Row(doc_id=100 + i, grp="b", score=float(i)) for i in range(7)]  # odd 7
+    df = spark.createDataFrame(rows)
+    out = top_fraction_per_group(df, "score", "grp", fraction=0.5).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["grp"], []).append(r["doc_id"])
+    # ceil(10*0.5)=5 best of a; ceil(7*0.5)=4 best of b
+    assert sorted(by["a"]) == [5, 6, 7, 8, 9]
+    assert sorted(by["b"]) == [103, 104, 105, 106]
+    # tie determinism: equal scores cut by ascending id
+    ties = spark.createDataFrame(
+        [Row(doc_id=i, grp="t", score=1.0) for i in range(4)]
+    )
+    got = sorted(
+        r["doc_id"] for r in top_fraction_per_group(ties, "score", "grp", 0.5).collect()
+    )
+    assert got == [0, 1]
+
+
 def test_temperature_mix_flattens_source_skew(spark):
     from data_ingestion_framework_spark.operators.sampling import temperature_mix
 
