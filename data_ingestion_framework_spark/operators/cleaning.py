@@ -276,27 +276,33 @@ def remove_boilerplate_lines(
     )
     marked = lines.join(
         freq.withColumn("__boiler", F.lit(True)), "__key", "left"
-    )
-    kept = F.filter(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("__pos"),
-                    F.col("__line"),
-                    F.coalesce("__boiler", F.lit(False)).alias("__b"),
-                )
-            )
-        ),
-        lambda s: ~s["__b"],
-    )
+    ).withColumn("__drop", F.coalesce("__boiler", F.lit(False)))
     # passthrough columns ride the id-keyed aggregation (constant per
     # id) instead of a join-back to the source — one fewer corpus scan
     # per caller; ``corpus_pipeline`` relies on this.
+    return _reassemble_lines(marked, id_col, passthrough)
+
+
+def _reassemble_lines(
+    marked: DataFrame, id_col: str, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """Shared tail of the line-level cleaners: given exploded lines
+    ``(id, __pos, __line, __drop bool, *passthrough)``, rebuild each
+    document in position order minus dropped lines. Returns
+    ``(id, clean_text, n_removed_lines, *passthrough)``."""
+    kept = F.filter(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("__pos"), F.col("__line"), F.col("__drop"))
+            )
+        ),
+        lambda s: ~s["__drop"],
+    )
     return marked.groupBy(id_col).agg(
         F.array_join(F.transform(kept, lambda s: s["__line"]), "\n").alias(
             "clean_text"
         ),
-        F.sum(F.when(F.coalesce("__boiler", F.lit(False)), 1).otherwise(0))
+        F.sum(F.when(F.col("__drop"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_removed_lines"),
         *[F.first(c).alias(c) for c in passthrough],
@@ -326,25 +332,10 @@ def remove_duplicate_lines(
     ).withColumn("__key", F.md5(F.trim(F.col("__line"))))
     w = Window.partitionBy("__key").orderBy(F.col(id_col).asc(), F.col("__pos").asc())
     marked = lines.withColumn(
-        "__dup",
+        "__drop",
         (F.length(F.trim("__line")) > 0) & (F.row_number().over(w) > 1),
     )
-    kept = F.filter(
-        F.array_sort(
-            F.collect_list(
-                F.struct(F.col("__pos"), F.col("__line"), F.col("__dup"))
-            )
-        ),
-        lambda s: ~s["__dup"],
-    )
-    return marked.groupBy(id_col).agg(
-        F.array_join(F.transform(kept, lambda s: s["__line"]), "\n").alias(
-            "clean_text"
-        ),
-        F.sum(F.when(F.col("__dup"), 1).otherwise(0)).cast("bigint").alias(
-            "n_removed_lines"
-        ),
-    )
+    return _reassemble_lines(marked, id_col)
 
 
 def decontaminate_filter(

@@ -70,12 +70,19 @@ def funnel_counts(
             for i in range(len(steps))
         ]
     )
-    stages = None
-    for i, step in enumerate(steps):
-        row = counts.select(
-            F.lit(i).cast("int").alias("stage_idx"),
-            F.lit(step).alias("stage"),
-            F.col(f"__n_{i}").alias("users"),
-        )
-        stages = row if stages is None else stages.unionByName(row)
-    return stages
+    # one row per stage via a single explode of the 1-row aggregate —
+    # a per-stage select/union would re-execute the whole stage chain
+    # once per step (k filtered scans × k branches)
+    stage_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(step).alias("stage"),
+                F.col(f"__n_{i}").alias("users"),
+            )
+            for i, step in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(stage_structs).alias("__st")).select(
+        "__st.stage_idx", "__st.stage", "__st.users"
+    )

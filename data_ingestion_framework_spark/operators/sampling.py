@@ -132,7 +132,9 @@ def temperature_mix(
     sw = sum(w6.values())
     bucket = hash_bucket_hex(id_col, salt)
     col = None
-    for s in sorted(counts):
+    # NULL sources form their own group (isNull match — an == predicate
+    # would silently drop them); sort key tolerates the None
+    for s in sorted(counts, key=lambda v: (v is None, str(v))):
         # f4 = floor(target·N·w_s / (ΣW·n_s) · 10⁴) in exact ints
         f4 = (tf6 * n_total * w6[s] * 10**4) // (10**6 * sw * counts[s])
         thr = min((f4 * _HEX_SPACE) // 10**4, _HEX_SPACE)
@@ -143,7 +145,10 @@ def temperature_mix(
             if thr >= _HEX_SPACE
             else bucket < F.lit(format(thr, f"0{_HEX_WIDTH}x"))
         )
-        cond = (F.col(source_col) == s) & keep
+        match = (
+            F.col(source_col).isNull() if s is None else F.col(source_col) == s
+        )
+        cond = match & keep
         col = F.when(cond, True) if col is None else col.when(cond, True)
     return df.where(col.otherwise(F.lit(False)))
 
@@ -278,5 +283,9 @@ def split_assign(
     b = hash_bucket_hex(id_col, salt)
     col = None
     for name, th in split_thresholds(weights):
-        col = (F.when if col is None else col.when)(b < F.lit(th), F.lit(name))
+        # a cumulative fraction of 1.0 yields a 9-hex literal that
+        # compares wrong lexicographically — that split absorbs
+        # everything remaining (zero-weight tail splits stay empty)
+        keep = F.lit(True) if len(th) > _HEX_WIDTH else b < F.lit(th)
+        col = (F.when if col is None else col.when)(keep, F.lit(name))
     return df.withColumn(split_col, col.otherwise(F.lit(names[-1])))

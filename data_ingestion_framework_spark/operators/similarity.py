@@ -406,7 +406,7 @@ def semantic_dedup(
         .select(
             F.col(id_col),
             F.col("__cell").alias("cell"),
-            F.coalesce(F.col("__dup") != F.lit(True), F.lit(True)).alias("keep"),
+            F.col("__dup").isNull().alias("keep"),
         )
     )
 

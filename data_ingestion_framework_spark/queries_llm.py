@@ -454,7 +454,12 @@ def _split_case_sql() -> str:
     from data_ingestion_framework_spark.operators.sampling import split_thresholds
 
     whens = "\n           ".join(
-        f"WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{th}' THEN '{name}'"
+        (
+            f"WHEN TRUE THEN '{name}'"  # cum 1.0: 9-hex literal, absorb rest
+            if len(th) > 8
+            else "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+            f" < '{th}' THEN '{name}'"
+        )
         for name, th in split_thresholds(_SPLIT_WEIGHTS)
     )
     last = list(_SPLIT_WEIGHTS)[-1]
@@ -473,8 +478,8 @@ def _split_case_sql() -> str:
     oracle="""
     SELECT doc_id,
            CAST(row_number() OVER (
-             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
-             AS shuffle_rank
+             ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+             - 1 AS BIGINT) AS shuffle_rank
     FROM documents
     """,
 )

@@ -188,15 +188,25 @@ def stream_mg_heavy_hitters(
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         summary = mg_summary(batch, value_col, shard_key_col, n_shards, m)
-        try:
+        # explicit existence check — a bare try/except around read()
+        # would turn a transient IO error into silent state loss
+        # (overwriting the accumulated sketch with one batch's summary)
+        if state_table.exists():
             prev = state_table.read()
-            exists = True
-        except Exception:
-            exists = False
-        if exists:
             last = prev.agg(F.max("__last_batch")).first()[0]
-            if last is not None and batch_id <= last:
-                return  # replayed micro-batch: already folded
+            if last is not None:
+                if batch_id == last:
+                    return  # at-least-once replay of the last batch
+                if batch_id < last:
+                    # foreachBatch only ever replays the MOST RECENT
+                    # batch; a lower id means the checkpoint was reset
+                    # against live state — skipping would silently drop
+                    # every new batch, so fail loudly instead
+                    raise RuntimeError(
+                        f"batch id {batch_id} < folded state id {last}: "
+                        "checkpoint/state mismatch (fresh checkpoint "
+                        "against an existing state table?)"
+                    )
             merged = mg_merge(prev, summary, value_col, m)
         else:
             merged = summary

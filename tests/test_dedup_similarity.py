@@ -513,6 +513,28 @@ def test_temperature_mix_flattens_source_skew(spark):
     assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
 
 
+def test_split_assign_zero_weight_tail_and_null_source_mix(spark):
+    from data_ingestion_framework_spark.operators.sampling import (
+        split_assign,
+        temperature_mix,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    # cumulative fraction hits 1.0 before the tail: 'train' must absorb
+    # everything, the zero-weight tail split stays empty (the 9-hex
+    # threshold literal regression)
+    rows = {r["doc_id"]: r["split"] for r in
+            split_assign(docs, {"train": 1.0, "val": 0.0}).collect()}
+    assert set(rows.values()) == {"train"}
+    # NULL source rows form their own temperature-mix group (used to
+    # crash in sorted() and would silently drop under an == predicate)
+    mixed = spark.createDataFrame(
+        [Row(doc_id=i, source="a" if i < 150 else None) for i in range(200)]
+    )
+    out = temperature_mix(mixed, temperature=2.0, target_fraction=0.8).collect()
+    assert any(r["source"] is None for r in out)
+
+
 def test_repetition_stats_semantics(spark):
     from data_ingestion_framework_spark.operators.text import repetition_stats
 
