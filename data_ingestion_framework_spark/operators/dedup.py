@@ -393,6 +393,84 @@ def minhash_dedup_pairs(
     return verify_candidate_pairs(df, cands, id_col, text_col, shingle_size, threshold)
 
 
+def minhash_md5_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with an md5-derived hash family —
+    the ORACLE-BACKED twin of :func:`minhash_dedup_pairs`.
+
+    The fast path hashes each shingle twice with xxhash64 and derives
+    the k-member family by XOR-rotate mixing — scan-speed, but xxhash64
+    has no DuckDB counterpart, so that candidate generator can only be
+    rows-checked. This variant pays k md5 calls per shingle
+    (``min over shingles of md5(i ':' shingle)`` per member — every
+    primitive exists verbatim in DuckDB), making the ENTIRE
+    signatures→banding→bucket-join→Jaccard-verify chain reproducible
+    under the value-hash gate. Use it as the correctness witness at
+    verification scale; deploy the xxhash64 form at corpus scale.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    spread = _spread_normalized(df, id_col, text_col)
+    sh = char_shingles("__norm", shingle_size, pre_normalized=True)
+    sig = [
+        F.array_min(
+            F.transform(
+                sh,
+                lambda s, i=i: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15), 16, 10
+                ).cast("bigint"),
+            )
+        ).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    signed = spread.select(F.col(id_col), *sig)
+    band_rows = signed.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"__m{b * r + j}").cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bb"),
+    ).select(id_col, "__bb.band", "__bb.bucket")
+    left = band_rows.select(
+        F.col(id_col).alias("id_a"), "band", "bucket"
+    )
+    right = band_rows.select(
+        F.col(id_col).alias("id_b"), "band", "bucket"
+    )
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return verify_candidate_pairs(
+        df, cands, id_col, text_col, shingle_size, threshold
+    )
+
+
 # -- n-gram Jaccard (blocked, exact) ----------------------------------------
 
 def hashed_shingle_set(shingles: Column) -> Column:

@@ -239,6 +239,63 @@ def dedup_candidate_verify(spark, sf_dir):
     return dedup.verify_candidate_pairs(docs, cands, threshold=0.2)
 
 
+# ---------------------------------------------------------------------------
+# MinHash-LSH with an md5 hash family — the oracle-backed witness for
+# the LSH candidate GENERATOR (the xxhash64 fast path stays rows-only;
+# this twin reproduces signatures → banding → bucket join → Jaccard
+# verify entirely in DuckDB: every primitive is md5/conv/list ops).
+# 16 hashes, 4 bands × 4 rows, verify at 0.5.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "dedup_minhash_md5_pairs",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([
+               substring(t, i, 5)
+               for i in generate_series(1, greatest(length(t) - 4, 1))
+             ]) AS s
+      FROM n
+    ),
+    sig AS (
+      SELECT doc_id,
+             [ list_min([ ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || x),
+                                          1, 15))::BIGINT
+                          for x in s ])
+               for i in generate_series(0, 15) ] AS m
+      FROM sh
+    ),
+    bnd AS (
+      SELECT doc_id, b.b AS band,
+             md5(array_to_string(m[b.b * 4 + 1 : b.b * 4 + 4], ',')) AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bnd a JOIN bnd c
+        ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
+    FROM cand p
+    JOIN sh sa ON sa.doc_id = p.id_a
+    JOIN sh sb ON sb.doc_id = p.id_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+    """,
+)
+def dedup_minhash_md5_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_md5_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.5
+    )
+
+
 @bench_query("dedup_simhash_pairs")
 def dedup_simhash_pairs(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")

@@ -131,7 +131,11 @@ _PRIORITY = [
     "corpus_pmi_collocations",
     "docs_chunk_windows",
     "docs_length_zscore_outliers",
-    "dedup_word_ngram_jaccard",
+    # the md5-family MinHash twin makes the LSH candidate GENERATOR
+    # oracle-checkable for the first time — it takes the window slot of
+    # dedup_word_ngram_jaccard (green since r3; char-gram sibling
+    # dedup_ngram_jaccard pins the same mechanism in the full gate)
+    "dedup_minhash_md5_pairs",
     "dedup_embedding_pairs",
     # never driver-graded: sketches / embeddings / ANN (the similarity
     # and multimodal entries gained oracles in round 4 and have never

@@ -673,6 +673,17 @@ def test_minhash_ground_truth_recall_on_driver_data(spark):
     assert found <= truth                       # precision 1.0
     assert len(found) >= 0.95 * len(truth)      # recall
     assert len(truth) > 0
+    # the oracle-backed md5-family twin must hold the same contract
+    # (different hash family, fewer hashes — same precision guarantee,
+    # high recall at this near-exact-duplicate similarity profile)
+    md5_found = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_md5_pairs(
+            docs, num_hashes=16, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert md5_found <= truth
+    assert len(md5_found) >= 0.95 * len(truth)
 
 
 def test_simhash_ground_truth_exact_on_driver_data(spark):
