@@ -471,6 +471,109 @@ def minhash_md5_pairs(
     )
 
 
+def simhash_md5_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with md5-derived token hashes — the
+    ORACLE-BACKED twin of :func:`simhash_near_dup_pairs` (same
+    pigeonhole-banding theorem; 60-bit signatures because the md5 hex
+    prefix parses to a 60-bit integer DuckDB can reproduce).
+
+    Per row: token hashes materialize ONCE (a transform), then one
+    fold accumulates the 60 bit counters; the signature, band keys and
+    the xor-bit_count hamming verify are plain integer expressions on
+    both engines. With ``bands`` bands over ``n_bits`` bits, any pair
+    at hamming ≤ bands-1 shares at least one exact band — recall 1.0
+    at ``max_hamming`` = bands-1 by the pigeonhole principle.
+
+    Output: ``(id_a, id_b, hamming)``. Scale shape mirrors the fast
+    variant: band equi-join, no cross join.
+    """
+    if n_bits % bands:
+        raise ValueError("n_bits must divide evenly into bands")
+    width = n_bits // bands
+    toks = F.filter(
+        F.split(normalize_text(text_col), " "), lambda t: t != F.lit("")
+    )
+    hs = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+    )
+    counters = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bits - 1)),
+                # call_function: the Python shiftrightunsigned wrapper
+                # only accepts an int literal shift, not a Column
+                lambda b: F.call_function(
+                    "shiftrightunsigned", h, b.cast("int")
+                )
+                .bitwiseAND(F.lit(1))
+                .cast("int")
+                * 2
+                - 1,
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            counters,
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
+            lambda c, b: F.when(
+                c > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), b.cast("int"))
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    base = df.where(F.size(toks) > 0).select(
+        F.col(id_col), sim.alias("__sim")
+    )
+    band_rows = base.select(
+        F.col(id_col),
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("__sim"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bb"),
+    ).select(id_col, "__sim", "__bb.band", "__bb.key")
+    left = band_rows.select(
+        F.col(id_col).alias("id_a"), F.col("__sim").alias("__sa"), "band", "key"
+    )
+    right = band_rows.select(
+        F.col(id_col).alias("id_b"), F.col("__sim").alias("__sb"), "band", "key"
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # -- n-gram Jaccard (blocked, exact) ----------------------------------------
 
 def hashed_shingle_set(shingles: Column) -> Column:

@@ -296,6 +296,55 @@ def dedup_minhash_md5_pairs(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# SimHash with md5 token hashes — the oracle-backed twin of the
+# xxhash64 simhash (60-bit signatures so the md5 hex prefix parses to
+# the same integer in DuckDB; pigeonhole banding, 4 bands over 60 bits
+# → recall 1.0 at hamming ≤ 3). Signature build, band keys and the
+# xor/bit_count verify are integer expressions on both engines.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "dedup_simhash_md5_pairs",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             [ ('0x' || substr(md5(t), 1, 15))::BIGINT for t in toks ] AS h
+      FROM n WHERE len(toks) > 0
+    ),
+    sims AS (
+      SELECT doc_id,
+             list_sum([
+               CASE WHEN list_sum([
+                      CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END
+                      for x in h ]) > 0
+                    THEN (1::BIGINT << b) ELSE 0 END
+               for b in generate_series(0, 59) ])::BIGINT AS sim
+      FROM hs
+    ),
+    bnd AS (
+      SELECT doc_id, sim, b.b AS band,
+             (sim >> (b.b * 15)) & 32767 AS key
+      FROM sims CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim, c.sim)) AS INT) AS hamming
+    FROM bnd a JOIN bnd c
+      ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.sim, c.sim)) <= 3
+    """,
+)
+def dedup_simhash_md5_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash_md5_pairs(docs, n_bits=60, bands=4, max_hamming=3)
+
+
 @bench_query("dedup_simhash_pairs")
 def dedup_simhash_pairs(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")

@@ -129,13 +129,15 @@ _PRIORITY = [
     "text_tfidf_top_terms",
     "corpus_vocab_top_terms",
     "corpus_pmi_collocations",
-    "docs_chunk_windows",
+    # docs_chunk_windows ceded its slot to the md5-simhash twin (a
+    # shuffle-free projection green since r2; still in the full gate)
     "docs_length_zscore_outliers",
     # the md5-family MinHash twin makes the LSH candidate GENERATOR
     # oracle-checkable for the first time — it takes the window slot of
     # dedup_word_ngram_jaccard (green since r3; char-gram sibling
     # dedup_ngram_jaccard pins the same mechanism in the full gate)
     "dedup_minhash_md5_pairs",
+    "dedup_simhash_md5_pairs",
     "dedup_embedding_pairs",
     # never driver-graded: sketches / embeddings / ANN (the similarity
     # and multimodal entries gained oracles in round 4 and have never

@@ -686,6 +686,33 @@ def test_minhash_ground_truth_recall_on_driver_data(spark):
     assert len(md5_found) >= 0.95 * len(truth)
 
 
+def test_simhash_md5_banding_exact_on_driver_data(spark):
+    """Pigeonhole exactness for the md5-simhash twin: 4 bands over 60
+    bits must find EXACTLY the hamming<=3 pair set. Ground truth =
+    the same operator at bands=60 (1-bit bands: any hamming<=3 pair
+    shares >= 57 single-bit bands, so nothing is missed)."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        import pytest as _pytest
+
+        _pytest.skip("driver testdata not present")
+    from data_ingestion_framework_spark.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_md5_pairs(docs, bands=4, max_hamming=3).collect()
+    }
+    truth = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_md5_pairs(docs, bands=60, max_hamming=3).collect()
+    }
+    assert banded == truth
+    assert len(truth) > 0
+
+
 def test_simhash_ground_truth_exact_on_driver_data(spark):
     """Pigeonhole banding is a theorem, not a heuristic: with 4 bands
     over 64 bits, any pair at hamming <= 3 leaves at least one band
