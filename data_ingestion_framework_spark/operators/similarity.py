@@ -59,7 +59,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    scored = _spread(corpus).crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(cosine(F.col("__qv"), F.col(vec_col)), round_to).alias("cos_sim"),
@@ -92,15 +92,63 @@ def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[lis
     return planes
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Give the map side cluster parallelism for compute-bound array
+    expressions (cell assignment, bucket signatures, norms).
+
+    At real scale the parquet scan already arrives in >= parallelism
+    splits and this is a no-op decision; at bench scale a 2000-row
+    embeddings file is ONE split, which would serialize every
+    interpreted higher-order-function evaluation onto a single core.
+    The exchanged payload is whatever narrow projection the caller
+    selected — never wider than (id, vector)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
+def matrix_literal(rows: list[list[float]]) -> Column:
+    """``array<array<double>>`` literal built from ONE parsed expression.
+
+    Constructing a k×d constant matrix as ``F.array(*[F.lit(x) ...])``
+    costs k·d Py4J round-trips plus a k·d-node Catalyst tree — for a
+    16×64 hyperplane set that is ~1 s of driver time per query BUILD
+    (the dominant cost of the small-dim ANN queries, since the data-side
+    work is milliseconds). One ``F.expr`` string is a single round-trip
+    and parses in ~10 ms; ``repr`` of a Python float round-trips exactly
+    through Spark's double-literal parser (shortest-repr law), so the
+    values are bit-identical to the ``F.lit`` form the oracles assume.
+    """
+    for r in rows:
+        for x in r:
+            if x != x or x in (float("inf"), float("-inf")):
+                raise ValueError(f"non-finite matrix literal value: {x}")
+    body = ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")" for r in rows
+    )
+    return F.expr(f"array({body})")
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: bit p = 1 iff vec · plane_p > 0."""
-    bucket = F.lit(0).cast("bigint")
-    for p, plane in enumerate(planes):
-        d = dot(_to_double(vec), F.array(*[F.lit(v) for v in plane]))
-        bucket = bucket + F.when(
-            d > 0, F.shiftleft(F.lit(1).cast("bigint"), p)
-        ).otherwise(F.lit(0).cast("bigint"))
-    return bucket
+    """Sign-LSH bucket id: bit p = 1 iff vec · plane_p > 0.
+
+    The plane matrix is one literal (see ``matrix_literal``); the bucket
+    folds most-significant-bit-first (Horner: acc·2 + bit), which equals
+    the Σ bit_p·2^p sum exactly — integer math, no rounding concerns.
+    """
+    dv = _to_double(vec)
+    bits = F.transform(
+        matrix_literal(planes),
+        lambda plane: F.when(dot(dv, plane) > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    return F.aggregate(
+        F.reverse(bits),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc * F.lit(2).cast("bigint") + b,
+    )
 
 
 def cosine_verify_pairs(
@@ -153,7 +201,7 @@ def embedding_near_dups(
     # cast + norm once per ROW (materialized by the bucket-keyed
     # exchange); per-PAIR work is a single dot product. Same float ops
     # in the same order as cosine(), so values are unchanged.
-    b = corpus.select(
+    b = _spread(corpus.select(id_col, vec_col)).select(
         F.col(id_col),
         dv.alias("__v"),
         l2_norm(dv).alias("__n"),
@@ -201,7 +249,7 @@ def lsh_cosine_topk(
     the cross-join is replaced by a bucket equi-join, so cost scales
     with collision counts, not |corpus| × |queries|."""
     planes = random_hyperplanes(dim, n_planes)
-    c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    c = _spread(corpus).withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qv"),
@@ -225,23 +273,22 @@ def lsh_cosine_topk(
 
 # -- IVF (inverted-file) ANN -------------------------------------------------
 
-def _centroid_literal(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
-
-
 def _nearest_cells(vec_col: Column, centroids: list[list[float]], nprobe: int) -> Column:
     """Array of the ``nprobe`` nearest centroid ids by cosine (ties on
-    cell id). Centroids are expression literals — evaluated scan-side,
-    nothing broadcast except the plan itself."""
+    cell id). Centroids are ONE matrix literal (see ``matrix_literal`` —
+    the per-element ``F.lit`` form cost ~1 s of driver build/analysis
+    time per call, re-paid on every Lloyd iteration) — evaluated
+    scan-side, nothing broadcast except the plan itself. The per-cell
+    cosine math (zip_with product, left-to-right aggregate, sqrt norms,
+    round to 6) is op-for-op what the per-cell literal form computed, so
+    cell assignments are unchanged and the DuckDB oracles still match."""
     dv = _to_double(vec_col)
-    scored = F.array(
-        *[
-            F.struct(
-                (-F.round(cosine(dv, _centroid_literal(c)), 6)).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    scored = F.transform(
+        matrix_literal(centroids),
+        lambda c, i: F.struct(
+            (-F.round(cosine(dv, c), 6)).alias("d"),
+            i.alias("cell"),
+        ),
     )
     return F.transform(
         F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cell"]
@@ -265,9 +312,9 @@ def ivf_train_centroids(
     recomputes means via ``posexplode → groupBy(cell, pos) → avg``:
     the only driver-side data is the (n_cells × dim) centroid table
     itself — control-plane sized by construction, never the corpus."""
+    corpus = _spread(corpus.select(id_col, vec_col))
     seed_rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_cells)
         .collect()
     )
@@ -315,7 +362,7 @@ def ivf_cosine_topk(
     shape: cost scales with |corpus| × nprobe / n_cells instead of
     |corpus| × |queries|, and the cell assignment is a pure scan-side
     expression — the index "build" ships no data anywhere."""
-    c = corpus.withColumn(
+    c = _spread(corpus).withColumn(
         "__cell", _nearest_cells(F.col(vec_col), centroids, 1)[0]
     )
     q = queries.select(
@@ -372,12 +419,18 @@ def semantic_dedup(
     # per-PAIR work below is a single dot product — computing cosine()
     # wholesale per pair would re-traverse both arrays 5× per candidate.
     # The float math is identical (same ops, same order) to cosine().
-    c = corpus.select(
+    c = _spread(corpus.select(id_col, vec_col)).select(
         F.col(id_col),
         dv.alias("__v"),
         l2_norm(dv).alias("__n"),
         _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
     )
+    # the assignment frame feeds THREE consumers (both self-join
+    # branches and the final keep-mark join); without a materialization
+    # each one re-runs the cell-assignment projection and its exchange.
+    # Materialize it once — the SemDeDup index frame (id, vec, norm,
+    # cell) is exactly what the published recipe persists at scale.
+    c = c.localCheckpoint(eager=False)
     a = c.select(
         F.col(id_col).alias("id_a"),
         F.col("__v").alias("__va"),

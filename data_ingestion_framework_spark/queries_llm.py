@@ -785,7 +785,12 @@ def _ivf_iteration_sql(prev: str, n: int) -> str:
 # The deterministic index build (seeds → two unrolled Lloyd
 # iterations → per-vector cell ranking) shared by every IVF-derived
 # oracle: ends with ``ranked``/``corpus_cell`` CTEs ready to compose.
-_IVF_INDEX_SQL = f"""
+# Parameterized by cell count: the top-k queries probe a small 8-cell
+# index; semantic dedup uses 16 cells, which both halves the
+# within-cell pair space and doubles the pair-scoring parallelism
+# (in-cell work runs one task per cell — cells ARE the scale knob).
+def _ivf_index_sql(n_cells: int) -> str:
+    return f"""
     e AS (
       SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
              UNNEST(generate_series(1, len(embedding))) AS i
@@ -797,7 +802,7 @@ _IVF_INDEX_SQL = f"""
         SELECT vec_id,
                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
         FROM embeddings)
-      WHERE rn <= 8
+      WHERE rn <= {n_cells}
     ),
     c0 AS (SELECT s.cell, e.i, e.x AS m FROM seeds s JOIN e ON e.vec_id = s.vec_id),
     {_ivf_iteration_sql('c0', 1)},
@@ -815,6 +820,9 @@ _IVF_INDEX_SQL = f"""
       FROM dq d JOIN vnorm v ON v.vec_id = d.vec_id
     ),
     corpus_cell AS (SELECT vec_id, cell FROM ranked WHERE rn = 1)"""
+
+
+_IVF_INDEX_SQL = _ivf_index_sql(8)
 
 
 @bench_query(
@@ -869,7 +877,7 @@ def similarity_ivf_topk(spark, sf_dir):
 @bench_query(
     "semantic_dedup_keep",
     oracle=f"""
-    WITH {_IVF_INDEX_SQL},
+    WITH {_ivf_index_sql(16)},
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM corpus_cell a JOIN corpus_cell b
@@ -897,7 +905,7 @@ def similarity_ivf_topk(spark, sf_dir):
 )
 def semantic_dedup_keep(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    centroids = similarity.ivf_train_centroids(emb, n_cells=8, iters=2)
+    centroids = similarity.ivf_train_centroids(emb, n_cells=16, iters=2)
     return similarity.semantic_dedup(emb, centroids, threshold=0.35)
 
 
