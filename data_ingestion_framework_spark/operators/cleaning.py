@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .skew import spread_for_compute
 from .text import normalize_text
 
 __all__ = [
@@ -73,7 +74,7 @@ def decontaminate(
         )
         .distinct()
     )
-    doc_grams = docs.select(
+    doc_grams = spread_for_compute(docs.select(id_col, text_col)).select(
         F.col(id_col), F.explode(_word_gram_hashes(F.col(text_col), n)).alias("__g")
     )
     hits = (
@@ -184,7 +185,7 @@ def decontaminate_bloom(
         F.explode(_word_gram_hashes(F.col(bench_text_col), n)).alias("__g")
     ).distinct()
     bloom = build_gram_bloom(bench_grams, "__g", m_bits, k)
-    doc_grams = docs.select(
+    doc_grams = spread_for_compute(docs.select(id_col, text_col)).select(
         F.col(id_col), F.explode(_word_gram_hashes(F.col(text_col), n)).alias("__g")
     )
     pre = (

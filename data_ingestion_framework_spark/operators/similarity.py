@@ -92,20 +92,9 @@ def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[lis
     return planes
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Give the map side cluster parallelism for compute-bound array
-    expressions (cell assignment, bucket signatures, norms).
-
-    At real scale the parquet scan already arrives in >= parallelism
-    splits and this is a no-op decision; at bench scale a 2000-row
-    embeddings file is ONE split, which would serialize every
-    interpreted higher-order-function evaluation onto a single core.
-    The exchanged payload is whatever narrow projection the caller
-    selected — never wider than (id, vector)."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
+from data_ingestion_framework_spark.operators.skew import (  # noqa: E402
+    spread_for_compute as _spread,
+)
 
 
 def matrix_literal(rows: list[list[float]]) -> Column:

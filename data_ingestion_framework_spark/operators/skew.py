@@ -17,6 +17,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_for_compute(df: DataFrame) -> DataFrame:
+    """Round-robin the frame to cluster parallelism when it arrives in
+    fewer splits — for compute-bound downstream expressions (gram
+    explodes, signature folds, array math) whose cost is per-row CPU,
+    not bytes.
+
+    At real scale the scan already has >= parallelism splits and this
+    is a no-op decision; at bench scale a 5000-row parquet file is ONE
+    split, which would serialize the whole expression pipeline onto a
+    single core. Callers project the narrow column set first so the
+    exchanged payload stays minimal."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def with_salt(df: DataFrame, buckets: int, salt_col: str = "__salt") -> DataFrame:
     """Deterministic salt in [0, buckets) derived from all columns."""
     h = F.xxhash64(*[F.col(c) for c in df.columns])
