@@ -263,7 +263,9 @@ def remove_boilerplate_lines(
     Blank lines are never counted or removed (they're structure, not
     boilerplate).
     """
-    lines = df.select(
+    lines = spread_for_compute(
+        df.select(id_col, text_col, *passthrough)
+    ).select(
         F.col(id_col),
         *passthrough,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
@@ -275,8 +277,14 @@ def remove_boilerplate_lines(
         .where(F.col("__docs") >= min_docs)
         .select("__key")
     )
+    # the frequent-line set is the aggregation's survivors — bounded by
+    # lines that repeat across >= min_docs documents (nav bars, cookie
+    # banners), orders of magnitude smaller than the corpus. Broadcast
+    # it so the corpus-sized line frame is marked map-side and never
+    # shuffles on the line key; the only corpus shuffle left is the
+    # id-keyed reassembly.
     marked = lines.join(
-        freq.withColumn("__boiler", F.lit(True)), "__key", "left"
+        F.broadcast(freq.withColumn("__boiler", F.lit(True))), "__key", "left"
     ).withColumn("__drop", F.coalesce("__boiler", F.lit(False)))
     # passthrough columns ride the id-keyed aggregation (constant per
     # id) instead of a join-back to the source — one fewer corpus scan
