@@ -52,6 +52,7 @@ HEADLINE = [
     "events_range_join_counts",
     "events_time_rollup",
     "events_kmv_distinct_users",
+    "orders_zorder_keys",
     "multimodal_decode_dims",
     # round-5 additions: semantic dedup, bloom decontamination, LM proxy
     "semantic_dedup_keep",

@@ -1,0 +1,124 @@
+"""Z-order (Morton-curve) data layout for multi-column data skipping.
+
+Lakehouse parity: the reference framework's Delta tables are maintained
+with ``OPTIMIZE`` (ingest-framework/framework/src/sparkbuilder/writers/
+writer.py:276-281 runs it every 101st micro-batch); Databricks extends
+that with ``ZORDER BY (c1, c2)`` so parquet footer min/max stats prune
+files for predicates on EITHER column. This module re-derives the same
+layout from first principles on plain parquet:
+
+1. each clustering column is quantized to a ``bits``-wide integer
+   bucket with EXACT integer arithmetic (``((x - min) * 2^bits) div
+   (max - min + 1)`` — no float rounding, so any engine reproduces it);
+2. bucket bits are interleaved into a Morton code (bit b of column j
+   lands at position ``b * n_cols + j``), the classic space-filling
+   curve that keeps points close in EVERY dimension close on the curve;
+3. the frame is range-partitioned and sorted by the code, so each
+   output file covers a tight hyper-rectangle and a predicate on any
+   clustered column skips most files on min/max stats alone.
+
+Scale notes: the min/max pass is one partial-aggregated scan (two longs
+per column reach the driver — control-plane); the layout itself is the
+ONE shuffle any clustering write needs (repartitionByRange samples the
+z-code distribution, so skew in the raw columns doesn't skew files).
+Everything is JVM-side integer expressions — no UDFs, no HOFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def int_bucket(col: Column, vmin: int, vmax: int, bits: int) -> Column:
+    """Quantize an integer column in [vmin, vmax] to [0, 2^bits).
+
+    Pure integer math — ``((x - vmin) * 2^bits) div span`` — identical
+    in any engine (the float variant disagrees at bucket edges).
+    Values outside [vmin, vmax] clamp to the end buckets so late data
+    beyond the observed range still lands in a file, just an edge one.
+    """
+    if vmax < vmin:
+        raise ValueError(f"empty bucket range [{vmin}, {vmax}]")
+    if (vmax - vmin + 1) > (1 << 46):
+        # (x - vmin) * 2^bits must stay inside signed 64 bits under
+        # ANSI overflow checking; pre-scale such columns (e.g. micros →
+        # days) instead of silently wrapping
+        raise ValueError(
+            f"range [{vmin}, {vmax}] too wide for exact bucketing — "
+            "pre-scale the column (e.g. truncate timestamps to days)"
+        )
+    n = 1 << bits
+    span = vmax - vmin + 1
+    # bigint DIV bigint — exact integer division, no float rounding
+    bucket = F.call_function(
+        "div", (col.cast("bigint") - F.lit(vmin)) * F.lit(n), F.lit(span)
+    )
+    return F.greatest(F.lit(0).cast("bigint"), F.least(F.lit(n - 1).cast("bigint"), bucket))
+
+
+def morton_code(buckets: list[Column], bits: int) -> Column:
+    """Interleave ``bits``-wide bucket ids into one Morton code.
+
+    Bit ``b`` of ``buckets[j]`` lands at position ``b * len(buckets) +
+    j``. Built as a driver-side loop of shift/AND/OR terms (``bits ×
+    n_cols`` small expressions — nothing per-row is interpreted), all
+    whole-stage-codegen-able integer ops.
+    """
+    if not buckets:
+        raise ValueError("morton_code needs at least one bucket column")
+    ncols = len(buckets)
+    if bits * ncols > 63:
+        raise ValueError(f"{bits} bits x {ncols} cols exceeds a signed 64-bit code")
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for j, col in enumerate(buckets):
+            bit = F.shiftright(col, b).bitwiseAND(F.lit(1).cast("bigint"))
+            z = z.bitwiseOR(
+                F.call_function(
+                    "shiftleft", bit, F.lit(b * ncols + j).cast("int")
+                ).cast("bigint")
+            )
+    return z
+
+
+def zorder_code(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> tuple[Column, dict[str, tuple[int, int]]]:
+    """Build the z-code Column for ``cols`` (integer/date-like), doing
+    the one control-plane min/max scan. Returns ``(code, ranges)`` so
+    callers can record the ranges (an incremental OPTIMIZE would reuse
+    them to keep codes comparable across runs)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("bigint")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("bigint")).alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    ranges = {c: (row[f"__min_{c}"], row[f"__max_{c}"]) for c in cols}
+    for c, (lo, hi) in ranges.items():
+        if lo is None:
+            raise ValueError(f"zorder column {c} is all-NULL")
+    buckets = [
+        int_bucket(F.col(c), ranges[c][0], ranges[c][1], bits) for c in cols
+    ]
+    return morton_code(buckets, bits), ranges
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], num_files: int, bits: int = 16
+) -> DataFrame:
+    """Cluster ``df`` into ``num_files`` write partitions along the
+    Morton curve of ``cols``: range-partition on the code (sampled
+    bounds — raw-column skew doesn't skew files), sort within each
+    partition so row groups inside a file are tight too, and drop the
+    helper column. Write the result with any parquet writer; the
+    footer min/max stats of every clustered column become selective."""
+    code, _ = zorder_code(df, cols, bits)
+    return (
+        df.withColumn("__z", code)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

@@ -593,3 +593,68 @@ def ie_history_state(spark, sf_dir):
     return hist.read().select(
         "pk", "price", "start_time", "end_time", "is_current", "delete_time"
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (OPTIMIZE ... ZORDER BY parity — the reference
+# maintains its Delta tables with OPTIMIZE, writers/writer.py:276-281;
+# Databricks' ZORDER BY extends that to multi-column data skipping).
+# The oracle re-derives the exact same Morton codes: integer-exact
+# bucketing ((x-min)*2^bits div span — no float edge disagreements)
+# and the same bit-interleave, so the codes the layout sorts by are
+# value-checked end-to-end. bits=16 over (custkey, order-day).
+# ---------------------------------------------------------------------------
+_Z_BITS = 16
+
+
+def _zorder_interleave_sql(xcol: str, ycol: str, bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xcol} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({ycol} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+@bench_query(
+    "orders_zorder_keys",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(o_custkey AS BIGINT) AS x,
+             CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS y
+      FROM orders
+    ),
+    r AS (
+      SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax
+      FROM d
+    ),
+    b AS (
+      SELECT o_orderkey,
+             GREATEST(CAST(0 AS BIGINT), LEAST(CAST({(1 << _Z_BITS) - 1} AS BIGINT),
+               ((x - xmin) * {1 << _Z_BITS}) // (xmax - xmin + 1))) AS bx,
+             GREATEST(CAST(0 AS BIGINT), LEAST(CAST({(1 << _Z_BITS) - 1} AS BIGINT),
+               ((y - ymin) * {1 << _Z_BITS}) // (ymax - ymin + 1))) AS by
+      FROM d, r
+    )
+    SELECT o_orderkey, CAST({_zorder_interleave_sql('bx', 'by', _Z_BITS)} AS BIGINT) AS zval
+    FROM b
+    """,
+)
+def orders_zorder_keys(spark, sf_dir):
+    """Morton codes the z-order layout clusters by: (o_custkey,
+    days-since-epoch-of-o_orderdate) quantized to 16-bit buckets and
+    bit-interleaved. ``zorder_layout`` range-partitions + sorts on this
+    value; here the code itself is surfaced per order so the oracle can
+    hash-check the curve the files would be laid out along."""
+    from data_ingestion_framework_spark.operators.zorder import zorder_code
+
+    orders = load(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    code, _ = zorder_code(d, ["x", "y"], bits=_Z_BITS)
+    return d.select("o_orderkey", code.alias("zval"))

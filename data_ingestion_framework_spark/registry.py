@@ -123,7 +123,9 @@ _PRIORITY = [
     "docs_redact_pii",
     "docs_remove_boilerplate",
     "docs_stratified_sample",
-    "docs_cap_per_source",
+    # docs_cap_per_source ceded its slot to orders_zorder_keys (its
+    # hash-threshold mechanism is window-graded via docs_split_assign
+    # and docs_temperature_mix; still in the full gate)
     "text_lang_pred",
     "text_quality_score",
     "text_tfidf_top_terms",
@@ -159,6 +161,11 @@ _PRIORITY = [
     "hybrid_dedup_clusters",
     "docs_shuffle_rank",
     "corpus_pipeline_splits",
+    # round-6 additions — oracle-backed, never driver-graded. The lazy
+    # corpus_pipeline_end2end twin cedes its slot (it shares
+    # corpus_pipeline_staged's oracle VERBATIM — the staged form in the
+    # window already grades that exact value set).
+    "orders_zorder_keys",
     "corpus_pipeline_end2end",
     # rows-only (no oracle): the driver's hash gate can't grade it, so
     # it cedes its window slot to an oracle-backed round-5 query

@@ -437,18 +437,37 @@ class ParquetTable:
                             touched.add(d)
         return sorted(touched)
 
-    def compact(self, target_files: int | None = None) -> None:
+    def compact(
+        self,
+        target_files: int | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> None:
         """Small-file compaction — the engine's ``OPTIMIZE`` parity
         (writers/writer.py:276-281 runs ``OPTIMIZE`` every 101st
         micro-batch; Delta OSS bin-packs the same way). Rewrites the
         table into ``target_files`` files (default: current shuffle
-        parallelism) via coalesce — no shuffle, pure file merge."""
+        parallelism) via coalesce — no shuffle, pure file merge.
+
+        ``zorder_by`` upgrades the rewrite to ``OPTIMIZE ... ZORDER BY``
+        parity: rows are clustered along the Morton curve of the given
+        integer/date columns (one range shuffle; see
+        ``operators/zorder.py``), so parquet min/max footer stats prune
+        files for predicates on ANY of the clustered columns."""
         if not self.exists():
             return
         n = target_files or int(
             self.spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        self.overwrite(self.read().coalesce(n), op="compact")
+        if zorder_by:
+            from data_ingestion_framework_spark.operators.zorder import (
+                zorder_layout,
+            )
+
+            self.overwrite(
+                zorder_layout(self.read(), zorder_by, n), op="zorder"
+            )
+        else:
+            self.overwrite(self.read().coalesce(n), op="compact")
 
     def file_count(self) -> int:
         return len(self._data_files())

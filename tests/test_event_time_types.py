@@ -212,5 +212,6 @@ def test_driver_grading_window_covers_priority_queries():
         "hybrid_dedup_clusters",
         "docs_shuffle_rank",
         "corpus_pipeline_splits",
+        "orders_zorder_keys",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"

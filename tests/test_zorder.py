@@ -1,0 +1,151 @@
+"""Z-order layout: Morton-code exactness and the data-skipping payoff
+(per-file min/max stats tighten on EVERY clustered column)."""
+
+import glob
+import os
+import tempfile
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_framework_spark.operators.zorder import (
+    int_bucket,
+    morton_code,
+    zorder_code,
+    zorder_layout,
+)
+from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_bucket(x, vmin, vmax, bits):
+    n = 1 << bits
+    b = ((x - vmin) * n) // (vmax - vmin + 1)
+    return max(0, min(n - 1, b))
+
+
+def _py_morton(bx, by, bits):
+    z = 0
+    for b in range(bits):
+        z |= ((bx >> b) & 1) << (2 * b)
+        z |= ((by >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_int_bucket_exact_against_python(spark):
+    vals = [0, 1, 7, 13, 50, 99, 100]
+    df = spark.createDataFrame([(v,) for v in vals], "x bigint")
+    got = {
+        r["x"]: r["b"]
+        for r in df.select(
+            "x", int_bucket(F.col("x"), 0, 100, 4).alias("b")
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == _py_bucket(v, 0, 100, 4)
+
+
+def test_int_bucket_clamps_out_of_range(spark):
+    df = spark.createDataFrame([(-5,), (200,)], "x bigint")
+    got = [
+        r["b"]
+        for r in df.select(int_bucket(F.col("x"), 0, 100, 4).alias("b"))
+        .orderBy("x")
+        .collect()
+    ]
+    assert got == [0, 15]
+
+
+def test_int_bucket_rejects_wide_range():
+    with pytest.raises(ValueError, match="too wide"):
+        int_bucket(F.lit(0), 0, 1 << 50, 16)
+
+
+def test_morton_code_matches_python(spark):
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "bx bigint, by bigint")
+    got = df.select(
+        "bx", "by", morton_code([F.col("bx"), F.col("by")], 3).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == _py_morton(r["bx"], r["by"], 3)
+    # the 8x8 grid maps onto a bijection of [0, 64)
+    assert sorted(r["z"] for r in got) == list(range(64))
+
+
+def test_morton_rejects_overflow():
+    with pytest.raises(ValueError, match="64-bit"):
+        morton_code([F.lit(0), F.lit(0)], 32)
+
+
+def _file_spans(path, col):
+    spans = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                c = row_group.column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            spans.append(hi - lo)
+    return spans
+
+
+def test_zorder_layout_tightens_file_stats(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").alias("x"),
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    n_files = 8
+    with tempfile.TemporaryDirectory() as tmp:
+        naive, zdir = f"{tmp}/naive", f"{tmp}/z"
+        # naive: hash-partitioned on the row key — every file spans the
+        # whole domain of both columns
+        orders.repartition(n_files, "o_orderkey").write.parquet(naive)
+        zorder_layout(orders, ["x", "y"], n_files).write.parquet(zdir)
+
+        assert (
+            spark.read.parquet(zdir).count()
+            == spark.read.parquet(naive).count()
+            == orders.count()
+        )
+        for col in ("x", "y"):
+            naive_spans = _file_spans(naive, col)
+            z_spans = _file_spans(zdir, col)
+            assert len(z_spans) >= 2
+            # clustered files cover a strictly tighter slice of BOTH
+            # dimensions — this is what footer-stats pruning skips on
+            assert sum(z_spans) / len(z_spans) < 0.7 * (
+                sum(naive_spans) / len(naive_spans)
+            ), col
+
+
+def test_compact_zorder_roundtrip(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        t = ParquetTable(spark, f"{tmp}/t")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            "o_orderkey",
+            F.col("o_custkey").cast("bigint").alias("x"),
+            F.col("o_orderkey").cast("bigint").alias("y"),
+        )
+        t.overwrite(orders)
+        before = t.read().count()
+        t.compact(target_files=4, zorder_by=["x", "y"])
+        assert t.read().count() == before
+        assert any(h["op"] == "zorder" for h in t.history())
+
+
+def test_zorder_code_all_null_raises(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x bigint")
+    with pytest.raises(ValueError, match="all-NULL"):
+        zorder_code(df, ["x"], bits=4)
