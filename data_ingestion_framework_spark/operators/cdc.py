@@ -144,3 +144,79 @@ def handle_out_of_order_deletes(
     (transformations/cdc/common.py:66-75): a left_anti join — the caller
     commits the result."""
     return target.join(deletes.select(*key_cols).distinct(), on=key_cols, how="left_anti")
+
+
+def change_data_feed(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    full_extract: bool = False,
+    commit_version: int | None = None,
+) -> DataFrame:
+    """Emit the Delta-style Change Data Feed a MERGE of ``source`` into
+    ``target`` would produce: one row per change with ``_change_type``
+    in {'insert', 'update_preimage', 'update_postimage', 'delete'}
+    (deletes only under ``full_extract`` — the WHEN NOT MATCHED BY
+    SOURCE branch). Matched-but-unchanged rows emit nothing, exactly
+    like Delta CDF.
+
+    The reference's lakehouse targets expose this as
+    ``table_changes``/``readChangeFeed`` on Delta tables; here the feed
+    is derived relationally so any downstream (audit, incremental
+    consumers, reverse ETL) gets the same contract on plain parquet.
+
+    Shape: ONE key-keyed full-outer join; each joined row maps to an
+    array of 0-2 change structs (pre+post for updates) which explodes
+    in the same stage — no second pass, no union of per-branch scans.
+    Change detection is null-safe per-column (IS DISTINCT FROM), the
+    same predicate the SCD merges use. ``source`` must be key-unique
+    (window-dedup upstream, as ``scd1_apply`` does).
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in source.columns if c not in key_cols and c in target.columns
+        ]
+    out_cols = [*key_cols, *compare_cols]
+    t = target.select(
+        *key_cols, *[F.col(c).alias(f"_t_{c}") for c in compare_cols]
+    ).withColumn("_in_t", F.lit(True))
+    s = source.select(
+        *key_cols, *[F.col(c).alias(f"_s_{c}") for c in compare_cols]
+    ).withColumn("_in_s", F.lit(True))
+    joined = s.join(t, on=key_cols, how="full_outer")
+
+    def image(side: str, change_type: str):
+        return F.struct(
+            *[F.col(f"_{side}_{c}").alias(c) for c in compare_cols],
+            F.lit(change_type).alias("_change_type"),
+        )
+
+    changed = None
+    for c in compare_cols:
+        p = ~F.col(f"_s_{c}").eqNullSafe(F.col(f"_t_{c}"))
+        changed = p if changed is None else (changed | p)
+
+    empty = F.array().cast(
+        joined.select(F.array(image("s", "x")).alias("a")).schema["a"].dataType
+    )
+    changes = (
+        F.when(F.col("_in_t").isNull(), F.array(image("s", "insert")))
+        .when(
+            F.col("_in_s").isNull(),
+            F.array(image("t", "delete")) if full_extract else empty,
+        )
+        .when(
+            changed if changed is not None else F.lit(False),
+            F.array(image("t", "update_preimage"), image("s", "update_postimage")),
+        )
+        .otherwise(empty)
+    )
+    out = joined.select(*key_cols, F.explode(changes).alias("_c")).select(
+        *key_cols,
+        *[F.col(f"_c.{c}").alias(c) for c in compare_cols],
+        F.col("_c._change_type").alias("_change_type"),
+    )
+    if commit_version is not None:
+        out = out.withColumn("_commit_version", F.lit(commit_version).cast("bigint"))
+    return out

@@ -658,3 +658,71 @@ def orders_zorder_keys(spark, sf_dir):
     )
     code, _ = zorder_code(d, ["x", "y"], bits=_Z_BITS)
     return d.select("o_orderkey", code.alias("zval"))
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed emission: the per-row change stream a MERGE of
+# source into target produces (Delta readChangeFeed parity —
+# insert / update_preimage / update_postimage / delete). Same
+# target/source fixture as scd1_merge_state so the two artifacts
+# cross-check: the CDF applied to the target must yield the merge's
+# new state. Matched-but-unchanged rows emit nothing.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "cdf_merge_changes",
+    oracle=f"""
+    WITH target AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice AS price,
+             TIMESTAMP '{T0}' AS mtime
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    source AS (
+      SELECT o_orderkey AS pk, o_orderstatus AS status, o_totalprice + 500.0 AS price,
+             TIMESTAMP '{T1}' AS mtime
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    ins AS (
+      SELECT s.pk, s.status, s.price, s.mtime, 'insert' AS _change_type
+      FROM source s LEFT JOIN target t ON s.pk = t.pk WHERE t.pk IS NULL
+    ),
+    del AS (
+      SELECT t.pk, t.status, t.price, t.mtime, 'delete' AS _change_type
+      FROM target t LEFT JOIN source s ON s.pk = t.pk WHERE s.pk IS NULL
+    ),
+    pre AS (
+      SELECT t.pk, t.status, t.price, t.mtime, 'update_preimage' AS _change_type
+      FROM target t JOIN source s ON s.pk = t.pk
+      WHERE s.status IS DISTINCT FROM t.status
+         OR s.price IS DISTINCT FROM t.price
+         OR s.mtime IS DISTINCT FROM t.mtime
+    ),
+    post AS (
+      SELECT s.pk, s.status, s.price, s.mtime, 'update_postimage' AS _change_type
+      FROM target t JOIN source s ON s.pk = t.pk
+      WHERE s.status IS DISTINCT FROM t.status
+         OR s.price IS DISTINCT FROM t.price
+         OR s.mtime IS DISTINCT FROM t.mtime
+    )
+    SELECT * FROM ins UNION ALL SELECT * FROM del
+    UNION ALL SELECT * FROM pre UNION ALL SELECT * FROM post
+    """,
+)
+def cdf_merge_changes(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import cdc
+
+    orders = load(spark, sf_dir, "orders")
+    target = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(T0).cast("timestamp").alias("mtime"),
+    )
+    source = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice") + 500.0).alias("price"),
+        F.lit(T1).cast("timestamp").alias("mtime"),
+    )
+    return cdc.change_data_feed(
+        target, source, ["pk"], full_extract=True
+    )

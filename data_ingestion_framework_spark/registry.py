@@ -129,7 +129,9 @@ _PRIORITY = [
     "text_lang_pred",
     "text_quality_score",
     "text_tfidf_top_terms",
-    "corpus_vocab_top_terms",
+    # corpus_vocab_top_terms ceded its slot to cdf_merge_changes (its
+    # two-stage agg + TakeOrdered mechanism is window-graded via
+    # text_tfidf_top_terms; still in the full gate)
     "corpus_pmi_collocations",
     # docs_chunk_windows ceded its slot to the md5-simhash twin (a
     # shuffle-free projection green since r2; still in the full gate)
@@ -166,6 +168,7 @@ _PRIORITY = [
     # corpus_pipeline_staged's oracle VERBATIM — the staged form in the
     # window already grades that exact value set).
     "orders_zorder_keys",
+    "cdf_merge_changes",
     "corpus_pipeline_end2end",
     # rows-only (no oracle): the driver's hash gate can't grade it, so
     # it cedes its window slot to an oracle-backed round-5 query

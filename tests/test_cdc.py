@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from data_ingestion_framework_spark.operators import cdc
 
@@ -59,3 +60,53 @@ def test_out_of_order_deletes(spark):
     deletes = _df(spark, [(2, "b", 2)])
     left = cdc.handle_out_of_order_deletes(target, deletes, ["pk"])
     assert [r["pk"] for r in left.collect()] == [1]
+
+
+def test_change_data_feed_classifies(spark):
+    target = _df(spark, [(1, "a", 1), (2, "b", 2), (3, "c", 3)])
+    source = _df(spark, [(2, "b", 2), (3, "C", 3), (4, "d", 4)])
+    feed = cdc.change_data_feed(target, source, ["pk"], full_extract=True)
+    by_type = {}
+    for r in feed.collect():
+        by_type.setdefault(r["_change_type"], []).append(r)
+    # pk=2 unchanged -> silent; pk=3 changed -> pre+post; 4 insert; 1 delete
+    assert [r["pk"] for r in by_type["insert"]] == [4]
+    assert [r["pk"] for r in by_type["delete"]] == [1]
+    assert [(r["pk"], r["a"]) for r in by_type["update_preimage"]] == [(3, "c")]
+    assert [(r["pk"], r["a"]) for r in by_type["update_postimage"]] == [(3, "C")]
+    assert "unchanged" not in by_type
+
+
+def test_change_data_feed_no_deletes_without_full_extract(spark):
+    target = _df(spark, [(1, "a", 1)])
+    source = _df(spark, [(2, "b", 2)])
+    feed = cdc.change_data_feed(target, source, ["pk"], full_extract=False)
+    assert {r["_change_type"] for r in feed.collect()} == {"insert"}
+
+
+def test_change_data_feed_replays_to_merge_state(spark):
+    """Applying the CDF to the target must reproduce scd1_apply's new
+    state — the invariant Delta CDF consumers rely on."""
+    from data_ingestion_framework_spark.operators import scd
+
+    target = _df(spark, [(1, "a", 1), (2, "b", 2), (3, "c", 3)])
+    source = _df(spark, [(2, "B", 2), (4, "d", 4)])
+    feed = cdc.change_data_feed(target, source, ["pk"])
+    upserts = feed.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type")
+    replayed = target.join(
+        upserts.select("pk"), "pk", "left_anti"
+    ).unionByName(upserts)
+    merged = scd.scd1_apply(target, source.withColumn("__o", F.lit(1)), ["pk"], "__o").drop("__o")
+    assert sorted(map(tuple, replayed.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_change_data_feed_commit_version_stamp(spark):
+    target = _df(spark, [(1, "a", 1)])
+    source = _df(spark, [(1, "a", 9)])
+    feed = cdc.change_data_feed(target, source, ["pk"], commit_version=7)
+    rows = feed.collect()
+    assert rows and all(r["_commit_version"] == 7 for r in rows)

@@ -213,5 +213,6 @@ def test_driver_grading_window_covers_priority_queries():
         "docs_shuffle_rank",
         "corpus_pipeline_splits",
         "orders_zorder_keys",
+        "cdf_merge_changes",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
