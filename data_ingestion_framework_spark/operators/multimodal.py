@@ -202,6 +202,161 @@ def synthesize_gif_header(width, height):
     )
 
 
+def _le4_bytes(col):
+    """Little-endian u32 bytes of an integral column (byte-swapped
+    big-endian)."""
+    h = F.lpad(F.hex(col), 8, "0")
+    return F.unhex(
+        F.concat(
+            F.substring(h, 7, 2),
+            F.substring(h, 5, 2),
+            F.substring(h, 3, 2),
+            F.substring(h, 1, 2),
+        )
+    )
+
+
+def synthesize_wav_header(sample_rate, channels, bits_per_sample, n_frames):
+    """A spec-valid RIFF/WAVE header (fmt + data chunk headers) as a
+    binary Column, built from JVM expressions following the public
+    canonical-WAVE layout: ``RIFF`` size ``WAVE``, then the 16-byte
+    PCM ``fmt `` chunk (audio format 1, channels u16le, sample rate
+    u32le, byte rate, block align, bits), then the ``data`` chunk
+    header with its declared size. Sample bytes are absent by design —
+    metadata plumbing, not audio fabrication (same stance as
+    ``synthesize_png_header``)."""
+    block_align = F.call_function(
+        "div", (channels * bits_per_sample).cast("bigint"), F.lit(8).cast("bigint")
+    )
+    data_size = (n_frames * block_align).cast("bigint")
+    byte_rate = (sample_rate * block_align).cast("bigint")
+    fmt_chunk = F.concat(
+        F.lit(b"fmt "),
+        _le4_bytes(F.lit(16)),
+        _le2_bytes(F.lit(1)),
+        _le2_bytes(channels),
+        _le4_bytes(sample_rate),
+        _le4_bytes(byte_rate),
+        _le2_bytes(block_align),
+        _le2_bytes(bits_per_sample),
+    )
+    return F.concat(
+        F.lit(b"RIFF"),
+        _le4_bytes(data_size + F.lit(36)),
+        F.lit(b"WAVE"),
+        fmt_chunk,
+        F.lit(b"data"),
+        _le4_bytes(data_size),
+    )
+
+
+def parse_wav_meta(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Pure-stdlib (sample_rate, channels, bits_per_sample, n_frames)
+    from RIFF/WAVE header bytes; ``None`` when the payload isn't a
+    parseable PCM WAV. Walks the chunk list (id + u32le size) for the
+    ``fmt `` and ``data`` chunks — the data chunk's DECLARED size
+    yields the frame count, so header-only payloads parse like full
+    files (audio libraries read the same fields the same way)."""
+    if payload is None or len(payload) < 36:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    n_frames = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(payload):
+            audio_fmt, channels, rate = struct.unpack("<HHI", payload[i + 8 : i + 16])
+            bits = struct.unpack("<H", payload[i + 22 : i + 24])[0]
+            if audio_fmt != 1 or channels == 0 or bits == 0:
+                return None
+            fmt = (rate, channels, bits)
+        elif cid == b"data" and fmt is not None:
+            block_align = fmt[1] * fmt[2] // 8
+            if block_align == 0:
+                return None
+            n_frames = size // block_align
+            break
+        # chunk bodies may be absent in header-only payloads; advance
+        # past the declared body only when the bytes are actually there
+        i += 8 + (size if i + 8 + size <= len(payload) else 0)
+        if i + 8 > len(payload):
+            break
+    if fmt is None or n_frames is None:
+        return None
+    return (fmt[0], fmt[1], fmt[2], n_frames)
+
+
+def decode_audio(
+    df: DataFrame,
+    bytes_col: str = "media_bytes",
+    parser: Callable[[bytes], tuple[int, int, int, int] | None] | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Audio metadata extraction through the same Arrow-batched
+    ``mapInPandas`` hop as ``decode_images``: appends (sample_rate,
+    channels, bits_per_sample, n_frames, duration_sec) to every row.
+    ``parser`` defaults to the stdlib WAV header parse; a torchaudio/
+    soundfile-backed callable drops into the slot unchanged. Same
+    ``on_error`` policy: 'raise' fails loudly, 'quarantine' NULLs the
+    fields and carries the error text."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
+    parser = parser or parse_wav_meta
+    out_fields = list(df.schema.fields) + [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+    ]
+    if on_error == "quarantine":
+        out_fields.append(T.StructField("decode_error", T.StringType()))
+    out_schema = T.StructType(out_fields)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            rates, chans, bits, frames, durs, errs = [], [], [], [], [], []
+            for b in pdf[bytes_col]:
+                try:
+                    meta = parser(bytes(b) if b is not None else None)
+                    if meta is None:
+                        raise ValueError("not a parseable PCM WAV payload")
+                    r, c, bps, nf = meta
+                    rates.append(r)
+                    chans.append(c)
+                    bits.append(bps)
+                    frames.append(nf)
+                    durs.append(nf / r)
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — quarantine policy
+                    if on_error == "raise":
+                        raise
+                    rates.append(None)
+                    chans.append(None)
+                    bits.append(None)
+                    frames.append(None)
+                    durs.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            pdf["sample_rate"] = pd.array(rates, dtype="Int32")
+            pdf["channels"] = pd.array(chans, dtype="Int32")
+            pdf["bits_per_sample"] = pd.array(bits, dtype="Int32")
+            pdf["n_frames"] = pd.array(frames, dtype="Int64")
+            pdf["duration_sec"] = pd.array(durs, dtype="float64")
+            if on_error == "quarantine":
+                pdf["decode_error"] = errs
+            yield pdf
+
+    return df.mapInPandas(_decode, schema=out_schema)
+
+
 def decode_images(
     df: DataFrame,
     bytes_col: str = "media_bytes",

@@ -726,3 +726,57 @@ def cdf_merge_changes(spark, sf_dir):
     return cdc.change_data_feed(
         target, source, ["pk"], full_extract=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal audio decode path, oracle-backed the same way as
+# multimodal_decode_dims: each document gets a spec-valid RIFF/WAVE
+# header synthesized JVM-side with audio properties derived from
+# doc_id, and the stdlib WAV parser recovers (sample_rate, channels,
+# bits, frames, duration) through the Arrow mapInPandas hop. The
+# oracle recomputes the properties straight from the synthesis spec —
+# broken synthesis, chunk walk, or decode plumbing all surface as
+# value mismatches. duration = n_frames / rate as IEEE double in both
+# engines (one division, same operands — bit-identical).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "multimodal_audio_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE (doc_id % 3) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 8 ELSE 16 END AS INT)
+             AS bits_per_sample,
+           CAST(1000 + doc_id % 9000 AS BIGINT) AS n_frames,
+           CAST(1000 + doc_id % 9000 AS DOUBLE)
+             / CAST(CASE (doc_id % 3) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    ELSE 44100 END AS DOUBLE) AS duration_sec
+    FROM documents
+    """,
+)
+def multimodal_audio_meta(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.multimodal import (
+        decode_audio,
+        synthesize_wav_header,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    rate = F.expr(
+        "CASE (doc_id % 3) WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END"
+    ).cast("bigint")
+    channels = (F.lit(1) + F.col("doc_id") % 2).cast("bigint")
+    bits = F.when(F.col("doc_id") % 4 == 0, F.lit(8)).otherwise(F.lit(16)).cast("bigint")
+    n_frames = (F.lit(1000) + F.col("doc_id") % 9000).cast("bigint")
+    payload = synthesize_wav_header(rate, channels, bits, n_frames)
+    packed = pack_media(
+        docs.select("doc_id").withColumn("payload", payload), "payload", "audio"
+    )
+    return decode_audio(packed).select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        "bits_per_sample",
+        "n_frames",
+        "duration_sec",
+    )

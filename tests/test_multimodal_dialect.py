@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from data_ingestion_framework_spark.functions.sql_dialect import convert_access_sql
 from data_ingestion_framework_spark.operators import multimodal as mm
@@ -191,3 +192,85 @@ def test_decode_images_quarantine_routing(spark):
         mm.decode_images(packed).collect()
     with _pytest.raises(ValueError):
         mm.decode_images(packed, on_error="bogus")
+
+
+def test_wav_header_roundtrip(spark):
+    """synthesize_wav_header → parse_wav_meta recovers the exact
+    properties (the audio analogue of the PNG/GIF roundtrip)."""
+    from data_ingestion_framework_spark.operators.multimodal import (
+        parse_wav_meta,
+        synthesize_wav_header,
+    )
+
+    df = spark.createDataFrame(
+        [(8000, 1, 16, 4000), (44100, 2, 16, 44100), (16000, 1, 8, 1)],
+        "rate bigint, ch bigint, bits bigint, frames bigint",
+    )
+    rows = df.select(
+        "rate", "ch", "bits", "frames",
+        synthesize_wav_header(
+            F.col("rate"), F.col("ch"), F.col("bits"), F.col("frames")
+        ).alias("wav"),
+    ).collect()
+    for r in rows:
+        meta = parse_wav_meta(bytes(r["wav"]))
+        assert meta == (r["rate"], r["ch"], r["bits"], r["frames"])
+
+
+def test_parse_wav_meta_against_stdlib_struct():
+    """A WAV header packed independently with the struct module (the
+    canonical-WAVE layout) parses to the same fields."""
+    import struct as pystruct
+
+    from data_ingestion_framework_spark.operators.multimodal import parse_wav_meta
+
+    rate, ch, bits, frames = 22050, 2, 16, 1234
+    block = ch * bits // 8
+    data_size = frames * block
+    payload = (
+        b"RIFF" + pystruct.pack("<I", 36 + data_size) + b"WAVE"
+        + b"fmt " + pystruct.pack("<IHHIIHH", 16, 1, ch, rate, rate * block, block, bits)
+        + b"data" + pystruct.pack("<I", data_size)
+    )
+    assert parse_wav_meta(payload) == (rate, ch, bits, frames)
+    assert parse_wav_meta(b"RIFFxxxxNOPE") is None
+    assert parse_wav_meta(None) is None
+    # non-PCM (format 2) rejects
+    bad = payload[:20] + pystruct.pack("<H", 2) + payload[22:]
+    assert parse_wav_meta(bad) is None
+
+
+def test_decode_audio_quarantine(spark):
+    from data_ingestion_framework_spark.operators.multimodal import (
+        decode_audio,
+        synthesize_wav_header,
+    )
+
+    good = spark.range(1).select(
+        F.lit("g").alias("k"),
+        synthesize_wav_header(F.lit(8000), F.lit(1), F.lit(16), F.lit(800)).alias(
+            "media_bytes"
+        ),
+    )
+    bad = spark.range(1).select(
+        F.lit("b").alias("k"), F.lit(b"not audio").cast("binary").alias("media_bytes")
+    )
+    out = {
+        r["k"]: r
+        for r in decode_audio(
+            good.unionByName(bad), on_error="quarantine"
+        ).collect()
+    }
+    assert out["g"]["sample_rate"] == 8000 and out["g"]["decode_error"] is None
+    assert out["g"]["duration_sec"] == 0.1
+    assert out["b"]["sample_rate"] is None and "WAV" in out["b"]["decode_error"]
+
+
+def test_decode_audio_raises_on_garbage(spark):
+    import pytest as _pytest
+
+    from data_ingestion_framework_spark.operators.multimodal import decode_audio
+
+    bad = spark.range(1).select(F.lit(b"junk").cast("binary").alias("media_bytes"))
+    with _pytest.raises(Exception):
+        decode_audio(bad, on_error="raise").collect()
