@@ -76,6 +76,19 @@ def main() -> None:
     # warm the JVM/catalyst path once so per-query numbers measure the
     # queries, not first-run class loading
     run(registry.QUERIES["filter_project"](spark, sf_dir))
+    # ...and the Arrow/Python worker pool (fork + pandas/numpy import,
+    # reused across all queries) so the first mapInPandas query isn't
+    # charged the interpreter spin-up either
+    import pandas as _pd
+
+    def _ident(it):
+        for pdf in it:
+            yield pdf
+
+    n = spark.sparkContext.defaultParallelism
+    spark.range(n).repartition(n).mapInPandas(
+        _ident, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -747,3 +747,32 @@ def test_simhash_ground_truth_exact_on_driver_data(spark):
     }
     assert found == truth
     assert len(truth) > 0
+
+
+def test_minhash_engines_agree(spark):
+    """The Arrow (numpy uint64) fold and the pure-JVM expression fold
+    must produce bit-identical signatures — same rotations, same XOR,
+    same SIGNED minima — including the q>0 family members past k=64."""
+    docs = _docs(spark)
+    for k in (8, 64, 96):
+        a = {r[0]: list(r[1]) for r in dedup.minhash_signatures(docs, num_hashes=k, engine="expr").collect()}
+        b = {r[0]: list(r[1]) for r in dedup.minhash_signatures(docs, num_hashes=k, engine="arrow").collect()}
+        assert a == b, f"engine mismatch at k={k}"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="engine"):
+        dedup.minhash_signatures(docs, engine="nope")
+
+
+def test_minhash_arrow_short_text_parity(spark):
+    """Docs shorter than the shingle width still yield one (truncated)
+    shingle via char_shingles' greatest(..., 1) floor — both engines
+    must agree on that edge too."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="ab"), Row(doc_id=2, text="")]
+    )
+    a = {r[0]: list(r[1]) for r in dedup.minhash_signatures(docs, num_hashes=4, engine="expr").collect()}
+    b = {r[0]: list(r[1]) for r in dedup.minhash_signatures(docs, num_hashes=4, engine="arrow").collect()}
+    assert a == b
