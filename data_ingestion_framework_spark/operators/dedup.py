@@ -981,3 +981,73 @@ def dedup_keep_per_cluster(
     # falls back to a shuffled anti join when it is not (at 100 TB the
     # non-representative set can itself be huge — never force broadcast)
     return df.join(drop, df[id_col] == drop["doc_id"], "left_anti")
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 1,
+    block_col: Column | None = None,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Blocked fuzzy-matching pairs under a Levenshtein bound — the
+    record-linkage/entity-resolution primitive (names, titles, product
+    strings) the exact and shingle dedups can't express.
+
+    Candidates come from an EQUI-join: rows share a blocking key
+    (default: first whitespace token — the classic canopy key; pass
+    ``block_col`` for domain keys like a sorted-neighborhood prefix)
+    AND a length band. Lengths are banded at width ``max_distance+1``
+    with the left side replicated to its band ±1, which covers every
+    pair with ``|len(a)-len(b)| <= max_distance`` — a necessary
+    condition for distance <= max_distance, so banding loses nothing
+    within a block; each qualifying pair meets on exactly one band
+    (no distinct needed). The O(n²) term is bounded per (block, band);
+    ``max_block_size`` drops degenerate blocks pre-join (same
+    observable-cap contract as ``blocked_jaccard_pairs`` —
+    report via ``oversize_blocks``; never truncate silently).
+
+    Returns ``(id_a, id_b, distance)`` with ``id_a < id_b``. The
+    distance is Spark's built-in ``levenshtein`` — the textbook DP any
+    engine reproduces, which is what makes the operator
+    oracle-checkable end-to-end.
+    """
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    block = (
+        block_col if block_col is not None else F.split(F.col(text_col), r"\s+")[0]
+    )
+    width = max_distance + 1
+    band = F.call_function(
+        "div", F.length(text_col).cast("bigint"), F.lit(width).cast("bigint")
+    )
+    base = df.select(
+        F.col(id_col), F.col(text_col), block.alias("__blk"), band.alias("__band")
+    )
+    if max_block_size is not None:
+        base = _drop_oversize(base, ["__blk"], max_block_size)
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("__ta"),
+        "__blk",
+        F.explode(
+            F.array(F.col("__band") - 1, F.col("__band"), F.col("__band") + 1)
+        ).alias("__band"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("__tb"),
+        "__blk",
+        "__band",
+    )
+    return (
+        a.join(b, ["__blk", "__band"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.abs(F.length("__ta") - F.length("__tb")) <= F.lit(max_distance)
+        )
+        .withColumn("distance", F.levenshtein("__ta", "__tb"))
+        .where(F.col("distance") <= F.lit(max_distance))
+        .select("id_a", "id_b", "distance")
+    )

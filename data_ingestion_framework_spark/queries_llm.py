@@ -2510,3 +2510,69 @@ def events_quantile_sketch(spark, sf_dir):
 def corpus_pmi_collocations(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return text.pmi_collocations(docs, min_count=5, top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity matching (record linkage) under a Levenshtein bound:
+# the corpus has no natural near-identical short strings, so — like
+# docs_redact_pii's stamped contact block — each document gets a
+# deterministic record name: groups of three share an md5-salted stem
+# ('rec-<salt8>-node') with variant 1 appending a char and variant 2
+# substituting the last char (both distance 1 from the stem, distance
+# 2 from each other). The operator must recover exactly the
+# stem↔variant pairs through its blocking (md5-prefix key + length
+# bands); the oracle recomputes the same names, the same blocking
+# equivalence (same key AND |len diff| <= 1 — the band meet is
+# guaranteed for those), and DuckDB's levenshtein. Cross-group salt
+# collisions (same 4-char prefix) are resolved identically by the
+# distance check in both engines.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_fuzzy_entity_pairs",
+    oracle="""
+    WITH named AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN base
+               WHEN 1 THEN base || 'x'
+               ELSE substr(base, 1, length(base) - 1) || 'z'
+             END AS name
+      FROM (
+        SELECT doc_id,
+               'rec-' || substr(md5(CAST(doc_id // 3 AS VARCHAR)), 1, 8)
+                      || '-node' AS base
+        FROM documents
+      )
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS distance
+    FROM named a JOIN named b
+      ON substr(a.name, 5, 4) = substr(b.name, 5, 4)
+     AND a.doc_id < b.doc_id
+     AND abs(length(a.name) - length(b.name)) <= 1
+    WHERE levenshtein(a.name, b.name) <= 1
+    """,
+)
+def docs_fuzzy_entity_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    g = F.call_function(
+        "div", F.col("doc_id").cast("bigint"), F.lit(3).cast("bigint")
+    )
+    base = F.concat(
+        F.lit("rec-"), F.substring(F.md5(g.cast("string")), 1, 8), F.lit("-node")
+    )
+    name = (
+        F.when(F.col("doc_id") % 3 == 0, base)
+        .when(F.col("doc_id") % 3 == 1, F.concat(base, F.lit("x")))
+        .otherwise(
+            F.concat(F.substring(base, 1, 16), F.lit("z"))
+        )
+    )
+    named = docs.select("doc_id", name.alias("name"))
+    return dedup.edit_distance_pairs(
+        named,
+        id_col="doc_id",
+        text_col="name",
+        max_distance=1,
+        block_col=F.substring(F.col("name"), 5, 4),
+    )

@@ -110,7 +110,9 @@ _PRIORITY = [
     "dq_row_flags",
     # never driver-graded: window/agg composites
     "orders_cube",
-    "orders_above_customer_avg",
+    # orders_above_customer_avg ceded its slot to docs_fuzzy_entity_pairs
+    # (agg-join-filter mechanism is window-graded via
+    # cheapest_part_per_brand; still in the full gate)
     "events_map_explode",
     "cheapest_part_per_brand",
     "lineitem_percentiles",
@@ -169,6 +171,7 @@ _PRIORITY = [
     # window already grades that exact value set).
     "orders_zorder_keys",
     "cdf_merge_changes",
+    "docs_fuzzy_entity_pairs",
     "corpus_pipeline_end2end",
     # rows-only (no oracle): the driver's hash gate can't grade it, so
     # it cedes its window slot to an oracle-backed round-5 query

@@ -776,3 +776,49 @@ def test_minhash_arrow_short_text_parity(spark):
     a = {r[0]: list(r[1]) for r in dedup.minhash_signatures(docs, num_hashes=4, engine="expr").collect()}
     b = {r[0]: list(r[1]) for r in dedup.minhash_signatures(docs, num_hashes=4, engine="arrow").collect()}
     assert a == b
+
+
+def test_edit_distance_pairs_basic(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=1, text="acme corp"),
+        Row(doc_id=2, text="acme corp."),   # dist 1 (append)
+        Row(doc_id=3, text="acme corq"),    # dist 1 from #1, 2 from #2
+        Row(doc_id=4, text="acme international"),  # same block, too far
+        Row(doc_id=5, text="zeta corp"),    # different first token
+    ]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in dedup.edit_distance_pairs(
+            spark.createDataFrame(rows), max_distance=1
+        ).collect()
+    }
+    assert pairs == {(1, 2): 1, (1, 3): 1}
+
+
+def test_edit_distance_pairs_length_bands_cover_boundary(spark):
+    """Two matches whose lengths straddle a band boundary must still
+    meet (the ±1 band replication)."""
+    from pyspark.sql import Row
+
+    # len 9 -> band 4, len 10 -> band 5 at width 2
+    rows = [Row(doc_id=1, text="abcd efgh"), Row(doc_id=2, text="abcd efghi")]
+    got = dedup.edit_distance_pairs(
+        spark.createDataFrame(rows), max_distance=1
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["distance"]) for r in got] == [(1, 2, 1)]
+
+
+def test_edit_distance_pairs_cap_and_validation(spark):
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    rows = [Row(doc_id=i, text="same block") for i in range(10)]
+    capped = dedup.edit_distance_pairs(
+        spark.createDataFrame(rows), max_distance=1, max_block_size=5
+    )
+    assert capped.count() == 0  # degenerate block dropped, not exploded
+    with _pytest.raises(ValueError, match="max_distance"):
+        dedup.edit_distance_pairs(spark.createDataFrame(rows), max_distance=-1)

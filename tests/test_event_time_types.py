@@ -214,5 +214,6 @@ def test_driver_grading_window_covers_priority_queries():
         "corpus_pipeline_splits",
         "orders_zorder_keys",
         "cdf_merge_changes",
+        "docs_fuzzy_entity_pairs",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
