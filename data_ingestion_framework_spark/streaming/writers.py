@@ -86,6 +86,7 @@ def foreach_batch_scd_merge(
     query_name: str | None = None,
     await_termination: bool | None = None,
     trigger: str = "availableNow",
+    cdf_table: ParquetTable | None = None,
 ):
     """Micro-batch SCD merge via ``foreachBatch``
     (writers/writer.py:695-758): each micro-batch runs the *batch* SCD
@@ -100,13 +101,50 @@ def foreach_batch_scd_merge(
     (O(touched data), the property that keeps a long-running stream
     from rewriting the whole table every trigger) — and an unbucketed
     target gets the staged full-state swap.
+
+    ``cdf_table`` (SCD1 only) additionally appends each micro-batch's
+    Change Data Feed — the ``cdc.change_data_feed`` rows the merge
+    implies, stamped ``_commit_version = batch_id`` — before the state
+    commit, mirroring Delta's streaming-merge + readChangeFeed pairing.
+    Delta-faithful semantics: matched rows emit update pre/post images
+    whenever ANY compared column (including the order column) differs,
+    exactly as ``UPDATE SET *`` does. Replay-safe: a micro-batch whose
+    ``batch_id`` already appears in the feed is skipped (the
+    failure-after-commit-before-checkpoint window re-delivers a batch;
+    the merge is idempotent, the feed append must be guarded).
     """
+    from pyspark.sql import functions as F
+
+    from data_ingestion_framework_spark.operators.cdc import change_data_feed
+    from data_ingestion_framework_spark.operators.scd import dedupe_latest
     from data_ingestion_framework_spark.sinks.writers import batch_write
+
+    if cdf_table is not None and scd_type != 1:
+        raise ValueError("cdf_table is only supported for scd_type=1 merges")
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         if transform is not None:
             batch_df = transform(batch_df)
         batch_df = batch_df.drop("_metadata")
+        if cdf_table is not None:
+            already = cdf_table.exists() and (
+                cdf_table.read()
+                .where(F.col("_commit_version") == batch_id)
+                .limit(1)
+                .count()
+                > 0
+            )
+            if not already:
+                latest = dedupe_latest(batch_df, key_cols, order_col)
+                target = table.read() if table.exists() else latest.limit(0)
+                feed = change_data_feed(
+                    target,
+                    latest,
+                    key_cols,
+                    full_extract=full_extract,
+                    commit_version=batch_id,
+                )
+                batch_write(feed, cdf_table, mode="append")
         batch_write(
             batch_df,
             table,

@@ -509,3 +509,61 @@ def test_stream_mg_heavy_hitters_folds_batches(spark, tmp_path):
     q = stream_mg_heavy_hitters(stream, state, ckpt, "val", "rid", n_shards=4, m=12)
     q.awaitTermination()
     assert sorted(tuple(r) for r in state.read().collect()) == before
+
+
+def test_foreach_batch_merge_emits_change_feed(spark, tmp_path):
+    """The streaming merge's CDF table carries per-micro-batch
+    insert/update images stamped with the batch id — Delta's
+    streaming-merge + readChangeFeed pairing on plain parquet."""
+    t0 = [Row(pk=1, val="a", mtime=T), Row(pk=2, val="b", mtime=T)]
+    t1 = [
+        Row(pk=1, val="a2", mtime=T + dt.timedelta(days=1)),
+        Row(pk=3, val="c", mtime=T + dt.timedelta(days=1)),
+    ]
+    landing = _stage_files(spark, tmp_path / "landing", [t0, t1])
+
+    table = ParquetTable(spark, str(tmp_path / "silver"))
+    feed = ParquetTable(spark, str(tmp_path / "feed"))
+    stream = read_file_stream(
+        spark, landing, "parquet", control_columns=False, max_files_per_trigger=1
+    )
+    foreach_batch_scd_merge(
+        stream, table, ["pk"], "mtime", str(tmp_path / "ckpt"),
+        scd_type=1, cdf_table=feed,
+    )
+    rows = feed.read().collect()
+    by_version = {}
+    for r in rows:
+        by_version.setdefault(r["_commit_version"], []).append(r)
+    assert sorted(by_version) == [0, 1]
+    # batch 0: empty target -> both rows are inserts
+    assert sorted(
+        (r["pk"], r["_change_type"]) for r in by_version[0]
+    ) == [(1, "insert"), (2, "insert")]
+    # batch 1: pk=1 updates (pre+post), pk=3 inserts, pk=2 untouched
+    assert sorted(
+        (r["pk"], r["_change_type"]) for r in by_version[1]
+    ) == [
+        (1, "update_postimage"),
+        (1, "update_preimage"),
+        (3, "insert"),
+    ]
+    pre = [r for r in by_version[1] if r["_change_type"] == "update_preimage"][0]
+    post = [r for r in by_version[1] if r["_change_type"] == "update_postimage"][0]
+    assert pre["val"] == "a" and post["val"] == "a2"
+    # the merged state matches the batch reference as before
+    got = {r["pk"]: r["val"] for r in table.read().collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}
+
+
+def test_foreach_batch_cdf_rejects_scd2(spark, tmp_path):
+    import pytest as _pytest
+
+    feed = ParquetTable(spark, str(tmp_path / "feed"))
+    table = ParquetTable(spark, str(tmp_path / "t"))
+    with _pytest.raises(ValueError, match="scd_type=1"):
+        foreach_batch_scd_merge(
+            spark.readStream.format("rate").load(),
+            table, ["pk"], "mtime", str(tmp_path / "ckpt"),
+            scd_type=2, cdf_table=feed,
+        )
