@@ -42,6 +42,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 LOG_DIR = "_commits"
 HIST_DIR = "_history"
@@ -471,6 +472,113 @@ class ParquetTable:
 
     def file_count(self) -> int:
         return len(self._data_files())
+
+    # -- per-file Bloom index (point-lookup file skipping) -----------------
+
+    def _bloom_index_path(self, col: str) -> str:
+        return os.path.join(self.path, "_bloom_index", col)
+
+    def build_bloom_index(self, col: str, m_bits: int = 1 << 16, k: int = 4) -> None:
+        """Build a per-FILE Bloom filter over ``col`` — the companion
+        to z-order's min/max range skipping for equality lookups
+        (Delta's ``delta.bloomFilter`` / Iceberg bloom write-property
+        parity, re-derived on plain parquet).
+
+        Fully distributed: each value sets ``k`` bit positions
+        ``xxhash64(i, value) & (m-1)``; positions fold into sparse
+        ``(word, bits)`` pairs per file via a ``bit_or`` aggregate —
+        the index table is O(files × set-bits), never the data. Stored
+        as a parquet sidecar under ``_bloom_index/<col>`` keyed by
+        file path, rebuilt on demand after rewrites (the sidecar
+        records the commit seq it indexed; ``lookup_files`` refuses a
+        stale index rather than silently missing rows)."""
+        if m_bits & (m_bits - 1):
+            raise ValueError("m_bits must be a power of two")
+        df = self.read().select(
+            F.col("_metadata.file_path").alias("__file"),
+            F.col(col).cast("string").alias("__v"),
+        )
+        pos = F.array(
+            *[
+                F.xxhash64(F.lit(i), F.col("__v")).bitwiseAND(F.lit(m_bits - 1))
+                for i in range(k)
+            ]
+        )
+        index = (
+            df.select("__file", F.explode(pos).alias("__p"))
+            .select(
+                "__file",
+                F.shiftright("__p", 6).cast("int").alias("__w"),
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("bigint"),
+                    F.col("__p").bitwiseAND(F.lit(63)).cast("int"),
+                ).alias("__m"),
+            )
+            .groupBy("__file", "__w")
+            .agg(F.bit_or("__m").alias("__bits"))
+            .groupBy("__file")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__w"), F.col("__bits")))
+                ).alias("sparse")
+            )
+            .select(
+                F.col("__file").alias("file"),
+                "sparse",
+                F.lit(m_bits).alias("m_bits"),
+                F.lit(k).alias("k"),
+                F.lit(self._next_seq() - 1).alias("indexed_seq"),
+            )
+        )
+        out = self._bloom_index_path(col)
+        shutil.rmtree(out, ignore_errors=True)
+        index.write.mode("overwrite").parquet(out)
+
+    def lookup_files(self, col: str, value) -> list[str]:
+        """Candidate data files that MAY contain ``col == value``,
+        per the Bloom sidecar — no false negatives, false positives at
+        the classic rate. Raises if the index predates the latest
+        commit (stale skipping would silently drop rows)."""
+        idx_path = self._bloom_index_path(col)
+        if not os.path.isdir(idx_path):
+            raise ValueError(f"no bloom index for column {col!r} — build_bloom_index first")
+        idx = self.spark.read.parquet(idx_path)
+        meta = idx.select("m_bits", "k", "indexed_seq").first()
+        if meta["indexed_seq"] != self._next_seq() - 1:
+            raise ValueError(
+                f"bloom index for {col!r} is stale (indexed commit "
+                f"{meta['indexed_seq']}, table at {self._next_seq() - 1}) — rebuild"
+            )
+        m_bits, k = meta["m_bits"], meta["k"]
+        v = F.lit(str(value))
+        cond = F.lit(True)
+        for i in range(k):
+            p = F.xxhash64(F.lit(i), v).bitwiseAND(F.lit(m_bits - 1))
+            word = F.shiftright(p, 6).cast("int")
+            bit = F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                p.bitwiseAND(F.lit(63)).cast("int"),
+            )
+            hit = F.size(
+                F.filter(
+                    F.col("sparse"),
+                    lambda s: (s["__w"] == word) & (s["__bits"].bitwiseAND(bit) != 0),
+                )
+            ) > 0
+            cond = cond & hit
+        return [r["file"] for r in idx.where(cond).select("file").collect()]
+
+    def point_lookup(self, col: str, value) -> DataFrame:
+        """Equality scan through the Bloom index: read ONLY the
+        candidate files, then apply the exact predicate. At 100 TB a
+        point lookup touches a handful of files instead of the table;
+        the exact filter kills the false-positive residue."""
+        files = self.lookup_files(col, value)
+        if not files:
+            return self.read().where(F.lit(False))
+        return self.spark.read.parquet(*files).where(F.col(col).cast("string") == str(value))
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

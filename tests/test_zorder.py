@@ -149,3 +149,56 @@ def test_zorder_code_all_null_raises(spark):
     df = spark.createDataFrame([(None,), (None,)], "x bigint")
     with pytest.raises(ValueError, match="all-NULL"):
         zorder_code(df, ["x"], bits=4)
+
+
+# -- per-file Bloom index (the equality complement of z-order) -----------
+
+
+def test_bloom_index_point_lookup_prunes_files(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        t = ParquetTable(spark, f"{tmp}/t")
+        # 8 files, each holding a disjoint key range
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            "o_orderkey", "o_custkey"
+        )
+        t.overwrite(orders.repartitionByRange(8, "o_orderkey"))
+        t.build_bloom_index("o_orderkey")
+
+        keys = [r["o_orderkey"] for r in orders.limit(5).collect()]
+        total_files = t.file_count()
+        for key in keys:
+            cand = t.lookup_files("o_orderkey", key)
+            # range-partitioned: the key lives in one file; bloom fps
+            # may admit a couple more, never most of the table
+            assert 1 <= len(cand) <= max(2, total_files // 2)
+            got = t.point_lookup("o_orderkey", key).collect()
+            want = orders.where(F.col("o_orderkey") == key).collect()
+            assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_bloom_index_no_false_negatives(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        t = ParquetTable(spark, f"{tmp}/t")
+        df = spark.range(0, 2000).selectExpr("id", "id % 7 AS grp")
+        t.overwrite(df.repartition(6, "id"))
+        t.build_bloom_index("id")
+        # every present key must be found through the index
+        for key in (0, 1, 999, 1999):
+            got = t.point_lookup("id", key).collect()
+            assert [r["id"] for r in got] == [key]
+        # absent key: exact residue filter returns nothing
+        assert t.point_lookup("id", 123456).count() == 0
+
+
+def test_bloom_index_staleness_guard(spark):
+    import pytest as _pytest
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t = ParquetTable(spark, f"{tmp}/t")
+        t.overwrite(spark.range(10).selectExpr("id"))
+        t.build_bloom_index("id")
+        t.append(spark.range(10, 20).selectExpr("id"))
+        with _pytest.raises(ValueError, match="stale"):
+            t.lookup_files("id", 5)
+        with _pytest.raises(ValueError, match="no bloom index"):
+            t.lookup_files("nope", 5)
