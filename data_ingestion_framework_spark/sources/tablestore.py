@@ -293,6 +293,43 @@ class ParquetTable:
         # append commits record per-commit counts).
         self._record_commit(op, metrics, new_files=self._data_files())
 
+    def delete_where(
+        self,
+        predicate,
+        cdf_table: "ParquetTable | None" = None,
+    ) -> int:
+        """Row erasure (GDPR/right-to-be-forgotten parity with Delta's
+        ``DELETE FROM``): rewrite the table without rows matching
+        ``predicate`` (a Column or SQL string), recording a ``delete``
+        commit with the erased row count. Returns rows deleted.
+
+        ``cdf_table`` additionally appends ``delete``-typed change rows
+        for the erased keys (``_commit_version`` = this delete's commit
+        seq), so downstream CDF consumers propagate the erasure instead
+        of resurrecting the rows from stale copies. NOTE: erasure is
+        only complete after ``vacuum()`` — time-travel history retains
+        the pre-delete files until then (same caveat Delta documents)."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        if not self.exists():
+            return 0
+        current = self.read()
+        doomed = current.where(pred)
+        n = doomed.count()
+        if n == 0:
+            return 0
+        seq = self._next_seq()
+        if cdf_table is not None:
+            feed = doomed.withColumn("_change_type", F.lit("delete")).withColumn(
+                "_commit_version", F.lit(seq).cast("bigint")
+            )
+            cdf_table.append(feed)
+        self.overwrite(
+            current.where(~F.coalesce(pred, F.lit(False))),
+            metrics={"rows_deleted": n},
+            op="delete",
+        )
+        return n
+
     def touched_partitions(self, df: DataFrame) -> list[str]:
         """Relative partition directories the batch ``df`` writes into —
         a ``distinct`` over the partition expressions, control-plane

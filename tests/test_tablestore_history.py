@@ -165,3 +165,37 @@ def test_overwrite_partitions_counts_only_staged_files(spark, tpath):
     assert h[-1]["op"] == "overwrite_partitions"
     assert h[-1]["rows_written"] == 1  # not 9 (the 'a'/'c' partitions untouched)
     assert t.read().count() == 9
+
+
+def test_delete_where_erases_and_records(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    feed = ParquetTable(spark, str(tmp_path / "feed"))
+    t.overwrite(spark.range(10).selectExpr("id", "id % 2 AS parity"))
+    n = t.delete_where(F.col("parity") == 1, cdf_table=feed)
+    assert n == 5
+    assert sorted(r["id"] for r in t.read().collect()) == [0, 2, 4, 6, 8]
+    rec = [h for h in t.history() if h["op"] == "delete"]
+    assert rec and rec[-1]["metrics"]["rows_deleted"] == 5
+    changes = feed.read().collect()
+    assert len(changes) == 5
+    assert all(r["_change_type"] == "delete" for r in changes)
+    assert sorted(r["id"] for r in changes) == [1, 3, 5, 7, 9]
+    # no-match delete is a no-op (no commit, no feed rows)
+    before = len(t.history())
+    assert t.delete_where("id > 100") == 0
+    assert len(t.history()) == before
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """Rows where the predicate is NULL are NOT deleted (SQL DELETE
+    semantics: only predicate=TRUE rows go)."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")], "id int, v string"
+        )
+    )
+    assert t.delete_where("v = 'a'") == 1
+    assert sorted(r["id"] for r in t.read().collect()) == [2, 3]
