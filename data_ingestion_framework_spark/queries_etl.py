@@ -780,3 +780,72 @@ def multimodal_audio_meta(spark, sf_dir):
         "n_frames",
         "duration_sec",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-aggregate lifecycle under the oracle gate (the pattern
+# ie_history_state set): the events stream lands in two append commits
+# with a refresh folded after each; the final aggregate STATE must
+# equal a single full aggregation of everything — the semigroup
+# merge law, value-checked end-to-end through real table commits.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_incremental_rollup",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(value) AS BIGINT) AS n_events,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_incremental_rollup(spark, sf_dir):
+    import tempfile
+
+    from data_ingestion_framework_spark.operators.incremental import (
+        refresh_aggregate,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    tmp = tempfile.mkdtemp(prefix="difs_incr_")
+    base = ParquetTable(spark, f"{tmp}/base")
+    agg = ParquetTable(spark, f"{tmp}/agg")
+    base.overwrite(ev.where(F.col("event_id") % 2 == 0))
+    refresh_aggregate(
+        base, agg, ["user_id"],
+        {"n_events": ("count", "value"), "lo": ("min", "value"), "hi": ("max", "value")},
+    )
+    base.append(ev.where(F.col("event_id") % 2 != 0))
+    refresh_aggregate(
+        base, agg, ["user_id"],
+        {"n_events": ("count", "value"), "lo": ("min", "value"), "hi": ("max", "value")},
+    )
+    return agg.read().select("user_id", "n_events", "lo", "hi")
+
+
+# ---------------------------------------------------------------------------
+# Row-erasure lifecycle under the oracle gate: load orders, DELETE the
+# %5 keys, return the surviving state — the whole staged-swap rewrite
+# + commit path is what's being value-checked, not just a filter.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_delete_state",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 5 <> 0
+    """,
+)
+def orders_delete_state(spark, sf_dir):
+    import tempfile
+
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = ParquetTable(spark, tempfile.mkdtemp(prefix="difs_del_") + "/t")
+    t.overwrite(orders)
+    t.delete_where(F.col("o_orderkey") % 5 == 0)
+    return t.read()
