@@ -141,16 +141,25 @@ def test_winnowing_is_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
-def test_minhash_signatures_single_exchange(spark):
-    """The signature fold must shuffle exactly once (the doc-id
-    repartition barrier) — the explode->groupBy shape it replaced
-    shuffled per-shingle partial aggregates."""
+def test_minhash_signatures_narrow_exchanges(spark):
+    """Neither fold engine may shuffle per-shingle rows (the
+    explode->groupBy shape both replaced shuffled a k-column partial
+    aggregate per shingle). expr: the two id-keyed repartitions
+    collapse to ONE exchange. arrow: the mapInPandas node pins both —
+    the (id, normalized-text) spread feeding the Python fold and the
+    (id, sig) barrier after it — still O(docs) narrow rows each,
+    never per-shingle."""
     from data_ingestion_framework_spark.operators.dedup import minhash_signatures
 
     docs = spark.createDataFrame([Row(doc_id=1, text="abcdefghij" * 5)])
-    plan = _plan(minhash_signatures(docs))
-    assert plan.count("Exchange") == 1
-    assert "HashAggregate" not in plan
+    expr_plan = _plan(minhash_signatures(docs, engine="expr"))
+    assert expr_plan.count("Exchange") == 1
+    assert "HashAggregate" not in expr_plan
+
+    arrow_plan = _plan(minhash_signatures(docs, engine="arrow"))
+    assert arrow_plan.count("Exchange") == 2
+    assert "HashAggregate" not in arrow_plan
+    assert "Generate" not in arrow_plan  # no shingle explode into rows
 
 
 def test_fact_fact_joins_are_aqe_decided(spark):
@@ -266,3 +275,47 @@ def test_bloom_decontaminate_broadcasts_bitmap_not_grams(spark):
     plan = _plan(decontaminate_bloom(docs, bench, n=13, m_bits=1 << 12, k=3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_layout_is_one_range_exchange(spark):
+    """The clustering write costs exactly one shuffle — a range
+    exchange on the Morton code (sampled bounds, so raw-column skew
+    doesn't skew files) — plus the in-partition sort."""
+    from data_ingestion_framework_spark.operators.zorder import zorder_layout
+
+    df = spark.createDataFrame(
+        [Row(id=i, x=i % 50, y=(i * 7) % 50) for i in range(200)]
+    )
+    plan = _plan(zorder_layout(df, ["x", "y"], 4, bits=8))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" in plan.lower()
+    assert "Sort" in plan
+
+
+def test_change_data_feed_is_single_join_no_rescan(spark):
+    """The CDF derives from ONE full-outer join + explode — not a
+    UNION of four per-branch scans (which would read both inputs four
+    times at 100 TB)."""
+    from data_ingestion_framework_spark.operators.cdc import change_data_feed
+
+    t = spark.createDataFrame([Row(pk=1, v="a")])
+    s = spark.createDataFrame([Row(pk=1, v="b")])
+    plan = _plan(change_data_feed(t, s, ["pk"], full_extract=True))
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count(
+        "ShuffledHashJoin"
+    ) == 1
+    assert "Union" not in plan
+    assert "Generate" in plan  # the explode of 0-2 change structs
+
+
+def test_edit_distance_pairs_equi_join_not_cartesian(spark):
+    """Fuzzy matching must candidate-generate through the (block,
+    band) equi-join — never a cartesian/nested-loop over the corpus."""
+    from data_ingestion_framework_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"name {i}") for i in range(50)]
+    )
+    plan = _plan(edit_distance_pairs(docs, max_distance=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
