@@ -49,11 +49,13 @@ def refresh_aggregate(
 
     First call (no cursor) aggregates the whole base; later calls read
     only the delta. The cursor (last folded commit seq) lives in the
-    aggregate table's properties, so the refresh is restartable and
-    idempotent: re-running after a crash either sees the cursor
-    already advanced (no-op) or folds the same delta into the
-    pre-refresh state again (the overwrite is a staged swap — state
-    and cursor move together or not at all).
+    aggregate table's properties AND in each refresh commit's metrics:
+    a crash between the state overwrite and the properties write is
+    repaired from the commit record on the next call (never refolded).
+    The remaining unprotected window is a crash between the staged
+    swap and its commit record — detectable (state newer than the
+    log) but not self-healing; re-create the aggregate from scratch
+    after such a crash, the base table is untouched either way.
     """
     for out, (fn, _col) in measures.items():
         if fn not in _MERGEABLE:
@@ -67,6 +69,17 @@ def refresh_aggregate(
     current_seq = hist[-1]["seq"]
     props = agg_table.properties() if agg_table.exists() else {}
     last = props.get(cursor_prop)
+
+    # crash repair: the last refresh commit's metrics carry the seq it
+    # folded through; if the properties write didn't land, advance the
+    # cursor from the record instead of double-folding the delta
+    agg_hist = agg_table.history() if agg_table.exists() else []
+    if agg_hist:
+        recorded = (agg_hist[-1].get("metrics") or {}).get(cursor_prop)
+        if recorded is not None and (last is None or int(recorded) > int(last)):
+            last = int(recorded)
+            props = {**props, cursor_prop: str(last)}
+            agg_table.set_properties(props)
 
     if last is not None and int(last) == current_seq:
         return 0
@@ -93,6 +106,8 @@ def refresh_aggregate(
     else:
         merged = partial
     n_folded = len([r for r in hist if last is None or r["seq"] > int(last)])
-    agg_table.overwrite(merged, op="agg_refresh")
+    agg_table.overwrite(
+        merged, metrics={cursor_prop: current_seq}, op="agg_refresh"
+    )
     agg_table.set_properties({**props, cursor_prop: str(current_seq)})
     return n_folded

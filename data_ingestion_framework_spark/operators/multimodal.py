@@ -280,8 +280,11 @@ def parse_wav_meta(payload: bytes) -> tuple[int, int, int, int] | None:
             n_frames = size // block_align
             break
         # chunk bodies may be absent in header-only payloads; advance
-        # past the declared body only when the bytes are actually there
-        i += 8 + (size if i + 8 + size <= len(payload) else 0)
+        # past the declared body only when the bytes are actually there.
+        # RIFF chunks are word-aligned: an odd-size body carries one
+        # pad byte that is NOT counted in the size field.
+        skip = size + (size & 1)
+        i += 8 + (skip if i + 8 + skip <= len(payload) else 0)
         if i + 8 > len(payload):
             break
     if fmt is None or n_frames is None:

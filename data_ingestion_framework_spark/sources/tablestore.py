@@ -306,9 +306,14 @@ class ParquetTable:
         ``cdf_table`` additionally appends ``delete``-typed change rows
         for the erased keys (``_commit_version`` = this delete's commit
         seq), so downstream CDF consumers propagate the erasure instead
-        of resurrecting the rows from stale copies. NOTE: erasure is
-        only complete after ``vacuum()`` — time-travel history retains
-        the pre-delete files until then (same caveat Delta documents)."""
+        of resurrecting the rows from stale copies. The feed lands
+        BEFORE the state rewrite on purpose: a crash in between
+        over-propagates a delete that didn't commit — the conservative
+        failure for erasure (consumers drop rows that still exist and
+        re-sync), versus a committed erasure downstream never hears
+        about. NOTE: erasure is only complete after ``vacuum()`` —
+        time-travel history retains the pre-delete files until then
+        (same caveat Delta documents)."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         if not self.exists():
             return 0

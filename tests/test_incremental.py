@@ -77,3 +77,29 @@ def test_refresh_rejects_unmergeable_measure(spark, tmp_path):
     base.overwrite(spark.createDataFrame([("a", 1)], "k string, v bigint"))
     with pytest.raises(ValueError, match="not mergeable"):
         refresh_aggregate(base, agg, ["k"], {"m": ("avg", "v")})
+
+
+def test_refresh_repairs_cursor_from_commit_metrics(spark, tmp_path):
+    """Simulated crash between the state overwrite and the properties
+    write: the next refresh must repair the cursor from the refresh
+    commit's metrics instead of double-folding the delta."""
+    from data_ingestion_framework_spark.operators.incremental import (
+        CURSOR_PROP,
+    )
+
+    base = ParquetTable(spark, str(tmp_path / "base"))
+    agg = ParquetTable(spark, str(tmp_path / "agg"))
+    base.overwrite(spark.createDataFrame([("a", 1)], "k string, v bigint"))
+    refresh_aggregate(base, agg, ["k"], MEASURES)
+    base.append(spark.createDataFrame([("a", 2)], "k string, v bigint"))
+    refresh_aggregate(base, agg, ["k"], MEASURES)
+    good = _state(agg)
+
+    # wind the PROPERTIES cursor back one commit (what a crash after
+    # overwrite+record but before set_properties leaves behind)
+    props = agg.properties()
+    props[CURSOR_PROP] = str(int(props[CURSOR_PROP]) - 1)
+    agg.set_properties(props)
+
+    assert refresh_aggregate(base, agg, ["k"], MEASURES) == 0  # repaired, no refold
+    assert _state(agg) == good

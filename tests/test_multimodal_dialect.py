@@ -274,3 +274,22 @@ def test_decode_audio_raises_on_garbage(spark):
     bad = spark.range(1).select(F.lit(b"junk").cast("binary").alias("media_bytes"))
     with _pytest.raises(Exception):
         decode_audio(bad, on_error="raise").collect()
+
+
+def test_parse_wav_meta_skips_odd_padded_chunks():
+    """RIFF word alignment: an odd-size chunk before fmt carries a pad
+    byte not counted in its size field — the walk must stay aligned."""
+    import struct as pystruct
+
+    from data_ingestion_framework_spark.operators.multimodal import parse_wav_meta
+
+    rate, ch, bits, frames = 8000, 1, 16, 100
+    block = ch * bits // 8
+    data_size = frames * block
+    junk = b"JUNK" + pystruct.pack("<I", 3) + b"abc\x00"  # 3-byte body + pad
+    payload = (
+        b"RIFF" + pystruct.pack("<I", 0) + b"WAVE" + junk
+        + b"fmt " + pystruct.pack("<IHHIIHH", 16, 1, ch, rate, rate * block, block, bits)
+        + b"data" + pystruct.pack("<I", data_size)
+    )
+    assert parse_wav_meta(payload) == (rate, ch, bits, frames)
