@@ -843,6 +843,74 @@ def simhash64(
     return sig
 
 
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine: str = "arrow",
+) -> DataFrame:
+    """``(id, __sim)`` 64-bit SimHash frame — the shared signature stage
+    of :func:`simhash_near_dups`.
+
+    Two value-identical engines (``test_simhash_engines_agree``):
+    ``"arrow"`` (default) hashes tokens once JVM-side and runs the
+    64-bit vote matrix as vectorized numpy — the expr form's 64
+    ``aggregate`` folds each re-inline (and so re-hash) the token
+    array, ~64× the work; ``"expr"`` keeps the pure-JVM fold."""
+    if engine not in ("arrow", "expr"):
+        raise ValueError(f"engine must be 'arrow' or 'expr', got {engine!r}")
+    spread = _spread_normalized(df, id_col, text_col)
+    if engine == "expr":
+        return spread.select(
+            F.col(id_col), simhash64("__norm", pre_normalized=True).alias("__sim")
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    hashed = spread.select(
+        F.col(id_col),
+        F.transform(
+            F.split(F.col("__norm"), " "), lambda w: F.xxhash64(w)
+        ).alias("__h"),
+    )
+    bit_idx = np.arange(64, dtype=np.uint64)[None, :]
+
+    def sim_of(cell) -> int:
+        h = np.asarray(cell, dtype=np.int64).view(np.uint64)[:, None]
+        bits = ((h >> bit_idx) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        # distinct powers of two never carry, so the uint64 sum has
+        # exactly the vote>0 bits set; view back as the signed bigint
+        # the expr engine's mask addition produces
+        word = int(
+            (np.where(votes > 0, np.uint64(1), np.uint64(0)) << bit_idx[0]).sum(
+                dtype=np.uint64
+            )
+        )
+        return word - (1 << 64) if word >= (1 << 63) else word
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("__sim", T.LongType()),
+        ]
+    )
+
+    def _fold(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "__sim": [sim_of(c) for c in pdf["__h"]],
+                }
+            )
+
+    return hashed.mapInPandas(_fold, schema=out_schema)
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -850,6 +918,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into
     ``bands`` chunks (pigeonhole: hamming ≤ bands-1 ⇒ some band equal),
@@ -857,10 +926,7 @@ def simhash_near_dups(
     xor bit_count. ``max_bucket_size`` caps each (band, chunk) bucket —
     see ``minhash_lsh_candidates`` for why; dropped buckets observable
     via ``lsh_oversize_buckets(banded, cap, ["band", "chunk"])``."""
-    spread = _spread_normalized(df, id_col, text_col)
-    sig = spread.select(
-        F.col(id_col), simhash64("__norm", pre_normalized=True).alias("__sim")
-    )
+    sig = simhash_signatures(df, id_col, text_col, engine=engine)
     width = 64 // bands
     banded = sig.select(
         id_col,

