@@ -177,7 +177,6 @@ def change_data_feed(
         compare_cols = [
             c for c in source.columns if c not in key_cols and c in target.columns
         ]
-    out_cols = [*key_cols, *compare_cols]
     t = target.select(
         *key_cols, *[F.col(c).alias(f"_t_{c}") for c in compare_cols]
     ).withColumn("_in_t", F.lit(True))

@@ -277,14 +277,16 @@ def remove_boilerplate_lines(
         .where(F.col("__docs") >= min_docs)
         .select("__key")
     )
-    # the frequent-line set is the aggregation's survivors — bounded by
-    # lines that repeat across >= min_docs documents (nav bars, cookie
-    # banners), orders of magnitude smaller than the corpus. Broadcast
-    # it so the corpus-sized line frame is marked map-side and never
-    # shuffles on the line key; the only corpus shuffle left is the
-    # id-keyed reassembly.
+    # the frequent-line set is the aggregation's survivors — usually
+    # orders of magnitude smaller than the corpus (nav bars, cookie
+    # banners), but NOT bounded: a heavily templated corpus can push it
+    # past the broadcast limit. Leave the strategy to AQE, which sees
+    # the aggregate's actual runtime size and converts to broadcast
+    # when it fits (the common case: corpus lines marked map-side, the
+    # only corpus shuffle is the id-keyed reassembly) while the big
+    # case degrades to a sound shuffle join instead of a driver OOM.
     marked = lines.join(
-        F.broadcast(freq.withColumn("__boiler", F.lit(True))), "__key", "left"
+        freq.withColumn("__boiler", F.lit(True)), "__key", "left"
     ).withColumn("__drop", F.coalesce("__boiler", F.lit(False)))
     # passthrough columns ride the id-keyed aggregation (constant per
     # id) instead of a join-back to the source — one fewer corpus scan

@@ -227,8 +227,13 @@ def _minhash_signatures_arrow(
     rc = (np.uint64(64) - r) % np.uint64(64)
     qc = (np.uint64(64) - q) % np.uint64(64)
 
-    def sig_of(h1_cell, h2_cell) -> list[int]:
-        if h1_cell is None or len(h1_cell) == 0:
+    def sig_of(h1_cell, h2_cell) -> list[int] | None:
+        if h1_cell is None:
+            # a NULL hash ARRAY (not a null-text doc — char_shingles
+            # maps NULL text to a [NULL] shingle whose hashes arrive as
+            # constants) folds to NULL, matching aggregate(NULL) = NULL
+            return None
+        if len(h1_cell) == 0:
             return [_I64_MAX] * k
         h1 = np.asarray(h1_cell, dtype=np.int64).view(np.uint64)[:, None]
         h2 = np.asarray(h2_cell, dtype=np.int64).view(np.uint64)[:, None]
@@ -879,6 +884,13 @@ def simhash_signatures(
     bit_idx = np.arange(64, dtype=np.uint64)[None, :]
 
     def sim_of(cell) -> int:
+        if cell is None:
+            # NULL text → split() yields a NULL token array; the expr
+            # fold's per-bit votes go NULL and every when(vote > 0)
+            # falls to otherwise(0), so the signature is 0 — match it
+            # (null-text docs legitimately band together as identical
+            # empty content; the bucket caps bound the blowup)
+            return 0
         h = np.asarray(cell, dtype=np.int64).view(np.uint64)[:, None]
         bits = ((h >> bit_idx) & np.uint64(1)).astype(np.int64)
         votes = (2 * bits - 1).sum(axis=0)

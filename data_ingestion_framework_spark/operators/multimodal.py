@@ -270,7 +270,7 @@ def parse_wav_meta(payload: bytes) -> tuple[int, int, int, int] | None:
         if cid == b"fmt " and i + 24 <= len(payload):
             audio_fmt, channels, rate = struct.unpack("<HHI", payload[i + 8 : i + 16])
             bits = struct.unpack("<H", payload[i + 22 : i + 24])[0]
-            if audio_fmt != 1 or channels == 0 or bits == 0:
+            if audio_fmt != 1 or channels == 0 or bits == 0 or rate == 0:
                 return None
             fmt = (rate, channels, bits)
         elif cid == b"data" and fmt is not None:
@@ -328,31 +328,34 @@ def decode_audio(
             pdf = pdf.copy()
             rates, chans, bits, frames, durs, errs = [], [], [], [], [], []
             for b in pdf[bytes_col]:
+                # compute the whole row first, append ONCE — a partial
+                # append before a late failure would skew the column
+                # lengths and crash the task, defeating quarantine
                 try:
                     meta = parser(bytes(b) if b is not None else None)
                     if meta is None:
                         raise ValueError("not a parseable PCM WAV payload")
                     r, c, bps, nf = meta
-                    rates.append(r)
-                    chans.append(c)
-                    bits.append(bps)
-                    frames.append(nf)
-                    durs.append(nf / r)
-                    errs.append(None)
+                    if r <= 0:
+                        raise ValueError(f"non-positive sample rate {r}")
+                    row = (r, c, bps, nf, nf / r, None)
                 except Exception as e:  # noqa: BLE001 — quarantine policy
                     if on_error == "raise":
                         raise
-                    rates.append(None)
-                    chans.append(None)
-                    bits.append(None)
-                    frames.append(None)
-                    durs.append(None)
-                    errs.append(f"{type(e).__name__}: {e}")
+                    row = (None, None, None, None, None, f"{type(e).__name__}: {e}")
+                rates.append(row[0])
+                chans.append(row[1])
+                bits.append(row[2])
+                frames.append(row[3])
+                durs.append(row[4])
+                errs.append(row[5])
             pdf["sample_rate"] = pd.array(rates, dtype="Int32")
             pdf["channels"] = pd.array(chans, dtype="Int32")
             pdf["bits_per_sample"] = pd.array(bits, dtype="Int32")
             pdf["n_frames"] = pd.array(frames, dtype="Int64")
-            pdf["duration_sec"] = pd.array(durs, dtype="float64")
+            # nullable Float64: quarantined rows get a true NULL, not
+            # NaN (WHERE duration_sec IS NULL must see them)
+            pdf["duration_sec"] = pd.array(durs, dtype="Float64")
             if on_error == "quarantine":
                 pdf["decode_error"] = errs
             yield pdf

@@ -40,21 +40,29 @@ def int_bucket(col: Column, vmin: int, vmax: int, bits: int) -> Column:
     """
     if vmax < vmin:
         raise ValueError(f"empty bucket range [{vmin}, {vmax}]")
-    if (vmax - vmin + 1) > (1 << 46):
+    if (vmax - vmin + 1) > (1 << (63 - bits)):
         # (x - vmin) * 2^bits must stay inside signed 64 bits under
         # ANSI overflow checking; pre-scale such columns (e.g. micros →
-        # days) instead of silently wrapping
+        # days) instead of silently wrapping. The bound scales with the
+        # requested bucket width — span * 2^bits < 2^63.
         raise ValueError(
-            f"range [{vmin}, {vmax}] too wide for exact bucketing — "
-            "pre-scale the column (e.g. truncate timestamps to days)"
+            f"range [{vmin}, {vmax}] too wide for exact {bits}-bit "
+            "bucketing — pre-scale the column (e.g. truncate "
+            "timestamps to days)"
         )
     n = 1 << bits
     span = vmax - vmin + 1
-    # bigint DIV bigint — exact integer division, no float rounding
-    bucket = F.call_function(
-        "div", (col.cast("bigint") - F.lit(vmin)) * F.lit(n), F.lit(span)
+    # clamp BEFORE the multiply: an out-of-range late value lands in
+    # the edge bucket (same result as clamping the bucket) without
+    # (x - vmin) * n overflowing for far outliers under ANSI mode
+    clamped = F.greatest(
+        F.lit(vmin).cast("bigint"),
+        F.least(F.lit(vmax).cast("bigint"), col.cast("bigint")),
     )
-    return F.greatest(F.lit(0).cast("bigint"), F.least(F.lit(n - 1).cast("bigint"), bucket))
+    # bigint DIV bigint — exact integer division, no float rounding
+    return F.call_function(
+        "div", (clamped - F.lit(vmin)) * F.lit(n), F.lit(span)
+    )
 
 
 def morton_code(buckets: list[Column], bits: int) -> Column:

@@ -587,13 +587,27 @@ class ParquetTable:
             raise ValueError(f"no bloom index for column {col!r} — build_bloom_index first")
         idx = self.spark.read.parquet(idx_path)
         meta = idx.select("m_bits", "k", "indexed_seq").first()
+        if meta is None:
+            # a table that was EMPTY at index time writes an empty
+            # sidecar with no seq to check — sound only while the
+            # table is still empty
+            if self.read().limit(1).count() == 0:
+                return []
+            raise ValueError(
+                f"bloom index for {col!r} was built on an empty table "
+                "that has since gained rows — rebuild"
+            )
         if meta["indexed_seq"] != self._next_seq() - 1:
             raise ValueError(
                 f"bloom index for {col!r} is stale (indexed commit "
                 f"{meta['indexed_seq']}, table at {self._next_seq() - 1}) — rebuild"
             )
         m_bits, k = meta["m_bits"], meta["k"]
-        v = F.lit(str(value))
+        # Spark's own cast-to-string of a literal — NOT Python str() —
+        # so the probe formats numerics exactly like the build side's
+        # column cast (str(1e20)='1e+20' vs Spark '1.0E20' would
+        # silently prune every file holding the value)
+        v = F.lit(value).cast("string")
         cond = F.lit(True)
         for i in range(k):
             p = F.xxhash64(F.lit(i), v).bitwiseAND(F.lit(m_bits - 1))
@@ -620,7 +634,7 @@ class ParquetTable:
         files = self.lookup_files(col, value)
         if not files:
             return self.read().where(F.lit(False))
-        return self.spark.read.parquet(*files).where(F.col(col).cast("string") == str(value))
+        return self.spark.read.parquet(*files).where(F.col(col) == F.lit(value))
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

@@ -113,8 +113,6 @@ def foreach_batch_scd_merge(
     failure-after-commit-before-checkpoint window re-delivers a batch;
     the merge is idempotent, the feed append must be guarded).
     """
-    from pyspark.sql import functions as F
-
     from data_ingestion_framework_spark.operators.cdc import change_data_feed
     from data_ingestion_framework_spark.operators.scd import dedupe_latest
     from data_ingestion_framework_spark.sinks.writers import batch_write
@@ -127,12 +125,13 @@ def foreach_batch_scd_merge(
             batch_df = transform(batch_df)
         batch_df = batch_df.drop("_metadata")
         if cdf_table is not None:
-            already = cdf_table.exists() and (
-                cdf_table.read()
-                .where(F.col("_commit_version") == batch_id)
-                .limit(1)
-                .count()
-                > 0
+            # replay guard from the feed's COMMIT LOG, not a feed scan:
+            # each append records its batch id in the commit metrics, so
+            # the check is O(commit records) driver-side JSON — a feed
+            # scan per trigger would grow linearly with stream lifetime
+            already = any(
+                (h.get("metrics") or {}).get("cdf_batch_id") == batch_id
+                for h in (cdf_table.history() if cdf_table.exists() else [])
             )
             if not already:
                 latest = dedupe_latest(batch_df, key_cols, order_col)
@@ -144,7 +143,7 @@ def foreach_batch_scd_merge(
                     full_extract=full_extract,
                     commit_version=batch_id,
                 )
-                batch_write(feed, cdf_table, mode="append")
+                cdf_table.append(feed, metrics={"cdf_batch_id": batch_id})
         batch_write(
             batch_df,
             table,

@@ -293,3 +293,25 @@ def test_parse_wav_meta_skips_odd_padded_chunks():
         + b"data" + pystruct.pack("<I", data_size)
     )
     assert parse_wav_meta(payload) == (rate, ch, bits, frames)
+
+
+def test_decode_audio_quarantines_zero_rate(spark):
+    """A rate-0 header must quarantine cleanly (single-append row
+    building — a late failure can't skew the column lengths) and
+    duration_sec must be a true NULL, not NaN."""
+    import struct as pystruct
+
+    from data_ingestion_framework_spark.operators.multimodal import decode_audio
+
+    rate0 = (
+        b"RIFF" + pystruct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + pystruct.pack("<IHHIIHH", 16, 1, 1, 0, 0, 2, 16)
+        + b"data" + pystruct.pack("<I", 4)
+    )
+    df = spark.createDataFrame(
+        [("z", bytearray(rate0))], "k string, media_bytes binary"
+    )
+    out = decode_audio(df, on_error="quarantine").collect()[0]
+    assert out["sample_rate"] is None
+    assert out["duration_sec"] is None  # NULL, not NaN
+    assert out["decode_error"] is not None

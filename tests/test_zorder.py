@@ -202,3 +202,32 @@ def test_bloom_index_staleness_guard(spark):
             t.lookup_files("id", 5)
         with _pytest.raises(ValueError, match="no bloom index"):
             t.lookup_files("nope", 5)
+
+
+def test_bloom_index_numeric_format_parity(spark):
+    """The probe must hash Spark's cast-to-string of the value, not
+    Python's str() — doubles like 1e20 format differently ('1.0E20'
+    vs '1e+20') and a str()-based probe would prune every file."""
+    with tempfile.TemporaryDirectory() as tmp:
+        t = ParquetTable(spark, f"{tmp}/t")
+        t.overwrite(
+            spark.createDataFrame(
+                [(1, 1e20), (2, 2.5), (3, 0.1)], "id int, v double"
+            ).repartition(3, "id")
+        )
+        t.build_bloom_index("v")
+        got = t.point_lookup("v", 1e20).collect()
+        assert [r["id"] for r in got] == [1]
+
+
+def test_bloom_index_empty_table(spark):
+    import pytest as _pytest
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t = ParquetTable(spark, f"{tmp}/t")
+        t.overwrite(spark.range(5).where("id > 99").selectExpr("id"))
+        t.build_bloom_index("id")
+        assert t.lookup_files("id", 1) == []          # still empty: sound
+        t.append(spark.range(3).selectExpr("id"))     # rows appeared
+        with _pytest.raises(ValueError, match="empty table"):
+            t.lookup_files("id", 1)
