@@ -764,18 +764,31 @@ def test_minhash_engines_agree(spark):
         dedup.minhash_signatures(docs, engine="nope")
 
 
-def test_minhash_arrow_short_text_parity(spark):
-    """Docs shorter than the shingle width still yield one (truncated)
-    shingle via char_shingles' greatest(..., 1) floor — both engines
-    must agree on that edge too."""
-    from pyspark.sql import Row
-
+def test_minhash_arrow_edge_text_parity(spark):
+    """Engine parity on the edges: short text (one truncated shingle
+    via char_shingles' greatest floor), empty text, and NULL text
+    (which shingles to [NULL] — the expr fold hashes it to a constant
+    signature, and the arrow fold must reproduce that, not crash or
+    substitute an identity signature)."""
     docs = spark.createDataFrame(
-        [Row(doc_id=1, text="ab"), Row(doc_id=2, text="")]
+        [(1, "ab"), (2, ""), (3, None)], "doc_id int, text string"
     )
     a = {r[0]: list(r[1]) for r in dedup.minhash_signatures(docs, num_hashes=4, engine="expr").collect()}
     b = {r[0]: list(r[1]) for r in dedup.minhash_signatures(docs, num_hashes=4, engine="arrow").collect()}
     assert a == b
+    assert set(a) == {1, 2, 3}
+
+
+def test_simhash_arrow_null_text_parity(spark):
+    """NULL text: the expr fold's per-bit votes go NULL and the
+    signature lands at 0 — the arrow engine must match (and not crash
+    on the NULL token array)."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "hello world")], "doc_id int, text string"
+    )
+    a = {r[0]: r[1] for r in dedup.simhash_signatures(docs, engine="expr").collect()}
+    b = {r[0]: r[1] for r in dedup.simhash_signatures(docs, engine="arrow").collect()}
+    assert a == b and a[1] == 0
 
 
 def test_edit_distance_pairs_basic(spark):
