@@ -515,6 +515,27 @@ class ParquetTable:
     def file_count(self) -> int:
         return len(self._data_files())
 
+    def optimize(
+        self,
+        target_files: int | None = None,
+        zorder_by: list[str] | None = None,
+        bloom_columns: tuple[str, ...] = (),
+        vacuum: bool = False,
+    ) -> None:
+        """One-call table maintenance — the full ``OPTIMIZE`` pass a
+        scheduler runs (the reference fires its OPTIMIZE every 101st
+        streaming micro-batch, writers/writer.py:276-281): bin-pack or
+        z-order the files, rebuild the per-file Bloom sidecars the
+        rewrite just invalidated (their staleness guard would
+        otherwise refuse lookups), and optionally vacuum the retained
+        pre-rewrite history. Ordering matters and is fixed here so
+        callers can't rebuild an index against pre-compaction files."""
+        self.compact(target_files, zorder_by)
+        for c in bloom_columns:
+            self.build_bloom_index(c)
+        if vacuum:
+            self.vacuum()
+
     # -- per-file Bloom index (point-lookup file skipping) -----------------
 
     def _bloom_index_path(self, col: str) -> str:

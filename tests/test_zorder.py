@@ -231,3 +231,28 @@ def test_bloom_index_empty_table(spark):
         t.append(spark.range(3).selectExpr("id"))     # rows appeared
         with _pytest.raises(ValueError, match="empty table"):
             t.lookup_files("id", 1)
+
+
+def test_optimize_composite_maintenance(spark):
+    """compact(zorder) -> bloom rebuild -> vacuum in one call: the
+    rewrite invalidates the sidecar mid-flight, so the fixed ordering
+    is what keeps point lookups working right after maintenance."""
+    with tempfile.TemporaryDirectory() as tmp:
+        t = ParquetTable(spark, f"{tmp}/t")
+        for i in range(6):
+            t.append(
+                spark.range(i * 100, (i + 1) * 100).selectExpr(
+                    "id", "id % 37 AS x", "id % 11 AS y"
+                )
+            )
+        t.build_bloom_index("id")
+        t.optimize(target_files=4, zorder_by=["x", "y"], bloom_columns=("id",), vacuum=True)
+        assert t.file_count() <= 4
+        ops = [h["op"] for h in t.history()]
+        assert "zorder" in ops
+        got = t.point_lookup("id", 123).collect()
+        assert [r["id"] for r in got] == [123]
+        # vacuum dropped the retained pre-rewrite states
+        import os
+        hist_dir = os.path.join(f"{tmp}/t", "_history")
+        assert not os.path.isdir(hist_dir) or not os.listdir(hist_dir)
