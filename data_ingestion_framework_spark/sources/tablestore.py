@@ -319,9 +319,16 @@ class ParquetTable:
             return 0
         current = self.read()
         doomed = current.where(pred)
-        n = doomed.count()
-        if n == 0:
+        # existence probe (short-circuits on the first match) instead of
+        # a full count scan: the exact deleted count comes free from
+        # parquet footers — rows before minus the rewrite commit's own
+        # rows_written — so a delete costs the rewrite plus O(first
+        # match), not an extra pass over the table
+        if doomed.limit(1).count() == 0:
             return 0
+        before = self._footer_rows(
+            [os.path.join(self.path, f) for f in self._data_files()]
+        )
         seq = self._next_seq()
         if cdf_table is not None:
             feed = doomed.withColumn("_change_type", F.lit("delete")).withColumn(
@@ -329,11 +336,27 @@ class ParquetTable:
             )
             cdf_table.append(feed)
         self.overwrite(
-            current.where(~F.coalesce(pred, F.lit(False))),
-            metrics={"rows_deleted": n},
-            op="delete",
+            current.where(~F.coalesce(pred, F.lit(False))), op="delete"
         )
+        rec = self.history()[-1]
+        n = before - rec["rows_written"]
+        self._amend_last_commit_metrics({"rows_deleted": n})
         return n
+
+    def _amend_last_commit_metrics(self, extra: dict) -> None:
+        """Merge ``extra`` into the latest commit record's metrics —
+        for values (e.g. footer-derived deltas) only computable after
+        the commit landed. Atomic same-file rewrite via rename."""
+        d = self._log_dir()
+        names = sorted(os.listdir(d))
+        path = os.path.join(d, names[-1])
+        with open(path) as f:
+            rec = json.load(f)
+        rec["metrics"] = {**rec.get("metrics", {}), **extra}
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.rename(tmp, path)
 
     def touched_partitions(self, df: DataFrame) -> list[str]:
         """Relative partition directories the batch ``df`` writes into —
