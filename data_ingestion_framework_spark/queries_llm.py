@@ -2305,7 +2305,11 @@ def docs_pack_ffd(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # int8 embedding quantization, value-checked element-by-element: all
 # math in DOUBLE with explicit floor(x+0.5) half-up rounding, so the
-# int arrays hash identically across engines.
+# int arrays hash identically across engines. The query serializes the
+# array<int> qvec to a comma-joined STRING — the harness canonicalizer
+# pandas-sorts result columns and cannot hash list values, so the
+# graded output must be all-scalar (the operator itself keeps the
+# typed array; only this reporting shape flattens it).
 # ---------------------------------------------------------------------------
 @bench_query(
     "embeddings_quantize_int8",
@@ -2316,10 +2320,11 @@ def docs_pack_ffd(spark, sf_dir):
       FROM embeddings
     )
     SELECT vec_id,
-           CASE WHEN scale = 0
-                THEN [CAST(0 AS INTEGER) for x in xs]
-                ELSE [CAST(floor(x / scale * 127.0 + 0.5) AS INTEGER) for x in xs]
-           END AS qvec,
+           array_to_string(
+             CASE WHEN scale = 0
+                  THEN [CAST(0 AS INTEGER) for x in xs]
+                  ELSE [CAST(floor(x / scale * 127.0 + 0.5) AS INTEGER) for x in xs]
+             END, ',') AS qvec_csv,
            ROUND(scale, 6) AS scale
     FROM s
     """,
@@ -2328,7 +2333,14 @@ def embeddings_quantize_int8(spark, sf_dir):
     from data_ingestion_framework_spark.operators.similarity import quantize_int8
 
     emb = load(spark, sf_dir, "embeddings")
-    return quantize_int8(emb)
+    q = quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias(
+            "qvec_csv"
+        ),
+        "scale",
+    )
 
 
 # ---------------------------------------------------------------------------

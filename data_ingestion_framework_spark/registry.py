@@ -109,26 +109,26 @@ _PRIORITY = [
     "dq_violation_counts",
     "dq_row_flags",
     # never driver-graded: window/agg composites
-    "orders_cube",
-    # orders_above_customer_avg ceded its slot to docs_fuzzy_entity_pairs
-    # (agg-join-filter mechanism is window-graded via
-    # cheapest_part_per_brand; still in the full gate)
-    "events_map_explode",
-    "cheapest_part_per_brand",
+    # (orders_cube / events_map_explode / cheapest_part_per_brand were
+    # driver-green r4 and ceded their slots to the round-4 lifecycle
+    # queries below; orders_above_customer_avg ceded earlier to
+    # docs_fuzzy_entity_pairs. All stay in the full local gate.)
     "lineitem_percentiles",
     # never driver-graded: corpus / text / cleaning / sampling
     # (corpus_pipeline_end2end shares corpus_pipeline_staged's oracle
     # verbatim — the staged form keeps the window slot, the lazy twin
     # moved after the round-5 block)
     "corpus_pipeline_staged",
-    "docs_decontaminate",
-    "docs_redact_pii",
+    # docs_decontaminate / docs_redact_pii / docs_stratified_sample /
+    # text_lang_pred were driver-green r4 and ceded their slots to the
+    # round-4 lifecycle queries below (their mechanisms stay window-
+    # graded via docs_decontaminate_bloom, docs_remove_boilerplate,
+    # docs_temperature_mix+docs_split_assign, and text_quality_score;
+    # all stay in the full local gate).
     "docs_remove_boilerplate",
-    "docs_stratified_sample",
     # docs_cap_per_source ceded its slot to orders_zorder_keys (its
     # hash-threshold mechanism is window-graded via docs_split_assign
     # and docs_temperature_mix; still in the full gate)
-    "text_lang_pred",
     "text_quality_score",
     "text_tfidf_top_terms",
     # corpus_vocab_top_terms ceded its slot to cdf_merge_changes (its
@@ -172,14 +172,22 @@ _PRIORITY = [
     "orders_zorder_keys",
     "cdf_merge_changes",
     "docs_fuzzy_entity_pairs",
-    "corpus_pipeline_end2end",
-    # rows-only (no oracle): the driver's hash gate can't grade it, so
-    # it cedes its window slot to an oracle-backed round-5 query
-    "docs_pack_ffd",
+    # round-5 rotation — the 7 round-4 queries that had never been
+    # driver-graded (all oracle-backed, local-pass) take the slots
+    # ceded above by rows green since r2/r3:
     "events_funnel_conversion",
     "events_cohort_retention",
     "docs_dedup_lines",
     "docs_quality_topfrac",
+    "multimodal_audio_meta",
+    "events_incremental_rollup",
+    "orders_delete_state",
+    # end of the 50-query driver window (modulo count drift — verify
+    # with tools/show_window.py)
+    "corpus_pipeline_end2end",
+    # rows-only (no oracle): the driver's hash gate can't grade it, so
+    # it cedes its window slot to an oracle-backed round-5 query
+    "docs_pack_ffd",
     # representatives of the round-3-green block — the round-5 query
     # additions push most of these out of the 50-query window (they've
     # been driver-graded green since r2/r3; the judge's full local gate
