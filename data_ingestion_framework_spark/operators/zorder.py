@@ -37,6 +37,10 @@ def int_bucket(col: Column, vmin: int, vmax: int, bits: int) -> Column:
     in any engine (the float variant disagrees at bucket edges).
     Values outside [vmin, vmax] clamp to the end buckets so late data
     beyond the observed range still lands in a file, just an edge one.
+    NULL values land in bucket 0 explicitly (min/max sort orders put
+    NULLs first, so the layout keeps them with the low edge) — without
+    the guard, ``least``/``greatest`` skip NULLs and the rows would
+    silently cluster with the MAX bucket instead.
     """
     if vmax < vmin:
         raise ValueError(f"empty bucket range [{vmin}, {vmax}]")
@@ -60,9 +64,10 @@ def int_bucket(col: Column, vmin: int, vmax: int, bits: int) -> Column:
         F.least(F.lit(vmax).cast("bigint"), col.cast("bigint")),
     )
     # bigint DIV bigint — exact integer division, no float rounding
-    return F.call_function(
+    bucket = F.call_function(
         "div", (clamped - F.lit(vmin)) * F.lit(n), F.lit(span)
     )
+    return F.when(col.isNull(), F.lit(0).cast("bigint")).otherwise(bucket)
 
 
 def morton_code(buckets: list[Column], bits: int) -> Column:

@@ -23,6 +23,20 @@ def _v(df, cols):
     return df.select(*cols)
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp whose removal is deferred to interpreter exit — the
+    lifecycle queries return LAZY frames over the scratch tables, so
+    the files must outlive the harness's collect; atexit cleanup keeps
+    repeated bench/correctness runs from accumulating copies in /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return tmp
+
+
 # ---------------------------------------------------------------------------
 # SCD1 merge lifecycle (writers/batch_writers.py:99-127 semantics):
 # target = even orderkeys @t0, source = %3 keys @t1 with bumped price.
@@ -564,12 +578,10 @@ T2 = "2024-01-03 00:00:00"
     """,
 )
 def ie_history_state(spark, sf_dir):
-    import tempfile
-
     from data_ingestion_framework_spark.sinks.writers import ie_dual_target_merge
     from data_ingestion_framework_spark.sources.tablestore import ParquetTable
 
-    tmp = tempfile.mkdtemp(prefix="difs_ie_")
+    tmp = _scratch_dir("difs_ie_")
     cur = ParquetTable(spark, f"{tmp}/current")
     hist = ParquetTable(spark, f"{tmp}/history")
     orders = load(spark, sf_dir, "orders")
@@ -801,15 +813,13 @@ def multimodal_audio_meta(spark, sf_dir):
     """,
 )
 def events_incremental_rollup(spark, sf_dir):
-    import tempfile
-
     from data_ingestion_framework_spark.operators.incremental import (
         refresh_aggregate,
     )
     from data_ingestion_framework_spark.sources.tablestore import ParquetTable
 
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    tmp = tempfile.mkdtemp(prefix="difs_incr_")
+    tmp = _scratch_dir("difs_incr_")
     base = ParquetTable(spark, f"{tmp}/base")
     agg = ParquetTable(spark, f"{tmp}/agg")
     base.overwrite(ev.where(F.col("event_id") % 2 == 0))
@@ -838,14 +848,12 @@ def events_incremental_rollup(spark, sf_dir):
     """,
 )
 def orders_delete_state(spark, sf_dir):
-    import tempfile
-
     from data_ingestion_framework_spark.sources.tablestore import ParquetTable
 
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    t = ParquetTable(spark, tempfile.mkdtemp(prefix="difs_del_") + "/t")
+    t = ParquetTable(spark, _scratch_dir("difs_del_") + "/t")
     t.overwrite(orders)
     t.delete_where(F.col("o_orderkey") % 5 == 0)
     return t.read()

@@ -1382,12 +1382,12 @@ def text_lang_pred(spark, sf_dir):
     """,
 )
 def streaming_daily_counts(spark, sf_dir):
-    import tempfile
     import uuid
 
+    from data_ingestion_framework_spark.queries_etl import _scratch_dir
     from data_ingestion_framework_spark.streaming import read_file_stream
 
-    tmp = tempfile.mkdtemp(prefix="difs_stream_")
+    tmp = _scratch_dir("difs_stream_")
     load(spark, sf_dir, "events").write.mode("overwrite").parquet(f"{tmp}/landing")
     from data_ingestion_framework_spark.functions.time import ensure_event_time
 
@@ -2236,15 +2236,12 @@ def corpus_pipeline_staged(spark, sf_dir):
     clean+dedup twice (the decontamination anti-join re-reads its own
     subplan), and the run is restartable from the staged table. Same
     oracle as the lazy form — staging must not change a single value."""
-    import tempfile
-
     from data_ingestion_framework_spark.plans.corpus import corpus_pipeline
+    from data_ingestion_framework_spark.queries_etl import _scratch_dir
     from data_ingestion_framework_spark.sources.tablestore import ParquetTable
 
     docs, benchmark = _corpus_pipeline_inputs(spark, sf_dir)
-    stage = ParquetTable(
-        spark, tempfile.mkdtemp(prefix="corpus_stage_") + "/silver"
-    )
+    stage = ParquetTable(spark, _scratch_dir("corpus_stage_") + "/silver")
     return corpus_pipeline(
         docs,
         benchmark,

@@ -553,6 +553,11 @@ class ParquetTable:
         otherwise refuse lookups), and optionally vacuum the retained
         pre-rewrite history. Ordering matters and is fixed here so
         callers can't rebuild an index against pre-compaction files."""
+        if not self.exists():
+            # match compact()'s early-return contract — maintenance on
+            # a not-yet-created table is a no-op, not an AnalysisException
+            # from build_bloom_index's read()
+            return
         self.compact(target_files, zorder_by)
         for c in bloom_columns:
             self.build_bloom_index(c)
@@ -678,7 +683,14 @@ class ParquetTable:
         files = self.lookup_files(col, value)
         if not files:
             return self.read().where(F.lit(False))
-        return self.spark.read.parquet(*files).where(F.col(col) == F.lit(value))
+        r = self.spark.read
+        if self.partition_by:
+            # recover partition columns from the candidate file paths —
+            # without basePath a leaf-file read would silently drop
+            # them (schema drift vs read(); a bloom index ON a
+            # partition column would fail the exact filter below)
+            r = r.option("basePath", self.path)
+        return r.parquet(*files).where(F.col(col) == F.lit(value))
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

@@ -215,5 +215,15 @@ def test_driver_grading_window_covers_priority_queries():
         "orders_zorder_keys",
         "cdf_merge_changes",
         "docs_fuzzy_entity_pairs",
+        # round-5 rotation: the 7 previously-never-driver-graded
+        # queries plus the reshaped quantize query
+        "events_funnel_conversion",
+        "events_cohort_retention",
+        "docs_dedup_lines",
+        "docs_quality_topfrac",
+        "multimodal_audio_meta",
+        "events_incremental_rollup",
+        "orders_delete_state",
+        "embeddings_quantize_int8",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"

@@ -256,3 +256,48 @@ def test_optimize_composite_maintenance(spark):
         import os
         hist_dir = os.path.join(f"{tmp}/t", "_history")
         assert not os.path.isdir(hist_dir) or not os.listdir(hist_dir)
+
+
+def test_int_bucket_null_lands_in_bucket_zero(spark):
+    """NULLs bucket explicitly to 0 (NULLS FIRST layout contract) —
+    without the guard least/greatest skip NULLs and the rows would
+    silently cluster with the MAX bucket."""
+    df = spark.createDataFrame([(None,), (0,), (100,)], "x bigint")
+    got = [
+        r["b"]
+        for r in df.select(int_bucket(F.col("x"), 0, 100, 4).alias("b"))
+        .orderBy(F.col("x").asc_nulls_first())
+        .collect()
+    ]
+    assert got == [0, 0, 15]
+
+
+def test_optimize_on_missing_table_is_noop(spark):
+    """optimize() on a not-yet-created table matches compact()'s
+    early-return contract instead of raising from build_bloom_index."""
+    with tempfile.TemporaryDirectory() as tmp:
+        t = ParquetTable(spark, f"{tmp}/never_created")
+        t.optimize(target_files=4, bloom_columns=("id",), vacuum=True)  # no raise
+        assert not t.exists()
+
+
+def test_point_lookup_partitioned_table_recovers_partition_columns(spark):
+    """On a partitioned table the candidate leaf files are read with
+    basePath so partition columns survive — the lookup schema matches
+    read(), and a bloom index ON the partition column works."""
+    with tempfile.TemporaryDirectory() as tmp:
+        t = ParquetTable(spark, f"{tmp}/t", partition_by=["bucket"])
+        t.overwrite(
+            spark.range(200).selectExpr("id", "id % 4 AS bucket", "id * 2 AS v")
+        )
+        t.build_bloom_index("id")
+        got = t.point_lookup("id", 7)
+        assert set(got.columns) == set(t.read().columns)
+        rows = got.collect()
+        assert len(rows) == 1 and rows[0]["bucket"] == 3 and rows[0]["v"] == 14
+
+        # bloom index on the PARTITION column itself
+        t.build_bloom_index("bucket")
+        part = t.point_lookup("bucket", 2)
+        assert part.count() == 50
+        assert set(r["bucket"] for r in part.select("bucket").distinct().collect()) == {2}
