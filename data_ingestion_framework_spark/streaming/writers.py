@@ -87,6 +87,8 @@ def foreach_batch_scd_merge(
     await_termination: bool | None = None,
     trigger: str = "availableNow",
     cdf_table: ParquetTable | None = None,
+    optimize_every: int | None = None,
+    optimize_kwargs: dict | None = None,
 ):
     """Micro-batch SCD merge via ``foreachBatch``
     (writers/writer.py:695-758): each micro-batch runs the *batch* SCD
@@ -112,6 +114,19 @@ def foreach_batch_scd_merge(
     ``batch_id`` already appears in the feed is skipped (the
     failure-after-commit-before-checkpoint window re-delivers a batch;
     the merge is idempotent, the feed append must be guarded).
+
+    ``optimize_every`` wires table maintenance into the merge cadence —
+    the reference fires OPTIMIZE inside its foreachBatch upserts every
+    101st micro-batch (writers/writer.py:276-281). Every N-th batch
+    (``batch_id % N == 0``, skipping batch 0), after the state commit,
+    the callback runs ``table.optimize(**optimize_kwargs)`` — the
+    composite whose fixed ordering (compact/z-order → bloom rebuild →
+    vacuum) keeps point lookups working right after the rewrite. This
+    is what bounds the table's file count over a long-running stream:
+    without it every micro-batch's bucket rewrite adds files until the
+    scan is metadata-bound. ``batch_id`` is the checkpointed epoch id,
+    so the cadence survives restarts, and a replayed maintenance batch
+    just re-compacts already-compact files (idempotent).
     """
     from data_ingestion_framework_spark.operators.cdc import change_data_feed
     from data_ingestion_framework_spark.operators.scd import dedupe_latest
@@ -153,6 +168,8 @@ def foreach_batch_scd_merge(
             scd_type=scd_type,
             full_extract=full_extract,
         )
+        if optimize_every and batch_id > 0 and batch_id % optimize_every == 0:
+            table.optimize(**(optimize_kwargs or {}))
 
     writer = apply_trigger(df.writeStream.foreachBatch(_upsert), trigger).option(
         "checkpointLocation", checkpoint

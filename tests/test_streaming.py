@@ -567,3 +567,42 @@ def test_foreach_batch_cdf_rejects_scd2(spark, tmp_path):
             table, ["pk"], "mtime", str(tmp_path / "ckpt"),
             scd_type=2, cdf_table=feed,
         )
+
+
+def test_foreach_batch_merge_optimize_cadence(spark, tmp_path):
+    """optimize_every wires maintenance into the merge cadence (the
+    reference fires OPTIMIZE every 101st micro-batch inside its
+    foreachBatch upserts, writers/writer.py:276-281): across N+1
+    micro-batches the table's file count stays bounded and the bloom
+    sidecar is fresh (point_lookup works with NO manual rebuild)."""
+    batches = [
+        [Row(pk=i, val=f"b{b}v{i}", mtime=T + dt.timedelta(days=b))
+         for i in range(b * 10, b * 10 + 10)]
+        for b in range(5)
+    ]
+    landing = _stage_files(spark, tmp_path / "landing_opt", batches)
+
+    table = ParquetTable(spark, str(tmp_path / "silver_opt"))
+    stream = read_file_stream(
+        spark, landing, "parquet", control_columns=False, max_files_per_trigger=1
+    )
+    foreach_batch_scd_merge(
+        stream,
+        table,
+        ["pk"],
+        "mtime",
+        str(tmp_path / "ckpt_opt"),
+        scd_type=1,
+        optimize_every=2,
+        optimize_kwargs={"target_files": 2, "bloom_columns": ("pk",), "vacuum": True},
+    )
+    # 5 micro-batches (one file each), maintenance fired at batch 2 and 4
+    ops = [h["op"] for h in table.history()]
+    assert ops.count("compact") == 2
+    # last op sequence is merge-commit then compact: files stay bounded
+    assert table.file_count() <= 2
+    # bloom sidecar was rebuilt by the batch-4 optimize — fresh, usable
+    got = table.point_lookup("pk", 23).collect()
+    assert [(r["pk"], r["val"]) for r in got] == [(23, "b2v23")]
+    # merge state intact across the maintenance rewrites
+    assert table.read().count() == 50
