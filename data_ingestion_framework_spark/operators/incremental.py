@@ -13,12 +13,23 @@ read time), which is exactly the restriction real continuous
 aggregates (TimescaleDB, Materialize's append-only mode) impose.
 
 ``read_since`` raises if any commit after the cursor is not
-file-additive (overwrite/compact/delete), so a rewritten base can
-never be silently double-counted — the caller resets the aggregate
-(drop + refresh from scratch) in that case.
+file-additive (overwrite/compact/delete). For a PARTITIONED base whose
+partition columns are a subset of the group keys, the refresh then
+falls back to the partition-scoped path instead of refusing:
+``changed_partitions_since`` names the partitions any later commit
+touched (partition-scoped merges record their touched set in commit
+metrics), only THOSE partition directories are re-read and fully
+recomputed, and the recomputed group rows replace their old aggregate
+rows. Each group lives in exactly one partition (the subset
+condition), so the per-partition recompute is exact for every measure
+— including min/max after deletes, which a pure semigroup fold cannot
+retract. An unpartitioned rewritten base still raises — reset the
+aggregate (drop + refresh from scratch) there.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import functions as F
 
@@ -83,7 +94,24 @@ def refresh_aggregate(
 
     if last is not None and int(last) == current_seq:
         return 0
-    delta = base.read() if last is None else base.read_since(int(last))
+    if last is None:
+        delta = base.read()
+    else:
+        try:
+            delta = base.read_since(int(last))
+        except ValueError:
+            # non-file-additive commits after the cursor: partition-
+            # scoped fallback if the layout supports it, else re-raise
+            # (reset-from-scratch is the only sound move)
+            if not (
+                base.partition_by
+                and set(base.partition_by) <= set(group_cols)
+            ):
+                raise
+            return _refresh_partition_scoped(
+                base, agg_table, group_cols, measures,
+                int(last), current_seq, props, cursor_prop, hist,
+            )
 
     partial = delta.groupBy(*group_cols).agg(
         *[
@@ -106,6 +134,80 @@ def refresh_aggregate(
     else:
         merged = partial
     n_folded = len([r for r in hist if last is None or r["seq"] > int(last)])
+    agg_table.overwrite(
+        merged, metrics={cursor_prop: current_seq}, op="agg_refresh"
+    )
+    agg_table.set_properties({**props, cursor_prop: str(current_seq)})
+    return n_folded
+
+
+def _refresh_partition_scoped(
+    base: ParquetTable,
+    agg_table: ParquetTable,
+    group_cols: list[str],
+    measures: dict[str, tuple[str, str]],
+    last: int,
+    current_seq: int,
+    props: dict,
+    cursor_prop: str,
+    hist: list[dict],
+) -> int:
+    """Recompute only the base partitions touched after commit ``last``
+    and splice the result into the aggregate state. Sound because the
+    caller verified ``base.partition_by ⊆ group_cols``: every group's
+    rows live in exactly one partition, so a touched partition's groups
+    are recomputed from THAT partition alone and untouched groups keep
+    their stored rows verbatim. Cost: O(touched partitions) base read +
+    the (small) aggregate state rewrite — never a full-table scan."""
+    changed = base.changed_partitions_since(last)
+    spark = base.spark
+    live = [p for p in changed if os.path.isdir(os.path.join(base.path, p))]
+    if live:
+        delta = spark.read.option("basePath", base.path).parquet(
+            *[os.path.join(base.path, p) for p in live]
+        )
+        recomputed = delta.groupBy(*group_cols).agg(
+            *[
+                _MERGEABLE[fn][0](F.col(col)).alias(out)
+                for out, (fn, col) in measures.items()
+            ]
+        )
+    else:
+        recomputed = None
+
+    old = agg_table.read() if agg_table.exists() else None
+    if old is not None and changed:
+        # drop the aggregate rows owned by any changed partition —
+        # including partitions a delete emptied (no recomputed rows).
+        # Keys come from the partition DIR NAMES (the only record an
+        # emptied partition leaves), cast back to the stored types.
+        schema = {f.name: f.dataType for f in old.schema.fields}
+        key_rows = []
+        for d in changed:
+            parts = dict(seg.split("=", 1) for seg in d.split(os.sep))
+            key_rows.append([parts[c] for c in base.partition_by])
+        keys = spark.createDataFrame(
+            key_rows, ", ".join(f"{c} string" for c in base.partition_by)
+        ).select(
+            *[
+                F.when(F.col(c) == "__HIVE_DEFAULT_PARTITION__", F.lit(None))
+                .otherwise(F.col(c))
+                .cast(schema[c])
+                .alias(c)
+                for c in base.partition_by
+            ]
+        )
+        old = old.join(
+            F.broadcast(keys.distinct()),
+            on=list(base.partition_by),
+            how="left_anti",
+        )
+    merged = old.unionByName(recomputed) if old is not None and recomputed is not None else (
+        recomputed if recomputed is not None else old
+    )
+    if merged is None:
+        return 0
+    n_folded = len([r for r in hist if r["seq"] > last])
     agg_table.overwrite(
         merged, metrics={cursor_prop: current_seq}, op="agg_refresh"
     )

@@ -836,6 +836,75 @@ def events_incremental_rollup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Partition-scoped incremental refresh: the base is PARTITIONED by the
+# group key, so after a non-file-additive partition merge (which
+# read_since refuses) the refresh recomputes only the touched
+# partitions — including exact min/max retraction of the replaced
+# rows, which a pure semigroup fold cannot express. The oracle is the
+# final full recompute: %3 users get their rows replaced by a halved
+# value set, everyone else keeps the original commit's rows.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_incremental_partition_rollup",
+    oracle="""
+    WITH final AS (
+      SELECT user_id, value FROM events WHERE user_id % 3 <> 0
+      UNION ALL
+      SELECT user_id, value / 2.0 AS value FROM events
+      WHERE user_id % 3 = 0 AND event_id % 2 = 0
+    )
+    SELECT user_id,
+           CAST(COUNT(value) AS BIGINT) AS n_events,
+           ROUND(MIN(value), 4) AS lo,
+           ROUND(MAX(value), 4) AS hi
+    FROM final
+    GROUP BY user_id
+    """,
+)
+def events_incremental_partition_rollup(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.incremental import (
+        refresh_aggregate,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    measures = {
+        "n_events": ("count", "value"),
+        "lo": ("min", "value"),
+        "hi": ("max", "value"),
+    }
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    tmp = _scratch_dir("difs_pincr_")
+    base = ParquetTable(spark, f"{tmp}/base", partition_by=["user_id"])
+    agg = ParquetTable(spark, f"{tmp}/agg")
+    base.overwrite(ev)
+    refresh_aggregate(base, agg, ["user_id"], measures)
+    # partition-scoped merge: %3 users' rows replaced with half of the
+    # events at half value — read_since refuses this commit, the
+    # partition-scoped path folds it
+    merge_df = ev.where(
+        (F.col("user_id") % 3 == 0) & (F.col("event_id") % 2 == 0)
+    ).withColumn("value", F.col("value") / 2.0)
+    # flag every %3 partition as touched even if its merge frame is
+    # empty (a user with no even events must lose ALL rows, matching
+    # the oracle) — control-plane sized: one distinct over user ids
+    touched = [
+        f"user_id={r['user_id']}"
+        for r in ev.select("user_id")
+        .where(F.col("user_id") % 3 == 0)
+        .distinct()
+        .collect()
+    ]
+    base.overwrite_partitions(merge_df, extra_touched=touched)
+    refresh_aggregate(base, agg, ["user_id"], measures)
+    return agg.read().select(
+        "user_id",
+        "n_events",
+        F.round("lo", 4).alias("lo"),
+        F.round("hi", 4).alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Row-erasure lifecycle under the oracle gate: load orders, DELETE the
 # %5 keys, return the surviving state — the whole staged-swap rewrite
 # + commit path is what's being value-checked, not just a filter.

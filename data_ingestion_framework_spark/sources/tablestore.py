@@ -495,12 +495,17 @@ class ParquetTable:
             if recorded is not None:
                 touched.update(recorded)
             else:
+                # infer from the file diff IN BOTH DIRECTIONS: new files
+                # mark partitions that gained data, removed files mark
+                # partitions a rewrite/delete emptied — missing the
+                # latter would leave stale downstream state for dropped
+                # partitions
                 prev = set(by_seq.get(r["seq"] - 1, []))
-                for f in r["files"]:
-                    if f not in prev:
-                        d = os.path.dirname(f)
-                        if d and d != ".":
-                            touched.add(d)
+                cur = set(r["files"])
+                for f in (cur - prev) | (prev - cur):
+                    d = os.path.dirname(f)
+                    if d and d != ".":
+                        touched.add(d)
         return sorted(touched)
 
     def compact(

@@ -103,3 +103,79 @@ def test_refresh_repairs_cursor_from_commit_metrics(spark, tmp_path):
 
     assert refresh_aggregate(base, agg, ["k"], MEASURES) == 0  # repaired, no refold
     assert _state(agg) == good
+
+
+def test_refresh_partition_scoped_after_partition_merge(spark, tmp_path):
+    """A partition-scoped merge (non-file-additive) no longer forces a
+    reset when partition_by ⊆ group_cols: only the touched partitions
+    are re-read and their group rows spliced in. The untouched
+    partition's files are hidden during the refresh to PROVE no
+    full-table read happens."""
+    import os
+    import shutil
+
+    base = ParquetTable(spark, str(tmp_path / "base"), partition_by=["k"])
+    agg = ParquetTable(spark, str(tmp_path / "agg"))
+    base.overwrite(
+        spark.createDataFrame(
+            [("a", 1), ("a", 5), ("b", 10), ("c", 7)], "k string, v bigint"
+        )
+    )
+    refresh_aggregate(base, agg, ["k"], MEASURES)
+
+    # partition-scoped merge: rewrite ONLY k=a (drops the 5, adds 100)
+    base.overwrite_partitions(
+        spark.createDataFrame([("a", 1), ("a", 100)], "k string, v bigint")
+    )
+    expected = _expected(base)
+
+    # hide an untouched partition: a full recompute would now fail
+    hidden = str(tmp_path / "hidden_b")
+    os.rename(os.path.join(base.path, "k=b"), hidden)
+    try:
+        folded = refresh_aggregate(base, agg, ["k"], MEASURES)
+    finally:
+        os.rename(hidden, os.path.join(base.path, "k=b"))
+    assert folded == 1
+    assert _state(agg) == expected
+    # min/max RETRACTION is exact: the 5 dropped from k=a is gone
+    assert _state(agg)["a"] == (2, 101, 1, 100)
+    # cursor advanced: re-run is a no-op
+    assert refresh_aggregate(base, agg, ["k"], MEASURES) == 0
+
+
+def test_refresh_partition_scoped_emptied_partition_drops_rows(spark, tmp_path):
+    """A merge that empties a partition (delete feed) must remove its
+    aggregate rows — the emptied partition leaves only its dir name in
+    the commit metrics, no data to recompute from."""
+    base = ParquetTable(spark, str(tmp_path / "base"), partition_by=["k"])
+    agg = ParquetTable(spark, str(tmp_path / "agg"))
+    base.overwrite(
+        spark.createDataFrame([("a", 1), ("b", 10)], "k string, v bigint")
+    )
+    refresh_aggregate(base, agg, ["k"], MEASURES)
+    assert set(_state(agg)) == {"a", "b"}
+
+    # delete everything in k=b: no rows for it, extra_touched flags it
+    base.overwrite_partitions(
+        spark.createDataFrame([], "k string, v bigint"),
+        extra_touched=["k=b"],
+    )
+    refresh_aggregate(base, agg, ["k"], MEASURES)
+    assert _state(agg) == _expected(base) == {"a": (1, 1, 1, 1)}
+
+
+def test_refresh_unpartitioned_rewritten_base_still_refuses(spark, tmp_path):
+    """The fallback only applies when the layout supports it — group
+    keys not covering the partition columns (or no partitioning at
+    all) still raise on a rewritten base."""
+    base = ParquetTable(spark, str(tmp_path / "base"), partition_by=["k"])
+    agg = ParquetTable(spark, str(tmp_path / "agg"))
+    base.overwrite(spark.createDataFrame([("a", 1)], "k string, v bigint"))
+    # group by a non-partition column: one group spans partitions
+    refresh_aggregate(base, agg, ["v"], {"n": ("count", "v")})
+    base.overwrite_partitions(
+        spark.createDataFrame([("a", 2)], "k string, v bigint")
+    )
+    with pytest.raises(ValueError, match="not file-additive"):
+        refresh_aggregate(base, agg, ["v"], {"n": ("count", "v")})
