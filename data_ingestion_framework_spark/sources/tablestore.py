@@ -311,12 +311,19 @@ class ParquetTable:
         over-propagates a delete that didn't commit — the conservative
         failure for erasure (consumers drop rows that still exist and
         re-sync), versus a committed erasure downstream never hears
-        about. NOTE: erasure is only complete after ``vacuum()`` —
-        time-travel history retains the pre-delete files until then
-        (same caveat Delta documents)."""
+        about. Each feed append carries a unique intent id in its
+        commit metrics and the table's delete commit records the same
+        id when it lands; ``reconcile_cdf`` (run automatically at the
+        START of every ``delete_where`` with a feed) detects intents
+        that never landed and re-emits their rows as ``insert`` changes
+        so downstream state converges back. NOTE: erasure is only
+        complete after ``vacuum()`` — time-travel history retains the
+        pre-delete files until then (same caveat Delta documents)."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         if not self.exists():
             return 0
+        if cdf_table is not None:
+            self.reconcile_cdf(cdf_table)
         current = self.read()
         doomed = current.where(pred)
         # existence probe (short-circuits on the first match) instead of
@@ -330,18 +337,97 @@ class ParquetTable:
             [os.path.join(self.path, f) for f in self._data_files()]
         )
         seq = self._next_seq()
+        intent = uuid.uuid4().hex
         if cdf_table is not None:
             feed = doomed.withColumn("_change_type", F.lit("delete")).withColumn(
                 "_commit_version", F.lit(seq).cast("bigint")
             )
-            cdf_table.append(feed)
+            cdf_table.append(
+                feed,
+                metrics={"delete_intent": intent, "delete_intent_seq": seq},
+            )
         self.overwrite(
-            current.where(~F.coalesce(pred, F.lit(False))), op="delete"
+            current.where(~F.coalesce(pred, F.lit(False))),
+            op="delete",
+            metrics={"delete_intent": intent} if cdf_table is not None else None,
         )
         rec = self.history()[-1]
         n = before - rec["rows_written"]
         self._amend_last_commit_metrics({"rows_deleted": n})
         return n
+
+    def reconcile_cdf(self, cdf_table: "ParquetTable") -> int:
+        """Repair the delete-feed after a crash between the feed append
+        and the state rewrite: any feed commit whose ``delete_intent``
+        never landed as a table ``delete`` commit describes an erasure
+        that did NOT happen (the staged swap is atomic — none of its
+        rows were removed). Per orphaned intent:
+
+        1. a ``cdf_reconcile`` marker commit is recorded on THIS table,
+           consuming the seq the crashed delete reserved so no future
+           commit reuses the phantom ``_commit_version``;
+        2. the orphan's rows STILL PRESENT in the table are re-emitted
+           as ``insert`` changes at the marker's version (rows a later
+           re-run of the delete already erased are skipped — re-
+           emitting them would resurrect a legitimate erasure
+           downstream), and the intent is marked reconciled in the
+           repair append's metrics.
+
+        Version ordering for consumers: apply per key by
+        ``(_commit_version, _change_type)`` — lexical change-type order
+        puts ``delete`` before ``insert`` within one version, the same
+        pre/post convention an in-version row replace uses, so a
+        restored insert at the phantom's own version still wins.
+
+        Detection is O(commit records) driver-side JSON — never a feed
+        scan; data reads are the one orphaned batch's files plus the
+        existence probe against the table. Returns intents repaired."""
+        if not cdf_table.exists():
+            return 0
+        feed_hist = cdf_table.history()
+        landed = {
+            (r.get("metrics") or {}).get("delete_intent")
+            for r in self.history()
+            if r["op"] == "delete"
+        }
+        reconciled: set = set()
+        for r in feed_hist:
+            reconciled.update((r.get("metrics") or {}).get("reconciled_intents", []))
+        by_seq = {r["seq"]: r["files"] for r in feed_hist}
+        repaired = 0
+        for r in feed_hist:
+            intent = (r.get("metrics") or {}).get("delete_intent")
+            if intent is None or intent in landed or intent in reconciled:
+                continue
+            own = [
+                f
+                for f in r["files"]
+                if f not in set(by_seq.get(r["seq"] - 1, []))
+            ]
+            if not own:
+                continue
+            marker = self._record_commit(
+                "cdf_reconcile", {"reconciled_intent": intent}, new_files=[]
+            )
+            rows = cdf_table.spark.read.parquet(
+                *[os.path.join(cdf_table.path, f) for f in own]
+            ).drop("_change_type", "_commit_version")
+            current = self.read()
+            cond = None
+            for c in rows.columns:
+                e = rows[c].eqNullSafe(current[c])
+                cond = e if cond is None else cond & e
+            still_here = rows.join(current, cond, "left_semi")
+            restored = still_here.withColumn(
+                "_change_type", F.lit("insert")
+            ).withColumn(
+                "_commit_version", F.lit(marker["seq"]).cast("bigint")
+            )
+            cdf_table.append(
+                restored, metrics={"reconciled_intents": [intent]}
+            )
+            repaired += 1
+        return repaired
 
     def _amend_last_commit_metrics(self, extra: dict) -> None:
         """Merge ``extra`` into the latest commit record's metrics —
@@ -461,7 +547,13 @@ class ParquetTable:
         if not any(r["seq"] == seq for r in hist):
             raise ValueError(f"no commit {seq} in log for {self.path}")
         newer = [r for r in hist if r["seq"] > seq]
-        bad = [r for r in newer if r["op"] not in ("append", "create")]
+        # cdf_reconcile markers are file-neutral (they exist only to
+        # consume a crashed delete's reserved seq) — additive-safe
+        bad = [
+            r
+            for r in newer
+            if r["op"] not in ("append", "create", "cdf_reconcile")
+        ]
         if bad:
             raise ValueError(
                 f"read_since({seq}) unsound: commit {bad[0]['seq']} is "

@@ -199,3 +199,99 @@ def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
     )
     assert t.delete_where("v = 'a'") == 1
     assert sorted(r["id"] for r in t.read().collect()) == [2, 3]
+
+
+def test_delete_where_crash_between_feed_and_rewrite_reconciles(
+    spark, tmp_path, monkeypatch
+):
+    """Crash injection for the feed-before-rewrite window: the CDF
+    append lands, the state rewrite never does. The next delete_where
+    (or an explicit reconcile_cdf) must detect the orphaned intent —
+    its delete never landed, so ALL its rows still exist — and re-emit
+    them as insert changes so downstream CDF consumers converge back.
+    """
+    from pyspark.sql import functions as F
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    feed = ParquetTable(spark, str(tmp_path / "feed"))
+    t.overwrite(spark.range(10).selectExpr("id", "id % 2 AS parity"))
+
+    # crash AFTER the feed append, BEFORE the rewrite
+    real_overwrite = ParquetTable.overwrite
+
+    def crashing_overwrite(self, df, metrics=None, op="overwrite"):
+        if op == "delete":
+            raise OSError("simulated crash before rewrite")
+        return real_overwrite(self, df, metrics=metrics, op=op)
+
+    monkeypatch.setattr(ParquetTable, "overwrite", crashing_overwrite)
+    with pytest.raises(OSError, match="simulated crash"):
+        t.delete_where(F.col("parity") == 1, cdf_table=feed)
+    monkeypatch.undo()
+
+    # table unchanged, feed over-propagated 5 deletes that never landed
+    assert t.read().count() == 10
+    assert feed.read().where("_change_type = 'delete'").count() == 5
+
+    # the NEXT delete (different predicate) auto-reconciles first
+    n = t.delete_where(F.col("id") == 0, cdf_table=feed)
+    assert n == 1
+    rows = feed.read().collect()
+    restored = [r for r in rows if r["_change_type"] == "insert"]
+    assert sorted(r["id"] for r in restored) == [1, 3, 5, 7, 9]
+    # net feed state per key under (version, change_type) ordering:
+    # the marker commit consumed the phantom's reserved seq, so the
+    # restored inserts land AT the phantom version (delete < insert
+    # breaks the tie) and every later real commit sorts after
+    phantom_v = max(
+        r["_commit_version"]
+        for r in rows
+        if r["_change_type"] == "delete" and r["id"] != 0
+    )
+    assert all(r["_commit_version"] == phantom_v for r in restored)
+    landed_delete = [
+        r for r in rows if r["_change_type"] == "delete" and r["id"] == 0
+    ]
+    assert len(landed_delete) == 1
+    assert landed_delete[0]["_commit_version"] > phantom_v
+    # the marker commit is in the TABLE's log (no seq reuse)
+    assert any(h["op"] == "cdf_reconcile" for h in t.history())
+
+    # reconcile is idempotent: nothing more to repair
+    assert t.reconcile_cdf(feed) == 0
+    assert feed.read().count() == len(rows)
+
+
+def test_reconcile_cdf_skips_rows_a_rerun_already_erased(
+    spark, tmp_path, monkeypatch
+):
+    """Deferred reconciliation must not resurrect a legitimate
+    erasure: after the crash the operator re-ran the delete WITHOUT the
+    feed (so no auto-reconcile), which erased the rows for real. A
+    later reconcile finds the orphaned intent but its rows are gone
+    from the table — nothing is re-emitted."""
+    from pyspark.sql import functions as F
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    feed = ParquetTable(spark, str(tmp_path / "feed"))
+    t.overwrite(spark.range(10).selectExpr("id", "id % 2 AS parity"))
+
+    real_overwrite = ParquetTable.overwrite
+
+    def crashing_overwrite(self, df, metrics=None, op="overwrite"):
+        if op == "delete":
+            raise OSError("simulated crash before rewrite")
+        return real_overwrite(self, df, metrics=metrics, op=op)
+
+    monkeypatch.setattr(ParquetTable, "overwrite", crashing_overwrite)
+    with pytest.raises(OSError, match="simulated crash"):
+        t.delete_where(F.col("parity") == 1, cdf_table=feed)
+    monkeypatch.undo()
+
+    # recovery re-run without the feed: erasure lands for real
+    assert t.delete_where(F.col("parity") == 1) == 5
+    # the orphaned intent is detected but its rows no longer exist
+    assert t.reconcile_cdf(feed) == 1
+    assert feed.read().where("_change_type = 'insert'").count() == 0
+    # marked reconciled: idempotent thereafter
+    assert t.reconcile_cdf(feed) == 0
