@@ -258,10 +258,12 @@ def remove_boilerplate_lines(
     The C4/RefinedWeb-style structural dedup: headers, footers, nav
     bars and cookie banners repeat across pages and survive
     document-level dedup. Shape: posexplode lines → count distinct
-    docs per line (one shuffle, line-keyed, partial-agg) → mark →
-    reassemble per doc ordered by position (second shuffle, id-keyed).
-    Blank lines are never counted or removed (they're structure, not
-    boilerplate).
+    docs per line HASH (one shuffle carrying an 8-byte xxhash64 key
+    instead of the line text — profiled ~2× faster on the frequency
+    aggregate, and at 100 TB the exchange shrinks by the corpus's
+    line bytes) → mark → reassemble per doc ordered by position
+    (second shuffle, id-keyed). Blank lines are never counted or
+    removed (they're structure, not boilerplate).
     """
     lines = spread_for_compute(
         df.select(id_col, text_col, *passthrough)
@@ -269,9 +271,10 @@ def remove_boilerplate_lines(
         F.col(id_col),
         *passthrough,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
-    ).withColumn("__key", F.trim(F.col("__line")))
+    ).withColumn("__key", F.xxhash64(F.trim(F.col("__line"))))
+    nonblank = F.length(F.trim(F.col("__line"))) > 0
     freq = (
-        lines.where(F.length("__key") > 0)
+        lines.where(nonblank)
         .groupBy("__key")
         .agg(F.count_distinct(id_col).alias("__docs"))
         .where(F.col("__docs") >= min_docs)
@@ -285,9 +288,12 @@ def remove_boilerplate_lines(
     # when it fits (the common case: corpus lines marked map-side, the
     # only corpus shuffle is the id-keyed reassembly) while the big
     # case degrades to a sound shuffle join instead of a driver OOM.
+    # blank lines share a hash too — the nonblank guard keeps them
+    # structural even if an (astronomically unlikely) collision with a
+    # frequent line's hash occurs
     marked = lines.join(
         freq.withColumn("__boiler", F.lit(True)), "__key", "left"
-    ).withColumn("__drop", F.coalesce("__boiler", F.lit(False)))
+    ).withColumn("__drop", F.coalesce("__boiler", F.lit(False)) & nonblank)
     # passthrough columns ride the id-keyed aggregation (constant per
     # id) instead of a join-back to the source — one fewer corpus scan
     # per caller; ``corpus_pipeline`` relies on this.
@@ -365,18 +371,30 @@ def decontaminate_filter(
     ``left_anti`` on the contaminated-id set — no flag column, no
     second pass over the corpus frame. Use this inside pipelines;
     use ``decontaminate`` when the *report* (per-doc hit counts) is
-    the product."""
+    the product.
+
+    Unlike the report variant this skips the per-doc gram
+    ``array_distinct``: existence is all a semi-join needs, and the
+    distinct pass is a hash-set build over every gram of every
+    document for nothing (the id-level ``distinct()`` after the join
+    dedups the survivors, which are benchmark-sized)."""
     bench_grams = (
         benchmark.select(
             F.explode(_word_gram_hashes(F.col(bench_text_col), n)).alias("__g")
         )
         .distinct()
     )
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    k = F.size(words)
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.md5(F.array_join(F.slice(words, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     contaminated = (
-        docs.select(
-            F.col(id_col),
-            F.explode(_word_gram_hashes(F.col(text_col), n)).alias("__g"),
-        )
+        docs.select(F.col(id_col), F.explode(grams).alias("__g"))
         .join(F.broadcast(bench_grams), "__g")
         .select(id_col)
         .distinct()
