@@ -13,8 +13,59 @@ replicated S× (explode over a literal range). The join key becomes
 
 from __future__ import annotations
 
+import os
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse Spark byte-string confs ('134217728b', '128m', '1g')."""
+    v = v.strip().lower()
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    if v and v[-1] in units:
+        return int(float(v[:-1]) * units[v[-1]])
+    return int(v)
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Expected input-split count of a LOCAL file-source scan, from
+    Spark's own bin-packing formula (FilePartition.maxSplitBytes):
+    ``maxSplit = min(maxPartitionBytes, max(openCostInBytes,
+    totalCost / defaultParallelism))``, splits ≈ totalCost/maxSplit
+    with per-file open cost. Returns None when the plan isn't a plain
+    local file scan — caller falls back to the exact RDD probe."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sizes = []
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("file", ""):
+            return None
+        try:
+            sizes.append(os.path.getsize(unquote(p.path)))
+        except OSError:
+            return None
+    conf = df.sparkSession.conf
+    max_part = _parse_bytes(
+        conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    open_cost = _parse_bytes(
+        conf.get("spark.sql.files.openCostInBytes", "4194304b")
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    total_cost = sum(s + open_cost for s in sizes)
+    max_split = min(max_part, max(open_cost, total_cost // max(par, 1)))
+    # subtract one open-cost so a single small file estimates 1, not 2
+    # — a slight under-estimate is the safe direction (the caller only
+    # trusts the estimate to SKIP, and falls back to the exact probe
+    # otherwise)
+    return max(1, -(-(total_cost - open_cost) // max(max_split, 1)))
 
 
 def spread_for_compute(df: DataFrame) -> DataFrame:
@@ -27,8 +78,20 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     is a no-op decision; at bench scale a 5000-row parquet file is ONE
     split, which would serialize the whole expression pipeline onto a
     single core. Callers project the narrow column set first so the
-    exchanged payload stays minimal."""
+    exchanged payload stays minimal.
+
+    The at-scale no-op decision is made from file metadata alone when
+    the inputs are local files with enough estimated splits
+    (``_estimated_scan_partitions``) — probing ``df.rdd`` instantiates
+    the physical plan's RDD lineage, needless driver work on a wide
+    plan. The estimate is only trusted in the skip direction: a
+    downstream shuffle can repartition regardless of scan splits, so
+    a low estimate still defers to the exact probe before paying for
+    a repartition."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    est = _estimated_scan_partitions(df)
+    if est is not None and est >= n:
+        return df
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df

@@ -723,14 +723,31 @@ class ParquetTable:
         shutil.rmtree(out, ignore_errors=True)
         index.write.mode("overwrite").parquet(out)
 
-    def lookup_files(self, col: str, value) -> list[str]:
+    def lookup_files(self, col: str, value, strict: bool = True) -> list[str]:
         """Candidate data files that MAY contain ``col == value``,
         per the Bloom sidecar — no false negatives, false positives at
         the classic rate. Raises if the index predates the latest
-        commit (stale skipping would silently drop rows)."""
+        commit (stale skipping would silently drop rows); with
+        ``strict=False`` a stale/empty-built index instead degrades to
+        the FULL current file list with a warning — sound (no file is
+        skipped), just unpruned, for callers that prefer a slow lookup
+        over a maintenance-window error."""
+        import warnings
+
         idx_path = self._bloom_index_path(col)
         if not os.path.isdir(idx_path):
             raise ValueError(f"no bloom index for column {col!r} — build_bloom_index first")
+
+        def _degrade(reason: str) -> list[str]:
+            warnings.warn(
+                f"bloom index for {col!r} {reason} — returning the "
+                "full file list (no pruning); rebuild the index",
+                stacklevel=3,
+            )
+            return [
+                os.path.join(self.path, f) for f in self._data_files()
+            ]
+
         idx = self.spark.read.parquet(idx_path)
         meta = idx.select("m_bits", "k", "indexed_seq").first()
         if meta is None:
@@ -739,11 +756,18 @@ class ParquetTable:
             # table is still empty
             if self.read().limit(1).count() == 0:
                 return []
+            if not strict:
+                return _degrade("was built on an empty table that has since gained rows")
             raise ValueError(
                 f"bloom index for {col!r} was built on an empty table "
                 "that has since gained rows — rebuild"
             )
         if meta["indexed_seq"] != self._next_seq() - 1:
+            if not strict:
+                return _degrade(
+                    f"is stale (indexed commit {meta['indexed_seq']}, "
+                    f"table at {self._next_seq() - 1})"
+                )
             raise ValueError(
                 f"bloom index for {col!r} is stale (indexed commit "
                 f"{meta['indexed_seq']}, table at {self._next_seq() - 1}) — rebuild"

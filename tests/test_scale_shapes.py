@@ -319,3 +319,23 @@ def test_edit_distance_pairs_equi_join_not_cartesian(spark):
     plan = _plan(edit_distance_pairs(docs, max_distance=1))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spread_for_compute_estimate_and_fallback(spark, tmp_path):
+    """The at-scale skip decision comes from file metadata (no RDD
+    probe); a small single-file scan still round-robins to cluster
+    parallelism via the exact fallback."""
+    from data_ingestion_framework_spark.operators.skew import (
+        _estimated_scan_partitions,
+        spread_for_compute,
+    )
+
+    n = spark.sparkContext.defaultParallelism
+    p = str(tmp_path / "one")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    est = _estimated_scan_partitions(df)
+    assert est == 1  # one tiny file -> one split
+    assert spread_for_compute(df).rdd.getNumPartitions() == n
+    # non-file plans return None (fallback path, no crash)
+    assert _estimated_scan_partitions(spark.range(10)) is None

@@ -198,7 +198,7 @@ def test_bloom_index_staleness_guard(spark):
         t.overwrite(spark.range(10).selectExpr("id"))
         t.build_bloom_index("id")
         t.append(spark.range(10, 20).selectExpr("id"))
-        with _pytest.raises(ValueError, match="stale"):
+        with pytest.raises(ValueError, match="stale"):
             t.lookup_files("id", 5)
         with _pytest.raises(ValueError, match="no bloom index"):
             t.lookup_files("nope", 5)
@@ -301,3 +301,24 @@ def test_point_lookup_partitioned_table_recovers_partition_columns(spark):
         part = t.point_lookup("bucket", 2)
         assert part.count() == 50
         assert set(r["bucket"] for r in part.select("bucket").distinct().collect()) == {2}
+
+
+def test_lookup_files_nonstrict_degrades_to_full_list(spark):
+    """strict=False turns a stale index into a full-file-list warning
+    instead of an error — sound (no skipping), just unpruned."""
+    import warnings
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t = ParquetTable(spark, f"{tmp}/t")
+        t.overwrite(spark.range(100).selectExpr("id"))
+        t.build_bloom_index("id")
+        t.append(spark.range(100, 110).selectExpr("id"))  # index now stale
+        with pytest.raises(ValueError, match="stale"):
+            t.lookup_files("id", 5)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            files = t.lookup_files("id", 5, strict=False)
+        assert any("stale" in str(x.message) for x in w)
+        assert sorted(files) == sorted(
+            os.path.join(f"{tmp}/t", f) for f in t._data_files()
+        )
