@@ -326,6 +326,124 @@ def _reassemble_lines(
     )
 
 
+def contamination_fraction(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Graded decontamination (the PaLM/Llama-style refinement of the
+    any-hit rule): per document, the FRACTION of its distinct word
+    ``n``-grams that appear in the benchmark, with a ``drop`` flag at
+    ``threshold``. An any-hit filter (``decontaminate``) removes a long
+    document over one incidental quote; real pipelines drop on overlap
+    fraction and keep the tail.
+
+    Returns ``(id, n_grams, n_contaminated, contamination_frac,
+    drop)`` — one row per input document (docs shorter than ``n``
+    words have 0 grams, fraction 0, never dropped).
+
+    Scale shape: identical to ``decontaminate`` — broadcast benchmark
+    gram hashes, map-side corpus join, id-keyed count aggregate; the
+    per-doc gram total rides the same projection so no second corpus
+    pass. Fraction is rounded to 6 places for cross-engine hashing.
+    """
+    grams = _word_gram_hashes(F.col(text_col), n)
+    bench_grams = (
+        benchmark.select(
+            F.explode(_word_gram_hashes(F.col(bench_text_col), n)).alias("__g")
+        )
+        .distinct()
+    )
+    doc_grams = spread_for_compute(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.size(grams).alias("__n_grams"),
+        F.explode_outer(grams).alias("__g"),
+    )
+    per_doc = (
+        doc_grams.join(
+            F.broadcast(bench_grams.withColumn("__hit", F.lit(True))),
+            "__g",
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.first("__n_grams").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("__hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+    )
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.round(F.col("n_contaminated") / F.col("n_grams"), 6),
+    ).otherwise(F.lit(0.0))
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_contaminated",
+        frac.alias("contamination_frac"),
+        (frac >= F.lit(threshold)).alias("drop"),
+    )
+
+
+#: Default token blocklist for ``badword_fraction`` — callers supply
+#: their own list (e.g. the public LDNOOBW lists C4 used); this stub
+#: keeps the operator runnable without shipping offensive content.
+DEFAULT_BADWORDS: tuple[str, ...] = ()
+
+
+def badword_fraction(
+    df: DataFrame,
+    badwords: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Blocklisted-token fraction per document (the C4 "bad words"
+    gate, public): fraction of whitespace tokens of the normalized
+    text that exactly match the (lowercased) blocklist. Returns all
+    input columns plus ``n_badwords`` and ``badword_frac``.
+
+    Scale shape: the blocklist is control-plane sized (hundreds of
+    terms) and compiles to ONE scan-side expression — the token array
+    intersects a literal array (`array_intersect` + per-token counts
+    via a filter), no explode, no join, no shuffle. Fraction rounds to
+    6 places for cross-engine hashing.
+    """
+    bset = sorted({w.lower() for w in badwords})
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    lit_bad = F.array(*[F.lit(w) for w in bset]) if bset else F.array().cast(
+        "array<string>"
+    )
+    n_bad = F.size(
+        F.filter(words, lambda w: F.array_contains(lit_bad, w))
+    ).cast("bigint")
+    k = F.size(words)
+    frac = F.when(k > 0, F.round(n_bad / k, 6)).otherwise(F.lit(0.0))
+    return df.withColumns(
+        {"n_badwords": n_bad, "badword_frac": frac}
+    )
+
+
+def filter_badwords(
+    df: DataFrame,
+    badwords: list[str],
+    max_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop documents whose blocklist-token fraction exceeds
+    ``max_fraction`` (0.0 = any hit drops, the strict C4 behavior).
+    Returns surviving rows with the original columns."""
+    scored = badword_fraction(df, badwords, id_col=id_col, text_col=text_col)
+    return scored.where(F.col("badword_frac") <= F.lit(max_fraction)).drop(
+        "n_badwords", "badword_frac"
+    )
+
+
 def remove_duplicate_lines(
     df: DataFrame,
     id_col: str = "doc_id",

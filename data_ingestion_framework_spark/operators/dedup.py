@@ -90,6 +90,20 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def word_shingles_pre_normalized(col: Column | str, n: int = 3) -> Column:
+    """``word_shingles`` over text that is ALREADY normalized (e.g.
+    materialized across an exchange by ``_spread_normalized``) — skips
+    the redundant regexp pass."""
+    words = F.split(F.col(col) if isinstance(col, str) else col, " ")
+    k = F.size(words)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+
+
 def _spread_normalized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, __norm) spread across the cluster: normalization runs once
     per row *before* the exchange; the exchange is also a CollapseProject
@@ -1128,4 +1142,95 @@ def edit_distance_pairs(
         .withColumn("distance", F.levenshtein("__ta", "__tb"))
         .where(F.col("distance") <= F.lit(max_distance))
         .select("id_a", "id_b", "distance")
+    )
+
+
+# -- asymmetric containment ---------------------------------------------------
+
+def frequent_grams(
+    gram_doc: DataFrame, max_gram_docs: int, gram_col: str = "__g"
+) -> DataFrame:
+    """(gram, n_docs) for grams above the document-frequency cap — the
+    dropped-work report for ``containment_pairs`` (same honesty
+    contract as ``oversize_blocks``: a silent cap reads as full
+    coverage when it isn't)."""
+    return (
+        gram_doc.groupBy(gram_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_gram_docs)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+    max_gram_docs: int = 200,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection: containment of A in B is
+    ``|grams(A) ∩ grams(B)| / |grams(A)|`` over distinct word
+    ``n``-grams. Jaccard misses the short-doc-quoted-inside-long-doc
+    case (the union is dominated by the long doc); containment is the
+    standard fix (Broder's resemblance/containment pair, public).
+    Returns ``(id_a, id_b, containment_a, containment_b)`` for pairs
+    where EITHER direction ≥ ``threshold`` (id_a < id_b, 4-decimal
+    rounding).
+
+    Scale shape: inverted-index join, NOT a length-blocked self-join —
+    containment pairs legitimately span length blocks, so blocking by
+    length would miss exactly the pairs this operator exists for.
+    ``(id, gram-hash)`` postings self-join on the gram key; stop-grams
+    (document frequency > ``max_gram_docs``) are dropped before the
+    join — they would fan out quadratically and carry no discriminating
+    signal (same rationale as search-engine stop-words). Dropped grams
+    slightly UNDER-count intersections (documented bias; report them
+    via ``frequent_grams``). Pair counts aggregate on the (a, b) key
+    map-side; per-doc gram totals ride the postings, so no second
+    corpus pass.
+    """
+    base = _spread_normalized(df.select(id_col, text_col), id_col, text_col)
+    shingled = base.select(
+        F.col(id_col),
+        hashed_shingle_set(
+            word_shingles_pre_normalized("__norm", n)
+        ).alias("__sh"),
+    ).where(F.size("__sh") > 0)
+    postings = shingled.select(
+        F.col(id_col),
+        F.size("__sh").alias("__ntot"),
+        F.explode("__sh").alias("__g"),
+    )
+    postings = _drop_oversize(postings, ["__g"], max_gram_docs)
+    a = postings.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__ntot").alias("__na"),
+        "__g",
+    )
+    b = postings.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__ntot").alias("__nb"),
+        "__g",
+    )
+    shared = (
+        a.join(b, "__g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__shared"),
+            F.first("__na").alias("__na"),
+            F.first("__nb").alias("__nb"),
+        )
+    )
+    ca = F.round(F.col("__shared") / F.col("__na"), 4)
+    cb = F.round(F.col("__shared") / F.col("__nb"), 4)
+    return (
+        shared.withColumn("containment_a", ca)
+        .withColumn("containment_b", cb)
+        .where(
+            (F.col("containment_a") >= F.lit(threshold))
+            | (F.col("containment_b") >= F.lit(threshold))
+        )
+        .select("id_a", "id_b", "containment_a", "containment_b")
     )

@@ -153,6 +153,41 @@ def temperature_mix(
     return df.where(col.otherwise(F.lit(False)))
 
 
+def quality_weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    base_fraction: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Quality-weighted deterministic sampling (importance resampling
+    à la DSIR/quality-classifier pipelines, public idea): each row's
+    keep probability is ``base_fraction · clamp(weight, 0, 1)`` where
+    ``weight`` is a per-row score column (e.g. a quality score in
+    [0,1]). High-quality rows survive at the base rate, low-quality
+    rows proportionally less — one scan-side predicate, no shuffle,
+    reproducible across runs and engines.
+
+    Cross-engine exactness: weight and base fraction quantize to 10⁻⁶
+    integer units; the per-row threshold is the two-step exact integer
+    computation ``t1 = (base6·w6) // 10⁶``, ``thr = t1·16⁸ // 10⁶``
+    (each intermediate < 2⁶³), compared against the first 8 md5 hex
+    chars of the salted id as an integer. An oracle re-deriving the
+    same two steps reproduces membership bit-for-bit.
+    """
+    base6 = int(round(min(max(base_fraction, 0.0), 1.0) * 10**6))
+    w = F.col(weight_col).cast("double")
+    w6 = F.floor(
+        F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)) * 1_000_000 + F.lit(0.5)
+    ).cast("bigint")
+    t1 = F.floor((F.lit(base6).cast("bigint") * w6) / 1_000_000).cast("bigint")
+    thr = F.floor((t1 * F.lit(_HEX_SPACE).cast("bigint")) / 1_000_000).cast(
+        "bigint"
+    )
+    bucket_int = F.conv(hash_bucket_hex(id_col, salt), 16, 10).cast("bigint")
+    return df.where(bucket_int < thr)
+
+
 def shuffle_rank(
     df: DataFrame,
     id_col: str = "doc_id",

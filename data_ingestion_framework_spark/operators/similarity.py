@@ -491,3 +491,175 @@ def dequantize_int8(
         F.col(qvec_col),
         lambda x: x.cast("double") * F.col(scale_col) / F.lit(127.0),
     )
+
+
+# -- product quantization (PQ) ------------------------------------------------
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance, left-to-right summation (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_sub(vec: Column, sub: int, dsub: int) -> Column:
+    return F.slice(_to_double(vec), sub * dsub + 1, dsub)
+
+
+def _pq_code(vec: Column, sub: int, codebook: list[list[float]], dsub: int) -> Column:
+    """Nearest code in one subspace by squared L2 (rounded to 6 so
+    cross-engine float-summation order can't flip an argmin; ties on
+    the lower code id)."""
+    sv = _pq_sub(vec, sub, dsub)
+    scored = F.transform(
+        matrix_literal(codebook),
+        lambda c, i: F.struct(F.round(_sq_l2(sv, c), 6).alias("d"), i.alias("code")),
+    )
+    return F.array_sort(scored)[0]["code"]
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace k-means codebooks for product
+    quantization (Jégou et al. 2011, public): the vector splits into
+    ``m`` contiguous subspaces; each learns its own ``k``-centroid
+    codebook, so a vector stores as ``m`` small codes (``m`` bytes at
+    k ≤ 256) + shared codebooks — the compression an embedding store
+    needs beyond int8 when 100 TB of float32 must become RAM-resident.
+
+    Same determinism contract as ``ivf_train_centroids``: seeds are the
+    ``k`` corpus vectors with the lowest ``md5(id)`` (their subvectors
+    seed every subspace), each Lloyd iteration assigns scan-side
+    (rounded squared-L2 argmin, code-id ties) and recomputes means via
+    one ``(sub, code, pos)``-keyed aggregate for ALL subspaces at once.
+    Driver-side data is the ``m·k·dsub`` codebook table — control-plane
+    sized. A code that loses every member keeps its previous centroid.
+
+    Returns ``codebooks[sub][code] = centroid`` (length ``dim // m``).
+    """
+    corpus = _spread(corpus.select(id_col, vec_col))
+    first = corpus.select(F.size(vec_col).alias("n")).first()
+    if first is None:
+        raise ValueError("pq_train_codebooks: empty corpus")
+    dim = first["n"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    seed_rows = (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    books = [
+        [[float(x) for x in r[vec_col][s * dsub : (s + 1) * dsub]] for r in seed_rows]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        # one pass for all subspaces: per row, an array of m structs
+        # (sub, assigned code, subvector), exploded then pos-exploded
+        per_sub = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    _pq_code(F.col(vec_col), s, books[s], dsub).alias("code"),
+                    _pq_sub(F.col(vec_col), s, dsub).alias("sv"),
+                )
+                for s in range(m)
+            ]
+        )
+        assigned = corpus.select(F.explode(per_sub).alias("a")).select(
+            F.col("a.sub").alias("__sub"), F.col("a.code").alias("__code"),
+            F.col("a.sv").alias("__sv"),
+        ).select(
+            "__sub", "__code", F.posexplode("__sv").alias("__pos", "__x")
+        )
+        means = (
+            assigned.groupBy("__sub", "__code", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["__sub"], r["__code"]), {})[r["__pos"]] = r["__m"]
+        books = [
+            [
+                [got[(s, c)][p] for p in sorted(got[(s, c)])]
+                if (s, c) in got
+                else books[s][c]
+                for c in range(k)
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest-code ids —
+    ``(id, codes array<int>)``, the 4-bytes-per-subspace storage row.
+    One narrow scan-side projection, zero shuffles."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = F.array(
+        *[_pq_code(F.col(vec_col), s, codebooks[s], dsub) for s in range(m)]
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the corpus side is
+    encoded once (``pq_encode``); each (query, row) distance is the sum
+    of per-subspace squared L2 between the query's subvector and the
+    row's code centroid — ``m`` lookups instead of a ``dim``-wide exact
+    scan, and the corpus never materializes its floats again.
+
+    Cross-engine exactness: per-subspace distances round to 6 decimals
+    and sum as DECIMAL(18,6) (order-free exact addition), ranking
+    ascending with id ties. Returns ``(q_id, vec_id, adc_dist)``.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    encoded = _spread(pq_encode(corpus, codebooks, id_col, vec_col))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    dist = None
+    for s in range(m):
+        qs = _pq_sub(F.col("__qv"), s, dsub)
+        cent = F.element_at(
+            matrix_literal(codebooks[s]), F.col("codes")[s] + 1
+        )
+        d = F.round(_sq_l2(qs, cent), 6).cast("decimal(18,6)")
+        dist = d if dist is None else dist + d
+    scored = encoded.join(F.broadcast(q), F.lit(True)).select(
+        F.col(query_id_col), F.col(id_col), dist.alias("adc_dist")
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.where(F.col(query_id_col) != F.col(id_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -2585,3 +2585,324 @@ def docs_fuzzy_entity_pairs(spark, sf_dir):
         max_distance=1,
         block_col=F.substring(F.col("name"), 5, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graded decontamination: per-doc fraction of distinct 13-grams shared
+# with the benchmark (%97 docs), drop flag at 10% — the overlap-
+# fraction refinement of the any-hit rule. The oracle re-derives the
+# distinct-gram intersection per document.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_contamination_fraction",
+    oracle="""
+    WITH nw AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 13
+                  THEN list_distinct([md5(array_to_string(w[i:i+12], ' '))
+                                      for i in range(1, len(w) - 11)])
+                  ELSE [] END AS grams
+      FROM nw
+    ), bg AS (
+      SELECT list(DISTINCT gh) AS bl
+      FROM (SELECT unnest(grams) AS gh FROM g WHERE doc_id % 97 = 0)
+    ), scored AS (
+      SELECT g.doc_id,
+             CAST(len(g.grams) AS BIGINT) AS n_grams,
+             CAST(len(list_intersect(g.grams, bg.bl)) AS BIGINT)
+               AS n_contaminated
+      FROM g CROSS JOIN bg
+    )
+    SELECT doc_id, n_grams, n_contaminated,
+           CASE WHEN n_grams > 0
+                THEN ROUND(CAST(n_contaminated AS DOUBLE) / n_grams, 6)
+                ELSE 0.0 END AS contamination_frac,
+           (CASE WHEN n_grams > 0
+                 THEN ROUND(CAST(n_contaminated AS DOUBLE) / n_grams, 6)
+                 ELSE 0.0 END) >= 0.1 AS drop
+    FROM scored
+    """,
+)
+def docs_contamination_fraction(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import cleaning
+
+    docs = load(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    return cleaning.contamination_fraction(docs, benchmark, n=13, threshold=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Blocklist-token gate (C4 "bad words" procedure, public): fraction of
+# normalized tokens matching a literal blocklist — one scan-side
+# expression, no join. Blocklist uses neutral stand-in terms from the
+# synthetic vocabulary.
+# ---------------------------------------------------------------------------
+_BADWORDS = ["spark", "hash", "stream"]
+
+
+@bench_query(
+    "docs_badword_report",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(words,
+                x -> list_contains({_BADWORDS!r}, x))) AS BIGINT) AS n_badwords,
+           CASE WHEN len(words) > 0
+                THEN ROUND(CAST(len(list_filter(words,
+                     x -> list_contains({_BADWORDS!r}, x))) AS DOUBLE)
+                     / len(words), 6)
+                ELSE 0.0 END AS badword_frac
+    FROM w
+    """,
+)
+def docs_badword_report(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import cleaning
+
+    docs = load(spark, sf_dir, "documents")
+    return cleaning.badword_fraction(docs, _BADWORDS).select(
+        "doc_id", "n_badwords", "badword_frac"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted deterministic sampling: keep probability =
+# 0.5 · clamp(token_count/100, 0, 1) per row, exact two-step integer
+# thresholds (quantized weight · base → md5-bucket comparison). The
+# oracle re-derives the identical integer arithmetic.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_quality_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                              ' ')) AS k
+      FROM documents
+    ), t AS (
+      SELECT doc_id, source,
+             ((500000::BIGINT * (LEAST(k, 100) * 10000)) // 1000000)
+               * 4294967296 // 1000000 AS thr
+      FROM w
+    )
+    SELECT doc_id, source
+    FROM t
+    WHERE ('0x' || substr(md5('qw' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < thr
+    """,
+)
+def docs_quality_weighted_sample(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+    from data_ingestion_framework_spark.operators.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.withColumn(
+        "__w", F.least(token_count("text"), F.lit(100)) / F.lit(100.0)
+    )
+    return quality_weighted_sample(
+        scored, "__w", base_fraction=0.5, salt="qw"
+    ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment pairs (Broder containment, public): inverted-
+# index join over word 5-gram postings with a stop-gram cap — catches
+# the short-doc-quoted-inside-long-doc case Jaccard misses. Oracle
+# mirrors the postings join INCLUDING the document-frequency cap.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH nw AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i+1:i+5], ' ')
+                            for i in range(0, greatest(len(w) - 5, 0) + 1)]) AS s
+      FROM nw
+    ), post AS (
+      SELECT doc_id, len(s) AS ntot, unnest(s) AS g
+      FROM sh WHERE len(s) > 0
+    ), capped AS (
+      SELECT * FROM post
+      QUALIFY count(*) OVER (PARTITION BY g) <= 200
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS shared,
+             any_value(a.ntot) AS na, any_value(b.ntot) AS nb
+      FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(shared AS DOUBLE) / na, 4) AS containment_a,
+           ROUND(CAST(shared AS DOUBLE) / nb, 4) AS containment_b
+    FROM pairs
+    WHERE ROUND(CAST(shared AS DOUBLE) / na, 4) >= 0.6
+       OR ROUND(CAST(shared AS DOUBLE) / nb, 4) >= 0.6
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, n=5, threshold=0.6, max_gram_docs=200
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, public): per-subspace
+# k-means codebooks, code assignment, and asymmetric-distance top-k.
+# The oracle re-derives the ENTIRE deterministic index build — md5
+# seeds, two unrolled Lloyd iterations per subspace (rounded
+# squared-L2 argmin, code-id ties), mean recompute with loser-keeps-
+# previous — mirroring pq_train_codebooks/pq_encode exactly.
+# ---------------------------------------------------------------------------
+def _pq_iteration_sql(prev: str, n: int) -> str:
+    return f"""
+    d{n} AS (
+      SELECT es.vec_id, es.sub, c.code,
+             ROUND(SUM((es.x - c.m) * (es.x - c.m)), 6) AS d
+      FROM es JOIN {prev} c ON c.sub = es.sub AND c.j = es.j
+      GROUP BY 1, 2, 3
+    ),
+    a{n} AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d, code) AS rn
+        FROM d{n}) WHERE rn = 1
+    ),
+    m{n} AS (
+      SELECT a.sub, a.code, es.j, AVG(es.x) AS m
+      FROM a{n} a JOIN es ON es.vec_id = a.vec_id AND es.sub = a.sub
+      GROUP BY 1, 2, 3
+    ),
+    cb{n} AS (
+      SELECT * FROM m{n}
+      UNION ALL
+      SELECT p.sub, p.code, p.j, p.m FROM {prev} p
+      WHERE NOT EXISTS (SELECT 1 FROM m{n}
+                        WHERE m{n}.sub = p.sub AND m{n}.code = p.code)
+    )"""
+
+
+_PQ_DSUB = 16  # dim 64 / m 4
+_PQ_INDEX_SQL = f"""
+    e AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    es AS (
+      SELECT vec_id, (i - 1) // {_PQ_DSUB} AS sub,
+             (i - 1) % {_PQ_DSUB} AS j, x
+      FROM e
+    ),
+    seeds AS (
+      SELECT vec_id, rn - 1 AS code FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings) WHERE rn <= 8
+    ),
+    cb0 AS (
+      SELECT es.sub, s.code, es.j, es.x AS m
+      FROM seeds s JOIN es ON es.vec_id = s.vec_id
+    ),
+    {_pq_iteration_sql('cb0', 1)},
+    {_pq_iteration_sql('cb1', 2)},
+    dfin AS (
+      SELECT es.vec_id, es.sub, c.code,
+             ROUND(SUM((es.x - c.m) * (es.x - c.m)), 6) AS d
+      FROM es JOIN cb2 c ON c.sub = es.sub AND c.j = es.j
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d, code) AS rn
+        FROM dfin) WHERE rn = 1
+    )"""
+
+
+@bench_query(
+    "embeddings_pq_codes",
+    oracle=f"""
+    WITH {_PQ_INDEX_SQL}
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN sub = 0 THEN code END) AS INTEGER) AS code_0,
+           CAST(MAX(CASE WHEN sub = 1 THEN code END) AS INTEGER) AS code_1,
+           CAST(MAX(CASE WHEN sub = 2 THEN code END) AS INTEGER) AS code_2,
+           CAST(MAX(CASE WHEN sub = 3 THEN code END) AS INTEGER) AS code_3
+    FROM codes GROUP BY vec_id
+    """,
+)
+def embeddings_pq_codes(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=4, k=8, iters=2)
+    codes = pq_encode(emb, books)
+    return codes.select(
+        "vec_id",
+        *[F.col("codes")[s].alias(f"code_{s}") for s in range(4)],
+    )
+
+
+@bench_query(
+    "similarity_pq_topk",
+    oracle=f"""
+    WITH {_PQ_INDEX_SQL},
+    q AS (
+      SELECT vec_id AS q_id, sub, j, x FROM es WHERE vec_id < 5
+    ),
+    subd AS (
+      SELECT q.q_id, c.vec_id, q.sub,
+             ROUND(SUM((q.x - cb.m) * (q.x - cb.m)), 6)::DECIMAL(18,6) AS d
+      FROM q
+      JOIN codes c ON c.sub = q.sub
+      JOIN cb2 cb ON cb.sub = c.sub AND cb.code = c.code AND cb.j = q.j
+      GROUP BY q.q_id, c.vec_id, q.sub
+    ),
+    tot AS (
+      SELECT q_id, vec_id, SUM(d) AS adc
+      FROM subd GROUP BY q_id, vec_id
+    )
+    SELECT q_id, vec_id, CAST(adc AS DOUBLE) AS adc_dist
+    FROM (
+      SELECT q_id, vec_id, adc,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY adc, vec_id) AS rn
+      FROM tot WHERE q_id <> vec_id
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_pq_topk(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=4, k=8, iters=2)
+    queries = emb.where(F.col("vec_id") < 5)
+    out = pq_adc_topk(emb, queries, books, k=10)
+    return out.select(
+        "q_id", "vec_id", F.col("adc_dist").cast("double").alias("adc_dist")
+    )

@@ -348,3 +348,58 @@ def test_pack_documents_ffd_preserves_id_type(spark):
     out = pack_documents_ffd(df, budget=32, shard_col=F.lit(0))
     assert dict(out.dtypes)["doc_id"] == "string"
     assert {r["doc_id"] for r in out.collect()} == {f"doc-{i}" for i in range(6)}
+
+
+def test_contamination_fraction_grades_overlap(spark):
+    """A doc sharing half its distinct grams with the benchmark scores
+    0.5; short docs (< n words) have zero grams and never drop."""
+    from data_ingestion_framework_spark.operators.cleaning import (
+        contamination_fraction,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # grams(3): abc bcd cde def -> 2 of 4 hit
+            (2, "x y"),               # < 3 words: no grams
+            (3, "a b c d"),           # grams: abc bcd -> both hit -> 1.0
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "a b c d")], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_grams"], r["n_contaminated"], r["contamination_frac"], r["drop"]
+        )
+        for r in contamination_fraction(docs, bench, n=3, threshold=0.6).collect()
+    }
+    assert got[1] == (4, 2, 0.5, False)
+    assert got[2] == (0, 0, 0.0, False)
+    assert got[3] == (2, 2, 1.0, True)
+
+
+def test_badword_fraction_and_filter(spark):
+    from data_ingestion_framework_spark.operators.cleaning import (
+        badword_fraction,
+        filter_badwords,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Good clean text here"), (2, "bad BAD good bad")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_badwords"], r["badword_frac"])
+        for r in badword_fraction(docs, ["bad"]).collect()
+    }
+    assert got[1] == (0, 0.0)
+    assert got[2] == (3, 0.75)  # normalization lowercases BAD
+    kept = [r["doc_id"] for r in filter_badwords(docs, ["bad"]).collect()]
+    assert kept == [1]
+    # threshold admits low fractions
+    kept2 = sorted(
+        r["doc_id"]
+        for r in filter_badwords(docs, ["bad"], max_fraction=0.8).collect()
+    )
+    assert kept2 == [1, 2]

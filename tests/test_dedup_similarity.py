@@ -851,3 +851,94 @@ def test_simhash_engines_agree(spark):
 
     with _pytest.raises(ValueError, match="engine"):
         dedup.simhash_signatures(docs, engine="nope")
+
+
+def test_containment_pairs_catches_quote_jaccard_misses(spark):
+    """A short doc fully quoted inside a long doc: containment_a = 1.0
+    even though Jaccard is tiny; the reverse direction is small."""
+    from data_ingestion_framework_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = (
+        "one two three four five six seven eight nine ten "
+        + short
+        + " eleven twelve thirteen fourteen fifteen sixteen"
+    )
+    other = "totally different words with no overlap at all whatsoever here"
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, other)], "doc_id bigint, text string"
+    )
+    rows = containment_pairs(docs, n=5, threshold=0.9, max_gram_docs=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment_a"] == 1.0       # every short-doc gram is in long
+    assert r["containment_b"] < 0.2        # long doc is mostly elsewhere
+
+
+def test_containment_stop_gram_cap_drops_frequent_grams(spark):
+    """Grams above the document-frequency cap leave the postings before
+    the join — frequent_grams reports exactly those."""
+    from data_ingestion_framework_spark.operators.dedup import (
+        containment_pairs,
+        frequent_grams,
+        hashed_shingle_set,
+        word_shingles_pre_normalized,
+    )
+    from pyspark.sql import functions as F
+
+    common = "the same five word prefix"
+    docs = spark.createDataFrame(
+        [(i, common + f" unique tail {i} x y z") for i in range(1, 6)],
+        "doc_id bigint, text string",
+    )
+    # cap 2: the shared prefix gram appears in 5 docs -> dropped, so no
+    # pair reaches a containment driven only by the common gram
+    rows = containment_pairs(docs, n=5, threshold=0.3, max_gram_docs=2).collect()
+    assert rows == []
+    postings = docs.select(
+        "doc_id",
+        F.explode(
+            hashed_shingle_set(word_shingles_pre_normalized(F.col("text"), 5))
+        ).alias("__g"),
+    )
+    rep = frequent_grams(postings, 2).collect()
+    assert len(rep) >= 1 and all(r["n_docs"] == 5 for r in rep)
+
+
+def test_pq_train_encode_adc_roundtrip(spark):
+    """PQ on well-separated clusters: codebooks converge to cluster
+    means per subspace, encoding maps members to their cluster's code,
+    and ADC top-1 for a member query is its nearest same-cluster
+    neighbor (distance ~0)."""
+    from data_ingestion_framework_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    # two tight clusters in R^8, far apart
+    base_a = [0.0] * 8
+    base_b = [100.0] * 8
+    rows = []
+    for i in range(8):
+        src = base_a if i % 2 == 0 else base_b
+        rows.append((i, [v + (i % 3) * 0.01 for v in src]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    books = pq_train_codebooks(emb, m=2, k=2, iters=2)
+    assert len(books) == 2 and all(len(b) == 2 for b in books)
+    assert all(len(c) == 4 for b in books for c in b)
+
+    codes = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()
+    }
+    # members of one cluster share a code vector, clusters differ
+    a_codes = {tuple(codes[i]) for i in range(0, 8, 2)}
+    b_codes = {tuple(codes[i]) for i in range(1, 8, 2)}
+    assert len(a_codes) == 1 and len(b_codes) == 1 and a_codes != b_codes
+
+    q = emb.where(F.col("vec_id") == 0)
+    top = pq_adc_topk(emb, q, books, k=3).collect()
+    assert [r["vec_id"] for r in top[:1]][0] in (2, 4, 6)  # same cluster
+    assert all(float(r["adc_dist"]) < 1.0 for r in top)  # within-cluster

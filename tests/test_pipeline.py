@@ -281,3 +281,29 @@ def test_catalog_name_addressing(spark, tmp_path):
 
         shutil.rmtree(f"{wh}/main", ignore_errors=True)
         shutil.rmtree(f"{wh}/lake_db", ignore_errors=True)
+
+
+def test_quality_weighted_sample_monotone_and_deterministic(spark):
+    """Higher weight ⊇ never loses rows kept at lower weight for the
+    same salt (thresholds scale monotonically), zero weight keeps
+    nothing, weight 1.0 equals deterministic_sample at the base rate."""
+    from data_ingestion_framework_spark.operators.sampling import (
+        deterministic_sample,
+        quality_weighted_sample,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).selectExpr("id AS doc_id")
+    lo = df.withColumn("w", F.lit(0.3))
+    hi = df.withColumn("w", F.lit(0.9))
+    kept_lo = {r["doc_id"] for r in quality_weighted_sample(lo, "w", 0.5, salt="s").collect()}
+    kept_hi = {r["doc_id"] for r in quality_weighted_sample(hi, "w", 0.5, salt="s").collect()}
+    assert kept_lo <= kept_hi
+    assert 0 < len(kept_lo) < len(kept_hi) < 2000
+    zero = df.withColumn("w", F.lit(0.0))
+    assert quality_weighted_sample(zero, "w", 0.5, salt="s").count() == 0
+    one = df.withColumn("w", F.lit(1.0))
+    got = {r["doc_id"] for r in quality_weighted_sample(one, "w", 0.5, salt="s").collect()}
+    want = {r["doc_id"] for r in deterministic_sample(df, 0.5, salt="s").collect()}
+    # same md5 bucket space; integer-exact threshold derivations agree
+    assert got == want
