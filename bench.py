@@ -58,6 +58,11 @@ HEADLINE = [
     "semantic_dedup_keep",
     "docs_decontaminate_bloom",
     "text_unigram_ce",
+    # round-5 new-surface lines: containment (inverted-index join),
+    # PQ ADC top-k (codebook train + encode + rank), graded decontam
+    "dedup_containment_pairs",
+    "similarity_pq_topk",
+    "docs_contamination_fraction",
     # flagship composite: clean→redact→gate→dedup→decontam→quota→sample
     # with silver staging (the restartable, single-materialization form)
     "corpus_pipeline_staged",

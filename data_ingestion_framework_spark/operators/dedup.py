@@ -1191,16 +1191,17 @@ def containment_pairs(
     corpus pass.
     """
     base = _spread_normalized(df.select(id_col, text_col), id_col, text_col)
-    shingled = base.select(
-        F.col(id_col),
-        hashed_shingle_set(
-            word_shingles_pre_normalized("__norm", n)
-        ).alias("__sh"),
-    ).where(F.size("__sh") > 0)
-    postings = shingled.select(
-        F.col(id_col),
-        F.size("__sh").alias("__ntot"),
-        F.explode("__sh").alias("__g"),
+    sh = hashed_shingle_set(word_shingles_pre_normalized("__norm", n))
+    # explode ONCE and derive the per-doc gram total as a window count
+    # over the already-id-partitioned frame (sort only, no exchange) —
+    # a size(__sh) column BESIDE the generator collapses into it and
+    # re-evaluates the whole shingle build per exploded row (measured
+    # ~10× slower at sf0.1). Empty shingle arrays explode to no rows,
+    # which is exactly the size>0 filter.
+    postings = base.select(
+        F.col(id_col), F.explode(sh).alias("__g")
+    ).withColumn(
+        "__ntot", F.count(F.lit(1)).over(W.partitionBy(id_col))
     )
     postings = _drop_oversize(postings, ["__g"], max_gram_docs)
     a = postings.select(

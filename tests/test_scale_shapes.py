@@ -339,3 +339,60 @@ def test_spread_for_compute_estimate_and_fallback(spark, tmp_path):
     assert spread_for_compute(df).rdd.getNumPartitions() == n
     # non-file plans return None (fallback path, no crash)
     assert _estimated_scan_partitions(spark.range(10)) is None
+
+
+def test_containment_pairs_plan_shape(spark, tmp_path):
+    """Containment is an inverted-index EQUI-join on the gram key —
+    never a cartesian product — and the stop-gram cap's oversize set
+    joins as a broadcast anti-join."""
+    from data_ingestion_framework_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta {i} epsilon zeta")
+         for i in range(50)]
+    )
+    plan = _plan(containment_pairs(docs, n=5, threshold=0.5, max_gram_docs=10))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan  # the cap's oversize-gram removal
+
+
+def test_contamination_fraction_broadcasts_bench_grams(spark):
+    """The benchmark gram set is broadcast (eval sets are KBs against
+    a 100 TB corpus) — the corpus side joins map-side, no corpus-wide
+    exchange on the gram key."""
+    from data_ingestion_framework_spark.operators.cleaning import (
+        contamination_fraction,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{j+i}" for j in range(30)))
+         for i in range(50)]
+    )
+    bench = docs.where(F.col("doc_id") == 0)
+    plan = _plan(contamination_fraction(docs, bench, n=13))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_topk_is_scan_side_plus_one_window(spark):
+    """ADC scoring is scan-side expressions over the encoded corpus ×
+    broadcast query rows; the only shuffle is the per-query top-k
+    window. Codebook lookups are literals in the plan, not joins."""
+    from data_ingestion_framework_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float((i * 7 + j) % 13) for j in range(8)])
+         for i in range(40)]
+    )
+    books = pq_train_codebooks(emb, m=2, k=4, iters=1)
+    plan = _plan(pq_adc_topk(emb, emb.where(F.col("vec_id") < 2), books, k=5))
+    # the query side is an explicit broadcast nested-loop (tiny × corpus)
+    assert "BroadcastNestedLoopJoin" in plan
+    # exactly one Window NODE (the per-query top-k); the name also
+    # appears inside windowspecdefinition expression text
+    assert plan.count("- Window ") == 1
+    assert "SortMergeJoin" not in plan
