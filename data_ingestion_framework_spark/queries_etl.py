@@ -905,6 +905,33 @@ def events_incremental_partition_rollup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# RESTORE lifecycle under the oracle gate: load orders, destructively
+# overwrite with a filtered state, then RESTORE TO VERSION — the final
+# state must be bit-identical to the original load, proving the
+# snapshot-retention + rollback-as-new-commit path end-to-end.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_restore_state",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    """,
+)
+def orders_restore_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = ParquetTable(spark, _scratch_dir("difs_restore_") + "/t")
+    t.overwrite(orders)
+    good_seq = t.history()[-1]["seq"]
+    t.overwrite(orders.where(F.col("o_orderkey") % 7 == 0))  # bad deploy
+    t.restore(good_seq)
+    return t.read()
+
+
+# ---------------------------------------------------------------------------
 # Row-erasure lifecycle under the oracle gate: load orders, DELETE the
 # %5 keys, return the surviving state — the whole staged-swap rewrite
 # + commit path is what's being value-checked, not just a filter.

@@ -218,16 +218,52 @@ class ParquetTable:
             df = df.unionByName(other)
         return df
 
-    def vacuum(self) -> int:
+    def vacuum(self, retain_last: int | None = None) -> int:
         """Drop retained historical file snapshots (Delta ``VACUUM``).
-        Commit metadata stays; ``as_of`` for rewritten commits will
-        raise afterwards. Returns the number of snapshot dirs removed."""
+        Commit metadata stays; ``as_of`` for commits whose snapshots
+        were removed will raise afterwards. Returns the number of
+        snapshot dirs removed.
+
+        ``retain_last`` keeps the snapshots needed to reconstruct the
+        most recent N commits (Delta's retention-window semantics,
+        count-based instead of hours: a ``pre{seq}`` snapshot holds the
+        files a commit at ``seq`` replaced, so time travel to any
+        commit >= cutoff needs every snapshot with ``seq > cutoff``).
+        ``None`` (default) drops everything — the pre-existing
+        reclaim-it-all behavior."""
         hist = self._hist_dir()
         if not os.path.isdir(hist):
             return 0
-        n = len(os.listdir(hist))
-        shutil.rmtree(hist, ignore_errors=True)
+        if retain_last is None:
+            n = len(os.listdir(hist))
+            shutil.rmtree(hist, ignore_errors=True)
+            return n
+        commits = self.history()
+        if not commits:
+            return 0
+        cutoff = commits[max(0, len(commits) - retain_last)]["seq"]
+        n = 0
+        for d in sorted(os.listdir(hist)):
+            if not d.startswith("pre"):
+                continue
+            try:
+                seq = int(d[3:])
+            except ValueError:
+                continue
+            if seq <= cutoff:
+                shutil.rmtree(os.path.join(hist, d), ignore_errors=True)
+                n += 1
         return n
+
+    def restore(self, seq: int) -> None:
+        """Roll the table back to its state after commit ``seq`` —
+        Delta ``RESTORE TABLE ... TO VERSION AS OF`` parity. The old
+        state lands as a NEW commit (op ``restore``), so history stays
+        append-only and the restore itself is time-travelable /
+        auditable; requires the target version's snapshots to still be
+        retained (``as_of`` raises after vacuum dropped them)."""
+        old = self.as_of(seq)
+        self.overwrite(old, metrics={"restored_seq": seq}, op="restore")
 
     # -- writes --------------------------------------------------------------
     def _writer(self, df: DataFrame, mode: str):

@@ -295,3 +295,38 @@ def test_reconcile_cdf_skips_rows_a_rerun_already_erased(
     assert feed.read().where("_change_type = 'insert'").count() == 0
     # marked reconciled: idempotent thereafter
     assert t.reconcile_cdf(feed) == 0
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """RESTORE TO VERSION parity: the old state lands as a NEW commit,
+    history stays append-only, and the restore is itself auditable."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(5).selectExpr("id"))
+    seq1 = t.history()[-1]["seq"]
+    t.overwrite(spark.range(100, 103).selectExpr("id"))
+    t.append(spark.range(200, 202).selectExpr("id"))
+    assert t.read().count() == 5  # 3 + 2
+
+    t.restore(seq1)
+    assert sorted(r["id"] for r in t.read().collect()) == [0, 1, 2, 3, 4]
+    last = t.history()[-1]
+    assert last["op"] == "restore" and last["metrics"]["restored_seq"] == seq1
+    # the pre-restore state is still reachable (append-only history)
+    assert t.as_of(last["seq"] - 1).count() == 5
+
+
+def test_vacuum_retention_window(spark, tmp_path):
+    """retain_last keeps the snapshots the most recent N commits need:
+    as_of works inside the window, raises outside it."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.overwrite(spark.range(i * 10, i * 10 + 3).selectExpr("id"))
+    seqs = [h["seq"] for h in t.history()]
+    removed = t.vacuum(retain_last=2)
+    assert removed >= 1
+    # inside the window: the last two commits reconstruct
+    assert t.as_of(seqs[-1]).count() == 3
+    assert t.as_of(seqs[-2]).count() == 3
+    # outside: the first overwrite's replaced files are gone
+    with pytest.raises(ValueError, match="vacuum"):
+        t.as_of(seqs[0])
