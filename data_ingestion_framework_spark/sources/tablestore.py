@@ -50,6 +50,11 @@ PROPS_FILE = "_table.json"
 _AUX = (LOG_DIR, HIST_DIR, PROPS_FILE)
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer took this commit seq — put-if-absent arbitration
+    (``_record_commit``) refused to overwrite its record."""
+
+
 def _is_hidden(rel: str) -> bool:
     return any(seg.startswith(("_", ".")) for seg in rel.split(os.sep))
 
@@ -159,7 +164,17 @@ class ParquetTable:
     ) -> dict:
         """Append one commit record. ``rows_written`` comes from parquet
         footers of the files written this commit (control-plane: footer
-        reads only, proportional to commit size)."""
+        reads only, proportional to commit size).
+
+        The record lands via ``os.link`` (fails on an existing name)
+        instead of ``os.rename`` (silently replaces) — the same
+        put-if-absent arbitration Delta's commit protocol relies on:
+        if another writer raced this table and took the seq, the loser
+        raises ``ConcurrentCommitError`` instead of overwriting the
+        winner's commit record and corrupting history. This store's
+        contract is still single-writer (reads scan the directory, so
+        a losing writer's data files need operator cleanup) — the
+        arbitration turns a silent corruption into a loud error."""
         seq = self._next_seq()
         files = self._data_files()
         counted = files if new_files is None else new_files
@@ -177,8 +192,41 @@ class ParquetTable:
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump(rec, f)
-        os.rename(tmp, os.path.join(self._log_dir(), f"{seq:08d}.json"))
+        dst = os.path.join(self._log_dir(), f"{seq:08d}.json")
+        try:
+            os.link(tmp, dst)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"commit {seq} already exists in {self._log_dir()} — "
+                "another writer committed concurrently; this table is "
+                "single-writer (the racing write's data files may need "
+                "cleanup)"
+            ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         return rec
+
+    def detail(self) -> dict:
+        """``DESCRIBE DETAIL`` parity: one summary dict — location,
+        file/row/byte counts, partition columns, commit span. All
+        control-plane (directory listing + log records + file sizes)."""
+        files = self._data_files() if self.exists() else []
+        hist = self.history()
+        return {
+            "location": self.path,
+            "num_files": len(files),
+            "size_bytes": sum(
+                os.path.getsize(os.path.join(self.path, f)) for f in files
+            ),
+            "partition_columns": list(self.partition_by),
+            "num_commits": len(hist),
+            "last_commit_seq": hist[-1]["seq"] if hist else None,
+            "last_op": hist[-1]["op"] if hist else None,
+            "properties": self.properties() if self.exists() else {},
+        }
 
     # -- time travel ---------------------------------------------------------
     def as_of(self, seq: int) -> DataFrame:

@@ -330,3 +330,46 @@ def test_vacuum_retention_window(spark, tmp_path):
     # outside: the first overwrite's replaced files are gone
     with pytest.raises(ValueError, match="vacuum"):
         t.as_of(seqs[0])
+
+
+def test_concurrent_commit_raises_not_overwrites(spark, tmp_path, monkeypatch):
+    """Put-if-absent commit arbitration: a seq collision (two writers
+    racing one table) raises ConcurrentCommitError and leaves the
+    winner's commit record intact — never a silent overwrite."""
+    import json
+
+    from data_ingestion_framework_spark.sources.tablestore import (
+        ConcurrentCommitError,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(3).selectExpr("id"))
+    # the other writer lands seq 2 AFTER this writer read the log —
+    # pin _next_seq to the stale view to reproduce the race window
+    log_dir = t._log_dir()
+    winner = {"seq": 2, "ts": 0, "op": "append", "rows_written": 1,
+              "metrics": {"winner": True}, "files": []}
+    with open(os.path.join(log_dir, "00000002.json"), "w") as f:
+        json.dump(winner, f)
+    monkeypatch.setattr(ParquetTable, "_next_seq", lambda self: 2)
+
+    with pytest.raises(ConcurrentCommitError, match="single-writer"):
+        t._record_commit("append", {}, new_files=[])
+    monkeypatch.undo()
+    with open(os.path.join(log_dir, "00000002.json")) as f:
+        assert json.load(f)["metrics"] == {"winner": True}  # intact
+    # no tmp litter
+    assert not [n for n in os.listdir(log_dir) if n.startswith(".tmp")]
+
+
+def test_describe_detail(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    t.overwrite(spark.range(10).selectExpr("id", "id % 2 AS p"))
+    t.append(spark.range(10, 12).selectExpr("id", "id % 2 AS p"))
+    d = t.detail()
+    assert d["num_files"] == t.file_count()
+    assert d["size_bytes"] > 0
+    assert d["partition_columns"] == ["p"]
+    assert d["num_commits"] == 2 and d["last_op"] == "append"
+    empty = ParquetTable(spark, str(tmp_path / "nope"))
+    assert empty.detail()["num_files"] == 0
