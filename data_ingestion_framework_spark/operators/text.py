@@ -490,6 +490,75 @@ def unigram_cross_entropy(
     )
 
 
+def bigram_cross_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document bigram cross-entropy against the corpus conditional
+    model — the next step up from :func:`unigram_cross_entropy` toward
+    CCNet's 5-gram LM: ``H₂(d) = -(Σ_b tf(d,b) · log2 p(w2|w1)) / |b|``
+    with ``p(w2|w1) = c(w1,w2) / c(w1,·)`` the corpus MLE over bigram
+    starts (NOT unigram counts — a document's last token has no
+    continuation, so conditioning on bigram-start totals is what makes
+    the conditional distribution sum to 1). Word order now matters:
+    shuffled-word gibberish that fools the unigram score lands far from
+    the corpus bigram model. Every observed document bigram has corpus
+    count ≥ 1 (the model includes the document), so the MLE needs no
+    smoothing. Docs with < 2 tokens have no bigrams and drop out.
+
+    Same cross-engine determinism contract as the unigram score:
+    per-(doc, bigram) contributions round to 6 dp and sum as DECIMAL
+    (order-free exact), one final DOUBLE division. Scale shape: one
+    bigram explode feeds BOTH the per-doc tf and the corpus counts
+    (map-side combine on each), then a bigram-keyed join back — the
+    bigram vocabulary is the join key and shuffles; no UDF, no collect.
+    """
+    words = F.split(normalize_text(text_col), " ")
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size(words) >= 2,
+                    F.zip_with(
+                        F.slice(words, 1, F.size(words) - 1),
+                        F.slice(words, 2, F.size(words) - 1),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>")
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, "bg.w1", "bg.w2")
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    tf = grams.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("__c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
+    contrib = (
+        F.col("tf").cast("decimal(18,0)")
+        * F.round(
+            F.log2(F.col("__c12").cast("double") / F.col("__c1").cast("double")),
+            6,
+        ).cast("decimal(18,6)")
+    )
+    return (
+        tf.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.round(
+                (-F.sum(contrib)).cast("double") / F.sum("tf").cast("double"),
+                round_to,
+            ).alias("bigram_ce"),
+        )
+    )
+
+
 def pack_documents_ffd(
     df: DataFrame,
     budget: int,

@@ -2906,3 +2906,49 @@ def similarity_pq_topk(spark, sf_dir):
     return out.select(
         "q_id", "vec_id", F.col("adc_dist").cast("double").alias("adc_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram cross-entropy (conditional-LM fluency proxy — the step from
+# unigram toward CCNet's 5-gram model): p(w2|w1) = c12 / c(w1,·) over
+# bigram starts, per-(doc,bigram) contributions DECIMAL-summed.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "text_bigram_ce",
+    oracle="""
+    WITH nw AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM nw, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2 AND w[i] <> '' AND w[i+1] <> ''
+    ),
+    tf AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS tf
+      FROM grams GROUP BY doc_id, w1, w2
+    ),
+    c12 AS (SELECT w1, w2, SUM(tf) AS c12 FROM tf GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+    contrib AS (
+      SELECT t.doc_id, t.tf,
+             CAST(t.tf AS DECIMAL(18,0))
+             * CAST(ROUND(log2(CAST(b.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS con
+      FROM tf t
+      JOIN c12 b ON b.w1 = t.w1 AND b.w2 = t.w2
+      JOIN c1 u ON u.w1 = t.w1
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(-SUM(con) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 4)
+             AS bigram_ce
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def text_bigram_ce(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.bigram_cross_entropy(docs)

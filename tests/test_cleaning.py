@@ -403,3 +403,31 @@ def test_badword_fraction_and_filter(spark):
         for r in filter_badwords(docs, ["bad"], max_fraction=0.8).collect()
     )
     assert kept2 == [1, 2]
+
+
+def test_bigram_ce_orders_gibberish_above_fluent(spark):
+    """Word order matters: a doc whose words are corpus-typical but
+    shuffled scores HIGHER bigram CE than repeated fluent text, while
+    unigram CE can't tell them apart."""
+    from data_ingestion_framework_spark.operators.text import (
+        bigram_cross_entropy,
+        unigram_cross_entropy,
+    )
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, fluent),
+            (2, fluent),
+            (3, fluent),
+            (4, "dog the over quick lazy jumps fox brown the"),  # shuffled
+        ],
+        "doc_id bigint, text string",
+    )
+    bi = {r["doc_id"]: r["bigram_ce"] for r in bigram_cross_entropy(docs).collect()}
+    assert bi[4] > bi[1]
+    uni = {r["doc_id"]: r["unigram_ce"] for r in unigram_cross_entropy(docs).collect()}
+    assert uni[4] == uni[1]  # same bag of words — unigram is blind to order
+    # docs with < 2 tokens drop out
+    short = spark.createDataFrame([(9, "one")], "doc_id bigint, text string")
+    assert bigram_cross_entropy(short).count() == 0
