@@ -465,3 +465,151 @@ def sample_frames(
             yield pd.concat(frames, ignore_index=True)[cols]
 
     return df.mapInPandas(_sample, schema=out_schema)
+
+
+# -- MP4 / ISO BMFF video containers -----------------------------------------
+
+def synthesize_mp4_header(timescale, duration_units, width, height):
+    """A spec-valid ISO BMFF (MP4) metadata skeleton as a binary
+    Column, built from JVM expressions following the public ISO/IEC
+    14496-12 box layout: ``ftyp`` (isom), then ``moov`` containing a
+    version-0 ``mvhd`` (timescale u32be, duration u32be) and one
+    ``trak``/``tkhd`` whose width/height are 16.16 fixed-point.
+    Media sample data (``mdat``) is absent by design — metadata
+    plumbing, not video fabrication (the ``synthesize_wav_header``
+    stance)."""
+    z = lambda n: F.lit(b"\x00" * n)  # noqa: E731
+    ftyp = F.concat(
+        _be_bytes(F.lit(20), 4), F.lit(b"ftyp"),
+        F.lit(b"isom"), _be_bytes(F.lit(512), 4), F.lit(b"isom"),
+    )
+    mvhd = F.concat(
+        _be_bytes(F.lit(108), 4), F.lit(b"mvhd"),
+        z(4),                       # version 0 + flags
+        z(8),                       # creation + modification
+        _be_bytes(timescale, 4),
+        _be_bytes(duration_units, 4),
+        _be_bytes(F.lit(0x00010000), 4),  # rate 1.0
+        _be_bytes(F.lit(0x0100), 2),      # volume 1.0
+        z(10),                      # reserved
+        z(36),                      # identity matrix slot (zeros suffice)
+        z(24),                      # pre_defined
+        _be_bytes(F.lit(2), 4),     # next_track_ID
+    )
+    tkhd = F.concat(
+        _be_bytes(F.lit(92), 4), F.lit(b"tkhd"),
+        z(4),                       # version 0 + flags
+        z(8),                       # creation + modification
+        _be_bytes(F.lit(1), 4),     # track_ID
+        z(4),                       # reserved
+        _be_bytes(duration_units, 4),
+        z(16),                      # reserved/layer/alt_group/volume/reserved
+        z(36),                      # matrix
+        _be_bytes((width.cast("bigint") * F.lit(65536)), 4),   # 16.16
+        _be_bytes((height.cast("bigint") * F.lit(65536)), 4),  # 16.16
+    )
+    trak = F.concat(_be_bytes(F.lit(100), 4), F.lit(b"trak"), tkhd)
+    moov = F.concat(_be_bytes(F.lit(216), 4), F.lit(b"moov"), mvhd, trak)
+    return F.concat(ftyp, moov)
+
+
+def parse_mp4_meta(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Pure-stdlib (timescale, duration_units, width, height) from ISO
+    BMFF bytes; ``None`` when the payload isn't parseable. Walks the
+    top-level box list (u32be size + fourcc), recurses into ``moov``/
+    ``trak`` for the version-0 ``mvhd`` and first ``tkhd`` — the same
+    fields ffprobe/mp4box surface, read the same way."""
+    if payload is None or len(payload) < 16:
+        return None
+
+    def boxes(buf, i, end):
+        while i + 8 <= end:
+            size = struct.unpack(">I", buf[i : i + 4])[0]
+            if size < 8 or i + size > end:
+                return
+            yield buf[i + 4 : i + 8], i + 8, i + size
+            i += size
+
+    mvhd = tkhd = None
+    saw_ftyp = False
+    for name, body, bend in boxes(payload, 0, len(payload)):
+        if name == b"ftyp":
+            saw_ftyp = True
+        elif name == b"moov":
+            for n2, b2, e2 in boxes(payload, body, bend):
+                if n2 == b"mvhd" and payload[b2] == 0 and e2 - b2 >= 24:
+                    ts, dur = struct.unpack(">II", payload[b2 + 12 : b2 + 20])
+                    mvhd = (ts, dur)
+                elif n2 == b"trak" and tkhd is None:
+                    for n3, b3, e3 in boxes(payload, b2, e2):
+                        if n3 == b"tkhd" and payload[b3] == 0 and e3 - b3 >= 84:
+                            w, h = struct.unpack(">II", payload[b3 + 76 : b3 + 84])
+                            tkhd = (w >> 16, h >> 16)
+                            break
+    if not saw_ftyp or mvhd is None or tkhd is None or mvhd[0] == 0:
+        return None
+    return (mvhd[0], mvhd[1], tkhd[0], tkhd[1])
+
+
+def decode_video(
+    df: DataFrame,
+    bytes_col: str = "media_bytes",
+    parser: Callable[[bytes], tuple[int, int, int, int] | None] | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Video container metadata through the same Arrow-batched
+    ``mapInPandas`` hop as ``decode_audio``: appends (timescale,
+    duration_units, duration_sec, width, height). ``parser`` defaults
+    to the stdlib ISO BMFF walk; an ffprobe/pyav-backed callable drops
+    into the slot unchanged. ``on_error='quarantine'`` NULLs the
+    fields and carries the error text instead of failing the job."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
+    parser = parser or parse_mp4_meta
+    out_fields = list(df.schema.fields) + [
+        T.StructField("timescale", T.IntegerType()),
+        T.StructField("duration_units", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+    if on_error == "quarantine":
+        out_fields.append(T.StructField("decode_error", T.StringType()))
+    out_schema = T.StructType(out_fields)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            tss, durs, secs, ws, hs, errs = [], [], [], [], [], []
+            for b in pdf[bytes_col]:
+                try:
+                    meta = parser(bytes(b) if b is not None else None)
+                    if meta is None:
+                        raise ValueError("not a parseable ISO BMFF payload")
+                    ts, dur, w, h = meta
+                    row = (ts, dur, dur / ts, w, h, None)
+                except Exception as e:  # noqa: BLE001 — quarantine policy
+                    if on_error == "raise":
+                        raise
+                    row = (None, None, None, None, None,
+                           f"{type(e).__name__}: {e}")
+                tss.append(row[0])
+                durs.append(row[1])
+                secs.append(row[2])
+                ws.append(row[3])
+                hs.append(row[4])
+                errs.append(row[5])
+            pdf["timescale"] = pd.array(tss, dtype="Int32")
+            pdf["duration_units"] = pd.array(durs, dtype="Int64")
+            pdf["duration_sec"] = pd.array(secs, dtype="Float64")
+            pdf["width"] = pd.array(ws, dtype="Int32")
+            pdf["height"] = pd.array(hs, dtype="Int32")
+            if on_error == "quarantine":
+                pdf["decode_error"] = errs
+            yield pdf
+
+    return df.mapInPandas(_decode, schema=out_schema)

@@ -953,3 +953,54 @@ def orders_delete_state(spark, sf_dir):
     t.overwrite(orders)
     t.delete_where(F.col("o_orderkey") % 5 == 0)
     return t.read()
+
+
+# ---------------------------------------------------------------------------
+# Multimodal video path, same contract as multimodal_audio_meta: a
+# spec-valid ISO BMFF skeleton synthesized JVM-side with properties
+# derived from doc_id, the stdlib box-walk parser recovers them
+# through the Arrow mapInPandas hop, the oracle recomputes from the
+# synthesis spec. duration_sec = duration_units / timescale as IEEE
+# double in both engines.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "multimodal_video_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE (doc_id % 2) WHEN 0 THEN 600 ELSE 90000 END AS INT)
+             AS timescale,
+           CAST(600 + doc_id % 120000 AS BIGINT) AS duration_units,
+           CAST(600 + doc_id % 120000 AS DOUBLE)
+             / CAST(CASE (doc_id % 2) WHEN 0 THEN 600 ELSE 90000 END AS DOUBLE)
+             AS duration_sec,
+           CAST(CASE (doc_id % 3) WHEN 0 THEN 640 WHEN 1 THEN 1280
+                ELSE 1920 END AS INT) AS width,
+           CAST(CASE (doc_id % 3) WHEN 0 THEN 360 WHEN 1 THEN 720
+                ELSE 1080 END AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_video_meta(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.multimodal import (
+        decode_video,
+        synthesize_mp4_header,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    timescale = F.expr(
+        "CASE (doc_id % 2) WHEN 0 THEN 600 ELSE 90000 END"
+    ).cast("bigint")
+    duration = (F.lit(600) + F.col("doc_id") % 120000).cast("bigint")
+    width = F.expr(
+        "CASE (doc_id % 3) WHEN 0 THEN 640 WHEN 1 THEN 1280 ELSE 1920 END"
+    ).cast("bigint")
+    height = F.expr(
+        "CASE (doc_id % 3) WHEN 0 THEN 360 WHEN 1 THEN 720 ELSE 1080 END"
+    ).cast("bigint")
+    payload = synthesize_mp4_header(timescale, duration, width, height)
+    packed = pack_media(
+        docs.select("doc_id").withColumn("payload", payload), "payload", "video"
+    )
+    return decode_video(packed).select(
+        "doc_id", "timescale", "duration_units", "duration_sec", "width", "height"
+    )

@@ -315,3 +315,42 @@ def test_decode_audio_quarantines_zero_rate(spark):
     assert out["sample_rate"] is None
     assert out["duration_sec"] is None  # NULL, not NaN
     assert out["decode_error"] is not None
+
+
+def test_decode_video_roundtrip_and_quarantine(spark):
+    from data_ingestion_framework_spark.operators.multimodal import (
+        decode_video,
+        synthesize_mp4_header,
+    )
+
+    good = spark.range(1).select(
+        F.lit("g").alias("k"),
+        synthesize_mp4_header(
+            F.lit(90000), F.lit(180000), F.lit(1920), F.lit(1080)
+        ).alias("media_bytes"),
+    )
+    bad = spark.range(1).select(
+        F.lit("b").alias("k"), F.lit(b"not a video").cast("binary").alias("media_bytes")
+    )
+    out = {
+        r["k"]: r
+        for r in decode_video(
+            good.unionByName(bad), on_error="quarantine"
+        ).collect()
+    }
+    g = out["g"]
+    assert (g["timescale"], g["duration_units"], g["width"], g["height"]) == (
+        90000, 180000, 1920, 1080,
+    )
+    assert g["duration_sec"] == 2.0 and g["decode_error"] is None
+    assert out["b"]["timescale"] is None and "BMFF" in out["b"]["decode_error"]
+
+
+def test_parse_mp4_meta_rejects_malformed():
+    from data_ingestion_framework_spark.operators.multimodal import parse_mp4_meta
+
+    assert parse_mp4_meta(None) is None
+    assert parse_mp4_meta(b"") is None
+    assert parse_mp4_meta(b"\x00" * 40) is None
+    # a truncated box size larger than the payload must not loop/crash
+    assert parse_mp4_meta(b"\x00\x00\xff\xfftyp" + b"\x00" * 20) is None
