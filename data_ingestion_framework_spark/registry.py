@@ -96,18 +96,14 @@ _PRIORITY = [
     "events_sessionize",
     "events_range_join_counts",
     "streaming_daily_counts",
-    "events_session_window",
     "events_asof_purchase",
     "events_time_rollup",
     # never driver-graded: CDC / SCD / DQ
-    "cdc_hash_keys",
     "cdc_find_delta",
     "cdc_brute_force_diff",
-    "scd2_stamp_initial",
     "scd1_latest_event_per_user",
     "scd2_as_of",
     "dq_violation_counts",
-    "dq_row_flags",
     # never driver-graded: window/agg composites
     # (orders_cube / events_map_explode / cheapest_part_per_brand were
     # driver-green r4 and ceded their slots to the round-4 lifecycle
@@ -130,7 +126,6 @@ _PRIORITY = [
     # hash-threshold mechanism is window-graded via docs_split_assign
     # and docs_temperature_mix; still in the full gate)
     "text_quality_score",
-    "text_tfidf_top_terms",
     # corpus_vocab_top_terms ceded its slot to cdf_merge_changes (its
     # two-stage agg + TakeOrdered mechanism is window-graded via
     # text_tfidf_top_terms; still in the full gate)
@@ -144,12 +139,9 @@ _PRIORITY = [
     # dedup_ngram_jaccard pins the same mechanism in the full gate)
     "dedup_minhash_md5_pairs",
     "dedup_simhash_md5_pairs",
-    "dedup_embedding_pairs",
     # never driver-graded: sketches / embeddings / ANN (the similarity
     # and multimodal entries gained oracles in round 4 and have never
     # been hash-graded — they belong inside the window)
-    "events_kmv_distinct_users",
-    "events_quantile_sketch",
     "events_sketches",
     "embeddings_quantize_int8",
     "similarity_ivf_topk",
@@ -161,10 +153,8 @@ _PRIORITY = [
     "text_unigram_ce",
     "docs_decontaminate_bloom",
     "events_heavy_hitter_users",
-    "docs_temperature_mix",
     "hybrid_dedup_clusters",
     "docs_shuffle_rank",
-    "corpus_pipeline_splits",
     # round-6 additions — oracle-backed, never driver-graded. The lazy
     # corpus_pipeline_end2end twin cedes its slot (it shares
     # corpus_pipeline_staged's oracle VERBATIM — the staged form in the
@@ -182,12 +172,46 @@ _PRIORITY = [
     "multimodal_audio_meta",
     "events_incremental_rollup",
     "orders_delete_state",
+    # ROUND-5 BUILD ROTATION: ten r4-green rows cede their slots to the
+    # ten new-in-round-5 oracle-backed queries (inserted before the
+    # window marker below) — each ceded row's mechanism stays graded by
+    # a window sibling: cdc_hash_keys via cdc_find_delta's hkey/hdiff,
+    # scd2_stamp_initial via scd2_as_of + scd1_latest_event_per_user,
+    # dq_row_flags via dq_violation_counts, events_session_window via
+    # events_sessionize, kmv/quantile sketches via the events_sketches
+    # composite, dedup_embedding_pairs via semantic_dedup_keep +
+    # similarity_lsh_topk, text_tfidf_top_terms via
+    # corpus_pmi_collocations, docs_temperature_mix via
+    # docs_quality_weighted_sample + docs_split_assign, and
+    # corpus_pipeline_splits via corpus_pipeline_staged +
+    # docs_split_assign. All stay in the full local gate.
+    "docs_contamination_fraction",
+    "docs_badword_report",
+    "docs_quality_weighted_sample",
+    "dedup_containment_pairs",
+    "embeddings_pq_codes",
+    "similarity_pq_topk",
+    "events_incremental_partition_rollup",
+    "text_bigram_ce",
+    "multimodal_video_meta",
+    "orders_restore_state",
     # end of the 50-query driver window (modulo count drift — verify
     # with tools/show_window.py)
     "corpus_pipeline_end2end",
     # rows-only (no oracle): the driver's hash gate can't grade it, so
     # it cedes its window slot to an oracle-backed round-5 query
     "docs_pack_ffd",
+    # the ten rows ceded by the round-5 build rotation (r4-green)
+    "events_session_window",
+    "cdc_hash_keys",
+    "scd2_stamp_initial",
+    "dq_row_flags",
+    "text_tfidf_top_terms",
+    "dedup_embedding_pairs",
+    "events_kmv_distinct_users",
+    "events_quantile_sketch",
+    "docs_temperature_mix",
+    "corpus_pipeline_splits",
     # representatives of the round-3-green block — the round-5 query
     # additions push most of these out of the 50-query window (they've
     # been driver-graded green since r2/r3; the judge's full local gate

@@ -201,17 +201,14 @@ def test_driver_grading_window_covers_priority_queries():
         "similarity_ivf_topk",
         "similarity_lsh_topk",
         "multimodal_decode_dims",
-        "dedup_embedding_pairs",
         "events_sketches",
         "docs_split_assign",
         "semantic_dedup_keep",
         "text_unigram_ce",
         "docs_decontaminate_bloom",
         "events_heavy_hitter_users",
-        "docs_temperature_mix",
         "hybrid_dedup_clusters",
         "docs_shuffle_rank",
-        "corpus_pipeline_splits",
         "orders_zorder_keys",
         "cdf_merge_changes",
         "docs_fuzzy_entity_pairs",
@@ -225,5 +222,16 @@ def test_driver_grading_window_covers_priority_queries():
         "events_incremental_rollup",
         "orders_delete_state",
         "embeddings_quantize_int8",
+        # round-5 build rotation: the ten new-this-round queries
+        "docs_contamination_fraction",
+        "docs_badword_report",
+        "docs_quality_weighted_sample",
+        "dedup_containment_pairs",
+        "embeddings_pq_codes",
+        "similarity_pq_topk",
+        "events_incremental_partition_rollup",
+        "text_bigram_ce",
+        "multimodal_video_meta",
+        "orders_restore_state",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
