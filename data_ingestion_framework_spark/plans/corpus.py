@@ -46,13 +46,25 @@ def corpus_pipeline(
     sample_fraction: float | None = None,
     sample_salt: str = "s2",
     stage_store=None,
+    badwords: list[str] | None = None,
+    badword_max_fraction: float = 0.0,
+    contamination_threshold: float | None = None,
 ) -> DataFrame:
-    """Clean → redact → quality-gate → dedup → decontaminate → quota →
-    sample. Returns ``(id, source, text, n_tokens)`` where ``text`` is
-    the cleaned+redacted body.
+    """Clean → redact → quality-gate → [badword-gate] → dedup →
+    decontaminate → quota → sample. Returns ``(id, source, text,
+    n_tokens)`` where ``text`` is the cleaned+redacted body.
 
     ``benchmark`` is the eval set to decontaminate against (its own
     raw text column ``text_col``); at 100 TB it is KBs and broadcast.
+
+    ``badwords`` (opt-in) drops documents whose blocklist-token
+    fraction exceeds ``badword_max_fraction`` — the C4 gate, applied
+    with the quality gate so dedup sees only admissible docs.
+    ``contamination_threshold`` (opt-in) switches decontamination from
+    the any-hit rule to the graded overlap-fraction rule: a doc drops
+    only when ≥ that fraction of its distinct n-grams appear in the
+    benchmark (`cleaning.contamination_fraction`), keeping long docs
+    with one incidental quote.
 
     ``stage_store`` (a ``ParquetTable``) materializes the deduped frame
     as a real silver table before decontamination. Without it the plan
@@ -77,15 +89,39 @@ def corpus_pipeline(
     gated = redacted.withColumn("n_tokens", token_count(text_col)).where(
         F.col("n_tokens") >= min_words
     )
+    if badwords:
+        gated = cleaning.filter_badwords(
+            gated,
+            badwords,
+            max_fraction=badword_max_fraction,
+            id_col=id_col,
+            text_col=text_col,
+        )
 
     deduped = exact_dedup(gated, id_col=id_col, text_col=text_col)
     if stage_store is not None:
         stage_store.overwrite(deduped)
         deduped = stage_store.read()
 
-    survivors = cleaning.decontaminate_filter(
-        deduped, benchmark, n=decontam_n, id_col=id_col, text_col=text_col
-    )
+    if contamination_threshold is None:
+        survivors = cleaning.decontaminate_filter(
+            deduped, benchmark, n=decontam_n, id_col=id_col, text_col=text_col
+        )
+    else:
+        report = cleaning.contamination_fraction(
+            deduped,
+            benchmark,
+            n=decontam_n,
+            threshold=contamination_threshold,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        # anti-join on the DROPPED id set (benchmark-overlap sized,
+        # small) — same shape as decontaminate_filter's contaminated
+        # anti-join, never a corpus-sized semi-join side
+        survivors = deduped.join(
+            report.where(F.col("drop")).select(id_col), id_col, "left_anti"
+        )
 
     if max_per_source is not None:
         survivors = cap_per_group(
@@ -117,6 +153,9 @@ class CorpusConfig:
     max_per_source: int | None = None
     sample_fraction: float | None = None
     sample_salt: str = "s2"
+    badwords: list[str] | None = None
+    badword_max_fraction: float = 0.0
+    contamination_threshold: float | None = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "CorpusConfig":
@@ -152,6 +191,9 @@ def run_corpus_config(
         sample_fraction=cfg.sample_fraction,
         sample_salt=cfg.sample_salt,
         stage_store=stage_store,
+        badwords=cfg.badwords,
+        badword_max_fraction=cfg.badword_max_fraction,
+        contamination_threshold=cfg.contamination_threshold,
     )
 
 

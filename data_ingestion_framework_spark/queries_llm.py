@@ -2952,3 +2952,141 @@ def similarity_pq_topk(spark, sf_dir):
 def text_bigram_ce(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return text.bigram_cross_entropy(docs)
+
+
+# ---------------------------------------------------------------------------
+# Curated corpus pipeline: the flagship composite with the round-5
+# gates switched on — C4 badword gate after the quality gate, graded
+# overlap-fraction decontamination instead of any-hit. One chained
+# oracle, same fixture as corpus_pipeline_staged, so a failure
+# localizes to the stage whose CTE diverges.
+# ---------------------------------------------------------------------------
+_CURATED_BADWORDS = ["window"]
+
+_CORPUS_CURATED_ORACLE = """
+    WITH pages AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or https://site.example/p/'
+                  || CAST(doc_id AS VARCHAR)
+                  || ' ip 10.0.0.1 call 555-123-4567'
+                  || chr(10)
+                  || CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter'
+                          ELSE 'ref ' || CAST(doc_id AS VARCHAR) END
+                  || chr(10) || 'copyright 2026 example corp' AS text
+      FROM documents
+    ), d AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM pages
+    ), l AS (
+      SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS pos
+      FROM d
+    ), freq AS (
+      SELECT trim(line) AS key
+      FROM l WHERE length(trim(line)) > 0
+      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ), m AS (
+      SELECT l.doc_id, l.pos, l.line, (f.key IS NOT NULL) AS boiler
+      FROM l LEFT JOIN freq f ON trim(l.line) = f.key
+    ), clean AS (
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
+                                 chr(10) ORDER BY pos), '') AS text
+      FROM m GROUP BY doc_id
+    ), s1 AS (
+      SELECT doc_id, regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS text
+      FROM clean
+    ), s2 AS (
+      SELECT doc_id, regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, regexp_replace(text,
+        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS text
+      FROM s2
+    ), s4 AS (
+      SELECT doc_id, regexp_replace(text,
+        '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS text
+      FROM s3
+    ), gated AS (
+      SELECT s4.doc_id, doc.source, s4.text,
+             CAST(len(string_split_regex(trim(s4.text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM s4 JOIN documents doc ON s4.doc_id = doc.doc_id
+      WHERE length(trim(s4.text)) > 0
+        AND len(string_split_regex(trim(s4.text), '\\s+')) >= 15
+    ), bw AS (
+      SELECT gated.*,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                          ' ') AS w
+      FROM gated
+    ), gated2 AS (
+      SELECT doc_id, source, text, n_tokens FROM bw
+      WHERE (CASE WHEN len(w) > 0
+             THEN ROUND(CAST(len(list_filter(w,
+                    x -> list_contains(['window'], x))) AS DOUBLE) / len(w), 6)
+             ELSE 0.0 END) <= 0.05
+    ), deduped AS (
+      SELECT doc_id, source, text, n_tokens FROM (
+        SELECT gated2.*, ROW_NUMBER() OVER (
+          PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+          ORDER BY doc_id ASC) AS rn
+        FROM gated2) t WHERE rn = 1
+    ), nw AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+      FROM deduped
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 13
+                  THEN list_distinct([md5(array_to_string(w[i:i+12], ' '))
+                                      for i in range(1, len(w) - 11)])
+                  ELSE [] END AS grams
+      FROM nw
+    ), bnw AS (
+      SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+      FROM documents WHERE doc_id % 97 = 0
+    ), bgl AS (
+      SELECT list(DISTINCT gh) AS bl FROM (
+        SELECT unnest(CASE WHEN len(w) >= 13
+                  THEN list_distinct([md5(array_to_string(w[i:i+12], ' '))
+                                      for i in range(1, len(w) - 11)])
+                  ELSE [] END) AS gh
+        FROM bnw)
+    ), dropids AS (
+      SELECT g.doc_id FROM g CROSS JOIN bgl
+      WHERE len(g.grams) > 0
+        AND ROUND(CAST(len(list_intersect(g.grams, bgl.bl)) AS DOUBLE)
+                  / len(g.grams), 6) >= 0.05
+    ), surv AS (
+      SELECT d.* FROM deduped d
+      LEFT JOIN dropids c ON d.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL
+    ), capped AS (
+      SELECT doc_id, source, text, n_tokens FROM (
+        SELECT surv.*, ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+        FROM surv) t WHERE rn <= 30
+      )
+    SELECT doc_id, source, text, n_tokens
+    FROM capped
+    WHERE substring(md5('s2' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+    """
+
+
+@bench_query("corpus_pipeline_curated", oracle=_CORPUS_CURATED_ORACLE)
+def corpus_pipeline_curated(spark, sf_dir):
+    from data_ingestion_framework_spark.plans.corpus import corpus_pipeline
+
+    docs, benchmark = _corpus_pipeline_inputs(spark, sf_dir)
+    return corpus_pipeline(
+        docs,
+        benchmark,
+        min_words=15,
+        max_per_source=30,
+        sample_fraction=0.5,
+        sample_salt="s2",
+        badwords=_CURATED_BADWORDS,
+        badword_max_fraction=0.05,
+        contamination_threshold=0.05,
+    )

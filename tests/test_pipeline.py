@@ -307,3 +307,42 @@ def test_quality_weighted_sample_monotone_and_deterministic(spark):
     want = {r["doc_id"] for r in deterministic_sample(df, 0.5, salt="s").collect()}
     # same md5 bucket space; integer-exact threshold derivations agree
     assert got == want
+
+
+def test_corpus_pipeline_graded_gates(spark):
+    """The curated knobs: graded decontamination keeps a long doc with
+    one incidental benchmark quote (any-hit drops it), the badword
+    gate drops high-fraction docs."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_framework_spark.plans.corpus import corpus_pipeline
+
+    quote = "the exact thirteen word answer string that sits in the eval benchmark set"
+    filler = " ".join(f"w{i}" for i in range(300))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{quote} {filler}", "s"),          # 1 bad gram in 300+ -> keep graded
+            (2, f"{quote} one two three four five six seven eight nine ten", "s"),  # mostly quote -> drop
+            (3, "clean bad bad bad text " + filler, "s"),   # badword-heavy? frac small
+            (4, ("bad " * 20) + "x y z a b c d e f g h i j k l", "s"),  # badword frac high
+            (5, "plain ordinary document " + filler, "s"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    bench = spark.createDataFrame([(99, quote)], "doc_id bigint, text string")
+
+    graded = corpus_pipeline(
+        docs, bench, min_words=5,
+        badwords=["bad"], badword_max_fraction=0.1,
+        contamination_threshold=0.05,
+    )
+    kept = sorted(r["doc_id"] for r in graded.collect())
+    assert 1 in kept          # graded: 1 shared gram / ~300 = 0.003 < 0.05
+    assert 2 not in kept      # 1 shared / 11 grams = 0.09 >= 0.05 -> dropped
+    assert 3 in kept          # 3/300 bad tokens < 10%
+    assert 4 not in kept      # 20/35 bad tokens -> dropped
+    assert 5 in kept
+
+    anyhit = corpus_pipeline(docs, bench, min_words=5)
+    kept_any = sorted(r["doc_id"] for r in anyhit.collect())
+    assert 1 not in kept_any  # any-hit drops the incidental quote
