@@ -204,6 +204,8 @@ def corpus_stream_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_words: int = 15,
+    optimize_every: int | None = None,
+    optimize_kwargs: dict | None = None,
 ):
     """Incremental corpus ingestion: per micro-batch PII redaction and
     min-length gating, then an SCD1 merge keyed on the CONTENT
@@ -214,6 +216,10 @@ def corpus_stream_ingest(
     Corpus-wide stages (boilerplate frequencies, MinHash, per-source
     quotas) don't belong in a micro-batch — run them as batch
     ``corpus_pipeline`` passes over the ingested table.
+
+    ``optimize_every`` passes through to the merge writer's
+    maintenance cadence (the reference's every-101st-micro-batch
+    OPTIMIZE) so a long-running ingest keeps its file count bounded.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
@@ -243,4 +249,6 @@ def corpus_stream_ingest(
         checkpoint=checkpoint,
         scd_type=1,
         transform=_clean,
+        optimize_every=optimize_every,
+        optimize_kwargs=optimize_kwargs,
     )

@@ -1,0 +1,96 @@
+"""Property-based checks of the deterministic-sampling algebra: split
+completeness/disjointness for arbitrary weights, quality-weighted
+monotonicity in both weight and base fraction, and per-group cap
+invariants — the contracts that make hash-threshold sampling safe to
+re-run on a growing 100 TB corpus."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_ingestion_framework_spark.operators.sampling import (
+    cap_per_group,
+    quality_weighted_sample,
+    split_assign,
+)
+
+weights_st = st.lists(
+    st.floats(0.05, 1.0, allow_nan=False), min_size=2, max_size=4
+).map(lambda ws: {f"s{i}": w / sum(ws) for i, w in enumerate(ws)})
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(weights=weights_st)
+def test_split_assign_partitions_every_row_exactly_once(spark, weights):
+    df = spark.range(500).selectExpr("id AS doc_id")
+    out = split_assign(df, weights)
+    rows = out.collect()
+    assert len(rows) == 500                       # complete: no row lost
+    assert all(r["split"] in weights for r in rows)  # no phantom splits
+    # deterministic: identical on re-run
+    again = {(r["doc_id"], r["split"]) for r in split_assign(df, weights).collect()}
+    assert {(r["doc_id"], r["split"]) for r in rows} == again
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    w_lo=st.floats(0.0, 1.0, allow_nan=False),
+    w_hi=st.floats(0.0, 1.0, allow_nan=False),
+    base=st.floats(0.1, 1.0, allow_nan=False),
+)
+def test_quality_weighted_sample_monotone_in_weight(spark, w_lo, w_hi, base):
+    if w_lo > w_hi:
+        w_lo, w_hi = w_hi, w_lo
+    df = spark.range(400).selectExpr("id AS doc_id")
+    lo = {
+        r["doc_id"]
+        for r in quality_weighted_sample(
+            df.withColumn("w", F.lit(w_lo)), "w", base, salt="p"
+        ).collect()
+    }
+    hi = {
+        r["doc_id"]
+        for r in quality_weighted_sample(
+            df.withColumn("w", F.lit(w_hi)), "w", base, salt="p"
+        ).collect()
+    }
+    assert lo <= hi  # raising the weight never evicts a kept row
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cap=st.integers(1, 30), n_groups=st.integers(1, 5))
+def test_cap_per_group_bounds_and_determinism(spark, cap, n_groups):
+    df = spark.range(300).selectExpr(
+        "id AS doc_id", f"CAST(id % {n_groups} AS STRING) AS source"
+    )
+    out = cap_per_group(df, cap, group_col="source", id_col="doc_id")
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n <= cap for n in counts.values())
+    # groups smaller than the cap keep everything
+    per_group = 300 // n_groups
+    if per_group <= cap:
+        assert all(n == per_group for n in counts.values())
+    # deterministic draw
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in cap_per_group(df, cap, group_col="source", id_col="doc_id").collect()
+    }
+    assert a == b
