@@ -740,3 +740,73 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1"), F.col("w2")
     ).limit(top_k)
+
+
+def ccnet_bucket_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 256,
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020,
+    public): score every document with the unigram cross-entropy LM
+    proxy, derive the tercile thresholds from a deterministic hash-rank
+    sample of the scores, and label each doc ``head`` (most fluent,
+    lowest CE), ``middle``, or ``tail``. The canonical use: train on
+    head+middle, downsample or drop tail.
+
+    Scale shape: the threshold sample is ``orderBy(md5-hash).limit(k)``
+    — Spark executes that as TakeOrdered (per-partition top-k folded on
+    the driver), NOT a single-partition global sort; thresholds then
+    broadcast back as one row. Index arithmetic is pure-integer
+    (``(m+2) div 3``), so an engine re-deriving the same sample gets
+    bit-identical thresholds; CE scores are the 4-dp-rounded values of
+    :func:`unigram_cross_entropy`, so the ``<=`` bucket comparisons
+    cannot straddle an ulp.
+    """
+    ce = unigram_cross_entropy(df, id_col, text_col)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":ccb"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sample = (
+        ce.select(F.col(id_col), F.col("unigram_ce"))
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    m = F.size(F.col("__v"))
+    th = (
+        sample.agg(F.sort_array(F.collect_list("unigram_ce")).alias("__v"))
+        .select(
+            F.element_at(
+                F.col("__v"),
+                F.greatest(
+                    F.call_function("div", m + 2, F.lit(3)).cast("int"), F.lit(1)
+                ),
+            ).alias("__t1"),
+            F.element_at(
+                F.col("__v"),
+                F.greatest(
+                    F.call_function("div", m * 2 + 2, F.lit(3)).cast("int"),
+                    F.lit(1),
+                ),
+            ).alias("__t2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("unigram_ce") <= F.col("__t1"), F.lit("head"))
+        .when(F.col("unigram_ce") <= F.col("__t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ce.crossJoin(F.broadcast(th))
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "unigram_ce",
+            bucket.alias("bucket"),
+        )
+    )

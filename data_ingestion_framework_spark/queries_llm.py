@@ -3090,3 +3090,61 @@ def corpus_pipeline_curated(spark, sf_dir):
         badword_max_fraction=0.05,
         contamination_threshold=0.05,
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail split: unigram-CE scores + hash-rank-sample
+# tercile thresholds (TakeOrdered, no global sort) → bucket labels.
+# The oracle re-derives the CE scores, the 256-doc hash sample, the
+# integer-exact tercile indices, and the CASE labels.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_ccnet_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    freq AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
+    tot AS (SELECT SUM(c) AS n_total FROM freq),
+    contrib AS (
+      SELECT t.doc_id, t.tf,
+             CAST(t.tf AS DECIMAL(18,0))
+             * CAST(ROUND(log2(CAST(f.c AS DOUBLE) / CAST(x.n_total AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS con
+      FROM tf t JOIN freq f USING (term) CROSS JOIN tot x
+    ),
+    ce AS (
+      SELECT doc_id,
+             CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             ROUND(CAST(-SUM(con) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 4)
+               AS unigram_ce
+      FROM contrib GROUP BY doc_id
+    ),
+    sample AS (
+      SELECT unigram_ce FROM ce
+      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ccb'),
+                               1, 15))::BIGINT, doc_id
+      LIMIT 256
+    ),
+    th AS (
+      SELECT v[greatest((len(v) + 2) // 3, 1)] AS t1,
+             v[greatest((len(v) * 2 + 2) // 3, 1)] AS t2
+      FROM (SELECT list_sort(list(unigram_ce)) AS v FROM sample)
+    )
+    SELECT ce.doc_id, ce.n_tokens, ce.unigram_ce,
+           CASE WHEN ce.unigram_ce <= th.t1 THEN 'head'
+                WHEN ce.unigram_ce <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ce CROSS JOIN th
+    """,
+)
+def docs_ccnet_buckets(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.ccnet_bucket_assign(docs, k=256)

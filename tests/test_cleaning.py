@@ -431,3 +431,28 @@ def test_bigram_ce_orders_gibberish_above_fluent(spark):
     # docs with < 2 tokens drop out
     short = spark.createDataFrame([(9, "one")], "doc_id bigint, text string")
     assert bigram_cross_entropy(short).count() == 0
+
+
+def test_ccnet_buckets_order_and_coverage(spark):
+    """Every doc gets exactly one bucket; buckets respect CE ordering
+    (no head doc scores above any tail doc); the threshold sample is a
+    TakeOrdered, not a global sort (plan check)."""
+    from data_ingestion_framework_spark.operators.text import ccnet_bucket_assign
+
+    fluent = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, fluent if i % 3 else f"zx{i} qw{i} vb{i} nm{i} kj{i} hg{i}")
+         for i in range(1, 61)],
+        "doc_id bigint, text string",
+    )
+    out = ccnet_bucket_assign(docs, k=64)
+    rows = out.collect()
+    assert len(rows) == 60
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["unigram_ce"])
+    assert set(by_bucket) <= {"head", "middle", "tail"}
+    if "head" in by_bucket and "tail" in by_bucket:
+        assert max(by_bucket["head"]) <= min(by_bucket["tail"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
