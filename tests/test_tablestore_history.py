@@ -373,3 +373,41 @@ def test_describe_detail(spark, tmp_path):
     assert d["num_commits"] == 2 and d["last_op"] == "append"
     empty = ParquetTable(spark, str(tmp_path / "nope"))
     assert empty.detail()["num_files"] == 0
+
+
+def test_overwrite_partitions_failed_swap_restores(spark, tmp_path, monkeypatch):
+    """Crash while moving staged partition dirs into place: the
+    already-moved retained partitions must come back — no data loss,
+    no partial commit record, no staging litter."""
+    t = ParquetTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    t.overwrite(
+        spark.createDataFrame(
+            [Row(a=1, p="x"), Row(a=2, p="y"), Row(a=3, p="z")]
+        ).repartition(3)
+    )
+    before = sorted((r["a"], r["p"]) for r in t.read().collect())
+    n_commits = len(t.history())
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        # fail the SECOND staged-partition move (first succeeded, so
+        # the rollback path must restore it)
+        if "__staging__" in src and "_history" not in dst:
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise OSError("simulated partition-swap failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(OSError, match="partition-swap"):
+        t.overwrite_partitions(
+            spark.createDataFrame([Row(a=10, p="x"), Row(a=20, p="y")])
+        )
+    monkeypatch.undo()
+
+    assert sorted((r["a"], r["p"]) for r in t.read().collect()) == before
+    assert len(t.history()) == n_commits  # no commit recorded
+    parent = os.path.dirname(str(tmp_path / "t"))
+    assert not [d for d in os.listdir(parent) if "__staging__" in d]
