@@ -1004,3 +1004,84 @@ def multimodal_video_meta(spark, sf_dir):
     return decode_video(packed).select(
         "doc_id", "timescale", "duration_units", "duration_sec", "width", "height"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering keys (the higher-locality alternative to
+# the Morton layout of orders_zorder_keys): same integer-exact
+# bucketing, then the classic xy→d walk unrolled into one CTE per
+# level — the oracle replays every reflect/swap step exactly.
+# ---------------------------------------------------------------------------
+_H_BITS = 8
+
+
+def _hilbert_level_sql(prev: str, k: int, level: int) -> str:
+    s = 1 << k
+    return f"""
+    h{level} AS (
+      SELECT o_orderkey,
+             d + {s * s}::BIGINT * xor(3 * rx, ry) AS d,
+             CASE WHEN ry = 0
+                  THEN (CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN ry = 0
+                  THEN (CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END)
+                  ELSE y END AS y
+      FROM (
+        SELECT o_orderkey, d, x, y,
+               CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM {prev})
+    )"""
+
+
+_HILBERT_LEVELS = ",".join(
+    _hilbert_level_sql(f"h{i}" if i else "h0", _H_BITS - 1 - i, i + 1)
+    for i in range(_H_BITS)
+)
+
+
+@bench_query(
+    "orders_hilbert_keys",
+    oracle=f"""
+    WITH d0 AS (
+      SELECT o_orderkey,
+             CAST(o_custkey AS BIGINT) AS vx,
+             CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS vy
+      FROM orders
+    ),
+    r AS (
+      SELECT MIN(vx) AS xmin, MAX(vx) AS xmax, MIN(vy) AS ymin, MAX(vy) AS ymax
+      FROM d0
+    ),
+    h0 AS (
+      SELECT o_orderkey,
+             0::BIGINT AS d,
+             GREATEST(0::BIGINT, LEAST({(1 << _H_BITS) - 1}::BIGINT,
+               ((vx - xmin) * {1 << _H_BITS}) // (xmax - xmin + 1))) AS x,
+             GREATEST(0::BIGINT, LEAST({(1 << _H_BITS) - 1}::BIGINT,
+               ((vy - ymin) * {1 << _H_BITS}) // (ymax - ymin + 1))) AS y
+      FROM d0 CROSS JOIN r
+    ),
+    {_HILBERT_LEVELS}
+    SELECT o_orderkey, CAST(d AS BIGINT) AS hval FROM h{_H_BITS}
+    """,
+)
+def orders_hilbert_keys(spark, sf_dir):
+    """Hilbert clustering keys for (o_custkey, order-date-days): the
+    curve ``compact(zorder_by=...)`` would range-partition on when the
+    caller picks the 2-D high-locality layout."""
+    from data_ingestion_framework_spark.operators.zorder import (
+        hilbert_zorder_code,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    code, _ = hilbert_zorder_code(d, ["x", "y"], bits=_H_BITS)
+    return d.select("o_orderkey", code.alias("hval"))

@@ -688,6 +688,7 @@ class ParquetTable:
         self,
         target_files: int | None = None,
         zorder_by: list[str] | None = None,
+        curve: str = "morton",
     ) -> None:
         """Small-file compaction — the engine's ``OPTIMIZE`` parity
         (writers/writer.py:276-281 runs ``OPTIMIZE`` every 101st
@@ -696,10 +697,12 @@ class ParquetTable:
         parallelism) via coalesce — no shuffle, pure file merge.
 
         ``zorder_by`` upgrades the rewrite to ``OPTIMIZE ... ZORDER BY``
-        parity: rows are clustered along the Morton curve of the given
-        integer/date columns (one range shuffle; see
-        ``operators/zorder.py``), so parquet min/max footer stats prune
-        files for predicates on ANY of the clustered columns."""
+        parity: rows are clustered along the Morton curve (or, with
+        ``curve="hilbert"`` and exactly two columns, the
+        higher-locality Hilbert curve) of the given integer/date
+        columns (one range shuffle; see ``operators/zorder.py``), so
+        parquet min/max footer stats prune files for predicates on ANY
+        of the clustered columns."""
         if not self.exists():
             return
         n = target_files or int(
@@ -711,7 +714,8 @@ class ParquetTable:
             )
 
             self.overwrite(
-                zorder_layout(self.read(), zorder_by, n), op="zorder"
+                zorder_layout(self.read(), zorder_by, n, curve=curve),
+                op="zorder",
             )
         else:
             self.overwrite(self.read().coalesce(n), op="compact")

@@ -322,3 +322,85 @@ def test_lookup_files_nonstrict_degrades_to_full_list(spark):
         assert sorted(files) == sorted(
             os.path.join(f"{tmp}/t", f) for f in t._data_files()
         )
+
+
+def _py_hilbert(x, y, bits):
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_code_matches_python_and_is_bijective(spark):
+    from data_ingestion_framework_spark.operators.zorder import hilbert_code
+
+    bits = 4
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "x bigint, y bigint")
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in df.select("x", "y", hilbert_code(F.col("x"), F.col("y"), bits).alias("d")).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _py_hilbert(x, y, bits)
+    # bijection over the full grid
+    assert sorted(got.values()) == list(range(256))
+    # unit-step locality: consecutive curve positions are grid neighbors
+    inv = {d: p for p, d in got.items()}
+    for d in range(255):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_layout_tightens_ranges_vs_morton(spark):
+    """On a uniform 2-D grid split into the same number of range
+    partitions, the Hilbert curve's per-chunk bounding boxes are never
+    worse than Morton's in total area — the locality claim, measured."""
+    from data_ingestion_framework_spark.operators.zorder import (
+        hilbert_zorder_code,
+        zorder_code,
+    )
+
+    n = 64
+    df = spark.createDataFrame(
+        [(i, i % n, i // n) for i in range(n * n)], "id bigint, x bigint, y bigint"
+    )
+    def chunk_area(code_col, chunks=16):
+        rows = (
+            df.withColumn("__c", code_col)
+            .selectExpr("x", "y", f"ntile({chunks}) OVER (ORDER BY __c) AS ck")
+            .groupBy("ck")
+            .agg(
+                (F.max("x") - F.min("x") + 1) * (F.max("y") - F.min("y") + 1)
+            )
+            .collect()
+        )
+        return sum(r[1] for r in rows)
+
+    hc, _ = hilbert_zorder_code(df, ["x", "y"], bits=6)
+    mc, _ = zorder_code(df, ["x", "y"], bits=6)
+    assert chunk_area(hc) <= chunk_area(mc)
+
+
+def test_compact_hilbert_curve_roundtrip(spark):
+    """compact(curve='hilbert') lays files out along the Hilbert curve
+    — same rows, bounded files, logged as a zorder commit."""
+    with tempfile.TemporaryDirectory() as tmp:
+        t = ParquetTable(spark, f"{tmp}/t")
+        t.overwrite(
+            spark.range(2000).selectExpr("id", "id % 37 AS x", "id % 11 AS y")
+            .repartition(8)
+        )
+        t.compact(target_files=4, zorder_by=["x", "y"], curve="hilbert")
+        assert t.file_count() <= 4
+        assert t.read().count() == 2000
+        assert t.history()[-1]["op"] == "zorder"
