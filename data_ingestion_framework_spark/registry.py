@@ -86,11 +86,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: FIRST 50 registered queries; rounds 1-3 registered in module-import
 #: order, so the gate graded the same analytics/etl block every round
 #: while the window/SCD/CDC/corpus surface (where the round-3 NTZ
-#: breakage lived) was never driver-checked. This list front-loads the
-#: 40 never-yet-graded queries, then 10 representatives of the
-#: already-green block (one per operator family); everything else
-#: follows in import order. Every name stays registered either way —
-#: unknown names here are ignored, new queries append after.
+#: breakage lived) was never driver-checked. Since round 4 the window
+#: is rotated each round: never-driver-graded (usually new) queries
+#: take slots ceded by rows that already graded green, with each ceded
+#: row's MECHANISM kept covered by a sibling still inside the window
+#: (rationale recorded inline below). Every name stays registered
+#: either way — unknown names here are ignored, new queries append
+#: after. The composition is pinned by
+#: ``test_driver_grading_window_covers_priority_queries``.
 _PRIORITY = [
     # previously broken (round-3 NTZ class) — must be inside the window
     "events_sessionize",
