@@ -6,6 +6,7 @@ from data_ingestion_framework_spark.sources.batch import (  # noqa: F401
     read_delta_path,
     read_json,
     read_orc,
+    read_text,
     read_parquet,
     read_table,
 )

@@ -32,7 +32,7 @@ CONTROL_COLUMNS = [
     "delete_time",
 ]
 
-_FILE_FORMATS = {"parquet", "csv", "json", "orc"}
+_FILE_FORMATS = {"parquet", "csv", "json", "orc", "text"}
 
 
 def add_control_columns(df: DataFrame, with_file_metadata: bool = True) -> DataFrame:
@@ -104,6 +104,26 @@ def read_json(spark, path, options=None, control_columns=False, schema=None):
 def read_orc(spark, path, options=None, control_columns=False):
     """readers/batch_readers.py:50-54."""
     return read_batch(spark, path, "orc", options, control_columns)
+
+
+def read_text(
+    spark,
+    path,
+    options=None,
+    control_columns=True,
+    whole_file: bool = False,
+):
+    """Raw-text corpus reader — the missing format for LLM training
+    data that arrives as plain ``.txt`` shards (jsonl goes through
+    ``read_json``). Line mode yields one row per line (``value``
+    string); ``whole_file=True`` (Spark's ``wholetext``) yields one
+    row per FILE — the per-document shape. Control columns stamp
+    ``file_path`` etc. so a downstream doc id can derive from the
+    source file, the same provenance contract as the other readers."""
+    opts = dict(options or {})
+    if whole_file:
+        opts["wholetext"] = "true"
+    return read_batch(spark, path, "text", opts, control_columns)
 
 
 def read_delta_path(spark, path, options=None, version=None):

@@ -133,3 +133,31 @@ def test_control_columns(spark, tmp_path):
     row = out.collect()[0]
     assert row["file_path"].startswith("file:")
     assert row["is_current"] == 1 and row["delete_time"] is None
+
+
+def test_read_text_line_and_whole_file_modes(spark, tmp_path):
+    """Raw-text corpus reader: one row per line by default, one row
+    per FILE with whole_file=True (the per-document shape), with the
+    provenance control columns stamped in both modes."""
+    import os
+
+    from data_ingestion_framework_spark.sources.batch import read_text
+
+    d = str(tmp_path / "txt")
+    os.makedirs(d)
+    with open(f"{d}/a.txt", "w") as f:
+        f.write("first line\nsecond line\n")
+    with open(f"{d}/b.txt", "w") as f:
+        f.write("solo doc body\n")
+
+    lines = read_text(spark, d)
+    assert lines.count() == 3
+    assert {"value", "file_path"} <= set(lines.columns)
+
+    docs = read_text(spark, d, whole_file=True)
+    rows = sorted(
+        (os.path.basename(r["file_path"]), r["value"]) for r in docs.collect()
+    )
+    assert [b for b, _ in rows] == ["a.txt", "b.txt"]
+    assert rows[0][1] == "first line\nsecond line\n"
+    assert rows[1][1] == "solo doc body\n"
