@@ -1085,3 +1085,70 @@ def orders_hilbert_keys(spark, sf_dir):
     )
     code, _ = hilbert_zorder_code(d, ["x", "y"], bits=_H_BITS)
     return d.select("o_orderkey", code.alias("hval"))
+
+
+# ---------------------------------------------------------------------------
+# Generic MERGE INTO lifecycle under the oracle gate: one merge with
+# all three clause kinds live — conditional UPDATE with source refs,
+# conditional DELETE (checked first, Delta clause order), INSERT of
+# unmatched keys — the final table state value-checked.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_merge_into_state",
+    oracle="""
+    SELECT pk, price, status FROM (
+      -- matched, delete condition (status X: %9 keys) -> gone;
+      -- matched otherwise -> updated price (+100, source > target)
+      SELECT o_orderkey AS pk, o_totalprice + 100.0 AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0
+      UNION ALL
+      -- target rows without a source match pass through
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 <> 0
+      UNION ALL
+      -- unmatched source keys insert
+      SELECT o_orderkey + 10000000, o_totalprice, 'N'
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    """,
+)
+def orders_merge_into_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sinks.writers import (
+        merge_into,
+        merge_source,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    updates = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("pk"),
+        (F.col("o_totalprice") + 100.0).alias("price"),
+        F.when(F.col("o_orderkey") % 9 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("pk"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("N").alias("status"),
+    )
+    t = ParquetTable(spark, _scratch_dir("difs_minto_") + "/t")
+    t.overwrite(target)
+    merge_into(
+        t,
+        updates.unionByName(inserts),
+        ["pk"],
+        when_matched_update={
+            "price": merge_source("price"),
+            "status": merge_source("status"),
+        },
+        when_matched_update_condition=merge_source("price") > F.col("price"),
+        when_matched_delete_condition=merge_source("status") == "X",
+    )
+    return t.read()

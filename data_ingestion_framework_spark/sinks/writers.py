@@ -10,7 +10,7 @@ operators/scd.py; this module is the thin commit layer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_ingestion_framework_spark.operators import scd
@@ -273,3 +273,127 @@ def batch_write(
         table.overwrite(new_state)
         return
     raise ValueError(f"unknown write mode: {mode}")
+
+
+def merge_source(col: str) -> Column:
+    """Reference a SOURCE column inside ``merge_into``'s matched-clause
+    expressions (the ``source.<col>`` of MERGE SQL) — update values and
+    conditions evaluate over the joined frame, where source columns are
+    prefixed to avoid colliding with target names."""
+    return F.col(f"__src_{col}")
+
+
+def merge_into(
+    table: ParquetTable,
+    source: DataFrame,
+    key_cols: list[str],
+    when_matched_update: dict[str, Column] | None = None,
+    when_matched_update_condition: Column | None = None,
+    when_matched_delete_condition: Column | None = None,
+    when_not_matched_insert: bool = True,
+    when_not_matched_insert_condition: Column | None = None,
+) -> dict:
+    """Generic conditional MERGE executor — the Delta/Iceberg
+    ``MERGE INTO`` builder surface (WHEN MATCHED [AND cond] THEN
+    UPDATE SET ... / DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT)
+    as one callable over the DataFrame engine, for merges that don't
+    fit the SCD1/SCD2 shapes ``batch_write`` routes.
+
+    Semantics (Delta-faithful):
+    - source rows join target rows on ``key_cols`` (source must be
+      unique per key — enforced, like Delta's multiple-matches error);
+    - matched + delete-condition → row removed;
+    - matched + update-condition (delete checked FIRST, as Delta
+      orders clauses) → ``when_matched_update`` expressions applied
+      (each value Column may reference target columns and source
+      columns as ``source.<col>``);
+    - unmatched source rows insert when ``when_not_matched_insert``
+      (and its optional condition) allow;
+    - target rows with no source match pass through untouched.
+
+    Returns the commit metrics dict ``{rows_updated, rows_deleted,
+    rows_inserted}``. One key-keyed shuffle; the new state lands via
+    the table's crash-safe staged overwrite (Delta rewrites touched
+    files; this store's unit of rewrite is the snapshot — or the
+    touched buckets when the caller key-bucketed the table).
+    """
+    from pyspark.sql import functions as F
+
+    dup = source.groupBy(*key_cols).count().where(F.col("count") > 1)
+    if dup.limit(1).count() > 0:
+        raise ValueError(
+            "merge_into: source has multiple rows per key — Delta "
+            "raises here too; dedupe the source first"
+        )
+    target = table.read()
+    t_cols = target.columns
+    src = source.select(
+        *[F.col(c).alias(f"__src_{c}") for c in source.columns]
+    ).withColumn("__matched", F.lit(True))
+
+    cond = None
+    for k in key_cols:
+        e = target[k].eqNullSafe(F.col(f"__src_{k}"))
+        cond = e if cond is None else cond & e
+    joined = target.join(src, cond, "left")
+
+    matched = F.coalesce(F.col("__matched"), F.lit(False))
+    delete_now = (
+        matched & when_matched_delete_condition
+        if when_matched_delete_condition is not None
+        else F.lit(False)
+    )
+    update_now = matched & ~delete_now
+    if when_matched_update_condition is not None:
+        update_now = update_now & when_matched_update_condition
+    if when_matched_update is None:
+        update_now = F.lit(False)
+
+    updated_cols = []
+    for c in t_cols:
+        if when_matched_update is not None and c in when_matched_update:
+            updated_cols.append(
+                F.when(update_now, when_matched_update[c])
+                .otherwise(target[c])
+                .alias(c)
+            )
+        else:
+            updated_cols.append(target[c].alias(c))
+    kept = joined.where(~delete_now).select(
+        *updated_cols, update_now.alias("__upd")
+    )
+
+    inserts = None
+    if when_not_matched_insert:
+        anti = source.join(
+            target.select(*key_cols), key_cols, "left_anti"
+        )
+        if when_not_matched_insert_condition is not None:
+            anti = anti.where(when_not_matched_insert_condition)
+        missing = [c for c in t_cols if c not in anti.columns]
+        if missing:
+            raise ValueError(
+                f"merge_into: source lacks target columns {missing} "
+                "needed for WHEN NOT MATCHED INSERT"
+            )
+        inserts = anti.select(*t_cols)
+
+    # metrics BEFORE the overwrite consumes the lazy frames
+    n_upd = kept.where(F.col("__upd")).count()
+    n_del = (
+        joined.where(delete_now).count()
+        if when_matched_delete_condition is not None
+        else 0
+    )
+    n_ins = inserts.count() if inserts is not None else 0
+
+    new_state = kept.drop("__upd")
+    if inserts is not None:
+        new_state = new_state.unionByName(inserts)
+    metrics = {
+        "rows_updated": n_upd,
+        "rows_deleted": n_del,
+        "rows_inserted": n_ins,
+    }
+    table.overwrite(new_state, metrics=metrics, op="merge")
+    return metrics

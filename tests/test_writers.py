@@ -202,3 +202,58 @@ def test_bucketed_ie_merge_delete_feed_empties_bucket(spark, tmp_path):
     assert all(r["delete_time"] == T1 and r["is_current"] == 0 for r in deleted)
     # time travel still reconstructs the pre-delete current state
     assert cur.as_of(1).count() == 20
+
+
+def test_merge_into_conditional_clauses(spark, tmp_path):
+    """Generic MERGE INTO: delete-when, conditional update with source
+    references (delete checked before update, Delta clause order),
+    conditional insert, untouched pass-through, metrics recorded."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from data_ingestion_framework_spark.sinks.writers import (
+        merge_into,
+        merge_source,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [Row(pk=1, v=10, status="open"),
+             Row(pk=2, v=20, status="open"),
+             Row(pk=3, v=30, status="open"),
+             Row(pk=4, v=40, status="open")]
+        )
+    )
+    source = spark.createDataFrame(
+        [Row(pk=1, v=11, status="open"),      # matched -> update
+         Row(pk=2, v=99, status="closed"),    # matched + delete cond
+         Row(pk=3, v=5, status="open"),       # matched, update cond FALSE
+         Row(pk=5, v=50, status="open"),      # unmatched -> insert
+         Row(pk=6, v=60, status="closed")]    # unmatched, insert cond FALSE
+    )
+    metrics = merge_into(
+        t,
+        source,
+        ["pk"],
+        when_matched_update={"v": merge_source("v")},
+        when_matched_update_condition=merge_source("v") > F.col("v"),
+        when_matched_delete_condition=merge_source("status") == "closed",
+        when_not_matched_insert_condition=F.col("status") == "open",
+    )
+    got = {r["pk"]: (r["v"], r["status"]) for r in t.read().collect()}
+    assert got == {
+        1: (11, "open"),   # updated from source
+        3: (30, "open"),   # update condition false -> untouched
+        4: (40, "open"),   # no source row -> untouched
+        5: (50, "open"),   # inserted
+    }
+    assert metrics == {"rows_updated": 1, "rows_deleted": 1, "rows_inserted": 1}
+    assert t.history()[-1]["op"] == "merge"
+
+    # duplicate source keys raise, like Delta's multiple-matches error
+    dup = spark.createDataFrame([Row(pk=1, v=1, status="a"), Row(pk=1, v=2, status="b")])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="multiple rows per key"):
+        merge_into(t, dup, ["pk"], when_matched_update={"v": merge_source("v")})
