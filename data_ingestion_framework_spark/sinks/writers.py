@@ -312,10 +312,13 @@ def merge_into(
     - target rows with no source match pass through untouched.
 
     Returns the commit metrics dict ``{rows_updated, rows_deleted,
-    rows_inserted}``. One key-keyed shuffle; the new state lands via
-    the table's crash-safe staged overwrite (Delta rewrites touched
-    files; this store's unit of rewrite is the snapshot — or the
-    touched buckets when the caller key-bucketed the table).
+    rows_inserted}``. One key-keyed shuffle. On a key-hash-bucketed
+    table (``stamp_bucket``/``is_bucketed``) the commit is PARTITION-
+    SCOPED: only the buckets containing source keys are read and
+    rewritten (Delta MERGE's touched-files behavior at bucket
+    granularity — the property that keeps repeated generic merges
+    O(touched data) at 100 TB); unbucketed tables get the crash-safe
+    staged snapshot swap.
     """
     from pyspark.sql import functions as F
 
@@ -325,7 +328,19 @@ def merge_into(
             "merge_into: source has multiple rows per key — Delta "
             "raises here too; dedupe the source first"
         )
-    target = table.read()
+    bucketed = is_bucketed(table)
+    touched: list[int] = []
+    if bucketed:
+        nb = _bucket_count(table, None)
+        source = stamp_bucket(source, key_cols, nb)
+        # control-plane: one distinct over the source's bucket ids
+        touched = sorted(
+            r[BUCKET_COL]
+            for r in source.select(BUCKET_COL).distinct().collect()
+        )
+        target = table.read().where(F.col(BUCKET_COL).isin(touched))
+    else:
+        target = table.read()
     t_cols = target.columns
     src = source.select(
         *[F.col(c).alias(f"__src_{c}") for c in source.columns]
@@ -395,5 +410,15 @@ def merge_into(
         "rows_deleted": n_del,
         "rows_inserted": n_ins,
     }
-    table.overwrite(new_state, metrics=metrics, op="merge")
+    if bucketed:
+        # every touched bucket is declared even when the merge emptied
+        # it (all rows deleted): an undeclared-but-emptied bucket would
+        # keep its stale files live
+        table.overwrite_partitions(
+            new_state,
+            metrics=metrics,
+            extra_touched=[f"{BUCKET_COL}={b}" for b in touched],
+        )
+    else:
+        table.overwrite(new_state, metrics=metrics, op="merge")
     return metrics

@@ -257,3 +257,64 @@ def test_merge_into_conditional_clauses(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="multiple rows per key"):
         merge_into(t, dup, ["pk"], when_matched_update={"v": merge_source("v")})
+
+
+def test_merge_into_bucketed_partition_scoped(spark, tmp_path):
+    """On a key-hash-bucketed target the generic merge commits
+    partition-scoped: untouched buckets keep their exact files, an
+    emptied bucket's files are removed, results match the unbucketed
+    semantics."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from data_ingestion_framework_spark.sinks.writers import (
+        BUCKET_COL,
+        merge_into,
+        merge_source,
+        stamp_bucket,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "tb"), partition_by=[BUCKET_COL])
+    initial = spark.createDataFrame(
+        [Row(pk=i, v=i * 10) for i in range(40)]
+    )
+    t.overwrite(stamp_bucket(initial, ["pk"], 8))
+    t.set_properties({"num_buckets": "8"})
+    before_files = set(t._data_files())
+
+    source = spark.createDataFrame(
+        [Row(pk=3, v=999), Row(pk=100, v=1)]  # one update, one insert
+    )
+    metrics = merge_into(
+        t, source, ["pk"], when_matched_update={"v": merge_source("v")}
+    )
+    assert metrics["rows_updated"] == 1 and metrics["rows_inserted"] == 1
+    got = {r["pk"]: r["v"] for r in t.read().collect()}
+    assert got[3] == 999 and got[100] == 1 and got[7] == 70 and len(got) == 41
+
+    last = t.history()[-1]
+    assert last["op"] == "overwrite_partitions"
+    touched = set(last["metrics"]["touched_partitions"])
+    assert 1 <= len(touched) <= 2  # only the buckets of pk=3 / pk=100
+    # untouched buckets keep their EXACT files
+    untouched_before = {
+        f for f in before_files
+        if not any(f.startswith(p) for p in touched)
+    }
+    assert untouched_before <= set(t._data_files())
+
+    # a delete that empties a whole bucket removes its files (source =
+    # the CURRENT rows of bucket 0 — merge 1 may have inserted into it)
+    all_of_one_bucket = t.read().where(F.col(BUCKET_COL) == 0).drop(BUCKET_COL)
+    n0 = all_of_one_bucket.count()
+    metrics2 = merge_into(
+        t,
+        all_of_one_bucket,
+        ["pk"],
+        when_matched_delete_condition=F.lit(True),
+        when_not_matched_insert=False,
+    )
+    assert metrics2["rows_deleted"] == n0
+    assert t.read().where(F.col(BUCKET_COL) == 0).count() == 0
+    assert not [f for f in t._data_files() if f.startswith(f"{BUCKET_COL}=0/")]
