@@ -197,11 +197,17 @@ def _refresh_partition_scoped(
                 for c in base.partition_by
             ]
         )
-        old = old.join(
-            F.broadcast(keys.distinct()),
-            on=list(base.partition_by),
-            how="left_anti",
-        )
+        # eqNullSafe per column, NOT ``on=[cols]``: a NULL partition key
+        # (__HIVE_DEFAULT_PARTITION__ mapped back to NULL above) never
+        # satisfies a plain equality join, which would leave the stale
+        # aggregate row for a touched NULL-key partition alongside the
+        # recomputed one.
+        keys_d = F.broadcast(keys.distinct())
+        anti_cond = None
+        for c in base.partition_by:
+            e = old[c].eqNullSafe(keys_d[c])
+            anti_cond = e if anti_cond is None else anti_cond & e
+        old = old.join(keys_d, anti_cond, "left_anti")
     merged = old.unionByName(recomputed) if old is not None and recomputed is not None else (
         recomputed if recomputed is not None else old
     )

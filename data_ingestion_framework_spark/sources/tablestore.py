@@ -279,6 +279,11 @@ class ParquetTable:
         commit >= cutoff needs every snapshot with ``seq > cutoff``).
         ``None`` (default) drops everything — the pre-existing
         reclaim-it-all behavior."""
+        if retain_last is not None and retain_last < 1:
+            raise ValueError(
+                f"vacuum: retain_last must be >= 1 (got {retain_last}); "
+                "use retain_last=None to drop every snapshot"
+            )
         hist = self._hist_dir()
         if not os.path.isdir(hist):
             return 0
@@ -447,9 +452,18 @@ class ParquetTable:
         that did NOT happen (the staged swap is atomic — none of its
         rows were removed). Per orphaned intent:
 
-        1. a ``cdf_reconcile`` marker commit is recorded on THIS table,
-           consuming the seq the crashed delete reserved so no future
-           commit reuses the phantom ``_commit_version``;
+        1. a ``cdf_reconcile`` marker commit is recorded on THIS table.
+           When reconcile runs before any other commit, the marker
+           consumes the very seq the crashed delete reserved, so no
+           future commit reuses the phantom ``_commit_version``. If an
+           unrelated commit interleaved first (crash → append → repair),
+           that commit already consumed the reserved seq: the feed's
+           delete rows stamped with it then ALIAS that real commit. The
+           marker records this honestly — ``reserved_seq`` (from the
+           feed commit's ``delete_intent_seq`` metric) plus
+           ``phantom_seq_aliased: true`` — so consumers can detect the
+           remap; they must treat feed rows at an aliased version as
+           belonging to the reconciled intent, not the real commit;
         2. the orphan's rows STILL PRESENT in the table are re-emitted
            as ``insert`` changes at the marker's version (rows a later
            re-run of the delete already erased are skipped — re-
@@ -490,8 +504,18 @@ class ParquetTable:
             ]
             if not own:
                 continue
+            marker_metrics: dict = {"reconciled_intent": intent}
+            reserved = (r.get("metrics") or {}).get("delete_intent_seq")
+            if reserved is not None:
+                marker_metrics["reserved_seq"] = reserved
+                # checked BEFORE the marker lands: if the reserved seq
+                # already appears in this table's history, an interleaved
+                # commit consumed the phantom version and the feed's
+                # delete rows alias it — flag the remap for consumers.
+                if any(h["seq"] == reserved for h in self.history()):
+                    marker_metrics["phantom_seq_aliased"] = True
             marker = self._record_commit(
-                "cdf_reconcile", {"reconciled_intent": intent}, new_files=[]
+                "cdf_reconcile", marker_metrics, new_files=[]
             )
             rows = cdf_table.spark.read.parquet(
                 *[os.path.join(cdf_table.path, f) for f in own]

@@ -165,6 +165,33 @@ def test_refresh_partition_scoped_emptied_partition_drops_rows(spark, tmp_path):
     assert _state(agg) == _expected(base) == {"a": (1, 1, 1, 1)}
 
 
+def test_refresh_partition_scoped_null_key_partition(spark, tmp_path):
+    """A touched NULL-key partition (__HIVE_DEFAULT_PARTITION__ on
+    disk) must REPLACE its stale aggregate row. A plain equality
+    anti-join never matches NULL keys, which would leave the old NULL
+    group row alongside the recomputed one — the splice is null-safe
+    per partition column."""
+    base = ParquetTable(spark, str(tmp_path / "base"), partition_by=["k"])
+    agg = ParquetTable(spark, str(tmp_path / "agg"))
+    base.overwrite(
+        spark.createDataFrame(
+            [(None, 1), (None, 5), ("a", 10)], "k string, v bigint"
+        )
+    )
+    refresh_aggregate(base, agg, ["k"], MEASURES)
+    assert _state(agg) == _expected(base)
+
+    # partition-scoped rewrite of ONLY the NULL-key partition
+    base.overwrite_partitions(
+        spark.createDataFrame([(None, 100)], "k string, v bigint")
+    )
+    refresh_aggregate(base, agg, ["k"], MEASURES)
+    rows = agg.read().collect()
+    assert len(rows) == 2  # exactly one row per group — no stale twin
+    assert _state(agg) == _expected(base)
+    assert _state(agg)[None] == (1, 100, 100, 100)
+
+
 def test_refresh_unpartitioned_rewritten_base_still_refuses(spark, tmp_path):
     """The fallback only applies when the layout supports it — group
     keys not covering the partition columns (or no partitioning at

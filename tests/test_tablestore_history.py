@@ -297,6 +297,77 @@ def test_reconcile_cdf_skips_rows_a_rerun_already_erased(
     assert t.reconcile_cdf(feed) == 0
 
 
+def test_reconcile_cdf_flags_phantom_seq_aliasing(spark, tmp_path, monkeypatch):
+    """When an unrelated commit interleaves between the crash and the
+    reconcile, that commit consumes the seq the crashed delete reserved
+    — the feed's delete rows stamped with it now alias a real commit.
+    The marker must record the remap (reserved_seq + phantom_seq_aliased)
+    so consumers can detect it; in the no-interleave case the marker
+    consumes the reserved seq itself and no flag appears."""
+    from pyspark.sql import functions as F
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    feed = ParquetTable(spark, str(tmp_path / "feed"))
+    t.overwrite(spark.range(10).selectExpr("id", "id % 2 AS parity"))
+
+    real_overwrite = ParquetTable.overwrite
+
+    def crashing_overwrite(self, df, metrics=None, op="overwrite"):
+        if op == "delete":
+            raise OSError("simulated crash before rewrite")
+        return real_overwrite(self, df, metrics=metrics, op=op)
+
+    monkeypatch.setattr(ParquetTable, "overwrite", crashing_overwrite)
+    with pytest.raises(OSError, match="simulated crash"):
+        t.delete_where(F.col("parity") == 1, cdf_table=feed)
+    monkeypatch.undo()
+
+    reserved = max(
+        (r.get("metrics") or {}).get("delete_intent_seq", -1)
+        for r in feed.history()
+    )
+    # an unrelated append interleaves and consumes the reserved seq
+    t.append(spark.createDataFrame([(100, 0)], "id bigint, parity bigint"))
+    assert any(h["seq"] == reserved for h in t.history())
+
+    assert t.reconcile_cdf(feed) == 1
+    marker = [h for h in t.history() if h["op"] == "cdf_reconcile"][-1]
+    assert marker["metrics"]["reserved_seq"] == reserved
+    assert marker["metrics"]["phantom_seq_aliased"] is True
+    assert marker["seq"] > reserved
+    # restored inserts land at the marker's (later) version
+    restored = feed.read().where("_change_type = 'insert'").collect()
+    assert sorted(r["id"] for r in restored) == [1, 3, 5, 7, 9]
+    assert all(r["_commit_version"] == marker["seq"] for r in restored)
+
+    # contrast: no interleave -> marker takes the reserved seq, no flag
+    t2 = ParquetTable(spark, str(tmp_path / "t2"))
+    feed2 = ParquetTable(spark, str(tmp_path / "feed2"))
+    t2.overwrite(spark.range(4).selectExpr("id", "id % 2 AS parity"))
+    monkeypatch.setattr(ParquetTable, "overwrite", crashing_overwrite)
+    with pytest.raises(OSError, match="simulated crash"):
+        t2.delete_where(F.col("parity") == 1, cdf_table=feed2)
+    monkeypatch.undo()
+    assert t2.reconcile_cdf(feed2) == 1
+    marker2 = [h for h in t2.history() if h["op"] == "cdf_reconcile"][-1]
+    assert marker2["seq"] == marker2["metrics"]["reserved_seq"]
+    assert "phantom_seq_aliased" not in marker2["metrics"]
+
+
+def test_vacuum_retain_last_zero_rejected(spark, tmp_path):
+    """retain_last=0 is ambiguous (not a window, not retain-nothing) —
+    rejected loudly instead of indexing past the history list."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(3).selectExpr("id"))
+    t.overwrite(spark.range(5).selectExpr("id"))
+    with pytest.raises(ValueError, match="retain_last"):
+        t.vacuum(retain_last=0)
+    with pytest.raises(ValueError, match="retain_last"):
+        t.vacuum(retain_last=-1)
+    # the documented retain-nothing spelling still works
+    assert t.vacuum(retain_last=None) >= 1
+
+
 def test_restore_rolls_back_as_new_commit(spark, tmp_path):
     """RESTORE TO VERSION parity: the old state lands as a NEW commit,
     history stays append-only, and the restore is itself auditable."""
