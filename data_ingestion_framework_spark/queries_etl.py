@@ -1152,3 +1152,66 @@ def orders_merge_into_state(spark, sf_dir):
         when_matched_delete_condition=merge_source("status") == "X",
     )
     return t.read()
+
+
+# ---------------------------------------------------------------------------
+# WHEN NOT MATCHED BY SOURCE lifecycle under the oracle gate — the
+# reference's most distinctive MERGE feature (writers/writer.py:251-252,
+# 394-396,405-406: full-extract soft/hard deletes of target rows absent
+# from the source): one merge where target rows with no source match
+# are hard-deleted (status F), soft-flagged (status O -> S; delete
+# checked first, Delta clause order), or pass through (status P), while
+# matched rows take a conditional update.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_merge_not_matched_state",
+    oracle="""
+    SELECT pk, price, status FROM (
+      -- matched (every third key) -> updated price
+      SELECT o_orderkey AS pk, o_totalprice + 100.0 AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      -- not matched by source + update condition (open) -> soft flag
+      SELECT o_orderkey, o_totalprice, 'S'
+      FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderstatus = 'O'
+      UNION ALL
+      -- not matched by source, neither clause fires -> pass through
+      -- (status F rows were hard-deleted by the delete clause)
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders
+      WHERE o_orderkey % 3 <> 0 AND o_orderstatus NOT IN ('F', 'O')
+    )
+    """,
+)
+def orders_merge_not_matched_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sinks.writers import (
+        merge_into,
+        merge_source,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    source = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("pk"),
+        (F.col("o_totalprice") + 100.0).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    t = ParquetTable(spark, _scratch_dir("difs_mnmbs_") + "/t")
+    t.overwrite(target)
+    merge_into(
+        t,
+        source,
+        ["pk"],
+        when_matched_update={"price": merge_source("price")},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_update={"status": F.lit("S")},
+        when_not_matched_by_source_update_condition=F.col("status") == "O",
+        when_not_matched_by_source_delete_condition=F.col("status") == "F",
+    )
+    return t.read()

@@ -292,12 +292,17 @@ def merge_into(
     when_matched_delete_condition: Column | None = None,
     when_not_matched_insert: bool = True,
     when_not_matched_insert_condition: Column | None = None,
+    when_not_matched_by_source_update: dict[str, Column] | None = None,
+    when_not_matched_by_source_update_condition: Column | None = None,
+    when_not_matched_by_source_delete: bool = False,
+    when_not_matched_by_source_delete_condition: Column | None = None,
 ) -> dict:
     """Generic conditional MERGE executor — the Delta/Iceberg
     ``MERGE INTO`` builder surface (WHEN MATCHED [AND cond] THEN
-    UPDATE SET ... / DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT)
-    as one callable over the DataFrame engine, for merges that don't
-    fit the SCD1/SCD2 shapes ``batch_write`` routes.
+    UPDATE SET ... / DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT,
+    WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE) as one
+    callable over the DataFrame engine, for merges that don't fit the
+    SCD1/SCD2 shapes ``batch_write`` routes.
 
     Semantics (Delta-faithful):
     - source rows join target rows on ``key_cols`` (source must be
@@ -308,117 +313,209 @@ def merge_into(
       (each value Column may reference target columns and source
       columns as ``source.<col>``);
     - unmatched source rows insert when ``when_not_matched_insert``
-      (and its optional condition) allow;
-    - target rows with no source match pass through untouched.
+      (and its optional condition, evaluated over the SOURCE columns
+      by their plain names) allow;
+    - target rows with no source match: the NOT MATCHED BY SOURCE
+      clause family (the reference's soft/hard delete feeds,
+      writers/writer.py:251-252,394-396,405-406) — delete checked
+      first, then update; conditions/values see target columns only
+      (there is no source row). With no NMBS clause they pass through
+      untouched;
+    - a clause condition that evaluates to NULL is NOT satisfied
+      (Delta's three-valued-logic rule) — every condition is coalesced
+      to false, so e.g. a NULL source column in a delete condition
+      never silently drops the row.
+
+    Execution shape — ONE key-keyed join, executed ONCE: target and
+    source meet in a single full-outer join; clause flags, commit
+    metrics (one aggregate over the flag columns), the multiple-match
+    guard (a window count on the source side of the SAME shuffle —
+    Catalyst reuses the exchange), the survivor projection, and the
+    inserts are all derived from that joined frame, which is persisted
+    (MEMORY_AND_DISK) for the metrics pass + final write and
+    unpersisted after the commit. Delta computes its merge metrics
+    inside the one merge job the same way.
 
     Returns the commit metrics dict ``{rows_updated, rows_deleted,
-    rows_inserted}``. One key-keyed shuffle. On a key-hash-bucketed
-    table (``stamp_bucket``/``is_bucketed``) the commit is PARTITION-
-    SCOPED: only the buckets containing source keys are read and
-    rewritten (Delta MERGE's touched-files behavior at bucket
-    granularity — the property that keeps repeated generic merges
-    O(touched data) at 100 TB); unbucketed tables get the crash-safe
-    staged snapshot swap.
+    rows_inserted}`` (NMBS updates/deletes count toward updated/
+    deleted, as Delta reports them). On a key-hash-bucketed table
+    (``stamp_bucket``/``is_bucketed``) the commit is PARTITION-SCOPED:
+    only the buckets containing source keys are read and rewritten
+    (Delta MERGE's touched-files behavior at bucket granularity — the
+    property that keeps repeated generic merges O(touched data) at
+    100 TB). A NOT-MATCHED-BY-SOURCE clause makes EVERY bucket
+    touchable (any target row anywhere may change), as does an update
+    that rewrites a key column (rows can migrate buckets): both force
+    the full-table path — same rule as ``batch_write``'s full-extract
+    branch — with the bucket column re-stamped on the way out.
+    Unbucketed tables get the crash-safe staged snapshot swap.
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
 
-    dup = source.groupBy(*key_cols).count().where(F.col("count") > 1)
-    if dup.limit(1).count() > 0:
-        raise ValueError(
-            "merge_into: source has multiple rows per key — Delta "
-            "raises here too; dedupe the source first"
-        )
+    nmbs_delete = (
+        when_not_matched_by_source_delete
+        or when_not_matched_by_source_delete_condition is not None
+    )
+    has_nmbs = nmbs_delete or when_not_matched_by_source_update is not None
+
     bucketed = is_bucketed(table)
-    touched: list[int] = []
+    updated_names = set(when_matched_update or {}) | set(
+        when_not_matched_by_source_update or {}
+    )
+    keys_rewritten = bool(updated_names & (set(key_cols) | {BUCKET_COL}))
+    nb = None
     if bucketed:
         nb = _bucket_count(table, None)
         source = stamp_bucket(source, key_cols, nb)
-        # control-plane: one distinct over the source's bucket ids
-        touched = sorted(
-            r[BUCKET_COL]
-            for r in source.select(BUCKET_COL).distinct().collect()
-        )
-        target = table.read().where(F.col(BUCKET_COL).isin(touched))
+    partition_scoped = bucketed and not has_nmbs and not keys_rewritten
+    touched: list[int] = []
+    if partition_scoped:
+        touched = _touched_buckets(source)  # control-plane sized
+        target = _pruned_target(table, touched)
     else:
         target = table.read()
     t_cols = target.columns
-    src = source.select(
-        *[F.col(c).alias(f"__src_{c}") for c in source.columns]
-    ).withColumn("__matched", F.lit(True))
 
-    cond = None
-    for k in key_cols:
-        e = target[k].eqNullSafe(F.col(f"__src_{k}"))
-        cond = e if cond is None else cond & e
-    joined = target.join(src, cond, "left")
-
-    matched = F.coalesce(F.col("__matched"), F.lit(False))
-    delete_now = (
-        matched & when_matched_delete_condition
-        if when_matched_delete_condition is not None
-        else F.lit(False)
-    )
-    update_now = matched & ~delete_now
-    if when_matched_update_condition is not None:
-        update_now = update_now & when_matched_update_condition
-    if when_matched_update is None:
-        update_now = F.lit(False)
-
-    updated_cols = []
-    for c in t_cols:
-        if when_matched_update is not None and c in when_matched_update:
-            updated_cols.append(
-                F.when(update_now, when_matched_update[c])
-                .otherwise(target[c])
-                .alias(c)
-            )
-        else:
-            updated_cols.append(target[c].alias(c))
-    kept = joined.where(~delete_now).select(
-        *updated_cols, update_now.alias("__upd")
-    )
-
-    inserts = None
     if when_not_matched_insert:
-        anti = source.join(
-            target.select(*key_cols), key_cols, "left_anti"
-        )
-        if when_not_matched_insert_condition is not None:
-            anti = anti.where(when_not_matched_insert_condition)
-        missing = [c for c in t_cols if c not in anti.columns]
+        missing = [c for c in t_cols if c not in source.columns]
         if missing:
             raise ValueError(
                 f"merge_into: source lacks target columns {missing} "
                 "needed for WHEN NOT MATCHED INSERT"
             )
-        inserts = anti.select(*t_cols)
 
-    # metrics BEFORE the overwrite consumes the lazy frames
-    n_upd = kept.where(F.col("__upd")).count()
-    n_del = (
-        joined.where(delete_now).count()
-        if when_matched_delete_condition is not None
-        else 0
+    def _sat(cond: Column | None, enabled: bool = True) -> Column:
+        """Clause-condition satisfaction under Delta's NULL rule."""
+        if not enabled:
+            return F.lit(False)
+        if cond is None:
+            return F.lit(True)
+        return F.coalesce(cond, F.lit(False))
+
+    # the insert condition references SOURCE columns by their plain
+    # names (they are prefixed after the join) — evaluate it on the
+    # source frame itself and carry the verdict through the join
+    src = source.withColumn(
+        "__ins_ok",
+        _sat(when_not_matched_insert_condition, when_not_matched_insert),
     )
-    n_ins = inserts.count() if inserts is not None else 0
+    # multiple-match guard: per-key source row count via a window over
+    # the same key partitioning the join shuffles on (exchange reuse —
+    # no separate groupBy scan of the source)
+    src = src.withColumn(
+        "__nsrc", F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+    )
+    src = src.select(
+        *[F.col(c).alias(f"__src_{c}") for c in src.columns]
+    ).withColumn("__src_here", F.lit(True))
+    tgt = target.withColumn("__tgt_here", F.lit(True))
 
-    new_state = kept.drop("__upd")
-    if inserts is not None:
-        new_state = new_state.unionByName(inserts)
-    metrics = {
-        "rows_updated": n_upd,
-        "rows_deleted": n_del,
-        "rows_inserted": n_ins,
-    }
-    if bucketed:
-        # every touched bucket is declared even when the merge emptied
-        # it (all rows deleted): an undeclared-but-emptied bucket would
-        # keep its stale files live
-        table.overwrite_partitions(
-            new_state,
-            metrics=metrics,
-            extra_touched=[f"{BUCKET_COL}={b}" for b in touched],
+    cond = None
+    for k in key_cols:
+        e = tgt[k].eqNullSafe(F.col(f"__src_{k}"))
+        cond = e if cond is None else cond & e
+    joined = tgt.join(src, cond, "full_outer")
+
+    src_here = F.coalesce(F.col("__src_here"), F.lit(False))
+    tgt_here = F.coalesce(F.col("__tgt_here"), F.lit(False))
+    matched = tgt_here & src_here
+
+    del_now = matched & _sat(
+        when_matched_delete_condition,
+        when_matched_delete_condition is not None,
+    )
+    upd_now = (
+        matched
+        & ~del_now
+        & _sat(when_matched_update_condition, when_matched_update is not None)
+    )
+    nmbs_row = tgt_here & ~src_here
+    nmbs_del_now = nmbs_row & _sat(
+        when_not_matched_by_source_delete_condition, nmbs_delete
+    )
+    nmbs_upd_now = (
+        nmbs_row
+        & ~nmbs_del_now
+        & _sat(
+            when_not_matched_by_source_update_condition,
+            when_not_matched_by_source_update is not None,
         )
-    else:
-        table.overwrite(new_state, metrics=metrics, op="merge")
+    )
+    ins_now = src_here & ~tgt_here & F.coalesce(
+        F.col("__src___ins_ok"), F.lit(False)
+    )
+
+    marked = joined.select(
+        *[tgt[c].alias(c) for c in t_cols],
+        *[F.col(f"__src_{c}") for c in source.columns],
+        del_now.alias("__del"),
+        upd_now.alias("__upd"),
+        nmbs_del_now.alias("__nmbs_del"),
+        nmbs_upd_now.alias("__nmbs_upd"),
+        ins_now.alias("__ins"),
+        tgt_here.alias("__tgt_row"),
+        F.when(src_here, F.col("__src___nsrc")).alias("__nsrc"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        stats = marked.agg(
+            F.sum(F.col("__upd").cast("long")).alias("n_upd"),
+            F.sum(F.col("__del").cast("long")).alias("n_del"),
+            F.sum(F.col("__nmbs_upd").cast("long")).alias("n_nmbs_upd"),
+            F.sum(F.col("__nmbs_del").cast("long")).alias("n_nmbs_del"),
+            F.sum(F.col("__ins").cast("long")).alias("n_ins"),
+            F.max(F.col("__nsrc")).alias("max_nsrc"),
+        ).first()
+        if (stats["max_nsrc"] or 0) > 1:
+            raise ValueError(
+                "merge_into: source has multiple rows per key — Delta "
+                "raises here too; dedupe the source first"
+            )
+
+        updated_cols = []
+        for c in t_cols:
+            val = F.col(c)
+            if when_matched_update and c in when_matched_update:
+                val = F.when(F.col("__upd"), when_matched_update[c]).otherwise(
+                    val
+                )
+            if (
+                when_not_matched_by_source_update
+                and c in when_not_matched_by_source_update
+            ):
+                val = F.when(
+                    F.col("__nmbs_upd"), when_not_matched_by_source_update[c]
+                ).otherwise(val)
+            updated_cols.append(val.alias(c))
+        kept = marked.where(
+            F.col("__tgt_row") & ~F.col("__del") & ~F.col("__nmbs_del")
+        ).select(*updated_cols)
+        inserts = marked.where(F.col("__ins")).select(
+            *[F.col(f"__src_{c}").alias(c) for c in t_cols]
+        )
+        new_state = kept.unionByName(inserts)
+        if bucketed and keys_rewritten:
+            new_state = stamp_bucket(new_state.drop(BUCKET_COL), key_cols, nb)
+
+        metrics = {
+            "rows_updated": int(stats["n_upd"] or 0)
+            + int(stats["n_nmbs_upd"] or 0),
+            "rows_deleted": int(stats["n_del"] or 0)
+            + int(stats["n_nmbs_del"] or 0),
+            "rows_inserted": int(stats["n_ins"] or 0),
+        }
+        if partition_scoped:
+            # every touched bucket is declared even when the merge
+            # emptied it (all rows deleted): an undeclared-but-emptied
+            # bucket would keep its stale files live
+            table.overwrite_partitions(
+                new_state,
+                metrics=metrics,
+                extra_touched=[f"{BUCKET_COL}={b}" for b in touched],
+            )
+        else:
+            table.overwrite(new_state, metrics=metrics, op="merge")
+    finally:
+        marked.unpersist()
     return metrics

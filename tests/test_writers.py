@@ -318,3 +318,178 @@ def test_merge_into_bucketed_partition_scoped(spark, tmp_path):
     assert metrics2["rows_deleted"] == n0
     assert t.read().where(F.col(BUCKET_COL) == 0).count() == 0
     assert not [f for f in t._data_files() if f.startswith(f"{BUCKET_COL}=0/")]
+
+
+def test_merge_into_null_condition_not_satisfied(spark, tmp_path):
+    """Delta's three-valued-logic rule: a clause condition that
+    evaluates to NULL (e.g. a NULL source column) is NOT satisfied —
+    the row must survive (and not be silently dropped by a NULL
+    predicate), and a NULL update condition leaves the row as-is."""
+    from data_ingestion_framework_spark.sinks.writers import (
+        merge_into,
+        merge_source,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [Row(pk=1, v=10, status="open"), Row(pk=2, v=20, status="open")]
+        )
+    )
+    source = spark.createDataFrame(
+        [Row(pk=1, v=99, status=None),   # NULL delete cond -> keep
+         Row(pk=2, v=None, status="open")]  # NULL update cond -> keep v
+    )
+    metrics = merge_into(
+        t,
+        source,
+        ["pk"],
+        when_matched_update={"v": merge_source("v")},
+        when_matched_update_condition=merge_source("v") > F.col("v"),
+        when_matched_delete_condition=merge_source("status") == "X",
+        when_not_matched_insert=False,
+    )
+    got = {r["pk"]: (r["v"], r["status"]) for r in t.read().collect()}
+    # pk=1: delete condition NULL -> not deleted; update cond true -> v=99
+    # pk=2: update condition NULL -> not updated
+    assert got == {1: (99, "open"), 2: (20, "open")}
+    assert metrics == {"rows_updated": 1, "rows_deleted": 0, "rows_inserted": 0}
+
+
+def test_merge_into_not_matched_by_source_clauses(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE family (the reference's soft/hard
+    delete feeds, writers/writer.py:251-252,394-396,405-406): delete
+    checked first, then update; conditions see target columns only;
+    matched rows and inserts unaffected."""
+    from data_ingestion_framework_spark.sinks.writers import (
+        merge_into,
+        merge_source,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [Row(pk=1, v=10, status="open"),
+             Row(pk=2, v=20, status="open"),
+             Row(pk=3, v=30, status="stale"),   # NMBS delete cond
+             Row(pk=4, v=40, status="open")]    # NMBS update -> soft flag
+        )
+    )
+    source = spark.createDataFrame(
+        [Row(pk=1, v=11, status="open"),    # matched -> update
+         Row(pk=5, v=50, status="open")]    # unmatched -> insert
+    )
+    metrics = merge_into(
+        t,
+        source,
+        ["pk"],
+        when_matched_update={"v": merge_source("v")},
+        when_not_matched_by_source_update={"status": F.lit("deleted")},
+        when_not_matched_by_source_update_condition=F.col("status") == "open",
+        when_not_matched_by_source_delete_condition=F.col("status") == "stale",
+    )
+    got = {r["pk"]: (r["v"], r["status"]) for r in t.read().collect()}
+    assert got == {
+        1: (11, "open"),      # matched update
+        2: (20, "deleted"),   # NMBS update (soft delete)
+        4: (40, "deleted"),   # NMBS update
+        5: (50, "open"),      # inserted
+    }
+    # pk=3 hard-deleted by the NMBS delete clause
+    assert metrics == {"rows_updated": 3, "rows_deleted": 1, "rows_inserted": 1}
+
+    # unconditional NMBS delete: flag form, no condition
+    t2 = ParquetTable(spark, str(tmp_path / "t2"))
+    t2.overwrite(spark.createDataFrame([Row(pk=i, v=i) for i in range(6)]))
+    m2 = merge_into(
+        t2,
+        spark.createDataFrame([Row(pk=1, v=100), Row(pk=3, v=300)]),
+        ["pk"],
+        when_matched_update={"v": merge_source("v")},
+        when_not_matched_by_source_delete=True,
+    )
+    assert {r["pk"]: r["v"] for r in t2.read().collect()} == {1: 100, 3: 300}
+    assert m2 == {"rows_updated": 2, "rows_deleted": 4, "rows_inserted": 0}
+
+
+def test_merge_into_nmbs_forces_full_table_on_bucketed(spark, tmp_path):
+    """A NOT-MATCHED-BY-SOURCE clause makes every bucket touchable, so
+    a bucketed table must take the full-table path (same rule as
+    batch_write's full-extract branch) — target rows in buckets the
+    source never touches still get the clause applied."""
+    from data_ingestion_framework_spark.sinks.writers import (
+        BUCKET_COL,
+        merge_into,
+        merge_source,
+        stamp_bucket,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "tb"), partition_by=[BUCKET_COL])
+    initial = spark.createDataFrame([Row(pk=i, v=i) for i in range(40)])
+    t.overwrite(stamp_bucket(initial, ["pk"], 8))
+    t.set_properties({"num_buckets": "8"})
+
+    source = spark.createDataFrame([Row(pk=3, v=999)])
+    metrics = merge_into(
+        t,
+        source,
+        ["pk"],
+        when_matched_update={"v": merge_source("v")},
+        when_not_matched_by_source_delete=True,
+    )
+    # every key but pk=3 was NMBS-deleted, across ALL buckets
+    assert {r["pk"]: r["v"] for r in t.read().collect()} == {3: 999}
+    assert metrics["rows_deleted"] == 39 and metrics["rows_updated"] == 1
+    assert t.history()[-1]["op"] == "merge"  # full path, not partition-scoped
+
+
+def test_merge_into_single_pass(spark, tmp_path):
+    """The merge builds exactly ONE join (full-outer: matched rows,
+    pass-throughs, and inserts all come from it — no separate
+    left_anti), no groupBy scan for the multiple-match guard (window
+    over the same key shuffle), and persists the joined frame so
+    metrics + final write reuse one execution."""
+    from unittest import mock
+
+    # pyspark 4: pyspark.sql.DataFrame is an ABC; live frames are the
+    # classic subclass, whose own method defs shadow a parent patch
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from data_ingestion_framework_spark.sinks.writers import (
+        merge_into,
+        merge_source,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([Row(pk=1, v=10), Row(pk=2, v=20)]))
+    source = spark.createDataFrame([Row(pk=1, v=11), Row(pk=9, v=90)])
+
+    joins, groupbys, persists = [], [], []
+    real_join = DataFrame.join
+    real_groupby = DataFrame.groupBy
+    real_persist = DataFrame.persist
+    with mock.patch.object(
+        DataFrame, "join",
+        autospec=True,
+        side_effect=lambda *a, **k: joins.append(1) or real_join(*a, **k),
+    ), mock.patch.object(
+        DataFrame, "groupBy",
+        autospec=True,
+        side_effect=lambda df, *a, **k: groupbys.append(a)
+        or real_groupby(df, *a, **k),
+    ), mock.patch.object(
+        DataFrame, "persist",
+        autospec=True,
+        side_effect=lambda *a, **k: persists.append(1) or real_persist(*a, **k),
+    ):
+        metrics = merge_into(
+            t, source, ["pk"], when_matched_update={"v": merge_source("v")}
+        )
+    assert len(joins) == 1, "merge must build exactly one join"
+    # the only groupBy allowed is agg()'s internal keyless global
+    # aggregate over the persisted frame — no KEYED groupBy scan for
+    # the multiple-match guard (that rides the join shuffle's window)
+    assert all(len(a) == 0 for a in groupbys), groupbys
+    assert len(persists) >= 1, "joined frame must be persisted for reuse"
+    assert metrics == {"rows_updated": 1, "rows_deleted": 0, "rows_inserted": 1}
+    assert {r["pk"]: r["v"] for r in t.read().collect()} == {1: 11, 2: 20, 9: 90}
