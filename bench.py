@@ -63,6 +63,9 @@ HEADLINE = [
     "dedup_containment_pairs",
     "similarity_pq_topk",
     "docs_contamination_fraction",
+    # round-6: IVF+PQ composite (IVFADC) — same ADC math as
+    # similarity_pq_topk but cell-pruned; compare the two lines
+    "similarity_ivfpq_topk",
     # flagship composite: clean→redact→gate→dedup→decontam→quota→sample
     # with silver staging (the restartable, single-materialization form)
     "corpus_pipeline_staged",

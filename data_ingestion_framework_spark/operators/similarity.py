@@ -643,16 +643,87 @@ def pq_adc_topk(
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
     )
+    scored = encoded.join(F.broadcast(q), F.lit(True)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        _adc_dist(codebooks, m, dsub).alias("adc_dist"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.where(F.col(query_id_col) != F.col(id_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _adc_dist(
+    codebooks: list[list[list[float]]], m: int, dsub: int
+) -> Column:
+    """Asymmetric PQ distance between ``__qv`` (query vector) and
+    ``codes`` (row code array): per-subspace squared L2 to the code's
+    centroid, rounded to 6 and summed as DECIMAL(18,6) — order-free
+    exact addition, so rankings agree across engines."""
     dist = None
     for s in range(m):
         qs = _pq_sub(F.col("__qv"), s, dsub)
-        cent = F.element_at(
-            matrix_literal(codebooks[s]), F.col("codes")[s] + 1
-        )
+        cent = F.element_at(matrix_literal(codebooks[s]), F.col("codes")[s] + 1)
         d = F.round(_sq_l2(qs, cent), 6).cast("decimal(18,6)")
         dist = d if dist is None else dist + d
-    scored = encoded.join(F.broadcast(q), F.lit(True)).select(
-        F.col(query_id_col), F.col(id_col), dist.alias("adc_dist")
+    return dist
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """IVF+PQ composite ANN — the IVFADC index of Jégou et al. 2011
+    (public), and the actual 100 TB ANN shape: the IVF coarse quantizer
+    (``ivf_train_centroids``) prunes each query's scan to its ``nprobe``
+    nearest cells, and PQ asymmetric distances (``pq_train_codebooks``)
+    rank ONLY the probed cells' rows — where ``pq_adc_topk`` scans every
+    code row per query, this scores |corpus| · nprobe / n_cells rows,
+    and the corpus side stores only ``(id, cell, codes)``: a few bytes
+    per vector, never the floats.
+
+    Both index builds are the deterministic md5-seeded k-means the
+    standalone operators use, so the DuckDB oracle re-derives the whole
+    composite. Cell assignment and PQ encoding are one scan-side
+    projection; the query set broadcasts; one shuffle total (the
+    per-query top-k window). Returns ``(q_id, vec_id, adc_dist)``.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    enc = _spread(corpus).select(
+        F.col(id_col),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
+        F.array(
+            *[_pq_code(F.col(vec_col), s, codebooks[s], dsub) for s in range(m)]
+        ).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            _nearest_cells(F.col(vec_col), centroids, nprobe)
+        ).alias("__cell"),
+    )
+    # equi-join on cell replaces pq_adc_topk's full cross product; a
+    # corpus row lives in exactly one cell and a query's probed cells
+    # are distinct, so (q, doc) appears at most once — no dedup needed
+    scored = enc.join(F.broadcast(q), "__cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        _adc_dist(codebooks, m, dsub).alias("adc_dist"),
     )
     w = W.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()

@@ -2770,72 +2770,87 @@ def dedup_containment_pairs(spark, sf_dir):
 # squared-L2 argmin, code-id ties), mean recompute with loser-keeps-
 # previous — mirroring pq_train_codebooks/pq_encode exactly.
 # ---------------------------------------------------------------------------
-def _pq_iteration_sql(prev: str, n: int) -> str:
+def _pq_iteration_sql(prev: str, n: int, p: str = "") -> str:
+    """One PQ Lloyd iteration as CTE text. ``p`` prefixes every CTE
+    name this block defines or references (``es``, ``d/a/m/cb``), so
+    the PQ index can compose with the IVF index CTEs in one oracle
+    (both builders otherwise define colliding ``d{n}``/``a{n}``/
+    ``m{n}`` names)."""
     return f"""
-    d{n} AS (
+    {p}d{n} AS (
       SELECT es.vec_id, es.sub, c.code,
              ROUND(SUM((es.x - c.m) * (es.x - c.m)), 6) AS d
-      FROM es JOIN {prev} c ON c.sub = es.sub AND c.j = es.j
+      FROM {p}es es JOIN {prev} c ON c.sub = es.sub AND c.j = es.j
       GROUP BY 1, 2, 3
     ),
-    a{n} AS (
+    {p}a{n} AS (
       SELECT vec_id, sub, code FROM (
         SELECT vec_id, sub, code,
                row_number() OVER (PARTITION BY vec_id, sub
                                   ORDER BY d, code) AS rn
-        FROM d{n}) WHERE rn = 1
+        FROM {p}d{n}) WHERE rn = 1
     ),
-    m{n} AS (
+    {p}m{n} AS (
       SELECT a.sub, a.code, es.j, AVG(es.x) AS m
-      FROM a{n} a JOIN es ON es.vec_id = a.vec_id AND es.sub = a.sub
+      FROM {p}a{n} a JOIN {p}es es ON es.vec_id = a.vec_id AND es.sub = a.sub
       GROUP BY 1, 2, 3
     ),
-    cb{n} AS (
-      SELECT * FROM m{n}
+    {p}cb{n} AS (
+      SELECT * FROM {p}m{n}
       UNION ALL
       SELECT p.sub, p.code, p.j, p.m FROM {prev} p
-      WHERE NOT EXISTS (SELECT 1 FROM m{n}
-                        WHERE m{n}.sub = p.sub AND m{n}.code = p.code)
+      WHERE NOT EXISTS (SELECT 1 FROM {p}m{n}
+                        WHERE {p}m{n}.sub = p.sub AND {p}m{n}.code = p.code)
     )"""
 
 
 _PQ_DSUB = 16  # dim 64 / m 4
-_PQ_INDEX_SQL = f"""
-    e AS (
+
+
+def _pq_index_sql(p: str = "") -> str:
+    """The deterministic PQ codebook build (seeds → two unrolled Lloyd
+    iterations → per-(vector, subspace) code assignment) as CTE text,
+    ending in ``{p}cb2`` (codebooks) and ``{p}codes``. Every CTE name
+    takes the ``p`` prefix for composition with other index blocks."""
+    return f"""
+    {p}e AS (
       SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
              UNNEST(generate_series(1, len(embedding))) AS i
       FROM embeddings
     ),
-    es AS (
+    {p}es AS (
       SELECT vec_id, (i - 1) // {_PQ_DSUB} AS sub,
              (i - 1) % {_PQ_DSUB} AS j, x
-      FROM e
+      FROM {p}e
     ),
-    seeds AS (
+    {p}pqseeds AS (
       SELECT vec_id, rn - 1 AS code FROM (
         SELECT vec_id,
                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
         FROM embeddings) WHERE rn <= 8
     ),
-    cb0 AS (
+    {p}cb0 AS (
       SELECT es.sub, s.code, es.j, es.x AS m
-      FROM seeds s JOIN es ON es.vec_id = s.vec_id
+      FROM {p}pqseeds s JOIN {p}es es ON es.vec_id = s.vec_id
     ),
-    {_pq_iteration_sql('cb0', 1)},
-    {_pq_iteration_sql('cb1', 2)},
-    dfin AS (
+    {_pq_iteration_sql(f'{p}cb0', 1, p)},
+    {_pq_iteration_sql(f'{p}cb1', 2, p)},
+    {p}dfin AS (
       SELECT es.vec_id, es.sub, c.code,
              ROUND(SUM((es.x - c.m) * (es.x - c.m)), 6) AS d
-      FROM es JOIN cb2 c ON c.sub = es.sub AND c.j = es.j
+      FROM {p}es es JOIN {p}cb2 c ON c.sub = es.sub AND c.j = es.j
       GROUP BY 1, 2, 3
     ),
-    codes AS (
+    {p}codes AS (
       SELECT vec_id, sub, code FROM (
         SELECT vec_id, sub, code,
                row_number() OVER (PARTITION BY vec_id, sub
                                   ORDER BY d, code) AS rn
-        FROM dfin) WHERE rn = 1
+        FROM {p}dfin) WHERE rn = 1
     )"""
+
+
+_PQ_INDEX_SQL = _pq_index_sql()
 
 
 @bench_query(
@@ -2903,6 +2918,67 @@ def similarity_pq_topk(spark, sf_dir):
     books = pq_train_codebooks(emb, m=4, k=8, iters=2)
     queries = emb.where(F.col("vec_id") < 5)
     out = pq_adc_topk(emb, queries, books, k=10)
+    return out.select(
+        "q_id", "vec_id", F.col("adc_dist").cast("double").alias("adc_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ composite (IVFADC, Jégou et al. 2011): the IVF coarse
+# quantizer prunes each query's candidate set to its nprobe nearest
+# cells; PQ asymmetric distances rank only those cells' rows. The
+# oracle composes BOTH deterministic index builds — the IVF CTEs
+# verbatim and the PQ block under a ``p`` name-prefix — and re-derives
+# probe + encode + ADC end-to-end.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "similarity_ivfpq_topk",
+    oracle=f"""
+    WITH {_ivf_index_sql(8)},
+    {_pq_index_sql('p')},
+    query_cells AS (
+      SELECT vec_id AS q_id, cell FROM ranked WHERE rn <= 4 AND vec_id < 5
+    ),
+    cand AS (
+      SELECT q.q_id, c.vec_id
+      FROM query_cells q JOIN corpus_cell c ON c.cell = q.cell
+      WHERE c.vec_id <> q.q_id
+    ),
+    qsub AS (SELECT vec_id AS q_id, sub, j, x FROM pes WHERE vec_id < 5),
+    subd AS (
+      SELECT p.q_id, p.vec_id, q.sub,
+             ROUND(SUM((q.x - cb.m) * (q.x - cb.m)), 6)::DECIMAL(18,6) AS d
+      FROM cand p
+      JOIN qsub q ON q.q_id = p.q_id
+      JOIN pcodes c ON c.vec_id = p.vec_id AND c.sub = q.sub
+      JOIN pcb2 cb ON cb.sub = c.sub AND cb.code = c.code AND cb.j = q.j
+      GROUP BY p.q_id, p.vec_id, q.sub
+    ),
+    tot AS (
+      SELECT q_id, vec_id, SUM(d) AS adc
+      FROM subd GROUP BY q_id, vec_id
+    )
+    SELECT q_id, vec_id, CAST(adc AS DOUBLE) AS adc_dist
+    FROM (
+      SELECT q_id, vec_id, adc,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY adc, vec_id) AS rn
+      FROM tot
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_ivfpq_topk(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.similarity import (
+        ivf_train_centroids,
+        ivfpq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = ivf_train_centroids(emb, n_cells=8, iters=2)
+    books = pq_train_codebooks(emb, m=4, k=8, iters=2)
+    queries = emb.where(F.col("vec_id") < 5)
+    out = ivfpq_adc_topk(emb, queries, centroids, books, k=10, nprobe=4)
     return out.select(
         "q_id", "vec_id", F.col("adc_dist").cast("double").alias("adc_dist")
     )

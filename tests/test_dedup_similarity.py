@@ -247,6 +247,50 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert len(a & e) / len(e) >= 0.9
 
 
+def test_ivfpq_full_probe_equals_pq_scan(spark):
+    """IVFADC with nprobe = n_cells degenerates to the plain PQ ADC
+    scan (every cell probed → every row scored), so the two operators
+    must return identical rankings — pins that the cell equi-join
+    changes CANDIDATES only, never the distance math. With nprobe=1 on
+    separated clusters, results stay high-recall vs the full scan."""
+    import math
+
+    from data_ingestion_framework_spark.operators import similarity as sim
+
+    def vec(center, j):
+        return [c + 0.01 * math.sin(j * (i + 1)) for i, c in enumerate(center)]
+
+    centers = [
+        [1, 0, 0, 0, 1, 0, 0, 0],
+        [0, 1, 0, 1, 0, 0, 1, 0],
+        [0, 0, 1, 0, 0, 1, 0, 1],
+    ]
+    rows = [
+        Row(vec_id=c * 100 + j, embedding=vec(center, j))
+        for c, center in enumerate(centers)
+        for j in range(30)
+    ]
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.where(F.col("vec_id").isin([0, 100, 200]))
+    centroids = sim.ivf_train_centroids(corpus, n_cells=3, iters=2)
+    books = sim.pq_train_codebooks(corpus, m=4, k=4, iters=2)
+
+    full_scan = sim.pq_adc_topk(corpus, queries, books, k=10)
+    full_probe = sim.ivfpq_adc_topk(
+        corpus, queries, centroids, books, k=10, nprobe=3
+    )
+    fs = {(r["q_id"], r["vec_id"], str(r["adc_dist"])) for r in full_scan.collect()}
+    fp = {(r["q_id"], r["vec_id"], str(r["adc_dist"])) for r in full_probe.collect()}
+    assert fs == fp
+
+    pruned = sim.ivfpq_adc_topk(
+        corpus, queries, centroids, books, k=10, nprobe=1
+    )
+    p = {(r["q_id"], r["vec_id"]) for r in pruned.collect()}
+    f = {(r["q_id"], r["vec_id"]) for r in full_scan.collect()}
+    assert len(p & f) / len(f) >= 0.9
+
+
 def test_gopher_quality_flags(spark):
     from data_ingestion_framework_spark.operators.text import gopher_quality_flags
 
