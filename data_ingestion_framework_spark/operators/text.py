@@ -763,8 +763,17 @@ def ccnet_bucket_assign(
     bit-identical thresholds; CE scores are the 4-dp-rounded values of
     :func:`unigram_cross_entropy`, so the ``<=`` bucket comparisons
     cannot straddle an ulp.
+
+    The CE frame feeds TWO consumers — the threshold sample and the
+    final bucket projection. At 100 TB the CE pass (gram explode +
+    vocabulary join) IS the cost, so it is staged (lazy
+    ``localCheckpoint`` of the narrow ``(id, n_tokens, ce)`` frame)
+    and computed once; both consumers read the stage
+    (``test_ccnet_bucket_assign_stages_ce_frame`` pins the plan).
     """
-    ce = unigram_cross_entropy(df, id_col, text_col)
+    ce = unigram_cross_entropy(df, id_col, text_col).localCheckpoint(
+        eager=False
+    )
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":ccb"))), 1, 15

@@ -456,3 +456,31 @@ def test_ccnet_buckets_order_and_coverage(spark):
         assert max(by_bucket["head"]) <= min(by_bucket["tail"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ccnet_bucket_assign_stages_ce_frame(spark):
+    """The unigram-CE subplan (gram explode + vocabulary join) must be
+    computed ONCE and staged: both consumers — the threshold sample and
+    the bucket projection — read the stage. The consuming plan
+    therefore contains ZERO Generate (explode) nodes; without staging
+    the CE lineage would appear in both branches (>= 2 Generates)."""
+    from data_ingestion_framework_spark.operators.text import (
+        ccnet_bucket_assign,
+        unigram_cross_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta{i % 5} epsilon") for i in range(1, 31)],
+        "doc_id bigint, text string",
+    )
+    out = ccnet_bucket_assign(docs, k=8)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 0, plan
+    assert "Scan ExistingRDD" in plan  # both branches read the stage
+    # staging must not change values: CE scores match the direct path
+    direct = {
+        r["doc_id"]: r["unigram_ce"]
+        for r in unigram_cross_entropy(docs).collect()
+    }
+    assert {d: r["unigram_ce"] for d, r in rows.items()} == direct
