@@ -218,6 +218,86 @@ def test_foreach_batch_merge_bucketed_partition_scoped(spark, tmp_path):
     assert got[3] == "v3b" and got[4] == "v4" and len(got) == 100
 
 
+def test_stream_merge_bucketed_with_optimize_cadence(spark, tmp_path):
+    """optimize_every + bucketed target compose end-to-end: a stream of
+    micro-batches commits partition-scoped merges, the N-th batch runs
+    the optimize() composite (compact → bloom rebuild → vacuum) on the
+    SAME bucketed table, and afterwards the file count is bounded, the
+    bloom sidecar is fresh (point_lookup works — a stale sidecar would
+    refuse), and the final state matches the batch-SCD expectation."""
+    from data_ingestion_framework_spark.sinks.writers import (
+        BUCKET_COL,
+        batch_write,
+    )
+
+    table = ParquetTable(
+        spark, str(tmp_path / "silver_opt"), partition_by=[BUCKET_COL]
+    )
+    initial = spark.createDataFrame(
+        [Row(pk=i, val=f"v{i}", mtime=T) for i in range(50)],
+        "pk int, val string, mtime timestamp",
+    )
+    batch_write(initial, table, mode="merge", key_cols=["pk"],
+                order_col="mtime", scd_type=1, num_buckets=4)
+
+    # four staged files → four micro-batches (ids 0..3); batch 3 fires
+    # the optimize cadence (optimize_every=3) as the final act
+    d = dt.timedelta
+    landing = _stage_files(
+        spark,
+        tmp_path / "landing_opt",
+        [
+            [Row(pk=1, val="b1", mtime=T + d(days=1))],
+            [Row(pk=2, val="b2", mtime=T + d(days=2))],
+            [Row(pk=60, val="new", mtime=T + d(days=3))],
+            [Row(pk=3, val="b3", mtime=T + d(days=4))],
+        ],
+    )
+    stream = read_file_stream(
+        spark, landing, "parquet", control_columns=False,
+        max_files_per_trigger=1,
+    )
+    foreach_batch_scd_merge(
+        stream,
+        table,
+        ["pk"],
+        "mtime",
+        str(tmp_path / "ckpt_opt"),
+        scd_type=1,
+        optimize_every=3,
+        optimize_kwargs={
+            "target_files": 4,
+            "bloom_columns": ("pk",),
+            "vacuum": True,
+        },
+    )
+
+    ops = [h["op"] for h in table.history()]
+    # every micro-batch merge committed partition-scoped...
+    assert ops.count("overwrite_partitions") >= 4
+    for h in table.history():
+        if h["op"] == "overwrite_partitions":
+            assert 1 <= len(h["metrics"]["touched_partitions"]) <= 4
+    # ...and the cadence fired the compaction after the last merge
+    assert ops[-1] == "compact"
+    # compaction bounds the accumulated per-batch files
+    assert table.file_count() <= 16  # target_files × buckets worst case
+    # bloom sidecar rebuilt AFTER the rewrite → fresh, lookups work
+    assert [r["pk"] for r in table.point_lookup("pk", 60).collect()] == [60]
+    assert [r["val"] for r in table.point_lookup("pk", 2).collect()] == ["b2"]
+    # final state equals the batch-SCD expectation
+    got = {r["pk"]: r["val"] for r in table.read().collect()}
+    assert len(got) == 51
+    assert (got[1], got[2], got[3], got[60], got[4]) == (
+        "b1", "b2", "b3", "new", "v4",
+    )
+    # vacuum ran inside the composite: retained snapshots are gone
+    import os
+
+    hist_dir = os.path.join(table.path, "_history")
+    assert not os.path.isdir(hist_dir) or not os.listdir(hist_dir)
+
+
 def test_session_window_stream_agg(spark, tmp_path):
     """F.session_window on a stream: events <30min apart merge into one
     session; a >=30min gap opens a new one; end = last_ts + gap."""
