@@ -133,9 +133,9 @@ def zorder_layout(
     the helper column. Write the result with any parquet writer; the
     footer min/max stats of every clustered column become selective.
 
-    ``curve``: ``"morton"`` (any column count) or ``"hilbert"``
-    (exactly 2 columns, tighter per-file bounding boxes — see
-    :func:`hilbert_code`)."""
+    ``curve``: ``"morton"`` or ``"hilbert"`` (both any column count
+    >= the curve's minimum; Hilbert gives tighter per-file bounding
+    boxes — see :func:`hilbert_code` / :func:`hilbert_code_nd`)."""
     if curve == "morton":
         code, _ = zorder_code(df, cols, bits)
     elif curve == "hilbert":
@@ -209,14 +209,130 @@ def hilbert_code(bx: Column, by: Column, bits: int) -> Column:
     return state["d"]
 
 
+def hilbert_code_nd(buckets: list[Column], bits: int) -> Column:
+    """Hilbert-curve index of ``n`` ``bits``-wide bucket ids — the
+    n-dimensional generalization of :func:`hilbert_code`, so
+    ``compact(curve="hilbert")`` accepts the same column counts as
+    Morton. Classic Gray-code transpose algorithm (Skilling,
+    "Programming the Hilbert curve", AIP Conf. Proc. 707, 2004 —
+    public): inverse-undo the rotations level by level, Gray-encode
+    across axes, fold the exchange mask ``t`` from the last axis, then
+    untranspose the per-axis bit planes into one integer.
+
+    Same expression-discipline as the 2-D form: every level's
+    ``(x_0..x_{n-1})`` state is LET-BOUND through a single-element
+    ``transform``, so the tree stays linear in ``bits`` (the level
+    bodies reference state fields several times — naive substitution
+    would go exponential). Within a level the chained ``x_0`` updates
+    grow the body O(2^n), bounded by the ``bits·n <= 62`` code-width
+    guard (n <= 7 at practical bit widths). All integer ops,
+    whole-stage-codegen-able, no UDFs.
+
+    Nesting-depth discipline, additionally: Spark's analyzer resolves
+    ONE nested lambda level per fixed-point iteration, and its default
+    iteration cap (100) must hold on a VANILLA session (the driver
+    harness uses one). Skilling's trailing exchange-mask loop (``t ^=
+    Q-1`` per set bit of the last axis) is therefore replaced by the
+    equivalent log-step suffix-parity fold (``v ^= v >> 2^k`` shift
+    doubling — bit j of t is the parity of the last axis's bits above
+    j), and the Gray-encode + mask + untranspose collapse into two
+    final levels: total nesting is ``bits + 1``, the same depth the
+    2-D form resolves everywhere.
+    """
+    n = len(buckets)
+    if n < 1:
+        raise ValueError("hilbert_code_nd needs at least one bucket column")
+    if bits * n > 62:
+        raise ValueError(
+            f"{bits} bits x {n} cols exceeds a signed 64-bit Hilbert code"
+        )
+    xs_names = [f"x{i}" for i in range(n)]
+    state = F.struct(
+        *[b.cast("bigint").alias(nm) for b, nm in zip(buckets, xs_names)]
+    )
+
+    def _undo(qv: int):
+        def step(st):
+            xs = [st[nm] for nm in xs_names]
+            q = F.lit(qv).cast("bigint")
+            p = F.lit(qv - 1).cast("bigint")
+            x0 = xs[0]
+            out = list(xs)
+            for i in range(n):
+                xi = out[i] if i else x0
+                cond = xi.bitwiseAND(q) > 0
+                if i == 0:
+                    # else-branch t = (x0 ^ x0) & p = 0 → no-op
+                    x0 = F.when(cond, x0.bitwiseXOR(p)).otherwise(x0)
+                else:
+                    t = x0.bitwiseXOR(xi).bitwiseAND(p)
+                    nx0 = F.when(cond, x0.bitwiseXOR(p)).otherwise(
+                        x0.bitwiseXOR(t)
+                    )
+                    out[i] = F.when(cond, xi).otherwise(xi.bitwiseXOR(t))
+                    x0 = nx0
+            out[0] = x0
+            return F.struct(*[c.alias(nm) for c, nm in zip(out, xs_names)])
+
+        return step
+
+    for k in range(bits - 1, 0, -1):  # Q from 2^(bits-1) down to 2
+        state = F.transform(F.array(state), _undo(1 << k))[0]
+
+    def _gray_t(st):
+        # X[i] ^= X[i-1] ascending, sequential (uses the updated
+        # predecessor), then the exchange mask t: Skilling's per-level
+        # ``if X[n-1] & Q: t ^= Q-1`` accumulates to bit j of t =
+        # parity of X[n-1]'s bits ABOVE j — a suffix-parity, folded in
+        # log2(bits) shift-doubling steps instead of bits nested
+        # levels (each step doubles the tree, 2^ceil(log2 bits) ≈
+        # bits leaf copies total — linear, no let-binding needed)
+        xs = [st[nm] for nm in xs_names]
+        out = [xs[0]]
+        for i in range(1, n):
+            out.append(xs[i].bitwiseXOR(out[i - 1]))
+        t = F.shiftright(out[-1], 1)
+        shift = 1
+        while shift < bits:
+            t = t.bitwiseXOR(F.shiftright(t, shift))
+            shift <<= 1
+        return F.struct(
+            *[c.alias(nm) for c, nm in zip(out, xs_names)], t.alias("t")
+        )
+
+    state = F.transform(F.array(state), _gray_t)[0]
+
+    def _final(st):
+        # apply t to every axis, then untranspose: bit q of axis i
+        # lands at position q*n + (n-1-i), MSB-first across axes
+        d = F.lit(0).cast("bigint")
+        for q in range(bits):
+            for i in range(n):
+                bit = (
+                    F.shiftright(st[xs_names[i]].bitwiseXOR(st["t"]), q)
+                    .bitwiseAND(F.lit(1).cast("bigint"))
+                )
+                d = d.bitwiseOR(
+                    F.call_function(
+                        "shiftleft", bit, F.lit(q * n + (n - 1 - i)).cast("int")
+                    ).cast("bigint")
+                )
+        return F.struct(d.alias("d"))
+
+    return F.transform(F.array(state), _final)[0]["d"]
+
+
 def hilbert_zorder_code(
     df: DataFrame, cols: list[str], bits: int = 16
 ) -> tuple[Column, dict[str, tuple[int, int]]]:
-    """:func:`zorder_code` with the Hilbert curve — exactly two
-    cluster columns (the curve is 2-D); same integer-exact bucketing
-    and control-plane min/max scan."""
-    if len(cols) != 2:
-        raise ValueError("hilbert_zorder_code requires exactly 2 columns")
+    """:func:`zorder_code` with the Hilbert curve; same integer-exact
+    bucketing and control-plane min/max scan. Two columns use the
+    pinned 2-D reflect/swap form (:func:`hilbert_code` — its exact
+    output is oracle-replayed by ``orders_hilbert_keys``); three or
+    more use the n-dimensional Gray-code generalization
+    (:func:`hilbert_code_nd`)."""
+    if len(cols) < 2:
+        raise ValueError("hilbert_zorder_code requires >= 2 columns")
     aggs = []
     for c in cols:
         aggs += [
@@ -228,7 +344,9 @@ def hilbert_zorder_code(
     for c, (lo, hi) in ranges.items():
         if lo is None:
             raise ValueError(f"zorder column {c} is all-NULL")
-    bx, by = [
+    bs = [
         int_bucket(F.col(c), ranges[c][0], ranges[c][1], bits) for c in cols
     ]
-    return hilbert_code(bx, by, bits), ranges
+    if len(cols) == 2:
+        return hilbert_code(bs[0], bs[1], bits), ranges
+    return hilbert_code_nd(bs, bits), ranges

@@ -49,6 +49,9 @@ def corpus_pipeline(
     badwords: list[str] | None = None,
     badword_max_fraction: float = 0.0,
     contamination_threshold: float | None = None,
+    stage_layout_by: list[str] | None = None,
+    stage_layout_curve: str = "morton",
+    stage_layout_files: int | None = None,
 ) -> DataFrame:
     """Clean → redact → quality-gate → [badword-gate] → dedup →
     decontaminate → quota → sample. Returns ``(id, source, text,
@@ -73,6 +76,17 @@ def corpus_pipeline(
     as the surviving side), so a 100 TB run pays the expensive stages
     double. Staging writes them once, makes the pipeline restartable
     from silver, and leaves a commit in the table's history log.
+
+    ``stage_layout_by`` (with ``stage_store``) clusters the silver
+    write along a space-filling curve of the given columns (e.g.
+    ``["source", "n_tokens"]``) — the staged table's parquet footer
+    stats then prune files for downstream per-source / quality-band
+    scans, at the cost the stage write already pays (its one shuffle
+    becomes the layout's range partitioning). String columns are
+    mapped through ``xxhash64`` first (equality pruning needs
+    same-value clustering, not meaningful order). ``stage_layout_curve``
+    picks ``"morton"`` or ``"hilbert"``; layout is value-neutral —
+    survivors are identical with or without it.
     """
     cleaned = cleaning.remove_boilerplate_lines(
         docs,
@@ -100,7 +114,35 @@ def corpus_pipeline(
 
     deduped = exact_dedup(gated, id_col=id_col, text_col=text_col)
     if stage_store is not None:
-        stage_store.overwrite(deduped)
+        staged = deduped
+        if stage_layout_by:
+            from data_ingestion_framework_spark.operators.zorder import (
+                zorder_layout,
+            )
+
+            nf = stage_layout_files or int(
+                docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            lay_cols, tmp_cols = [], []
+            dtypes = dict(staged.dtypes)
+            for c in stage_layout_by:
+                if dtypes.get(c) == "string":
+                    # pmod into the curve's bucket width: int_bucket's
+                    # exact-arithmetic guard rejects full-int64 hash
+                    # ranges, and equality clustering only needs
+                    # same-value → same-bucket, not hash-wide spread
+                    nm = f"__zl_{c}"
+                    staged = staged.withColumn(
+                        nm, F.pmod(F.xxhash64(F.col(c)), F.lit(1 << 16))
+                    )
+                    lay_cols.append(nm)
+                    tmp_cols.append(nm)
+                else:
+                    lay_cols.append(c)
+            staged = zorder_layout(
+                staged, lay_cols, nf, curve=stage_layout_curve
+            ).drop(*tmp_cols)
+        stage_store.overwrite(staged)
         deduped = stage_store.read()
 
     if contamination_threshold is None:
@@ -156,6 +198,9 @@ class CorpusConfig:
     badwords: list[str] | None = None
     badword_max_fraction: float = 0.0
     contamination_threshold: float | None = None
+    stage_layout_by: list[str] | None = None
+    stage_layout_curve: str = "morton"
+    stage_layout_files: int | None = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "CorpusConfig":
@@ -194,6 +239,9 @@ def run_corpus_config(
         badwords=cfg.badwords,
         badword_max_fraction=cfg.badword_max_fraction,
         contamination_threshold=cfg.contamination_threshold,
+        stage_layout_by=cfg.stage_layout_by,
+        stage_layout_curve=cfg.stage_layout_curve,
+        stage_layout_files=cfg.stage_layout_files,
     )
 
 

@@ -267,6 +267,51 @@ def test_corpus_pipeline_staged_matches_lazy(spark, tmp_path):
     assert store.read().count() == 20
 
 
+def test_corpus_pipeline_stage_layout_clusters_silver(spark, tmp_path):
+    """stage_layout_by clusters the silver write along the curve:
+    values are unchanged vs the unclustered stage, and the staged
+    table's per-file n_tokens ranges are (near-)disjoint — the footer
+    stats a downstream quality-band scan prunes on. String layout
+    columns go through xxhash64 so per-file source sets stay small."""
+    from data_ingestion_framework_spark.plans.corpus import corpus_pipeline
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"s{i % 4}", "word " * (3 + (i * 7) % 40) + f"tail {i}")
+            for i in range(120)
+        ],
+        "doc_id int, source string, text string",
+    )
+    bench = docs.limit(0)
+    plain = corpus_pipeline(docs, bench, min_words=3)
+    store = ParquetTable(spark, str(tmp_path / "silver_lay"))
+    laid = corpus_pipeline(
+        docs,
+        bench,
+        min_words=3,
+        stage_store=store,
+        stage_layout_by=["source", "n_tokens"],
+        stage_layout_curve="hilbert",
+        stage_layout_files=4,
+    )
+    # layout is value-neutral
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, laid.collect())
+    )
+    # the silver files cluster: each file holds few distinct sources
+    # (4 sources over 4 files → a random split would mix ~4 per file)
+    files = store._data_files()
+    assert len(files) >= 2
+    import os
+
+    per_file_sources = []
+    for f in files:
+        pf = spark.read.parquet(os.path.join(store.path, f))
+        per_file_sources.append({r["source"] for r in pf.select("source").collect()})
+    assert sum(len(s) for s in per_file_sources) < 4 * len(files)
+
+
 def test_corpus_config_round_trip_and_validation(spark):
     import pytest
 

@@ -404,3 +404,101 @@ def test_compact_hilbert_curve_roundtrip(spark):
         assert t.file_count() <= 4
         assert t.read().count() == 2000
         assert t.history()[-1]["op"] == "zorder"
+
+
+def _py_hilbert_nd(coords, bits):
+    """Skilling's AxesToTranspose + untranspose, plain Python — the
+    independent reference the Spark expression must reproduce."""
+    X = list(coords)
+    n = len(X)
+    M = 1 << (bits - 1)
+    Q = M
+    while Q > 1:
+        P = Q - 1
+        for i in range(n):
+            if X[i] & Q:
+                X[0] ^= P
+            else:
+                t = (X[0] ^ X[i]) & P
+                X[0] ^= t
+                X[i] ^= t
+        Q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = 0
+    Q = M
+    while Q > 1:
+        if X[n - 1] & Q:
+            t ^= Q - 1
+        Q >>= 1
+    for i in range(n):
+        X[i] ^= t
+    d = 0
+    for q in range(bits - 1, -1, -1):
+        for i in range(n):
+            d = (d << 1) | ((X[i] >> q) & 1)
+    return d
+
+
+def test_hilbert_nd_matches_python_bijective_unit_steps(spark):
+    """3-D Hilbert (Gray-code generalization): matches the Skilling
+    reference value-for-value, is a bijection onto [0, 8^bits), and
+    consecutive curve positions are unit-Manhattan grid neighbors —
+    the defining Hilbert property, which Morton lacks."""
+    from data_ingestion_framework_spark.operators.zorder import hilbert_code_nd
+
+    bits, n = 2, 3
+    pts = [(x, y, z) for x in range(4) for y in range(4) for z in range(4)]
+    df = spark.createDataFrame(pts, "x bigint, y bigint, z bigint")
+    code = hilbert_code_nd([F.col("x"), F.col("y"), F.col("z")], bits)
+    got = {
+        (r["x"], r["y"], r["z"]): r["d"]
+        for r in df.select("x", "y", "z", code.alias("d")).collect()
+    }
+    for p in pts:
+        assert got[p] == _py_hilbert_nd(p, bits), p
+    assert sorted(got.values()) == list(range(64))
+    inv = {d: p for p, d in got.items()}
+    for d in range(63):
+        a, b = inv[d], inv[d + 1]
+        assert sum(abs(u - v) for u, v in zip(a, b)) == 1, (d, a, b)
+
+
+def test_hilbert_nd_four_dims_and_layout(spark):
+    """4-D: bijective with unit steps at bits=1 (the 16-cell
+    hypercube), and hilbert_zorder_code / compact(curve='hilbert')
+    accept > 2 columns like Morton."""
+    from data_ingestion_framework_spark.operators.zorder import (
+        hilbert_code_nd,
+        hilbert_zorder_code,
+    )
+
+    pts = [
+        (a, b, c, e)
+        for a in range(2) for b in range(2)
+        for c in range(2) for e in range(2)
+    ]
+    df = spark.createDataFrame(pts, "a bigint, b bigint, c bigint, e bigint")
+    code = hilbert_code_nd([F.col(c) for c in ("a", "b", "c", "e")], 1)
+    got = {
+        (r["a"], r["b"], r["c"], r["e"]): r["d"]
+        for r in df.select("a", "b", "c", "e", code.alias("d")).collect()
+    }
+    for p in pts:
+        assert got[p] == _py_hilbert_nd(p, 1), p
+    assert sorted(got.values()) == list(range(16))
+    inv = {d: p for p, d in got.items()}
+    for d in range(15):
+        assert sum(abs(u - v) for u, v in zip(inv[d], inv[d + 1])) == 1
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t = ParquetTable(spark, f"{tmp}/t")
+        t.overwrite(
+            spark.range(2000).selectExpr(
+                "id", "id % 37 AS x", "id % 11 AS y", "id % 5 AS z"
+            ).repartition(8)
+        )
+        t.compact(target_files=4, zorder_by=["x", "y", "z"], curve="hilbert")
+        assert t.file_count() <= 4
+        assert t.read().count() == 2000
+        assert t.history()[-1]["op"] == "zorder"
