@@ -118,38 +118,37 @@ _PRIORITY = [
     # verbatim — the staged form keeps the window slot, the lazy twin
     # moved after the round-5 block)
     "corpus_pipeline_staged",
-    # docs_decontaminate / docs_redact_pii / docs_stratified_sample /
-    # text_lang_pred were driver-green r4 and ceded their slots to the
-    # round-4 lifecycle queries below (their mechanisms stay window-
-    # graded via docs_decontaminate_bloom, docs_remove_boilerplate,
-    # docs_temperature_mix+docs_split_assign, and text_quality_score;
-    # all stay in the full local gate).
-    "docs_remove_boilerplate",
-    # docs_cap_per_source ceded its slot to orders_zorder_keys (its
-    # hash-threshold mechanism is window-graded via docs_split_assign
-    # and docs_temperature_mix; still in the full gate)
-    "text_quality_score",
-    # corpus_vocab_top_terms ceded its slot to cdf_merge_changes (its
-    # two-stage agg + TakeOrdered mechanism is window-graded via
-    # text_tfidf_top_terms; still in the full gate)
+    # ROUND-6 ROTATION: six rows driver-green 2+ rounds cede their
+    # slots to the four never-driver-graded round-5 queries plus the
+    # two new round-6 queries; each ceded mechanism stays graded by a
+    # window sibling: docs_remove_boilerplate via
+    # corpus_pipeline_curated (which runs the boilerplate stage),
+    # text_quality_score via docs_quality_weighted_sample,
+    # docs_length_zscore_outliers via dq_violation_counts (dataset-DQ
+    # family), events_sketches (KMV+quantile) via
+    # events_heavy_hitter_users (the MG sibling of the same mergeable-
+    # sketch family), multimodal_decode_dims via multimodal_audio_meta
+    # + multimodal_video_meta (same Arrow mapInPandas machinery), and
+    # similarity_ivf_topk via similarity_ivfpq_topk (same coarse
+    # quantizer + probe) + semantic_dedup_keep (same index build).
+    # All six stay in the full local gate.
+    "corpus_pipeline_curated",
+    "docs_ccnet_buckets",
     "corpus_pmi_collocations",
-    # docs_chunk_windows ceded its slot to the md5-simhash twin (a
-    # shuffle-free projection green since r2; still in the full gate)
-    "docs_length_zscore_outliers",
+    "orders_merge_into_state",
     # the md5-family MinHash twin makes the LSH candidate GENERATOR
     # oracle-checkable for the first time — it takes the window slot of
     # dedup_word_ngram_jaccard (green since r3; char-gram sibling
     # dedup_ngram_jaccard pins the same mechanism in the full gate)
     "dedup_minhash_md5_pairs",
     "dedup_simhash_md5_pairs",
-    # never driver-graded: sketches / embeddings / ANN (the similarity
-    # and multimodal entries gained oracles in round 4 and have never
-    # been hash-graded — they belong inside the window)
-    "events_sketches",
+    # round-6: the generic MERGE INTO executor's NOT-MATCHED-BY-SOURCE
+    # clause family and the IVFADC composite — both new, never graded
+    "orders_merge_not_matched_state",
     "embeddings_quantize_int8",
-    "similarity_ivf_topk",
+    "similarity_ivfpq_topk",
     "similarity_lsh_topk",
-    "multimodal_decode_dims",
+    "orders_hilbert_keys",
     # round-5 additions — never driver-graded, all oracle-backed
     "docs_split_assign",
     "semantic_dedup_keep",
@@ -198,12 +197,19 @@ _PRIORITY = [
     "text_bigram_ce",
     "multimodal_video_meta",
     "orders_restore_state",
-    # end of the 50-query driver window (modulo count drift — verify
-    # with tools/show_window.py)
+    # end of the 50-query driver window
     "corpus_pipeline_end2end",
     # rows-only (no oracle): the driver's hash gate can't grade it, so
     # it cedes its window slot to an oracle-backed round-5 query
     "docs_pack_ffd",
+    # the six rows ceded by the round-6 rotation (driver-green 2+
+    # rounds; mechanisms window-covered per the rotation note above)
+    "docs_remove_boilerplate",
+    "text_quality_score",
+    "docs_length_zscore_outliers",
+    "events_sketches",
+    "multimodal_decode_dims",
+    "similarity_ivf_topk",
     # the ten rows ceded by the round-5 build rotation (r4-green)
     "events_session_window",
     "cdc_hash_keys",

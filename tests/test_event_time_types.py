@@ -198,10 +198,7 @@ def test_driver_grading_window_covers_priority_queries():
         "cdc_find_delta",
         "dq_violation_counts",
         "events_asof_purchase",
-        "similarity_ivf_topk",
         "similarity_lsh_topk",
-        "multimodal_decode_dims",
-        "events_sketches",
         "docs_split_assign",
         "semantic_dedup_keep",
         "text_unigram_ce",
@@ -233,5 +230,13 @@ def test_driver_grading_window_covers_priority_queries():
         "text_bigram_ce",
         "multimodal_video_meta",
         "orders_restore_state",
+        # round-6 rotation: the four never-driver-graded round-5
+        # queries plus this round's two new surfaces
+        "orders_merge_into_state",
+        "orders_hilbert_keys",
+        "docs_ccnet_buckets",
+        "corpus_pipeline_curated",
+        "orders_merge_not_matched_state",
+        "similarity_ivfpq_topk",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
