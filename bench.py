@@ -64,8 +64,12 @@ HEADLINE = [
     "similarity_pq_topk",
     "docs_contamination_fraction",
     # round-6: IVF+PQ composite (IVFADC) — same ADC math as
-    # similarity_pq_topk but cell-pruned; compare the two lines
+    # similarity_pq_topk but cell-pruned; compare the two lines. The
+    # residual form is the full published index (codes quantize
+    # x - centroid[cell]); its extra cost over the plain composite is
+    # the residual projection feeding the codebook train
     "similarity_ivfpq_topk",
+    "similarity_ivfpq_residual_topk",
     # flagship composite: clean→redact→gate→dedup→decontam→quota→sample
     # with silver staging (the restartable, single-materialization form)
     "corpus_pipeline_staged",

@@ -660,19 +660,51 @@ def pq_adc_topk(
 
 
 def _adc_dist(
-    codebooks: list[list[list[float]]], m: int, dsub: int
+    codebooks: list[list[list[float]]],
+    m: int,
+    dsub: int,
+    qcol: str = "__qv",
 ) -> Column:
-    """Asymmetric PQ distance between ``__qv`` (query vector) and
+    """Asymmetric PQ distance between ``qcol`` (query-side vector) and
     ``codes`` (row code array): per-subspace squared L2 to the code's
     centroid, rounded to 6 and summed as DECIMAL(18,6) — order-free
     exact addition, so rankings agree across engines."""
     dist = None
     for s in range(m):
-        qs = _pq_sub(F.col("__qv"), s, dsub)
+        qs = _pq_sub(F.col(qcol), s, dsub)
         cent = F.element_at(matrix_literal(codebooks[s]), F.col("codes")[s] + 1)
         d = F.round(_sq_l2(qs, cent), 6).cast("decimal(18,6)")
         dist = d if dist is None else dist + d
     return dist
+
+
+def ivf_residuals(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector its nearest IVF cell and compute the residual
+    ``x - centroid[cell]`` — the encoding input of standard IVFADC
+    (Jégou et al. 2011 encode residuals, not raw vectors: within a
+    cell the residual distribution is far tighter, so the same PQ
+    codebook budget quantizes much finer). Returns ``(id, __cell,
+    __residual)``. Two chained projections so the cell assignment is
+    computed once and the centroid lookup references the materialized
+    column. Scan-side, zero shuffles."""
+    assigned = _spread(corpus.select(id_col, vec_col)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
+    )
+    res = F.zip_with(
+        _to_double(F.col(vec_col)),
+        F.element_at(matrix_literal(centroids), F.col("__cell") + 1),
+        lambda x, c: x - c,
+    )
+    return assigned.select(
+        F.col(id_col), F.col("__cell"), res.alias("__residual")
+    )
 
 
 def ivfpq_adc_topk(
@@ -685,6 +717,7 @@ def ivfpq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF+PQ composite ANN — the IVFADC index of Jégou et al. 2011
     (public), and the actual 100 TB ANN shape: the IVF coarse quantizer
@@ -695,6 +728,13 @@ def ivfpq_adc_topk(
     and the corpus side stores only ``(id, cell, codes)``: a few bytes
     per vector, never the floats.
 
+    ``residual=True`` is the full published IVFADC: PQ codes quantize
+    the residual ``x - centroid[cell]`` (pass codebooks trained on
+    ``ivf_residuals`` with ``vec_col="__residual"``), and each query
+    side likewise subtracts the probed cell's centroid before the ADC
+    lookup — same codebook budget, much finer quantization, because
+    within-cell residuals are far tighter than raw vectors.
+
     Both index builds are the deterministic md5-seeded k-means the
     standalone operators use, so the DuckDB oracle re-derives the whole
     composite. Cell assignment and PQ encoding are one scan-side
@@ -703,13 +743,29 @@ def ivfpq_adc_topk(
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    enc = _spread(corpus).select(
-        F.col(id_col),
-        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
-        F.array(
-            *[_pq_code(F.col(vec_col), s, codebooks[s], dsub) for s in range(m)]
-        ).alias("codes"),
-    )
+    if residual:
+        rs = ivf_residuals(corpus, centroids, id_col, vec_col)
+        enc = rs.select(
+            F.col(id_col),
+            F.col("__cell"),
+            F.array(
+                *[
+                    _pq_code(F.col("__residual"), s, codebooks[s], dsub)
+                    for s in range(m)
+                ]
+            ).alias("codes"),
+        )
+    else:
+        enc = _spread(corpus).select(
+            F.col(id_col),
+            _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
+            F.array(
+                *[
+                    _pq_code(F.col(vec_col), s, codebooks[s], dsub)
+                    for s in range(m)
+                ]
+            ).alias("codes"),
+        )
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qv"),
@@ -720,10 +776,20 @@ def ivfpq_adc_topk(
     # equi-join on cell replaces pq_adc_topk's full cross product; a
     # corpus row lives in exactly one cell and a query's probed cells
     # are distinct, so (q, doc) appears at most once — no dedup needed
-    scored = enc.join(F.broadcast(q), "__cell").select(
+    joined = enc.join(F.broadcast(q), "__cell")
+    if residual:
+        qres = F.zip_with(
+            _to_double(F.col("__qv")),
+            F.element_at(matrix_literal(centroids), F.col("__cell") + 1),
+            lambda x, c: x - c,
+        )
+        joined = joined.withColumn("__qres", qres)
+    scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        _adc_dist(codebooks, m, dsub).alias("adc_dist"),
+        _adc_dist(
+            codebooks, m, dsub, "__qres" if residual else "__qv"
+        ).alias("adc_dist"),
     )
     w = W.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()

@@ -2807,21 +2807,33 @@ def _pq_iteration_sql(prev: str, n: int, p: str = "") -> str:
 _PQ_DSUB = 16  # dim 64 / m 4
 
 
-def _pq_index_sql(p: str = "") -> str:
+def _pq_index_sql(p: str = "", elems: str | None = None) -> str:
     """The deterministic PQ codebook build (seeds → two unrolled Lloyd
     iterations → per-(vector, subspace) code assignment) as CTE text,
     ending in ``{p}cb2`` (codebooks) and ``{p}codes``. Every CTE name
-    takes the ``p`` prefix for composition with other index blocks."""
-    return f"""
+    takes the ``p`` prefix for composition with other index blocks.
+    ``elems`` names an existing ``(vec_id, x, i)`` element CTE to build
+    from (e.g. IVF residuals) instead of the raw embeddings table."""
+    src = elems if elems is not None else f"{p}e"
+    e_cte = (
+        ""
+        if elems is not None
+        else f"""
     {p}e AS (
       SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
              UNNEST(generate_series(1, len(embedding))) AS i
       FROM embeddings
-    ),
-    {p}es AS (
+    ),"""
+    )
+    return f"""{e_cte}
+    {p}es AS MATERIALIZED (
+      -- MATERIALIZED: referenced by every Lloyd iteration; DuckDB
+      -- would otherwise inline (re-compute) the source derivation —
+      -- catastrophic when the source is itself an index build (the
+      -- residual-IVFADC oracle went 300 s -> seconds with this hint)
       SELECT vec_id, (i - 1) // {_PQ_DSUB} AS sub,
              (i - 1) % {_PQ_DSUB} AS j, x
-      FROM {p}e
+      FROM {src}
     ),
     {p}pqseeds AS (
       SELECT vec_id, rn - 1 AS code FROM (
@@ -2979,6 +2991,82 @@ def similarity_ivfpq_topk(spark, sf_dir):
     books = pq_train_codebooks(emb, m=4, k=8, iters=2)
     queries = emb.where(F.col("vec_id") < 5)
     out = ivfpq_adc_topk(emb, queries, centroids, books, k=10, nprobe=4)
+    return out.select(
+        "q_id", "vec_id", F.col("adc_dist").cast("double").alias("adc_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVFADC — the full published index (Jégou et al. 2011 encode
+# RESIDUALS x - centroid[cell], not raw vectors: within a cell the
+# residual distribution is far tighter, so the same codebook budget
+# quantizes much finer). The oracle composes the IVF build, derives the
+# residual elements from its final centroids, runs the PQ build on them
+# under the ``r`` prefix, and re-derives probe + residual-ADC.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "similarity_ivfpq_residual_topk",
+    oracle=f"""
+    WITH {_ivf_index_sql(8)},
+    re AS (
+      SELECT e.vec_id, e.x - c.m AS x, e.i
+      FROM e JOIN corpus_cell cc ON cc.vec_id = e.vec_id
+      JOIN c2 c ON c.cell = cc.cell AND c.i = e.i
+    ),
+    {_pq_index_sql('r', elems='re')},
+    qprobe AS (
+      SELECT vec_id AS q_id, cell FROM ranked WHERE rn <= 4 AND vec_id < 5
+    ),
+    cand AS (
+      SELECT q.q_id, q.cell, c.vec_id
+      FROM qprobe q JOIN corpus_cell c ON c.cell = q.cell
+      WHERE c.vec_id <> q.q_id
+    ),
+    qres AS (
+      SELECT q.q_id, q.cell, (e.i - 1) // {_PQ_DSUB} AS sub,
+             (e.i - 1) % {_PQ_DSUB} AS j, e.x - c.m AS x
+      FROM qprobe q
+      JOIN e ON e.vec_id = q.q_id
+      JOIN c2 c ON c.cell = q.cell AND c.i = e.i
+    ),
+    subd AS (
+      SELECT p.q_id, p.vec_id, q.sub,
+             ROUND(SUM((q.x - cb.m) * (q.x - cb.m)), 6)::DECIMAL(18,6) AS d
+      FROM cand p
+      JOIN qres q ON q.q_id = p.q_id AND q.cell = p.cell
+      JOIN rcodes c ON c.vec_id = p.vec_id AND c.sub = q.sub
+      JOIN rcb2 cb ON cb.sub = c.sub AND cb.code = c.code AND cb.j = q.j
+      GROUP BY p.q_id, p.vec_id, q.sub
+    ),
+    tot AS (
+      SELECT q_id, vec_id, SUM(d) AS adc
+      FROM subd GROUP BY q_id, vec_id
+    )
+    SELECT q_id, vec_id, CAST(adc AS DOUBLE) AS adc_dist
+    FROM (
+      SELECT q_id, vec_id, adc,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY adc, vec_id) AS rn
+      FROM tot
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_ivfpq_residual_topk(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.similarity import (
+        ivf_residuals,
+        ivf_train_centroids,
+        ivfpq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = ivf_train_centroids(emb, n_cells=8, iters=2)
+    rs = ivf_residuals(emb, centroids)
+    books = pq_train_codebooks(rs, m=4, k=8, iters=2, vec_col="__residual")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = ivfpq_adc_topk(
+        emb, queries, centroids, books, k=10, nprobe=4, residual=True
+    )
     return out.select(
         "q_id", "vec_id", F.col("adc_dist").cast("double").alias("adc_dist")
     )

@@ -134,7 +134,11 @@ _PRIORITY = [
     # All six stay in the full local gate.
     "corpus_pipeline_curated",
     "docs_ccnet_buckets",
-    "corpus_pmi_collocations",
+    # corpus_pmi_collocations (green r4+r5) cedes to the residual
+    # IVFADC — its two-stage agg + broadcast-total mechanism stays
+    # window-graded via text_unigram_ce / text_bigram_ce's corpus-count
+    # joins; still in the full gate
+    "similarity_ivfpq_residual_topk",
     "orders_merge_into_state",
     # the md5-family MinHash twin makes the LSH candidate GENERATOR
     # oracle-checkable for the first time — it takes the window slot of
@@ -210,6 +214,7 @@ _PRIORITY = [
     "events_sketches",
     "multimodal_decode_dims",
     "similarity_ivf_topk",
+    "corpus_pmi_collocations",
     # the ten rows ceded by the round-5 build rotation (r4-green)
     "events_session_window",
     "cdc_hash_keys",

@@ -291,6 +291,60 @@ def test_ivfpq_full_probe_equals_pq_scan(spark):
     assert len(p & f) / len(f) >= 0.9
 
 
+def test_ivfpq_residual_tightens_adc_error(spark):
+    """Residual encoding is the point of IVFADC: PQ codes over
+    x - centroid[cell] reconstruct finer than codes over raw vectors
+    with the same codebook budget, so the mean |ADC - true squared L2|
+    over the scored pairs must shrink. Deterministic corpus, no RNG."""
+    import math
+
+    from data_ingestion_framework_spark.operators import similarity as sim
+
+    def vec(center, j):
+        return [c + 0.05 * math.sin(j * (i + 1)) for i, c in enumerate(center)]
+
+    centers = [
+        [2, 0, 0, 0, 2, 0, 0, 0],
+        [0, 2, 0, 2, 0, 0, 2, 0],
+        [0, 0, 2, 0, 0, 2, 0, 2],
+    ]
+    rows = [
+        Row(vec_id=c * 100 + j, embedding=vec(center, j))
+        for c, center in enumerate(centers)
+        for j in range(30)
+    ]
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.where(F.col("vec_id").isin([5, 105, 205]))
+    centroids = sim.ivf_train_centroids(corpus, n_cells=3, iters=2)
+
+    raw_books = sim.pq_train_codebooks(corpus, m=4, k=4, iters=2)
+    res = sim.ivf_residuals(corpus, centroids)
+    res_books = sim.pq_train_codebooks(
+        res, m=4, k=4, iters=2, vec_col="__residual"
+    )
+
+    truth = {}
+    by_id = {r["vec_id"]: r["embedding"] for r in corpus.collect()}
+    for q in (5, 105, 205):
+        for v, emb in by_id.items():
+            truth[(q, v)] = sum((a - b) ** 2 for a, b in zip(by_id[q], emb))
+
+    def mean_err(out):
+        pairs = [
+            ((r["q_id"], r["vec_id"]), float(r["adc_dist"]))
+            for r in out.collect()
+        ]
+        return sum(abs(d - truth[k]) for k, d in pairs) / len(pairs)
+
+    plain = sim.ivfpq_adc_topk(
+        corpus, queries, centroids, raw_books, k=20, nprobe=1
+    )
+    resid = sim.ivfpq_adc_topk(
+        corpus, queries, centroids, res_books, k=20, nprobe=1, residual=True
+    )
+    assert mean_err(resid) < mean_err(plain)
+
+
 def test_gopher_quality_flags(spark):
     from data_ingestion_framework_spark.operators.text import gopher_quality_flags
 
