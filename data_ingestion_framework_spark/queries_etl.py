@@ -956,6 +956,41 @@ def orders_delete_state(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# UPDATE statement lifecycle under the oracle gate (Delta UPDATE ...
+# SET ... WHERE parity): load orders, apply a conditional multi-column
+# update whose expressions read the PRE-update values, return the full
+# table state — the staged-swap rewrite + update commit path is what's
+# value-checked, including untouched rows passing through unchanged.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_update_state",
+    oracle="""
+    SELECT o_orderkey AS pk,
+           CASE WHEN o_orderkey % 4 = 0 AND o_orderstatus = 'O'
+                THEN o_totalprice * 1.1 ELSE o_totalprice END AS price,
+           CASE WHEN o_orderkey % 4 = 0 AND o_orderstatus = 'O'
+                THEN 'U' ELSE o_orderstatus END AS status
+    FROM orders
+    """,
+)
+def orders_update_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    t = ParquetTable(spark, _scratch_dir("difs_upd_") + "/t")
+    t.overwrite(orders)
+    t.update_where(
+        {"price": F.col("price") * 1.1, "status": F.lit("U")},
+        predicate=(F.col("pk") % 4 == 0) & (F.col("status") == "O"),
+    )
+    return t.read()
+
+
+# ---------------------------------------------------------------------------
 # Multimodal video path, same contract as multimodal_audio_meta: a
 # spec-valid ISO BMFF skeleton synthesized JVM-side with properties
 # derived from doc_id, the stdlib box-walk parser recovers them

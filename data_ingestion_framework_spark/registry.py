@@ -145,7 +145,10 @@ _PRIORITY = [
     # dedup_word_ngram_jaccard (green since r3; char-gram sibling
     # dedup_ngram_jaccard pins the same mechanism in the full gate)
     "dedup_minhash_md5_pairs",
-    "dedup_simhash_md5_pairs",
+    # dedup_simhash_md5_pairs (green r4+r5) cedes to the new UPDATE
+    # statement lifecycle; its banded-signature-generator mechanism
+    # stays window-graded via dedup_minhash_md5_pairs
+    "orders_update_state",
     # round-6: the generic MERGE INTO executor's NOT-MATCHED-BY-SOURCE
     # clause family and the IVFADC composite — both new, never graded
     "orders_merge_not_matched_state",
@@ -215,6 +218,7 @@ _PRIORITY = [
     "multimodal_decode_dims",
     "similarity_ivf_topk",
     "corpus_pmi_collocations",
+    "dedup_simhash_md5_pairs",
     # the ten rows ceded by the round-5 build rotation (r4-green)
     "events_session_window",
     "cdc_hash_keys",

@@ -445,12 +445,100 @@ class ParquetTable:
         self._amend_last_commit_metrics({"rows_deleted": n})
         return n
 
+    def update_where(
+        self,
+        assignments: dict,
+        predicate=None,
+        cdf_table: "ParquetTable | None" = None,
+    ) -> int:
+        """``UPDATE <table> SET col = expr [WHERE pred]`` parity with
+        Delta's UPDATE statement: rewrite the table with ``assignments``
+        (column → Column or SQL string) applied to rows matching
+        ``predicate`` (all rows when None); other rows pass through
+        byte-identical. Records an ``update`` commit with
+        ``rows_updated``. A predicate evaluating to NULL on a row does
+        NOT match it (Delta's three-valued-logic rule — coalesced to
+        false). Assignment expressions may reference any current
+        column (pre-update values, as UPDATE semantics require).
+
+        ``cdf_table`` appends Delta-CDF-shaped ``update_preimage`` /
+        ``update_postimage`` row pairs stamped with this update's
+        commit seq. Same crash contract as ``delete_where``: the feed
+        lands BEFORE the state rewrite carrying an intent id; a crash
+        in between over-propagates an update that never landed, and
+        ``reconcile_cdf`` (run automatically at the start of the next
+        feed-backed update/delete) detects the orphaned intent and
+        re-emits the still-present pre-image rows as ``insert``
+        changes so downstream state converges back."""
+        if not self.exists():
+            return 0
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        cond = (
+            F.coalesce(pred, F.lit(False)) if pred is not None else F.lit(True)
+        )
+        if cdf_table is not None:
+            self.reconcile_cdf(cdf_table)
+        current = self.read()
+        exprs = {
+            c: (F.expr(v) if isinstance(v, str) else v)
+            for c, v in assignments.items()
+        }
+        unknown = sorted(set(exprs) - set(current.columns))
+        if unknown:
+            raise ValueError(f"update_where: unknown columns {unknown}")
+        hits = current.where(cond)
+        if hits.limit(1).count() == 0:
+            return 0
+        n = hits.count()
+        updated = current.select(
+            *[
+                F.when(cond, exprs[c]).otherwise(F.col(c)).alias(c)
+                if c in exprs
+                else F.col(c)
+                for c in current.columns
+            ]
+        )
+        seq = self._next_seq()
+        intent = uuid.uuid4().hex
+        if cdf_table is not None:
+            post = hits.select(
+                *[
+                    exprs[c].alias(c) if c in exprs else F.col(c)
+                    for c in current.columns
+                ]
+            )
+            feed = (
+                hits.withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    post.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+                .withColumn("_commit_version", F.lit(seq).cast("bigint"))
+            )
+            cdf_table.append(
+                feed,
+                metrics={"delete_intent": intent, "delete_intent_seq": seq},
+            )
+        self.overwrite(
+            updated,
+            op="update",
+            metrics={
+                "rows_updated": n,
+                **({"delete_intent": intent} if cdf_table is not None else {}),
+            },
+        )
+        return n
+
     def reconcile_cdf(self, cdf_table: "ParquetTable") -> int:
-        """Repair the delete-feed after a crash between the feed append
+        """Repair the change-feed after a crash between the feed append
         and the state rewrite: any feed commit whose ``delete_intent``
-        never landed as a table ``delete`` commit describes an erasure
-        that did NOT happen (the staged swap is atomic — none of its
-        rows were removed). Per orphaned intent:
+        never landed as a table ``delete`` (or ``update``) commit
+        describes a change that did NOT happen (the staged swap is
+        atomic — no rows were touched). For an orphaned update intent
+        the still-present rows are its PRE-images — re-emitting them
+        reverts consumers that applied the phantom post-images. Per
+        orphaned intent:
 
         1. a ``cdf_reconcile`` marker commit is recorded on THIS table.
            When reconcile runs before any other commit, the marker
@@ -486,7 +574,7 @@ class ParquetTable:
         landed = {
             (r.get("metrics") or {}).get("delete_intent")
             for r in self.history()
-            if r["op"] == "delete"
+            if r["op"] in ("delete", "update")
         }
         reconciled: set = set()
         for r in feed_hist:

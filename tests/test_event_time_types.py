@@ -239,5 +239,6 @@ def test_driver_grading_window_covers_priority_queries():
         "orders_merge_not_matched_state",
         "similarity_ivfpq_topk",
         "similarity_ivfpq_residual_topk",
+        "orders_update_state",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"

@@ -482,3 +482,92 @@ def test_overwrite_partitions_failed_swap_restores(spark, tmp_path, monkeypatch)
     assert len(t.history()) == n_commits  # no commit recorded
     parent = os.path.dirname(str(tmp_path / "t"))
     assert not [d for d in os.listdir(parent) if "__staging__" in d]
+
+
+def test_update_where_basic_and_null_predicate(spark, tmp_path):
+    """UPDATE SET parity: assignments applied to matching rows (with
+    pre-update values visible to the expressions), pass-through rows
+    byte-identical, NULL predicate rows NOT matched (three-valued
+    logic), rows_updated recorded, unknown columns rejected."""
+    from pyspark.sql import functions as F
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, None), (3, 30.0, "c")],
+            "id bigint, price double, tag string",
+        )
+    )
+    # pred is NULL for id=2 (tag NULL) -> not matched
+    n = t.update_where(
+        {"price": F.col("price") * 2, "tag": F.lit("u")},
+        predicate=F.col("tag") != "c",
+    )
+    assert n == 1
+    got = {r["id"]: (r["price"], r["tag"]) for r in t.read().collect()}
+    assert got == {1: (20.0, "u"), 2: (20.0, None), 3: (30.0, "c")}
+    last = t.history()[-1]
+    assert last["op"] == "update" and last["metrics"]["rows_updated"] == 1
+
+    # SQL-string form + unconditional update
+    assert t.update_where({"price": "price + 1"}) == 3
+    assert {r["price"] for r in t.read().collect()} == {21.0, 31.0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        t.update_where({"nope": F.lit(1)})
+    # no matches -> 0, no commit
+    before = len(t.history())
+    assert t.update_where({"price": "0"}, predicate="id = 999") == 0
+    assert len(t.history()) == before
+
+
+def test_update_where_cdf_images_and_crash_reconcile(
+    spark, tmp_path, monkeypatch
+):
+    """CDF update_preimage/update_postimage pairs at the update's
+    commit version; a crash between feed and rewrite over-propagates,
+    and reconcile re-emits the still-present PRE-images as inserts so
+    consumers that applied the phantom post-images converge back."""
+    from pyspark.sql import functions as F
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    feed = ParquetTable(spark, str(tmp_path / "feed"))
+    t.overwrite(spark.range(6).selectExpr("id", "id * 10 AS v"))
+
+    n = t.update_where(
+        {"v": F.col("v") + 1}, predicate="id % 2 = 0", cdf_table=feed
+    )
+    assert n == 3
+    seq = t.history()[-1]["seq"]
+    rows = feed.read().collect()
+    pre = {r["id"]: r["v"] for r in rows if r["_change_type"] == "update_preimage"}
+    post = {r["id"]: r["v"] for r in rows if r["_change_type"] == "update_postimage"}
+    assert pre == {0: 0, 2: 20, 4: 40}
+    assert post == {0: 1, 2: 21, 4: 41}
+    assert all(r["_commit_version"] == seq for r in rows)
+
+    # crash window: feed lands, rewrite never does
+    real_overwrite = ParquetTable.overwrite
+
+    def crashing_overwrite(self, df, metrics=None, op="overwrite"):
+        if op == "update":
+            raise OSError("simulated crash before rewrite")
+        return real_overwrite(self, df, metrics=metrics, op=op)
+
+    monkeypatch.setattr(ParquetTable, "overwrite", crashing_overwrite)
+    with pytest.raises(OSError, match="simulated crash"):
+        t.update_where({"v": F.lit(-1)}, predicate="id = 1", cdf_table=feed)
+    monkeypatch.undo()
+
+    state_before = {(r["id"], r["v"]) for r in t.read().collect()}
+    assert t.reconcile_cdf(feed) == 1
+    restored = [
+        r for r in feed.read().collect() if r["_change_type"] == "insert"
+    ]
+    # the phantom update's PRE-image (id=1 unchanged) is re-emitted
+    assert [(r["id"], r["v"]) for r in restored] == [(1, 10)]
+    assert {(r["id"], r["v"]) for r in t.read().collect()} == state_before
+    # idempotent; the landed update's intent is never treated as orphaned
+    assert t.reconcile_cdf(feed) == 0
