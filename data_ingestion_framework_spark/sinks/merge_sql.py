@@ -341,6 +341,140 @@ def scd2_state_sql(
 
 
 # ---------------------------------------------------------------------------
+# Generic conditional MERGE (the full Delta clause surface)
+# ---------------------------------------------------------------------------
+
+def generic_merge_sql(
+    target_table: str,
+    keys: list[str],
+    update_set: dict[str, str] | None = None,
+    update_condition: str | None = None,
+    delete_condition: str | None = None,
+    insert: bool = True,
+    insert_condition: str | None = None,
+    nmbs_update_set: dict[str, str] | None = None,
+    nmbs_update_condition: str | None = None,
+    nmbs_delete: bool = False,
+    nmbs_delete_condition: str | None = None,
+    source_view: str = "source",
+) -> str:
+    """Render the generic ``merge_into`` executor's clause surface as
+    the lakehouse ``MERGE INTO`` statement it commits as on a real
+    Delta/Iceberg catalog: conditional WHEN MATCHED DELETE (first, the
+    executor's clause order) then UPDATE, conditional WHEN NOT MATCHED
+    INSERT, and the WHEN NOT MATCHED BY SOURCE DELETE/UPDATE family
+    (writers/writer.py:251-252,394-396,405-406). Expressions and
+    conditions are SQL strings referencing ``target.<c>`` /
+    ``source.<c>``. Semantics equivalence with the DataFrame executor
+    is proven by :func:`generic_merge_state_sql` (executed in tests),
+    not asserted on faith."""
+    on = " AND ".join(f"target.{k} <=> source.{k}" for k in keys)
+    parts = [
+        f"MERGE INTO {target_table} AS target",
+        f"USING {source_view} AS source",
+        f"ON {on}",
+    ]
+    if delete_condition is not None:
+        parts += [f"WHEN MATCHED AND ({delete_condition}) THEN", "  DELETE"]
+    if update_set is not None:
+        cond = f" AND ({update_condition})" if update_condition else ""
+        sets = ", ".join(f"target.{c} = {e}" for c, e in update_set.items())
+        parts += [f"WHEN MATCHED{cond} THEN", f"  UPDATE SET {sets}"]
+    if insert:
+        cond = f" AND ({insert_condition})" if insert_condition else ""
+        parts += [f"WHEN NOT MATCHED{cond} THEN", "  INSERT *"]
+    if nmbs_delete or nmbs_delete_condition is not None:
+        cond = (
+            f" AND ({nmbs_delete_condition})" if nmbs_delete_condition else ""
+        )
+        parts += [f"WHEN NOT MATCHED BY SOURCE{cond} THEN", "  DELETE"]
+    if nmbs_update_set is not None:
+        cond = (
+            f" AND ({nmbs_update_condition})" if nmbs_update_condition else ""
+        )
+        sets = ", ".join(
+            f"target.{c} = {e}" for c, e in nmbs_update_set.items()
+        )
+        parts += [f"WHEN NOT MATCHED BY SOURCE{cond} THEN", f"  UPDATE SET {sets}"]
+    return "\n".join(parts)
+
+
+def generic_merge_state_sql(
+    target_view: str,
+    source_view: str,
+    keys: list[str],
+    columns: list[str],
+    update_set: dict[str, str] | None = None,
+    update_condition: str | None = None,
+    delete_condition: str | None = None,
+    insert: bool = True,
+    insert_condition: str | None = None,
+    nmbs_update_set: dict[str, str] | None = None,
+    nmbs_update_condition: str | None = None,
+    nmbs_delete: bool = False,
+    nmbs_delete_condition: str | None = None,
+) -> str:
+    """Post-merge table state of :func:`generic_merge_sql` as a pure
+    SELECT over ``target_view``/``source_view`` — the executable
+    counterpart (same pattern as ``scd1_state_sql``). Mirrors the
+    executor exactly: one null-safe key left-join, delete checked
+    before update in both clause families, every condition coalesced
+    to FALSE when NULL (Delta three-valued logic), unmatched source
+    rows insert when allowed. ``columns`` is the target column list;
+    the source must provide the same names for INSERT."""
+    on = " AND ".join(f"target.{k} <=> source.{k}" for k in keys)
+    matched = "COALESCE(source.__m, FALSE)"
+
+    def _sat(cond: str | None, enabled: bool = True) -> str:
+        if not enabled:
+            return "FALSE"
+        if cond is None:
+            return "TRUE"
+        return f"COALESCE(({cond}), FALSE)"
+
+    del_now = f"({matched} AND {_sat(delete_condition, delete_condition is not None)})"
+    upd_now = (
+        f"({matched} AND NOT {del_now}"
+        f" AND {_sat(update_condition, update_set is not None)})"
+    )
+    nmbs = f"(NOT {matched})"
+    nmbs_del_on = nmbs_delete or nmbs_delete_condition is not None
+    nmbs_del_now = f"({nmbs} AND {_sat(nmbs_delete_condition, nmbs_del_on)})"
+    nmbs_upd_now = (
+        f"({nmbs} AND NOT {nmbs_del_now}"
+        f" AND {_sat(nmbs_update_condition, nmbs_update_set is not None)})"
+    )
+
+    out = []
+    for c in columns:
+        e = f"target.{c}"
+        if update_set and c in update_set:
+            e = f"CASE WHEN {upd_now} THEN {update_set[c]} ELSE {e} END"
+        if nmbs_update_set and c in nmbs_update_set:
+            e = f"CASE WHEN {nmbs_upd_now} THEN {nmbs_update_set[c]} ELSE {e} END"
+        out.append(f"{e} AS {c}")
+
+    kept = (
+        f"SELECT {', '.join(out)}\n"
+        f"FROM {target_view} AS target\n"
+        f"LEFT JOIN (SELECT *, TRUE AS __m FROM {source_view}) AS source\n"
+        f"ON {on}\n"
+        f"WHERE NOT {del_now} AND NOT {nmbs_del_now}"
+    )
+    if not insert:
+        return kept
+    # the insert condition references SOURCE columns by their plain
+    # names (the executor's contract — there is no target row)
+    anti = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    inserts = (
+        f"SELECT {_csv(columns)} FROM {source_view} AS s\n"
+        f"WHERE NOT EXISTS (SELECT 1 FROM {target_view} t WHERE {anti})"
+        + (f" AND {_sat(insert_condition)}" if insert_condition else "")
+    )
+    return f"{kept}\nUNION ALL\n{inserts}"
+
+
+# ---------------------------------------------------------------------------
 # SCD2 streaming 3-branch CTE
 # ---------------------------------------------------------------------------
 

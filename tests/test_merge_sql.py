@@ -147,3 +147,110 @@ def test_scd2_state_sql_equals_engine(spark):
     assert len(by_pk[2]) == 2          # close-out + new version
     assert by_pk[3][0][5] is not None  # soft-deleted
     assert by_pk[4][0][4] == 1         # inserted current
+
+
+def test_generic_merge_sql_text():
+    """Clause rendering: delete before update in both families, null-
+    safe ON, conditions attached, INSERT * form."""
+    from data_ingestion_framework_spark.sinks.merge_sql import (
+        generic_merge_sql,
+    )
+
+    sql = generic_merge_sql(
+        "cat.t",
+        ["pk"],
+        update_set={"v": "source.v"},
+        update_condition="source.v > target.v",
+        delete_condition="source.status = 'X'",
+        insert_condition="status = 'open'",
+        nmbs_update_set={"status": "'S'"},
+        nmbs_update_condition="target.status = 'O'",
+        nmbs_delete_condition="target.status = 'F'",
+    )
+    assert "ON target.pk <=> source.pk" in sql
+    i_del = sql.index("WHEN MATCHED AND (source.status = 'X') THEN\n  DELETE")
+    i_upd = sql.index("WHEN MATCHED AND (source.v > target.v) THEN")
+    i_ins = sql.index("WHEN NOT MATCHED AND (status = 'open') THEN\n  INSERT *")
+    i_nmd = sql.index("WHEN NOT MATCHED BY SOURCE AND (target.status = 'F') THEN\n  DELETE")
+    i_nmu = sql.index("WHEN NOT MATCHED BY SOURCE AND (target.status = 'O') THEN")
+    assert i_del < i_upd < i_ins < i_nmd < i_nmu
+    assert "UPDATE SET target.v = source.v" in sql
+    assert "UPDATE SET target.status = 'S'" in sql
+
+
+def test_generic_merge_state_sql_equals_executor(spark, tmp_path):
+    """The generic merge's state-equivalent SELECT computes exactly the
+    table state the merge_into executor commits — all clause families
+    live at once, including NULL conditions (not satisfied)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from data_ingestion_framework_spark.sinks.merge_sql import (
+        generic_merge_state_sql,
+    )
+    from data_ingestion_framework_spark.sinks.writers import (
+        merge_into,
+        merge_source,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    target_rows = [
+        Row(pk=1, v=10, status="open"),
+        Row(pk=2, v=20, status="open"),    # matched, delete cond
+        Row(pk=3, v=30, status="open"),    # matched, update cond false
+        Row(pk=4, v=40, status="open"),    # NMBS update -> soft flag
+        Row(pk=5, v=50, status="stale"),   # NMBS delete cond
+        Row(pk=6, v=60, status="held"),    # NMBS, neither fires
+    ]
+    source_rows = [
+        Row(pk=1, v=11, status="open"),
+        Row(pk=2, v=99, status="closed"),
+        Row(pk=3, v=5, status=None),       # NULL update cond -> keep
+        Row(pk=7, v=70, status="open"),    # insert
+        Row(pk=8, v=80, status="closed"),  # insert cond false
+    ]
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame(target_rows))
+    merge_into(
+        t,
+        spark.createDataFrame(source_rows),
+        ["pk"],
+        when_matched_update={"v": merge_source("v")},
+        when_matched_update_condition=merge_source("v") > F.col("v"),
+        when_matched_delete_condition=merge_source("status") == "closed",
+        when_not_matched_insert_condition=F.col("status") == "open",
+        when_not_matched_by_source_update={"status": F.lit("S")},
+        when_not_matched_by_source_update_condition=F.col("status") == "open",
+        when_not_matched_by_source_delete_condition=F.col("status") == "stale",
+    )
+    executor_state = {
+        (r["pk"], r["v"], r["status"]) for r in t.read().collect()
+    }
+
+    spark.createDataFrame(target_rows).createOrReplaceTempView("gm_target")
+    spark.createDataFrame(source_rows).createOrReplaceTempView("gm_source")
+    sql = generic_merge_state_sql(
+        "gm_target",
+        "gm_source",
+        ["pk"],
+        ["pk", "v", "status"],
+        update_set={"v": "source.v"},
+        update_condition="source.v > target.v",
+        delete_condition="source.status = 'closed'",
+        insert_condition="status = 'open'",
+        nmbs_update_set={"status": "'S'"},
+        nmbs_update_condition="target.status = 'open'",
+        nmbs_delete_condition="target.status = 'stale'",
+    )
+    sql_state = {
+        (r["pk"], r["v"], r["status"]) for r in spark.sql(sql).collect()
+    }
+    assert sql_state == executor_state
+    # sanity on the content itself
+    assert (1, 11, "open") in sql_state       # conditional update
+    assert (3, 30, "S") not in sql_state      # matched row: NMBS untouched
+    assert (3, 30, "open") in sql_state       # NULL update cond -> kept as-is
+    assert (4, 40, "S") in sql_state          # NMBS soft flag
+    assert not any(p == 2 or p == 5 for p, _, _ in sql_state)  # deletes
+    assert (7, 70, "open") in sql_state       # conditional insert
+    assert not any(p == 8 for p, _, _ in sql_state)
