@@ -272,3 +272,53 @@ def zscore_outliers(
         .where(F.abs(F.col("z")) > threshold)
         .drop("__n", "__s1", "__s2")
     )
+
+
+def column_stats(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+) -> DataFrame:
+    """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` parity as a
+    DataFrame operator: per-column row count, null count, distinct
+    count, min and max — the statistics a cost-based optimizer (or a
+    profiler page) feeds on. Returns the long form
+    ``(column, n_rows, n_nulls, n_distinct, min_value, max_value)``
+    with min/max canonicalized to strings so one schema carries every
+    column type.
+
+    ONE aggregate pass over the frame computes every column's stats
+    (partial map-side combine; the result is one wide row, exploded to
+    long form driver-free). ``exact=True`` uses COUNT(DISTINCT) —
+    Spark expands multiple distincts into one multi-phase aggregate;
+    at 100 TB prefer ``exact=False`` (HLL ``approx_count_distinct``,
+    one pass, mergeable sketches) — the published tradeoff, chosen by
+    the caller because the ORACLE needs exact values."""
+    cols = columns or df.columns
+    ndv = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            ndv(c).alias(f"__ndv_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").cast("bigint").alias("n_rows"),
+                F.col(f"__nn_{c}").cast("bigint").alias("n_nulls"),
+                F.col(f"__ndv_{c}").cast("bigint").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(entries).alias("s")).select("s.*")

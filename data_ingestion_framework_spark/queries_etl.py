@@ -1190,6 +1190,58 @@ def orders_merge_into_state(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ANALYZE-statistics parity under the oracle gate: per-column row/null/
+# distinct counts and min/max over orders, exact, long form. Column
+# types chosen so min/max stringification is engine-identical (bigint,
+# date, string; money staged through DECIMAL(12,2)).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_column_stats",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus, o_orderdate,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS o_price_dec
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM src
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM src
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderdate),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'o_price_dec', COUNT(*),
+           CAST(SUM(CASE WHEN o_price_dec IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_price_dec),
+           CAST(MIN(o_price_dec) AS VARCHAR), CAST(MAX(o_price_dec) AS VARCHAR)
+    FROM src
+    """,
+)
+def orders_column_stats(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.dq import column_stats
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_price_dec"),
+    )
+    return column_stats(orders, exact=True)
+
+
+# ---------------------------------------------------------------------------
 # WHEN NOT MATCHED BY SOURCE lifecycle under the oracle gate — the
 # reference's most distinctive MERGE feature (writers/writer.py:251-252,
 # 394-396,405-406: full-extract soft/hard deletes of target rows absent

@@ -209,7 +209,10 @@ _PRIORITY = [
     # rows-only (no oracle): the driver's hash gate can't grade it, so
     # it cedes its window slot to an oracle-backed round-5 query
     "docs_pack_ffd",
-    # the six rows ceded by the round-6 rotation (driver-green 2+
+    # round-6 addition awaiting a window slot (rotate in r7): the
+    # ANALYZE column-statistics lifecycle — oracle-backed, local-green
+    "orders_column_stats",
+    # the rows ceded by the round-6 rotation (driver-green 2+
     # rounds; mechanisms window-covered per the rotation note above)
     "docs_remove_boilerplate",
     "text_quality_score",

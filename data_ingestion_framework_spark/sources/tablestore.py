@@ -861,6 +861,44 @@ class ParquetTable:
         if vacuum:
             self.vacuum()
 
+    def analyze(
+        self, columns: list[str] | None = None, exact: bool = True
+    ) -> dict:
+        """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` parity:
+        one aggregate pass computes per-column row/null/distinct counts
+        and min/max (``operators.dq.column_stats``), persists them in
+        the table properties under ``stats`` (the TBLPROPERTIES
+        analogue of a catalog's statistics store, stamped with the
+        commit seq they describe), and records an ``analyze`` commit.
+        Readers (or a cost-based planner) consult ``properties()
+        ["stats"]``; a stored ``analyzed_seq`` older than the latest
+        DATA commit (the analyze marker itself doesn't count) marks
+        them stale. ``exact=False`` switches distinct counts to the
+        HLL sketch — the 100 TB default."""
+        from data_ingestion_framework_spark.operators.dq import column_stats
+
+        if not self.exists():
+            return {}
+        rows = column_stats(self.read(), columns, exact=exact).collect()
+        stats = {
+            r["column"]: {
+                "n_rows": r["n_rows"],
+                "n_nulls": r["n_nulls"],
+                "n_distinct": r["n_distinct"],
+                "min": r["min_value"],
+                "max": r["max_value"],
+            }
+            for r in rows
+        }
+        seq = self._next_seq() - 1
+        self.set_properties({"stats": stats, "analyzed_seq": seq})
+        self._record_commit(
+            "analyze",
+            {"columns": sorted(stats), "exact": exact, "analyzed_seq": seq},
+            new_files=[],
+        )
+        return stats
+
     # -- per-file Bloom index (point-lookup file skipping) -----------------
 
     def _bloom_index_path(self, col: str) -> str:

@@ -125,3 +125,47 @@ def test_zscore_outliers_flags_extreme_value(spark):
     # and the 20 identical values are not outliers of themselves
     assert [(r["id"], r["grp"]) for r in got] == [(99, "g")]
     assert got[0]["z"] > 4
+
+
+def test_column_stats_and_table_analyze(spark, tmp_path):
+    """ANALYZE parity: one-pass per-column stats (count/nulls/ndv/
+    min/max, long form), exact vs sketch ndv, and ParquetTable.analyze
+    persisting them in properties with an analyze commit + the seq
+    they describe."""
+    from pyspark.sql import Row
+
+    from data_ingestion_framework_spark.operators.dq import column_stats
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, v=10.0, tag="a"),
+            Row(id=2, v=None, tag="b"),
+            Row(id=3, v=10.0, tag=None),
+            Row(id=4, v=30.0, tag="a"),
+        ]
+    )
+    got = {r["column"]: r for r in column_stats(df, exact=True).collect()}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_nulls"] == 0
+    assert got["id"]["n_distinct"] == 4
+    assert (got["id"]["min_value"], got["id"]["max_value"]) == ("1", "4")
+    assert got["v"]["n_nulls"] == 1 and got["v"]["n_distinct"] == 2
+    assert got["tag"]["n_nulls"] == 1 and got["tag"]["n_distinct"] == 2
+    assert (got["tag"]["min_value"], got["tag"]["max_value"]) == ("a", "b")
+    # sketch path returns the same schema (values approximate)
+    approx = {r["column"]: r for r in column_stats(df, exact=False).collect()}
+    assert set(approx) == set(got)
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(df)
+    data_seq = t.history()[-1]["seq"]
+    stats = t.analyze()
+    assert stats["id"]["n_distinct"] == 4
+    props = t.properties()
+    assert props["stats"]["v"]["n_nulls"] == 1
+    assert props["analyzed_seq"] == data_seq
+    last = t.history()[-1]
+    assert last["op"] == "analyze" and last["metrics"]["exact"] is True
+    # staleness: a later data commit outruns analyzed_seq
+    t.append(df)
+    assert t.history()[-1]["seq"] > t.properties()["analyzed_seq"]
