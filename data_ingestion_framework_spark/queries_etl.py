@@ -1302,3 +1302,59 @@ def orders_merge_not_matched_state(spark, sf_dir):
         when_not_matched_by_source_delete_condition=F.col("status") == "F",
     )
     return t.read()
+
+
+# ---------------------------------------------------------------------------
+# The EMITTED generic-merge SQL under the oracle gate (same pattern as
+# merge_sql_scd{1,2}_state): the state-equivalent SELECT rendered by
+# sinks/merge_sql.generic_merge_sql's executable counterpart is run via
+# spark.sql over temp views — proving the rendered MERGE INTO clause
+# semantics (matched update + both NOT-MATCHED-BY-SOURCE clauses,
+# insert disabled) against DuckDB, independent of the DataFrame
+# executor that orders_merge_not_matched_state grades.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "merge_sql_generic_state",
+    oracle="""
+    SELECT pk, price, status FROM (
+      SELECT o_orderkey AS pk, o_totalprice + 100.0 AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'S'
+      FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderstatus = 'O'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders
+      WHERE o_orderkey % 3 <> 0 AND o_orderstatus NOT IN ('F', 'O')
+    )
+    """,
+)
+def merge_sql_generic_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sinks.merge_sql import (
+        generic_merge_state_sql,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    orders.select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    ).createOrReplaceTempView("__gmsql_target")
+    orders.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("pk"),
+        (F.col("o_totalprice") + 100.0).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    ).createOrReplaceTempView("__gmsql_source")
+    sql = generic_merge_state_sql(
+        "__gmsql_target",
+        "__gmsql_source",
+        ["pk"],
+        ["pk", "price", "status"],
+        update_set={"price": "source.price"},
+        insert=False,
+        nmbs_update_set={"status": "'S'"},
+        nmbs_update_condition="target.status = 'O'",
+        nmbs_delete_condition="target.status = 'F'",
+    )
+    return spark.sql(sql)
