@@ -50,6 +50,11 @@ PROPS_FILE = "_table.json"
 _AUX = (LOG_DIR, HIST_DIR, PROPS_FILE)
 
 
+class CheckConstraintViolation(ValueError):
+    """A write contained rows where a CHECK constraint evaluated to
+    FALSE (NULL satisfies, per the SQL standard and Delta)."""
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer took this commit seq — put-if-absent arbitration
     (``_record_commit``) refused to overwrite its record."""
@@ -318,6 +323,49 @@ class ParquetTable:
         old = self.as_of(seq)
         self.overwrite(old, metrics={"restored_seq": seq}, op="restore")
 
+    # -- CHECK constraints ---------------------------------------------------
+    def add_check_constraint(self, name: str, expr_sql: str) -> None:
+        """``ALTER TABLE ... ADD CONSTRAINT ... CHECK (expr)`` parity
+        with Delta: the constraint is validated against the EXISTING
+        data first (one existence-probe scan, short-circuits at the
+        first violation), stored in the table properties, and enforced
+        on every subsequent write — append, overwrite, and the
+        partition-scoped commit path all refuse a batch containing a
+        row where the expression is FALSE (NULL satisfies, SQL
+        standard three-valued logic). Enforcement costs one
+        predicate-only probe per write per constraint, only when
+        constraints exist."""
+        if self.exists():
+            self._check_frame({name: expr_sql}, self.read())
+        cons = dict(self.properties().get("constraints") or {})
+        cons[name] = expr_sql
+        self.set_properties({"constraints": cons})
+        self._record_commit(
+            "add_constraint", {"name": name, "expr": expr_sql}, new_files=[]
+        )
+
+    def drop_check_constraint(self, name: str) -> None:
+        cons = dict(self.properties().get("constraints") or {})
+        if name in cons:
+            del cons[name]
+            self.set_properties({"constraints": cons})
+            self._record_commit(
+                "drop_constraint", {"name": name}, new_files=[]
+            )
+
+    def _check_frame(self, cons: dict, df: DataFrame) -> None:
+        for name, sql in cons.items():
+            bad = df.where(~F.coalesce(F.expr(sql), F.lit(True)))
+            if bad.limit(1).count() > 0:
+                raise CheckConstraintViolation(
+                    f"CHECK constraint {name} ({sql}) violated"
+                )
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        cons = self.properties().get("constraints") or {}
+        if cons:
+            self._check_frame(cons, df)
+
     # -- writes --------------------------------------------------------------
     def _writer(self, df: DataFrame, mode: str):
         w = df.write.mode(mode)
@@ -335,6 +383,7 @@ class ParquetTable:
     def append(self, df: DataFrame, metrics: dict | None = None) -> None:
         """writers/batch_writers.py:29-41 ``append_write`` /
         writers/writer.py:941-949 ``simple_append_write_to_delta``."""
+        self._enforce_constraints(df)
         before = set(self._data_files()) if os.path.isdir(self.path) else set()
         self._writer(df, "append").parquet(self.path)
         new = [f for f in self._data_files() if f not in before]
@@ -347,6 +396,11 @@ class ParquetTable:
         state is renamed back, so the table is never lost; on success
         the previous state is retained under ``_history/pre{seq}`` for
         time travel (removed by ``vacuum()``)."""
+        if op not in ("compact", "zorder"):
+            # compaction/clustering only rearrange rows that already
+            # passed the constraints — re-probing there would add an
+            # O(table) scan to every maintenance pass
+            self._enforce_constraints(df)
         staging = f"{self.path}.__staging__{uuid.uuid4().hex[:8]}"
         backup = f"{self.path}.__old__{uuid.uuid4().hex[:8]}"
         w = df.write.mode("overwrite")
@@ -686,6 +740,7 @@ class ParquetTable:
         says is empty would silently keep its stale files."""
         if not self.partition_by:
             raise ValueError("overwrite_partitions requires partition_by")
+        self._enforce_constraints(df)
         staging = f"{self.path}.__staging__{uuid.uuid4().hex[:8]}"
         try:
             self._writer(df, "overwrite").parquet(staging)

@@ -571,3 +571,60 @@ def test_update_where_cdf_images_and_crash_reconcile(
     assert {(r["id"], r["v"]) for r in t.read().collect()} == state_before
     # idempotent; the landed update's intent is never treated as orphaned
     assert t.reconcile_cdf(feed) == 0
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """Delta CHECK-constraint parity: adding validates existing data,
+    every write path (append / overwrite / partition-scoped commit /
+    merge) refuses a violating batch, NULL satisfies (three-valued
+    logic), and drop lifts enforcement. Constraint churn is auditable
+    in the commit log."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from data_ingestion_framework_spark.sinks.writers import (
+        BUCKET_COL,
+        batch_write,
+        stamp_bucket,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import (
+        CheckConstraintViolation,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 5), (2, None)], "id bigint, qty bigint"  # NULL satisfies
+        )
+    )
+    t.add_check_constraint("qty_pos", "qty > 0")
+    assert t.history()[-1]["op"] == "add_constraint"
+
+    with pytest.raises(CheckConstraintViolation, match="qty_pos"):
+        t.append(spark.createDataFrame([(3, -1)], "id bigint, qty bigint"))
+    assert t.read().count() == 2  # nothing landed
+    with pytest.raises(CheckConstraintViolation):
+        t.overwrite(spark.createDataFrame([(4, 0)], "id bigint, qty bigint"))
+    t.append(spark.createDataFrame([(5, None)], "id bigint, qty bigint"))  # NULL ok
+    assert t.read().count() == 3
+
+    # adding a constraint the EXISTING data violates is refused
+    with pytest.raises(CheckConstraintViolation):
+        t.add_check_constraint("id_small", "id < 3")
+    assert "id_small" not in (t.properties().get("constraints") or {})
+
+    t.drop_check_constraint("qty_pos")
+    t.append(spark.createDataFrame([(6, -9)], "id bigint, qty bigint"))  # enforcement off
+    assert t.read().count() == 4
+
+    # partition-scoped (bucketed merge) path enforces too
+    tb = ParquetTable(spark, str(tmp_path / "tb"), partition_by=[BUCKET_COL])
+    init = spark.createDataFrame([Row(pk=i, v=i + 1) for i in range(10)])
+    batch_write(init, tb, mode="merge", key_cols=["pk"], order_col="v",
+                scd_type=1, num_buckets=4)
+    tb.add_check_constraint("v_pos", "v > 0")
+    bad = spark.createDataFrame([Row(pk=3, v=-5)])
+    with pytest.raises(CheckConstraintViolation, match="v_pos"):
+        batch_write(bad, tb, mode="merge", key_cols=["pk"], order_col="v",
+                    scd_type=1)
+    assert {r["v"] for r in tb.read().where("pk = 3").collect()} == {4}
