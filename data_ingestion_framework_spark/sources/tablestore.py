@@ -96,7 +96,12 @@ class ParquetTable:
         return bool(self._data_files())
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        r = self.spark.read
+        if self.properties().get("schema_evolved"):
+            # only tables that took a merge-schema append pay the
+            # multi-footer schema union; everyone else reads one footer
+            r = r.option("mergeSchema", "true")
+        return r.parquet(self.path)
 
     # -- commit log ----------------------------------------------------------
     def _log_dir(self) -> str:
@@ -380,11 +385,36 @@ class ParquetTable:
             self._writer(df, "overwrite").parquet(self.path)
             self._record_commit("create", metrics, new_files=[])
 
-    def append(self, df: DataFrame, metrics: dict | None = None) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        metrics: dict | None = None,
+        merge_schema: bool = False,
+    ) -> None:
         """writers/batch_writers.py:29-41 ``append_write`` /
-        writers/writer.py:941-949 ``simple_append_write_to_delta``."""
+        writers/writer.py:941-949 ``simple_append_write_to_delta``.
+
+        ``merge_schema=True`` is Delta's ``mergeSchema`` append: a
+        batch may ADD columns (existing rows read them back as NULL).
+        The table is flagged ``schema_evolved`` so subsequent reads
+        union footers instead of trusting the first; without the flag
+        a batch whose columns differ from the stored schema raises
+        (Delta's default schema enforcement) rather than silently
+        writing files later reads would drop."""
         self._enforce_constraints(df)
-        before = set(self._data_files()) if os.path.isdir(self.path) else set()
+        exists = os.path.isdir(self.path)
+        if exists and self._data_files():
+            stored = set(self.read().columns)
+            diff = set(df.columns) ^ stored  # added OR missing columns
+            if diff and not merge_schema:
+                raise ValueError(
+                    f"append: batch schema differs on {sorted(diff)} — "
+                    "pass merge_schema=True to evolve (Delta mergeSchema); "
+                    "missing columns read back as NULL"
+                )
+            if diff:
+                self.set_properties({"schema_evolved": True})
+        before = set(self._data_files()) if exists else set()
         self._writer(df, "append").parquet(self.path)
         new = [f for f in self._data_files() if f not in before]
         self._record_commit("append", metrics, new_files=new)

@@ -628,3 +628,33 @@ def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
         batch_write(bad, tb, mode="merge", key_cols=["pk"], order_col="v",
                     scd_type=1)
     assert {r["v"] for r in tb.read().where("pk = 3").collect()} == {4}
+
+
+def test_append_schema_evolution_merge_schema(spark, tmp_path):
+    """Delta mergeSchema parity: a schema-different append is refused
+    by default (schema enforcement); with merge_schema=True the table
+    evolves — added columns read back as NULL on old rows, missing
+    columns as NULL on new rows — and subsequent reads union footers."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id bigint, v string"))
+
+    widened = spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, v string, score double"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        t.append(widened)
+    t.append(widened, merge_schema=True)
+    got = {r["id"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+    # narrower batch (missing v) also evolves: NULLs fill in
+    t.append(
+        spark.createDataFrame([(3, 1.0)], "id bigint, score double"),
+        merge_schema=True,
+    )
+    rows = {r["id"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert rows[3] == (None, 1.0) and set(t.read().columns) == {"id", "v", "score"}
+    # lifecycle ops keep working on the evolved table
+    assert t.as_of(t.history()[-1]["seq"]).count() == 3
+    t.delete_where("id = 1")
+    assert sorted(rows_ := [r["id"] for r in t.read().collect()]) == [2, 3]
