@@ -1190,6 +1190,34 @@ def orders_merge_into_state(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Deletion-vector DELETE lifecycle under the oracle gate: two stacked
+# vector deletes (no data file rewritten — positions land in the _dv
+# sidecar) followed by a read that anti-joins them out. The whole
+# sidecar path — position capture, stacking via the existing-vector
+# anti-join, read-time subtraction — is what is value-checked.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_delete_dv_state",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+    """,
+)
+def orders_delete_dv_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = ParquetTable(spark, _scratch_dir("difs_dv_") + "/t")
+    t.overwrite(orders)
+    t.delete_where_dv(F.col("o_orderkey") % 7 == 0)
+    t.delete_where_dv(F.col("o_orderkey") % 11 == 0)
+    return t.read()
+
+
+# ---------------------------------------------------------------------------
 # ANALYZE-statistics parity under the oracle gate: per-column row/null/
 # distinct counts and min/max over orders, exact, long form. Column
 # types chosen so min/max stringification is engine-identical (bigint,

@@ -210,10 +210,12 @@ _PRIORITY = [
     # it cedes its window slot to an oracle-backed round-5 query
     "docs_pack_ffd",
     # round-6 additions awaiting a window slot (rotate in r7): the
-    # ANALYZE column-statistics lifecycle and the emitted generic-merge
-    # SQL state — both oracle-backed, local-green
+    # ANALYZE column-statistics lifecycle, the emitted generic-merge
+    # SQL state, and the deletion-vector DELETE lifecycle — all
+    # oracle-backed, local-green
     "orders_column_stats",
     "merge_sql_generic_state",
+    "orders_delete_dv_state",
     # the rows ceded by the round-6 rotation (driver-green 2+
     # rounds; mechanisms window-covered per the rotation note above)
     "docs_remove_boilerplate",

@@ -101,7 +101,93 @@ class ParquetTable:
             # only tables that took a merge-schema append pay the
             # multi-footer schema union; everyone else reads one footer
             r = r.option("mergeSchema", "true")
-        return r.parquet(self.path)
+        df = r.parquet(self.path)
+        if os.path.isdir(self._dv_dir()):
+            df = self._subtract_dv(df, [self._dv_dir()])
+        return df
+
+    # -- deletion vectors ----------------------------------------------------
+    def _dv_dir(self, root: str | None = None) -> str:
+        return os.path.join(root or self.path, "_dv")
+
+    def _subtract_dv(
+        self, df: DataFrame, dv_dirs: list[str], max_seq: int | None = None
+    ) -> DataFrame:
+        """Anti-join the deletion-vector sidecars out of a scan frame.
+        Vectors key on ``(_metadata.file_name, _metadata.row_index)`` —
+        part-file names carry task UUIDs, so the name alone identifies
+        the file without path normalization across live/history roots.
+        ``max_seq`` caps which deletes apply (time travel)."""
+        dv = None
+        for d in dv_dirs:
+            f = self.spark.read.parquet(d)
+            dv = f if dv is None else dv.unionByName(f)
+        if max_seq is not None:
+            dv = dv.where(F.col("dv_seq") <= max_seq)
+        marked = df.select(
+            "*",
+            F.col("_metadata.file_name").alias("__dv_f"),
+            F.col("_metadata.row_index").alias("__dv_p"),
+        )
+        cond = (F.col("__dv_f") == dv["file_name"]) & (
+            F.col("__dv_p") == dv["row_index"]
+        )
+        return marked.join(dv, cond, "left_anti").drop("__dv_f", "__dv_p")
+
+    def delete_where_dv(self, predicate) -> int:
+        """Deletion-vector DELETE — Delta deletion vectors parity: the
+        doomed rows' ``(file, position)`` pairs land in a ``_dv``
+        parquet sidecar stamped with the commit seq, and NO data file
+        is rewritten — an O(matched rows) commit where ``delete_where``
+        pays the full staged-swap rewrite: the 100 TB delete path.
+        Reads anti-join the sidecar (zero overhead for tables without
+        one); deletes stack; ``as_of`` applies only vectors with
+        ``dv_seq <= seq`` (a sidecar retired by a later rewrite travels
+        with its history snapshot); any full rewrite — ``compact()``,
+        ``overwrite``, update/delete/merge — materializes the deletes
+        and the fresh tree starts vector-free. A NULL predicate row is
+        not deleted. Unpartitioned tables only: a partition-scoped
+        commit would strand vectors referencing replaced files.
+        Erasure caveat (same as Delta's): the bytes remain in the data
+        files until a rewrite + ``vacuum()``."""
+        if not self.exists():
+            return 0
+        if self.partition_by:
+            raise ValueError(
+                "delete_where_dv requires an unpartitioned table — "
+                "partition-scoped commits would strand vectors; use "
+                "delete_where (rewrite) instead"
+            )
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        base = self.spark.read.parquet(self.path).select(
+            "*",
+            F.col("_metadata.file_name").alias("__dv_f"),
+            F.col("_metadata.row_index").alias("__dv_p"),
+        )
+        dvd = self._dv_dir()
+        if os.path.isdir(dvd):
+            dv = self.spark.read.parquet(dvd)
+            cond = (F.col("__dv_f") == dv["file_name"]) & (
+                F.col("__dv_p") == dv["row_index"]
+            )
+            base = base.join(dv, cond, "left_anti")
+        doomed = base.where(F.coalesce(pred, F.lit(False))).select(
+            F.col("__dv_f").alias("file_name"),
+            F.col("__dv_p").alias("row_index"),
+        )
+        if doomed.limit(1).count() == 0:
+            return 0
+        seq = self._next_seq()
+        before = (
+            set(self._data_files(dvd)) if os.path.isdir(dvd) else set()
+        )
+        doomed.withColumn(
+            "dv_seq", F.lit(seq).cast("bigint")
+        ).write.mode("append").parquet(dvd)
+        new = [f for f in self._data_files(dvd) if f not in before]
+        n = self._footer_rows([os.path.join(dvd, f) for f in new])
+        self._record_commit("delete_dv", {"rows_deleted": n}, new_files=[])
+        return n
 
     # -- commit log ----------------------------------------------------------
     def _log_dir(self) -> str:
@@ -265,15 +351,39 @@ class ParquetTable:
                     f"file {rel} of commit {seq} no longer retained "
                     f"(vacuumed?) in {self.path}"
                 )
+        dv_dirs = [
+            self._dv_dir(root)
+            for root in by_root
+            if os.path.isdir(self._dv_dir(root))
+        ]
         frames = []
         for root, paths in by_root.items():
             r = self.spark.read
             if self.partition_by:
                 r = r.option("basePath", root)
-            frames.append(r.parquet(*paths))
+            f = r.parquet(*paths)
+            if dv_dirs:
+                # metadata keys must be materialized per-scan (they
+                # don't resolve through a union)
+                f = f.select(
+                    "*",
+                    F.col("_metadata.file_name").alias("__dv_f"),
+                    F.col("_metadata.row_index").alias("__dv_p"),
+                )
+            frames.append(f)
         df = frames[0]
         for other in frames[1:]:
             df = df.unionByName(other)
+        if dv_dirs:
+            dv = None
+            for d in dv_dirs:
+                f = self.spark.read.parquet(d)
+                dv = f if dv is None else dv.unionByName(f)
+            dv = dv.where(F.col("dv_seq") <= seq)
+            cond = (F.col("__dv_f") == dv["file_name"]) & (
+                F.col("__dv_p") == dv["row_index"]
+            )
+            df = df.join(dv, cond, "left_anti").drop("__dv_f", "__dv_p")
         return df
 
     def vacuum(self, retain_last: int | None = None) -> int:
@@ -509,6 +619,16 @@ class ParquetTable:
         before = self._footer_rows(
             [os.path.join(self.path, f) for f in self._data_files()]
         )
+        if os.path.isdir(self._dv_dir()):
+            # live rows = data footers minus deletion-vector rows (each
+            # sidecar row hides exactly one data row; inserts are
+            # anti-joined against existing vectors so never duplicated)
+            before -= self._footer_rows(
+                [
+                    os.path.join(self._dv_dir(), f)
+                    for f in self._data_files(self._dv_dir())
+                ]
+            )
         seq = self._next_seq()
         intent = uuid.uuid4().hex
         if cdf_table is not None:
@@ -770,6 +890,14 @@ class ParquetTable:
         says is empty would silently keep its stale files."""
         if not self.partition_by:
             raise ValueError("overwrite_partitions requires partition_by")
+        if os.path.isdir(self._dv_dir()):
+            # belt-and-braces: delete_where_dv refuses partitioned
+            # tables, so live vectors here mean external tampering —
+            # replacing partitions would strand them
+            raise ValueError(
+                "overwrite_partitions: live deletion vectors present — "
+                "compact() first to materialize them"
+            )
         self._enforce_constraints(df)
         staging = f"{self.path}.__staging__{uuid.uuid4().hex[:8]}"
         try:

@@ -658,3 +658,64 @@ def test_append_schema_evolution_merge_schema(spark, tmp_path):
     assert t.as_of(t.history()[-1]["seq"]).count() == 3
     t.delete_where("id = 1")
     assert sorted(rows_ := [r["id"] for r in t.read().collect()]) == [2, 3]
+
+
+def test_deletion_vectors_lifecycle(spark, tmp_path):
+    """Deletion-vector DELETE: no data file rewritten (sidecar only),
+    reads anti-join, deletes stack, NULL predicates don't match,
+    as_of applies only vectors at-or-before the target seq, compact
+    materializes and clears the vectors, and the rewrite-path
+    delete_where stays footer-exact on a vectored table."""
+    from pyspark.sql import functions as F
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(100).selectExpr("id", "id % 10 AS d"))
+    files_before = set(t._data_files())
+    seq0 = t.history()[-1]["seq"]
+
+    n1 = t.delete_where_dv(F.col("id") % 4 == 0)  # 25 rows
+    assert n1 == 25
+    assert set(t._data_files()) == files_before  # data untouched
+    assert t.read().count() == 75
+    assert t.history()[-1]["op"] == "delete_dv"
+    seq1 = t.history()[-1]["seq"]
+
+    n2 = t.delete_where_dv("id % 10 = 1")  # 10 more (stacking)
+    assert n2 == 10
+    assert t.read().count() == 65
+    # re-deleting already-vectored rows is a no-op
+    assert t.delete_where_dv(F.col("id") % 4 == 0) == 0
+    # NULL predicate rows are not deleted
+    assert t.delete_where_dv(
+        F.when(F.col("id") < 0, F.lit(True))
+    ) == 0
+
+    # time travel: before any vector, between the two, and current
+    assert t.as_of(seq0).count() == 100
+    assert t.as_of(seq1).count() == 75
+    assert t.as_of(t.history()[-1]["seq"]).count() == 65
+
+    # compact materializes the deletes and clears the sidecar
+    t.compact(target_files=2)
+    import os
+
+    assert not os.path.isdir(t._dv_dir())
+    assert t.read().count() == 65
+    assert t._footer_rows(
+        [os.path.join(t.path, f) for f in t._data_files()]
+    ) == 65
+    # the retired tree kept its vectors: pre-compact as_of still right
+    assert t.as_of(seq1).count() == 75
+
+    # rewrite-path delete on a vectored table counts exactly
+    t2 = ParquetTable(spark, str(tmp_path / "t2"))
+    t2.overwrite(spark.range(50).selectExpr("id"))
+    t2.delete_where_dv("id >= 40")  # 10 vectored away
+    assert t2.delete_where("id >= 30") == 10  # NOT 20
+    assert t2.read().count() == 30
+
+    # partitioned tables refuse the vector path
+    tp = ParquetTable(spark, str(tmp_path / "tp"), partition_by=["p"])
+    tp.overwrite(spark.range(10).selectExpr("id", "id % 2 AS p"))
+    with pytest.raises(ValueError, match="unpartitioned"):
+        tp.delete_where_dv("id = 1")
