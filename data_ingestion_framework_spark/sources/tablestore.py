@@ -576,6 +576,114 @@ class ParquetTable:
         # append commits record per-commit counts).
         self._record_commit(op, metrics, new_files=self._data_files())
 
+    def _replace_files(
+        self,
+        touched: list[str],
+        replacement: DataFrame,
+        op: str,
+        metrics: dict | None,
+    ) -> dict:
+        """File-scoped copy-on-write commit (unpartitioned tables):
+        replace ONLY the named live data files with the replacement
+        frame's output files; every other file stays in place
+        byte-identical — Delta's touched-files rewrite for UPDATE/
+        DELETE, which keeps a 0.1%-selective statement O(touched
+        files) instead of O(table). Same staging discipline as
+        ``overwrite`` (the replacement materializes fully before any
+        live file moves; failures move the retained files back);
+        replaced files land under ``_history/pre{seq}`` so ``as_of``
+        still resolves them. Staged part files carry fresh task UUIDs,
+        so live-name collisions cannot happen."""
+        staging = f"{self.path}.__staging__{uuid.uuid4().hex[:8]}"
+        try:
+            replacement.write.mode("overwrite").parquet(staging)
+            staged = self._data_files(staging)
+            seq = self._next_seq()
+            retained = os.path.join(self._hist_dir(), f"pre{seq:08d}")
+            moved = []
+            try:
+                for rel in touched:
+                    dst = os.path.join(retained, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(os.path.join(self.path, rel), dst)
+                    moved.append(rel)
+                for rel in staged:
+                    os.rename(
+                        os.path.join(staging, rel),
+                        os.path.join(self.path, rel),
+                    )
+            except BaseException:
+                for rel in moved:  # put the live files back — never lose data
+                    os.rename(
+                        os.path.join(retained, rel),
+                        os.path.join(self.path, rel),
+                    )
+                raise
+            return self._record_commit(op, metrics, new_files=staged)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def _drop_dv_for_files(self, touched: list[str]) -> None:
+        """Drop deletion-vector rows referencing just-replaced files —
+        they can never match again (replacements have fresh names), but
+        leaving them would skew the footer-arithmetic live-row counts.
+        The sidecar is O(deleted rows); this is a tiny rewrite."""
+        dvd = self._dv_dir()
+        if not os.path.isdir(dvd):
+            return
+        kept = self.spark.read.parquet(dvd).where(
+            ~F.col("file_name").isin(touched)
+        )
+        tmp = f"{dvd}.__tmp__{uuid.uuid4().hex[:8]}"
+        kept.write.mode("overwrite").parquet(tmp)
+        n = self._footer_rows(
+            [os.path.join(tmp, f) for f in self._data_files(tmp)]
+        )
+        old = f"{dvd}.__old__{uuid.uuid4().hex[:8]}"
+        os.rename(dvd, old)
+        if n > 0:
+            os.rename(tmp, dvd)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def _scan_with_positions(self) -> DataFrame:
+        """The live frame with ``__f``/``__p`` file-position columns
+        (DV-filtered when a sidecar exists) — the input every
+        file-scoped statement derives touched files and replacement
+        rows from. Metadata columns must be materialized at the scan
+        (they don't resolve through joins)."""
+        r = self.spark.read
+        if self.properties().get("schema_evolved"):
+            r = r.option("mergeSchema", "true")
+        base = r.parquet(self.path).select(
+            "*",
+            F.col("_metadata.file_name").alias("__f"),
+            F.col("_metadata.row_index").alias("__p"),
+        )
+        dvd = self._dv_dir()
+        if os.path.isdir(dvd):
+            dv = self.spark.read.parquet(dvd)
+            cond = (F.col("__f") == dv["file_name"]) & (
+                F.col("__p") == dv["row_index"]
+            )
+            base = base.join(dv, cond, "left_anti")
+        return base
+
+    def _live_rows_in_files(self, touched: list[str]) -> int:
+        """Footer row count of the named files minus their deletion-
+        vector rows — control-plane (footer reads + a sidecar scan)."""
+        n = self._footer_rows([os.path.join(self.path, f) for f in touched])
+        dvd = self._dv_dir()
+        if os.path.isdir(dvd):
+            hit = (
+                self.spark.read.parquet(dvd)
+                .where(F.col("file_name").isin(touched))
+                .count()
+            )
+            n -= hit
+        return n
+
     def delete_where(
         self,
         predicate,
@@ -601,50 +709,60 @@ class ParquetTable:
         that never landed and re-emits their rows as ``insert`` changes
         so downstream state converges back. NOTE: erasure is only
         complete after ``vacuum()`` — time-travel history retains the
-        pre-delete files until then (same caveat Delta documents)."""
+        pre-delete files until then (same caveat Delta documents).
+
+        Scale shape: on an unpartitioned table the rewrite is
+        FILE-SCOPED copy-on-write (Delta's touched-files DELETE) —
+        only the files actually containing matched rows are replaced,
+        every other file stays byte-identical, so a selective delete
+        costs O(touched files + one dir listing), not O(table). The
+        full staged-swap path remains for partitioned tables and for
+        deletes touching every file."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         if not self.exists():
             return 0
         if cdf_table is not None:
             self.reconcile_cdf(cdf_table)
-        current = self.read()
-        doomed = current.where(pred)
-        # existence probe (short-circuits on the first match) instead of
-        # a full count scan: the exact deleted count comes free from
-        # parquet footers — rows before minus the rewrite commit's own
-        # rows_written — so a delete costs the rewrite plus O(first
-        # match), not an extra pass over the table
-        if doomed.limit(1).count() == 0:
-            return 0
-        before = self._footer_rows(
-            [os.path.join(self.path, f) for f in self._data_files()]
+        cur = self._scan_with_positions()
+        doomed = cur.where(F.coalesce(pred, F.lit(False)))
+        # touched-file discovery doubles as the existence probe; the
+        # list is control-plane sized (bounded by the file count)
+        touched = sorted(
+            r["__f"] for r in doomed.select("__f").distinct().collect()
         )
-        if os.path.isdir(self._dv_dir()):
-            # live rows = data footers minus deletion-vector rows (each
-            # sidecar row hides exactly one data row; inserts are
-            # anti-joined against existing vectors so never duplicated)
-            before -= self._footer_rows(
-                [
-                    os.path.join(self._dv_dir(), f)
-                    for f in self._data_files(self._dv_dir())
-                ]
-            )
+        if not touched:
+            return 0
+        all_files = self._data_files()
         seq = self._next_seq()
         intent = uuid.uuid4().hex
         if cdf_table is not None:
-            feed = doomed.withColumn("_change_type", F.lit("delete")).withColumn(
-                "_commit_version", F.lit(seq).cast("bigint")
+            feed = (
+                doomed.drop("__f", "__p")
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", F.lit(seq).cast("bigint"))
             )
             cdf_table.append(
                 feed,
                 metrics={"delete_intent": intent, "delete_intent_seq": seq},
             )
-        self.overwrite(
-            current.where(~F.coalesce(pred, F.lit(False))),
-            op="delete",
-            metrics={"delete_intent": intent} if cdf_table is not None else None,
-        )
-        rec = self.history()[-1]
+        metrics = {"delete_intent": intent} if cdf_table is not None else None
+        if not self.partition_by and len(touched) < len(all_files):
+            before = self._live_rows_in_files(touched)
+            replacement = (
+                cur.where(F.col("__f").isin(touched))
+                .where(~F.coalesce(pred, F.lit(False)))
+                .drop("__f", "__p")
+            )
+            rec = self._replace_files(touched, replacement, "delete", metrics)
+            self._drop_dv_for_files(touched)
+        else:
+            before = self._live_rows_in_files(all_files)
+            self.overwrite(
+                cur.where(~F.coalesce(pred, F.lit(False))).drop("__f", "__p"),
+                op="delete",
+                metrics=metrics,
+            )
+            rec = self.history()[-1]
         n = before - rec["rows_written"]
         self._amend_last_commit_metrics({"rows_deleted": n})
         return n
@@ -682,37 +800,46 @@ class ParquetTable:
         )
         if cdf_table is not None:
             self.reconcile_cdf(cdf_table)
-        current = self.read()
+        cur = self._scan_with_positions()
+        data_cols = [c for c in cur.columns if c not in ("__f", "__p")]
         exprs = {
             c: (F.expr(v) if isinstance(v, str) else v)
             for c, v in assignments.items()
         }
-        unknown = sorted(set(exprs) - set(current.columns))
+        unknown = sorted(set(exprs) - set(data_cols))
         if unknown:
             raise ValueError(f"update_where: unknown columns {unknown}")
-        hits = current.where(cond)
-        if hits.limit(1).count() == 0:
+        hits = cur.where(cond)
+        # touched-file discovery doubles as the existence probe
+        touched = sorted(
+            r["__f"] for r in hits.select("__f").distinct().collect()
+        )
+        if not touched:
             return 0
         n = hits.count()
-        updated = current.select(
-            *[
-                F.when(cond, exprs[c]).otherwise(F.col(c)).alias(c)
-                if c in exprs
-                else F.col(c)
-                for c in current.columns
-            ]
-        )
+
+        def _apply(frame: DataFrame) -> DataFrame:
+            return frame.select(
+                *[
+                    F.when(cond, exprs[c]).otherwise(F.col(c)).alias(c)
+                    if c in exprs
+                    else F.col(c)
+                    for c in data_cols
+                ]
+            )
+
         seq = self._next_seq()
         intent = uuid.uuid4().hex
         if cdf_table is not None:
+            pre = hits.drop("__f", "__p")
             post = hits.select(
                 *[
                     exprs[c].alias(c) if c in exprs else F.col(c)
-                    for c in current.columns
+                    for c in data_cols
                 ]
             )
             feed = (
-                hits.withColumn("_change_type", F.lit("update_preimage"))
+                pre.withColumn("_change_type", F.lit("update_preimage"))
                 .unionByName(
                     post.withColumn(
                         "_change_type", F.lit("update_postimage")
@@ -724,14 +851,23 @@ class ParquetTable:
                 feed,
                 metrics={"delete_intent": intent, "delete_intent_seq": seq},
             )
-        self.overwrite(
-            updated,
-            op="update",
-            metrics={
-                "rows_updated": n,
-                **({"delete_intent": intent} if cdf_table is not None else {}),
-            },
-        )
+        metrics = {
+            "rows_updated": n,
+            **({"delete_intent": intent} if cdf_table is not None else {}),
+        }
+        all_files = self._data_files()
+        if not self.partition_by and len(touched) < len(all_files):
+            # file-scoped copy-on-write: rewrite ONLY the files holding
+            # matched rows (Delta's touched-files UPDATE); constraints
+            # are enforced on the replacement — the only new rows
+            replacement = _apply(cur.where(F.col("__f").isin(touched)))
+            self._enforce_constraints(replacement)
+            self._replace_files(touched, replacement, "update", metrics)
+            self._drop_dv_for_files(touched)
+        else:
+            self.overwrite(
+                _apply(cur), op="update", metrics=metrics
+            )
         return n
 
     def reconcile_cdf(self, cdf_table: "ParquetTable") -> int:

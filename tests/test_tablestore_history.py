@@ -201,6 +201,27 @@ def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
     assert sorted(r["id"] for r in t.read().collect()) == [2, 3]
 
 
+def _crash_state_rewrite(monkeypatch, crash_op):
+    """Simulate a crash in the state rewrite for the given op on BOTH
+    commit paths — the full staged swap (overwrite) and the file-scoped
+    copy-on-write (_replace_files) that selective deletes/updates take."""
+    real_over = ParquetTable.overwrite
+    real_repl = ParquetTable._replace_files
+
+    def crashing_overwrite(self, df, metrics=None, op="overwrite"):
+        if op == crash_op:
+            raise OSError("simulated crash before rewrite")
+        return real_over(self, df, metrics=metrics, op=op)
+
+    def crashing_replace(self, touched, replacement, op, metrics):
+        if op == crash_op:
+            raise OSError("simulated crash before rewrite")
+        return real_repl(self, touched, replacement, op, metrics)
+
+    monkeypatch.setattr(ParquetTable, "overwrite", crashing_overwrite)
+    monkeypatch.setattr(ParquetTable, "_replace_files", crashing_replace)
+
+
 def test_delete_where_crash_between_feed_and_rewrite_reconciles(
     spark, tmp_path, monkeypatch
 ):
@@ -217,14 +238,7 @@ def test_delete_where_crash_between_feed_and_rewrite_reconciles(
     t.overwrite(spark.range(10).selectExpr("id", "id % 2 AS parity"))
 
     # crash AFTER the feed append, BEFORE the rewrite
-    real_overwrite = ParquetTable.overwrite
-
-    def crashing_overwrite(self, df, metrics=None, op="overwrite"):
-        if op == "delete":
-            raise OSError("simulated crash before rewrite")
-        return real_overwrite(self, df, metrics=metrics, op=op)
-
-    monkeypatch.setattr(ParquetTable, "overwrite", crashing_overwrite)
+    _crash_state_rewrite(monkeypatch, "delete")
     with pytest.raises(OSError, match="simulated crash"):
         t.delete_where(F.col("parity") == 1, cdf_table=feed)
     monkeypatch.undo()
@@ -276,14 +290,7 @@ def test_reconcile_cdf_skips_rows_a_rerun_already_erased(
     feed = ParquetTable(spark, str(tmp_path / "feed"))
     t.overwrite(spark.range(10).selectExpr("id", "id % 2 AS parity"))
 
-    real_overwrite = ParquetTable.overwrite
-
-    def crashing_overwrite(self, df, metrics=None, op="overwrite"):
-        if op == "delete":
-            raise OSError("simulated crash before rewrite")
-        return real_overwrite(self, df, metrics=metrics, op=op)
-
-    monkeypatch.setattr(ParquetTable, "overwrite", crashing_overwrite)
+    _crash_state_rewrite(monkeypatch, "delete")
     with pytest.raises(OSError, match="simulated crash"):
         t.delete_where(F.col("parity") == 1, cdf_table=feed)
     monkeypatch.undo()
@@ -310,14 +317,7 @@ def test_reconcile_cdf_flags_phantom_seq_aliasing(spark, tmp_path, monkeypatch):
     feed = ParquetTable(spark, str(tmp_path / "feed"))
     t.overwrite(spark.range(10).selectExpr("id", "id % 2 AS parity"))
 
-    real_overwrite = ParquetTable.overwrite
-
-    def crashing_overwrite(self, df, metrics=None, op="overwrite"):
-        if op == "delete":
-            raise OSError("simulated crash before rewrite")
-        return real_overwrite(self, df, metrics=metrics, op=op)
-
-    monkeypatch.setattr(ParquetTable, "overwrite", crashing_overwrite)
+    _crash_state_rewrite(monkeypatch, "delete")
     with pytest.raises(OSError, match="simulated crash"):
         t.delete_where(F.col("parity") == 1, cdf_table=feed)
     monkeypatch.undo()
@@ -344,7 +344,7 @@ def test_reconcile_cdf_flags_phantom_seq_aliasing(spark, tmp_path, monkeypatch):
     t2 = ParquetTable(spark, str(tmp_path / "t2"))
     feed2 = ParquetTable(spark, str(tmp_path / "feed2"))
     t2.overwrite(spark.range(4).selectExpr("id", "id % 2 AS parity"))
-    monkeypatch.setattr(ParquetTable, "overwrite", crashing_overwrite)
+    _crash_state_rewrite(monkeypatch, "delete")
     with pytest.raises(OSError, match="simulated crash"):
         t2.delete_where(F.col("parity") == 1, cdf_table=feed2)
     monkeypatch.undo()
@@ -549,14 +549,7 @@ def test_update_where_cdf_images_and_crash_reconcile(
     assert all(r["_commit_version"] == seq for r in rows)
 
     # crash window: feed lands, rewrite never does
-    real_overwrite = ParquetTable.overwrite
-
-    def crashing_overwrite(self, df, metrics=None, op="overwrite"):
-        if op == "update":
-            raise OSError("simulated crash before rewrite")
-        return real_overwrite(self, df, metrics=metrics, op=op)
-
-    monkeypatch.setattr(ParquetTable, "overwrite", crashing_overwrite)
+    _crash_state_rewrite(monkeypatch, "update")
     with pytest.raises(OSError, match="simulated crash"):
         t.update_where({"v": F.lit(-1)}, predicate="id = 1", cdf_table=feed)
     monkeypatch.undo()
@@ -719,3 +712,66 @@ def test_deletion_vectors_lifecycle(spark, tmp_path):
     tp.overwrite(spark.range(10).selectExpr("id", "id % 2 AS p"))
     with pytest.raises(ValueError, match="unpartitioned"):
         tp.delete_where_dv("id = 1")
+
+
+def test_file_scoped_delete_and_update_copy_on_write(spark, tmp_path):
+    """Selective DELETE/UPDATE on an unpartitioned table replaces ONLY
+    the files containing matched rows — untouched files stay
+    byte-identical in place (Delta's touched-files rewrite), counts
+    stay exact, as_of resolves the replaced files from history, and a
+    crash mid-replacement restores the live files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    # 8 files, each holding one contiguous range of 100 ids
+    t.overwrite(
+        spark.range(800).selectExpr("id", "id AS v").repartitionByRange(
+            8, "id"
+        )
+    )
+    files0 = {f: os.path.getmtime(os.path.join(t.path, f))
+              for f in t._data_files()}
+    assert len(files0) == 8
+
+    # delete matches ids 0-99 only -> exactly one file replaced
+    n = t.delete_where(F.col("id") < 100)
+    assert n == 100
+    assert t.history()[-1]["op"] == "delete"
+    files1 = set(t._data_files())
+    untouched = files1 & set(files0)
+    assert len(untouched) == 7  # seven originals survive in place
+    for f in untouched:  # byte-identical: never rewritten
+        assert os.path.getmtime(os.path.join(t.path, f)) == files0[f]
+    assert t.read().count() == 700
+    # the replaced file's rows are still time-travelable
+    assert t.as_of(t.history()[0]["seq"]).count() == 800
+
+    # update matches one range -> one file replaced, others in place
+    n = t.update_where({"v": "v + 1000"}, predicate="id >= 700")
+    assert n == 100
+    files2 = set(t._data_files())
+    assert len(files2 & files1) == len(files1) - 1
+    assert t.read().where("v >= 1700").count() == 100
+    assert t.read().where("id = 100").select("v").first()["v"] == 100
+
+    # crash mid-replacement restores the moved live files
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        # fail when the staged replacement file moves into the live dir
+        if "__staging__" in src and dst.startswith(t.path):
+            raise OSError("simulated crash during file swap")
+        return real_rename(src, dst)
+
+    import unittest.mock as mock
+
+    before = set(t._data_files())
+    count_before = t.read().count()
+    with mock.patch("os.rename", side_effect=failing_rename):
+        with pytest.raises(OSError, match="simulated crash"):
+            t.delete_where("id >= 600 AND id < 700")
+    assert set(t._data_files()) == before  # live tree fully restored
+    assert t.read().count() == count_before
