@@ -488,13 +488,18 @@ def merge_into(
                     F.col("__nmbs_upd"), when_not_matched_by_source_update[c]
                 ).otherwise(val)
             updated_cols.append(val.alias(c))
-        kept = marked.where(
+        new_state = marked.where(
             F.col("__tgt_row") & ~F.col("__del") & ~F.col("__nmbs_del")
         ).select(*updated_cols)
-        inserts = marked.where(F.col("__ins")).select(
-            *[F.col(f"__src_{c}").alias(c) for c in t_cols]
-        )
-        new_state = kept.unionByName(inserts)
+        if when_not_matched_insert:
+            # only built when insert is enabled: an update-only merge
+            # may legitimately use a source narrower than the target
+            # (__ins is constant-false then, but the projection would
+            # still demand __src_{c} for every target column)
+            inserts = marked.where(F.col("__ins")).select(
+                *[F.col(f"__src_{c}").alias(c) for c in t_cols]
+            )
+            new_state = new_state.unionByName(inserts)
         if bucketed and keys_rewritten:
             new_state = stamp_bucket(new_state.drop(BUCKET_COL), key_cols, nb)
 

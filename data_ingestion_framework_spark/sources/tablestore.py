@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 LOG_DIR = "_commits"
 HIST_DIR = "_history"
 PROPS_FILE = "_table.json"
+DV_PTR = "_dv_ptr"
 _AUX = (LOG_DIR, HIST_DIR, PROPS_FILE)
 
 
@@ -108,7 +109,21 @@ class ParquetTable:
 
     # -- deletion vectors ----------------------------------------------------
     def _dv_dir(self, root: str | None = None) -> str:
-        return os.path.join(root or self.path, "_dv")
+        """Active deletion-vector sidecar dir under ``root`` (default:
+        the live table). A ``_dv_ptr`` pointer file, when present,
+        names the active generation (``_dv.g{seq}``) — installed by
+        ``_retire_dv_for_files``'s crash-safe sidecar rewrite; an
+        empty pointer means "no active sidecar" (resolves to a path
+        that never exists). Without a pointer the plain ``_dv`` dir is
+        active. History snapshot roots resolve the same way, so a
+        snapshot taken from a post-rewrite tree keeps working."""
+        root = root or self.path
+        ptr = os.path.join(root, DV_PTR)
+        if os.path.isfile(ptr):
+            with open(ptr) as f:
+                gen = f.read().strip()
+            return os.path.join(root, gen or "_dv.none")
+        return os.path.join(root, "_dv")
 
     def _subtract_dv(
         self, df: DataFrame, dv_dirs: list[str], max_seq: int | None = None
@@ -178,12 +193,24 @@ class ParquetTable:
         if doomed.limit(1).count() == 0:
             return 0
         seq = self._next_seq()
+        if os.path.basename(dvd) == "_dv.none":
+            # an empty _dv_ptr (every prior vector retired by a
+            # copy-on-write rewrite) — allocate a fresh generation and
+            # flip the pointer to it AFTER the write lands, so a crash
+            # mid-write leaves no active sidecar and no commit: the
+            # delete simply never happened
+            dvd = os.path.join(self.path, f"_dv.g{seq:08d}")
         before = (
             set(self._data_files(dvd)) if os.path.isdir(dvd) else set()
         )
         doomed.withColumn(
             "dv_seq", F.lit(seq).cast("bigint")
         ).write.mode("append").parquet(dvd)
+        if os.path.basename(dvd) != os.path.basename(self._dv_dir()):
+            tmp = os.path.join(self.path, f".dvptr-{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as f:
+                f.write(os.path.basename(dvd))
+            os.rename(tmp, os.path.join(self.path, DV_PTR))
         new = [f for f in self._data_files(dvd) if f not in before]
         n = self._footer_rows([os.path.join(dvd, f) for f in new])
         self._record_commit("delete_dv", {"rows_deleted": n}, new_files=[])
@@ -355,6 +382,9 @@ class ParquetTable:
             self._dv_dir(root)
             for root in by_root
             if os.path.isdir(self._dv_dir(root))
+            # a crash between a retire's history write and its cleanup
+            # can leave a file-less _dv dir — unreadable as parquet
+            and self._data_files(self._dv_dir(root))
         ]
         frames = []
         for root, paths in by_root.items():
@@ -522,10 +552,16 @@ class ParquetTable:
                     "pass merge_schema=True to evolve (Delta mergeSchema); "
                     "missing columns read back as NULL"
                 )
-            if diff:
-                self.set_properties({"schema_evolved": True})
+            evolved = bool(diff)
+        else:
+            evolved = False
         before = set(self._data_files()) if exists else set()
         self._writer(df, "append").parquet(self.path)
+        if evolved:
+            # flag only after the write succeeds — a failed append must
+            # not leave the table paying the mergeSchema multi-footer
+            # union forever
+            self.set_properties({"schema_evolved": True})
         new = [f for f in self._data_files() if f not in before]
         self._record_commit("append", metrics, new_files=new)
 
@@ -623,29 +659,56 @@ class ParquetTable:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
-    def _drop_dv_for_files(self, touched: list[str]) -> None:
-        """Drop deletion-vector rows referencing just-replaced files —
-        they can never match again (replacements have fresh names), but
-        leaving them would skew the footer-arithmetic live-row counts.
-        The sidecar is O(deleted rows); this is a tiny rewrite."""
+    def _retire_dv_for_files(self, touched: list[str], seq: int) -> None:
+        """Retire deletion-vector rows referencing the files the commit
+        at ``seq`` just replaced (file-scoped copy-on-write): they move
+        into that commit's history snapshot (``_history/pre{seq}/_dv``)
+        so ``as_of`` any earlier commit still applies them to the
+        retained data files — the travels-with-its-snapshot contract
+        ``delete_where_dv`` documents, which the full-overwrite path
+        honors by leaving ``_dv`` inside the backup tree. The live
+        sidecar is then rewritten without them, so footer-arithmetic
+        live-row counts stay exact.
+
+        Crash-safe, in order: (1) the history copy lands first
+        (duplicated DV rows are harmless — reads anti-join on
+        (file, position)); (2) surviving rows are written to a fresh
+        generation dir ``_dv.g{seq}``; (3) a ``_dv_ptr`` pointer file
+        is renamed into place — an atomic flip, so there is never a
+        window with no active sidecar (the failure mode of a
+        rename-swap of the dir itself); (4) superseded generations are
+        swept — inert garbage whatever state a prior crash left."""
         dvd = self._dv_dir()
         if not os.path.isdir(dvd):
             return
-        kept = self.spark.read.parquet(dvd).where(
-            ~F.col("file_name").isin(touched)
-        )
-        tmp = f"{dvd}.__tmp__{uuid.uuid4().hex[:8]}"
-        kept.write.mode("overwrite").parquet(tmp)
+        live = self.spark.read.parquet(dvd)
+        retired = live.where(F.col("file_name").isin(touched))
+        if retired.limit(1).count() > 0:  # sidecar-sized, control-plane
+            pre_root = os.path.join(self._hist_dir(), f"pre{seq:08d}")
+            os.makedirs(pre_root, exist_ok=True)
+            retired.write.mode("append").parquet(self._dv_dir(pre_root))
+        gen = f"_dv.g{seq:08d}"
+        new_dir = os.path.join(self.path, gen)
+        live.where(~F.col("file_name").isin(touched)).write.mode(
+            "overwrite"
+        ).parquet(new_dir)
         n = self._footer_rows(
-            [os.path.join(tmp, f) for f in self._data_files(tmp)]
+            [os.path.join(new_dir, f) for f in self._data_files(new_dir)]
         )
-        old = f"{dvd}.__old__{uuid.uuid4().hex[:8]}"
-        os.rename(dvd, old)
-        if n > 0:
-            os.rename(tmp, dvd)
-        else:
-            shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
+        if n == 0:
+            shutil.rmtree(new_dir, ignore_errors=True)
+            gen = ""
+        tmp = os.path.join(self.path, f".dvptr-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(gen)
+        os.rename(tmp, os.path.join(self.path, DV_PTR))
+        active = os.path.join(self.path, gen) if gen else None
+        for d in os.listdir(self.path):
+            if d != "_dv" and not d.startswith("_dv.g"):
+                continue
+            full = os.path.join(self.path, d)
+            if full != active and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
 
     def _scan_with_positions(self) -> DataFrame:
         """The live frame with ``__f``/``__p`` file-position columns
@@ -754,7 +817,7 @@ class ParquetTable:
                 .drop("__f", "__p")
             )
             rec = self._replace_files(touched, replacement, "delete", metrics)
-            self._drop_dv_for_files(touched)
+            self._retire_dv_for_files(touched, rec["seq"])
         else:
             before = self._live_rows_in_files(all_files)
             self.overwrite(
@@ -862,8 +925,8 @@ class ParquetTable:
             # are enforced on the replacement — the only new rows
             replacement = _apply(cur.where(F.col("__f").isin(touched)))
             self._enforce_constraints(replacement)
-            self._replace_files(touched, replacement, "update", metrics)
-            self._drop_dv_for_files(touched)
+            rec = self._replace_files(touched, replacement, "update", metrics)
+            self._retire_dv_for_files(touched, rec["seq"])
         else:
             self.overwrite(
                 _apply(cur), op="update", metrics=metrics

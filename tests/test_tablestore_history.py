@@ -775,3 +775,155 @@ def test_file_scoped_delete_and_update_copy_on_write(spark, tmp_path):
             t.delete_where("id >= 600 AND id < 700")
     assert set(t._data_files()) == before  # live tree fully restored
     assert t.read().count() == count_before
+
+
+def test_retired_deletion_vectors_travel_with_history_snapshot(
+    spark, tmp_path
+):
+    """A deletion-vector DELETE followed by a file-scoped copy-on-write
+    statement touching the same file must NOT lose the vectors for
+    time travel: as_of any seq between the two resolves the replaced
+    file from _history/pre{seq} and applies its retired vectors from
+    the snapshot's own _dv sidecar (advisor repro: as_of used to
+    return 800 instead of 750)."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    # 8 files, one contiguous range of 100 ids each
+    t.overwrite(
+        spark.range(800).selectExpr("id", "id AS v").repartitionByRange(
+            8, "id"
+        )
+    )
+    assert len(t._data_files()) == 8
+
+    # 100 vectored rows across files 0 and 1
+    n_dv = t.delete_where_dv("id % 2 = 0 AND id < 200")
+    assert n_dv == 100
+    seq_dv = t.history()[-1]["seq"]
+    assert t.read().count() == 700
+
+    # file-scoped COW delete touching file 0 retires ITS vectors only
+    n = t.delete_where("id >= 10 AND id < 20")  # 5 live odd ids
+    assert n == 5
+    seq_cow = t.history()[-1]["seq"]
+    assert t.read().count() == 695
+
+    # the regression: between-seq time travel honors the retired DVs
+    assert t.as_of(seq_dv).count() == 700
+    assert t.as_of(seq_cow).count() == 695
+    # the snapshot carries its own sidecar
+    pre = os.path.join(t._hist_dir(), f"pre{seq_cow:08d}")
+    assert t._data_files(t._dv_dir(pre))
+
+    # the live sidecar swap is pointer-based (atomic flip): a _dv_ptr
+    # names the active generation holding file 1's surviving vectors,
+    # and the plain _dv dir is swept
+    assert os.path.isfile(os.path.join(t.path, "_dv_ptr"))
+    assert not os.path.isdir(os.path.join(t.path, "_dv"))
+    assert os.path.isdir(t._dv_dir())  # generation dir is active
+
+    # further vector deletes stack onto the active generation
+    assert t.delete_where_dv("id = 201") == 1
+    assert t.read().count() == 694
+    assert t.as_of(seq_cow).count() == 695
+
+    # COW UPDATE retires vectors the same way (touches file 1)
+    n_upd = t.update_where({"v": F.lit(-1)}, "id >= 120 AND id < 130")
+    assert n_upd == 5  # 5 odd live ids; evens are vectored away
+    assert t.as_of(seq_cow).count() == 695  # still exact
+    assert t.read().count() == 694
+
+    # a COW statement that empties the sidecar entirely: vector rows
+    # all belong to touched files -> empty pointer, no active sidecar
+    t2 = ParquetTable(spark, str(tmp_path / "t2"))
+    t2.overwrite(
+        spark.range(100).selectExpr("id", "id AS v").coalesce(1)
+    )
+    t2.delete_where_dv("id < 10")
+    seq_a = t2.history()[-1]["seq"]
+    t2.delete_where("id >= 50")  # every file touched: full-overwrite
+    assert not os.path.isdir(t2._dv_dir())  # fallback, sidecar retired
+    assert t2.read().count() == 40
+    assert t2.as_of(seq_a).count() == 90
+
+    # sentinel path: a file-scoped COW retiring EVERY vector leaves an
+    # empty pointer; the next vector delete must allocate a fresh
+    # generation (not write into the _dv.none sentinel)
+    t3 = ParquetTable(spark, str(tmp_path / "t3"))
+    t3.overwrite(
+        spark.range(100).selectExpr("id", "id AS v").repartitionByRange(
+            2, "id"
+        )
+    )
+    t3.delete_where_dv("id < 10")  # vectors on file 0 only
+    seq_b = t3.history()[-1]["seq"]
+    t3.delete_where("id >= 20 AND id < 30")  # touches file 0 only
+    assert os.path.isfile(os.path.join(t3.path, "_dv_ptr"))
+    assert not os.path.isdir(t3._dv_dir())  # empty pointer: no sidecar
+    assert t3.read().count() == 80
+    assert t3.as_of(seq_b).count() == 90
+    assert t3.delete_where_dv("id = 60") == 1
+    assert os.path.basename(t3._dv_dir()).startswith("_dv.g")
+    assert t3.read().count() == 79
+
+
+def test_merge_into_update_only_with_narrow_source(spark, tmp_path):
+    """Update-only MERGE (when_not_matched_insert=False) with a source
+    narrower than the target — the standard update-feed shape — must
+    not demand the missing target columns (regression: the insert
+    projection was built unconditionally and raised
+    UNRESOLVED_COLUMN on __src_extra)."""
+    from data_ingestion_framework_spark.sinks.writers import (
+        merge_into,
+        merge_source,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "pk int, v string, extra int",
+        )
+    )
+    src = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "pk int, v string"
+    )  # no 'extra' column; pk=4 unmatched and must NOT insert
+    metrics = merge_into(
+        t,
+        src,
+        ["pk"],
+        when_matched_update={"v": merge_source("v")},
+        when_not_matched_insert=False,
+    )
+    assert metrics == {
+        "rows_updated": 1,
+        "rows_deleted": 0,
+        "rows_inserted": 0,
+    }
+    got = {r["pk"]: (r["v"], r["extra"]) for r in t.read().collect()}
+    assert got == {1: ("a", 10), 2: ("B", 20), 3: ("c", 30)}
+
+
+def test_schema_evolved_flag_set_only_after_successful_append(
+    spark, tmp_path
+):
+    """A failed merge-schema append must not permanently flag the table
+    as schema_evolved (which would tax every future read with the
+    mergeSchema multi-footer union for nothing)."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(5).selectExpr("id"))
+    boom = spark.range(1).select(
+        "id",
+        F.raise_error(F.lit("simulated write failure")).cast("string")
+        .alias("extra"),
+    )
+    with pytest.raises(Exception, match="simulated write failure"):
+        t.append(boom, merge_schema=True)
+    assert not t.properties().get("schema_evolved")
+
+    # the successful evolve still flags it
+    t.append(
+        spark.createDataFrame([(9, "x")], "id bigint, extra string"),
+        merge_schema=True,
+    )
+    assert t.properties().get("schema_evolved")
+    assert set(t.read().columns) == {"id", "extra"}
