@@ -70,6 +70,12 @@ HEADLINE = [
     # the residual projection feeding the codebook train
     "similarity_ivfpq_topk",
     "similarity_ivfpq_residual_topk",
+    # round-7: binary sign quantization (Hamming pre-rank + cosine
+    # re-rank — the bandwidth-cheap two-stage ANN) and DSIR hashed
+    # bigram importance weights (one conditional-count aggregate +
+    # broadcast log-ratio table)
+    "similarity_hamming_topk",
+    "docs_dsir_weights",
     # flagship composite: clean→redact→gate→dedup→decontam→quota→sample
     # with silver staging (the restartable, single-materialization form)
     "corpus_pipeline_staged",

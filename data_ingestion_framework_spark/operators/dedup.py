@@ -16,6 +16,8 @@ Beyond-reference surface (BASELINE.json north star). Scale design notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -502,6 +504,28 @@ def minhash_dedup_pairs(
     return verify_candidate_pairs(df, cands, id_col, text_col, shingle_size, threshold)
 
 
+def _md5_sig_member(sh: Column, i: int) -> Column:
+    """Member ``i`` of the md5 MinHash family: ``min over shingles of
+    md5(i ':' shingle)`` (hex prefix parsed to BIGINT).
+
+    The prefix MUST be captured as a plain string in a ONE-parameter
+    lambda: a ``lambda s, i=i:`` default-arg closure has arity 2, so
+    pyspark treats it as an (element, index) lambda and passes the
+    array-index Column as ``i`` — silently shadowing the Python int
+    and hashing a ``Column<'y_N'>`` repr whose auto-generated variable
+    name varies with a global counter (nondeterministic across runs,
+    and unreproducible in DuckDB)."""
+    pfx = f"{i}:"
+    return F.array_min(
+        F.transform(
+            sh,
+            lambda s: F.conv(
+                F.substring(F.md5(F.concat(F.lit(pfx), s)), 1, 15), 16, 10
+            ).cast("bigint"),
+        )
+    )
+
+
 def minhash_md5_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -530,15 +554,7 @@ def minhash_md5_pairs(
     spread = _spread_normalized(df, id_col, text_col)
     sh = char_shingles("__norm", shingle_size, pre_normalized=True)
     sig = [
-        F.array_min(
-            F.transform(
-                sh,
-                lambda s, i=i: F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15), 16, 10
-                ).cast("bigint"),
-            )
-        ).alias(f"__m{i}")
-        for i in range(num_hashes)
+        _md5_sig_member(sh, i).alias(f"__m{i}") for i in range(num_hashes)
     ]
     signed = spread.select(F.col(id_col), *sig)
     band_rows = signed.select(
@@ -1234,4 +1250,140 @@ def containment_pairs(
             | (F.col("containment_b") >= F.lit(threshold))
         )
         .select("id_a", "id_b", "containment_a", "containment_b")
+    )
+
+
+# -- incremental dedup against a persisted MinHash index ---------------------
+
+
+def minhash_md5_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Per-document MinHash signature as ONE ``array<bigint>`` column —
+    the persistable unit of an incremental dedup index (same md5 hash
+    family as :func:`minhash_md5_pairs`, so every value is reproducible
+    in DuckDB). Persist ``(id, minhash_sig)`` once per corpus batch;
+    later batches dedup against it WITHOUT touching the corpus text
+    again — the O(new batch) shape that keeps continuous ingest at
+    100 TB from recomputing a corpus-wide index every run."""
+    spread = _spread_normalized(df, id_col, text_col)
+    sh = char_shingles("__norm", shingle_size, pre_normalized=True)
+    return spread.select(
+        F.col(id_col),
+        F.array(
+            *[_md5_sig_member(sh, i) for i in range(num_hashes)]
+        ).alias("minhash_sig"),
+    )
+
+
+def minhash_sig_bands(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    sig_col: str = "minhash_sig",
+) -> DataFrame:
+    """LSH band keys from a stored signature array: ``(id, band,
+    bucket)`` with ``bucket = md5`` of the band's signature slice —
+    identical keys to :func:`minhash_md5_pairs`' inline banding."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        F.col(sig_col), b * r + j + 1
+                                    ).cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bb"),
+    ).select(id_col, "__bb.band", "__bb.bucket")
+
+
+def minhash_incremental_pairs(
+    batch_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_agreement: float = 0.5,
+    round_to: int = 4,
+    sig_col: str = "minhash_sig",
+) -> DataFrame:
+    """Near-dup pairs between an INCOMING batch and a PERSISTED
+    signature index — incremental MinHash dedup: only the batch is
+    shingled/hashed (upstream, via :func:`minhash_md5_signatures`);
+    the index side reads stored signatures. Band-bucket equi-join
+    generates candidates (the LSH guarantee carries over — a pair
+    agreeing on any band collides), then the signature-agreement
+    estimate of Jaccard (matching members / num_hashes, the standard
+    MinHash estimator) verifies WITHOUT any text: the integer match
+    count gates (``matches >= ceil(min_agreement · num_hashes)`` —
+    integer-exact on both engines).
+
+    Returns ``(id_new, id_index, sig_agreement)``. Scale shape: the
+    candidate join shuffles band keys of the small batch against the
+    index's band table (itself an incrementally-appendable store);
+    signature fetch joins touch only candidate ids. Nothing rescans
+    corpus text."""
+    thresh = math.ceil(min_agreement * num_hashes)
+    nb = minhash_sig_bands(
+        batch_sigs, id_col, num_hashes, bands, sig_col
+    ).select(F.col(id_col).alias("id_new"), "band", "bucket")
+    ib = minhash_sig_bands(
+        index_sigs, id_col, num_hashes, bands, sig_col
+    ).select(F.col(id_col).alias("id_index"), "band", "bucket")
+    cands = (
+        nb.join(ib, ["band", "bucket"])
+        .select("id_new", "id_index")
+        .distinct()
+    )
+    a = batch_sigs.select(
+        F.col(id_col).alias("id_new"), F.col(sig_col).alias("__sa")
+    )
+    b = index_sigs.select(
+        F.col(id_col).alias("id_index"), F.col(sig_col).alias("__sb")
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("__sa"),
+            F.col("__sb"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)).cast(
+                "bigint"
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.join(a, "id_new")
+        .join(b, "id_index")
+        .withColumn("__match", matches)
+        .where(F.col("__match") >= thresh)
+        .select(
+            "id_new",
+            "id_index",
+            F.round(
+                F.col("__match").cast("double") / num_hashes, round_to
+            ).alias("sig_agreement"),
+        )
     )

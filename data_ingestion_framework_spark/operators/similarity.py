@@ -800,3 +800,117 @@ def ivfpq_adc_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def binary_signature(vec: Column, dim: int) -> Column:
+    """Sign-bit binary quantization: pack each embedding into
+    ``ceil(dim/32)`` 32-bit words (``array<bigint>``), bit = 1 where
+    the component is > 0 — 32× smaller than float32, and Hamming
+    distance over the packed words approximates angular distance
+    (Charikar 2002 sign-random-projection, applied to the identity
+    basis). The fold puts the first component of each word at the
+    high bit (acc*2 + bit), matching the oracle's explicit bit
+    placement. 32-bit words keep every intermediate exact in BIGINT
+    on both engines (a 64-bit fold would overflow the top bit)."""
+    v = _to_double(vec)
+    words = (dim + 31) // 32
+    return F.array(
+        *[
+            F.aggregate(
+                F.slice(v, j * 32 + 1, 32),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc * 2
+                + F.when(x > 0, F.lit(1)).otherwise(F.lit(0)),
+            )
+            for j in range(words)
+        ]
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Total popcount of XORed packed-word arrays (same word layout on
+    both sides)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Binary-quantized ANN: Hamming pre-rank over sign-bit signatures,
+    exact cosine re-rank of the per-query ``shortlist`` — the standard
+    two-stage shape for billion-scale search (signatures are 32×
+    smaller than the vectors, so the pre-rank scan is bandwidth-cheap
+    and stays in JVM integer ops; floats are touched only for
+    ``shortlist`` candidates per query).
+
+    Returns ``(q_id, id, hamming, cos_sim)`` — top ``k`` per query by
+    re-ranked cosine, both stages with deterministic id tiebreaks.
+
+    Scale shape: the pre-rank broadcasts only (query_id, signature);
+    the candidate fetch joins the shortlist ids back to the corpus (a
+    shuffle proportional to queries × shortlist, not the corpus); the
+    query vectors broadcast once for the re-rank. In a persisted
+    deployment the signature column is computed once at ingest and the
+    pre-rank scan column-prunes to it."""
+    corp = _spread(corpus).select(
+        F.col(id_col),
+        binary_signature(F.col(vec_col), dim).alias("__sig"),
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        binary_signature(F.col(vec_col), dim).alias("__qsig"),
+    )
+    pre = (
+        corp.crossJoin(F.broadcast(q.select(query_id_col, "__qsig")))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            hamming_distance(F.col("__sig"), F.col("__qsig")).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col(query_id_col) != F.col(id_col))
+    )
+    wpre = W.partitionBy(query_id_col).orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    cand = (
+        pre.withColumn("__rn", F.row_number().over(wpre))
+        .where(F.col("__rn") <= shortlist)
+        .drop("__rn")
+    )
+    scored = (
+        cand.join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(F.broadcast(q.select(query_id_col, "__qv")), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col("hamming"),
+            F.round(cosine(F.col("__qv"), F.col(vec_col)), round_to).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wk = W.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wk))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -819,3 +819,108 @@ def ccnet_bucket_assign(
             bucket.alias("bucket"),
         )
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_cond: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 512,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how much its hashed
+    bigram features look like a TARGET distribution rather than the raw
+    corpus, then keep the highest-weight documents — the published
+    recipe for tilting a web-scale crawl toward a quality domain
+    without training a classifier.
+
+    ``target_cond`` marks the target rows INSIDE ``df`` (e.g. a
+    curated-source flag or a language gate); a NULL condition row is
+    not target. Features are whitespace bigrams hashed into
+    ``num_buckets`` buckets (the paper's hashed n-gram model); the
+    per-document importance log-weight is
+
+        log w(x) = Σ_grams ln( p_target(bucket) / p_raw(bucket) )
+
+    with add-one smoothing on both distributions. Returns
+    ``(id, n_grams, dsir_logw)`` — all documents when ``top_k`` is
+    None, else the ``top_k`` highest-weight documents (importance
+    resampling's keep set, deterministic id tiebreak).
+
+    Cross-engine determinism: md5-derived buckets (DuckDB-replicable),
+    per-bucket log-ratios rounded to 6 dp and cast to DECIMAL before
+    the per-doc summation (exact, order-independent), final weight cast
+    to DOUBLE.
+
+    Scale shape: one explode → per-(doc,bucket) counts with map-side
+    combine; ONE aggregate produces both the raw and target bucket
+    counts (a conditional sum — no second corpus pass); the ≤
+    ``num_buckets``-row log-ratio table and the 1-row totals broadcast
+    to the scoring join; ``top_k`` executes as TakeOrderedAndProject
+    (distributed top-k, no single-partition sort). No UDFs, no
+    collect."""
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(target_cond, F.lit(False)).alias("__tgt"),
+        F.filter(
+            F.split(normalize_text(text_col), " "), lambda x: x != ""
+        ).alias("__toks"),
+    ).where(F.size("__toks") >= 2)
+    grams = base.select(
+        F.col(id_col),
+        "__tgt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("__toks"), i),
+                    F.element_at(F.col("__toks"), i + F.lit(1)),
+                ),
+            )
+        ).alias("__gram"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__gram")), 1, 8), 16, 10)
+        .cast("bigint")
+        % num_buckets
+    )
+    per_doc = grams.groupBy(F.col(id_col), bucket.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__c_tgt"),
+    )
+    buckets = per_doc.groupBy("__b").agg(
+        F.sum("__c").alias("__cr"), F.sum("__c_tgt").alias("__ct")
+    )
+    totals = buckets.agg(
+        F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt")
+    )
+    lw = F.round(
+        F.log(
+            ((F.col("__ct") + 1).cast("double")
+             / (F.col("__tt") + num_buckets).cast("double"))
+            / ((F.col("__cr") + 1).cast("double")
+               / (F.col("__tr") + num_buckets).cast("double"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    ratios = buckets.crossJoin(F.broadcast(totals)).select(
+        "__b", lw.alias("__lw")
+    )
+    out = (
+        per_doc.join(F.broadcast(ratios), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_grams"),
+            F.sum(F.col("__c").cast("decimal(18,0)") * F.col("__lw"))
+            .cast("double")
+            .alias("dsir_logw"),
+        )
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("dsir_logw").desc(), F.col(id_col)
+        ).limit(top_k)
+    return out

@@ -3312,3 +3312,191 @@ def corpus_pipeline_curated(spark, sf_dir):
 def docs_ccnet_buckets(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return text.ccnet_bucket_assign(docs, k=256)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169):
+# hashed-bigram importance weights of every document against a target
+# distribution (here: the English subset), top-100 keep set. The
+# oracle re-derives the full chain — bigrams, md5 bucket hashing, the
+# single conditional-count aggregate, smoothed log-ratios (rounded to
+# DECIMAL before the per-doc sum, so summation order can't skew the
+# value hash), and the TakeOrdered keep set.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_dsir_weights",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, COALESCE(lang = 'en', FALSE) AS tgt,
+             [toks[i] || ' ' || toks[i + 1]
+              for i in generate_series(1, len(toks) - 1)] AS grams
+      FROM n WHERE len(toks) >= 2
+    ),
+    e AS (SELECT doc_id, tgt, unnest(grams) AS gram FROM g),
+    pd AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT % 512 AS b,
+             COUNT(*) AS c,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+      FROM e GROUP BY 1, 2
+    ),
+    bk AS (SELECT b, SUM(c) AS cr, SUM(c_tgt) AS ct FROM pd GROUP BY b),
+    tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM bk),
+    lr AS (
+      SELECT b,
+             ROUND(LN( ((ct + 1)::DOUBLE / (tt + 512)::DOUBLE)
+                       / ((cr + 1)::DOUBLE / (tr + 512)::DOUBLE) ),
+                   6)::DECIMAL(18,6) AS lw
+      FROM bk CROSS JOIN tot
+    )
+    SELECT pd.doc_id,
+           CAST(SUM(pd.c) AS BIGINT) AS n_grams,
+           CAST(SUM(pd.c::DECIMAL(18,0) * lr.lw) AS DOUBLE) AS dsir_logw
+    FROM pd JOIN lr USING (b)
+    GROUP BY pd.doc_id
+    ORDER BY dsir_logw DESC, doc_id
+    LIMIT 100
+    """,
+)
+def docs_dsir_weights(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.dsir_importance_weights(
+        docs, F.col("lang") == "en", num_buckets=512, top_k=100
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binary sign quantization + Hamming pre-rank + exact cosine re-rank —
+# the bandwidth-cheap two-stage ANN (signatures are 32× smaller than
+# the float vectors; integer xor/popcount pre-rank, floats touched
+# only for the 50-candidate shortlist). The oracle reproduces the
+# exact bit packing (element i of each 32-element word at bit 32-i,
+# matching the Spark fold's acc*2+bit order), the integer Hamming
+# shortlist, and the established cosine re-rank shape.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "similarity_hamming_topk",
+    oracle="""
+    WITH sig AS (
+      SELECT vec_id,
+             [ list_sum([ CASE WHEN embedding[j * 32 + i] > 0
+                               THEN (1::BIGINT << (32 - i)) ELSE 0 END
+                          for i in generate_series(1, 32) ])::BIGINT
+               for j in generate_series(0, 1) ] AS s
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT q.vec_id AS q_id, c.vec_id,
+             list_sum([ bit_count(xor(q.s[w], c.s[w]))
+                        for w in generate_series(1, 2) ])::BIGINT AS hamming
+      FROM sig q JOIN sig c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                 ORDER BY hamming, c.vec_id) <= 50
+    ),
+    elems AS (
+      SELECT vec_id,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM elems GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT cand.q_id, cand.vec_id, cand.hamming, SUM(qe.x * ce.x) AS dp
+      FROM cand
+      JOIN elems qe ON qe.vec_id = cand.q_id
+      JOIN elems ce ON ce.vec_id = cand.vec_id AND ce.i = qe.i
+      GROUP BY 1, 2, 3
+    )
+    SELECT d.q_id, d.vec_id, d.hamming,
+           ROUND(CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
+                      ELSE d.dp / (nq.nrm * nc.nrm) END, 4) AS cos_sim
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.q_id
+    JOIN norms nc ON nc.vec_id = d.vec_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY d.q_id
+                               ORDER BY cos_sim DESC, d.vec_id) <= 10
+    """,
+)
+def similarity_hamming_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.binary_hamming_topk(
+        emb, queries, dim=64, k=10, shortlist=50
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup against a persisted signature index: the
+# incoming batch (doc_id % 5 = 0) is the only side that shingles and
+# hashes; the index side reads stored signatures (here derived in the
+# same query for oracle closure — in deployment they come from the
+# signature table the previous ingest persisted). Band join generates
+# cross-side candidates; the MinHash signature-agreement estimator
+# verifies with an INTEGER gate (matches >= 8 of 16) — no text rescan.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "dedup_incremental_minhash",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([
+               substring(t, i, 5)
+               for i in generate_series(1, greatest(length(t) - 4, 1))
+             ]) AS s
+      FROM n
+    ),
+    sig AS (
+      SELECT doc_id,
+             [ list_min([ ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || x),
+                                          1, 15))::BIGINT
+                          for x in s ])
+               for i in generate_series(0, 15) ] AS m
+      FROM sh
+    ),
+    bnd AS (
+      SELECT doc_id, b.b AS band,
+             md5(array_to_string(m[b.b * 4 + 1 : b.b * 4 + 4], ',')) AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_new, c.doc_id AS id_index
+      FROM bnd a JOIN bnd c ON a.band = c.band AND a.bucket = c.bucket
+      WHERE a.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+    ),
+    mt AS (
+      SELECT cand.id_new, cand.id_index,
+             list_sum([ CASE WHEN sa.m[i] = sb.m[i] THEN 1 ELSE 0 END
+                        for i in generate_series(1, 16) ])::BIGINT AS mc
+      FROM cand
+      JOIN sig sa ON sa.doc_id = cand.id_new
+      JOIN sig sb ON sb.doc_id = cand.id_index
+    )
+    SELECT id_new, id_index, ROUND(mc::DOUBLE / 16, 4) AS sig_agreement
+    FROM mt WHERE mc >= 8
+    """,
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    batch_sigs = dedup.minhash_md5_signatures(
+        docs.where(F.col("doc_id") % 5 == 0)
+    )
+    index_sigs = dedup.minhash_md5_signatures(
+        docs.where(F.col("doc_id") % 5 != 0)
+    )
+    return dedup.minhash_incremental_pairs(
+        batch_sigs, index_sigs, min_agreement=0.5
+    )

@@ -156,8 +156,31 @@ _PRIORITY = [
     "similarity_ivfpq_topk",
     "similarity_lsh_topk",
     "orders_hilbert_keys",
+    # ROUND-7 ROTATION: six rows driver-green 2+ rounds (r5+r6) cede
+    # their slots to the three round-6 queries still awaiting a slot
+    # (ANALYZE column stats, emitted generic-merge SQL, deletion-vector
+    # DELETE lifecycle) and the three new round-7 queries (DSIR
+    # importance weights, binary-Hamming ANN, incremental MinHash
+    # index dedup). Ceded mechanisms stay window-graded:
+    # docs_split_assign via docs_shuffle_rank + docs_quality_weighted_
+    # sample (deterministic-hash assignment family),
+    # events_funnel_conversion via events_sessionize +
+    # events_cohort_retention (sequential event-window family),
+    # docs_dedup_lines via corpus_pipeline_staged/curated (the
+    # pipeline runs the frequent-line boilerplate stage),
+    # docs_quality_topfrac via docs_quality_weighted_sample,
+    # embeddings_pq_codes via similarity_pq_topk + similarity_ivfpq_
+    # topk (their oracles re-derive the full codebook build + encode),
+    # events_incremental_rollup via events_incremental_partition_
+    # rollup (the partition-scoped superset of the same commit-delta
+    # refresh). All six stay in the full local gate.
+    "orders_column_stats",
+    "merge_sql_generic_state",
+    "orders_delete_dv_state",
+    "docs_dsir_weights",
+    "similarity_hamming_topk",
+    "dedup_incremental_minhash",
     # round-5 additions — never driver-graded, all oracle-backed
-    "docs_split_assign",
     "semantic_dedup_keep",
     "text_unigram_ce",
     "docs_decontaminate_bloom",
@@ -174,12 +197,8 @@ _PRIORITY = [
     # round-5 rotation — the 7 round-4 queries that had never been
     # driver-graded (all oracle-backed, local-pass) take the slots
     # ceded above by rows green since r2/r3:
-    "events_funnel_conversion",
     "events_cohort_retention",
-    "docs_dedup_lines",
-    "docs_quality_topfrac",
     "multimodal_audio_meta",
-    "events_incremental_rollup",
     "orders_delete_state",
     # ROUND-5 BUILD ROTATION: ten r4-green rows cede their slots to the
     # ten new-in-round-5 oracle-backed queries (inserted before the
@@ -198,24 +217,24 @@ _PRIORITY = [
     "docs_badword_report",
     "docs_quality_weighted_sample",
     "dedup_containment_pairs",
-    "embeddings_pq_codes",
     "similarity_pq_topk",
     "events_incremental_partition_rollup",
     "text_bigram_ce",
     "multimodal_video_meta",
     "orders_restore_state",
     # end of the 50-query driver window
+    # the six rows ceded by the round-7 rotation (driver-green r5+r6;
+    # mechanisms window-covered per the rotation note above)
+    "docs_split_assign",
+    "events_funnel_conversion",
+    "docs_dedup_lines",
+    "docs_quality_topfrac",
+    "embeddings_pq_codes",
+    "events_incremental_rollup",
     "corpus_pipeline_end2end",
     # rows-only (no oracle): the driver's hash gate can't grade it, so
     # it cedes its window slot to an oracle-backed round-5 query
     "docs_pack_ffd",
-    # round-6 additions awaiting a window slot (rotate in r7): the
-    # ANALYZE column-statistics lifecycle, the emitted generic-merge
-    # SQL state, and the deletion-vector DELETE lifecycle — all
-    # oracle-backed, local-green
-    "orders_column_stats",
-    "merge_sql_generic_state",
-    "orders_delete_dv_state",
     # the rows ceded by the round-6 rotation (driver-green 2+
     # rounds; mechanisms window-covered per the rotation note above)
     "docs_remove_boilerplate",

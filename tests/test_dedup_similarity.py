@@ -1040,3 +1040,131 @@ def test_pq_train_encode_adc_roundtrip(spark):
     top = pq_adc_topk(emb, q, books, k=3).collect()
     assert [r["vec_id"] for r in top[:1]][0] in (2, 4, 6)  # same cluster
     assert all(float(r["adc_dist"]) < 1.0 for r in top)  # within-cluster
+
+
+def test_md5_sig_member_matches_hashlib(spark):
+    """Pin the md5 MinHash family against the documented definition —
+    min over shingles of md5('i:' + shingle) — with an independent
+    hashlib witness. Regression for the default-arg lambda arity trap:
+    ``lambda s, i=i:`` is an (element, index) lambda to pyspark, so the
+    index Column silently shadowed the Python int and the family
+    hashed nondeterministic Column reprs."""
+    import hashlib
+
+    df = spark.createDataFrame([Row(doc_id=1, text="abcde")])  # 1 shingle
+    sigs = dedup.minhash_md5_signatures(df, num_hashes=4).collect()[0][
+        "minhash_sig"
+    ]
+    expected = [
+        int(hashlib.md5(f"{i}:abcde".encode()).hexdigest()[:15], 16)
+        for i in range(4)
+    ]
+    assert sigs == expected
+    assert len(set(sigs)) == 4  # distinct members per i
+
+
+def test_minhash_incremental_pairs_against_index(spark):
+    """Incremental dedup: incoming batch vs a persisted signature
+    index — cross-side pairs only, exact dup at agreement 1.0,
+    unrelated docs silent."""
+    index_docs = spark.createDataFrame(
+        [Row(doc_id=1, text=DOC_A), Row(doc_id=2, text=DOC_B)]
+    )
+    batch_docs = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=DOC_A),        # exact dup of index 1
+            Row(doc_id=11, text=DOC_A_NEAR),   # near dup of index 1
+            Row(doc_id=12, text="unrelated payload nothing shared here at all"),
+        ]
+    )
+    idx = dedup.minhash_md5_signatures(index_docs)
+    bat = dedup.minhash_md5_signatures(batch_docs)
+    out = {
+        (r["id_new"], r["id_index"]): r["sig_agreement"]
+        for r in dedup.minhash_incremental_pairs(
+            bat, idx, min_agreement=0.5
+        ).collect()
+    }
+    assert out[(10, 1)] == 1.0
+    assert all(k[0] in (10, 11, 12) and k[1] in (1, 2) for k in out)
+    assert (12, 2) not in out and (12, 1) not in out
+
+
+def test_binary_signature_and_hamming(spark):
+    """Bit packing: first element of each 32-wide word lands at the
+    high bit (fold acc*2+bit); Hamming counts exactly the flipped
+    signs."""
+    v1 = [1.0] + [-1.0] * 63          # only bit 31 of word 0 set
+    v2 = [1.0] + [-1.0] * 62 + [1.0]  # also bit 0 of word 1
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=v1), Row(vec_id=2, embedding=v2)]
+    )
+    sigs = {
+        r["vec_id"]: r["s"]
+        for r in df.select(
+            "vec_id",
+            similarity.binary_signature(F.col("embedding"), 64).alias("s"),
+        ).collect()
+    }
+    assert sigs[1] == [2**31, 0]
+    assert sigs[2] == [2**31, 1]
+    ham = df.alias("a").crossJoin(df.alias("b")).select(
+        F.col("a.vec_id").alias("ia"),
+        F.col("b.vec_id").alias("ib"),
+        similarity.hamming_distance(
+            similarity.binary_signature(F.col("a.embedding"), 64),
+            similarity.binary_signature(F.col("b.embedding"), 64),
+        ).alias("h"),
+    ).collect()
+    hmap = {(r["ia"], r["ib"]): r["h"] for r in ham}
+    assert hmap[(1, 1)] == 0 and hmap[(1, 2)] == 1
+
+
+def test_binary_hamming_topk_finds_aligned_vectors(spark):
+    """The Hamming shortlist + cosine re-rank surfaces the sign-aligned
+    vector first, with hamming carried through."""
+    base = [1.0, -1.0] * 32
+    flipped = [-x for x in base]
+    noisy = base[:]
+    noisy[2] = -noisy[2]  # one sign flip
+    rows = [
+        Row(vec_id=0, embedding=base),
+        Row(vec_id=1, embedding=noisy),
+        Row(vec_id=2, embedding=flipped),
+        Row(vec_id=3, embedding=[0.5 * x for x in base]),  # same signs
+    ]
+    df = spark.createDataFrame(rows)
+    out = similarity.binary_hamming_topk(
+        df, df.where(F.col("vec_id") == 0), dim=64, k=2, shortlist=3
+    ).collect()
+    got = [(r["vec_id"], r["hamming"]) for r in out]
+    # scaled copy (hamming 0, cosine 1.0) first; one-flip vector next
+    assert got[0] == (3, 0)
+    assert got[1][0] == 1 and got[1][1] == 1
+
+
+def test_dsir_importance_weights_prefers_target_like_docs(spark):
+    """DSIR (hashed-bigram importance resampling): a raw doc sharing
+    the target subset's bigrams outweighs one that doesn't; n_grams is
+    tokens-1; top_k keeps the highest weights."""
+    tgt_text = "high quality curated encyclopedia article text"
+    rows = [
+        Row(doc_id=i, text=tgt_text, lang="en") for i in range(4)
+    ] + [
+        Row(doc_id=10, text="quality curated encyclopedia article", lang="xx"),
+        Row(doc_id=11, text="zz yy xx ww vv uu", lang="xx"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["doc_id"]: r
+        for r in text.dsir_importance_weights(
+            df, F.col("lang") == "en", num_buckets=64
+        ).collect()
+    }
+    assert out[10]["n_grams"] == 3
+    assert out[10]["dsir_logw"] > out[11]["dsir_logw"]
+    top = text.dsir_importance_weights(
+        df, F.col("lang") == "en", num_buckets=64, top_k=5
+    ).collect()
+    assert len(top) == 5
+    assert 11 not in {r["doc_id"] for r in top}

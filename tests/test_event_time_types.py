@@ -199,7 +199,6 @@ def test_driver_grading_window_covers_priority_queries():
         "dq_violation_counts",
         "events_asof_purchase",
         "similarity_lsh_topk",
-        "docs_split_assign",
         "semantic_dedup_keep",
         "text_unigram_ce",
         "docs_decontaminate_bloom",
@@ -209,14 +208,9 @@ def test_driver_grading_window_covers_priority_queries():
         "orders_zorder_keys",
         "cdf_merge_changes",
         "docs_fuzzy_entity_pairs",
-        # round-5 rotation: the 7 previously-never-driver-graded
-        # queries plus the reshaped quantize query
-        "events_funnel_conversion",
+        # round-5 rotation survivors (others ceded in r7)
         "events_cohort_retention",
-        "docs_dedup_lines",
-        "docs_quality_topfrac",
         "multimodal_audio_meta",
-        "events_incremental_rollup",
         "orders_delete_state",
         "embeddings_quantize_int8",
         # round-5 build rotation: the ten new-this-round queries
@@ -224,7 +218,6 @@ def test_driver_grading_window_covers_priority_queries():
         "docs_badword_report",
         "docs_quality_weighted_sample",
         "dedup_containment_pairs",
-        "embeddings_pq_codes",
         "similarity_pq_topk",
         "events_incremental_partition_rollup",
         "text_bigram_ce",
@@ -240,5 +233,13 @@ def test_driver_grading_window_covers_priority_queries():
         "similarity_ivfpq_topk",
         "similarity_ivfpq_residual_topk",
         "orders_update_state",
+        # round-7 rotation: the three round-6 queries that were still
+        # awaiting a slot plus this round's three new surfaces
+        "orders_column_stats",
+        "merge_sql_generic_state",
+        "orders_delete_dv_state",
+        "docs_dsir_weights",
+        "similarity_hamming_topk",
+        "dedup_incremental_minhash",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
