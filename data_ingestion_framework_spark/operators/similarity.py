@@ -914,3 +914,73 @@ def binary_hamming_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Matryoshka retrieval (Kusupati et al. 2022, arXiv:2205.13147):
+    rank cheaply on the first ``prefix_dim`` components (MRL-trained
+    embeddings concentrate signal in the prefix), then re-rank the
+    per-query ``shortlist`` with full-dimension exact cosine — the
+    adaptive-dimension funnel. At 100 TB the pre-rank scan reads a
+    ``prefix_dim/dim`` slice of the vector bytes (store the prefix as
+    its own column for real column pruning); full vectors are touched
+    only for shortlist candidates. Returns
+    ``(q_id, id, prefix_sim, cos_sim)``, both stages rounded-then-
+    ranked with id tiebreaks (cross-engine deterministic)."""
+    pre_corp = _spread(corpus).select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, prefix_dim).alias("__pv")
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("__qp"),
+    )
+    pre = (
+        pre_corp.crossJoin(F.broadcast(q.select(query_id_col, "__qp")))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(cosine(F.col("__qp"), F.col("__pv")), round_to).alias(
+                "prefix_sim"
+            ),
+        )
+        .where(F.col(query_id_col) != F.col(id_col))
+    )
+    wpre = W.partitionBy(query_id_col).orderBy(
+        F.col("prefix_sim").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        pre.withColumn("__rn", F.row_number().over(wpre))
+        .where(F.col("__rn") <= shortlist)
+        .drop("__rn")
+    )
+    scored = (
+        cand.join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(F.broadcast(q.select(query_id_col, "__qv")), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col("prefix_sim"),
+            F.round(cosine(F.col("__qv"), F.col(vec_col)), round_to).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wk = W.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wk))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -358,3 +358,82 @@ def mg_finalize(summary: DataFrame, value_col: str, k: int = 10) -> DataFrame:
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def kmv_set_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise set-overlap estimates between every pair of groups from
+    their KMV sketches (Beyer et al. 2007, SIGMOD — the published KMV
+    synopsis algebra): for groups (a, b), combine the two sketches,
+    keep the k smallest distinct hashes L of the union, and count how
+    many of L appear in BOTH sketches. Then
+
+        jaccard ≈ |L ∩ A ∩ B| / |L|,  |A ∪ B| ≈ (k-1)/R_k,
+        |A ∩ B| ≈ jaccard · |A ∪ B|
+
+    with the exact-when-small rule: a union sketch smaller than k saw
+    every distinct value, so the counts are exact. Returns
+    ``(group_a, group_b, sketch_size, kmv_jaccard, approx_union,
+    approx_intersection)``.
+
+    Everything is deterministic integer/md5 arithmetic (FLOOR, not
+    ROUND, at the estimate edges — no engine-specific half-way ties);
+    the jaccard ratio is exact rational → ROUND(…,4). Scale shape: the
+    per-group sketch is ≤ k rows (`kmv_rows`' bounded state); the pair
+    table is |groups|² — control-plane for any realistic group count —
+    and the overlap count rides one window over the tiny union frame.
+    Sketches MERGE, so at 100 TB the group sketches arrive from
+    per-partition partial sketches, never a re-scan."""
+    rows = kmv_rows(df, [group_col], value_col, k)
+    pairs = (
+        rows.select(F.col(group_col).alias("group_a"))
+        .distinct()
+        .crossJoin(rows.select(F.col(group_col).alias("group_b")).distinct())
+        .where(F.col("group_a") < F.col("group_b"))
+    )
+    both_sides = pairs.join(
+        rows.withColumnRenamed(group_col, "__g"),
+        (F.col("__g") == F.col("group_a"))
+        | (F.col("__g") == F.col("group_b")),
+    )
+    marked = both_sides.groupBy("group_a", "group_b", "__h").agg(
+        F.max((F.col("__g") == F.col("group_a")).cast("int")).alias("__ina"),
+        F.max((F.col("__g") == F.col("group_b")).cast("int")).alias("__inb"),
+    )
+    w = W.partitionBy("group_a", "group_b").orderBy("__h")
+    union_k = (
+        marked.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+    )
+    agg = union_k.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.max("__h").alias("__hk"),
+        F.sum(F.col("__ina") * F.col("__inb")).alias("__both"),
+    )
+    union_est = F.when(
+        F.col("__m") < k, F.col("__m").cast("double")
+    ).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(DOMAIN) / F.col("__hk").cast("double")
+        ).cast("double")
+    )
+    return agg.select(
+        "group_a",
+        "group_b",
+        F.col("__m").cast("bigint").alias("sketch_size"),
+        F.round(F.col("__both").cast("double") / F.col("__m"), 4).alias(
+            "kmv_jaccard"
+        ),
+        union_est.cast("bigint").alias("approx_union"),
+        F.floor(
+            F.col("__both").cast("double")
+            * union_est
+            / F.col("__m").cast("double")
+        )
+        .cast("bigint")
+        .alias("approx_intersection"),
+    )

@@ -1386,3 +1386,57 @@ def merge_sql_generic_state(spark, sf_dir):
         nmbs_delete_condition="target.status = 'F'",
     )
     return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# SHALLOW CLONE lifecycle under the oracle gate: source takes a
+# deletion-vector delete, is cloned (hardlinked, zero-copy), the CLONE
+# then diverges (COW delete + append) while the SOURCE diverges the
+# other way — the returned clone state must reflect the source AS OF
+# the clone plus only the clone's own edits, proving the hardlinked
+# files are copy-on-write in both directions.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_clone_state",
+    oracle="""
+    WITH at_clone AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    after_delete AS (
+      SELECT * FROM at_clone
+      WHERE NOT (o_orderkey % 5 = 0 AND o_totalprice < 150000)
+    )
+    SELECT * FROM after_delete
+    UNION ALL
+    SELECT -o_orderkey, o_custkey, o_totalprice
+    FROM at_clone WHERE o_orderkey <= 10
+    """,
+)
+def orders_clone_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = _scratch_dir("difs_clone_")
+    src = ParquetTable(spark, root + "/src")
+    src.overwrite(orders)
+    src.delete_where_dv(F.col("o_orderkey") % 7 == 0)
+    dst = src.clone(root + "/dst")
+    # clone-side divergence
+    dst.delete_where(
+        (F.col("o_orderkey") % 5 == 0) & (F.col("o_totalprice") < 150000)
+    )
+    dst.append(
+        src.as_of(src.history()[-1]["seq"])
+        .where(F.col("o_orderkey") <= 10)
+        .select(
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+        )
+    )
+    # source-side divergence AFTER the clone must not leak into it
+    src.delete_where(F.col("o_orderkey") % 3 == 0)
+    return dst.read()

@@ -3500,3 +3500,131 @@ def dedup_incremental_minhash(spark, sf_dir):
     return dedup.minhash_incremental_pairs(
         batch_sigs, index_sigs, min_agreement=0.5
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set-overlap algebra (Beyer et al. 2007): pairwise Jaccard /
+# union / intersection estimates between event types' user sets from
+# their mergeable KMV sketches — audience-overlap analysis without a
+# |users_a ∩ users_b| scan. FLOOR at the estimate edges, exact
+# rational → ROUND(…,4) for the Jaccard.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_kmv_overlap",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+      FROM events
+    ),
+    sk AS (
+      SELECT event_type, hh FROM h
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) <= 64
+    ),
+    pairs AS (
+      SELECT a.event_type AS group_a, b.event_type AS group_b
+      FROM (SELECT DISTINCT event_type FROM sk) a
+      JOIN (SELECT DISTINCT event_type FROM sk) b
+        ON a.event_type < b.event_type
+    ),
+    mk AS (
+      SELECT p.group_a, p.group_b, s.hh,
+             MAX(CASE WHEN s.event_type = p.group_a THEN 1 ELSE 0 END) AS ina,
+             MAX(CASE WHEN s.event_type = p.group_b THEN 1 ELSE 0 END) AS inb
+      FROM pairs p JOIN sk s ON s.event_type IN (p.group_a, p.group_b)
+      GROUP BY 1, 2, 3
+    ),
+    uk AS (
+      SELECT group_a, group_b, hh, ina, inb FROM mk
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY group_a, group_b
+                                 ORDER BY hh) <= 64
+    ),
+    ag AS (
+      SELECT group_a, group_b, COUNT(*) AS m, MAX(hh) AS hk,
+             SUM(ina * inb) AS nboth
+      FROM uk GROUP BY 1, 2
+    )
+    SELECT group_a, group_b,
+           CAST(m AS BIGINT) AS sketch_size,
+           ROUND(nboth::DOUBLE / m, 4) AS kmv_jaccard,
+           CAST(CASE WHEN m < 64 THEN m::DOUBLE
+                     ELSE FLOOR(63.0 * 1152921504606846976.0 / hk::DOUBLE)
+                END AS BIGINT) AS approx_union,
+           CAST(FLOOR(nboth::DOUBLE
+                      * (CASE WHEN m < 64 THEN m::DOUBLE
+                              ELSE FLOOR(63.0 * 1152921504606846976.0
+                                         / hk::DOUBLE) END)
+                      / m::DOUBLE) AS BIGINT) AS approx_intersection
+    FROM ag
+    """,
+)
+def events_kmv_overlap(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    return sketches.kmv_set_overlap(ev, "event_type", "user_id", k=64)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka retrieval (Kusupati et al. 2022): prefix-dimension cosine
+# pre-rank (first 16 of 64 dims — a 4× cheaper scan) feeding a
+# full-dimension exact re-rank of the 50-candidate shortlist. Same
+# rounded-then-ranked determinism as the other ANN oracles.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "similarity_matryoshka_topk",
+    oracle="""
+    WITH elems AS (
+      SELECT vec_id,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    pnorms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM elems
+      WHERE i <= 16 GROUP BY vec_id
+    ),
+    pq AS (SELECT vec_id AS q_id, i, x FROM elems
+           WHERE vec_id < 5 AND i <= 16),
+    pdots AS (
+      SELECT pq.q_id, e.vec_id, SUM(pq.x * e.x) AS dp
+      FROM pq JOIN elems e ON pq.i = e.i AND e.i <= 16
+      GROUP BY pq.q_id, e.vec_id
+    ),
+    cand AS (
+      SELECT d.q_id, d.vec_id,
+             ROUND(CASE WHEN nq.nrm * ne.nrm = 0 THEN 0.0
+                        ELSE d.dp / (nq.nrm * ne.nrm) END, 4) AS prefix_sim
+      FROM pdots d
+      JOIN pnorms nq ON nq.vec_id = d.q_id
+      JOIN pnorms ne ON ne.vec_id = d.vec_id
+      WHERE d.q_id <> d.vec_id
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY d.q_id
+                                 ORDER BY prefix_sim DESC, d.vec_id) <= 50
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM elems GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT cand.q_id, cand.vec_id, cand.prefix_sim, SUM(qe.x * ce.x) AS dp
+      FROM cand
+      JOIN elems qe ON qe.vec_id = cand.q_id
+      JOIN elems ce ON ce.vec_id = cand.vec_id AND ce.i = qe.i
+      GROUP BY 1, 2, 3
+    )
+    SELECT d.q_id, d.vec_id, d.prefix_sim,
+           ROUND(CASE WHEN nq.nrm * nc.nrm = 0 THEN 0.0
+                      ELSE d.dp / (nq.nrm * nc.nrm) END, 4) AS cos_sim
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.q_id
+    JOIN norms nc ON nc.vec_id = d.vec_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY d.q_id
+                               ORDER BY cos_sim DESC, d.vec_id) <= 10
+    """,
+)
+def similarity_matryoshka_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.matryoshka_topk(
+        emb, queries, prefix_dim=16, k=10, shortlist=50
+    )

@@ -180,6 +180,18 @@ _PRIORITY = [
     "docs_dsir_weights",
     "similarity_hamming_topk",
     "dedup_incremental_minhash",
+    # round-7 second wave: SHALLOW CLONE lifecycle, KMV set-overlap
+    # algebra, Matryoshka prefix-funnel retrieval. Slots ceded by
+    # docs_badword_report (badword gating runs inside
+    # corpus_pipeline_curated), docs_contamination_fraction (graded
+    # decontamination also exercised by corpus_pipeline_curated, bloom
+    # sibling docs_decontaminate_bloom stays in-window), and
+    # multimodal_video_meta (same Arrow mapInPandas machinery as the
+    # in-window multimodal_audio_meta). All three stay in the full
+    # local gate.
+    "orders_clone_state",
+    "events_kmv_overlap",
+    "similarity_matryoshka_topk",
     # round-5 additions — never driver-graded, all oracle-backed
     "semantic_dedup_keep",
     "text_unigram_ce",
@@ -213,18 +225,18 @@ _PRIORITY = [
     # docs_quality_weighted_sample + docs_split_assign, and
     # corpus_pipeline_splits via corpus_pipeline_staged +
     # docs_split_assign. All stay in the full local gate.
-    "docs_contamination_fraction",
-    "docs_badword_report",
     "docs_quality_weighted_sample",
     "dedup_containment_pairs",
     "similarity_pq_topk",
     "events_incremental_partition_rollup",
     "text_bigram_ce",
-    "multimodal_video_meta",
     "orders_restore_state",
     # end of the 50-query driver window
-    # the six rows ceded by the round-7 rotation (driver-green r5+r6;
-    # mechanisms window-covered per the rotation note above)
+    # the nine rows ceded by the round-7 rotation (driver-green r5+r6;
+    # mechanisms window-covered per the rotation notes above)
+    "docs_badword_report",
+    "docs_contamination_fraction",
+    "multimodal_video_meta",
     "docs_split_assign",
     "events_funnel_conversion",
     "docs_dedup_lines",

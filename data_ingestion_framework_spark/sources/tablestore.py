@@ -468,6 +468,60 @@ class ParquetTable:
         old = self.as_of(seq)
         self.overwrite(old, metrics={"restored_seq": seq}, op="restore")
 
+    def clone(self, dest_path: str) -> "ParquetTable":
+        """SHALLOW CLONE — ``CREATE TABLE ... SHALLOW CLONE src`` (Delta)
+        parity: an O(live files) metadata-only copy. Every live data
+        file is HARDLINKED into ``dest_path`` (zero data bytes copied;
+        same filesystem required), the active deletion-vector sidecar
+        and table properties (constraints, schema_evolved, bucketing)
+        travel with it, and the clone starts a FRESH commit log whose
+        first record is op ``clone`` naming the source — exactly
+        Delta's semantics: time travel on the clone begins at the
+        clone.
+
+        Divergence is free and safe in both directions because no
+        commit path ever modifies a data file in place: appends add
+        new files; COW delete/update/overwrite RENAME the clone's own
+        directory entries (a hardlink is a separate entry — the
+        source's entry and bytes are untouched) and write replacements
+        as new files; ``vacuum`` on either side just unlinks names,
+        decrementing the shared inode's link count. The 100 TB use
+        case: fork a full production table for a backfill experiment
+        in seconds, pay storage only for the diff."""
+        if not self.exists():
+            raise ValueError(f"clone: source table {self.path} is empty")
+        if os.path.isdir(dest_path) and os.listdir(dest_path):
+            raise ValueError(f"clone: destination {dest_path} not empty")
+        os.makedirs(dest_path, exist_ok=True)
+        for rel in self._data_files():
+            dst = os.path.join(dest_path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(os.path.join(self.path, rel), dst)
+        dvd = self._dv_dir()
+        if os.path.isdir(dvd):
+            # the clone gets the sidecar under the plain _dv name (its
+            # own generation lineage starts clean, no pointer)
+            ddst = os.path.join(dest_path, "_dv")
+            for f in self._data_files(dvd):
+                os.makedirs(
+                    os.path.dirname(os.path.join(ddst, f)), exist_ok=True
+                )
+                os.link(os.path.join(dvd, f), os.path.join(ddst, f))
+        dst_t = ParquetTable(
+            self.spark, dest_path, partition_by=list(self.partition_by)
+        )
+        props = self.properties()
+        if props:
+            dst_t.set_properties(props)
+        dst_t._record_commit(
+            "clone",
+            {"source": self.path, "source_seq": (
+                self.history()[-1]["seq"] if self.history() else None
+            )},
+            new_files=dst_t._data_files(),
+        )
+        return dst_t
+
     # -- CHECK constraints ---------------------------------------------------
     def add_check_constraint(self, name: str, expr_sql: str) -> None:
         """``ALTER TABLE ... ADD CONSTRAINT ... CHECK (expr)`` parity

@@ -1168,3 +1168,28 @@ def test_dsir_importance_weights_prefers_target_like_docs(spark):
     ).collect()
     assert len(top) == 5
     assert 11 not in {r["doc_id"] for r in top}
+
+
+def test_matryoshka_topk_prefix_funnel(spark):
+    """Prefix pre-rank + full-dim re-rank: a vector identical in the
+    prefix but divergent in the tail is caught by the re-rank; the
+    full-dim twin wins."""
+    base = [1.0] * 64
+    twin = [1.0] * 64            # identical
+    prefix_only = [1.0] * 16 + [-1.0] * 48  # same prefix, opposite tail
+    far = [-1.0] * 64
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=base),
+            Row(vec_id=1, embedding=twin),
+            Row(vec_id=2, embedding=prefix_only),
+            Row(vec_id=3, embedding=far),
+        ]
+    )
+    out = similarity.matryoshka_topk(
+        df, df.where(F.col("vec_id") == 0), prefix_dim=16, k=3, shortlist=3
+    ).collect()
+    ranked = [(r["vec_id"], r["prefix_sim"], r["cos_sim"]) for r in out]
+    assert ranked[0] == (1, 1.0, 1.0)        # full twin first
+    assert ranked[1][0] == 2                  # prefix twin re-ranked down
+    assert ranked[1][1] == 1.0 and ranked[1][2] < 1.0

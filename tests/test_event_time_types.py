@@ -214,14 +214,11 @@ def test_driver_grading_window_covers_priority_queries():
         "orders_delete_state",
         "embeddings_quantize_int8",
         # round-5 build rotation: the ten new-this-round queries
-        "docs_contamination_fraction",
-        "docs_badword_report",
         "docs_quality_weighted_sample",
         "dedup_containment_pairs",
         "similarity_pq_topk",
         "events_incremental_partition_rollup",
         "text_bigram_ce",
-        "multimodal_video_meta",
         "orders_restore_state",
         # round-6 rotation: the four never-driver-graded round-5
         # queries plus this round's two new surfaces
@@ -241,5 +238,8 @@ def test_driver_grading_window_covers_priority_queries():
         "docs_dsir_weights",
         "similarity_hamming_topk",
         "dedup_incremental_minhash",
+        "orders_clone_state",
+        "events_kmv_overlap",
+        "similarity_matryoshka_topk",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"

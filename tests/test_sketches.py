@@ -133,3 +133,32 @@ def test_mg_summary_merge_law(spark):
     for r in got:
         assert r["est_count"] <= exact[r["val"]] <= r["upper_bound"], r
     assert got[0]["val"] == "u001"
+
+
+def test_kmv_set_overlap_exact_when_small(spark):
+    """Below-k union sketches see every distinct value: jaccard, union
+    and intersection are exact; identical sets give jaccard 1.0;
+    disjoint sets 0.0."""
+    from pyspark.sql import Row
+
+    from data_ingestion_framework_spark.operators import sketches
+
+    rows = (
+        [Row(g="a", v=i) for i in range(10)]
+        + [Row(g="b", v=i) for i in range(5, 15)]   # |a∩b|=5, |a∪b|=15
+        + [Row(g="c", v=i) for i in range(100, 110)]  # disjoint
+        + [Row(g="d", v=i) for i in range(10)]      # identical to a
+    )
+    df = spark.createDataFrame(rows)
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in sketches.kmv_set_overlap(df, "g", "v", k=64).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["kmv_jaccard"] == round(5 / 15, 4)
+    assert ab["approx_union"] == 15 and ab["approx_intersection"] == 5
+    ad = out[("a", "d")]
+    assert ad["kmv_jaccard"] == 1.0 and ad["approx_intersection"] == 10
+    ac = out[("a", "c")]
+    assert ac["kmv_jaccard"] == 0.0 and ac["approx_intersection"] == 0
+    assert len(out) == 6  # all unordered pairs of 4 groups

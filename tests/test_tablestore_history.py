@@ -927,3 +927,49 @@ def test_schema_evolved_flag_set_only_after_successful_append(
     )
     assert t.properties().get("schema_evolved")
     assert set(t.read().columns) == {"id", "extra"}
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    """SHALLOW CLONE: hardlinked files (zero bytes copied), DV sidecar
+    and properties travel, fresh commit log, and divergence in either
+    direction never touches the other side."""
+    src = ParquetTable(spark, str(tmp_path / "src"))
+    src.overwrite(
+        spark.range(200).selectExpr("id", "id * 2 AS v").repartitionByRange(
+            4, "id"
+        )
+    )
+    src.delete_where_dv("id % 10 = 0")  # 20 vectored rows travel
+    src.add_check_constraint("v_nonneg", "v >= 0")
+
+    dst = src.clone(str(tmp_path / "dst"))
+    assert dst.read().count() == 180
+    assert {r["id"] for r in dst.read().collect()} == {
+        r["id"] for r in src.read().collect()
+    }
+    # zero-copy: shared inodes (link count 2), fresh log
+    f0 = src._data_files()[0]
+    assert os.stat(os.path.join(src.path, f0)).st_nlink == 2
+    assert [r["op"] for r in dst.history()] == ["clone"]
+    assert dst.history()[0]["metrics"]["source"] == src.path
+    # properties traveled: the constraint is enforced on the clone
+    with pytest.raises(Exception, match="v_nonneg"):
+        dst.append(spark.createDataFrame([(999, -5)], "id bigint, v bigint"))
+
+    # diverge the clone: COW delete + append; source must not move
+    n = dst.delete_where("id < 20")  # 18 live rows in the shared file
+    assert n == 18
+    dst.append(spark.createDataFrame([(1000, 7)], "id bigint, v bigint"))
+    assert dst.read().count() == 163
+    assert src.read().count() == 180  # untouched
+    # diverge the source; clone must not move
+    src.delete_where("id >= 150")
+    assert src.read().count() == 135
+    assert dst.read().count() == 163
+    # vacuum the clone's history — source still reads fine
+    dst.vacuum()
+    assert src.read().count() == 135 and dst.read().count() == 163
+
+    # clone refuses a non-empty destination
+    with pytest.raises(ValueError, match="not empty"):
+        src.clone(str(tmp_path / "dst"))
