@@ -284,12 +284,30 @@ def _nearest_cells(vec_col: Column, centroids: list[list[float]], nprobe: int) -
     )
 
 
+def _training_sample(
+    corpus: DataFrame, id_col: str, n: int
+) -> DataFrame:
+    """Deterministic md5-rank training sample, localCheckpointed so the
+    Lloyd iterations re-read ``n`` cached rows instead of re-scanning
+    the corpus. The sample shares the seed ordering (lowest md5(id)
+    first), so seeds are simply the sample's prefix. At 100 TB this is
+    the only sane k-means input — FAISS and every production IVF/PQ
+    build train on a bounded sample; the assignment/encode passes still
+    scan the full corpus exactly once."""
+    return (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n)
+        .localCheckpoint()
+    )
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int | None = None,
 ) -> list[list[float]]:
     """Deterministic k-means centroids for the IVF index.
 
@@ -300,8 +318,17 @@ def ivf_train_centroids(
     iteration assigns rows to their nearest centroid scan-side and
     recomputes means via ``posexplode → groupBy(cell, pos) → avg``:
     the only driver-side data is the (n_cells × dim) centroid table
-    itself — control-plane sized by construction, never the corpus."""
+    itself — control-plane sized by construction, never the corpus.
+
+    ``train_sample=N`` bounds every training pass to the N corpus rows
+    with the lowest ``md5(id)`` (deterministic, engine-reproducible) —
+    the 100 TB shape: index TRAINING on a cached sample, while cell
+    assignment at build/query time still covers the full corpus."""
     corpus = _spread(corpus.select(id_col, vec_col))
+    if train_sample is not None:
+        if train_sample < n_cells:
+            raise ValueError("train_sample must be >= n_cells")
+        corpus = _training_sample(corpus, id_col, train_sample)
     seed_rows = (
         corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_cells)
@@ -527,6 +554,7 @@ def pq_train_codebooks(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int | None = None,
 ) -> list[list[list[float]]]:
     """Deterministic per-subspace k-means codebooks for product
     quantization (Jégou et al. 2011, public): the vector splits into
@@ -544,8 +572,14 @@ def pq_train_codebooks(
     sized. A code that loses every member keeps its previous centroid.
 
     Returns ``codebooks[sub][code] = centroid`` (length ``dim // m``).
+    ``train_sample`` bounds the training passes exactly as in
+    ``ivf_train_centroids`` (encode still covers the full corpus).
     """
     corpus = _spread(corpus.select(id_col, vec_col))
+    if train_sample is not None:
+        if train_sample < k:
+            raise ValueError("train_sample must be >= k")
+        corpus = _training_sample(corpus, id_col, train_sample)
     first = corpus.select(F.size(vec_col).alias("n")).first()
     if first is None:
         raise ValueError("pq_train_codebooks: empty corpus")

@@ -1193,3 +1193,43 @@ def test_matryoshka_topk_prefix_funnel(spark):
     assert ranked[0] == (1, 1.0, 1.0)        # full twin first
     assert ranked[1][0] == 2                  # prefix twin re-ranked down
     assert ranked[1][1] == 1.0 and ranked[1][2] < 1.0
+
+
+def test_ivf_pq_training_on_bounded_sample(spark):
+    """train_sample bounds the k-means input deterministically: a
+    sample covering the whole corpus equals full training; a bounded
+    sample still yields well-formed centroids/codebooks and assignment
+    over the FULL corpus works."""
+    import random
+
+    random.seed(7)
+    rows = [
+        Row(vec_id=i, embedding=[random.uniform(-1, 1) for _ in range(16)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    full = similarity.ivf_train_centroids(df, n_cells=4, iters=1)
+    sampled_all = similarity.ivf_train_centroids(
+        df, n_cells=4, iters=1, train_sample=60
+    )
+    # sample == corpus -> same training up to float summation order
+    # (the checkpointed sample groups partitions differently, so the
+    # Lloyd means can drift in the last ulp)
+    for a, b in zip(full, sampled_all):
+        assert all(abs(x - y) < 1e-12 for x, y in zip(a, b))
+    small = similarity.ivf_train_centroids(
+        df, n_cells=4, iters=1, train_sample=16
+    )
+    assert len(small) == 4 and all(len(c) == 16 for c in small)
+    out = similarity.ivf_cosine_topk(
+        df, df.where(F.col("vec_id") < 2), centroids=small, k=3, nprobe=2
+    )
+    assert out.count() == 6
+    books = similarity.pq_train_codebooks(
+        df, m=4, k=4, iters=1, train_sample=16
+    )
+    assert len(books) == 4 and all(len(b) == 4 for b in books)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="train_sample"):
+        similarity.ivf_train_centroids(df, n_cells=8, train_sample=4)
