@@ -1298,6 +1298,66 @@ class ParquetTable:
         else:
             self.overwrite(self.read().coalesce(n), op="compact")
 
+    def compact_small_files(
+        self, min_bytes: int, target_files: int = 1
+    ) -> int:
+        """Selective ``OPTIMIZE``: bin-pack ONLY the data files smaller
+        than ``min_bytes`` into ``target_files`` outputs, leaving every
+        adequately-sized file byte-identical in place — Delta's
+        bin-packing semantics (it too skips files already near the
+        target size), executed through the file-scoped copy-on-write
+        commit. The continuous-ingest maintenance shape at 100 TB:
+        streaming appends produce a long tail of small files, and this
+        pass costs O(small files), not O(table), so it can run on every
+        maintenance tick instead of a rare full rewrite.
+
+        Deletion vectors referencing the compacted files are
+        materialized by the rewrite (the merged rows are DV-filtered)
+        and retired into the commit's history snapshot, exactly like
+        COW delete/update. Unpartitioned tables only (the file-scoped
+        commit path's contract); partitioned tables use ``compact()``.
+        Returns the number of files compacted (0 = nothing to do)."""
+        if not self.exists():
+            return 0
+        if self.partition_by:
+            raise ValueError(
+                "compact_small_files requires an unpartitioned table — "
+                "use compact() for partitioned tables"
+            )
+        small = [
+            f
+            for f in self._data_files()
+            if os.path.getsize(os.path.join(self.path, f)) < min_bytes
+        ]
+        if len(small) <= max(target_files, 1):
+            return 0  # merging <= target_files files is a no-op rewrite
+        r = self.spark.read
+        if self.properties().get("schema_evolved"):
+            r = r.option("mergeSchema", "true")
+        df = r.parquet(*[os.path.join(self.path, f) for f in small]).select(
+            "*",
+            F.col("_metadata.file_name").alias("__f"),
+            F.col("_metadata.row_index").alias("__p"),
+        )
+        dvd = self._dv_dir()
+        if os.path.isdir(dvd):
+            dv = self.spark.read.parquet(dvd).where(
+                F.col("file_name").isin(small)
+            )
+            cond = (F.col("__f") == dv["file_name"]) & (
+                F.col("__p") == dv["row_index"]
+            )
+            df = df.join(dv, cond, "left_anti")
+        replacement = df.drop("__f", "__p").coalesce(max(target_files, 1))
+        rec = self._replace_files(
+            small,
+            replacement,
+            "compact_small",
+            {"files_compacted": len(small), "min_bytes": min_bytes},
+        )
+        self._retire_dv_for_files(small, rec["seq"])
+        return len(small)
+
     def file_count(self) -> int:
         return len(self._data_files())
 

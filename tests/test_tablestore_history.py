@@ -973,3 +973,46 @@ def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
     # clone refuses a non-empty destination
     with pytest.raises(ValueError, match="not empty"):
         src.clone(str(tmp_path / "dst"))
+
+
+def test_compact_small_files_targets_only_the_small_tail(spark, tmp_path):
+    """Selective bin-packing: many tiny append files merge into one;
+    the large base file stays byte-identical; deletion vectors on the
+    compacted files materialize and retire; counts and time travel
+    stay exact."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.range(5000).selectExpr("id", "id AS v").coalesce(1)
+    )  # one big file
+    for i in range(4):  # a small-file tail, one commit each
+        t.append(
+            spark.createDataFrame(
+                [(10000 + i * 10 + j, j) for j in range(3)],
+                "id bigint, v bigint",
+            ).coalesce(1)
+        )
+    big = t._data_files()[:]
+    sizes = {f: os.path.getsize(os.path.join(t.path, f)) for f in big}
+    big_file = max(sizes, key=sizes.get)
+    mtime = os.path.getmtime(os.path.join(t.path, big_file))
+    assert len(big) == 5
+
+    t.delete_where_dv("id = 10001")  # vector on a small file
+    seq_dv = t.history()[-1]["seq"]
+    n = t.compact_small_files(min_bytes=sizes[big_file])
+    assert n == 4
+    files = t._data_files()
+    assert big_file in files and len(files) == 2  # 4 small -> 1
+    assert os.path.getmtime(os.path.join(t.path, big_file)) == mtime
+    assert t.history()[-1]["op"] == "compact_small"
+    assert t.read().count() == 5011  # 5000 + 12 - 1 vectored
+    # the vector was materialized: no sidecar remains for live files
+    assert not os.path.isdir(t._dv_dir())
+    assert t.as_of(seq_dv).count() == 5011
+    # nothing left to do: second run is a no-op
+    assert t.compact_small_files(min_bytes=sizes[big_file]) == 0
+
+    tp = ParquetTable(spark, str(tmp_path / "tp"), partition_by=["p"])
+    tp.overwrite(spark.range(10).selectExpr("id", "id % 2 AS p"))
+    with pytest.raises(ValueError, match="unpartitioned"):
+        tp.compact_small_files(min_bytes=10**9)
