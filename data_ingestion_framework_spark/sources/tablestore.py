@@ -416,7 +416,23 @@ class ParquetTable:
             df = df.join(dv, cond, "left_anti").drop("__dv_f", "__dv_p")
         return df
 
-    def vacuum(self, retain_last: int | None = None) -> int:
+    def as_of_timestamp(self, ts: float) -> DataFrame:
+        """``TIMESTAMP AS OF`` parity: read the table as of the LAST
+        commit whose wall-clock commit time is <= ``ts`` (epoch
+        seconds) — Delta resolves a timestamp to the latest version at
+        or before it the same way. Raises if the timestamp predates
+        the first commit."""
+        eligible = [r for r in self.history() if r["ts"] <= ts]
+        if not eligible:
+            raise ValueError(
+                f"no commit at or before timestamp {ts} in {self.path} "
+                "(earliest commit is newer)"
+            )
+        return self.as_of(eligible[-1]["seq"])
+
+    def vacuum(
+        self, retain_last: int | None = None, dry_run: bool = False
+    ) -> int:
         """Drop retained historical file snapshots (Delta ``VACUUM``).
         Commit metadata stays; ``as_of`` for commits whose snapshots
         were removed will raise afterwards. Returns the number of
@@ -428,24 +444,38 @@ class ParquetTable:
         files a commit at ``seq`` replaced, so time travel to any
         commit >= cutoff needs every snapshot with ``seq > cutoff``).
         ``None`` (default) drops everything — the pre-existing
-        reclaim-it-all behavior."""
+        reclaim-it-all behavior.
+
+        ``dry_run=True`` (``VACUUM ... DRY RUN`` parity) only REPORTS:
+        returns the count without touching anything; use
+        ``vacuum_candidates`` for the snapshot names themselves."""
         if retain_last is not None and retain_last < 1:
             raise ValueError(
                 f"vacuum: retain_last must be >= 1 (got {retain_last}); "
                 "use retain_last=None to drop every snapshot"
             )
+        doomed = self.vacuum_candidates(retain_last)
+        if not dry_run:
+            hist = self._hist_dir()
+            for d in doomed:
+                shutil.rmtree(os.path.join(hist, d), ignore_errors=True)
+            if retain_last is None and os.path.isdir(hist):
+                shutil.rmtree(hist, ignore_errors=True)
+        return len(doomed)
+
+    def vacuum_candidates(self, retain_last: int | None = None) -> list[str]:
+        """The snapshot dirs a ``vacuum(retain_last)`` would remove —
+        the DRY RUN listing (control-plane: directory names only)."""
         hist = self._hist_dir()
         if not os.path.isdir(hist):
-            return 0
+            return []
         if retain_last is None:
-            n = len(os.listdir(hist))
-            shutil.rmtree(hist, ignore_errors=True)
-            return n
+            return sorted(os.listdir(hist))
         commits = self.history()
         if not commits:
-            return 0
+            return []
         cutoff = commits[max(0, len(commits) - retain_last)]["seq"]
-        n = 0
+        out = []
         for d in sorted(os.listdir(hist)):
             if not d.startswith("pre"):
                 continue
@@ -454,9 +484,8 @@ class ParquetTable:
             except ValueError:
                 continue
             if seq <= cutoff:
-                shutil.rmtree(os.path.join(hist, d), ignore_errors=True)
-                n += 1
-        return n
+                out.append(d)
+        return out
 
     def restore(self, seq: int) -> None:
         """Roll the table back to its state after commit ``seq`` —

@@ -1016,3 +1016,34 @@ def test_compact_small_files_targets_only_the_small_tail(spark, tmp_path):
     tp.overwrite(spark.range(10).selectExpr("id", "id % 2 AS p"))
     with pytest.raises(ValueError, match="unpartitioned"):
         tp.compact_small_files(min_bytes=10**9)
+
+
+def test_as_of_timestamp_and_vacuum_dry_run(spark, tpath):
+    """TIMESTAMP AS OF resolves to the latest commit at-or-before the
+    wall clock; VACUUM DRY RUN reports without deleting."""
+    import time as _time
+
+    t = ParquetTable(spark, tpath)
+    t.overwrite(spark.createDataFrame([Row(a=1)]))
+    ts1 = t.history()[-1]["ts"]
+    t.overwrite(spark.createDataFrame([Row(a=2), Row(a=3)]))
+    t.overwrite(spark.createDataFrame([Row(a=4)]))
+
+    assert t.as_of_timestamp(ts1).count() == 1
+    assert t.as_of_timestamp(_time.time()).count() == 1  # latest state
+    mid = t.history()[1]["ts"]
+    assert t.as_of_timestamp(mid).count() == 2
+    with pytest.raises(ValueError, match="no commit at or before"):
+        t.as_of_timestamp(ts1 - 1000)
+
+    # dry run reports both snapshots, removes nothing
+    assert t.vacuum(dry_run=True) == 2
+    assert t.as_of(1).count() == 1  # still travelable
+    # pre00000003 holds what commit 3 replaced (the seq-2 state) — it
+    # must survive to keep the last 2 commits travelable; pre00000002
+    # (the seq-1 state) is the droppable one
+    assert t.vacuum_candidates(retain_last=2) == ["pre00000002"]
+    assert t.vacuum(retain_last=2) == 1
+    assert t.as_of(2).count() == 2
+    with pytest.raises(ValueError, match="no longer retained"):
+        t.as_of(1)
