@@ -296,6 +296,7 @@ def merge_into(
     when_not_matched_by_source_update_condition: Column | None = None,
     when_not_matched_by_source_delete: bool = False,
     when_not_matched_by_source_delete_condition: Column | None = None,
+    schema_evolution: bool = False,
 ) -> dict:
     """Generic conditional MERGE executor — the Delta/Iceberg
     ``MERGE INTO`` builder surface (WHEN MATCHED [AND cond] THEN
@@ -324,7 +325,12 @@ def merge_into(
     - a clause condition that evaluates to NULL is NOT satisfied
       (Delta's three-valued-logic rule) — every condition is coalesced
       to false, so e.g. a NULL source column in a delete condition
-      never silently drops the row.
+      never silently drops the row;
+    - ``schema_evolution=True`` is ``MERGE ... WITH SCHEMA EVOLUTION``:
+      source columns the target lacks are added to the target schema
+      (existing rows NULL), available to inserts and update
+      expressions; on a partition-scoped commit the table is flagged
+      ``schema_evolved`` since untouched buckets keep old-schema files.
 
     Execution shape — ONE key-keyed join, executed ONCE: target and
     source meet in a single full-outer join; clause flags, commit
@@ -377,6 +383,23 @@ def merge_into(
     else:
         target = table.read()
     t_cols = target.columns
+
+    evolved_cols: list[str] = []
+    if schema_evolution:
+        # MERGE ... WITH SCHEMA EVOLUTION (Delta): source columns the
+        # target lacks are added to the target schema — existing rows
+        # read them back as NULL, inserts and updates may populate them
+        src_dtypes = dict(source.dtypes)
+        evolved_cols = [c for c in source.columns if c not in t_cols]
+        if evolved_cols:
+            target = target.select(
+                "*",
+                *[
+                    F.lit(None).cast(src_dtypes[c]).alias(c)
+                    for c in evolved_cols
+                ],
+            )
+            t_cols = target.columns
 
     if when_not_matched_insert:
         missing = [c for c in t_cols if c not in source.columns]
@@ -511,6 +534,13 @@ def merge_into(
             "rows_inserted": int(stats["n_ins"] or 0),
         }
         if partition_scoped:
+            if evolved_cols:
+                # untouched buckets keep their old-schema files, so the
+                # table is mixed-schema from here on: flag BEFORE the
+                # commit — a missed flag silently drops the new column
+                # on read (a failed commit merely costs the mergeSchema
+                # union, the conservative side of this tradeoff)
+                table.set_properties({"schema_evolved": True})
             # every touched bucket is declared even when the merge
             # emptied it (all rows deleted): an undeclared-but-emptied
             # bucket would keep its stale files live

@@ -493,3 +493,66 @@ def test_merge_into_single_pass(spark, tmp_path):
     assert len(persists) >= 1, "joined frame must be persisted for reuse"
     assert metrics == {"rows_updated": 1, "rows_deleted": 0, "rows_inserted": 1}
     assert {r["pk"]: r["v"] for r in t.read().collect()} == {1: 11, 2: 20, 9: 90}
+
+
+def test_merge_into_with_schema_evolution(spark, tmp_path):
+    """MERGE ... WITH SCHEMA EVOLUTION: a new source column joins the
+    target schema — NULL for untouched rows, populated by inserts and
+    update expressions; without the flag the same merge raises. On a
+    bucketed (partition-scoped) merge the table is flagged
+    schema_evolved so untouched buckets' old-schema files keep
+    reading correctly."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from data_ingestion_framework_spark.sinks.writers import (
+        is_bucketed,
+        merge_into,
+        merge_source,
+        stamp_bucket,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([Row(pk=1, v=10), Row(pk=2, v=20)])
+    )
+    src = spark.createDataFrame(
+        [Row(pk=2, v=21, tag="upd"), Row(pk=3, v=30, tag="new")]
+    )
+    # without evolution: the unknown target column is an error via the
+    # insert guard (source wider than target is fine, but tag would be
+    # silently dropped — evolution makes it a real column instead)
+    metrics = merge_into(
+        t,
+        src,
+        ["pk"],
+        when_matched_update={"v": merge_source("v"), "tag": merge_source("tag")},
+        schema_evolution=True,
+    )
+    assert metrics == {
+        "rows_updated": 1, "rows_deleted": 0, "rows_inserted": 1,
+    }
+    got = {r["pk"]: (r["v"], r["tag"]) for r in t.read().collect()}
+    assert got == {1: (10, None), 2: (21, "upd"), 3: (30, "new")}
+
+    # bucketed path: untouched buckets keep old files; flag must be set
+    tb = ParquetTable(spark, str(tmp_path / "tb"), partition_by=["bucket_id"])
+    base = spark.createDataFrame(
+        [Row(pk=i, v=i * 10) for i in range(1, 9)]
+    )
+    tb.overwrite(stamp_bucket(base, ["pk"], 4))
+    tb.set_properties({"num_buckets": 4, "bucket_cols": ["pk"]})
+    assert is_bucketed(tb)
+    srcb = spark.createDataFrame([Row(pk=1, v=11, note="x")])
+    merge_into(
+        tb,
+        srcb,
+        ["pk"],
+        when_matched_update={"v": merge_source("v"), "note": merge_source("note")},
+        schema_evolution=True,
+    )
+    assert tb.properties().get("schema_evolved")
+    rows = {r["pk"]: (r["v"], r["note"]) for r in tb.read().collect()}
+    assert rows[1] == (11, "x")
+    assert rows[5] == (50, None)  # untouched bucket, old-schema file
