@@ -300,3 +300,113 @@ def corpus_stream_ingest(
         optimize_every=optimize_every,
         optimize_kwargs=optimize_kwargs,
     )
+
+
+def corpus_stream_neardedup_ingest(
+    stream: DataFrame,
+    table,
+    sig_table,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_agreement: float = 0.8,
+    trigger: str = "availableNow",
+    await_termination: bool | None = None,
+):
+    """Continuous NEAR-dedup ingest — the streaming deployment of the
+    incremental MinHash index: each micro-batch
+
+    1. computes md5 MinHash signatures for the batch only
+       (``dedup.minhash_md5_signatures`` — the corpus is never
+       re-shingled),
+    2. drops batch docs that near-match a LOWER-id doc in the same
+       batch (intra-batch keep-first),
+    3. drops batch docs whose signature agreement with any row of the
+       persisted ``sig_table`` index reaches ``min_agreement``,
+    4. appends the survivors' signatures to the index and SCD1-merges
+       the survivor documents into ``table`` keyed on the content
+       fingerprint.
+
+    Exactly-once under foreachBatch replay, by construction:
+    - the corpus commit is an idempotent content-fingerprint merge;
+    - the index append is guarded by a ``last_batch_id`` property
+      (a replayed guard-crash can at worst duplicate signature rows,
+      which the banded join + distinct candidate set absorbs);
+    - a replayed batch whose signatures already landed would match
+      ITSELF in the index — self-pairs (same id) are excluded, so
+      replayed survivors survive again and re-merge as no-ops.
+
+    Scale shape: per-trigger cost is O(batch × bands) for the
+    candidate join against an incrementally-appended index table; the
+    index stores ``num_hashes`` bigints per document — ~128 bytes/doc
+    at the defaults, itself compactable via ``optimize``."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from data_ingestion_framework_spark.operators import dedup
+    from data_ingestion_framework_spark.operators.text import normalize_text
+    from data_ingestion_framework_spark.streaming.writers import (
+        _maybe_await,
+        apply_trigger,
+    )
+
+    def _proc(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.drop("_metadata")
+        if batch.limit(1).count() == 0:
+            return
+        sigs = dedup.minhash_md5_signatures(
+            batch, id_col, text_col, num_hashes
+        ).localCheckpoint()  # batch-sized; read 3× below
+        intra = (
+            dedup.minhash_incremental_pairs(
+                sigs, sigs, id_col, num_hashes, bands, min_agreement
+            )
+            .where(F.col("id_new") > F.col("id_index"))
+            .select(F.col("id_new").alias(id_col))
+        )
+        doomed = intra
+        if sig_table.exists():
+            vs_index = (
+                dedup.minhash_incremental_pairs(
+                    sigs,
+                    sig_table.read(),
+                    id_col,
+                    num_hashes,
+                    bands,
+                    min_agreement,
+                )
+                .where(F.col("id_new") != F.col("id_index"))  # replay self
+                .select(F.col("id_new").alias(id_col))
+            )
+            doomed = doomed.unionByName(vs_index)
+        doomed = doomed.distinct()
+        survivors = batch.join(doomed, id_col, "left_anti")
+        sig_keep = sigs.join(doomed, id_col, "left_anti")
+        last = (
+            sig_table.properties().get("last_batch_id", -1)
+            if sig_table.exists()
+            else -1
+        )
+        if batch_id > last:
+            sig_table.append(sig_keep)
+            sig_table.set_properties({"last_batch_id": batch_id})
+        merged = survivors.withColumn(
+            "fingerprint", F.md5(normalize_text(text_col))
+        )
+        from data_ingestion_framework_spark.sinks.writers import batch_write
+
+        batch_write(
+            merged,
+            table,
+            mode="merge",
+            key_cols=["fingerprint"],
+            order_col=id_col,
+            scd_type=1,
+        )
+
+    writer = apply_trigger(
+        stream.writeStream.foreachBatch(_proc), trigger
+    ).option("checkpointLocation", checkpoint)
+    q = writer.start()
+    return _maybe_await(q, await_termination, trigger)

@@ -686,3 +686,55 @@ def test_foreach_batch_merge_optimize_cadence(spark, tmp_path):
     assert [(r["pk"], r["val"]) for r in got] == [(23, "b2v23")]
     # merge state intact across the maintenance rewrites
     assert table.read().count() == 50
+
+
+def test_corpus_stream_neardedup_ingest(spark, tmp_path):
+    """Continuous near-dedup ingest: batch docs near-matching the
+    persisted signature index (or a lower-id doc in the same batch)
+    are dropped; the index grows by the survivors only; a second
+    availableNow round against the same checkpoint picks up only new
+    files and dedups against round-1 state."""
+    from data_ingestion_framework_spark.plans.corpus import (
+        corpus_stream_neardedup_ingest,
+    )
+
+    A = ("the quick brown fox jumps over the lazy dog and runs far away "
+         "today with friends")
+    B = ("completely different content about spark distributed query "
+         "processing engines at scale")
+    C = ("a third unrelated document describing parquet footer statistics "
+         "and column pruning")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table = ParquetTable(spark, str(tmp_path / "corpus"))
+    sig_table = ParquetTable(spark, str(tmp_path / "sigs"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_round():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .parquet(str(landing))
+        )
+        corpus_stream_neardedup_ingest(
+            stream, table, sig_table, ckpt,
+            min_agreement=0.8, await_termination=True,
+        )
+
+    spark.createDataFrame([(1, A), (2, B)], "doc_id bigint, text string"
+        ).coalesce(1).write.mode("append").parquet(str(landing))
+    run_round()
+    assert table.read().count() == 2
+    assert sig_table.read().count() == 2
+
+    nearA = A.replace("today", "tonight")  # near-dup of doc 1
+    spark.createDataFrame(
+        [(3, nearA), (4, C), (5, C)], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("append").parquet(str(landing))
+    run_round()
+    got = {r["doc_id"] for r in table.read().collect()}
+    assert got == {1, 2, 4}  # 3 near-dups index, 5 intra-dups 4
+    assert sig_table.read().count() == 3
+    # replaying with no new files is a no-op
+    run_round()
+    assert table.read().count() == 3
+    assert sig_table.read().count() == 3
