@@ -887,9 +887,18 @@ def dsir_importance_weights(
         .cast("bigint")
         % num_buckets
     )
-    per_doc = grams.groupBy(F.col(id_col), bucket.alias("__b")).agg(
-        F.count(F.lit(1)).alias("__c"),
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__c_tgt"),
+    # the (doc, bucket) count frame feeds TWO consumers — the corpus
+    # bucket totals and the per-doc scoring join. At 100 TB the gram
+    # explode + count IS the cost, so stage the narrow
+    # (id, bucket, c, c_tgt) frame lazily and compute it once (same
+    # discipline as ccnet_bucket_assign's CE stage).
+    per_doc = (
+        grams.groupBy(F.col(id_col), bucket.alias("__b"))
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__c_tgt"),
+        )
+        .localCheckpoint(eager=False)
     )
     buckets = per_doc.groupBy("__b").agg(
         F.sum("__c").alias("__cr"), F.sum("__c_tgt").alias("__ct")

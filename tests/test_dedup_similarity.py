@@ -1233,3 +1233,22 @@ def test_ivf_pq_training_on_bounded_sample(spark):
 
     with _pt.raises(ValueError, match="train_sample"):
         similarity.ivf_train_centroids(df, n_cells=8, train_sample=4)
+
+
+def test_dsir_stages_the_gram_count_frame(spark):
+    """The (doc, bucket) gram-count frame must be computed once and
+    staged — its two consumers (bucket totals and the scoring join)
+    read the stage, so the consuming plan holds zero Generate nodes."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta{i % 4} epsilon zeta", "en")
+         for i in range(1, 25)],
+        "doc_id bigint, text string, lang string",
+    )
+    out = text.dsir_importance_weights(
+        docs, F.col("lang") == "en", num_buckets=64
+    )
+    n = out.count()
+    assert n == 24
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 0, plan
+    assert "Scan ExistingRDD" in plan
