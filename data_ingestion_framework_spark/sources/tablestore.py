@@ -105,7 +105,108 @@ class ParquetTable:
         df = r.parquet(self.path)
         if os.path.isdir(self._dv_dir()):
             df = self._subtract_dv(df, [self._dv_dir()])
-        return df
+        return self._from_physical(df)
+
+    # -- column mapping (metadata-only RENAME/DROP COLUMN) -------------------
+    def _colmap(self) -> dict:
+        """Logical → physical column names (Delta column-mapping
+        parity). Physical names are what the parquet files carry and
+        NEVER change; renames and drops are property edits."""
+        return dict(self.properties().get("column_mapping") or {})
+
+    def _dropped_columns(self) -> list[str]:
+        return list(self.properties().get("dropped_columns") or [])
+
+    def _from_physical(self, df: DataFrame) -> DataFrame:
+        """Physical → logical projection applied right after a data
+        scan: dropped physical columns vanish, mapped ones take their
+        logical names; helper columns (``__*``) pass through."""
+        m = self._colmap()
+        drops = set(self._dropped_columns())
+        if not m and not drops:
+            return df
+        inv = {p: l for l, p in m.items()}
+        return df.select(
+            *[
+                F.col(c).alias(inv.get(c, c))
+                for c in df.columns
+                if c not in drops
+            ]
+        )
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        """Logical → physical projection applied right before a data
+        write, so files always carry the immortal physical names."""
+        m = self._colmap()
+        if not m:
+            return df
+        return df.select(*[F.col(c).alias(m.get(c, c)) for c in df.columns])
+
+    def rename_column(self, old: str, new: str) -> None:
+        """``ALTER TABLE ... RENAME COLUMN`` — METADATA-ONLY (Delta
+        column mapping): zero data files rewritten; the logical name
+        maps to the column's immortal physical name. Time travel
+        reflects the CURRENT names (the mapping is table-level state),
+        exactly like reading an old Delta version through the current
+        metadata mapping. Partition/bucket columns and columns
+        referenced by CHECK constraints are refused (their stored
+        expressions/directory names are physical)."""
+        import re as _re
+
+        cols = self.read().columns
+        if old not in cols:
+            raise ValueError(f"rename_column: no column {old!r}")
+        if new in cols:
+            raise ValueError(f"rename_column: {new!r} already exists")
+        if old in self.partition_by:
+            raise ValueError(
+                "rename_column: partition columns are physical directory "
+                "names — rewrite the table to rename them"
+            )
+        for cname, expr in (self.properties().get("constraints") or {}).items():
+            if _re.search(rf"\b{_re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"rename_column: column {old!r} is referenced by CHECK "
+                    f"constraint {cname!r} — drop the constraint first"
+                )
+        m = self._colmap()
+        phys = m.pop(old, old)
+        m[new] = phys
+        self.set_properties({"column_mapping": m})
+        self._record_commit(
+            "rename_column", {"from": old, "to": new}, new_files=[]
+        )
+
+    def drop_column(self, name: str) -> None:
+        """``ALTER TABLE ... DROP COLUMN`` — metadata-only: the
+        physical column stays in the old files (reads hide it; the
+        bytes remain until a rewrite, same erasure caveat as Delta).
+        Appends after the drop write files WITHOUT the column, so the
+        table is flagged ``schema_evolved`` (mixed footers)."""
+        import re as _re
+
+        if name not in self.read().columns:
+            raise ValueError(f"drop_column: no column {name!r}")
+        if name in self.partition_by:
+            raise ValueError("drop_column: cannot drop a partition column")
+        for cname, expr in (self.properties().get("constraints") or {}).items():
+            if _re.search(rf"\b{_re.escape(name)}\b", expr):
+                raise ValueError(
+                    f"drop_column: column {name!r} is referenced by CHECK "
+                    f"constraint {cname!r} — drop the constraint first"
+                )
+        m = self._colmap()
+        phys = m.pop(name, name)
+        dropped = self._dropped_columns()
+        dropped.append(phys)
+        self.set_properties(
+            {
+                "column_mapping": m,
+                "dropped_columns": dropped,
+                "schema_evolved": True,
+            }
+        )
+        self._record_commit("drop_column", {"column": name}, new_files=[])
 
     # -- deletion vectors ----------------------------------------------------
     def _dv_dir(self, root: str | None = None) -> str:
@@ -186,6 +287,7 @@ class ParquetTable:
                 F.col("__dv_p") == dv["row_index"]
             )
             base = base.join(dv, cond, "left_anti")
+        base = self._from_physical(base)  # predicate sees logical names
         doomed = base.where(F.coalesce(pred, F.lit(False))).select(
             F.col("__dv_f").alias("file_name"),
             F.col("__dv_p").alias("row_index"),
@@ -414,7 +516,10 @@ class ParquetTable:
                 F.col("__dv_p") == dv["row_index"]
             )
             df = df.join(dv, cond, "left_anti").drop("__dv_f", "__dv_p")
-        return df
+        # current column mapping applies to every root — physical names
+        # are immortal, so pre-rename snapshots read correctly under
+        # the live logical names (Delta's metadata-mapping behavior)
+        return self._from_physical(df)
 
     def as_of_timestamp(self, ts: float) -> DataFrame:
         """``TIMESTAMP AS OF`` parity: read the table as of the LAST
@@ -596,7 +701,7 @@ class ParquetTable:
 
     # -- writes --------------------------------------------------------------
     def _writer(self, df: DataFrame, mode: str):
-        w = df.write.mode(mode)
+        w = self._to_physical(df).write.mode(mode)
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         return w
@@ -662,7 +767,7 @@ class ParquetTable:
             self._enforce_constraints(df)
         staging = f"{self.path}.__staging__{uuid.uuid4().hex[:8]}"
         backup = f"{self.path}.__old__{uuid.uuid4().hex[:8]}"
-        w = df.write.mode("overwrite")
+        w = self._to_physical(df).write.mode("overwrite")
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         try:
@@ -715,7 +820,9 @@ class ParquetTable:
         so live-name collisions cannot happen."""
         staging = f"{self.path}.__staging__{uuid.uuid4().hex[:8]}"
         try:
-            replacement.write.mode("overwrite").parquet(staging)
+            self._to_physical(replacement).write.mode("overwrite").parquet(
+                staging
+            )
             staged = self._data_files(staging)
             seq = self._next_seq()
             retained = os.path.join(self._hist_dir(), f"pre{seq:08d}")
@@ -814,7 +921,7 @@ class ParquetTable:
                 F.col("__p") == dv["row_index"]
             )
             base = base.join(dv, cond, "left_anti")
-        return base
+        return self._from_physical(base)  # __f/__p pass through
 
     def _live_rows_in_files(self, touched: list[str]) -> int:
         """Footer row count of the named files minus their deletion-
@@ -1377,7 +1484,14 @@ class ParquetTable:
                 F.col("__p") == dv["row_index"]
             )
             df = df.join(dv, cond, "left_anti")
-        replacement = df.drop("__f", "__p").coalesce(max(target_files, 1))
+        # to logical before the _replace_files write maps back to
+        # physical — frames handed to write paths are ALWAYS logical
+        # (mixing namespaces would mis-map chained renames)
+        replacement = (
+            self._from_physical(df)
+            .drop("__f", "__p")
+            .coalesce(max(target_files, 1))
+        )
         rec = self._replace_files(
             small,
             replacement,
@@ -1475,9 +1589,20 @@ class ParquetTable:
         stale index rather than silently missing rows)."""
         if m_bits & (m_bits - 1):
             raise ValueError("m_bits must be a power of two")
-        df = self.read().select(
-            F.col("_metadata.file_path").alias("__file"),
-            F.col(col).cast("string").alias("__v"),
+        r = self.spark.read
+        if self.properties().get("schema_evolved"):
+            r = r.option("mergeSchema", "true")
+        # raw scan (not read()): _metadata only resolves on the scan
+        # frame, before any column-mapping or DV projection. DV'd rows'
+        # values may set extra bits — false positives only, which Bloom
+        # lookups tolerate by contract.
+        base = self._from_physical(
+            r.parquet(self.path).select(
+                F.col("_metadata.file_path").alias("__file"), "*"
+            )
+        )
+        df = base.select(
+            "__file", F.col(col).cast("string").alias("__v")
         )
         pos = F.array(
             *[

@@ -1047,3 +1047,81 @@ def test_as_of_timestamp_and_vacuum_dry_run(spark, tpath):
     assert t.as_of(2).count() == 2
     with pytest.raises(ValueError, match="no longer retained"):
         t.as_of(1)
+
+
+def test_rename_and_drop_column_metadata_only(spark, tmp_path):
+    """RENAME/DROP COLUMN without touching a data file: reads show the
+    logical names, every statement path (predicate delete, COW update,
+    append, time travel, clone, small-file compaction) works through
+    the mapping, and the physical files never change for a rename."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.range(100).selectExpr(
+            "id", "id * 2 AS amount", "'x' AS note"
+        ).repartitionByRange(4, "id")
+    )
+    files0 = {
+        f: os.path.getmtime(os.path.join(t.path, f)) for f in t._data_files()
+    }
+
+    t.rename_column("amount", "price")
+    assert set(t.read().columns) == {"id", "price", "note"}
+    assert t.history()[-1]["op"] == "rename_column"
+    # zero files rewritten
+    assert {
+        f: os.path.getmtime(os.path.join(t.path, f))
+        for f in t._data_files()
+    } == files0
+    assert t.read().where(F.col("price") > 100).count() == 49
+
+    # statements run against the logical name
+    assert t.delete_where("price >= 180") == 10
+    assert t.update_where({"price": F.col("price") + 1}, "id < 5") == 5
+    assert t.read().where(F.col("id") == 0).collect()[0]["price"] == 1
+    # append with logical names round-trips
+    t.append(spark.createDataFrame([(500, 9, "y")], "id bigint, price bigint, note string"))
+    assert t.read().count() == 91
+    # time travel shows CURRENT names (metadata mapping, Delta-style)
+    assert "price" in t.as_of(1).columns
+    assert t.as_of(1).count() == 100
+
+    # chained rename into a vacated name must not mis-map writes
+    t.rename_column("note", "comment")
+    t.rename_column("id", "note")  # logical 'note' now = physical 'id'
+    assert set(t.read().columns) == {"note", "price", "comment"}
+    assert t.read().where(F.col("note") == 500).count() == 1
+    t.update_where({"comment": F.lit("z")}, "note = 500")
+    got = t.read().where(F.col("note") == 500).collect()[0]
+    assert (got["comment"], got["price"]) == ("z", 9)
+
+    # clone carries the mapping
+    c = t.clone(str(tmp_path / "c"))
+    assert set(c.read().columns) == {"note", "price", "comment"}
+
+    # small-file compaction through the mapping
+    before = t.read().groupBy().sum("price").collect()[0][0]
+    t.compact_small_files(min_bytes=10**9, target_files=1)
+    assert t.read().groupBy().sum("price").collect()[0][0] == before
+    assert set(t.read().columns) == {"note", "price", "comment"}
+
+    # DROP COLUMN: metadata-only, appends thereafter lack the column
+    t.drop_column("comment")
+    assert set(t.read().columns) == {"note", "price"}
+    t.append(spark.createDataFrame([(600, 10)], "note bigint, price bigint"))
+    assert t.read().where(F.col("note") == 600).count() == 1
+    assert set(t.read().columns) == {"note", "price"}
+
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("note", "price")
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("ghost", "g2")
+    t.add_check_constraint("price_pos", "price >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        t.rename_column("price", "cost")
+    with pytest.raises(ValueError, match="constraint"):
+        t.drop_column("price")
+    tp = ParquetTable(spark, str(tmp_path / "tp"), partition_by=["p"])
+    tp.overwrite(spark.range(4).selectExpr("id", "id % 2 AS p"))
+    with pytest.raises(ValueError, match="partition"):
+        tp.rename_column("p", "q")
