@@ -1440,3 +1440,40 @@ def orders_clone_state(spark, sf_dir):
     # source-side divergence AFTER the clone must not leak into it
     src.delete_where(F.col("o_orderkey") % 3 == 0)
     return dst.read()
+
+
+# ---------------------------------------------------------------------------
+# Column-mapping lifecycle under the oracle gate: three metadata-only
+# RENAMEs (zero files rewritten), a COW delete against the renamed
+# predicate, an append under the logical names, and a metadata-only
+# DROP — the returned state must read entirely through the mapping.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_rename_state",
+    oracle="""
+    SELECT o_orderkey AS pk, o_totalprice AS price
+    FROM orders WHERE o_totalprice < 250000
+    UNION ALL
+    SELECT 900000001, 42.5
+    """,
+)
+def orders_rename_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = ParquetTable(spark, _scratch_dir("difs_ren_") + "/t")
+    t.overwrite(orders)
+    t.rename_column("o_totalprice", "price")
+    t.rename_column("o_custkey", "customer")
+    t.rename_column("o_orderkey", "pk")
+    t.delete_where("price >= 250000")
+    t.append(
+        spark.createDataFrame(
+            [(900000001, 1, 42.5)],
+            "pk bigint, customer bigint, price double",
+        )
+    )
+    t.drop_column("customer")
+    return t.read()

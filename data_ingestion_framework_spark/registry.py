@@ -192,11 +192,15 @@ _PRIORITY = [
     "orders_clone_state",
     "events_kmv_overlap",
     "similarity_matryoshka_topk",
+    # round-7 third wave: the column-mapping lifecycle (metadata-only
+    # RENAME/DROP). Slot ceded by events_heavy_hitter_users (green
+    # r5+r6; the mergeable-bounded-sketch family stays window-graded
+    # via events_kmv_overlap, and the MG fold is pytest-pinned).
+    "orders_rename_state",
     # round-5 additions — never driver-graded, all oracle-backed
     "semantic_dedup_keep",
     "text_unigram_ce",
     "docs_decontaminate_bloom",
-    "events_heavy_hitter_users",
     "hybrid_dedup_clusters",
     "docs_shuffle_rank",
     # round-6 additions — oracle-backed, never driver-graded. The lazy
@@ -237,6 +241,7 @@ _PRIORITY = [
     "docs_badword_report",
     "docs_contamination_fraction",
     "multimodal_video_meta",
+    "events_heavy_hitter_users",
     "docs_split_assign",
     "events_funnel_conversion",
     "docs_dedup_lines",

@@ -202,7 +202,6 @@ def test_driver_grading_window_covers_priority_queries():
         "semantic_dedup_keep",
         "text_unigram_ce",
         "docs_decontaminate_bloom",
-        "events_heavy_hitter_users",
         "hybrid_dedup_clusters",
         "docs_shuffle_rank",
         "orders_zorder_keys",
@@ -241,5 +240,6 @@ def test_driver_grading_window_covers_priority_queries():
         "orders_clone_state",
         "events_kmv_overlap",
         "similarity_matryoshka_topk",
+        "orders_rename_state",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
