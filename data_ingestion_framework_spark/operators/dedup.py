@@ -1091,6 +1091,36 @@ def dedup_keep_per_cluster(
     return df.join(drop, df[id_col] == drop["doc_id"], "left_anti")
 
 
+def dedup_keep_best_per_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    priority_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the HIGHEST-``priority_col`` member of each duplicate
+    cluster (deterministic id tiebreak) instead of the lowest-id
+    representative — the keeper policy real corpus builds use (retain
+    the best-quality copy of a near-dup group, not an arbitrary one).
+    Documents outside any cluster pass through. One window over the
+    cluster-member frame (pair-sized, not corpus-sized) picks the
+    keeper; the corpus joins against the DROP list, which AQE
+    broadcasts when small."""
+    members = clusters.select(F.col(id_col), "cluster_id").join(
+        df.select(F.col(id_col), F.col(priority_col)), id_col
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col(priority_col).desc(), F.col(id_col).asc()
+    )
+    drop = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(F.col(id_col).alias("__drop_id"))
+    )
+    return df.join(
+        drop, df[id_col] == drop["__drop_id"], "left_anti"
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

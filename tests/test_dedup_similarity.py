@@ -1252,3 +1252,23 @@ def test_dsir_stages_the_gram_count_frame(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate") == 0, plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_dedup_keep_best_per_cluster(spark):
+    """The highest-priority member of each cluster survives (id
+    tiebreak); unclustered docs pass through."""
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (9, 0.1)],
+        "doc_id int, quality double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id int, cluster_id int"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_keep_best_per_cluster(
+            docs, clusters, "quality"
+        ).collect()
+    )
+    # cluster 1: quality 0.9 tie between 2 and 3 -> lowest id 2 wins
+    assert kept == [2, 4, 9]

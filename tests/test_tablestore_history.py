@@ -1125,3 +1125,19 @@ def test_rename_and_drop_column_metadata_only(spark, tmp_path):
     tp.overwrite(spark.range(4).selectExpr("id", "id % 2 AS p"))
     with pytest.raises(ValueError, match="partition"):
         tp.rename_column("p", "q")
+
+
+def test_count_rows_metadata_only(spark, tpath):
+    """count_rows answers COUNT(*) from footers + the DV sidecar —
+    exact across appends, DV deletes, COW deletes, and compaction."""
+    t = ParquetTable(spark, tpath)
+    t.overwrite(spark.range(500).selectExpr("id"))
+    assert t.count_rows() == 500
+    t.append(spark.range(500, 550).selectExpr("id"))
+    assert t.count_rows() == 550
+    t.delete_where_dv("id % 10 = 0")
+    assert t.count_rows() == t.read().count() == 495
+    t.delete_where("id >= 540")
+    assert t.count_rows() == t.read().count()
+    t.compact(target_files=2)
+    assert t.count_rows() == t.read().count()
