@@ -1501,6 +1501,72 @@ class ParquetTable:
         self._retire_dv_for_files(small, rec["seq"])
         return len(small)
 
+    def file_column_ranges(self, col: str) -> list[tuple]:
+        """Per-file (path, min, max) of ``col`` from parquet footer
+        statistics — control-plane (footer reads only, O(files)).
+        Files without usable stats report (path, None, None). Logical
+        column names resolve through the column mapping."""
+        import pyarrow.parquet as pq
+
+        phys = self._colmap().get(col, col)
+        out = []
+        for rel in self._data_files():
+            md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            mn = mx = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                found = False
+                for ci in range(rgm.num_columns):
+                    c = rgm.column(ci)
+                    if c.path_in_schema != phys:
+                        continue
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                    else:
+                        mn = st.min if mn is None else min(mn, st.min)
+                        mx = st.max if mx is None else max(mx, st.max)
+                    found = True
+                    break
+                if not found:
+                    ok = False  # file predates the column (evolution)
+            out.append((rel, mn, mx) if ok else (rel, None, None))
+        return out
+
+    def range_scan(self, col: str, lo=None, hi=None) -> DataFrame:
+        """Explicit min/max FILE skipping for a range predicate — the
+        payoff of z-order/Hilbert clustering made observable: only
+        files whose footer [min, max] intersects [lo, hi] are opened
+        (files without stats are conservatively kept — sound, never a
+        false negative), then the exact predicate applies row-level.
+        Spark's own row-group pruning still applies inside the kept
+        files; this skips whole files at the DRIVER, which at 100 TB
+        also skips their listing/footer I/O on the scan side."""
+        ranges = self.file_column_ranges(col)
+        keep = [
+            rel
+            for rel, mn, mx in ranges
+            if mn is None
+            or ((hi is None or mn <= hi) and (lo is None or mx >= lo))
+        ]
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+        if not keep:
+            return self.read().where(F.lit(False))
+        r = self.spark.read
+        if self.properties().get("schema_evolved"):
+            r = r.option("mergeSchema", "true")
+        if self.partition_by:
+            r = r.option("basePath", self.path)
+        df = r.parquet(*[os.path.join(self.path, f) for f in keep])
+        if os.path.isdir(self._dv_dir()):
+            df = self._subtract_dv(df, [self._dv_dir()])
+        return self._from_physical(df).where(pred)
+
     def count_rows(self) -> int:
         """Metadata-only ``COUNT(*)`` — parquet footer row counts minus
         live deletion-vector rows, zero data bytes read (Delta answers

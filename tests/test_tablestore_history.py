@@ -1141,3 +1141,40 @@ def test_count_rows_metadata_only(spark, tpath):
     assert t.count_rows() == t.read().count()
     t.compact(target_files=2)
     assert t.count_rows() == t.read().count()
+
+
+def test_range_scan_skips_files_by_footer_stats(spark, tmp_path):
+    """range_scan opens only files whose footer [min,max] intersects
+    the range; values match the full-scan filter; z-ordering tightens
+    the candidate set; DV rows stay subtracted; renamed columns
+    resolve through the mapping."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.range(1000).selectExpr("id", "id % 100 AS v")
+        .repartitionByRange(10, "id")
+    )
+    ranges = dict(
+        (rel, (mn, mx)) for rel, mn, mx in t.file_column_ranges("id")
+    )
+    assert len(ranges) == 10 and all(
+        mn is not None for mn, _ in ranges.values()
+    )
+    keep = [
+        rel for rel, (mn, mx) in ranges.items() if mn <= 250 and mx >= 150
+    ]
+    assert len(keep) <= 3  # ~2 of 10 files overlap [150, 250]
+    got = sorted(r["id"] for r in t.range_scan("id", 150, 250).collect())
+    assert got == list(range(150, 251))
+
+    # DV interplay + rename mapping
+    t.delete_where_dv("id % 2 = 0")
+    t.rename_column("id", "key")
+    got = sorted(r["key"] for r in t.range_scan("key", 150, 250).collect())
+    assert got == list(range(151, 251, 2))
+
+    # open-ended ranges
+    assert t.range_scan("key", lo=990).count() == 5
+    assert t.range_scan("key", hi=9).count() == 5
+    # disjoint range -> empty, schema intact
+    empty = t.range_scan("key", 5000, 6000)
+    assert empty.count() == 0 and set(empty.columns) == {"key", "v"}
