@@ -1434,6 +1434,90 @@ class ParquetTable:
         else:
             self.overwrite(self.read().coalesce(n), op="compact")
 
+    def _read_files_logical(self, rels: list[str]) -> DataFrame:
+        """The named live files as a LOGICAL frame: DV rows for those
+        files subtracted, column mapping applied — frames handed to
+        write paths are always logical (the writes map back to
+        physical; mixing namespaces would mis-map chained renames)."""
+        r = self.spark.read
+        if self.properties().get("schema_evolved"):
+            r = r.option("mergeSchema", "true")
+        df = r.parquet(*[os.path.join(self.path, f) for f in rels]).select(
+            "*",
+            F.col("_metadata.file_name").alias("__f"),
+            F.col("_metadata.row_index").alias("__p"),
+        )
+        dvd = self._dv_dir()
+        if os.path.isdir(dvd):
+            dv = self.spark.read.parquet(dvd).where(
+                F.col("file_name").isin(rels)
+            )
+            cond = (F.col("__f") == dv["file_name"]) & (
+                F.col("__p") == dv["row_index"]
+            )
+            df = df.join(dv, cond, "left_anti")
+        return self._from_physical(df).drop("__f", "__p")
+
+    def optimize_incremental(
+        self,
+        zorder_by: list[str],
+        target_files: int = 1,
+        curve: str = "morton",
+    ) -> int:
+        """Incremental clustering — the liquid-clustering/LSM shape:
+        z-order (or Hilbert) ONLY the files appended since the last
+        layout commit (full ``compact``/``zorder``/``overwrite`` or a
+        previous incremental run) into one new clustered run, leaving
+        every already-clustered file byte-identical. Maintenance cost
+        is O(new data) per tick instead of O(table), so it can run on
+        every ingest cadence; each run is internally clustered (footer
+        min/max stay tight per run — ``range_scan`` prunes within and
+        across runs), and a periodic full ``compact(zorder_by=...)``
+        merges runs when their count grows. Deletion vectors on the
+        clustered files are materialized and retired, exactly like the
+        other file-scoped rewrites. Unpartitioned tables only. Returns
+        the number of files clustered (0 = nothing new)."""
+        if self.partition_by:
+            raise ValueError(
+                "optimize_incremental requires an unpartitioned table — "
+                "use compact(zorder_by=...) for partitioned tables"
+            )
+        if not self.exists():
+            return 0
+        base: set | None = None
+        for rec in reversed(self.history()):
+            if rec["op"] in (
+                "zorder",
+                "compact",
+                "compact_incremental",
+                "overwrite",
+                "restore",
+            ):
+                base = set(rec["files"])
+                break
+        live = self._data_files()
+        new = [f for f in live if base is None or f not in base]
+        if len(new) < 2:
+            return 0
+        from data_ingestion_framework_spark.operators.zorder import (
+            zorder_layout,
+        )
+
+        replacement = zorder_layout(
+            self._read_files_logical(new),
+            zorder_by,
+            max(target_files, 1),
+            curve=curve,
+        )
+        rec = self._replace_files(
+            new,
+            replacement,
+            "compact_incremental",
+            {"files_clustered": len(new), "zorder_by": list(zorder_by)},
+        )
+        self._retire_dv_for_files(new, rec["seq"])
+        return len(new)
+
     def compact_small_files(
         self, min_bytes: int, target_files: int = 1
     ) -> int:
@@ -1467,30 +1551,8 @@ class ParquetTable:
         ]
         if len(small) <= max(target_files, 1):
             return 0  # merging <= target_files files is a no-op rewrite
-        r = self.spark.read
-        if self.properties().get("schema_evolved"):
-            r = r.option("mergeSchema", "true")
-        df = r.parquet(*[os.path.join(self.path, f) for f in small]).select(
-            "*",
-            F.col("_metadata.file_name").alias("__f"),
-            F.col("_metadata.row_index").alias("__p"),
-        )
-        dvd = self._dv_dir()
-        if os.path.isdir(dvd):
-            dv = self.spark.read.parquet(dvd).where(
-                F.col("file_name").isin(small)
-            )
-            cond = (F.col("__f") == dv["file_name"]) & (
-                F.col("__p") == dv["row_index"]
-            )
-            df = df.join(dv, cond, "left_anti")
-        # to logical before the _replace_files write maps back to
-        # physical — frames handed to write paths are ALWAYS logical
-        # (mixing namespaces would mis-map chained renames)
-        replacement = (
-            self._from_physical(df)
-            .drop("__f", "__p")
-            .coalesce(max(target_files, 1))
+        replacement = self._read_files_logical(small).coalesce(
+            max(target_files, 1)
         )
         rec = self._replace_files(
             small,

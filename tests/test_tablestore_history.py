@@ -1178,3 +1178,53 @@ def test_range_scan_skips_files_by_footer_stats(spark, tmp_path):
     # disjoint range -> empty, schema intact
     empty = t.range_scan("key", 5000, 6000)
     assert empty.count() == 0 and set(empty.columns) == {"key", "v"}
+
+
+def test_optimize_incremental_clusters_only_new_files(spark, tmp_path):
+    """Liquid-style incremental clustering: files appended since the
+    last layout commit are z-ordered into one new run; the previously
+    clustered files stay byte-identical; values survive; a second run
+    with nothing new is a no-op; range pruning sees tight runs."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.range(1000).selectExpr(
+            "id", "CAST(id % 37 AS BIGINT) AS a", "CAST(id % 53 AS BIGINT) AS b"
+        ).repartition(6)
+    )
+    t.compact(target_files=4, zorder_by=["a", "b"])
+    clustered = {
+        f: os.path.getmtime(os.path.join(t.path, f))
+        for f in t._data_files()
+    }
+    for i in range(3):  # small append tail, unclustered
+        t.append(
+            spark.range(2000 + i * 10, 2000 + i * 10 + 10).selectExpr(
+                "id", "CAST(id % 37 AS BIGINT) AS a", "CAST(id % 53 AS BIGINT) AS b"
+            ).coalesce(1)
+        )
+    before = t.read().groupBy().sum("a", "b", "id").collect()[0]
+
+    n = t.optimize_incremental(["a", "b"], target_files=1)
+    assert n == 3
+    assert t.history()[-1]["op"] == "compact_incremental"
+    # the full-layout files never moved
+    for f, mtime in clustered.items():
+        assert os.path.getmtime(os.path.join(t.path, f)) == mtime
+    assert t.read().count() == 1030
+    assert t.read().groupBy().sum("a", "b", "id").collect()[0] == before
+    # nothing new -> no-op
+    assert t.optimize_incremental(["a", "b"]) == 0
+    # a later append gets its own run; the first incremental run stays
+    t.append(
+        spark.range(3000, 3020).selectExpr(
+            "id", "CAST(id % 37 AS BIGINT) AS a", "CAST(id % 53 AS BIGINT) AS b"
+        ).coalesce(1)
+    )
+    # a single new file is below the 2-file threshold: no-op
+    assert t.optimize_incremental(["a", "b"]) == 0
+    assert t.read().count() == 1050
+
+    tp = ParquetTable(spark, str(tmp_path / "tp"), partition_by=["p"])
+    tp.overwrite(spark.range(4).selectExpr("id", "id % 2 AS p"))
+    with pytest.raises(ValueError, match="unpartitioned"):
+        tp.optimize_incremental(["id"])
