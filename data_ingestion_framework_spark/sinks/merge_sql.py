@@ -357,6 +357,7 @@ def generic_merge_sql(
     nmbs_delete: bool = False,
     nmbs_delete_condition: str | None = None,
     source_view: str = "source",
+    schema_evolution: bool = False,
 ) -> str:
     """Render the generic ``merge_into`` executor's clause surface as
     the lakehouse ``MERGE INTO`` statement it commits as on a real
@@ -370,7 +371,12 @@ def generic_merge_sql(
     not asserted on faith."""
     on = " AND ".join(f"target.{k} <=> source.{k}" for k in keys)
     parts = [
-        f"MERGE INTO {target_table} AS target",
+        # Delta's MERGE WITH SCHEMA EVOLUTION modifier — mirrors the
+        # executor's schema_evolution flag (new source columns join
+        # the target schema)
+        f"MERGE WITH SCHEMA EVOLUTION INTO {target_table} AS target"
+        if schema_evolution
+        else f"MERGE INTO {target_table} AS target",
         f"USING {source_view} AS source",
         f"ON {on}",
     ]

@@ -254,3 +254,17 @@ def test_generic_merge_state_sql_equals_executor(spark, tmp_path):
     assert not any(p == 2 or p == 5 for p, _, _ in sql_state)  # deletes
     assert (7, 70, "open") in sql_state       # conditional insert
     assert not any(p == 8 for p, _, _ in sql_state)
+
+
+def test_generic_merge_sql_schema_evolution_modifier():
+    from data_ingestion_framework_spark.sinks.merge_sql import (
+        generic_merge_sql,
+    )
+
+    sql = generic_merge_sql(
+        "t", ["pk"], update_set={"v": "source.v"}, schema_evolution=True
+    )
+    assert sql.startswith("MERGE WITH SCHEMA EVOLUTION INTO t AS target")
+    assert "WITH SCHEMA EVOLUTION" not in generic_merge_sql(
+        "t", ["pk"], update_set={"v": "source.v"}
+    )
