@@ -79,6 +79,9 @@ HEADLINE = [
     # flagship composite: clean→redact→gate→dedup→decontam→quota→sample
     # with silver staging (the restartable, single-materialization form)
     "corpus_pipeline_staged",
+    # embedding-side flagship: gate → exact dedup → SemDeDup → int8
+    # quantize (chained oracle)
+    "embeddings_pipeline_curated",
 ]
 
 

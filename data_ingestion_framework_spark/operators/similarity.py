@@ -1018,3 +1018,72 @@ def matryoshka_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def embedding_curation_pipeline(
+    emb: DataFrame,
+    n_cells: int = 16,
+    semdedup_threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple = ("label",),
+) -> DataFrame:
+    """Embedding-corpus curation composite — the embedding-side
+    flagship, mirroring what ``plans/corpus.py`` does for text:
+
+    1. validity gate: NULL and zero-norm vectors drop (they poison
+       every cosine downstream);
+    2. exact dedup: byte-identical vectors collapse to the lowest id,
+       keyed on an md5 fingerprint of the DECIMAL-canonicalized
+       components (cross-engine stable — float→string is not);
+    3. SemDeDup semantic dedup (Abbas et al. 2023): IVF cells bound
+       the pair search, near-identical members drop (lowest-id
+       keeper), with the coarse quantizer trained on the
+       exact-deduped corpus;
+    4. int8 symmetric quantization of the survivors — the storage
+       format a 100 TB embedding store actually persists.
+
+    Returns ``(id, *keep_cols, cell, qvec, scale)``. Every stage is
+    the already-oracle-proven operator; the composite is value-checked
+    end-to-end by one chained oracle (``embeddings_pipeline_curated``).
+
+    Scale shape: the gate and fingerprint are scan-side projections;
+    exact dedup is one keyed window; SemDeDup's pair search is
+    cell-bounded (n²/k); quantization is a narrow projection. The only
+    driver-side data is the centroid table (control-plane)."""
+    xs = _to_double(F.col(vec_col))
+    gated = emb.where(F.col(vec_col).isNotNull()).where(l2_norm(xs) > 0)
+    fp = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                xs, lambda x: x.cast("decimal(18,9)").cast("string")
+            ),
+        )
+    )
+    w = W.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    deduped = (
+        gated.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+    centroids = ivf_train_centroids(
+        deduped, n_cells=n_cells, iters=2, id_col=id_col, vec_col=vec_col
+    )
+    sd = semantic_dedup(
+        deduped, centroids, threshold=semdedup_threshold,
+        id_col=id_col, vec_col=vec_col,
+    )
+    survivors = deduped.join(
+        sd.where(F.col("keep")).select(F.col(id_col), F.col("cell")), id_col
+    )
+    quant = quantize_int8(survivors, vec_col=vec_col, id_col=id_col)
+    return (
+        survivors.select(F.col(id_col), *[F.col(c) for c in keep_cols], "cell")
+        .join(quant, id_col)
+        .select(
+            F.col(id_col), *[F.col(c) for c in keep_cols],
+            "cell", "qvec", "scale",
+        )
+    )

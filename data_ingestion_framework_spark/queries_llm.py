@@ -789,19 +789,23 @@ def _ivf_iteration_sql(prev: str, n: int) -> str:
 # index; semantic dedup uses 16 cells, which both halves the
 # within-cell pair space and doubles the pair-scoring parallelism
 # (in-cell work runs one task per cell — cells ARE the scale knob).
-def _ivf_index_sql(n_cells: int) -> str:
+def _ivf_index_sql(n_cells: int, source: str = "embeddings") -> str:
+    """IVF index CTE chain over ``source`` (any CTE/view exposing
+    (vec_id, embedding)) — parameterized so composites can train the
+    coarse quantizer on a FILTERED corpus exactly as the Spark side
+    does."""
     return f"""
     e AS (
       SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
              UNNEST(generate_series(1, len(embedding))) AS i
-      FROM embeddings
+      FROM {source}
     ),
     vnorm AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
     seeds AS (
       SELECT vec_id, rn - 1 AS cell FROM (
         SELECT vec_id,
                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-        FROM embeddings)
+        FROM {source})
       WHERE rn <= {n_cells}
     ),
     c0 AS (SELECT s.cell, e.i, e.x AS m FROM seeds s JOIN e ON e.vec_id = s.vec_id),
@@ -3627,4 +3631,90 @@ def similarity_matryoshka_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 5)
     return similarity.matryoshka_topk(
         emb, queries, prefix_dim=16, k=10, shortlist=50
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-corpus curation flagship (the embedding-side analogue of
+# corpus_pipeline_staged): validity gate → exact dedup on the
+# DECIMAL-canonical vector fingerprint → SemDeDup (coarse quantizer
+# trained on the DEDUPED corpus — the oracle's index CTEs take the
+# filtered source) → int8 quantization. One chained oracle
+# value-checks the whole composite.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "embeddings_pipeline_curated",
+    oracle=f"""
+    WITH gated AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                           for x in embedding])) > 0
+    ),
+    fpx AS (
+      SELECT vec_id, label, embedding,
+             md5(array_to_string(
+               [CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) AS VARCHAR)
+                for x in embedding], ',')) AS f
+      FROM gated
+    ),
+    ex AS MATERIALIZED (
+      SELECT vec_id, label, embedding FROM fpx
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY vec_id) = 1
+    ),
+    {_ivf_index_sql(16, source="ex")},
+    prs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus_cell a JOIN corpus_cell b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    dts AS (
+      SELECT p.id_a, p.id_b, SUM(ea.x * eb.x) AS dp
+      FROM prs p
+      JOIN e ea ON ea.vec_id = p.id_a
+      JOIN e eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+      GROUP BY p.id_a, p.id_b
+    ),
+    dups AS (
+      SELECT DISTINCT d.id_b
+      FROM dts d
+      JOIN vnorm na ON na.vec_id = d.id_a
+      JOIN vnorm nb ON nb.vec_id = d.id_b
+      WHERE ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                       ELSE d.dp / (na.nrm * nb.nrm) END, 4) >= 0.35
+    ),
+    surv AS (
+      SELECT c.vec_id, c.cell FROM corpus_cell c
+      WHERE c.vec_id NOT IN (SELECT id_b FROM dups)
+    ),
+    qt AS (
+      SELECT s.vec_id, g.label, s.cell,
+             [CAST(x AS DOUBLE) for x in g.embedding] AS xs,
+             list_max([abs(CAST(x AS DOUBLE)) for x in g.embedding]) AS scale
+      FROM surv s JOIN ex g ON g.vec_id = s.vec_id
+    )
+    SELECT vec_id, label, cell,
+           array_to_string(
+             CASE WHEN scale = 0
+                  THEN [CAST(0 AS INTEGER) for x in xs]
+                  ELSE [CAST(floor(x / scale * 127.0 + 0.5) AS INTEGER)
+                        for x in xs]
+             END, ',') AS qvec_csv,
+           ROUND(scale, 6) AS scale
+    FROM qt
+    """,
+)
+def embeddings_pipeline_curated(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.embedding_curation_pipeline(
+        emb, n_cells=16, semdedup_threshold=0.35
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        "cell",
+        F.array_join(
+            F.transform("qvec", lambda x: x.cast("string")), ","
+        ).alias("qvec_csv"),
+        "scale",
     )

@@ -197,12 +197,18 @@ _PRIORITY = [
     # r5+r6; the mergeable-bounded-sketch family stays window-graded
     # via events_kmv_overlap, and the MG fold is pytest-pinned).
     "orders_rename_state",
+    # round-7 fourth wave: the embedding-side curation flagship
+    # (gate → exact dedup → SemDeDup → int8 quantize, one chained
+    # oracle). Slot ceded by docs_shuffle_rank (green r5+r6; the
+    # deterministic hash-rank ordering mechanism stays window-graded
+    # via docs_ccnet_buckets' TakeOrdered hash sample and is pinned
+    # by the sampling property tests).
+    "embeddings_pipeline_curated",
     # round-5 additions — never driver-graded, all oracle-backed
     "semantic_dedup_keep",
     "text_unigram_ce",
     "docs_decontaminate_bloom",
     "hybrid_dedup_clusters",
-    "docs_shuffle_rank",
     # round-6 additions — oracle-backed, never driver-graded. The lazy
     # corpus_pipeline_end2end twin cedes its slot (it shares
     # corpus_pipeline_staged's oracle VERBATIM — the staged form in the
@@ -242,6 +248,7 @@ _PRIORITY = [
     "docs_contamination_fraction",
     "multimodal_video_meta",
     "events_heavy_hitter_users",
+    "docs_shuffle_rank",
     "docs_split_assign",
     "events_funnel_conversion",
     "docs_dedup_lines",

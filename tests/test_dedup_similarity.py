@@ -1272,3 +1272,33 @@ def test_dedup_keep_best_per_cluster(spark):
     )
     # cluster 1: quality 0.9 tie between 2 and 3 -> lowest id 2 wins
     assert kept == [2, 4, 9]
+
+
+def test_embedding_curation_pipeline_stages(spark):
+    """Gate drops null/zero vectors; exact dedup collapses identical
+    vectors to the lowest id; SemDeDup drops the near-identical copy;
+    survivors come back quantized with their cell."""
+    base = [1.0, 0.5] * 8
+    near = [x + 1e-4 for x in base]          # cosine ~1 -> semdedup drop
+    other = [1.0, -1.0] * 8                  # far from base
+    rows = [
+        Row(vec_id=1, label=0, embedding=base),
+        Row(vec_id=2, label=0, embedding=base),   # exact dup of 1
+        Row(vec_id=3, label=0, embedding=near),   # semantic dup of 1
+        Row(vec_id=4, label=1, embedding=other),
+        Row(vec_id=5, label=1, embedding=[0.0] * 16),  # zero-norm: gated
+        Row(vec_id=6, label=1, embedding=None),        # null: gated
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in similarity.embedding_curation_pipeline(
+            df, n_cells=2, semdedup_threshold=0.95
+        ).collect()
+    }
+    assert set(out) == {1, 4}
+    assert len(out[1]["qvec"]) == 16 and out[1]["scale"] > 0
+    # quantization round-trips the max component to ±127
+    assert max(abs(q) for q in out[1]["qvec"]) == 127

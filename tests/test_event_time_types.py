@@ -203,7 +203,6 @@ def test_driver_grading_window_covers_priority_queries():
         "text_unigram_ce",
         "docs_decontaminate_bloom",
         "hybrid_dedup_clusters",
-        "docs_shuffle_rank",
         "orders_zorder_keys",
         "cdf_merge_changes",
         "docs_fuzzy_entity_pairs",
@@ -241,5 +240,6 @@ def test_driver_grading_window_covers_priority_queries():
         "events_kmv_overlap",
         "similarity_matryoshka_topk",
         "orders_rename_state",
+        "embeddings_pipeline_curated",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
