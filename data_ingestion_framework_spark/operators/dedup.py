@@ -550,35 +550,15 @@ def minhash_md5_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
-    r = num_hashes // bands
-    spread = _spread_normalized(df, id_col, text_col)
-    sh = char_shingles("__norm", shingle_size, pre_normalized=True)
-    sig = [
-        _md5_sig_member(sh, i).alias(f"__m{i}") for i in range(num_hashes)
-    ]
-    signed = spread.select(F.col(id_col), *sig)
-    band_rows = signed.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"__m{b * r + j}").cast("string")
-                                    for j in range(r)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__bb"),
-    ).select(id_col, "__bb.band", "__bb.bucket")
+    # ONE banding construction for the whole md5 family: the inline
+    # form and the stored-index form (minhash_incremental_pairs) must
+    # stay byte-identical or cross-batch candidate generation silently
+    # empties — so both route through minhash_md5_signatures +
+    # minhash_sig_bands
+    signed = minhash_md5_signatures(
+        df, id_col, text_col, num_hashes, shingle_size
+    )
+    band_rows = minhash_sig_bands(signed, id_col, num_hashes, bands)
     left = band_rows.select(
         F.col(id_col).alias("id_a"), "band", "bucket"
     )

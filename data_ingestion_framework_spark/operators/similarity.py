@@ -921,7 +921,11 @@ def binary_hamming_topk(
         .where(F.col(query_id_col) != F.col(id_col))
     )
     wpre = W.partitionBy(query_id_col).orderBy(
-        F.col("hamming").asc(), F.col(id_col).asc()
+        # NULLS LAST explicitly: a NULL embedding yields NULL hamming,
+        # and Spark's ASC default (NULLS FIRST) would let poison rows
+        # consume the whole shortlist — and diverge from DuckDB's
+        # NULLS LAST on the same QUALIFY
+        F.col("hamming").asc_nulls_last(), F.col(id_col).asc()
     )
     cand = (
         pre.withColumn("__rn", F.row_number().over(wpre))
@@ -1067,6 +1071,11 @@ def embedding_curation_pipeline(
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__fp", "__rn")
+        # staged: the gate + fingerprint window feeds every downstream
+        # consumer (each Lloyd pass, the SemDeDup assignment, the
+        # survivors join, quantize) — without the stage it re-executes
+        # ~8× (same discipline as ccnet/dsir)
+        .localCheckpoint(eager=False)
     )
     centroids = ivf_train_centroids(
         deduped, n_cells=n_cells, iters=2, id_col=id_col, vec_col=vec_col

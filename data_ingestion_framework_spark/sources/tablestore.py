@@ -275,7 +275,12 @@ class ParquetTable:
                 "delete_where (rewrite) instead"
             )
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-        base = self.spark.read.parquet(self.path).select(
+        r = self.spark.read
+        if self.properties().get("schema_evolved"):
+            # same option every other scan path applies — without it a
+            # predicate on an evolved column is UNRESOLVED_COLUMN
+            r = r.option("mergeSchema", "true")
+        base = r.parquet(self.path).select(
             "*",
             F.col("_metadata.file_name").alias("__dv_f"),
             F.col("_metadata.row_index").alias("__dv_p"),
@@ -302,6 +307,11 @@ class ParquetTable:
             # mid-write leaves no active sidecar and no commit: the
             # delete simply never happened
             dvd = os.path.join(self.path, f"_dv.g{seq:08d}")
+            # a crashed earlier attempt may have left an orphaned dir
+            # under this very name (its seq was never committed, so
+            # _next_seq reuses it and nothing else sweeps it) — start
+            # clean rather than silently merging the aborted delete
+            shutil.rmtree(dvd, ignore_errors=True)
         before = (
             set(self._data_files(dvd)) if os.path.isdir(dvd) else set()
         )
@@ -634,13 +644,15 @@ class ParquetTable:
         dvd = self._dv_dir()
         if os.path.isdir(dvd):
             # the clone gets the sidecar under the plain _dv name (its
-            # own generation lineage starts clean, no pointer)
-            ddst = os.path.join(dest_path, "_dv")
-            for f in self._data_files(dvd):
-                os.makedirs(
-                    os.path.dirname(os.path.join(ddst, f)), exist_ok=True
-                )
-                os.link(os.path.join(dvd, f), os.path.join(ddst, f))
+            # own generation lineage starts clean, no pointer) with
+            # dv_seq RE-STAMPED to 0: the source's seq stamps mean
+            # nothing in the clone's fresh commit log — keeping them
+            # would let clone-side as_of(1)/restore(1) resurrect rows
+            # the source deleted before the clone. The sidecar is
+            # O(deleted rows), so this is the one non-hardlink copy.
+            self.spark.read.parquet(dvd).withColumn(
+                "dv_seq", F.lit(0).cast("bigint")
+            ).write.parquet(os.path.join(dest_path, "_dv"))
         dst_t = ParquetTable(
             self.spark, dest_path, partition_by=list(self.partition_by)
         )

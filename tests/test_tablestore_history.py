@@ -1228,3 +1228,34 @@ def test_optimize_incremental_clusters_only_new_files(spark, tmp_path):
     tp.overwrite(spark.range(4).selectExpr("id", "id % 2 AS p"))
     with pytest.raises(ValueError, match="unpartitioned"):
         tp.optimize_incremental(["id"])
+
+
+def test_clone_restamps_deletion_vectors_for_fresh_history(spark, tmp_path):
+    """Cloned DV rows must apply at EVERY clone seq: the source's
+    dv_seq stamps mean nothing in the clone's fresh commit log —
+    without re-stamping, clone-side as_of(1)/restore(1) resurrected
+    source-deleted rows (review finding, reproduced)."""
+    src = ParquetTable(spark, str(tmp_path / "src"))
+    src.overwrite(spark.range(20).selectExpr("id"))
+    src.append(spark.range(100, 110).selectExpr("id"))
+    src.delete_where_dv("id < 10")  # src seq 3
+    dst = src.clone(str(tmp_path / "dst"))
+    assert dst.read().count() == 20
+    assert dst.as_of(1).count() == 20  # NOT 30
+    dst.restore(1)
+    assert dst.read().count() == 20
+
+
+def test_delete_where_dv_on_schema_evolved_table(spark, tmp_path):
+    """delete_where_dv must apply mergeSchema on evolved tables — a
+    predicate on the evolved column used to raise UNRESOLVED_COLUMN
+    (review finding, reproduced)."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).selectExpr("id"))
+    t.append(
+        spark.createDataFrame([(50, "x"), (51, "y")], "id bigint, extra string"),
+        merge_schema=True,
+    )
+    assert t.delete_where_dv("extra = 'x'") == 1
+    assert t.read().count() == 11
+    assert {r["id"] for r in t.read().where(F.col("extra").isNotNull()).collect()} == {51}
