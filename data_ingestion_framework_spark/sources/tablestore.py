@@ -117,30 +117,89 @@ class ParquetTable:
     def _dropped_columns(self) -> list[str]:
         return list(self.properties().get("dropped_columns") or [])
 
+    def _generated(self) -> dict:
+        """name → SQL expression of the table's generated columns."""
+        return dict(self.properties().get("generated_columns") or {})
+
     def _from_physical(self, df: DataFrame) -> DataFrame:
         """Physical → logical projection applied right after a data
         scan: dropped physical columns vanish, mapped ones take their
-        logical names; helper columns (``__*``) pass through."""
+        logical names, generated columns compute; helper columns
+        (``__*``) pass through."""
         m = self._colmap()
         drops = set(self._dropped_columns())
-        if not m and not drops:
+        gen = self._generated()
+        if not m and not drops and not gen:
             return df
         inv = {p: l for l, p in m.items()}
-        return df.select(
+        out = df.select(
             *[
                 F.col(c).alias(inv.get(c, c))
                 for c in df.columns
                 if c not in drops
             ]
         )
+        for name, expr in gen.items():
+            if name not in out.columns:
+                out = out.withColumn(name, F.expr(expr))
+        return out
 
     def _to_physical(self, df: DataFrame) -> DataFrame:
         """Logical → physical projection applied right before a data
-        write, so files always carry the immortal physical names."""
+        write: files carry the immortal physical names, and generated
+        columns are NOT stored (they recompute on read — a frame
+        derived from ``read()`` carries them, so a rewrite would
+        otherwise materialize them and the read-side projection would
+        then collide)."""
         m = self._colmap()
-        if not m:
+        gen = set(self._generated())
+        if not m and not gen:
             return df
-        return df.select(*[F.col(c).alias(m.get(c, c)) for c in df.columns])
+        return df.select(
+            *[
+                F.col(c).alias(m.get(c, c))
+                for c in df.columns
+                if c not in gen
+            ]
+        )
+
+    def add_generated_column(self, name: str, expr_sql: str) -> None:
+        """``ALTER TABLE ... ADD COLUMN ... GENERATED ALWAYS AS (expr)``
+        parity, in VIRTUAL form: the expression is stored as table
+        metadata and computes on every read — zero bytes stored, zero
+        files rewritten, always consistent with its inputs (where
+        Delta materializes generated values at write time; the
+        observable difference is storage, not values). Writes never
+        store the column (frames derived from ``read()`` carry it —
+        the write-side projection drops it); an APPENDED batch naming
+        a generated column is refused rather than silently ignored
+        (internal read-derived rewrites drop it — value-identical by
+        construction). CHECK constraints and statement predicates may
+        reference it (they evaluate on the logical frame)."""
+        if self.exists() and name in self.read().columns:
+            raise ValueError(
+                f"add_generated_column: column {name!r} already exists"
+            )
+        # validate the expression against the current schema, loudly
+        if self.exists():
+            self.read().select(F.expr(expr_sql).alias(name)).limit(0).count()
+        gen = self._generated()
+        gen[name] = expr_sql
+        self.set_properties({"generated_columns": gen})
+        self._record_commit(
+            "add_generated_column", {"name": name, "expr": expr_sql},
+            new_files=[],
+        )
+
+    def drop_generated_column(self, name: str) -> None:
+        gen = self._generated()
+        if name not in gen:
+            raise ValueError(f"drop_generated_column: no generated column {name!r}")
+        del gen[name]
+        self.set_properties({"generated_columns": gen})
+        self._record_commit(
+            "drop_generated_column", {"name": name}, new_files=[]
+        )
 
     def rename_column(self, old: str, new: str) -> None:
         """``ALTER TABLE ... RENAME COLUMN`` — METADATA-ONLY (Delta
@@ -709,6 +768,12 @@ class ParquetTable:
     def _enforce_constraints(self, df: DataFrame) -> None:
         cons = self.properties().get("constraints") or {}
         if cons:
+            # constraints may reference generated columns (Delta
+            # allows it); an incoming batch doesn't carry them, so
+            # compute any missing ones for the probe only
+            for name, expr in self._generated().items():
+                if name not in df.columns:
+                    df = df.withColumn(name, F.expr(expr))
             self._check_frame(cons, df)
 
     # -- writes --------------------------------------------------------------
@@ -742,9 +807,17 @@ class ParquetTable:
         (Delta's default schema enforcement) rather than silently
         writing files later reads would drop."""
         self._enforce_constraints(df)
+        gen_named = sorted(set(df.columns) & set(self._generated()))
+        if gen_named:
+            raise ValueError(
+                f"append: columns {gen_named} are GENERATED — their "
+                "values compute on read; remove them from the batch"
+            )
         exists = os.path.isdir(self.path)
         if exists and self._data_files():
-            stored = set(self.read().columns)
+            # generated columns are never stored — a batch is complete
+            # without them
+            stored = set(self.read().columns) - set(self._generated())
             diff = set(df.columns) ^ stored  # added OR missing columns
             if diff and not merge_schema:
                 raise ValueError(

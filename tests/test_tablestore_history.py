@@ -1259,3 +1259,51 @@ def test_delete_where_dv_on_schema_evolved_table(spark, tmp_path):
     assert t.delete_where_dv("extra = 'x'") == 1
     assert t.read().count() == 11
     assert {r["id"] for r in t.read().where(F.col("extra").isNotNull()).collect()} == {51}
+
+
+def test_generated_columns_virtual(spark, tmp_path):
+    """Generated (virtual) columns: compute on read, never stored,
+    zero files touched; predicates, constraints, COW statements, time
+    travel, and rewrites all see them; appends naming them refuse."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(100).selectExpr("id", "id * 2 AS amount"))
+    files0 = set(t._data_files())
+    t.add_generated_column("amount_sq", "amount * amount")
+    t.add_generated_column("bucket3", "CAST(id % 3 AS INT)")
+    assert set(t._data_files()) == files0  # metadata-only
+    assert t.history()[-1]["op"] == "add_generated_column"
+    row = t.read().where(F.col("id") == 4).collect()[0]
+    assert row["amount_sq"] == 64 and row["bucket3"] == 1
+
+    # statements may reference the generated column
+    assert t.delete_where("amount_sq >= 36100") == 5  # amount>=190: id 95+
+    assert t.read().count() == 95
+    # a rewrite does not materialize it: reads still compute it
+    t.compact(target_files=1)
+    cols_in_file = set(
+        spark.read.parquet(t.path).columns
+    )
+    assert "amount_sq" not in cols_in_file
+    assert t.read().where(F.col("id") == 4).collect()[0]["amount_sq"] == 64
+    # time travel computes it too (metadata is table-level)
+    assert "amount_sq" in t.as_of(1).columns
+
+    # constraints on generated columns work (logical-frame evaluation)
+    t.add_check_constraint("sq_nonneg", "amount_sq >= 0")
+    t.append(spark.createDataFrame([(500, 7)], "id bigint, amount bigint"))
+    assert t.read().count() == 96
+
+    # appends naming a generated column refuse
+    with pytest.raises(ValueError, match="GENERATED"):
+        t.append(
+            spark.createDataFrame(
+                [(501, 7, 49)], "id bigint, amount bigint, amount_sq bigint"
+            )
+        )
+    # name collisions refuse; unknown drops refuse
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_generated_column("amount", "id")
+    with pytest.raises(Exception):
+        t.add_generated_column("bad", "no_such_col + 1")
+    t.drop_generated_column("bucket3")
+    assert "bucket3" not in t.read().columns
