@@ -432,3 +432,165 @@ def sql_api_balance_by_nation(spark, sf_dir):
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(_SQL_API_TEXT)
+
+
+# ---------------------------------------------------------------------------
+# Q7-style volume shipping: revenue flow between two trading nations by
+# ship year. The nation dim joins TWICE (supplier side and customer
+# side) — both broadcast; the single shuffle is the final group-by.
+# Money through the DECIMAL staging pattern.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                AS DECIMAL(20,4)) AS DOUBLE) AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3
+    """,
+)
+def volume_shipping(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        supp.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(rev).cast("decimal(20,4)").cast("double").alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8-style market share: one nation's suppliers' share of a part
+# type's revenue by order year — two DECIMAL-exact conditional sums,
+# ONE division at the very end (deterministic: a single double op on
+# exact operands).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "market_share",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev,
+             n_name
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      WHERE p_type = 'PROMO'
+    )
+    SELECT o_year,
+           ROUND(CAST(CAST(SUM(CASE WHEN n_name = 'NATION_5' THEN rev
+                                    ELSE 0 END) AS DECIMAL(20,4)) AS DOUBLE)
+                 / CAST(CAST(SUM(rev) AS DECIMAL(20,4)) AS DOUBLE),
+                 6) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def market_share(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    base = (
+        li.join(
+            F.broadcast(part.where(F.col("p_type") == "PROMO")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev.alias("rev"),
+            "n_name",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("n_name") == "NATION_5", F.col("rev")).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    ).cast("decimal(20,4)")
+    den = F.sum(F.col("rev")).cast("decimal(20,4)")
+    return base.groupBy("o_year").agg(
+        F.round(
+            num.cast("double") / den.cast("double"), 6
+        ).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16-style supplier diversity per part segment (adapted: the testdata
+# has no partsupp table, so supplier relationships come from observed
+# lineitems): distinct suppliers per (brand, type, size), one brand
+# excluded.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "brand_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4, 5)
+    GROUP BY 1, 2, 3
+    """,
+)
+def brand_supplier_counts(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(
+                part.where(
+                    (F.col("p_brand") != "Brand#1")
+                    & F.col("p_size").isin(1, 2, 3, 4, 5)
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
