@@ -219,3 +219,28 @@ def change_data_feed(
     if commit_version is not None:
         out = out.withColumn("_commit_version", F.lit(commit_version).cast("bigint"))
     return out
+
+
+def read_changes(
+    cdf_table,
+    start_version: int | None = None,
+    end_version: int | None = None,
+) -> "DataFrame":
+    """``table_changes(...)`` / ``readChangeFeed`` consumption parity:
+    the change rows of a CDF table bounded by ``_commit_version`` —
+    inclusive on both ends, like Delta's startingVersion/endingVersion.
+    The feed table is append-only (every producer in this engine
+    appends with a version stamp), so the filter is a pure predicate
+    the parquet scan pushes down; no ordering is imposed (consumers
+    fold by version, as the SCD/streaming mergers do)."""
+    df = cdf_table.read()
+    if "_commit_version" not in df.columns:
+        raise ValueError(
+            f"{cdf_table.path} is not a change feed table "
+            "(no _commit_version column)"
+        )
+    if start_version is not None:
+        df = df.where(F.col("_commit_version") >= start_version)
+    if end_version is not None:
+        df = df.where(F.col("_commit_version") <= end_version)
+    return df

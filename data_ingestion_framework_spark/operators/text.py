@@ -933,3 +933,61 @@ def dsir_importance_weights(
             F.col("dsir_logw").desc(), F.col(id_col)
         ).limit(top_k)
     return out
+
+
+def zipf_alpha(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 200,
+) -> DataFrame:
+    """Zipf-law exponent of the corpus term distribution — the classic
+    corpus health diagnostic (natural language sits near α ≈ 1;
+    boilerplate-heavy or synthetic corpora drift): an OLS fit of
+    ``ln f_r = c - α · ln r`` over the ``top_n`` terms by frequency
+    (deterministic term tiebreak). Returns ONE row
+    ``(alpha, intercept, n_terms)``.
+
+    Cross-engine determinism: ranks are integers from a count ordering
+    with a term tiebreak; each (ln r, ln f) coordinate is rounded to
+    6 dp and cast to DECIMAL, so all five OLS sums are exact and
+    order-independent; the closed-form slope/intercept divisions are
+    single double ops at the end.
+
+    Scale shape: term counts with map-side combine; the top-N rank is
+    a TakeOrdered-sized window over N rows (the count frame collapses
+    to distinct terms first — corpus-scale text never reaches the
+    window); the OLS is one aggregate over N rows."""
+    toks = df.select(
+        F.explode(F.split(normalize_text(text_col), " ")).alias("term")
+    ).where(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    top = counts.orderBy(
+        F.col("f").desc(), F.col("term").asc()
+    ).limit(top_n)
+    ranked = top.select(
+        F.row_number()
+        .over(W.orderBy(F.col("f").desc(), F.col("term").asc()))
+        .alias("r"),
+        "f",
+    )
+    x = F.round(F.log(F.col("r").cast("double")), 6).cast("decimal(18,6)")
+    y = F.round(F.log(F.col("f").cast("double")), 6).cast("decimal(18,6)")
+    agg = ranked.select(x.alias("__x"), y.alias("__y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        F.round(-slope, 4).alias("alpha"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.col("n").cast("bigint").alias("n_terms"),
+    )

@@ -3718,3 +3718,49 @@ def embeddings_pipeline_curated(spark, sf_dir):
         ).alias("qvec_csv"),
         "scale",
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law exponent of the corpus term distribution — OLS of
+# ln f_r = c - α ln r over the top-200 terms, every coordinate rounded
+# to DECIMAL before the five OLS sums (exact, order-independent), the
+# closed-form divisions single double ops at the end.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "corpus_zipf_alpha",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               t -> t <> '')) AS term
+      FROM documents
+    ),
+    counts AS (SELECT term, COUNT(*) AS f FROM toks GROUP BY term),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY f DESC, term ASC) AS r, f
+      FROM counts
+      QUALIFY row_number() OVER (ORDER BY f DESC, term ASC) <= 200
+    ),
+    xy AS (
+      SELECT ROUND(LN(CAST(r AS DOUBLE)), 6)::DECIMAL(18,6) AS x,
+             ROUND(LN(CAST(f AS DOUBLE)), 6)::DECIMAL(18,6) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM xy
+    )
+    SELECT ROUND(-((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                   / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)),
+                 4) AS alpha,
+           ROUND((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                                / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                  * sx::DOUBLE) / n::DOUBLE, 4) AS intercept,
+           CAST(n AS BIGINT) AS n_terms
+    FROM s
+    """,
+)
+def corpus_zipf_alpha(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.zipf_alpha(docs, top_n=200)

@@ -204,6 +204,12 @@ _PRIORITY = [
     # via docs_ccnet_buckets' TakeOrdered hash sample and is pinned
     # by the sampling property tests).
     "embeddings_pipeline_curated",
+    # round-7 fifth wave: the Zipf-exponent corpus diagnostic (OLS
+    # over DECIMAL-exact sums). Slot ceded by events_cohort_retention
+    # (green r5+r6; the sequential event-window family keeps
+    # events_sessionize as its window representative, and the funnel
+    # sibling already ceded in an earlier rotation).
+    "corpus_zipf_alpha",
     # round-5 additions — never driver-graded, all oracle-backed
     "semantic_dedup_keep",
     "text_unigram_ce",
@@ -219,7 +225,6 @@ _PRIORITY = [
     # round-5 rotation — the 7 round-4 queries that had never been
     # driver-graded (all oracle-backed, local-pass) take the slots
     # ceded above by rows green since r2/r3:
-    "events_cohort_retention",
     "multimodal_audio_meta",
     "orders_delete_state",
     # ROUND-5 BUILD ROTATION: ten r4-green rows cede their slots to the
@@ -249,6 +254,7 @@ _PRIORITY = [
     "multimodal_video_meta",
     "events_heavy_hitter_users",
     "docs_shuffle_rank",
+    "events_cohort_retention",
     "docs_split_assign",
     "events_funnel_conversion",
     "docs_dedup_lines",

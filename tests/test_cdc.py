@@ -110,3 +110,28 @@ def test_change_data_feed_commit_version_stamp(spark):
     feed = cdc.change_data_feed(target, source, ["pk"], commit_version=7)
     rows = feed.collect()
     assert rows and all(r["_commit_version"] == 7 for r in rows)
+
+
+def test_read_changes_bounded_by_version(spark, tmp_path):
+    from data_ingestion_framework_spark.operators.cdc import read_changes
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    feed = ParquetTable(spark, str(tmp_path / "feed"))
+    t.overwrite(spark.range(10).selectExpr("id"))
+    t.delete_where("id >= 8", cdf_table=feed)       # version = delete seq
+    t.update_where({"id": F.col("id") + 100}, "id = 0", cdf_table=feed)
+    v1 = feed.read().agg(F.min("_commit_version")).first()[0]
+    v2 = feed.read().agg(F.max("_commit_version")).first()[0]
+    assert v2 > v1
+    only_delete = read_changes(feed, end_version=v1)
+    assert {r["_change_type"] for r in only_delete.collect()} == {"delete"}
+    only_update = read_changes(feed, start_version=v2)
+    assert {r["_change_type"] for r in only_update.collect()} == {
+        "update_preimage", "update_postimage",
+    }
+    assert read_changes(feed).count() == feed.read().count()
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not a change feed"):
+        read_changes(t)

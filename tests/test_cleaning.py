@@ -529,3 +529,23 @@ def test_ccnet_bucket_assign_stages_ce_frame(spark):
         for r in unigram_cross_entropy(docs).collect()
     }
     assert {d: r["unigram_ce"] for d, r in rows.items()} == direct
+
+
+def test_zipf_alpha_recovers_synthetic_exponent(spark):
+    """A corpus drawn with an exact Zipf term distribution (f_r =
+    round(C / r)) fits back alpha ~= 1; the OLS is DECIMAL-exact and
+    deterministic."""
+    from data_ingestion_framework_spark.operators.text import zipf_alpha
+
+    words = []
+    for r in range(1, 101):
+        words += [f"w{r}"] * max(1, round(1000 / r))
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i::10])) for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    row = zipf_alpha(docs, top_n=100).collect()[0]
+    assert row["n_terms"] == 100
+    assert 0.9 <= row["alpha"] <= 1.1
+    # determinism: identical on re-run
+    assert zipf_alpha(docs, top_n=100).collect()[0]["alpha"] == row["alpha"]

@@ -207,7 +207,6 @@ def test_driver_grading_window_covers_priority_queries():
         "cdf_merge_changes",
         "docs_fuzzy_entity_pairs",
         # round-5 rotation survivors (others ceded in r7)
-        "events_cohort_retention",
         "multimodal_audio_meta",
         "orders_delete_state",
         "embeddings_quantize_int8",
@@ -241,5 +240,6 @@ def test_driver_grading_window_covers_priority_queries():
         "similarity_matryoshka_topk",
         "orders_rename_state",
         "embeddings_pipeline_curated",
+        "corpus_zipf_alpha",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
