@@ -76,6 +76,10 @@ HEADLINE = [
     # broadcast log-ratio table)
     "similarity_hamming_topk",
     "docs_dsir_weights",
+    # sample-trained IVFADC: same index quality knobs as
+    # similarity_ivfpq_topk but k-means trains on a 256-row md5-rank
+    # sample — compare the two lines for the bounded-training payoff
+    "similarity_ivfpq_sampled_topk",
     # flagship composite: clean→redact→gate→dedup→decontam→quota→sample
     # with silver staging (the restartable, single-materialization form)
     "corpus_pipeline_staged",

@@ -3764,3 +3764,117 @@ def embeddings_pipeline_curated(spark, sf_dir):
 def corpus_zipf_alpha(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return text.zipf_alpha(docs, top_n=200)
+
+
+# ---------------------------------------------------------------------------
+# Sample-trained IVFADC — the production 100 TB index-build shape:
+# BOTH k-means builds (coarse quantizer + PQ codebooks) train on a
+# 256-row deterministic md5-rank sample (FAISS-style bounded
+# training); cell assignment, encoding, probe and ADC still cover the
+# FULL corpus. Because the sample is the md5-rank PREFIX of the
+# corpus, the seed vectors inside the sample are exactly the global
+# seeds, so the oracle reuses the standard index CTEs for TRAINING
+# (sourced from the sample) and re-derives full-corpus assignment and
+# encoding from the trained tables.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "similarity_ivfpq_sampled_topk",
+    oracle=f"""
+    WITH samp AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256
+    ),
+    {_ivf_index_sql(8, source="samp")},
+    fe AS MATERIALIZED (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    fn AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM fe GROUP BY vec_id),
+    fdq AS (
+      SELECT fe.vec_id, c.cell, SUM(fe.x * c.m) AS dp,
+             sqrt(SUM(c.m * c.m)) AS cn
+      FROM fe JOIN c2 c ON c.i = fe.i GROUP BY fe.vec_id, c.cell
+    ),
+    franked AS (
+      SELECT d.vec_id, d.cell,
+             row_number() OVER (PARTITION BY d.vec_id
+               ORDER BY ROUND(CASE WHEN v.nrm * d.cn = 0 THEN 0.0
+                                   ELSE d.dp / (v.nrm * d.cn) END, 6) DESC,
+                        d.cell) AS rn
+      FROM fdq d JOIN fn v ON v.vec_id = d.vec_id
+    ),
+    fcell AS (SELECT vec_id, cell FROM franked WHERE rn = 1),
+    se AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM samp
+    ),
+    {_pq_index_sql('p', elems='se')},
+    fes AS MATERIALIZED (
+      SELECT vec_id, (i - 1) // {_PQ_DSUB} AS sub,
+             (i - 1) % {_PQ_DSUB} AS j, x
+      FROM fe
+    ),
+    fdfin AS (
+      SELECT es.vec_id, es.sub, c.code,
+             ROUND(SUM((es.x - c.m) * (es.x - c.m)), 6) AS d
+      FROM fes es JOIN pcb2 c ON c.sub = es.sub AND c.j = es.j
+      GROUP BY 1, 2, 3
+    ),
+    fcodes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d, code) AS rn
+        FROM fdfin) WHERE rn = 1
+    ),
+    query_cells AS (
+      SELECT vec_id AS q_id, cell FROM franked WHERE rn <= 4 AND vec_id < 5
+    ),
+    cand AS (
+      SELECT q.q_id, c.vec_id
+      FROM query_cells q JOIN fcell c ON c.cell = q.cell
+      WHERE c.vec_id <> q.q_id
+    ),
+    qsub AS (SELECT vec_id AS q_id, sub, j, x FROM fes WHERE vec_id < 5),
+    subd AS (
+      SELECT p.q_id, p.vec_id, q.sub,
+             ROUND(SUM((q.x - cb.m) * (q.x - cb.m)), 6)::DECIMAL(18,6) AS d
+      FROM cand p
+      JOIN qsub q ON q.q_id = p.q_id
+      JOIN fcodes c ON c.vec_id = p.vec_id AND c.sub = q.sub
+      JOIN pcb2 cb ON cb.sub = c.sub AND cb.code = c.code AND cb.j = q.j
+      GROUP BY p.q_id, p.vec_id, q.sub
+    ),
+    tot AS (
+      SELECT q_id, vec_id, SUM(d) AS adc FROM subd GROUP BY q_id, vec_id
+    )
+    SELECT q_id, vec_id, CAST(adc AS DOUBLE) AS adc_dist
+    FROM (
+      SELECT q_id, vec_id, adc,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY adc, vec_id) AS rn
+      FROM tot
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_ivfpq_sampled_topk(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.similarity import (
+        ivf_train_centroids,
+        ivfpq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = ivf_train_centroids(
+        emb, n_cells=8, iters=2, train_sample=256
+    )
+    books = pq_train_codebooks(
+        emb, m=4, k=8, iters=2, train_sample=256
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    out = ivfpq_adc_topk(emb, queries, centroids, books, k=10, nprobe=4)
+    return out.select(
+        "q_id", "vec_id", F.col("adc_dist").cast("double").alias("adc_dist")
+    )

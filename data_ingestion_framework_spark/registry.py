@@ -210,10 +210,16 @@ _PRIORITY = [
     # events_sessionize as its window representative, and the funnel
     # sibling already ceded in an earlier rotation).
     "corpus_zipf_alpha",
+    # round-7 sixth wave: sample-trained IVFADC (bounded-training
+    # index build under the oracle gate). Slot ceded by
+    # docs_decontaminate_bloom (green r4-r6; the decontamination
+    # family keeps TWO window reps — corpus_pipeline_staged's exact
+    # 13-gram broadcast and corpus_pipeline_curated's graded
+    # thresholds — and the bloom prefilter is pytest-pinned).
+    "similarity_ivfpq_sampled_topk",
     # round-5 additions — never driver-graded, all oracle-backed
     "semantic_dedup_keep",
     "text_unigram_ce",
-    "docs_decontaminate_bloom",
     "hybrid_dedup_clusters",
     # round-6 additions — oracle-backed, never driver-graded. The lazy
     # corpus_pipeline_end2end twin cedes its slot (it shares
@@ -255,6 +261,7 @@ _PRIORITY = [
     "events_heavy_hitter_users",
     "docs_shuffle_rank",
     "events_cohort_retention",
+    "docs_decontaminate_bloom",
     "docs_split_assign",
     "events_funnel_conversion",
     "docs_dedup_lines",

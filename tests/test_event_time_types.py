@@ -201,7 +201,6 @@ def test_driver_grading_window_covers_priority_queries():
         "similarity_lsh_topk",
         "semantic_dedup_keep",
         "text_unigram_ce",
-        "docs_decontaminate_bloom",
         "hybrid_dedup_clusters",
         "orders_zorder_keys",
         "cdf_merge_changes",
@@ -241,5 +240,6 @@ def test_driver_grading_window_covers_priority_queries():
         "orders_rename_state",
         "embeddings_pipeline_curated",
         "corpus_zipf_alpha",
+        "similarity_ivfpq_sampled_topk",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
