@@ -991,6 +991,78 @@ def orders_update_state(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Log-stats data skipping under the oracle gate: write orders
+# range-clustered on o_totalprice (tight per-file min/max), DELETE the
+# %5 keys through the file-scoped COW path (whose replacement files'
+# stats are recorded by THAT commit), then answer a range predicate via
+# range_scan — file pruning planned ENTIRELY from the commit log's
+# per-file stats (Delta's stats-in-add-action model: zero footer I/O at
+# query time; test_range_scan_plans_from_log_stats pins the no-footer
+# property, this row pins the values). The oracle applies the same
+# lifecycle as plain SQL.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_stats_skipping_state",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 5 <> 0
+      AND o_totalprice >= 60000.0 AND o_totalprice <= 160000.0
+    """,
+)
+def orders_stats_skipping_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = ParquetTable(spark, _scratch_dir("difs_stats_") + "/t")
+    t.overwrite(orders.repartitionByRange(8, "o_totalprice"))
+    t.delete_where(F.col("o_orderkey") % 5 == 0)
+    return t.range_scan("o_totalprice", 60000.0, 160000.0)
+
+
+# ---------------------------------------------------------------------------
+# Identity-column lifecycle under the oracle gate (Delta GENERATED
+# ALWAYS AS IDENTITY parity): declare (start=1000, step=2), load the
+# %3 keys, then append the rest — the second batch must continue past
+# the persisted high-water mark, which the store reads from the FIRST
+# commit's per-file log stats (zero extra jobs). Deterministic
+# order_by mode makes the allocation oracle-expressible: the global
+# ROW_NUMBER ordered (batch, key) reproduces both allocations because
+# hwm-after-batch-1 = base + step * n1 exactly. The one-pass gap-mode
+# allocator (monotonically_increasing_id arithmetic) is pinned by
+# test_identity_columns instead — per-partition ranks are not
+# SQL-reproducible by design.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_identity_state",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           998 + 2 * ROW_NUMBER() OVER (
+             ORDER BY CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 1 END,
+                      o_orderkey) AS row_id
+    FROM orders
+    """,
+)
+def orders_identity_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = ParquetTable(spark, _scratch_dir("difs_ident_") + "/t")
+    t.add_identity_column("row_id", start=1000, step=2)
+    t.overwrite(
+        orders.where(F.col("o_orderkey") % 3 == 0),
+        identity_order_by=["o_orderkey"],
+    )
+    t.append(
+        orders.where(F.col("o_orderkey") % 3 != 0),
+        identity_order_by=["o_orderkey"],
+    )
+    return t.read()
+
+
+# ---------------------------------------------------------------------------
 # Multimodal video path, same contract as multimodal_audio_meta: a
 # spec-valid ISO BMFF skeleton synthesized JVM-side with properties
 # derived from doc_id, the stdlib box-walk parser recovers them

@@ -103,7 +103,12 @@ _PRIORITY = [
     "events_time_rollup",
     # never driver-graded: CDC / SCD / DQ
     "cdc_find_delta",
-    "cdc_brute_force_diff",
+    # ROUND-8 ROTATION: cdc_brute_force_diff (driver-green r5+r6)
+    # cedes to the identity-column lifecycle; the full-outer diff
+    # mechanism stays window-graded via cdc_find_delta (hash twin of
+    # the same comparison) and the IS DISTINCT FROM predicate is
+    # pytest-pinned. Still in the full local gate.
+    "orders_identity_state",
     "scd1_latest_event_per_user",
     "scd2_as_of",
     "dq_violation_counts",
@@ -232,7 +237,12 @@ _PRIORITY = [
     # driver-graded (all oracle-backed, local-pass) take the slots
     # ceded above by rows green since r2/r3:
     "multimodal_audio_meta",
-    "orders_delete_state",
+    # ROUND-8 ROTATION: orders_delete_state (driver-green r5+r6) cedes
+    # to the log-stats data-skipping lifecycle — which itself RUNS the
+    # same delete_where COW path before its range_scan, so the ceded
+    # mechanism stays graded by its successor (plus orders_update_state
+    # and orders_delete_dv_state in-window). Still in the full gate.
+    "orders_stats_skipping_state",
     # ROUND-5 BUILD ROTATION: ten r4-green rows cede their slots to the
     # ten new-in-round-5 oracle-backed queries (inserted before the
     # window marker below) — each ceded row's mechanism stays graded by
@@ -272,6 +282,10 @@ _PRIORITY = [
     # rows-only (no oracle): the driver's hash gate can't grade it, so
     # it cedes its window slot to an oracle-backed round-5 query
     "docs_pack_ffd",
+    # the two rows ceded by the round-8 rotation (driver-green r5+r6;
+    # mechanisms window-covered per the rotation notes above)
+    "cdc_brute_force_diff",
+    "orders_delete_state",
     # the rows ceded by the round-6 rotation (driver-green 2+
     # rounds; mechanisms window-covered per the rotation note above)
     "docs_remove_boilerplate",

@@ -453,8 +453,138 @@ class ParquetTable:
 
         return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
 
+    # -- per-file statistics in the commit log -------------------------------
+    #
+    # Delta writes per-file min/max/nullCount stats INTO each add-file
+    # action so data skipping plans from the log, never from footers.
+    # Same model here: the footer read _record_commit already pays for
+    # rows_written also harvests column stats, stored in the commit
+    # record. At 100 TB the difference is structural — planning a range
+    # scan from footers is O(live files) driver round-trips against
+    # object storage; planning from the log is one small local read per
+    # commit record, proportional to commit COUNT, not file count.
+
+    @staticmethod
+    def _enc_stat(v):
+        """JSON-encode one footer min/max value, tagged when the type
+        doesn't survive JSON natively. None = value not representable
+        (caller drops that bound, which is always sound)."""
+        import datetime
+        import decimal
+        import math
+
+        if isinstance(v, bool) or v is None:
+            return None  # boolean ranges never prune usefully
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float):
+            return None if (math.isnan(v) or math.isinf(v)) else v
+        if isinstance(v, str):
+            return v if len(v) <= 64 else None
+        if isinstance(v, bytes):
+            return None
+        if isinstance(v, datetime.datetime):
+            # normalize to naive UTC: session TZ is UTC, and Spark
+            # literals / collected values are naive — mixed-awareness
+            # comparisons would raise
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            return {"t": "ts", "v": v.isoformat()}
+        if isinstance(v, datetime.date):
+            return {"t": "date", "v": v.isoformat()}
+        if isinstance(v, decimal.Decimal):
+            return {"t": "dec", "v": str(v)}
+        return None
+
+    @staticmethod
+    def _dec_stat(v):
+        import datetime
+        import decimal
+
+        if isinstance(v, dict):
+            if v["t"] == "ts":
+                return datetime.datetime.fromisoformat(v["v"])
+            if v["t"] == "date":
+                return datetime.date.fromisoformat(v["v"])
+            if v["t"] == "dec":
+                return decimal.Decimal(v["v"])
+        return v
+
+    def _harvest_file_stats(self, rels: list[str]) -> dict:
+        """Read each file's footer ONCE and return
+        ``{rel: {"rows": n, "cols": {phys_name: {"min","max","nulls"}}}}``.
+        Column keys are PHYSICAL parquet names (column mapping resolves
+        at query time, so a later RENAME COLUMN never invalidates logged
+        stats). A bound that can't round-trip JSON (long string, NaN,
+        binary) is dropped individually — min without max still prunes
+        the ``<= hi`` side. String minima longer than 64 chars are
+        truncated (a prefix is still a valid lower bound); maxima are
+        never truncated (a prefix would be an INVALID upper bound)."""
+        import pyarrow.parquet as pq
+
+        out = {}
+        for rel in rels:
+            md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            cols: dict = {}
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                for ci in range(rgm.num_columns):
+                    c = rgm.column(ci)
+                    name = c.path_in_schema
+                    if "." in name:
+                        continue  # nested leaves: no file-level skipping
+                    ent = cols.setdefault(
+                        name, {"min": None, "max": None, "nulls": 0, "ok": True}
+                    )
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        ent["ok"] = False
+                        continue
+                    mn, mx = st.min, st.max
+                    if ent["min"] is None or mn < ent["min"]:
+                        ent["min"] = mn
+                    if ent["max"] is None or mx > ent["max"]:
+                        ent["max"] = mx
+                    if st.null_count is not None:
+                        ent["nulls"] += st.null_count
+            enc_cols = {}
+            for name, ent in cols.items():
+                if not ent["ok"]:
+                    continue
+                mn, mx = ent["min"], ent["max"]
+                if isinstance(mn, str) and len(mn) > 64:
+                    mn = mn[:64]
+                enc_cols[name] = {
+                    "min": self._enc_stat(mn),
+                    "max": self._enc_stat(mx),
+                    "nulls": ent["nulls"],
+                }
+            out[rel] = {"rows": md.num_rows, "cols": enc_cols}
+        return out
+
+    def file_stats(self) -> dict:
+        """Per-live-file stats resolved from the commit log: each file's
+        stats come from the commit that wrote it. Files the log doesn't
+        cover (pre-feature commits, hand-placed files) fall back to one
+        footer read each — after which the next commit's record makes
+        the log authoritative again. Control-plane only."""
+        live = set(self._data_files())
+        out: dict = {}
+        for rec in self.history():
+            for rel, st in (rec.get("stats") or {}).items():
+                if rel in live:
+                    out[rel] = st
+        missing = sorted(live - set(out))
+        if missing:
+            out.update(self._harvest_file_stats(missing))
+        return out
+
     def _record_commit(
-        self, op: str, metrics: dict | None, new_files: list[str] | None = None
+        self,
+        op: str,
+        metrics: dict | None,
+        new_files: list[str] | None = None,
+        stats: dict | None = None,
     ) -> dict:
         """Append one commit record. ``rows_written`` comes from parquet
         footers of the files written this commit (control-plane: footer
@@ -472,15 +602,16 @@ class ParquetTable:
         seq = self._next_seq()
         files = self._data_files()
         counted = files if new_files is None else new_files
+        if stats is None:
+            stats = self._harvest_file_stats(counted)
         rec = {
             "seq": seq,
             "ts": time.time(),
             "op": op,
-            "rows_written": self._footer_rows(
-                [os.path.join(self.path, f) for f in counted]
-            ),
+            "rows_written": sum(s["rows"] for s in stats.values()),
             "metrics": metrics or {},
             "files": files,
+            "stats": stats,
         }
         os.makedirs(self._log_dir(), exist_ok=True)
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex[:8]}")
@@ -724,6 +855,11 @@ class ParquetTable:
                 self.history()[-1]["seq"] if self.history() else None
             )},
             new_files=dst_t._data_files(),
+            # Delta's clone copies the source add-actions' stats
+            # verbatim — same here: the hardlinked bytes are identical,
+            # so the source log's per-file stats are authoritative and
+            # the clone commit pays zero footer reads.
+            stats=self.file_stats(),
         )
         return dst_t
 
@@ -776,6 +912,132 @@ class ParquetTable:
                     df = df.withColumn(name, F.expr(expr))
             self._check_frame(cons, df)
 
+    # -- identity columns ----------------------------------------------------
+    def identity_spec(self) -> dict:
+        return self.properties().get("identity") or {}
+
+    def add_identity_column(
+        self, name: str, start: int = 1, step: int = 1, always: bool = True
+    ) -> None:
+        """``GENERATED {ALWAYS|BY DEFAULT} AS IDENTITY (START WITH s
+        INCREMENT BY k)`` — Delta identity-column parity. The column is
+        table METADATA: every ``append``/``overwrite`` batch that
+        omits it gets values allocated past the persisted high-water
+        mark; ``always=True`` (Delta's ALWAYS) rejects batches that
+        supply the column, ``always=False`` (BY DEFAULT) passes
+        explicit values through (the caller owns uniqueness then, as
+        in Delta).
+
+        The high-water mark advances from the COMMIT'S OWN per-file
+        stats (``_advance_identity_hwm``): the footer read the commit
+        record already pays yields max(identity) of the written files,
+        so allocation state costs zero extra jobs — Delta tracks its
+        identity watermark from add-action stats the same way."""
+        if step == 0:
+            raise ValueError("add_identity_column: step must be non-zero")
+        if name in self._generated():
+            raise ValueError(
+                f"add_identity_column: {name!r} is a generated column"
+            )
+        spec = self.identity_spec()
+        if name in spec:
+            raise ValueError(f"identity column {name!r} already declared")
+        if self.exists() and self._data_files() and name in self.read().columns:
+            raise ValueError(
+                f"add_identity_column: column {name!r} already holds data "
+                "(declare identity before the first write, as Delta does)"
+            )
+        spec[name] = {"start": start, "step": step, "hwm": None, "always": always}
+        self.set_properties({"identity": spec})
+        self._record_commit(
+            "add_identity_column",
+            {"column": name, "start": start, "step": step, "always": always},
+            new_files=[],
+        )
+
+    def _fill_identity(
+        self, df: DataFrame, order_by: list[str] | None = None
+    ) -> DataFrame:
+        """Assign declared identity columns missing from ``df``.
+
+        Default (``order_by=None``) is Delta's allocation: ONE pass,
+        no shuffle — ``monotonically_increasing_id()`` gives each row
+        a (partition, row-index) rank, so values are unique and
+        increasing within the batch but may have gaps between
+        partitions (exactly Delta's documented contract; gaps are the
+        price of not coordinating partitions). ``order_by`` switches
+        to gap-free ``ROW_NUMBER() OVER (ORDER BY ...)`` — a global
+        range-sort shuffle of the BATCH (not the table), for
+        reproducible pipelines that need deterministic ids."""
+        spec = self.identity_spec()
+        if not spec:
+            return df
+        for name, s in spec.items():
+            if name in df.columns:
+                if s.get("always", True):
+                    raise ValueError(
+                        f"column {name!r} is GENERATED ALWAYS AS IDENTITY — "
+                        "values are table-allocated; remove it from the "
+                        "batch (or declare it with always=False)"
+                    )
+                continue
+            base = s["hwm"] if s["hwm"] is not None else s["start"] - s["step"]
+            step = s["step"]
+            if order_by:
+                from pyspark.sql import Window
+
+                rank = F.row_number().over(
+                    Window.orderBy(*[F.col(c) for c in order_by])
+                ).cast("long")
+            else:
+                rank = F.monotonically_increasing_id() + F.lit(1)
+            df = df.withColumn(
+                name, (F.lit(base) + F.lit(step) * rank).cast("long")
+            )
+        return df
+
+    def _advance_identity_hwm(self, rec: dict) -> None:
+        """Advance each identity watermark past the extreme value the
+        commit at ``rec`` wrote — read from the record's per-file
+        stats, zero extra I/O. Monotone: an overwrite that removed the
+        largest ids does NOT lower the mark (Delta never reuses
+        identity values). Falls back to one scan of the commit's own
+        files in the (theoretical) case stats are absent."""
+        spec = self.identity_spec()
+        if not spec:
+            return
+        stats = rec.get("stats") or {}
+        changed = False
+        for name, s in spec.items():
+            phys = self._colmap().get(name, name)
+            up = s["step"] > 0
+            vals = []
+            missing = []
+            for rel, st in stats.items():
+                ent = (st.get("cols") or {}).get(phys)
+                v = None if ent is None else ent["max" if up else "min"]
+                if v is None:
+                    if st.get("rows"):
+                        missing.append(rel)
+                else:
+                    vals.append(v)
+            if missing:
+                agg = F.max(phys) if up else F.min(phys)
+                row = self.spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in missing]
+                ).agg(agg).collect()[0][0]
+                if row is not None:
+                    vals.append(row)
+            if not vals:
+                continue
+            ext = max(vals) if up else min(vals)
+            cur = s["hwm"]
+            if cur is None or (ext > cur if up else ext < cur):
+                s["hwm"] = ext
+                changed = True
+        if changed:
+            self.set_properties({"identity": spec})
+
     # -- writes --------------------------------------------------------------
     def _writer(self, df: DataFrame, mode: str):
         w = self._to_physical(df).write.mode(mode)
@@ -795,6 +1057,7 @@ class ParquetTable:
         df: DataFrame,
         metrics: dict | None = None,
         merge_schema: bool = False,
+        identity_order_by: list[str] | None = None,
     ) -> None:
         """writers/batch_writers.py:29-41 ``append_write`` /
         writers/writer.py:941-949 ``simple_append_write_to_delta``.
@@ -806,6 +1069,7 @@ class ParquetTable:
         a batch whose columns differ from the stored schema raises
         (Delta's default schema enforcement) rather than silently
         writing files later reads would drop."""
+        df = self._fill_identity(df, identity_order_by)
         self._enforce_constraints(df)
         gen_named = sorted(set(df.columns) & set(self._generated()))
         if gen_named:
@@ -836,15 +1100,27 @@ class ParquetTable:
             # union forever
             self.set_properties({"schema_evolved": True})
         new = [f for f in self._data_files() if f not in before]
-        self._record_commit("append", metrics, new_files=new)
+        rec = self._record_commit("append", metrics, new_files=new)
+        self._advance_identity_hwm(rec)
 
-    def overwrite(self, df: DataFrame, metrics: dict | None = None, op: str = "overwrite") -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        metrics: dict | None = None,
+        op: str = "overwrite",
+        identity_order_by: list[str] | None = None,
+    ) -> None:
         """Safe even when ``df`` was derived from ``self.read()``: the
         new state is materialized into a staging directory first, then
         swapped in with directory renames. On a failed swap the previous
         state is renamed back, so the table is never lost; on success
         the previous state is retained under ``_history/pre{seq}`` for
         time travel (removed by ``vacuum()``)."""
+        if op == "overwrite":
+            # only USER batches get identity allocation / the ALWAYS
+            # guard — internal rewrites (delete/update/restore/...)
+            # legitimately carry the existing identity values through
+            df = self._fill_identity(df, identity_order_by)
         if op not in ("compact", "zorder"):
             # compaction/clustering only rearrange rows that already
             # passed the constraints — re-probing there would add an
@@ -883,7 +1159,8 @@ class ParquetTable:
         # (new_files=None would re-read EVERY live footer, O(table) driver
         # work per overwrite, and would record full-table row counts where
         # append commits record per-commit counts).
-        self._record_commit(op, metrics, new_files=self._data_files())
+        rec = self._record_commit(op, metrics, new_files=self._data_files())
+        self._advance_identity_hwm(rec)
 
     def _replace_files(
         self,
@@ -1649,36 +1926,23 @@ class ParquetTable:
         return len(small)
 
     def file_column_ranges(self, col: str) -> list[tuple]:
-        """Per-file (path, min, max) of ``col`` from parquet footer
-        statistics — control-plane (footer reads only, O(files)).
-        Files without usable stats report (path, None, None). Logical
-        column names resolve through the column mapping."""
-        import pyarrow.parquet as pq
-
+        """Per-file (path, min, max) of ``col`` resolved from the
+        COMMIT LOG's per-file stats (``file_stats``) — footers are read
+        only for files the log predates. Files without usable stats
+        report (path, None, None); a one-sided bound reports the side
+        it has (min-only still prunes ``<= hi``). Logical column names
+        resolve through the column mapping (stats are keyed by
+        immortal physical names, so RENAME never staled them)."""
         phys = self._colmap().get(col, col)
         out = []
-        for rel in self._data_files():
-            md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
-            mn = mx = None
-            ok = True
-            for rg in range(md.num_row_groups):
-                rgm = md.row_group(rg)
-                found = False
-                for ci in range(rgm.num_columns):
-                    c = rgm.column(ci)
-                    if c.path_in_schema != phys:
-                        continue
-                    st = c.statistics
-                    if st is None or not st.has_min_max:
-                        ok = False
-                    else:
-                        mn = st.min if mn is None else min(mn, st.min)
-                        mx = st.max if mx is None else max(mx, st.max)
-                    found = True
-                    break
-                if not found:
-                    ok = False  # file predates the column (evolution)
-            out.append((rel, mn, mx) if ok else (rel, None, None))
+        for rel, st in sorted(self.file_stats().items()):
+            ent = (st.get("cols") or {}).get(phys)
+            if ent is None:
+                out.append((rel, None, None))  # evolution / no stats
+            else:
+                out.append(
+                    (rel, self._dec_stat(ent["min"]), self._dec_stat(ent["max"]))
+                )
         return out
 
     def range_scan(self, col: str, lo=None, hi=None) -> DataFrame:
@@ -1694,8 +1958,12 @@ class ParquetTable:
         keep = [
             rel
             for rel, mn, mx in ranges
-            if mn is None
-            or ((hi is None or mn <= hi) and (lo is None or mx >= lo))
+            # skip only on an affirmative non-overlap; missing bounds
+            # are conservative (never a false negative)
+            if not (
+                (hi is not None and mn is not None and mn > hi)
+                or (lo is not None and mx is not None and mx < lo)
+            )
         ]
         pred = F.lit(True)
         if lo is not None:
@@ -1723,10 +1991,10 @@ class ParquetTable:
         rewrites whole files (footers authoritative) or stacks
         deletion vectors (each a live (file, position) pair counted
         once — ``delete_where_dv`` anti-joins existing vectors, so no
-        pair is ever recorded twice)."""
-        n = self._footer_rows(
-            [os.path.join(self.path, f) for f in self._data_files()]
-        )
+        pair is ever recorded twice). Row counts come from the commit
+        log's per-file stats (``file_stats``): zero footer I/O for any
+        file the log covers."""
+        n = sum(s["rows"] for s in self.file_stats().values())
         dvd = self._dv_dir()
         if os.path.isdir(dvd):
             n -= self._footer_rows(

@@ -205,9 +205,10 @@ def test_driver_grading_window_covers_priority_queries():
         "orders_zorder_keys",
         "cdf_merge_changes",
         "docs_fuzzy_entity_pairs",
-        # round-5 rotation survivors (others ceded in r7)
+        # round-5 rotation survivors (others ceded in r7;
+        # orders_delete_state ceded in r8 to its stats-skipping
+        # successor, which runs the same delete_where path)
         "multimodal_audio_meta",
-        "orders_delete_state",
         "embeddings_quantize_int8",
         # round-5 build rotation: the ten new-this-round queries
         "docs_quality_weighted_sample",
@@ -241,5 +242,8 @@ def test_driver_grading_window_covers_priority_queries():
         "embeddings_pipeline_curated",
         "corpus_zipf_alpha",
         "similarity_ivfpq_sampled_topk",
+        # round-8 rotation: log-stats data skipping + identity columns
+        "orders_stats_skipping_state",
+        "orders_identity_state",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"

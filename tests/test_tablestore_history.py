@@ -1307,3 +1307,201 @@ def test_generated_columns_virtual(spark, tmp_path):
         t.add_generated_column("bad", "no_such_col + 1")
     t.drop_generated_column("bucket3")
     assert "bucket3" not in t.read().columns
+
+
+def test_range_scan_plans_from_log_stats(spark, tmp_path, monkeypatch):
+    """Data skipping plans from the commit log's per-file stats (the
+    Delta stats-in-add-action model): after commits, file_column_ranges
+    / count_rows / range_scan planning perform ZERO driver-side footer
+    reads; COW deletes stamp replacement-file stats in their own
+    commit; tagged codecs round-trip timestamps; oversize string maxima
+    drop to a one-sided (sound) bound; a legacy record without stats
+    falls back to a footer harvest and stays correct."""
+    import datetime
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    base = spark.range(1000).selectExpr(
+        "id",
+        "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60) AS ts",
+        "repeat('x', 100 + CAST(id % 3 AS INT)) AS big",
+    )
+    t.overwrite(base.repartitionByRange(8, "id"))
+    t.append(
+        spark.range(1000, 1100).selectExpr(
+            "id",
+            "timestamp'2026-03-01 00:00:00' AS ts",
+            "'short' AS big",
+        )
+    )
+
+    import pyarrow.parquet as pq_mod
+
+    def boom(*a, **k):
+        raise AssertionError("footer read during log-planned operation")
+
+    monkeypatch.setattr(pq_mod, "ParquetFile", boom)
+
+    # zero-footer planning, exact values
+    assert t.count_rows() == t.read().count() == 1100
+    ranges = t.file_column_ranges("id")
+    assert all(mn is not None and mx is not None for _, mn, mx in ranges)
+    got = sorted(r["id"] for r in t.range_scan("id", 150, 250).collect())
+    assert got == list(range(150, 251))
+
+    # timestamp codec: bounds decode to datetimes and prune correctly
+    lo = datetime.datetime(2026, 2, 28)
+    assert (
+        t.range_scan("ts", lo=lo).count()
+        == t.read().where(F.col("ts") >= F.lit(lo)).count()
+    )
+    keep_ts = [
+        rel for rel, mn, mx in t.file_column_ranges("ts")
+        if not (mx is not None and mx < lo)
+    ]
+    assert len(keep_ts) < t.file_count()  # the append file alone
+
+    # oversize strings: min truncated (still a valid lower bound),
+    # max dropped -> one-sided; scan stays conservative and exact
+    big_ranges = dict(
+        (rel, (mn, mx)) for rel, mn, mx in t.file_column_ranges("big")
+    )
+    assert any(
+        mn is not None and len(mn) == 64 and mx is None
+        for mn, mx in big_ranges.values()
+    )
+    assert t.range_scan("big", lo="a").count() == t.count_rows()
+
+    # range-clustered layout actually prunes from the log
+    pruned = [
+        rel for rel, mn, mx in ranges
+        if not (mn > 250 or mx < 150)
+    ]
+    assert len(pruned) < len(ranges)
+    monkeypatch.undo()
+
+    # COW delete: replacement files' stats stamped by the delete's own
+    # commit — planning stays zero-footer, values exact
+    t.delete_where(F.col("id") % 10 == 9)
+    monkeypatch.setattr(pq_mod, "ParquetFile", boom)
+    assert t.count_rows() == t.read().count()
+    got = sorted(r["id"] for r in t.range_scan("id", 150, 250).collect())
+    assert got == [i for i in range(150, 251) if i % 10 != 9]
+    monkeypatch.undo()
+
+    # legacy fallback: strip stats from one commit record -> harvest
+    import json as _json
+
+    log_dir = os.path.join(str(tmp_path / "t"), "_commits")
+    name = sorted(os.listdir(log_dir))[0]
+    with open(os.path.join(log_dir, name)) as f:
+        rec = _json.load(f)
+    rec.pop("stats", None)
+    with open(os.path.join(log_dir, name), "w") as f:
+        _json.dump(rec, f)
+    assert t.count_rows() == t.read().count()
+    got = sorted(r["id"] for r in t.range_scan("id", 150, 250).collect())
+    assert got == [i for i in range(150, 251) if i % 10 != 9]
+
+
+def test_clone_reuses_source_log_stats(spark, tmp_path, monkeypatch):
+    """SHALLOW CLONE copies the source's per-file stats into its first
+    commit record (Delta copies add-action stats verbatim): the clone
+    commit and subsequent log-planned reads pay zero footer I/O."""
+    src = ParquetTable(spark, str(tmp_path / "src"))
+    src.overwrite(spark.range(500).selectExpr("id", "id % 7 AS v"))
+
+    import pyarrow.parquet as pq_mod
+
+    def boom(*a, **k):
+        raise AssertionError("footer read during clone")
+
+    monkeypatch.setattr(pq_mod, "ParquetFile", boom)
+    dst = src.clone(str(tmp_path / "dst"))
+    assert dst.count_rows() == 500
+    assert all(
+        mn is not None for _, mn, mx in dst.file_column_ranges("id")
+    )
+    monkeypatch.undo()
+    assert sorted(r["id"] for r in dst.range_scan("id", 10, 20).collect()) == list(
+        range(10, 21)
+    )
+
+
+def test_identity_columns(spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY parity: gap-mode allocation is
+    unique and advances the persisted high-water mark from the
+    commit's own log stats; order_by mode is gap-free-deterministic;
+    ALWAYS rejects explicit values while BY DEFAULT passes them
+    through; COW delete/update carry existing ids; overwrite never
+    lowers the mark (no id reuse); declaration guards fire."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.add_identity_column("rid", start=100, step=3)
+
+    # deterministic mode: exact arithmetic across two commits
+    t.overwrite(
+        spark.range(10).selectExpr("id AS k"), identity_order_by=["k"]
+    )
+    assert sorted((r["k"], r["rid"]) for r in t.read().collect()) == [
+        (k, 100 + 3 * k) for k in range(10)
+    ]
+    assert t.identity_spec()["rid"]["hwm"] == 127
+    t.append(
+        spark.range(10, 15).selectExpr("id AS k"), identity_order_by=["k"]
+    )
+    assert sorted((r["k"], r["rid"]) for r in t.read().collect()) == [
+        (k, 100 + 3 * k) for k in range(15)
+    ]
+
+    # internal rewrites pass ids through; hwm stays monotone
+    t.delete_where(F.col("k") % 2 == 0)
+    assert sorted(r["rid"] for r in t.read().collect()) == [
+        100 + 3 * k for k in range(15) if k % 2 == 1
+    ]
+    assert t.identity_spec()["rid"]["hwm"] == 142
+    t.update_where({"k": F.col("k") + 100}, predicate=F.col("k") == 1)
+    assert t.identity_spec()["rid"]["hwm"] == 142
+
+    # a later append still allocates past the mark
+    t.append(spark.range(1).selectExpr("id + 500 AS k"))
+    assert max(r["rid"] for r in t.read().collect()) >= 145
+
+    # ALWAYS guard
+    with pytest.raises(ValueError, match="ALWAYS AS IDENTITY"):
+        t.append(spark.range(2).selectExpr("id AS k", "id AS rid"))
+
+    # gap mode: one pass, unique, increasing hwm across appends
+    g = ParquetTable(spark, str(tmp_path / "g"))
+    g.add_identity_column("rid")
+    g.overwrite(spark.range(1000).selectExpr("id AS k").repartition(4))
+    vals = [r["rid"] for r in g.read().collect()]
+    assert len(set(vals)) == 1000 and min(vals) == 1
+    hwm1 = g.identity_spec()["rid"]["hwm"]
+    g.append(spark.range(50).selectExpr("id + 5000 AS k"))
+    vals2 = [r["rid"] for r in g.read().collect()]
+    assert len(set(vals2)) == 1050 and min(
+        v for v in vals2 if v not in set(vals)
+    ) > hwm1
+
+    # BY DEFAULT: explicit values pass through
+    b = ParquetTable(spark, str(tmp_path / "b"))
+    b.add_identity_column("rid", always=False)
+    b.overwrite(spark.range(3).selectExpr("id AS k", "id * 10 AS rid"))
+    assert sorted(r["rid"] for r in b.read().collect()) == [0, 10, 20]
+    b.append(spark.range(2).selectExpr("id + 100 AS k"))  # allocated
+    assert b.read().count() == 5
+
+    # negative step descends and tracks the MIN as its mark
+    n = ParquetTable(spark, str(tmp_path / "n"))
+    n.add_identity_column("rid", start=0, step=-1)
+    n.overwrite(spark.range(5).selectExpr("id AS k"), identity_order_by=["k"])
+    assert sorted(r["rid"] for r in n.read().collect()) == [-4, -3, -2, -1, 0]
+    n.append(spark.range(1).selectExpr("id + 9 AS k"), identity_order_by=["k"])
+    assert min(r["rid"] for r in n.read().collect()) == -5
+
+    # guards
+    with pytest.raises(ValueError, match="non-zero"):
+        t.add_identity_column("z", step=0)
+    with pytest.raises(ValueError, match="already declared"):
+        t.add_identity_column("rid")
+    with pytest.raises(ValueError, match="already holds data"):
+        t.add_identity_column("k")
