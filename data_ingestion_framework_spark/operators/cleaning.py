@@ -521,3 +521,92 @@ def decontaminate_filter(
         .distinct()
     )
     return docs.join(contaminated, id_col, "left_anti")
+
+
+def excise_duplicate_spans(
+    docs: DataFrame,
+    n: int = 13,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-SPAN removal — the exact-substring
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", reference dedup family alongside
+    writers/dedup utilities) re-expressed at word-``n``-gram
+    granularity: instead of dropping whole near-duplicate documents,
+    cut the duplicated PASSAGES (boilerplate paragraphs, license
+    blocks, syndicated intros) out of every document that shares them
+    with ``min_docs``-or-more distinct documents, keeping the unique
+    remainder.
+
+    Returns ``(id, clean_text, n_tokens, n_removed_tokens)`` where
+    ``clean_text`` is the original (case-preserved, whitespace-
+    collapsed) token sequence with every token covered by a duplicated
+    window removed. Matching is case-insensitive (window hashes are
+    md5 of the LOWERCASED n-token slice — oracle-portable), excision
+    is case-preserving.
+
+    Scale shape: one explode to ``(id, start, gram_hash)``; the
+    duplicated-gram set derives from a distinct + count aggregate on
+    the hash (map-side partial, 32-byte keys); duplicated starts
+    rejoin on the hash and collect per doc (never broadcast — the
+    duplicated set is corpus-sized in the worst case); the final
+    excision is a per-row JVM expression (``filter`` with a positional
+    lambda over the sorted start list). Per-row cost is
+    O(tokens x dup-windows-in-doc) — bounded by document length, no
+    cross-row state.
+    """
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    k = F.size(toks)
+    base = spread_for_compute(docs.select(id_col, text_col)).select(
+        F.col(id_col), toks.alias("__w")
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("__w") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - n + 1),
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        F.md5(
+                            F.lower(F.array_join(F.slice("__w", i, n), " "))
+                        ).alias("g"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<s:int,g:string>>"))
+        ).alias("__sg"),
+    ).select(id_col, F.col("__sg.s").alias("__s"), F.col("__sg.g").alias("__g"))
+    dup = (
+        grams.select(id_col, "__g")
+        .distinct()
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .where(F.col("__docs") >= min_docs)
+        .select("__g")
+    )
+    starts = (
+        grams.join(dup, "__g")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("__s")).alias("__ss"))
+    )
+    covered = lambda j: F.exists(  # noqa: E731 — j is a 1-based position
+        F.col("__ss"), lambda s: (s <= j) & (j <= s + F.lit(n - 1))
+    )
+    return (
+        docs.select(id_col, toks.alias("__w"))
+        .join(starts, id_col, "left")
+        .withColumn("__ss", F.coalesce("__ss", F.array().cast("array<int>")))
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.filter("__w", lambda t, j0: ~covered(j0 + 1)), " "
+            ).alias("clean_text"),
+            F.size("__w").cast("bigint").alias("n_tokens"),
+            F.size(F.filter("__w", lambda t, j0: covered(j0 + 1)))
+            .cast("bigint")
+            .alias("n_removed_tokens"),
+        )
+    )

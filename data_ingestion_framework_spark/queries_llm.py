@@ -3878,3 +3878,78 @@ def similarity_ivfpq_sampled_topk(spark, sf_dir):
     return out.select(
         "q_id", "vec_id", F.col("adc_dist").cast("double").alias("adc_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span EXCISION (Lee et al. 2022
+# exact-substring dedup at word-13-gram granularity): cut duplicated
+# passages out of documents instead of dropping the documents. The raw
+# docs are near-unique, so the query appends a 15-word shared passage
+# (same synthesis device as docs_dedup_lines) — the operator must cut
+# every token covered by a window shared with >= 2 distinct docs while
+# preserving each document's unique body verbatim. Matching is
+# case-insensitive (md5 of the lowercased window), excision preserves
+# the original tokens; the oracle replays start-position cover sets
+# with DuckDB list comprehensions.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_excise_dup_spans",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id,
+             text || ' Shared Passage one two three four five six seven'
+                  || ' eight nine ten eleven twelve tail '
+                  || CAST(doc_id % 5 AS VARCHAR) AS text
+      FROM documents
+    ), nw AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM pages
+    ), g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 13
+                    THEN [md5(lower(array_to_string(w[i:i+12], ' ')))
+                          for i in range(1, len(w) - 11)]
+                    ELSE [] END) AS gh,
+             unnest(CASE WHEN len(w) >= 13
+                    THEN [i for i in range(1, len(w) - 11)]
+                    ELSE [] END) AS s
+      FROM nw
+    ), dup AS (
+      SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+      GROUP BY gh HAVING COUNT(*) >= 2
+    ), ss AS (
+      SELECT g.doc_id, list_sort(list(DISTINCT g.s)) AS starts
+      FROM g JOIN dup ON g.gh = dup.gh
+      GROUP BY g.doc_id
+    )
+    SELECT nw.doc_id,
+           coalesce(array_to_string(
+             [w[j] for j in range(1, len(w) + 1)
+              if len(list_filter(coalesce(ss.starts, []),
+                                 s -> s <= j AND j <= s + 12)) = 0],
+             ' '), '') AS clean_text,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len([j for j in range(1, len(w) + 1)
+                     if len(list_filter(coalesce(ss.starts, []),
+                                        s -> s <= j AND j <= s + 12)) > 0])
+                AS BIGINT) AS n_removed_tokens
+    FROM nw LEFT JOIN ss ON nw.doc_id = ss.doc_id
+    """,
+)
+def docs_excise_dup_spans(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import cleaning
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                " Shared Passage one two three four five six seven"
+                " eight nine ten eleven twelve tail "
+            ),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    return cleaning.excise_duplicate_spans(docs, n=13, min_docs=2)

@@ -100,7 +100,12 @@ _PRIORITY = [
     "events_range_join_counts",
     "streaming_daily_counts",
     "events_asof_purchase",
-    "events_time_rollup",
+    # ROUND-8 ROTATION: events_time_rollup (driver-green r5+r6) cedes
+    # to the duplicated-span excision operator; the time-bucket rollup
+    # mechanism stays window-graded via events_incremental_partition_
+    # rollup (date-bucketed rollup) and events_range_join_counts
+    # (time-bucket join). Still in the full local gate.
+    "docs_excise_dup_spans",
     # never driver-graded: CDC / SCD / DQ
     "cdc_find_delta",
     # ROUND-8 ROTATION: cdc_brute_force_diff (driver-green r5+r6)
@@ -282,10 +287,11 @@ _PRIORITY = [
     # rows-only (no oracle): the driver's hash gate can't grade it, so
     # it cedes its window slot to an oracle-backed round-5 query
     "docs_pack_ffd",
-    # the two rows ceded by the round-8 rotation (driver-green r5+r6;
+    # the three rows ceded by the round-8 rotation (driver-green r5+r6;
     # mechanisms window-covered per the rotation notes above)
     "cdc_brute_force_diff",
     "orders_delete_state",
+    "events_time_rollup",
     # the rows ceded by the round-6 rotation (driver-green 2+
     # rounds; mechanisms window-covered per the rotation note above)
     "docs_remove_boilerplate",

@@ -549,3 +549,58 @@ def test_zipf_alpha_recovers_synthetic_exponent(spark):
     assert 0.9 <= row["alpha"] <= 1.1
     # determinism: identical on re-run
     assert zipf_alpha(docs, top_n=100).collect()[0]["alpha"] == row["alpha"]
+
+
+def test_excise_duplicate_spans(spark):
+    """Lee-et-al-style span excision: the shared 13+-gram passage is
+    cut from every doc carrying it; unique bodies survive verbatim
+    (case preserved); matching is case-insensitive; short docs and
+    docs with no duplicated window pass through untouched; counts
+    reconcile."""
+    from data_ingestion_framework_spark.operators.cleaning import (
+        excise_duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    rows = [
+        (1, f"Unique Body One {shared} trailing one"),
+        # case-insensitively identical shared passage
+        (2, f"second unique body {shared.upper()} ending two"),
+        (3, "totally unique document with no duplicated window at all here"),
+        (4, "short doc"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in excise_duplicate_spans(
+            spark.createDataFrame(rows, "doc_id int, text string"),
+            n=13,
+            min_docs=2,
+        ).collect()
+    }
+    # the 13-word shared run is excised; unique pre/post tokens stay
+    assert out[1]["clean_text"] == "Unique Body One trailing one"
+    assert out[2]["clean_text"] == "second unique body ending two"
+    assert out[1]["n_removed_tokens"] == 13
+    assert out[2]["n_removed_tokens"] == 13
+    # case preserved on survivors, case-insensitive on matching
+    assert out[1]["n_tokens"] == 18
+    # untouched docs
+    assert out[3]["clean_text"] == rows[2][1]
+    assert out[3]["n_removed_tokens"] == 0
+    assert out[4]["clean_text"] == "short doc"
+    assert out[4]["n_removed_tokens"] == 0
+    for r in out.values():
+        kept = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert kept + r["n_removed_tokens"] == r["n_tokens"]
+
+    # min_docs=3: two copies no longer count as duplicated
+    out3 = {
+        r["doc_id"]: r
+        for r in excise_duplicate_spans(
+            spark.createDataFrame(rows, "doc_id int, text string"),
+            n=13,
+            min_docs=3,
+        ).collect()
+    }
+    assert out3[1]["n_removed_tokens"] == 0
+    assert out3[1]["clean_text"] == rows[0][1]

@@ -243,7 +243,9 @@ def test_driver_grading_window_covers_priority_queries():
         "corpus_zipf_alpha",
         "similarity_ivfpq_sampled_topk",
         # round-8 rotation: log-stats data skipping + identity columns
+        # + duplicated-span excision
         "orders_stats_skipping_state",
         "orders_identity_state",
+        "docs_excise_dup_spans",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
