@@ -301,6 +301,116 @@ def _training_sample(
     )
 
 
+def _round6_half_up(x: float) -> float:
+    """Python twin of Spark's ``F.round(col, 6)`` (BigDecimal HALF_UP
+    over the double's shortest decimal repr) — used so driver-side
+    Lloyd assignment ranks EXACTLY like the scan-side expression."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _local_cos6(v: list[float], c: list[float]) -> float:
+    """Sequential-sum cosine rounded to 6 — op-for-op the scan-side
+    ``F.round(cosine(...), 6)`` (left-to-right aggregate sums, same
+    IEEE order, same zero-denominator contract)."""
+    import math
+
+    dp = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(v, c):
+        dp += x * y
+        na += x * x
+        nb += y * y
+    denom = math.sqrt(na) * math.sqrt(nb)
+    return _round6_half_up(0.0 if denom == 0 else dp / denom)
+
+
+def _local_sql2_6(v: list[float], c: list[float]) -> float:
+    """Sequential-sum squared L2 rounded to 6 (twin of ``_sq_l2``)."""
+    s = 0.0
+    for x, y in zip(v, c):
+        s += (x - y) * (x - y)
+    return _round6_half_up(s)
+
+
+def _local_means(
+    members: dict[int, list[list[float]]], prev: list[list[float]]
+) -> list[list[float]]:
+    """Per-cluster element means; clusters that lost every member keep
+    their previous centroid (the distributed jobs' contract)."""
+    out = []
+    for c, centroid in enumerate(prev):
+        rows = members.get(c)
+        if not rows:
+            out.append(centroid)
+            continue
+        n = len(rows)
+        out.append([sum(r[p] for r in rows) / n for p in range(len(rows[0]))])
+    return out
+
+
+def _ivf_lloyd_local(
+    vecs: list[list[float]], n_cells: int, iters: int
+) -> list[list[float]]:
+    """Driver-side Lloyd over a collected training sample — assignment
+    is op-for-op the scan-side expression (sequential-sum cosine,
+    HALF_UP round to 6, cell-id ties), seeds are the sample prefix."""
+    centroids = [list(v) for v in vecs[:n_cells]]
+    for _ in range(iters):
+        members: dict[int, list[list[float]]] = {}
+        for v in vecs:
+            best = min(
+                range(n_cells),
+                key=lambda c: (-_local_cos6(v, centroids[c]), c),
+            )
+            members.setdefault(best, []).append(v)
+        centroids = _local_means(members, centroids)
+    return centroids
+
+
+def _pq_lloyd_local(
+    vecs: list[list[float]], m: int, k: int, iters: int
+) -> list[list[list[float]]]:
+    """Driver-side per-subspace Lloyd (squared-L2 argmin, code ties)."""
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    subvecs = [
+        [v[s * dsub : (s + 1) * dsub] for v in vecs] for s in range(m)
+    ]
+    books = [[list(sv) for sv in subvecs[s][:k]] for s in range(m)]
+    for _ in range(iters):
+        new_books = []
+        for s in range(m):
+            members: dict[int, list[list[float]]] = {}
+            for sv in subvecs[s]:
+                best = min(
+                    range(k), key=lambda c: (_local_sql2_6(sv, books[s][c]), c)
+                )
+                members.setdefault(best, []).append(sv)
+            new_books.append(_local_means(members, books[s]))
+        books = new_books
+    return books
+
+
+def _collect_training_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, n: int
+) -> list[list[float]]:
+    rows = (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -328,7 +438,14 @@ def ivf_train_centroids(
     if train_sample is not None:
         if train_sample < n_cells:
             raise ValueError("train_sample must be >= n_cells")
-        corpus = _training_sample(corpus, id_col, train_sample)
+        # FAISS's actual model: bounded training data is CONTROL-PLANE
+        # sized, so collect the sample once and run Lloyd driver-side —
+        # one Spark action total instead of one scan per iteration.
+        # Assignment uses the exact scan-side semantics, so the result
+        # is interchangeable with the distributed path's (pinned by
+        # test_sampled_training_local_matches_distributed).
+        vecs = _collect_training_sample(corpus, id_col, vec_col, train_sample)
+        return _ivf_lloyd_local(vecs, n_cells, iters)
     seed_rows = (
         corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_cells)
@@ -579,19 +696,26 @@ def pq_train_codebooks(
     if train_sample is not None:
         if train_sample < k:
             raise ValueError("train_sample must be >= k")
-        corpus = _training_sample(corpus, id_col, train_sample)
-    first = corpus.select(F.size(vec_col).alias("n")).first()
-    if first is None:
-        raise ValueError("pq_train_codebooks: empty corpus")
-    dim = first["n"]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    dsub = dim // m
+        # driver-side Lloyd on the collected sample (see
+        # ivf_train_centroids — same FAISS bounded-training model,
+        # same exact scan-side assignment semantics per subspace)
+        vecs = _collect_training_sample(corpus, id_col, vec_col, train_sample)
+        if not vecs:
+            raise ValueError("pq_train_codebooks: empty corpus")
+        return _pq_lloyd_local(vecs, m, k, iters)
     seed_rows = (
         corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(k)
         .collect()
     )
+    if not seed_rows:
+        raise ValueError("pq_train_codebooks: empty corpus")
+    # dim comes from the seed rows themselves — a separate first()
+    # probe was one more full Spark action per index build
+    dim = len(seed_rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
     books = [
         [[float(x) for x in r[vec_col][s * dsub : (s + 1) * dsub]] for r in seed_rows]
         for s in range(m)
@@ -633,6 +757,125 @@ def pq_train_codebooks(
             for s in range(m)
         ]
     return books
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int | None = None,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Fused IVF + PQ training: one index build instead of two.
+
+    Value-identical to ``ivf_train_centroids`` + ``pq_train_codebooks``
+    (same md5-rank seeds — both read the same ordering prefix — same
+    per-iteration assignment expressions, same grouped means, so the
+    DuckDB oracles that re-derive each build separately still match),
+    but the two Lloyd recursions share their Spark actions: ONE seed
+    collect (the first ``max(n_cells, k)`` rows seed both) and ONE
+    combined means job per iteration (the IVF explode and the PQ
+    explode union into a single keyed aggregate; groups are disjoint by
+    a kind marker, so each side's means are exactly what its standalone
+    job computed). For an IVFADC build that halves the number of
+    full-corpus training passes — at 100 TB the training scans ARE the
+    build cost, and the scheduler round-trips dominate the small-sample
+    case the same way."""
+    corpus = _spread(corpus.select(id_col, vec_col))
+    if train_sample is not None:
+        if train_sample < max(n_cells, k):
+            raise ValueError("train_sample must be >= max(n_cells, k)")
+        # ONE collect feeds both driver-side Lloyd recursions
+        vecs = _collect_training_sample(corpus, id_col, vec_col, train_sample)
+        if len(vecs) < max(n_cells, k):
+            raise ValueError("ivfpq_train: corpus smaller than seed count")
+        return (
+            _ivf_lloyd_local(vecs, n_cells, iters),
+            _pq_lloyd_local(vecs, m, k, iters),
+        )
+    seed_rows = (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(max(n_cells, k))
+        .collect()
+    )
+    if len(seed_rows) < max(n_cells, k):
+        raise ValueError("ivfpq_train: corpus smaller than seed count")
+    dim = len(seed_rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    centroids = [
+        [float(x) for x in r[vec_col]] for r in seed_rows[:n_cells]
+    ]
+    books = [
+        [
+            [float(x) for x in r[vec_col][s * dsub : (s + 1) * dsub]]
+            for r in seed_rows[:k]
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        # IVF side: (kind=-1, cell, pos, x) over the full vector
+        ivf_rows = corpus.select(
+            _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__b"),
+            vec_col,
+        ).select(
+            F.lit(-1).alias("__a"),
+            "__b",
+            F.posexplode(_to_double(F.col(vec_col))).alias("__pos", "__x"),
+        )
+        # PQ side: (kind=sub, code, pos, x) over each subvector
+        per_sub = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    _pq_code(F.col(vec_col), s, books[s], dsub).alias("code"),
+                    _pq_sub(F.col(vec_col), s, dsub).alias("sv"),
+                )
+                for s in range(m)
+            ]
+        )
+        pq_rows = (
+            corpus.select(F.explode(per_sub).alias("a"))
+            .select(
+                F.col("a.sub").alias("__a"),
+                F.col("a.code").alias("__b"),
+                F.col("a.sv").alias("__sv"),
+            )
+            .select("__a", "__b", F.posexplode("__sv").alias("__pos", "__x"))
+        )
+        means = (
+            ivf_rows.unionByName(pq_rows)
+            .groupBy("__a", "__b", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            if r["__a"] == -1:
+                by_cell.setdefault(r["__b"], {})[r["__pos"]] = r["__m"]
+            else:
+                got.setdefault((r["__a"], r["__b"]), {})[r["__pos"]] = r["__m"]
+        centroids = [
+            [by_cell[c][p] for p in sorted(by_cell[c])]
+            if c in by_cell
+            else centroids[c]
+            for c in range(n_cells)
+        ]
+        books = [
+            [
+                [got[(s, c)][p] for p in sorted(got[(s, c)])]
+                if (s, c) in got
+                else books[s][c]
+                for c in range(k)
+            ]
+            for s in range(m)
+        ]
+    return centroids, books
 
 
 def pq_encode(

@@ -2985,14 +2985,15 @@ def similarity_pq_topk(spark, sf_dir):
 )
 def similarity_ivfpq_topk(spark, sf_dir):
     from data_ingestion_framework_spark.operators.similarity import (
-        ivf_train_centroids,
         ivfpq_adc_topk,
-        pq_train_codebooks,
+        ivfpq_train,
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    centroids = ivf_train_centroids(emb, n_cells=8, iters=2)
-    books = pq_train_codebooks(emb, m=4, k=8, iters=2)
+    # fused build: one seed collect + one combined means job per Lloyd
+    # iteration — value-identical to the separate builds the oracle
+    # re-derives, but half the full-corpus training scans
+    centroids, books = ivfpq_train(emb, n_cells=8, m=4, k=8, iters=2)
     queries = emb.where(F.col("vec_id") < 5)
     out = ivfpq_adc_topk(emb, queries, centroids, books, k=10, nprobe=4)
     return out.select(
@@ -3861,17 +3862,16 @@ def corpus_zipf_alpha(spark, sf_dir):
 )
 def similarity_ivfpq_sampled_topk(spark, sf_dir):
     from data_ingestion_framework_spark.operators.similarity import (
-        ivf_train_centroids,
         ivfpq_adc_topk,
-        pq_train_codebooks,
+        ivfpq_train,
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    centroids = ivf_train_centroids(
-        emb, n_cells=8, iters=2, train_sample=256
-    )
-    books = pq_train_codebooks(
-        emb, m=4, k=8, iters=2, train_sample=256
+    # one sample collect feeds both driver-side Lloyd builds (the
+    # FAISS bounded-training model; scan-side assignment semantics
+    # exactly, pinned by test_sampled_training_local_matches_distributed)
+    centroids, books = ivfpq_train(
+        emb, n_cells=8, m=4, k=8, iters=2, train_sample=256
     )
     queries = emb.where(F.col("vec_id") < 5)
     out = ivfpq_adc_topk(emb, queries, centroids, books, k=10, nprobe=4)

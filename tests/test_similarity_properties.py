@@ -123,3 +123,74 @@ def test_incremental_minhash_always_detects_exact_duplicate(spark, words):
     }
     assert out[(10, 1)] == 1.0       # identical sigs -> all bands collide
     assert (11, 1) not in out
+
+
+def test_sampled_training_local_matches_distributed(spark):
+    """train_sample now runs Lloyd DRIVER-SIDE on the collected sample
+    (the FAISS bounded-training model, one Spark action per build).
+    Pin: identical output to the distributed iterations run over the
+    same sample frame — assignment semantics (sequential-sum metrics,
+    HALF_UP round-6, low-id ties) are op-for-op the scan-side
+    expressions."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows)
+    sample = similarity._training_sample(
+        similarity._spread(emb.select("vec_id", "embedding")), "vec_id", 32
+    )
+    c_dist = similarity.ivf_train_centroids(sample, n_cells=4, iters=2)
+    b_dist = similarity.pq_train_codebooks(sample, m=2, k=4, iters=2)
+    c_loc = similarity.ivf_train_centroids(
+        emb, n_cells=4, iters=2, train_sample=32
+    )
+    b_loc = similarity.pq_train_codebooks(
+        emb, m=2, k=4, iters=2, train_sample=32
+    )
+
+    def flat(x):
+        out = []
+
+        def rec(v):
+            if isinstance(v, list):
+                for e in v:
+                    rec(e)
+            else:
+                out.append(v)
+
+        rec(x)
+        return out
+
+    for a, b in zip(flat(c_dist), flat(c_loc)):
+        assert abs(a - b) < 1e-9
+    for a, b in zip(flat(b_dist), flat(b_loc)):
+        assert abs(a - b) < 1e-9
+
+
+def test_ivfpq_train_fused_matches_separate(spark):
+    """The fused IVF+PQ build (one seed collect, one combined means job
+    per iteration) returns exactly what the two standalone builds
+    return — in both full-corpus and sampled modes."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows)
+    c1 = similarity.ivf_train_centroids(emb, n_cells=4, iters=2)
+    b1 = similarity.pq_train_codebooks(emb, m=2, k=4, iters=2)
+    c2, b2 = similarity.ivfpq_train(emb, n_cells=4, m=2, k=4, iters=2)
+    assert c1 == c2 and b1 == b2
+
+    c3 = similarity.ivf_train_centroids(emb, n_cells=4, iters=2, train_sample=16)
+    b3 = similarity.pq_train_codebooks(emb, m=2, k=4, iters=2, train_sample=16)
+    c4, b4 = similarity.ivfpq_train(
+        emb, n_cells=4, m=2, k=4, iters=2, train_sample=16
+    )
+    assert c3 == c4 and b3 == b4
