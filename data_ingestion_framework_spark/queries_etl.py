@@ -1063,6 +1063,46 @@ def orders_identity_state(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Metadata-only aggregate answers under the oracle gate: COUNT(*),
+# MIN and MAX straight from the commit log's per-file stats — zero
+# data bytes AND zero footer reads at query time (Delta's
+# log-statistics answers). The lifecycle spans two appends and a COW
+# delete so the folded stats cross three commits; the oracle computes
+# the same aggregates the slow way. A one-row result frame is built
+# from the driver-side answers (the values ARE control-plane).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_minmax_metadata",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+)
+def orders_minmax_metadata(spark, sf_dir):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = ParquetTable(spark, _scratch_dir("difs_minmax_") + "/t")
+    t.overwrite(orders.where(F.col("o_orderkey") % 2 == 0))
+    t.append(orders.where(F.col("o_orderkey") % 2 != 0))
+    t.delete_where(F.col("o_orderkey") % 7 == 0)
+    n = t.count_rows()
+    kmin, kmax = t.column_min_max("o_orderkey")
+    pmin, pmax = t.column_min_max("o_totalprice")
+    return spark.createDataFrame(
+        [(n, kmin, kmax, float(pmin), float(pmax))],
+        "n_rows bigint, min_key bigint, max_key bigint, "
+        "min_price double, max_price double",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal video path, same contract as multimodal_audio_meta: a
 # spec-valid ISO BMFF skeleton synthesized JVM-side with properties
 # derived from doc_id, the stdlib box-walk parser recovers them

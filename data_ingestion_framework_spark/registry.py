@@ -162,7 +162,11 @@ _PRIORITY = [
     # round-6: the generic MERGE INTO executor's NOT-MATCHED-BY-SOURCE
     # clause family and the IVFADC composite — both new, never graded
     "orders_merge_not_matched_state",
-    "embeddings_quantize_int8",
+    # ROUND-8 ROTATION: embeddings_quantize_int8 (driver-green r5+r6)
+    # cedes to the metadata-only aggregate answers; the int8 quantize
+    # mechanism stays window-graded via embeddings_pipeline_curated,
+    # whose final stage runs the same quantizer. Still in the full gate.
+    "orders_minmax_metadata",
     "similarity_ivfpq_topk",
     "similarity_lsh_topk",
     "orders_hilbert_keys",
@@ -292,6 +296,7 @@ _PRIORITY = [
     "cdc_brute_force_diff",
     "orders_delete_state",
     "events_time_rollup",
+    "embeddings_quantize_int8",
     # the rows ceded by the round-6 rotation (driver-green 2+
     # rounds; mechanisms window-covered per the rotation note above)
     "docs_remove_boilerplate",

@@ -415,20 +415,71 @@ class ParquetTable:
     def history(self) -> list[dict]:
         """All commit records, oldest first — ``DESCRIBE HISTORY``
         parity (di_landing_to_raw_generic_v2.py:813-891). Each record:
-        ``{seq, ts, op, rows_written, metrics, files}``."""
+        ``{seq, ts, op, rows_written, metrics, files, stats}``.
+        Checkpoint files (underscore-prefixed) are not commit records."""
         d = self._log_dir()
         if not os.path.isdir(d):
             return []
         out = []
         for name in sorted(os.listdir(d)):
-            if name.endswith(".json"):
+            if name.endswith(".json") and not name.startswith(("_", ".")):
                 with open(os.path.join(d, name)) as f:
                     out.append(json.load(f))
         return sorted(out, key=lambda r: r["seq"])
 
     def _next_seq(self) -> int:
-        h = self.history()
-        return (h[-1]["seq"] + 1) if h else 1
+        """Next commit seq from record FILENAMES alone (zero json
+        parsing — the record name is its zero-padded seq). Every commit
+        path calls this; parsing O(commits) record bodies per commit is
+        the quadratic-log trap Delta's checkpointing exists to avoid."""
+        d = self._log_dir()
+        if not os.path.isdir(d):
+            return 1
+        seqs = [
+            int(name[:8])
+            for name in os.listdir(d)
+            if name.endswith(".json")
+            and not name.startswith(("_", "."))
+            and name[:8].isdigit()
+        ]
+        return (max(seqs) + 1) if seqs else 1
+
+    # -- log checkpoints -----------------------------------------------------
+    #
+    # Delta writes a checkpoint every N commits so readers reconstruct
+    # table state from checkpoint + tail instead of replaying the whole
+    # log. Same here for the per-file STATS fold: `file_stats` reads the
+    # newest `_checkpoint.{seq}.json` (the full file→stats mapping as of
+    # that commit) plus only the records after it — O(tail), not
+    # O(commits). `DESCRIBE HISTORY` still reads every record (that IS
+    # the product there); the hot planning paths don't.
+
+    CHECKPOINT_EVERY = 10
+
+    def _latest_checkpoint(self) -> dict | None:
+        d = self._log_dir()
+        if not os.path.isdir(d):
+            return None
+        names = sorted(
+            n
+            for n in os.listdir(d)
+            if n.startswith("_checkpoint.") and n.endswith(".json")
+        )
+        if not names:
+            return None
+        with open(os.path.join(d, names[-1])) as f:
+            return json.load(f)
+
+    def _maybe_checkpoint(self, rec: dict) -> None:
+        every = int(self.properties().get("checkpoint_interval", 0) or self.CHECKPOINT_EVERY)
+        if every <= 0 or rec["seq"] % every:
+            return
+        ck = {"seq": rec["seq"], "stats": self.file_stats()}
+        d = self._log_dir()
+        tmp = os.path.join(d, f".tmp-ck-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(ck, f)
+        os.rename(tmp, os.path.join(d, f"_checkpoint.{rec['seq']:08d}.json"))
 
     def _data_files(self, root: str | None = None) -> list[str]:
         """Relative paths of live data files (skips ``_commits``,
@@ -564,16 +615,38 @@ class ParquetTable:
 
     def file_stats(self) -> dict:
         """Per-live-file stats resolved from the commit log: each file's
-        stats come from the commit that wrote it. Files the log doesn't
-        cover (pre-feature commits, hand-placed files) fall back to one
-        footer read each — after which the next commit's record makes
-        the log authoritative again. Control-plane only."""
+        stats come from the commit that wrote it, folded from the
+        newest CHECKPOINT plus only the records after it (O(tail) log
+        reads — see ``_maybe_checkpoint``). Files the log doesn't cover
+        (pre-feature commits, hand-placed files, restores reaching past
+        the checkpoint horizon) fall back to one footer read each —
+        after which the next checkpoint makes the log authoritative
+        again. Control-plane only; per-file stats are immutable, so a
+        checkpoint can never go stale, only lack entries."""
         live = set(self._data_files())
         out: dict = {}
-        for rec in self.history():
-            for rel, st in (rec.get("stats") or {}).items():
-                if rel in live:
-                    out[rel] = st
+        ck = self._latest_checkpoint()
+        ck_seq = 0
+        if ck:
+            ck_seq = ck["seq"]
+            out.update(
+                {rel: st for rel, st in ck["stats"].items() if rel in live}
+            )
+        d = self._log_dir()
+        if os.path.isdir(d):
+            for name in sorted(os.listdir(d)):
+                if (
+                    not name.endswith(".json")
+                    or name.startswith(("_", "."))
+                    or not name[:8].isdigit()
+                    or int(name[:8]) <= ck_seq
+                ):
+                    continue
+                with open(os.path.join(d, name)) as f:
+                    rec = json.load(f)
+                for rel, st in (rec.get("stats") or {}).items():
+                    if rel in live:
+                        out[rel] = st
         missing = sorted(live - set(out))
         if missing:
             out.update(self._harvest_file_stats(missing))
@@ -632,6 +705,7 @@ class ParquetTable:
                 os.unlink(tmp)
             except OSError:
                 pass
+        self._maybe_checkpoint(rec)
         return rec
 
     def detail(self) -> dict:
@@ -2004,6 +2078,77 @@ class ParquetTable:
 
     def file_count(self) -> int:
         return len(self._data_files())
+
+    def column_min_max(self, col: str) -> tuple:
+        """Metadata-only ``MIN(col), MAX(col)`` — the other query Delta
+        answers straight from log statistics. Exact when every live
+        file has logged bounds for the column and no deletion vectors
+        exist; otherwise falls back to one exact aggregate scan (a DV
+        row could hold the extreme, and a stat-less file could hide
+        it — soundness over speed, never a wrong answer). NULL-only
+        tables return (None, None) either way."""
+        dvd = self._dv_dir()
+        stats = None if os.path.isdir(dvd) else self.file_stats()
+        if stats is not None:
+            phys = self._colmap().get(col, col)
+            mins: list = []
+            maxs: list = []
+            ok = bool(stats)
+            for st in stats.values():
+                ent = (st.get("cols") or {}).get(phys)
+                if ent is None or ent["min"] is None or ent["max"] is None:
+                    # missing or codec-dropped bounds: the extreme could
+                    # hide in this file — only the exact scan is sound
+                    ok = False
+                    break
+                mins.append(self._dec_stat(ent["min"]))
+                maxs.append(self._dec_stat(ent["max"]))
+            if ok and mins:
+                return (min(mins), max(maxs))
+            if ok and not mins:
+                return (None, None)
+        row = self.read().agg(
+            F.min(col).alias("mn"), F.max(col).alias("mx")
+        ).collect()[0]
+        return (row["mn"], row["mx"])
+
+    def orphan_files(self, grace_seconds: float = 3600.0) -> list[str]:
+        """Data files on disk that NO commit record references — the
+        leftovers of a writer that crashed mid-write (Spark wrote part
+        files, the commit record never landed). They are invisible to
+        nothing in this store (reads are directory scans), so flagging
+        them is an FSCK, not a formality. ``grace_seconds`` keeps an
+        IN-FLIGHT writer's files off the list (Delta's VACUUM retention
+        serves the same race)."""
+        referenced: set = set()
+        for rec in self.history():
+            referenced.update(rec.get("files") or [])
+        now = time.time()
+        out = []
+        for rel in self._data_files():
+            if rel in referenced:
+                continue
+            try:
+                age = now - os.path.getmtime(os.path.join(self.path, rel))
+            except OSError:
+                continue
+            if age >= grace_seconds:
+                out.append(rel)
+        return sorted(out)
+
+    def remove_orphan_files(self, grace_seconds: float = 3600.0) -> int:
+        """Delete ``orphan_files`` and record the repair as a commit."""
+        doomed = self.orphan_files(grace_seconds)
+        for rel in doomed:
+            try:
+                os.unlink(os.path.join(self.path, rel))
+            except OSError:
+                pass
+        if doomed:
+            self._record_commit(
+                "fsck_remove_orphans", {"files_removed": len(doomed)}, new_files=[]
+            )
+        return len(doomed)
 
     def optimize(
         self,

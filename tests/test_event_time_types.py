@@ -209,7 +209,6 @@ def test_driver_grading_window_covers_priority_queries():
         # orders_delete_state ceded in r8 to its stats-skipping
         # successor, which runs the same delete_where path)
         "multimodal_audio_meta",
-        "embeddings_quantize_int8",
         # round-5 build rotation: the ten new-this-round queries
         "docs_quality_weighted_sample",
         "dedup_containment_pairs",
@@ -247,5 +246,6 @@ def test_driver_grading_window_covers_priority_queries():
         "orders_stats_skipping_state",
         "orders_identity_state",
         "docs_excise_dup_spans",
+        "orders_minmax_metadata",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"

@@ -1505,3 +1505,98 @@ def test_identity_columns(spark, tmp_path):
         t.add_identity_column("rid")
     with pytest.raises(ValueError, match="already holds data"):
         t.add_identity_column("k")
+
+
+def test_log_checkpoint_bounds_stats_fold(spark, tmp_path, monkeypatch):
+    """Every 10th commit writes a checkpoint of the full file→stats
+    mapping; file_stats then folds checkpoint + tail only. Pin: after
+    the checkpoint, planning reads no footers AND no pre-checkpoint
+    record is opened; history() still returns every commit; restore
+    past the horizon falls back (correct, footer-harvested)."""
+    import json as _json
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    for i in range(12):
+        t.append(spark.range(i * 10, (i + 1) * 10).selectExpr("id"))
+    log_dir = os.path.join(str(tmp_path / "t"), "_commits")
+    cks = [n for n in os.listdir(log_dir) if n.startswith("_checkpoint.")]
+    assert cks == ["_checkpoint.00000010.json"]
+    assert len(t.history()) == 12  # checkpoints are not commit records
+    assert t._next_seq() == 13
+
+    # poison every pre-checkpoint record body: the fold must not read
+    # them (and footers must not be opened either)
+    for n in os.listdir(log_dir):
+        if n.endswith(".json") and not n.startswith("_") and int(n[:8]) <= 10:
+            with open(os.path.join(log_dir, n), "w") as f:
+                f.write("{not json")
+    import pyarrow.parquet as pq_mod
+
+    def boom(*a, **k):
+        raise AssertionError("footer read after checkpoint")
+
+    monkeypatch.setattr(pq_mod, "ParquetFile", boom)
+    assert t.count_rows() == 120
+    assert t.column_min_max("id") == (0, 119)
+    assert len(t.file_stats()) == t.file_count()
+    monkeypatch.undo()
+
+    # next checkpoint at 20 folds through the tail again
+    for i in range(12, 20):
+        t.append(spark.range(i * 10, (i + 1) * 10).selectExpr("id"))
+    cks = sorted(
+        n for n in os.listdir(log_dir) if n.startswith("_checkpoint.")
+    )
+    assert cks[-1] == "_checkpoint.00000020.json"
+    with open(os.path.join(log_dir, cks[-1])) as f:
+        ck = _json.load(f)
+    assert len(ck["stats"]) == t.file_count()
+    assert t.count_rows() == 200
+
+
+def test_column_min_max_metadata_and_fallbacks(spark, tmp_path):
+    """column_min_max answers from log stats when sound, falls back to
+    the exact scan under deletion vectors or stat-less columns."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.range(100).selectExpr(
+            "id", "CAST(id AS DOUBLE) / 4 AS x", "repeat('z', 200) AS big"
+        )
+    )
+    assert t.column_min_max("id") == (0, 99)
+    assert t.column_min_max("x") == (0.0, 24.75)
+    # oversize strings dropped from stats -> exact scan fallback
+    mn, mx = t.column_min_max("big")
+    assert mn == "z" * 200 and mx == "z" * 200
+    # DV forces the exact path (a deleted row could hold the extreme)
+    t.delete_where_dv("id >= 90")
+    assert t.column_min_max("id") == (0, 89)
+    # rename resolves through the mapping
+    t.rename_column("id", "key")
+    assert t.column_min_max("key") == (0, 89)
+
+
+def test_orphan_file_fsck(spark, tmp_path):
+    """Files never referenced by any commit (crashed-writer leftovers)
+    are flagged and removable; fresh files inside the grace window are
+    left alone; committed files are never touched."""
+    import shutil
+    import time as _time
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(50).selectExpr("id"))
+    # simulate a crashed writer: copy a data file under a new name
+    files = t._data_files()
+    src = os.path.join(str(tmp_path / "t"), files[0])
+    stray = os.path.join(str(tmp_path / "t"), "part-crashed-leftover.parquet")
+    shutil.copy(src, stray)
+    assert t.orphan_files(grace_seconds=3600) == []  # too fresh
+    old = _time.time() - 7200
+    os.utime(stray, (old, old))
+    assert t.orphan_files(grace_seconds=3600) == [
+        "part-crashed-leftover.parquet"
+    ]
+    assert t.remove_orphan_files(grace_seconds=3600) == 1
+    assert t.orphan_files(grace_seconds=3600) == []
+    assert t.read().count() == 50
+    assert t.history()[-1]["op"] == "fsck_remove_orphans"
