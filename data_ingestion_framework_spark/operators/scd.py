@@ -98,6 +98,36 @@ def stamp_scd2_initial(
     )
 
 
+def scd1_surrogate_apply(
+    target: DataFrame | None,
+    source: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    id_col: str = "row_id",
+) -> DataFrame:
+    """SCD1 merge that PRESERVES a surrogate-key column across updates
+    — the dimensional-modeling contract ``scd1_apply`` can't express
+    (its replace-on-match drops the target row including its surrogate,
+    minting a new one per update): matched keys inherit the target's
+    ``id_col``, unmatched source keys carry NULL, and a table with a
+    BY DEFAULT identity column fills those NULLs at write time
+    (``ParquetTable._fill_identity``) — so the surrogate is stable for
+    a key's lifetime and fresh exactly for first-seen keys.
+
+    Same shuffle shape as ``scd1_apply`` plus one key-join to inherit
+    ids (co-partitioned with the merge's own key shuffle)."""
+    latest = dedupe_latest(source.drop(id_col), key_cols, order_col)
+    if target is None:
+        return latest.withColumn(id_col, F.lit(None).cast("long"))
+    latest = latest.join(
+        target.select(*key_cols, id_col), on=key_cols, how="left"
+    )
+    untouched = target.join(
+        latest.select(*key_cols), on=key_cols, how="left_anti"
+    )
+    return untouched.unionByName(latest, allowMissingColumns=True)
+
+
 def scd1_apply(
     target: DataFrame | None,
     source: DataFrame,

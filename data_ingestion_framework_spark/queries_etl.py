@@ -1103,6 +1103,70 @@ def orders_minmax_metadata(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Surrogate-key dimension load under the oracle gate: a BY DEFAULT
+# identity column + scd1_surrogate_apply across three merges. The
+# contract being value-checked: a key's surrogate is minted ONCE
+# (first-seen batch, in deterministic key order past the high-water
+# mark) and survives every later attribute update — batch 2 updates
+# every row (even keys keep batch-1 ids, odd keys draw fresh ones),
+# batch 3 updates only the %3 keys (ids still unchanged). The oracle
+# reproduces the mint order with batch-scoped ROW_NUMBERs.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "customer_surrogate_scd1_state",
+    oracle="""
+    WITH n1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c FROM customer WHERE c_custkey % 2 = 0
+    ), ids AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 2 = 0
+                  THEN ROW_NUMBER() OVER (
+                         PARTITION BY c_custkey % 2 ORDER BY c_custkey)
+                  ELSE (SELECT c FROM n1) + ROW_NUMBER() OVER (
+                         PARTITION BY c_custkey % 2 ORDER BY c_custkey)
+             END AS row_id
+      FROM customer
+    )
+    SELECT c.c_custkey, c.c_name,
+           c.c_acctbal + CASE WHEN c.c_custkey % 3 = 0 THEN 200 ELSE 100 END
+             AS bal,
+           CAST(i.row_id AS BIGINT) AS row_id
+    FROM customer c JOIN ids i ON c.c_custkey = i.c_custkey
+    """,
+)
+def customer_surrogate_scd1_state(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.scd import (
+        scd1_surrogate_apply,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").alias("bal")
+    ).withColumn("v", F.lit(1))
+    t = ParquetTable(spark, _scratch_dir("difs_surr_") + "/t")
+    t.add_identity_column("row_id", start=1, step=1, always=False)
+
+    b1 = cust.where(F.col("c_custkey") % 2 == 0)
+    t.overwrite(
+        scd1_surrogate_apply(None, b1, ["c_custkey"], "v"),
+        identity_order_by=["c_custkey"],
+    )
+    b2 = cust.withColumn("bal", F.col("bal") + 100)
+    t.overwrite(
+        scd1_surrogate_apply(t.read(), b2, ["c_custkey"], "v"),
+        identity_order_by=["c_custkey"],
+    )
+    b3 = cust.where(F.col("c_custkey") % 3 == 0).withColumn(
+        "bal", F.col("bal") + 200
+    )
+    t.overwrite(
+        scd1_surrogate_apply(t.read(), b3, ["c_custkey"], "v"),
+        identity_order_by=["c_custkey"],
+    )
+    return t.read().select("c_custkey", "c_name", "bal", "row_id")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal video path, same contract as multimodal_audio_meta: a
 # spec-valid ISO BMFF skeleton synthesized JVM-side with properties
 # derived from doc_id, the stdlib box-walk parser recovers them

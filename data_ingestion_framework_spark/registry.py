@@ -168,7 +168,13 @@ _PRIORITY = [
     # whose final stage runs the same quantizer. Still in the full gate.
     "orders_minmax_metadata",
     "similarity_ivfpq_topk",
-    "similarity_lsh_topk",
+    # ROUND-8 ROTATION: similarity_lsh_topk (driver-green r5+r6) cedes
+    # to the surrogate-key SCD1 lifecycle; the sign-LSH bucket-join
+    # mechanism stays window-graded via hybrid_dedup_clusters
+    # (embedding_near_dups runs the same bucketing) and the ANN
+    # shortlist family keeps similarity_hamming_topk +
+    # similarity_matryoshka_topk in-window. Still in the full gate.
+    "customer_surrogate_scd1_state",
     "orders_hilbert_keys",
     # ROUND-7 ROTATION: six rows driver-green 2+ rounds (r5+r6) cede
     # their slots to the three round-6 queries still awaiting a slot
@@ -297,6 +303,7 @@ _PRIORITY = [
     "orders_delete_state",
     "events_time_rollup",
     "embeddings_quantize_int8",
+    "similarity_lsh_topk",
     # the rows ceded by the round-6 rotation (driver-green 2+
     # rounds; mechanisms window-covered per the rotation note above)
     "docs_remove_boilerplate",

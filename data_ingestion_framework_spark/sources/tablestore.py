@@ -1046,7 +1046,11 @@ class ParquetTable:
         spec = self.identity_spec()
         if not spec:
             return df
+        from pyspark.sql import Window
+
         for name, s in spec.items():
+            base = s["hwm"] if s["hwm"] is not None else s["start"] - s["step"]
+            step = s["step"]
             if name in df.columns:
                 if s.get("always", True):
                     raise ValueError(
@@ -1054,12 +1058,26 @@ class ParquetTable:
                         "values are table-allocated; remove it from the "
                         "batch (or declare it with always=False)"
                     )
+                # BY DEFAULT: explicit values pass through, NULLs get
+                # allocated (Delta's omitted-value behavior) — the
+                # surrogate-key merge shape: carried ids survive, new
+                # rows draw fresh ones
+                need = F.col(name).isNull()
+                if order_by:
+                    rank = F.sum(need.cast("long")).over(
+                        Window.orderBy(*[F.col(c) for c in order_by])
+                        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    )
+                else:
+                    rank = F.monotonically_increasing_id() + F.lit(1)
+                df = df.withColumn(
+                    name,
+                    F.when(
+                        need, (F.lit(base) + F.lit(step) * rank).cast("long")
+                    ).otherwise(F.col(name).cast("long")),
+                )
                 continue
-            base = s["hwm"] if s["hwm"] is not None else s["start"] - s["step"]
-            step = s["step"]
             if order_by:
-                from pyspark.sql import Window
-
                 rank = F.row_number().over(
                     Window.orderBy(*[F.col(c) for c in order_by])
                 ).cast("long")
@@ -2007,6 +2025,26 @@ class ParquetTable:
         it has (min-only still prunes ``<= hi``). Logical column names
         resolve through the column mapping (stats are keyed by
         immortal physical names, so RENAME never staled them)."""
+        if col in self.partition_by:
+            # partition values live in the directory names — zero I/O
+            # and exact: min == max == the partition's value
+            out = []
+            for rel in self._data_files():
+                v = None
+                for seg in rel.split(os.sep)[:-1]:
+                    if seg.startswith(f"{col}="):
+                        raw = seg[len(col) + 1 :]
+                        if raw != "__HIVE_DEFAULT_PARTITION__":
+                            try:
+                                v = int(raw)
+                            except ValueError:
+                                try:
+                                    v = float(raw)
+                                except ValueError:
+                                    v = raw
+                        break
+                out.append((rel, v, v))
+            return out
         phys = self._colmap().get(col, col)
         out = []
         for rel, st in sorted(self.file_stats().items()):

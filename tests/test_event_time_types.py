@@ -198,7 +198,6 @@ def test_driver_grading_window_covers_priority_queries():
         "cdc_find_delta",
         "dq_violation_counts",
         "events_asof_purchase",
-        "similarity_lsh_topk",
         "semantic_dedup_keep",
         "text_unigram_ce",
         "hybrid_dedup_clusters",
@@ -247,5 +246,6 @@ def test_driver_grading_window_covers_priority_queries():
         "orders_identity_state",
         "docs_excise_dup_spans",
         "orders_minmax_metadata",
+        "customer_surrogate_scd1_state",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"

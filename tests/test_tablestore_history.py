@@ -1600,3 +1600,80 @@ def test_orphan_file_fsck(spark, tmp_path):
     assert t.orphan_files(grace_seconds=3600) == []
     assert t.read().count() == 50
     assert t.history()[-1]["op"] == "fsck_remove_orphans"
+
+
+def test_range_scan_prunes_partition_column_from_paths(spark, tmp_path):
+    """range_scan on a PARTITION column prunes from directory names
+    (exact single-value ranges, zero I/O) — the partition-pruning
+    analogue of log-stats skipping."""
+    t = ParquetTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    t.overwrite(spark.range(100).selectExpr("id", "id % 5 AS p"))
+    ranges = t.file_column_ranges("p")
+    assert all(mn == mx and mn in range(5) for _, mn, mx in ranges)
+    keep = [rel for rel, mn, mx in ranges if not (mn > 3 or mx < 2)]
+    assert 0 < len(keep) < len(ranges)
+    got = sorted(r["id"] for r in t.range_scan("p", 2, 3).collect())
+    assert got == sorted(i for i in range(100) if i % 5 in (2, 3))
+
+
+def test_identity_by_default_fills_nulls(spark, tmp_path):
+    """BY DEFAULT identity: explicit values pass through, NULLs draw
+    fresh values past the mark (Delta's omitted-value behavior) — in
+    both deterministic and gap modes — and the mark then clears every
+    explicit value too (no future collision)."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.add_identity_column("rid", always=False)
+    df = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 7), (4, None)], "k int, rid long"
+    )
+    t.overwrite(df, identity_order_by=["k"])
+    got = {r["k"]: r["rid"] for r in t.read().collect()}
+    # explicit 100 and 7 survive; nulls fill in key order past hwm(=0)
+    assert got[1] == 100 and got[3] == 7
+    assert got[2] == 1 and got[4] == 2
+    # hwm cleared the explicit max -> next allocation starts past 100
+    t.append(spark.createDataFrame([(5, None)], "k int, rid long"))
+    vals = [r["rid"] for r in t.read().collect()]
+    assert len(set(vals)) == 5 and max(vals) > 100
+
+    # gap mode: nulls fill uniquely, explicit survive
+    g = ParquetTable(spark, str(tmp_path / "g"))
+    g.add_identity_column("rid", always=False)
+    g.overwrite(
+        spark.range(100).selectExpr(
+            "id AS k", "CASE WHEN id < 10 THEN id * 1000 END AS rid"
+        ).repartition(4)
+    )
+    rows = {r["k"]: r["rid"] for r in g.read().collect()}
+    assert all(rows[k] == k * 1000 for k in range(10))
+    assert len(set(rows.values())) == 100
+
+
+def test_scd1_surrogate_apply_preserves_ids(spark, tmp_path):
+    """Surrogate-key SCD1: matched keys keep their surrogate across
+    attribute updates; first-seen keys mint fresh ones at write."""
+    from data_ingestion_framework_spark.operators.scd import (
+        scd1_surrogate_apply,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.add_identity_column("row_id", always=False)
+    b1 = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k int, attr string, v int"
+    )
+    t.overwrite(
+        scd1_surrogate_apply(None, b1, ["k"], "v"),
+        identity_order_by=["k"],
+    )
+    ids1 = {r["k"]: r["row_id"] for r in t.read().collect()}
+    b2 = spark.createDataFrame(
+        [(1, "a2", 2), (3, "c", 2)], "k int, attr string, v int"
+    )
+    t.overwrite(
+        scd1_surrogate_apply(t.read(), b2, ["k"], "v"),
+        identity_order_by=["k"],
+    )
+    rows = {r["k"]: (r["attr"], r["row_id"]) for r in t.read().collect()}
+    assert rows[1] == ("a2", ids1[1])     # updated, id preserved
+    assert rows[2] == ("b", ids1[2])      # untouched passthrough
+    assert rows[3][0] == "c" and rows[3][1] not in ids1.values()  # fresh
