@@ -97,12 +97,31 @@ class ParquetTable:
         return bool(self._data_files())
 
     def read(self) -> DataFrame:
+        """Live table scan. Default: directory scan (Spark's native
+        path listing). With the ``strict_files`` table property set,
+        the scan reads EXACTLY the latest commit's file list — Delta's
+        log-as-source-of-truth contract: no listing round-trips against
+        object storage at plan time beyond the log read, and files a
+        crashed or in-flight writer left behind are invisible until
+        their commit record lands (read isolation the directory scan
+        cannot give)."""
         r = self.spark.read
         if self.properties().get("schema_evolved"):
             # only tables that took a merge-schema append pay the
             # multi-footer schema union; everyone else reads one footer
             r = r.option("mergeSchema", "true")
-        df = r.parquet(self.path)
+        if self.properties().get("strict_files"):
+            last = self._latest_record()
+            files = (last or {}).get("files") or []
+            if not files:
+                return self._from_physical(
+                    r.parquet(self.path).where(F.lit(False))
+                )
+            if self.partition_by:
+                r = r.option("basePath", self.path)
+            df = r.parquet(*[os.path.join(self.path, f) for f in files])
+        else:
+            df = r.parquet(self.path)
         if os.path.isdir(self._dv_dir()):
             df = self._subtract_dv(df, [self._dv_dir()])
         return self._from_physical(df)
@@ -427,6 +446,25 @@ class ParquetTable:
                     out.append(json.load(f))
         return sorted(out, key=lambda r: r["seq"])
 
+    def _latest_record(self) -> dict | None:
+        """The newest commit record alone — one file read, picked by
+        FILENAME (records are named by zero-padded seq), never a full
+        log replay."""
+        d = self._log_dir()
+        if not os.path.isdir(d):
+            return None
+        names = [
+            n
+            for n in os.listdir(d)
+            if n.endswith(".json")
+            and not n.startswith(("_", "."))
+            and n[:8].isdigit()
+        ]
+        if not names:
+            return None
+        with open(os.path.join(d, max(names))) as f:
+            return json.load(f)
+
     def _next_seq(self) -> int:
         """Next commit seq from record FILENAMES alone (zero json
         parsing — the record name is its zero-padded seq). Every commit
@@ -673,7 +711,21 @@ class ParquetTable:
         a losing writer's data files need operator cleanup) — the
         arbitration turns a silent corruption into a loud error."""
         seq = self._next_seq()
-        files = self._data_files()
+        if new_files is not None and self.properties().get("strict_files"):
+            # log-as-source-of-truth: the new snapshot is the previous
+            # record's files plus this commit's, minus files the commit
+            # moved away (COW/overwrite retire to _history) — a stray
+            # uncommitted file can never enter the log. (A real
+            # lakehouse log records removals explicitly; the existence
+            # filter is this store's rename-based equivalent.)
+            prev = set((self._latest_record() or {}).get("files") or [])
+            files = sorted(
+                f
+                for f in prev | set(new_files)
+                if os.path.exists(os.path.join(self.path, f))
+            )
+        else:
+            files = self._data_files()
         counted = files if new_files is None else new_files
         if stats is None:
             stats = self._harvest_file_stats(counted)
@@ -1363,7 +1415,15 @@ class ParquetTable:
         r = self.spark.read
         if self.properties().get("schema_evolved"):
             r = r.option("mergeSchema", "true")
-        base = r.parquet(self.path).select(
+        if self.properties().get("strict_files"):
+            # same log-as-source-of-truth contract as read(): a COW
+            # statement must not sweep a crashed writer's stray rows
+            # into the table
+            files = (self._latest_record() or {}).get("files") or []
+            src = r.parquet(*[os.path.join(self.path, f) for f in files])
+        else:
+            src = r.parquet(self.path)
+        base = src.select(
             "*",
             F.col("_metadata.file_name").alias("__f"),
             F.col("_metadata.row_index").alias("__p"),

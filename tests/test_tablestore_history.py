@@ -1677,3 +1677,52 @@ def test_scd1_surrogate_apply_preserves_ids(spark, tmp_path):
     assert rows[1] == ("a2", ids1[1])     # updated, id preserved
     assert rows[2] == ("b", ids1[2])      # untouched passthrough
     assert rows[3][0] == "c" and rows[3][1] not in ids1.values()  # fresh
+
+
+def test_strict_files_reads_from_log(spark, tmp_path):
+    """strict_files: the scan reads EXACTLY the latest commit's file
+    list (one log record, picked by filename) — crashed-writer
+    leftovers are invisible until committed, unlike the default
+    directory scan; lifecycle ops keep working."""
+    import shutil
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.set_properties({"strict_files": True})
+    t.overwrite(spark.range(50).selectExpr("id"))
+    t.append(spark.range(50, 60).selectExpr("id"))
+    assert t.read().count() == 60
+
+    # a crashed writer's stray file: visible to a dir scan, invisible
+    # under strict_files
+    files = t._data_files()
+    stray = os.path.join(str(tmp_path / "t"), "part-crashed.parquet")
+    shutil.copy(os.path.join(str(tmp_path / "t"), files[0]), stray)
+    assert t.read().count() == 60
+    assert "part-crashed" not in " ".join(t.read().inputFiles())
+    os.unlink(stray)
+
+    # DV + delete lifecycle still composes
+    t.delete_where_dv("id % 10 = 0")
+    assert t.read().count() == 54
+    t.delete_where(F.col("id") >= 55)
+    assert sorted(r["id"] for r in t.read().collect()) == [
+        i for i in range(55) if i % 10 != 0
+    ]
+
+    # COW statements under strict mode don't sweep stray rows in
+    s2 = ParquetTable(spark, str(tmp_path / "s2"))
+    s2.set_properties({"strict_files": True})
+    s2.overwrite(spark.range(20).selectExpr("id"))
+    shutil.copy(
+        os.path.join(str(tmp_path / "s2"), s2._data_files()[0]),
+        os.path.join(str(tmp_path / "s2"), "part-crashed.parquet"),
+    )
+    s2.delete_where(F.col("id") >= 15)
+    assert sorted(r["id"] for r in s2.read().collect()) == list(range(15))
+
+    # partitioned strict reads resolve partition columns via basePath
+    p = ParquetTable(spark, str(tmp_path / "p"), partition_by=["b"])
+    p.set_properties({"strict_files": True})
+    p.overwrite(spark.range(20).selectExpr("id", "id % 2 AS b"))
+    assert set(p.read().columns) == {"id", "b"}
+    assert p.read().where(F.col("b") == 1).count() == 10
