@@ -219,6 +219,7 @@ def batch_write(
     full_extract: bool = False,
     except_columns: list[str] | None = None,
     num_buckets: int | None = None,
+    surrogate_id_col: str | None = None,
 ) -> None:
     """Route a batch write (writers/writer.py:866-933 dispatch):
 
@@ -243,6 +244,26 @@ def batch_write(
     if mode == "merge":
         if not key_cols:
             raise ValueError("merge requires key_cols")
+        if surrogate_id_col:
+            # surrogate-key dimension merge: matched keys inherit their
+            # surrogate, first-seen keys carry NULL and the table's
+            # BY DEFAULT identity fills them at write (allocation
+            # ordered by the business key for reproducible loads)
+            if scd_type != 1:
+                raise ValueError("surrogate_id_col requires scd_type=1")
+            if is_bucketed(table):
+                raise ValueError(
+                    "surrogate_id_col is not supported on bucketed "
+                    "targets (identity allocation is a table-level "
+                    "write concern; the partition-scoped commit path "
+                    "bypasses it)"
+                )
+            target = table.read() if table.exists() else None
+            new_state = scd.scd1_surrogate_apply(
+                target, df, key_cols, order_col, id_col=surrogate_id_col
+            )
+            table.overwrite(new_state, identity_order_by=key_cols)
+            return
         apply = scd.scd1_apply if scd_type == 1 else scd.scd2_apply
         if is_bucketed(table):
             n = _bucket_count(table, num_buckets)

@@ -517,7 +517,16 @@ class ParquetTable:
         tmp = os.path.join(d, f".tmp-ck-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump(ck, f)
-        os.rename(tmp, os.path.join(d, f"_checkpoint.{rec['seq']:08d}.json"))
+        name = f"_checkpoint.{rec['seq']:08d}.json"
+        os.rename(tmp, os.path.join(d, name))
+        # superseded checkpoints are pure caches of older folds — sweep
+        # them (each is O(files) JSON; only the newest is ever read)
+        for n in os.listdir(d):
+            if n.startswith("_checkpoint.") and n.endswith(".json") and n != name:
+                try:
+                    os.unlink(os.path.join(d, n))
+                except OSError:
+                    pass
 
     def _data_files(self, root: str | None = None) -> list[str]:
         """Relative paths of live data files (skips ``_commits``,
@@ -629,7 +638,15 @@ class ParquetTable:
                     if st is None or not st.has_min_max:
                         ent["ok"] = False
                         continue
-                    mn, mx = st.min, st.max
+                    try:
+                        mn, mx = st.min, st.max
+                    except Exception:
+                        # pyarrow can't extract stats for every physical
+                        # type (e.g. INT96 timestamps from sessions
+                        # without the micros output type) — no bounds,
+                        # conservatively unprunable
+                        ent["ok"] = False
+                        continue
                     if ent["min"] is None or mn < ent["min"]:
                         ent["min"] = mn
                     if ent["max"] is None or mx > ent["max"]:

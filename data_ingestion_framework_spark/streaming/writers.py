@@ -89,6 +89,7 @@ def foreach_batch_scd_merge(
     cdf_table: ParquetTable | None = None,
     optimize_every: int | None = None,
     optimize_kwargs: dict | None = None,
+    surrogate_id_col: str | None = None,
 ):
     """Micro-batch SCD merge via ``foreachBatch``
     (writers/writer.py:695-758): each micro-batch runs the *batch* SCD
@@ -134,6 +135,12 @@ def foreach_batch_scd_merge(
 
     if cdf_table is not None and scd_type != 1:
         raise ValueError("cdf_table is only supported for scd_type=1 merges")
+    if surrogate_id_col and cdf_table is not None:
+        raise ValueError(
+            "surrogate_id_col + cdf_table: the feed would compare the "
+            "surrogate before allocation; emit the CDF from the plain "
+            "merge or compare business columns only"
+        )
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         if transform is not None:
@@ -167,6 +174,7 @@ def foreach_batch_scd_merge(
             order_col=order_col,
             scd_type=scd_type,
             full_extract=full_extract,
+            surrogate_id_col=surrogate_id_col,
         )
         if optimize_every and batch_id > 0 and batch_id % optimize_every == 0:
             table.optimize(**(optimize_kwargs or {}))

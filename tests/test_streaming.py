@@ -738,3 +738,58 @@ def test_corpus_stream_neardedup_ingest(spark, tmp_path):
     run_round()
     assert table.read().count() == 3
     assert sig_table.read().count() == 3
+
+
+def test_foreach_batch_surrogate_scd1_merge(spark, tmp_path):
+    """Streaming surrogate-key dimension load: foreachBatch merges with
+    surrogate_id_col against a BY DEFAULT identity target — a key's
+    surrogate is minted in its first micro-batch and survives updates
+    in later batches AND across separate stream runs (checkpoint
+    restart)."""
+    T2 = dt.datetime(2024, 1, 2)
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+    from data_ingestion_framework_spark.streaming.readers import (
+        read_file_stream,
+    )
+    from data_ingestion_framework_spark.streaming.writers import (
+        foreach_batch_scd_merge,
+    )
+
+    landing = _stage_files(
+        spark,
+        tmp_path / "landing",
+        [
+            [Row(pk=1, val="a", mtime=T), Row(pk=2, val="b", mtime=T)],
+        ],
+    )
+    table = ParquetTable(spark, str(tmp_path / "dim"))
+    table.add_identity_column("row_id", always=False)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = read_file_stream(
+            spark, landing, "parquet", control_columns=False
+        )
+        foreach_batch_scd_merge(
+            stream,
+            table,
+            ["pk"],
+            "mtime",
+            ckpt,
+            surrogate_id_col="row_id",
+        )
+
+    run()
+    ids1 = {r["pk"]: r["row_id"] for r in table.read().collect()}
+    assert sorted(ids1.values()) == [1, 2]  # ordered by business key
+
+    # second run after restart: pk=1 updated, pk=3 new
+    spark.createDataFrame(
+        [Row(pk=1, val="a2", mtime=T2), Row(pk=3, val="c", mtime=T2)],
+        "pk int, val string, mtime timestamp",
+    ).coalesce(1).write.mode("append").parquet(landing)
+    run()
+    rows = {r["pk"]: (r["val"], r["row_id"]) for r in table.read().collect()}
+    assert rows[1] == ("a2", ids1[1])
+    assert rows[2] == ("b", ids1[2])
+    assert rows[3][0] == "c" and rows[3][1] == 3
