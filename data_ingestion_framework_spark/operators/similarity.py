@@ -366,9 +366,9 @@ def _ivf_lloyd_local(
         members: dict[int, list[list[float]]] = {}
         for v in vecs:
             best = min(
-                range(n_cells),
-                key=lambda c: (-_local_cos6(v, centroids[c]), c),
-            )
+                range(len(centroids)),  # corpus may be < n_cells, like
+                key=lambda c: (-_local_cos6(v, centroids[c]), c),  # the
+            )  # distributed path's seed-limited centroid list
             members.setdefault(best, []).append(v)
         centroids = _local_means(members, centroids)
     return centroids
@@ -392,7 +392,8 @@ def _pq_lloyd_local(
             members: dict[int, list[list[float]]] = {}
             for sv in subvecs[s]:
                 best = min(
-                    range(k), key=lambda c: (_local_sql2_6(sv, books[s][c]), c)
+                    range(len(books[s])),
+                    key=lambda c: (_local_sql2_6(sv, books[s][c]), c),
                 )
                 members.setdefault(best, []).append(sv)
             new_books.append(_local_means(members, books[s]))

@@ -251,6 +251,12 @@ def batch_write(
             # ordered by the business key for reproducible loads)
             if scd_type != 1:
                 raise ValueError("surrogate_id_col requires scd_type=1")
+            if full_extract:
+                raise ValueError(
+                    "surrogate_id_col + full_extract: absent-key soft "
+                    "deletes are not implemented on the surrogate path "
+                    "— rejecting rather than silently keeping the rows"
+                )
             if is_bucketed(table):
                 raise ValueError(
                     "surrogate_id_col is not supported on bucketed "

@@ -250,7 +250,16 @@ class ParquetTable:
         m = self._colmap()
         phys = m.pop(old, old)
         m[new] = phys
-        self.set_properties({"column_mapping": m})
+        props: dict = {"column_mapping": m}
+        if old in self.identity_spec():
+            # the identity spec is keyed by LOGICAL name and consulted
+            # at every write — a stale key would both double-inject the
+            # old column and bypass the ALWAYS guard; remap it in the
+            # same property write (after every guard has passed)
+            spec = self.identity_spec()
+            spec[new] = spec.pop(old)
+            props["identity"] = spec
+        self.set_properties(props)
         self._record_commit(
             "rename_column", {"from": old, "to": new}, new_files=[]
         )
@@ -263,6 +272,11 @@ class ParquetTable:
         table is flagged ``schema_evolved`` (mixed footers)."""
         import re as _re
 
+        if name in self.identity_spec():
+            raise ValueError(
+                f"drop_column: {name!r} is an IDENTITY column — every "
+                "write would re-inject it; drop the identity spec first"
+            )
         if name not in self.read().columns:
             raise ValueError(f"drop_column: no column {name!r}")
         if name in self.partition_by:
@@ -436,33 +450,35 @@ class ParquetTable:
         parity (di_landing_to_raw_generic_v2.py:813-891). Each record:
         ``{seq, ts, op, rows_written, metrics, files, stats}``.
         Checkpoint files (underscore-prefixed) are not commit records."""
+        out = []
+        for name in self._record_names():
+            with open(os.path.join(self._log_dir(), name)) as f:
+                out.append(json.load(f))
+        return sorted(out, key=lambda r: r["seq"])
+
+    def _record_names(self) -> list[str]:
+        """Sorted commit-record filenames ({seq:08d}.json) — the ONE
+        filter for what counts as a record (checkpoints and temp files
+        are underscore/dot-prefixed)."""
         d = self._log_dir()
         if not os.path.isdir(d):
             return []
-        out = []
-        for name in sorted(os.listdir(d)):
-            if name.endswith(".json") and not name.startswith(("_", ".")):
-                with open(os.path.join(d, name)) as f:
-                    out.append(json.load(f))
-        return sorted(out, key=lambda r: r["seq"])
-
-    def _latest_record(self) -> dict | None:
-        """The newest commit record alone — one file read, picked by
-        FILENAME (records are named by zero-padded seq), never a full
-        log replay."""
-        d = self._log_dir()
-        if not os.path.isdir(d):
-            return None
-        names = [
+        return sorted(
             n
             for n in os.listdir(d)
             if n.endswith(".json")
             and not n.startswith(("_", "."))
             and n[:8].isdigit()
-        ]
+        )
+
+    def _latest_record(self) -> dict | None:
+        """The newest commit record alone — one file read, picked by
+        FILENAME (records are named by zero-padded seq), never a full
+        log replay."""
+        names = self._record_names()
         if not names:
             return None
-        with open(os.path.join(d, max(names))) as f:
+        with open(os.path.join(self._log_dir(), names[-1])) as f:
             return json.load(f)
 
     def _next_seq(self) -> int:
@@ -470,17 +486,18 @@ class ParquetTable:
         parsing — the record name is its zero-padded seq). Every commit
         path calls this; parsing O(commits) record bodies per commit is
         the quadratic-log trap Delta's checkpointing exists to avoid."""
-        d = self._log_dir()
-        if not os.path.isdir(d):
-            return 1
-        seqs = [
-            int(name[:8])
-            for name in os.listdir(d)
-            if name.endswith(".json")
-            and not name.startswith(("_", "."))
-            and name[:8].isdigit()
-        ]
-        return (max(seqs) + 1) if seqs else 1
+        names = self._record_names()
+        return (int(names[-1][:8]) + 1) if names else 1
+
+    def _live_files(self) -> list[str]:
+        """The live data-file set every PLANNING api agrees on: under
+        ``strict_files`` it is the latest commit record's list (so
+        count_rows/range_scan/column_min_max hide exactly what read()
+        hides — a stray uncommitted file must not be counted, scanned,
+        or footer-harvested); otherwise the directory walk."""
+        if self.properties().get("strict_files"):
+            return list((self._latest_record() or {}).get("files") or [])
+        return self._data_files()
 
     # -- log checkpoints -----------------------------------------------------
     #
@@ -509,9 +526,10 @@ class ParquetTable:
             return json.load(f)
 
     def _maybe_checkpoint(self, rec: dict) -> None:
-        every = int(self.properties().get("checkpoint_interval", 0) or self.CHECKPOINT_EVERY)
+        raw = self.properties().get("checkpoint_interval")
+        every = self.CHECKPOINT_EVERY if raw is None else int(raw)
         if every <= 0 or rec["seq"] % every:
-            return
+            return  # 0 (or negative) disables checkpointing
         ck = {"seq": rec["seq"], "stats": self.file_stats()}
         d = self._log_dir()
         tmp = os.path.join(d, f".tmp-ck-{uuid.uuid4().hex[:8]}")
@@ -658,13 +676,19 @@ class ParquetTable:
                 if not ent["ok"]:
                     continue
                 mn, mx = ent["min"], ent["max"]
-                if isinstance(mn, str) and len(mn) > 64:
+                trunc = isinstance(mn, str) and len(mn) > 64
+                if trunc:
                     mn = mn[:64]
                 enc_cols[name] = {
                     "min": self._enc_stat(mn),
                     "max": self._enc_stat(mx),
                     "nulls": ent["nulls"],
                 }
+                if trunc:
+                    # a prefix is a valid PRUNING lower bound but not a
+                    # real value — answer paths (column_min_max) must
+                    # not report it (Delta's tightBounds distinction)
+                    enc_cols[name]["minTrunc"] = True
             out[rel] = {"rows": md.num_rows, "cols": enc_cols}
         return out
 
@@ -678,7 +702,7 @@ class ParquetTable:
         after which the next checkpoint makes the log authoritative
         again. Control-plane only; per-file stats are immutable, so a
         checkpoint can never go stale, only lack entries."""
-        live = set(self._data_files())
+        live = set(self._live_files())
         out: dict = {}
         ck = self._latest_checkpoint()
         ck_seq = 0
@@ -687,21 +711,14 @@ class ParquetTable:
             out.update(
                 {rel: st for rel, st in ck["stats"].items() if rel in live}
             )
-        d = self._log_dir()
-        if os.path.isdir(d):
-            for name in sorted(os.listdir(d)):
-                if (
-                    not name.endswith(".json")
-                    or name.startswith(("_", "."))
-                    or not name[:8].isdigit()
-                    or int(name[:8]) <= ck_seq
-                ):
-                    continue
-                with open(os.path.join(d, name)) as f:
-                    rec = json.load(f)
-                for rel, st in (rec.get("stats") or {}).items():
-                    if rel in live:
-                        out[rel] = st
+        for name in self._record_names():
+            if int(name[:8]) <= ck_seq:
+                continue
+            with open(os.path.join(self._log_dir(), name)) as f:
+                rec = json.load(f)
+            for rel, st in (rec.get("stats") or {}).items():
+                if rel in live:
+                    out[rel] = st
         missing = sorted(live - set(out))
         if missing:
             out.update(self._harvest_file_stats(missing))
@@ -1437,6 +1454,8 @@ class ParquetTable:
             # statement must not sweep a crashed writer's stray rows
             # into the table
             files = (self._latest_record() or {}).get("files") or []
+            if self.partition_by:
+                r = r.option("basePath", self.path)
             src = r.parquet(*[os.path.join(self.path, f) for f in files])
         else:
             src = r.parquet(self.path)
@@ -2104,21 +2123,35 @@ class ParquetTable:
         immortal physical names, so RENAME never staled them)."""
         if col in self.partition_by:
             # partition values live in the directory names — zero I/O
-            # and exact: min == max == the partition's value
+            # and exact: min == max == the partition's value. Values
+            # are hive-escaped on write (URL-style %XX), so unescape
+            # before the typed parse; date/timestamp dirs parse to
+            # real temporals so bounds compare against typed lo/hi.
+            import datetime as _dt
+            import urllib.parse as _up
+
+            def _parse(raw: str):
+                raw = _up.unquote(raw)
+                for conv in (
+                    int,
+                    float,
+                    _dt.date.fromisoformat,
+                    _dt.datetime.fromisoformat,
+                ):
+                    try:
+                        return conv(raw)
+                    except ValueError:
+                        continue
+                return raw
+
             out = []
-            for rel in self._data_files():
+            for rel in self._live_files():
                 v = None
                 for seg in rel.split(os.sep)[:-1]:
                     if seg.startswith(f"{col}="):
                         raw = seg[len(col) + 1 :]
                         if raw != "__HIVE_DEFAULT_PARTITION__":
-                            try:
-                                v = int(raw)
-                            except ValueError:
-                                try:
-                                    v = float(raw)
-                                except ValueError:
-                                    v = raw
+                            v = _parse(raw)
                         break
                 out.append((rel, v, v))
             return out
@@ -2144,16 +2177,20 @@ class ParquetTable:
         files; this skips whole files at the DRIVER, which at 100 TB
         also skips their listing/footer I/O on the scan side."""
         ranges = self.file_column_ranges(col)
-        keep = [
-            rel
-            for rel, mn, mx in ranges
+
+        def _outside(mn, mx) -> bool:
             # skip only on an affirmative non-overlap; missing bounds
-            # are conservative (never a false negative)
-            if not (
-                (hi is not None and mn is not None and mn > hi)
-                or (lo is not None and mx is not None and mx < lo)
-            )
-        ]
+            # are conservative, and so is a bound whose type doesn't
+            # compare against lo/hi (e.g. a string partition value vs
+            # a typed bound) — never a false negative
+            try:
+                return (hi is not None and mn is not None and mn > hi) or (
+                    lo is not None and mx is not None and mx < lo
+                )
+            except TypeError:
+                return False
+
+        keep = [rel for rel, mn, mx in ranges if not _outside(mn, mx)]
         pred = F.lit(True)
         if lo is not None:
             pred = pred & (F.col(col) >= F.lit(lo))
@@ -2211,9 +2248,15 @@ class ParquetTable:
             ok = bool(stats)
             for st in stats.values():
                 ent = (st.get("cols") or {}).get(phys)
-                if ent is None or ent["min"] is None or ent["max"] is None:
-                    # missing or codec-dropped bounds: the extreme could
-                    # hide in this file — only the exact scan is sound
+                if (
+                    ent is None
+                    or ent["min"] is None
+                    or ent["max"] is None
+                    or ent.get("minTrunc")
+                ):
+                    # missing, codec-dropped, or TRUNCATED bounds: the
+                    # true extreme could differ from the logged one —
+                    # only the exact scan is sound
                     ok = False
                     break
                 mins.append(self._dec_stat(ent["min"]))

@@ -194,3 +194,15 @@ def test_ivfpq_train_fused_matches_separate(spark):
         emb, n_cells=4, m=2, k=4, iters=2, train_sample=16
     )
     assert c3 == c4 and b3 == b4
+
+
+def test_sampled_training_short_corpus(spark):
+    """Sampled training on a corpus smaller than n_cells/k clamps to
+    the available seeds (matching the distributed path's behavior)
+    instead of raising IndexError."""
+    rows = [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(3)]
+    emb = spark.createDataFrame(rows)
+    c = similarity.ivf_train_centroids(emb, n_cells=4, iters=2, train_sample=8)
+    assert len(c) == 3
+    b = similarity.pq_train_codebooks(emb, m=2, k=4, iters=1, train_sample=8)
+    assert len(b) == 2 and all(len(book) == 3 for book in b)

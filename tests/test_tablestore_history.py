@@ -1726,3 +1726,85 @@ def test_strict_files_reads_from_log(spark, tmp_path):
     p.overwrite(spark.range(20).selectExpr("id", "id % 2 AS b"))
     assert set(p.read().columns) == {"id", "b"}
     assert p.read().where(F.col("b") == 1).count() == 10
+
+
+def test_review_fixes_round8(spark, tmp_path):
+    """Regression pins for the round-8 review findings."""
+    import datetime
+
+    # (1) truncated string MIN must not be reported as a value: mixed
+    # column where min is long (truncated in stats) but max is short
+    t = ParquetTable(spark, str(tmp_path / "t1"))
+    t.overwrite(
+        spark.createDataFrame(
+            [("b" * 100,), ("c",)], "s string"
+        )
+    )
+    assert t.column_min_max("s") == ("b" * 100, "c")  # exact, not prefix
+
+    # (2) date-partitioned range_scan: typed parse + no TypeError
+    p = ParquetTable(spark, str(tmp_path / "p"), partition_by=["dt"])
+    p.overwrite(
+        spark.createDataFrame(
+            [(i, datetime.date(2024, 1, 1 + i % 3)) for i in range(30)],
+            "id int, dt date",
+        )
+    )
+    lo = datetime.date(2024, 1, 2)
+    got = p.range_scan("dt", lo=lo).count()
+    assert got == sum(1 for i in range(30) if 1 + i % 3 >= 2)
+    ranges = p.file_column_ranges("dt")
+    assert all(isinstance(mn, datetime.date) for _, mn, mx in ranges)
+
+    # (3) strict_files planning APIs hide strays like read() does
+    import shutil
+
+    s = ParquetTable(spark, str(tmp_path / "s"))
+    s.set_properties({"strict_files": True})
+    s.overwrite(spark.range(40).selectExpr("id"))
+    stray = os.path.join(str(tmp_path / "s"), "part-stray.parquet")
+    shutil.copy(os.path.join(str(tmp_path / "s"), s._data_files()[0]), stray)
+    assert s.count_rows() == 40
+    assert s.column_min_max("id") == (0, 39)
+    assert sorted(r["id"] for r in s.range_scan("id", 0, 5).collect()) == [
+        0, 1, 2, 3, 4, 5,
+    ]
+    os.unlink(stray)
+
+    # (4) renaming an identity column remaps the spec; dropping refuses
+    i = ParquetTable(spark, str(tmp_path / "i"))
+    i.add_identity_column("rid")
+    i.overwrite(spark.range(5).selectExpr("id AS k"))
+    i.rename_column("rid", "row_id")
+    assert "row_id" in i.identity_spec() and "rid" not in i.identity_spec()
+    i.append(spark.range(5, 8).selectExpr("id AS k"))
+    vals = [r["row_id"] for r in i.read().collect()]
+    assert len(set(vals)) == 8  # no duplicate column, fresh allocation
+    with pytest.raises(ValueError, match="ALWAYS"):
+        i.append(spark.range(1).selectExpr("id AS k", "id AS row_id"))
+    with pytest.raises(ValueError, match="IDENTITY"):
+        i.drop_column("row_id")
+
+    # (5) checkpoint_interval=0 disables checkpointing
+    c = ParquetTable(spark, str(tmp_path / "c"))
+    c.set_properties({"checkpoint_interval": 0})
+    for j in range(11):
+        c.append(spark.range(j, j + 1).selectExpr("id"))
+    log_dir = os.path.join(str(tmp_path / "c"), "_commits")
+    assert not [n for n in os.listdir(log_dir) if n.startswith("_checkpoint")]
+
+    # (6) surrogate + full_extract rejected loudly
+    from data_ingestion_framework_spark.sinks.writers import batch_write
+
+    d = ParquetTable(spark, str(tmp_path / "d"))
+    d.add_identity_column("row_id", always=False)
+    with pytest.raises(ValueError, match="full_extract"):
+        batch_write(
+            spark.range(3).selectExpr("id AS k", "id AS v"),
+            d,
+            mode="merge",
+            key_cols=["k"],
+            order_col="v",
+            surrogate_id_col="row_id",
+            full_extract=True,
+        )
