@@ -1167,6 +1167,37 @@ def customer_surrogate_scd1_state(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Strict log reads + checkpoint fold under the oracle gate: twelve
+# append commits (a checkpoint lands at commit 10) into a
+# ``strict_files`` table, then a range_scan whose file pruning is
+# planned ENTIRELY from checkpoint + log tail and whose scan reads
+# exactly the latest record's file list. The oracle replays the same
+# range over the union of the twelve slices (= the filtered base
+# table). Values prove: no slice lost, no file double-read, checkpoint
+# fold == full-log fold.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_strict_log_state",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey <= 50000
+    """,
+)
+def orders_strict_log_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = ParquetTable(spark, _scratch_dir("difs_strict_") + "/t")
+    t.set_properties({"strict_files": True})
+    for i in range(12):
+        t.append(orders.where(F.col("o_orderkey") % 12 == i))
+    return t.range_scan("o_orderkey", 1000, 50000)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal video path, same contract as multimodal_audio_meta: a
 # spec-valid ISO BMFF skeleton synthesized JVM-side with properties
 # derived from doc_id, the stdlib box-walk parser recovers them

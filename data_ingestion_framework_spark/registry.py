@@ -275,7 +275,12 @@ _PRIORITY = [
     "dedup_containment_pairs",
     "similarity_pq_topk",
     "events_incremental_partition_rollup",
-    "text_bigram_ce",
+    # ROUND-8 ROTATION: text_bigram_ce (driver-green r5+r6) cedes to
+    # the strict-log + checkpoint lifecycle; the cross-entropy family
+    # keeps text_unigram_ce in-window (same corpus-count join +
+    # DECIMAL-sum mechanism, one conditioning level apart). Still in
+    # the full local gate.
+    "orders_strict_log_state",
     "orders_restore_state",
     # end of the 50-query driver window
     # the nine rows ceded by the round-7 rotation (driver-green r5+r6;
@@ -304,6 +309,7 @@ _PRIORITY = [
     "events_time_rollup",
     "embeddings_quantize_int8",
     "similarity_lsh_topk",
+    "text_bigram_ce",
     # the rows ceded by the round-6 rotation (driver-green 2+
     # rounds; mechanisms window-covered per the rotation note above)
     "docs_remove_boilerplate",

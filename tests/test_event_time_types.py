@@ -213,7 +213,6 @@ def test_driver_grading_window_covers_priority_queries():
         "dedup_containment_pairs",
         "similarity_pq_topk",
         "events_incremental_partition_rollup",
-        "text_bigram_ce",
         "orders_restore_state",
         # round-6 rotation: the four never-driver-graded round-5
         # queries plus this round's two new surfaces
@@ -247,5 +246,6 @@ def test_driver_grading_window_covers_priority_queries():
         "docs_excise_dup_spans",
         "orders_minmax_metadata",
         "customer_surrogate_scd1_state",
+        "orders_strict_log_state",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
