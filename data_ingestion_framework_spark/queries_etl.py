@@ -1684,3 +1684,61 @@ def orders_rename_state(spark, sf_dir):
     )
     t.drop_column("customer")
     return t.read()
+
+
+# ---------------------------------------------------------------------------
+# Table-as-a-streaming-source lifecycle under the oracle gate: three
+# append commits land in a bronze table, then stream_table_scd_merge
+# drains the commit log one micro-batch per commit into a silver SCD1
+# target (the reference's Delta-source streaming merge,
+# writers/writer.py:695-758, re-expressed over the engine's own log).
+# The oracle replays the final latest-per-key state; values prove the
+# cursor advanced exactly once per commit, every commit's new files
+# were emitted exactly once, and the per-batch merges composed to the
+# same state a single global merge would produce.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_stream_table_state",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 5 = 0 THEN 3
+                     WHEN o_orderkey % 3 = 0 THEN 2
+                     ELSE 1 END AS BIGINT) AS ver,
+           o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 125
+                               WHEN o_orderkey % 3 = 0 THEN 50
+                               ELSE 0 END AS price
+    FROM orders
+    """,
+)
+def orders_stream_table_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+    from data_ingestion_framework_spark.streaming.table_stream import (
+        stream_table_scd_merge,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    root = _scratch_dir("difs_tstream_")
+    bronze = ParquetTable(spark, root + "/bronze")
+    silver = ParquetTable(spark, root + "/silver")
+    bronze.append(orders.withColumn("ver", F.lit(1).cast("long")))
+    bronze.append(
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .withColumn("price", F.col("price") + 50)
+        .withColumn("ver", F.lit(2).cast("long"))
+    )
+    bronze.append(
+        orders.where(F.col("o_orderkey") % 5 == 0)
+        .withColumn("price", F.col("price") + 125)
+        .withColumn("ver", F.lit(3).cast("long"))
+    )
+    stream_table_scd_merge(
+        bronze,
+        silver,
+        ["o_orderkey"],
+        "ver",
+        root + "/ck",
+        max_commits_per_batch=1,
+    )
+    return silver.read().select("o_orderkey", "ver", "price")

@@ -273,7 +273,13 @@ _PRIORITY = [
     # docs_split_assign. All stay in the full local gate.
     "docs_quality_weighted_sample",
     "dedup_containment_pairs",
-    "similarity_pq_topk",
+    # ROUND-8 ROTATION (2nd wave): similarity_pq_topk (driver-green
+    # r5+r6) cedes to the table-as-a-streaming-source lifecycle; the
+    # PQ codebook/encode/ADC mechanism keeps THREE in-window reps
+    # (similarity_ivfpq_topk, similarity_ivfpq_residual_topk,
+    # similarity_ivfpq_sampled_topk — each oracle re-derives the full
+    # codebook build + ADC scoring). Still in the full local gate.
+    "orders_stream_table_state",
     "events_incremental_partition_rollup",
     # ROUND-8 ROTATION: text_bigram_ce (driver-green r5+r6) cedes to
     # the strict-log + checkpoint lifecycle; the cross-entropy family
@@ -307,6 +313,7 @@ _PRIORITY = [
     "cdc_brute_force_diff",
     "orders_delete_state",
     "events_time_rollup",
+    "similarity_pq_topk",
     "embeddings_quantize_int8",
     "similarity_lsh_topk",
     "text_bigram_ce",

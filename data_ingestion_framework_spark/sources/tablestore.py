@@ -31,6 +31,14 @@ Scale note: the *data* written per commit is proportional to the commit
 (append = batch, overwrite_partitions = touched partitions only); the
 commit-log bookkeeping is control-plane sized (file listings + parquet
 footers of files written this commit).
+
+Delta-runtime parity block (the reference's tables are Delta, so its
+queries get these from the runtime under its feet — e.g. the OPTIMIZE
+calls at writers/writer.py:280,417-419 rely on log-driven file state):
+per-file stats in the commit record (data skipping / metadata-only
+COUNT-MIN-MAX), periodic log checkpoints, identity columns with
+stats-advanced high-water marks, and ``strict_files``
+log-as-source-of-truth scans.
 """
 
 from __future__ import annotations

@@ -211,7 +211,9 @@ def test_driver_grading_window_covers_priority_queries():
         # round-5 build rotation: the ten new-this-round queries
         "docs_quality_weighted_sample",
         "dedup_containment_pairs",
-        "similarity_pq_topk",
+        # r8 2nd wave: similarity_pq_topk ceded to the streaming
+        # table-source lifecycle (PQ keeps 3 in-window IVFADC reps)
+        "orders_stream_table_state",
         "events_incremental_partition_rollup",
         "orders_restore_state",
         # round-6 rotation: the four never-driver-graded round-5
