@@ -1742,3 +1742,42 @@ def orders_stream_table_state(spark, sf_dir):
         max_commits_per_batch=1,
     )
     return silver.read().select("o_orderkey", "ver", "price")
+
+
+# ---------------------------------------------------------------------------
+# COPY INTO lifecycle under the oracle gate (Delta ``COPY INTO``
+# idempotent file ingestion; the reference's landing→raw loads re-list
+# the landing dir per run and depend on file-name tracking for
+# exactly-once — writers/reader.py landing scans). Three landing drops
+# arrive; the loader runs FOUR times with overlapping scopes (drop0
+# alone, whole dir twice, whole dir once more after nothing changed).
+# The final state must equal orders exactly once — any break in the
+# file ledger (a re-loaded file, a missed file) duplicates or drops
+# rows and fails the value hash.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_copy_into_state",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    """,
+)
+def orders_copy_into_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = _scratch_dir("difs_copyinto_")
+    land = base + "/landing"
+    # three landing drops, each a real multi-file parquet directory as
+    # an upstream extractor would write it
+    for i in range(3):
+        orders.where(F.col("o_orderkey") % 3 == i).write.parquet(
+            f"{land}/drop{i}"
+        )
+    t = ParquetTable(spark, base + "/t")
+    t.copy_into(f"{land}/drop0", pattern="*.parquet")  # first partial load
+    t.copy_into(land, pattern="*.parquet")  # full-dir run: drop1+2 only
+    t.copy_into(land, pattern="*.parquet")  # scheduler double-fire: no-op
+    return t.read()

@@ -245,7 +245,13 @@ _PRIORITY = [
     # corpus_pipeline_end2end twin cedes its slot (it shares
     # corpus_pipeline_staged's oracle VERBATIM — the staged form in the
     # window already grades that exact value set).
-    "orders_zorder_keys",
+    # ROUND-8 ROTATION: orders_zorder_keys (driver-green r5+r6) cedes
+    # to the COPY INTO idempotent-ingestion lifecycle; the clustered-
+    # layout mechanism stays window-graded via orders_hilbert_keys
+    # (same integer bucketing, higher-locality curve) and the per-file
+    # min/max tightening is pinned by test_zorder.py. Still in the
+    # full local gate.
+    "orders_copy_into_state",
     "cdf_merge_changes",
     "docs_fuzzy_entity_pairs",
     # round-5 rotation — the 7 round-4 queries that had never been
@@ -313,6 +319,7 @@ _PRIORITY = [
     "cdc_brute_force_diff",
     "orders_delete_state",
     "events_time_rollup",
+    "orders_zorder_keys",
     "similarity_pq_topk",
     "embeddings_quantize_int8",
     "similarity_lsh_topk",

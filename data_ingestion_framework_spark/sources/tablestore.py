@@ -2316,6 +2316,86 @@ class ParquetTable:
             )
         return len(doomed)
 
+    # -- COPY INTO (idempotent file-level ingestion) --------------------------
+
+    def copied_files(self) -> set[str]:
+        """The cumulative COPY INTO ledger: absolute source paths this
+        table has already ingested. Folded from the log WITHOUT a full
+        replay — each ``copy_into`` commit records the whole cumulative
+        ledger in its metrics, so the fold walks records newest→oldest
+        only until it meets one (O(commits since the last COPY INTO),
+        like the stats checkpoint fold)."""
+        for name in reversed(self._record_names()):
+            with open(os.path.join(self._log_dir(), name)) as f:
+                rec = json.load(f)
+            led = rec.get("metrics", {}).get("copy_into_ledger")
+            if led is not None:
+                return set(led)
+        return set()
+
+    def copy_into(
+        self,
+        source_dir: str,
+        fmt: str = "parquet",
+        pattern: str | None = None,
+        force: bool = False,
+        reader_options: dict | None = None,
+        merge_schema: bool = False,
+    ) -> dict:
+        """Idempotent incremental file ingestion — Delta's ``COPY INTO``
+        (the reference's landing→raw loads re-list the landing dir per
+        run and rely on Auto Loader / file-name tracking for
+        exactly-once, writers/reader.py landing scans; this is the
+        batch-SQL equivalent). Every call lists ``source_dir``
+        recursively, subtracts the files already in the ledger, appends
+        only the new ones, and commits the updated cumulative ledger
+        with the data — so re-running a load after a crash, a
+        scheduler double-fire, or a partial upstream refresh never
+        duplicates rows. ``force=True`` is ``COPY INTO ... FORCE``:
+        reload everything matching, duplicates and all (the ledger
+        still advances). Ledger identity is the absolute file path,
+        matching Delta (a changed file under the same name is NOT
+        re-loaded without ``force``).
+
+        Scale note: control-plane work is one directory walk + one
+        ledger read; data-plane work is one Spark read of ONLY the new
+        files (no re-scan of already-loaded data)."""
+        import fnmatch
+
+        candidates = []
+        for root, _dirs, names in os.walk(source_dir):
+            for n in sorted(names):
+                if n.startswith(("_", ".")):
+                    continue
+                if pattern and not fnmatch.fnmatch(n, pattern):
+                    continue
+                candidates.append(os.path.abspath(os.path.join(root, n)))
+        candidates.sort()
+        ledger = self.copied_files()
+        todo = [f for f in candidates if force or f not in ledger]
+        if not todo:
+            return {"files_loaded": 0, "rows_loaded": 0, "files_skipped": len(candidates)}
+        reader = self.spark.read.format(fmt)
+        for k, v in (reader_options or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load(todo)
+        self.append(
+            df,
+            metrics={
+                "copy_into_files": todo,
+                "copy_into_ledger": sorted(ledger | set(candidates)),
+                "copy_into_source": os.path.abspath(source_dir),
+                "copy_into_forced": bool(force),
+            },
+            merge_schema=merge_schema,
+        )
+        rec = self._latest_record() or {}
+        return {
+            "files_loaded": len(todo),
+            "rows_loaded": rec.get("rows_written"),
+            "files_skipped": len(candidates) - len(todo),
+        }
+
     def optimize(
         self,
         target_files: int | None = None,

@@ -201,7 +201,9 @@ def test_driver_grading_window_covers_priority_queries():
         "semantic_dedup_keep",
         "text_unigram_ce",
         "hybrid_dedup_clusters",
-        "orders_zorder_keys",
+        # r8: orders_zorder_keys ceded to the COPY INTO lifecycle
+        # (clustering keys keep orders_hilbert_keys in-window)
+        "orders_copy_into_state",
         "cdf_merge_changes",
         "docs_fuzzy_entity_pairs",
         # round-5 rotation survivors (others ceded in r7;

@@ -1808,3 +1808,54 @@ def test_review_fixes_round8(spark, tmp_path):
             surrogate_id_col="row_id",
             full_extract=True,
         )
+
+
+# -- COPY INTO -----------------------------------------------------------
+
+
+def _stage(spark, path, vals):
+    spark.createDataFrame([Row(a=v) for v in vals]).coalesce(1).write.parquet(path)
+
+
+def test_copy_into_loads_once_and_skips_on_rerun(spark, tmp_path):
+    land = str(tmp_path / "land")
+    _stage(spark, land + "/d1", [1, 2])
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    r1 = t.copy_into(land, pattern="*.parquet")
+    assert r1["files_loaded"] == 1 and r1["rows_loaded"] == 2
+    r2 = t.copy_into(land, pattern="*.parquet")
+    assert r2 == {"files_loaded": 0, "rows_loaded": 0, "files_skipped": 1}
+    assert sorted(r["a"] for r in t.read().collect()) == [1, 2]
+    # a new drop is picked up incrementally; old files stay skipped
+    _stage(spark, land + "/d2", [3])
+    r3 = t.copy_into(land, pattern="*.parquet")
+    assert r3["files_loaded"] == 1 and r3["files_skipped"] == 1
+    assert sorted(r["a"] for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_copy_into_force_reloads_and_pattern_filters(spark, tmp_path):
+    land = str(tmp_path / "land")
+    _stage(spark, land + "/d1", [1])
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.copy_into(land, pattern="*.parquet")
+    r = t.copy_into(land, pattern="*.parquet", force=True)
+    assert r["files_loaded"] == 1  # FORCE reloads, duplicating
+    assert sorted(x["a"] for x in t.read().collect()) == [1, 1]
+    # a pattern that matches nothing is a clean no-op
+    r = t.copy_into(land, pattern="*.csv")
+    assert r["files_loaded"] == 0 and r["files_skipped"] == 0
+
+
+def test_copy_into_ledger_survives_other_commits(spark, tmp_path):
+    land = str(tmp_path / "land")
+    _stage(spark, land + "/d1", [1, 2])
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.copy_into(land, pattern="*.parquet")
+    # interleave non-COPY commits: the newest record no longer carries
+    # the ledger, the fold must walk back past them
+    t.append(spark.createDataFrame([Row(a=9)]))
+    t.delete_where(F.col("a") == 9)
+    assert len(t.copied_files()) == 1
+    r = t.copy_into(land, pattern="*.parquet")
+    assert r["files_loaded"] == 0
+    assert sorted(x["a"] for x in t.read().collect()) == [1, 2]
