@@ -384,6 +384,67 @@ def repetition_stats(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval: the top-``k`` documents for a bag
+    of query terms, with the Lucene idf convention
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))`` (always
+    non-negative) and the standard saturated-tf normalization
+    ``tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.
+
+    Scale shape — the inverted-index access pattern without an index:
+    the exploded token stream is FILTERED TO THE QUERY'S TERMS before
+    the (doc, term) shuffle, so only matching postings ever move
+    (everything else dies map-side); document lengths come from a
+    parallel groupBy(doc) over the same scan; N and avgdl ride a 1-row
+    broadcast; the per-term df table is broadcast (≤ |query| rows).
+    The final global top-k is a TakeOrderedAndProject, never a
+    single-partition sort.
+
+    Cross-engine determinism: per-(doc, term) contributions are
+    rounded to 6 dp and summed as DECIMAL (order-independent, exact);
+    ranking uses the rounded score with ``id_col`` as tiebreak.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    tf = (
+        toks.where(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfn = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * ((1.0 - b) + b * (F.col("dl") / F.col("__avgdl")))
+    )
+    contrib = F.round(idf * tfn, 6).cast("decimal(18,6)")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(contrib).cast("double").alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.col(id_col)).limit(k)
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -3953,3 +3953,57 @@ def docs_excise_dup_spans(spark, sf_dir):
         ).alias("text"),
     )
     return cleaning.excise_duplicate_spans(docs, n=13, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# Okapi BM25 ranked retrieval (Lucene idf convention) — the retrieval
+# primitive a training-data pipeline uses for benchmark-overlap
+# search, hard-negative mining, and RAG-style corpus probes. The
+# token explode is filtered to the query's terms BEFORE any shuffle
+# (the inverted-index access pattern without an index); N/avgdl ride
+# a 1-row broadcast; contributions are 6-dp-rounded DECIMALs so the
+# per-doc sum is order-independent across engines.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    ), t2 AS (
+      SELECT doc_id, term FROM toks WHERE term <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM t2 WHERE term IN ('spark', 'merge', 'window')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl)))),
+               6) AS DECIMAL(18,6)) AS c
+      FROM tf
+      JOIN dfreq d USING (term)
+      JOIN dl l ON tf.doc_id = l.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def docs_bm25_topk(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.bm25_topk(
+        docs, ["spark", "merge", "window"], "doc_id", "text", k=10
+    )

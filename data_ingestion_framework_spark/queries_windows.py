@@ -326,3 +326,54 @@ def events_time_rollup(spark, sf_dir):
             .alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling (TimescaleDB time_bucket_gapfill + locf +
+# interpolate): dense per-user hourly series between each user's first
+# and last observation, LOCF and linear-interpolated values side by
+# side. The Spark plan is join-free — gap rows are EMITTED by a
+# map-side generator already carrying their fill (operators/
+# timeseries.py); the oracle re-derives the same frame with a
+# generate_series unnest. The bucket representative is the latest row
+# by (ts, event_id) — deterministic under timestamp ties.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_gapfill_locf",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, date_trunc('hour', ts) AS bb, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE user_id % 3 = 0
+    ), b AS (
+      SELECT user_id, bb, value AS v FROM r WHERE rn = 1
+    ), s AS (
+      SELECT user_id, bb, v,
+             lead(bb) OVER (PARTITION BY user_id ORDER BY bb) AS nb,
+             lead(v)  OVER (PARTITION BY user_id ORDER BY bb) AS nv
+      FROM b
+    )
+    SELECT s.user_id, g.bucket,
+           v AS value_locf,
+           CASE WHEN nb IS NULL THEN v
+                ELSE v + (nv - v) * date_diff('hour', bb, g.bucket)
+                             / date_diff('hour', bb, nb) END AS value_interp,
+           (g.bucket = bb) AS observed
+    FROM s, UNNEST(generate_series(bb, coalesce(nb - INTERVAL 1 HOUR, bb),
+                                   INTERVAL 1 HOUR)) AS g(bucket)
+    """,
+)
+def events_gapfill_locf(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.timeseries import gapfill
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") % 3 == 0)
+    dense = gapfill(
+        ev, "ts", ["user_id"], "value", unit="hour", tiebreak_cols=("event_id",)
+    )
+    # NO rounding on either side: both engines compute the identical
+    # ((nv-v)*i)/n double expression, so raw bits agree — ROUND(x,4)
+    # would INTRODUCE mismatches at representation ties (49.50375
+    # rounds differently under Spark's BigDecimal HALF_UP vs DuckDB's
+    # scaled-multiply path).
+    return dense.select("user_id", "bucket", "value_locf", "value_interp", "observed")

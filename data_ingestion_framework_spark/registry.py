@@ -122,7 +122,12 @@ _PRIORITY = [
     # driver-green r4 and ceded their slots to the round-4 lifecycle
     # queries below; orders_above_customer_avg ceded earlier to
     # docs_fuzzy_entity_pairs. All stay in the full local gate.)
-    "lineitem_percentiles",
+    # ROUND-8 ROTATION: lineitem_percentiles (driver-green r5+r6)
+    # cedes to BM25 ranked retrieval; the exact-percentile rank-window
+    # mechanism stays pinned by the window-function family in-window
+    # (events_sessionize's lag/cumsum, scd1_latest_event_per_user's
+    # row_number) and the full local gate. Still in the full gate.
+    "docs_bm25_topk",
     # never driver-graded: corpus / text / cleaning / sampling
     # (corpus_pipeline_end2end shares corpus_pipeline_staged's oracle
     # verbatim — the staged form keeps the window slot, the lazy twin
@@ -278,7 +283,14 @@ _PRIORITY = [
     # corpus_pipeline_splits via corpus_pipeline_staged +
     # docs_split_assign. All stay in the full local gate.
     "docs_quality_weighted_sample",
-    "dedup_containment_pairs",
+    # ROUND-8 ROTATION: dedup_containment_pairs (driver-green r5+r6)
+    # cedes to the time-series gap-fill operator (LOCF + linear
+    # interpolation through a join-free generator); the explode-once +
+    # window-count-totals mechanism stays window-graded via
+    # docs_dsir_weights, and the dedup family keeps three in-window
+    # reps (dedup_minhash_md5_pairs, dedup_incremental_minhash,
+    # hybrid_dedup_clusters). Still in the full local gate.
+    "events_gapfill_locf",
     # ROUND-8 ROTATION (2nd wave): similarity_pq_topk (driver-green
     # r5+r6) cedes to the table-as-a-streaming-source lifecycle; the
     # PQ codebook/encode/ADC mechanism keeps THREE in-window reps
@@ -320,7 +332,9 @@ _PRIORITY = [
     "orders_delete_state",
     "events_time_rollup",
     "orders_zorder_keys",
+    "lineitem_percentiles",
     "similarity_pq_topk",
+    "dedup_containment_pairs",
     "embeddings_quantize_int8",
     "similarity_lsh_topk",
     "text_bigram_ce",

@@ -604,3 +604,58 @@ def test_excise_duplicate_spans(spark):
     }
     assert out3[1]["n_removed_tokens"] == 0
     assert out3[1]["clean_text"] == rows[0][1]
+
+
+def test_bm25_topk_hand_case(spark):
+    """BM25 vs a literal hand computation (Lucene idf, k1=1.2 b=0.75)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from data_ingestion_framework_spark.operators.text import bm25_topk
+
+    corpus = {
+        1: "spark spark merge join",
+        2: "merge table scan",
+        3: "window filter sort group",
+    }
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in corpus.items()])
+    out = {r["doc_id"]: r["bm25"] for r in
+           bm25_topk(df, ["spark", "merge"], k=3).collect()}
+
+    # hand computation with the same 6-dp contribution rounding
+    toks = {i: t.split() for i, t in corpus.items()}
+    n, avgdl = 3, sum(len(v) for v in toks.values()) / 3
+    dfreq = {"spark": 1, "merge": 2}
+    expect = {}
+    for i, ts in toks.items():
+        s = 0.0
+        for term, dfq in dfreq.items():
+            tf = ts.count(term)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+            tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(ts) / avgdl)))
+            s += round(idf * tfn, 6)
+        if s:
+            expect[i] = round(s, 6)
+    assert set(out) == set(expect)
+    for i in expect:
+        assert abs(out[i] - expect[i]) < 1e-6
+
+
+def test_bm25_filters_postings_before_shuffle(spark):
+    """The term filter must reach below the (doc, term) aggregation —
+    only query-term postings may enter the exchange (the inverted-index
+    access pattern; at 100 TB the whole vocabulary must not shuffle)."""
+    from pyspark.sql import Row
+
+    from data_ingestion_framework_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    plan = bm25_topk(df, ["a"], k=1)._jdf.queryExecution().optimizedPlan().toString()
+    # the isin filter appears as a Filter over the generated term column
+    assert "term" in plan and ("a)" in plan or "[a]" in plan or "(a)" in plan)
+    # and the top-k is a global limit, not a full sort materialization
+    final = bm25_topk(df, ["a"], k=1)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in final

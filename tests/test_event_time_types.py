@@ -212,7 +212,8 @@ def test_driver_grading_window_covers_priority_queries():
         "multimodal_audio_meta",
         # round-5 build rotation: the ten new-this-round queries
         "docs_quality_weighted_sample",
-        "dedup_containment_pairs",
+        # r8: dedup_containment_pairs ceded to the gap-fill operator
+        "events_gapfill_locf",
         # r8 2nd wave: similarity_pq_topk ceded to the streaming
         # table-source lifecycle (PQ keeps 3 in-window IVFADC reps)
         "orders_stream_table_state",

@@ -1,0 +1,61 @@
+"""Gap-fill semantics (operators/timeseries.py): dense spine, LOCF
+carry, linear interpolation, observed flags — TimescaleDB
+time_bucket_gapfill + locf/interpolate parity on a hand-computed case."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from data_ingestion_framework_spark.operators.timeseries import gapfill
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_gapfill_locf_and_interp_hand_case(spark):
+    rows = [
+        # key A: observations at 00h (v=10), 03h (v=40) → gaps 01,02
+        Row(k="A", ts=_ts(0, 30), v=10.0, i=1),
+        Row(k="A", ts=_ts(3, 10), v=40.0, i=2),
+        # key B: single observation → single row, no gaps
+        Row(k="B", ts=_ts(5), v=7.0, i=3),
+    ]
+    out = gapfill(
+        spark.createDataFrame(rows), "ts", ["k"], "v", unit="hour",
+        tiebreak_cols=("i",),
+    )
+    got = {
+        (r["k"], r["bucket"].hour): (
+            r["value_locf"], round(r["value_interp"], 6), r["observed"]
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        ("A", 0): (10.0, 10.0, True),
+        ("A", 1): (10.0, 20.0, False),  # 10 + (40-10)*1/3
+        ("A", 2): (10.0, 30.0, False),  # 10 + (40-10)*2/3
+        ("A", 3): (40.0, 40.0, True),
+        ("B", 5): (7.0, 7.0, True),
+    }
+
+
+def test_gapfill_bucket_representative_is_latest_by_tiebreak(spark):
+    # two rows in the SAME hour with the same timestamp: the higher
+    # tiebreak wins (max_by over struct(ts, i))
+    rows = [
+        Row(k="A", ts=_ts(0, 15), v=1.0, i=1),
+        Row(k="A", ts=_ts(0, 15), v=2.0, i=2),
+        Row(k="A", ts=_ts(0, 45), v=3.0, i=0),  # later ts beats tiebreak
+    ]
+    out = gapfill(
+        spark.createDataFrame(rows), "ts", ["k"], "v", unit="hour",
+        tiebreak_cols=("i",),
+    ).collect()
+    assert len(out) == 1 and out[0]["value_locf"] == 3.0
+
+    out2 = gapfill(
+        spark.createDataFrame(rows[:2]), "ts", ["k"], "v", unit="hour",
+        tiebreak_cols=("i",),
+    ).collect()
+    assert out2[0]["value_locf"] == 2.0
