@@ -419,6 +419,7 @@ def ivf_train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample: int | None = None,
+    seeds: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """Deterministic k-means centroids for the IVF index.
 
@@ -447,12 +448,18 @@ def ivf_train_centroids(
         # test_sampled_training_local_matches_distributed).
         vecs = _collect_training_sample(corpus, id_col, vec_col, train_sample)
         return _ivf_lloyd_local(vecs, n_cells, iters)
-    seed_rows = (
-        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_cells)
-        .collect()
-    )
-    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    if seeds is not None:
+        # caller already holds the md5-ordered seed prefix (a fused
+        # build collects it once for both Lloyd recursions) — skip
+        # this build's seed scan+TakeOrdered job
+        centroids = [list(map(float, v)) for v in seeds[:n_cells]]
+    else:
+        seed_rows = (
+            corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(n_cells)
+            .collect()
+        )
+        centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
     for _ in range(iters):
         # two selects: a generator (posexplode) in the same projection
         # as the struct-lambda assignment makes Spark's generator
@@ -673,6 +680,7 @@ def pq_train_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample: int | None = None,
+    seeds: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Deterministic per-subspace k-means codebooks for product
     quantization (Jégou et al. 2011, public): the vector splits into
@@ -704,22 +712,25 @@ def pq_train_codebooks(
         if not vecs:
             raise ValueError("pq_train_codebooks: empty corpus")
         return _pq_lloyd_local(vecs, m, k, iters)
-    seed_rows = (
-        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(k)
-        .collect()
-    )
-    if not seed_rows:
+    if seeds is not None:
+        seed_vecs = [list(map(float, v)) for v in seeds[:k]]
+    else:
+        seed_rows = (
+            corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(k)
+            .collect()
+        )
+        seed_vecs = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    if not seed_vecs:
         raise ValueError("pq_train_codebooks: empty corpus")
     # dim comes from the seed rows themselves — a separate first()
     # probe was one more full Spark action per index build
-    dim = len(seed_rows[0][vec_col])
+    dim = len(seed_vecs[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     dsub = dim // m
     books = [
-        [[float(x) for x in r[vec_col][s * dsub : (s + 1) * dsub]] for r in seed_rows]
-        for s in range(m)
+        [v[s * dsub : (s + 1) * dsub] for v in seed_vecs] for s in range(m)
     ]
     for _ in range(iters):
         # one pass for all subspaces: per row, an array of m structs
@@ -876,6 +887,67 @@ def ivfpq_train(
             ]
             for s in range(m)
         ]
+    return centroids, books
+
+
+def ivfpq_train_residual(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Residual IVFADC training with ONE seed scan.
+
+    The unfused build (``ivf_train_centroids`` → ``ivf_residuals`` →
+    ``pq_train_codebooks``) pays TWO full-corpus seed scans (each an
+    orderBy(md5)+TakeOrdered job): one for the IVF seeds, one for the
+    residual-frame PQ seeds. But the PQ seeds are the residuals of the
+    SAME md5-ordered id prefix — ``ivf_residuals`` preserves ids, so
+    the residual frame's lowest-md5 rows are exactly the IVF seed rows
+    minus their (converged) nearest centroid. That arithmetic is
+    control-plane sized, so this build collects the seed prefix once,
+    runs the distributed IVF Lloyd iterations, derives the PQ seeds
+    driver-side (``_local_cos6`` is the pinned op-for-op twin of the
+    scan-side assignment), and feeds them into the distributed
+    residual-PQ Lloyd via ``seeds=``.
+
+    Value-identical to the unfused build — the DuckDB oracle that
+    re-derives both builds separately still matches (pinned by
+    ``test_fused_residual_build_matches_unfused``). Full-corpus passes
+    drop from ``2 + 2·iters`` to ``1 + 2·iters`` — at 100 TB the
+    training scans are the build cost.
+    """
+    corpus = _spread(corpus.select(id_col, vec_col))
+    seed_rows = (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(max(n_cells, k))
+        .collect()
+    )
+    seeds = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    centroids = ivf_train_centroids(
+        corpus, n_cells, iters, id_col, vec_col, seeds=seeds
+    )
+
+    def _res(v: list[float]) -> list[float]:
+        best = min(
+            range(len(centroids)),
+            key=lambda c: (-_local_cos6(v, centroids[c]), c),
+        )
+        return [x - cx for x, cx in zip(v, centroids[best])]
+
+    rs = ivf_residuals(corpus, centroids, id_col, vec_col)
+    books = pq_train_codebooks(
+        rs,
+        m,
+        k,
+        iters,
+        id_col,
+        "__residual",
+        seeds=[_res(v) for v in seeds[:k]],
+    )
     return centroids, books
 
 

@@ -3058,16 +3058,15 @@ def similarity_ivfpq_topk(spark, sf_dir):
 )
 def similarity_ivfpq_residual_topk(spark, sf_dir):
     from data_ingestion_framework_spark.operators.similarity import (
-        ivf_residuals,
-        ivf_train_centroids,
         ivfpq_adc_topk,
-        pq_train_codebooks,
+        ivfpq_train_residual,
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    centroids = ivf_train_centroids(emb, n_cells=8, iters=2)
-    rs = ivf_residuals(emb, centroids)
-    books = pq_train_codebooks(rs, m=4, k=8, iters=2, vec_col="__residual")
+    # fused build: one seed scan feeds both Lloyd recursions
+    # (value-identical to the unfused ivf_train_centroids →
+    # ivf_residuals → pq_train_codebooks chain the oracle re-derives)
+    centroids, books = ivfpq_train_residual(emb, n_cells=8, m=4, k=8, iters=2)
     queries = emb.where(F.col("vec_id") < 5)
     out = ivfpq_adc_topk(
         emb, queries, centroids, books, k=10, nprobe=4, residual=True

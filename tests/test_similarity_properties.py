@@ -206,3 +206,33 @@ def test_sampled_training_short_corpus(spark):
     assert len(c) == 3
     b = similarity.pq_train_codebooks(emb, m=2, k=4, iters=1, train_sample=8)
     assert len(b) == 2 and all(len(book) == 3 for book in b)
+
+
+def test_fused_residual_build_matches_unfused(spark):
+    """ivfpq_train_residual (one seed scan) must produce bit-identical
+    centroids AND residual codebooks to the unfused chain the DuckDB
+    oracle re-derives (ivf_train_centroids → ivf_residuals →
+    pq_train_codebooks)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from data_ingestion_framework_spark.operators.similarity import (
+        ivf_residuals,
+        ivf_train_centroids,
+        ivfpq_train_residual,
+        pq_train_codebooks,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    cents_u = ivf_train_centroids(df, n_cells=4, iters=2)
+    rs = ivf_residuals(df, cents_u)
+    books_u = pq_train_codebooks(rs, m=2, k=6, iters=2, vec_col="__residual")
+    cents_f, books_f = ivfpq_train_residual(df, n_cells=4, m=2, k=6, iters=2)
+    assert cents_f == cents_u
+    assert books_f == books_u
