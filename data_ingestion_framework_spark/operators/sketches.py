@@ -96,6 +96,96 @@ def kmv_distinct(
     return kmv_estimate(kmv_rows(df, group_cols, value_col, k), group_cols, k)
 
 
+#: HLL geometry: p=8 → 256 registers, 52 rank bits from the 60-bit hash.
+HLL_M = 256
+_HLL_W_BITS = 52
+_HLL_W_DOM = 1 << _HLL_W_BITS  # 4503599627370496
+#: Flajolet et al. 2007 bias constant for m ≥ 128.
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
+
+
+def hll_register_rows(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """HyperLogLog register table: per group, one row per non-empty
+    register ``(*group_cols, __idx, __rank)`` — the industry-standard
+    mergeable distinct sketch (Flajolet et al. 2007, public), built
+    from the same engine-portable 60-bit md5 hash as the KMV family.
+
+    The top 8 hash bits pick the register, the low 52 form the rank
+    word; ``rank = 53 - bit_length(w)`` (leading zeros + 1, via the
+    ``bin()`` string both engines share — no float log2 at integer
+    boundaries). Merge sketches by unioning register frames and
+    re-taking ``max(__rank)`` per ``(group, __idx)`` — associative and
+    idempotent, the same fold streaming micro-batches use. State is
+    ≤ 256 rows per group regardless of input size."""
+    rows = (
+        df.select(*group_cols, kmv_hash(value_col).alias("__h"))
+        .select(
+            *group_cols,
+            # integer div, NOT float division: a 60-bit hash exceeds
+            # double's exact range, so h/2^52 in double could cross a
+            # register boundary
+            F.expr(f"__h div {_HLL_W_DOM}").alias("__idx"),
+            (F.col("__h") % _HLL_W_DOM).alias("__w"),
+        )
+    )
+    rank = F.when(F.col("__w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.expr("bin(__w)"))
+    )
+    return rows.groupBy(*group_cols, "__idx").agg(
+        F.max(rank).cast("int").alias("__rank")
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Finalize HLL registers into per-group estimates.
+
+    Cross-engine determinism: the harmonic-mean denominator is summed
+    as the EXACT integer ``Σ 2^(53-rank)`` (every term a power of two
+    ≤ 2^52; the total fits long) — a float ``Σ 2^-rank`` would round
+    differently under different addition orders. The raw estimate and
+    the small-range linear-counting correction (``E ≤ 2.5m`` and empty
+    registers exist → ``m·ln(m/V)``) divide/ln in DOUBLE identically
+    on both engines, rounded to 4 dp."""
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - __rank)"))
+        .alias("__su"),
+        F.count(F.lit(1)).alias("__used"),
+    )
+    # EMPTY registers have rank 0 and contribute 2^-0 = 1 each to the
+    # harmonic sum — in scaled units 2^53 apiece (256·2^53 = 2^61 still
+    # fits long). Σ 2^-rank == __s / 2^53; E_raw = α·m² / Σ2^-rank.
+    s_total = F.col("__su") + (F.lit(HLL_M) - F.col("__used")) * F.lit(
+        1 << 53
+    ).cast("bigint")
+    e_raw = (
+        F.lit(_HLL_ALPHA * HLL_M * HLL_M)
+        * F.lit(9007199254740992.0)
+        / s_total.cast("double")
+    )
+    v = F.lit(HLL_M) - F.col("__used")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        *group_cols,
+        F.round(est, 4).alias("hll_est"),
+        F.col("__used").cast("bigint").alias("registers_used"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """``hll_register_rows`` → ``hll_estimate``: per-group HLL distinct
+    estimates with value-level cross-engine determinism."""
+    return hll_estimate(
+        hll_register_rows(df, group_cols, value_col), group_cols
+    )
+
+
 def hash_rank_sample(
     df: DataFrame,
     group_cols: list[str],

@@ -4006,3 +4006,75 @@ def docs_bm25_topk(spark, sf_dir):
     return text.bm25_topk(
         docs, ["spark", "merge", "window"], "doc_id", "text", k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-user estimates per event type — the industry-
+# standard mergeable cardinality sketch (Flajolet et al. 2007),
+# deterministic via the KMV family's 60-bit md5 hash so the oracle
+# re-derives every register: top 8 bits pick the register, rank =
+# 53 - bit_length of the low 52 (bin() string, no float log2), the
+# harmonic denominator sums EXACT integer powers of two, and the
+# small-range linear-counting correction applies on both engines.
+# Published exactness check: the rounded estimate must sit within the
+# 3σ bound (3·1.04/√256 = 0.195) of the true count.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_hll_distinct_users",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ), b AS (
+      SELECT event_type,
+             h // 4503599627370496 AS idx,
+             h % 4503599627370496 AS w
+      FROM h
+    ), regs AS (
+      SELECT event_type, idx,
+             MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS r
+      FROM b GROUP BY 1, 2
+    ), agg AS (
+      -- empty registers have rank 0: add 2^53 apiece to the scaled sum
+      SELECT event_type,
+             SUM(1::BIGINT << (53 - r))
+               + (256 - COUNT(*)) * (1::BIGINT << 53) AS s,
+             COUNT(*) AS used
+      FROM regs GROUP BY 1
+    ), ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+    ), est AS (
+      SELECT event_type,
+             ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0)
+                             * 9007199254740992.0 / s <= 640.0
+                         AND used < 256
+                   THEN 256.0 * ln(256.0 / (256 - used))
+                   ELSE (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0)
+                        * 9007199254740992.0 / s END, 4) AS hll_est,
+             CAST(used AS BIGINT) AS registers_used,
+             event_type AS et
+      FROM agg
+    )
+    SELECT e.event_type, hll_est, registers_used, x.exact_distinct,
+           abs(hll_est / x.exact_distinct - 1.0) <= 0.195 AS within_bound
+    FROM est e JOIN ex x ON e.event_type = x.event_type
+    """,
+)
+def events_hll_distinct_users(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    est = sketches.hll_distinct(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "hll_est",
+        "registers_used",
+        "exact_distinct",
+        (F.abs(F.col("hll_est") / F.col("exact_distinct") - 1.0) <= 0.195)
+        .alias("within_bound"),
+    )

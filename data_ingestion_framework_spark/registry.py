@@ -258,7 +258,12 @@ _PRIORITY = [
     # full local gate.
     "orders_copy_into_state",
     "cdf_merge_changes",
-    "docs_fuzzy_entity_pairs",
+    # ROUND-8 ROTATION: docs_fuzzy_entity_pairs (driver-green r5+r6)
+    # cedes to the HyperLogLog distinct sketch; the blocked-capped
+    # self-join mechanism stays window-graded via
+    # dedup_minhash_md5_pairs + hybrid_dedup_clusters, and the
+    # Levenshtein linkage stays in the full local gate.
+    "events_hll_distinct_users",
     # round-5 rotation — the 7 round-4 queries that had never been
     # driver-graded (all oracle-backed, local-pass) take the slots
     # ceded above by rows green since r2/r3:
@@ -333,6 +338,7 @@ _PRIORITY = [
     "events_time_rollup",
     "orders_zorder_keys",
     "lineitem_percentiles",
+    "docs_fuzzy_entity_pairs",
     "similarity_pq_topk",
     "dedup_containment_pairs",
     "embeddings_quantize_int8",

@@ -205,7 +205,8 @@ def test_driver_grading_window_covers_priority_queries():
         # (clustering keys keep orders_hilbert_keys in-window)
         "orders_copy_into_state",
         "cdf_merge_changes",
-        "docs_fuzzy_entity_pairs",
+        # r8: docs_fuzzy_entity_pairs ceded to the HLL sketch
+        "events_hll_distinct_users",
         # round-5 rotation survivors (others ceded in r7;
         # orders_delete_state ceded in r8 to its stats-skipping
         # successor, which runs the same delete_where path)

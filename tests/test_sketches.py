@@ -162,3 +162,47 @@ def test_kmv_set_overlap_exact_when_small(spark):
     ac = out[("a", "c")]
     assert ac["kmv_jaccard"] == 0.0 and ac["approx_intersection"] == 0
     assert len(out) == 6  # all unordered pairs of 4 groups
+
+
+# -- HyperLogLog -----------------------------------------------------------
+
+
+def test_hll_register_merge_law(spark):
+    """Union-then-max over register frames == registers of the union:
+    the associative fold streaming micro-batches rely on."""
+    from pyspark.sql import Row, functions as F
+
+    from data_ingestion_framework_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_rows,
+    )
+
+    a = spark.createDataFrame([Row(g="x", v=i) for i in range(0, 300)])
+    b = spark.createDataFrame([Row(g="x", v=i) for i in range(200, 600)])
+    direct = hll_register_rows(a.union(b), ["g"], "v")
+    merged = (
+        hll_register_rows(a, ["g"], "v")
+        .unionByName(hll_register_rows(b, ["g"], "v"))
+        .groupBy("g", "__idx")
+        .agg(F.max("__rank").cast("int").alias("__rank"))
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    e1 = hll_estimate(direct, ["g"]).collect()[0]
+    e2 = hll_estimate(merged, ["g"]).collect()[0]
+    assert e1 == e2
+
+
+def test_hll_estimate_within_published_bound_both_paths(spark):
+    """Small cardinality exercises the linear-counting correction; a
+    5000-distinct input exercises the raw harmonic path. Both must sit
+    within the 3-sigma bound 3*1.04/sqrt(256) = 0.195."""
+    from pyspark.sql import Row
+
+    from data_ingestion_framework_spark.operators.sketches import hll_distinct
+
+    for n in (150, 5000):
+        df = spark.createDataFrame([Row(g="x", v=i) for i in range(n)])
+        est = hll_distinct(df, ["g"], "v").collect()[0]["hll_est"]
+        assert abs(est / n - 1.0) <= 0.195, (n, est)
