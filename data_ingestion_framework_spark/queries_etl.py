@@ -1781,3 +1781,39 @@ def orders_copy_into_state(spark, sf_dir):
     t.copy_into(land, pattern="*.parquet")  # full-dir run: drop1+2 only
     t.copy_into(land, pattern="*.parquet")  # scheduler double-fire: no-op
     return t.read()
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution lifecycle under the oracle gate (Iceberg
+# ALTER TABLE ... PARTITION FIELD parity — metadata-only, a capability
+# Delta lacks): half of orders lands partitioned by o_orderstatus, the
+# spec evolves to o_orderpriority without rewriting a byte, the other
+# half lands under the new layout, and one scan must union the eras —
+# recovering each era's partition column from its own directory names
+# and the other era's from file bodies. Any era mix-up drops or
+# corrupts a partition column and fails the value hash.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_partition_evolution_state",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    """,
+)
+def orders_partition_evolution_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    t = ParquetTable(
+        spark,
+        _scratch_dir("difs_pevo_") + "/t",
+        partition_by=["o_orderstatus"],
+    )
+    t.overwrite(orders.where(F.col("o_orderkey") % 2 == 0))
+    t.evolve_partition_spec(["o_orderpriority"])
+    t.append(orders.where(F.col("o_orderkey") % 2 == 1))
+    return t.read().select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )

@@ -242,8 +242,12 @@ _PRIORITY = [
     # 13-gram broadcast and corpus_pipeline_curated's graded
     # thresholds — and the bloom prefilter is pytest-pinned).
     "similarity_ivfpq_sampled_topk",
-    # round-5 additions — never driver-graded, all oracle-backed
-    "semantic_dedup_keep",
+    # ROUND-8 ROTATION: semantic_dedup_keep (driver-green r5+r6) cedes
+    # to the partition-evolution lifecycle; the SemDeDup mechanism
+    # stays window-graded via embeddings_pipeline_curated (which runs
+    # the same cluster-then-dedup stage) and hybrid_dedup_clusters
+    # (embedding near-dup edges). Still in the full local gate.
+    "orders_partition_evolution_state",
     "text_unigram_ce",
     "hybrid_dedup_clusters",
     # round-6 additions — oracle-backed, never driver-graded. The lazy
@@ -339,6 +343,7 @@ _PRIORITY = [
     "orders_zorder_keys",
     "lineitem_percentiles",
     "docs_fuzzy_entity_pairs",
+    "semantic_dedup_keep",
     "similarity_pq_topk",
     "dedup_containment_pairs",
     "embeddings_quantize_int8",

@@ -96,7 +96,167 @@ class ParquetTable:
     def __init__(self, spark: SparkSession, path: str, partition_by: list[str] | None = None):
         self.spark = spark
         self.path = path
-        self.partition_by = partition_by or []
+        # the persisted spec (partition evolution) outranks the
+        # constructor arg — a handle opened with yesterday's layout
+        # must not write yesterday's directories
+        prop = self.properties().get("partition_spec")
+        self.partition_by = (
+            list(prop) if prop is not None else list(partition_by or [])
+        )
+
+    # -- partition evolution ---------------------------------------------------
+    #
+    # Iceberg-style: changing the partition spec is METADATA-ONLY. Old
+    # files keep their directory layout, new writes use the new one,
+    # and scans read both. A file's spec is self-describing — the
+    # ``col=`` components of its own relative path — so no per-file
+    # log bookkeeping is needed: group live files by path-derived spec,
+    # read each era with ``basePath`` (recovering that era's partition
+    # columns from its directories), and union by name. Columns a file
+    # stores in-body in one era ride the directory name in another;
+    # either way every era yields the full column set.
+
+    @staticmethod
+    def _file_spec(rel: str) -> tuple[str, ...]:
+        """Partition spec that wrote a file, parsed from its OWN
+        relative path (ordered ``col=`` directory components)."""
+        return tuple(
+            comp.split("=", 1)[0]
+            for comp in rel.split(os.sep)[:-1]
+            if "=" in comp
+        )
+
+    def _live_specs(self) -> set[tuple[str, ...]]:
+        return {self._file_spec(f) for f in self._live_files()}
+
+    def _is_mixed_spec(self) -> bool:
+        """True when live files span more than one layout, or a single
+        layout that is not the current write spec."""
+        specs = self._live_specs()
+        return bool(specs) and specs != {tuple(self.partition_by)}
+
+    def evolve_partition_spec(self, new_cols: list[str]) -> None:
+        """Change the table's partition spec without rewriting a byte —
+        Iceberg ``ALTER TABLE ... [ADD|REPLACE] PARTITION FIELD``
+        (Delta cannot do this; the reference's Delta tables would need
+        a full rewrite). Subsequent writes lay out under the new spec;
+        existing files stay where they are and scans union the eras.
+        Partition-scoped statements (``overwrite_partitions``, the COW
+        DELETE/UPDATE family) refuse mixed-era tables — run
+        ``rewrite_to_current_spec()`` to converge the layout first."""
+        if not self.exists():
+            raise ValueError("evolve_partition_spec: table does not exist")
+        new_cols = list(new_cols)
+        cols = set(self.read().columns)
+        missing = [c for c in new_cols if c not in cols]
+        if missing:
+            raise ValueError(
+                f"evolve_partition_spec: columns {missing} not in table"
+            )
+        gen = sorted(set(new_cols) & set(self._generated()))
+        if gen:
+            raise ValueError(
+                f"evolve_partition_spec: {gen} are GENERATED (computed "
+                "on read, never stored) — partition on stored columns"
+            )
+        old = list(self.partition_by)
+        if new_cols == old:
+            return
+        self.set_properties({"partition_spec": new_cols})
+        self.partition_by = new_cols
+        self._record_commit(
+            "set_partition_spec",
+            {"spec_from": old, "spec_to": new_cols},
+            new_files=[],
+        )
+
+    def rewrite_to_current_spec(self) -> None:
+        """Converge a mixed-era table onto the current partition spec —
+        one full rewrite (the cost partition evolution deferred), after
+        which partition-scoped statements work again."""
+        if not self._is_mixed_spec():
+            return
+        self.overwrite(self.read(), op="rewrite_partition_spec")
+
+    def _era_pairs(
+        self, root: str, paths: list[str]
+    ) -> list[tuple[tuple[str, ...], list[str]]]:
+        """Group absolute file paths under ``root`` by their
+        path-derived partition spec, deterministically ordered."""
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for p in paths:
+            rel = os.path.relpath(p, root)
+            groups.setdefault(self._file_spec(rel), []).append(p)
+        return [(spec, sorted(groups[spec])) for spec in sorted(groups)]
+
+    def _union_era_frames(
+        self, pairs: list[tuple[tuple[str, ...], "DataFrame"]]
+    ) -> DataFrame:
+        """Union per-era frames with canonical types. A directory-
+        recovered partition column's type is INFERRED from the path
+        string, so the authoritative type for each column comes from
+        an era that stores it in-body (falling back to the first frame
+        when every era partitions on it); every frame casts to that
+        before the union. Missing columns (schema-evolved eras) fill
+        with typed NULLs."""
+        if len(pairs) == 1:
+            return pairs[0][1]
+        types: dict[str, object] = {}
+        for spec, df in pairs:
+            for fld in df.schema.fields:
+                if fld.name not in types and fld.name not in spec:
+                    types[fld.name] = fld.dataType
+        for _spec, df in pairs:
+            for fld in df.schema.fields:
+                types.setdefault(fld.name, fld.dataType)
+        order = [f.name for f in pairs[0][1].schema.fields]
+        order += [c for c in sorted(types) if c not in order]
+        frames = [
+            df.select(
+                *[
+                    (F.col(c) if c in df.columns else F.lit(None))
+                    .cast(types[c])
+                    .alias(c)
+                    for c in order
+                ]
+            )
+            for _spec, df in pairs
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def _read_mixed_eras(self, reader, rels: list[str]) -> DataFrame:
+        """Scan the given live files across partition-spec eras."""
+        paths = [os.path.join(self.path, f) for f in rels]
+        pairs = []
+        for spec, group in self._era_pairs(self.path, paths):
+            r = reader()
+            if spec:
+                r = r.option("basePath", self.path)
+            pairs.append((spec, r.parquet(*group)))
+        return self._union_era_frames(pairs)
+
+    def _scan_files(self, rels: list[str]) -> DataFrame:
+        """PHYSICAL scan of the named live files, partition-era aware —
+        the one helper every file-list read path (range_scan,
+        read_since, point_lookup) shares so data skipping keeps working
+        across partition evolution."""
+
+        def reader():
+            r = self.spark.read
+            if self.properties().get("schema_evolved"):
+                r = r.option("mergeSchema", "true")
+            return r
+
+        specs = {self._file_spec(f) for f in rels}
+        if len(specs) > 1:
+            return self._read_mixed_eras(reader, rels)
+        r = reader()
+        if specs and next(iter(specs)):
+            r = r.option("basePath", self.path)
+        return r.parquet(*[os.path.join(self.path, f) for f in rels])
 
     # -- reads ---------------------------------------------------------------
     def exists(self) -> bool:
@@ -113,23 +273,39 @@ class ParquetTable:
         crashed or in-flight writer left behind are invisible until
         their commit record lands (read isolation the directory scan
         cannot give)."""
-        r = self.spark.read
-        if self.properties().get("schema_evolved"):
-            # only tables that took a merge-schema append pay the
-            # multi-footer schema union; everyone else reads one footer
-            r = r.option("mergeSchema", "true")
+        def reader():
+            r = self.spark.read
+            if self.properties().get("schema_evolved"):
+                # only tables that took a merge-schema append pay the
+                # multi-footer schema union; everyone else reads one
+                # footer
+                r = r.option("mergeSchema", "true")
+            return r
+
         if self.properties().get("strict_files"):
             last = self._latest_record()
             files = (last or {}).get("files") or []
             if not files:
                 return self._from_physical(
-                    r.parquet(self.path).where(F.lit(False))
+                    reader().parquet(self.path).where(F.lit(False))
                 )
-            if self.partition_by:
-                r = r.option("basePath", self.path)
-            df = r.parquet(*[os.path.join(self.path, f) for f in files])
+            if len({self._file_spec(f) for f in files}) > 1:
+                df = self._read_mixed_eras(reader, files)
+            else:
+                r = reader()
+                if self._file_spec(files[0]):
+                    r = r.option("basePath", self.path)
+                df = r.parquet(
+                    *[os.path.join(self.path, f) for f in files]
+                )
         else:
-            df = r.parquet(self.path)
+            files = self._data_files()
+            if len({self._file_spec(f) for f in files}) > 1:
+                # partition evolution: live files span layouts a single
+                # directory scan cannot partition-infer — per-era scan
+                df = self._read_mixed_eras(reader, files)
+            else:
+                df = reader().parquet(self.path)
         if os.path.isdir(self._dv_dir()):
             df = self._subtract_dv(df, [self._dv_dir()])
         return self._from_physical(df)
@@ -856,24 +1032,25 @@ class ParquetTable:
             # can leave a file-less _dv dir — unreadable as parquet
             and self._data_files(self._dv_dir(root))
         ]
-        frames = []
+        era_pairs = []
         for root, paths in by_root.items():
-            r = self.spark.read
-            if self.partition_by:
-                r = r.option("basePath", root)
-            f = r.parquet(*paths)
-            if dv_dirs:
-                # metadata keys must be materialized per-scan (they
-                # don't resolve through a union)
-                f = f.select(
-                    "*",
-                    F.col("_metadata.file_name").alias("__dv_f"),
-                    F.col("_metadata.row_index").alias("__dv_p"),
-                )
-            frames.append(f)
-        df = frames[0]
-        for other in frames[1:]:
-            df = df.unionByName(other)
+            # a snapshot may span partition-spec eras (evolution is
+            # metadata-only): group by each file's path-derived spec
+            for spec, group in self._era_pairs(root, paths):
+                r = self.spark.read
+                if spec:
+                    r = r.option("basePath", root)
+                f = r.parquet(*group)
+                if dv_dirs:
+                    # metadata keys must be materialized per-scan (they
+                    # don't resolve through a union)
+                    f = f.select(
+                        "*",
+                        F.col("_metadata.file_name").alias("__dv_f"),
+                        F.col("_metadata.row_index").alias("__dv_p"),
+                    )
+                era_pairs.append((spec, f))
+        df = self._union_era_frames(era_pairs)
         if dv_dirs:
             dv = None
             for d in dv_dirs:
@@ -1454,6 +1631,15 @@ class ParquetTable:
         file-scoped statement derives touched files and replacement
         rows from. Metadata columns must be materialized at the scan
         (they don't resolve through joins)."""
+        if len(self._live_specs()) > 1:
+            # a COW rewrite would re-lay touched rows under the CURRENT
+            # spec while leaving their untouched file-mates in the old
+            # era — legal but surprising; converge first, explicitly
+            raise ValueError(
+                "file-scoped statement on a table whose live files span "
+                "partition-spec eras — run rewrite_to_current_spec() "
+                "(or overwrite()) first"
+            )
         r = self.spark.read
         if self.properties().get("schema_evolved"):
             r = r.option("mergeSchema", "true")
@@ -1837,6 +2023,15 @@ class ParquetTable:
         says is empty would silently keep its stale files."""
         if not self.partition_by:
             raise ValueError("overwrite_partitions requires partition_by")
+        if self.exists() and self._is_mixed_spec():
+            # a partition-scoped swap addresses directories of the
+            # CURRENT spec only — old-era files holding rows of the
+            # same logical partition would silently survive
+            raise ValueError(
+                "overwrite_partitions on a table whose live files are "
+                "not all under the current partition spec — run "
+                "rewrite_to_current_spec() first"
+            )
         if os.path.isdir(self._dv_dir()):
             # belt-and-braces: delete_where_dv refuses partitioned
             # tables, so live vectors here mean external tampering —
@@ -1920,10 +2115,7 @@ class ParquetTable:
         new = [f for f in latest if f not in base]
         if not new:
             return self.read().limit(0)
-        r = self.spark.read
-        if self.partition_by:
-            r = r.option("basePath", self.path)
-        return r.parquet(*[os.path.join(self.path, f) for f in new])
+        return self._scan_files(new)
 
     def changed_partitions_since(self, seq: int) -> list[str]:
         """Partition dirs touched by any commit after ``seq`` — drives
@@ -2206,12 +2398,7 @@ class ParquetTable:
             pred = pred & (F.col(col) <= F.lit(hi))
         if not keep:
             return self.read().where(F.lit(False))
-        r = self.spark.read
-        if self.properties().get("schema_evolved"):
-            r = r.option("mergeSchema", "true")
-        if self.partition_by:
-            r = r.option("basePath", self.path)
-        df = r.parquet(*[os.path.join(self.path, f) for f in keep])
+        df = self._scan_files(keep)
         if os.path.isdir(self._dv_dir()):
             df = self._subtract_dv(df, [self._dv_dir()])
         return self._from_physical(df).where(pred)
@@ -2614,14 +2801,19 @@ class ParquetTable:
         files = self.lookup_files(col, value)
         if not files:
             return self.read().where(F.lit(False))
-        r = self.spark.read
-        if self.partition_by:
-            # recover partition columns from the candidate file paths —
-            # without basePath a leaf-file read would silently drop
-            # them (schema drift vs read(); a bloom index ON a
-            # partition column would fail the exact filter below)
-            r = r.option("basePath", self.path)
-        return r.parquet(*files).where(F.col(col) == F.lit(value))
+        # _scan_files recovers partition columns from the candidate
+        # file paths (basePath) — without it a leaf-file read would
+        # silently drop them (schema drift vs read(); a bloom index ON
+        # a partition column would fail the exact filter below).
+        # Sidecar entries built from _metadata.file_path are file: URIs
+        # while the degrade branch yields plain paths — normalize both
+        # before deriving table-relative names.
+        rels = []
+        for p in files:
+            if p.startswith("file:"):
+                p = "/" + p[5:].lstrip("/")
+            rels.append(os.path.relpath(p, self.path))
+        return self._scan_files(rels).where(F.col(col) == F.lit(value))
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

@@ -198,7 +198,9 @@ def test_driver_grading_window_covers_priority_queries():
         "cdc_find_delta",
         "dq_violation_counts",
         "events_asof_purchase",
-        "semantic_dedup_keep",
+        # r8: semantic_dedup_keep ceded to the partition-evolution
+        # lifecycle (SemDeDup runs inside embeddings_pipeline_curated)
+        "orders_partition_evolution_state",
         "text_unigram_ce",
         "hybrid_dedup_clusters",
         # r8: orders_zorder_keys ceded to the COPY INTO lifecycle

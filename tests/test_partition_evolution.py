@@ -1,0 +1,115 @@
+"""Partition-spec evolution (Iceberg ALTER TABLE ... PARTITION FIELD
+parity; metadata-only): old files keep their layout, new writes use the
+new one, scans/as_of/data-skipping read both, partition-scoped and
+file-scoped statements refuse mixed tables until a rewrite converges
+the layout."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+
+def _rows(lo, hi):
+    return [
+        Row(k=i, status="E" if i % 2 == 0 else "O", pri=i % 3, v=float(i))
+        for i in range(lo, hi)
+    ]
+
+
+@pytest.fixture
+def evolved(spark, tmp_path):
+    """A table written under spec [status], evolved to [pri], with one
+    append in each era."""
+    t = ParquetTable(spark, str(tmp_path / "t"), partition_by=["status"])
+    t.overwrite(spark.createDataFrame(_rows(0, 20)))
+    t.evolve_partition_spec(["pri"])
+    t.append(spark.createDataFrame(_rows(20, 30)))
+    return t
+
+
+def test_mixed_era_read_unions_both_layouts(spark, evolved):
+    got = {r["k"]: (r["status"], r["pri"], r["v"]) for r in evolved.read().collect()}
+    assert got == {
+        i: ("E" if i % 2 == 0 else "O", i % 3, float(i)) for i in range(30)
+    }
+    # old files really are under status=, new under pri=
+    rels = evolved._data_files()
+    assert any(r.startswith("status=") for r in rels)
+    assert any(r.startswith("pri=") for r in rels)
+
+
+def test_evolution_is_metadata_only_and_persists(spark, evolved, tmp_path):
+    # no rewrite happened: the set_partition_spec commit lists no new files
+    rec = [r for r in evolved.history() if r["op"] == "set_partition_spec"]
+    assert len(rec) == 1 and rec[0]["rows_written"] == 0
+    # a FRESH handle without partition_by picks up the evolved spec
+    t2 = ParquetTable(spark, evolved.path)
+    assert t2.partition_by == ["pri"]
+    before = sum(r.startswith("pri=") for r in t2._data_files())
+    t2.append(spark.createDataFrame(_rows(30, 33)))
+    after = sum(r.startswith("pri=") for r in t2._data_files())
+    assert after > before  # the fresh handle wrote under the NEW spec
+
+
+def test_as_of_spans_spec_change(spark, evolved):
+    first = evolved.history()[0]["seq"]
+    assert sorted(r["k"] for r in evolved.as_of(first).collect()) == list(range(20))
+    last = evolved.history()[-1]["seq"]
+    assert sorted(r["k"] for r in evolved.as_of(last).collect()) == list(range(30))
+
+
+def test_partition_and_file_scoped_statements_refuse_mixed(spark, evolved):
+    with pytest.raises(ValueError, match="rewrite_to_current_spec"):
+        evolved.overwrite_partitions(
+            evolved.read().where(F.col("pri") == 0)
+        )
+    with pytest.raises(ValueError, match="rewrite_to_current_spec"):
+        evolved.delete_where(F.col("k") == 1)
+
+
+def test_rewrite_converges_then_statements_work(spark, evolved):
+    evolved.rewrite_to_current_spec()
+    rels = evolved._data_files()
+    assert all(r.startswith("pri=") for r in rels)
+    evolved.delete_where(F.col("k") >= 25)
+    assert sorted(r["k"] for r in evolved.read().collect()) == list(range(25))
+    # partition-scoped overwrite now addresses current-spec dirs
+    repl = evolved.read().where(F.col("pri") == 0).withColumn(
+        "v", F.col("v") + 100.0
+    )
+    evolved.overwrite_partitions(repl)
+    got = {r["k"]: r["v"] for r in evolved.read().collect()}
+    assert got[3] == 103.0 and got[4] == 4.0
+
+
+def test_range_scan_prunes_across_eras(spark, evolved):
+    # pri is a directory value in the new era and a footer-stats column
+    # in the old one; both prune paths must agree with a full filter
+    got = sorted(r["k"] for r in evolved.range_scan("pri", 2, 2).collect())
+    want = sorted(
+        r["k"] for r in evolved.read().where(F.col("pri") == 2).collect()
+    )
+    assert got == want and got
+
+
+def test_unpartitioned_to_partitioned_evolution(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "u"))
+    t.overwrite(spark.createDataFrame(_rows(0, 10)))
+    t.evolve_partition_spec(["status"])
+    t.append(spark.createDataFrame(_rows(10, 16)))
+    got = {r["k"]: r["status"] for r in t.read().collect()}
+    assert got == {i: ("E" if i % 2 == 0 else "O") for i in range(16)}
+
+
+def test_evolve_rejects_unknown_and_generated_columns(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "g"))
+    t.overwrite(spark.createDataFrame(_rows(0, 5)))
+    with pytest.raises(ValueError, match="not in table"):
+        t.evolve_partition_spec(["nope"])
+    t.add_generated_column("v2", "v * 2")
+    with pytest.raises(ValueError, match="GENERATED"):
+        t.evolve_partition_spec(["v2"])
