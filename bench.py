@@ -86,6 +86,13 @@ HEADLINE = [
     # embedding-side flagship: gate → exact dedup → SemDeDup → int8
     # quantize (chained oracle)
     "embeddings_pipeline_curated",
+    # round-8: join-free time-series gap fill (the generator emits gap
+    # rows pre-filled — compare against a dense-spine join mentally),
+    # BM25 ranked retrieval (pre-shuffle posting filter), and the HLL
+    # register fold (bounded-state distinct at 256 rows per group)
+    "events_gapfill_locf",
+    "docs_bm25_topk",
+    "events_hll_distinct_users",
 ]
 
 

@@ -1817,3 +1817,41 @@ def orders_partition_evolution_state(spark, sf_dir):
     return t.read().select(
         "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
     )
+
+
+# ---------------------------------------------------------------------------
+# replaceWhere lifecycle under the oracle gate (Delta overwrite with
+# replaceWhere): orders lands partitioned by o_orderstatus, then the
+# 'O' partition is atomically replaced by a transformed subset through
+# the partition fast path (untouched partitions' files never move —
+# pinned in test_partition_evolution.py). Scope validation, partition
+# matching, and the swap are all value-checked: a leaked old 'O' row,
+# a dropped non-'O' partition, or a scope violation fails the hash.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_replace_where_state",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus <> 'O'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+    FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0
+    """,
+)
+def orders_replace_where_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = ParquetTable(
+        spark,
+        _scratch_dir("difs_rw_") + "/t",
+        partition_by=["o_orderstatus"],
+    )
+    t.overwrite(orders)
+    repl = orders.where(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 3 == 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    t.replace_where(repl, F.col("o_orderstatus") == "O")
+    return t.read().select("o_orderkey", "o_orderstatus", "o_totalprice")

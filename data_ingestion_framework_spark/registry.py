@@ -314,7 +314,13 @@ _PRIORITY = [
     # DECIMAL-sum mechanism, one conditioning level apart). Still in
     # the full local gate.
     "orders_strict_log_state",
-    "orders_restore_state",
+    # ROUND-8 ROTATION: orders_restore_state (driver-green r5+r6)
+    # cedes to the replaceWhere lifecycle; the history-snapshot
+    # retention + resolution machinery RESTORE rides stays window-
+    # graded via orders_update_state / orders_delete_dv_state /
+    # orders_stats_skipping_state (each creates and reads pre-commit
+    # history). Still in the full local gate.
+    "orders_replace_where_state",
     # end of the 50-query driver window
     # the nine rows ceded by the round-7 rotation (driver-green r5+r6;
     # mechanisms window-covered per the rotation notes above)
@@ -344,6 +350,7 @@ _PRIORITY = [
     "lineitem_percentiles",
     "docs_fuzzy_entity_pairs",
     "semantic_dedup_keep",
+    "orders_restore_state",
     "similarity_pq_topk",
     "dedup_containment_pairs",
     "embeddings_quantize_int8",

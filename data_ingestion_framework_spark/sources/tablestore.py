@@ -2085,6 +2085,69 @@ class ParquetTable:
             new_files=staged_files,
         )
 
+    def replace_where(self, df: DataFrame, predicate) -> None:
+        """Delta's ``overwrite`` with ``replaceWhere``: atomically
+        replace EXACTLY the rows matching ``predicate`` with ``df``,
+        after validating every incoming row satisfies the predicate
+        (Delta raises on violations; silently keeping them would make
+        the statement's scope a lie).
+
+        Scale shape: when the table is partitioned and the predicate
+        references ONLY partition columns, this is a partition-scoped
+        swap — untouched partitions' files never move (Delta's
+        replaceWhere-on-partition fast path). Otherwise it degrades to
+        one full staged rewrite (keep = rows NOT matching, union the
+        batch), the same cost Delta pays for an arbitrary predicate."""
+        pred = predicate if not isinstance(predicate, str) else F.expr(predicate)
+        bad = df.where(~F.coalesce(pred, F.lit(False))).limit(1).count()
+        if bad:
+            raise ValueError(
+                "replace_where: batch contains rows NOT matching the "
+                "predicate — widen the predicate or filter the batch"
+            )
+        if self.partition_by and not self._is_mixed_spec():
+            # partition fast path IF the predicate resolves against the
+            # partition columns alone (the principled test — no
+            # expression-tree introspection): live partitions matching
+            # it are replaced or emptied, control-plane sized
+            from pyspark.errors import AnalysisException
+
+            live = self.read().select(*self.partition_by).distinct()
+            # re-create the tuples as a LINEAGE-FREE local frame before
+            # testing resolution: Spark resolves where() references
+            # through a select()'s child plan, so filtering `live`
+            # directly would silently accept data-column predicates
+            # (and match every partition with any qualifying row)
+            tuples = self.spark.createDataFrame(
+                live.collect(), schema=live.schema
+            )
+            try:
+                doomed = tuples.where(pred).collect()
+            except AnalysisException:
+                doomed = None  # predicate needs data columns
+            if doomed is not None:
+                extra = [
+                    os.path.join(
+                        *[
+                            f"{c}={_fmt_partition_value(r[c])}"
+                            for c in self.partition_by
+                        ]
+                    )
+                    for r in doomed
+                ]
+                self.overwrite_partitions(
+                    df,
+                    metrics={"replace_where": str(pred)},
+                    extra_touched=sorted(extra),
+                )
+                return
+        keep = self.read().where(~F.coalesce(pred, F.lit(False)))
+        self.overwrite(
+            keep.unionByName(df),
+            metrics={"replace_where": str(pred)},
+            op="replace_where",
+        )
+
     # -- incremental reads ---------------------------------------------------
     def read_since(self, seq: int) -> DataFrame:
         """Rows appended after commit ``seq`` — the commit-log

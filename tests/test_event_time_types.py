@@ -221,7 +221,8 @@ def test_driver_grading_window_covers_priority_queries():
         # table-source lifecycle (PQ keeps 3 in-window IVFADC reps)
         "orders_stream_table_state",
         "events_incremental_partition_rollup",
-        "orders_restore_state",
+        # r8: orders_restore_state ceded to the replaceWhere lifecycle
+        "orders_replace_where_state",
         # round-6 rotation: the four never-driver-graded round-5
         # queries plus this round's two new surfaces
         "orders_merge_into_state",

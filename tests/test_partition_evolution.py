@@ -113,3 +113,46 @@ def test_evolve_rejects_unknown_and_generated_columns(spark, tmp_path):
     t.add_generated_column("v2", "v * 2")
     with pytest.raises(ValueError, match="GENERATED"):
         t.evolve_partition_spec(["v2"])
+
+
+# -- replaceWhere ----------------------------------------------------------
+
+
+def test_replace_where_partition_fast_path(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "rw"), partition_by=["status"])
+    t.overwrite(spark.createDataFrame(_rows(0, 20)))
+    before_e_files = [r for r in t._data_files() if r.startswith("status=E")]
+    batch = spark.createDataFrame(
+        [Row(k=100 + i, status="O", pri=0, v=-1.0) for i in range(3)]
+    )
+    t.replace_where(batch, F.col("status") == "O")
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == [i for i in range(20) if i % 2 == 0] + [100, 101, 102]
+    # untouched partition's files never moved (the fast path)
+    assert [r for r in t._data_files() if r.startswith("status=E")] == before_e_files
+    assert t.history()[-1]["op"] == "overwrite_partitions"
+
+
+def test_replace_where_empties_matching_partition(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "rw2"), partition_by=["status"])
+    t.overwrite(spark.createDataFrame(_rows(0, 10)))
+    empty = spark.createDataFrame([], t.read().schema)
+    t.replace_where(empty, F.col("status") == "O")
+    assert sorted(r["k"] for r in t.read().collect()) == [0, 2, 4, 6, 8]
+
+
+def test_replace_where_full_rewrite_on_data_predicate(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "rw3"), partition_by=["status"])
+    t.overwrite(spark.createDataFrame(_rows(0, 10)))
+    batch = spark.createDataFrame([Row(k=99, status="E", pri=1, v=9.0)])
+    t.replace_where(batch, F.col("k") >= 6)  # k is NOT a partition col
+    assert sorted(r["k"] for r in t.read().collect()) == [0, 1, 2, 3, 4, 5, 99]
+    assert t.history()[-1]["op"] == "replace_where"
+
+
+def test_replace_where_rejects_out_of_scope_rows(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "rw4"))
+    t.overwrite(spark.createDataFrame(_rows(0, 4)))
+    bad = spark.createDataFrame([Row(k=1, status="E", pri=0, v=0.0)])
+    with pytest.raises(ValueError, match="NOT matching"):
+        t.replace_where(bad, F.col("status") == "O")
