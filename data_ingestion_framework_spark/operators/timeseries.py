@@ -32,6 +32,78 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+def m4_downsample(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    n_buckets: int = 100,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per key, split the
+    series' time span into ``n_buckets`` equal-width buckets and keep
+    each bucket's four extreme points — first, last, value-min,
+    value-max — the error-free set for min/max line visualization and
+    the standard dashboard downsample. Unlike LTTB, bucket picks are
+    independent, so the whole reduction is one partial-aggregable pass
+    (LTTB's chosen point feeds the NEXT bucket's triangle — a
+    sequential chain that cannot fan out).
+
+    Plan: per-key span via an unordered window (one shuffle on key),
+    integer bucket assignment on epoch micros (exact, no float
+    boundaries), then four ``row_number`` roles sharing one
+    ``(key, bucket)`` exchange; a row survives if it wins ANY role, so
+    multi-role points emit once with no explode/dedup. Output:
+    ``(*keys, bucket, ts, value)``, ≤ 4·n_buckets rows per key.
+    """
+    from data_ingestion_framework_spark.functions.time import epoch_micros
+
+    eu = epoch_micros(F.col(ts_col))
+    wk = Window.partitionBy(*key_cols)
+    spanned = df.select(
+        *key_cols,
+        F.col(ts_col),
+        F.col(value_col),
+        *[F.col(c) for c in tiebreak_cols],
+        eu.alias("__eu"),
+    ).select(
+        "*",
+        F.min("__eu").over(wk).alias("__mn"),
+        F.max("__eu").over(wk).alias("__mx"),
+    )
+    # integer div, never float: a quotient a hair under a bucket
+    # boundary must not round up (DuckDB's // is exact; match it)
+    b = spanned.withColumn(
+        "__b",
+        F.expr(f"((__eu - __mn) * {n_buckets}) div (__mx - __mn + 1)"),
+    )
+    wb = Window.partitionBy(*key_cols, "__b")
+    tie = [F.col(c) for c in tiebreak_cols]
+    tie_d = [F.col(c).desc() for c in tiebreak_cols]
+    roles = {
+        "__r_first": wb.orderBy(F.col("__eu"), *tie),
+        "__r_last": wb.orderBy(F.col("__eu").desc(), *tie_d),
+        "__r_vmin": wb.orderBy(F.col(value_col), F.col("__eu"), *tie),
+        "__r_vmax": wb.orderBy(
+            F.col(value_col).desc(), F.col("__eu").desc(), *tie_d
+        ),
+    }
+    for name, w in roles.items():
+        b = b.withColumn(name, F.row_number().over(w))
+    keep = (
+        (F.col("__r_first") == 1)
+        | (F.col("__r_last") == 1)
+        | (F.col("__r_vmin") == 1)
+        | (F.col("__r_vmax") == 1)
+    )
+    return b.where(keep).select(
+        *key_cols,
+        F.col("__b").alias("bucket"),
+        F.col(ts_col),
+        F.col(value_col),
+    )
+
+
 _UNIT_INTERVAL = {
     "hour": "INTERVAL 1 HOUR",
     "day": "INTERVAL 1 DAY",

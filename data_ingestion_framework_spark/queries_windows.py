@@ -377,3 +377,51 @@ def events_gapfill_locf(spark, sf_dir):
     # rounds differently under Spark's BigDecimal HALF_UP vs DuckDB's
     # scaled-multiply path).
     return dense.select("user_id", "bucket", "value_locf", "value_interp", "observed")
+
+
+# ---------------------------------------------------------------------------
+# M4 visual downsampling (Jugel et al., VLDB 2014): per event type,
+# 100 equal-width time buckets, each contributing its first / last /
+# min-value / max-value points — the error-free reduction for min-max
+# line rendering. Bucket assignment is integer-exact on epoch micros;
+# the four role picks share one (key, bucket) exchange and a row
+# emits once however many roles it wins. The oracle replays the same
+# four row_number roles.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_m4_downsample",
+    oracle="""
+    WITH sp AS (
+      SELECT event_type, ts, value, event_id,
+             epoch_us(ts) AS eu,
+             min(epoch_us(ts)) OVER (PARTITION BY event_type) AS mn,
+             max(epoch_us(ts)) OVER (PARTITION BY event_type) AS mx
+      FROM events
+    ), b AS (
+      SELECT event_type, ts, value, event_id,
+             ((eu - mn) * 100) // (mx - mn + 1) AS bucket, eu
+      FROM sp
+    ), r AS (
+      SELECT event_type, bucket, ts, value,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY eu, event_id) AS rf,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY eu DESC, event_id DESC) AS rl,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY value, eu, event_id) AS rn,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY value DESC, eu DESC, event_id DESC) AS rx
+      FROM b
+    )
+    SELECT event_type, bucket, ts, value
+    FROM r WHERE rf = 1 OR rl = 1 OR rn = 1 OR rx = 1
+    """,
+)
+def events_m4_downsample(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.timeseries import m4_downsample
+
+    ev = load(spark, sf_dir, "events")
+    return m4_downsample(
+        ev, "ts", ["event_type"], "value", n_buckets=100,
+        tiebreak_cols=("event_id",),
+    )

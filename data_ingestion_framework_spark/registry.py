@@ -248,7 +248,12 @@ _PRIORITY = [
     # the same cluster-then-dedup stage) and hybrid_dedup_clusters
     # (embedding near-dup edges). Still in the full local gate.
     "orders_partition_evolution_state",
-    "text_unigram_ce",
+    # ROUND-8 ROTATION: text_unigram_ce (driver-green r5+r6) cedes to
+    # M4 downsampling; the unigram-CE mechanism stays window-graded
+    # via docs_ccnet_buckets (whose oracle re-derives the same
+    # corpus-count join + DECIMAL contribution sums before
+    # bucketing). Still in the full local gate.
+    "events_m4_downsample",
     "hybrid_dedup_clusters",
     # round-6 additions — oracle-backed, never driver-graded. The lazy
     # corpus_pipeline_end2end twin cedes its slot (it shares
@@ -351,6 +356,7 @@ _PRIORITY = [
     "docs_fuzzy_entity_pairs",
     "semantic_dedup_keep",
     "orders_restore_state",
+    "text_unigram_ce",
     "similarity_pq_topk",
     "dedup_containment_pairs",
     "embeddings_quantize_int8",

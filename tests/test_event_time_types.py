@@ -201,7 +201,9 @@ def test_driver_grading_window_covers_priority_queries():
         # r8: semantic_dedup_keep ceded to the partition-evolution
         # lifecycle (SemDeDup runs inside embeddings_pipeline_curated)
         "orders_partition_evolution_state",
-        "text_unigram_ce",
+        # r8: text_unigram_ce ceded to M4 downsampling (unigram CE is
+        # re-derived inside docs_ccnet_buckets' oracle)
+        "events_m4_downsample",
         "hybrid_dedup_clusters",
         # r8: orders_zorder_keys ceded to the COPY INTO lifecycle
         # (clustering keys keep orders_hilbert_keys in-window)

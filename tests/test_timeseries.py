@@ -59,3 +59,38 @@ def test_gapfill_bucket_representative_is_latest_by_tiebreak(spark):
         tiebreak_cols=("i",),
     ).collect()
     assert out2[0]["value_locf"] == 2.0
+
+
+def test_m4_downsample_keeps_bucket_extremes_once(spark):
+    from data_ingestion_framework_spark.operators.timeseries import (
+        m4_downsample,
+    )
+
+    # one key, 8 points, 2 buckets: extremes known by construction
+    vals = [5.0, 9.0, 1.0, 7.0, 3.0, 3.0, 8.0, 2.0]
+    rows = [Row(k="a", ts=_ts(h), v=vals[h], i=h) for h in range(8)]
+    out = m4_downsample(
+        spark.createDataFrame(rows), "ts", ["k"], "v", n_buckets=2,
+        tiebreak_cols=("i",),
+    ).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], set()).add((r["ts"].hour, r["v"]))
+    # bucket 0 = hours 0-3: first (0,5), last (3,7), min (2,1), max (1,9)
+    assert by_bucket[0] == {(0, 5.0), (3, 7.0), (2, 1.0), (1, 9.0)}
+    # bucket 1 = hours 4-7: first (4,3) also vmin by tiebreak (4 < 5),
+    # last (7,2), max (6,8) — the multi-role point emits ONCE
+    assert by_bucket[1] == {(4, 3.0), (7, 2.0), (6, 8.0)}
+    assert len(out) == 7
+
+
+def test_m4_single_point_series(spark):
+    from data_ingestion_framework_spark.operators.timeseries import (
+        m4_downsample,
+    )
+
+    out = m4_downsample(
+        spark.createDataFrame([Row(k="a", ts=_ts(1), v=1.0, i=0)]),
+        "ts", ["k"], "v", n_buckets=10, tiebreak_cols=("i",),
+    ).collect()
+    assert len(out) == 1 and out[0]["bucket"] == 0
