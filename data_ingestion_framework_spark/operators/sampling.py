@@ -324,3 +324,39 @@ def split_assign(
         keep = F.lit(True) if len(th) > _HEX_WIDTH else b < F.lit(th)
         col = (F.when if col is None else col.when)(keep, F.lit(name))
     return df.withColumn(split_col, col.otherwise(F.lit(names[-1])))
+
+
+def token_budget_per_group(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str,
+    token_count_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep, per group, the id-hash-ordered prefix of documents whose
+    PRECEDING cumulative token count is under ``budget_tokens`` — the
+    token-budget analogue of ``cap_per_group`` (training mixes are
+    specified in tokens, not documents: "50 B tokens of web, 5 B of
+    code"). The crossing document is kept, so every group with data
+    reaches its budget; hash order makes the prefix an unbiased draw
+    rather than the shortest/earliest docs.
+
+    One group-keyed shuffle: the running sum and the rank ride the same
+    window partitioning. Exact integer arithmetic end to end — the
+    DuckDB oracle reproduces membership bit-for-bit.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket_hex(id_col, salt), F.col(id_col)
+    )
+    before = F.coalesce(
+        F.sum(F.col(token_count_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    return (
+        df.withColumn("__before", before)
+        .where(F.col("__before") < budget_tokens)
+        .drop("__before")
+    )

@@ -4078,3 +4078,45 @@ def events_hll_distinct_users(spark, sf_dir):
         (F.abs(F.col("hll_est") / F.col("exact_distinct") - 1.0) <= 0.195)
         .alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget source mixing: per source, keep the md5-hash-ordered
+# prefix of documents whose PRECEDING cumulative whitespace-token
+# count is under the budget (training mixes are specified in tokens —
+# "600 tokens of each source"; the crossing doc is kept so every
+# source reaches its budget). Exact integer arithmetic end to end;
+# the oracle replays the same running-sum window.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_token_budget_mix",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+      FROM documents
+    ), runs AS (
+      SELECT doc_id, source, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS before
+      FROM tok
+    )
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tokens
+    FROM runs WHERE before < 600
+    """,
+)
+def docs_token_budget_mix(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.sampling import (
+        token_budget_per_group,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", text.token_count("text").alias("n_tokens")
+    )
+    return token_budget_per_group(
+        docs, 600, "source", "n_tokens", id_col="doc_id"
+    )

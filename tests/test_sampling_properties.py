@@ -94,3 +94,35 @@ def test_cap_per_group_bounds_and_determinism(spark, cap, n_groups):
         for r in cap_per_group(df, cap, group_col="source", id_col="doc_id").collect()
     }
     assert a == b
+
+
+def test_token_budget_per_group_prefix_semantics(spark):
+    """The kept set is the hash-ordered prefix: preceding total under
+    budget, crossing doc kept, everything after dropped; a group whose
+    first doc alone exceeds the budget still keeps that one doc."""
+    from pyspark.sql import Row
+
+    from data_ingestion_framework_spark.operators.sampling import (
+        hash_bucket_hex,
+        token_budget_per_group,
+    )
+
+    rows = [Row(doc_id=i, source="s" if i < 8 else "big",
+                n_tok=50 if i < 8 else 1000) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    kept = token_budget_per_group(df, 120, "source", "n_tok").collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # source s: docs in md5-hash order, cumulative 50/100/150... —
+    # prefix with before < 120 keeps exactly 3 docs (0,50,100)
+    order = [
+        r["doc_id"]
+        for r in df.where("source = 's'")
+        .select("doc_id", hash_bucket_hex("doc_id").alias("h"))
+        .orderBy("h", "doc_id")
+        .collect()
+    ]
+    assert sorted(by_src["s"]) == sorted(order[:3])
+    # oversized first doc still kept (budget < its token count)
+    assert len(by_src["big"]) == 1
