@@ -1028,6 +1028,36 @@ def _adc_dist(
     return dist
 
 
+def ann_recall(
+    exact: DataFrame,
+    ann: DataFrame,
+    k: int,
+    query_id_col: str = "q_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an ANN shortlist against the exact top-k — the
+    quality gauge every index build ships with (FAISS benchmarks
+    report exactly this; an index whose recall is unmeasured is an
+    index whose quality is unknown). Per query: the fraction of the
+    exact top-k the ANN result recovered.
+
+    One join on (query, id) — the exact side is |queries|·k rows, so
+    at any corpus scale this is broadcast-sized; recall = hits/k is
+    exact small-integer division on both engines."""
+    hit = (
+        ann.select(query_id_col, id_col)
+        .withColumn("__hit", F.lit(1))
+    )
+    marked = exact.select(query_id_col, id_col).join(
+        hit, [query_id_col, id_col], "left"
+    )
+    n_hits = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+    return marked.groupBy(query_id_col).agg(
+        n_hits.cast("bigint").alias("hits"),
+        (n_hits / float(k)).alias(f"recall_at_{k}"),
+    )
+
+
 def ivf_residuals(
     corpus: DataFrame,
     centroids: list[list[float]],

@@ -4120,3 +4120,77 @@ def docs_token_budget_mix(spark, sf_dir):
     return token_budget_per_group(
         docs, 600, "source", "n_tokens", id_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall diagnostic: recall@10 of the IVF(nprobe=4) shortlist
+# against the exact brute-force top-10, per query — the index-quality
+# gauge (FAISS-style) that belongs next to every ANN build. The oracle
+# re-derives BOTH sides from the shared index CTEs (e/vnorm feed the
+# exact dots too) and replays the same hit join; recall = hits/10 is
+# exact small-integer division on both engines.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "similarity_ivf_recall",
+    oracle=f"""
+    WITH {_ivf_index_sql(8)},
+    query_cells AS (
+      SELECT vec_id AS q_id, cell FROM ranked WHERE rn <= 4 AND vec_id < 5
+    ),
+    cand AS (
+      SELECT q.q_id, c.vec_id
+      FROM query_cells q JOIN corpus_cell c ON c.cell = q.cell
+      WHERE c.vec_id <> q.q_id
+    ),
+    adots AS (
+      SELECT p.q_id, p.vec_id, SUM(ea.x * eb.x) AS dp
+      FROM cand p
+      JOIN e ea ON ea.vec_id = p.q_id
+      JOIN e eb ON eb.vec_id = p.vec_id AND eb.i = ea.i
+      GROUP BY p.q_id, p.vec_id
+    ),
+    ann AS (
+      SELECT q_id, vec_id FROM (
+        SELECT d.q_id, d.vec_id,
+               row_number() OVER (PARTITION BY d.q_id
+                 ORDER BY ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                                ELSE d.dp / (na.nrm * nb.nrm) END, 4) DESC,
+                 d.vec_id ASC) AS rn
+        FROM adots d
+        JOIN vnorm na ON na.vec_id = d.q_id
+        JOIN vnorm nb ON nb.vec_id = d.vec_id
+      ) WHERE rn <= 10
+    ),
+    edots AS (
+      SELECT ea.vec_id AS q_id, eb.vec_id, SUM(ea.x * eb.x) AS dp
+      FROM e ea JOIN e eb ON eb.i = ea.i
+      WHERE ea.vec_id < 5 AND eb.vec_id <> ea.vec_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT d.q_id, d.vec_id,
+               row_number() OVER (PARTITION BY d.q_id
+                 ORDER BY ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                                ELSE d.dp / (na.nrm * nb.nrm) END, 4) DESC,
+                 d.vec_id ASC) AS rn
+        FROM edots d
+        JOIN vnorm na ON na.vec_id = d.q_id
+        JOIN vnorm nb ON nb.vec_id = d.vec_id
+      ) WHERE rn <= 10
+    )
+    SELECT x.q_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
+           COUNT(a.vec_id) / 10.0 AS recall_at_10
+    FROM exact x
+    LEFT JOIN ann a ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+    GROUP BY x.q_id
+    """,
+)
+def similarity_ivf_recall(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_train_centroids(emb, n_cells=8, iters=2)
+    queries = emb.where(F.col("vec_id") < 5)
+    ann = similarity.ivf_cosine_topk(emb, queries, centroids, k=10, nprobe=4)
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    return similarity.ann_recall(exact, ann, k=10)

@@ -236,3 +236,22 @@ def test_fused_residual_build_matches_unfused(spark):
     cents_f, books_f = ivfpq_train_residual(df, n_cells=4, m=2, k=6, iters=2)
     assert cents_f == cents_u
     assert books_f == books_u
+
+
+def test_ann_recall_counts_overlap_per_query(spark):
+    from pyspark.sql import Row
+
+    from data_ingestion_framework_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [Row(q_id=q, vec_id=v) for q in (1, 2) for v in range(5)]
+    )
+    ann = spark.createDataFrame(
+        # q1 recovered 5/5, q2 recovered 2/5 (plus a non-exact extra,
+        # which must not count)
+        [Row(q_id=1, vec_id=v) for v in range(5)]
+        + [Row(q_id=2, vec_id=0), Row(q_id=2, vec_id=3), Row(q_id=2, vec_id=99)]
+    )
+    got = {r["q_id"]: (r["hits"], r["recall_at_5"])
+           for r in ann_recall(exact, ann, k=5).collect()}
+    assert got == {1: (5, 1.0), 2: (2, 0.4)}
