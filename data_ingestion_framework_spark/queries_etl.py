@@ -1855,3 +1855,39 @@ def orders_replace_where_state(spark, sf_dir):
     ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
     t.replace_where(repl, F.col("o_orderstatus") == "O")
     return t.read().select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Type-widening lifecycle under the oracle gate (Delta type widening):
+# half of orders lands with NARROW physical types (int key, float
+# price), the schema widens on the second append (bigint/double), and
+# one scan must read the narrow files up-cast through the pinned
+# logical schema — without it, the mixed footers fail the read
+# outright. The oracle replays the narrow-then-widen cast chain.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_widen_state",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) AS price
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey AS k, o_totalprice AS price
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def orders_widen_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    t = ParquetTable(spark, _scratch_dir("difs_widen_") + "/t")
+    t.overwrite(
+        orders.where(F.col("k") % 2 == 0).select(
+            F.col("k").cast("int").alias("k"),
+            F.col("price").cast("float").alias("price"),
+        )
+    )
+    t.append(orders.where(F.col("k") % 2 == 1), merge_schema=True)
+    return t.read()

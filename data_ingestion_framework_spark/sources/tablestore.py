@@ -104,6 +104,81 @@ class ParquetTable:
             list(prop) if prop is not None else list(partition_by or [])
         )
 
+    # -- type widening ---------------------------------------------------------
+
+    #: Delta 3.x type-widening lattice (the subset Spark 4's parquet
+    #: readers up-cast natively — SPARK-40876): integer upcasts and
+    #: float→double. Everything else is schema enforcement territory.
+    _WIDENINGS = {
+        ("tinyint", "smallint"),
+        ("tinyint", "int"),
+        ("tinyint", "bigint"),
+        ("smallint", "int"),
+        ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+    }
+
+    def _check_type_widening(self, cur, batch, merge_schema: bool):
+        """Validate the batch's types against the stored schema.
+
+        Returns the NEW widened-schema ``jsonValue`` to persist when
+        the batch widens a column (or when an existing widened schema
+        must grow to cover added columns); ``None`` when nothing
+        changes. Raises on narrowing/incompatible types — without this
+        check a long batch appended into an int table writes mixed
+        physical types that fail every subsequent plain read."""
+        cur_t = {f.name: f for f in cur.fields}
+        changed = []
+        for f in batch.fields:
+            old = cur_t.get(f.name)
+            if old is None or old.dataType == f.dataType:
+                continue
+            pair = (old.dataType.simpleString(), f.dataType.simpleString())
+            if pair not in self._WIDENINGS:
+                raise ValueError(
+                    f"append: column {f.name!r} type "
+                    f"{f.dataType.simpleString()} does not match stored "
+                    f"{old.dataType.simpleString()} and is not a "
+                    "supported widening (integer upcasts, float→double)"
+                )
+            changed.append(f)
+        prop = self.properties().get("widened_schema")
+        added = [f for f in batch.fields if f.name not in cur_t]
+        if not changed and (prop is None or not added):
+            return None
+        if changed and not merge_schema:
+            raise ValueError(
+                "append: batch widens column types "
+                f"({[f.name for f in changed]}) — pass merge_schema=True "
+                "(Delta type widening)"
+            )
+        if changed and (self.partition_by or self._colmap() or self._generated()):
+            raise ValueError(
+                "type widening is not supported on partitioned, "
+                "column-mapped, or generated-column tables — rewrite "
+                "with overwrite() instead"
+            )
+        from pyspark.sql import types as T
+
+        by_name = dict(cur_t)
+        for f in changed:
+            by_name[f.name] = f
+        fields = [by_name[f.name] for f in cur.fields] + added
+        return T.StructType(fields).jsonValue()
+
+    def _apply_read_schema(self, r):
+        """Pin the reader to the widened logical schema (when one
+        exists): old narrow files up-cast in the parquet reader, so a
+        widened table reads uniformly wide — a plain footer-schema read
+        would fail with PARQUET_COLUMN_DATA_TYPE_MISMATCH."""
+        ws = self.properties().get("widened_schema")
+        if ws and not self.partition_by:
+            from pyspark.sql import types as T
+
+            r = r.schema(T.StructType.fromJson(ws))
+        return r
+
     # -- partition evolution ---------------------------------------------------
     #
     # Iceberg-style: changing the partition spec is METADATA-ONLY. Old
@@ -248,7 +323,7 @@ class ParquetTable:
             r = self.spark.read
             if self.properties().get("schema_evolved"):
                 r = r.option("mergeSchema", "true")
-            return r
+            return self._apply_read_schema(r)
 
         specs = {self._file_spec(f) for f in rels}
         if len(specs) > 1:
@@ -280,7 +355,7 @@ class ParquetTable:
                 # multi-footer schema union; everyone else reads one
                 # footer
                 r = r.option("mergeSchema", "true")
-            return r
+            return self._apply_read_schema(r)
 
         if self.properties().get("strict_files"):
             last = self._latest_record()
@@ -1037,7 +1112,7 @@ class ParquetTable:
             # a snapshot may span partition-spec eras (evolution is
             # metadata-only): group by each file's path-derived spec
             for spec, group in self._era_pairs(root, paths):
-                r = self.spark.read
+                r = self._apply_read_schema(self.spark.read)
                 if spec:
                     r = r.option("basePath", root)
                 f = r.parquet(*group)
@@ -1441,10 +1516,12 @@ class ParquetTable:
                 "values compute on read; remove them from the batch"
             )
         exists = os.path.isdir(self.path)
+        widened: dict | None = None
         if exists and self._data_files():
+            cur = self.read().schema
             # generated columns are never stored — a batch is complete
             # without them
-            stored = set(self.read().columns) - set(self._generated())
+            stored = set(cur.fieldNames()) - set(self._generated())
             diff = set(df.columns) ^ stored  # added OR missing columns
             if diff and not merge_schema:
                 raise ValueError(
@@ -1453,6 +1530,7 @@ class ParquetTable:
                     "missing columns read back as NULL"
                 )
             evolved = bool(diff)
+            widened = self._check_type_widening(cur, df.schema, merge_schema)
         else:
             evolved = False
         before = set(self._data_files()) if exists else set()
@@ -1462,6 +1540,10 @@ class ParquetTable:
             # not leave the table paying the mergeSchema multi-footer
             # union forever
             self.set_properties({"schema_evolved": True})
+        if widened is not None:
+            # ditto: the widened logical schema becomes the table's
+            # read schema only once the wide files actually exist
+            self.set_properties({"widened_schema": widened})
         new = [f for f in self._data_files() if f not in before]
         rec = self._record_commit("append", metrics, new_files=new)
         self._advance_identity_hwm(rec)
@@ -1517,6 +1599,10 @@ class ParquetTable:
                 os.rename(backup, os.path.join(self._hist_dir(), f"pre{seq:08d}"))
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+        if self.properties().get("widened_schema") is not None:
+            # the rewrite's files define the schema again — a stale
+            # pinned schema would mask (or mis-type) replaced columns
+            self.set_properties({"widened_schema": None})
         # After the swap the live tree holds exactly this commit's staged
         # files — pass them so _record_commit reads only their footers
         # (new_files=None would re-read EVERY live footer, O(table) driver
@@ -1640,7 +1726,7 @@ class ParquetTable:
                 "partition-spec eras — run rewrite_to_current_spec() "
                 "(or overwrite()) first"
             )
-        r = self.spark.read
+        r = self._apply_read_schema(self.spark.read)
         if self.properties().get("schema_evolved"):
             r = r.option("mergeSchema", "true")
         if self.properties().get("strict_files"):
@@ -2252,7 +2338,7 @@ class ParquetTable:
         files subtracted, column mapping applied — frames handed to
         write paths are always logical (the writes map back to
         physical; mixing namespaces would mis-map chained renames)."""
-        r = self.spark.read
+        r = self._apply_read_schema(self.spark.read)
         if self.properties().get("schema_evolved"):
             r = r.option("mergeSchema", "true")
         df = r.parquet(*[os.path.join(self.path, f) for f in rels]).select(

@@ -161,3 +161,64 @@ def test_read_text_line_and_whole_file_modes(spark, tmp_path):
     assert [b for b, _ in rows] == ["a.txt", "b.txt"]
     assert rows[0][1] == "first line\nsecond line\n"
     assert rows[1][1] == "solo doc body\n"
+
+
+# -- type widening -----------------------------------------------------------
+
+
+def test_append_type_widening_reads_uniformly_wide(spark, tmp_path):
+    """int->long / float->double appends (Delta type widening): old
+    narrow files up-cast in the reader; a plain footer read would fail
+    with PARQUET_COLUMN_DATA_TYPE_MISMATCH."""
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "w"))
+    t.overwrite(spark.createDataFrame([(1, 1.5)], "a int, b float"))
+    wide = spark.createDataFrame([(1 << 40, 2.5)], "a long, b double")
+    with pytest.raises(ValueError, match="widens"):
+        t.append(wide)  # enforcement without merge_schema
+    t.append(wide, merge_schema=True)
+    out = t.read()
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "double"
+    ]
+    assert sorted(r["a"] for r in out.collect()) == [1, 1 << 40]
+    # time travel up-casts the pre-widening snapshot too
+    assert t.as_of(t.history()[0]["seq"]).schema == out.schema
+    # file-scoped COW statements keep working on the widened table
+    t.delete_where(F.col("a") == 1)
+    assert [r["a"] for r in t.read().collect()] == [1 << 40]
+
+
+def test_append_incompatible_type_rejected(spark, tmp_path):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "n"))
+    t.overwrite(spark.createDataFrame([(1 << 40,)], "a long"))
+    with pytest.raises(ValueError, match="not a\\s+supported widening"):
+        t.append(spark.createDataFrame([(1,)], "a int"), merge_schema=True)
+    with pytest.raises(ValueError, match="not a\\s+supported widening"):
+        t.append(spark.createDataFrame([("x",)], "a string"), merge_schema=True)
+
+
+def test_widened_schema_grows_with_added_columns_and_clears_on_overwrite(
+    spark, tmp_path
+):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "g"))
+    t.overwrite(spark.createDataFrame([(1,)], "a int"))
+    t.append(spark.createDataFrame([(2 << 40,)], "a long"), merge_schema=True)
+    # an added column after widening must join the pinned read schema
+    t.append(
+        spark.createDataFrame([(3, "x")], "a long, c string"),
+        merge_schema=True,
+    )
+    out = t.read()
+    assert set(out.columns) == {"a", "c"}
+    assert dict(out.dtypes)["a"] == "bigint"
+    got = {r["a"]: r["c"] for r in out.collect()}
+    assert got == {1: None, 2 << 40: None, 3: "x"}
+    # overwrite resets the schema: the pin must not linger
+    t.overwrite(spark.createDataFrame([(5,)], "a int"))
+    assert dict(t.read().dtypes)["a"] == "int"
