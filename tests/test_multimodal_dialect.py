@@ -354,3 +354,41 @@ def test_parse_mp4_meta_rejects_malformed():
     assert parse_mp4_meta(b"\x00" * 40) is None
     # a truncated box size larger than the payload must not loop/crash
     assert parse_mp4_meta(b"\x00\x00\xff\xfftyp" + b"\x00" * 20) is None
+
+
+def test_resize_images_fake_path_and_quarantine(spark):
+    """resize_images: deterministic fake resizer (no Pillow here) fills
+    the slot — target dims + md5 tag of the source bytes; quarantine
+    routes a failing payload instead of dying."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from data_ingestion_framework_spark.operators.multimodal import (
+        fake_image_resizer,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, media_bytes=b"payload-a"), Row(doc_id=2, media_bytes=b"pb")]
+    )
+    out = {r["doc_id"]: r for r in resize_images(df, 32, 16).collect()}
+    assert out[1]["resized_width"] == 32 and out[1]["resized_height"] == 16
+    assert out[1]["resized"] == fake_image_resizer(b"payload-a", 32, 16)
+    assert bytes(out[1]["resized"])[-16:] == hashlib.md5(b"payload-a").digest()
+    assert out[1]["resized"] != out[2]["resized"]  # payload-dependent
+
+    def boom(b, w, h):
+        if b == b"pb":
+            raise ValueError("corrupt")
+        return fake_image_resizer(b, w, h)
+
+    q = {
+        r["doc_id"]: r
+        for r in resize_images(
+            df, 8, 8, resizer=boom, on_error="quarantine"
+        ).collect()
+    }
+    assert q[1]["resize_error"] is None and q[1]["resized"] is not None
+    assert q[2]["resized"] is None and "corrupt" in q[2]["resize_error"]
+    assert q[2]["resized_width"] is None
