@@ -1,0 +1,289 @@
+"""Delta-style SQL statement surface over the path-backed table store.
+
+The reference drives its lakehouse through SQL statements (``MERGE
+INTO`` emission at writers/writer.py:177-692, ``DESCRIBE HISTORY`` at
+di_landing_to_raw_generic_v2.py:813-891, ``VACUUM``/``OPTIMIZE``
+maintenance); a user switching from it expects to keep typing SQL. This
+module maps the Delta statement grammar onto :class:`ParquetTable`
+methods, so operational SQL runs against the store verbatim:
+
+    execute_statement(spark, "DELETE FROM t WHERE o_orderkey % 5 = 0",
+                      tables={"t": table})
+    execute_statement(spark, "OPTIMIZE t ZORDER BY (a, b)", tables=...)
+    execute_statement(spark, "SELECT * FROM t VERSION AS OF 3", ...)
+
+Supported statements (the operational subset — DML, maintenance,
+metadata; analytical SELECTs pass through to Spark SQL with the store's
+tables registered as views and time-travel clauses rewritten):
+
+- ``DELETE FROM t [WHERE pred]``
+- ``UPDATE t SET a = expr[, ...] [WHERE pred]``
+- ``INSERT INTO t SELECT ...`` / ``INSERT OVERWRITE t SELECT ...``
+- ``TRUNCATE TABLE t``
+- ``OPTIMIZE t [ZORDER BY (a, b)]``
+- ``VACUUM t [RETAIN n COMMITS] [DRY RUN]``
+- ``RESTORE [TABLE] t TO VERSION AS OF n``
+- ``COPY INTO t FROM 'dir' [FILEFORMAT = fmt] [PATTERN = 'glob'] [FORCE]``
+- ``ALTER TABLE t RENAME COLUMN a TO b`` / ``DROP COLUMN a`` /
+  ``ADD CONSTRAINT name CHECK (expr)`` / ``DROP CONSTRAINT name`` /
+  ``SET TBLPROPERTIES (k = v, ...)`` / ``SET PARTITION SPEC (a, b)``
+- ``DESCRIBE HISTORY t`` / ``DESCRIBE DETAIL t``
+- ``SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...``
+
+Expressions (predicates, SET right-hand sides, CHECK bodies) are Spark
+SQL, compiled with ``F.expr`` — no Python eval. This is a statement
+DISPATCHER over a controlled grammar, not a SQL parser: anything it
+does not recognize raises loudly instead of half-running.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+_WS = r"\s+"
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/quote depth 0 (SET a = f(x, y), b = 2)."""
+    out, depth, cur, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [p for p in out if p]
+
+
+def _resolve(
+    spark: SparkSession, token: str, tables: dict[str, ParquetTable]
+) -> ParquetTable:
+    """A table reference is a registered name, a backtick-quoted path,
+    or a single-quoted path."""
+    token = token.strip()
+    if token.startswith("`") and token.endswith("`"):
+        return ParquetTable(spark, token[1:-1])
+    if token.startswith("'") and token.endswith("'"):
+        return ParquetTable(spark, token[1:-1])
+    if token in tables:
+        return tables[token]
+    raise ValueError(
+        f"unknown table {token!r} — pass it in tables= or quote a path"
+    )
+
+
+_TBL = r"(`[^`]+`|'[^']+'|[A-Za-z_][A-Za-z0-9_.]*)"
+
+
+def execute_statement(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, ParquetTable] | None = None,
+):
+    """Run one statement. Returns a DataFrame for queries/DESCRIBE, a
+    metrics dict for DML/maintenance, None for pure DDL."""
+    tables = tables or {}
+    s = sql.strip().rstrip(";").strip()
+
+    m = re.match(rf"DELETE{_WS}FROM{_WS}{_TBL}({_WS}WHERE{_WS}(.*))?$", s, re.I | re.S)
+    if m:
+        t = _resolve(spark, m.group(1), tables)
+        pred = F.expr(m.group(3)) if m.group(3) else F.lit(True)
+        return {"rows_deleted": t.delete_where(pred)}
+
+    m = re.match(
+        rf"UPDATE{_WS}{_TBL}{_WS}SET{_WS}(.*?)({_WS}WHERE{_WS}(.*))?$", s, re.I | re.S
+    )
+    if m:
+        t = _resolve(spark, m.group(1), tables)
+        assignments = {}
+        for part in _split_top_level(m.group(2)):
+            col, expr = part.split("=", 1)
+            assignments[col.strip().strip("`")] = F.expr(expr.strip())
+        pred = F.expr(m.group(4)) if m.group(4) else None
+        return {"rows_updated": t.update_where(assignments, pred)}
+
+    m = re.match(rf"INSERT{_WS}(INTO|OVERWRITE){_WS}{_TBL}{_WS}(SELECT\b.*)$", s, re.I | re.S)
+    if m:
+        t = _resolve(spark, m.group(2), tables)
+        batch = execute_statement(spark, m.group(3), tables)
+        if m.group(1).upper() == "INTO":
+            t.append(batch)
+        else:
+            t.overwrite(batch)
+        return {"rows_written": t.history()[-1]["rows_written"]}
+
+    m = re.match(rf"TRUNCATE{_WS}TABLE{_WS}{_TBL}$", s, re.I)
+    if m:
+        t = _resolve(spark, m.group(1), tables)
+        return {"rows_deleted": t.delete_where(F.lit(True))}
+
+    m = re.match(rf"OPTIMIZE{_WS}{_TBL}({_WS}ZORDER{_WS}BY{_WS}\(([^)]*)\))?$", s, re.I)
+    if m:
+        t = _resolve(spark, m.group(1), tables)
+        zorder = (
+            [c.strip().strip("`") for c in m.group(3).split(",")]
+            if m.group(3)
+            else None
+        )
+        t.optimize(zorder_by=zorder)
+        return {"optimized": True, "zorder_by": zorder}
+
+    m = re.match(
+        rf"VACUUM{_WS}{_TBL}({_WS}RETAIN{_WS}(\d+){_WS}COMMITS)?({_WS}DRY{_WS}RUN)?$",
+        s,
+        re.I,
+    )
+    if m:
+        t = _resolve(spark, m.group(1), tables)
+        retain = int(m.group(3)) if m.group(3) else None
+        if m.group(4):
+            return {"dry_run": True, "candidates": t.vacuum_candidates(retain)}
+        return {"snapshots_removed": t.vacuum(retain)}
+
+    m = re.match(
+        rf"RESTORE{_WS}(TABLE{_WS})?{_TBL}{_WS}TO{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+)$",
+        s,
+        re.I,
+    )
+    if m:
+        t = _resolve(spark, m.group(2), tables)
+        t.restore(int(m.group(3)))
+        return {"restored_to": int(m.group(3))}
+
+    m = re.match(
+        rf"COPY{_WS}INTO{_WS}{_TBL}{_WS}FROM{_WS}'([^']+)'"
+        rf"({_WS}FILEFORMAT{_WS}?={_WS}?([A-Za-z]+))?"
+        rf"({_WS}PATTERN{_WS}?={_WS}?'([^']+)')?"
+        rf"({_WS}FORCE)?$",
+        s,
+        re.I,
+    )
+    if m:
+        t = _resolve(spark, m.group(1), tables)
+        return t.copy_into(
+            m.group(2),
+            fmt=(m.group(4) or "parquet").lower(),
+            pattern=m.group(6),
+            force=bool(m.group(7)),
+        )
+
+    m = re.match(rf"ALTER{_WS}TABLE{_WS}{_TBL}{_WS}(.*)$", s, re.I | re.S)
+    if m:
+        t = _resolve(spark, m.group(1), tables)
+        rest = m.group(2).strip()
+        mm = re.match(rf"RENAME{_WS}COLUMN{_WS}(\S+){_WS}TO{_WS}(\S+)$", rest, re.I)
+        if mm:
+            t.rename_column(mm.group(1).strip("`"), mm.group(2).strip("`"))
+            return None
+        mm = re.match(rf"DROP{_WS}COLUMN{_WS}(\S+)$", rest, re.I)
+        if mm:
+            t.drop_column(mm.group(1).strip("`"))
+            return None
+        mm = re.match(
+            rf"ADD{_WS}CONSTRAINT{_WS}(\S+){_WS}CHECK{_WS}?\((.*)\)$", rest, re.I | re.S
+        )
+        if mm:
+            t.add_check_constraint(mm.group(1), mm.group(2))
+            return None
+        mm = re.match(rf"DROP{_WS}CONSTRAINT{_WS}(\S+)$", rest, re.I)
+        if mm:
+            t.drop_check_constraint(mm.group(1))
+            return None
+        mm = re.match(rf"SET{_WS}PARTITION{_WS}SPEC{_WS}?\(([^)]*)\)$", rest, re.I)
+        if mm:
+            cols = [c.strip().strip("`") for c in mm.group(1).split(",") if c.strip()]
+            t.evolve_partition_spec(cols)
+            return None
+        mm = re.match(rf"SET{_WS}TBLPROPERTIES{_WS}?\((.*)\)$", rest, re.I | re.S)
+        if mm:
+            props = {}
+            for part in _split_top_level(mm.group(1)):
+                k, v = part.split("=", 1)
+                v = v.strip().strip("'\"")
+                props[k.strip().strip("'\"")] = (
+                    {"true": True, "false": False}.get(v.lower(), v)
+                )
+            t.set_properties(props)
+            return None
+        raise ValueError(f"unsupported ALTER TABLE clause: {rest!r}")
+
+    m = re.match(rf"DESCRIBE{_WS}HISTORY{_WS}{_TBL}$", s, re.I)
+    if m:
+        t = _resolve(spark, m.group(1), tables)
+        rows = [
+            {
+                "version": r["seq"],
+                "timestamp": float(r["ts"]),
+                "operation": r["op"],
+                "rows_written": r["rows_written"],
+            }
+            for r in t.history()
+        ]
+        return spark.createDataFrame(
+            rows, "version long, timestamp double, operation string, rows_written long"
+        )
+
+    m = re.match(rf"DESCRIBE{_WS}DETAIL{_WS}{_TBL}$", s, re.I)
+    if m:
+        t = _resolve(spark, m.group(1), tables)
+        d = t.detail()
+        return spark.createDataFrame([{k: str(v) for k, v in d.items()}])
+
+    if re.match(r"SELECT\b|WITH\b", s, re.I):
+        # register every handed-in table as a view; rewrite time-travel
+        # clauses to views over as_of frames
+        for name, t in tables.items():
+            df = t.read()
+            for mm in re.finditer(
+                rf"\b{re.escape(name)}{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+)", s, re.I
+            ):
+                seq = int(mm.group(1))
+                vname = f"{name}__v{seq}"
+                t.as_of(seq).createOrReplaceTempView(vname)
+                s = re.sub(
+                    rf"\b{re.escape(name)}{_WS}VERSION{_WS}AS{_WS}OF{_WS}{seq}\b",
+                    vname,
+                    s,
+                    flags=re.I,
+                )
+            for mm in re.finditer(
+                rf"\b{re.escape(name)}{_WS}TIMESTAMP{_WS}AS{_WS}OF{_WS}'([^']+)'", s, re.I
+            ):
+                raw = mm.group(1)
+                vname = f"{name}__t{abs(hash(raw)) % 10**8}"
+                import datetime as _dt
+
+                ts = _dt.datetime.fromisoformat(raw).timestamp()
+                t.as_of_timestamp(ts).createOrReplaceTempView(vname)
+                s = re.sub(
+                    rf"\b{re.escape(name)}{_WS}TIMESTAMP{_WS}AS{_WS}OF{_WS}'{re.escape(raw)}'",
+                    vname,
+                    s,
+                    flags=re.I,
+                )
+            df.createOrReplaceTempView(name)
+        return spark.sql(s)
+
+    raise ValueError(f"unsupported statement: {sql!r}")

@@ -129,24 +129,38 @@ class ParquetTable:
         check a long batch appended into an int table writes mixed
         physical types that fail every subsequent plain read."""
         cur_t = {f.name: f for f in cur.fields}
-        changed = []
+        changed, upcasts = [], {}
         for f in batch.fields:
             old = cur_t.get(f.name)
             if old is None or old.dataType == f.dataType:
                 continue
+            if f.name in self.partition_by:
+                # partition columns are stored as DIRECTORY NAMES and
+                # read back through Spark's partition type inference
+                # (bigint writes as p=0, infers back int) — there is no
+                # physical column to mismatch, so type checks here are
+                # spurious
+                continue
             pair = (old.dataType.simpleString(), f.dataType.simpleString())
-            if pair not in self._WIDENINGS:
+            if pair in self._WIDENINGS:
+                changed.append(f)
+            elif (pair[1], pair[0]) in self._WIDENINGS:
+                # batch is NARROWER: Delta coerces the input to the
+                # table schema silently — up-cast the batch column
+                # before writing (a narrow file in a wide table would
+                # poison plain footer-schema reads the same way)
+                upcasts[f.name] = old.dataType
+            else:
                 raise ValueError(
                     f"append: column {f.name!r} type "
                     f"{f.dataType.simpleString()} does not match stored "
                     f"{old.dataType.simpleString()} and is not a "
                     "supported widening (integer upcasts, float→double)"
                 )
-            changed.append(f)
         prop = self.properties().get("widened_schema")
         added = [f for f in batch.fields if f.name not in cur_t]
         if not changed and (prop is None or not added):
-            return None
+            return None, upcasts
         if changed and not merge_schema:
             raise ValueError(
                 "append: batch widens column types "
@@ -165,7 +179,7 @@ class ParquetTable:
         for f in changed:
             by_name[f.name] = f
         fields = [by_name[f.name] for f in cur.fields] + added
-        return T.StructType(fields).jsonValue()
+        return T.StructType(fields).jsonValue(), upcasts
 
     def _apply_read_schema(self, r):
         """Pin the reader to the widened logical schema (when one
@@ -1199,7 +1213,11 @@ class ParquetTable:
         commits = self.history()
         if not commits:
             return []
-        cutoff = commits[max(0, len(commits) - retain_last)]["seq"]
+        idx = max(0, len(commits) - retain_last)
+        # RETAIN 0 keeps nothing: the cutoff sits past the last commit
+        cutoff = (
+            commits[idx]["seq"] if idx < len(commits) else commits[-1]["seq"] + 1
+        )
         out = []
         for d in sorted(os.listdir(hist)):
             if not d.startswith("pre"):
@@ -1530,7 +1548,21 @@ class ParquetTable:
                     "missing columns read back as NULL"
                 )
             evolved = bool(diff)
-            widened = self._check_type_widening(cur, df.schema, merge_schema)
+            widened, upcasts = self._check_type_widening(
+                cur, df.schema, merge_schema
+            )
+            if upcasts:
+                # narrower batch columns coerce UP to the stored type
+                # (Delta's input coercion) — never write a narrow file
+                # into a wide table
+                df = df.select(
+                    *[
+                        F.col(c).cast(upcasts[c]).alias(c)
+                        if c in upcasts
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
         else:
             evolved = False
         before = set(self._data_files()) if exists else set()

@@ -1,0 +1,111 @@
+"""The Delta-style SQL statement surface (sources/sql_statements.py):
+operational SQL runs verbatim against the path-backed store."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_ingestion_framework_spark.sources.sql_statements import (
+    execute_statement,
+)
+from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+
+@pytest.fixture
+def t(spark, tmp_path):
+    tbl = ParquetTable(spark, str(tmp_path / "t"))
+    tbl.overwrite(
+        spark.createDataFrame(
+            [Row(k=i, status="O" if i % 2 else "F", v=float(i)) for i in range(10)]
+        )
+    )
+    return tbl
+
+
+def _ks(tbl):
+    return sorted(r["k"] for r in tbl.read().collect())
+
+
+def test_delete_update_insert_truncate(spark, t):
+    r = execute_statement(spark, "DELETE FROM t WHERE k >= 8", {"t": t})
+    assert r["rows_deleted"] == 2 and _ks(t) == list(range(8))
+    r = execute_statement(
+        spark, "UPDATE t SET v = v * 10, status = 'U' WHERE k < 2", {"t": t}
+    )
+    assert r["rows_updated"] == 2
+    got = {x["k"]: (x["v"], x["status"]) for x in t.read().collect()}
+    assert got[0] == (0.0, "U") and got[1] == (10.0, "U") and got[2] == (2.0, "F")
+    execute_statement(
+        spark,
+        "INSERT INTO t SELECT 99 AS k, 'N' AS status, CAST(1.0 AS DOUBLE) AS v",
+        {"t": t},
+    )
+    assert 99 in _ks(t)
+    execute_statement(spark, "TRUNCATE TABLE t", {"t": t})
+    assert _ks(t) == []
+
+
+def test_maintenance_statements(spark, t):
+    execute_statement(spark, "OPTIMIZE t ZORDER BY (k, v)", {"t": t})
+    assert t.history()[-1]["op"] in ("compact", "optimize", "zorder")
+    execute_statement(spark, "DELETE FROM t WHERE k = 0", {"t": t})
+    dry = execute_statement(spark, "VACUUM t RETAIN 1 COMMITS DRY RUN", {"t": t})
+    assert dry["dry_run"] and isinstance(dry["candidates"], list)
+    r = execute_statement(spark, "VACUUM t RETAIN 1 COMMITS", {"t": t})
+    assert r["snapshots_removed"] >= 1
+
+
+def test_restore_and_time_travel_select(spark, t):
+    good = t.history()[-1]["seq"]
+    execute_statement(spark, "DELETE FROM t WHERE k < 9", {"t": t})
+    assert _ks(t) == [9]
+    out = execute_statement(
+        spark, f"SELECT count(*) AS n FROM t VERSION AS OF {good}", {"t": t}
+    ).collect()
+    assert out[0]["n"] == 10
+    execute_statement(
+        spark, f"RESTORE TABLE t TO VERSION AS OF {good}", {"t": t}
+    )
+    assert _ks(t) == list(range(10))
+
+
+def test_alter_table_and_describe(spark, t):
+    execute_statement(spark, "ALTER TABLE t RENAME COLUMN v TO val", {"t": t})
+    assert "val" in t.read().columns
+    execute_statement(
+        spark, "ALTER TABLE t ADD CONSTRAINT pos CHECK (val >= 0)", {"t": t}
+    )
+    with pytest.raises(Exception, match="pos"):
+        t.append(spark.createDataFrame([Row(k=1, status="O", val=-5.0)]))
+    execute_statement(spark, "ALTER TABLE t DROP CONSTRAINT pos", {"t": t})
+    execute_statement(
+        spark, "ALTER TABLE t SET PARTITION SPEC (status)", {"t": t}
+    )
+    assert t.partition_by == ["status"]
+    hist = execute_statement(spark, "DESCRIBE HISTORY t", {"t": t})
+    ops = [r["operation"] for r in hist.collect()]
+    assert ops[0] == "overwrite" and "set_partition_spec" in ops
+    detail = execute_statement(spark, "DESCRIBE DETAIL t", {"t": t}).collect()
+    assert len(detail) == 1
+
+
+def test_copy_into_statement(spark, t, tmp_path):
+    land = str(tmp_path / "land")
+    spark.createDataFrame([Row(k=50, status="L", v=0.5)]).coalesce(1).write.parquet(
+        land + "/d1"
+    )
+    r = execute_statement(
+        spark, f"COPY INTO t FROM '{land}' PATTERN = '*.parquet'", {"t": t}
+    )
+    assert r["files_loaded"] == 1 and 50 in _ks(t)
+    r2 = execute_statement(
+        spark, f"COPY INTO t FROM '{land}' PATTERN = '*.parquet'", {"t": t}
+    )
+    assert r2["files_loaded"] == 0
+
+
+def test_unknown_statement_raises(spark, t):
+    with pytest.raises(ValueError, match="unsupported statement"):
+        execute_statement(spark, "GRANT ALL ON t TO someone", {"t": t})
+    with pytest.raises(ValueError, match="unknown table"):
+        execute_statement(spark, "DELETE FROM nope WHERE 1=1", {})

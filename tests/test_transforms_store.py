@@ -195,8 +195,11 @@ def test_append_incompatible_type_rejected(spark, tmp_path):
 
     t = ParquetTable(spark, str(tmp_path / "n"))
     t.overwrite(spark.createDataFrame([(1 << 40,)], "a long"))
-    with pytest.raises(ValueError, match="not a\\s+supported widening"):
-        t.append(spark.createDataFrame([(1,)], "a int"), merge_schema=True)
+    # a NARROWER batch coerces up to the stored type (Delta input
+    # coercion) — no merge_schema needed, and no narrow file lands
+    t.append(spark.createDataFrame([(1,)], "a int"))
+    assert dict(t.read().dtypes)["a"] == "bigint"
+    assert sorted(r["a"] for r in t.read().collect()) == [1, 1 << 40]
     with pytest.raises(ValueError, match="not a\\s+supported widening"):
         t.append(spark.createDataFrame([("x",)], "a string"), merge_schema=True)
 
