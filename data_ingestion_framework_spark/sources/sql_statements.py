@@ -27,6 +27,11 @@ tables registered as views and time-travel clauses rewritten):
 - ``ALTER TABLE t RENAME COLUMN a TO b`` / ``DROP COLUMN a`` /
   ``ADD CONSTRAINT name CHECK (expr)`` / ``DROP CONSTRAINT name`` /
   ``SET TBLPROPERTIES (k = v, ...)`` / ``SET PARTITION SPEC (a, b)``
+- ``MERGE INTO t USING src|(SELECT ...) ON target.k = source.k [AND ...]
+  WHEN MATCHED [AND c] THEN UPDATE SET a = expr, ... | DELETE
+  WHEN NOT MATCHED [AND c] THEN INSERT *
+  WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE``
+  (target columns by plain name, source columns as ``source.<col>``)
 - ``DESCRIBE HISTORY t`` / ``DESCRIBE DETAIL t``
 - ``SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...``
 
@@ -123,6 +128,14 @@ def execute_statement(
             assignments[col.strip().strip("`")] = F.expr(expr.strip())
         pred = F.expr(m.group(4)) if m.group(4) else None
         return {"rows_updated": t.update_where(assignments, pred)}
+
+    m = re.match(
+        rf"MERGE{_WS}INTO{_WS}{_TBL}{_WS}USING{_WS}(\(.*?\)|\S+){_WS}ON{_WS}(.*)$",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        return _execute_merge(spark, m, tables)
 
     m = re.match(rf"INSERT{_WS}(INTO|OVERWRITE){_WS}{_TBL}{_WS}(SELECT\b.*)$", s, re.I | re.S)
     if m:
@@ -287,3 +300,120 @@ def execute_statement(
         return spark.sql(s)
 
     raise ValueError(f"unsupported statement: {sql!r}")
+
+
+def _execute_merge(spark, m, tables):
+    """``MERGE INTO t USING src ON target.k = source.k [AND ...]
+    WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN ...`` — parsed onto
+    the generic :func:`sinks.writers.merge_into` executor.
+
+    Grammar contract (mirrors the executor's expression namespace):
+    the ON clause is a conjunction of ``target.<k> = source.<k>``
+    equalities; WHEN MATCHED / NOT MATCHED BY SOURCE expressions
+    reference target columns by PLAIN name and source columns as
+    ``source.<col>``; WHEN NOT MATCHED conditions see the source
+    columns by plain name. ``INSERT *`` is the supported insert form
+    (Delta's schema-aligned insert)."""
+    from data_ingestion_framework_spark.sinks.writers import merge_into
+
+    t = _resolve(spark, m.group(1), tables)
+    src_token = m.group(2).strip()
+    if src_token.startswith("("):
+        source = spark.sql(src_token[1:-1])
+    elif src_token in tables:
+        source = tables[src_token].read()
+    else:
+        source = spark.table(src_token)
+    rest = m.group(3)
+    # split the ON condition from the WHEN clause list
+    parts = re.split(
+        rf"\bWHEN{_WS}(NOT{_WS})?MATCHED((?:{_WS}BY{_WS}SOURCE)?)\b",
+        rest,
+        flags=re.I,
+    )
+    on_sql = parts[0].strip()
+    key_cols = []
+    for eq in re.split(rf"{_WS}AND{_WS}", on_sql, flags=re.I):
+        mm = re.match(
+            r"\s*(?:target\.(\w+)\s*=\s*source\.(\w+)|source\.(\w+)\s*=\s*target\.(\w+))\s*$",
+            eq,
+            re.I,
+        )
+        if not mm or (mm.group(1) or mm.group(4)) != (mm.group(2) or mm.group(3)):
+            raise ValueError(
+                "MERGE ON must be a conjunction of target.<k> = source.<k> "
+                f"equalities on the same column name, got {eq.strip()!r}"
+            )
+        key_cols.append(mm.group(1) or mm.group(4))
+    kwargs = {}
+
+    def _expr(text: str, clause: str):
+        # the executor's joined frame carries source columns as
+        # __src_<col> (merge_source); NOT MATCHED insert conditions
+        # evaluate over the source frame's PLAIN column names
+        if clause == "insert":
+            text = re.sub(r"\bsource\.(\w+)", r"\1", text)
+        else:
+            text = re.sub(r"\bsource\.(\w+)", r"__src_\1", text)
+        return F.expr(re.sub(r"\btarget\.(\w+)", r"\1", text))
+
+    # parts: [on, (not1, bysrc1, body1), (not2, ...), ...] flattened
+    clause_chunks = [
+        (parts[i], parts[i + 1], parts[i + 2])
+        for i in range(1, len(parts) - 2, 3)
+    ]
+    for is_not, by_source, body in clause_chunks:
+        body = body.strip()
+        clause = (
+            "insert"
+            if (is_not and not by_source.strip())
+            else ("nmbs" if by_source.strip() else "matched")
+        )
+        mm = re.match(rf"(AND{_WS}(.*?)){_WS}THEN{_WS}(.*)$", body, re.I | re.S)
+        if mm:
+            cond, action = _expr(mm.group(2), clause), mm.group(3).strip()
+        else:
+            mm = re.match(rf"THEN{_WS}(.*)$", body, re.I | re.S)
+            if not mm:
+                raise ValueError(f"unparseable MERGE clause: {body!r}")
+            cond, action = None, mm.group(1).strip()
+        act_u = action.upper()
+        if is_not and not by_source.strip():
+            if act_u.replace(" ", "") not in ("INSERT*",):
+                raise ValueError(
+                    "WHEN NOT MATCHED supports INSERT * only, got "
+                    f"{action!r}"
+                )
+            kwargs["when_not_matched_insert"] = True
+            if cond is not None:
+                kwargs["when_not_matched_insert_condition"] = cond
+            continue
+        assigns = None
+        if act_u.startswith("UPDATE"):
+            set_part = re.match(rf"UPDATE{_WS}SET{_WS}(.*)$", action, re.I | re.S)
+            assigns = {}
+            for part in _split_top_level(set_part.group(1)):
+                col, expr = part.split("=", 1)
+                assigns[col.strip().strip("`")] = _expr(expr.strip(), clause)
+        elif act_u != "DELETE":
+            raise ValueError(f"unsupported MERGE action: {action!r}")
+        if by_source.strip():
+            if assigns is None:
+                kwargs["when_not_matched_by_source_delete"] = True
+                if cond is not None:
+                    kwargs["when_not_matched_by_source_delete_condition"] = cond
+            else:
+                kwargs["when_not_matched_by_source_update"] = assigns
+                if cond is not None:
+                    kwargs["when_not_matched_by_source_update_condition"] = cond
+        else:
+            if assigns is None:
+                kwargs["when_matched_delete_condition"] = (
+                    cond if cond is not None else F.lit(True)
+                )
+            else:
+                kwargs["when_matched_update"] = assigns
+                if cond is not None:
+                    kwargs["when_matched_update_condition"] = cond
+    kwargs.setdefault("when_not_matched_insert", False)
+    return merge_into(t, source, key_cols, **kwargs)

@@ -109,3 +109,55 @@ def test_unknown_statement_raises(spark, t):
         execute_statement(spark, "GRANT ALL ON t TO someone", {"t": t})
     with pytest.raises(ValueError, match="unknown table"):
         execute_statement(spark, "DELETE FROM nope WHERE 1=1", {})
+
+
+def test_merge_into_statement(spark, t):
+    src = spark.createDataFrame(
+        [
+            Row(k=0, status="S", v=100.0),   # matched → update
+            Row(k=1, status="S", v=-1.0),    # matched + cond → delete
+            Row(k=42, status="S", v=7.0),    # not matched → insert
+        ]
+    )
+    src.createOrReplaceTempView("src")
+    metrics = execute_statement(
+        spark,
+        """
+        MERGE INTO t USING src ON target.k = source.k
+        WHEN MATCHED AND source.v < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = source.v, status = source.status
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        {"t": t},
+    )
+    assert metrics["rows_deleted"] == 1
+    assert metrics["rows_updated"] == 1
+    assert metrics["rows_inserted"] == 1
+    got = {r["k"]: (r["v"], r["status"]) for r in t.read().collect()}
+    assert 1 not in got
+    assert got[0] == (100.0, "S") and got[42] == (7.0, "S")
+    assert got[2] == (2.0, "F")  # untouched
+
+
+def test_merge_not_matched_by_source_statement(spark, t):
+    spark.createDataFrame([Row(k=0)]).createOrReplaceTempView("keep")
+    metrics = execute_statement(
+        spark,
+        """
+        MERGE INTO t USING keep ON target.k = source.k
+        WHEN NOT MATCHED BY SOURCE AND k >= 5 THEN DELETE
+        """,
+        {"t": t},
+    )
+    assert metrics["rows_deleted"] == 5
+    assert _ks(t) == [0, 1, 2, 3, 4]
+
+
+def test_merge_on_must_be_key_equalities(spark, t):
+    spark.createDataFrame([Row(k=0)]).createOrReplaceTempView("s2")
+    with pytest.raises(ValueError, match="conjunction"):
+        execute_statement(
+            spark,
+            "MERGE INTO t USING s2 ON target.k > source.k WHEN MATCHED THEN DELETE",
+            {"t": t},
+        )
