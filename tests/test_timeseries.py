@@ -94,3 +94,26 @@ def test_m4_single_point_series(spark):
         "ts", ["k"], "v", n_buckets=10, tiebreak_cols=("i",),
     ).collect()
     assert len(out) == 1 and out[0]["bucket"] == 0
+
+
+def test_timeseries_plan_shapes(spark):
+    """Scale-shape pins: gapfill is two exchanges (bucket agg + key
+    window) with the generator AFTER the window (gap rows never
+    shuffle); m4 is ONE exchange — the per-key span window's hash(key)
+    partitioning satisfies the (key, bucket) role windows' clustering,
+    so all five windows share it."""
+    from pyspark.sql import Row
+
+    from data_ingestion_framework_spark.operators.timeseries import (
+        gapfill,
+        m4_downsample,
+    )
+
+    rows = [Row(k="a", ts=_ts(h % 20, h % 3), v=float(h), i=h) for h in range(50)]
+    df = spark.createDataFrame(rows)
+    g = gapfill(df, "ts", ["k"], "v", unit="hour", tiebreak_cols=("i",))
+    gp = g._jdf.queryExecution().executedPlan().toString()
+    assert gp.count("Exchange") == 2 and gp.count("Generate") == 1
+    m = m4_downsample(df, "ts", ["k"], "v", 10, tiebreak_cols=("i",))
+    mp = m._jdf.queryExecution().executedPlan().toString()
+    assert mp.count("Exchange") == 1
