@@ -793,3 +793,88 @@ def test_foreach_batch_surrogate_scd1_merge(spark, tmp_path):
     assert rows[1] == ("a2", ids1[1])
     assert rows[2] == ("b", ids1[2])
     assert rows[3][0] == "c" and rows[3][1] == 3
+
+
+# -- DLT-style streaming expectations ---------------------------------------
+
+
+def _exp_rules():
+    from data_ingestion_framework_spark.operators.dq import DQRule
+
+    return [
+        DQRule(rule_id="v_pos", rule_type="range_check", column="v",
+               operator=">", threshold_low=0),
+        DQRule(rule_id="nn", rule_type="null_check", column="name"),
+    ]
+
+
+def test_expect_drop_and_fail_modes(spark, tmp_path):
+    from data_ingestion_framework_spark.streaming.expectations import expect
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, 3.0), (3, "c", -1.0)], "k long, name string, v double"
+    ).write.json(src)
+    stream = spark.readStream.schema("k long, name string, v double").json(src)
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    from data_ingestion_framework_spark.streaming.writers import stream_append
+
+    gated = expect(stream, _exp_rules(), on_violation="drop")
+    stream_append(gated, out_dir, ck, await_termination=True)
+    rows = spark.read.parquet(out_dir).collect()
+    assert [r["k"] for r in rows] == [1]
+    assert "data_quality_valid_flag" not in rows[0].asDict()
+
+    # fail mode: the violating row must kill the stream loudly
+    import pytest as _pt
+
+    from pyspark.errors import StreamingQueryException
+
+    failing = expect(stream, _exp_rules(), on_violation="fail")
+    with _pt.raises(StreamingQueryException, match="expectation failed"):
+        stream_append(
+            failing, str(tmp_path / "out2"), str(tmp_path / "ck2"),
+            await_termination=True,
+        )
+
+
+def test_expect_and_quarantine_splits_with_replay_guard(spark, tmp_path):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+    from data_ingestion_framework_spark.streaming.expectations import (
+        expect_and_quarantine,
+    )
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, 3.0), (3, "c", -1.0), (4, "d", 2.0)],
+        "k long, name string, v double",
+    ).write.json(src)
+    stream = spark.readStream.schema("k long, name string, v double").json(src)
+    target = ParquetTable(spark, str(tmp_path / "t"))
+    quar = ParquetTable(spark, str(tmp_path / "q"))
+    ck = str(tmp_path / "ck")
+    expect_and_quarantine(
+        stream, _exp_rules(), target, quar, ck, await_termination=True
+    )
+    assert sorted(r["k"] for r in target.read().collect()) == [1, 4]
+    qrows = {r["k"]: r["data_quality_result_array"] for r in quar.read().collect()}
+    assert set(qrows) == {2, 3}
+    assert qrows[2] == ["nn"] and qrows[3] == ["v_pos"]
+    # replaying the same batch (fresh checkpoint, same data) is a no-op
+    expect_and_quarantine(
+        stream, _exp_rules(), target, quar, str(tmp_path / "ck_replay"),
+        await_termination=True,
+    )
+    assert sorted(r["k"] for r in target.read().collect()) == [1, 4]
+    assert len(quar.read().collect()) == 2
+
+
+def test_expect_rejects_stateful_rules(spark, tmp_path):
+    import pytest
+
+    from data_ingestion_framework_spark.operators.dq import DQRule
+    from data_ingestion_framework_spark.streaming.expectations import expect
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="row-local"):
+        expect(df, [DQRule(rule_id="u", rule_type="unique_check", column="k")])
