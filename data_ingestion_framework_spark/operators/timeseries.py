@@ -180,3 +180,78 @@ def gapfill(
         interp.alias("value_interp"),
         (F.col("bucket") == F.col("__b")).alias("observed"),
     )
+
+
+def znorm_pattern(pattern: list[float]) -> list[float]:
+    """Z-normalize a query pattern driver-side (population σ). The
+    normalized constants inline into both the Spark plan and the DuckDB
+    oracle, so the engines share exact literals."""
+    n = len(pattern)
+    mu = sum(pattern) / n
+    var = sum((x - mu) ** 2 for x in pattern) / n
+    sd = var**0.5
+    if sd == 0:
+        raise ValueError("pattern is constant — correlation undefined")
+    return [(x - mu) / sd for x in pattern]
+
+
+def pattern_topk(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    pattern: list[float],
+    k: int = 10,
+    tiebreak_cols: tuple[str, ...] = (),
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k sliding-window matches of a query pattern across per-key
+    series by z-normalized cross-correlation (the UCR-suite similarity
+    model; z-normalization makes the match shape-based — level and
+    scale shifts don't matter). Returns ``(*keys, match_ts, corr)``
+    where ``match_ts`` is the window's start timestamp.
+
+    Plan: one shuffle on the keys; each window's statistics reduce to
+    three sequential folds over the collected frame (Σx, Σx², Σx·p) —
+    with the pattern pre-z-normalized, ``corr = Σx·p / (n·σ)`` in
+    closed form, so there is no per-window explode, no join, and no
+    second pass. The global top-k is TakeOrderedAndProject. At 100 TB
+    the state per row is one length-|pattern| array; |pattern| is a
+    constant (8–256), so memory is bounded and the fold is codegen'd
+    array arithmetic.
+    """
+    p = znorm_pattern(pattern)
+    n = len(p)
+    plit = F.array(*[F.lit(float(x)) for x in p])
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, *tiebreak_cols)
+        .rowsBetween(Window.currentRow, n - 1)
+    )
+    seqd = df.select(
+        *key_cols,
+        F.col(ts_col).alias("match_ts"),
+        F.collect_list(F.col(value_col).cast("double")).over(w).alias("__s"),
+    ).where(F.size("__s") == n)
+    acc = F.lit(0.0)
+    sx = F.aggregate("__s", acc, lambda a, x: a + x)
+    sxx = F.aggregate("__s", acc, lambda a, x: a + x * x)
+    sxp = F.aggregate(
+        F.zip_with("__s", plit, lambda x, q: x * q), acc, lambda a, v: a + v
+    )
+    stats = seqd.select(
+        *key_cols,
+        "match_ts",
+        sx.alias("__sx"),
+        sxx.alias("__sxx"),
+        sxp.alias("__sxp"),
+    )
+    mu = F.col("__sx") / n
+    sd = F.sqrt(F.col("__sxx") / n - mu * mu)
+    corr = F.round(F.col("__sxp") / (n * sd), round_to)
+    return (
+        stats.where(sd > 0)
+        .select(*key_cols, "match_ts", corr.alias("corr"))
+        .orderBy(F.desc("corr"), *key_cols, "match_ts")
+        .limit(k)
+    )

@@ -425,3 +425,60 @@ def events_m4_downsample(spark, sf_dir):
         ev, "ts", ["event_type"], "value", n_buckets=100,
         tiebreak_cols=("event_id",),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-normalized pattern matching (UCR-style subsequence similarity
+# search; cf. "Time Series Similarity Search for Streaming Data",
+# EDBT 2019): top-k sliding windows across per-user series by
+# cross-correlation with a dip-shaped query pattern. The pattern
+# z-normalizes DRIVER-side and the exact double literals inline into
+# both engines; window statistics reduce to three sequential folds
+# (Σx, Σx², Σx·p) with corr = Σx·p/(nσ) in closed form — no explode,
+# no join. Both engines fold the same 8-element lists sequentially.
+# ---------------------------------------------------------------------------
+_PATTERN_RAW = [5.0, 4.0, 3.0, 2.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def _pattern_oracle() -> str:
+    from data_ingestion_framework_spark.operators.timeseries import (
+        znorm_pattern,
+    )
+
+    p = znorm_pattern(_PATTERN_RAW)
+    plist = "[" + ", ".join(repr(x) for x in p) + "]"
+    return f"""
+    WITH s AS (
+      SELECT user_id, ts AS match_ts,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS seq
+      FROM events
+    ), f AS (
+      SELECT user_id, match_ts,
+             list_sum(seq) AS sx,
+             list_dot_product(seq, seq) AS sxx,
+             list_dot_product(seq, {plist}) AS sxp
+      FROM s WHERE len(seq) = 8
+    ), g AS (
+      SELECT user_id, match_ts,
+             sqrt(sxx / 8.0 - (sx / 8.0) * (sx / 8.0)) AS sd, sxp
+      FROM f
+    )
+    SELECT user_id, match_ts, ROUND(sxp / (8.0 * sd), 4) AS corr
+    FROM g WHERE sd > 0
+    ORDER BY corr DESC, user_id, match_ts
+    LIMIT 20
+    """
+
+
+@bench_query("events_pattern_topk", oracle=_pattern_oracle())
+def events_pattern_topk(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.timeseries import (
+        pattern_topk,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return pattern_topk(
+        ev, "ts", ["user_id"], "value", _PATTERN_RAW, k=20,
+        tiebreak_cols=("event_id",),
+    )

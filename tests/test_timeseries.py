@@ -117,3 +117,36 @@ def test_timeseries_plan_shapes(spark):
     m = m4_downsample(df, "ts", ["k"], "v", 10, tiebreak_cols=("i",))
     mp = m._jdf.queryExecution().executedPlan().toString()
     assert mp.count("Exchange") == 1
+
+
+def test_pattern_topk_finds_embedded_pattern(spark):
+    """A series containing the exact (shifted+scaled) query pattern
+    must match it with corr == 1.0 at the right offset — z-normalized
+    correlation is shape-based, so level/scale shifts don't matter."""
+    from data_ingestion_framework_spark.operators.timeseries import (
+        pattern_topk,
+    )
+
+    pat = [5.0, 1.0, 5.0, 1.0]
+    # scaled by 3 and shifted by 100, embedded at hour 6
+    series = [0.0, 1.0, 2.0, 1.0, 0.0, 2.0, 115.0, 103.0, 115.0, 103.0, 1.0]
+    rows = [Row(k="a", ts=_ts(h), v=v, i=h) for h, v in enumerate(series)]
+    out = pattern_topk(
+        spark.createDataFrame(rows), "ts", ["k"], "v", pat, k=1,
+        tiebreak_cols=("i",),
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["match_ts"].hour == 6 and out[0]["corr"] == 1.0
+
+
+def test_pattern_topk_skips_constant_windows(spark):
+    from data_ingestion_framework_spark.operators.timeseries import (
+        pattern_topk,
+    )
+
+    rows = [Row(k="a", ts=_ts(h), v=7.0, i=h) for h in range(6)]
+    out = pattern_topk(
+        spark.createDataFrame(rows), "ts", ["k"], "v", [1.0, 2.0, 3.0], k=5,
+        tiebreak_cols=("i",),
+    ).collect()
+    assert out == []  # σ=0 windows carry no shape
