@@ -1891,3 +1891,47 @@ def orders_widen_state(spark, sf_dir):
     )
     t.append(orders.where(F.col("k") % 2 == 1), merge_schema=True)
     return t.read()
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured extraction (Spark 4's VARIANT type — the
+# open-variant columnar encoding Delta/Iceberg adopted for JSON at
+# scale): a nested document (struct + array + the props payload)
+# serializes to JSON, parses to VARIANT once, and typed paths extract
+# via variant_get — the shred-on-read pattern that replaces per-path
+# get_json_object re-parsing (N paths = N full JSON parses; VARIANT
+# parses once and navigates a binary encoding). The oracle computes
+# the same values straight from the base columns: what's verified is
+# the typed round-trip identity.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_variant_extract",
+    oracle="""
+    SELECT event_id,
+           user_id AS u,
+           ROUND(value, 4) AS v,
+           event_type AS tag0,
+           CAST(props->>'$.k' AS BIGINT) AS k
+    FROM events
+    """,
+)
+def events_variant_extract(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.struct(
+                F.col("user_id").alias("u"), F.col("value").alias("v")
+            ).alias("meta"),
+            F.array(F.col("event_type"), F.lit("x")).alias("tags"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+    )
+    v = ev.select("event_id", F.parse_json(doc).alias("__v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(__v, '$.meta.u', 'bigint')").alias("u"),
+        F.round(F.expr("variant_get(__v, '$.meta.v', 'double')"), 4).alias("v"),
+        F.expr("variant_get(__v, '$.tags[0]', 'string')").alias("tag0"),
+        F.expr("variant_get(__v, '$.k', 'bigint')").alias("k"),
+    )
