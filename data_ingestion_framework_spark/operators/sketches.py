@@ -527,3 +527,82 @@ def kmv_set_overlap(
         .cast("bigint")
         .alias("approx_intersection"),
     )
+
+
+# -- count-min sketch --------------------------------------------------------
+
+#: d hash rows × w buckets. ε = e/w ≈ 0.5%, δ = e^-d ≈ 2% at defaults.
+CM_D = 4
+CM_W = 512
+
+
+def _cm_bucket(col, i: int, w: int):
+    """Row-``i`` bucket of a value: 60-bit md5 of ``"i:" || value``
+    mod ``w`` — deterministic, engine-portable (same string, same md5,
+    same modulus in any engine)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}:"), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return h % w
+
+
+def cm_sketch_rows(
+    df: DataFrame, value_col: str, d: int = CM_D, w: int = CM_W
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a row table
+    ``(__i, __b, __c)`` — ≤ d·w rows regardless of input size. Merge
+    sketches by unioning row frames and summing ``__c`` per
+    ``(__i, __b)`` (elementwise matrix addition — associative, the
+    streaming micro-batch fold). Estimates never undercount; the
+    overcount is ≤ εN with probability 1-δ (ε = e/w, δ = e^-d)."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("__i"),
+                _cm_bucket(F.col(value_col), i, w).alias("__b"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(arr).alias("a"))
+        .select("a.__i", "a.__b")
+        .groupBy("__i", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    value_col: str,
+    d: int = CM_D,
+    w: int = CM_W,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from a ``cm_sketch_rows``
+    table: per key, the MIN of its d bucket counters. The sketch is
+    ≤ d·w rows — broadcast, so the probe never shuffles the keys."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("__i"),
+                _cm_bucket(F.col(value_col), i, w).alias("__b"),
+            )
+            for i in range(d)
+        ]
+    )
+    probes = keys.select(value_col, F.explode(arr).alias("a")).select(
+        value_col, "a.__i", "a.__b"
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["__i", "__b"], "left")
+        .groupBy(value_col)
+        .agg(
+            F.min(F.coalesce(F.col("__c"), F.lit(0)))
+            .cast("bigint")
+            .alias("cm_est")
+        )
+    )

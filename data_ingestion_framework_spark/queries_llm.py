@@ -4194,3 +4194,59 @@ def similarity_ivf_recall(spark, sf_dir):
     ann = similarity.ivf_cosine_topk(emb, queries, centroids, k=10, nprobe=4)
     exact = similarity.cosine_topk(emb, queries, k=10)
     return similarity.ann_recall(exact, ann, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Count-min point-frequency estimates (Cormode & Muthukrishnan 2005):
+# the d×w counter matrix as rows (bounded state, elementwise-sum
+# mergeable), probed for each distinct user — the frequency sibling of
+# the HLL/KMV cardinality and MG heavy-hitter sketches. Deterministic
+# md5 row-hashes let the oracle re-derive every counter; the published
+# no-undercount guarantee is part of the checked output.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_cm_user_counts",
+    oracle="""
+    WITH i AS (SELECT unnest(range(4)) AS i),
+    b AS (
+      SELECT i.i,
+             ('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' ||
+                                 CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 512 AS bkt
+      FROM events, i
+    ), cm AS (
+      SELECT i, bkt, COUNT(*) AS c FROM b GROUP BY 1, 2
+    ), q AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 29 = 0
+    ), pe AS (
+      SELECT q.user_id, i.i,
+             ('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' ||
+                                 CAST(q.user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 512 AS bkt
+      FROM q, i
+    ), est AS (
+      SELECT pe.user_id, CAST(MIN(COALESCE(cm.c, 0)) AS BIGINT) AS cm_est
+      FROM pe LEFT JOIN cm ON cm.i = pe.i AND cm.bkt = pe.bkt
+      GROUP BY 1
+    ), ex AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY 1
+    )
+    SELECT e.user_id, e.cm_est, x.exact_count,
+           e.cm_est >= x.exact_count AS no_undercount
+    FROM est e JOIN ex x ON e.user_id = x.user_id
+    """,
+)
+def events_cm_user_counts(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    cm = sketches.cm_sketch_rows(ev, "user_id")
+    keys = ev.where(F.col("user_id") % 29 == 0).select("user_id").distinct()
+    est = sketches.cm_estimate(cm, keys, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "cm_est",
+        "exact_count",
+        (F.col("cm_est") >= F.col("exact_count")).alias("no_undercount"),
+    )

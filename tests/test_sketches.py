@@ -206,3 +206,50 @@ def test_hll_estimate_within_published_bound_both_paths(spark):
         df = spark.createDataFrame([Row(g="x", v=i) for i in range(n)])
         est = hll_distinct(df, ["g"], "v").collect()[0]["hll_est"]
         assert abs(est / n - 1.0) <= 0.195, (n, est)
+
+
+# -- count-min ---------------------------------------------------------------
+
+
+def test_cm_sketch_merge_law_and_no_undercount(spark):
+    from pyspark.sql import Row, functions as F
+
+    from data_ingestion_framework_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch_rows,
+    )
+
+    a = spark.createDataFrame([Row(v=i % 7) for i in range(200)])
+    b = spark.createDataFrame([Row(v=i % 5) for i in range(100)])
+    direct = cm_sketch_rows(a.union(b), "v")
+    merged = (
+        cm_sketch_rows(a, "v")
+        .unionByName(cm_sketch_rows(b, "v"))
+        .groupBy("__i", "__b")
+        .agg(F.sum("__c").alias("__c"))
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    keys = spark.createDataFrame([Row(v=i) for i in range(7)])
+    est = {r["v"]: r["cm_est"] for r in cm_estimate(direct, keys, "v").collect()}
+    exact = {i: 200 // 7 + (1 if i < 200 % 7 else 0) + (20 if i < 5 else 0)
+             for i in range(7)}
+    for k_, e in exact.items():
+        assert est[k_] >= e  # the published no-undercount guarantee
+        assert est[k_] <= e + 300 * 2.72 / 512 + 1  # epsilon*N slack
+
+
+def test_cm_estimate_absent_key_small(spark):
+    from pyspark.sql import Row
+
+    from data_ingestion_framework_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch_rows,
+    )
+
+    df = spark.createDataFrame([Row(v=1)] * 50)
+    cm = cm_sketch_rows(df, "v")
+    est = cm_estimate(cm, spark.createDataFrame([Row(v=999)]), "v").collect()
+    # an absent key can only collide into 50-count buckets or empties
+    assert est[0]["cm_est"] in (0, 50)
