@@ -1,0 +1,223 @@
+"""The table store as a native Spark 4 Python DataSource.
+
+Registers format ``difs`` so ANY Spark job — including one that never
+imports this package — can scan a :class:`ParquetTable` with the
+engine-level API, commit-log semantics included:
+
+    spark.dataSource.register(ParquetTableDataSource)
+    spark.read.format("difs").option("path", p).load()
+    spark.read.format("difs").option("path", p).option("version", 3).load()
+
+What the source honors (driver-side planning is pure ``os``/``json``/
+``pyarrow`` — no SparkSession, mirroring the commit-log planner):
+
+- ``strict_files`` — the scan reads exactly the latest commit's file
+  list (log-as-source-of-truth; a crashed writer's stray file is
+  invisible), else the directory walk;
+- ``version`` — ``VERSION AS OF``: the commit's file list resolved
+  against live + retained ``_history`` roots, like ``as_of``;
+- deletion vectors — each file's DV row indices load driver-side and
+  ship with its partition; the executor masks them out per batch.
+
+One InputPartition per data file (file-parallel — the natural scan
+granularity), executor reads stream ``pyarrow`` record batches (never
+whole files), and rows arrive in Spark through the Arrow path.
+
+Unsupported (refused loudly, use ``ParquetTable.read()``): partitioned
+layouts (directory-encoded columns), column mapping, widened schemas —
+each needs metadata this standalone scanner intentionally doesn't
+reimplement.
+
+This is a compatibility/integration surface: the JVM parquet scan in
+``read()`` stays the fast path (codegen, vectorized, pushdown); the
+Python data source pays one Python worker hop per batch by design.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+LOG = "_commits"
+HIST = "_history"
+PROPS = "_table.json"
+_AUX_PREFIXES = ("_", ".")
+
+
+def _props(path: str) -> dict:
+    f = os.path.join(path, PROPS)
+    if os.path.isfile(f):
+        with open(f) as fh:
+            return json.load(fh)
+    return {}
+
+
+def _records(path: str) -> list[str]:
+    d = os.path.join(path, LOG)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        n
+        for n in os.listdir(d)
+        if n.endswith(".json")
+        and not n.startswith(_AUX_PREFIXES)
+        and n[:8].isdigit()
+    )
+
+
+def _record(path: str, name: str) -> dict:
+    with open(os.path.join(path, LOG, name)) as f:
+        return json.load(f)
+
+
+def _walk_data_files(root: str) -> list[str]:
+    out = []
+    for cur, dirs, names in os.walk(root):
+        dirs[:] = [d for d in dirs if not d.startswith(_AUX_PREFIXES)]
+        for n in names:
+            if n.startswith(_AUX_PREFIXES) or not n.endswith(".parquet"):
+                continue
+            out.append(os.path.relpath(os.path.join(cur, n), root))
+    return sorted(out)
+
+
+def _dv_rows(roots: list[str], max_seq: int | None) -> dict[str, list[int]]:
+    """file_name → sorted row indices to drop, folded across the
+    contributing roots' ``_dv`` sidecars (as_of's union semantics)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, set[int]] = {}
+    for root in roots:
+        d = os.path.join(root, "_dv")
+        if not os.path.isdir(d):
+            continue
+        for cur, _ds, names in os.walk(d):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                t = pq.read_table(os.path.join(cur, n))
+                cols = t.column_names
+                for row in t.to_pylist():
+                    if (
+                        max_seq is not None
+                        and "dv_seq" in cols
+                        and row["dv_seq"] > max_seq
+                    ):
+                        continue
+                    out.setdefault(row["file_name"], set()).add(
+                        row["row_index"]
+                    )
+    return {k: sorted(v) for k, v in out.items()}
+
+
+class _Plan:
+    """Driver-side scan plan: absolute file paths + per-file DV skips."""
+
+    def __init__(self, path: str, version: int | None):
+        props = _props(path)
+        if props.get("column_mapping") or props.get("colmap"):
+            raise ValueError("difs source: column-mapped tables need ParquetTable.read()")
+        if props.get("widened_schema"):
+            raise ValueError("difs source: type-widened tables need ParquetTable.read()")
+        names = _records(path)
+        if version is not None:
+            match = [n for n in names if int(n[:8]) == version]
+            if not match:
+                raise ValueError(f"difs source: no commit {version} in {path}")
+            rels = _record(path, match[0]).get("files") or []
+            roots = [path]
+            hist = os.path.join(path, HIST)
+            if os.path.isdir(hist):
+                roots += [os.path.join(hist, d) for d in sorted(os.listdir(hist))]
+            files = []
+            for rel in rels:
+                for root in roots:
+                    cand = os.path.join(root, rel)
+                    if os.path.isfile(cand):
+                        files.append((rel, cand))
+                        break
+                else:
+                    raise ValueError(
+                        f"difs source: file {rel} of commit {version} "
+                        "no longer retained (vacuumed?)"
+                    )
+            # contributing roots are exactly the distinct (abs - rel) prefixes
+            dv_roots = sorted({p[: -len(rel) - 1] for rel, p in files})
+            self.dv = _dv_rows(dv_roots, max_seq=version)
+        else:
+            if props.get("strict_files"):
+                rels = (
+                    _record(path, names[-1]).get("files") if names else []
+                ) or []
+            else:
+                rels = _walk_data_files(path)
+            files = [(rel, os.path.join(path, rel)) for rel in rels]
+            self.dv = _dv_rows([path], max_seq=None)
+        for rel, _p in files:
+            if any("=" in comp for comp in rel.split(os.sep)[:-1]):
+                raise ValueError(
+                    "difs source: partitioned layouts need ParquetTable.read()"
+                )
+        self.files = files
+
+
+class ParquetTableReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("difs source: option 'path' is required")
+        version = options.get("version")
+        self.plan = _Plan(path, int(version) if version is not None else None)
+
+    def partitions(self):
+        return [
+            InputPartition(
+                (abs_path, tuple(self.plan.dv.get(os.path.basename(abs_path), ())))
+            )
+            for _rel, abs_path in self.plan.files
+        ]
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        abs_path, skip = partition.value
+        skip = set(skip)
+        offset = 0
+        pf = pq.ParquetFile(abs_path)
+        for batch in pf.iter_batches():
+            n = batch.num_rows
+            if skip:
+                mask = pa.array(
+                    [offset + i not in skip for i in range(n)], pa.bool_()
+                )
+                batch = batch.filter(mask)
+            offset += n
+            if batch.num_rows:
+                yield batch
+
+
+class ParquetTableDataSource(DataSource):
+    """``spark.read.format("difs")`` over a path-backed table."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "difs"
+
+    def schema(self):
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("difs source: option 'path' is required")
+        version = self.options.get("version")
+        plan = _Plan(path, int(version) if version is not None else None)
+        if not plan.files:
+            raise ValueError(f"difs source: no data files under {path}")
+        return from_arrow_schema(pq.read_schema(plan.files[0][1]))
+
+    def reader(self, schema):
+        return ParquetTableReader(dict(self.options))

@@ -225,3 +225,63 @@ def test_widened_schema_grows_with_added_columns_and_clears_on_overwrite(
     # overwrite resets the schema: the pin must not linger
     t.overwrite(spark.createDataFrame([(5,)], "a int"))
     assert dict(t.read().dtypes)["a"] == "int"
+
+
+# -- Python DataSource (format "difs") ----------------------------------------
+
+
+def test_difs_datasource_matches_table_read(spark, tmp_path):
+    """spark.read.format('difs') — the Spark 4 Python DataSource over
+    the table store: live scan parity, strict_files isolation, VERSION
+    AS OF, and deletion-vector masking, all without importing the
+    package's read path."""
+    from data_ingestion_framework_spark.sources.pyds import (
+        ParquetTableDataSource,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    spark.dataSource.register(ParquetTableDataSource)
+    p = str(tmp_path / "t")
+    t = ParquetTable(spark, p)
+    t.overwrite(spark.createDataFrame([(i, float(i)) for i in range(20)], "k long, v double"))
+    v1 = t.history()[-1]["seq"]
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(20, 25)], "k long, v double"))
+
+    def difs(**opts):
+        r = spark.read.format("difs").option("path", p)
+        for k_, v_ in opts.items():
+            r = r.option(k_, v_)
+        return r.load()
+
+    assert sorted(r["k"] for r in difs().collect()) == list(range(25))
+    # VERSION AS OF resolves the old commit's file list
+    assert sorted(r["k"] for r in difs(version=v1).collect()) == list(range(20))
+
+    # deletion vectors mask rows without rewriting files
+    t.delete_where_dv(F.col("k") % 4 == 0)
+    got = sorted(r["k"] for r in difs().collect())
+    assert got == [k for k in range(25) if k % 4 != 0]
+    assert sorted(r["k"] for r in t.read().collect()) == got  # parity
+
+    # strict_files: a stray uncommitted file is invisible
+    t2 = ParquetTable(spark, str(tmp_path / "s"))
+    t2.set_properties({"strict_files": True})
+    t2.append(spark.createDataFrame([(1,)], "k long"))
+    import shutil, glob
+    live = glob.glob(str(tmp_path / "s" / "*.parquet"))[0]
+    shutil.copy(live, str(tmp_path / "s" / "part-stray.parquet"))
+    out = spark.read.format("difs").option("path", str(tmp_path / "s")).load()
+    assert out.count() == 1
+
+
+def test_difs_datasource_refuses_partitioned(spark, tmp_path):
+    from data_ingestion_framework_spark.sources.pyds import (
+        ParquetTableDataSource,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    spark.dataSource.register(ParquetTableDataSource)
+    t = ParquetTable(spark, str(tmp_path / "pt"), partition_by=["p"])
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, p string"))
+    with pytest.raises(Exception, match="partitioned|ParquetTable.read"):
+        spark.read.format("difs").option("path", t.path).load().collect()
