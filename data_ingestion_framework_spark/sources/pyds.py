@@ -38,7 +38,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 LOG = "_commits"
 HIST = "_history"
@@ -199,6 +204,78 @@ class ParquetTableReader(DataSourceReader):
                 yield batch
 
 
+class ParquetTableStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("difs")``: replay the commit log as
+    micro-batches — each trigger reads the files ADDED by commits in
+    ``(startOffset, endOffset]``, so the table itself is the stream
+    (the Delta streaming-source model; the in-package sibling is
+    ``streaming/table_stream.py``, which drives foreachBatch merges).
+    Offsets are commit seqs — exactly-once replay falls out of the
+    log's append-only numbering. Non-file-additive commits (overwrite,
+    compact, delete) in the range raise, the same soundness rule as
+    ``read_since``: file-level increments only mean rows-appended
+    while every commit is additive."""
+
+    _ADDITIVE = {"append", "create", "set_partition_spec", "fsck_remove_orphans"}
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("difs source: option 'path' is required")
+
+    def initialOffset(self):
+        return {"seq": 0}
+
+    def latestOffset(self):
+        names = _records(self.path)
+        return {"seq": int(names[-1][:8]) if names else 0}
+
+    def partitions(self, start, end):
+        lo, hi = start["seq"], end["seq"]
+        if hi <= lo:
+            return []
+        names = _records(self.path)
+        recs = [
+            _record(self.path, n) for n in names if lo <= int(n[:8]) <= hi
+        ]
+        by_seq = {r["seq"]: r for r in recs}
+        parts = []
+        prev_files = set(by_seq[lo]["files"]) if lo in by_seq else set()
+        if lo and lo not in by_seq:
+            raise ValueError(
+                f"difs stream: commit {lo} missing from the log — cannot "
+                "derive the files added after it"
+            )
+        for seq in range(lo + 1, hi + 1):
+            rec = by_seq.get(seq)
+            if rec is None:
+                continue
+            if rec["op"] not in self._ADDITIVE:
+                raise ValueError(
+                    f"difs stream: commit {seq} is {rec['op']!r} (not "
+                    "file-additive) — restart the stream from a fresh "
+                    "full read"
+                )
+            cur = set(rec["files"])
+            for rel in sorted(cur - prev_files):
+                if any("=" in c for c in rel.split(os.sep)[:-1]):
+                    raise ValueError(
+                        "difs stream: partitioned layouts need "
+                        "streaming/table_stream.py"
+                    )
+                parts.append(
+                    InputPartition((os.path.join(self.path, rel), ()))
+                )
+            prev_files = cur
+        return parts
+
+    def read(self, partition):
+        yield from ParquetTableReader.read(self, partition)
+
+    def commit(self, end):
+        pass
+
+
 class ParquetTableDataSource(DataSource):
     """``spark.read.format("difs")`` over a path-backed table."""
 
@@ -221,3 +298,6 @@ class ParquetTableDataSource(DataSource):
 
     def reader(self, schema):
         return ParquetTableReader(dict(self.options))
+
+    def streamReader(self, schema):
+        return ParquetTableStreamReader(dict(self.options))

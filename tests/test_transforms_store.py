@@ -285,3 +285,49 @@ def test_difs_datasource_refuses_partitioned(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(1, "a")], "k long, p string"))
     with pytest.raises(Exception, match="partitioned|ParquetTable.read"):
         spark.read.format("difs").option("path", t.path).load().collect()
+
+
+def test_difs_stream_reader_replays_appends(spark, tmp_path):
+    """readStream.format('difs'): commit-log appends arrive as
+    micro-batches with commit-seq offsets; a non-additive commit in
+    range fails the stream loudly."""
+    from data_ingestion_framework_spark.sources.pyds import (
+        ParquetTableDataSource,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    spark.dataSource.register(ParquetTableDataSource)
+    p = str(tmp_path / "st")
+    t = ParquetTable(spark, p)
+    for i in range(3):
+        t.append(spark.createDataFrame([(i * 10 + j,) for j in range(4)], "k long"))
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("difs")
+        .option("path", p)
+        .load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == sorted(
+        i * 10 + j for i in range(3) for j in range(4)
+    )
+    # new appends continue from the checkpointed offset, exactly once
+    t.append(spark.createDataFrame([(99,)], "k long"))
+    q = (
+        spark.readStream.format("difs")
+        .option("path", p)
+        .load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got.count(99) == 1 and len(got) == 13
