@@ -594,3 +594,72 @@ def brand_supplier_counts(spark, sf_dir):
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape (suppliers-who-kept-orders-waiting): for each
+# multi-supplier order, blame the supplier whose line shipped late
+# (> 60 days after the order date) while EVERY other supplier on the
+# order shipped on time — the classic correlated EXISTS + NOT EXISTS
+# pair on the same fact table. Spark plan: ONE pass computes per
+# (order, supplier) the late flag, then per order the distinct-
+# supplier count and the count of late suppliers ride one window —
+# the two correlated subqueries collapse into window aggregates over
+# a single shuffle instead of two self-joins.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "late_supplier_blame",
+    oracle="""
+    WITH ls AS (
+      SELECT l.l_suppkey AS s, l.l_orderkey AS o,
+             MAX(CASE WHEN l.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l JOIN orders o2 ON o2.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ), per_order AS (
+      SELECT s, o, late,
+             COUNT(*) OVER (PARTITION BY o) AS n_supps,
+             SUM(late) OVER (PARTITION BY o) AS n_late
+      FROM ls
+    )
+    SELECT s AS l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per_order
+    WHERE late = 1 AND n_supps > 1 AND n_late = 1
+    GROUP BY s
+    ORDER BY numwait DESC, l_suppkey
+    LIMIT 20
+    """,
+)
+def late_supplier_blame(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ls = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("o"))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    wo = W.partitionBy("o")
+    per_order = ls.select(
+        "s",
+        "o",
+        "late",
+        F.count(F.lit(1)).over(wo).alias("n_supps"),
+        F.sum("late").over(wo).alias("n_late"),
+    )
+    return (
+        per_order.where(
+            (F.col("late") == 1) & (F.col("n_supps") > 1) & (F.col("n_late") == 1)
+        )
+        .groupBy(F.col("s").alias("l_suppkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "l_suppkey")
+        .limit(20)
+    )

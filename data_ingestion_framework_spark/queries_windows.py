@@ -482,3 +482,65 @@ def events_pattern_topk(spark, sf_dir):
         ev, "ts", ["user_id"], "value", _PATTERN_RAW, k=20,
         tiebreak_cols=("event_id",),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal anomaly detection: per (event_type, hour-of-day) baseline
+# mean/std over value, then flag rows whose |z| exceeds 2.5 — the
+# seasonal-naive residual monitor an events pipeline runs for
+# observability. Cross-engine exactness: per-row contributions round
+# to 6 dp and sum as DECIMAL (order-independent), so both engines
+# derive identical baselines; z rounds to 4 dp BEFORE the threshold,
+# so flag membership can't flip on a last-ulp difference. The 120-row
+# baseline table broadcasts back onto the events scan.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_seasonal_anomalies",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS sv,
+             SUM(CAST(ROUND(value * value, 6) AS DECIMAL(18,6))) AS svv
+      FROM events GROUP BY 1, 2
+    ), st AS (
+      SELECT event_type, hr, n,
+             CAST(sv AS DOUBLE) / n AS mu,
+             sqrt(CAST(svv AS DOUBLE) / n
+                  - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n)) AS sd
+      FROM base
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(EXTRACT(hour FROM e.ts) AS BIGINT) AS hr,
+           e.value,
+           ROUND((e.value - st.mu) / st.sd, 4) AS z
+    FROM events e
+    JOIN st ON st.event_type = e.event_type
+           AND st.hr = EXTRACT(hour FROM e.ts)
+    WHERE st.sd > 0 AND abs(ROUND((e.value - st.mu) / st.sd, 4)) > 2.5
+    """,
+)
+def events_seasonal_anomalies(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    hr = F.hour("ts").cast("bigint")
+    vd = F.round("value", 6).cast("decimal(18,6)")
+    vv = F.round(F.col("value") * F.col("value"), 6).cast("decimal(18,6)")
+    base = ev.groupBy("event_type", hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vd).alias("sv"),
+        F.sum(vv).alias("svv"),
+    )
+    mu = F.col("sv").cast("double") / F.col("n")
+    st = base.select(
+        "event_type",
+        "hr",
+        mu.alias("mu"),
+        F.sqrt(F.col("svv").cast("double") / F.col("n") - mu * mu).alias("sd"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        ev.select("event_id", "event_type", hr.alias("hr"), "value")
+        .join(F.broadcast(st), ["event_type", "hr"])
+        .where((F.col("sd") > 0) & (F.abs(z) > 2.5))
+        .select("event_id", "event_type", "hr", "value", z.alias("z"))
+    )
