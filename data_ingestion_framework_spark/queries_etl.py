@@ -1935,3 +1935,46 @@ def events_variant_extract(spark, sf_dir):
         F.expr("variant_get(__v, '$.tags[0]', 'string')").alias("tag0"),
         F.expr("variant_get(__v, '$.k', 'bigint')").alias("k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hidden-partitioning lifecycle under the oracle gate (Iceberg
+# partition transforms): orders lands partitioned by months(o_orderdate)
+# — the partition value is a derived directory name (pt__months_*), the
+# raw timestamp stays in-file, and queries never mention the
+# transform. A partition-scoped overwrite then replaces exactly ONE
+# derived month (rows re-priced), proving touched_partitions computes
+# the transform identically to the writer. The oracle replays the
+# day-scoped replacement with plain date logic.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_hidden_partition_state",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE date_trunc('month', o_orderdate) <> DATE '1995-03-01'
+    UNION ALL
+    SELECT o_orderkey, o_orderdate, o_totalprice + 1000.0 AS o_totalprice
+    FROM orders
+    WHERE date_trunc('month', o_orderdate) = DATE '1995-03-01'
+    """,
+)
+def orders_hidden_partition_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    t = ParquetTable(
+        spark,
+        _scratch_dir("difs_hidden_") + "/t",
+        partition_by=["months(o_orderdate)"],
+    )
+    t.overwrite(orders)
+    repl = orders.where(
+        F.date_trunc("month", "o_orderdate") == F.lit("1995-03-01").cast("timestamp")
+    ).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    t.overwrite_partitions(repl)
+    return t.read()

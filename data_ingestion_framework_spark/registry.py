@@ -155,11 +155,13 @@ _PRIORITY = [
     # joins; still in the full gate
     "similarity_ivfpq_residual_topk",
     "orders_merge_into_state",
-    # the md5-family MinHash twin makes the LSH candidate GENERATOR
-    # oracle-checkable for the first time — it takes the window slot of
-    # dedup_word_ngram_jaccard (green since r3; char-gram sibling
-    # dedup_ngram_jaccard pins the same mechanism in the full gate)
-    "dedup_minhash_md5_pairs",
+    # ROUND-8 ROTATION: dedup_minhash_md5_pairs (driver-green r5+r6)
+    # cedes to the hidden-partitioning lifecycle (Iceberg partition
+    # transforms — new write/plan machinery worth certifying); the
+    # md5-family signatures→banding mechanism stays window-graded via
+    # dedup_incremental_minhash (same family, same banding, plus the
+    # index merge). Still in the full local gate.
+    "orders_hidden_partition_state",
     # dedup_simhash_md5_pairs (green r4+r5) cedes to the new UPDATE
     # statement lifecycle; its banded-signature-generator mechanism
     # stays window-graded via dedup_minhash_md5_pairs
@@ -357,6 +359,7 @@ _PRIORITY = [
     "semantic_dedup_keep",
     "orders_restore_state",
     "text_unigram_ce",
+    "dedup_minhash_md5_pairs",
     "similarity_pq_topk",
     "dedup_containment_pairs",
     "embeddings_quantize_int8",

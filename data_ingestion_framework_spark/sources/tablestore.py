@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -222,7 +223,9 @@ class ParquetTable:
         """True when live files span more than one layout, or a single
         layout that is not the current write spec."""
         specs = self._live_specs()
-        return bool(specs) and specs != {tuple(self.partition_by)}
+        return bool(specs) and specs != {
+            tuple(self._physical_partition_cols())
+        }
 
     def evolve_partition_spec(self, new_cols: list[str]) -> None:
         """Change the table's partition spec without rewriting a byte —
@@ -236,13 +239,14 @@ class ParquetTable:
         if not self.exists():
             raise ValueError("evolve_partition_spec: table does not exist")
         new_cols = list(new_cols)
+        sources = [self._transform_info(e)[1] for e in new_cols]
         cols = set(self.read().columns)
-        missing = [c for c in new_cols if c not in cols]
+        missing = [c for c in sources if c not in cols]
         if missing:
             raise ValueError(
                 f"evolve_partition_spec: columns {missing} not in table"
             )
-        gen = sorted(set(new_cols) & set(self._generated()))
+        gen = sorted(set(sources) & set(self._generated()))
         if gen:
             raise ValueError(
                 f"evolve_partition_spec: {gen} are GENERATED (computed "
@@ -413,11 +417,72 @@ class ParquetTable:
         """name → SQL expression of the table's generated columns."""
         return dict(self.properties().get("generated_columns") or {})
 
+    # -- hidden partitioning (Iceberg partition transforms) -------------------
+    #
+    # A partition spec entry is either a plain column name (identity —
+    # the Hive model: the column is stored as its directory value) or a
+    # TRANSFORM over a source column: ``days(ts)``, ``hours(ts)``,
+    # ``months(ts)``, ``bucket(16, key)``. Transform entries derive a
+    # HIDDEN physical column at write time (``pt__*`` — NOT underscore-prefixed: Spark's path filter and the commit log's own walker ignore `_`-prefixed directories) that exists
+    # only as directory names; the raw source column stays in-file, so
+    # queries never mention the partition value — Iceberg's hidden
+    # partitioning, the thing Hive layouts force users to predicate on
+    # manually. On read the hidden columns are dropped right after the
+    # scan (``_from_physical``); footer/log stats on the raw column
+    # keep data skipping working.
+
+    _TRANSFORM_RE = re.compile(
+        r"^(days|hours|months|bucket)\((?:(\d+)\s*,\s*)?(\w+)\)$"
+    )
+
+    @classmethod
+    def _transform_info(cls, entry: str):
+        """``(physical_col, source_col, expr_or_None)`` for one spec
+        entry; identity entries return ``(entry, entry, None)``."""
+        m = cls._TRANSFORM_RE.match(entry.strip())
+        if not m:
+            return entry, entry, None
+        kind, arg, col = m.groups()
+        if kind == "bucket":
+            if not arg:
+                raise ValueError(f"bucket transform needs a count: {entry!r}")
+            hidden = f"pt__bucket_{arg}_{col}"
+            expr = F.pmod(F.xxhash64(F.col(col)), int(arg)).cast("int")
+        else:
+            if arg:
+                raise ValueError(f"{kind} transform takes one column: {entry!r}")
+            fmt = {"days": "yyyy-MM-dd", "hours": "yyyy-MM-dd-HH", "months": "yyyy-MM"}[kind]
+            hidden = f"pt__{kind}_{col}"
+            expr = F.date_format(F.col(col), fmt)
+        return hidden, col, expr
+
+    def _physical_partition_cols(self) -> list[str]:
+        return [self._transform_info(e)[0] for e in self.partition_by]
+
+    def _partition_sources(self) -> list[str]:
+        return [self._transform_info(e)[1] for e in self.partition_by]
+
+    def _identity_partition_cols(self) -> list[str]:
+        return [
+            e for e in self.partition_by if self._transform_info(e)[2] is None
+        ]
+
+    def _with_hidden_partitions(self, df: DataFrame) -> DataFrame:
+        for e in self.partition_by:
+            hidden, _src, expr = self._transform_info(e)
+            if expr is not None:
+                df = df.withColumn(hidden, expr)
+        return df
+
     def _from_physical(self, df: DataFrame) -> DataFrame:
         """Physical → logical projection applied right after a data
         scan: dropped physical columns vanish, mapped ones take their
         logical names, generated columns compute; helper columns
         (``__*``) pass through."""
+        hidden = [c for c in df.columns if c.startswith("pt__")]
+        if hidden:
+            df = df.drop(*hidden)  # transform partition values are
+            # directory metadata, not data — derivable from the source
         m = self._colmap()
         drops = set(self._dropped_columns())
         gen = self._generated()
@@ -509,7 +574,7 @@ class ParquetTable:
             raise ValueError(f"rename_column: no column {old!r}")
         if new in cols:
             raise ValueError(f"rename_column: {new!r} already exists")
-        if old in self.partition_by:
+        if old in self._partition_sources():
             raise ValueError(
                 "rename_column: partition columns are physical directory "
                 "names — rewrite the table to rename them"
@@ -552,7 +617,7 @@ class ParquetTable:
             )
         if name not in self.read().columns:
             raise ValueError(f"drop_column: no column {name!r}")
-        if name in self.partition_by:
+        if name in self._partition_sources():
             raise ValueError("drop_column: cannot drop a partition column")
         for cname, expr in (self.properties().get("constraints") or {}).items():
             if _re.search(rf"\b{_re.escape(name)}\b", expr):
@@ -1496,9 +1561,9 @@ class ParquetTable:
 
     # -- writes --------------------------------------------------------------
     def _writer(self, df: DataFrame, mode: str):
-        w = self._to_physical(df).write.mode(mode)
+        w = self._to_physical(self._with_hidden_partitions(df)).write.mode(mode)
         if self.partition_by:
-            w = w.partitionBy(*self.partition_by)
+            w = w.partitionBy(*self._physical_partition_cols())
         return w
 
     def create_empty(self, schema, metrics: dict | None = None) -> None:
@@ -1605,9 +1670,11 @@ class ParquetTable:
             self._enforce_constraints(df)
         staging = f"{self.path}.__staging__{uuid.uuid4().hex[:8]}"
         backup = f"{self.path}.__old__{uuid.uuid4().hex[:8]}"
-        w = self._to_physical(df).write.mode("overwrite")
+        w = self._to_physical(self._with_hidden_partitions(df)).write.mode(
+            "overwrite"
+        )
         if self.partition_by:
-            w = w.partitionBy(*self.partition_by)
+            w = w.partitionBy(*self._physical_partition_cols())
         try:
             w.parquet(staging)
             seq = self._next_seq()
@@ -2101,15 +2168,18 @@ class ParquetTable:
         sized by construction (the partition count, not the row count)."""
         if not self.partition_by:
             raise ValueError("touched_partitions requires partition_by")
-        rows = df.select(*self.partition_by).distinct().collect()
+        phys = self._physical_partition_cols()
+        rows = (
+            self._with_hidden_partitions(df)
+            .select(*phys)
+            .distinct()
+            .collect()
+        )
         out = []
         for r in rows:
             out.append(
                 os.path.join(
-                    *[
-                        f"{c}={_fmt_partition_value(r[c])}"
-                        for c in self.partition_by
-                    ]
+                    *[f"{c}={_fmt_partition_value(r[c])}" for c in phys]
                 )
             )
         return sorted(out)
@@ -2223,9 +2293,15 @@ class ParquetTable:
                 "replace_where: batch contains rows NOT matching the "
                 "predicate — widen the predicate or filter the batch"
             )
-        if self.partition_by and not self._is_mixed_spec():
-            # partition fast path IF the predicate resolves against the
-            # partition columns alone (the principled test — no
+        if (
+            self.partition_by
+            and not self._is_mixed_spec()
+            and self._identity_partition_cols() == self.partition_by
+        ):
+            # partition fast path IF the spec is identity-only (a
+            # transform partition is a MANY-to-one projection of its
+            # source, so a source predicate is not partition-exact) and
+            # the predicate resolves against the partition columns alone (the principled test — no
             # expression-tree introspection): live partitions matching
             # it are replaced or emptied, control-plane sized
             from pyspark.errors import AnalysisException
@@ -2502,7 +2578,7 @@ class ParquetTable:
         it has (min-only still prunes ``<= hi``). Logical column names
         resolve through the column mapping (stats are keyed by
         immortal physical names, so RENAME never staled them)."""
-        if col in self.partition_by:
+        if col in self._identity_partition_cols():
             # partition values live in the directory names — zero I/O
             # and exact: min == max == the partition's value. Values
             # are hive-escaped on write (URL-style %XX), so unescape

@@ -156,3 +156,72 @@ def test_replace_where_rejects_out_of_scope_rows(spark, tmp_path):
     bad = spark.createDataFrame([Row(k=1, status="E", pri=0, v=0.0)])
     with pytest.raises(ValueError, match="NOT matching"):
         t.replace_where(bad, F.col("status") == "O")
+
+
+# -- hidden partitioning (Iceberg transforms) --------------------------------
+
+
+def _ts_rows(lo, hi):
+    import datetime as dt
+
+    return [
+        Row(k=i, ts=dt.datetime(2024, 1, 1 + i % 3, i % 24), v=float(i))
+        for i in range(lo, hi)
+    ]
+
+
+def test_days_transform_partitioning(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "d"), partition_by=["days(ts)"])
+    t.overwrite(spark.createDataFrame(_ts_rows(0, 30)))
+    # layout: hidden pt__days_ts=YYYY-MM-DD directories
+    rels = t._data_files()
+    assert all(r.startswith("pt__days_ts=2024-01-0") for r in rels)
+    assert len({r.split("/")[0] for r in rels}) == 3
+    # read parity: raw ts survives, the hidden column does not
+    got = {r["k"]: r["ts"] for r in t.read().collect()}
+    assert len(got) == 30 and got[5].hour == 5
+    assert not [c for c in t.read().columns if c.startswith("pt__")]
+
+
+def test_days_transform_partition_scoped_overwrite(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "o"), partition_by=["days(ts)"])
+    t.overwrite(spark.createDataFrame(_ts_rows(0, 30)))
+    before = [r for r in t._data_files() if "2024-01-02" in r]
+    # replace only day 1's rows (k % 3 == 0 land on 2024-01-01)
+    repl = spark.createDataFrame(
+        [Row(k=100 + i, ts=__import__("datetime").datetime(2024, 1, 1, i), v=-1.0)
+         for i in range(3)]
+    )
+    t.overwrite_partitions(repl)
+    ks = sorted(r["k"] for r in t.read().collect())
+    assert ks == [i for i in range(30) if i % 3 != 0] + [100, 101, 102]
+    # untouched day's files never moved
+    assert [r for r in t._data_files() if "2024-01-02" in r] == before
+
+
+def test_bucket_transform_and_evolution_to_it(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "b"))
+    t.overwrite(spark.createDataFrame(_ts_rows(0, 10)))
+    t.evolve_partition_spec(["bucket(4, k)"])
+    t.append(spark.createDataFrame(_ts_rows(10, 20)))
+    rels = t._data_files()
+    buckets = {r.split("/")[0] for r in rels if r.startswith("pt__bucket_4_k=")}
+    assert 1 <= len(buckets) <= 4
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(20))
+    # as_of spans the evolution
+    assert sorted(r["k"] for r in t.as_of(t.history()[0]["seq"]).collect()) == list(range(10))
+
+
+def test_transform_guards(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "g"), partition_by=["days(ts)"])
+    t.overwrite(spark.createDataFrame(_ts_rows(0, 6)))
+    # the transform SOURCE column is protected from rename/drop
+    with pytest.raises(ValueError, match="partition"):
+        t.rename_column("ts", "when")
+    # replace_where falls back to the full rewrite (a transform is
+    # many-to-one: a source predicate is not partition-exact)
+    t.replace_where(
+        spark.createDataFrame(_ts_rows(0, 2)), F.col("k") < 2
+    )
+    assert t.history()[-1]["op"] == "replace_where"
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(6))
