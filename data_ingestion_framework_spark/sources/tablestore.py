@@ -57,7 +57,12 @@ LOG_DIR = "_commits"
 HIST_DIR = "_history"
 PROPS_FILE = "_table.json"
 DV_PTR = "_dv_ptr"
-_AUX = (LOG_DIR, HIST_DIR, PROPS_FILE)
+#: table-lifecycle sidecars the overwrite swap carries into the NEW
+#: root (everything else in the old root is snapshot state and retires
+#: to _history): the commit log, retained history, properties, and the
+#: exported Delta log (sinks/delta_export.py — it describes the table
+#: across commits, not one snapshot)
+_AUX = (LOG_DIR, HIST_DIR, PROPS_FILE, "_delta_log")
 
 
 class CheckConstraintViolation(ValueError):
