@@ -1978,3 +1978,36 @@ def orders_hidden_partition_state(spark, sf_dir):
     )
     t.overwrite_partitions(repl)
     return t.read()
+
+
+# ---------------------------------------------------------------------------
+# Delta-log export lifecycle under the oracle gate: orders lands in
+# the table store, a COW delete rewrites the touched files, the
+# exported _delta_log advances one remove/add diff version, and the
+# final read goes through the package's public-protocol Delta READER —
+# so what's value-checked is the full writer→protocol→reader loop, not
+# the store's own scan.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_delta_export_state",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 5 <> 0
+    """,
+)
+def orders_delta_export_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sinks.delta_export import (
+        export_delta_log,
+    )
+    from data_ingestion_framework_spark.sources import delta_log
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = ParquetTable(spark, _scratch_dir("difs_dexp_") + "/t")
+    t.overwrite(orders)
+    export_delta_log(t)
+    t.delete_where(F.col("o_orderkey") % 5 == 0)
+    export_delta_log(t)
+    return delta_log.read_delta_log(spark, t.path)
