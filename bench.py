@@ -93,6 +93,10 @@ HEADLINE = [
     "events_gapfill_locf",
     "docs_bm25_topk",
     "events_hll_distinct_users",
+    # round-8 second wave: M4 (four roles, one exchange), z-normalized
+    # pattern matching (closed-form correlation over array folds)
+    "events_m4_downsample",
+    "events_pattern_topk",
 ]
 
 
