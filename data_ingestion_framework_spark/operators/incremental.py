@@ -219,3 +219,58 @@ def _refresh_partition_scoped(
     )
     agg_table.set_properties({**props, cursor_prop: str(current_seq)})
     return n_folded
+
+
+JOIN_CURSOR_PROP = "join_cursor_seqs"
+
+
+def refresh_join(
+    left,
+    right,
+    target,
+    on: list[str],
+    how: str = "inner",
+) -> dict:
+    """Incremental materialized-JOIN maintenance — the join analogue of
+    :func:`refresh_aggregate` (classic incremental view maintenance:
+    with additive bases ``L_new = L_old ∪ ΔL`` and ``R_new = R_old ∪ ΔR``,
+    the join delta is EXACTLY ``ΔL ⋈ R_new  ∪  L_old ⋈ ΔR`` — the two
+    terms are disjoint by left-row provenance and the first already
+    covers ``ΔL ⋈ ΔR``). Only the delta joins ship: per refresh the
+    work is O(|ΔL|·|R| + |L|·|ΔR|) join probes instead of re-running
+    the full join, and with broadcast-able deltas both terms are
+    map-side.
+
+    ``L_old`` resolves via the table store's own time travel
+    (``as_of`` at the cursor commit), ``ΔL``/``ΔR`` via ``read_since``
+    — which RAISES when any commit since the cursor is not
+    file-additive (overwrite/compact/delete), the same soundness rule
+    every incremental consumer here follows: fall back to a full
+    rebuild there.
+
+    Inner joins only (an outer join's delta must retract previously
+    emitted null-padded rows — retraction needs a keyed MERGE, not an
+    append). Cursors persist in the TARGET's properties, so a restart
+    resumes exactly where the last refresh committed."""
+    if how != "inner":
+        raise ValueError("refresh_join maintains INNER joins only")
+    cursors = target.properties().get(JOIN_CURSOR_PROP)
+    l_seq = left.history()[-1]["seq"]
+    r_seq = right.history()[-1]["seq"]
+    if cursors is None:
+        full = left.read().join(right.read(), on, "inner")
+        target.overwrite(full, op="refresh_join_full")
+        target.set_properties({JOIN_CURSOR_PROP: [l_seq, r_seq]})
+        return {"mode": "full", "cursor": [l_seq, r_seq]}
+    l0, r0 = cursors
+    if l_seq == l0 and r_seq == r0:
+        return {"mode": "noop", "cursor": [l0, r0]}
+    dl = left.read_since(l0)
+    dr = right.read_since(r0)
+    l_old = left.as_of(l0)
+    delta = dl.join(right.read(), on, "inner").unionByName(
+        l_old.join(dr, on, "inner")
+    )
+    target.append(delta, metrics={"refresh_join_from": [l0, r0]})
+    target.set_properties({JOIN_CURSOR_PROP: [l_seq, r_seq]})
+    return {"mode": "incremental", "cursor": [l_seq, r_seq]}

@@ -2011,3 +2011,46 @@ def orders_delta_export_state(spark, sf_dir):
     t.delete_where(F.col("o_orderkey") % 5 == 0)
     export_delta_log(t)
     return delta_log.read_delta_log(spark, t.path)
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-JOIN maintenance under the oracle gate
+# (classic IVM: join delta = dL JOIN R_new UNION L_old JOIN dR, the
+# terms disjoint by left-row provenance): both base tables grow by an
+# append AFTER the initial full materialization, each refresh joins
+# ONLY the delta, and the final target must equal the full join — any
+# missed or duplicated delta term fails the value hash. Cursors
+# persist in the target's properties (restart-safe).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_incremental_join_state",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey AS custkey, o.o_totalprice,
+           c.c_mktsegment
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def orders_incremental_join_state(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.incremental import (
+        refresh_join,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    base = _scratch_dir("difs_ivmj_")
+    lt = ParquetTable(spark, base + "/l")
+    rt = ParquetTable(spark, base + "/r")
+    tgt = ParquetTable(spark, base + "/t")
+    lt.overwrite(orders.where(F.col("o_orderkey") % 2 == 0))
+    rt.overwrite(cust.where(F.col("custkey") % 2 == 0))
+    refresh_join(lt, rt, tgt, ["custkey"])  # full materialization
+    lt.append(orders.where(F.col("o_orderkey") % 2 == 1))
+    refresh_join(lt, rt, tgt, ["custkey"])  # dL x R
+    rt.append(cust.where(F.col("custkey") % 2 == 1))
+    refresh_join(lt, rt, tgt, ["custkey"])  # L x dR
+    return tgt.read()

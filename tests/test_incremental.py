@@ -206,3 +206,38 @@ def test_refresh_unpartitioned_rewritten_base_still_refuses(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not file-additive"):
         refresh_aggregate(base, agg, ["v"], {"n": ("count", "v")})
+
+
+# -- join IVM ----------------------------------------------------------------
+
+
+def test_refresh_join_incremental_matches_full(spark, tmp_path):
+    from pyspark.sql import Row, functions as F
+
+    from data_ingestion_framework_spark.operators.incremental import (
+        refresh_join,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    lt = ParquetTable(spark, str(tmp_path / "l"))
+    rt = ParquetTable(spark, str(tmp_path / "r"))
+    tgt = ParquetTable(spark, str(tmp_path / "t"))
+    lt.overwrite(spark.createDataFrame([Row(k=i, lv=i * 10) for i in range(4)]))
+    rt.overwrite(spark.createDataFrame([Row(k=i, rv=i * 100) for i in (0, 1)]))
+    assert refresh_join(lt, rt, tgt, ["k"])["mode"] == "full"
+    assert refresh_join(lt, rt, tgt, ["k"])["mode"] == "noop"
+    # both sides grow, including keys whose match arrives LATER
+    lt.append(spark.createDataFrame([Row(k=i, lv=i * 10) for i in (4, 5)]))
+    assert refresh_join(lt, rt, tgt, ["k"])["mode"] == "incremental"
+    rt.append(spark.createDataFrame([Row(k=i, rv=i * 100) for i in (2, 4)]))
+    refresh_join(lt, rt, tgt, ["k"])
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in tgt.read().collect())
+    full = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in lt.read().join(rt.read(), "k").collect()
+    )
+    assert got == full and len(got) == 4  # k in {0,1,2,4}
+    # a non-additive commit on a base poisons the increment loudly
+    lt.delete_where(F.col("k") == 0)
+    with pytest.raises(ValueError, match="read_since|not file-additive"):
+        refresh_join(lt, rt, tgt, ["k"])
