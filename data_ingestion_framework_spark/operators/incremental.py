@@ -274,3 +274,66 @@ def refresh_join(
     target.append(delta, metrics={"refresh_join_from": [l0, r0]})
     target.set_properties({JOIN_CURSOR_PROP: [l_seq, r_seq]})
     return {"mode": "incremental", "cursor": [l_seq, r_seq]}
+
+
+def refresh_left_join(
+    left,
+    right,
+    target,
+    on: list[str],
+) -> dict:
+    """Incremental LEFT-join maintenance against a DIMENSION right side
+    (right unique per key — the enrichment-join shape). The wrinkle an
+    inner join doesn't have: a left row whose match hasn't arrived sits
+    in the target NULL-PADDED, and when its dimension row lands later
+    the padded row must be RETRACTED-and-replaced, not appended beside.
+
+    Delta handling per refresh:
+    - ``ΔL LEFT JOIN R_new`` appends (new left rows pad or match —
+      either way they're new target rows);
+    - ``ΔR`` UPDATES in place through the generic merge executor:
+      target rows matching a new dimension key get their right columns
+      filled (they were necessarily padded — the key was absent), a
+      keyed merge commit instead of an append. The executor's
+      source-uniqueness guard enforces the dimension contract.
+
+    Same additivity rule as :func:`refresh_join` (``read_since``
+    raises on non-additive base commits); cursors persist in the
+    target's properties."""
+    from data_ingestion_framework_spark.sinks.writers import (
+        merge_into,
+        merge_source,
+    )
+
+    cursors = target.properties().get(JOIN_CURSOR_PROP)
+    l_seq = left.history()[-1]["seq"]
+    r_seq = right.history()[-1]["seq"]
+    if cursors is None:
+        target.overwrite(
+            left.read().join(right.read(), on, "left"),
+            op="refresh_left_join_full",
+        )
+        target.set_properties({JOIN_CURSOR_PROP: [l_seq, r_seq]})
+        return {"mode": "full", "cursor": [l_seq, r_seq]}
+    l0, r0 = cursors
+    if l_seq == l0 and r_seq == r0:
+        return {"mode": "noop", "cursor": [l0, r0]}
+    stats = {}
+    dl = left.read_since(l0)
+    if l_seq != l0:
+        target.append(
+            dl.join(right.read(), on, "left"),
+            metrics={"refresh_left_join_dl": [l0, l_seq]},
+        )
+    if r_seq != r0:
+        dr = right.read_since(r0)
+        right_cols = [c for c in dr.columns if c not in on]
+        stats = merge_into(
+            target,
+            dr,
+            on,
+            when_matched_update={c: merge_source(c) for c in right_cols},
+            when_not_matched_insert=False,
+        )
+    target.set_properties({JOIN_CURSOR_PROP: [l_seq, r_seq]})
+    return {"mode": "incremental", "cursor": [l_seq, r_seq], **stats}

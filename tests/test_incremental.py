@@ -241,3 +241,35 @@ def test_refresh_join_incremental_matches_full(spark, tmp_path):
     lt.delete_where(F.col("k") == 0)
     with pytest.raises(ValueError, match="read_since|not file-additive"):
         refresh_join(lt, rt, tgt, ["k"])
+
+
+def test_refresh_left_join_retracts_null_padding(spark, tmp_path):
+    """A left row whose dimension match arrives LATER must upgrade its
+    null-padded target row in place — the retraction case inner-join
+    IVM never faces."""
+    from pyspark.sql import Row
+
+    from data_ingestion_framework_spark.operators.incremental import (
+        refresh_left_join,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    lt = ParquetTable(spark, str(tmp_path / "l"))
+    rt = ParquetTable(spark, str(tmp_path / "r"))
+    tgt = ParquetTable(spark, str(tmp_path / "t"))
+    lt.overwrite(spark.createDataFrame([Row(k=i, lv=i * 10) for i in range(4)]))
+    rt.overwrite(spark.createDataFrame([Row(k=0, rv="a")]))
+    assert refresh_left_join(lt, rt, tgt, ["k"])["mode"] == "full"
+    # late-arriving dimension rows + new left rows in one cycle
+    lt.append(spark.createDataFrame([Row(k=9, lv=90)]))
+    rt.append(spark.createDataFrame([Row(k=1, rv="b"), Row(k=9, rv="z")]))
+    refresh_left_join(lt, rt, tgt, ["k"])
+    got = {r["k"]: (r["lv"], r["rv"]) for r in tgt.read().collect()}
+    full = {
+        r["k"]: (r["lv"], r["rv"])
+        for r in lt.read().join(rt.read(), "k", "left").collect()
+    }
+    assert got == full
+    assert got[1] == (10, "b") and got[9] == (90, "z")  # retracted pads
+    assert got[2] == (20, None)  # still padded, exactly once
+    assert len(tgt.read().collect()) == 5
