@@ -145,3 +145,73 @@ def range_join_binned(
         & (epoch_micros(rts) < epoch_micros(lts) + w_us)
     )
     return joined.drop("_bin", *jk)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int,
+    max_buckets: int = 1024,
+) -> DataFrame:
+    """Inner-join INTERVAL pairs that overlap (half-open:
+    ``l_start < r_end AND r_start < l_end``) on the same keys — the
+    both-sides-are-intervals shape ``range_join_binned``
+    (point-in-window) can't express, and the one engines nested-loop
+    without help.
+
+    Each interval explodes to the fixed-width buckets it covers and
+    candidates meet on a ``(keys, bucket)`` equi-join. A true pair can
+    meet in MANY shared buckets; instead of a distinct (a second
+    shuffle over the pair set), each pair is emitted exactly once by
+    keeping only the bucket containing the overlap's START
+    (``greatest(l_start, r_start)``) — a pure filter on the joined
+    row. Integer epoch division throughout (a float quotient can cross
+    a bucket boundary). Intervals spanning more than ``max_buckets``
+    buckets raise (the generator would amplify them quadratically —
+    pick a wider bucket, loudly).
+    """
+    w_us = bucket_seconds * 1_000_000
+    overlap_cols = set(left.columns) & set(right.columns)
+    jk = [f"_k_{k}" for k in keys]
+
+    def prep(df, start, end, side):
+        pre = df.select(
+            *[
+                F.col(c).alias(f"{side}_{c}" if c in overlap_cols else c)
+                for c in df.columns
+            ],
+            epoch_micros(start).alias(f"__{side}s"),
+            epoch_micros(end).alias(f"__{side}e"),
+            *[F.col(k).alias(a) for k, a in zip(keys, jk)],
+        )
+        b0 = F.expr(f"__{side}s div {w_us}")
+        b1 = F.expr(f"__{side}e div {w_us}")
+        guard = F.when(
+            b1 - b0 > max_buckets,
+            F.raise_error(
+                F.lit(
+                    f"interval_overlap_join: an interval spans more than "
+                    f"{max_buckets} buckets — widen bucket_seconds"
+                )
+            ),
+        ).otherwise(b0)
+        return pre.select(
+            "*", F.explode(F.sequence(guard, b1)).alias("_bin")
+        )
+
+    lsel = prep(left, l_start, l_end, "l")
+    rsel = prep(right, r_start, r_end, "r")
+    joined = lsel.join(rsel, ["_bin", *jk], "inner").where(
+        (F.col("__ls") < F.col("__re"))
+        & (F.col("__rs") < F.col("__le"))
+        & (
+            F.col("_bin")
+            == F.expr(f"greatest(__ls, __rs) div {w_us}")
+        )
+    )
+    return joined.drop("_bin", "__ls", "__le", "__rs", "__re", *jk)

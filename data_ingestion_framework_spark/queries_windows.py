@@ -544,3 +544,74 @@ def events_seasonal_anomalies(spark, sf_dir):
         .where((F.col("sd") > 0) & (F.abs(z) > 2.5))
         .select("event_id", "event_type", "hr", "value", z.alias("z"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (both sides are INTERVALS — the temporal shape
+# range joins and as-of joins can't express): per-user activity
+# sessions overlapping a ±10-minute window around the same user's
+# purchases. Each interval explodes to its covered 20-minute buckets;
+# pairs meet on (user, bucket) and emit exactly once in the bucket
+# holding the overlap's start — a filter, not a distinct. The oracle
+# runs the same session construction and a direct theta join.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_session_purchase_overlap",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, session_id, MIN(ts) AS ss,
+             MAX(ts) + INTERVAL 60 SECOND AS se
+      FROM sessioned GROUP BY 1, 2
+    ),
+    pur AS (
+      SELECT user_id, event_id,
+             ts - INTERVAL 600 SECOND AS ps,
+             ts + INTERVAL 600 SECOND AS pe
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT s.user_id, s.session_id, p.event_id
+    FROM sess s JOIN pur p
+      ON p.user_id = s.user_id AND s.ss < p.pe AND p.ps < s.se
+    """,
+)
+def events_session_purchase_overlap(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("ss"),
+            (F.max("ts") + F.expr("INTERVAL 60 SECOND")).alias("se"),
+        )
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        (F.col("ts") - F.expr("INTERVAL 600 SECOND")).alias("ps"),
+        (F.col("ts") + F.expr("INTERVAL 600 SECOND")).alias("pe"),
+    )
+    out = interval_overlap_join(
+        sess, pur, ["user_id"], "ss", "se", "ps", "pe", bucket_seconds=1200
+    )
+    # shared columns carry l_/r_ prefixes (range_join_binned's contract)
+    return out.select(
+        F.col("l_user_id").alias("user_id"), "session_id", "event_id"
+    )

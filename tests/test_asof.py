@@ -220,3 +220,49 @@ def test_funnel_strictly_after_ordering(spark):
     assert times[2]["t_2"] is None and times[2]["t_1"] is not None
     assert 3 not in times  # never entered the funnel
     assert times[4]["t_2"] is None
+
+
+def test_interval_overlap_join_exact_once_and_guard(spark):
+    """Hand case: overlaps emit exactly once even when pairs share many
+    buckets; half-open boundaries don't touch-match; oversized spans
+    raise loudly."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import Row
+
+    from data_ingestion_framework_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    def T(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [
+            Row(k="u", lid=1, ls=T(0), le=T(50)),   # spans many buckets
+            Row(k="u", lid=2, ls=T(55), le=T(56)),
+            Row(k="v", lid=3, ls=T(0), le=T(50)),   # other key: no cross
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="u", rid=1, rs=T(10), re_=T(40)),  # inside lid=1
+            Row(k="u", rid=2, rs=T(49), re_=T(57)),  # overlaps lid 1 AND 2
+            Row(k="u", rid=3, rs=T(50), re_=T(51)),  # touches lid=1 end: half-open, no match
+        ]
+    )
+    out = interval_overlap_join(
+        left, right, ["k"], "ls", "le", "rs", "re_", bucket_seconds=300
+    )
+    pairs = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert pairs == [(1, 1), (1, 2), (2, 2)]
+
+    wide = spark.createDataFrame(
+        [Row(k="u", lid=9, ls=T(0), le=dt.datetime(2024, 3, 1))]
+    )
+    with pytest.raises(Exception, match="spans more than"):
+        interval_overlap_join(
+            wide, right, ["k"], "ls", "le", "rs", "re_",
+            bucket_seconds=60, max_buckets=100,
+        ).collect()
