@@ -633,6 +633,58 @@ def quantize_int8(
     )
 
 
+def quantize_int8_calibrated(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+) -> DataFrame:
+    """Percentile-calibrated per-DIMENSION int8 quantization: clip each
+    dimension at its corpus-level exact discrete percentiles before
+    scaling — the production calibration step absmax quantization
+    lacks (one outlier coordinate otherwise burns the whole int8 range
+    for every vector; faiss/our ``quantize_int8`` is per-vector
+    absmax). Returns EXPLODED rows ``(id, pos, q, half)`` — element
+    level, the value-checkable shape.
+
+    Determinism: the clip bounds are exact DISCRETE percentiles (rank
+    pick, ``ceil(q·n)`` — no interpolation float), the symmetric range
+    is ``half = max(|lo|, |hi|)``, and rounding is the engine-neutral
+    ``floor(x+0.5)``. Plan: one posexplode shuffle on dimension
+    position for the rank windows, a ≤dim-row bounds table broadcast
+    back, quantization scan-side."""
+    el = df.select(
+        F.col(id_col),
+        F.posexplode(_to_double(F.col(vec_col))).alias("__pos", "__x"),
+    )
+    w = W.partitionBy("__pos").orderBy("__x", id_col)
+    ranked = el.select(
+        "__pos",
+        "__x",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(W.partitionBy("__pos")).alias("__n"),
+    )
+    lo_rank = F.greatest(F.lit(1), F.ceil(F.lit(lo_q) * F.col("__n")))
+    hi_rank = F.ceil(F.lit(hi_q) * F.col("__n"))
+    bounds = ranked.groupBy("__pos").agg(
+        F.max(F.when(F.col("__rn") == lo_rank, F.col("__x"))).alias("__lo"),
+        F.max(F.when(F.col("__rn") == hi_rank, F.col("__x"))).alias("__hi"),
+    )
+    half = F.greatest(F.abs(F.col("__lo")), F.abs(F.col("__hi")))
+    b = bounds.select("__pos", half.alias("__half"))
+    clipped = F.least(F.greatest(F.col("__x"), -F.col("__half")), F.col("__half"))
+    q = F.when(F.col("__half") == 0, F.lit(0)).otherwise(
+        F.floor(clipped / F.col("__half") * F.lit(127.0) + F.lit(0.5))
+    ).cast("int")
+    return el.join(F.broadcast(b), "__pos").select(
+        F.col(id_col),
+        F.col("__pos").alias("pos"),
+        q.alias("q"),
+        F.round(F.col("__half"), 6).alias("half"),
+    )
+
+
 def dequantize_int8(
     df: DataFrame, qvec_col: str = "qvec", scale_col: str = "scale"
 ) -> Column:

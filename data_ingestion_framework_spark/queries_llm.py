@@ -4250,3 +4250,48 @@ def events_cm_user_counts(spark, sf_dir):
         "exact_count",
         (F.col("cm_est") >= F.col("exact_count")).alias("no_undercount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Percentile-calibrated per-dimension int8 quantization (the
+# production calibration absmax lacks — one outlier coordinate burns
+# the int8 range for every vector): clip each dimension at exact
+# DISCRETE corpus percentiles (rank pick, no interpolation float),
+# symmetric half-range, floor(x+0.5) rounding. Element-level rows so
+# the hash gate checks every code. Restricted to vec_id % 7 = 0 to
+# bound the exploded output.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "embeddings_quantize_calibrated",
+    oracle="""
+    WITH el AS (
+      SELECT vec_id,
+             UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), ranked AS (
+      SELECT pos, x,
+             row_number() OVER (PARTITION BY pos ORDER BY x, vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY pos) AS n
+      FROM el
+    ), bounds AS (
+      SELECT pos,
+             MAX(CASE WHEN rn = GREATEST(1, CEIL(0.01 * n)) THEN x END) AS lo,
+             MAX(CASE WHEN rn = CEIL(0.99 * n) THEN x END) AS hi
+      FROM ranked GROUP BY pos
+    ), b AS (
+      SELECT pos, GREATEST(abs(lo), abs(hi)) AS half FROM bounds
+    )
+    SELECT e.vec_id, e.pos,
+           CAST(CASE WHEN b.half = 0 THEN 0
+                ELSE floor(LEAST(GREATEST(e.x, -b.half), b.half)
+                           / b.half * 127.0 + 0.5) END AS INT) AS q,
+           ROUND(b.half, 6) AS half
+    FROM el e JOIN b ON b.pos = e.pos
+    WHERE e.vec_id % 7 = 0
+    """,
+)
+def embeddings_quantize_calibrated(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.quantize_int8_calibrated(emb)
+    return out.where(F.col("vec_id") % 7 == 0)
