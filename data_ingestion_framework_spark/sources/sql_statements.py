@@ -417,3 +417,19 @@ def _execute_merge(spark, m, tables):
                     kwargs["when_matched_update_condition"] = cond
     kwargs.setdefault("when_not_matched_insert", False)
     return merge_into(t, source, key_cols, **kwargs)
+
+
+def execute_script(
+    spark: SparkSession,
+    script: str,
+    tables: dict[str, ParquetTable] | None = None,
+) -> list:
+    """Run a ;-separated statement script in order, returning each
+    statement's result (the operational runbook shape: create, load,
+    constrain, optimize in one reviewable block). Statements split at
+    top-level semicolons only — literals containing ';' survive."""
+    results = []
+    for stmt in _split_top_level(script, ";"):
+        if stmt.strip():
+            results.append(execute_statement(spark, stmt, tables))
+    return results

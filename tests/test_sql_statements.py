@@ -161,3 +161,22 @@ def test_merge_on_must_be_key_equalities(spark, t):
             "MERGE INTO t USING s2 ON target.k > source.k WHEN MATCHED THEN DELETE",
             {"t": t},
         )
+
+
+def test_execute_script_runs_statements_in_order(spark, t):
+    from data_ingestion_framework_spark.sources.sql_statements import (
+        execute_script,
+    )
+
+    out = execute_script(
+        spark,
+        """
+        DELETE FROM t WHERE k >= 5;
+        UPDATE t SET status = ';kept;' WHERE k = 0;
+        SELECT count(*) AS n FROM t
+        """,
+        {"t": t},
+    )
+    assert out[0]["rows_deleted"] == 5
+    assert out[2].collect()[0]["n"] == 5
+    assert t.read().where("k = 0").collect()[0]["status"] == ";kept;"
