@@ -32,6 +32,8 @@ tables registered as views and time-travel clauses rewritten):
   WHEN NOT MATCHED [AND c] THEN INSERT *
   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE``
   (target columns by plain name, source columns as ``source.<col>``)
+- ``ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b]``
+- ``FSCK REPAIR TABLE t [DRY RUN]``
 - ``DESCRIBE HISTORY t`` / ``DESCRIBE DETAIL t``
 - ``SELECT ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...``
 
@@ -241,6 +243,28 @@ def execute_statement(
             t.set_properties(props)
             return None
         raise ValueError(f"unsupported ALTER TABLE clause: {rest!r}")
+
+    m = re.match(
+        rf"ANALYZE{_WS}TABLE{_WS}{_TBL}{_WS}COMPUTE{_WS}STATISTICS"
+        rf"({_WS}FOR{_WS}COLUMNS{_WS}(.+))?$",
+        s,
+        re.I,
+    )
+    if m:
+        t = _resolve(spark, m.group(1), tables)
+        cols = (
+            [c.strip().strip("`") for c in m.group(3).split(",")]
+            if m.group(3)
+            else None
+        )
+        return t.analyze(columns=cols)
+
+    m = re.match(rf"FSCK{_WS}REPAIR{_WS}TABLE{_WS}{_TBL}({_WS}DRY{_WS}RUN)?$", s, re.I)
+    if m:
+        t = _resolve(spark, m.group(1), tables)
+        if m.group(2):
+            return {"dry_run": True, "orphans": t.orphan_files(grace_seconds=0)}
+        return {"orphans_removed": t.remove_orphan_files(grace_seconds=0)}
 
     m = re.match(rf"DESCRIBE{_WS}HISTORY{_WS}{_TBL}$", s, re.I)
     if m:

@@ -180,3 +180,24 @@ def test_execute_script_runs_statements_in_order(spark, t):
     assert out[0]["rows_deleted"] == 5
     assert out[2].collect()[0]["n"] == 5
     assert t.read().where("k = 0").collect()[0]["status"] == ";kept;"
+
+
+def test_analyze_and_fsck_statements(spark, t, tmp_path):
+    from data_ingestion_framework_spark.sources.sql_statements import (
+        execute_statement,
+    )
+
+    stats = execute_statement(
+        spark, "ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS k, v", {"t": t}
+    )
+    assert set(stats) >= {"k", "v"} or "columns" in stats or stats  # persisted
+    assert t.properties().get("stats")  # TBLPROPERTIES analogue landed
+    # plant an orphan (no commit references it), then FSCK
+    import glob, shutil
+
+    live = glob.glob(str(tmp_path / "t" / "*.parquet"))[0]
+    shutil.copy(live, str(tmp_path / "t" / "part-orphan.parquet"))
+    dry = execute_statement(spark, "FSCK REPAIR TABLE t DRY RUN", {"t": t})
+    assert any("orphan" in o for o in dry["orphans"])
+    r = execute_statement(spark, "FSCK REPAIR TABLE t", {"t": t})
+    assert r["orphans_removed"] >= 1
