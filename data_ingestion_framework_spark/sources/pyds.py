@@ -42,7 +42,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 LOG = "_commits"
@@ -276,6 +278,119 @@ class ParquetTableStreamReader(DataSourceStreamReader):
         pass
 
 
+class ParquetTableWriter(DataSourceWriter):
+    """``df.write.format("difs").mode("append")``: executor tasks write
+    parquet files under dotted TEMP names (invisible to every reader —
+    the store's walkers and Spark's path filter skip dot-prefixed
+    entries), and the driver-side ``commit`` renames them live and
+    appends ONE commit record listing exactly those files — the same
+    two-phase write-then-publish discipline the store's own writers
+    use, so a task retry or abort never leaks a visible file. The
+    record lands via the put-if-absent link, so a concurrent writer
+    loses loudly instead of corrupting the log. Unpartitioned append
+    only (layout-changing writes belong to ParquetTable's API)."""
+
+    def __init__(self, options: dict, overwrite: bool, schema=None):
+        self.path = options.get("path")
+        self.schema = schema
+        if not self.path:
+            raise ValueError("difs sink: option 'path' is required")
+        if overwrite:
+            raise ValueError(
+                "difs sink supports mode('append') only — overwrite is a "
+                "staged-swap lifecycle, use ParquetTable.overwrite()"
+            )
+        if _props(self.path).get("partition_spec") or any(
+            "=" in c for rel in _walk_data_files(self.path) for c in rel.split(os.sep)[:-1]
+        ):
+            raise ValueError("difs sink: partitioned tables need ParquetTable")
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return WriterCommitMessage()
+        names = rows[0].__fields__
+        cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+        if self.schema is not None:
+            # build against the DECLARED schema — pyarrow inference from
+            # python values would drift on all-null or temporal columns
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            tbl = pa.table(cols, schema=to_arrow_schema(self.schema))
+        else:
+            tbl = pa.table(cols)
+        tmp = f".inflight-{_uuid.uuid4().hex}.parquet"
+        pq.write_table(tbl, os.path.join(self.path, tmp))
+        msg = WriterCommitMessage()
+        msg.file = tmp
+        return msg
+
+    def commit(self, messages):
+        import json as _json
+        import time as _time
+        import uuid as _uuid
+
+        new = []
+        for m in messages:
+            tmp = getattr(m, "file", None)
+            if not tmp:
+                continue
+            final = "part-" + tmp[len(".inflight-"):]
+            os.rename(
+                os.path.join(self.path, tmp), os.path.join(self.path, final)
+            )
+            new.append(final)
+        # one commit record, put-if-absent (the store's arbitration)
+        names = _records(self.path)
+        seq = (int(names[-1][:8]) + 1) if names else 1
+        import pyarrow.parquet as pq
+
+        rows = sum(
+            pq.ParquetFile(os.path.join(self.path, f)).metadata.num_rows
+            for f in new
+        )
+        rec = {
+            "seq": seq,
+            "ts": _time.time(),
+            "op": "append",
+            "rows_written": rows,
+            "metrics": {"writer": "difs-datasource"},
+            "files": _walk_data_files(self.path),
+            "stats": {},
+        }
+        log = os.path.join(self.path, LOG)
+        os.makedirs(log, exist_ok=True)
+        tmp = os.path.join(log, f".tmp-{_uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            _json.dump(rec, f)
+        try:
+            os.link(tmp, os.path.join(log, f"{seq:08d}.json"))
+        except FileExistsError:
+            raise RuntimeError(
+                f"difs sink: commit {seq} already exists — concurrent writer"
+            ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def abort(self, messages):
+        for m in messages:
+            tmp = getattr(m, "file", None)
+            if tmp:
+                try:
+                    os.unlink(os.path.join(self.path, tmp))
+                except OSError:
+                    pass
+
+
 class ParquetTableDataSource(DataSource):
     """``spark.read.format("difs")`` over a path-backed table."""
 
@@ -301,3 +416,6 @@ class ParquetTableDataSource(DataSource):
 
     def streamReader(self, schema):
         return ParquetTableStreamReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool):
+        return ParquetTableWriter(dict(self.options), overwrite, schema)

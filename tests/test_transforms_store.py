@@ -331,3 +331,42 @@ def test_difs_stream_reader_replays_appends(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["k"] for r in spark.read.parquet(out).collect())
     assert got.count(99) == 1 and len(got) == 13
+
+
+def test_difs_datasource_write_appends_through_the_log(spark, tmp_path):
+    """df.write.format('difs'): executor tasks stage dot-prefixed
+    in-flight files, the driver commit publishes them + ONE log record
+    — readable back by both the store and the difs reader."""
+    from data_ingestion_framework_spark.sources.pyds import (
+        ParquetTableDataSource,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    spark.dataSource.register(ParquetTableDataSource)
+    p = str(tmp_path / "w")
+    t = ParquetTable(spark, p)
+    t.overwrite(spark.createDataFrame([(0, "seed")], "k long, s string"))
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 9)], "k long, s string"
+    ).repartition(3).write.format("difs").option("path", p).mode(
+        "append"
+    ).save()
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(9))
+    hist = t.history()
+    assert hist[-1]["op"] == "append" and hist[-1]["rows_written"] == 8
+    assert hist[-1]["metrics"]["writer"] == "difs-datasource"
+    # no in-flight litter
+    import os as _os
+
+    assert not [f for f in _os.listdir(p) if f.startswith(".inflight")]
+    got = (
+        spark.read.format("difs").option("path", p).load().count()
+    )
+    assert got == 9
+    # overwrite mode refused
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="append.*only|ParquetTable.overwrite"):
+        spark.createDataFrame([(9, "x")], "k long, s string").write.format(
+            "difs"
+        ).option("path", p).mode("overwrite").save()
