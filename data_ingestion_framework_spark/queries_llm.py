@@ -4295,3 +4295,81 @@ def embeddings_quantize_calibrated(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     out = similarity.quantize_int8_calibrated(emb)
     return out.where(F.col("vec_id") % 7 == 0)
+
+
+# ---------------------------------------------------------------------------
+# Passage retrieval composite (the RAG shape): documents chunk into
+# 32-token windows with 8-token overlap, and BM25 ranks the CHUNKS for
+# the query — retrieval at passage granularity instead of document
+# granularity, chaining two already-certified operators. The oracle
+# re-derives the chunking (same slice arithmetic as docs_chunk_windows
+# at 32/8) and the full BM25 skeleton over the chunk rows.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_chunk_bm25_topk",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),
+                          ' ') AS ws
+      FROM documents
+      WHERE length(trim(text)) > 0
+    ), ch AS (
+      SELECT doc_id * 100 + i AS cid,
+             array_to_string(ws[s:s+31], ' ') AS ctext
+      FROM (
+        SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws) - 8, 1) + 1, 24)) AS s,
+               unnest(range(0, len(range(1, greatest(len(ws) - 8, 1) + 1, 24)))) AS i
+        FROM w
+      ) t
+    ), t2 AS (
+      SELECT cid, UNNEST(string_split(ctext, ' ')) AS term FROM ch
+    ), t3 AS (
+      SELECT cid, term FROM t2 WHERE term <> ''
+    ), dl AS (
+      SELECT cid, COUNT(*) AS dl FROM t3 GROUP BY cid
+    ), stats AS (
+      SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT cid, term, COUNT(*) AS tf
+      FROM t3 WHERE term IN ('spark', 'merge', 'window')
+      GROUP BY cid, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.cid,
+             CAST(ROUND(
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl)))),
+               6) AS DECIMAL(18,6)) AS c
+      FROM tf
+      JOIN dfreq d USING (term)
+      JOIN dl l ON tf.cid = l.cid
+      CROSS JOIN stats s
+    ), ranked AS (
+      SELECT cid, CAST(SUM(c) AS DOUBLE) AS bm25
+      FROM scored GROUP BY cid
+      ORDER BY bm25 DESC, cid
+      LIMIT 10
+    )
+    SELECT cid // 100 AS doc_id, cid % 100 AS chunk_id, bm25 FROM ranked
+    """,
+)
+def docs_chunk_bm25_topk(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8).select(
+        (F.col("doc_id") * 100 + F.col("chunk_id")).alias("cid"),
+        F.col("chunk_text"),
+    )
+    top = text.bm25_topk(
+        chunks, ["spark", "merge", "window"], "cid", "chunk_text", k=10
+    )
+    return top.select(
+        F.expr("cid div 100").alias("doc_id"),
+        (F.col("cid") % 100).alias("chunk_id"),
+        "bm25",
+    )
