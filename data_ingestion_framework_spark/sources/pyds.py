@@ -128,6 +128,15 @@ class _Plan:
             raise ValueError("difs source: column-mapped tables need ParquetTable.read()")
         if props.get("widened_schema"):
             raise ValueError("difs source: type-widened tables need ParquetTable.read()")
+        if props.get("schema_evolved"):
+            # mergeSchema-evolved tables have per-file footer schemas;
+            # this scanner declares ONE schema from the first file, so
+            # later files would mismatch at executor time — refuse at
+            # plan time like the other unsupported metadata.
+            raise ValueError(
+                "difs source: schema-evolved tables (mixed footers) need "
+                "ParquetTable.read()"
+            )
         names = _records(path)
         if version is not None:
             match = [n for n in names if int(n[:8]) == version]
@@ -218,7 +227,13 @@ class ParquetTableStreamReader(DataSourceStreamReader):
     ``read_since``: file-level increments only mean rows-appended
     while every commit is additive."""
 
-    _ADDITIVE = {"append", "create", "set_partition_spec", "fsck_remove_orphans"}
+    _ADDITIVE = {
+        "append",
+        "create",
+        "set_partition_spec",
+        "fsck_remove_orphans",
+        "cdf_reconcile",  # file-neutral crash marker (see read_since)
+    }
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -300,11 +315,58 @@ class ParquetTableWriter(DataSourceWriter):
                 "difs sink supports mode('append') only — overwrite is a "
                 "staged-swap lifecycle, use ParquetTable.overwrite()"
             )
-        if _props(self.path).get("partition_spec") or any(
+        props = _props(self.path)
+        if props.get("partition_spec") or any(
             "=" in c for rel in _walk_data_files(self.path) for c in rel.split(os.sep)[:-1]
         ):
             raise ValueError("difs sink: partitioned tables need ParquetTable")
+        # This writer bypasses the store's column-mapping rewrite,
+        # widened-schema upcasts, and CHECK-constraint gate — refuse
+        # those targets loudly (mirroring _Plan) instead of committing
+        # a batch the table's own readers can't honor.
+        if props.get("column_mapping") or props.get("colmap"):
+            raise ValueError("difs sink: column-mapped tables need ParquetTable.append()")
+        if props.get("widened_schema"):
+            raise ValueError("difs sink: type-widened tables need ParquetTable.append()")
+        if props.get("schema_evolved"):
+            raise ValueError("difs sink: schema-evolved tables need ParquetTable.append()")
+        if props.get("constraints"):
+            raise ValueError(
+                "difs sink: table has CHECK constraints — this writer "
+                "cannot enforce them, use ParquetTable.append()"
+            )
+        if props.get("generated_columns") or props.get("generated"):
+            raise ValueError(
+                "difs sink: table has generated columns — use "
+                "ParquetTable.append()"
+            )
+        self._validate_schema()
         os.makedirs(self.path, exist_ok=True)
+
+    def _validate_schema(self) -> None:
+        """A mismatched batch schema must fail at PLAN time — a silent
+        commit of differently-typed files breaks every later read (the
+        store's append() widens or refuses; this writer does neither)."""
+        if self.schema is None:
+            return
+        existing = _walk_data_files(self.path)
+        if not existing:
+            return
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        table_schema = from_arrow_schema(
+            pq.read_schema(os.path.join(self.path, existing[0]))
+        )
+        declared = {f.name: f.dataType for f in self.schema.fields}
+        stored = {f.name: f.dataType for f in table_schema.fields}
+        if declared != stored:
+            raise ValueError(
+                "difs sink: batch schema does not match the table's "
+                f"(batch {sorted(declared)}, table {sorted(stored)}, or "
+                "a type differs) — align the frame or use "
+                "ParquetTable.append(merge_schema=True)"
+            )
 
     def write(self, iterator):
         import uuid as _uuid
@@ -346,9 +408,19 @@ class ParquetTableWriter(DataSourceWriter):
                 os.path.join(self.path, tmp), os.path.join(self.path, final)
             )
             new.append(final)
-        # one commit record, put-if-absent (the store's arbitration)
+        # one commit record, put-if-absent (the store's arbitration).
+        # The file list is previous-record files ∪ the files THIS commit
+        # renamed live — never a directory walk, which would launder a
+        # crashed writer's stray uncommitted file into a strict_files
+        # table's log (the store's own _record_commit admits prev∪new
+        # only; a log-less directory's first commit adopts what was
+        # already there as its base state).
         names = _records(self.path)
         seq = (int(names[-1][:8]) + 1) if names else 1
+        if names:
+            prev = _record(self.path, names[-1]).get("files") or []
+        else:
+            prev = [f for f in _walk_data_files(self.path) if f not in set(new)]
         import pyarrow.parquet as pq
 
         rows = sum(
@@ -361,7 +433,7 @@ class ParquetTableWriter(DataSourceWriter):
             "op": "append",
             "rows_written": rows,
             "metrics": {"writer": "difs-datasource"},
-            "files": _walk_data_files(self.path),
+            "files": sorted(set(prev) | set(new)),
             "stats": {},
         }
         log = os.path.join(self.path, LOG)

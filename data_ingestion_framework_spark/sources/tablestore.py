@@ -243,6 +243,17 @@ class ParquetTable:
         ``rewrite_to_current_spec()`` to converge the layout first."""
         if not self.exists():
             raise ValueError("evolve_partition_spec: table does not exist")
+        if self.properties().get("widened_schema"):
+            # _apply_read_schema only pins the widened schema for
+            # UNPARTITIONED tables; evolving to any spec would unpin it
+            # and plain reads would then fail on mixed narrow/wide
+            # footers — and rewrite_to_current_spec() itself calls
+            # read(), so the recovery path would be broken too.
+            raise ValueError(
+                "evolve_partition_spec: table has a widened schema "
+                "(type widening) — rewrite with overwrite() first to "
+                "converge the file schemas, then evolve the spec"
+            )
         new_cols = list(new_cols)
         sources = [self._transform_info(e)[1] for e in new_cols]
         cols = set(self.read().columns)
@@ -2361,11 +2372,21 @@ class ParquetTable:
             raise ValueError(f"no commit {seq} in log for {self.path}")
         newer = [r for r in hist if r["seq"] > seq]
         # cdf_reconcile markers are file-neutral (they exist only to
-        # consume a crashed delete's reserved seq) — additive-safe
+        # consume a crashed delete's reserved seq); set_partition_spec
+        # and fsck_remove_orphans touch no live data files either —
+        # all three are additive-safe (kept in lockstep with the difs
+        # stream reader's _ADDITIVE set)
         bad = [
             r
             for r in newer
-            if r["op"] not in ("append", "create", "cdf_reconcile")
+            if r["op"]
+            not in (
+                "append",
+                "create",
+                "cdf_reconcile",
+                "set_partition_spec",
+                "fsck_remove_orphans",
+            )
         ]
         if bad:
             raise ValueError(

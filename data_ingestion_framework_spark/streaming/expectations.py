@@ -111,13 +111,22 @@ def expect_and_quarantine(
         _maybe_await,
     )
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        last = None
-        for rec in target.history():
+    def _last_committed(table) -> int:
+        last = -1
+        for rec in table.history():
             bid = rec.get("metrics", {}).get("stream_batch_id")
             if bid is not None:
-                last = max(last or -1, bid)
-        if last is not None and batch_id <= last:
+                last = max(last, bid)
+        return last
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # Each table carries its OWN replay ledger: a crash between
+        # target.append and quarantine.append replays the batch with
+        # the id already in target but not in quarantine, so the
+        # guards must be independent or the quarantine rows are lost.
+        need_target = batch_id > _last_committed(target)
+        need_quarantine = batch_id > _last_committed(quarantine)
+        if not need_target and not need_quarantine:
             return  # replayed batch: already committed everywhere
         flagged = _flagged(batch_df, rules)
         flagged = flagged.drop(
@@ -125,8 +134,10 @@ def expect_and_quarantine(
         )
         good = flagged.where(F.col(VALID_FLAG)).drop(RESULT_ARRAY, VALID_FLAG)
         bad = flagged.where(~F.col(VALID_FLAG)).drop(VALID_FLAG)
-        target.append(good, metrics={"stream_batch_id": batch_id})
-        quarantine.append(bad, metrics={"stream_batch_id": batch_id})
+        if need_target:
+            target.append(good, metrics={"stream_batch_id": batch_id})
+        if need_quarantine:
+            quarantine.append(bad, metrics={"stream_batch_id": batch_id})
 
     writer = apply_trigger(df.writeStream.foreachBatch(_sink), trigger).option(
         "checkpointLocation", checkpoint

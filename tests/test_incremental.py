@@ -273,3 +273,29 @@ def test_refresh_left_join_retracts_null_padding(spark, tmp_path):
     assert got[1] == (10, "b") and got[9] == (90, "z")  # retracted pads
     assert got[2] == (20, None)  # still padded, exactly once
     assert len(tgt.read().collect()) == 5
+
+
+def test_read_since_tolerates_file_neutral_commits(spark, tmp_path):
+    """set_partition_spec and fsck_remove_orphans change no live data
+    file — read_since must treat them as additive (in lockstep with the
+    difs stream reader) instead of forcing incremental consumers into a
+    spurious full-rebuild refusal."""
+    import shutil
+
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, p string"))
+    seq = t.history()[-1]["seq"]
+    # metadata-only spec change, then an append under the new spec
+    t.evolve_partition_spec(["p"])
+    t.append(spark.createDataFrame([(2, "b")], "k long, p string"))
+    # orphan repair (file-list-neutral: removes only unreferenced files)
+    import glob, os as _os
+
+    live = glob.glob(t.path + "/*.parquet")[0]
+    shutil.copy(live, t.path + "/part-orphan.parquet")
+    _os.utime(t.path + "/part-orphan.parquet", (0, 0))
+    assert t.remove_orphan_files(grace_seconds=0) == 1
+    got = t.read_since(seq)
+    assert [(r["k"], r["p"]) for r in got.collect()] == [(2, "b")]

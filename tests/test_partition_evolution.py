@@ -225,3 +225,23 @@ def test_transform_guards(spark, tmp_path):
     )
     assert t.history()[-1]["op"] == "replace_where"
     assert sorted(r["k"] for r in t.read().collect()) == list(range(6))
+
+
+def test_evolve_refuses_widened_schema(spark, tmp_path):
+    """Type widening pins the read schema only for UNPARTITIONED tables
+    — evolving a widened table to any spec would unpin it and break
+    every subsequent read on mixed narrow/wide footers (including
+    rewrite_to_current_spec's own read), so the evolve must refuse."""
+    t = ParquetTable(spark, str(tmp_path / "w"))
+    t.overwrite(spark.createDataFrame([(1, 2)], "k int, v int"))
+    t.append(
+        spark.createDataFrame([(2, 2**40)], "k int, v long"),
+        merge_schema=True,
+    )
+    assert t.properties().get("widened_schema")
+    with pytest.raises(ValueError, match="widened"):
+        t.evolve_partition_spec(["k"])
+    # the documented recovery path: overwrite converges, then evolve works
+    t.overwrite(t.read())
+    t.evolve_partition_spec(["k"])
+    assert t.partition_by == ["k"]

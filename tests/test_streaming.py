@@ -878,3 +878,43 @@ def test_expect_rejects_stateful_rules(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="row-local"):
         expect(df, [DQRule(rule_id="u", rule_type="unique_check", column="k")])
+
+
+def test_quarantine_ledger_is_per_table_after_partial_crash(spark, tmp_path):
+    """A crash BETWEEN target.append and quarantine.append replays the
+    batch with its id already in target's ledger but not quarantine's —
+    the guards must be independent or the violating rows are lost
+    forever (the documented 'exactly-once across the pair')."""
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+    from data_ingestion_framework_spark.streaming.expectations import (
+        expect_and_quarantine,
+    )
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, 3.0), (3, "c", -1.0), (4, "d", 2.0)],
+        "k long, name string, v double",
+    ).write.json(src)
+    stream = spark.readStream.schema("k long, name string, v double").json(src)
+    target = ParquetTable(spark, str(tmp_path / "t"))
+    quar = ParquetTable(spark, str(tmp_path / "q"))
+    expect_and_quarantine(
+        stream, _exp_rules(), target, quar, str(tmp_path / "ck"),
+        await_termination=True,
+    )
+    # simulate the crash: quarantine's commit for batch 0 never landed
+    import os as _os
+    import shutil as _shutil
+
+    _shutil.rmtree(quar.path)
+    quar2 = ParquetTable(spark, str(tmp_path / "q"))
+    # replay (fresh checkpoint redelivers batch 0, same data): target
+    # must NOT double-append, quarantine MUST receive its lost rows
+    expect_and_quarantine(
+        stream, _exp_rules(), target, quar2, str(tmp_path / "ck2"),
+        await_termination=True,
+    )
+    assert sorted(r["k"] for r in target.read().collect()) == [1, 4]
+    qrows = {r["k"]: r["data_quality_result_array"] for r in quar2.read().collect()}
+    assert set(qrows) == {2, 3}
+    assert qrows[2] == ["nn"] and qrows[3] == ["v_pos"]

@@ -370,3 +370,80 @@ def test_difs_datasource_write_appends_through_the_log(spark, tmp_path):
         spark.createDataFrame([(9, "x")], "k long, s string").write.format(
             "difs"
         ).option("path", p).mode("overwrite").save()
+
+
+def test_difs_writer_refuses_unsupported_tables_and_schema_drift(
+    spark, tmp_path
+):
+    """The difs sink bypasses the store's column-mapping rewrite,
+    CHECK-constraint gate, and schema evolution — each such target (and
+    any batch whose schema drifts from the table's) must refuse at plan
+    time, never commit silently."""
+    from data_ingestion_framework_spark.sources.pyds import (
+        ParquetTableDataSource,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    spark.dataSource.register(ParquetTableDataSource)
+
+    def _write(df, path, **_):
+        df.write.format("difs").option("path", path).mode("append").save()
+
+    # CHECK constraint
+    tc = ParquetTable(spark, str(tmp_path / "c"))
+    tc.overwrite(spark.createDataFrame([(1,)], "k long"))
+    tc.add_check_constraint("k_pos", "k > 0")
+    with pytest.raises(Exception, match="constraint"):
+        _write(spark.createDataFrame([(-5,)], "k long"), tc.path)
+    assert tc.read().count() == 1
+
+    # schema drift (type differs) — refused, not silently committed
+    td = ParquetTable(spark, str(tmp_path / "d"))
+    td.overwrite(spark.createDataFrame([(1, "a")], "k long, s string"))
+    with pytest.raises(Exception, match="schema"):
+        _write(spark.createDataFrame([(2, 3.0)], "k long, s double"), td.path)
+    assert td.read().count() == 1 and td.history()[-1]["op"] == "overwrite"
+
+    # schema-evolved table (mixed footers): writer AND reader refuse
+    te = ParquetTable(spark, str(tmp_path / "e"))
+    te.overwrite(spark.createDataFrame([(1, "a")], "k long, s string"))
+    te.append(
+        spark.createDataFrame([(2, "b", 1.0)], "k long, s string, x double"),
+        merge_schema=True,
+    )
+    with pytest.raises(Exception, match="schema-evolved|ParquetTable"):
+        _write(
+            spark.createDataFrame([(3, "c", 2.0)], "k long, s string, x double"),
+            te.path,
+        )
+    with pytest.raises(Exception, match="schema-evolved|ParquetTable"):
+        spark.read.format("difs").option("path", te.path).load().collect()
+
+
+def test_difs_writer_commit_never_launders_stray_files(spark, tmp_path):
+    """The commit record's file list is previous-commit ∪ this write's
+    renamed files — a crashed writer's stray part file in the directory
+    must NOT enter a strict_files table's log through a difs commit."""
+    import glob
+    import shutil
+
+    from data_ingestion_framework_spark.sources.pyds import (
+        ParquetTableDataSource,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    spark.dataSource.register(ParquetTableDataSource)
+    p = str(tmp_path / "s")
+    t = ParquetTable(spark, p)
+    t.set_properties({"strict_files": True})
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    live = glob.glob(p + "/*.parquet")[0]
+    shutil.copy(live, p + "/part-stray-crashed-writer.parquet")
+    spark.createDataFrame([(2,)], "k long").coalesce(1).write.format(
+        "difs"
+    ).option("path", p).mode("append").save()
+    rec = t.history()[-1]
+    assert "part-stray-crashed-writer.parquet" not in rec["files"]
+    assert rec["rows_written"] == 1
+    # the strict read honors the log: stray row invisible
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
