@@ -1,0 +1,100 @@
+"""Distributed graph analytics over edge DataFrames.
+
+The LLM-corpus counterpart of the reference's relational surface: web
+corpora rank domains/documents by link authority (Common-Crawl-style
+curation uses PageRank-family scores as a quality prior), and entity
+graphs rank nodes for sampling weights. Nothing here uses GraphX/
+GraphFrames — the power iteration is plain DataFrame joins + aggs, so
+Catalyst/AQE plan every step (broadcast the rank vector when small,
+shuffle-hash otherwise).
+
+Exactness discipline: ranks are INTEGER fixed-point (``scale`` units
+per 1.0 of rank mass). Every step is integer multiply / integer DIV /
+integer SUM — order-independent and bit-identical across engines —
+so a DuckDB oracle can unroll the same iterations and hash-match
+(float PageRank would drift in the reduction order).
+
+The connected-components sibling lives in ``operators/dedup.py``
+(min-label propagation for duplicate clustering).
+
+Scale notes (100 TB): each iteration is one join edges⋈ranks (shuffle
+on src — or a broadcast of ranks while the node set is small) + one
+groupBy(dst) SUM. The out-degree join is folded into the edge list
+ONCE before the loop and localCheckpoint'd, so iterations reuse the
+materialized (src, dst, deg) triple instead of re-deriving it; the
+rank lineage is cut every ``checkpoint_every`` iterations to keep the
+plan shallow. Dangling mass: with no out-edges a node's rank leaks
+(the "weak" PageRank variant) — build the edge list symmetric (as the
+registered query does) or accept the leak; redistribution would need a
+per-iteration global agg barrier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**9,
+    dedupe: bool = True,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Integer fixed-point PageRank power iteration.
+
+    Returns ``(node, rank_units)`` where ``rank_units`` is the rank in
+    ``scale`` units (initial rank = ``scale`` per node, i.e. the
+    unnormalized formulation; divide by ``scale`` for the float rank).
+    ``damping_num/damping_den`` is the damping factor as an exact
+    rational (default 85/100 = the classic 0.85).
+
+    Pick ``scale`` such that ``n_nodes * scale * damping_num`` stays
+    under 2^63 (default 1e9 units is safe to ~10^8 nodes).
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if dedupe:
+        e = e.distinct()
+    # materialize the degree-annotated edge list ONCE; the node set
+    # derives from the checkpointed edges (not the raw input), so the
+    # input plan is evaluated exactly once and every iteration joins
+    # against materialized data
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e_deg = e.join(deg, "src").localCheckpoint()
+    nodes = (
+        e_deg.select(F.col("src").alias("node"))
+        .union(e_deg.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    tele = ((damping_den - damping_num) * scale) // damping_den
+    ranks = nodes.withColumn("units", F.lit(scale).cast("bigint"))
+    for i in range(iterations):
+        inflow = (
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                F.expr("units div out_deg").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = nodes.join(inflow, nodes["node"] == inflow["dst"], "left").select(
+            "node",
+            (
+                F.lit(tele).cast("bigint")
+                + F.expr(
+                    f"{damping_num} * coalesce(inflow, 0L) div {damping_den}"
+                )
+            ).alias("units"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", F.col("units").alias("rank_units"))

@@ -663,3 +663,75 @@ def late_supplier_blame(spark, sf_dir):
         .orderBy(F.desc("numwait"), "l_suppkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the customer↔supplier interaction graph (operators/
+# graph.py): symmetric edges from orders⋈lineitem, 5 power iterations
+# in INTEGER fixed-point (1e9 units of rank mass) so the DuckDB oracle
+# — the same iterations unrolled as CTEs — hash-matches bit-for-bit.
+# The graph shape the corpus pipeline needs for link-authority quality
+# priors; each iteration is one edges⋈ranks join + one groupBy SUM.
+# ---------------------------------------------------------------------------
+def _pagerank_oracle(iterations: int = 5, scale: int = 10**9) -> str:
+    tele = (15 * scale) // 100
+    parts = [
+        """e AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      UNION
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )""",
+        "nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e)",
+        "deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS units FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS (
+      SELECT n.node,
+             CAST({tele} + (85 * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS units
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, SUM(r{i-1}.units // deg.out_deg) AS inflow
+        FROM e JOIN r{i-1} ON r{i-1}.node = e.src
+               JOIN deg ON deg.src = e.src
+        GROUP BY e.dst) s ON s.dst = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, units AS rank_units FROM r{iterations}
+    ORDER BY rank_units DESC, node LIMIT 50"""
+    )
+
+
+@bench_query("graph_pagerank_interactions", oracle=_pagerank_oracle())
+def graph_pagerank_interactions(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.graph import pagerank
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+        # materialize ONCE: both union branches (and the out-degree agg
+        # inside pagerank) reuse the distinct pair set instead of
+        # re-running the orders⋈lineitem join per branch
+        .localCheckpoint()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return (
+        pagerank(edges, iterations=5, dedupe=False)
+        .orderBy(F.desc("rank_units"), "node")
+        .limit(50)
+    )

@@ -1,0 +1,58 @@
+"""Integer fixed-point PageRank (operators/graph.py): exact values on a
+hand-checked graph, damping/teleport math, dangling leak semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_framework_spark.operators.graph import pagerank
+
+
+def _ranks(df):
+    return {r["node"]: r["rank_units"] for r in df.collect()}
+
+
+def _py_pagerank(edges, iterations, scale=10**9, num=85, den=100):
+    """Driver-side reference: same integer math, plain dicts."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    tele = ((den - num) * scale) // den
+    r = {n: scale for n in nodes}
+    for _ in range(iterations):
+        inflow = {n: 0 for n in nodes}
+        for s, d in edges:
+            inflow[d] += r[s] // deg[s]
+        r = {n: tele + (num * inflow[n]) // den for n in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_math(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = _ranks(pagerank(df, iterations=4))
+    assert got == _py_pagerank(edges, 4)
+    # dangling-free cycle conserves teleported mass; 'd' (no inbound)
+    # bottoms out at the pure teleport value after one iteration
+    assert got["d"] == ((15 * 10**9) // 100)
+
+
+def test_pagerank_zero_iterations_and_dedupe(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = _ranks(pagerank(df, iterations=0))
+    assert got == {"a": 10**9, "b": 10**9}
+    # duplicate edges collapse under dedupe=True: symmetric 2-cycle is
+    # a fixed point at full mass
+    got = _ranks(pagerank(df, iterations=3))
+    assert got == _py_pagerank([("a", "b"), ("b", "a")], 3)
+    assert got["a"] == got["b"]
+
+
+def test_pagerank_checkpoint_boundary_preserves_values(spark):
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    no_ck = _ranks(pagerank(df, iterations=6, checkpoint_every=0))
+    with_ck = _ranks(pagerank(df, iterations=6, checkpoint_every=2))
+    assert no_ck == with_ck == _py_pagerank(edges, 6)
