@@ -1494,3 +1494,46 @@ def embedding_curation_pipeline(
             "cell", "qvec", "scale",
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    rrf_k: int = 60,
+    scale: int = 10**9,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    lists over one id space — the standard hybrid-retrieval combiner
+    (lexical BM25 + semantic ANN): each list contributes
+    ``1/(rrf_k + rank)``, summed per id.
+
+    Scores are INTEGER units (``scale DIV (rrf_k + rank)``) so the
+    fusion is exact and order-independent — a float reciprocal sum
+    would drift across engines. An id absent from a list contributes 0
+    (no join against the union of ids needed — absence simply adds no
+    row). Returns the top ``k`` ids as ``(id, rrf_units, rrf_rank)``.
+
+    Scale shape: one union (no shuffle) + one groupBy(id) partial-agg
+    + one global top-k (TakeOrderedAndProject via the final orderBy on
+    a window-free path when k is small).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.expr(f"{scale} div ({rrf_k} + {rank_col})").alias("__u"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(id_col).agg(F.sum("__u").alias("rrf_units"))
+    w = W.orderBy(F.col("rrf_units").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w))
+        .where(F.col("rrf_rank") <= k)
+    )

@@ -11,6 +11,7 @@ hand-built fixtures instead.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from data_ingestion_framework_spark.operators import dedup, similarity, text
 from data_ingestion_framework_spark.registry import ORACLES, bench_query, load
@@ -4373,3 +4374,105 @@ def docs_chunk_bm25_topk(spark, sf_dir):
         (F.col("cid") % 100).alias("chunk_id"),
         "bm25",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval via reciprocal-rank fusion (operators/similarity.py
+# rrf_fuse): a lexical BM25 top-50 and a semantic cosine top-50 (query
+# vector = vec_id 0, doc_id ≡ vec_id) fuse with integer RRF units
+# (1e9 DIV (60 + rank)) — the industry-standard hybrid-search combiner,
+# exactly reproduced by the oracle because every score that feeds a
+# rank is already cross-engine-exact (6dp BM25 decimals, 4dp cosines)
+# and the fusion itself is integer math.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "retrieval_rrf_hybrid",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    ), t2 AS (
+      SELECT doc_id, term FROM toks WHERE term <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM t2 GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM t2 WHERE term IN ('spark', 'merge', 'window')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lex AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl)))),
+               6) AS DECIMAL(18,6)) AS c
+      FROM tf
+      JOIN dfreq d USING (term)
+      JOIN dl l ON tf.doc_id = l.doc_id
+      CROSS JOIN stats s
+    ), lex_scored AS (
+      SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25 FROM lex GROUP BY doc_id
+    ), lex_rank AS (
+      SELECT doc_id AS id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM lex_scored QUALIFY r <= 50
+    ), elems AS (
+      SELECT vec_id,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ), norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM elems GROUP BY vec_id
+    ), q AS (SELECT i, x FROM elems WHERE vec_id = 0),
+    dots AS (
+      SELECT e.vec_id, SUM(q.x * e.x) AS dp
+      FROM q JOIN elems e ON q.i = e.i
+      GROUP BY e.vec_id
+    ), sem_scored AS (
+      SELECT d.vec_id,
+             ROUND(CASE WHEN nq.nrm * ne.nrm = 0 THEN 0.0
+                        ELSE d.dp / (nq.nrm * ne.nrm) END, 4) AS cos_sim
+      FROM dots d
+      JOIN norms ne ON ne.vec_id = d.vec_id
+      CROSS JOIN (SELECT nrm FROM norms WHERE vec_id = 0) nq
+      WHERE d.vec_id <> 0
+    ), sem_rank AS (
+      SELECT vec_id AS id,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS r
+      FROM sem_scored QUALIFY r <= 50
+    ), fused AS (
+      SELECT id, CAST(SUM(1000000000 // (60 + r)) AS BIGINT) AS rrf_units
+      FROM (SELECT * FROM lex_rank UNION ALL SELECT * FROM sem_rank)
+      GROUP BY id
+    )
+    SELECT id AS doc_id, rrf_units,
+           ROW_NUMBER() OVER (ORDER BY rrf_units DESC, id) AS rrf_rank
+    FROM fused QUALIFY rrf_rank <= 10
+    """,
+)
+def retrieval_rrf_hybrid(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = text.bm25_topk(docs, ["spark", "merge", "window"], k=50)
+    lex_rank = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    sem = similarity.cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=50)
+    sem_rank = sem.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()))
+        .alias("rank"),
+    )
+    return similarity.rrf_fuse(
+        [lex_rank, sem_rank], id_col="doc_id", k=10
+    ).select("doc_id", "rrf_units", "rrf_rank")

@@ -1302,3 +1302,26 @@ def test_embedding_curation_pipeline_stages(spark):
     assert len(out[1]["qvec"]) == 16 and out[1]["scale"] > 0
     # quantization round-trips the max component to ±127
     assert max(abs(q) for q in out[1]["qvec"]) == 127
+
+
+def test_rrf_fuse_integer_math_and_absence(spark):
+    """RRF units = scale DIV (k + rank) summed; ids absent from one
+    list just contribute nothing; ties break on id."""
+    from data_ingestion_framework_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "id long, rank int")
+    b = spark.createDataFrame([(20, 1), (10, 2), (40, 3)], "id long, rank int")
+    got = {
+        r["id"]: (r["rrf_units"], r["rrf_rank"])
+        for r in rrf_fuse([a, b], id_col="id", k=10).collect()
+    }
+    s = 10**9
+    u = lambda r: s // (60 + r)
+    assert got[10] == (u(1) + u(2), 1)   # 16393442 + 16129032
+    assert got[20] == (u(2) + u(1), 2)   # same units as 10 → id tiebreak
+    assert got[30] == (u(3), 3)          # absent from b
+    assert got[40] == (u(3), 4)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one"):
+        rrf_fuse([])
