@@ -97,6 +97,12 @@ HEADLINE = [
     # pattern matching (closed-form correlation over array folds)
     "events_m4_downsample",
     "events_pattern_topk",
+    # round-8 third wave: RRF hybrid retrieval (BM25 ∪ cosine candidate
+    # fusion in integer units) and 5-iteration integer PageRank over
+    # the customer↔supplier interaction graph (the iterative-join
+    # shape: one edges⋈ranks + one groupBy SUM per iteration)
+    "retrieval_rrf_hybrid",
+    "graph_pagerank_interactions",
 ]
 
 

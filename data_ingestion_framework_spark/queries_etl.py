@@ -2054,3 +2054,40 @@ def orders_incremental_join_state(spark, sf_dir):
     rt.append(cust.where(F.col("custkey") % 2 == 1))
     refresh_join(lt, rt, tgt, ["custkey"])  # L x dR
     return tgt.read()
+
+
+# ---------------------------------------------------------------------------
+# ADD COLUMN ... DEFAULT lifecycle (tablestore.add_column — Delta
+# allowColumnDefaults semantics): the add is METADATA-ONLY (zero files
+# rewritten), pre-existing rows read the new column as NULL, an append
+# that OMITS the column gets the default stamped at write time, and an
+# append that supplies it wins. The oracle rebuilds the same three-era
+# state from the orders slice.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_add_column_default_state",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS tier
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'standard' AS tier
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'premium' AS tier
+    FROM orders WHERE o_orderkey % 3 = 2
+    """,
+)
+def orders_add_column_default_state(spark, sf_dir):
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = ParquetTable(spark, _scratch_dir("difs_addcol_") + "/t")
+    t.overwrite(orders.where("o_orderkey % 3 = 0"))
+    t.add_column("tier", "string", default="standard")
+    # era 2: batch omits the column → default stamps at write time
+    t.append(orders.where("o_orderkey % 3 = 1"))
+    # era 3: batch supplies the column → explicit value wins
+    t.append(
+        orders.where("o_orderkey % 3 = 2").withColumn("tier", F.lit("premium"))
+    )
+    return t.read()

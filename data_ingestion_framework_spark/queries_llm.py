@@ -4476,3 +4476,73 @@ def retrieval_rrf_hybrid(spark, sf_dir):
     return similarity.rrf_fuse(
         [lex_rank, sem_rank], id_col="doc_id", k=10
     ).select("doc_id", "rrf_units", "rrf_rank")
+
+
+# ---------------------------------------------------------------------------
+# STREAM-STREAM interval join under the oracle gate (previously only
+# pytest-pinned): click→purchase attribution — purchases join the same
+# user's clicks from the preceding hour. Both sides are watermarked
+# streams over the same staged landing dir (a streaming SELF-join);
+# Spark buffers each side's interval state and emits append-mode rows.
+# Over bounded availableNow input nothing is late, so the batch
+# interval join is a true oracle for the streaming execution.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "streaming_click_purchase_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def streaming_click_purchase_join(spark, sf_dir):
+    import uuid
+
+    from data_ingestion_framework_spark.functions.time import ensure_event_time
+    from data_ingestion_framework_spark.queries_etl import _scratch_dir
+    from data_ingestion_framework_spark.streaming import read_file_stream
+
+    tmp = _scratch_dir("difs_ssj_")
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(f"{tmp}/landing")
+    stream = ensure_event_time(
+        read_file_stream(spark, f"{tmp}/landing", "parquet", control_columns=False),
+        "ts",
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 day")
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 day")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -128,6 +128,12 @@ class _Plan:
             raise ValueError("difs source: column-mapped tables need ParquetTable.read()")
         if props.get("widened_schema"):
             raise ValueError("difs source: type-widened tables need ParquetTable.read()")
+        if props.get("added_columns"):
+            raise ValueError(
+                "difs source: tables with metadata-added columns need "
+                "ParquetTable.read() (the scanner does not project "
+                "missing columns)"
+            )
         if props.get("schema_evolved"):
             # mergeSchema-evolved tables have per-file footer schemas;
             # this scanner declares ONE schema from the first file, so
@@ -232,6 +238,7 @@ class ParquetTableStreamReader(DataSourceStreamReader):
         "create",
         "set_partition_spec",
         "fsck_remove_orphans",
+        "add_column",  # metadata-only; new column arrives via later appends
         "cdf_reconcile",  # file-neutral crash marker (see read_since)
     }
 
@@ -330,6 +337,11 @@ class ParquetTableWriter(DataSourceWriter):
             raise ValueError("difs sink: type-widened tables need ParquetTable.append()")
         if props.get("schema_evolved"):
             raise ValueError("difs sink: schema-evolved tables need ParquetTable.append()")
+        if props.get("added_columns"):
+            raise ValueError(
+                "difs sink: table has metadata-added DEFAULT columns — "
+                "this writer cannot stamp them, use ParquetTable.append()"
+            )
         if props.get("constraints"):
             raise ValueError(
                 "difs sink: table has CHECK constraints — this writer "

@@ -217,6 +217,26 @@ def execute_statement(
             t.drop_column(mm.group(1).strip("`"))
             return None
         mm = re.match(
+            rf"ADD{_WS}COLUMN{_WS}(\S+){_WS}(\w+(?:\([\d\s,]*\))?)"
+            rf"({_WS}DEFAULT{_WS}(.+))?$",
+            rest,
+            re.I | re.S,
+        )
+        if mm:
+            default = None
+            if mm.group(4) is not None:
+                raw = mm.group(4).strip()
+                if raw.startswith(("'", '"')):
+                    default = raw[1:-1]
+                elif raw.lower() in ("true", "false"):
+                    default = raw.lower() == "true"
+                elif raw.lower() == "null":
+                    default = None
+                else:
+                    default = float(raw) if "." in raw or "e" in raw.lower() else int(raw)
+            t.add_column(mm.group(1).strip("`"), mm.group(2), default=default)
+            return None
+        mm = re.match(
             rf"ADD{_WS}CONSTRAINT{_WS}(\S+){_WS}CHECK{_WS}?\((.*)\)$", rest, re.I | re.S
         )
         if mm:

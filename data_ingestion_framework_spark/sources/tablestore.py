@@ -429,6 +429,11 @@ class ParquetTable:
     def _dropped_columns(self) -> list[str]:
         return list(self.properties().get("dropped_columns") or [])
 
+    def _added_columns(self) -> dict:
+        """name → {type, default} of metadata-added columns (see
+        :meth:`add_column`)."""
+        return dict(self.properties().get("added_columns") or {})
+
     def _generated(self) -> dict:
         """name → SQL expression of the table's generated columns."""
         return dict(self.properties().get("generated_columns") or {})
@@ -502,7 +507,8 @@ class ParquetTable:
         m = self._colmap()
         drops = set(self._dropped_columns())
         gen = self._generated()
-        if not m and not drops and not gen:
+        added = self._added_columns()
+        if not m and not drops and not gen and not added:
             return df
         inv = {p: l for l, p in m.items()}
         out = df.select(
@@ -515,6 +521,12 @@ class ParquetTable:
         for name, expr in gen.items():
             if name not in out.columns:
                 out = out.withColumn(name, F.expr(expr))
+        for name, meta in added.items():
+            # metadata-added column not yet present in any scanned
+            # footer: pre-existing rows read NULL (Delta semantics —
+            # the DEFAULT applies to future writes, not history)
+            if name not in out.columns:
+                out = out.withColumn(name, F.lit(None).cast(meta["type"]))
         return out
 
     def _to_physical(self, df: DataFrame) -> DataFrame:
@@ -605,6 +617,13 @@ class ParquetTable:
         phys = m.pop(old, old)
         m[new] = phys
         props: dict = {"column_mapping": m}
+        added = self._added_columns()
+        if old in added:
+            # metadata-added columns are keyed by LOGICAL name (the
+            # read projection and default stamping consult them) —
+            # rekey or the old name resurrects as a NULL ghost column
+            added[new] = added.pop(old)
+            props["added_columns"] = added
         if old in self.identity_spec():
             # the identity spec is keyed by LOGICAL name and consulted
             # at every write — a stale key would both double-inject the
@@ -645,14 +664,55 @@ class ParquetTable:
         phys = m.pop(name, name)
         dropped = self._dropped_columns()
         dropped.append(phys)
-        self.set_properties(
-            {
-                "column_mapping": m,
-                "dropped_columns": dropped,
-                "schema_evolved": True,
-            }
-        )
+        props = {
+            "column_mapping": m,
+            "dropped_columns": dropped,
+            "schema_evolved": True,
+        }
+        added = self._added_columns()
+        if name in added:
+            # a dropped metadata-added column must leave the added set
+            # too, or the read projection re-adds it as a NULL ghost
+            added.pop(name)
+            props["added_columns"] = added or None
+        self.set_properties(props)
         self._record_commit("drop_column", {"column": name}, new_files=[])
+
+    def add_column(self, name: str, dtype: str, default=None) -> None:
+        """``ALTER TABLE ... ADD COLUMN name type [DEFAULT literal]`` —
+        METADATA-ONLY (Delta ``allowColumnDefaults`` semantics): zero
+        files rewritten; pre-existing rows read the new column as NULL,
+        and subsequent appends that OMIT the column get the default
+        stamped at write time (an append that supplies the column wins).
+        The table is flagged ``schema_evolved``: post-add appends write
+        files WITH the column while old files lack it (mixed footers,
+        same shape as ``drop_column``). ``overwrite()`` materializes and
+        clears the metadata entry."""
+        if not self.exists():
+            raise ValueError("add_column: table does not exist")
+        if name in self.read().columns:
+            raise ValueError(f"add_column: column {name!r} already exists")
+        if name in self._dropped_columns() or name in set(
+            self._colmap().values()
+        ):
+            raise ValueError(
+                f"add_column: {name!r} collides with a dropped or mapped "
+                "PHYSICAL column still present in old files — rewrite "
+                "first (overwrite()) or pick another name"
+            )
+        # validate the type (and the default's castability) loudly now,
+        # not at first append
+        probe = self.spark.createDataFrame([], f"`{name}` {dtype}")
+        if default is not None:
+            probe.select(F.lit(default).cast(probe.schema[name].dataType))
+        added = self._added_columns()
+        added[name] = {"type": dtype, "default": default}
+        self.set_properties({"added_columns": added, "schema_evolved": True})
+        self._record_commit(
+            "add_column",
+            {"column": name, "type": dtype, "default": default},
+            new_files=[],
+        )
 
     # -- deletion vectors ----------------------------------------------------
     def _dv_dir(self, root: str | None = None) -> str:
@@ -1607,6 +1667,14 @@ class ParquetTable:
         (Delta's default schema enforcement) rather than silently
         writing files later reads would drop."""
         df = self._fill_identity(df, identity_order_by)
+        for cname, meta in self._added_columns().items():
+            # DEFAULT stamping: a batch that omits a metadata-added
+            # column gets its declared default (NULL when none) — a
+            # batch that supplies the column wins
+            if cname not in df.columns:
+                df = df.withColumn(
+                    cname, F.lit(meta.get("default")).cast(meta["type"])
+                )
         self._enforce_constraints(df)
         gen_named = sorted(set(df.columns) & set(self._generated()))
         if gen_named:
@@ -1718,6 +1786,11 @@ class ParquetTable:
             # the rewrite's files define the schema again — a stale
             # pinned schema would mask (or mis-type) replaced columns
             self.set_properties({"widened_schema": None})
+        if self.properties().get("added_columns"):
+            # the rewrite materialized (or dropped) the metadata-added
+            # columns — the files are the schema again, and a stale
+            # entry would re-stamp defaults over explicit NULL appends
+            self.set_properties({"added_columns": None})
         # After the swap the live tree holds exactly this commit's staged
         # files — pass them so _record_commit reads only their footers
         # (new_files=None would re-read EVERY live footer, O(table) driver
@@ -2386,6 +2459,7 @@ class ParquetTable:
                 "cdf_reconcile",
                 "set_partition_spec",
                 "fsck_remove_orphans",
+                "add_column",
             )
         ]
         if bad:

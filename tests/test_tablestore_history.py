@@ -1859,3 +1859,83 @@ def test_copy_into_ledger_survives_other_commits(spark, tmp_path):
     r = t.copy_into(land, pattern="*.parquet")
     assert r["files_loaded"] == 0
     assert sorted(x["a"] for x in t.read().collect()) == [1, 2]
+
+
+def test_add_column_default_lifecycle(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN ... DEFAULT (Delta allowColumnDefaults):
+    metadata-only add, NULL for history, default stamped on omitting
+    appends, explicit values win, rename/drop keep the added set
+    coherent, overwrite materializes and clears the entry."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    files_before = set(t._data_files())
+    t.add_column("score", "double", default=0.5)
+    assert set(t._data_files()) == files_before  # zero files rewritten
+    assert t.history()[-1]["op"] == "add_column"
+    # pre-existing rows: NULL (the default is for future writes)
+    assert t.read().collect()[0]["score"] is None
+    # omitting append → default; supplying append → explicit value
+    t.append(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    t.append(
+        spark.createDataFrame([(3, "c", 9.0)], "k bigint, v string, score double")
+    )
+    got = {r["k"]: r["score"] for r in t.read().collect()}
+    assert got == {1: None, 2: 0.5, 3: 9.0}
+    # read_since treats the add as file-neutral (additive)
+    seq = t.history()[0]["seq"]
+    assert t.read_since(seq).count() == 2
+    # rename rekeys the added set; the default keeps stamping
+    t.rename_column("score", "quality")
+    t.append(spark.createDataFrame([(4, "d")], "k bigint, v string"))
+    got = {r["k"]: r["quality"] for r in t.read().collect()}
+    assert got[4] == 0.5 and set(t.read().columns) == {"k", "v", "quality"}
+    # overwrite materializes: entry cleared, later NULL appends stay NULL
+    t.overwrite(t.read())
+    assert not t._added_columns()
+    t.append(
+        spark.createDataFrame(
+            [(5, "e", None)], "k bigint, v string, quality double"
+        )
+    )
+    got = {r["k"]: r["quality"] for r in t.read().collect()}
+    assert got[5] is None
+
+
+def test_add_column_refusals_and_drop(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("v", "string")
+    with pytest.raises(Exception):
+        t.add_column("bad", "not_a_type")
+    t.add_column("flag", "boolean", default=True)
+    # dropping the added column removes it from the added set entirely
+    t.drop_column("flag")
+    assert "flag" not in t.read().columns
+    assert not t._added_columns()
+    t.append(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    assert set(t.read().columns) == {"k", "v"}
+    # a name colliding with the dropped PHYSICAL ghost is refused...
+    t2 = ParquetTable(spark, str(tmp_path / "t2"))
+    t2.overwrite(spark.createDataFrame([(1, 2.0)], "k bigint, old double"))
+    t2.drop_column("old")
+    with pytest.raises(ValueError, match="dropped or mapped"):
+        t2.add_column("old", "double")
+
+
+def test_add_column_via_sql_statement(spark, tmp_path):
+    from data_ingestion_framework_spark.sources.sql_statements import (
+        execute_statement,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1,)], "k bigint"))
+    execute_statement(
+        spark, "ALTER TABLE t ADD COLUMN tier string DEFAULT 'basic'",
+        tables={"t": t},
+    )
+    execute_statement(spark, "ALTER TABLE t ADD COLUMN n bigint DEFAULT 7", tables={"t": t})
+    execute_statement(spark, "ALTER TABLE t ADD COLUMN r double", tables={"t": t})
+    t.append(spark.createDataFrame([(2,)], "k bigint"))
+    rows = {r["k"]: (r["tier"], r["n"], r["r"]) for r in t.read().collect()}
+    assert rows == {1: (None, None, None), 2: ("basic", 7, None)}
