@@ -735,3 +735,116 @@ def graph_pagerank_interactions(spark, sf_dir):
         .orderBy(F.desc("rank_units"), "node")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q15-shape: top supplier(s) by a windowed revenue view — the
+# aggregate-then-compare-to-global-MAX decorrelation (Catalyst plans
+# the MAX as a 1-row broadcast against the same staged aggregate, not
+# a re-scan). DECIMAL revenue keeps the equality comparison exact —
+# a double MAX could tie-break differently across engines.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(CAST(total_revenue AS DECIMAL(20,4)) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def top_supplier_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1) - F.col("l_discount").cast(_DEC))
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["__mx"])
+        .join(supp, rev["supplier_no"] == supp["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("decimal(20,4)").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11-shape: groups whose aggregate exceeds a FRACTION OF THE GLOBAL
+# total (important-stock): per-part shipped value from one nation's
+# suppliers vs 0.1% of the overall total — the scalar subquery rides a
+# 1-row broadcast; both sides of the > are the same DECIMAL-exact sum
+# shape so the threshold comparison is deterministic cross-engine.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "important_part_values",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(l_quantity AS DECIMAL(18,4))) AS val
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(CAST(val AS DECIMAL(24,4)) AS DOUBLE) AS part_value
+    FROM v
+    WHERE val * 1000 > (SELECT CAST(SUM(val) AS DECIMAL(30,4)) FROM v)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def important_part_values(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    v = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(
+            F.broadcast(nation.where(F.col("n_name") == "NATION_7")),
+            supp["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * F.col("l_quantity").cast(_DEC)
+            ).alias("val")
+        )
+    )
+    thresh = v.agg(F.sum("val").cast("decimal(30,4)").alias("__t"))
+    return (
+        v.join(
+            F.broadcast(thresh),
+            v["val"].cast("decimal(30,4)") * 1000 > thresh["__t"],
+        )
+        .select(
+            "l_partkey",
+            F.col("val").cast("decimal(24,4)").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
