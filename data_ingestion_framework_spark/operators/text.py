@@ -1052,3 +1052,104 @@ def zipf_alpha(
         F.round((sy - slope * sx) / n, 4).alias("intercept"),
         F.col("n").cast("bigint").alias("n_terms"),
     )
+
+
+def _bpe_merge_step(syms: Column, left: Column, right: Column) -> Column:
+    """One greedy-left BPE merge over a symbol array: every
+    non-overlapping adjacent (left, right) collapses to left||right,
+    scanning left to right (after a merge the scan resumes AFTER the
+    merged token — the classic BPE re-segmentation). Pure array fold,
+    JVM-side; ``left``/``right`` ride Columns so arbitrary symbol text
+    never touches SQL literal quoting."""
+    def step(acc, x):
+        out, pend = acc.getField("out"), acc.getField("pend")
+        merged = F.struct(
+            F.array_append(out, F.concat(left, right)).alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        )
+        shift = F.struct(F.array_append(out, pend).alias("out"), x.alias("pend"))
+        start = F.struct(out.alias("out"), x.alias("pend"))
+        return F.when(pend.isNull(), start).otherwise(
+            F.when((pend == left) & (x == right), merged).otherwise(shift)
+        )
+
+    def fin(acc):
+        out, pend = acc.getField("out"), acc.getField("pend")
+        return F.when(pend.isNull(), out).otherwise(F.array_append(out, pend))
+
+    # seed with an EMPTY array (array() types as array<string> after the
+    # cast); pend NULL means "nothing buffered yet"
+    acc0 = F.struct(
+        F.expr("cast(array() as array<string>)").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+    return F.aggregate(syms, acc0, step, fin)
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+    min_freq: int = 1,
+) -> DataFrame:
+    """Train byte-pair-encoding merges on the corpus — the tokenizer-
+    training loop (Sennrich et al. 2016) as a distributed computation.
+
+    Each round counts adjacent symbol pairs WEIGHTED BY WORD FREQUENCY
+    over the distinct-word table (vocab-sized state — the corpus is
+    scanned once, every iteration after that touches only |vocab|
+    rows), picks the most frequent pair (ties break lexicographically
+    so the result is deterministic), and re-segments every word with a
+    greedy-left array fold. The chosen pair is a 1-row driver
+    round-trip per merge (control-plane, like k-means centroids); the
+    re-segmentation itself never leaves the executors. No end-of-word
+    marker (merges stay within words).
+
+    Returns the merge table ``(step, left, right, pair_freq)`` —
+    ``n_merges`` rows (fewer if the corpus runs out of repeated pairs
+    above ``min_freq``).
+    """
+    toks = (
+        df.select(F.explode(F.split(normalize_text(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    words = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("w", "").alias("syms"), "freq")
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for it in range(1, n_merges + 1):
+        pairs = (
+            words.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.size("syms") - 1),
+                        F.slice("syms", 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pairs.where(F.col("cnt") >= min_freq)
+            .orderBy(F.desc("cnt"), "l", "r")
+            .first()
+        )
+        if best is None:
+            break
+        merges.append((it, best["l"], best["r"], best["cnt"]))
+        words = words.select(
+            _bpe_merge_step(
+                F.col("syms"), F.lit(best["l"]), F.lit(best["r"])
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_freq bigint"
+    )

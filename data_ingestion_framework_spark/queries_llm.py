@@ -4546,3 +4546,62 @@ def streaming_click_purchase_join(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (operators/text.py
+# bpe_train_merges): n rounds of pair-count → argmax → greedy-left
+# re-segment over the DISTINCT-WORD table. The oracle unrolls the same
+# rounds: per-word symbol sequences ride a sentinel-encoded string
+# (chr(31) wrapping makes replace() merge adjacent non-overlapping
+# pairs EXACTLY like the Spark array fold), pair counts are integer
+# sums, and the argmax tiebreaks lexicographically — every round is
+# bit-deterministic on both engines.
+# ---------------------------------------------------------------------------
+def _bpe_oracle(n_merges: int = 3, min_freq: int = 2) -> str:
+    s = "chr(31)"
+    parts = [
+        """w0 AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT UNNEST(string_split(
+          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+        FROM documents) WHERE w <> '' GROUP BY w
+    )""",
+        "a0 AS (SELECT freq, [w[i] for i in generate_series(1, length(w))] AS syms FROM w0)",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt
+      FROM a{i-1}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+      GROUP BY 1, 2
+    )""",
+        )
+        parts.append(
+            f"b{i} AS (SELECT l, r, cnt FROM p{i} WHERE cnt >= {min_freq} "
+            f"ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        if i < n_merges:
+            parts.append(
+                f"""a{i} AS (
+      SELECT freq,
+             string_split(
+               trim(replace({s} || array_to_string(syms, {s}||{s}) || {s},
+                            {s} || b.l || {s}||{s} || b.r || {s},
+                            {s} || b.l || b.r || {s}), chr(31)),
+               {s}||{s}) AS syms
+      FROM a{i-1} CROSS JOIN b{i} b
+    )"""
+            )
+    finals = "\n    UNION ALL ".join(
+        f'SELECT {i} AS step, l AS "left", r AS "right", '
+        f"CAST(cnt AS BIGINT) AS pair_freq FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    {finals}\n    ORDER BY step"
+
+
+@bench_query("corpus_bpe_merges", oracle=_bpe_oracle(3, 2))
+def corpus_bpe_merges(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.bpe_train_merges(docs, n_merges=3, min_freq=2)
