@@ -699,3 +699,50 @@ def test_bpe_merge_greedy_left_overlaps(spark):
     # → nothing reaches min_freq=2, loop stops after step 1... unless
     # tie: both have cnt 1 < 2 → stop. Exactly one merge learned.
     assert len(got) == 1
+
+
+def test_udtf_chunk_windows_matches_operator(spark):
+    """The SQL-callable UDTF surface (functions/udtfs.py) must produce
+    EXACTLY the expression operator's chunks — same normalization, same
+    start grid, same pure-overlap suppression — so the two surfaces
+    never drift."""
+    from data_ingestion_framework_spark.functions.udtfs import register_udtfs
+    from data_ingestion_framework_spark.operators.text import chunk_documents
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [
+            (1, "  The QUICK   brown fox jumps over the lazy dog again  "),
+            (2, "one two three"),
+            (3, "   "),
+            (4, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("udtf_docs")
+    via_udtf = spark.sql(
+        """SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_tokens
+           FROM udtf_docs d, LATERAL chunk_windows(d.doc_id, d.text, 4, 1) c"""
+    )
+    via_op = chunk_documents(df, chunk_tokens=4, overlap=1)
+    a = sorted(tuple(r) for r in via_udtf.collect())
+    b = sorted(tuple(r) for r in via_op.collect())
+    assert a == b and len(a) > 0
+    # blank doc yields nothing on either surface
+    assert not [t for t in a if t[0] == 3]
+
+
+def test_udtf_term_frequencies(spark):
+    from data_ingestion_framework_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "a b A  b c")], "doc_id long, text string"
+    ).createOrReplaceTempView("udtf_docs2")
+    got = {
+        r["token"]: r["tf"]
+        for r in spark.sql(
+            "SELECT t.* FROM udtf_docs2 d, LATERAL term_frequencies(d.text) t"
+        ).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 1}
