@@ -1091,7 +1091,8 @@ def bpe_train_merges(
     text_col: str = "text",
     n_merges: int = 3,
     min_freq: int = 1,
-) -> DataFrame:
+    return_vocab: bool = False,
+):
     """Train byte-pair-encoding merges on the corpus — the tokenizer-
     training loop (Sennrich et al. 2016) as a distributed computation.
 
@@ -1107,7 +1108,9 @@ def bpe_train_merges(
 
     Returns the merge table ``(step, left, right, pair_freq)`` —
     ``n_merges`` rows (fewer if the corpus runs out of repeated pairs
-    above ``min_freq``).
+    above ``min_freq``). With ``return_vocab=True`` also returns the
+    final segmented vocabulary ``(w, n_sym)`` — the word → token-count
+    map ``bpe_token_counts`` joins against, so apply never re-folds.
     """
     toks = (
         df.select(F.explode(F.split(normalize_text(text_col), " ")).alias("w"))
@@ -1116,7 +1119,7 @@ def bpe_train_merges(
     words = (
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(F.split("w", "").alias("syms"), "freq")
+        .select("w", F.split("w", "").alias("syms"), "freq")
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
@@ -1144,12 +1147,47 @@ def bpe_train_merges(
             break
         merges.append((it, best["l"], best["r"], best["cnt"]))
         words = words.select(
+            "w",
             _bpe_merge_step(
                 F.col("syms"), F.lit(best["l"]), F.lit(best["r"])
             ).alias("syms"),
             "freq",
         ).localCheckpoint()
     spark = df.sparkSession
-    return spark.createDataFrame(
+    merge_df = spark.createDataFrame(
         merges, "step int, left string, right string, pair_freq bigint"
+    )
+    if return_vocab:
+        vocab = words.select("w", F.size("syms").cast("bigint").alias("n_sym"))
+        return merge_df, vocab
+    return merge_df
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 3,
+    min_freq: int = 1,
+) -> DataFrame:
+    """Apply BPE (train + tokenize in one call): per-document token
+    counts under the merges :func:`bpe_train_merges` learns on this
+    corpus — the budget the packing/mixing stages consume.
+
+    Scale shape: the fold runs once per DISTINCT WORD (vocab-sized),
+    never per occurrence; documents then join the ``(word, n_sym)``
+    map (broadcast — a vocabulary is small next to a corpus) and sum.
+    """
+    _, vocab = bpe_train_merges(
+        df, text_col=text_col, n_merges=n_merges, min_freq=min_freq,
+        return_vocab=True,
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    return (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy(id_col)
+        .agg(F.sum("n_sym").alias("bpe_tokens"))
     )

@@ -4558,7 +4558,7 @@ def streaming_click_purchase_join(spark, sf_dir):
 # sums, and the argmax tiebreaks lexicographically — every round is
 # bit-deterministic on both engines.
 # ---------------------------------------------------------------------------
-def _bpe_oracle(n_merges: int = 3, min_freq: int = 2) -> str:
+def _bpe_oracle(n_merges: int = 3, min_freq: int = 2, final_reseg: bool = False) -> list:
     s = "chr(31)"
     parts = [
         """w0 AS (
@@ -4567,7 +4567,7 @@ def _bpe_oracle(n_merges: int = 3, min_freq: int = 2) -> str:
           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
         FROM documents) WHERE w <> '' GROUP BY w
     )""",
-        "a0 AS (SELECT freq, [w[i] for i in generate_series(1, length(w))] AS syms FROM w0)",
+        "a0 AS (SELECT w, freq, [w[i] for i in generate_series(1, length(w))] AS syms FROM w0)",
     ]
     for i in range(1, n_merges + 1):
         parts.append(
@@ -4581,10 +4581,10 @@ def _bpe_oracle(n_merges: int = 3, min_freq: int = 2) -> str:
             f"b{i} AS (SELECT l, r, cnt FROM p{i} WHERE cnt >= {min_freq} "
             f"ORDER BY cnt DESC, l, r LIMIT 1)"
         )
-        if i < n_merges:
+        if i < n_merges or final_reseg:
             parts.append(
                 f"""a{i} AS (
-      SELECT freq,
+      SELECT w, freq,
              string_split(
                trim(replace({s} || array_to_string(syms, {s}||{s}) || {s},
                             {s} || b.l || {s}||{s} || b.r || {s},
@@ -4593,6 +4593,11 @@ def _bpe_oracle(n_merges: int = 3, min_freq: int = 2) -> str:
       FROM a{i-1} CROSS JOIN b{i} b
     )"""
             )
+    return parts
+
+
+def _bpe_merges_oracle(n_merges: int = 3, min_freq: int = 2) -> str:
+    parts = _bpe_oracle(n_merges, min_freq)
     finals = "\n    UNION ALL ".join(
         f'SELECT {i} AS step, l AS "left", r AS "right", '
         f"CAST(cnt AS BIGINT) AS pair_freq FROM b{i}"
@@ -4601,7 +4606,35 @@ def _bpe_oracle(n_merges: int = 3, min_freq: int = 2) -> str:
     return "WITH " + ",\n    ".join(parts) + f"\n    {finals}\n    ORDER BY step"
 
 
-@bench_query("corpus_bpe_merges", oracle=_bpe_oracle(3, 2))
+@bench_query("corpus_bpe_merges", oracle=_bpe_merges_oracle(3, 2))
 def corpus_bpe_merges(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return text.bpe_train_merges(docs, n_merges=3, min_freq=2)
+
+
+# ---------------------------------------------------------------------------
+# BPE applied: per-document token counts under the merges trained on
+# this corpus (operators/text.py bpe_token_counts). The fold runs once
+# per DISTINCT WORD; documents join the broadcast (word, n_sym) map
+# and sum — integer-exact end to end. The oracle extends the training
+# CTEs with the final re-segmentation and the same join.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "corpus_bpe_token_counts",
+    oracle="WITH "
+    + ",\n    ".join(_bpe_oracle(3, 2, final_reseg=True))
+    + """,
+    dw AS (
+      SELECT doc_id, UNNEST(string_split(
+        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+      FROM documents
+    )
+    SELECT doc_id, CAST(SUM(len(a3.syms)) AS BIGINT) AS bpe_tokens
+    FROM dw JOIN a3 ON dw.w = a3.w
+    WHERE dw.w <> ''
+    GROUP BY doc_id
+    """,
+)
+def corpus_bpe_token_counts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.bpe_token_counts(docs, n_merges=3, min_freq=2)
