@@ -106,16 +106,30 @@ _PRIORITY = [
     # rollup (date-bucketed rollup) and events_range_join_counts
     # (time-bucket join). Still in the full local gate.
     "docs_excise_dup_spans",
-    # never driver-graded: CDC / SCD / DQ
-    "cdc_find_delta",
+    # ROUND-9 ROTATION: cdc_find_delta (driver-green r1-r7) cedes to
+    # integer fixed-point PageRank (new iterative-graph machinery worth
+    # certifying); the full-outer hash-diff mechanism stays window-
+    # graded via cdf_merge_changes (the change-feed computes the same
+    # insert/update/delete comparison) and hkey/hdiff are pytest-pinned.
+    # Still in the full local gate.
+    "graph_pagerank_interactions",
     # ROUND-8 ROTATION: cdc_brute_force_diff (driver-green r5+r6)
     # cedes to the identity-column lifecycle; the full-outer diff
     # mechanism stays window-graded via cdc_find_delta (hash twin of
     # the same comparison) and the IS DISTINCT FROM predicate is
     # pytest-pinned. Still in the full local gate.
     "orders_identity_state",
-    "scd1_latest_event_per_user",
-    "scd2_as_of",
+    # ROUND-9 ROTATION: scd1_latest_event_per_user (green r4-r7)
+    # cedes to RRF hybrid retrieval; the row_number latest-per-key
+    # mechanism stays window-graded via customer_surrogate_scd1_state
+    # (same SCD1 executor) and events_sessionize's window family.
+    "retrieval_rrf_hybrid",
+    # ROUND-9 ROTATION: scd2_as_of (green r4-r7) cedes to the
+    # stream-stream interval join (the first streaming JOIN under the
+    # oracle gate); interval reconstruction is pytest-pinned
+    # (test_as_of_reconstruction) and pre-commit history reads keep
+    # three window reps (orders_delete_dv/stats_skipping/replace_where).
+    "streaming_click_purchase_join",
     "dq_violation_counts",
     # never driver-graded: window/agg composites
     # (orders_cube / events_map_explode / cheapest_part_per_brand were
@@ -153,8 +167,17 @@ _PRIORITY = [
     # IVFADC — its two-stage agg + broadcast-total mechanism stays
     # window-graded via text_unigram_ce / text_bigram_ce's corpus-count
     # joins; still in the full gate
-    "similarity_ivfpq_residual_topk",
-    "orders_merge_into_state",
+    # ROUND-9 ROTATION: similarity_ivfpq_residual_topk (green r6+r7)
+    # cedes to the ADD COLUMN ... DEFAULT lifecycle; the IVFADC
+    # machinery keeps TWO window reps (similarity_ivfpq_topk,
+    # similarity_ivfpq_sampled_topk) and the residual fused build is
+    # pytest-pinned. Still in the full local gate.
+    "orders_add_column_default_state",
+    # ROUND-9 ROTATION: orders_merge_into_state (green r6+r7) cedes
+    # to distributed BPE training; the generic MERGE executor stays
+    # window-graded via orders_merge_not_matched_state (same executor,
+    # superset clause family) and merge_sql_generic_state.
+    "corpus_bpe_merges",
     # ROUND-8 ROTATION: dedup_minhash_md5_pairs (driver-green r5+r6)
     # cedes to the hidden-partitioning lifecycle (Iceberg partition
     # transforms — new write/plan machinery worth certifying); the
@@ -165,7 +188,11 @@ _PRIORITY = [
     # dedup_simhash_md5_pairs (green r4+r5) cedes to the new UPDATE
     # statement lifecycle; its banded-signature-generator mechanism
     # stays window-graded via dedup_minhash_md5_pairs
-    "orders_update_state",
+    # ROUND-9 ROTATION: orders_update_state (green r6+r7) cedes to
+    # BPE tokenization (train + apply); the COW statement family keeps
+    # orders_delete_dv_state, orders_stats_skipping_state (which runs
+    # delete_where) and orders_replace_where_state in-window.
+    "corpus_bpe_token_counts",
     # round-6: the generic MERGE INTO executor's NOT-MATCHED-BY-SOURCE
     # clause family and the IVFADC composite — both new, never graded
     "orders_merge_not_matched_state",
@@ -298,7 +325,13 @@ _PRIORITY = [
     # docs_quality_weighted_sample + docs_split_assign, and
     # corpus_pipeline_splits via corpus_pipeline_staged +
     # docs_split_assign. All stay in the full local gate.
-    "docs_quality_weighted_sample",
+    # ROUND-9 ROTATION: docs_quality_weighted_sample (green r5-r7)
+    # cedes to the integer-scaled global-fraction threshold shape
+    # (important_part_values; its sibling top_supplier_revenue stays in
+    # the full gate — same scalar-subquery decorrelation one MAX apart);
+    # the weighted deterministic-hash draw stays pinned by the sampling
+    # property tests and corpus_pipeline_staged's sample stage.
+    "important_part_values",
     # ROUND-8 ROTATION: dedup_containment_pairs (driver-green r5+r6)
     # cedes to the time-series gap-fill operator (LOCF + linear
     # interpolation through a join-free generator); the explode-once +

@@ -195,7 +195,9 @@ def test_driver_grading_window_covers_priority_queries():
         "events_range_join_counts",
         "streaming_daily_counts",
         "corpus_pipeline_staged",
-        "cdc_find_delta",
+        # r9: cdc_find_delta ceded to PageRank (hash-diff mechanism
+        # stays via cdf_merge_changes)
+        "graph_pagerank_interactions",
         "dq_violation_counts",
         "events_asof_purchase",
         # r8: semantic_dedup_keep ceded to the partition-evolution
@@ -215,8 +217,9 @@ def test_driver_grading_window_covers_priority_queries():
         # orders_delete_state ceded in r8 to its stats-skipping
         # successor, which runs the same delete_where path)
         "multimodal_audio_meta",
-        # round-5 build rotation: the ten new-this-round queries
-        "docs_quality_weighted_sample",
+        # r9: docs_quality_weighted_sample ceded to the integer-scaled
+        # global-fraction threshold shape
+        "important_part_values",
         # r8: dedup_containment_pairs ceded to the gap-fill operator
         "events_gapfill_locf",
         # r8 2nd wave: similarity_pq_topk ceded to the streaming
@@ -227,14 +230,18 @@ def test_driver_grading_window_covers_priority_queries():
         "orders_replace_where_state",
         # round-6 rotation: the four never-driver-graded round-5
         # queries plus this round's two new surfaces
-        "orders_merge_into_state",
+        # r9: orders_merge_into_state ceded to BPE training (executor
+        # stays via orders_merge_not_matched_state)
+        "corpus_bpe_merges",
         "orders_hilbert_keys",
         "docs_ccnet_buckets",
         "corpus_pipeline_curated",
         "orders_merge_not_matched_state",
         "similarity_ivfpq_topk",
-        "similarity_ivfpq_residual_topk",
-        "orders_update_state",
+        # r9: similarity_ivfpq_residual_topk ceded to the ADD COLUMN
+        # DEFAULT lifecycle; orders_update_state ceded to BPE apply
+        "orders_add_column_default_state",
+        "corpus_bpe_token_counts",
         # round-7 rotation: the three round-6 queries that were still
         # awaiting a slot plus this round's three new surfaces
         "orders_column_stats",
@@ -258,5 +265,11 @@ def test_driver_grading_window_covers_priority_queries():
         "orders_minmax_metadata",
         "customer_surrogate_scd1_state",
         "orders_strict_log_state",
+        # round-9 rotation: RRF hybrid retrieval and the stream-stream
+        # interval join (scd1_latest_event_per_user / scd2_as_of ceded;
+        # row_number-latest and interval reconstruction stay pinned by
+        # the SCD window siblings and test_as_of_reconstruction)
+        "retrieval_rrf_hybrid",
+        "streaming_click_purchase_join",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
