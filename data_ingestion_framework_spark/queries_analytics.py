@@ -676,14 +676,18 @@ def late_supplier_blame(spark, sf_dir):
 def _pagerank_oracle(iterations: int = 5, scale: int = 10**9) -> str:
     tele = (15 * scale) // 100
     parts = [
-        """e AS (
-      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+        # integer node ids (2*custkey / 2*suppkey+1): the distinct, the
+        # per-iteration join keys and the shuffles all stay 8-byte
+        # integers instead of strings — the id-space trick any graph
+        # engine uses when node keys collide across entity types
+        """pr AS (
+      SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS sN
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-      UNION
-      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
-                      'c' || CAST(o_custkey AS VARCHAR) AS dst
-      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    e AS (
+      SELECT c AS src, sN AS dst FROM pr
+      UNION ALL
+      SELECT sN AS src, c AS dst FROM pr
     )""",
         "nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e)",
         "deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src)",
@@ -718,13 +722,15 @@ def graph_pagerank_interactions(spark, sf_dir):
     pairs = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
         # materialize ONCE: both union branches (and the out-degree agg
         # inside pagerank) reuse the distinct pair set instead of
-        # re-running the orders⋈lineitem join per branch
+        # re-running the orders⋈lineitem join per branch. Integer node
+        # ids (2k / 2k+1 across the two entity types) keep the distinct
+        # and every per-iteration shuffle on 8-byte keys.
         .localCheckpoint()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
