@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def pagerank(
@@ -98,3 +99,57 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("units").alias("rank_units"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    dedupe: bool = True,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), determinized: every node starts labeled with its own id;
+    each round a node adopts the label MOST FREQUENT among its
+    neighbors, ties broken by the SMALLEST label, isolated-side nodes
+    keep their current label. Fixed ``iterations`` (no convergence
+    check — synchronous LPA on bipartite graphs can oscillate, and a
+    fixed horizon keeps the result exactly reproducible).
+
+    Pass edges in BOTH directions for an undirected graph (votes flow
+    src→dst). Returns ``(node, label)``.
+
+    Scale shape per round: one edges⋈labels equi-join (shuffle on src,
+    or a runtime broadcast of the label vector), one (dst, label)
+    count, one per-dst argmax window. The min-label connected-
+    components sibling lives in ``operators/dedup.py``.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if dedupe:
+        e = e.distinct()
+    e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    w = W.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
+    for i in range(iterations):
+        votes = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(F.col("dst"), F.col("label").alias("__new"))
+        )
+        labels = (
+            labels.join(winner, labels["node"] == winner["dst"], "left")
+            .select("node", F.coalesce("__new", "label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels

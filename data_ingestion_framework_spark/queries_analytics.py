@@ -854,3 +854,80 @@ def important_part_values(spark, sf_dir):
         )
         .orderBy(F.desc("part_value"), "l_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (operators/graph.py label_propagation)
+# over the same integer-id interaction graph: synchronous LPA with
+# most-frequent-neighbor-label votes, min-label tiebreaks, fixed 3
+# rounds — every step is counts + argmax, so the unrolled oracle
+# matches exactly. Output: the 20 largest communities.
+# ---------------------------------------------------------------------------
+def _lpa_oracle(iterations: int = 3) -> str:
+    parts = [
+        """pr AS (
+      SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS sN
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )""",
+        """e AS (
+      SELECT c AS src, sN AS dst FROM pr
+      UNION ALL
+      SELECT sN AS src, c AS dst FROM pr
+    )""",
+        "nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""v{i} AS (
+      SELECT e.dst, l.label, COUNT(*) AS cnt
+      FROM e JOIN l{i-1} l ON l.node = e.src GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""w{i} AS (
+      SELECT dst, label AS new FROM (
+        SELECT dst, label,
+               ROW_NUMBER() OVER (PARTITION BY dst
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM v{i}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""l{i} AS (
+      SELECT l.node, COALESCE(w.new, l.label) AS label
+      FROM l{i-1} l LEFT JOIN w{i} w ON w.dst = l.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT label AS community, COUNT(*) AS n_members
+    FROM l{iterations} GROUP BY label
+    ORDER BY n_members DESC, community LIMIT 20"""
+    )
+
+
+@bench_query("graph_lpa_communities", oracle=_lpa_oracle(3))
+def graph_lpa_communities(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.graph import label_propagation
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    labels = label_propagation(edges, iterations=3, dedupe=False)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )

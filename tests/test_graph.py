@@ -56,3 +56,42 @@ def test_pagerank_checkpoint_boundary_preserves_values(spark):
     no_ck = _ranks(pagerank(df, iterations=6, checkpoint_every=0))
     with_ck = _ranks(pagerank(df, iterations=6, checkpoint_every=2))
     assert no_ck == with_ck == _py_pagerank(edges, 6)
+
+
+def test_label_propagation_two_communities(spark):
+    """Two triangles joined by one bridge: each triangle converges to
+    its own min label; the deterministic min-label tiebreak decides
+    every vote split."""
+    from data_ingestion_framework_spark.operators.graph import label_propagation
+
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    bridge = [("c", "x")]
+    und = []
+    for s, d in tri1 + tri2 + bridge:
+        und += [(s, d), (d, s)]
+    df = spark.createDataFrame(und, "src string, dst string")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=4).collect()
+    }
+    # triangle 1 collapses onto 'a'
+    assert got["a"] == got["b"] == got["c"] == "a"
+    # triangle 2 converges to ONE label of its own — 'c', imported over
+    # the bridge in round 1 (x's neighbors {y, z, c} tie; min wins) but
+    # never reinforced back, so the communities stay distinct
+    assert got["x"] == got["y"] == got["z"] == "c"
+    assert got["x"] != got["a"]
+
+
+def test_label_propagation_isolated_and_tiebreak(spark):
+    from data_ingestion_framework_spark.operators.graph import label_propagation
+
+    # star: center 'm' hears labels a, b, c once each → min wins
+    df = spark.createDataFrame(
+        [("a", "m"), ("b", "m"), ("c", "m")], "src string, dst string"
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(df, iterations=1).collect()}
+    assert got["m"] == "a"
+    # pure-source nodes (never a dst) keep their own label
+    assert got["a"] == "a" and got["b"] == "b" and got["c"] == "c"

@@ -396,3 +396,49 @@ def test_pq_topk_is_scan_side_plus_one_window(spark):
     # appears inside windowspecdefinition expression text
     assert plan.count("- Window ") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_iterations_are_equi_joins(spark):
+    """Every power-iteration step must be an equi-join + hash agg —
+    never a cartesian/nested-loop — and the rank vector flows through
+    a bounded number of exchanges per iteration."""
+    from data_ingestion_framework_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [Row(src=f"n{i}", dst=f"n{(i * 3 + 1) % 20}") for i in range(60)]
+    )
+    plan = _plan(pagerank(edges, iterations=2, checkpoint_every=0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # integer DIV contributions evaluate scan-side (projections), not
+    # through any extra join
+    assert "contrib" not in plan or "Join" in plan  # joins are equi only
+
+
+def test_rrf_fuse_is_union_agg_topk(spark):
+    """RRF = union (no shuffle) + one groupBy + the final top-k window;
+    no joins at all — absence contributes zero by construction."""
+    from data_ingestion_framework_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([Row(id=i, rank=i + 1) for i in range(30)])
+    b = spark.createDataFrame([Row(id=i * 2, rank=i + 1) for i in range(30)])
+    plan = _plan(rrf_fuse([a, b], id_col="id", k=5))
+    assert "Join" not in plan
+    assert "Union" in plan
+    assert plan.count("- Window ") == 1
+
+
+def test_bpe_pair_counts_are_vocab_sized(spark):
+    """The BPE trainer's per-round pair count aggregates the DISTINCT
+    word table (map-side partial agg), and the re-segmentation fold is
+    a projection — no join anywhere in the training loop."""
+    from data_ingestion_framework_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [Row(text="aa bb aa cc dd " * 3)] * 5
+    )
+    # run one merge and inspect the FINAL words frame via the vocab
+    merges, vocab = bpe_train_merges(df, n_merges=1, return_vocab=True)
+    plan = _plan(vocab)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
