@@ -46,6 +46,7 @@ def pagerank(
     scale: int = 10**9,
     dedupe: bool = True,
     checkpoint_every: int = 4,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Integer fixed-point PageRank power iteration.
 
@@ -54,6 +55,12 @@ def pagerank(
     unnormalized formulation; divide by ``scale`` for the float rank).
     ``damping_num/damping_den`` is the damping factor as an exact
     rational (default 85/100 = the classic 0.85).
+
+    ``seeds`` (a 1-column DataFrame of node ids) switches to the
+    PERSONALIZED form — TrustRank (Gyöngyi et al. 2004): teleport mass
+    lands only on seed nodes (initial rank ``scale`` on seeds, 0
+    elsewhere), so rank measures proximity to the trusted set — the
+    web-corpus trust-propagation quality prior.
 
     Pick ``scale`` such that ``n_nodes * scale * damping_num`` stays
     under 2^63 (default 1e9 units is safe to ~10^8 nodes).
@@ -73,10 +80,32 @@ def pagerank(
         e_deg.select(F.col("src").alias("node"))
         .union(e_deg.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     tele = ((damping_den - damping_num) * scale) // damping_den
-    ranks = nodes.withColumn("units", F.lit(scale).cast("bigint"))
+    if seeds is not None:
+        seed_set = seeds.select(
+            F.col(seeds.columns[0]).alias("node"),
+            F.lit(True).alias("__seed"),
+        ).distinct()
+        nodes = nodes.join(seed_set, "node", "left").select(
+            "node",
+            F.when(F.col("__seed"), F.lit(tele))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("__tele"),
+            F.when(F.col("__seed"), F.lit(scale))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("__init"),
+        )
+    else:
+        nodes = nodes.select(
+            "node",
+            F.lit(tele).cast("bigint").alias("__tele"),
+            F.lit(scale).cast("bigint").alias("__init"),
+        )
+    nodes = nodes.localCheckpoint()
+    ranks = nodes.select("node", F.col("__init").alias("units"))
     for i in range(iterations):
         inflow = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
@@ -90,7 +119,7 @@ def pagerank(
         ranks = nodes.join(inflow, nodes["node"] == inflow["dst"], "left").select(
             "node",
             (
-                F.lit(tele).cast("bigint")
+                F.col("__tele")
                 + F.expr(
                     f"{damping_num} * coalesce(inflow, 0L) div {damping_den}"
                 )

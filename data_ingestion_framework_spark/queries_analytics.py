@@ -931,3 +931,149 @@ def graph_lpa_communities(spark, sf_dir):
         .orderBy(F.desc("n_members"), "community")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TrustRank (operators/graph.py pagerank(seeds=)): personalized
+# PageRank whose teleport mass lands only on a trusted seed set —
+# suppliers from one nation — so rank measures proximity to the seeds
+# through the interaction graph (the web-corpus trust-propagation
+# quality prior, Gyöngyi et al. 2004). Same integer fixed-point math;
+# the oracle adds the seed CASE to the unrolled iterations.
+# ---------------------------------------------------------------------------
+def _trustrank_oracle(iterations: int = 4, scale: int = 10**9) -> str:
+    tele = (15 * scale) // 100
+    parts = [
+        """pr AS (
+      SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS sN
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )""",
+        """e AS (
+      SELECT c AS src, sN AS dst FROM pr
+      UNION ALL
+      SELECT sN AS src, c AS dst FROM pr
+    )""",
+        """seeds AS (
+      SELECT 2 * s_suppkey + 1 AS node
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    )""",
+        """nodes AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL THEN {tele} ELSE 0 END AS tele,
+             CASE WHEN s.node IS NOT NULL THEN {scale} ELSE 0 END AS init
+      FROM (SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e) n
+      LEFT JOIN seeds s ON s.node = n.node
+    )""".replace("{tele}", str(tele)).replace("{scale}", str(scale)),
+        "deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src)",
+        "r0 AS (SELECT node, CAST(init AS BIGINT) AS units FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS (
+      SELECT n.node,
+             CAST(n.tele + (85 * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS units
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, SUM(r{i-1}.units // deg.out_deg) AS inflow
+        FROM e JOIN r{i-1} ON r{i-1}.node = e.src
+               JOIN deg ON deg.src = e.src
+        GROUP BY e.dst) s ON s.dst = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, units AS rank_units FROM r{iterations}
+    WHERE units > 0
+    ORDER BY rank_units DESC, node LIMIT 50"""
+    )
+
+
+@bench_query("graph_trustrank_seeded", oracle=_trustrank_oracle())
+def graph_trustrank_seeded(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.graph import pagerank
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        supp.join(
+            F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
+            supp["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    return (
+        pagerank(edges, iterations=4, dedupe=False, seeds=seeds)
+        .where(F.col("rank_units") > 0)
+        .orderBy(F.desc("rank_units"), "node")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the supplier co-purchase graph: suppliers
+# sharing a customer are linked; triangles = ordered 3-cliques via two
+# self-equi-joins (a<b<c kills the 6× double count and the joins stay
+# hash joins — the classic distributed formulation). Integer output.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "graph_supplier_triangles",
+    oracle="""
+    WITH cs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    e AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      SELECT 1
+      FROM e ab
+      JOIN e bc ON ab.v = bc.u
+      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    )
+    """,
+)
+def graph_supplier_triangles(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    e = (
+        cs.alias("a")
+        .join(
+            cs.alias("b"),
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    return (
+        ab.join(bc, F.col("ab.v") == F.col("bc.u"))
+        .join(
+            ac,
+            (F.col("ac.u") == F.col("ab.u")) & (F.col("ac.v") == F.col("bc.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

@@ -95,3 +95,26 @@ def test_label_propagation_isolated_and_tiebreak(spark):
     assert got["m"] == "a"
     # pure-source nodes (never a dst) keep their own label
     assert got["a"] == "a" and got["b"] == "b" and got["c"] == "c"
+
+
+def test_trustrank_seeds_localize_mass(spark):
+    """Personalized teleport: rank flows only from seeds; a node
+    unreachable from the seed set scores exactly zero, and the Python
+    reference math agrees unit-for-unit."""
+    from data_ingestion_framework_spark.operators.graph import pagerank
+
+    # two disconnected 2-cycles; seeds in the first only
+    und = [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")]
+    df = spark.createDataFrame(und, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(df, iterations=3, seeds=seeds).collect()
+    }
+    assert got["x"] == 0 and got["y"] == 0
+    # hand math (scale 1e9, d=85/100): tele_a=15e7, init a=1e9, b=0
+    s, tele = 10**9, 150_000_000
+    ra, rb = s, 0
+    for _ in range(3):
+        ra, rb = tele + (85 * rb) // 100, 0 + (85 * ra) // 100
+    assert got["a"] == ra and got["b"] == rb
