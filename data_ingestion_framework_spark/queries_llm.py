@@ -4638,3 +4638,55 @@ def corpus_bpe_merges(spark, sf_dir):
 def corpus_bpe_token_counts(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return text.bpe_token_counts(docs, n_merges=3, min_freq=2)
+
+
+# ---------------------------------------------------------------------------
+# BPE-budgeted source mixing: the tokenize → budget composite a
+# training mix actually runs — per-source token budgets measured in
+# TRAINED-TOKENIZER tokens (corpus-trained BPE merges), not whitespace
+# words. The oracle chains the BPE training/re-segmentation CTEs into
+# the same md5-prefix running-sum window.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "corpus_bpe_budget_mix",
+    oracle="WITH "
+    + ",\n    ".join(_bpe_oracle(3, 2, final_reseg=True))
+    + """,
+    dw AS (
+      SELECT doc_id, UNNEST(string_split(
+        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+      FROM documents
+    ),
+    dtok AS (
+      SELECT doc_id, CAST(SUM(len(a3.syms)) AS BIGINT) AS bpe_tokens
+      FROM dw JOIN a3 ON dw.w = a3.w
+      WHERE dw.w <> ''
+      GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT d.doc_id, d.source, t.bpe_tokens,
+             substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS hk
+      FROM documents d JOIN dtok t ON t.doc_id = d.doc_id
+    ),
+    runs AS (
+      SELECT doc_id, source, bpe_tokens,
+             COALESCE(SUM(bpe_tokens) OVER (
+               PARTITION BY source ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS before
+      FROM tok
+    )
+    SELECT doc_id, source, bpe_tokens FROM runs WHERE before < 900
+    """,
+)
+def corpus_bpe_budget_mix(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.sampling import (
+        token_budget_per_group,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    counts = text.bpe_token_counts(docs, n_merges=3, min_freq=2)
+    mix_in = docs.select("doc_id", "source").join(counts, "doc_id")
+    return token_budget_per_group(
+        mix_in, 900, "source", "bpe_tokens", id_col="doc_id"
+    ).select("doc_id", "source", "bpe_tokens")

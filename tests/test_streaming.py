@@ -918,3 +918,91 @@ def test_quarantine_ledger_is_per_table_after_partial_crash(spark, tmp_path):
     qrows = {r["k"]: r["data_quality_result_array"] for r in quar2.read().collect()}
     assert set(qrows) == {2, 3}
     assert qrows[2] == ["nn"] and qrows[3] == ["v_pos"]
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: matched purchases emit
+    join rows; unmatched purchases emit null-padded rows once the
+    watermark passes their interval. A late tail event pushes the
+    watermark far enough that every unmatched row flushes in the
+    availableNow run."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    batches = [
+        [
+            # purchase with a same-user click 10 min before → match;
+            # another purchase with NO same-user click → null padding
+            (1, 7, "click", base),
+            (2, 7, "purchase", base + dt.timedelta(minutes=10)),
+            (3, 8, "purchase", base + dt.timedelta(hours=5)),
+        ],
+        # each later batch advances the watermark ON BOTH SIDES (the
+        # global watermark is the MIN across the two inputs, and only
+        # rows surviving each side's filter feed its watermark node);
+        # the final batch runs with the watermark past every open
+        # interval, so the unmatched purchase's null row flushes
+        [
+            (90, 20, "purchase", base + dt.timedelta(days=30)),
+            (91, 21, "click", base + dt.timedelta(days=30)),
+        ],
+        [
+            (92, 22, "purchase", base + dt.timedelta(days=60)),
+            (93, 23, "click", base + dt.timedelta(days=60)),
+        ],
+    ]
+    src = str(tmp_path / "in")
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    spark.createDataFrame(batches[0], schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    # outer stream-stream joins REQUIRE an equality predicate alongside
+    # the interval condition (Spark refuses pure-theta outer joins —
+    # state cleanup needs a key)
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select("purchase_id", "click_id")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            joined.writeStream.format("parquet")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # batch 1: inner match emits, outer state stays open
+    for extra in batches[1:]:
+        spark.createDataFrame(extra, schema).write.mode("append").parquet(src)
+        run_once()
+    got = {r["purchase_id"]: r["click_id"] for r in spark.read.parquet(out).collect()}
+    # the matched purchase carries its click; both watermark-expired
+    # unmatched purchases (3, and the day-30 sentinel once day-60 data
+    # arrived) emit null-padded rows; the day-60 sentinel stays open
+    assert got == {2: 1, 3: None, 90: None}
