@@ -2091,3 +2091,70 @@ def orders_add_column_default_state(spark, sf_dir):
         orders.where("o_orderkey % 3 = 2").withColumn("tier", F.lit("premium"))
     )
     return t.read()
+
+
+# ---------------------------------------------------------------------------
+# Version diff — time travel composed with hash-CDC: DESCRIBE what
+# changed between two commits of the same table (the "what did the
+# backfill touch?" audit). as_of(v1) vs the live state feed find_delta;
+# output is the change rows with their change_type. The oracle
+# reconstructs both states from the orders slice and replays the same
+# full-outer comparison.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_version_diff_state",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey AS pk, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    v2 AS (
+      -- update: +10 on pk % 3 = 0; delete: price >= 300000; insert: %4=1
+      SELECT pk, CASE WHEN pk % 3 = 0 THEN price + 10 ELSE price END AS price
+      FROM v1
+      WHERE NOT (CASE WHEN pk % 3 = 0 THEN price + 10 ELSE price END >= 300000)
+      UNION ALL
+      SELECT o_orderkey AS pk, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 = 1
+    )
+    SELECT COALESCE(v2.pk, v1.pk) AS pk,
+           v2.price AS new_price, v1.price AS old_price,
+           CASE WHEN v1.pk IS NULL THEN 'insert'
+                WHEN v2.pk IS NULL THEN 'delete'
+                WHEN v1.price <> v2.price THEN 'update'
+                ELSE 'unchanged' END AS change_type
+    FROM v2 FULL OUTER JOIN v1 ON v1.pk = v2.pk
+    WHERE CASE WHEN v1.pk IS NULL THEN 'insert'
+               WHEN v2.pk IS NULL THEN 'delete'
+               WHEN v1.price <> v2.price THEN 'update'
+               ELSE 'unchanged' END <> 'unchanged'
+    """,
+)
+def orders_version_diff_state(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.cdc import find_delta
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    orders = load(spark, sf_dir, "orders")
+    t = ParquetTable(spark, _scratch_dir("difs_vdiff_") + "/t")
+    t.overwrite(
+        orders.where("o_orderkey % 4 = 0").selectExpr(
+            "o_orderkey AS pk", "o_totalprice AS price"
+        )
+    )
+    v1 = t.history()[-1]["seq"]
+    t.update_where({"price": F.col("price") + 10}, "pk % 3 = 0")
+    t.delete_where("price >= 300000")
+    t.append(
+        orders.where("o_orderkey % 4 = 1").selectExpr(
+            "o_orderkey AS pk", "o_totalprice AS price"
+        )
+    )
+    old, new = t.as_of(v1), t.read()
+    delta = find_delta(old, new, ["pk"], ["price"])
+    old_price = old.select("pk", F.col("price").alias("old_price"))
+    return (
+        delta.where(F.col("change_type") != "unchanged")
+        .select("pk", F.col("price").alias("new_price"), "change_type")
+        .join(old_price, "pk", "left")
+        .select("pk", "new_price", "old_price", "change_type")
+    )

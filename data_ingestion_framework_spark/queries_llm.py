@@ -4690,3 +4690,56 @@ def corpus_bpe_budget_mix(spark, sf_dir):
     return token_budget_per_group(
         mix_in, 900, "source", "bpe_tokens", id_col="doc_id"
     ).select("doc_id", "source", "bpe_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search: cosine top-k restricted by a metadata
+# predicate (label = 1) — the filtered-ANN pattern every vector store
+# ships. The predicate applies BEFORE scoring, so Catalyst pushes it
+# into the parquet scan (pre-filtering; post-filtering a top-k would
+# silently return fewer than k). Same exactness discipline as
+# similarity_cosine_topk.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "similarity_filtered_topk",
+    oracle="""
+    WITH elems AS (
+      SELECT vec_id, label,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM elems GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS q_id, i, x FROM elems WHERE vec_id < 3),
+    corp AS (SELECT vec_id, i, x FROM elems WHERE label = 1),
+    dots AS (
+      SELECT q.q_id, e.vec_id, SUM(q.x * e.x) AS dp
+      FROM q JOIN corp e ON q.i = e.i
+      GROUP BY q.q_id, e.vec_id
+    ),
+    scored AS (
+      SELECT d.q_id, d.vec_id,
+             ROUND(CASE WHEN nq.nrm * ne.nrm = 0 THEN 0.0
+                        ELSE d.dp / (nq.nrm * ne.nrm) END, 4) AS cos_sim
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.q_id
+      JOIN norms ne ON ne.vec_id = d.vec_id
+      WHERE d.q_id <> d.vec_id
+    )
+    SELECT q_id, vec_id, cos_sim
+    FROM (
+      SELECT q_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 10
+    """,
+)
+def similarity_filtered_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    return similarity.cosine_topk(
+        emb.where(F.col("label") == 1), queries, k=10
+    ).select("q_id", "vec_id", "cos_sim")
