@@ -185,6 +185,141 @@ class _Plan:
         self.files = files
 
 
+def _filter_column(f) -> str | None:
+    """Top-level column name of a pushable comparison filter, else
+    None. Pushable: EqualTo / GreaterThan(OrEqual) / LessThan(OrEqual)
+    / In with an int/float/str literal on a depth-1 column."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    if not isinstance(
+        f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In)
+    ):
+        return None
+    if len(f.attribute) != 1:
+        return None
+    vals = f.value if isinstance(f, In) else (f.value,)
+    import math
+
+    for v in vals:
+        if not isinstance(v, (int, float, str)) or isinstance(v, bool):
+            return None
+        if isinstance(v, float) and math.isnan(v):
+            return None
+    return f.attribute[0]
+
+
+def _file_stats(path: str, col: str, cache: dict):
+    """(min, max) of ``col`` across the file's row groups from footer
+    stats, or None when any row group lacks them (never prune blind)."""
+    import pyarrow.parquet as pq
+
+    key = (path, col)
+    if key in cache:
+        return cache[key]
+    out = None
+    try:
+        md = pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if col in idx:
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None:
+                out = (lo, hi)
+    except Exception:
+        out = None
+    cache[key] = out
+    return out
+
+
+def _file_may_match(path: str, f, cache: dict) -> bool:
+    """False only when footer min/max PROVE no row satisfies ``f``."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    col = _filter_column(f)
+    st = _file_stats(path, col, cache)
+    if st is None:
+        return True
+    lo, hi = st
+    try:
+        if isinstance(f, EqualTo):
+            return lo <= f.value <= hi
+        if isinstance(f, In):
+            return any(lo <= v <= hi for v in f.value)
+        if isinstance(f, GreaterThan):
+            return hi > f.value
+        if isinstance(f, GreaterThanOrEqual):
+            return hi >= f.value
+        if isinstance(f, LessThan):
+            return lo < f.value
+        if isinstance(f, LessThanOrEqual):
+            return lo <= f.value
+    except TypeError:
+        return True  # stats/literal type mismatch — never prune blind
+    return True
+
+
+def _apply_arrow_filter(batch, f):
+    """Evaluate one pushed filter on an Arrow batch (null comparisons
+    drop the row, matching SQL semantics). Unknown shapes pass the
+    batch through — Spark re-applies every filter post-scan anyway."""
+    import pyarrow.compute as pc
+
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    col = _filter_column(f)
+    if col is None or col not in batch.schema.names:
+        return batch
+    c = batch.column(col)
+    try:
+        if isinstance(f, EqualTo):
+            mask = pc.equal(c, f.value)
+        elif isinstance(f, In):
+            import pyarrow as pa
+
+            mask = pc.is_in(c, value_set=pa.array(list(f.value), c.type))
+        elif isinstance(f, GreaterThan):
+            mask = pc.greater(c, f.value)
+        elif isinstance(f, GreaterThanOrEqual):
+            mask = pc.greater_equal(c, f.value)
+        elif isinstance(f, LessThan):
+            mask = pc.less(c, f.value)
+        elif isinstance(f, LessThanOrEqual):
+            mask = pc.less_equal(c, f.value)
+        else:
+            return batch
+        return batch.filter(pc.fill_null(mask, False))
+    except Exception:
+        return batch
+
+
 class ParquetTableReader(DataSourceReader):
     def __init__(self, options: dict):
         path = options.get("path")
@@ -194,12 +329,25 @@ class ParquetTableReader(DataSourceReader):
         self.plan = _Plan(path, int(version) if version is not None else None)
 
     def partitions(self):
+        files = self.plan.files
+        for f in getattr(self, "filters", []):
+            files = [
+                (rel, p)
+                for rel, p in files
+                if _file_may_match(p, f, self._stats_cache)
+            ]
         return [
             InputPartition(
                 (abs_path, tuple(self.plan.dv.get(os.path.basename(abs_path), ())))
             )
-            for _rel, abs_path in self.plan.files
+            for _rel, abs_path in files
         ]
+
+    @property
+    def _stats_cache(self):
+        if not hasattr(self, "_stats"):
+            self._stats = {}
+        return self._stats
 
     def read(self, partition):
         import pyarrow as pa
@@ -212,13 +360,35 @@ class ParquetTableReader(DataSourceReader):
         for batch in pf.iter_batches():
             n = batch.num_rows
             if skip:
+                # the DV mask indexes ORIGINAL row positions — apply it
+                # before any filter-derived mask shifts row numbering
                 mask = pa.array(
                     [offset + i not in skip for i in range(n)], pa.bool_()
                 )
                 batch = batch.filter(mask)
             offset += n
+            for f in getattr(self, "filters", []):
+                if batch.num_rows:
+                    batch = _apply_arrow_filter(batch, f)
             if batch.num_rows:
                 yield batch
+
+
+class ParquetTablePushdownReader(ParquetTableReader):
+    """The batch reader with Spark 4.1 filter pushdown. OPT-IN via
+    ``.option("pushdown", "true")`` because Spark HARD-FAILS any reader
+    that merely DEFINES ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false — a vanilla
+    session must keep working against the default reader. With both
+    switches on: footer min/max stats prune whole files driver-side,
+    Arrow masks filter batches executor-side (after the DV mask — DV
+    indices address ORIGINAL row positions), and every filter is ALSO
+    handed back to Spark for re-evaluation, so the pushdown can only
+    reduce bytes moved, never change results."""
+
+    def pushFilters(self, filters):
+        self.filters = [f for f in filters if _filter_column(f) is not None]
+        return filters
 
 
 class ParquetTableStreamReader(DataSourceStreamReader):
@@ -496,7 +666,10 @@ class ParquetTableDataSource(DataSource):
         return from_arrow_schema(pq.read_schema(plan.files[0][1]))
 
     def reader(self, schema):
-        return ParquetTableReader(dict(self.options))
+        opts = dict(self.options)
+        if str(opts.get("pushdown", "")).lower() in ("true", "1"):
+            return ParquetTablePushdownReader(opts)
+        return ParquetTableReader(opts)
 
     def streamReader(self, schema):
         return ParquetTableStreamReader(dict(self.options))
