@@ -1,0 +1,143 @@
+"""Property-based exactness checks for the integer-arithmetic
+operators: the Spark PageRank/BPE computations must agree
+unit-for-unit with straightforward pure-Python references on ARBITRARY
+inputs — the contract that lets their DuckDB oracles (the same math,
+third implementation) hash-match at any scale."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# -- references --------------------------------------------------------------
+
+
+def _py_pagerank(edges, iterations, scale=10**9, num=85, den=100, seeds=None):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    tele = ((den - num) * scale) // den
+    t = {n: (tele if seeds is None or n in seeds else 0) for n in nodes}
+    r = {n: (scale if seeds is None or n in seeds else 0) for n in nodes}
+    for _ in range(iterations):
+        inflow = {n: 0 for n in nodes}
+        for s, d in edges:
+            inflow[d] += r[s] // deg[s]
+        r = {n: t[n] + (num * inflow[n]) // den for n in nodes}
+    return r
+
+
+def _py_bpe_merge(seq, left, right):
+    out, pend = [], None
+    for x in seq:
+        if pend is None:
+            pend = x
+        elif pend == left and x == right:
+            out.append(left + right)
+            pend = None
+        else:
+            out.append(pend)
+            pend = x
+    if pend is not None:
+        out.append(pend)
+    return out
+
+
+def _py_bpe_train(texts, n_merges, min_freq):
+    words: dict[str, int] = {}
+    for t in texts:
+        for w in " ".join(t.lower().split()).split(" "):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    segs = {w: list(w) for w in words}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs: dict[tuple, int] = {}
+        for w, freq in words.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] = pairs.get((s[i], s[i + 1]), 0) + freq
+        if not any(c >= min_freq for c in pairs.values()):
+            break
+        # deterministic argmax: max count, then lexicographically least pair
+        best = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        if best[1] < min_freq:
+            break
+        merges.append((step, best[0][0], best[0][1], best[1]))
+        segs = {w: _py_bpe_merge(s, best[0][0], best[0][1]) for w, s in segs.items()}
+    return merges
+
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)).map(
+        lambda p: (f"n{p[0]}", f"n{p[1]}")
+    ),
+    min_size=1,
+    max_size=15,
+).map(lambda es: sorted(set(es)))
+
+texts_st = st.lists(
+    st.lists(
+        st.sampled_from(["ab", "abc", "aab", "ba", "bb", "a", "cab"]),
+        min_size=1,
+        max_size=8,
+    ).map(" ".join),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_st, iters=st.integers(0, 4))
+def test_pagerank_matches_python_reference(spark, edges, iters):
+    from data_ingestion_framework_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(df, iterations=iters, checkpoint_every=0).collect()
+    }
+    assert got == _py_pagerank(edges, iters)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_st, iters=st.integers(1, 3))
+def test_trustrank_matches_python_reference(spark, edges, iters):
+    from data_ingestion_framework_spark.operators.graph import pagerank
+
+    seeds = {edges[0][0]}
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(
+            df, iterations=iters, checkpoint_every=0, seeds=sdf
+        ).collect()
+    }
+    assert got == _py_pagerank(edges, iters, seeds=seeds)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts_st, n=st.integers(1, 3))
+def test_bpe_train_matches_python_reference(spark, texts, n):
+    from data_ingestion_framework_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_freq"])
+        for r in bpe_train_merges(df, n_merges=n, min_freq=1).collect()
+    ]
+    assert got == _py_bpe_train(texts, n, 1)
