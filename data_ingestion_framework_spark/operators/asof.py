@@ -41,19 +41,30 @@ def asof_join(
     value_cols: list[str],
     tiebreak: str | None = None,
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` on the same keys (backward as-of).
+    """For each left row, attach the matching right row on the same
+    keys — pandas ``merge_asof`` direction parity:
+
+    - ``backward`` (default): greatest ``right_ts <= left_ts``;
+    - ``forward``: smallest ``right_ts >= left_ts``;
+    - ``nearest``: whichever of the two is closer in time (ties —
+      equidistant candidates on both sides — go BACKWARD; both
+      boundary candidates ride ONE shuffle: two window passes over the
+      same partitioning).
 
     Right ``value_cols`` come back prefixed ``asof_`` plus an
     ``asof_ts`` column; unmatched left rows keep them NULL.
     ``tiebreak`` orders right rows sharing a timestamp (last wins);
-    ``tolerance_seconds`` nulls out matches older than the tolerance.
+    ``tolerance_seconds`` nulls out matches farther than the tolerance
+    (in the direction's sense; absolute distance for ``nearest``).
 
     Both timestamp columns may be ``TIMESTAMP`` or ``TIMESTAMP_NTZ``
     (even mixed across the two sides): the internal ``_ts`` ordering
     column and the returned ``asof_ts`` are normalized to ``TIMESTAMP``.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward, forward or nearest")
     carried = [f"asof_{c}" for c in value_cols]
     lhs = left.select(
         *keys,
@@ -81,22 +92,61 @@ def asof_join(
         event_time(right_ts).alias("_asof_ts"),
         F.lit(None).cast(lhs.schema["_row"].dataType).alias("_row"),
     )
-    w = (
+    frame = (W.unboundedPreceding, W.currentRow)
+    w_back = (
+        W.partitionBy(*keys).orderBy("_ts", "_m", "_tb").rowsBetween(*frame)
+    )
+    w_fwd = (
         W.partitionBy(*keys)
-        .orderBy("_ts", "_m", "_tb")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+        .orderBy(F.desc("_ts"), "_m", "_tb")
+        .rowsBetween(*frame)
     )
-    filled = lhs.unionByName(rhs).select(
-        "_m",
-        "_row",
-        F.last("_asof_ts", ignorenulls=True).over(w).alias("asof_ts"),
-        *[F.last(a, ignorenulls=True).over(w).alias(a) for a in carried],
-    )
+    union = lhs.unionByName(rhs)
+    if direction in ("backward", "forward"):
+        w = w_back if direction == "backward" else w_fwd
+        filled = union.select(
+            "_m",
+            "_row",
+            F.last("_asof_ts", ignorenulls=True).over(w).alias("asof_ts"),
+            *[F.last(a, ignorenulls=True).over(w).alias(a) for a in carried],
+        )
+    else:
+        # nearest: both boundary candidates from the SAME partitioning
+        # (two sorts, one shuffle), then pick per row by time distance
+        # — equidistant ties go backward
+        both = union.select(
+            "_m",
+            "_row",
+            F.last("_asof_ts", ignorenulls=True).over(w_back).alias("_b_ts"),
+            *[F.last(a, ignorenulls=True).over(w_back).alias(f"_b_{a}") for a in carried],
+            F.last("_asof_ts", ignorenulls=True).over(w_fwd).alias("_f_ts"),
+            *[F.last(a, ignorenulls=True).over(w_fwd).alias(f"_f_{a}") for a in carried],
+        )
+        lts = epoch_micros(F.col("_row")[left_ts])
+        use_back = F.col("_f_ts").isNull() | (
+            F.col("_b_ts").isNotNull()
+            & ((lts - epoch_micros(F.col("_b_ts"))) <= (epoch_micros(F.col("_f_ts")) - lts))
+        )
+        filled = both.select(
+            "_m",
+            "_row",
+            F.when(use_back, F.col("_b_ts")).otherwise(F.col("_f_ts")).alias("asof_ts"),
+            *[
+                F.when(use_back, F.col(f"_b_{a}")).otherwise(F.col(f"_f_{a}")).alias(a)
+                for a in carried
+            ],
+        )
     out = filled.where(F.col("_m") == 1)
     if tolerance_seconds is not None:
-        stale = (
-            epoch_micros(F.col("_row")[left_ts]) - epoch_micros(F.col("asof_ts"))
-        ) > tolerance_seconds * 1_000_000
+        lts = epoch_micros(F.col("_row")[left_ts])
+        rts = epoch_micros(F.col("asof_ts"))
+        if direction == "backward":
+            dist = lts - rts
+        elif direction == "forward":
+            dist = rts - lts
+        else:
+            dist = F.abs(rts - lts)
+        stale = dist > tolerance_seconds * 1_000_000
         out = out.select(
             "_m",
             "_row",

@@ -615,3 +615,54 @@ def events_session_purchase_overlap(spark, sf_dir):
     return out.select(
         F.col("l_user_id").alias("user_id"), "session_id", "event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# NEAREST as-of (pandas merge_asof direction='nearest' parity): each
+# purchase gets the user's closest click in TIME, either side;
+# equidistant ties go backward, same-timestamp ties to the highest
+# event id. The Spark side derives both boundary candidates from ONE
+# shuffle (two window passes over the same partitioning); the oracle
+# ranks every candidate globally — argmin distance is always one of
+# the two boundaries, so the two formulations agree exactly.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_asof_nearest_click",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    ranked AS (
+      SELECT p.event_id AS pid, c.ts AS cts, c.event_id AS cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY ABS(epoch_us(c.ts) - epoch_us(p.ts)),
+                        CASE WHEN c.ts <= p.ts THEN 1 ELSE 0 END DESC,
+                        c.event_id DESC) AS rn
+      FROM p JOIN c ON p.user_id = c.user_id
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           r.cts AS asof_ts, r.cid AS asof_event_id
+    FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      ON r.pid = p.event_id
+    """,
+)
+def events_asof_nearest_click(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["event_id"],
+        tiebreak="event_id",
+        direction="nearest",
+    )

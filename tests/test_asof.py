@@ -266,3 +266,49 @@ def test_interval_overlap_join_exact_once_and_guard(spark):
             wide, right, ["k"], "ls", "le", "rs", "re_",
             bucket_seconds=60, max_buckets=100,
         ).collect()
+
+
+def test_asof_forward_and_nearest_directions(spark):
+    """pandas merge_asof direction parity: forward picks the smallest
+    right_ts >= left_ts, nearest picks the closer side with
+    equidistant ties going backward; tolerance measures in the
+    direction's sense."""
+    import datetime as dt
+
+    from data_ingestion_framework_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    left = spark.createDataFrame(
+        [("u", 1, ts(10)), ("u", 2, ts(35)), ("u", 3, ts(100))],
+        "k string, lid int, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", "a", ts(0)), ("u", "b", ts(30)), ("u", "c", ts(40))],
+        "k string, v string, rts timestamp",
+    )
+
+    def run(**kw):
+        rows = asof_join(
+            left, right, ["k"], "lts", "rts", ["v"], **kw
+        ).collect()
+        return {r["lid"]: r["asof_v"] for r in rows}
+
+    assert run() == {1: "a", 2: "b", 3: "c"}                      # backward
+    assert run(direction="forward") == {1: "b", 2: "c", 3: None}  # forward
+    # nearest: lid=2 at t+35 is equidistant to b(30) and c(40) → backward b
+    assert run(direction="nearest") == {1: "a", 2: "b", 3: "c"}
+    # tolerance in the direction's sense
+    assert run(direction="forward", tolerance_seconds=6 * 60) == {
+        1: None, 2: "c", 3: None,
+    }
+    assert run(direction="nearest", tolerance_seconds=11 * 60) == {
+        1: "a", 2: "b", 3: None,
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="direction"):
+        run(direction="sideways")
