@@ -1537,3 +1537,62 @@ def rrf_fuse(
         fused.withColumn("rrf_rank", F.row_number().over(w))
         .where(F.col("rrf_rank") <= k)
     )
+
+
+def ndcg_discounts(k: int) -> list[tuple[int, str]]:
+    """The nDCG position discounts ``1/log2(rank+1)`` for ranks 1..k,
+    12-dp-rounded and returned as STRINGS — both engines ingest the
+    identical decimal literals, so no cross-engine log2 ulp can leak
+    into the metric."""
+    import math
+
+    return [(i, f"{1.0 / math.log2(i + 1):.12f}") for i in range(1, k + 1)]
+
+
+def ann_ndcg(
+    exact: DataFrame,
+    ann: DataFrame,
+    k: int,
+    query_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """nDCG@k of an ANN ranking against the exact top-k (binary
+    relevance: a hit is membership in the exact set; the POSITION of
+    each hit in the ANN list earns the ``1/log2(rank+1)`` discount) —
+    the graded companion of :func:`ann_recall`: two indexes with equal
+    recall can still differ in how early they surface the true
+    neighbors.
+
+    Determinism: discounts are injected 12-dp decimal literals (never
+    engine log2), the DCG sum is exact DECIMAL, and the single
+    dcg/idcg division is one correctly-rounded double op. Broadcast-
+    sized join, same as recall."""
+    from decimal import Decimal
+
+    disc = ndcg_discounts(k)
+    idcg = sum(Decimal(w) for _, w in disc)
+    spark = ann.sparkSession
+    disc_df = spark.createDataFrame(
+        [(i, Decimal(w)) for i, w in disc], "rank int, w decimal(14,12)"
+    )
+    hits = (
+        ann.select(query_id_col, id_col, F.col(rank_col).alias("rank"))
+        .join(
+            exact.select(query_id_col, id_col).withColumn("__rel", F.lit(1)),
+            [query_id_col, id_col],
+            "left",
+        )
+        .join(F.broadcast(disc_df), "rank")
+    )
+    dcg = F.sum(
+        F.when(F.col("__rel") == 1, F.col("w")).otherwise(
+            F.lit("0").cast("decimal(14,12)")
+        )
+    ).cast("decimal(20,12)")
+    return hits.groupBy(query_id_col).agg(
+        F.round(
+            dcg.cast("double") / F.lit(str(idcg)).cast("decimal(20,12)").cast("double"),
+            6,
+        ).alias(f"ndcg_at_{k}")
+    )

@@ -4743,3 +4743,97 @@ def similarity_filtered_topk(spark, sf_dir):
     return similarity.cosine_topk(
         emb.where(F.col("label") == 1), queries, k=10
     ).select("q_id", "vec_id", "cos_sim")
+
+
+# ---------------------------------------------------------------------------
+# nDCG@10 of the IVF shortlist vs the exact top-10 (operators/
+# similarity.py ann_ndcg) — the graded companion of
+# similarity_ivf_recall: position-weighted credit for surfacing true
+# neighbors early. Discounts are INJECTED 12-dp decimal literals (the
+# same strings on both engines — never a live log2), the DCG sum is
+# exact DECIMAL, and dcg/idcg is one correctly-rounded double division.
+# ---------------------------------------------------------------------------
+_NDCG_VALUES = ", ".join(
+    f"({i}, {w}::DECIMAL(14,12))" for i, w in similarity.ndcg_discounts(10)
+)
+_IDCG_10 = str(sum(__import__("decimal").Decimal(w) for _, w in similarity.ndcg_discounts(10)))
+
+
+@bench_query(
+    "similarity_ivf_ndcg",
+    oracle=f"""
+    WITH {{ivf}},
+    query_cells AS (
+      SELECT vec_id AS q_id, cell FROM ranked WHERE rn <= 4 AND vec_id < 5
+    ),
+    cand AS (
+      SELECT q.q_id, c.vec_id
+      FROM query_cells q JOIN corpus_cell c ON c.cell = q.cell
+      WHERE c.vec_id <> q.q_id
+    ),
+    adots AS (
+      SELECT p.q_id, p.vec_id, SUM(ea.x * eb.x) AS dp
+      FROM cand p
+      JOIN e ea ON ea.vec_id = p.q_id
+      JOIN e eb ON eb.vec_id = p.vec_id AND eb.i = ea.i
+      GROUP BY p.q_id, p.vec_id
+    ),
+    ann AS (
+      SELECT q_id, vec_id, rn AS rank FROM (
+        SELECT d.q_id, d.vec_id,
+               row_number() OVER (PARTITION BY d.q_id
+                 ORDER BY ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                                ELSE d.dp / (na.nrm * nb.nrm) END, 4) DESC,
+                 d.vec_id ASC) AS rn
+        FROM adots d
+        JOIN vnorm na ON na.vec_id = d.q_id
+        JOIN vnorm nb ON nb.vec_id = d.vec_id
+      ) WHERE rn <= 10
+    ),
+    edots AS (
+      SELECT ea.vec_id AS q_id, eb.vec_id, SUM(ea.x * eb.x) AS dp
+      FROM e ea JOIN e eb ON eb.i = ea.i
+      WHERE ea.vec_id < 5 AND eb.vec_id <> ea.vec_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT d.q_id, d.vec_id,
+               row_number() OVER (PARTITION BY d.q_id
+                 ORDER BY ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                                ELSE d.dp / (na.nrm * nb.nrm) END, 4) DESC,
+                 d.vec_id ASC) AS rn
+        FROM edots d
+        JOIN vnorm na ON na.vec_id = d.q_id
+        JOIN vnorm nb ON nb.vec_id = d.vec_id
+      ) WHERE rn <= 10
+    ),
+    disc(rank, w) AS (VALUES {_NDCG_VALUES})
+    SELECT a.q_id,
+           ROUND(
+             CAST(CAST(SUM(CASE WHEN x.vec_id IS NOT NULL THEN d.w
+                                ELSE 0::DECIMAL(14,12) END) AS DECIMAL(20,12)) AS DOUBLE)
+             / CAST({_IDCG_10}::DECIMAL(20,12) AS DOUBLE),
+           6) AS ndcg_at_10
+    FROM ann a
+    JOIN disc d ON d.rank = a.rank
+    LEFT JOIN exact x ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+    GROUP BY a.q_id
+    """.replace("{ivf}", _ivf_index_sql(8)),
+)
+def similarity_ivf_ndcg(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_train_centroids(emb, n_cells=8, iters=2)
+    queries = emb.where(F.col("vec_id") < 5)
+    ann = similarity.ivf_cosine_topk(emb, queries, centroids, k=10, nprobe=4)
+    ann = ann.select(
+        "q_id",
+        "vec_id",
+        F.row_number()
+        .over(
+            W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        )
+        .alias("rank"),
+    )
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    return similarity.ann_ndcg(exact, ann, k=10)

@@ -255,3 +255,30 @@ def test_ann_recall_counts_overlap_per_query(spark):
     got = {r["q_id"]: (r["hits"], r["recall_at_5"])
            for r in ann_recall(exact, ann, k=5).collect()}
     assert got == {1: (5, 1.0), 2: (2, 0.4)}
+
+
+def test_ann_ndcg_bounds_and_perfect_ranking(spark):
+    """nDCG = 1 exactly when the ANN list IS the exact list; 0 when
+    disjoint; a late hit earns less than an early one."""
+    from data_ingestion_framework_spark.operators.similarity import ann_ndcg
+
+    exact = spark.createDataFrame(
+        [(0, i) for i in range(1, 4)], "q_id long, vec_id long"
+    )
+    perfect = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3)], "q_id long, vec_id long, rank int"
+    )
+    assert ann_ndcg(exact, perfect, k=3).collect()[0]["ndcg_at_3"] == 1.0
+    disjoint = spark.createDataFrame(
+        [(0, 9, 1), (0, 8, 2), (0, 7, 3)], "q_id long, vec_id long, rank int"
+    )
+    assert ann_ndcg(exact, disjoint, k=3).collect()[0]["ndcg_at_3"] == 0.0
+    early = spark.createDataFrame(
+        [(0, 1, 1), (0, 9, 2), (0, 8, 3)], "q_id long, vec_id long, rank int"
+    )
+    late = spark.createDataFrame(
+        [(0, 9, 1), (0, 8, 2), (0, 1, 3)], "q_id long, vec_id long, rank int"
+    )
+    e = ann_ndcg(exact, early, k=3).collect()[0]["ndcg_at_3"]
+    l = ann_ndcg(exact, late, k=3).collect()[0]["ndcg_at_3"]
+    assert 0.0 < l < e < 1.0
