@@ -99,7 +99,12 @@ _PRIORITY = [
     "events_sessionize",
     "events_range_join_counts",
     "streaming_daily_counts",
-    "events_asof_purchase",
+    # ROUND-9 ROTATION (2nd wave): events_asof_purchase (green
+    # r4-r7) cedes to the NEAREST-direction as-of — the SAME operator
+    # with a superset of directions (nearest computes the backward
+    # boundary too) and the same event-time normalization, so the NTZ
+    # class stays covered. Still in the full local gate.
+    "events_asof_nearest_click",
     # ROUND-8 ROTATION: events_time_rollup (driver-green r5+r6) cedes
     # to the duplicated-span excision operator; the time-bucket rollup
     # mechanism stays window-graded via events_incremental_partition_
@@ -201,7 +206,12 @@ _PRIORITY = [
     # mechanism stays window-graded via embeddings_pipeline_curated,
     # whose final stage runs the same quantizer. Still in the full gate.
     "orders_minmax_metadata",
-    "similarity_ivfpq_topk",
+    # ROUND-9 ROTATION (2nd wave): similarity_ivfpq_topk (green
+    # r6+r7) cedes to the nDCG index-quality gauge (whose oracle
+    # re-derives the IVF coarse index, the exact ranking AND the
+    # position-weighted fusion); IVFADC keeps
+    # similarity_ivfpq_sampled_topk in-window. Still in the full gate.
+    "similarity_ivf_ndcg",
     # ROUND-8 ROTATION: similarity_lsh_topk (driver-green r5+r6) cedes
     # to the surrogate-key SCD1 lifecycle; the sign-LSH bucket-join
     # mechanism stays window-graded via hybrid_dedup_clusters
@@ -209,7 +219,11 @@ _PRIORITY = [
     # shortlist family keeps similarity_hamming_topk +
     # similarity_matryoshka_topk in-window. Still in the full gate.
     "customer_surrogate_scd1_state",
-    "orders_hilbert_keys",
+    # ROUND-9 ROTATION (2nd wave): orders_hilbert_keys (green r6+r7)
+    # cedes to seeded TrustRank; the curve-bucketing integer math is
+    # pytest-pinned (test_zorder) and its data-skipping consumer stays
+    # window-graded via orders_stats_skipping_state.
+    "graph_trustrank_seeded",
     # ROUND-7 ROTATION: six rows driver-green 2+ rounds (r5+r6) cede
     # their slots to the three round-6 queries still awaiting a slot
     # (ANALYZE column stats, emitted generic-merge SQL, deletion-vector
@@ -283,7 +297,14 @@ _PRIORITY = [
     # corpus-count join + DECIMAL contribution sums before
     # bucketing). Still in the full local gate.
     "events_m4_downsample",
-    "hybrid_dedup_clusters",
+    # ROUND-9 ROTATION (2nd wave): hybrid_dedup_clusters (green
+    # r6+r7) cedes to label-propagation communities — the same
+    # iterative-label-join machinery generalized (CC IS min-label
+    # propagation); the hybrid edge sources stay window-graded via
+    # dedup_incremental_minhash (lexical banding) and
+    # embeddings_pipeline_curated (semantic near-dup). Still in the
+    # full local gate.
+    "graph_lpa_communities",
     # round-6 additions — oracle-backed, never driver-graded. The lazy
     # corpus_pipeline_end2end twin cedes its slot (it shares
     # corpus_pipeline_staged's oracle VERBATIM — the staged form in the

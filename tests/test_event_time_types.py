@@ -199,14 +199,17 @@ def test_driver_grading_window_covers_priority_queries():
         # stays via cdf_merge_changes)
         "graph_pagerank_interactions",
         "dq_violation_counts",
-        "events_asof_purchase",
+        # r9 2nd wave: events_asof_purchase ceded to the nearest-
+        # direction as-of (same operator, superset directions)
+        "events_asof_nearest_click",
         # r8: semantic_dedup_keep ceded to the partition-evolution
         # lifecycle (SemDeDup runs inside embeddings_pipeline_curated)
         "orders_partition_evolution_state",
         # r8: text_unigram_ce ceded to M4 downsampling (unigram CE is
         # re-derived inside docs_ccnet_buckets' oracle)
         "events_m4_downsample",
-        "hybrid_dedup_clusters",
+        # r9 2nd wave: hybrid clusters ceded to LPA communities
+        "graph_lpa_communities",
         # r8: orders_zorder_keys ceded to the COPY INTO lifecycle
         # (clustering keys keep orders_hilbert_keys in-window)
         "orders_copy_into_state",
@@ -233,11 +236,14 @@ def test_driver_grading_window_covers_priority_queries():
         # r9: orders_merge_into_state ceded to BPE training (executor
         # stays via orders_merge_not_matched_state)
         "corpus_bpe_merges",
-        "orders_hilbert_keys",
+        # r9 2nd wave: hilbert keys ceded to seeded TrustRank
+        "graph_trustrank_seeded",
         "docs_ccnet_buckets",
         "corpus_pipeline_curated",
         "orders_merge_not_matched_state",
-        "similarity_ivfpq_topk",
+        # r9 2nd wave: ivfpq_topk ceded to the nDCG gauge (oracle
+        # re-derives the IVF index); sampled IVFADC stays below
+        "similarity_ivf_ndcg",
         # r9: similarity_ivfpq_residual_topk ceded to the ADD COLUMN
         # DEFAULT lifecycle; orders_update_state ceded to BPE apply
         "orders_add_column_default_state",
