@@ -409,6 +409,8 @@ class ParquetTableStreamReader(DataSourceStreamReader):
         "set_partition_spec",
         "fsck_remove_orphans",
         "add_column",  # metadata-only; new column arrives via later appends
+        "set_column_default",
+        "drop_column_default",
         "cdf_reconcile",  # file-neutral crash marker (see read_since)
     }
 
@@ -507,10 +509,10 @@ class ParquetTableWriter(DataSourceWriter):
             raise ValueError("difs sink: type-widened tables need ParquetTable.append()")
         if props.get("schema_evolved"):
             raise ValueError("difs sink: schema-evolved tables need ParquetTable.append()")
-        if props.get("added_columns"):
+        if props.get("added_columns") or props.get("column_defaults"):
             raise ValueError(
-                "difs sink: table has metadata-added DEFAULT columns — "
-                "this writer cannot stamp them, use ParquetTable.append()"
+                "difs sink: table has DEFAULT columns — this writer "
+                "cannot stamp them, use ParquetTable.append()"
             )
         if props.get("constraints"):
             raise ValueError(

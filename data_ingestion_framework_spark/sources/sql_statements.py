@@ -103,6 +103,19 @@ def _resolve(
 _TBL = r"(`[^`]+`|'[^']+'|[A-Za-z_][A-Za-z0-9_.]*)"
 
 
+def _parse_default_literal(raw: str):
+    """DEFAULT literal → Python value (quoted string, bool, NULL, or
+    number) — the controlled-grammar subset, no expression eval."""
+    raw = raw.strip()
+    if raw.startswith(("'", '"')):
+        return raw[1:-1]
+    if raw.lower() in ("true", "false"):
+        return raw.lower() == "true"
+    if raw.lower() == "null":
+        return None
+    return float(raw) if "." in raw or "e" in raw.lower() else int(raw)
+
+
 def execute_statement(
     spark: SparkSession,
     sql: str,
@@ -217,23 +230,33 @@ def execute_statement(
             t.drop_column(mm.group(1).strip("`"))
             return None
         mm = re.match(
+            rf"ALTER{_WS}COLUMN{_WS}(\S+){_WS}DROP{_WS}DEFAULT$", rest, re.I
+        )
+        if mm:
+            t.drop_column_default(mm.group(1).strip("`"))
+            return None
+        mm = re.match(
+            rf"ALTER{_WS}COLUMN{_WS}(\S+){_WS}SET{_WS}DEFAULT{_WS}(.+)$",
+            rest,
+            re.I | re.S,
+        )
+        if mm:
+            t.set_column_default(
+                mm.group(1).strip("`"), _parse_default_literal(mm.group(2))
+            )
+            return None
+        mm = re.match(
             rf"ADD{_WS}COLUMN{_WS}(\S+){_WS}(\w+(?:\([\d\s,]*\))?)"
             rf"({_WS}DEFAULT{_WS}(.+))?$",
             rest,
             re.I | re.S,
         )
         if mm:
-            default = None
-            if mm.group(4) is not None:
-                raw = mm.group(4).strip()
-                if raw.startswith(("'", '"')):
-                    default = raw[1:-1]
-                elif raw.lower() in ("true", "false"):
-                    default = raw.lower() == "true"
-                elif raw.lower() == "null":
-                    default = None
-                else:
-                    default = float(raw) if "." in raw or "e" in raw.lower() else int(raw)
+            default = (
+                _parse_default_literal(mm.group(4))
+                if mm.group(4) is not None
+                else None
+            )
             t.add_column(mm.group(1).strip("`"), mm.group(2), default=default)
             return None
         mm = re.match(

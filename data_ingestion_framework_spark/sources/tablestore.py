@@ -624,6 +624,10 @@ class ParquetTable:
             # rekey or the old name resurrects as a NULL ghost column
             added[new] = added.pop(old)
             props["added_columns"] = added
+        defaults = dict(self.properties().get("column_defaults") or {})
+        if old in defaults:
+            defaults[new] = defaults.pop(old)
+            props["column_defaults"] = defaults
         if old in self.identity_spec():
             # the identity spec is keyed by LOGICAL name and consulted
             # at every write — a stale key would both double-inject the
@@ -675,6 +679,10 @@ class ParquetTable:
             # too, or the read projection re-adds it as a NULL ghost
             added.pop(name)
             props["added_columns"] = added or None
+        defaults = dict(self.properties().get("column_defaults") or {})
+        if name in defaults:
+            defaults.pop(name)
+            props["column_defaults"] = defaults or None
         self.set_properties(props)
         self._record_commit("drop_column", {"column": name}, new_files=[])
 
@@ -712,6 +720,52 @@ class ParquetTable:
             "add_column",
             {"column": name, "type": dtype, "default": default},
             new_files=[],
+        )
+
+    def set_column_default(self, name: str, default) -> None:
+        """``ALTER TABLE ... ALTER COLUMN name SET DEFAULT literal`` on
+        a STORED column (Delta allowColumnDefaults): subsequent appends
+        that omit the column get the default stamped at write time (a
+        batch that supplies it wins); existing rows are untouched.
+        Metadata-only, file-neutral commit."""
+        if not self.exists():
+            raise ValueError("set_column_default: table does not exist")
+        if name not in self.read().columns:
+            raise ValueError(f"set_column_default: no column {name!r}")
+        if name in self._generated():
+            raise ValueError(
+                f"set_column_default: {name!r} is GENERATED (computed on "
+                "read, never stored)"
+            )
+        if name in self.identity_spec():
+            raise ValueError(
+                f"set_column_default: {name!r} is an IDENTITY column — it "
+                "fills itself"
+            )
+        if name in self._partition_sources():
+            raise ValueError(
+                "set_column_default: partition columns place files — a "
+                "defaulted partition value would silently skew the layout"
+            )
+        dtype = self.read().schema[name].dataType
+        # validate castability loudly now, not at first append
+        self.spark.range(1).select(F.lit(default).cast(dtype))
+        defaults = dict(self.properties().get("column_defaults") or {})
+        defaults[name] = default
+        self.set_properties({"column_defaults": defaults})
+        self._record_commit(
+            "set_column_default", {"column": name, "default": default}, new_files=[]
+        )
+
+    def drop_column_default(self, name: str) -> None:
+        """``ALTER TABLE ... ALTER COLUMN name DROP DEFAULT``."""
+        defaults = dict(self.properties().get("column_defaults") or {})
+        if name not in defaults:
+            raise ValueError(f"drop_column_default: no default on {name!r}")
+        defaults.pop(name)
+        self.set_properties({"column_defaults": defaults or None})
+        self._record_commit(
+            "drop_column_default", {"column": name}, new_files=[]
         )
 
     # -- deletion vectors ----------------------------------------------------
@@ -1675,6 +1729,14 @@ class ParquetTable:
                 df = df.withColumn(
                     cname, F.lit(meta.get("default")).cast(meta["type"])
                 )
+        defaults = self.properties().get("column_defaults") or {}
+        if defaults and self.exists():
+            # stored-column defaults (ALTER COLUMN SET DEFAULT): same
+            # stamping rule, type taken from the table's read schema
+            cur_types = {f.name: f.dataType for f in self.read().schema.fields}
+            for cname, val in defaults.items():
+                if cname not in df.columns and cname in cur_types:
+                    df = df.withColumn(cname, F.lit(val).cast(cur_types[cname]))
         self._enforce_constraints(df)
         gen_named = sorted(set(df.columns) & set(self._generated()))
         if gen_named:
@@ -2460,6 +2522,8 @@ class ParquetTable:
                 "set_partition_spec",
                 "fsck_remove_orphans",
                 "add_column",
+                "set_column_default",
+                "drop_column_default",
             )
         ]
         if bad:

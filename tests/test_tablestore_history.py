@@ -1939,3 +1939,43 @@ def test_add_column_via_sql_statement(spark, tmp_path):
     t.append(spark.createDataFrame([(2,)], "k bigint"))
     rows = {r["k"]: (r["tier"], r["n"], r["r"]) for r in t.read().collect()}
     assert rows == {1: (None, None, None), 2: ("basic", 7, None)}
+
+
+def test_set_column_default_on_stored_column(spark, tmp_path):
+    """ALTER COLUMN SET/DROP DEFAULT on a STORED column: appends that
+    omit it get the default, supplied values win, rename rekeys, drop
+    default restores the schema-diff refusal."""
+    from data_ingestion_framework_spark.sources.sql_statements import (
+        execute_statement,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "x")], "k bigint, tag string"))
+    execute_statement(
+        spark, "ALTER TABLE t ALTER COLUMN tag SET DEFAULT 'none'",
+        tables={"t": t},
+    )
+    t.append(spark.createDataFrame([(2,)], "k bigint"))
+    t.append(spark.createDataFrame([(3, "y")], "k bigint, tag string"))
+    got = {r["k"]: r["tag"] for r in t.read().collect()}
+    assert got == {1: "x", 2: "none", 3: "y"}
+    # file-neutral commit: read_since stays additive across it
+    seq = t.history()[0]["seq"]
+    assert t.read_since(seq).count() == 2
+    # rename rekeys the default
+    t.rename_column("tag", "label")
+    t.append(spark.createDataFrame([(4,)], "k bigint"))
+    assert {r["k"]: r["label"] for r in t.read().collect()}[4] == "none"
+    # drop default → omitting batch refuses again (schema enforcement)
+    execute_statement(
+        spark, "ALTER TABLE t ALTER COLUMN label DROP DEFAULT", tables={"t": t}
+    )
+    with pytest.raises(ValueError, match="merge_schema|differs"):
+        t.append(spark.createDataFrame([(5,)], "k bigint"))
+    # refusals: generated / identity / unknown / partition columns
+    with pytest.raises(ValueError, match="no column"):
+        t.set_column_default("ghost", 1)
+    tp = ParquetTable(spark, str(tmp_path / "p"), partition_by=["p"])
+    tp.overwrite(spark.createDataFrame([(1, "a")], "k bigint, p string"))
+    with pytest.raises(ValueError, match="partition"):
+        tp.set_column_default("p", "a")
