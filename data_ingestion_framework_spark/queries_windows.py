@@ -666,3 +666,46 @@ def events_asof_nearest_click(spark, sf_dir):
         tiebreak="event_id",
         direction="nearest",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users by day — the running-distinct shape COUNT
+# (DISTINCT) OVER cannot express directly: reduce each user to their
+# FIRST day (one min-agg), count first-appearances per day, then a
+# running sum over the (tiny) day spine. Three exact integer stages,
+# no distinct-inside-window state. The oracle replays the same
+# decomposition.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "events_cumulative_distinct_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS first_hour
+      FROM events GROUP BY user_id
+    ),
+    per_hour AS (
+      SELECT first_hour AS hour, COUNT(*) AS new_users
+      FROM firsts GROUP BY first_hour
+    )
+    SELECT hour, CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY hour) AS BIGINT)
+             AS cumulative_users
+    FROM per_hour
+    """,
+)
+def events_cumulative_distinct_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    firsts = (
+        ev.select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("user_id")
+        .agg(F.min("h").alias("hour"))
+    )
+    per_hour = firsts.groupBy("hour").agg(F.count(F.lit(1)).alias("new_users"))
+    return per_hour.select(
+        "hour",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users")
+        .over(W.orderBy("hour").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("cumulative_users"),
+    )

@@ -411,6 +411,10 @@ class ParquetTableStreamReader(DataSourceStreamReader):
         "add_column",  # metadata-only; new column arrives via later appends
         "set_column_default",
         "drop_column_default",
+        "set_column_mask",
+        "drop_column_mask",
+        "set_row_filter",
+        "drop_row_filter",
         "cdf_reconcile",  # file-neutral crash marker (see read_since)
     }
 

@@ -230,6 +230,30 @@ def execute_statement(
             t.drop_column(mm.group(1).strip("`"))
             return None
         mm = re.match(
+            rf"ALTER{_WS}COLUMN{_WS}(\S+){_WS}SET{_WS}MASK{_WS}?\((.*)\)$",
+            rest,
+            re.I | re.S,
+        )
+        if mm:
+            t.set_column_mask(mm.group(1).strip("`"), mm.group(2))
+            return None
+        mm = re.match(
+            rf"ALTER{_WS}COLUMN{_WS}(\S+){_WS}DROP{_WS}MASK$", rest, re.I
+        )
+        if mm:
+            t.drop_column_mask(mm.group(1).strip("`"))
+            return None
+        mm = re.match(
+            rf"SET{_WS}ROW{_WS}FILTER{_WS}?\((.*)\)$", rest, re.I | re.S
+        )
+        if mm:
+            t.set_row_filter(mm.group(1))
+            return None
+        mm = re.match(rf"DROP{_WS}ROW{_WS}FILTER$", rest, re.I)
+        if mm:
+            t.drop_row_filter()
+            return None
+        mm = re.match(
             rf"ALTER{_WS}COLUMN{_WS}(\S+){_WS}DROP{_WS}DEFAULT$", rest, re.I
         )
         if mm:

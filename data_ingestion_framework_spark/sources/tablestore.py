@@ -768,6 +768,77 @@ class ParquetTable:
             "drop_column_default", {"column": name}, new_files=[]
         )
 
+    # -- governance (read-time policies) --------------------------------------
+    #
+    # Unity-Catalog-style column masks and row filters, applied by
+    # governed_read() ONLY: read() (and every internal read-modify-
+    # write path) stays raw, so a COW rewrite can never persist masked
+    # values over real data — the catastrophic failure mode of
+    # policy-inside-the-scan designs. Governance here is a SERVING
+    # boundary: hand analysts governed_read() (or a view over it), keep
+    # pipeline code on read(). The difs DataSource likewise scans raw.
+
+    def set_column_mask(self, name: str, expr_sql: str) -> None:
+        """Attach a mask expression to a column — ``governed_read()``
+        replaces the column with ``expr_sql`` (Spark SQL; may reference
+        the column itself and any OTHER pre-mask column, like UC mask
+        UDFs receive the raw value). Metadata-only."""
+        if not self.exists():
+            raise ValueError("set_column_mask: table does not exist")
+        cols = self.read().columns
+        if name not in cols:
+            raise ValueError(f"set_column_mask: no column {name!r}")
+        F.expr(expr_sql)  # parse loudly now
+        masks = dict(self.properties().get("column_masks") or {})
+        masks[name] = expr_sql
+        self.set_properties({"column_masks": masks})
+        self._record_commit(
+            "set_column_mask", {"column": name, "mask": expr_sql}, new_files=[]
+        )
+
+    def drop_column_mask(self, name: str) -> None:
+        masks = dict(self.properties().get("column_masks") or {})
+        if name not in masks:
+            raise ValueError(f"drop_column_mask: no mask on {name!r}")
+        masks.pop(name)
+        self.set_properties({"column_masks": masks or None})
+        self._record_commit("drop_column_mask", {"column": name}, new_files=[])
+
+    def set_row_filter(self, expr_sql: str) -> None:
+        """Attach a row filter — ``governed_read()`` keeps only rows
+        where it holds (evaluated on RAW values, before any mask — the
+        UC ordering). Metadata-only."""
+        if not self.exists():
+            raise ValueError("set_row_filter: table does not exist")
+        F.expr(expr_sql)
+        self.set_properties({"row_filter": expr_sql})
+        self._record_commit("set_row_filter", {"filter": expr_sql}, new_files=[])
+
+    def drop_row_filter(self) -> None:
+        if not self.properties().get("row_filter"):
+            raise ValueError("drop_row_filter: no row filter set")
+        self.set_properties({"row_filter": None})
+        self._record_commit("drop_row_filter", {}, new_files=[])
+
+    def governed_read(self) -> DataFrame:
+        """The serving-boundary scan: ``read()`` with the table's row
+        filter applied first (raw values), then every column mask in
+        one projection (masks see PRE-mask values of all columns, so
+        mask order can't matter)."""
+        df = self.read()
+        rf = self.properties().get("row_filter")
+        if rf:
+            df = df.where(F.coalesce(F.expr(rf), F.lit(False)))
+        masks = self.properties().get("column_masks") or {}
+        if masks:
+            df = df.select(
+                *[
+                    F.expr(masks[c]).alias(c) if c in masks else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        return df
+
     # -- deletion vectors ----------------------------------------------------
     def _dv_dir(self, root: str | None = None) -> str:
         """Active deletion-vector sidecar dir under ``root`` (default:
@@ -2524,6 +2595,10 @@ class ParquetTable:
                 "add_column",
                 "set_column_default",
                 "drop_column_default",
+                "set_column_mask",
+                "drop_column_mask",
+                "set_row_filter",
+                "drop_row_filter",
             )
         ]
         if bad:

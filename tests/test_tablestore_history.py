@@ -1979,3 +1979,52 @@ def test_set_column_default_on_stored_column(spark, tmp_path):
     tp.overwrite(spark.createDataFrame([(1, "a")], "k bigint, p string"))
     with pytest.raises(ValueError, match="partition"):
         tp.set_column_default("p", "a")
+
+
+def test_governance_masks_and_row_filter(spark, tmp_path):
+    """UC-style governance at the SERVING boundary: governed_read()
+    applies the row filter on raw values, then every mask in ONE
+    projection (masks see pre-mask values); read() and the COW rewrite
+    paths stay raw — a rewrite can never persist masked data."""
+    from data_ingestion_framework_spark.sources.sql_statements import (
+        execute_statement,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "alice@x.io", 120.0), (2, "bob@y.io", 40.0), (3, None, 99.0)],
+            "k bigint, email string, v double",
+        )
+    )
+    execute_statement(
+        spark,
+        "ALTER TABLE t ALTER COLUMN email SET MASK "
+        "(CASE WHEN v > 100 THEN email ELSE '***' END)",
+        tables={"t": t},
+    )
+    execute_statement(
+        spark, "ALTER TABLE t SET ROW FILTER (k < 3)", tables={"t": t}
+    )
+    got = {r["k"]: r["email"] for r in t.governed_read().collect()}
+    assert got == {1: "alice@x.io", 2: "***"}  # filter first, mask sees raw v
+    # raw surfaces unaffected
+    assert t.read().count() == 3
+    # COW rewrite through raw read never persists the mask
+    t.update_where({"v": F.col("v") + 1}, "k = 2")
+    assert {r["k"]: r["email"] for r in t.read().collect()}[2] == "bob@y.io"
+    # policy commits are file-neutral: read_since from AFTER the COW
+    # update stays additive across the appends that follow
+    seq = t.history()[-1]["seq"]
+    t.append(spark.createDataFrame([(4, "eve@z.io", 5.0)], "k bigint, email string, v double"))
+    assert t.read_since(seq).count() == 1
+    # drop restores the columns/rows
+    execute_statement(spark, "ALTER TABLE t ALTER COLUMN email DROP MASK", tables={"t": t})
+    execute_statement(spark, "ALTER TABLE t DROP ROW FILTER", tables={"t": t})
+    assert t.governed_read().count() == t.read().count()
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no mask"):
+        t.drop_column_mask("email")
+    with _pt.raises(ValueError, match="no column"):
+        t.set_column_mask("ghost", "'x'")
