@@ -4837,3 +4837,75 @@ def similarity_ivf_ndcg(spark, sf_dir):
     )
     exact = similarity.cosine_topk(emb, queries, k=10)
     return similarity.ann_ndcg(exact, ann, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for embedding-model training: for each anchor,
+# the top-k most similar vectors with a DIFFERENT label — the
+# contrastive pairs that actually move a metric-learning loss
+# (in-batch random negatives are too easy). Same broadcast-query scan
+# as cosine top-k with the label-disagreement predicate fused before
+# the per-anchor window.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "embeddings_hard_negatives",
+    oracle="""
+    WITH elems AS (
+      SELECT vec_id, label,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM elems GROUP BY vec_id
+    ),
+    lab AS (SELECT DISTINCT vec_id, label FROM elems),
+    q AS (SELECT vec_id AS q_id, i, x FROM elems WHERE vec_id < 5),
+    dots AS (
+      SELECT q.q_id, e.vec_id, SUM(q.x * e.x) AS dp
+      FROM q JOIN elems e ON q.i = e.i
+      GROUP BY q.q_id, e.vec_id
+    ),
+    scored AS (
+      SELECT d.q_id, d.vec_id, lb.label AS neg_label,
+             ROUND(CASE WHEN nq.nrm * ne.nrm = 0 THEN 0.0
+                        ELSE d.dp / (nq.nrm * ne.nrm) END, 4) AS cos_sim
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.q_id
+      JOIN norms ne ON ne.vec_id = d.vec_id
+      JOIN lab la ON la.vec_id = d.q_id
+      JOIN lab lb ON lb.vec_id = d.vec_id
+      WHERE d.q_id <> d.vec_id AND la.label <> lb.label
+    )
+    SELECT q_id, vec_id, neg_label, cos_sim
+    FROM (
+      SELECT q_id, vec_id, neg_label, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 5
+    """,
+)
+def embeddings_hard_negatives(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("label").alias("__ql"),
+    )
+    scored = similarity._spread(emb).crossJoin(F.broadcast(anchors)).where(
+        (F.col("q_id") != F.col("vec_id")) & (F.col("label") != F.col("__ql"))
+    ).select(
+        "q_id",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        F.round(
+            similarity.cosine(F.col("__qv"), F.col("embedding")), 4
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 5)
+        .drop("__rn")
+    )

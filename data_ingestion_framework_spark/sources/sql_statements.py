@@ -152,6 +152,27 @@ def execute_statement(
     if m:
         return _execute_merge(spark, m, tables)
 
+    m = re.match(
+        rf"CREATE{_WS}TABLE{_WS}{_TBL}({_WS}PARTITIONED{_WS}BY{_WS}\(([^)]*)\))?"
+        rf"{_WS}AS{_WS}(SELECT\b.*)$",
+        s,
+        re.I | re.S,
+    )
+    if m:
+        # CTAS: the table reference must be a quoted PATH (a fresh
+        # table has no registry entry yet) or an already-passed handle
+        t = _resolve(spark, m.group(1), tables)
+        if t.exists():
+            raise ValueError("CREATE TABLE AS: target already exists")
+        if m.group(3):
+            t.partition_by = [
+                c.strip().strip("`") for c in m.group(3).split(",") if c.strip()
+            ]
+            t.set_properties({"partition_spec": t.partition_by})
+        batch = execute_statement(spark, m.group(4), tables)
+        t.overwrite(batch, op="create")
+        return {"rows_written": t.history()[-1]["rows_written"]}
+
     m = re.match(rf"INSERT{_WS}(INTO|OVERWRITE){_WS}{_TBL}{_WS}(SELECT\b.*)$", s, re.I | re.S)
     if m:
         t = _resolve(spark, m.group(2), tables)

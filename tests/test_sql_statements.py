@@ -201,3 +201,47 @@ def test_analyze_and_fsck_statements(spark, t, tmp_path):
     assert any("orphan" in o for o in dry["orphans"])
     r = execute_statement(spark, "FSCK REPAIR TABLE t", {"t": t})
     assert r["orphans_removed"] >= 1
+
+
+def test_create_table_as_select(spark, tmp_path):
+    """CTAS on the statement surface: quoted-path target, optional
+    PARTITIONED BY, refuses existing targets."""
+    from data_ingestion_framework_spark.sources.sql_statements import (
+        execute_statement,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    src = ParquetTable(spark, str(tmp_path / "src"))
+    src.overwrite(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2]) for i in range(10)], "k bigint, g string"
+        )
+    )
+    dest = str(tmp_path / "dest")
+    out = execute_statement(
+        spark,
+        f"CREATE TABLE `{dest}` AS SELECT k, g FROM s WHERE k < 6",
+        tables={"s": src},
+    )
+    assert out["rows_written"] == 6
+    t = ParquetTable(spark, dest)
+    assert t.history()[0]["op"] == "create"
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(6))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="already exists"):
+        execute_statement(
+            spark, f"CREATE TABLE `{dest}` AS SELECT * FROM s", tables={"s": src}
+        )
+    # partitioned CTAS lays out by the named column
+    dest2 = str(tmp_path / "dest2")
+    execute_statement(
+        spark,
+        f"CREATE TABLE `{dest2}` PARTITIONED BY (g) AS SELECT k, g FROM s",
+        tables={"s": src},
+    )
+    t2 = ParquetTable(spark, dest2)
+    assert t2.read().count() == 10
+    import os as _os
+
+    assert any("g=" in d for d in _os.listdir(dest2))
