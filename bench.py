@@ -103,6 +103,9 @@ HEADLINE = [
     # shape: one edges⋈ranks + one groupBy SUM per iteration)
     "retrieval_rrf_hybrid",
     "graph_pagerank_interactions",
+    # round-8 fourth wave: distributed BPE tokenization (3 training
+    # rounds over the distinct-word table + broadcast apply)
+    "corpus_bpe_token_counts",
 ]
 
 

@@ -47,6 +47,7 @@ def pagerank(
     dedupe: bool = True,
     checkpoint_every: int = 4,
     seeds: DataFrame | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Integer fixed-point PageRank power iteration.
 
@@ -62,19 +63,30 @@ def pagerank(
     elsewhere), so rank measures proximity to the trusted set — the
     web-corpus trust-propagation quality prior.
 
+    ``weight`` names an INTEGER edge-weight column: a node's rank
+    splits across out-edges proportionally (``units * w DIV w_total``
+    instead of ``units DIV out_deg`` — same integer-exact discipline;
+    keep ``max_weight * scale * n_nodes`` far below 2^63).
+
     Pick ``scale`` such that ``n_nodes * scale * damping_num`` stays
     under 2^63 (default 1e9 units is safe to ~10^8 nodes).
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight:
+        cols.append(F.col(weight).cast("bigint").alias("w"))
+    e = edges.select(*cols)
     if dedupe:
         e = e.distinct()
     # materialize the degree-annotated edge list ONCE; the node set
     # derives from the checkpointed edges (not the raw input), so the
     # input plan is evaluated exactly once and every iteration joins
     # against materialized data
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    if weight:
+        deg = e.groupBy("src").agg(F.sum("w").alias("out_deg"))
+    else:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     e_deg = e.join(deg, "src").localCheckpoint()
     nodes = (
         e_deg.select(F.col("src").alias("node"))
@@ -107,12 +119,14 @@ def pagerank(
     nodes = nodes.localCheckpoint()
     ranks = nodes.select("node", F.col("__init").alias("units"))
     for i in range(iterations):
+        contrib = (
+            F.expr("units * w div out_deg")
+            if weight
+            else F.expr("units div out_deg")
+        )
         inflow = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
-            .select(
-                F.col("dst"),
-                F.expr("units div out_deg").alias("contrib"),
-            )
+            .select(F.col("dst"), contrib.alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inflow"))
         )

@@ -118,3 +118,39 @@ def test_trustrank_seeds_localize_mass(spark):
     for _ in range(3):
         ra, rb = tele + (85 * rb) // 100, 0 + (85 * ra) // 100
     assert got["a"] == ra and got["b"] == rb
+
+
+def test_weighted_pagerank_splits_rank_proportionally(spark):
+    """Edge weights: a's rank splits 3:1 between b and c; integer math
+    agrees with the hand fold, and weight=1 equals the unweighted form."""
+    from data_ingestion_framework_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, w int",
+    )
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(edges, iterations=2, weight="w").collect()
+    }
+    s, tele = 10**9, 150_000_000
+    r = {"a": s, "b": s, "c": s}
+    for _ in range(2):
+        inflow = {
+            "b": r["a"] * 3 // 4,
+            "c": r["a"] * 1 // 4,
+            "a": r["b"] + r["c"],
+        }
+        r = {n: tele + 85 * inflow[n] // 100 for n in r}
+    assert got == r
+    unit = {
+        x["node"]: x["rank_units"]
+        for x in pagerank(
+            edges.withColumn("w", F.lit(1)), iterations=2, weight="w"
+        ).collect()
+    }
+    plain = {
+        x["node"]: x["rank_units"]
+        for x in pagerank(edges.drop("w"), iterations=2).collect()
+    }
+    assert unit == plain
