@@ -40,9 +40,10 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -476,7 +477,7 @@ class ParquetTableStreamReader(DataSourceStreamReader):
         pass
 
 
-class ParquetTableWriter(DataSourceWriter):
+class ParquetTableWriter(DataSourceArrowWriter):
     """``df.write.format("difs").mode("append")``: executor tasks write
     parquet files under dotted TEMP names (invisible to every reader —
     the store's walkers and Spark's path filter skip dot-prefixed
@@ -557,98 +558,141 @@ class ParquetTableWriter(DataSourceWriter):
             )
 
     def write(self, iterator):
+        # Arrow path (DataSourceArrowWriter): batches stream straight
+        # into one parquet file per task — no per-row Python loop. The
+        # declared schema pins types (pyarrow inference from values
+        # would drift on all-null or temporal columns).
         import uuid as _uuid
 
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        rows = list(iterator)
-        if not rows:
-            return WriterCommitMessage()
-        names = rows[0].__fields__
-        cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
-        if self.schema is not None:
-            # build against the DECLARED schema — pyarrow inference from
-            # python values would drift on all-null or temporal columns
-            from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.pandas.types import to_arrow_schema
 
-            tbl = pa.table(cols, schema=to_arrow_schema(self.schema))
-        else:
-            tbl = pa.table(cols)
+        arrow_schema = (
+            to_arrow_schema(self.schema) if self.schema is not None else None
+        )
         tmp = f".inflight-{_uuid.uuid4().hex}.parquet"
-        pq.write_table(tbl, os.path.join(self.path, tmp))
+        writer = None
+        n = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    os.path.join(self.path, tmp), arrow_schema or batch.schema
+                )
+            if arrow_schema is not None and batch.schema != arrow_schema:
+                batch = batch.cast(arrow_schema)
+            writer.write_batch(batch)
+            n += batch.num_rows
+        if writer is None:
+            return WriterCommitMessage()
+        writer.close()
+        if n == 0:
+            os.unlink(os.path.join(self.path, tmp))
+            return WriterCommitMessage()
         msg = WriterCommitMessage()
         msg.file = tmp
         return msg
 
     def commit(self, messages):
-        import json as _json
-        import time as _time
-        import uuid as _uuid
+        _publish_append(self.path, messages, {"writer": "difs-datasource"})
 
-        new = []
-        for m in messages:
-            tmp = getattr(m, "file", None)
-            if not tmp:
-                continue
-            final = "part-" + tmp[len(".inflight-"):]
-            os.rename(
-                os.path.join(self.path, tmp), os.path.join(self.path, final)
-            )
-            new.append(final)
-        # one commit record, put-if-absent (the store's arbitration).
-        # The file list is previous-record files ∪ the files THIS commit
-        # renamed live — never a directory walk, which would launder a
-        # crashed writer's stray uncommitted file into a strict_files
-        # table's log (the store's own _record_commit admits prev∪new
-        # only; a log-less directory's first commit adopts what was
-        # already there as its base state).
-        names = _records(self.path)
-        seq = (int(names[-1][:8]) + 1) if names else 1
-        if names:
-            prev = _record(self.path, names[-1]).get("files") or []
-        else:
-            prev = [f for f in _walk_data_files(self.path) if f not in set(new)]
-        import pyarrow.parquet as pq
+    def abort(self, messages):
+        _drop_inflight(self.path, messages)
 
-        rows = sum(
-            pq.ParquetFile(os.path.join(self.path, f)).metadata.num_rows
-            for f in new
-        )
-        rec = {
-            "seq": seq,
-            "ts": _time.time(),
-            "op": "append",
-            "rows_written": rows,
-            "metrics": {"writer": "difs-datasource"},
-            "files": sorted(set(prev) | set(new)),
-            "stats": {},
-        }
-        log = os.path.join(self.path, LOG)
-        os.makedirs(log, exist_ok=True)
-        tmp = os.path.join(log, f".tmp-{_uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            _json.dump(rec, f)
-        try:
-            os.link(tmp, os.path.join(log, f"{seq:08d}.json"))
-        except FileExistsError:
-            raise RuntimeError(
-                f"difs sink: commit {seq} already exists — concurrent writer"
-            ) from None
-        finally:
+
+def _drop_inflight(path: str, messages) -> None:
+    for m in messages:
+        tmp = getattr(m, "file", None)
+        if tmp:
             try:
-                os.unlink(tmp)
+                os.unlink(os.path.join(path, tmp))
             except OSError:
                 pass
 
-    def abort(self, messages):
-        for m in messages:
-            tmp = getattr(m, "file", None)
-            if tmp:
-                try:
-                    os.unlink(os.path.join(self.path, tmp))
-                except OSError:
-                    pass
+
+def _publish_append(path: str, messages, metrics: dict) -> list[str]:
+    """Rename the tasks' in-flight files live and append ONE put-if-
+    absent commit record. The file list is previous-record files ∪ the
+    files THIS commit renamed — never a directory walk, which would
+    launder a crashed writer's stray uncommitted file into a
+    strict_files table's log (the store's own _record_commit admits
+    prev∪new only; a log-less directory's first commit adopts what was
+    already there as its base state)."""
+    import json as _json
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    new = []
+    for m in messages:
+        tmp = getattr(m, "file", None)
+        if not tmp:
+            continue
+        final = "part-" + tmp[len(".inflight-"):]
+        os.rename(os.path.join(path, tmp), os.path.join(path, final))
+        new.append(final)
+    names = _records(path)
+    seq = (int(names[-1][:8]) + 1) if names else 1
+    if names:
+        prev = _record(path, names[-1]).get("files") or []
+    else:
+        prev = [f for f in _walk_data_files(path) if f not in set(new)]
+    rows = sum(
+        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows for f in new
+    )
+    rec = {
+        "seq": seq,
+        "ts": _time.time(),
+        "op": "append",
+        "rows_written": rows,
+        "metrics": metrics,
+        "files": sorted(set(prev) | set(new)),
+        "stats": {},
+    }
+    log = os.path.join(path, LOG)
+    os.makedirs(log, exist_ok=True)
+    tmp = os.path.join(log, f".tmp-{_uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        _json.dump(rec, f)
+    try:
+        os.link(tmp, os.path.join(log, f"{seq:08d}.json"))
+    except FileExistsError:
+        raise RuntimeError(
+            f"difs sink: commit {seq} already exists — concurrent writer"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    return new
+
+
+class ParquetTableStreamWriter(ParquetTableWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("difs")``: every micro-batch appends
+    through the commit log with its ``stream_batch_id`` in the record
+    metrics — the same replay ledger the package's own stream_append
+    uses, so a checkpoint restart that re-delivers a batch publishes
+    NOTHING the second time (the in-flight files are dropped instead).
+    Completes the difs matrix: batch/stream × read/write all speak the
+    log."""
+
+    def commit(self, messages, batchId: int) -> None:
+        for name in _records(self.path):
+            if _record(self.path, name).get("metrics", {}).get(
+                "stream_batch_id"
+            ) == batchId:
+                _drop_inflight(self.path, messages)  # replayed batch
+                return
+        _publish_append(
+            self.path,
+            messages,
+            {"writer": "difs-datasource", "stream_batch_id": batchId},
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _drop_inflight(self.path, messages)
 
 
 class ParquetTableDataSource(DataSource):
@@ -682,3 +726,6 @@ class ParquetTableDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return ParquetTableWriter(dict(self.options), overwrite, schema)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return ParquetTableStreamWriter(dict(self.options), overwrite, schema)

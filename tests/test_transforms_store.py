@@ -526,3 +526,48 @@ def test_difs_reader_filter_pushdown_prunes_files(spark, tmp_path):
     # vanilla session (conf off) keeps working
     plain = spark.read.format("difs").option("path", p).load().where("k = 131")
     assert {x["k"] for x in plain.collect()} == {131}
+
+
+def test_difs_stream_writer_exactly_once(spark, tmp_path):
+    """writeStream.format('difs'): each micro-batch appends through the
+    commit log with its stream_batch_id; a replayed batch (fresh
+    checkpoint, same data) publishes nothing — exactly-once via the
+    record-metrics ledger, same contract as the package's own
+    stream_append."""
+    from data_ingestion_framework_spark.sources.pyds import (
+        ParquetTableDataSource,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    spark.dataSource.register(ParquetTableDataSource)
+    src = str(tmp_path / "in")
+    spark.createDataFrame([(i,) for i in range(8)], "k long").write.parquet(src)
+    dest = str(tmp_path / "t")
+
+    def run(ck):
+        q = (
+            spark.readStream.schema("k long")
+            .parquet(src)
+            .writeStream.format("difs")
+            .option("path", dest)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ck1")
+    t = ParquetTable(spark, dest)
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(8))
+    rec = t.history()[-1]
+    assert rec["op"] == "append" and rec["metrics"]["stream_batch_id"] == 0
+    # replay with a FRESH checkpoint re-delivers batch 0 → no-op
+    run("ck2")
+    assert t.read().count() == 8
+    assert len([r for r in t.history() if r["op"] == "append"]) == 1
+    # a difs batch read sees the streamed rows through the log
+    got = spark.read.format("difs").option("path", dest).load().count()
+    assert got == 8
+    import os as _os
+
+    assert not [f for f in _os.listdir(dest) if f.startswith(".inflight")]
