@@ -423,6 +423,24 @@ class ParquetTableStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("difs source: option 'path' is required")
+        # same plan-time refusals as the batch _Plan: this reader
+        # declares ONE schema and projects no metadata — a column-
+        # mapped / widened / evolved / defaulted table would fail
+        # confusingly at executor time (or worse, read stale names)
+        props = _props(self.path)
+        for key, what in (
+            ("column_mapping", "column-mapped"),
+            ("colmap", "column-mapped"),
+            ("widened_schema", "type-widened"),
+            ("schema_evolved", "schema-evolved"),
+            ("added_columns", "metadata-added-column"),
+        ):
+            if props.get(key):
+                raise ValueError(
+                    f"difs stream: {what} tables need "
+                    "streaming/table_stream.py (this scanner does not "
+                    "project table metadata)"
+                )
 
     def initialOffset(self):
         return {"seq": 0}

@@ -613,6 +613,19 @@ class ParquetTable:
                     f"rename_column: column {old!r} is referenced by CHECK "
                     f"constraint {cname!r} — drop the constraint first"
                 )
+        for mcol, mexpr in (self.properties().get("column_masks") or {}).items():
+            if mcol == old or _re.search(rf"\b{_re.escape(old)}\b", mexpr):
+                raise ValueError(
+                    f"rename_column: column {old!r} is referenced by the "
+                    f"mask on {mcol!r} — drop the mask first (its SQL text "
+                    "cannot be rewritten safely)"
+                )
+        rf_expr = self.properties().get("row_filter")
+        if rf_expr and _re.search(rf"\b{_re.escape(old)}\b", rf_expr):
+            raise ValueError(
+                f"rename_column: column {old!r} is referenced by the row "
+                "filter — drop the filter first"
+            )
         m = self._colmap()
         phys = m.pop(old, old)
         m[new] = phys
@@ -664,6 +677,18 @@ class ParquetTable:
                     f"drop_column: column {name!r} is referenced by CHECK "
                     f"constraint {cname!r} — drop the constraint first"
                 )
+        for mcol, mexpr in (self.properties().get("column_masks") or {}).items():
+            if mcol == name or _re.search(rf"\b{_re.escape(name)}\b", mexpr):
+                raise ValueError(
+                    f"drop_column: column {name!r} is referenced by the "
+                    f"mask on {mcol!r} — drop the mask first"
+                )
+        rf_expr = self.properties().get("row_filter")
+        if rf_expr and _re.search(rf"\b{_re.escape(name)}\b", rf_expr):
+            raise ValueError(
+                f"drop_column: column {name!r} is referenced by the row "
+                "filter — drop the filter first"
+            )
         m = self._colmap()
         phys = m.pop(name, name)
         dropped = self._dropped_columns()

@@ -2028,3 +2028,49 @@ def test_governance_masks_and_row_filter(spark, tmp_path):
         t.drop_column_mask("email")
     with _pt.raises(ValueError, match="no column"):
         t.set_column_mask("ghost", "'x'")
+
+
+def test_governance_guards_rename_and_drop(spark, tmp_path):
+    """A mask or row filter referencing a column pins it: rename/drop
+    refuse (the policy SQL text cannot be rewritten safely), mirroring
+    the CHECK-constraint guards."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, "e@x", 5.0)], "k bigint, email string, v double")
+    )
+    t.set_column_mask("email", "CASE WHEN v > 10 THEN email ELSE '***' END")
+    with pytest.raises(ValueError, match="mask"):
+        t.rename_column("email", "mail")
+    with pytest.raises(ValueError, match="mask"):
+        t.rename_column("v", "val")  # referenced INSIDE the mask expr
+    with pytest.raises(ValueError, match="mask"):
+        t.drop_column("v")
+    t.drop_column_mask("email")
+    t.set_row_filter("k > 0")
+    with pytest.raises(ValueError, match="row"):
+        t.rename_column("k", "pk")
+    t.drop_row_filter()
+    t.rename_column("k", "pk")  # free again
+    assert "pk" in t.read().columns
+
+
+def test_difs_stream_reader_refuses_metadata_tables(spark, tmp_path):
+    from data_ingestion_framework_spark.sources.pyds import (
+        ParquetTableDataSource,
+    )
+
+    spark.dataSource.register(ParquetTableDataSource)
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1,)], "k bigint"))
+    t.add_column("tier", "string", default="x")
+    with pytest.raises(Exception, match="table_stream|metadata"):
+        (
+            spark.readStream.format("difs")
+            .option("path", t.path)
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
