@@ -247,7 +247,15 @@ def _file_stats(path: str, col: str, cache: dict):
 
 
 def _file_may_match(path: str, f, cache: dict) -> bool:
-    """False only when footer min/max PROVE no row satisfies ``f``."""
+    """False only when footer min/max PROVE no row satisfies ``f``.
+
+    NUMERIC literals only: parquet string statistics may be TRUNCATED
+    for long values (the footer's max can understate the true max), so
+    string predicates never prune files here — they still filter
+    exactly batch-side in ``read()``, and Spark re-checks regardless."""
+    vals = f.value if isinstance(f.value, (tuple, list)) else (f.value,)
+    if any(isinstance(v, str) for v in vals):
+        return True
     from pyspark.sql.datasource import (
         EqualTo,
         GreaterThan,

@@ -571,3 +571,28 @@ def test_difs_stream_writer_exactly_once(spark, tmp_path):
     import os as _os
 
     assert not [f for f in _os.listdir(dest) if f.startswith(".inflight")]
+
+
+def test_difs_pushdown_never_prunes_on_string_stats(spark, tmp_path):
+    """Parquet string min/max can be truncated — string predicates must
+    not prune files (batch-side filtering stays exact)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from data_ingestion_framework_spark.sources.pyds import (
+        ParquetTablePushdownReader,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    p = str(tmp_path / "t")
+    t = ParquetTable(spark, p)
+    t.append(
+        spark.createDataFrame(
+            [(i, "z" * 200 + str(i)) for i in range(5)], "k long, s string"
+        ).coalesce(1)
+    )
+    r = ParquetTablePushdownReader({"path": p})
+    r.pushFilters([EqualTo(("s",), "zzz-not-present")])
+    assert len(r.partitions()) == 1  # string filters never prune files
+    r2 = ParquetTablePushdownReader({"path": p})
+    r2.pushFilters([GreaterThan(("k",), 100)])
+    assert len(r2.partitions()) == 0  # numeric pruning still works
