@@ -2074,3 +2074,18 @@ def test_difs_stream_reader_refuses_metadata_tables(spark, tmp_path):
             .start()
             .awaitTermination()
         )
+
+
+def test_add_column_default_on_partitioned_table(spark, tmp_path):
+    """The metadata add composes with partitioned layouts: old
+    partition files read NULL, stamped appends land under their
+    partitions, COW delete carries the mixed footers through."""
+    from pyspark.sql import functions as F
+
+    t = ParquetTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, p string"))
+    t.add_column("tier", "string", default="std")
+    t.append(spark.createDataFrame([(3, "a")], "k bigint, p string"))
+    t.delete_where(F.col("k") == 1)
+    got = sorted((r["k"], r["tier"]) for r in t.read().collect())
+    assert got == [(2, None), (3, "std")]
