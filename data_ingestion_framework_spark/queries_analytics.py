@@ -1077,3 +1077,155 @@ def graph_supplier_triangles(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6-shape forecast revenue: pure filter + one global agg — the
+# pushdown showcase (every predicate reaches the scan; no join, no
+# groupBy shuffle, one partial+final agg).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(20,4))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC))
+            .cast("decimal(20,4)")
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10-shape returned-item report: customers ranked by revenue lost to
+# returns in a quarter — join + agg + top-k (TakeOrderedAndProject).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "returned_item_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(20,4))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice").cast(_DEC) * (1 - F.col("l_discount").cast(_DEC))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("decimal(20,4)").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14-shape class revenue share (ECONOMY parts standing in for the
+# PROMO class): a conditional numerator over the same
+# join — one pass, both aggregates from one shuffle; the share is ONE
+# correctly-rounded double division of two exact DECIMAL sums.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT ROUND(
+             100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                             * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                        ELSE 0 END) AS DECIMAL(20,4)) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(20,4)) AS DOUBLE),
+           6) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1995-03-01' AND l_shipdate < DATE '1995-04-01'
+    """,
+)
+def promo_revenue_share(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01").cast("date"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(_DEC) * (1 - F.col("l_discount").cast(_DEC))
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0))
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"])
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo).cast("decimal(20,4)").cast("double")
+            / F.sum(rev).cast("decimal(20,4)").cast("double"),
+            6,
+        ).alias("promo_share_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19-shape disjunctive-predicate revenue: OR-of-ANDs across two
+# tables — the filter Catalyst must keep ABOVE the join for the
+# cross-table conjuncts while pushing the single-table prefilters
+# (brand/size, quantity) into the scans.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "disjunctive_promo_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(20,4))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+    """,
+)
+def disjunctive_promo_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(_DEC) * (1 - F.col("l_discount").cast(_DEC))
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .where(cond)
+        .agg(F.sum(rev).cast("decimal(20,4)").cast("double").alias("revenue"))
+    )
