@@ -1397,3 +1397,110 @@ def minhash_incremental_pairs(
             ).alias("sig_agreement"),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 1,
+) -> DataFrame:
+    """All-pairs Jaccard over word SETS via PREFIX FILTERING (Chaudhuri
+    et al. SSJoin 2006 / Xiao et al. PPJoin 2008) — the canonical exact
+    algorithm for similarity joins at scale: order every document's
+    tokens by GLOBAL frequency (rarest first, lexicographic tiebreak)
+    and index only each set's first ``|s| - ceil(t·|s|) + 1`` tokens.
+    Two sets with Jaccard ≥ t MUST share a prefix token (pigeonhole
+    under the shared global order), so candidate generation joins
+    prefixes — not full postings and never a block cartesian — and the
+    exact verify runs only on survivors.
+
+    The threshold is an exact rational ``num/den`` and every pruning
+    decision is integer arithmetic (prefix length via integer ceil;
+    verify via ``inter·den ≥ num·(|a|+|b|-inter)``), so a DuckDB oracle
+    reproduces membership bit-for-bit. Output: ``(id_a, id_b, jaccard)``
+    with the 4-dp jaccard from one correctly-rounded division.
+
+    Scale shape: one token-frequency agg (vocab-sized), one per-doc
+    rank window, a prefix-token equi-join whose fan-out prefix
+    filtering bounds, and a verification join over candidate pairs.
+    Compare ``ngram_jaccard_pairs``: that blocks by length and caps
+    block size (reporting drops); this prunes EXACTLY with no caps.
+    """
+    from data_ingestion_framework_spark.operators.text import normalize_text
+
+    words = F.filter(F.split(normalize_text(text_col), " "), lambda x: x != "")
+    if shingle_words > 1:
+        # w-word shingle sets (the near-dup unit): same element algebra,
+        # sparser overlap, so prefixes prune far harder
+        k = shingle_words
+        elems = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        )
+    else:
+        elems = words
+    toks = (
+        df.select(F.col(id_col).alias("__id"), F.explode(elems).alias("tok"))
+        .distinct()
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__f"))
+    w_rank = W.partitionBy("__id").orderBy("__f", "tok")
+    w_size = W.partitionBy("__id")
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(w_size))
+    )
+    # prefix length = n - ceil(t*n) + 1, integer ceil of num/den
+    plen = (
+        F.col("__n")
+        - F.floor(
+            (F.col("__n") * threshold_num + threshold_den - 1) / threshold_den
+        )
+        + 1
+    )
+    prefix = ranked.where(F.col("__rn") <= plen).select("__id", "tok")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    sizes = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+    # exact intersection: one join per side on (pair, token)
+    ta = toks.select(F.col("__id").alias("id_a"), "tok")
+    tb = toks.select(F.col("__id").alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("n").alias("nb"))
+    verified = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(
+            F.col("inter") * threshold_den
+            >= threshold_num * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+            4,
+        ).alias("jaccard"),
+    )

@@ -4909,3 +4909,67 @@ def embeddings_hard_negatives(spark, sf_dir):
         .where(F.col("__rn") <= 5)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (SSJoin/PPJoin — operators/
+# dedup.py prefix_filter_jaccard_pairs): 3-word-shingle-set Jaccard
+# ≥ 1/2 over documents with EXACT pruning (no block caps, no drops) —
+# candidates must share an element in the rarest-first prefix of
+# length n - ceil(n/2) + 1 (pigeonhole under the shared global
+# order). Every pruning decision is integer arithmetic, so the oracle
+# replays prefix construction and verification bit-for-bit.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "dedup_prefix_filter_pairs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id AS id,
+             list_filter(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               x -> x <> '') AS ws
+      FROM documents
+    ),
+    toks AS (
+      SELECT DISTINCT id, tok FROM (
+        SELECT id,
+               UNNEST([array_to_string(ws[i:i+2], ' ')
+                       for i in generate_series(1, greatest(len(ws) - 2, 0))]) AS tok
+        FROM w)
+    ),
+    freq AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT t.id, t.tok,
+             ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY f.f, t.tok) AS rn,
+             COUNT(*) OVER (PARTITION BY t.id) AS n
+      FROM toks t JOIN freq f ON f.tok = t.tok
+    ),
+    prefix AS (
+      SELECT id, tok FROM ranked
+      WHERE rn <= n - ((n * 1 + 1) // 2) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM toks GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN toks ta ON ta.id = c.id_a
+      JOIN toks tb ON tb.id = c.id_b AND tb.tok = ta.tok
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 4) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.id = i.id_a
+    JOIN sizes nb ON nb.id = i.id_b
+    WHERE i.i * 2 >= 1 * (na.n + nb.n - i.i)
+    """,
+)
+def dedup_prefix_filter_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dedup.prefix_filter_jaccard_pairs(
+        docs, threshold_num=1, threshold_den=2, shingle_words=3
+    )

@@ -1325,3 +1325,43 @@ def test_rrf_fuse_integer_math_and_absence(spark):
 
     with _pt.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_prefix_filter_join_complete_vs_brute_force(spark):
+    """The prefix-filter join's pruning is EXACT: its result set equals
+    the brute-force all-pairs Jaccard at the same threshold (pigeonhole
+    of the shared rarest-first order — no near-dup pair can slip past
+    the prefix)."""
+    from data_ingestion_framework_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "a completely different document about spark shuffles"),
+        (4, "a completely different document about spark shuffles and joins"),
+        (5, "the quick brown fox naps under the lazy dog today"),
+        (6, "unrelated text with nothing shared at all whatsoever"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(
+            df, threshold_num=1, threshold_den=2, shingle_words=3
+        ).collect()
+    }
+
+    # brute force over the same 3-word shingle sets
+    def sh(t):
+        ws = t.split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    want = {}
+    for i, (ia, ta) in enumerate(texts):
+        for ib, tb in texts[i + 1 :]:
+            a, b = sh(ta), sh(tb)
+            j = len(a & b) / len(a | b)
+            if j >= 0.5:
+                want[(ia, ib)] = round(j, 4)
+    assert got == want and len(want) > 0
