@@ -1434,12 +1434,19 @@ def prefix_filter_jaccard_pairs(
     words = F.filter(F.split(normalize_text(text_col), " "), lambda x: x != "")
     if shingle_words > 1:
         # w-word shingle sets (the near-dup unit): same element algebra,
-        # sparser overlap, so prefixes prune far harder
+        # sparser overlap, so prefixes prune far harder. Docs shorter
+        # than one shingle contribute NO elements — guarded explicitly,
+        # because F.sequence(1, 0) generates a DESCENDING [1, 0] (unlike
+        # SQL generate_series, which is empty) and would fabricate
+        # short phantom shingles.
         k = shingle_words
-        elems = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-        )
+        elems = F.when(
+            F.size(words) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+            ),
+        ).otherwise(F.expr("cast(array() as array<string>)"))
     else:
         elems = words
     toks = (

@@ -1365,3 +1365,24 @@ def test_prefix_filter_join_complete_vs_brute_force(spark):
             if j >= 0.5:
                 want[(ia, ib)] = round(j, 4)
     assert got == want and len(want) > 0
+
+
+def test_prefix_filter_short_docs_yield_no_shingles(spark):
+    """Docs shorter than one shingle contribute nothing (F.sequence(1,0)
+    would otherwise generate a DESCENDING [1,0] and fabricate phantom
+    short shingles — the DuckDB oracle's generate_series is empty)."""
+    from data_ingestion_framework_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, "two words"), (3, "one"),
+         (4, "alpha beta gamma delta"), (5, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_jaccard_pairs(df, shingle_words=3).collect()
+    }
+    # only the two 4-word duplicates pair; short docs never appear
+    assert got == {(4, 5)}
