@@ -1549,6 +1549,21 @@ def ndcg_discounts(k: int) -> list[tuple[int, str]]:
     return [(i, f"{1.0 / math.log2(i + 1):.12f}") for i in range(1, k + 1)]
 
 
+def ndcg_idcg_prefix(k: int) -> list[tuple[int, str]]:
+    """Ideal-DCG prefix sums: ``idcg(n) = Σ_{i≤n} 1/log2(i+1)`` for
+    n = 1..k, as exact decimal STRINGS over the same injected discount
+    literals — the per-query normalizer when a query's exact top-k has
+    fewer than k members (a perfect ranking of 3 true neighbors must
+    score 1.0, not 3-discounts/k-discounts)."""
+    from decimal import Decimal
+
+    out, acc = [], Decimal(0)
+    for i, w in ndcg_discounts(k):
+        acc += Decimal(w)
+        out.append((i, str(acc)))
+    return out
+
+
 def ann_ndcg(
     exact: DataFrame,
     ann: DataFrame,
@@ -1567,14 +1582,27 @@ def ann_ndcg(
     Determinism: discounts are injected 12-dp decimal literals (never
     engine log2), the DCG sum is exact DECIMAL, and the single
     dcg/idcg division is one correctly-rounded double op. Broadcast-
-    sized join, same as recall."""
+    sized joins, same as recall.
+
+    The normalizer is PER QUERY: ``idcg = Σ first min(k, |exact_q|)``
+    discounts, so a perfect ANN ranking over a small or heavily
+    filtered corpus (fewer than k true neighbors exist) still scores
+    1.0; and the output frame is driven by the EXACT side's query set,
+    so a query whose ANN list contributed no rank≤k rows surfaces as
+    ndcg 0 instead of silently vanishing."""
     from decimal import Decimal
 
     disc = ndcg_discounts(k)
-    idcg = sum(Decimal(w) for _, w in disc)
     spark = ann.sparkSession
     disc_df = spark.createDataFrame(
         [(i, Decimal(w)) for i, w in disc], "rank int, w decimal(14,12)"
+    )
+    pref_df = spark.createDataFrame(
+        [(n, Decimal(s)) for n, s in ndcg_idcg_prefix(k)],
+        "__n int, __idcg decimal(20,12)",
+    )
+    counts = exact.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("__n_exact")
     )
     hits = (
         ann.select(query_id_col, id_col, F.col(rank_col).alias("rank"))
@@ -1590,9 +1618,22 @@ def ann_ndcg(
             F.lit("0").cast("decimal(14,12)")
         )
     ).cast("decimal(20,12)")
-    return hits.groupBy(query_id_col).agg(
-        F.round(
-            dcg.cast("double") / F.lit(str(idcg)).cast("decimal(20,12)").cast("double"),
-            6,
-        ).alias(f"ndcg_at_{k}")
+    dcg_df = hits.groupBy(query_id_col).agg(dcg.alias("__dcg"))
+    return (
+        counts.join(
+            F.broadcast(pref_df),
+            F.least(F.col("__n_exact"), F.lit(k)).cast("int")
+            == F.col("__n"),
+        )
+        .join(dcg_df, query_id_col, "left")
+        .select(
+            query_id_col,
+            F.round(
+                F.coalesce(
+                    F.col("__dcg"), F.lit("0").cast("decimal(20,12)")
+                ).cast("double")
+                / F.col("__idcg").cast("double"),
+                6,
+            ).alias(f"ndcg_at_{k}"),
+        )
     )

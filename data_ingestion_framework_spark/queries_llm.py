@@ -4756,7 +4756,9 @@ def similarity_filtered_topk(spark, sf_dir):
 _NDCG_VALUES = ", ".join(
     f"({i}, {w}::DECIMAL(14,12))" for i, w in similarity.ndcg_discounts(10)
 )
-_IDCG_10 = str(sum(__import__("decimal").Decimal(w) for _, w in similarity.ndcg_discounts(10)))
+_NDCG_PREFIX_VALUES = ", ".join(
+    f"({n}, {s}::DECIMAL(20,12))" for n, s in similarity.ndcg_idcg_prefix(10)
+)
 
 
 @bench_query(
@@ -4808,17 +4810,28 @@ _IDCG_10 = str(sum(__import__("decimal").Decimal(w) for _, w in similarity.ndcg_
         JOIN vnorm nb ON nb.vec_id = d.vec_id
       ) WHERE rn <= 10
     ),
-    disc(rank, w) AS (VALUES {_NDCG_VALUES})
-    SELECT a.q_id,
+    disc(rank, w) AS (VALUES {_NDCG_VALUES}),
+    pref(n, idcg) AS (VALUES {_NDCG_PREFIX_VALUES}),
+    counts AS (
+      SELECT q_id, CAST(COUNT(*) AS INT) AS n_exact FROM exact GROUP BY q_id
+    ),
+    dcg AS (
+      SELECT a.q_id,
+             CAST(SUM(CASE WHEN x.vec_id IS NOT NULL THEN d.w
+                           ELSE 0::DECIMAL(14,12) END) AS DECIMAL(20,12)) AS dcg
+      FROM ann a
+      JOIN disc d ON d.rank = a.rank
+      LEFT JOIN exact x ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+      GROUP BY a.q_id
+    )
+    SELECT c.q_id,
            ROUND(
-             CAST(CAST(SUM(CASE WHEN x.vec_id IS NOT NULL THEN d.w
-                                ELSE 0::DECIMAL(14,12) END) AS DECIMAL(20,12)) AS DOUBLE)
-             / CAST({_IDCG_10}::DECIMAL(20,12) AS DOUBLE),
+             CAST(COALESCE(g.dcg, 0::DECIMAL(20,12)) AS DOUBLE)
+             / CAST(p.idcg AS DOUBLE),
            6) AS ndcg_at_10
-    FROM ann a
-    JOIN disc d ON d.rank = a.rank
-    LEFT JOIN exact x ON x.q_id = a.q_id AND x.vec_id = a.vec_id
-    GROUP BY a.q_id
+    FROM counts c
+    JOIN pref p ON p.n = LEAST(c.n_exact, 10)
+    LEFT JOIN dcg g ON g.q_id = c.q_id
     """.replace("{ivf}", _ivf_index_sql(8)),
 )
 def similarity_ivf_ndcg(spark, sf_dir):

@@ -431,10 +431,18 @@ class ParquetTableStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("difs source: option 'path' is required")
+        self._refuse_unsupported()
+
+    def _refuse_unsupported(self) -> None:
         # same plan-time refusals as the batch _Plan: this reader
         # declares ONE schema and projects no metadata — a column-
         # mapped / widened / evolved / defaulted table would fail
-        # confusingly at executor time (or worse, read stale names)
+        # confusingly at executor time (or worse, read stale names).
+        # Called at __init__ AND per trigger (latestOffset): add_column
+        # is file-neutral so it passes the _ADDITIVE commit check, yet a
+        # table evolved AFTER the stream started would deliver files
+        # carrying the new column — stop with the plan-time error, not
+        # an executor-side arrow mismatch mid-query.
         props = _props(self.path)
         for key, what in (
             ("column_mapping", "column-mapped"),
@@ -454,6 +462,7 @@ class ParquetTableStreamReader(DataSourceStreamReader):
         return {"seq": 0}
 
     def latestOffset(self):
+        self._refuse_unsupported()
         names = _records(self.path)
         return {"seq": int(names[-1][:8]) if names else 0}
 
@@ -561,7 +570,15 @@ class ParquetTableWriter(DataSourceArrowWriter):
     def _validate_schema(self) -> None:
         """A mismatched batch schema must fail at PLAN time — a silent
         commit of differently-typed files breaks every later read (the
-        store's append() widens or refuses; this writer does neither)."""
+        store's append() widens or refuses; this writer does neither).
+        The comparison is ORDERED: the difs reader pins the table schema
+        from files[0]'s arrow field ORDER, so a column-reordered frame
+        with identical names/types would commit files whose arrow
+        ordering diverges and fail later reads at executor time. The
+        table's stored arrow schema is also kept so write() casts every
+        batch to IT (field metadata/nullability converge on the table's
+        canonical form), never to the batch's own schema."""
+        self._table_arrow_schema = None
         if self.schema is None:
             return
         existing = _walk_data_files(self.path)
@@ -570,18 +587,20 @@ class ParquetTableWriter(DataSourceArrowWriter):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        table_schema = from_arrow_schema(
-            pq.read_schema(os.path.join(self.path, existing[0]))
-        )
-        declared = {f.name: f.dataType for f in self.schema.fields}
-        stored = {f.name: f.dataType for f in table_schema.fields}
+        stored_arrow = pq.read_schema(os.path.join(self.path, existing[0]))
+        table_schema = from_arrow_schema(stored_arrow)
+        declared = [(f.name, f.dataType) for f in self.schema.fields]
+        stored = [(f.name, f.dataType) for f in table_schema.fields]
         if declared != stored:
             raise ValueError(
                 "difs sink: batch schema does not match the table's "
-                f"(batch {sorted(declared)}, table {sorted(stored)}, or "
-                "a type differs) — align the frame or use "
+                f"(batch {[n for n, _ in declared]}, table "
+                f"{[n for n, _ in stored]}, ordered — a type, name, or "
+                "COLUMN ORDER differs; the table schema is pinned by its "
+                "first file) — align the frame or use "
                 "ParquetTable.append(merge_schema=True)"
             )
+        self._table_arrow_schema = stored_arrow
 
     def write(self, iterator):
         # Arrow path (DataSourceArrowWriter): batches stream straight
@@ -594,9 +613,13 @@ class ParquetTableWriter(DataSourceArrowWriter):
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        arrow_schema = (
-            to_arrow_schema(self.schema) if self.schema is not None else None
-        )
+        # prefer the TABLE's stored arrow schema (pinned by files[0] in
+        # _validate_schema) over the batch's own — committed files then
+        # carry byte-identical arrow schemas regardless of incoming
+        # field-metadata or nullability noise
+        arrow_schema = getattr(self, "_table_arrow_schema", None)
+        if arrow_schema is None and self.schema is not None:
+            arrow_schema = to_arrow_schema(self.schema)
         tmp = f".inflight-{_uuid.uuid4().hex}.parquet"
         writer = None
         n = 0
@@ -697,24 +720,55 @@ def _publish_append(path: str, messages, metrics: dict) -> list[str]:
 
 class ParquetTableStreamWriter(ParquetTableWriter, DataSourceStreamArrowWriter):
     """``df.writeStream.format("difs")``: every micro-batch appends
-    through the commit log with its ``stream_batch_id`` in the record
-    metrics — the same replay ledger the package's own stream_append
-    uses, so a checkpoint restart that re-delivers a batch publishes
-    NOTHING the second time (the in-flight files are dropped instead).
+    through the commit log with ``(stream_query_id, stream_batch_id)``
+    in the record metrics — Delta's idempotent-write discipline
+    (txnAppId + txnVersion), so a checkpoint restart that re-delivers a
+    batch publishes NOTHING the second time (the in-flight files are
+    dropped instead), while a SECOND streaming query (fresh checkpoint,
+    batch ids restarting at 0) writing to the same table appends
+    normally instead of colliding with the first query's ledger entries
+    and silently losing data. The query identity is the writer's
+    ``queryId`` option when given, else the checkpoint location (the
+    engine forwards ``checkpointLocation`` into the source options) —
+    both stable across restarts of the SAME query. With neither (temp
+    checkpoint), a per-run id is minted: no cross-run replay can exist
+    without a durable checkpoint, so scoping to the run is exact.
+    Legacy records carrying only ``stream_batch_id`` are treated as
+    this query's (the pre-query-id contract: one query per table).
     Completes the difs matrix: batch/stream × read/write all speak the
     log."""
 
+    def __init__(self, options: dict, overwrite: bool, schema=None):
+        super().__init__(options, overwrite, schema)
+        import hashlib as _hashlib
+        import uuid as _uuid
+
+        ident = options.get("queryid") or options.get("checkpointlocation")
+        if ident:
+            self._query_id = _hashlib.sha256(
+                str(ident).encode()
+            ).hexdigest()[:16]
+        else:
+            self._query_id = "run-" + _uuid.uuid4().hex[:16]
+
     def commit(self, messages, batchId: int) -> None:
         for name in _records(self.path):
-            if _record(self.path, name).get("metrics", {}).get(
-                "stream_batch_id"
-            ) == batchId:
+            m = _record(self.path, name).get("metrics", {})
+            if (
+                m.get("stream_batch_id") == batchId
+                and m.get("stream_query_id", self._query_id)
+                == self._query_id
+            ):
                 _drop_inflight(self.path, messages)  # replayed batch
                 return
         _publish_append(
             self.path,
             messages,
-            {"writer": "difs-datasource", "stream_batch_id": batchId},
+            {
+                "writer": "difs-datasource",
+                "stream_batch_id": batchId,
+                "stream_query_id": self._query_id,
+            },
         )
 
     def abort(self, messages, batchId: int) -> None:

@@ -105,15 +105,32 @@ _TBL = r"(`[^`]+`|'[^']+'|[A-Za-z_][A-Za-z0-9_.]*)"
 
 def _parse_default_literal(raw: str):
     """DEFAULT literal → Python value (quoted string, bool, NULL, or
-    number) — the controlled-grammar subset, no expression eval."""
+    number) — the controlled-grammar subset, no expression eval. Quoted
+    strings must carry a matching closing quote, and doubled quotes are
+    the SQL escape (``'it''s'`` → ``it's``); anything unterminated or
+    with trailing junk raises instead of silently mis-parsing."""
     raw = raw.strip()
     if raw.startswith(("'", '"')):
-        return raw[1:-1]
+        q = raw[0]
+        body = rf"(?:[^{q}]|{q}{q})*"
+        if not re.fullmatch(f"{q}{body}{q}", raw, re.S):
+            raise ValueError(
+                f"malformed DEFAULT string literal {raw!r} — expected a "
+                f"matching closing {q} (escape an embedded quote by "
+                "doubling it)"
+            )
+        return raw[1:-1].replace(q + q, q)
     if raw.lower() in ("true", "false"):
         return raw.lower() == "true"
     if raw.lower() == "null":
         return None
-    return float(raw) if "." in raw or "e" in raw.lower() else int(raw)
+    try:
+        return float(raw) if "." in raw or "e" in raw.lower() else int(raw)
+    except ValueError:
+        raise ValueError(
+            f"malformed DEFAULT literal {raw!r} — expected a quoted "
+            "string, TRUE/FALSE, NULL, or a number"
+        ) from None
 
 
 def execute_statement(

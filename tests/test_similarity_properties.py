@@ -282,3 +282,29 @@ def test_ann_ndcg_bounds_and_perfect_ranking(spark):
     e = ann_ndcg(exact, early, k=3).collect()[0]["ndcg_at_3"]
     l = ann_ndcg(exact, late, k=3).collect()[0]["ndcg_at_3"]
     assert 0.0 < l < e < 1.0
+
+
+def test_ann_ndcg_small_exact_set_and_empty_ann(spark):
+    """The normalizer is per query: a perfect ranking of the only 2
+    true neighbors that exist scores 1.0 even at k=5 (idcg = first 2
+    discounts, not 5); and a query whose ANN list has no rank<=k rows
+    surfaces as ndcg 0 instead of vanishing from the output."""
+    from data_ingestion_framework_spark.operators.similarity import ann_ndcg
+
+    exact = spark.createDataFrame(
+        [(0, 1), (0, 2), (7, 3), (7, 4)], "q_id long, vec_id long"
+    )
+    # q 0: perfect ranking of its 2-member exact set; q 7: absent ANN
+    ann = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2)], "q_id long, vec_id long, rank int"
+    )
+    got = {r["q_id"]: r["ndcg_at_5"] for r in ann_ndcg(exact, ann, k=5).collect()}
+    assert got == {0: 1.0, 7: 0.0}
+    # a partial hit on the short exact set normalizes by the SHORT idcg:
+    # hit at rank 1 over a 2-member set = 1 / (1 + 1/log2(3)) ≈ 0.613147
+    partial = spark.createDataFrame(
+        [(0, 1, 1), (0, 99, 2), (7, 3, 1), (7, 4, 2)],
+        "q_id long, vec_id long, rank int",
+    )
+    got = {r["q_id"]: r["ndcg_at_5"] for r in ann_ndcg(exact, partial, k=5).collect()}
+    assert got[7] == 1.0 and 0.61 < got[0] < 0.62

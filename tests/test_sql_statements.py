@@ -245,3 +245,25 @@ def test_create_table_as_select(spark, tmp_path):
     import os as _os
 
     assert any("g=" in d for d in _os.listdir(dest2))
+
+
+def test_parse_default_literal_quotes_and_malformed():
+    """DEFAULT literals: doubled quotes unescape ('it''s' -> it's),
+    unterminated strings and non-literal junk RAISE instead of
+    silently mis-parsing (advice: raw[1:-1] accepted 'abc as abc)."""
+    import pytest
+
+    from data_ingestion_framework_spark.sources.sql_statements import (
+        _parse_default_literal,
+    )
+
+    assert _parse_default_literal("'it''s'") == "it's"
+    assert _parse_default_literal('"say ""hi"""') == 'say "hi"'
+    assert _parse_default_literal("'basic'") == "basic"
+    assert _parse_default_literal("TRUE") is True
+    assert _parse_default_literal("null") is None
+    assert _parse_default_literal("3.5") == 3.5
+    assert _parse_default_literal("-7") == -7
+    for bad in ("'abc", "'a'x", "'", "abc", "1.2.3"):
+        with pytest.raises(ValueError, match="malformed DEFAULT"):
+            _parse_default_literal(bad)

@@ -530,10 +530,12 @@ def test_difs_reader_filter_pushdown_prunes_files(spark, tmp_path):
 
 def test_difs_stream_writer_exactly_once(spark, tmp_path):
     """writeStream.format('difs'): each micro-batch appends through the
-    commit log with its stream_batch_id; a replayed batch (fresh
-    checkpoint, same data) publishes nothing — exactly-once via the
-    record-metrics ledger, same contract as the package's own
-    stream_append."""
+    commit log with (stream_query_id, stream_batch_id) — Delta's
+    txnAppId+txnVersion discipline. A restart of the SAME query (same
+    checkpoint) publishes nothing for a replayed batch id, while a
+    SECOND query (fresh checkpoint, batch ids restarting at 0) writing
+    to the same table appends normally instead of colliding with the
+    first query's ledger and silently dropping its batches."""
     from data_ingestion_framework_spark.sources.pyds import (
         ParquetTableDataSource,
     )
@@ -561,16 +563,119 @@ def test_difs_stream_writer_exactly_once(spark, tmp_path):
     assert sorted(r["k"] for r in t.read().collect()) == list(range(8))
     rec = t.history()[-1]
     assert rec["op"] == "append" and rec["metrics"]["stream_batch_id"] == 0
-    # replay with a FRESH checkpoint re-delivers batch 0 → no-op
-    run("ck2")
+    qid1 = rec["metrics"]["stream_query_id"]
+    # restart the SAME query (same checkpoint): no new data → no batch,
+    # table unchanged
+    run("ck1")
     assert t.read().count() == 8
     assert len([r for r in t.history() if r["op"] == "append"]) == 1
+    # a DIFFERENT query (fresh checkpoint) re-reads the source and its
+    # batch 0 must NOT be swallowed by query 1's ledger entry
+    run("ck2")
+    assert t.read().count() == 16
+    appends = [r for r in t.history() if r["op"] == "append"]
+    assert len(appends) == 2
+    assert appends[-1]["metrics"]["stream_batch_id"] == 0
+    assert appends[-1]["metrics"]["stream_query_id"] != qid1
     # a difs batch read sees the streamed rows through the log
     got = spark.read.format("difs").option("path", dest).load().count()
-    assert got == 8
+    assert got == 16
     import os as _os
 
     assert not [f for f in _os.listdir(dest) if f.startswith(".inflight")]
+
+
+def test_difs_stream_writer_replay_same_query(spark, tmp_path):
+    """Ledger unit semantics: the SAME query id replaying a batch id is
+    dropped; a different query id with the same batch id publishes; a
+    legacy record carrying only stream_batch_id (pre-query-id log) is
+    treated as this query's — the one-query-per-table contract those
+    logs were written under."""
+    import json
+    import os
+
+    from data_ingestion_framework_spark.sources.pyds import (
+        LOG,
+        ParquetTableStreamWriter,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    p = str(tmp_path / "t")
+    ParquetTable(spark, p).append(spark.createDataFrame([(1,)], "k long"))
+
+    wa = ParquetTableStreamWriter(
+        {"path": p, "checkpointlocation": str(tmp_path / "ckA")}, False
+    )
+    wa.commit([], 0)
+    n_appends = lambda: len(
+        [r for r in ParquetTable(spark, p).history() if r["op"] == "append"]
+    )
+    base = n_appends()
+    wa.commit([], 0)  # same query, same batch → replay, no record
+    assert n_appends() == base
+    wb = ParquetTableStreamWriter(
+        {"path": p, "checkpointlocation": str(tmp_path / "ckB")}, False
+    )
+    wb.commit([], 0)  # different query, same batch id → publishes
+    assert n_appends() == base + 1
+    # legacy record (no stream_query_id): hand-stamp one, then ANY
+    # query replaying that batch id treats it as its own
+    recs = sorted(os.listdir(os.path.join(p, LOG)))
+    last = json.load(open(os.path.join(p, LOG, recs[-1])))
+    seq = last["seq"] + 1
+    legacy = dict(last, seq=seq, metrics={"stream_batch_id": 77})
+    with open(os.path.join(p, LOG, f"{seq:08d}.json"), "w") as f:
+        json.dump(legacy, f)
+    wb.commit([], 77)
+    assert n_appends() == base + 2  # legacy row absorbed the replay
+
+
+def test_difs_writer_refuses_column_reorder(spark, tmp_path):
+    """_validate_schema is ORDERED: identical names/types in a different
+    column order must fail at plan time — the difs reader pins the
+    table schema from files[0]'s arrow field order, so a reordered
+    commit would break later reads at executor time."""
+    import pytest
+
+    from data_ingestion_framework_spark.sources.pyds import (
+        ParquetTableDataSource,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    spark.dataSource.register(ParquetTableDataSource)
+    p = str(tmp_path / "t")
+    ParquetTable(spark, p).append(
+        spark.createDataFrame([(1, "a")], "k long, s string")
+    )
+    reordered = spark.createDataFrame([("b", 2)], "s string, k long")
+    with pytest.raises(Exception, match="COLUMN ORDER|does not match"):
+        reordered.write.format("difs").option("path", p).mode("append").save()
+    # aligned order still appends
+    spark.createDataFrame([(2, "b")], "k long, s string").write.format(
+        "difs"
+    ).option("path", p).mode("append").save()
+    assert spark.read.format("difs").option("path", p).load().count() == 2
+
+
+def test_difs_stream_reader_stops_on_midstream_evolution(spark, tmp_path):
+    """add_column is file-neutral (passes the _ADDITIVE check), but a
+    table evolved AFTER the stream starts must stop with the plan-time
+    refusal at the next trigger, not an executor-side arrow mismatch."""
+    import pytest
+
+    from data_ingestion_framework_spark.sources.pyds import (
+        ParquetTableStreamReader,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    p = str(tmp_path / "t")
+    t = ParquetTable(spark, p)
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    r = ParquetTableStreamReader({"path": p})
+    assert r.latestOffset()["seq"] == 1
+    t.add_column("extra", "string", default=None)
+    with pytest.raises(ValueError, match="difs stream"):
+        r.latestOffset()
 
 
 def test_difs_pushdown_never_prunes_on_string_stats(spark, tmp_path):
