@@ -1407,15 +1407,38 @@ def prefix_filter_jaccard_pairs(
     text_col: str = "text",
     shingle_words: int = 1,
 ) -> DataFrame:
-    """All-pairs Jaccard over word SETS via PREFIX FILTERING (Chaudhuri
-    et al. SSJoin 2006 / Xiao et al. PPJoin 2008) — the canonical exact
-    algorithm for similarity joins at scale: order every document's
-    tokens by GLOBAL frequency (rarest first, lexicographic tiebreak)
-    and index only each set's first ``|s| - ceil(t·|s|) + 1`` tokens.
-    Two sets with Jaccard ≥ t MUST share a prefix token (pigeonhole
-    under the shared global order), so candidate generation joins
-    prefixes — not full postings and never a block cartesian — and the
-    exact verify runs only on survivors.
+    """All-pairs Jaccard over word SETS via the FULL PPJoin filter
+    stack (Chaudhuri et al. SSJoin 2006; Xiao et al. PPJoin 2008) — the
+    canonical exact algorithm for similarity joins at scale: order
+    every document's tokens by GLOBAL frequency (rarest first,
+    lexicographic tiebreak) and index only each set's first
+    ``|s| - ceil(t·|s|) + 1`` tokens. Two sets with Jaccard ≥ t MUST
+    share a prefix token (pigeonhole under the shared global order), so
+    candidate generation joins prefixes — never full postings or a
+    block cartesian — and three EXACT prunes run inside the candidate
+    join itself, before any pair materializes:
+
+    - **prefix filter**: only prefix tokens are indexed;
+    - **length filter**: ``J(a,b) ≤ min/max`` sizes, so any pair with
+      ``na·num > nb·den`` (either order) can never reach t;
+    - **positional filter**: a shared token at prefix positions
+      ``(pa, pb)`` bounds the overlap by
+      ``min(pa,pb) + min(na-pa, nb-pb)`` (at most ``min(pa,pb)-1``
+      common tokens can precede it under the shared order, plus the
+      token itself, plus at most ``min`` of the remainders) — pairs
+      whose bound misses the equivalent-overlap threshold
+      ``α = ceil(num·(na+nb)/(num+den))`` die here. The bound holds
+      for EVERY shared prefix token, so no true pair loses all its
+      candidate rows.
+
+    Verification intersects each survivor's full token SETS with one
+    ``array_intersect`` over the per-doc set-array frame — |pairs|
+    rows each carrying two arrays, not the |pairs|×|tokens| exploded
+    double join — entirely whole-stage-codegen JVM work. The set
+    arrays are built ROW-LOCALLY (``array_distinct`` in the projection)
+    and lazily checkpointed, so tokenization runs once and feeds the
+    frequency agg, the rank window, and the verify without a
+    per-element distinct or collect_set shuffle anywhere.
 
     The threshold is an exact rational ``num/den`` and every pruning
     decision is integer arithmetic (prefix length via integer ceil;
@@ -1424,13 +1447,22 @@ def prefix_filter_jaccard_pairs(
     with the 4-dp jaccard from one correctly-rounded division.
 
     Scale shape: one token-frequency agg (vocab-sized), one per-doc
-    rank window, a prefix-token equi-join whose fan-out prefix
-    filtering bounds, and a verification join over candidate pairs.
+    rank window, a prefix-token equi-join whose fan-out the three
+    filters bound, and one array-verify join over candidate pairs.
     Compare ``ngram_jaccard_pairs``: that blocks by length and caps
     block size (reporting drops); this prunes EXACTLY with no caps.
     """
     from data_ingestion_framework_spark.operators.text import normalize_text
 
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col))
+    # tokenization is the per-row hot loop; when the input arrives in
+    # fewer splits than cores (small files — a bench/test artifact, not
+    # the 100 TB shape where parquet splits outnumber executors), one
+    # cheap pre-tokenize repartition buys full-width parallelism. At
+    # scale the guard never fires and no extra shuffle happens.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
     words = F.filter(F.split(normalize_text(text_col), " "), lambda x: x != "")
     if shingle_words > 1:
         # w-word shingle sets (the near-dup unit): same element algebra,
@@ -1449,17 +1481,21 @@ def prefix_filter_jaccard_pairs(
         ).otherwise(F.expr("cast(array() as array<string>)"))
     else:
         elems = words
-    toks = (
-        df.select(F.col(id_col).alias("__id"), F.explode(elems).alias("tok"))
-        .distinct()
+    # per-doc distinct token SET as one array — ROW-LOCAL (array_distinct
+    # inside the projection), so the old explode→distinct shuffle and the
+    # verify side's collect_set shuffle both disappear; checkpointed
+    # lazily because three consumers (freq, rank window, verify) would
+    # otherwise re-run tokenization
+    docsets = src.select(
+        "__id", F.array_distinct(elems).alias("__arr")
+    ).localCheckpoint(eager=False)
+    toks = docsets.select(
+        "__id", F.size("__arr").alias("__n"), F.explode("__arr").alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__f"))
     w_rank = W.partitionBy("__id").orderBy("__f", "tok")
-    w_size = W.partitionBy("__id")
-    ranked = (
-        toks.join(freq, "tok")
-        .withColumn("__rn", F.row_number().over(w_rank))
-        .withColumn("__n", F.count(F.lit(1)).over(w_size))
+    ranked = toks.join(freq, "tok").withColumn(
+        "__rn", F.row_number().over(w_rank)
     )
     # prefix length = n - ceil(t*n) + 1, integer ceil of num/den
     plen = (
@@ -1469,37 +1505,57 @@ def prefix_filter_jaccard_pairs(
         )
         + 1
     )
-    prefix = ranked.where(F.col("__rn") <= plen).select("__id", "tok")
+    prefix = ranked.where(F.col("__rn") <= plen).select(
+        "__id", "tok", "__rn", "__n"
+    )
+    num, den = threshold_num, threshold_den
+    pa, pb = F.col("a.__rn"), F.col("b.__rn")
+    na_, nb_ = F.col("a.__n"), F.col("b.__n")
+    # equivalent-overlap threshold: J ≥ num/den ⟺ inter ≥
+    # ceil(num·(na+nb)/(num+den)) — integer ceil
+    alpha = (num * (na_ + nb_) + (num + den - 1)) / (num + den)
+    alpha = F.floor(alpha)
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            & (F.col("a.__id") < F.col("b.__id"))
+            # length filter: min/max size ratio can't reach t
+            & (na_ * num <= nb_ * den)
+            & (nb_ * num <= na_ * den)
+            # positional filter: overlap ≤ min(pa,pb) + min(na-pa, nb-pb)
+            & (
+                F.least(pa, pb) + F.least(na_ - pa, nb_ - pb)
+                >= alpha
+            ),
         )
         .select(
-            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            na_.alias("na"),
+            nb_.alias("nb"),
         )
         .distinct()
     )
-    sizes = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
-    # exact intersection: one join per side on (pair, token)
-    ta = toks.select(F.col("__id").alias("id_a"), "tok")
-    tb = toks.select(F.col("__id").alias("id_b"), "tok")
-    inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # exact verify: one array_intersect per surviving pair over the
+    # per-doc token-set arrays (JVM codegen; |pairs| rows, no token
+    # explosion and no collect_set — docsets already holds the sets)
+    aa = docsets.select(
+        F.col("__id").alias("id_a"), F.col("__arr").alias("__arr_a")
     )
-    na = sizes.select(F.col("__id").alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("__id").alias("id_b"), F.col("n").alias("nb"))
+    ab = docsets.select(
+        F.col("__id").alias("id_b"), F.col("__arr").alias("__arr_b")
+    )
     verified = (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        cand.join(aa, "id_a")
+        .join(ab, "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("__arr_a", "__arr_b"))
+        )
         .where(
-            F.col("inter") * threshold_den
-            >= threshold_num * (F.col("na") + F.col("nb") - F.col("inter"))
+            F.col("inter") * den
+            >= num * (F.col("na") + F.col("nb") - F.col("inter"))
         )
     )
     return verified.select(

@@ -4958,12 +4958,19 @@ def embeddings_hard_negatives(spark, sf_dir):
       FROM toks t JOIN freq f ON f.tok = t.tok
     ),
     prefix AS (
-      SELECT id, tok FROM ranked
+      SELECT id, tok, rn, n FROM ranked
       WHERE rn <= n - ((n * 1 + 1) // 2) + 1
     ),
     cand AS (
+      -- PPJoin candidate join: length filter (size ratio) and
+      -- positional filter (overlap <= min(pa,pb) + min(na-pa, nb-pb)
+      -- must reach alpha = ceil(num*(na+nb)/(num+den))) replayed in
+      -- the same integer arithmetic as the Spark side
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.id < b.id
+       AND a.n * 1 <= b.n * 2 AND b.n * 1 <= a.n * 2
+       AND least(a.rn, b.rn) + least(a.n - a.rn, b.n - b.rn)
+           >= (1 * (a.n + b.n) + 2) // 3
     ),
     sizes AS (SELECT id, COUNT(*) AS n FROM toks GROUP BY id),
     inter AS (
