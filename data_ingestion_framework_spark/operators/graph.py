@@ -144,6 +144,168 @@ def pagerank(
     return ranks.select("node", F.col("units").alias("rank_units"))
 
 
+def project_bipartite(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    max_per_key: int | None = None,
+) -> DataFrame:
+    """Bipartite co-occurrence projection: undirected edges ``(u, v)``
+    (``u < v``, distinct) linking values that share a key — the
+    supplier-co-purchase / co-author / co-click edge builder.
+
+    The self-join fans out Σ|key|² — one hub key (a customer touching
+    every supplier) makes a single join key quadratic. ``max_per_key``
+    applies the package's observable-cap contract (same as the dedup
+    blocks): keys with MORE than ``max_per_key`` values are dropped
+    WHOLE before the self-join (never silently truncated), bounding the
+    worst case at O(cap²) per key; report the dropped hubs via
+    :func:`oversize_keys` — a silent cap would read as full coverage
+    when it isn't."""
+    base = df.select(F.col(key_col).alias("__k"), F.col(val_col).alias("__v")).distinct()
+    if max_per_key is not None:
+        from data_ingestion_framework_spark.operators.dedup import (
+            _drop_oversize,
+        )
+
+        base = _drop_oversize(base, ["__k"], max_per_key)
+    return (
+        base.alias("a")
+        .join(
+            base.alias("b"),
+            (F.col("a.__k") == F.col("b.__k"))
+            & (F.col("a.__v") < F.col("b.__v")),
+        )
+        .select(F.col("a.__v").alias("u"), F.col("b.__v").alias("v"))
+        .distinct()
+    )
+
+
+def oversize_keys(
+    df: DataFrame, key_col: str, val_col: str, cap: int
+) -> DataFrame:
+    """(key, n_vals) for keys over ``max_per_key`` — the dropped-work
+    report that keeps :func:`project_bipartite`'s cap honest."""
+    return (
+        df.select(F.col(key_col).alias("key"), F.col(val_col).alias("__v"))
+        .distinct()
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_vals"))
+        .where(F.col("n_vals") > cap)
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    dedupe: bool = True,
+) -> DataFrame:
+    """Exact triangle count via DEGREE ORIENTATION (the MapReduce
+    triangle-counting discipline of Suri & Vassilvitskii, WWW 2011):
+    orient every undirected edge from its lower-``(degree, id)``
+    endpoint, then enumerate wedges only from each node's
+    OUT-neighborhood and close them with one more join. Under this
+    orientation a node's out-degree is bounded by O(√m) regardless of
+    its raw degree (work bounded by arboricity), so a hub node no
+    longer creates a quadratic wedge key — id-ordered enumeration
+    (``a < b < c``) has no such bound: the smallest-id hub owns every
+    wedge. The count is identical; only the join fan-out changes.
+
+    Input is treated as UNDIRECTED: each edge is canonicalized to
+    ``(min, max)`` and de-duplicated (self-loops dropped). Returns a
+    1-row ``(n_triangles bigint)`` frame.
+
+    Scale shape: one degree agg, one degree-annotation join, one wedge
+    self-join on the oriented source (bounded fan-out), one closing
+    equi-join, one global count — every join a hash join on integer
+    keys, all integer arithmetic."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+    )
+    if dedupe:
+        e = e.distinct()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("__dv"))
+    a_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
+    )
+    # oriented edge src→dst with dst's (deg, id) carried for the wedge
+    # ordering — the SAME total order that oriented the edges, so the
+    # closing edge of an ordered wedge is guaranteed oriented v→w
+    d = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(a_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(a_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(a_first, F.col("__dv")).otherwise(F.col("__du")).alias(
+                "ddeg"
+            ),
+        )
+        .localCheckpoint()
+    )
+    x, y, z = d.alias("x"), d.alias("y"), d.alias("z")
+    wedge_ordered = (F.col("x.ddeg") < F.col("y.ddeg")) | (
+        (F.col("x.ddeg") == F.col("y.ddeg"))
+        & (F.col("x.dst") < F.col("y.dst"))
+    )
+    return (
+        x.join(y, (F.col("x.src") == F.col("y.src")) & wedge_ordered)
+        .join(
+            z,
+            (F.col("z.src") == F.col("x.dst"))
+            & (F.col("z.dst") == F.col("y.dst")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
+def oriented_out_degrees(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, out_deg) under :func:`triangle_count`'s degree
+    orientation — the observability hook for the bounded-fan-out claim
+    (a hub's oriented out-degree stays O(√m) while its raw degree is
+    O(n); assert it in tests, monitor it at scale)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("__dv"))
+    a_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
+    )
+    return (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(F.when(a_first, F.col("u")).otherwise(F.col("v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

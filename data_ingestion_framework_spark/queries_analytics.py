@@ -1027,9 +1027,13 @@ def graph_trustrank_seeded(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Triangle counting over the supplier co-purchase graph: suppliers
-# sharing a customer are linked; triangles = ordered 3-cliques via two
-# self-equi-joins (a<b<c kills the 6× double count and the joins stay
-# hash joins — the classic distributed formulation). Integer output.
+# sharing a customer are linked (operators/graph.py project_bipartite);
+# triangles counted under DEGREE ORIENTATION (graph.py triangle_count —
+# wedges enumerate from each node's out-neighborhood, bounded by
+# arboricity, so a hub supplier never owns a quadratic join key). The
+# oracle counts id-ordered 3-cliques — the count is orientation-
+# invariant, so it certifies the degree-ordered plan too. Integer
+# output.
 # ---------------------------------------------------------------------------
 @bench_query(
     "graph_supplier_triangles",
@@ -1051,32 +1055,21 @@ def graph_trustrank_seeded(spark, sf_dir):
     """,
 )
 def graph_supplier_triangles(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.graph import (
+        project_bipartite,
+        triangle_count,
+    )
+
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    cs = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+    cs = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
     )
-    e = (
-        cs.alias("a")
-        .join(
-            cs.alias("b"),
-            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
-        )
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .distinct()
-        .localCheckpoint()
-    )
-    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
-    return (
-        ab.join(bc, F.col("ab.v") == F.col("bc.u"))
-        .join(
-            ac,
-            (F.col("ac.u") == F.col("ab.u")) & (F.col("ac.v") == F.col("bc.v")),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    )
+    # uncapped projection: the oracle certifies the EXACT count (pass
+    # max_per_key= to bound hub-customer fan-out, with oversize_keys()
+    # as the drop report — the observable-cap contract)
+    e = project_bipartite(cs, "c", "s").localCheckpoint()
+    return triangle_count(e, "u", "v", dedupe=False)
 
 
 # ---------------------------------------------------------------------------

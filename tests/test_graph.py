@@ -154,3 +154,100 @@ def test_weighted_pagerank_splits_rank_proportionally(spark):
         for x in pagerank(edges.drop("w"), iterations=2).collect()
     }
     assert unit == plain
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; a star has 0; direction/duplication of the
+    input edges must not matter (canonicalized undirected)."""
+    from data_ingestion_framework_spark.operators.graph import triangle_count
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b],
+        "src long, dst long",
+    )
+    assert triangle_count(k4).first()["n_triangles"] == 4
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], "src long, dst long"
+    )
+    assert triangle_count(star).first()["n_triangles"] == 0
+    # triangle + pendant edge + self-loop noise
+    g = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (2, 2), (2, 1)], "src long, dst long"
+    )
+    assert triangle_count(g).first()["n_triangles"] == 1
+
+
+def test_triangle_count_matches_id_ordered_enumeration(spark):
+    """Degree orientation changes the JOIN SHAPE, never the count:
+    compare against the classic a<b<c enumeration on a pseudo-random
+    graph (deterministic hash-picked edges)."""
+    from data_ingestion_framework_spark.operators.graph import triangle_count
+
+    n = 40
+    edges = spark.createDataFrame(
+        [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if (a * 1315423911 + b * 2654435761) % 5 == 0
+        ],
+        "src long, dst long",
+    ).localCheckpoint()
+    got = triangle_count(edges).first()["n_triangles"]
+    e = edges.select("src", "dst")
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    want = (
+        ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
+        .join(
+            ac,
+            (F.col("ac.src") == F.col("ab.src"))
+            & (F.col("ac.dst") == F.col("bc.dst")),
+        )
+        .count()
+    )
+    assert got == want and got > 0
+
+
+def test_triangle_degree_orientation_bounds_hub_fanout(spark):
+    """One hub touching every node: its RAW degree is n-1, but under
+    degree orientation every hub edge points INTO the hub (leaves have
+    lower degree), so the hub's oriented out-degree — the wedge-join
+    fan-out key — is ~0 and the peak fan-out is bounded by the dense
+    core, not the hub. This is the skew guarantee id-ordering lacks
+    (an id-0 hub would own every wedge)."""
+    from data_ingestion_framework_spark.operators.graph import (
+        oriented_out_degrees,
+        triangle_count,
+    )
+
+    hub = 0
+    leaves = [(hub, i) for i in range(1, 200)]
+    core = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    g = spark.createDataFrame(leaves + core, "src long, dst long")
+    out = {r["node"]: r["out_deg"] for r in oriented_out_degrees(g).collect()}
+    assert out.get(hub, 0) <= 5  # raw degree 199, oriented out-degree ~0
+    assert max(out.values()) <= 5  # bounded by the 5-node core, not the hub
+    # K5 core = C(5,3) = 10, plus hub∘core-edge triangles = C(5,2) = 10
+    # (all enumerated from low-degree core nodes, never from the hub)
+    assert triangle_count(g).first()["n_triangles"] == 20
+
+
+def test_project_bipartite_cap_and_report(spark):
+    """max_per_key drops WHOLE hub keys before the self-join (the
+    observable-cap contract) and oversize_keys reports exactly those
+    keys; uncapped projection keeps them."""
+    from data_ingestion_framework_spark.operators.graph import (
+        oversize_keys,
+        project_bipartite,
+    )
+
+    rows = [(1, s) for s in range(10)] + [(2, 100), (2, 101), (3, 100)]
+    df = spark.createDataFrame(rows, "c long, s long")
+    full = project_bipartite(df, "c", "s")
+    assert full.count() == 45 + 1  # C(10,2) from the hub + (100,101)
+    capped = project_bipartite(df, "c", "s", max_per_key=5)
+    assert [
+        (r["u"], r["v"]) for r in capped.collect()
+    ] == [(100, 101)]
+    rep = oversize_keys(df, "c", "s", 5).collect()
+    assert [(r["key"], r["n_vals"]) for r in rep] == [(1, 10)]
