@@ -106,6 +106,10 @@ HEADLINE = [
     # round-8 fourth wave: distributed BPE tokenization (3 training
     # rounds over the distinct-word table + broadcast apply)
     "corpus_bpe_token_counts",
+    # 64 merges in rounds of 8 symbol-disjoint pairs: benches the
+    # driver-round-trip collapse (~2.3x vs sequential at sf0.1) that
+    # makes production-depth tokenizer training viable
+    "corpus_bpe_merges_batched",
     # exact prefix-filter similarity join vs the capped length-blocked
     # dedup_ngram_jaccard above: the caps buy ~2×, the prefix filter
     # buys completeness (no drop reports) — compare the two lines

@@ -1092,6 +1092,7 @@ def bpe_train_merges(
     n_merges: int = 3,
     min_freq: int = 1,
     return_vocab: bool = False,
+    batch_size: int = 1,
 ):
     """Train byte-pair-encoding merges on the corpus — the tokenizer-
     training loop (Sennrich et al. 2016) as a distributed computation.
@@ -1106,12 +1107,31 @@ def bpe_train_merges(
     re-segmentation itself never leaves the executors. No end-of-word
     marker (merges stay within words).
 
+    ``batch_size > 1`` is the production-tokenizer mode (a 32k-merge
+    vocabulary must not mean 32k sequential Spark jobs): each round
+    selects, in rank order, up to ``batch_size`` pairwise
+    SYMBOL-DISJOINT pairs from one count (a pair sharing a symbol with
+    an earlier selection is skipped — its count may be stale after
+    that merge applies; a disjoint pair's count provably is not, since
+    a greedy merge of (a,b) only creates/destroys pairs touching a or
+    b), and applies them in ONE chained fold + checkpoint. Driver
+    round-trips and lineage cuts collapse by ~batch_size×. Within a
+    round the application order of disjoint pairs is immaterial (they
+    can't interact), and the recorded ``pair_freq`` values are the
+    true application-time counts. Selection can diverge from
+    batch_size=1 training only where a merge CREATED a pair that
+    outranks the rest of the batch — the standard batched-BPE
+    trade-off; ``batch_size=1`` reproduces classic sequential BPE
+    bit-for-bit.
+
     Returns the merge table ``(step, left, right, pair_freq)`` —
     ``n_merges`` rows (fewer if the corpus runs out of repeated pairs
     above ``min_freq``). With ``return_vocab=True`` also returns the
     final segmented vocabulary ``(w, n_sym)`` — the word → token-count
     map ``bpe_token_counts`` joins against, so apply never re-folds.
     """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
     toks = (
         df.select(F.explode(F.split(normalize_text(text_col), " ")).alias("w"))
         .where(F.col("w") != "")
@@ -1123,7 +1143,7 @@ def bpe_train_merges(
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
-    for it in range(1, n_merges + 1):
+    while len(merges) < n_merges:
         pairs = (
             words.select(
                 "freq",
@@ -1138,21 +1158,31 @@ def bpe_train_merges(
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = (
+        want = min(batch_size, n_merges - len(merges))
+        # rank-ordered candidate buffer: 4× covers skips from symbol
+        # overlap in practice; a short batch just recounts next round
+        top = (
             pairs.where(F.col("cnt") >= min_freq)
             .orderBy(F.desc("cnt"), "l", "r")
-            .first()
+            .limit(max(want * 4, want))
+            .collect()
         )
-        if best is None:
+        if not top:
             break
-        merges.append((it, best["l"], best["r"], best["cnt"]))
-        words = words.select(
-            "w",
-            _bpe_merge_step(
-                F.col("syms"), F.lit(best["l"]), F.lit(best["r"])
-            ).alias("syms"),
-            "freq",
-        ).localCheckpoint()
+        selected: list = []
+        used: set[str] = set()
+        for r in top:
+            if len(selected) == want:
+                break
+            if r["l"] in used or r["r"] in used:
+                continue
+            selected.append(r)
+            used.update((r["l"], r["r"]))
+        syms = F.col("syms")
+        for r in selected:
+            merges.append((len(merges) + 1, r["l"], r["r"], r["cnt"]))
+            syms = _bpe_merge_step(syms, F.lit(r["l"]), F.lit(r["r"]))
+        words = words.select("w", syms.alias("syms"), "freq").localCheckpoint()
     spark = df.sparkSession
     merge_df = spark.createDataFrame(
         merges, "step int, left string, right string, pair_freq bigint"

@@ -4613,6 +4613,23 @@ def corpus_bpe_merges(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Batched BPE training at production depth: 64 merges in rounds of 8
+# pairwise symbol-disjoint pairs — the mode that keeps a 32k-merge
+# tokenizer from being 32k sequential Spark jobs (8 driver round-trips
+# here instead of 64). Rows-only by design: the sequential-BPE oracle
+# unrolls one CTE per merge, which is infeasible at depth 64; batched
+# correctness is pinned instead by the property tests (batched-apply ==
+# sequential-apply on the merge list; batched == sequential training on
+# disjoint-top-k corpora) and by the oracle-backed batch_size=1 twins
+# above. This line exists to BENCH the round-collapse.
+# ---------------------------------------------------------------------------
+@bench_query("corpus_bpe_merges_batched")
+def corpus_bpe_merges_batched(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.bpe_train_merges(docs, n_merges=64, min_freq=2, batch_size=8)
+
+
+# ---------------------------------------------------------------------------
 # BPE applied: per-document token counts under the merges trained on
 # this corpus (operators/text.py bpe_token_counts). The fold runs once
 # per DISTINCT WORD; documents join the broadcast (word, n_sym) map

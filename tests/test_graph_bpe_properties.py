@@ -141,3 +141,78 @@ def test_bpe_train_matches_python_reference(spark, texts, n):
         for r in bpe_train_merges(df, n_merges=n, min_freq=1).collect()
     ]
     assert got == _py_bpe_train(texts, n, 1)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts_st, n=st.integers(1, 4))
+def test_bpe_batched_apply_equals_sequential_apply(spark, texts, n):
+    """The batched fold == k sequential merges: applying the batched
+    trainer's merge list one-at-a-time with the pure-Python fold over
+    the raw vocabulary reproduces the Spark-side final segmentation
+    exactly (pairs within a round are symbol-disjoint, so a single
+    chained pass and k separate passes cannot differ)."""
+    from data_ingestion_framework_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merge_df, vocab = bpe_train_merges(
+        df, n_merges=n, min_freq=1, batch_size=max(2, n), return_vocab=True
+    )
+    merges = [(r["left"], r["right"]) for r in merge_df.collect()]
+    got = {r["w"]: r["n_sym"] for r in vocab.collect()}
+    words = set()
+    for t in texts:
+        words.update(w for w in " ".join(t.lower().split()).split(" ") if w)
+    for w in words:
+        s = list(w)
+        for left, right in merges:
+            s = _py_bpe_merge(s, left, right)
+        assert got[w] == len(s), (w, merges)
+
+
+def test_bpe_batched_equals_sequential_on_disjoint_corpus(spark):
+    """When the top-k pairs are pairwise symbol-disjoint and no merge
+    creates a higher-ranked pair, batched and sequential training are
+    IDENTICAL — merge table and all."""
+    from data_ingestion_framework_spark.operators.text import bpe_train_merges
+
+    texts = ["ab ab ab ab cd cd cd ef ef gh"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    seq = [
+        tuple(r)
+        for r in bpe_train_merges(df, n_merges=4, batch_size=1).collect()
+    ]
+    bat = [
+        tuple(r)
+        for r in bpe_train_merges(df, n_merges=4, batch_size=4).collect()
+    ]
+    assert seq == bat == [
+        (1, "a", "b", 4),
+        (2, "c", "d", 3),
+        (3, "e", "f", 2),
+        (4, "g", "h", 1),
+    ]
+
+
+def test_bpe_batched_skips_overlapping_pairs(spark):
+    """A pair sharing a symbol with an earlier in-round selection is
+    skipped (its count may be stale), picked up by the next round's
+    recount instead — never applied on stale counts."""
+    from data_ingestion_framework_spark.operators.text import bpe_train_merges
+
+    # "aba" x3: pairs (a,b) cnt 3, (b,a) cnt 3 — (a,b) wins the tie,
+    # (b,a) overlaps it and must wait for the recount round, where
+    # after the (a,b) merge "aba" -> [ab, a] the pair (b,a) is GONE
+    # and (ab, a) cnt 3 is the true next merge.
+    df = spark.createDataFrame([("aba aba aba",)], "text string")
+    got = [
+        tuple(r) for r in bpe_train_merges(df, n_merges=2, batch_size=2).collect()
+    ]
+    assert got == [(1, "a", "b", 3), (2, "ab", "a", 3)]
+    seq = [
+        tuple(r) for r in bpe_train_merges(df, n_merges=2, batch_size=1).collect()
+    ]
+    assert got == seq
