@@ -529,6 +529,67 @@ def ivf_cosine_topk(
     )
 
 
+def ivf_hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "q_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """ANN-backed hard-negative mining: per anchor, the top-k most
+    similar corpus vectors with a DIFFERENT label, found by probing
+    ``nprobe`` IVF cells instead of broadcast-scanning the corpus —
+    the production mining shape when the anchor set is large (the
+    brute-force sibling in ``queries_llm.embeddings_hard_negatives``
+    stays the small-anchor fast path; compose with the PQ stages for
+    memory-bound corpora). The label-disagreement predicate fuses into
+    the probe join, before the per-anchor window, so same-label rows
+    never reach the top-k sort.
+
+    Returns ``(q_id, vec_id, neg_label, cos_sim)``. Scale shape: cost
+    is |corpus| × nprobe / n_cells per anchor batch, one equi-join on
+    cell id + one per-anchor window over probed members only."""
+    c = _spread(corpus).withColumn(
+        "__cell", _nearest_cells(F.col(vec_col), centroids, 1)[0]
+    )
+    q = anchors.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__ql"),
+        F.explode(
+            _nearest_cells(F.col(vec_col), centroids, nprobe)
+        ).alias("__cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__cell")
+        .where(
+            (F.col(query_id_col) != F.col(id_col))
+            & (F.col(label_col) != F.col("__ql"))
+        )
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col(label_col).alias("neg_label"),
+            F.round(cosine(F.col("__qv"), F.col(vec_col)), round_to).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: list[list[float]],

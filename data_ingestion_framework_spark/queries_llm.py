@@ -4942,6 +4942,64 @@ def embeddings_hard_negatives(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ANN-BACKED hard-negative mining (operators/similarity.py
+# ivf_hard_negatives): anchors probe nprobe IVF cells instead of
+# broadcast-scanning the corpus — the production shape when the anchor
+# set is large. The label-disagreement predicate fuses into the probe
+# join. The oracle re-derives the IVF index with the shared CTE chain
+# (as every IVF oracle here does) and replays probing + label filter +
+# per-anchor top-k.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "embeddings_hard_negatives_ann",
+    oracle=f"""
+    WITH {{ivf}},
+    query_cells AS (
+      SELECT vec_id AS q_id, cell FROM ranked WHERE rn <= 4 AND vec_id < 5
+    ),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    cand AS (
+      SELECT q.q_id, c.vec_id
+      FROM query_cells q JOIN corpus_cell c ON c.cell = q.cell
+      WHERE c.vec_id <> q.q_id
+    ),
+    dots AS (
+      SELECT p.q_id, p.vec_id, SUM(ea.x * eb.x) AS dp
+      FROM cand p
+      JOIN e ea ON ea.vec_id = p.q_id
+      JOIN e eb ON eb.vec_id = p.vec_id AND eb.i = ea.i
+      GROUP BY p.q_id, p.vec_id
+    ),
+    scored AS (
+      SELECT d.q_id, d.vec_id, lb.label AS neg_label,
+             ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                        ELSE d.dp / (na.nrm * nb.nrm) END, 4) AS cos_sim
+      FROM dots d
+      JOIN vnorm na ON na.vec_id = d.q_id
+      JOIN vnorm nb ON nb.vec_id = d.vec_id
+      JOIN lab la ON la.vec_id = d.q_id
+      JOIN lab lb ON lb.vec_id = d.vec_id
+      WHERE la.label <> lb.label
+    )
+    SELECT q_id, vec_id, neg_label, cos_sim
+    FROM (
+      SELECT q_id, vec_id, neg_label, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 5
+    """.replace("{ivf}", _ivf_index_sql(8)),
+)
+def embeddings_hard_negatives_ann(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_train_centroids(emb, n_cells=8, iters=2)
+    anchors = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_hard_negatives(
+        emb, anchors, centroids, k=5, nprobe=4
+    )
+
+
+# ---------------------------------------------------------------------------
 # Prefix-filtering set-similarity join (SSJoin/PPJoin — operators/
 # dedup.py prefix_filter_jaccard_pairs): 3-word-shingle-set Jaccard
 # ≥ 1/2 over documents with EXACT pruning (no block caps, no drops) —
