@@ -48,6 +48,7 @@ def pagerank(
     checkpoint_every: int = 4,
     seeds: DataFrame | None = None,
     weight: str | None = None,
+    preserve_scan_partitioning: bool = False,
 ) -> DataFrame:
     """Integer fixed-point PageRank power iteration.
 
@@ -70,6 +71,19 @@ def pagerank(
 
     Pick ``scale`` such that ``n_nodes * scale * damping_num`` stays
     under 2^63 (default 1e9 units is safe to ~10^8 nodes).
+
+    ``preserve_scan_partitioning=True`` is the BUCKETED fast path (the
+    100× shape): pass ``edges`` straight from a table bucketed by the
+    src column (``df.write.bucketBy(n, src).saveAsTable(...)`` →
+    ``spark.table(...)``) and the degree agg, the degree join, and
+    every iteration's contributions join are all EXCHANGE-FREE on the
+    edge side — the only shuffle left per iteration is the
+    groupBy(dst) inflow agg, and only the (small) rank vector ever
+    moves. The flag skips the edge-list localCheckpoint (a checkpoint
+    erases the scan's HashPartitioning from the planner) and trades it
+    for one extra bucketed re-scan per iteration; leave it False for
+    non-bucketed inputs, where materializing once beats re-evaluating
+    the input plan. ``dedupe``/``seeds`` compose either way.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -82,12 +96,15 @@ def pagerank(
     # materialize the degree-annotated edge list ONCE; the node set
     # derives from the checkpointed edges (not the raw input), so the
     # input plan is evaluated exactly once and every iteration joins
-    # against materialized data
+    # against materialized data (bucketed fast path: keep the lineage
+    # instead, so the scan's partitioning keeps informing the planner)
     if weight:
         deg = e.groupBy("src").agg(F.sum("w").alias("out_deg"))
     else:
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    e_deg = e.join(deg, "src").localCheckpoint()
+    e_deg = e.join(deg, "src")
+    if not preserve_scan_partitioning:
+        e_deg = e_deg.localCheckpoint()
     nodes = (
         e_deg.select(F.col("src").alias("node"))
         .union(e_deg.select(F.col("dst").alias("node")))
@@ -312,6 +329,7 @@ def label_propagation(
     dst: str = "dst",
     iterations: int = 3,
     dedupe: bool = True,
+    preserve_scan_partitioning: bool = False,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007), determinized: every node starts labeled with its own id;
@@ -328,11 +346,17 @@ def label_propagation(
     or a runtime broadcast of the label vector), one (dst, label)
     count, one per-dst argmax window. The min-label connected-
     components sibling lives in ``operators/dedup.py``.
+
+    ``preserve_scan_partitioning=True``: same bucketed fast path as
+    :func:`pagerank` — skip the edge checkpoint so a src-bucketed
+    table scan keeps its HashPartitioning and each round's votes join
+    is exchange-free on the edge side.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if dedupe:
         e = e.distinct()
-    e = e.localCheckpoint()
+    if not preserve_scan_partitioning:
+        e = e.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -251,3 +251,45 @@ def test_project_bipartite_cap_and_report(spark):
     ] == [(100, 101)]
     rep = oversize_keys(df, "c", "s", 5).collect()
     assert [(r["key"], r["n_vals"]) for r in rep] == [(1, 10)]
+
+
+def test_pagerank_bucketed_edges_no_src_exchange(spark, tmp_path):
+    """The bucketed fast path: edges from a src-bucketed table with
+    preserve_scan_partitioning=True plan ZERO src-side exchanges — the
+    degree agg, degree join, and contributions join all ride the
+    scan's HashPartitioning; only the groupBy(dst) inflow agg
+    shuffles. A non-bucketed input plans src exchanges. Values are
+    identical either way."""
+    import re
+
+    from data_ingestion_framework_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 23, (i * 7 + 1) % 23) for i in range(300)], "src long, dst long"
+    ).distinct()
+    spark.sql("DROP TABLE IF EXISTS pr_edges_bucketed_test")
+    edges.write.bucketBy(4, "src").mode("overwrite").saveAsTable(
+        "pr_edges_bucketed_test"
+    )
+    try:
+        bucketed = spark.table("pr_edges_bucketed_test")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            fast = pagerank(
+                bucketed, iterations=1, dedupe=False,
+                preserve_scan_partitioning=True,
+            )
+            plan = fast._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            assert not re.search(r"Exchange hashpartitioning\(src", plan)
+            slow = pagerank(edges, iterations=1, dedupe=False)
+            plan2 = slow._jdf.queryExecution().executedPlan().toString()
+            assert re.search(r"Exchange hashpartitioning\(src", plan2)
+            got = {r["node"]: r["rank_units"] for r in fast.collect()}
+            want = {r["node"]: r["rank_units"] for r in slow.collect()}
+            assert got == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pr_edges_bucketed_test")
