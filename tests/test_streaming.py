@@ -1008,6 +1008,103 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
     assert got == {2: 1, 3: None, 90: None}
 
 
+def _outer_join_lifecycle(spark, tmp_path, how):
+    """Shared rig for the rightOuter/fullOuter stream-stream interval
+    join lifecycles: same purchases/clicks shape as the leftOuter test
+    plus an UNMATCHED CLICK (id 4), run over three availableNow
+    triggers whose later batches keep BOTH sides' watermarks moving
+    (the global watermark is the MIN across inputs and only rows
+    surviving each side's filter advance it — null padding flushes
+    need later surviving batches)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    batches = [
+        [
+            (1, 7, "click", base),
+            (2, 7, "purchase", base + dt.timedelta(minutes=10)),
+            (3, 8, "purchase", base + dt.timedelta(hours=5)),
+            (4, 9, "click", base),  # no same-user purchase ever
+        ],
+        [
+            (90, 20, "purchase", base + dt.timedelta(days=30)),
+            (91, 21, "click", base + dt.timedelta(days=30)),
+        ],
+        [
+            (92, 22, "purchase", base + dt.timedelta(days=60)),
+            (93, 23, "click", base + dt.timedelta(days=60)),
+        ],
+    ]
+    src = str(tmp_path / "in")
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    spark.createDataFrame(batches[0], schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        how,
+    ).select("purchase_id", "click_id")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            joined.writeStream.format("parquet")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    for extra in batches[1:]:
+        spark.createDataFrame(extra, schema).write.mode("append").parquet(src)
+        run_once()
+    return {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+
+def test_stream_stream_right_outer_interval_join(spark, tmp_path):
+    """RIGHT OUTER: matched pairs emit; watermark-expired unmatched
+    CLICKS null-pad on the purchase side (clicks 4 and the day-30
+    sentinel 91 once day-60 data arrives; the day-60 click stays
+    open); unmatched purchases emit nothing."""
+    got = _outer_join_lifecycle(spark, tmp_path, "rightOuter")
+    assert got == {(2, 1), (None, 4), (None, 91)}
+
+
+def test_stream_stream_full_outer_interval_join(spark, tmp_path):
+    """FULL OUTER: matched pairs plus BOTH sides' watermark-expired
+    unmatched rows (purchases 3 and 90; clicks 4 and 91); the day-60
+    sentinels on both sides stay open past the last trigger."""
+    got = _outer_join_lifecycle(spark, tmp_path, "fullOuter")
+    assert got == {(2, 1), (3, None), (90, None), (None, 4), (None, 91)}
+
+
 def test_progress_logger_captures_micro_batches(spark, tmp_path):
     """StreamingQueryListener telemetry: every micro-batch's progress
     event lands in a table via flush() — engine metrics joinable with
