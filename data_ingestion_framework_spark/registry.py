@@ -141,12 +141,12 @@ _PRIORITY = [
     # driver-green r4 and ceded their slots to the round-4 lifecycle
     # queries below; orders_above_customer_avg ceded earlier to
     # docs_fuzzy_entity_pairs. All stay in the full local gate.)
-    # ROUND-8 ROTATION: lineitem_percentiles (driver-green r5+r6)
-    # cedes to BM25 ranked retrieval; the exact-percentile rank-window
-    # mechanism stays pinned by the window-function family in-window
-    # (events_sessionize's lag/cumsum, scd1_latest_event_per_user's
-    # row_number) and the full local gate. Still in the full gate.
-    "docs_bm25_topk",
+    # ROUND-9 ROTATION (3rd wave): docs_bm25_topk (green r7+r8) cedes
+    # to the completed-PPJoin set-similarity join (length + positional
+    # filters now replayed in the oracle); the BM25 arm stays window-
+    # graded via retrieval_rrf_hybrid, whose oracle re-derives the
+    # full BM25 ranking before fusing. Still in the full local gate.
+    "dedup_prefix_filter_pairs",
     # never driver-graded: corpus / text / cleaning / sampling
     # (corpus_pipeline_end2end shares corpus_pipeline_staged's oracle
     # verbatim — the staged form keeps the window slot, the lazy twin
@@ -183,13 +183,13 @@ _PRIORITY = [
     # window-graded via orders_merge_not_matched_state (same executor,
     # superset clause family) and merge_sql_generic_state.
     "corpus_bpe_merges",
-    # ROUND-8 ROTATION: dedup_minhash_md5_pairs (driver-green r5+r6)
-    # cedes to the hidden-partitioning lifecycle (Iceberg partition
-    # transforms — new write/plan machinery worth certifying); the
-    # md5-family signatures→banding mechanism stays window-graded via
-    # dedup_incremental_minhash (same family, same banding, plus the
-    # index merge). Still in the full local gate.
-    "orders_hidden_partition_state",
+    # ROUND-9 ROTATION (3rd wave): orders_hidden_partition_state
+    # (green r7+r8) cedes to the version-diff composite (as_of ∘
+    # find_delta — never driver-graded); the partition-transform
+    # machinery stays window-graded via orders_partition_evolution_
+    # state (which parses per-file specs across eras, a superset of
+    # the hidden-transform read path). Still in the full local gate.
+    "orders_version_diff_state",
     # dedup_simhash_md5_pairs (green r4+r5) cedes to the new UPDATE
     # statement lifecycle; its banded-signature-generator mechanism
     # stays window-graded via dedup_minhash_md5_pairs
@@ -201,11 +201,14 @@ _PRIORITY = [
     # round-6: the generic MERGE INTO executor's NOT-MATCHED-BY-SOURCE
     # clause family and the IVFADC composite — both new, never graded
     "orders_merge_not_matched_state",
-    # ROUND-8 ROTATION: embeddings_quantize_int8 (driver-green r5+r6)
-    # cedes to the metadata-only aggregate answers; the int8 quantize
-    # mechanism stays window-graded via embeddings_pipeline_curated,
-    # whose final stage runs the same quantizer. Still in the full gate.
-    "orders_minmax_metadata",
+    # ROUND-9 ROTATION (3rd wave): orders_minmax_metadata (green
+    # r7+r8) cedes to the filtered cosine top-k (pushed predicate
+    # before the ANN window — never driver-graded); the footer-stats
+    # metadata-answer mechanism stays window-graded via
+    # orders_column_stats (ANALYZE over the same stats) and
+    # orders_stats_skipping_state (the skipping consumer of those
+    # min/max footers). Still in the full local gate.
+    "similarity_filtered_topk",
     # ROUND-9 ROTATION (2nd wave): similarity_ivfpq_topk (green
     # r6+r7) cedes to the nDCG index-quality gauge (whose oracle
     # re-derives the IVF coarse index, the exact ranking AND the
@@ -243,10 +246,23 @@ _PRIORITY = [
     # rollup (the partition-scoped superset of the same commit-delta
     # refresh). All six stay in the full local gate.
     "orders_column_stats",
-    "merge_sql_generic_state",
+    # ROUND-9 ROTATION (3rd wave): merge_sql_generic_state (green
+    # r7+r8) cedes to the disjunctive OR-of-ANDs cross-table pushdown
+    # shape (the most mechanism-distinct of the round-8 TPC-H
+    # additions); the generic MERGE semantics stay window-graded via
+    # orders_merge_not_matched_state (the executor runs the same
+    # clause family) and the emitted SQL text is pytest-pinned
+    # (test_merge_sql). Still in the full local gate.
+    "disjunctive_promo_revenue",
     "orders_delete_dv_state",
     "docs_dsir_weights",
-    "similarity_hamming_topk",
+    # ROUND-9 ROTATION (3rd wave): similarity_hamming_topk (green
+    # r7+r8) cedes to ANN-backed hard-negative mining (IVF probing +
+    # fused label filter, new this round); the binary-signature
+    # machinery is pytest-pinned and the ANN shortlist family keeps
+    # similarity_matryoshka_topk, similarity_ivfpq_sampled_topk and
+    # similarity_ivf_ndcg in-window. Still in the full local gate.
+    "embeddings_hard_negatives_ann",
     "dedup_incremental_minhash",
     # round-7 second wave: SHALLOW CLONE lifecycle, KMV set-overlap
     # algebra, Matryoshka prefix-funnel retrieval. Slots ceded by
@@ -258,7 +274,13 @@ _PRIORITY = [
     # in-window multimodal_audio_meta). All three stay in the full
     # local gate.
     "orders_clone_state",
-    "events_kmv_overlap",
+    # ROUND-9 ROTATION (3rd wave): events_kmv_overlap (green r7+r8)
+    # cedes to the cumulative-distinct composite (agg + unbounded-
+    # preceding window, never driver-graded); the mergeable-sketch
+    # family keeps events_hll_distinct_users in-window and the KMV
+    # estimator/overlap algebra is pytest-pinned (test_sketches).
+    # Still in the full local gate.
+    "events_cumulative_distinct_users",
     "similarity_matryoshka_topk",
     # round-7 third wave: the column-mapping lifecycle (metadata-only
     # RENAME/DROP). Slot ceded by events_heavy_hitter_users (green
@@ -272,12 +294,12 @@ _PRIORITY = [
     # via docs_ccnet_buckets' TakeOrdered hash sample and is pinned
     # by the sampling property tests).
     "embeddings_pipeline_curated",
-    # round-7 fifth wave: the Zipf-exponent corpus diagnostic (OLS
-    # over DECIMAL-exact sums). Slot ceded by events_cohort_retention
-    # (green r5+r6; the sequential event-window family keeps
-    # events_sessionize as its window representative, and the funnel
-    # sibling already ceded in an earlier rotation).
-    "corpus_zipf_alpha",
+    # ROUND-9 ROTATION (3rd wave): corpus_zipf_alpha (green r7+r8)
+    # cedes to the BPE-budgeted source mix (tokenize→budget composite,
+    # never driver-graded); the vocabulary-keyed DECIMAL-exact
+    # aggregation mechanism stays window-graded via docs_ccnet_buckets
+    # and docs_dsir_weights. Still in the full local gate.
+    "corpus_bpe_budget_mix",
     # round-7 sixth wave: sample-trained IVFADC (bounded-training
     # index build under the oracle gate). Slot ceded by
     # docs_decontaminate_bloom (green r4-r6; the decontamination
@@ -291,12 +313,13 @@ _PRIORITY = [
     # the same cluster-then-dedup stage) and hybrid_dedup_clusters
     # (embedding near-dup edges). Still in the full local gate.
     "orders_partition_evolution_state",
-    # ROUND-8 ROTATION: text_unigram_ce (driver-green r5+r6) cedes to
-    # M4 downsampling; the unigram-CE mechanism stays window-graded
-    # via docs_ccnet_buckets (whose oracle re-derives the same
-    # corpus-count join + DECIMAL contribution sums before
-    # bucketing). Still in the full local gate.
-    "events_m4_downsample",
+    # ROUND-9 ROTATION (3rd wave): events_m4_downsample (green r7+r8)
+    # cedes to the degree-oriented triangle count (re-shaped this
+    # round: wedges enumerate from the low-degree side, bounded by
+    # arboricity); the join-free time-series generator family keeps
+    # events_gapfill_locf in-window and the 4-rank M4 window is
+    # pytest-pinned (test_timeseries). Still in the full local gate.
+    "graph_supplier_triangles",
     # ROUND-9 ROTATION (2nd wave): hybrid_dedup_clusters (green
     # r6+r7) cedes to label-propagation communities — the same
     # iterative-label-join machinery generalized (CC IS min-label
@@ -383,6 +406,16 @@ _PRIORITY = [
     # history). Still in the full local gate.
     "orders_replace_where_state",
     # end of the 50-query driver window
+    # the eight rows ceded by the round-9 third-wave rotation (driver-
+    # green r7+r8; mechanisms window-covered per the notes above)
+    "docs_bm25_topk",
+    "orders_hidden_partition_state",
+    "corpus_zipf_alpha",
+    "merge_sql_generic_state",
+    "similarity_hamming_topk",
+    "orders_minmax_metadata",
+    "events_kmv_overlap",
+    "events_m4_downsample",
     # the nine rows ceded by the round-7 rotation (driver-green r5+r6;
     # mechanisms window-covered per the rotation notes above)
     "docs_badword_report",

@@ -205,9 +205,10 @@ def test_driver_grading_window_covers_priority_queries():
         # r8: semantic_dedup_keep ceded to the partition-evolution
         # lifecycle (SemDeDup runs inside embeddings_pipeline_curated)
         "orders_partition_evolution_state",
-        # r8: text_unigram_ce ceded to M4 downsampling (unigram CE is
-        # re-derived inside docs_ccnet_buckets' oracle)
-        "events_m4_downsample",
+        # r9 3rd wave: events_m4_downsample ceded to the degree-
+        # oriented triangle count (gap-fill keeps the time-series
+        # generator family in-window)
+        "graph_supplier_triangles",
         # r9 2nd wave: hybrid clusters ceded to LPA communities
         "graph_lpa_communities",
         # r8: orders_zorder_keys ceded to the COPY INTO lifecycle
@@ -251,24 +252,39 @@ def test_driver_grading_window_covers_priority_queries():
         # round-7 rotation: the three round-6 queries that were still
         # awaiting a slot plus this round's three new surfaces
         "orders_column_stats",
-        "merge_sql_generic_state",
+        # r9 3rd wave: merge_sql_generic_state ceded to the
+        # disjunctive cross-table pushdown shape (executor semantics
+        # stay via orders_merge_not_matched_state)
+        "disjunctive_promo_revenue",
         "orders_delete_dv_state",
         "docs_dsir_weights",
-        "similarity_hamming_topk",
+        # r9 3rd wave: similarity_hamming_topk ceded to ANN-backed
+        # hard-negative mining (shortlist family keeps matryoshka +
+        # sampled IVFADC + nDCG in-window)
+        "embeddings_hard_negatives_ann",
         "dedup_incremental_minhash",
         "orders_clone_state",
-        "events_kmv_overlap",
+        # r9 3rd wave: events_kmv_overlap ceded to the cumulative-
+        # distinct composite (HLL keeps the sketch family in-window)
+        "events_cumulative_distinct_users",
         "similarity_matryoshka_topk",
         "orders_rename_state",
         "embeddings_pipeline_curated",
-        "corpus_zipf_alpha",
+        # r9 3rd wave: corpus_zipf_alpha ceded to the BPE-budgeted mix
+        "corpus_bpe_budget_mix",
         "similarity_ivfpq_sampled_topk",
+        # r9 3rd wave: docs_bm25_topk ceded to the completed PPJoin
+        # (BM25 re-derived inside retrieval_rrf_hybrid's oracle);
+        # orders_hidden_partition_state ceded to the version-diff
+        # composite; orders_minmax_metadata ceded to filtered top-k
+        "dedup_prefix_filter_pairs",
+        "orders_version_diff_state",
+        "similarity_filtered_topk",
         # round-8 rotation: log-stats data skipping + identity columns
         # + duplicated-span excision
         "orders_stats_skipping_state",
         "orders_identity_state",
         "docs_excise_dup_spans",
-        "orders_minmax_metadata",
         "customer_surrogate_scd1_state",
         "orders_strict_log_state",
         # round-9 rotation: RRF hybrid retrieval and the stream-stream
