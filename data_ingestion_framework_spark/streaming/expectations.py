@@ -103,19 +103,31 @@ def expect_and_quarantine(
     """Streaming sink: passing rows append to ``target``, violating
     rows (with their ``data_quality_result_array``) to ``quarantine``
     — both :class:`ParquetTable` commits inside one ``foreachBatch``,
-    replay-guarded by batch id (a checkpoint restart re-delivers the
-    last batch; the guard makes the second delivery a no-op on BOTH
-    tables, so exactly-once holds across the pair)."""
+    replay-guarded by ``(stream_query_id, stream_batch_id)`` (Delta's
+    txnAppId+txnVersion discipline: a checkpoint restart re-delivers
+    the last batch and the guard makes the second delivery a no-op on
+    BOTH tables, while a SECOND pipeline — fresh checkpoint, batch ids
+    restarting at 0 — appending to the same tables is scoped to its
+    own ledger instead of being swallowed by this one's). The query
+    identity derives from the checkpoint path, stable across restarts
+    of the same pipeline; legacy records carrying only a batch id are
+    treated as this pipeline's (the pre-query-id one-pipeline-per-
+    table contract)."""
+    import hashlib
+
     from data_ingestion_framework_spark.streaming.writers import (
         apply_trigger,
         _maybe_await,
     )
 
+    qid = hashlib.sha256(str(checkpoint).encode()).hexdigest()[:16]
+
     def _last_committed(table) -> int:
         last = -1
         for rec in table.history():
-            bid = rec.get("metrics", {}).get("stream_batch_id")
-            if bid is not None:
+            m = rec.get("metrics", {})
+            bid = m.get("stream_batch_id")
+            if bid is not None and m.get("stream_query_id", qid) == qid:
                 last = max(last, bid)
         return last
 
@@ -133,11 +145,26 @@ def expect_and_quarantine(
             *[c for c in flagged.columns if c.startswith("__dq_")]
         )
         good = flagged.where(F.col(VALID_FLAG)).drop(RESULT_ARRAY, VALID_FLAG)
-        bad = flagged.where(~F.col(VALID_FLAG)).drop(VALID_FLAG)
+        # pin the result array's element nullability: the expression-
+        # built array carries containsNull=false while a parquet
+        # read-back reports true, and the store's strict append would
+        # refuse the "mismatch" on every quarantine append after the
+        # table exists
+        bad = (
+            flagged.where(~F.col(VALID_FLAG))
+            .drop(VALID_FLAG)
+            .withColumn(RESULT_ARRAY, F.col(RESULT_ARRAY).cast("array<string>"))
+        )
         if need_target:
-            target.append(good, metrics={"stream_batch_id": batch_id})
+            target.append(
+                good,
+                metrics={"stream_batch_id": batch_id, "stream_query_id": qid},
+            )
         if need_quarantine:
-            quarantine.append(bad, metrics={"stream_batch_id": batch_id})
+            quarantine.append(
+                bad,
+                metrics={"stream_batch_id": batch_id, "stream_query_id": qid},
+            )
 
     writer = apply_trigger(df.writeStream.foreachBatch(_sink), trigger).option(
         "checkpointLocation", checkpoint

@@ -838,6 +838,31 @@ def test_expect_drop_and_fail_modes(spark, tmp_path):
         )
 
 
+def _wait_streams_drained(spark, timeout_s: float = 15.0) -> None:
+    """awaitTermination returns slightly before the query deregisters;
+    restarting on the SAME checkpoint immediately can trip the
+    'multiple streaming queries are concurrently using' guard."""
+    import time as _t
+
+    deadline = _t.time() + timeout_s
+    while spark.streams.active and _t.time() < deadline:
+        _t.sleep(0.1)
+
+
+def _uncommit_batch0(ck: str) -> None:
+    """Delete commits/0 AND its .crc sidecar (the checksum fs refuses
+    the rewrite otherwise) so a restart on the SAME checkpoint
+    redelivers batch 0 with the same batch id — the real crash-replay
+    shape."""
+    import os as _os
+
+    commits = _os.path.join(ck, "commits")
+    for name in ("0", ".0.crc"):
+        p = _os.path.join(commits, name)
+        if _os.path.exists(p):
+            _os.remove(p)
+
+
 def test_expect_and_quarantine_splits_with_replay_guard(spark, tmp_path):
     from data_ingestion_framework_spark.sources.tablestore import ParquetTable
     from data_ingestion_framework_spark.streaming.expectations import (
@@ -860,10 +885,15 @@ def test_expect_and_quarantine_splits_with_replay_guard(spark, tmp_path):
     qrows = {r["k"]: r["data_quality_result_array"] for r in quar.read().collect()}
     assert set(qrows) == {2, 3}
     assert qrows[2] == ["nn"] and qrows[3] == ["v_pos"]
-    # replaying the same batch (fresh checkpoint, same data) is a no-op
+    # a REAL replay reuses the same checkpoint: deleting commits/0
+    # makes the engine consider batch 0 uncommitted and redeliver it
+    # with the SAME batch id on restart — the ledger makes it a no-op
+    import os as _os
+
+    _wait_streams_drained(spark)
+    _uncommit_batch0(ck)
     expect_and_quarantine(
-        stream, _exp_rules(), target, quar, str(tmp_path / "ck_replay"),
-        await_termination=True,
+        stream, _exp_rules(), target, quar, ck, await_termination=True
     )
     assert sorted(r["k"] for r in target.read().collect()) == [1, 4]
     assert len(quar.read().collect()) == 2
@@ -902,22 +932,55 @@ def test_quarantine_ledger_is_per_table_after_partial_crash(spark, tmp_path):
         stream, _exp_rules(), target, quar, str(tmp_path / "ck"),
         await_termination=True,
     )
-    # simulate the crash: quarantine's commit for batch 0 never landed
+    # simulate the crash: quarantine's commit for batch 0 never landed,
+    # and the engine (same checkpoint, commits/0 gone) redelivers
+    # batch 0 with the SAME batch id on restart
     import os as _os
     import shutil as _shutil
 
     _shutil.rmtree(quar.path)
+    _wait_streams_drained(spark)
+    _uncommit_batch0(str(tmp_path / "ck"))
     quar2 = ParquetTable(spark, str(tmp_path / "q"))
-    # replay (fresh checkpoint redelivers batch 0, same data): target
-    # must NOT double-append, quarantine MUST receive its lost rows
+    # replay: target must NOT double-append, quarantine MUST receive
+    # its lost rows
     expect_and_quarantine(
-        stream, _exp_rules(), target, quar2, str(tmp_path / "ck2"),
+        stream, _exp_rules(), target, quar2, str(tmp_path / "ck"),
         await_termination=True,
     )
     assert sorted(r["k"] for r in target.read().collect()) == [1, 4]
     qrows = {r["k"]: r["data_quality_result_array"] for r in quar2.read().collect()}
     assert set(qrows) == {2, 3}
     assert qrows[2] == ["nn"] and qrows[3] == ["v_pos"]
+
+
+def test_quarantine_ledger_scoped_per_pipeline(spark, tmp_path):
+    """Two PIPELINES (distinct checkpoints, distinct sources) fanning
+    into the same target/quarantine pair: both start at batch id 0,
+    and the (stream_query_id, stream_batch_id) ledger keeps them
+    apart — pipeline B's batch 0 must not be swallowed by pipeline
+    A's ledger entry (that was silent data loss, not replay)."""
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+    from data_ingestion_framework_spark.streaming.expectations import (
+        expect_and_quarantine,
+    )
+
+    schema = "k long, name string, v double"
+    src_a, src_b = str(tmp_path / "in_a"), str(tmp_path / "in_b")
+    spark.createDataFrame([(1, "a", 5.0), (2, None, 3.0)], schema).write.json(src_a)
+    spark.createDataFrame([(7, "g", 1.0), (8, "h", -2.0)], schema).write.json(src_b)
+    target = ParquetTable(spark, str(tmp_path / "t"))
+    quar = ParquetTable(spark, str(tmp_path / "q"))
+    expect_and_quarantine(
+        spark.readStream.schema(schema).json(src_a), _exp_rules(),
+        target, quar, str(tmp_path / "ck_a"), await_termination=True,
+    )
+    expect_and_quarantine(
+        spark.readStream.schema(schema).json(src_b), _exp_rules(),
+        target, quar, str(tmp_path / "ck_b"), await_termination=True,
+    )
+    assert sorted(r["k"] for r in target.read().collect()) == [1, 7]
+    assert sorted(r["k"] for r in quar.read().collect()) == [2, 8]
 
 
 def test_stream_stream_left_outer_interval_join(spark, tmp_path):
