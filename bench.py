@@ -80,6 +80,9 @@ HEADLINE = [
     # similarity_ivfpq_topk but k-means trains on a 256-row md5-rank
     # sample — compare the two lines for the bounded-training payoff
     "similarity_ivfpq_sampled_topk",
+    # both-sides-large k-NN join: the whole corpus as the query side,
+    # cell-co-partitioned shuffle equi-join (no query broadcast)
+    "similarity_knn_join_topk",
     # flagship composite: clean→redact→gate→dedup→decontam→quota→sample
     # with silver staging (the restartable, single-materialization form)
     "corpus_pipeline_staged",

@@ -529,6 +529,69 @@ def ivf_cosine_topk(
     )
 
 
+def ivf_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    left_id_col: str = "q_id",
+    right_id_col: str = "vec_id",
+    left_vec_col: str = "embedding",
+    right_vec_col: str = "embedding",
+    exclude_self: bool = False,
+    round_to: int = 4,
+) -> DataFrame:
+    """k-NN JOIN for two LARGE vector frames: for every left row, the
+    top-k most-cosine-similar right rows, found by co-partitioning
+    BOTH sides on IVF cell id — the both-sides-big shape
+    (:func:`ivf_cosine_topk` broadcasts the query frame, which is
+    right only while queries fit in a broadcast; a corpus×corpus
+    linkage, dedup sweep, or full-dataset retrieval eval does not).
+
+    Left rows replicate to their ``nprobe`` nearest cells, right rows
+    live in exactly one cell, and the candidate join is a plain
+    shuffle equi-join on the cell id — each partition scores only its
+    own cell's pairs, cost |left|·nprobe/n_cells·|right| spread across
+    the cluster, never |left|×|right|. AQE's skew handling splits hot
+    cells; no driver-side state beyond the centroid literals.
+
+    ``exclude_self`` drops ``left_id == right_id`` pairs (the self-join
+    dedup/linkage shape). Returns ``(left_id, right_id, cos_sim)``
+    with at most k rows per left id (deterministic ties: id
+    ascending)."""
+    r = _spread(right.select(right_id_col, right_vec_col)).select(
+        F.col(right_id_col).alias("__rid"),
+        F.col(right_vec_col).alias("__rv"),
+        _nearest_cells(F.col(right_vec_col), centroids, 1)[0].alias("__cell"),
+    )
+    l = left.select(
+        F.col(left_id_col).alias("__lid"),
+        F.col(left_vec_col).alias("__lv"),
+        F.explode(
+            _nearest_cells(F.col(left_vec_col), centroids, nprobe)
+        ).alias("__cell"),
+    )
+    scored = l.join(r, "__cell")
+    if exclude_self:
+        scored = scored.where(F.col("__lid") != F.col("__rid"))
+    scored = scored.select(
+        F.col("__lid").alias(left_id_col),
+        F.col("__rid").alias(right_id_col),
+        F.round(cosine(F.col("__lv"), F.col("__rv")), round_to).alias(
+            "cos_sim"
+        ),
+    )
+    w = W.partitionBy(left_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(right_id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ivf_hard_negatives(
     corpus: DataFrame,
     anchors: DataFrame,

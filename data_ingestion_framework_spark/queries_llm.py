@@ -5000,6 +5000,61 @@ def embeddings_hard_negatives_ann(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# k-NN JOIN with the WHOLE corpus as the query side (operators/
+# similarity.py ivf_knn_join): both frames large, so neither side
+# broadcasts — left rows replicate to nprobe cells, right rows live in
+# one cell, and the candidate join is a shuffle equi-join on cell id
+# (cost |L|·nprobe/n_cells·|R| spread across partitions, never |L|×|R|).
+# The corpus×corpus top-3 neighbor list is the dedup-sweep / linkage /
+# retrieval-eval shape. The oracle re-derives the IVF index with the
+# shared CTE chain and replays the cell join + per-query top-k.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "similarity_knn_join_topk",
+    oracle=f"""
+    WITH {{ivf}},
+    query_cells AS (
+      SELECT vec_id AS q_id, cell FROM ranked WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT q.q_id, c.vec_id
+      FROM query_cells q JOIN corpus_cell c ON c.cell = q.cell
+      WHERE c.vec_id <> q.q_id
+    ),
+    dots AS (
+      SELECT p.q_id, p.vec_id, SUM(ea.x * eb.x) AS dp
+      FROM cand p
+      JOIN e ea ON ea.vec_id = p.q_id
+      JOIN e eb ON eb.vec_id = p.vec_id AND eb.i = ea.i
+      GROUP BY p.q_id, p.vec_id
+    ),
+    scored AS (
+      SELECT d.q_id, d.vec_id,
+             ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                        ELSE d.dp / (na.nrm * nb.nrm) END, 4) AS cos_sim
+      FROM dots d
+      JOIN vnorm na ON na.vec_id = d.q_id
+      JOIN vnorm nb ON nb.vec_id = d.vec_id
+    )
+    SELECT q_id, vec_id, cos_sim
+    FROM (
+      SELECT q_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 3
+    """.replace("{ivf}", _ivf_index_sql(8)),
+)
+def similarity_knn_join_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_train_centroids(emb, n_cells=8, iters=2)
+    queries = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    return similarity.ivf_knn_join(
+        queries, emb, centroids, k=3, nprobe=2, exclude_self=True
+    )
+
+
+# ---------------------------------------------------------------------------
 # Prefix-filtering set-similarity join (SSJoin/PPJoin — operators/
 # dedup.py prefix_filter_jaccard_pairs): 3-word-shingle-set Jaccard
 # ≥ 1/2 over documents with EXACT pruning (no block caps, no drops) —

@@ -308,3 +308,45 @@ def test_ann_ndcg_small_exact_set_and_empty_ann(spark):
     )
     got = {r["q_id"]: r["ndcg_at_5"] for r in ann_ndcg(exact, partial, k=5).collect()}
     assert got[7] == 1.0 and 0.61 < got[0] < 0.62
+
+
+def test_ivf_knn_join_matches_broadcast_probe_path(spark):
+    """ivf_knn_join (both-sides-large: cell-co-partitioned shuffle
+    join, no query broadcast) must return EXACTLY what ivf_cosine_topk
+    (broadcast-query path) returns for the same centroids/nprobe/k —
+    the two plans differ only in data movement. Also pins exclude_self
+    and the two-frame form (left ids disjoint from right ids)."""
+    from data_ingestion_framework_spark.operators.similarity import (
+        ivf_cosine_topk,
+        ivf_knn_join,
+        ivf_train_centroids,
+    )
+
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = ivf_train_centroids(emb, n_cells=4, iters=2)
+    queries = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    got = {
+        (r["q_id"], r["vec_id"], r["cos_sim"])
+        for r in ivf_knn_join(
+            queries, emb, cents, k=3, nprobe=2, exclude_self=True
+        ).collect()
+    }
+    want = {
+        (r["q_id"], r["vec_id"], r["cos_sim"])
+        for r in ivf_cosine_topk(emb, emb, cents, k=3, nprobe=2).collect()
+    }
+    assert got == want and len(got) > 0
+    # two-frame form: disjoint id spaces, no self-exclusion needed
+    left = spark.createDataFrame(
+        [(1000 + i, v) for i, v in vecs[:5]], "q_id long, embedding array<float>"
+    )
+    out = ivf_knn_join(left, emb, cents, k=3, nprobe=2).collect()
+    assert {r["q_id"] for r in out} == {1000 + i for i in range(5)}
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], []).append(r["cos_sim"])
+    assert all(len(v) == 3 and v == sorted(v, reverse=True) for v in per_q.values())
