@@ -431,6 +431,21 @@ class ParquetTableStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("difs source: option 'path' is required")
+        # rate limiting (Auto Loader's maxFilesPerTrigger analogue, in
+        # commit units — the log's natural batch): each trigger's
+        # latestOffset advances at most N commits past the last offset
+        # this reader handed out, so a backlogged table drains in
+        # bounded micro-batches instead of one giant catch-up batch.
+        # The anchor is seeded by initialOffset (fresh query) or the
+        # first partitions() call (restart, where the engine reveals
+        # the committed start); the one trigger before an anchor
+        # exists runs uncapped rather than risk handing the engine an
+        # offset BEHIND its committed start.
+        raw = options.get("maxcommitspertrigger")
+        self._max_commits = int(raw) if raw is not None else None
+        if self._max_commits is not None and self._max_commits < 1:
+            raise ValueError("difs stream: maxCommitsPerTrigger must be >= 1")
+        self._anchor: int | None = None
         self._refuse_unsupported()
 
     def _refuse_unsupported(self) -> None:
@@ -459,15 +474,25 @@ class ParquetTableStreamReader(DataSourceStreamReader):
                 )
 
     def initialOffset(self):
+        self._anchor = 0
         return {"seq": 0}
 
     def latestOffset(self):
         self._refuse_unsupported()
         names = _records(self.path)
-        return {"seq": int(names[-1][:8]) if names else 0}
+        latest = int(names[-1][:8]) if names else 0
+        if self._max_commits is not None and self._anchor is not None:
+            latest = min(latest, self._anchor + self._max_commits)
+        self._anchor = max(latest, self._anchor or 0)
+        return {"seq": latest}
 
     def partitions(self, start, end):
         lo, hi = start["seq"], end["seq"]
+        if self._anchor is None or hi > self._anchor:
+            # restart replaying a recovered batch: the engine reveals
+            # its frontier before ever calling latestOffset — cap the
+            # NEXT trigger from this batch's end
+            self._anchor = hi
         if hi <= lo:
             return []
         names = _records(self.path)

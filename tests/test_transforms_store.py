@@ -701,3 +701,46 @@ def test_difs_pushdown_never_prunes_on_string_stats(spark, tmp_path):
     r2 = ParquetTablePushdownReader({"path": p})
     r2.pushFilters([GreaterThan(("k",), 100)])
     assert len(r2.partitions()) == 0  # numeric pruning still works
+
+
+def test_difs_stream_reader_max_commits_per_trigger(spark, tmp_path):
+    """Rate limiting: latestOffset advances at most maxCommitsPerTrigger
+    commits past the reader's frontier, so a backlogged table drains in
+    bounded micro-batches; without the option one trigger swallows the
+    whole backlog. Driven unit-style (the engine calls exactly this
+    initialOffset -> latestOffset -> partitions sequence per trigger)."""
+    from data_ingestion_framework_spark.sources.pyds import (
+        ParquetTableStreamReader,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    p = str(tmp_path / "t")
+    t = ParquetTable(spark, p)
+    for i in range(5):
+        t.append(spark.createDataFrame([(i,)], "k long").coalesce(1))
+    r = ParquetTableStreamReader({"path": p, "maxcommitspertrigger": "2"})
+    assert r.initialOffset() == {"seq": 0}
+    o1 = r.latestOffset()
+    assert o1 == {"seq": 2}
+    assert len(r.partitions({"seq": 0}, o1)) == 2  # one file per commit
+    o2 = r.latestOffset()
+    assert o2 == {"seq": 4}
+    o3 = r.latestOffset()
+    assert o3 == {"seq": 5}  # backlog drained: clamps to the true head
+    assert r.latestOffset() == {"seq": 5}  # idle: no phantom advance
+    # restart replaying a recovered batch: partitions() before any
+    # latestOffset seeds the frontier, and the next trigger caps from it
+    r2 = ParquetTableStreamReader({"path": p, "maxcommitspertrigger": "1"})
+    t.append(spark.createDataFrame([(9,)], "k long").coalesce(1))
+    t.append(spark.createDataFrame([(10,)], "k long").coalesce(1))
+    r2.partitions({"seq": 3}, {"seq": 5})  # recovered batch
+    assert r2.latestOffset() == {"seq": 6}
+    assert r2.latestOffset() == {"seq": 7}
+    # uncapped reader still jumps straight to the head
+    r3 = ParquetTableStreamReader({"path": p})
+    assert r3.initialOffset() == {"seq": 0}
+    assert r3.latestOffset() == {"seq": 7}
+    import pytest
+
+    with pytest.raises(ValueError, match="maxCommitsPerTrigger"):
+        ParquetTableStreamReader({"path": p, "maxcommitspertrigger": "0"})
