@@ -529,6 +529,109 @@ def ivf_cosine_topk(
     )
 
 
+IVF_INDEX_CURSOR_PROP = "ivf_index_cursor_seq"
+
+
+def ivf_index_refresh(
+    emb_table,
+    index_table,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cursor_prop: str = IVF_INDEX_CURSOR_PROP,
+) -> dict:
+    """Incrementally maintain a CELL-PARTITIONED IVF index table over an
+    append-only embeddings table: the first call assigns the whole
+    corpus; later calls read only the commits after the stored cursor
+    (``ParquetTable.read_since`` — cost proportional to NEW vectors,
+    never the corpus) and append just their ``(id, vec, cell)`` rows.
+    The index table is partitioned by ``cell`` on disk, so probe-time
+    scans prune to nprobe directories — the disk-layout form of the
+    IVF invariant (:func:`ivf_index_probe_topk` reads it back with
+    ``PartitionFilters`` doing the cell selection).
+
+    The cursor (last folded commit seq) lives in the index table's
+    properties AND rides each append's commit metrics, the same
+    crash-safe discipline as ``operators/incremental.py``: a crash
+    between append and property write is healed by re-reading the last
+    commit's recorded cursor. Returns ``{"rows_indexed": n,
+    "cursor_seq": seq}``. Centroids are frozen at build time (the
+    FAISS model: retrain + rebuild is a new index)."""
+    props = index_table.properties() if index_table.exists() else {}
+    last = props.get(cursor_prop)
+    if last is None and index_table.exists():
+        hist = [
+            r for r in index_table.history()
+            if (r.get("metrics") or {}).get(cursor_prop) is not None
+        ]
+        if hist:
+            last = hist[-1]["metrics"][cursor_prop]
+    current_seq = emb_table.history()[-1]["seq"]
+    if last is not None and int(last) >= current_seq:
+        return {"rows_indexed": 0, "cursor_seq": int(last)}
+    new = (
+        emb_table.read() if last is None else emb_table.read_since(int(last))
+    )
+    assigned = _spread(new.select(id_col, vec_col)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+    )
+    index_table.partition_by = ["cell"]
+    index_table.append(assigned, metrics={cursor_prop: current_seq})
+    index_table.set_properties(
+        {**index_table.properties(), cursor_prop: str(current_seq)}
+    )
+    n = index_table.history()[-1].get("rows_written", 0)
+    return {"rows_indexed": n, "cursor_seq": current_seq}
+
+
+def ivf_index_probe_topk(
+    index_table,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """ANN top-k against a persisted :func:`ivf_index_refresh` table:
+    the probed cell set (≤ n_cells integers, control-plane) turns into
+    a partition-pruning ``IN`` filter, so the scan reads only the
+    probed cells' DIRECTORIES — at 100 TB the unprobed corpus never
+    leaves disk. Scoring and the per-query window match
+    :func:`ivf_cosine_topk` value-for-value."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            _nearest_cells(F.col(vec_col), centroids, nprobe)
+        ).alias("cell"),
+    )
+    cells = sorted(
+        r["cell"] for r in q.select("cell").distinct().collect()
+    )
+    c = index_table.read().where(F.col("cell").isin(cells))
+    scored = c.join(F.broadcast(q), "cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col("__qv"), F.col(vec_col)), round_to).alias(
+            "cos_sim"
+        ),
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.where(F.col(query_id_col) != F.col(id_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ivf_knn_join(
     left: DataFrame,
     right: DataFrame,

@@ -5055,6 +5055,67 @@ def similarity_knn_join_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Incrementally-maintained PERSISTED IVF index (operators/similarity.py
+# ivf_index_refresh / ivf_index_probe_topk): a cell-partitioned index
+# table is built from the first half of the corpus, then REFRESHED
+# after a second append — the refresh reads only the new commit
+# (read_since, crash-safe cursor in table properties + commit metrics)
+# and appends only the new vectors' assignments. Probing turns the
+# probed cell set into a partition-pruning IN filter, so unprobed
+# cells never leave disk. The final top-k must equal the from-scratch
+# IVF probe over the whole corpus — exactly similarity_ivf_topk's
+# oracle (frozen centroids, deterministic assignment).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "embeddings_ivf_index_state",
+    oracle=f"""
+    WITH {{ivf}},
+    query_cells AS (SELECT vec_id AS q_id, cell FROM ranked WHERE rn <= 4 AND vec_id < 5),
+    cand AS (
+      SELECT q.q_id, c.vec_id
+      FROM query_cells q JOIN corpus_cell c ON c.cell = q.cell
+      WHERE c.vec_id <> q.q_id
+    ),
+    dots AS (
+      SELECT p.q_id, p.vec_id, SUM(ea.x * eb.x) AS dp
+      FROM cand p
+      JOIN e ea ON ea.vec_id = p.q_id
+      JOIN e eb ON eb.vec_id = p.vec_id AND eb.i = ea.i
+      GROUP BY p.q_id, p.vec_id
+    ),
+    scored AS (
+      SELECT d.q_id, d.vec_id,
+             ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                        ELSE d.dp / (na.nrm * nb.nrm) END, 4) AS cos_sim
+      FROM dots d
+      JOIN vnorm na ON na.vec_id = d.q_id
+      JOIN vnorm nb ON nb.vec_id = d.vec_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM scored
+    QUALIFY row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id ASC) <= 10
+    """.replace("{ivf}", _ivf_index_sql(8)),
+)
+def embeddings_ivf_index_state(spark, sf_dir):
+    from data_ingestion_framework_spark.queries_etl import _scratch_dir
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_train_centroids(emb, n_cells=8, iters=2)
+    root = _scratch_dir("difs_ivfidx_")
+    base = ParquetTable(spark, root + "/emb")
+    base.append(emb.where(F.col("vec_id") % 2 == 0))
+    idx = ParquetTable(spark, root + "/idx")
+    similarity.ivf_index_refresh(base, idx, centroids)
+    base.append(emb.where(F.col("vec_id") % 2 == 1))
+    similarity.ivf_index_refresh(base, idx, centroids)  # delta only
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_index_probe_topk(
+        idx, queries, centroids, k=10, nprobe=4
+    )
+
+
+# ---------------------------------------------------------------------------
 # Prefix-filtering set-similarity join (SSJoin/PPJoin — operators/
 # dedup.py prefix_filter_jaccard_pairs): 3-word-shingle-set Jaccard
 # ≥ 1/2 over documents with EXACT pruning (no block caps, no drops) —

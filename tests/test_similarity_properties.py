@@ -350,3 +350,52 @@ def test_ivf_knn_join_matches_broadcast_probe_path(spark):
     for r in out:
         per_q.setdefault(r["q_id"], []).append(r["cos_sim"])
     assert all(len(v) == 3 and v == sorted(v, reverse=True) for v in per_q.values())
+
+
+def test_ivf_index_refresh_incremental_and_crash_heal(spark, tmp_path):
+    """The persisted IVF index folds ONLY new commits (read_since), a
+    no-op refresh indexes nothing, a crash between append and the
+    property write heals from the commit metrics, and the probe equals
+    the from-scratch broadcast probe value-for-value with partition
+    pruning on the cell directories."""
+    from data_ingestion_framework_spark.operators.similarity import (
+        IVF_INDEX_CURSOR_PROP,
+        ivf_cosine_topk,
+        ivf_index_probe_topk,
+        ivf_index_refresh,
+        ivf_train_centroids,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    vecs = [
+        (i, [float((i * 5 + j * 3) % 13 - 6) for j in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = ivf_train_centroids(emb, n_cells=4, iters=2)
+    base = ParquetTable(spark, str(tmp_path / "emb"))
+    base.append(emb.where(F.col("vec_id") < 25))
+    idx = ParquetTable(spark, str(tmp_path / "idx"))
+    m1 = ivf_index_refresh(base, idx, cents)
+    assert m1["rows_indexed"] == 25
+    base.append(emb.where(F.col("vec_id") >= 25))
+    m2 = ivf_index_refresh(base, idx, cents)
+    assert m2["rows_indexed"] == 15  # delta only, never the corpus
+    assert ivf_index_refresh(base, idx, cents)["rows_indexed"] == 0
+    # crash heal: property write lost, commit metrics survive
+    props = idx.properties()
+    del props[IVF_INDEX_CURSOR_PROP]
+    idx.set_properties(props)
+    assert ivf_index_refresh(base, idx, cents)["rows_indexed"] == 0
+    # probe == from-scratch broadcast probe, with partition pruning
+    queries = emb.where(F.col("vec_id") < 3)
+    got = ivf_index_probe_topk(idx, queries, cents, k=4, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
+    want = {
+        (r["q_id"], r["vec_id"], r["cos_sim"])
+        for r in ivf_cosine_topk(emb, queries, cents, k=4, nprobe=2).collect()
+    }
+    assert {
+        (r["q_id"], r["vec_id"], r["cos_sim"]) for r in got.collect()
+    } == want and len(want) > 0
