@@ -237,6 +237,12 @@ def triangle_count(
     self-join on the oriented source (bounded fan-out), one closing
     equi-join, one global count — every join a hash join on integer
     keys, all integer arithmetic."""
+    return _enumerate_triangles(edges, src, dst, dedupe).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
+def _canonical_undirected(edges: DataFrame, src: str, dst: str, dedupe: bool):
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -244,14 +250,26 @@ def triangle_count(
         )
         .where(F.col("u") != F.col("v"))
     )
-    if dedupe:
-        e = e.distinct()
-    deg = (
+    return e.distinct() if dedupe else e
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    return (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def _enumerate_triangles(
+    edges: DataFrame, src: str, dst: str, dedupe: bool
+) -> DataFrame:
+    """One row ``(a, b, c)`` per triangle, enumerated under the degree
+    orientation (each triangle from its lowest-(deg, id) vertex —
+    exactly once, hub-safe)."""
+    e = _canonical_undirected(edges, src, dst, dedupe)
+    deg = _degrees(e)
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("__du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("__dv"))
     a_first = (F.col("__du") < F.col("__dv")) | (
@@ -284,7 +302,61 @@ def triangle_count(
             (F.col("z.src") == F.col("x.dst"))
             & (F.col("z.dst") == F.col("y.dst")),
         )
+        .select(
+            F.col("x.src").alias("a"),
+            F.col("x.dst").alias("b"),
+            F.col("y.dst").alias("c"),
+        )
+    )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    dedupe: bool = True,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-node triangle counts and LOCAL CLUSTERING COEFFICIENT
+    (Watts-Strogatz): ``2·tri(v) / (deg(v)·(deg(v)-1))`` — the
+    fraction of a node's neighbor pairs that are themselves linked,
+    the standard community-density / spam-farm diagnostic. Nodes with
+    degree < 2 score 0 by convention.
+
+    Rides the same degree-oriented triangle enumeration as
+    :func:`triangle_count` (hub-safe), plus one explode of each
+    triangle to its three corners and a groupBy(node). Counts are
+    integer-exact; the coefficient is one correctly-rounded division.
+    Returns ``(node, deg, n_triangles, clustering_coeff)`` for every
+    node in the edge set."""
+    e = _canonical_undirected(edges, src, dst, dedupe).localCheckpoint()
+    tri = _enumerate_triangles(e, "u", "v", False)
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        _degrees(e)
+        .join(corners, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("bigint").alias("deg"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0)).cast("double")
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    round_to,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
     )
 
 

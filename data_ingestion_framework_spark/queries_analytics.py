@@ -1073,6 +1073,67 @@ def graph_supplier_triangles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Local clustering coefficients (Watts-Strogatz) over the supplier
+# co-purchase graph: per-node triangle membership over degree-oriented
+# enumeration (graph.py clustering_coefficients — hub-safe like
+# triangle_count), coefficient = 2·tri/(deg·(deg-1)). The corner
+# multiset of the triangle set is orientation-invariant, so the oracle
+# enumerates id-ordered 3-cliques and unnests the three corners.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "graph_clustering_coefficients",
+    oracle="""
+    WITH cs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    e AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM e ab
+      JOIN e bc ON ab.v = bc.u
+      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    corners AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+           COALESCE(t.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.deg >= 2
+                THEN ROUND(2.0 * COALESCE(t.n_triangles, 0)
+                           / (d.deg * (d.deg - 1)), 4)
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN corners t ON t.node = d.node
+    """,
+)
+def graph_clustering_coefficients(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.graph import (
+        clustering_coefficients,
+        project_bipartite,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cs = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+    )
+    e = project_bipartite(cs, "c", "s").localCheckpoint()
+    return clustering_coefficients(e, "u", "v", dedupe=False)
+
+
+# ---------------------------------------------------------------------------
 # Q6-shape forecast revenue: pure filter + one global agg — the
 # pushdown showcase (every predicate reaches the scan; no join, no
 # groupBy shuffle, one partial+final agg).

@@ -293,3 +293,30 @@ def test_pagerank_bucketed_edges_no_src_exchange(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     finally:
         spark.sql("DROP TABLE IF EXISTS pr_edges_bucketed_test")
+
+
+def test_clustering_coefficients_known_graph(spark):
+    """Hand-checkable: K4 nodes all have coefficient 1.0; a path's
+    middle node 0.0; a triangle with one pendant — the pendant scores
+    0 (deg 1), its attachment scores 1/3 of its 3 neighbor pairs."""
+    from data_ingestion_framework_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r for r in clustering_coefficients(k4).collect()}
+    assert all(r["clustering_coeff"] == 1.0 and r["n_triangles"] == 3
+               for r in got.values())
+    # triangle 1-2-3 with pendant 4 on node 3
+    g = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    got = {r["node"]: r for r in clustering_coefficients(g).collect()}
+    assert got[1]["clustering_coeff"] == 1.0
+    assert got[2]["clustering_coeff"] == 1.0
+    assert got[3]["n_triangles"] == 1 and got[3]["deg"] == 3
+    assert got[3]["clustering_coeff"] == round(2 * 1 / (3 * 2), 4)
+    assert got[4]["clustering_coeff"] == 0.0 and got[4]["n_triangles"] == 0
