@@ -353,6 +353,140 @@ def order_priority_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Q13-shape customer distribution: LEFT OUTER join with a JOIN-SIDE
+# filter (the predicate lives in the ON clause, not WHERE — a WHERE
+# would turn the outer join inner and drop zero-order customers), a
+# per-customer count, then a histogram of the counts — the two-level
+# aggregation mechanism.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "customer_order_histogram",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist FROM co GROUP BY c_count
+    """,
+)
+def customer_order_histogram(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    co = (
+        cust.join(
+            orders,
+            (orders["o_custkey"] == cust["c_custkey"])
+            & (orders["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q18-shape large-volume orders: IN over a grouped-HAVING subquery
+# (orders whose lineitems sum past a quantity threshold) — planned as
+# a semi join against the aggregated frame, then the detail join +
+# re-aggregation. l_quantity is integer-valued, so the double sums are
+# exact in any reduction order.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "large_quantity_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def large_quantity_orders(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__s"))
+        .where(F.col("__s") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22-shape wealthy inactive customers: global scalar aggregate
+# (average positive balance) consumed WITHOUT a division — the
+# above-average predicate cross-multiplies (bal·n > Σbal, DECIMAL ×
+# BIGINT, exact on both engines) — plus an anti join against orders
+# and a final group. The decorrelated scalar-subquery mechanism.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "wealthy_inactive_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS s,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4)))
+                AS DECIMAL(38,4)) AS DOUBLE) AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) * pos.n > pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    GROUP BY c.c_nationkey
+    """,
+)
+def wealthy_inactive_customers(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    pos = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast(_DEC))
+            .cast("decimal(38,4)")
+            .alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .where(F.col("c_acctbal").cast(_DEC) * F.col("__n") > F.col("__s"))
+        .join(
+            orders.where(F.col("o_totalprice") > 300000),
+            cust["c_custkey"] == orders["o_custkey"],
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(_DEC))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Events: tumbling daily window aggregation — the batch shape of the
 # streaming windowed agg (SURVEY §2.10; watermarked variant lives in
 # streaming/). date_trunc keeps the oracle expressible.
