@@ -1454,15 +1454,16 @@ def prefix_filter_jaccard_pairs(
     """
     from data_ingestion_framework_spark.operators.text import normalize_text
 
-    src = df.select(F.col(id_col).alias("__id"), F.col(text_col))
-    # tokenization is the per-row hot loop; when the input arrives in
-    # fewer splits than cores (small files — a bench/test artifact, not
-    # the 100 TB shape where parquet splits outnumber executors), one
-    # cheap pre-tokenize repartition buys full-width parallelism. At
-    # scale the guard never fires and no extra shuffle happens.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
+    from data_ingestion_framework_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    # tokenization is the per-row hot loop: spread a few-split scan to
+    # core width before it (metadata-first probe, cached; no-op at real
+    # scale where parquet splits outnumber executors)
+    src = spread_for_compute(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col))
+    )
     words = F.filter(F.split(normalize_text(text_col), " "), lambda x: x != "")
     if shingle_words > 1:
         # w-word shingle sets (the near-dup unit): same element algebra,
