@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
+from data_ingestion_framework_spark.operators.skew import spread_for_compute
+
 #: Small deterministic English stopword set for the n-gram/stopword
 #: language heuristic and quality ratios.
 EN_STOPWORDS = [
@@ -1191,6 +1193,213 @@ def bpe_train_merges(
         vocab = words.select("w", F.size("syms").cast("bigint").alias("n_sym"))
         return merge_df, vocab
     return merge_df
+
+
+def substring_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    top_n: int = 200,
+) -> DataFrame:
+    """Candidate piece vocabulary for unigram-style tokenization: every
+    substring (length ≤ ``max_piece_len``) of every word, weighted by
+    word OCCURRENCE frequency, ranked ``(freq DESC, piece ASC)``. The
+    top ``top_n`` pieces are kept, plus ALL single characters
+    regardless of rank — the unigram-tokenizer segmentability
+    guarantee (every word must admit at least the char-by-char
+    segmentation). ``cost_units = rank`` — an integer-exact
+    frequency-rank cost (rarer piece = higher cost); production
+    callers substitute ``round(-log p · 10^6)`` units, the operator is
+    cost-agnostic. Returns ``(piece, cost_units)``.
+
+    Scale shape: one word-frequency agg, one substring explode over
+    the DISTINCT-word table (vocab-sized), one count agg; the rank
+    window runs over the piece-count table (vocabulary-sized by
+    construction — top_n consumers should keep it so)."""
+    words = (
+        spread_for_compute(df.select(text_col))
+        .select(F.explode(F.split(normalize_text(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # substring() needs literal args in the Column form — build the
+    # (start, len) grid with one expr-side comprehension instead
+    pieces = (
+        words.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(w)), i -> "
+                    f"filter(transform(sequence(1, {int(max_piece_len)}), "
+                    "l -> case when i + l - 1 <= length(w) "
+                    "then substring(w, i, l) end), x -> x is not null)))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("__f"))
+    )
+    ranked = pieces.withColumn(
+        "cost_units",
+        F.row_number()
+        .over(W.orderBy(F.desc("__f"), F.asc("piece")))
+        .cast("bigint"),
+    )
+    return ranked.where(
+        (F.col("cost_units") <= top_n) | (F.length("piece") == 1)
+    ).select("piece", "cost_units")
+
+
+#: unreachable-position sentinel and the (cost, n_pieces) packing base
+#: for the Viterbi fold: combined = cost_units·1024 + n_pieces, so one
+#: integer min is the lexicographic (cost, fewest-pieces) argmin.
+_VITERBI_BIG = 10**15
+_VITERBI_K = 1024
+
+
+def viterbi_segment_words(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    piece_col: str = "piece",
+    cost_col: str = "cost_units",
+    max_word_len: int = 512,
+) -> DataFrame:
+    """Minimum-cost (Viterbi) segmentation of every DISTINCT word under
+    an integer piece-cost vocabulary — the unigram-LM tokenizer's
+    inference pass (Kudo 2018) with the package's fixed-point
+    discipline: costs are INTEGER units (the vocab builder uses
+    frequency ranks; production uses ``round(-log p · 1e6)``), the DP
+    state packs ``(total_cost, n_pieces)`` into one bigint
+    (``cost·1024 + pieces`` — the min is the lexicographic argmin with
+    fewest-pieces tiebreak), and every step is integer arithmetic, so
+    a DuckDB oracle unrolls the same recurrence bit-for-bit.
+
+    The DP itself is ONE array fold per distinct word (``F.aggregate``
+    over char positions; candidates at position i are the vocab pieces
+    ending there, looked up from a pre-joined edge list) — no UDF, no
+    driver loop, vocab-sized work. Words with no segmentation (a
+    character outside the vocab) return NULL pieces. Returns
+    ``(w, vit_cost_units, vit_n_pieces)``."""
+    words = (
+        spread_for_compute(df.select(text_col))
+        .select(F.explode(F.split(normalize_text(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+        .localCheckpoint(eager=False)  # guard + spans + final join reuse it
+    )
+    too_long = words.where(F.length("w") > max_word_len)
+    if too_long.limit(1).count():
+        raise ValueError(
+            f"viterbi_segment_words: word longer than {max_word_len} chars "
+            "(n_pieces would overflow the packing base) — raise "
+            "max_word_len only alongside _VITERBI_K"
+        )
+    v = vocab.select(
+        F.col(piece_col).alias("__p"), F.col(cost_col).alias("__c")
+    )
+    # edge list: every (start, end, cost) arc where a vocab piece spans
+    # word positions [start, end] — built by one substring explode +
+    # vocab join, then packed per word as an array of structs
+    max_plen = v.agg(F.max(F.length("__p"))).first()[0]
+    spans = words.select(
+        "w",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(w)), i -> "
+                f"filter(transform(sequence(1, {int(max_plen)}), "
+                "l -> case when i + l - 1 <= length(w) then "
+                "struct(i as start, i + l - 1 as end, substring(w, i, l) as piece) end), "
+                "x -> x is not null)))"
+            )
+        ).alias("e"),
+    ).select("w", F.col("e.start").alias("start"), F.col("e.end").alias("end"), F.col("e.piece").alias("piece"))
+    edges = (
+        spans.join(v, spans["piece"] == v["__p"])
+        .groupBy("w")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("start").cast("int").alias("s"),
+                    F.col("end").cast("int").alias("e"),
+                    F.col("__c").cast("bigint").alias("c"),
+                )
+            ).alias("__edges")
+        )
+    )
+    base = words.join(edges, "w", "left").select(
+        "w",
+        F.coalesce(
+            "__edges",
+            F.expr("cast(array() as array<struct<s:int,e:int,c:bigint>>)"),
+        ).alias("__edges"),
+    )
+    big, k = _VITERBI_BIG, _VITERBI_K
+
+    def step(acc, i):
+        cands = F.transform(
+            F.filter(F.col("__edges"), lambda e: e.getField("e") == i),
+            lambda e: F.when(
+                F.element_at(acc, e.getField("s")) < big,
+                F.element_at(acc, e.getField("s"))
+                + e.getField("c") * k
+                + 1,
+            ).otherwise(F.lit(big).cast("bigint")),
+        )
+        return F.array_append(
+            acc, F.coalesce(F.array_min(cands), F.lit(big).cast("bigint"))
+        )
+
+    folded = base.select(
+        "w",
+        F.element_at(
+            F.aggregate(
+                F.sequence(F.lit(1), F.length("w")),
+                F.array(F.lit(0).cast("bigint")),
+                step,
+            ),
+            -1,
+        ).alias("__best"),
+    )
+    return folded.select(
+        "w",
+        F.when(F.col("__best") < big, F.expr(f"__best div {k}")).alias(
+            "vit_cost_units"
+        ),
+        F.when(F.col("__best") < big, F.col("__best") % k).alias(
+            "vit_n_pieces"
+        ),
+    )
+
+
+def viterbi_token_counts(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    piece_col: str = "piece",
+    cost_col: str = "cost_units",
+) -> DataFrame:
+    """Per-document token counts and total segmentation cost under the
+    Viterbi tokenizer — the unigram sibling of :func:`bpe_token_counts`
+    (same scale shape: the DP folds once per DISTINCT word; documents
+    join the broadcast word→pieces map and sum)."""
+    seg = viterbi_segment_words(
+        df, vocab, text_col=text_col, piece_col=piece_col, cost_col=cost_col
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    return (
+        toks.join(F.broadcast(seg), "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("vit_n_pieces").alias("viterbi_tokens"),
+            F.sum("vit_cost_units").alias("viterbi_cost_units"),
+        )
+    )
 
 
 def bpe_token_counts(

@@ -216,3 +216,81 @@ def test_bpe_batched_skips_overlapping_pairs(spark):
         tuple(r) for r in bpe_train_merges(df, n_merges=2, batch_size=1).collect()
     ]
     assert got == seq
+
+
+def _py_viterbi(word, vocab, k=1024, big=10**15):
+    """Reference DP: combined = cost*k + pieces, lexicographic min."""
+    n = len(word)
+    best = [0] + [big] * n
+    for i in range(1, n + 1):
+        for piece, cost in vocab.items():
+            s = i - len(piece)
+            if s >= 0 and word[s:i] == piece and best[s] < big:
+                best[i] = min(best[i], best[s] + cost * k + 1)
+    return (best[n] // k, best[n] % k) if best[n] < big else (None, None)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts_st, top_n=st.integers(2, 8))
+def test_viterbi_tokenizer_matches_python_reference(spark, texts, top_n):
+    """substring_vocab + viterbi_segment_words against a plain-Python
+    witness: same rank costs, same (cost, fewest-pieces) argmin per
+    word — the integer-packed DP fold is the reference recurrence."""
+    from data_ingestion_framework_spark.operators.text import (
+        substring_vocab,
+        viterbi_segment_words,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    vocab_df = substring_vocab(df, max_piece_len=3, top_n=top_n)
+    vocab = {r["piece"]: r["cost_units"] for r in vocab_df.collect()}
+    # python witness of the vocab builder
+    freqs: dict[str, int] = {}
+    words: dict[str, int] = {}
+    for t in texts:
+        for w in " ".join(t.lower().split()).split(" "):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    for w, f in words.items():
+        for i in range(len(w)):
+            for l in range(1, 4):
+                if i + l <= len(w):
+                    p = w[i : i + l]
+                    freqs[p] = freqs.get(p, 0) + f
+    ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    want_vocab = {
+        p: r
+        for r, (p, _) in enumerate(ranked, 1)
+        if r <= top_n or len(p) == 1
+    }
+    assert vocab == want_vocab
+    got = {
+        r["w"]: (r["vit_cost_units"], r["vit_n_pieces"])
+        for r in viterbi_segment_words(df, vocab_df).collect()
+    }
+    for w in words:
+        assert got[w] == _py_viterbi(w, vocab), (w, vocab)
+
+
+def test_viterbi_unsegmentable_word_returns_null(spark):
+    from data_ingestion_framework_spark.operators.text import (
+        viterbi_segment_words,
+    )
+
+    df = spark.createDataFrame([("ab zq",)], "text string")
+    vocab = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("ab", 3), ("z", 4)],
+        "piece string, cost_units long",
+    )
+    got = {
+        r["w"]: (r["vit_cost_units"], r["vit_n_pieces"])
+        for r in viterbi_segment_words(df, vocab).collect()
+    }
+    # 'ab': piece 'ab' costs 3 as ONE piece (packed 3*1024+1) vs
+    # 'a'+'b' costing 3 as TWO pieces — fewest-pieces tiebreak wins
+    assert got["ab"] == (3, 1)
+    assert got["zq"] == (None, None)  # 'q' not in vocab
