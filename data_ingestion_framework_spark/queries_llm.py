@@ -4629,6 +4629,87 @@ def corpus_bpe_merges_batched(spark, sf_dir):
     return text.bpe_train_merges(docs, n_merges=64, min_freq=2, batch_size=8)
 
 
+def _viterbi_oracle(max_plen: int, top_n: int, max_word_len: int) -> str:
+    """Unrolled Viterbi-DP oracle: vocab = occurrence-weighted substring
+    ranks (+ all single chars), edges = vocab pieces spanning word
+    positions, then one CTE per position computing
+    ``best[k] = min over pieces ending at k of best[start-1] + cost·1024 + 1``
+    — the identical integer recurrence the Spark fold runs."""
+    steps = []
+    for k in range(1, max_word_len + 1):
+        steps.append(
+            f"""b{k} AS (
+      SELECT * FROM b{k - 1}
+      UNION ALL
+      SELECT e.w, {k} AS pos, MIN(p.comb + e.cost * 1024 + 1) AS comb
+      FROM edges e JOIN b{k - 1} p ON p.w = e.w AND p.pos = e.s - 1
+      WHERE e.e = {k}
+      GROUP BY e.w
+    )"""
+        )
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH wocc AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, UNNEST(string_split(
+          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+        FROM documents) WHERE w <> ''
+    ),
+    wfreq AS (SELECT w, COUNT(*) AS freq FROM wocc GROUP BY w),
+    pcount AS (
+      SELECT piece, SUM(freq) AS f FROM (
+        SELECT freq, UNNEST(flatten(
+          [[substr(w, i, l) for l in generate_series(1, {max_plen})
+            if i + l - 1 <= len(w)]
+           for i in generate_series(1, len(w))])) AS piece
+        FROM wfreq)
+      GROUP BY piece
+    ),
+    vocab AS (
+      SELECT piece, CAST(rn AS BIGINT) AS cost FROM (
+        SELECT piece, row_number() OVER (ORDER BY f DESC, piece) AS rn
+        FROM pcount)
+      WHERE rn <= {top_n} OR len(piece) = 1
+    ),
+    words AS (SELECT DISTINCT w FROM wocc),
+    edges AS (
+      SELECT wr.w, t.i AS s, t.i + len(v.piece) - 1 AS e, v.cost
+      FROM words wr, UNNEST(generate_series(1, len(wr.w))) AS t(i), vocab v
+      WHERE t.i + len(v.piece) - 1 <= len(wr.w)
+        AND v.piece = substr(wr.w, t.i, len(v.piece))
+    ),
+    b0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS comb FROM words),
+    {steps_sql},
+    seg AS (
+      SELECT w, comb // 1024 AS cost, comb % 1024 AS np
+      FROM b{max_word_len} f
+      WHERE pos = len(w)
+    )
+    SELECT o.doc_id,
+           CAST(SUM(s.np) AS BIGINT) AS viterbi_tokens,
+           CAST(SUM(s.cost) AS BIGINT) AS viterbi_cost_units
+    FROM wocc o JOIN seg s ON s.w = o.w
+    GROUP BY o.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Unigram-style Viterbi tokenization (operators/text.py substring_vocab
+# + viterbi_token_counts): integer frequency-rank piece costs, the
+# minimum-cost segmentation DP packed as (cost·1024 + n_pieces) so one
+# integer MIN is the lexicographic (cost, fewest-pieces) argmin — the
+# whole recurrence is integer arithmetic, so the oracle unrolls it
+# position by position and hash-matches bit-for-bit.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "corpus_viterbi_tokens", oracle=_viterbi_oracle(4, 50, 8)
+)
+def corpus_viterbi_tokens(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    vocab = text.substring_vocab(docs, max_piece_len=4, top_n=50)
+    return text.viterbi_token_counts(docs, vocab)
+
+
 # ---------------------------------------------------------------------------
 # BPE applied: per-document token counts under the merges trained on
 # this corpus (operators/text.py bpe_token_counts). The fold runs once
