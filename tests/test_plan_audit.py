@@ -1,0 +1,50 @@
+"""Plan-quality regression gate over the bench headline queries: no
+row-at-a-time Python UDF ever appears in a hot path, and nested-loop
+joins appear only where a 1-row control-plane frame is crossJoined by
+design (corpus totals, bloom bitmaps, broadcast query vectors). Counts
+come from tools/plan_audit.py — the same audit the driver can diff
+across rounds."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+#: queries whose plan intentionally carries a BroadcastNestedLoopJoin:
+#: each crossJoins ONE broadcast row (or a k-row constant frame) of
+#: control-plane data — corpus-level totals, a bloom bitmap, a query
+#: vector. A nested loop against a 1-row side is a map-side constant
+#: fold, not a quadratic join.
+NESTED_LOOP_BY_DESIGN = {
+    "similarity_cosine_topk",      # broadcast query-vector frame
+    "docs_decontaminate_bloom",    # broadcast bloom bitmap row
+    "text_unigram_ce",             # corpus-total row
+    "similarity_pq_topk",          # broadcast query-vector frame
+    "similarity_hamming_topk",     # broadcast query-signature frame
+    "docs_dsir_weights",           # corpus-total row
+    "docs_bm25_topk",              # corpus stats (N, avgdl) row
+    "retrieval_rrf_hybrid",        # BM25 corpus-stats row (twice: two arms)
+}
+
+
+def test_headline_plans_have_no_row_python_and_bounded_nested_loops(spark):
+    from bench import HEADLINE
+    from tools.plan_audit import audit_query
+
+    sf_dir = "/root/testdata/sf0.001"
+    offenders, py_row = [], []
+    for name in HEADLINE:
+        r = audit_query(spark, name, sf_dir)
+        if r["py_row"]:
+            py_row.append(name)
+        if r["nested_loop"] and name not in NESTED_LOOP_BY_DESIGN:
+            offenders.append(name)
+    assert not py_row, f"row-at-a-time Python UDF in hot path: {py_row}"
+    assert not offenders, (
+        "unexpected nested-loop/cartesian join (quadratic unless one "
+        f"side is a 1-row control frame): {offenders} — if intentional, "
+        "document it in NESTED_LOOP_BY_DESIGN"
+    )
