@@ -117,6 +117,9 @@ HEADLINE = [
     # dedup_ngram_jaccard above: the caps buy ~2×, the prefix filter
     # buys completeness (no drop reports) — compare the two lines
     "dedup_prefix_filter_pairs",
+    # round-9: Viterbi unigram tokenization (one integer DP fold per
+    # distinct word) — compare against corpus_bpe_token_counts above
+    "corpus_viterbi_tokens",
 ]
 
 

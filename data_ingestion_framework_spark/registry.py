@@ -105,12 +105,12 @@ _PRIORITY = [
     # boundary too) and the same event-time normalization, so the NTZ
     # class stays covered. Still in the full local gate.
     "events_asof_nearest_click",
-    # ROUND-8 ROTATION: events_time_rollup (driver-green r5+r6) cedes
-    # to the duplicated-span excision operator; the time-bucket rollup
-    # mechanism stays window-graded via events_incremental_partition_
-    # rollup (date-bucketed rollup) and events_range_join_counts
-    # (time-bucket join). Still in the full local gate.
-    "docs_excise_dup_spans",
+    # ROUND-9 ROTATION (4th wave): docs_excise_dup_spans (green r7+r8)
+    # cedes to the cell-co-partitioned k-NN join (both-sides-large ANN,
+    # new this round); the corpus-global 13-gram broadcast machinery
+    # it rides runs INSIDE the in-window corpus_pipeline_staged. Still
+    # in the full local gate.
+    "similarity_knn_join_topk",
     # ROUND-9 ROTATION: cdc_find_delta (driver-green r1-r7) cedes to
     # integer fixed-point PageRank (new iterative-graph machinery worth
     # certifying); the full-outer hash-diff mechanism stays window-
@@ -167,7 +167,13 @@ _PRIORITY = [
     # quantizer + probe) + semantic_dedup_keep (same index build).
     # All six stay in the full local gate.
     "corpus_pipeline_curated",
-    "docs_ccnet_buckets",
+    # ROUND-9 ROTATION (4th wave): docs_ccnet_buckets (green r5-r8)
+    # cedes to the Viterbi unigram tokenizer (integer-cost DP fold,
+    # new this round — the oracle unrolls the recurrence position by
+    # position); the vocabulary-keyed corpus-count-join + exact-sum
+    # mechanism stays window-graded via docs_dsir_weights. Still in
+    # the full local gate.
+    "corpus_viterbi_tokens",
     # corpus_pmi_collocations (green r4+r5) cedes to the residual
     # IVFADC — its two-stage agg + broadcast-total mechanism stays
     # window-graded via text_unigram_ce / text_bigram_ce's corpus-count
@@ -332,13 +338,14 @@ _PRIORITY = [
     # corpus_pipeline_end2end twin cedes its slot (it shares
     # corpus_pipeline_staged's oracle VERBATIM — the staged form in the
     # window already grades that exact value set).
-    # ROUND-8 ROTATION: orders_zorder_keys (driver-green r5+r6) cedes
-    # to the COPY INTO idempotent-ingestion lifecycle; the clustered-
-    # layout mechanism stays window-graded via orders_hilbert_keys
-    # (same integer bucketing, higher-locality curve) and the per-file
-    # min/max tightening is pinned by test_zorder.py. Still in the
-    # full local gate.
-    "orders_copy_into_state",
+    # ROUND-9 ROTATION (4th wave): orders_copy_into_state (green
+    # r7+r8) cedes to the incrementally-maintained persisted IVF index
+    # lifecycle (cursor-scoped read_since refresh + partition-pruned
+    # probes, new this round) — the idempotent-ledger ingestion
+    # mechanism COPY INTO certifies is exactly what the index's
+    # crash-safe cursor discipline and the in-window
+    # orders_stream_table_state exercise. Still in the full local gate.
+    "embeddings_ivf_index_state",
     "cdf_merge_changes",
     # ROUND-8 ROTATION: docs_fuzzy_entity_pairs (driver-green r5+r6)
     # cedes to the HyperLogLog distinct sketch; the blocked-capped
@@ -392,12 +399,13 @@ _PRIORITY = [
     # codebook build + ADC scoring). Still in the full local gate.
     "orders_stream_table_state",
     "events_incremental_partition_rollup",
-    # ROUND-8 ROTATION: text_bigram_ce (driver-green r5+r6) cedes to
-    # the strict-log + checkpoint lifecycle; the cross-entropy family
-    # keeps text_unigram_ce in-window (same corpus-count join +
-    # DECIMAL-sum mechanism, one conditioning level apart). Still in
-    # the full local gate.
-    "orders_strict_log_state",
+    # ROUND-9 ROTATION (4th wave): orders_strict_log_state (green
+    # r7+r8) cedes to local clustering coefficients (per-node triangle
+    # membership over the degree-oriented enumeration, new this
+    # round); the strict-log refusal semantics are pytest-pinned and
+    # orders_stream_table_state keeps the commit-log discipline
+    # in-window. Still in the full local gate.
+    "graph_clustering_coefficients",
     # ROUND-8 ROTATION: orders_restore_state (driver-green r5+r6)
     # cedes to the replaceWhere lifecycle; the history-snapshot
     # retention + resolution machinery RESTORE rides stays window-
@@ -406,6 +414,12 @@ _PRIORITY = [
     # history). Still in the full local gate.
     "orders_replace_where_state",
     # end of the 50-query driver window
+    # the four rows ceded by the round-9 fourth-wave rotation (driver-
+    # green r7+r8 or longer; mechanisms window-covered per the notes)
+    "docs_excise_dup_spans",
+    "docs_ccnet_buckets",
+    "orders_copy_into_state",
+    "orders_strict_log_state",
     # the eight rows ceded by the round-9 third-wave rotation (driver-
     # green r7+r8; mechanisms window-covered per the notes above)
     "docs_bm25_topk",
