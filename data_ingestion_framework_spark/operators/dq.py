@@ -322,3 +322,46 @@ def column_stats(
         ]
     )
     return wide.select(F.explode(entries).alias("s")).select("s.*")
+
+
+def equi_depth_histogram(
+    df: DataFrame, value_col: str, buckets: int = 10
+) -> DataFrame:
+    """``ANALYZE TABLE ... COMPUTE STATISTICS`` histogram parity: EXACT
+    equi-depth (equi-height) buckets over a column — the CBO's
+    selectivity structure and the profiler's distribution view.
+
+    Every distinct value lands in ONE bucket, decided by its
+    cumulative end-rank with integer arithmetic
+    (``bucket = (hi_rank - 1) · B div n``), so ties never split across
+    buckets and a DuckDB oracle replays membership bit-for-bit. Ranks
+    come from a cumulative sum over the DISTINCT-VALUE count table —
+    the one global-order window runs over |distinct values| rows, not
+    |rows| (documented bound: fine for key/categorical/bounded-domain
+    columns; for genuinely continuous 100 TB columns use
+    ``approx_percentile`` — this operator is the EXACT form the oracle
+    gate needs). NULLs are excluded, as ANALYZE does.
+
+    Returns ``(bucket, lo, hi, n_rows, n_distinct)`` with lo/hi typed
+    as the source column."""
+    vals = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    total = vals.agg(F.sum("__c").alias("__n"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = (
+        vals.withColumn("__hi_rank", F.sum("__c").over(w))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "bucket",
+            F.expr(f"(__hi_rank - 1) * {int(buckets)} div __n").cast("int"),
+        )
+    )
+    return ranked.groupBy("bucket").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.sum("__c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )

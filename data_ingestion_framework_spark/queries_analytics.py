@@ -353,6 +353,44 @@ def order_priority_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Exact equi-depth histogram (operators/dq.py equi_depth_histogram —
+# the ANALYZE histogram analogue): distinct-value cumulative ranks,
+# integer bucket assignment ((hi_rank-1)·B div n, ties never split),
+# per-bucket bounds/counts. The oracle replays the identical integer
+# arithmetic over the same distinct-value cumsum.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_custkey_histogram",
+    oracle="""
+    WITH vals AS (
+      SELECT o_custkey AS v, COUNT(*) AS c
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c) AS n FROM vals),
+    ranked AS (
+      SELECT v, c,
+             SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hr
+      FROM vals
+    )
+    SELECT CAST((r.hr - 1) * 8 // t.n AS INT) AS bucket,
+           MIN(r.v) AS lo, MAX(r.v) AS hi,
+           CAST(SUM(r.c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM ranked r, tot t
+    GROUP BY 1
+    """,
+)
+def orders_custkey_histogram(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.dq import (
+        equi_depth_histogram,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    return equi_depth_histogram(orders, "o_custkey", buckets=8)
+
+
+# ---------------------------------------------------------------------------
 # Q13-shape customer distribution: LEFT OUTER join with a JOIN-SIDE
 # filter (the predicate lives in the ON clause, not WHERE — a WHERE
 # would turn the outer join inner and drop zero-order customers), a

@@ -169,3 +169,32 @@ def test_column_stats_and_table_analyze(spark, tmp_path):
     # staleness: a later data commit outruns analyzed_seq
     t.append(df)
     assert t.history()[-1]["seq"] > t.properties()["analyzed_seq"]
+
+
+def test_equi_depth_histogram_exact_semantics(spark):
+    """Ties never split across buckets (a distinct value lands in ONE
+    bucket by its end rank), NULLs are excluded, bucket populations
+    are as equal as the tie structure allows, and bounds nest."""
+    from data_ingestion_framework_spark.operators.dq import (
+        equi_depth_histogram,
+    )
+
+    rows = [(v,) for v in [1] * 10 + [2] * 10 + [3] * 10 + [None]]
+    df = spark.createDataFrame(rows, "k int")
+    got = {
+        r["bucket"]: (r["lo"], r["hi"], r["n_rows"], r["n_distinct"])
+        for r in equi_depth_histogram(df, "k", buckets=3).collect()
+    }
+    # end ranks 10, 20, 30 -> buckets (10-1)*3//30=0, 1, 2
+    assert got == {0: (1, 1, 10, 1), 1: (2, 2, 10, 1), 2: (3, 3, 10, 1)}
+    # a dominant value swallows its whole bucket range
+    rows = [(1,)] * 25 + [(9,)] * 5
+    got = {
+        r["bucket"]: (r["lo"], r["hi"], r["n_rows"])
+        for r in equi_depth_histogram(
+            spark.createDataFrame(rows, "k int"), "k", buckets=3
+        ).collect()
+    }
+    # value 1's end rank is 25 -> bucket (25-1)*3//30 = 2; value 9's is
+    # 30 -> bucket 2 as well: one bucket holds everything, no split
+    assert got == {2: (1, 9, 30)}
