@@ -140,6 +140,51 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     )
 
 
+def jl_random_matrix(
+    in_dim: int, out_dim: int, seed: int = 7
+) -> list[list[float]]:
+    """Sparse Johnson-Lindenstrauss projection matrix (Achlioptas 2003):
+    entries drawn from {+1, 0, -1} with probabilities {1/6, 2/3, 1/6}
+    from a seeded PRNG — deterministic, so the oracle injects the SAME
+    literals. The √(3/out_dim) scale factor is dropped deliberately:
+    cosine similarity is scale-invariant, and every consumer here
+    scores by cosine."""
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    for _ in range(out_dim):
+        row = []
+        for _ in range(in_dim):
+            r = rng.random()
+            row.append(1.0 if r < 1 / 6 else (-1.0 if r > 5 / 6 else 0.0))
+        out.append(row)
+    return out
+
+
+def jl_project(
+    df: DataFrame,
+    matrix: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "jl_vec",
+    round_to: int = 4,
+) -> DataFrame:
+    """Project an embedding column through a constant JL matrix —
+    dimensionality reduction BEFORE the ANN stage (the 100 TB pipeline
+    move: a 64→16 projection cuts every downstream shuffle, index and
+    score by 4× while JL preserves pairwise geometry to within ε).
+    Pure scan-side expressions: the matrix is one literal
+    (``matrix_literal``), each output coordinate one zip-multiply fold,
+    rounded to ``round_to`` dp so both engines score IDENTICAL
+    projected vectors downstream (the package's cos_sim discipline).
+    Composes with every consumer of an ``array<double>`` column:
+    ``cosine_topk``, the IVF family, ``semantic_dedup``."""
+    m = matrix_literal(matrix)
+    dv = _to_double(F.col(vec_col))
+    proj = F.transform(m, lambda row: F.round(dot(dv, row), round_to))
+    return df.withColumn(out_col, proj)
+
+
 def cosine_verify_pairs(
     corpus: DataFrame,
     cands: DataFrame,

@@ -5135,6 +5135,69 @@ def similarity_knn_join_topk(spark, sf_dir):
     )
 
 
+_JL_NONZERO = ", ".join(
+    f"({j + 1}, {i + 1}, {m}::DOUBLE)"
+    for j, row in enumerate(similarity.jl_random_matrix(64, 16, seed=7))
+    for i, m in enumerate(row)
+    if m != 0.0
+)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection + exact top-k in the REDUCED space
+# (operators/similarity.py jl_random_matrix / jl_project): 64→16 dims
+# through a seeded Achlioptas {±1, 0} matrix — the dim-reduction stage
+# a 100 TB embedding pipeline runs before indexing (4× smaller
+# shuffles/indexes; cosine is scale-invariant so the JL scale factor
+# drops). Projected coordinates round to 4 dp on BOTH engines (the
+# cos_sim discipline), so the downstream ranking hash-matches; the
+# oracle injects the same matrix literals (nonzero entries only —
+# zeros contribute nothing to any sum).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "embeddings_jl_topk",
+    oracle=f"""
+    WITH mat(j, i, m) AS (VALUES {_JL_NONZERO}),
+    e AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT e.vec_id, mt.j, ROUND(SUM(e.x * mt.m), 4) AS p
+      FROM e JOIN mat mt ON mt.i = e.i
+      GROUP BY e.vec_id, mt.j
+    ),
+    pnorm AS (SELECT vec_id, sqrt(SUM(p * p)) AS nrm FROM proj GROUP BY vec_id),
+    q AS (SELECT vec_id AS q_id, j, p FROM proj WHERE vec_id < 5),
+    dots AS (
+      SELECT q.q_id, pr.vec_id, SUM(q.p * pr.p) AS dp
+      FROM q JOIN proj pr ON pr.j = q.j AND pr.vec_id <> q.q_id
+      GROUP BY q.q_id, pr.vec_id
+    ),
+    scored AS (
+      SELECT d.q_id, d.vec_id,
+             ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                        ELSE d.dp / (na.nrm * nb.nrm) END, 4) AS cos_sim
+      FROM dots d
+      JOIN pnorm na ON na.vec_id = d.q_id
+      JOIN pnorm nb ON nb.vec_id = d.vec_id
+    )
+    SELECT q_id, vec_id, cos_sim FROM scored
+    QUALIFY row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id ASC) <= 10
+    """,
+)
+def embeddings_jl_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    mat = similarity.jl_random_matrix(64, 16, seed=7)
+    proj = similarity.jl_project(emb, mat).select(
+        "vec_id", F.col("jl_vec").alias("embedding")
+    )
+    queries = proj.where(F.col("vec_id") < 5)
+    return similarity.cosine_topk(proj, queries, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Incrementally-maintained PERSISTED IVF index (operators/similarity.py
 # ivf_index_refresh / ivf_index_probe_topk): a cell-partitioned index

