@@ -251,7 +251,13 @@ _PRIORITY = [
     # events_incremental_rollup via events_incremental_partition_
     # rollup (the partition-scoped superset of the same commit-delta
     # refresh). All six stay in the full local gate.
-    "orders_column_stats",
+    # ROUND-9 ROTATION (5th wave): orders_column_stats (green r7+r8)
+    # cedes to the exact equi-depth histogram — its successor on the
+    # same ANALYZE-parity surface (per-column stats → distribution
+    # structure); the multi-distinct one-pass agg stays pytest-pinned
+    # and the stats' skipping consumer is in-window
+    # (orders_stats_skipping_state). Still in the full local gate.
+    "orders_custkey_histogram",
     # ROUND-9 ROTATION (3rd wave): merge_sql_generic_state (green
     # r7+r8) cedes to the disjunctive OR-of-ANDs cross-table pushdown
     # shape (the most mechanism-distinct of the round-8 TPC-H
@@ -398,7 +404,14 @@ _PRIORITY = [
     # similarity_ivfpq_sampled_topk — each oracle re-derives the full
     # codebook build + ADC scoring). Still in the full local gate.
     "orders_stream_table_state",
-    "events_incremental_partition_rollup",
+    # ROUND-9 ROTATION (5th wave): events_incremental_partition_rollup
+    # (green r5-r8) cedes to the JL-projection top-k (dim reduction
+    # before ANN — new this round); the commit-cursor incremental-
+    # refresh mechanism stays window-graded via the NEW
+    # embeddings_ivf_index_state (read_since cursor, delta-only fold),
+    # and the partition-scoped variant is pytest-pinned. Still in the
+    # full local gate.
+    "embeddings_jl_topk",
     # ROUND-9 ROTATION (4th wave): orders_strict_log_state (green
     # r7+r8) cedes to local clustering coefficients (per-node triangle
     # membership over the degree-oriented enumeration, new this
@@ -414,6 +427,9 @@ _PRIORITY = [
     # history). Still in the full local gate.
     "orders_replace_where_state",
     # end of the 50-query driver window
+    # the two rows ceded by the round-9 fifth-wave rotation
+    "orders_column_stats",
+    "events_incremental_partition_rollup",
     # the four rows ceded by the round-9 fourth-wave rotation (driver-
     # green r7+r8 or longer; mechanisms window-covered per the notes)
     "docs_excise_dup_spans",

@@ -230,7 +230,10 @@ def test_driver_grading_window_covers_priority_queries():
         # r8 2nd wave: similarity_pq_topk ceded to the streaming
         # table-source lifecycle (PQ keeps 3 in-window IVFADC reps)
         "orders_stream_table_state",
-        "events_incremental_partition_rollup",
+        # r9 5th wave: events_incremental_partition_rollup ceded to
+        # the JL-projection top-k (cursor-refresh mechanism stays via
+        # embeddings_ivf_index_state)
+        "embeddings_jl_topk",
         # r9 4th wave: orders_strict_log_state ceded to clustering
         # coefficients (strict-log refusals pytest-pinned)
         "graph_clustering_coefficients",
@@ -257,7 +260,9 @@ def test_driver_grading_window_covers_priority_queries():
         "corpus_bpe_token_counts",
         # round-7 rotation: the three round-6 queries that were still
         # awaiting a slot plus this round's three new surfaces
-        "orders_column_stats",
+        # r9 5th wave: orders_column_stats ceded to the equi-depth
+        # histogram (the ANALYZE-parity successor)
+        "orders_custkey_histogram",
         # r9 3rd wave: merge_sql_generic_state ceded to the
         # disjunctive cross-table pushdown shape (executor semantics
         # stay via orders_merge_not_matched_state)
