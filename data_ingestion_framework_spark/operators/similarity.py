@@ -602,6 +602,11 @@ def ivf_index_refresh(
     commit's recorded cursor. Returns ``{"rows_indexed": n,
     "cursor_seq": seq}``. Centroids are frozen at build time (the
     FAISS model: retrain + rebuild is a new index)."""
+    if not emb_table.exists():
+        raise ValueError(
+            f"ivf_index_refresh: embeddings table {emb_table.path} does "
+            "not exist"
+        )
     props = index_table.properties() if index_table.exists() else {}
     last = props.get(cursor_prop)
     if last is None and index_table.exists():

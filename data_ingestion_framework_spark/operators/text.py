@@ -1303,6 +1303,11 @@ def viterbi_segment_words(
     # word positions [start, end] — built by one substring explode +
     # vocab join, then packed per word as an array of structs
     max_plen = v.agg(F.max(F.length("__p"))).first()[0]
+    if max_plen is None:
+        raise ValueError(
+            "viterbi_segment_words: empty vocabulary — nothing can "
+            "segment (substring_vocab always keeps the single chars)"
+        )
     spans = words.select(
         "w",
         F.explode(

@@ -294,3 +294,16 @@ def test_viterbi_unsegmentable_word_returns_null(spark):
     # 'a'+'b' costing 3 as TWO pieces — fewest-pieces tiebreak wins
     assert got["ab"] == (3, 1)
     assert got["zq"] == (None, None)  # 'q' not in vocab
+
+
+def test_viterbi_empty_vocab_raises(spark):
+    import pytest
+
+    from data_ingestion_framework_spark.operators.text import (
+        viterbi_segment_words,
+    )
+
+    df = spark.createDataFrame([("ab",)], "text string")
+    empty = spark.createDataFrame([], "piece string, cost_units long")
+    with pytest.raises(ValueError, match="empty vocabulary"):
+        viterbi_segment_words(df, empty)

@@ -421,3 +421,17 @@ def test_jl_project_matches_python_witness(spark):
     got = jl_project(df, m).first()["jl_vec"]
     want = [round(sum(a * b for a, b in zip(v, row)), 4) for row in m]
     assert [round(x, 4) for x in got] == want
+
+
+def test_ivf_index_refresh_missing_base_raises(spark, tmp_path):
+    import pytest
+
+    from data_ingestion_framework_spark.operators.similarity import (
+        ivf_index_refresh,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    base = ParquetTable(spark, str(tmp_path / "nope"))
+    idx = ParquetTable(spark, str(tmp_path / "idx"))
+    with pytest.raises(ValueError, match="does not exist"):
+        ivf_index_refresh(base, idx, [[1.0, 0.0]])
