@@ -1206,3 +1206,70 @@ def test_progress_logger_captures_micro_batches(spark, tmp_path):
     assert ledger.history()[-1]["metrics"]["progress_events"] == len(got)
     # second flush with nothing buffered is a no-op
     assert listener.flush() == 0
+
+
+def test_stream_append_with_ivf_index_exactly_once(spark, tmp_path):
+    """Streaming ANN-index maintenance: micro-batches land in the
+    embeddings table (query-scoped ledger) and the persisted IVF index
+    catches up per batch via its own cursor; a same-checkpoint replay
+    (commits/0 removed) double-commits NOTHING on either table, and
+    the final probe equals the from-scratch broadcast probe."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_framework_spark.operators.similarity import (
+        ivf_cosine_topk,
+        ivf_index_probe_topk,
+        ivf_train_centroids,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+    from data_ingestion_framework_spark.streaming.index_maintenance import (
+        stream_append_with_ivf_index,
+    )
+
+    vecs = [
+        (i, [float((i * 5 + j * 3) % 13 - 6) for j in range(8)])
+        for i in range(30)
+    ]
+    emb_all = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = ivf_train_centroids(emb_all, n_cells=4, iters=2)
+    src = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    emb_table = ParquetTable(spark, str(tmp_path / "emb"))
+    idx = ParquetTable(spark, str(tmp_path / "idx"))
+
+    def run():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(src)
+        stream_append_with_ivf_index(
+            stream, emb_table, idx, cents, ck, await_termination=True
+        )
+
+    emb_all.where(F.col("vec_id") < 20).write.mode("append").parquet(src)
+    run()
+    assert emb_table.read().count() == 20 and idx.read().count() == 20
+    emb_all.where(F.col("vec_id") >= 20).write.mode("append").parquet(src)
+    run()
+    assert emb_table.read().count() == 30 and idx.read().count() == 30
+    # same-checkpoint replay of the LAST batch: nothing doubles
+    _wait_streams_drained(spark)
+    import os as _os
+
+    commits = _os.path.join(ck, "commits")
+    latest = max(int(f) for f in _os.listdir(commits) if not f.startswith("."))
+    for name in (str(latest), f".{latest}.crc"):
+        p = _os.path.join(commits, name)
+        if _os.path.exists(p):
+            _os.remove(p)
+    run()
+    assert emb_table.read().count() == 30 and idx.read().count() == 30
+    queries = emb_all.where(F.col("vec_id") < 3)
+    got = {
+        (r["q_id"], r["vec_id"], r["cos_sim"])
+        for r in ivf_index_probe_topk(idx, queries, cents, k=4, nprobe=2).collect()
+    }
+    want = {
+        (r["q_id"], r["vec_id"], r["cos_sim"])
+        for r in ivf_cosine_topk(emb_all, queries, cents, k=4, nprobe=2).collect()
+    }
+    assert got == want and len(want) > 0
