@@ -4606,6 +4606,108 @@ def _bpe_merges_oracle(n_merges: int = 3, min_freq: int = 2) -> str:
     return "WITH " + ",\n    ".join(parts) + f"\n    {finals}\n    ORDER BY step"
 
 
+def _bpe_batched_oracle(n_merges: int, batch: int, min_freq: int) -> str:
+    """Replay BATCHED BPE training (text.py bpe_train_merges
+    batch_size>1) in SQL: per round, ONE pair count; a rank list capped
+    at the same 4×batch candidate buffer the Spark side collects; a
+    greedy rank-order selection of pairwise SYMBOL-DISJOINT pairs
+    (one CTE per selection step, NOT EXISTS against the accumulated
+    symbol set); then the round's selections applied as sequential
+    sentinel-replaces (disjoint ⇒ order-free, so k replaces == the
+    Spark side's one chained fold). Emits the (left, right, pair_freq)
+    SET — numbering-free, so a data-dependent short batch cannot skew
+    step ids."""
+    s = "chr(31)"
+    rounds = (n_merges + batch - 1) // batch
+    parts = [
+        """w0 AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT UNNEST(string_split(
+          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+        FROM documents) WHERE w <> '' GROUP BY w
+    )""",
+        "a0 AS (SELECT w, freq, [w[i] for i in generate_series(1, length(w))] AS syms FROM w0)",
+    ]
+    finals = []
+    for r in range(1, rounds + 1):
+        want = min(batch, n_merges - (r - 1) * batch)
+        parts.append(
+            f"""p{r} AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS cnt
+      FROM a{r-1}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+      GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"""k{r} AS MATERIALIZED (
+      SELECT l, r, cnt,
+             row_number() OVER (ORDER BY cnt DESC, l, r) AS rn
+      FROM p{r} WHERE cnt >= {min_freq}
+      QUALIFY rn <= {max(want * 4, want)}
+    )"""
+        )
+        for j in range(1, want + 1):
+            if j == 1:
+                parts.append(
+                    f"s{r}_1 AS MATERIALIZED "
+                    f"(SELECT l, r, cnt FROM k{r} WHERE rn = 1)"
+                )
+                parts.append(
+                    f"y{r}_1 AS (SELECT l AS s FROM s{r}_1 "
+                    f"UNION SELECT r FROM s{r}_1)"
+                )
+            else:
+                parts.append(
+                    f"""s{r}_{j} AS MATERIALIZED (
+      SELECT l, r, cnt FROM k{r} c
+      WHERE NOT EXISTS (SELECT 1 FROM y{r}_{j-1} y
+                        WHERE y.s = c.l OR y.s = c.r)
+      ORDER BY rn LIMIT 1
+    )"""
+                )
+                parts.append(
+                    f"y{r}_{j} AS (SELECT s FROM y{r}_{j-1} "
+                    f"UNION SELECT l FROM s{r}_{j} "
+                    f"UNION SELECT r FROM s{r}_{j})"
+                )
+            finals.append(f"s{r}_{j}")
+            prev = f"a{r-1}" if j == 1 else f"t{r}_{j-1}"
+            tgt = f"a{r}" if j == want else f"t{r}_{j}"
+            parts.append(
+                f"""{tgt} AS MATERIALIZED (
+      SELECT a.w, a.freq,
+             CASE WHEN b.l IS NULL THEN a.syms ELSE
+               string_split(
+                 trim(replace({s} || array_to_string(a.syms, {s}||{s}) || {s},
+                              {s} || b.l || {s}||{s} || b.r || {s},
+                              {s} || b.l || b.r || {s}), chr(31)),
+                 {s}||{s}) END AS syms
+      FROM {prev} a LEFT JOIN s{r}_{j} b ON TRUE
+    )"""
+            )
+    union = "\n    UNION ALL ".join(
+        f'SELECT l AS "left", r AS "right", CAST(cnt AS BIGINT) AS pair_freq '
+        f"FROM {name}"
+        for name in finals
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    {union}"
+
+
+# the oracle-backed SMALL-DEPTH twin of the batched trainer: same
+# algorithm as corpus_bpe_merges_batched (rank-capped buffer, greedy
+# disjoint selection, chained application) at a depth the SQL replay
+# can unroll — certifies the batched MODE, while the depth-64 sibling
+# stays the rows-only bench line
+@bench_query(
+    "corpus_bpe_merges_batched8", oracle=_bpe_batched_oracle(8, 4, 2)
+)
+def corpus_bpe_merges_batched8(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return text.bpe_train_merges(
+        docs, n_merges=8, min_freq=2, batch_size=4
+    ).select("left", "right", "pair_freq")
+
+
 @bench_query("corpus_bpe_merges", oracle=_bpe_merges_oracle(3, 2))
 def corpus_bpe_merges(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
