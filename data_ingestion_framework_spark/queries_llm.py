@@ -4718,12 +4718,13 @@ def corpus_bpe_merges(spark, sf_dir):
 # Batched BPE training at production depth: 64 merges in rounds of 8
 # pairwise symbol-disjoint pairs — the mode that keeps a 32k-merge
 # tokenizer from being 32k sequential Spark jobs (8 driver round-trips
-# here instead of 64). Rows-only by design: the sequential-BPE oracle
-# unrolls one CTE per merge, which is infeasible at depth 64; batched
-# correctness is pinned instead by the property tests (batched-apply ==
-# sequential-apply on the merge list; batched == sequential training on
-# disjoint-top-k corpora) and by the oracle-backed batch_size=1 twins
-# above. This line exists to BENCH the round-collapse.
+# here instead of 64). Rows-only by design: the oracle unrolls one CTE
+# per merge, infeasible at depth 64; the batched MODE is certified by
+# the ORACLE-BACKED depth-8 twin (corpus_bpe_merges_batched8 — full
+# SQL replay of the rank-capped buffer, greedy disjoint selection, and
+# chained application) plus the property tests (batched-apply ==
+# sequential-apply; batched == sequential training on disjoint-top-k
+# corpora). This line exists to BENCH the round-collapse.
 # ---------------------------------------------------------------------------
 @bench_query("corpus_bpe_merges_batched")
 def corpus_bpe_merges_batched(spark, sf_dir):
