@@ -5238,6 +5238,123 @@ def similarity_knn_join_topk(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Dedup-pipeline quality metric: RECALL of the capped length-blocked
+# word-ngram join against the EXACT prefix-filter join at the SAME
+# threshold and shingle unit — the number the blocked path's drop
+# reports gesture at, measured. A production corpus runs the capped
+# path for speed; this metric says what fraction of true pairs the
+# blocking keeps (here: blocks are length//40 capped at 2000 docs).
+# Both engines recompute BOTH pipelines; the comparison joins on the
+# pair ids, so 4-dp rounding border cases on either side can't skew
+# the counts.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "dedup_blocked_recall",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id AS id,
+             list_filter(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               x -> x <> '') AS ws
+      FROM documents
+    ),
+    toks AS (
+      SELECT DISTINCT id, tok FROM (
+        SELECT id,
+               UNNEST([array_to_string(ws[i:i+2], ' ')
+                       for i in generate_series(1, greatest(len(ws) - 2, 0))]) AS tok
+        FROM w)
+    ),
+    freq AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT t.id, t.tok,
+             ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY f.f, t.tok) AS rn,
+             COUNT(*) OVER (PARTITION BY t.id) AS n
+      FROM toks t JOIN freq f ON f.tok = t.tok
+    ),
+    prefix AS (
+      SELECT id, tok, rn, n FROM ranked
+      WHERE rn <= n - ((n * 1 + 4) // 5) + 1
+    ),
+    pcand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.id < b.id
+       AND a.n * 1 <= b.n * 5 AND b.n * 1 <= a.n * 5
+       AND least(a.rn, b.rn) + least(a.n - a.rn, b.n - b.rn)
+           >= (1 * (a.n + b.n) + 5) // 6
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM toks GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM pcand c
+      JOIN toks ta ON ta.id = c.id_a
+      JOIN toks tb ON tb.id = c.id_b AND tb.tok = ta.tok
+      GROUP BY c.id_a, c.id_b
+    ),
+    ex AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes na ON na.id = i.id_a
+      JOIN sizes nb ON nb.id = i.id_b
+      WHERE i.i * 5 >= 1 * (na.n + nb.n - i.i)
+    ),
+    bsh AS (
+      SELECT doc_id,
+             block,
+             list_distinct([
+               array_to_string(bw[i:i+2], ' ')
+               for i in generate_series(1, greatest(len(bw) - 2, 1))
+             ]) AS s
+      FROM (
+        SELECT doc_id,
+               CAST(floor(length(text) / 40) AS BIGINT) AS block,
+               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS bw
+        FROM documents
+      )
+      QUALIFY count(*) OVER (PARTITION BY block) <= 2000
+    ),
+    blk AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bsh a JOIN bsh b ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.2
+    ),
+    hits AS (SELECT e.* FROM ex e JOIN blk k
+             ON k.id_a = e.id_a AND k.id_b = e.id_b)
+    SELECT CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM blk) AS BIGINT) AS n_blocked,
+           CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hit,
+           ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM ex), 4) AS blocked_recall
+    """,
+)
+def dedup_blocked_recall(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    exact = dedup.prefix_filter_jaccard_pairs(
+        docs, threshold_num=1, threshold_den=5, shingle_words=3
+    ).select("id_a", "id_b")
+    blocked = dedup.word_ngram_jaccard_pairs(
+        docs, shingle_size=3, threshold=0.2, max_block_size=2000
+    ).select("id_a", "id_b")
+    hits = exact.join(blocked, ["id_a", "id_b"], "left_semi")
+    n_ex = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_bl = blocked.agg(F.count(F.lit(1)).alias("n_blocked"))
+    n_hit = hits.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_ex.crossJoin(n_bl)
+        .crossJoin(n_hit)
+        .select(
+            "n_exact",
+            "n_blocked",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_exact"), 4
+            ).alias("blocked_recall"),
+        )
+    )
+
+
 _JL_NONZERO = ", ".join(
     f"({j + 1}, {i + 1}, {m}::DOUBLE)"
     for j, row in enumerate(similarity.jl_random_matrix(64, 16, seed=7))
