@@ -1386,3 +1386,47 @@ def test_prefix_filter_short_docs_yield_no_shingles(spark):
     }
     # only the two 4-word duplicates pair; short docs never appear
     assert got == {(4, 5)}
+
+
+def test_prefix_filter_complete_across_thresholds_random(spark):
+    """The PPJoin filter stack (prefix + length + positional) is exact
+    for EVERY rational threshold, not just 1/2: randomized corpora over
+    a tiny alphabet (dense overlap structure — the worst case for a
+    buggy filter) against brute force at t = 1/3, 1/2, 2/3 and shingle
+    widths 1 and 2."""
+    import random
+
+    from data_ingestion_framework_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rng = random.Random(13)
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(2, 9))))
+        for i in range(14)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def shingles(t, k):
+        ws = t.split()
+        return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+    for num, den in ((1, 3), (1, 2), (2, 3)):
+        for k in (1, 2):
+            got = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in prefix_filter_jaccard_pairs(
+                    df, threshold_num=num, threshold_den=den, shingle_words=k
+                ).collect()
+            }
+            want = {}
+            for i, (ia, ta) in enumerate(texts):
+                for ib, tb in texts[i + 1 :]:
+                    a, b = shingles(ta, k), shingles(tb, k)
+                    if not a or not b:
+                        continue
+                    inter = len(a & b)
+                    if inter * den >= num * len(a | b):
+                        want[(ia, ib)] = round(inter / len(a | b), 4)
+            assert got == want, (num, den, k)
