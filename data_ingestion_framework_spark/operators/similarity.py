@@ -548,18 +548,32 @@ def ivf_cosine_topk(
     shape: cost scales with |corpus| × nprobe / n_cells instead of
     |corpus| × |queries|, and the cell assignment is a pure scan-side
     expression — the index "build" ships no data anywhere."""
-    c = _spread(corpus).withColumn(
-        "__cell", _nearest_cells(F.col(vec_col), centroids, 1)[0]
+    # norms hoisted before the probe join: computed once per ROW on
+    # each side, never per candidate pair — bit-identical scores (the
+    # same l2_norm fold cosine() would run)
+    cdv = _to_double(F.col(vec_col))
+    c = _spread(corpus).select(
+        "*",
+        l2_norm(cdv).alias("__cn"),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
     )
+    qdv = _to_double(F.col(vec_col))
     q = queries.select(
         F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("__qv"),
+        qdv.alias("__qv"),
+        l2_norm(qdv).alias("__qn"),
         F.explode(_nearest_cells(F.col(vec_col), centroids, nprobe)).alias("__cell"),
     )
+    denom = F.col("__qn") * F.col("__cn")
     scored = c.join(F.broadcast(q), "__cell").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col("__qv"), F.col(vec_col)), round_to).alias("cos_sim"),
+        F.round(
+            F.when(denom == 0, F.lit(0.0)).otherwise(
+                dot(F.col("__qv"), _to_double(F.col(vec_col))) / denom
+            ),
+            round_to,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
@@ -653,9 +667,11 @@ def ivf_index_probe_topk(
     probed cells' DIRECTORIES — at 100 TB the unprobed corpus never
     leaves disk. Scoring and the per-query window match
     :func:`ivf_cosine_topk` value-for-value."""
+    qdv = _to_double(F.col(vec_col))
     q = queries.select(
         F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("__qv"),
+        qdv.alias("__qv"),
+        l2_norm(qdv).alias("__qn"),
         F.explode(
             _nearest_cells(F.col(vec_col), centroids, nprobe)
         ).alias("cell"),
@@ -663,13 +679,22 @@ def ivf_index_probe_topk(
     cells = sorted(
         r["cell"] for r in q.select("cell").distinct().collect()
     )
-    c = index_table.read().where(F.col("cell").isin(cells))
+    # norms hoisted scan-side: once per index row, never per pair
+    c = (
+        index_table.read()
+        .where(F.col("cell").isin(cells))
+        .withColumn("__cn", l2_norm(_to_double(F.col(vec_col))))
+    )
+    denom = F.col("__qn") * F.col("__cn")
     scored = c.join(F.broadcast(q), "cell").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col("__qv"), F.col(vec_col)), round_to).alias(
-            "cos_sim"
-        ),
+        F.round(
+            F.when(denom == 0, F.lit(0.0)).otherwise(
+                dot(F.col("__qv"), _to_double(F.col(vec_col))) / denom
+            ),
+            round_to,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
@@ -713,14 +738,24 @@ def ivf_knn_join(
     dedup/linkage shape). Returns ``(left_id, right_id, cos_sim)``
     with at most k rows per left id (deterministic ties: id
     ascending)."""
+    # norms hoisted BEFORE the cell exchange (the semantic_dedup
+    # discipline): each side computes its own |v| once per ROW, not
+    # once per candidate pair — at nprobe·|R|/n_cells pairs per left
+    # row that is the dominant per-pair flop saved. sqrt(Σx²) here is
+    # the same expression l2_norm folds, so the scores are
+    # bit-identical to cosine()'s.
+    rdv = _to_double(F.col(right_vec_col))
     r = _spread(right.select(right_id_col, right_vec_col)).select(
         F.col(right_id_col).alias("__rid"),
-        F.col(right_vec_col).alias("__rv"),
+        rdv.alias("__rv"),
+        l2_norm(rdv).alias("__rn"),
         _nearest_cells(F.col(right_vec_col), centroids, 1)[0].alias("__cell"),
     )
+    ldv = _to_double(F.col(left_vec_col))
     l = left.select(
         F.col(left_id_col).alias("__lid"),
-        F.col(left_vec_col).alias("__lv"),
+        ldv.alias("__lv"),
+        l2_norm(ldv).alias("__ln"),
         F.explode(
             _nearest_cells(F.col(left_vec_col), centroids, nprobe)
         ).alias("__cell"),
@@ -728,12 +763,16 @@ def ivf_knn_join(
     scored = l.join(r, "__cell")
     if exclude_self:
         scored = scored.where(F.col("__lid") != F.col("__rid"))
+    denom = F.col("__ln") * F.col("__rn")
     scored = scored.select(
         F.col("__lid").alias(left_id_col),
         F.col("__rid").alias(right_id_col),
-        F.round(cosine(F.col("__lv"), F.col("__rv")), round_to).alias(
-            "cos_sim"
-        ),
+        F.round(
+            F.when(denom == 0, F.lit(0.0)).otherwise(
+                dot(F.col("__lv"), F.col("__rv")) / denom
+            ),
+            round_to,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy(left_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(right_id_col).asc()
@@ -770,17 +809,23 @@ def ivf_hard_negatives(
     Returns ``(q_id, vec_id, neg_label, cos_sim)``. Scale shape: cost
     is |corpus| × nprobe / n_cells per anchor batch, one equi-join on
     cell id + one per-anchor window over probed members only."""
-    c = _spread(corpus).withColumn(
-        "__cell", _nearest_cells(F.col(vec_col), centroids, 1)[0]
+    cdv = _to_double(F.col(vec_col))
+    c = _spread(corpus).select(
+        "*",
+        l2_norm(cdv).alias("__cn"),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
     )
+    qdv = _to_double(F.col(vec_col))
     q = anchors.select(
         F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("__qv"),
+        qdv.alias("__qv"),
+        l2_norm(qdv).alias("__qn"),
         F.col(label_col).alias("__ql"),
         F.explode(
             _nearest_cells(F.col(vec_col), centroids, nprobe)
         ).alias("__cell"),
     )
+    denom = F.col("__qn") * F.col("__cn")
     scored = (
         c.join(F.broadcast(q), "__cell")
         .where(
@@ -791,9 +836,12 @@ def ivf_hard_negatives(
             F.col(query_id_col),
             F.col(id_col),
             F.col(label_col).alias("neg_label"),
-            F.round(cosine(F.col("__qv"), F.col(vec_col)), round_to).alias(
-                "cos_sim"
-            ),
+            F.round(
+                F.when(denom == 0, F.lit(0.0)).otherwise(
+                    dot(F.col("__qv"), _to_double(F.col(vec_col))) / denom
+                ),
+                round_to,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy(query_id_col).orderBy(
