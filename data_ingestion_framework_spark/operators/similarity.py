@@ -54,15 +54,32 @@ def cosine_topk(
 
     Similarities are rounded before ranking so ordering (and therefore
     the result set) is reproducible across engines; ties break on the
-    corpus id. One shuffle total (the per-query window).
+    corpus id. One shuffle total (the per-query window). Norms are
+    hoisted to once-per-row on each side (bit-identical to cosine()'s
+    fold) — the corpus norm never recomputes per query.
     """
+    qdv = _to_double(F.col(vec_col))
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias(query_id_col),
+        qdv.alias("__qv"),
+        l2_norm(qdv).alias("__qn"),
     )
-    scored = _spread(corpus).crossJoin(F.broadcast(q)).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine(F.col("__qv"), F.col(vec_col)), round_to).alias("cos_sim"),
+    cdv = _to_double(F.col(vec_col))
+    denom = F.col("__qn") * F.col("__cn")
+    scored = (
+        _spread(corpus)
+        .withColumn("__cn", l2_norm(cdv))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(
+                F.when(denom == 0, F.lit(0.0)).otherwise(
+                    dot(F.col("__qv"), cdv) / denom
+                ),
+                round_to,
+            ).alias("cos_sim"),
+        )
     )
     w = W.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
