@@ -5102,20 +5102,34 @@ def similarity_ivf_ndcg(spark, sf_dir):
 )
 def embeddings_hard_negatives(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
+    qdv = similarity._to_double(F.col("embedding"))
     anchors = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("__qv"),
+        qdv.alias("__qv"),
+        similarity.l2_norm(qdv).alias("__qn"),
         F.col("label").alias("__ql"),
     )
-    scored = similarity._spread(emb).crossJoin(F.broadcast(anchors)).where(
-        (F.col("q_id") != F.col("vec_id")) & (F.col("label") != F.col("__ql"))
-    ).select(
-        "q_id",
-        "vec_id",
-        F.col("label").alias("neg_label"),
-        F.round(
-            similarity.cosine(F.col("__qv"), F.col("embedding")), 4
-        ).alias("cos_sim"),
+    cdv = similarity._to_double(F.col("embedding"))
+    denom = F.col("__qn") * F.col("__cn")
+    scored = (
+        similarity._spread(emb)
+        .withColumn("__cn", similarity.l2_norm(cdv))  # once per row, not per pair
+        .crossJoin(F.broadcast(anchors))
+        .where(
+            (F.col("q_id") != F.col("vec_id"))
+            & (F.col("label") != F.col("__ql"))
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            F.round(
+                F.when(denom == 0, F.lit(0.0)).otherwise(
+                    similarity.dot(F.col("__qv"), cdv) / denom
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
