@@ -353,6 +353,44 @@ def order_priority_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Q12-shape shipping-priority audit: conditional TWO-BUCKET counts
+# (urgent/high vs the rest) over the order join, grouped by line
+# status with a pushed ship-date range — the CASE-bucketed aggregate
+# mechanism on this schema's columns.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "linestatus_priority_counts",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1997-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def linestatus_priority_counts(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact equi-depth histogram (operators/dq.py equi_depth_histogram —
 # the ANALYZE histogram analogue): distinct-value cumulative ranks,
 # integer bucket assignment ((hi_rank-1)·B div n, ties never split),
