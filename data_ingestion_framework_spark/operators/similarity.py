@@ -640,13 +640,19 @@ def ivf_index_refresh(
         )
     props = index_table.properties() if index_table.exists() else {}
     last = props.get(cursor_prop)
-    if last is None and index_table.exists():
+    if index_table.exists():
+        # Heal EVERY refresh, not just a missing property: a crash
+        # between append and set_properties leaves the property stale
+        # while the commit metrics carry the true cursor.  Like
+        # incremental.py, the winner is max(property, recorded) — so a
+        # second crash in a row can't double-append the same delta.
         hist = [
             r for r in index_table.history()
             if (r.get("metrics") or {}).get(cursor_prop) is not None
         ]
         if hist:
-            last = hist[-1]["metrics"][cursor_prop]
+            recorded = int(hist[-1]["metrics"][cursor_prop])
+            last = recorded if last is None else max(int(last), recorded)
     current_seq = emb_table.history()[-1]["seq"]
     if last is not None and int(last) >= current_seq:
         return {"rows_indexed": 0, "cursor_seq": int(last)}

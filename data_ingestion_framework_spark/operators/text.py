@@ -1095,6 +1095,7 @@ def bpe_train_merges(
     min_freq: int = 1,
     return_vocab: bool = False,
     batch_size: int = 1,
+    max_rounds: int | None = None,
 ):
     """Train byte-pair-encoding merges on the corpus — the tokenizer-
     training loop (Sennrich et al. 2016) as a distributed computation.
@@ -1126,9 +1127,20 @@ def bpe_train_merges(
     trade-off; ``batch_size=1`` reproduces classic sequential BPE
     bit-for-bit.
 
+    ``max_rounds`` caps the number of count→select→apply rounds. A
+    round that finds fewer than ``batch_size`` symbol-disjoint pairs
+    in its candidate buffer normally just recounts next round, so the
+    loop can run MORE than ``ceil(n_merges / batch_size)`` rounds on
+    such a corpus; a fixed-round replay (the SQL oracle twin, which
+    unrolls one CTE chain per round) needs both sides to stop at the
+    same round count. When ``batch_size`` divides ``n_merges`` the
+    per-round selection quota is identical on both sides regardless of
+    earlier short rounds, so a capped run is replayable exactly.
+
     Returns the merge table ``(step, left, right, pair_freq)`` —
     ``n_merges`` rows (fewer if the corpus runs out of repeated pairs
-    above ``min_freq``). With ``return_vocab=True`` also returns the
+    above ``min_freq`` or ``max_rounds`` is hit). With
+    ``return_vocab=True`` also returns the
     final segmented vocabulary ``(w, n_sym)`` — the word → token-count
     map ``bpe_token_counts`` joins against, so apply never re-folds.
     """
@@ -1145,7 +1157,11 @@ def bpe_train_merges(
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
-    while len(merges) < n_merges:
+    rounds_run = 0
+    while len(merges) < n_merges and (
+        max_rounds is None or rounds_run < max_rounds
+    ):
+        rounds_run += 1
         pairs = (
             words.select(
                 "freq",
@@ -1207,15 +1223,22 @@ def substring_vocab(
     top ``top_n`` pieces are kept, plus ALL single characters
     regardless of rank — the unigram-tokenizer segmentability
     guarantee (every word must admit at least the char-by-char
-    segmentation). ``cost_units = rank`` — an integer-exact
-    frequency-rank cost (rarer piece = higher cost); production
+    segmentation). ``cost_units = rank WITHIN THE KEPT SET`` — an
+    integer-exact frequency-rank cost (rarer piece = higher cost): the
+    top ``top_n`` pieces get their global ranks 1..top_n (they ARE the
+    global top), below-cutoff single chars get the next consecutive
+    ranks in the same ``(freq DESC, piece ASC)`` order. Production
     callers substitute ``round(-log p · 10^6)`` units, the operator is
     cost-agnostic. Returns ``(piece, cost_units)``.
 
     Scale shape: one word-frequency agg, one substring explode over
-    the DISTINCT-word table (vocab-sized), one count agg; the rank
-    window runs over the piece-count table (vocabulary-sized by
-    construction — top_n consumers should keep it so)."""
+    the DISTINCT-word table (vocab-sized), one count agg; the top-n
+    cut is a distributed ``TakeOrderedAndProject`` (never a global
+    single-partition rank window over the piece table), and the final
+    ranking happens driver-side over the KEPT rows only
+    (≤ top_n + alphabet — control-plane, like k-means centroids), so
+    this call is EAGER: it runs the counting job and returns a small
+    local DataFrame, ready to broadcast into the segmenter."""
     words = (
         spread_for_compute(df.select(text_col))
         .select(F.explode(F.split(normalize_text(text_col), " ")).alias("w"))
@@ -1240,15 +1263,19 @@ def substring_vocab(
         .groupBy("piece")
         .agg(F.sum("freq").alias("__f"))
     )
-    ranked = pieces.withColumn(
-        "cost_units",
-        F.row_number()
-        .over(W.orderBy(F.desc("__f"), F.asc("piece")))
-        .cast("bigint"),
+    top = pieces.orderBy(F.desc("__f"), F.asc("piece")).limit(top_n)
+    chars = pieces.where(F.length("piece") == 1)
+    kept = (
+        top.unionByName(chars)
+        .groupBy("piece")
+        .agg(F.max("__f").alias("__f"))
+        .collect()
     )
-    return ranked.where(
-        (F.col("cost_units") <= top_n) | (F.length("piece") == 1)
-    ).select("piece", "cost_units")
+    kept.sort(key=lambda r: (-r["__f"], r["piece"]))
+    return df.sparkSession.createDataFrame(
+        [(r["piece"], i) for i, r in enumerate(kept, 1)],
+        "piece string, cost_units bigint",
+    )
 
 
 #: unreachable-position sentinel and the (cost, n_pieces) packing base
@@ -1389,7 +1416,12 @@ def viterbi_token_counts(
     """Per-document token counts and total segmentation cost under the
     Viterbi tokenizer — the unigram sibling of :func:`bpe_token_counts`
     (same scale shape: the DP folds once per DISTINCT word; documents
-    join the broadcast word→pieces map and sum)."""
+    join the broadcast word→pieces map and sum).
+
+    A word the vocab cannot segment (NULL DP result — possible with
+    any user-supplied vocab missing a character) poisons its document:
+    both totals come back NULL rather than a silently-undercounted sum
+    that reads as a valid token count."""
     seg = viterbi_segment_words(
         df, vocab, text_col=text_col, piece_col=piece_col, cost_col=cost_col
     )
@@ -1397,12 +1429,21 @@ def viterbi_token_counts(
         F.col(id_col),
         F.explode(F.split(normalize_text(text_col), " ")).alias("w"),
     ).where(F.col("w") != "")
+    ok = F.col("__n_failed") == 0
     return (
         toks.join(F.broadcast(seg), "w")
         .groupBy(id_col)
         .agg(
-            F.sum("vit_n_pieces").alias("viterbi_tokens"),
-            F.sum("vit_cost_units").alias("viterbi_cost_units"),
+            F.count(F.when(F.col("vit_n_pieces").isNull(), 1)).alias(
+                "__n_failed"
+            ),
+            F.sum("vit_n_pieces").alias("__tok"),
+            F.sum("vit_cost_units").alias("__cost"),
+        )
+        .select(
+            id_col,
+            F.when(ok, F.col("__tok")).alias("viterbi_tokens"),
+            F.when(ok, F.col("__cost")).alias("viterbi_cost_units"),
         )
     )
 

@@ -4703,8 +4703,13 @@ def _bpe_batched_oracle(n_merges: int, batch: int, min_freq: int) -> str:
 )
 def corpus_bpe_merges_batched8(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
+    # max_rounds pins Spark to the oracle's fixed 2-round unroll: on a
+    # corpus where a round selects fewer than batch_size disjoint
+    # pairs, the uncapped trainer would run a third round the SQL
+    # replay doesn't have (batch divides n_merges, so the per-round
+    # quotas agree on both sides even after a short round)
     return text.bpe_train_merges(
-        docs, n_merges=8, min_freq=2, batch_size=4
+        docs, n_merges=8, min_freq=2, batch_size=4, max_rounds=2
     ).select("left", "right", "pair_freq")
 
 
@@ -4769,10 +4774,19 @@ def _viterbi_oracle(max_plen: int, top_n: int, max_word_len: int) -> str:
       GROUP BY piece
     ),
     vocab AS (
-      SELECT piece, CAST(rn AS BIGINT) AS cost FROM (
-        SELECT piece, row_number() OVER (ORDER BY f DESC, piece) AS rn
-        FROM pcount)
-      WHERE rn <= {top_n} OR len(piece) = 1
+      -- rank WITHIN the kept set (top_n by (f DESC, piece) UNION all
+      -- single chars): matches substring_vocab's TakeOrdered + driver
+      -- ranking — top pieces keep their global ranks, below-cutoff
+      -- chars take the next consecutive ranks
+      SELECT piece,
+             CAST(row_number() OVER (ORDER BY f DESC, piece) AS BIGINT)
+               AS cost
+      FROM (
+        SELECT piece, f FROM (
+          SELECT piece, f FROM pcount ORDER BY f DESC, piece LIMIT {top_n})
+        UNION
+        SELECT piece, f FROM pcount WHERE len(piece) = 1
+      )
     ),
     words AS (SELECT DISTINCT w FROM wocc),
     edges AS (

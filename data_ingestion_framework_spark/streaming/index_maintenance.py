@@ -50,15 +50,27 @@ def stream_append_with_ivf_index(
 
     qid = hashlib.sha256(str(checkpoint).encode()).hexdigest()[:16]
 
+    # the replay guard reads the commit history ONCE per stream start,
+    # then tracks the cursor in the closure — this query is the only
+    # writer advancing its (qid, batch_id) ledger, so the cached max
+    # stays exact and a long-lived stream does O(1) ledger work per
+    # micro-batch instead of rescanning a growing history
+    cursor = {"last": None}
+
     def _last_committed() -> int:
-        last = -1
-        if emb_table.exists():
-            for rec in emb_table.history():
-                m = rec.get("metrics", {})
-                bid = m.get("stream_batch_id")
-                if bid is not None and m.get("stream_query_id", qid) == qid:
-                    last = max(last, bid)
-        return last
+        if cursor["last"] is None:
+            last = -1
+            if emb_table.exists():
+                for rec in emb_table.history():
+                    m = rec.get("metrics", {})
+                    bid = m.get("stream_batch_id")
+                    if (
+                        bid is not None
+                        and m.get("stream_query_id", qid) == qid
+                    ):
+                        last = max(last, bid)
+            cursor["last"] = last
+        return cursor["last"]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id > _last_committed():
@@ -69,6 +81,7 @@ def stream_append_with_ivf_index(
                     "stream_query_id": qid,
                 },
             )
+            cursor["last"] = batch_id
         # idempotent via the index's own cursor — also heals a prior
         # crash that appended without refreshing
         ivf_index_refresh(

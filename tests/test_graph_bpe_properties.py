@@ -262,11 +262,13 @@ def test_viterbi_tokenizer_matches_python_reference(spark, texts, top_n):
                     p = w[i : i + l]
                     freqs[p] = freqs.get(p, 0) + f
     ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
-    want_vocab = {
-        p: r
+    # kept set = top_n ∪ single chars; cost = rank WITHIN the kept set
+    kept = [
+        p
         for r, (p, _) in enumerate(ranked, 1)
         if r <= top_n or len(p) == 1
-    }
+    ]
+    want_vocab = {p: i for i, p in enumerate(kept, 1)}
     assert vocab == want_vocab
     got = {
         r["w"]: (r["vit_cost_units"], r["vit_n_pieces"])
@@ -294,6 +296,30 @@ def test_viterbi_unsegmentable_word_returns_null(spark):
     # 'a'+'b' costing 3 as TWO pieces — fewest-pieces tiebreak wins
     assert got["ab"] == (3, 1)
     assert got["zq"] == (None, None)  # 'q' not in vocab
+
+
+def test_viterbi_token_counts_null_propagates_per_doc(spark):
+    """A document containing an unsegmentable word gets NULL totals —
+    not a silently undercounted sum — while sibling documents whose
+    words all segment keep exact counts (F.sum alone would skip the
+    NULL word and report a plausible-but-wrong total)."""
+    from data_ingestion_framework_spark.operators.text import (
+        viterbi_token_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab zq")], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("ab", 3), ("z", 4)],
+        "piece string, cost_units long",
+    )
+    got = {
+        r["doc_id"]: (r["viterbi_tokens"], r["viterbi_cost_units"])
+        for r in viterbi_token_counts(df, vocab).collect()
+    }
+    assert got[1] == (2, 6)  # two 'ab' pieces, cost 3 each
+    assert got[2] == (None, None)  # 'zq' fails -> doc total unknown
 
 
 def test_viterbi_empty_vocab_raises(spark):

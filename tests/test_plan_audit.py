@@ -48,3 +48,16 @@ def test_headline_plans_have_no_row_python_and_bounded_nested_loops(spark):
         f"side is a 1-row control frame): {offenders} — if intentional, "
         "document it in NESTED_LOOP_BY_DESIGN"
     )
+
+
+def test_codegen_counter_sees_finalized_aqe_spans(spark):
+    """Regression for the dead-counter class: an UNEXECUTED AQE plan
+    string contains no codegen markers, so audit_query(execute=True)
+    must finalize the plan (noop sink) and read nonzero codegen spans
+    on a trivially-codegen'd aggregate query."""
+    from tools.plan_audit import audit_query
+
+    r = audit_query(
+        spark, "pricing_summary", "/root/testdata/sf0.001", execute=True
+    )
+    assert r["codegen"] > 0, r

@@ -387,6 +387,14 @@ def test_ivf_index_refresh_incremental_and_crash_heal(spark, tmp_path):
     del props[IVF_INDEX_CURSOR_PROP]
     idx.set_properties(props)
     assert ivf_index_refresh(base, idx, cents)["rows_indexed"] == 0
+    # double-crash heal: property STALE (old cursor), not missing —
+    # the recorded commit-metrics cursor must win (max discipline),
+    # otherwise the delta would be appended twice
+    idx.set_properties(
+        {**idx.properties(), IVF_INDEX_CURSOR_PROP: str(m1["cursor_seq"])}
+    )
+    assert ivf_index_refresh(base, idx, cents)["rows_indexed"] == 0
+    assert idx.read().count() == 40  # no duplicate (vec_id, cell) rows
     # probe == from-scratch broadcast probe, with partition pruning
     queries = emb.where(F.col("vec_id") < 3)
     got = ivf_index_probe_topk(idx, queries, cents, k=4, nprobe=2)

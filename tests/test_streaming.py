@@ -1208,6 +1208,70 @@ def test_progress_logger_captures_micro_batches(spark, tmp_path):
     assert listener.flush() == 0
 
 
+def test_stream_append_with_ivf_index_one_ledger_scan_per_start(
+    spark, tmp_path
+):
+    """The replay guard reads the embeddings commit history ONCE per
+    stream start, then tracks the cursor in the closure — N micro-
+    batches must not mean N full ledger scans (quadratic over a
+    long-lived stream). ivf_index_refresh legitimately reads the
+    history once per batch for the current seq, so the pin is
+    calls <= batches + 1, strictly below the 2·batches a per-batch
+    rescan would cost."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_framework_spark.operators.similarity import (
+        ivf_train_centroids,
+    )
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+    from data_ingestion_framework_spark.streaming.index_maintenance import (
+        stream_append_with_ivf_index,
+    )
+
+    vecs = [
+        (i, [float((i * 3 + j) % 7 - 3) for j in range(4)]) for i in range(12)
+    ]
+    emb_all = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = ivf_train_centroids(emb_all, n_cells=2, iters=1)
+    src = str(tmp_path / "in")
+    for lo in (0, 4, 8):  # three files -> three micro-batches
+        emb_all.where(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 4)
+        ).coalesce(1).write.mode("append").parquet(src)
+    emb_table = ParquetTable(spark, str(tmp_path / "emb"))
+    idx = ParquetTable(spark, str(tmp_path / "idx"))
+    calls = {"n": 0}
+    real_history = emb_table.history
+
+    def counting_history():
+        calls["n"] += 1
+        return real_history()
+
+    emb_table.history = counting_history
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_append_with_ivf_index(
+        stream, emb_table, idx, cents, str(tmp_path / "ck"),
+        await_termination=True,
+    )
+    assert emb_table.read().count() == 12 and idx.read().count() == 12
+    batches = len(
+        {
+            r["metrics"]["stream_batch_id"]
+            for r in real_history()
+            if (r.get("metrics") or {}).get("stream_batch_id") is not None
+        }
+    )
+    assert batches == 3
+    assert calls["n"] <= batches + 1, (
+        f"{calls['n']} ledger scans for {batches} batches — the replay "
+        "guard must cache the cursor after the first scan"
+    )
+
+
 def test_stream_append_with_ivf_index_exactly_once(spark, tmp_path):
     """Streaming ANN-index maintenance: micro-batches land in the
     embeddings table (query-scoped ledger) and the persisted IVF index

@@ -10,7 +10,13 @@ smallest data suffices) and counts the plan features that decide
 - ``bhj`` / ``smj``  broadcast vs sort-merge joins the planner picked
 - ``nested_loop``    BroadcastNestedLoopJoin / CartesianProduct — red flag
                      unless one side is a literal 1-row frame
-- ``codegen``        WholeStageCodegen spans (wider is better)
+- ``codegen``        whole-stage-codegen spans (wider is better). Under
+                     AQE an UNEXECUTED plan string carries no codegen
+                     markers at all, so the audit EXECUTES each frame to
+                     a noop sink first (AQE finalizes) and counts the
+                     final plan's distinct ``*(n)`` span ids; all other
+                     counters then read the FINAL plan too (the plan
+                     that actually ran, post AQE re-planning)
 - ``py_row``         BatchEvalPython = row-at-a-time Python UDF — a hot-path
                      bug by this repo's rules (Arrow mapInPandas shows as
                      ``py_arrow`` and is allowed at media edges)
@@ -41,14 +47,24 @@ registry.load_all_queries()
 
 
 def audit_plan(plan: str) -> dict:
-    """Feature counts from an executedPlan/explain string."""
+    """Feature counts from an executedPlan/explain string. When the
+    string carries a finalized AQE plan (``== Final Plan ==`` +
+    ``== Initial Plan ==`` sections) only the final section is
+    counted — the initial plan would double every counter."""
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
     return {
         "exchanges": len(re.findall(r"Exchange (hash|range|single)", plan)),
         "bhj": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
         "nested_loop": plan.count("BroadcastNestedLoopJoin")
         + plan.count("CartesianProduct"),
-        "codegen": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        # finalized AQE strings mark codegen spans as `*(n)` node
+        # prefixes; legacy/non-AQE strings as `WholeStageCodegen (n)`
+        "codegen": len(
+            set(re.findall(r"\*\((\d+)\)", plan))
+            | set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+        ),
         "py_row": plan.count("BatchEvalPython"),
         "py_arrow": plan.count("ArrowEvalPython")
         + plan.count("MapInPandas")
@@ -63,8 +79,18 @@ def audit_plan(plan: str) -> dict:
     }
 
 
-def audit_query(spark, name: str, sf_dir: str) -> dict:
+def audit_query(spark, name: str, sf_dir: str, execute: bool = False) -> dict:
+    """``execute=True`` collect()s the frame first so AQE finalizes —
+    the counters then describe the plan that actually ran (and codegen
+    spans become visible). It must be collect(), not a noop write: a
+    write plans a SEPARATE command execution and leaves this frame's
+    own QueryExecution at isFinalPlan=false. Audit runs at sf0.001, so
+    the driver-side result is tiny. ``execute=False`` audits the
+    pre-execution plan: free, and sufficient for the red-flag counters
+    (py_row / nested_loop / pushed), which the pytest gate uses."""
     df = registry.QUERIES[name](spark, sf_dir)
+    if execute:
+        df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {"query": name, **audit_plan(plan)}
 
@@ -75,7 +101,7 @@ def main() -> None:
     rows = []
     for name in HEADLINE:
         try:
-            rows.append(audit_query(spark, name, sf_dir))
+            rows.append(audit_query(spark, name, sf_dir, execute=True))
         except Exception as exc:  # surface, keep auditing the rest
             rows.append({"query": name, "error": str(exc)[:200]})
     for r in rows:
