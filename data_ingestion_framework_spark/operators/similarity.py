@@ -646,14 +646,16 @@ def ivf_index_refresh(
         # while the commit metrics carry the true cursor.  Like
         # incremental.py, the winner is max(property, recorded) — so a
         # second crash in a row can't double-append the same delta.
-        hist = [
-            r for r in index_table.history()
-            if (r.get("metrics") or {}).get(cursor_prop) is not None
-        ]
-        if hist:
-            recorded = int(hist[-1]["metrics"][cursor_prop])
+        # last_commit_with_metric parses newest-first and stops at the
+        # first hit (every index append stamps the cursor), so the heal
+        # is O(1) per refresh — a streaming sink calls this once per
+        # micro-batch, and a full-history replay here grows quadratic
+        # over a long-lived stream.
+        rec = index_table.last_commit_with_metric(cursor_prop)
+        if rec is not None:
+            recorded = int(rec["metrics"][cursor_prop])
             last = recorded if last is None else max(int(last), recorded)
-    current_seq = emb_table.history()[-1]["seq"]
+    current_seq = emb_table.last_commit()["seq"]
     if last is not None and int(last) >= current_seq:
         return {"rows_indexed": 0, "cursor_seq": int(last)}
     new = (
@@ -669,7 +671,7 @@ def ivf_index_refresh(
     index_table.set_properties(
         {**index_table.properties(), cursor_prop: str(current_seq)}
     )
-    n = index_table.history()[-1].get("rows_written", 0)
+    n = (index_table.last_commit() or {}).get("rows_written", 0)
     return {"rows_indexed": n, "cursor_seq": current_seq}
 
 

@@ -1045,6 +1045,49 @@ class ParquetTable:
         with open(os.path.join(self._log_dir(), names[-1])) as f:
             return json.load(f)
 
+    def last_commit(self) -> dict | None:
+        """Public O(1) accessor for the newest commit record — one file
+        parse, selected by filename seq. Long-lived streaming sinks call
+        this once per micro-batch, so it MUST NOT replay the log (that
+        per-batch rescan is quadratic over the stream's lifetime)."""
+        return self._latest_record()
+
+    def commit_record(self, seq: int) -> dict | None:
+        """The record at exactly ``seq`` — one file parse by name
+        (``{seq:08d}.json``), ``None`` if absent. No log replay."""
+        name = f"{seq:08d}.json"
+        path = os.path.join(self._log_dir(), name)
+        if name not in self._record_names() or not os.path.isfile(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def history_since(self, seq: int) -> list[dict]:
+        """Commit records strictly after ``seq``, oldest first — the
+        O(delta) slice of :meth:`history`. Selection is by FILENAME
+        (records are named by zero-padded seq), so only the newer
+        records' bodies are parsed — incremental readers pay for their
+        delta, never the table's age."""
+        out = []
+        for name in self._record_names():
+            if int(name[:8]) > seq:
+                with open(os.path.join(self._log_dir(), name)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda r: r["seq"])
+
+    def last_commit_with_metric(self, key: str) -> dict | None:
+        """Newest commit record whose ``metrics`` carry ``key`` —
+        iterated newest-first by filename and stopped at the first hit,
+        so when every append stamps the key (the cursor discipline in
+        ``ivf_index_refresh`` / ``operators/incremental.py``) this is
+        one file parse, not a log replay."""
+        for name in reversed(self._record_names()):
+            with open(os.path.join(self._log_dir(), name)) as f:
+                rec = json.load(f)
+            if (rec.get("metrics") or {}).get(key) is not None:
+                return rec
+        return None
+
     def _next_seq(self) -> int:
         """Next commit seq from record FILENAMES alone (zero json
         parsing — the record name is its zero-padded seq). Every commit
@@ -2597,11 +2640,12 @@ class ParquetTable:
         file-additive, so any overwrite/compact after ``seq`` raises:
         fall back to ``read()`` (or ``changed_partitions_since`` for
         partition-scoped merges) there. Cost is proportional to the new
-        files, never the table."""
-        hist = self.history()
-        if not any(r["seq"] == seq for r in hist):
+        files AND the new commit records (``history_since`` parses only
+        records newer than ``seq``), never the table."""
+        base_rec = self.commit_record(seq)
+        if base_rec is None:
             raise ValueError(f"no commit {seq} in log for {self.path}")
-        newer = [r for r in hist if r["seq"] > seq]
+        newer = self.history_since(seq)
         # cdf_reconcile markers are file-neutral (they exist only to
         # consume a crashed delete's reserved seq); set_partition_spec
         # and fsck_remove_orphans touch no live data files either —
@@ -2631,8 +2675,8 @@ class ParquetTable:
                 f"read_since({seq}) unsound: commit {bad[0]['seq']} is "
                 f"{bad[0]['op']!r} (not file-additive) — read() instead"
             )
-        base = set(next(r["files"] for r in hist if r["seq"] == seq))
-        latest = hist[-1]["files"]
+        base = set(base_rec["files"])
+        latest = (newer[-1] if newer else base_rec)["files"]
         new = [f for f in latest if f not in base]
         if not new:
             return self.read().limit(0)
