@@ -171,7 +171,8 @@ def main() -> None:
 
     calibrate()  # untimed: JIT-compile the probe's own pipeline
     cal_before = calibrate()
-    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # clamp: 0/negative reps would make min(samples) raise mid-bench
+    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -185,23 +186,38 @@ def main() -> None:
         timings[name] = min(samples)
     cal_after = calibrate()
 
+    # per-rep samples go on their OWN line: the driver captures only
+    # the last ~2000 chars of stdout and parses the FINAL line, so the
+    # headline record below must stay compact (the r10 artifact lost
+    # its value because queries_reps pushed the single line past the
+    # capture window)
     print(
         json.dumps(
             {
-                "metric": "headline_query_wall_time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
+                "metric_detail": "per_query_rep_samples",
                 "queries_reps": reps,
                 "reps_per_query": n_reps,
-                "sf": sf,
-                "calibration_sec": round((cal_before + cal_after) / 2, 3),
-                "calibration_before_sec": cal_before,
-                "calibration_after_sec": cal_after,
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
             }
         )
     )
+    final = json.dumps(
+        {
+            "metric": "headline_query_wall_time",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "calibration_sec": round((cal_before + cal_after) / 2, 3),
+            "calibration_before_sec": cal_before,
+            "calibration_after_sec": cal_after,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        }
+    )
+    assert len(final) < 1900, (
+        f"final bench line {len(final)} chars — would exceed the "
+        "driver's 2000-char tail capture"
+    )
+    print(final)
 
 
 if __name__ == "__main__":

@@ -1238,7 +1238,11 @@ def substring_vocab(
     ranking happens driver-side over the KEPT rows only
     (≤ top_n + alphabet — control-plane, like k-means centroids), so
     this call is EAGER: it runs the counting job and returns a small
-    local DataFrame, ready to broadcast into the segmenter."""
+    local DataFrame, ready to broadcast into the segmenter. The
+    control-plane claim is ENFORCED, not assumed: a ``top_n`` above
+    ``SUBSTRING_VOCAB_MAX_KEPT`` (1e6) raises up front, and the collect
+    itself is LIMIT-capped and raises if the kept set exceeds the cap
+    (a pathological alphabet can't flood the driver)."""
     words = (
         spread_for_compute(df.select(text_col))
         .select(F.explode(F.split(normalize_text(text_col), " ")).alias("w"))
@@ -1263,20 +1267,39 @@ def substring_vocab(
         .groupBy("piece")
         .agg(F.sum("freq").alias("__f"))
     )
+    if top_n > SUBSTRING_VOCAB_MAX_KEPT:
+        raise ValueError(
+            f"substring_vocab: top_n={top_n} exceeds the control-plane "
+            f"cap {SUBSTRING_VOCAB_MAX_KEPT} — the kept set is collected "
+            "to the driver, so it must stay vocabulary-sized"
+        )
     top = pieces.orderBy(F.desc("__f"), F.asc("piece")).limit(top_n)
     chars = pieces.where(F.length("piece") == 1)
+    # LIMIT cap+1 bounds driver memory even before the size check fires
+    # (a pathological alphabet can't materialize unbounded rows first)
     kept = (
         top.unionByName(chars)
         .groupBy("piece")
         .agg(F.max("__f").alias("__f"))
+        .limit(SUBSTRING_VOCAB_MAX_KEPT + 1)
         .collect()
     )
+    if len(kept) > SUBSTRING_VOCAB_MAX_KEPT:
+        raise ValueError(
+            f"substring_vocab: kept set exceeds the control-plane cap "
+            f"{SUBSTRING_VOCAB_MAX_KEPT} rows (top_n + alphabet) — this "
+            "eager collect is only sound for vocabulary-sized outputs"
+        )
     kept.sort(key=lambda r: (-r["__f"], r["piece"]))
     return df.sparkSession.createDataFrame(
         [(r["piece"], i) for i, r in enumerate(kept, 1)],
         "piece string, cost_units bigint",
     )
 
+
+#: hard cap on substring_vocab's driver-side kept set (top_n +
+#: alphabet) — enforces the "control-plane-sized collect" claim
+SUBSTRING_VOCAB_MAX_KEPT = 1_000_000
 
 #: unreachable-position sentinel and the (cost, n_pieces) packing base
 #: for the Viterbi fold: combined = cost_units·1024 + n_pieces, so one

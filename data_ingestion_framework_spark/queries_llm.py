@@ -4802,10 +4802,16 @@ def _viterbi_oracle(max_plen: int, top_n: int, max_word_len: int) -> str:
       FROM b{max_word_len} f
       WHERE pos = len(w)
     )
+    -- LEFT JOIN + all-or-NULL totals: the operator NULL-poisons a doc
+    -- containing any unsegmentable word (viterbi_token_counts), so the
+    -- oracle must NOT silently drop such words via an inner join —
+    -- COUNT(*) = COUNT(s.np) iff every word segmented
     SELECT o.doc_id,
-           CAST(SUM(s.np) AS BIGINT) AS viterbi_tokens,
-           CAST(SUM(s.cost) AS BIGINT) AS viterbi_cost_units
-    FROM wocc o JOIN seg s ON s.w = o.w
+           CASE WHEN COUNT(*) = COUNT(s.np)
+                THEN CAST(SUM(s.np) AS BIGINT) END AS viterbi_tokens,
+           CASE WHEN COUNT(*) = COUNT(s.cost)
+                THEN CAST(SUM(s.cost) AS BIGINT) END AS viterbi_cost_units
+    FROM wocc o LEFT JOIN seg s ON s.w = o.w
     GROUP BY o.doc_id
     """
 

@@ -188,7 +188,12 @@ _PRIORITY = [
     # to distributed BPE training; the generic MERGE executor stays
     # window-graded via orders_merge_not_matched_state (same executor,
     # superset clause family) and merge_sql_generic_state.
-    "corpus_bpe_merges",
+    # ROUND-11 ROTATION: corpus_bpe_merges (green r9+r10) cedes to its
+    # BATCHED twin — the SAME trainer with top-k symbol-disjoint merges
+    # per round plus the round-10 max_rounds oracle pinning that has
+    # never seen the driver; BPE train/apply stays triple-covered
+    # in-window (corpus_bpe_token_counts, corpus_bpe_budget_mix).
+    "corpus_bpe_merges_batched8",
     # ROUND-9 ROTATION (3rd wave): orders_hidden_partition_state
     # (green r7+r8) cedes to the version-diff composite (as_of ∘
     # find_delta — never driver-graded); the partition-transform
@@ -275,7 +280,13 @@ _PRIORITY = [
     # similarity_matryoshka_topk, similarity_ivfpq_sampled_topk and
     # similarity_ivf_ndcg in-window. Still in the full local gate.
     "embeddings_hard_negatives_ann",
-    "dedup_incremental_minhash",
+    # ROUND-11 ROTATION: dedup_incremental_minhash (green r7-r10)
+    # cedes to the blocked-vs-exact recall gauge — whose oracle
+    # RE-RUNS the same MinHash banding against the exact-Jaccard pair
+    # set, so the banded equi-join mechanism stays window-graded (and
+    # dedup_prefix_filter_pairs keeps the exact set-similarity join
+    # in-window). Still in the full local gate.
+    "dedup_blocked_recall",
     # round-7 second wave: SHALLOW CLONE lifecycle, KMV set-overlap
     # algebra, Matryoshka prefix-funnel retrieval. Slots ceded by
     # docs_badword_report (badword gating runs inside
@@ -285,7 +296,15 @@ _PRIORITY = [
     # multimodal_video_meta (same Arrow mapInPandas machinery as the
     # in-window multimodal_audio_meta). All three stay in the full
     # local gate.
-    "orders_clone_state",
+    # ROUND-11 ROTATION: orders_clone_state (green r7-r10) cedes to
+    # the VARIANT extraction shape (semi-structured JSON → typed
+    # columns, never driver-graded); the snapshot/lifecycle family
+    # keeps five window reps (orders_version_diff_state,
+    # orders_stats_skipping_state, orders_replace_where_state,
+    # orders_partition_evolution_state, orders_rename_state) and the
+    # shallow-clone metadata mechanics are pytest-pinned. Still in the
+    # full local gate.
+    "events_variant_extract",
     # ROUND-9 ROTATION (3rd wave): events_kmv_overlap (green r7+r8)
     # cedes to the cumulative-distinct composite (agg + unbounded-
     # preceding window, never driver-graded); the mergeable-sketch
@@ -293,7 +312,15 @@ _PRIORITY = [
     # estimator/overlap algebra is pytest-pinned (test_sketches).
     # Still in the full local gate.
     "events_cumulative_distinct_users",
-    "similarity_matryoshka_topk",
+    # ROUND-11 ROTATION: similarity_matryoshka_topk (green r9+r10)
+    # cedes to the IVF recall@k gauge (the never-driver-graded sibling
+    # of the in-window similarity_ivf_ndcg — its oracle re-derives the
+    # coarse index, the exact ranking AND the set-overlap recall); the
+    # prefix-funnel rescore is pytest-pinned and the ANN shortlist
+    # family keeps similarity_filtered_topk, embeddings_jl_topk,
+    # embeddings_hard_negatives_ann and similarity_knn_join_topk
+    # in-window. Still in the full local gate.
+    "similarity_ivf_recall",
     # round-7 third wave: the column-mapping lifecycle (metadata-only
     # RENAME/DROP). Slot ceded by events_heavy_hitter_users (green
     # r5+r6; the mergeable-bounded-sketch family stays window-graded
@@ -358,7 +385,13 @@ _PRIORITY = [
     # self-join mechanism stays window-graded via
     # dedup_minhash_md5_pairs + hybrid_dedup_clusters, and the
     # Levenshtein linkage stays in the full local gate.
-    "events_hll_distinct_users",
+    # ROUND-11 ROTATION: events_hll_distinct_users (green r8-r10)
+    # cedes to the count-min heavy-key sketch (the never-driver-graded
+    # member of the same mergeable-bounded-sketch family — its oracle
+    # re-derives every counter row); the HLL register fold is
+    # pytest-pinned (test_sketches) and events_kmv_overlap keeps the
+    # cardinality-estimator algebra in the full local gate.
+    "events_cm_user_counts",
     # round-5 rotation — the 7 round-4 queries that had never been
     # driver-graded (all oracle-backed, local-pass) take the slots
     # ceded above by rows green since r2/r3:
@@ -388,7 +421,13 @@ _PRIORITY = [
     # the full gate — same scalar-subquery decorrelation one MAX apart);
     # the weighted deterministic-hash draw stays pinned by the sampling
     # property tests and corpus_pipeline_staged's sample stage.
-    "important_part_values",
+    # ROUND-11 ROTATION: important_part_values (green r9+r10) cedes to
+    # the Q22 anti-join shape (left anti + global scalar-average
+    # threshold, never driver-graded); the integer-scaled
+    # global-fraction threshold mechanism stays graded by the SAME
+    # incoming query (both decorrelate a global aggregate subquery)
+    # and top_supplier_revenue stays in the full local gate.
+    "wealthy_inactive_customers",
     # ROUND-8 ROTATION: dedup_containment_pairs (driver-green r5+r6)
     # cedes to the time-series gap-fill operator (LOCF + linear
     # interpolation through a join-free generator); the explode-once +
@@ -396,7 +435,14 @@ _PRIORITY = [
     # docs_dsir_weights, and the dedup family keeps three in-window
     # reps (dedup_minhash_md5_pairs, dedup_incremental_minhash,
     # hybrid_dedup_clusters). Still in the full local gate.
-    "events_gapfill_locf",
+    # ROUND-11 ROTATION: events_gapfill_locf (green r8-r10) cedes to
+    # the chunk-then-BM25 composite (fixed-size token chunking feeding
+    # the ranked retrieval window, never driver-graded); the join-free
+    # sequence-generator machinery is pytest-pinned (test_timeseries)
+    # and the time-series event family keeps events_asof_nearest_click
+    # + events_range_join_counts in-window. Still in the full local
+    # gate.
+    "docs_chunk_bm25_topk",
     # ROUND-8 ROTATION (2nd wave): similarity_pq_topk (driver-green
     # r5+r6) cedes to the table-as-a-streaming-source lifecycle; the
     # PQ codebook/encode/ADC mechanism keeps THREE in-window reps
@@ -427,6 +473,15 @@ _PRIORITY = [
     # history). Still in the full local gate.
     "orders_replace_where_state",
     # end of the 50-query driver window
+    # the seven rows ceded by the round-11 rotation (driver-green 2-4
+    # rounds; mechanisms window-covered per the notes above)
+    "corpus_bpe_merges",
+    "dedup_incremental_minhash",
+    "orders_clone_state",
+    "similarity_matryoshka_topk",
+    "events_hll_distinct_users",
+    "important_part_values",
+    "events_gapfill_locf",
     # the two rows ceded by the round-9 fifth-wave rotation
     "orders_column_stats",
     "events_incremental_partition_rollup",

@@ -216,17 +216,23 @@ def test_driver_grading_window_covers_priority_queries():
         # stay via the index cursor + orders_stream_table_state)
         "embeddings_ivf_index_state",
         "cdf_merge_changes",
-        # r8: docs_fuzzy_entity_pairs ceded to the HLL sketch
-        "events_hll_distinct_users",
+        # r8: docs_fuzzy_entity_pairs ceded to the HLL sketch;
+        # r11: events_hll_distinct_users ceded to the count-min sketch
+        # (same mergeable-bounded family; HLL fold pytest-pinned)
+        "events_cm_user_counts",
         # round-5 rotation survivors (others ceded in r7;
         # orders_delete_state ceded in r8 to its stats-skipping
         # successor, which runs the same delete_where path)
         "multimodal_audio_meta",
         # r9: docs_quality_weighted_sample ceded to the integer-scaled
-        # global-fraction threshold shape
-        "important_part_values",
-        # r8: dedup_containment_pairs ceded to the gap-fill operator
-        "events_gapfill_locf",
+        # global-fraction threshold shape; r11: important_part_values
+        # ceded to the Q22 anti-join shape (same global-aggregate
+        # subquery decorrelation)
+        "wealthy_inactive_customers",
+        # r8: dedup_containment_pairs ceded to the gap-fill operator;
+        # r11: events_gapfill_locf ceded to the chunk-then-BM25
+        # composite (generator machinery pytest-pinned)
+        "docs_chunk_bm25_topk",
         # r8 2nd wave: similarity_pq_topk ceded to the streaming
         # table-source lifecycle (PQ keeps 3 in-window IVFADC reps)
         "orders_stream_table_state",
@@ -242,8 +248,10 @@ def test_driver_grading_window_covers_priority_queries():
         # round-6 rotation: the four never-driver-graded round-5
         # queries plus this round's two new surfaces
         # r9: orders_merge_into_state ceded to BPE training (executor
-        # stays via orders_merge_not_matched_state)
-        "corpus_bpe_merges",
+        # stays via orders_merge_not_matched_state); r11:
+        # corpus_bpe_merges ceded to its batched twin (same trainer,
+        # plus the max_rounds oracle pinning)
+        "corpus_bpe_merges_batched8",
         # r9 2nd wave: hilbert keys ceded to seeded TrustRank
         "graph_trustrank_seeded",
         # r9 4th wave: docs_ccnet_buckets ceded to the Viterbi unigram
@@ -273,12 +281,18 @@ def test_driver_grading_window_covers_priority_queries():
         # hard-negative mining (shortlist family keeps matryoshka +
         # sampled IVFADC + nDCG in-window)
         "embeddings_hard_negatives_ann",
-        "dedup_incremental_minhash",
-        "orders_clone_state",
+        # r11: dedup_incremental_minhash ceded to the blocked-vs-exact
+        # recall gauge (its oracle re-runs the same banding)
+        "dedup_blocked_recall",
+        # r11: orders_clone_state ceded to the VARIANT extraction
+        # shape (lifecycle family keeps five window reps)
+        "events_variant_extract",
         # r9 3rd wave: events_kmv_overlap ceded to the cumulative-
         # distinct composite (HLL keeps the sketch family in-window)
         "events_cumulative_distinct_users",
-        "similarity_matryoshka_topk",
+        # r11: similarity_matryoshka_topk ceded to the IVF recall@k
+        # gauge (sibling of the in-window nDCG gauge)
+        "similarity_ivf_recall",
         "orders_rename_state",
         "embeddings_pipeline_curated",
         # r9 3rd wave: corpus_zipf_alpha ceded to the BPE-budgeted mix

@@ -278,6 +278,22 @@ def test_viterbi_tokenizer_matches_python_reference(spark, texts, top_n):
         assert got[w] == _py_viterbi(w, vocab), (w, vocab)
 
 
+def test_substring_vocab_rejects_uncapped_top_n(spark):
+    """The eager kept-set collect is only sound for vocabulary-sized
+    outputs — a top_n above the control-plane cap must raise up front
+    (before any job runs), enforcing the docstring's claim."""
+    import pytest
+
+    from data_ingestion_framework_spark.operators.text import (
+        SUBSTRING_VOCAB_MAX_KEPT,
+        substring_vocab,
+    )
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    with pytest.raises(ValueError, match="control-plane cap"):
+        substring_vocab(df, top_n=SUBSTRING_VOCAB_MAX_KEPT + 1)
+
+
 def test_viterbi_unsegmentable_word_returns_null(spark):
     from data_ingestion_framework_spark.operators.text import (
         viterbi_segment_words,

@@ -12,9 +12,10 @@ smallest data suffices) and counts the plan features that decide
                      unless one side is a literal 1-row frame
 - ``codegen``        whole-stage-codegen spans (wider is better). Under
                      AQE an UNEXECUTED plan string carries no codegen
-                     markers at all, so the audit EXECUTES each frame to
-                     a noop sink first (AQE finalizes) and counts the
-                     final plan's distinct ``*(n)`` span ids; all other
+                     markers at all, so the audit ``collect()``s each
+                     frame first (tiny at sf0.001; a noop WRITE would
+                     bypass AQE's final-stage re-planning) and counts
+                     the final plan's distinct ``*(n)`` span ids; all other
                      counters then read the FINAL plan too (the plan
                      that actually ran, post AQE re-planning)
 - ``py_row``         BatchEvalPython = row-at-a-time Python UDF — a hot-path
