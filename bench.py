@@ -90,6 +90,10 @@ HEADLINE = [
     # both-sides-large k-NN join: the whole corpus as the query side,
     # cell-co-partitioned shuffle equi-join (no query broadcast)
     "similarity_knn_join_topk",
+    # its PQ-compressed form: codes (not floats) cross the cell
+    # exchange, ADC shortlist, exact rescore of shortlist pairs only —
+    # compare the two lines for the compression payoff
+    "similarity_knn_join_pq",
     # flagship composite: clean→redact→gate→dedup→decontam→quota→sample
     # with silver staging (the restartable, single-materialization form)
     "corpus_pipeline_staged",

@@ -809,6 +809,129 @@ def ivf_knn_join(
     )
 
 
+def ivf_knn_join_pq(
+    left: DataFrame,
+    right: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int | None = None,
+    left_id_col: str = "q_id",
+    right_id_col: str = "vec_id",
+    left_vec_col: str = "embedding",
+    right_vec_col: str = "embedding",
+    exclude_self: bool = False,
+    round_to: int = 4,
+) -> DataFrame:
+    """PQ-compressed k-NN join: :func:`ivf_knn_join`'s contract (per
+    left row, top-k most-cosine-similar right rows) with the right
+    side's float vectors REPLACED by ``m`` PQ code bytes everywhere
+    they would cross an exchange — the FAISS IVFADC-with-refine shape
+    (Jégou et al. 2011) recast as three DataFrame stages:
+
+    1. **Candidate scoring**: right rows shuffle to their IVF cell
+       carrying ``(id, codes)`` only — at dim 1024/float32 vs m=8
+       codes that is a ~500× smaller exchange payload, and at 100 TB
+       the right-side vector payload IS the join's cost (the carry-over
+       gap this operator closes). Left rows replicate to their
+       ``nprobe`` cells with their float vector (the asymmetric-ADC
+       query side stays exact). Each in-cell pair costs ``m`` table
+       lookups instead of a ``dim``-wide dot product.
+    2. **Shortlist**: the per-left top-``shortlist`` (default ``4·k``)
+       by ADC distance — the window shuffles ``(lid, rid, adc)``
+       rows only, never a vector.
+    3. **Exact rescore**: ONLY the shortlist pairs rejoin both sides'
+       float vectors by id (|L|·shortlist rows — at scale, bucket the
+       right table by id to make this fetch exchange-free) and rank by
+       exact cosine; top-k per left id.
+
+    Recall vs the uncompressed join is bounded by the shortlist stage
+    (measure with :func:`ann_recall`); ADC distances round to 6dp and
+    sum as DECIMAL so the shortlist cut is engine-exact. Returns
+    ``(left_id, right_id, cos_sim)``, ties on id ascending.
+    Reference semantics: the reference's ANN join surfaces
+    (vector_ops/knn.(rs|go)) rank by exact cosine; the PQ stages are
+    this repo's scale path on the same contract."""
+    if shortlist is None:
+        shortlist = 4 * k
+    if shortlist < k:
+        raise ValueError(f"shortlist={shortlist} must be >= k={k}")
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    # right: (id, cell, codes) — no float vector crosses the exchange
+    r = _spread(right.select(right_id_col, right_vec_col)).select(
+        F.col(right_id_col).alias("__rid"),
+        _nearest_cells(F.col(right_vec_col), centroids, 1)[0].alias("__cell"),
+        F.array(
+            *[
+                _pq_code(F.col(right_vec_col), s, codebooks[s], dsub)
+                for s in range(m)
+            ]
+        ).alias("codes"),
+    )
+    l = left.select(
+        F.col(left_id_col).alias("__lid"),
+        _to_double(F.col(left_vec_col)).alias("__lv"),
+        F.explode(
+            _nearest_cells(F.col(left_vec_col), centroids, nprobe)
+        ).alias("__cell"),
+    )
+    cand = l.join(r, "__cell")
+    if exclude_self:
+        cand = cand.where(F.col("__lid") != F.col("__rid"))
+    # narrow BEFORE the shortlist window's shuffle: (lid, rid, adc)
+    cand = cand.select(
+        "__lid",
+        "__rid",
+        _adc_dist(codebooks, m, dsub, qcol="__lv").alias("__adc"),
+    )
+    ws = W.partitionBy("__lid").orderBy(
+        F.col("__adc").asc(), F.col("__rid").asc()
+    )
+    short = (
+        cand.withColumn("__sn", F.row_number().over(ws))
+        .where(F.col("__sn") <= shortlist)
+        .select("__lid", "__rid")
+    )
+    # exact rescore: fetch floats for the shortlist rows only
+    ldv = _to_double(F.col(left_vec_col))
+    lv = left.select(
+        F.col(left_id_col).alias("__lid"),
+        ldv.alias("__lv"),
+        l2_norm(ldv).alias("__ln"),
+    )
+    rdv = _to_double(F.col(right_vec_col))
+    rv = right.select(
+        F.col(right_id_col).alias("__rid"),
+        rdv.alias("__rv"),
+        l2_norm(rdv).alias("__rnorm"),
+    )
+    denom = F.col("__ln") * F.col("__rnorm")
+    rescored = (
+        short.join(lv, "__lid")
+        .join(rv, "__rid")
+        .select(
+            F.col("__lid").alias(left_id_col),
+            F.col("__rid").alias(right_id_col),
+            F.round(
+                F.when(denom == 0, F.lit(0.0)).otherwise(
+                    dot(F.col("__lv"), F.col("__rv")) / denom
+                ),
+                round_to,
+            ).alias("cos_sim"),
+        )
+    )
+    wk = W.partitionBy(left_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(right_id_col).asc()
+    )
+    return (
+        rescored.withColumn("__rn", F.row_number().over(wk))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ivf_hard_negatives(
     corpus: DataFrame,
     anchors: DataFrame,

@@ -5273,6 +5273,94 @@ def similarity_knn_join_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# PQ-COMPRESSED k-NN join (operators/similarity.py ivf_knn_join_pq):
+# the same corpus×corpus top-3 contract as similarity_knn_join_topk,
+# but the right side carries m PQ code bytes through the cell exchange
+# instead of dim floats — candidates ADC-score in-cell, the per-query
+# top-shortlist survives a narrow (lid, rid, adc) window, and only the
+# shortlist pairs rejoin their float vectors for the exact cosine
+# rescore (IVFADC + refine, Jégou et al. 2011). The oracle composes
+# BOTH deterministic index builds (IVF CTEs verbatim, PQ block under
+# the ``p`` prefix) and replays probe → ADC → shortlist → exact
+# rescore → top-k. Compare this bench line against
+# similarity_knn_join_topk for the compression payoff.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "similarity_knn_join_pq",
+    oracle=f"""
+    WITH {{ivf}},
+    {_pq_index_sql('p')},
+    query_cells AS (
+      SELECT vec_id AS q_id, cell FROM ranked WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT q.q_id, c.vec_id
+      FROM query_cells q JOIN corpus_cell c ON c.cell = q.cell
+      WHERE c.vec_id <> q.q_id
+    ),
+    qsub AS (SELECT vec_id AS q_id, sub, j, x FROM pes),
+    subd AS (
+      SELECT p.q_id, p.vec_id, q.sub,
+             ROUND(SUM((q.x - cb.m) * (q.x - cb.m)), 6)::DECIMAL(18,6) AS d
+      FROM cand p
+      JOIN qsub q ON q.q_id = p.q_id
+      JOIN pcodes c ON c.vec_id = p.vec_id AND c.sub = q.sub
+      JOIN pcb2 cb ON cb.sub = c.sub AND cb.code = c.code AND cb.j = q.j
+      GROUP BY p.q_id, p.vec_id, q.sub
+    ),
+    tot AS (
+      SELECT q_id, vec_id, SUM(d) AS adc
+      FROM subd GROUP BY q_id, vec_id
+    ),
+    short AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc, vec_id) AS rn
+        FROM tot) WHERE rn <= 12
+    ),
+    dots AS (
+      SELECT s.q_id, s.vec_id, SUM(ea.x * eb.x) AS dp
+      FROM short s
+      JOIN e ea ON ea.vec_id = s.q_id
+      JOIN e eb ON eb.vec_id = s.vec_id AND eb.i = ea.i
+      GROUP BY s.q_id, s.vec_id
+    ),
+    scored AS (
+      SELECT d.q_id, d.vec_id,
+             ROUND(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+                        ELSE d.dp / (na.nrm * nb.nrm) END, 4) AS cos_sim
+      FROM dots d
+      JOIN vnorm na ON na.vec_id = d.q_id
+      JOIN vnorm nb ON nb.vec_id = d.vec_id
+    )
+    SELECT q_id, vec_id, cos_sim
+    FROM (
+      SELECT q_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 3
+    """.replace("{ivf}", _ivf_index_sql(8)),
+)
+def similarity_knn_join_pq(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.similarity import (
+        ivf_knn_join_pq,
+        ivfpq_train,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    # fused build — value-identical to the separate builds the oracle
+    # re-derives (same seeds, same Lloyd semantics)
+    centroids, books = ivfpq_train(emb, n_cells=8, m=4, k=8, iters=2)
+    queries = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    return ivf_knn_join_pq(
+        queries, emb, centroids, books,
+        k=3, nprobe=2, shortlist=12, exclude_self=True,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup-pipeline quality metric: RECALL of the capped length-blocked
 # word-ngram join against the EXACT prefix-filter join at the SAME
 # threshold and shingle unit — the number the blocked path's drop

@@ -345,7 +345,15 @@ _PRIORITY = [
     # family keeps TWO window reps — corpus_pipeline_staged's exact
     # 13-gram broadcast and corpus_pipeline_curated's graded
     # thresholds — and the bloom prefilter is pytest-pinned).
-    "similarity_ivfpq_sampled_topk",
+    # ROUND-11 ROTATION: similarity_ivfpq_sampled_topk (green r7-r10)
+    # cedes to the PQ-compressed k-NN join (new this round: codes, not
+    # floats, cross the cell exchange; ADC shortlist; exact rescore) —
+    # whose oracle composes the SAME two deterministic index builds,
+    # so IVFADC stays window-graded by its successor; the bounded-
+    # training sample path is pytest-pinned
+    # (test_sampled_training_local_matches_distributed). Still in the
+    # full local gate.
+    "similarity_knn_join_pq",
     # ROUND-8 ROTATION: semantic_dedup_keep (driver-green r5+r6) cedes
     # to the partition-evolution lifecycle; the SemDeDup mechanism
     # stays window-graded via embeddings_pipeline_curated (which runs
@@ -473,8 +481,9 @@ _PRIORITY = [
     # history). Still in the full local gate.
     "orders_replace_where_state",
     # end of the 50-query driver window
-    # the seven rows ceded by the round-11 rotation (driver-green 2-4
+    # the eight rows ceded by the round-11 rotation (driver-green 2-4
     # rounds; mechanisms window-covered per the notes above)
+    "similarity_ivfpq_sampled_topk",
     "corpus_bpe_merges",
     "dedup_incremental_minhash",
     "orders_clone_state",

@@ -297,7 +297,9 @@ def test_driver_grading_window_covers_priority_queries():
         "embeddings_pipeline_curated",
         # r9 3rd wave: corpus_zipf_alpha ceded to the BPE-budgeted mix
         "corpus_bpe_budget_mix",
-        "similarity_ivfpq_sampled_topk",
+        # r11: similarity_ivfpq_sampled_topk ceded to the
+        # PQ-compressed k-NN join (same two index builds in its oracle)
+        "similarity_knn_join_pq",
         # r9 3rd wave: docs_bm25_topk ceded to the completed PPJoin
         # (BM25 re-derived inside retrieval_rrf_hybrid's oracle);
         # orders_hidden_partition_state ceded to the version-diff

@@ -443,3 +443,77 @@ def test_ivf_index_refresh_missing_base_raises(spark, tmp_path):
     idx = ParquetTable(spark, str(tmp_path / "idx"))
     with pytest.raises(ValueError, match="does not exist"):
         ivf_index_refresh(base, idx, [[1.0, 0.0]])
+
+
+def test_ivf_knn_join_pq_full_shortlist_matches_uncompressed(spark):
+    """With a shortlist covering every probed candidate, the exact
+    rescore sees the same pair set as the uncompressed join, so the
+    PQ join must match it row-for-row — the ADC stage only decides
+    the shortlist CUT, never a kept pair's score."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids, books = similarity.ivfpq_train(
+        emb, n_cells=2, m=2, k=4, iters=1
+    )
+    queries = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = similarity.ivf_knn_join(
+        queries, emb, centroids, k=3, nprobe=2, exclude_self=True
+    )
+    pq = similarity.ivf_knn_join_pq(
+        queries, emb, centroids, books,
+        k=3, nprobe=2, shortlist=100, exclude_self=True,
+    )
+    a = sorted(map(tuple, exact.collect()))
+    b = sorted(map(tuple, pq.collect()))
+    assert a == b and len(a) == 24 * 3
+
+
+def test_ivf_knn_join_pq_shortlist_below_k_raises(spark):
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="shortlist"):
+        similarity.ivf_knn_join_pq(
+            emb.select(F.col("vec_id").alias("q_id"), "embedding"),
+            emb,
+            [[1.0, 0.0]],
+            [[[1.0], [0.0]]],
+            k=5,
+            shortlist=2,
+        )
+
+
+def test_ivf_knn_join_pq_recall_measured(spark):
+    """A tight shortlist still returns k rows per query and its
+    recall@k vs the uncompressed join is measurable via ann_recall —
+    the gauge every bounded shortlist ships with."""
+    import random
+
+    rng = random.Random(17)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids, books = similarity.ivfpq_train(
+        emb, n_cells=2, m=2, k=4, iters=1
+    )
+    queries = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = similarity.ivf_knn_join(
+        queries, emb, centroids, k=3, nprobe=2, exclude_self=True
+    )
+    pq = similarity.ivf_knn_join_pq(
+        queries, emb, centroids, books,
+        k=3, nprobe=2, shortlist=3, exclude_self=True,
+    )
+    per_q = pq.groupBy("q_id").count().collect()
+    assert all(r["count"] <= 3 for r in per_q) and len(per_q) == 30
+    rec = similarity.ann_recall(exact, pq, k=3).collect()
+    assert len(rec) == 30
+    assert all(0.0 <= r["recall_at_3"] <= 1.0 for r in rec)
