@@ -94,6 +94,9 @@ HEADLINE = [
     # exchange, ADC shortlist, exact rescore of shortlist pairs only —
     # compare the two lines for the compression payoff
     "similarity_knn_join_pq",
+    # round-11: unigram-LM hard-EM round (Kudo 2018) — E-step argmin
+    # segmentation + backtrace, -ln(p) integer M-step, re-tokenize
+    "corpus_unigram_em_tokens",
     # flagship composite: clean→redact→gate→dedup→decontam→quota→sample
     # with silver staging (the restartable, single-materialization form)
     "corpus_pipeline_staged",

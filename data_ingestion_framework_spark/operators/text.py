@@ -1332,6 +1332,32 @@ def viterbi_segment_words(
     driver loop, vocab-sized work. Words with no segmentation (a
     character outside the vocab) return NULL pieces. Returns
     ``(w, vit_cost_units, vit_n_pieces)``."""
+    base = _viterbi_base(df, vocab, text_col, piece_col, cost_col, max_word_len)
+    folded = base.select("w", _viterbi_best_col().alias("__bestarr"))
+    big, k = _VITERBI_BIG, _VITERBI_K
+    best = F.element_at(F.col("__bestarr"), -1)
+    return folded.select(
+        "w",
+        F.when(best < big, F.expr(f"element_at(__bestarr, -1) div {k}")).alias(
+            "vit_cost_units"
+        ),
+        F.when(best < big, best % k).alias("vit_n_pieces"),
+    )
+
+
+def _viterbi_base(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str,
+    piece_col: str,
+    cost_col: str,
+    max_word_len: int,
+) -> DataFrame:
+    """Shared DP input frame ``(w, __edges)``: the corpus's distinct
+    words, each with its packed edge list — every ``(start, end,
+    cost)`` arc where a vocab piece spans those word positions. One
+    substring explode over the DISTINCT-word table (vocab-sized) + one
+    vocab join; both Viterbi entry points fold over it."""
     words = (
         spread_for_compute(df.select(text_col))
         .select(F.explode(F.split(normalize_text(text_col), " ")).alias("w"))
@@ -1349,9 +1375,6 @@ def viterbi_segment_words(
     v = vocab.select(
         F.col(piece_col).alias("__p"), F.col(cost_col).alias("__c")
     )
-    # edge list: every (start, end, cost) arc where a vocab piece spans
-    # word positions [start, end] — built by one substring explode +
-    # vocab join, then packed per word as an array of structs
     max_plen = v.agg(F.max(F.length("__p"))).first()[0]
     if max_plen is None:
         raise ValueError(
@@ -1383,13 +1406,21 @@ def viterbi_segment_words(
             ).alias("__edges")
         )
     )
-    base = words.join(edges, "w", "left").select(
+    return words.join(edges, "w", "left").select(
         "w",
         F.coalesce(
             "__edges",
             F.expr("cast(array() as array<struct<s:int,e:int,c:bigint>>)"),
         ).alias("__edges"),
     )
+
+
+def _viterbi_best_col() -> Column:
+    """The forward Viterbi fold as a Column over a ``(w, __edges)``
+    frame: returns the FULL best array (length ``len(w)+1``;
+    1-indexed ``element_at(arr, i+1)`` is the packed optimum for the
+    prefix of length ``i``, ``_VITERBI_BIG`` = unreachable). Shared by
+    the cost-only entry point and the backtracing one."""
     big, k = _VITERBI_BIG, _VITERBI_K
 
     def step(acc, i):
@@ -1406,25 +1437,153 @@ def viterbi_segment_words(
             acc, F.coalesce(F.array_min(cands), F.lit(big).cast("bigint"))
         )
 
-    folded = base.select(
-        "w",
-        F.element_at(
-            F.aggregate(
-                F.sequence(F.lit(1), F.length("w")),
-                F.array(F.lit(0).cast("bigint")),
-                step,
-            ),
-            -1,
-        ).alias("__best"),
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.array(F.lit(0).cast("bigint")),
+        step,
     )
-    return folded.select(
+
+
+def viterbi_segment_pieces(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    piece_col: str = "piece",
+    cost_col: str = "cost_units",
+    max_word_len: int = 512,
+) -> DataFrame:
+    """The argmin segmentation ITSELF per distinct word — ``(w, pieces
+    array<string>)``, NULL for unsegmentable words. Forward DP (the
+    same packed fold as :func:`viterbi_segment_words`) plus an
+    expression-side backtrace: walking right-to-left, among the edges
+    that achieve the position's packed optimum the LONGEST piece
+    (smallest start) wins — a deterministic tiebreak an oracle can
+    replay (the packed value already pins cost AND piece count, so the
+    tie only chooses BETWEEN equal-cost segmentations). Both passes
+    are one ``F.aggregate`` fold per distinct word; no UDF, no driver
+    loop. The unigram-LM hard-EM trainer's E-step
+    (:func:`unigram_em_costs`) consumes this."""
+    base = _viterbi_base(df, vocab, text_col, piece_col, cost_col, max_word_len)
+    folded = base.select(
+        "w", "__edges", _viterbi_best_col().alias("__best")
+    )
+    big, k = _VITERBI_BIG, _VITERBI_K
+    init = F.struct(
+        F.length("w").cast("int").alias("p"),
+        F.expr("cast(array() as array<struct<s:int,e:int>>)").alias("segs"),
+    )
+
+    def back(st, _):
+        p = st.getField("p")
+        best_p = F.element_at(F.col("__best"), p + 1)
+        cands = F.filter(
+            F.col("__edges"),
+            lambda ed: (ed.getField("e") == p)
+            & (F.element_at(F.col("__best"), ed.getField("s")) < big)
+            & (
+                F.element_at(F.col("__best"), ed.getField("s"))
+                + ed.getField("c") * k
+                + 1
+                == best_p
+            ),
+        )
+        chosen = F.array_sort(
+            F.transform(
+                cands,
+                lambda ed: F.struct(
+                    ed.getField("s").alias("s"), ed.getField("e").alias("e")
+                ),
+            )
+        )[0]
+        return F.when(p <= 0, st).otherwise(
+            F.struct(
+                (chosen.getField("s") - 1).cast("int").alias("p"),
+                F.array_append(st.getField("segs"), chosen).alias("segs"),
+            )
+        )
+
+    # each backtrace step consumes >= 1 character, so len(w) iterations
+    # always reach position 0
+    traced = folded.select(
         "w",
-        F.when(F.col("__best") < big, F.expr(f"__best div {k}")).alias(
-            "vit_cost_units"
-        ),
-        F.when(F.col("__best") < big, F.col("__best") % k).alias(
-            "vit_n_pieces"
-        ),
+        F.element_at(F.col("__best"), -1).alias("__fin"),
+        F.aggregate(F.sequence(F.lit(1), F.length("w")), init, back)
+        .getField("segs")
+        .alias("__segs"),
+    )
+    return traced.select(
+        "w",
+        F.when(
+            F.col("__fin") < big,
+            F.reverse(
+                F.transform(
+                    F.col("__segs"),
+                    lambda g: F.substring(
+                        F.col("w"),
+                        g.getField("s"),
+                        g.getField("e") - g.getField("s") + 1,
+                    ),
+                )
+            ),
+        ).alias("pieces"),
+    )
+
+
+def unigram_em_costs(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    piece_col: str = "piece",
+    cost_col: str = "cost_units",
+    scale: int = 10**6,
+    max_word_len: int = 512,
+) -> DataFrame:
+    """ONE hard-EM (Viterbi-EM) round of the unigram LM tokenizer
+    (Kudo 2018, public): E-step = each distinct word's argmin
+    segmentation under the CURRENT integer costs
+    (:func:`viterbi_segment_pieces`); M-step = occurrence-weighted
+    piece counts over those segmentations become probabilities, and
+    the new integer costs are ``round(-ln(count/total) · scale)`` —
+    the ``round(-log p · 1e6)`` units the DP was built cost-agnostic
+    for (``viterbi_segment_words`` docstring). Pieces that win ZERO
+    counts drop from the vocabulary (Kudo's pruning); every corpus
+    word stays segmentable because its own best segmentation's pieces
+    all counted. Iterate by feeding the result back in as ``vocab``.
+
+    Returns ``(piece, cost_units, piece_count)`` — control-plane
+    sized (≤ the input vocabulary). Scale shape: one distinct-word DP
+    fold, one explode + occurrence-weighted count agg (shuffle
+    carries (piece, count)), one broadcast total. The single ln() per
+    PIECE (vocab-sized, not corpus-sized) rounds at unit scale before
+    the cast, the package's cross-engine float discipline."""
+    seg = viterbi_segment_pieces(
+        df, vocab, text_col=text_col, piece_col=piece_col,
+        cost_col=cost_col, max_word_len=max_word_len,
+    )
+    wfreq = (
+        spread_for_compute(df.select(text_col))
+        .select(F.explode(F.split(normalize_text(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+    )
+    counts = (
+        wfreq.join(seg, "w")
+        .where(F.col("pieces").isNotNull())
+        .select(F.explode("pieces").alias(piece_col), "__freq")
+        .groupBy(piece_col)
+        .agg(F.sum("__freq").alias("piece_count"))
+    )
+    total = counts.agg(F.sum("piece_count").alias("__total"))
+    cost = F.round(
+        -F.log(
+            F.col("piece_count").cast("double")
+            / F.col("__total").cast("double")
+        )
+        * F.lit(float(scale))
+    ).cast("bigint")
+    return counts.crossJoin(F.broadcast(total)).select(
+        F.col(piece_col), cost.alias(cost_col), F.col("piece_count")
     )
 
 

@@ -4833,6 +4833,159 @@ def corpus_viterbi_tokens(spark, sf_dir):
     return text.viterbi_token_counts(docs, vocab)
 
 
+def _unigram_em_oracle(max_plen: int, top_n: int, max_word_len: int) -> str:
+    """One hard-EM round, fully unrolled: the rank-cost vocab + forward
+    DP CTEs (as in ``_viterbi_oracle``), then ``max_word_len`` backtrace
+    steps (at each position the achieving edge with the SMALLEST start
+    — the longest piece — wins, matching ``viterbi_segment_pieces``),
+    occurrence-weighted piece counts → ``round(-ln(p)·1e6)`` integer
+    costs (zero-count pieces drop: Kudo's pruning), a SECOND forward DP
+    under the new costs, and the per-doc totals with the LEFT-JOIN
+    NULL-poisoning of ``_viterbi_oracle``."""
+
+    def fwd(pfx: str, edges: str) -> str:
+        steps = []
+        for k in range(1, max_word_len + 1):
+            steps.append(
+                f"""{pfx}b{k} AS (
+      SELECT * FROM {pfx}b{k - 1}
+      UNION ALL
+      SELECT e.w, {k} AS pos, MIN(p.comb + e.cost * 1024 + 1) AS comb
+      FROM {edges} e JOIN {pfx}b{k - 1} p ON p.w = e.w AND p.pos = e.s - 1
+      WHERE e.e = {k}
+      GROUP BY e.w
+    )"""
+            )
+        return ",\n    ".join(steps)
+
+    back = []
+    for j in range(1, max_word_len + 1):
+        back.append(
+            f"""c{j} AS (
+      SELECT t.w, t.p, MIN(e.s) AS s
+      FROM t{j - 1} t
+      JOIN edges e ON e.w = t.w AND e.e = t.p
+      JOIN bf pb ON pb.w = t.w AND pb.pos = e.s - 1
+      JOIN bf cb ON cb.w = t.w AND cb.pos = t.p
+      WHERE t.p > 0 AND pb.comb + e.cost * 1024 + 1 = cb.comb
+      GROUP BY t.w, t.p
+    ),
+    t{j} AS (SELECT w, s - 1 AS p FROM c{j})"""
+        )
+    back_sql = ",\n    ".join(back)
+    segs_union = "\n      UNION ALL\n      ".join(
+        f"SELECT w, s, p AS e FROM c{j}" for j in range(1, max_word_len + 1)
+    )
+    return f"""
+    WITH wocc AS MATERIALIZED (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, UNNEST(string_split(
+          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+        FROM documents) WHERE w <> ''
+    ),
+    wfreq AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM wocc GROUP BY w),
+    pcount AS (
+      SELECT piece, SUM(freq) AS f FROM (
+        SELECT freq, UNNEST(flatten(
+          [[substr(w, i, l) for l in generate_series(1, {max_plen})
+            if i + l - 1 <= len(w)]
+           for i in generate_series(1, len(w))])) AS piece
+        FROM wfreq)
+      GROUP BY piece
+    ),
+    vocab AS (
+      SELECT piece,
+             CAST(row_number() OVER (ORDER BY f DESC, piece) AS BIGINT)
+               AS cost
+      FROM (
+        SELECT piece, f FROM (
+          SELECT piece, f FROM pcount ORDER BY f DESC, piece LIMIT {top_n})
+        UNION
+        SELECT piece, f FROM pcount WHERE len(piece) = 1
+      )
+    ),
+    words AS MATERIALIZED (SELECT DISTINCT w FROM wocc),
+    edges AS MATERIALIZED (
+      SELECT wr.w, t.i AS s, t.i + len(v.piece) - 1 AS e, v.cost
+      FROM words wr, UNNEST(generate_series(1, len(wr.w))) AS t(i), vocab v
+      WHERE t.i + len(v.piece) - 1 <= len(wr.w)
+        AND v.piece = substr(wr.w, t.i, len(v.piece))
+    ),
+    b0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS comb FROM words),
+    {fwd('', 'edges')},
+    bf AS MATERIALIZED (SELECT * FROM b{max_word_len}),
+    t0 AS (
+      SELECT w, len(w) AS p FROM words
+      WHERE EXISTS (SELECT 1 FROM bf
+                    WHERE bf.w = words.w AND bf.pos = len(words.w))
+    ),
+    {back_sql},
+    segs_all AS (
+      {segs_union}
+    ),
+    pc AS (
+      SELECT substr(sa.w, sa.s, sa.e - sa.s + 1) AS piece,
+             SUM(wf.freq) AS piece_count
+      FROM segs_all sa JOIN wfreq wf ON wf.w = sa.w
+      GROUP BY 1
+    ),
+    ptot AS (SELECT SUM(piece_count) AS t FROM pc),
+    vocab2 AS (
+      SELECT piece,
+             CAST(ROUND(-ln(CAST(piece_count AS DOUBLE)
+                            / CAST(t.t AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS cost
+      FROM pc, ptot t
+    ),
+    edges2 AS MATERIALIZED (
+      SELECT wr.w, t.i AS s, t.i + len(v.piece) - 1 AS e, v.cost
+      FROM words wr, UNNEST(generate_series(1, len(wr.w))) AS t(i), vocab2 v
+      WHERE t.i + len(v.piece) - 1 <= len(wr.w)
+        AND v.piece = substr(wr.w, t.i, len(v.piece))
+    ),
+    nb0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS comb FROM words),
+    {fwd('n', 'edges2')},
+    nseg AS (
+      SELECT w, comb // 1024 AS cost, comb % 1024 AS np
+      FROM nb{max_word_len} f
+      WHERE pos = len(w)
+    )
+    SELECT o.doc_id,
+           CASE WHEN COUNT(*) = COUNT(s.np)
+                THEN CAST(SUM(s.np) AS BIGINT) END AS em_tokens,
+           CASE WHEN COUNT(*) = COUNT(s.cost)
+                THEN CAST(SUM(s.cost) AS BIGINT) END AS em_cost_units
+    FROM wocc o LEFT JOIN nseg s ON s.w = o.w
+    GROUP BY o.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM hard-EM training round (Kudo 2018; operators/text.py
+# unigram_em_costs + viterbi_token_counts): E-step = each distinct
+# word's argmin segmentation under the rank-cost vocabulary (the
+# backtrace picks the longest achieving piece at each position — a
+# deterministic, oracle-replayable tiebreak), M-step = occurrence-
+# weighted piece counts → round(-ln(p)·1e6) integer costs (zero-count
+# pieces pruned), then the corpus re-tokenizes under the TRAINED
+# costs. The oracle unrolls both DPs position-by-position and the
+# backtrace step-by-step.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "corpus_unigram_em_tokens", oracle=_unigram_em_oracle(4, 50, 8)
+)
+def corpus_unigram_em_tokens(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    vocab0 = text.substring_vocab(docs, max_piece_len=4, top_n=50)
+    vocab1 = text.unigram_em_costs(docs, vocab0)
+    out = text.viterbi_token_counts(docs, vocab1)
+    return out.select(
+        "doc_id",
+        F.col("viterbi_tokens").alias("em_tokens"),
+        F.col("viterbi_cost_units").alias("em_cost_units"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE applied: per-document token counts under the merges trained on
 # this corpus (operators/text.py bpe_token_counts). The fold runs once

@@ -173,7 +173,14 @@ _PRIORITY = [
     # position); the vocabulary-keyed corpus-count-join + exact-sum
     # mechanism stays window-graded via docs_dsir_weights. Still in
     # the full local gate.
-    "corpus_viterbi_tokens",
+    # ROUND-11 ROTATION: corpus_viterbi_tokens (green r9+r10) cedes
+    # to the unigram-LM hard-EM round (Kudo 2018, new this round) —
+    # a strict SUPERSET: the incoming query runs the same vocab build
+    # + forward DP as its E-step, then the backtrace, the
+    # round(-ln p · 1e6) M-step, and a second DP under trained costs
+    # (its oracle unrolls all of it, including the LEFT-JOIN NULL
+    # poisoning). Still in the full local gate.
+    "corpus_unigram_em_tokens",
     # corpus_pmi_collocations (green r4+r5) cedes to the residual
     # IVFADC — its two-stage agg + broadcast-total mechanism stays
     # window-graded via text_unigram_ce / text_bigram_ce's corpus-count
@@ -481,9 +488,10 @@ _PRIORITY = [
     # history). Still in the full local gate.
     "orders_replace_where_state",
     # end of the 50-query driver window
-    # the eight rows ceded by the round-11 rotation (driver-green 2-4
+    # the nine rows ceded by the round-11 rotation (driver-green 2-4
     # rounds; mechanisms window-covered per the notes above)
     "similarity_ivfpq_sampled_topk",
+    "corpus_viterbi_tokens",
     "corpus_bpe_merges",
     "dedup_incremental_minhash",
     "orders_clone_state",

@@ -255,8 +255,10 @@ def test_driver_grading_window_covers_priority_queries():
         # r9 2nd wave: hilbert keys ceded to seeded TrustRank
         "graph_trustrank_seeded",
         # r9 4th wave: docs_ccnet_buckets ceded to the Viterbi unigram
-        # tokenizer (corpus-count joins stay via docs_dsir_weights)
-        "corpus_viterbi_tokens",
+        # tokenizer (corpus-count joins stay via docs_dsir_weights);
+        # r11: corpus_viterbi_tokens ceded to the unigram hard-EM
+        # round, whose E-step runs the same vocab + DP
+        "corpus_unigram_em_tokens",
         "corpus_pipeline_curated",
         "orders_merge_not_matched_state",
         # r9 2nd wave: ivfpq_topk ceded to the nDCG gauge (oracle

@@ -349,3 +349,80 @@ def test_viterbi_empty_vocab_raises(spark):
     empty = spark.createDataFrame([], "piece string, cost_units long")
     with pytest.raises(ValueError, match="empty vocabulary"):
         viterbi_segment_words(df, empty)
+
+
+def _py_viterbi_pieces(word, vc):
+    big, k = 10**15, 1024
+    n = len(word)
+    best = [0] + [big] * n
+    for i in range(1, n + 1):
+        cands = [
+            best[s - 1] + vc[word[s - 1 : i]] * k + 1
+            for s in range(1, i + 1)
+            if word[s - 1 : i] in vc and best[s - 1] < big
+        ]
+        best[i] = min(cands) if cands else big
+    if best[n] >= big:
+        return None
+    p, segs = n, []
+    while p > 0:
+        for s in range(1, p + 1):  # smallest start = longest piece
+            piece = word[s - 1 : p]
+            if (
+                piece in vc
+                and best[s - 1] < big
+                and best[s - 1] + vc[piece] * k + 1 == best[p]
+            ):
+                segs.append(piece)
+                p = s - 1
+                break
+    return list(reversed(segs))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts_st, top_n=st.integers(2, 8))
+def test_unigram_em_round_matches_python_reference(spark, texts, top_n):
+    """One hard-EM round against a plain-Python witness: the E-step's
+    argmin segmentation (longest-piece backtrace tiebreak), the
+    M-step's occurrence-weighted piece counts, and the
+    round(-ln(p)·1e6) integer costs all match exactly."""
+    import math
+
+    from data_ingestion_framework_spark.operators.text import (
+        substring_vocab,
+        unigram_em_costs,
+        viterbi_segment_pieces,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    vocab_df = substring_vocab(df, max_piece_len=3, top_n=top_n)
+    vc = {r["piece"]: r["cost_units"] for r in vocab_df.collect()}
+    words: dict[str, int] = {}
+    for t in texts:
+        for w in " ".join(t.lower().split()).split(" "):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    got = {
+        r["w"]: r["pieces"]
+        for r in viterbi_segment_pieces(df, vocab_df).collect()
+    }
+    for w in words:
+        assert got[w] == _py_viterbi_pieces(w, vc), (w, vc)
+    counts: dict[str, int] = {}
+    for w, f in words.items():
+        for p in _py_viterbi_pieces(w, vc):
+            counts[p] = counts.get(p, 0) + f
+    total = sum(counts.values())
+    want = {
+        p: (math.floor(-math.log(c / total) * 1e6 + 0.5), c)
+        for p, c in counts.items()
+    }
+    em = {
+        r["piece"]: (r["cost_units"], r["piece_count"])
+        for r in unigram_em_costs(df, vocab_df).collect()
+    }
+    assert em == want
