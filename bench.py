@@ -204,26 +204,35 @@ def main() -> None:
                 "metric_detail": "per_query_rep_samples",
                 "queries_reps": reps,
                 "reps_per_query": n_reps,
+                "calibration_before_sec": cal_before,
+                "calibration_after_sec": cal_after,
             }
         )
     )
-    final = json.dumps(
-        {
-            "metric": "headline_query_wall_time",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "calibration_sec": round((cal_before + cal_after) / 2, 3),
-            "calibration_before_sec": cal_before,
-            "calibration_after_sec": cal_after,
-            "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
-        }
-    )
-    assert len(final) < 1900, (
-        f"final bench line {len(final)} chars — would exceed the "
-        "driver's 2000-char tail capture"
-    )
+
+    total = round(sum(timings.values()), 3)
+
+    def _final_line(qmap: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": qmap,
+                "sf": sf,
+                "calibration_sec": round((cal_before + cal_after) / 2, 3),
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+            }
+        )
+
+    # Degrade precision rather than abort: the line must stay inside the
+    # driver's 2000-char stdout tail capture or the round loses its
+    # official artifact (r10 lesson). Full 3dp samples are on the
+    # per_query_rep_samples line above either way.
+    candidates = [
+        {k: round(v, nd) for k, v in timings.items()} for nd in (3, 2, 1)
+    ] + [{}]  # last resort: drop the map, keep the headline value
+    final = next(s for q in candidates if len(s := _final_line(q)) < 1900)
     print(final)
 
 

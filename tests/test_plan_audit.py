@@ -27,6 +27,7 @@ NESTED_LOOP_BY_DESIGN = {
     "docs_dsir_weights",           # corpus-total row
     "docs_bm25_topk",              # corpus stats (N, avgdl) row
     "retrieval_rrf_hybrid",        # BM25 corpus-stats row (twice: two arms)
+    "corpus_unigram_em_tokens",    # M-step piece-count total row
 }
 
 
