@@ -97,6 +97,7 @@ HEADLINE = [
     # round-11: unigram-LM hard-EM round (Kudo 2018) — E-step argmin
     # segmentation + backtrace, -ln(p) integer M-step, re-tokenize
     "corpus_unigram_em_tokens",
+    "docs_quality_lr_scores",
     # flagship composite: clean→redact→gate→dedup→decontam→quota→sample
     # with silver staging (the restartable, single-materialization form)
     "corpus_pipeline_staged",

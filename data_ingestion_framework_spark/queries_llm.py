@@ -5823,3 +5823,81 @@ def dedup_prefix_filter_pairs(spark, sf_dir):
     return dedup.prefix_filter_jaccard_pairs(
         docs, threshold_num=1, threshold_den=2, shingle_words=3
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine trained quality classifier (operators/classify.py): hashed
+# token-count features (md5 mod D — engine-reproducible hashing trick),
+# two full-batch GD steps with integer-unit weights, and a scoring
+# scan. Everything that crosses engines is either an exact BIGINT
+# (dot products, gradients, weight units) or an identical IEEE double
+# (the rational sigmoid surrogate — no exp), so the oracle unrolls
+# both GD steps CTE by CTE and hash-matches bit-for-bit. Label: the
+# doc has >= 40 tokens (same token definition on both sides).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_quality_lr_scores",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ),
+    fx AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 40 THEN 1 ELSE 0 END AS y,
+             [CAST(len(list_filter(toks,
+                t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 16 = j)) AS BIGINT)
+              for j in generate_series(0, 15)] || [CAST(1 AS BIGINT)] AS x
+      FROM tk
+    ),
+    n AS (SELECT COUNT(*) AS n FROM fx),
+    -- GD step 1 from w0 = 0: z = 0, sigma = 0.5 exactly
+    g1 AS (SELECT doc_id, x, CAST(ROUND((0.5 - y) * 1000000.0) AS BIGINT) AS g FROM fx),
+    grad1 AS (
+      SELECT j, SUM(g * x[j+1]) AS gr
+      FROM g1 CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS j) js
+      GROUP BY j
+    ),
+    w1 AS (SELECT j, 0 - CAST(ROUND(0.5 * gr / n.n) AS BIGINT) AS w FROM grad1, n),
+    -- GD step 2 under w1 (integer-unit dot, rational sigmoid)
+    z2 AS (SELECT f.doc_id, CAST(SUM(f.x[w1.j+1] * w1.w) AS BIGINT) AS zu
+           FROM fx f CROSS JOIN w1 GROUP BY f.doc_id),
+    g2 AS (
+      SELECT f.doc_id, f.x,
+             CAST(ROUND(((0.5 + (z.zu/1000000.0)/(2*(1+abs(z.zu/1000000.0)))) - f.y)
+                        * 1000000.0) AS BIGINT) AS g
+      FROM fx f JOIN z2 z USING (doc_id)
+    ),
+    grad2 AS (
+      SELECT j, SUM(g * x[j+1]) AS gr
+      FROM g2 CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS j) js
+      GROUP BY j
+    ),
+    w2 AS (SELECT w1.j, w1.w - CAST(ROUND(0.5 * g.gr / n.n) AS BIGINT) AS w
+           FROM w1 JOIN grad2 g ON g.j = w1.j, n),
+    zf AS (SELECT f.doc_id, f.y, CAST(SUM(f.x[w2.j+1] * w2.w) AS BIGINT) AS zu
+           FROM fx f CROSS JOIN w2 GROUP BY f.doc_id, f.y)
+    SELECT doc_id, CAST(y AS INT) AS label, zu AS score_units,
+           ROUND(0.5 + (zu/1000000.0)/(2*(1+abs(zu/1000000.0))), 6) AS prob,
+           zu >= 0 AS pred
+    FROM zf
+    """,
+)
+def docs_quality_lr_scores(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import classify
+
+    docs = load(spark, sf_dir, "documents")
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    return classify.quality_lr_pipeline(
+        docs, label, n_features=16, iters=2, lr=0.5
+    )

@@ -278,7 +278,15 @@ _PRIORITY = [
     # clause family) and the emitted SQL text is pytest-pinned
     # (test_merge_sql). Still in the full local gate.
     "disjunctive_promo_revenue",
-    "orders_delete_dv_state",
+    # ROUND-11 ROTATION (2nd wave): orders_delete_dv_state (green
+    # r7-r10) cedes to the in-engine trained quality classifier
+    # (hashed-feature logistic GD, new this round — its oracle unrolls
+    # both gradient steps); the COW statement family keeps
+    # orders_stats_skipping_state (which executes the same
+    # delete_where path), orders_replace_where_state and
+    # orders_partition_evolution_state in-window. Still in the full
+    # local gate.
+    "docs_quality_lr_scores",
     "docs_dsir_weights",
     # ROUND-9 ROTATION (3rd wave): similarity_hamming_topk (green
     # r7+r8) cedes to ANN-backed hard-negative mining (IVF probing +
@@ -488,6 +496,8 @@ _PRIORITY = [
     # history). Still in the full local gate.
     "orders_replace_where_state",
     # end of the 50-query driver window
+    # the row ceded by the round-11 second-wave rotation
+    "orders_delete_dv_state",
     # the nine rows ceded by the round-11 rotation (driver-green 2-4
     # rounds; mechanisms window-covered per the notes above)
     "similarity_ivfpq_sampled_topk",

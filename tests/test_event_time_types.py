@@ -277,7 +277,10 @@ def test_driver_grading_window_covers_priority_queries():
         # disjunctive cross-table pushdown shape (executor semantics
         # stay via orders_merge_not_matched_state)
         "disjunctive_promo_revenue",
-        "orders_delete_dv_state",
+        # r11 2nd wave: orders_delete_dv_state ceded to the trained
+        # quality classifier (delete_where stays executed in-window by
+        # orders_stats_skipping_state)
+        "docs_quality_lr_scores",
         "docs_dsir_weights",
         # r9 3rd wave: similarity_hamming_topk ceded to ANN-backed
         # hard-negative mining (shortlist family keeps matryoshka +
