@@ -98,6 +98,7 @@ HEADLINE = [
     # segmentation + backtrace, -ln(p) integer M-step, re-tokenize
     "corpus_unigram_em_tokens",
     "docs_quality_lr_scores",
+    "embeddings_power_iteration_proj",
     # flagship composite: clean→redact→gate→dedup→decontam→quota→sample
     # with silver staging (the restartable, single-materialization form)
     "corpus_pipeline_staged",

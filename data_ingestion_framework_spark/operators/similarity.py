@@ -2110,3 +2110,123 @@ def ann_ndcg(
             ).alias(f"ndcg_at_{k}"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Power iteration: top principal direction of the (uncentered)
+# second-moment matrix of an embedding column — the classic first
+# step of PCA / OPQ-style rotation training and a corpus-drift gauge
+# (which direction dominates a crawl snapshot). Public method:
+# von Mises iteration, v <- X^T (X v) / ||.||.
+# ---------------------------------------------------------------------------
+def _fixed_point_vectors(
+    corpus: DataFrame, id_col: str, vec_col: str, scale: int
+) -> DataFrame:
+    """``(id, xi array<bigint>)`` — embeddings in integer fixed-point
+    units (round(x·scale)), the package's cross-engine exactness
+    discipline: every downstream dot product and matvec accumulates
+    EXACTLY in integer arithmetic, so no float-summation-order hazard
+    exists anywhere in the iteration."""
+    return _spread(corpus.select(id_col, vec_col)).select(
+        id_col,
+        F.transform(
+            _to_double(F.col(vec_col)),
+            lambda x: F.round(x * F.lit(float(scale))).cast("bigint"),
+        ).alias("__xi"),
+    )
+
+
+def _int_dot(vec_col: Column, units: list[int]) -> Column:
+    """Exact BIGINT dot of an integer array column with unit weights."""
+    w = F.array(*[F.lit(int(u)).cast("bigint") for u in units])
+    return F.aggregate(
+        F.zip_with(vec_col, w, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+
+
+def power_iteration_top_direction(
+    corpus: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> list[int]:
+    """Dominant eigendirection of ``X^T X`` in integer units.
+
+    Each iteration is two exact distributed jobs over the fixed-point
+    frame: ``z_d = x_d · v`` (BIGINT fold per row) and ``s_j = Σ_d
+    z_d · x_dj`` (posexplode → groupBy(j), DECIMAL(38,0)-exact sums —
+    map-side combined, ``dim`` result rows). Only the dim-long ``s``
+    vector reaches the driver, where it is normalized (IEEE ops on
+    correctly-rounded doubles — bit-identical on any engine) and
+    re-scaled to units for the next pass. Init: the all-ones
+    direction (deterministic, engine-free). The corpus never leaves
+    the executors; driver data is O(dim) per iteration — the same
+    control-plane discipline as ``ivf_train_centroids``.
+    """
+    import math
+
+    xi = _fixed_point_vectors(corpus, id_col, vec_col, scale).localCheckpoint()
+    first = xi.select(F.size("__xi")).first()
+    if first is None:
+        raise ValueError("power_iteration_top_direction: empty corpus")
+    dim = first[0]
+    v = [scale] * dim
+    for _ in range(iters):
+        s_rows = (
+            xi.select(_int_dot(F.col("__xi"), v).alias("__z"), "__xi")
+            .select("__z", F.posexplode("__xi").alias("__j", "__xv"))
+            .groupBy("__j")
+            .agg(
+                F.sum(
+                    F.col("__z").cast("decimal(20,0)")
+                    * F.col("__xv").cast("decimal(18,0)")
+                ).alias("__s")
+            )
+            .collect()
+        )
+        s = {r["__j"]: int(r["__s"]) for r in s_rows}
+        sd = [float(s.get(j, 0)) for j in range(dim)]
+        acc = 0.0
+        for x in sd:  # sequential: DuckDB list_sum's fold order
+            acc += x * x
+        norm = math.sqrt(acc)
+        if norm == 0.0:
+            raise ValueError(
+                "power_iteration_top_direction: zero matvec (all-zero "
+                "corpus or direction annihilated)"
+            )
+        v = [_round_units(x / norm * scale) for x in sd]
+    return v
+
+
+def _round_units(x: float) -> int:
+    """HALF_UP round to integer — twin of Spark F.round / DuckDB ROUND."""
+    import decimal
+
+    return int(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def principal_projections(
+    corpus: DataFrame,
+    v_units: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Project every vector onto a unit-direction: ``(id, proj_units
+    BIGINT exact, proj double)`` — one expression-only scan. ``proj``
+    rescales by ``scale²`` (vector units × direction units)."""
+    xi = _fixed_point_vectors(corpus, id_col, vec_col, scale)
+    z = _int_dot(F.col("__xi"), v_units)
+    return xi.select(
+        id_col,
+        z.alias("proj_units"),
+        F.round(z.cast("double") / F.lit(float(scale) ** 2), 6).alias("proj"),
+    )

@@ -5901,3 +5901,53 @@ def docs_quality_lr_scores(spark, sf_dir):
     return classify.quality_lr_pipeline(
         docs, label, n_features=16, iters=2, lr=0.5
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration PCA (operators/similarity.py): three von Mises
+# rounds over the embeddings' uncentered second moment, then every
+# vector's projection onto the dominant direction. The whole
+# iteration is integer fixed-point (BIGINT dots, DECIMAL(38,0)
+# matvec sums); the only float ops are the driver-side normalization
+# on correctly-rounded doubles — so the oracle unrolls all three
+# rounds (HUGEINT matvec, ordered list_sum norm) and hash-matches
+# exactly.
+# ---------------------------------------------------------------------------
+def _power_iter_sql(n: int) -> str:
+    return f"""
+    z{n} AS (SELECT e.vec_id, CAST(SUM(e.xi * v.w) AS BIGINT) AS z
+             FROM ei e JOIN v{n-1} v ON v.j = e.i GROUP BY e.vec_id),
+    s{n} AS (SELECT e.i AS j, SUM(CAST(z.z AS HUGEINT) * e.xi) AS s
+             FROM ei e JOIN z{n} z USING (vec_id) GROUP BY e.i),
+    nrm{n} AS (SELECT sqrt(list_sum([x*x for x in
+                (SELECT list(CAST(s AS DOUBLE) ORDER BY j) FROM s{n})])) AS nrm),
+    v{n} AS (SELECT j, CAST(ROUND(CAST(s AS DOUBLE) / nrm * 1000000.0) AS BIGINT) AS w
+             FROM s{n}, nrm{n})"""
+
+
+@bench_query(
+    "embeddings_power_iteration_proj",
+    oracle=f"""
+    WITH ei AS (
+      SELECT vec_id,
+             CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xi,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    dim AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
+    v0 AS (SELECT UNNEST(generate_series(1, d)) AS j,
+                  CAST(1000000 AS BIGINT) AS w FROM dim),
+    {_power_iter_sql(1)},
+    {_power_iter_sql(2)},
+    {_power_iter_sql(3)},
+    zf AS (SELECT e.vec_id, CAST(SUM(e.xi * v.w) AS BIGINT) AS proj_units
+           FROM ei e JOIN v3 v ON v.j = e.i GROUP BY e.vec_id)
+    SELECT vec_id, proj_units,
+           ROUND(proj_units / 1000000000000.0, 6) AS proj
+    FROM zf
+    """,
+)
+def embeddings_power_iteration_proj(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    v = similarity.power_iteration_top_direction(emb, iters=3)
+    return similarity.principal_projections(emb, v)

@@ -294,7 +294,14 @@ _PRIORITY = [
     # machinery is pytest-pinned and the ANN shortlist family keeps
     # similarity_matryoshka_topk, similarity_ivfpq_sampled_topk and
     # similarity_ivf_ndcg in-window. Still in the full local gate.
-    "embeddings_hard_negatives_ann",
+    # ROUND-11 ROTATION (2nd wave): embeddings_hard_negatives_ann
+    # (green r9+r10) cedes to power-iteration PCA (new this round:
+    # integer fixed-point von Mises matvec, oracle unrolls all three
+    # rounds); the IVF probe machinery stays window-graded via
+    # similarity_ivf_ndcg + similarity_ivf_recall (both re-derive the
+    # coarse index and the probe ranking) and the k-NN joins. Still in
+    # the full local gate.
+    "embeddings_power_iteration_proj",
     # ROUND-11 ROTATION: dedup_incremental_minhash (green r7-r10)
     # cedes to the blocked-vs-exact recall gauge — whose oracle
     # RE-RUNS the same MinHash banding against the exact-Jaccard pair
@@ -496,8 +503,9 @@ _PRIORITY = [
     # history). Still in the full local gate.
     "orders_replace_where_state",
     # end of the 50-query driver window
-    # the row ceded by the round-11 second-wave rotation
+    # the rows ceded by the round-11 second-wave rotation
     "orders_delete_dv_state",
+    "embeddings_hard_negatives_ann",
     # the nine rows ceded by the round-11 rotation (driver-green 2-4
     # rounds; mechanisms window-covered per the notes above)
     "similarity_ivfpq_sampled_topk",

@@ -285,7 +285,10 @@ def test_driver_grading_window_covers_priority_queries():
         # r9 3rd wave: similarity_hamming_topk ceded to ANN-backed
         # hard-negative mining (shortlist family keeps matryoshka +
         # sampled IVFADC + nDCG in-window)
-        "embeddings_hard_negatives_ann",
+        # r11 2nd wave: embeddings_hard_negatives_ann ceded to
+        # power-iteration PCA (IVF probe machinery stays via the
+        # nDCG/recall gauges and the k-NN joins)
+        "embeddings_power_iteration_proj",
         # r11: dedup_incremental_minhash ceded to the blocked-vs-exact
         # recall gauge (its oracle re-runs the same banding)
         "dedup_blocked_recall",

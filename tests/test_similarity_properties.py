@@ -517,3 +517,75 @@ def test_ivf_knn_join_pq_recall_measured(spark):
     rec = similarity.ann_recall(exact, pq, k=3).collect()
     assert len(rec) == 30
     assert all(0.0 <= r["recall_at_3"] <= 1.0 for r in rec)
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration PCA: plain-Python witness parity — the iteration is
+# integer fixed-point end to end, so the witness matches EXACTLY.
+# ---------------------------------------------------------------------------
+def _py_power_iteration(vecs, iters=3, scale=10**6):
+    import math
+
+    from data_ingestion_framework_spark.operators.similarity import (
+        _round_units,
+    )
+
+    xi = [[_round_units(x * scale) for x in v] for v in vecs]
+    dim = len(xi[0])
+    v = [scale] * dim
+    for _ in range(iters):
+        z = [sum(a * b for a, b in zip(row, v)) for row in xi]
+        s = [sum(z[d] * xi[d][j] for d in range(len(xi))) for j in range(dim)]
+        acc = 0.0
+        for x in s:
+            acc += float(x) * float(x)
+        norm = math.sqrt(acc)
+        v = [_round_units(float(x) / norm * scale) for x in s]
+    return xi, v
+
+
+def test_power_iteration_matches_python_witness(spark):
+    from data_ingestion_framework_spark.operators import similarity
+
+    vecs = [
+        [1.25, -0.5, 0.125],
+        [0.75, 0.25, -1.0],
+        [-0.333333, 0.666667, 0.111111],
+        [2.0, 1.5, 0.0],
+        [0.0, 0.0, 0.0],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    got_v = similarity.power_iteration_top_direction(df, iters=3)
+    xi, exp_v = _py_power_iteration(vecs)
+    assert got_v == exp_v
+    projs = {
+        r["vec_id"]: r["proj_units"]
+        for r in similarity.principal_projections(df, got_v).collect()
+    }
+    for i, row in enumerate(xi):
+        assert projs[i] == sum(a * b for a, b in zip(row, exp_v)), i
+
+
+def test_power_iteration_deterministic_and_unit_norm(spark):
+    from data_ingestion_framework_spark.operators import similarity
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v1 = similarity.power_iteration_top_direction(df, iters=2)
+    v2 = similarity.power_iteration_top_direction(df, iters=2)
+    assert v1 == v2
+    # unit direction in 1e-6 units: sum of squares ~ scale^2
+    ss = sum(u * u for u in v1)
+    assert abs(ss - 10**12) < 10**8, ss
+
+
+def test_power_iteration_empty_corpus_raises(spark):
+    from data_ingestion_framework_spark.operators import similarity
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    try:
+        similarity.power_iteration_top_direction(df)
+        raise AssertionError("expected ValueError on empty corpus")
+    except ValueError:
+        pass
