@@ -99,6 +99,7 @@ HEADLINE = [
     "corpus_unigram_em_tokens",
     "docs_quality_lr_scores",
     "embeddings_power_iteration_proj",
+    "embeddings_kcenter_coreset",
     # flagship composite: clean→redact→gate→dedup→decontam→quota→sample
     # with silver staging (the restartable, single-materialization form)
     "corpus_pipeline_staged",

@@ -2230,3 +2230,109 @@ def principal_projections(
         z.alias("proj_units"),
         F.round(z.cast("double") / F.lit(float(scale) ** 2), 6).alias("proj"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (Gonzalez 1985 farthest-first
+# traversal; Sener & Savarese 2018 as the data-selection framing):
+# pick k corpus vectors such that every vector is close to some
+# pick — the classic diversity-selection / coreset primitive for
+# training-data curation. Exact integer arithmetic end to end
+# (fixed-point squared L2), so selection and assignment are
+# bit-reproducible on any engine — the DuckDB oracle replays every
+# greedy round.
+# ---------------------------------------------------------------------------
+def _sq_dist_units(vec_col: Column, units: list[int]) -> Column:
+    """Exact BIGINT squared L2 between an integer array column and
+    literal units."""
+    w = F.array(*[F.lit(int(u)).cast("bigint") for u in units])
+    return F.aggregate(
+        F.zip_with(vec_col, w, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> list[tuple]:
+    """Farthest-first traversal: returns ``[(id, units), ...]`` — the
+    k greedy centers. Seed: the vector with the lowest ``md5(id)``
+    (the package's deterministic, engine-reproducible sampling
+    order — same discipline as the IVF seeds). Each further round
+    broadcasts the current centers as literals and takes the row
+    MAXIMIZING its distance-to-nearest-center (TakeOrdered, ties on
+    id ascending) — one control-plane-sized job per round, the
+    corpus never leaves the executors. All distances are exact
+    BIGINT squared-L2 in fixed-point units: zero float ops anywhere,
+    so the greedy trajectory is bit-deterministic.
+    """
+    if k < 1:
+        raise ValueError("kcenter_select: k must be >= 1")
+    xi = _fixed_point_vectors(corpus, id_col, vec_col, scale).localCheckpoint()
+    seed = (
+        xi.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(1)
+        .collect()
+    )
+    if not seed:
+        raise ValueError("kcenter_select: empty corpus")
+    centers = [(seed[0][id_col], [int(x) for x in seed[0]["__xi"]])]
+    for _ in range(1, k):
+        mind = F.least(
+            *[_sq_dist_units(F.col("__xi"), u) for _, u in centers]
+        ) if len(centers) > 1 else _sq_dist_units(
+            F.col("__xi"), centers[0][1]
+        )
+        far = (
+            xi.select(id_col, "__xi", mind.alias("__d"))
+            .orderBy(F.col("__d").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        r = far[0]
+        if r["__d"] == 0:
+            break  # every remaining vector coincides with a center
+        centers.append((r[id_col], [int(x) for x in r["__xi"]]))
+    return centers
+
+
+def kcenter_assign(
+    corpus: DataFrame,
+    centers: list[tuple],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Assign every vector to its nearest greedy center: ``(id,
+    center_id, dist_units)`` — ties by center RANK (selection order),
+    the deterministic greedy contract. One expression-only scan:
+    distances to all k centers fold per row, ``array_min`` over
+    ``(dist, rank)`` structs picks the winner — no join, no shuffle.
+    """
+    xi = _fixed_point_vectors(corpus, id_col, vec_col, scale)
+    scored = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist_units(F.col("__xi"), u).alias("d"),
+                    F.lit(i).cast("int").alias("rank"),
+                )
+                for i, (_, u) in enumerate(centers)
+            ]
+        )
+    )[0]
+    rank_to_id = F.array(
+        *[F.lit(cid).cast("bigint") for cid, _ in centers]
+    )
+    return xi.select(
+        id_col,
+        F.element_at(rank_to_id, scored.getField("rank") + 1).alias(
+            "center_id"
+        ),
+        scored.getField("d").alias("dist_units"),
+    )

@@ -5951,3 +5951,71 @@ def embeddings_power_iteration_proj(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     v = similarity.power_iteration_top_direction(emb, iters=3)
     return similarity.principal_projections(emb, v)
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (operators/similarity.py kcenter_select /
+# kcenter_assign): Gonzalez farthest-first traversal as a
+# data-selection primitive — 4 greedy rounds, then every vector's
+# nearest-center assignment. Exact BIGINT fixed-point squared-L2
+# everywhere (zero float ops), so the oracle replays the whole greedy
+# trajectory: seed by md5 order, each next center the argmax of
+# distance-to-nearest (ties id ASC), assignment ties by selection
+# rank. Assumes >= k distinct vectors (the operator breaks early on a
+# degenerate corpus; the driver tables are distinct).
+# ---------------------------------------------------------------------------
+def _kcenter_d_sql(n: int) -> str:
+    return f"""
+    d{n} AS (SELECT a.vec_id, CAST(SUM((a.xi - b.xi)*(a.xi - b.xi)) AS BIGINT) AS d
+             FROM ei a JOIN ei b ON b.i = a.i AND b.vec_id = (SELECT vec_id FROM c{n})
+             GROUP BY a.vec_id)"""
+
+
+@bench_query(
+    "embeddings_kcenter_coreset",
+    oracle=f"""
+    WITH ei AS (
+      SELECT vec_id,
+             CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xi,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    c1 AS (SELECT vec_id FROM (
+             SELECT vec_id, row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM embeddings) WHERE rn = 1),
+    {_kcenter_d_sql(1)},
+    c2 AS (SELECT vec_id FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+    {_kcenter_d_sql(2)},
+    c3 AS (SELECT d1.vec_id FROM d1 JOIN d2 USING (vec_id)
+           ORDER BY least(d1.d, d2.d) DESC, d1.vec_id LIMIT 1),
+    {_kcenter_d_sql(3)},
+    c4 AS (SELECT d1.vec_id FROM d1 JOIN d2 USING (vec_id) JOIN d3 USING (vec_id)
+           ORDER BY least(d1.d, d2.d, d3.d) DESC, d1.vec_id LIMIT 1),
+    {_kcenter_d_sql(4)},
+    cts AS (
+      SELECT vec_id, 0 AS rank FROM c1
+      UNION ALL SELECT vec_id, 1 FROM c2
+      UNION ALL SELECT vec_id, 2 FROM c3
+      UNION ALL SELECT vec_id, 3 FROM c4
+    ),
+    alld AS (
+      SELECT vec_id, 0 AS rank, d FROM d1
+      UNION ALL SELECT vec_id, 1, d FROM d2
+      UNION ALL SELECT vec_id, 2, d FROM d3
+      UNION ALL SELECT vec_id, 3, d FROM d4
+    ),
+    best AS (
+      SELECT vec_id, rank, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, rank) AS rn
+      FROM alld
+    )
+    SELECT b.vec_id, c.vec_id AS center_id, b.d AS dist_units
+    FROM best b JOIN cts c ON c.rank = b.rank
+    WHERE b.rn = 1
+    """,
+)
+def embeddings_kcenter_coreset(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    centers = similarity.kcenter_select(emb, k=4)
+    return similarity.kcenter_assign(emb, centers)

@@ -409,7 +409,15 @@ _PRIORITY = [
     # crash-safe cursor discipline and the in-window
     # orders_stream_table_state exercise. Still in the full local gate.
     "embeddings_ivf_index_state",
-    "cdf_merge_changes",
+    # ROUND-11 ROTATION (2nd wave): cdf_merge_changes (driver-green
+    # r1-r10, the window's longest-green row) cedes to the greedy
+    # k-center coreset (farthest-first data selection, new this
+    # round — its oracle replays the full greedy trajectory); the
+    # change-feed full-outer diff mechanism stays window-graded via
+    # orders_version_diff_state (as_of ∘ find_delta composes the same
+    # insert/update/delete comparison) and the merge executors
+    # (orders_merge_not_matched_state). Still in the full local gate.
+    "embeddings_kcenter_coreset",
     # ROUND-8 ROTATION: docs_fuzzy_entity_pairs (driver-green r5+r6)
     # cedes to the HyperLogLog distinct sketch; the blocked-capped
     # self-join mechanism stays window-graded via
@@ -506,6 +514,7 @@ _PRIORITY = [
     # the rows ceded by the round-11 second-wave rotation
     "orders_delete_dv_state",
     "embeddings_hard_negatives_ann",
+    "cdf_merge_changes",
     # the nine rows ceded by the round-11 rotation (driver-green 2-4
     # rounds; mechanisms window-covered per the notes above)
     "similarity_ivfpq_sampled_topk",

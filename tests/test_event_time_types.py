@@ -215,7 +215,9 @@ def test_driver_grading_window_covers_priority_queries():
         # IVF index lifecycle (idempotent-ledger ingestion semantics
         # stay via the index cursor + orders_stream_table_state)
         "embeddings_ivf_index_state",
-        "cdf_merge_changes",
+        # r11 2nd wave: cdf_merge_changes ceded to the greedy k-center
+        # coreset (full-outer diff stays via orders_version_diff_state)
+        "embeddings_kcenter_coreset",
         # r8: docs_fuzzy_entity_pairs ceded to the HLL sketch;
         # r11: events_hll_distinct_users ceded to the count-min sketch
         # (same mergeable-bounded family; HLL fold pytest-pinned)

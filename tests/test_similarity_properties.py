@@ -589,3 +589,92 @@ def test_power_iteration_empty_corpus_raises(spark):
         raise AssertionError("expected ValueError on empty corpus")
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center: Python witness parity (exact integer trajectory)
+# plus the farthest-first invariants.
+# ---------------------------------------------------------------------------
+def _py_kcenter(ids_vecs, k, scale=10**6):
+    import hashlib as _h
+
+    from data_ingestion_framework_spark.operators.similarity import (
+        _round_units,
+    )
+
+    xi = {i: [_round_units(x * scale) for x in v] for i, v in ids_vecs}
+    seed = min(xi, key=lambda i: (_h.md5(str(i).encode()).hexdigest(), i))
+    centers = [seed]
+
+    def sq(a, b):
+        return sum((p - q) * (p - q) for p, q in zip(a, b))
+
+    for _ in range(1, k):
+        far = max(
+            xi,
+            key=lambda i: (min(sq(xi[i], xi[c]) for c in centers), -i),
+        )
+        if min(sq(xi[far], xi[c]) for c in centers) == 0:
+            break
+        centers.append(far)
+    assign = {}
+    for i in xi:
+        d, r = min(
+            (sq(xi[i], xi[c]), rank) for rank, c in enumerate(centers)
+        )
+        assign[i] = (centers[r], d)
+    return centers, assign
+
+
+def test_kcenter_matches_python_witness(spark):
+    from data_ingestion_framework_spark.operators import similarity
+
+    ids_vecs = [
+        (1, [0.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, [0.0, 1.5]),
+        (4, [10.0, 10.0]),
+        (5, [10.0, 10.5]),
+        (6, [-5.0, 2.0]),
+        (7, [0.1, 0.1]),
+    ]
+    df = spark.createDataFrame(
+        ids_vecs, "vec_id long, embedding array<double>"
+    )
+    centers = similarity.kcenter_select(df, k=3)
+    exp_centers, exp_assign = _py_kcenter(ids_vecs, 3)
+    assert [c[0] for c in centers] == exp_centers
+    got = {
+        r["vec_id"]: (r["center_id"], r["dist_units"])
+        for r in similarity.kcenter_assign(df, centers).collect()
+    }
+    assert got == exp_assign
+
+
+def test_kcenter_duplicate_corpus_stops_early(spark):
+    from data_ingestion_framework_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    centers = similarity.kcenter_select(df, k=3)
+    assert len(centers) == 1  # all vectors coincide: one center covers
+
+
+def test_kcenter_cover_radius_shrinks_monotonically(spark):
+    from data_ingestion_framework_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    radii = []
+    for k in (1, 2, 4):
+        centers = similarity.kcenter_select(df, k=k)
+        r = (
+            similarity.kcenter_assign(df, centers)
+            .agg(F.max("dist_units"))
+            .first()[0]
+        )
+        radii.append(r)
+    assert radii[0] >= radii[1] >= radii[2]
+    assert radii[2] < radii[0]
