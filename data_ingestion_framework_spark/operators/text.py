@@ -1216,6 +1216,7 @@ def substring_vocab(
     text_col: str = "text",
     max_piece_len: int = 4,
     top_n: int = 200,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate piece vocabulary for unigram-style tokenization: every
     substring (length ≤ ``max_piece_len``) of every word, weighted by
@@ -1242,14 +1243,14 @@ def substring_vocab(
     control-plane claim is ENFORCED, not assumed: a ``top_n`` above
     ``SUBSTRING_VOCAB_MAX_KEPT`` (1e6) raises up front, and the collect
     itself is LIMIT-capped and raises if the kept set exceeds the cap
-    (a pathological alphabet can't flood the driver)."""
+    (a pathological alphabet can't flood the driver). ``word_freqs``
+    shares a precomputed :func:`word_frequencies` frame across the
+    tokenizer-build stages."""
     words = (
-        spread_for_compute(df.select(text_col))
-        .select(F.explode(F.split(normalize_text(text_col), " ")).alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+        word_freqs
+        if word_freqs is not None
+        else word_frequencies(df, text_col)
+    ).select("w", "freq")
     # substring() needs literal args in the Column form — build the
     # (start, len) grid with one expr-side comprehension instead
     pieces = (
@@ -1315,6 +1316,7 @@ def viterbi_segment_words(
     piece_col: str = "piece",
     cost_col: str = "cost_units",
     max_word_len: int = 512,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Minimum-cost (Viterbi) segmentation of every DISTINCT word under
     an integer piece-cost vocabulary — the unigram-LM tokenizer's
@@ -1332,7 +1334,9 @@ def viterbi_segment_words(
     driver loop, vocab-sized work. Words with no segmentation (a
     character outside the vocab) return NULL pieces. Returns
     ``(w, vit_cost_units, vit_n_pieces)``."""
-    base = _viterbi_base(df, vocab, text_col, piece_col, cost_col, max_word_len)
+    base = _viterbi_base(
+        df, vocab, text_col, piece_col, cost_col, max_word_len, words=words
+    )
     folded = base.select("w", _viterbi_best_col().alias("__bestarr"))
     big, k = _VITERBI_BIG, _VITERBI_K
     best = F.element_at(F.col("__bestarr"), -1)
@@ -1345,6 +1349,23 @@ def viterbi_segment_words(
     )
 
 
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(w, freq)`` — corpus word-occurrence counts over the
+    normalized token definition every unigram-tokenizer stage shares.
+    Composites that run several stages over the same corpus
+    (vocab build → EM round → final token count) should compute this
+    ONCE, ``localCheckpoint()`` it, and pass it down via the stages'
+    ``word_freqs``/``words`` parameters — one corpus scan instead of
+    one per stage."""
+    return (
+        spread_for_compute(df.select(text_col))
+        .select(F.explode(F.split(normalize_text(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
 def _viterbi_base(
     df: DataFrame,
     vocab: DataFrame,
@@ -1352,19 +1373,27 @@ def _viterbi_base(
     piece_col: str,
     cost_col: str,
     max_word_len: int,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Shared DP input frame ``(w, __edges)``: the corpus's distinct
     words, each with its packed edge list — every ``(start, end,
     cost)`` arc where a vocab piece spans those word positions. One
     substring explode over the DISTINCT-word table (vocab-sized) + one
-    vocab join; both Viterbi entry points fold over it."""
-    words = (
-        spread_for_compute(df.select(text_col))
-        .select(F.explode(F.split(normalize_text(text_col), " ")).alias("w"))
-        .where(F.col("w") != "")
-        .distinct()
-        .localCheckpoint(eager=False)  # guard + spans + final join reuse it
-    )
+    vocab join; both Viterbi entry points fold over it. ``words``
+    short-circuits the distinct-word scan with a caller-shared
+    ``(w)`` frame (see :func:`word_frequencies`)."""
+    if words is not None:
+        words = words.select("w")
+    else:
+        words = (
+            spread_for_compute(df.select(text_col))
+            .select(
+                F.explode(F.split(normalize_text(text_col), " ")).alias("w")
+            )
+            .where(F.col("w") != "")
+            .distinct()
+            .localCheckpoint(eager=False)  # guard + spans + final join reuse
+        )
     too_long = words.where(F.length("w") > max_word_len)
     if too_long.limit(1).count():
         raise ValueError(
@@ -1451,6 +1480,7 @@ def viterbi_segment_pieces(
     piece_col: str = "piece",
     cost_col: str = "cost_units",
     max_word_len: int = 512,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """The argmin segmentation ITSELF per distinct word — ``(w, pieces
     array<string>)``, NULL for unsegmentable words. Forward DP (the
@@ -1463,7 +1493,9 @@ def viterbi_segment_pieces(
     are one ``F.aggregate`` fold per distinct word; no UDF, no driver
     loop. The unigram-LM hard-EM trainer's E-step
     (:func:`unigram_em_costs`) consumes this."""
-    base = _viterbi_base(df, vocab, text_col, piece_col, cost_col, max_word_len)
+    base = _viterbi_base(
+        df, vocab, text_col, piece_col, cost_col, max_word_len, words=words
+    )
     folded = base.select(
         "w", "__edges", _viterbi_best_col().alias("__best")
     )
@@ -1537,6 +1569,7 @@ def unigram_em_costs(
     cost_col: str = "cost_units",
     scale: int = 10**6,
     max_word_len: int = 512,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """ONE hard-EM (Viterbi-EM) round of the unigram LM tokenizer
     (Kudo 2018, public): E-step = each distinct word's argmin
@@ -1555,17 +1588,17 @@ def unigram_em_costs(
     fold, one explode + occurrence-weighted count agg (shuffle
     carries (piece, count)), one broadcast total. The single ln() per
     PIECE (vocab-sized, not corpus-sized) rounds at unit scale before
-    the cast, the package's cross-engine float discipline."""
+    the cast, the package's cross-engine float discipline.
+    ``word_freqs`` shares a precomputed :func:`word_frequencies` frame
+    (it also feeds the E-step's distinct-word base) — pass a
+    checkpointed one when composing several stages over one corpus."""
+    wfreq = (
+        word_freqs if word_freqs is not None else word_frequencies(df, text_col)
+    ).select("w", F.col("freq").alias("__freq"))
     seg = viterbi_segment_pieces(
         df, vocab, text_col=text_col, piece_col=piece_col,
         cost_col=cost_col, max_word_len=max_word_len,
-    )
-    wfreq = (
-        spread_for_compute(df.select(text_col))
-        .select(F.explode(F.split(normalize_text(text_col), " ")).alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("__freq"))
+        words=wfreq,
     )
     counts = (
         wfreq.join(seg, "w")
@@ -1594,6 +1627,7 @@ def viterbi_token_counts(
     id_col: str = "doc_id",
     piece_col: str = "piece",
     cost_col: str = "cost_units",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document token counts and total segmentation cost under the
     Viterbi tokenizer — the unigram sibling of :func:`bpe_token_counts`
@@ -1605,7 +1639,8 @@ def viterbi_token_counts(
     both totals come back NULL rather than a silently-undercounted sum
     that reads as a valid token count."""
     seg = viterbi_segment_words(
-        df, vocab, text_col=text_col, piece_col=piece_col, cost_col=cost_col
+        df, vocab, text_col=text_col, piece_col=piece_col, cost_col=cost_col,
+        words=words,
     )
     toks = df.select(
         F.col(id_col),

@@ -4976,9 +4976,12 @@ def _unigram_em_oracle(max_plen: int, top_n: int, max_word_len: int) -> str:
 )
 def corpus_unigram_em_tokens(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    vocab0 = text.substring_vocab(docs, max_piece_len=4, top_n=50)
-    vocab1 = text.unigram_em_costs(docs, vocab0)
-    out = text.viterbi_token_counts(docs, vocab1)
+    # one corpus word scan shared by all four stages (vocab build,
+    # E-step base, M-step weights, final count DP)
+    wf = text.word_frequencies(docs).localCheckpoint()
+    vocab0 = text.substring_vocab(docs, max_piece_len=4, top_n=50, word_freqs=wf)
+    vocab1 = text.unigram_em_costs(docs, vocab0, word_freqs=wf)
+    out = text.viterbi_token_counts(docs, vocab1, words=wf)
     return out.select(
         "doc_id",
         F.col("viterbi_tokens").alias("em_tokens"),
