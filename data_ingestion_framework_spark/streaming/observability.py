@@ -24,17 +24,29 @@ from pyspark.sql.streaming import StreamingQueryListener
 PROGRESS_SCHEMA = (
     "query_id string, run_id string, batch_id bigint, ts string, "
     "num_input_rows bigint, batch_duration_ms bigint, "
-    "state_rows_total bigint, sources string"
+    "state_rows_total bigint, sources string, backlog_commits bigint"
 )
 
 
 class ProgressLogger(StreamingQueryListener):
     """Buffer every ``onQueryProgress`` event; ``flush()`` appends the
-    buffered rows to ``table`` (a :class:`ParquetTable`) and clears."""
+    buffered rows to ``table`` (a :class:`ParquetTable`) and clears.
 
-    def __init__(self, spark, table):
+    ``difs_backlog_path`` watches a rate-limited ``difs`` stream
+    source (``maxCommitsPerTrigger``): each progress row then records
+    ``backlog_commits`` — the table's true commit head minus the
+    highest ``{"seq": N}`` end-offset the batch consumed — so an ops
+    query can see HOW FAR BEHIND a draining stream is, not just that
+    batches are flowing. The head comes from the commit log's
+    filename listing (pure ``os.listdir`` — legal on the listener
+    thread; the engine's source description carries no path, which is
+    why the watched table is named explicitly). NULL when unwatched
+    or when no source exposes a seq offset."""
+
+    def __init__(self, spark, table, difs_backlog_path: str | None = None):
         self.spark = spark
         self.table = table
+        self.difs_backlog_path = difs_backlog_path
         self.rows: list[tuple] = []
 
     # -- listener callbacks (buffer only — never start jobs here) ----------
@@ -46,6 +58,27 @@ class ProgressLogger(StreamingQueryListener):
         state_rows = 0
         for op in p.stateOperators or []:
             state_rows += op.numRowsTotal or 0
+        backlog = None
+        if self.difs_backlog_path is not None:
+            consumed = None
+            for s in p.sources or []:
+                try:
+                    off = json.loads(s.endOffset or "null")
+                except (TypeError, ValueError):
+                    continue
+                if isinstance(off, dict) and isinstance(
+                    off.get("seq"), int
+                ):
+                    seq = off["seq"]
+                    consumed = seq if consumed is None else max(consumed, seq)
+            if consumed is not None:
+                from data_ingestion_framework_spark.sources.pyds import (
+                    _records,
+                )
+
+                names = _records(self.difs_backlog_path)
+                head = int(names[-1][:8]) if names else 0
+                backlog = max(0, head - consumed)
         self.rows.append(
             (
                 str(p.id),
@@ -65,6 +98,7 @@ class ProgressLogger(StreamingQueryListener):
                     ],
                     sort_keys=True,
                 ),
+                backlog,
             )
         )
 

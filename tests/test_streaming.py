@@ -1337,3 +1337,55 @@ def test_stream_append_with_ivf_index_exactly_once(spark, tmp_path):
         for r in ivf_cosine_topk(emb_all, queries, cents, k=4, nprobe=2).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_progress_logger_reports_difs_backlog(spark, tmp_path):
+    """Rate-limited difs streams drain a backlog over many triggers;
+    the listener turns each batch's {"seq": N} end-offset plus the
+    commit log's filename head into backlog_commits — driven with
+    synthetic progress events (the exact engine callback payload) so
+    the computation is pinned without trigger-timing flakiness."""
+    from types import SimpleNamespace
+
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+    from data_ingestion_framework_spark.streaming.observability import (
+        ProgressLogger,
+    )
+
+    p = str(tmp_path / "t")
+    t = ParquetTable(spark, p)
+    for i in range(5):  # commit head: seq 5
+        t.append(spark.createDataFrame([(i,)], "k long").coalesce(1))
+    ledger = ParquetTable(spark, str(tmp_path / "metrics"))
+    listener = ProgressLogger(spark, ledger, difs_backlog_path=p)
+
+    def ev(batch_id, end_offset):
+        return SimpleNamespace(
+            progress=SimpleNamespace(
+                id="q", runId="r", batchId=batch_id, timestamp="2026-01-01",
+                numInputRows=1, batchDuration=10, stateOperators=[],
+                sources=[
+                    SimpleNamespace(
+                        description="difs", numInputRows=1,
+                        endOffset=end_offset,
+                    )
+                ],
+            )
+        )
+
+    listener.onQueryProgress(ev(0, '{"seq": 2}'))   # 3 commits behind
+    listener.onQueryProgress(ev(1, '{"seq": 4}'))   # 1 behind
+    listener.onQueryProgress(ev(2, '{"seq": 5}'))   # drained
+    listener.onQueryProgress(ev(3, None))           # no offset -> NULL
+    assert listener.flush() == 4
+    got = {
+        r["batch_id"]: r["backlog_commits"] for r in ledger.read().collect()
+    }
+    assert got == {0: 3, 1: 1, 2: 0, 3: None}
+
+    # unwatched logger records NULL even with a seq offset
+    ledger2 = ParquetTable(spark, str(tmp_path / "metrics2"))
+    plain = ProgressLogger(spark, ledger2)
+    plain.onQueryProgress(ev(0, '{"seq": 2}'))
+    plain.flush()
+    assert ledger2.read().collect()[0]["backlog_commits"] is None
