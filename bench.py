@@ -100,6 +100,7 @@ HEADLINE = [
     "docs_quality_lr_scores",
     "embeddings_power_iteration_proj",
     "embeddings_kcenter_coreset",
+    "embeddings_mmr_select",
     # flagship composite: clean→redact→gate→dedup→decontam→quota→sample
     # with silver staging (the restartable, single-materialization form)
     "corpus_pipeline_staged",

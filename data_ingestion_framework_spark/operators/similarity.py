@@ -2336,3 +2336,84 @@ def kcenter_assign(
         ),
         scored.getField("d").alias("dist_units"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy
+# relevance-vs-redundancy selection — the retrieval-diversification /
+# few-shot-example-selection primitive. Same integer fixed-point
+# greedy machinery as k-center: exact BIGINT inner products, rational
+# lambda as an integer weighting, bit-deterministic trajectory the
+# oracle replays round by round.
+# ---------------------------------------------------------------------------
+def mmr_select(
+    corpus: DataFrame,
+    query_units: list[int],
+    k: int = 4,
+    lam_num: int = 1,
+    lam_den: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list | None = None,
+    scale: int = 10**6,
+) -> list[dict]:
+    """Greedy MMR over inner-product scores: round r picks the row
+    maximizing ``lam_num·rel − (lam_den−lam_num)·max_sim_to_selected``
+    (ties id ASC) — with the default λ=1/2 that is ``rel − max_sim``
+    scaled by 2. ``rel`` and ``sim`` are exact BIGINT fixed-point
+    inner products (query side via ``query_units``, also in units).
+    One TakeOrdered job per round over a checkpointed relevance
+    frame; only the k picked rows' units reach the driver. Returns
+    ``[{id, rank, rel_units, max_prev_sim_units}, ...]`` —
+    ``max_prev_sim_units`` is None for the first pick (pure
+    relevance, the MMR base case).
+    """
+    if k < 1:
+        raise ValueError("mmr_select: k must be >= 1")
+    if not 0 < lam_num <= lam_den:
+        raise ValueError("mmr_select: need 0 < lam_num <= lam_den")
+    xi = _fixed_point_vectors(corpus, id_col, vec_col, scale)
+    if exclude_ids:
+        xi = xi.where(~F.col(id_col).isin(list(exclude_ids)))
+    rel = xi.select(
+        id_col, "__xi", _int_dot(F.col("__xi"), query_units).alias("__rel")
+    ).localCheckpoint()
+    picks: list[dict] = []
+    sims: list[Column] = []
+    for rank in range(1, k + 1):
+        cand = rel.where(
+            ~F.col(id_col).isin([p["id"] for p in picks])
+        ) if picks else rel
+        if sims:
+            redundancy = F.greatest(*sims) if len(sims) > 1 else sims[0]
+            score = (
+                F.lit(int(lam_num)).cast("bigint") * F.col("__rel")
+                - F.lit(int(lam_den - lam_num)).cast("bigint") * redundancy
+            )
+        else:
+            redundancy = F.lit(None).cast("bigint")
+            score = F.col("__rel")
+        row = (
+            cand.select(
+                id_col, "__xi", "__rel",
+                score.alias("__score"), redundancy.alias("__red"),
+            )
+            .orderBy(F.col("__score").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            break
+        r = row[0]
+        units = [int(x) for x in r["__xi"]]
+        max_prev = None if r["__red"] is None else int(r["__red"])
+        picks.append(
+            {
+                "id": r[id_col],
+                "rank": rank,
+                "rel_units": int(r["__rel"]),
+                "max_prev_sim_units": max_prev,
+            }
+        )
+        sims.append(_int_dot(F.col("__xi"), units))
+    return picks

@@ -6022,3 +6022,82 @@ def embeddings_kcenter_coreset(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     centers = similarity.kcenter_select(emb, k=4)
     return similarity.kcenter_assign(emb, centers)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified selection (operators/similarity.py mmr_select):
+# four greedy rounds of lambda=1/2 maximal marginal relevance against
+# query vector vec_id 0 — relevance and redundancy are exact BIGINT
+# fixed-point inner products, so the oracle replays the greedy
+# trajectory round by round (rel frame, per-pick sim frames, the
+# rel - max_sim argmax with id-ASC ties) and hash-matches exactly.
+# ---------------------------------------------------------------------------
+def _mmr_s_sql(n: int) -> str:
+    return f"""
+    s{n} AS (SELECT e.vec_id, CAST(SUM(e.xi * b.xi) AS BIGINT) AS s
+             FROM ei e JOIN ei b ON b.i = e.i AND b.vec_id = (SELECT vec_id FROM m{n})
+             WHERE e.vec_id <> 0 GROUP BY e.vec_id)"""
+
+
+@bench_query(
+    "embeddings_mmr_select",
+    oracle=f"""
+    WITH ei AS (
+      SELECT vec_id,
+             CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xi,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    q AS (SELECT xi, i FROM ei WHERE vec_id = 0),
+    rel AS (SELECT e.vec_id, CAST(SUM(e.xi * q.xi) AS BIGINT) AS rel
+            FROM ei e JOIN q ON q.i = e.i WHERE e.vec_id <> 0
+            GROUP BY e.vec_id),
+    m1 AS (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 1),
+    {_mmr_s_sql(1)},
+    m2 AS (SELECT r.vec_id, r.rel, s1.s AS red
+           FROM rel r JOIN s1 USING (vec_id)
+           WHERE r.vec_id NOT IN (SELECT vec_id FROM m1)
+           ORDER BY r.rel - s1.s DESC, r.vec_id LIMIT 1),
+    {_mmr_s_sql(2)},
+    m3 AS (SELECT r.vec_id, r.rel, greatest(s1.s, s2.s) AS red
+           FROM rel r JOIN s1 USING (vec_id) JOIN s2 USING (vec_id)
+           WHERE r.vec_id NOT IN (SELECT vec_id FROM m1
+                                  UNION ALL SELECT vec_id FROM m2)
+           ORDER BY r.rel - greatest(s1.s, s2.s) DESC, r.vec_id LIMIT 1),
+    {_mmr_s_sql(3)},
+    m4 AS (SELECT r.vec_id, r.rel, greatest(s1.s, s2.s, s3.s) AS red
+           FROM rel r JOIN s1 USING (vec_id) JOIN s2 USING (vec_id)
+                      JOIN s3 USING (vec_id)
+           WHERE r.vec_id NOT IN (SELECT vec_id FROM m1
+                                  UNION ALL SELECT vec_id FROM m2
+                                  UNION ALL SELECT vec_id FROM m3)
+           ORDER BY r.rel - greatest(s1.s, s2.s, s3.s) DESC, r.vec_id LIMIT 1)
+    SELECT 1 AS rank, vec_id, rel AS rel_units,
+           CAST(NULL AS BIGINT) AS max_prev_sim_units FROM m1
+    UNION ALL SELECT 2, vec_id, rel, red FROM m2
+    UNION ALL SELECT 3, vec_id, rel, red FROM m3
+    UNION ALL SELECT 4, vec_id, rel, red FROM m4
+    """,
+)
+def embeddings_mmr_select(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qrow = (
+        similarity._fixed_point_vectors(emb, "vec_id", "embedding", 10**6)
+        .where(F.col("vec_id") == 0)
+        .first()
+    )
+    picks = similarity.mmr_select(
+        emb,
+        [int(x) for x in qrow["__xi"]],
+        k=4,
+        lam_num=1,
+        lam_den=2,
+        exclude_ids=[0],
+    )
+    return spark.createDataFrame(
+        [
+            (p["rank"], p["id"], p["rel_units"], p["max_prev_sim_units"])
+            for p in picks
+        ],
+        "rank int, vec_id bigint, rel_units bigint, max_prev_sim_units bigint",
+    )

@@ -287,7 +287,15 @@ _PRIORITY = [
     # orders_partition_evolution_state in-window. Still in the full
     # local gate.
     "docs_quality_lr_scores",
-    "docs_dsir_weights",
+    # ROUND-11 ROTATION (2nd wave): docs_dsir_weights (green r7-r10)
+    # cedes to MMR diversified selection (greedy relevance-vs-
+    # redundancy retrieval, new this round — its oracle replays the
+    # integer greedy trajectory); the hashed-count + broadcast-total
+    # weighting mechanism stays window-graded via
+    # corpus_unigram_em_tokens (occurrence-weighted counts over a
+    # broadcast total) and docs_chunk_bm25_topk (corpus-stats
+    # weighting). Still in the full local gate.
+    "embeddings_mmr_select",
     # ROUND-9 ROTATION (3rd wave): similarity_hamming_topk (green
     # r7+r8) cedes to ANN-backed hard-negative mining (IVF probing +
     # fused label filter, new this round); the binary-signature
@@ -515,6 +523,7 @@ _PRIORITY = [
     "orders_delete_dv_state",
     "embeddings_hard_negatives_ann",
     "cdf_merge_changes",
+    "docs_dsir_weights",
     # the nine rows ceded by the round-11 rotation (driver-green 2-4
     # rounds; mechanisms window-covered per the notes above)
     "similarity_ivfpq_sampled_topk",

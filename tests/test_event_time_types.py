@@ -283,7 +283,10 @@ def test_driver_grading_window_covers_priority_queries():
         # quality classifier (delete_where stays executed in-window by
         # orders_stats_skipping_state)
         "docs_quality_lr_scores",
-        "docs_dsir_weights",
+        # r11 2nd wave: docs_dsir_weights ceded to MMR diversified
+        # selection (weighting mechanism stays via the EM tokenizer
+        # counts and BM25 corpus stats)
+        "embeddings_mmr_select",
         # r9 3rd wave: similarity_hamming_topk ceded to ANN-backed
         # hard-negative mining (shortlist family keeps matryoshka +
         # sampled IVFADC + nDCG in-window)

@@ -678,3 +678,74 @@ def test_kcenter_cover_radius_shrinks_monotonically(spark):
         radii.append(r)
     assert radii[0] >= radii[1] >= radii[2]
     assert radii[2] < radii[0]
+
+
+# ---------------------------------------------------------------------------
+# MMR: Python witness parity (exact integer greedy trajectory).
+# ---------------------------------------------------------------------------
+def test_mmr_select_matches_python_witness(spark):
+    from data_ingestion_framework_spark.operators import similarity
+    from data_ingestion_framework_spark.operators.similarity import (
+        _round_units,
+    )
+
+    vecs = {
+        1: [1.0, 0.0, 0.0],
+        2: [0.9, 0.1, 0.0],     # relevant but redundant with 1
+        3: [0.0, 1.0, 0.0],
+        4: [0.5, 0.5, 0.5],
+        5: [-1.0, 0.2, 0.1],
+    }
+    q = [1.0, 0.5, 0.0]
+    df = spark.createDataFrame(
+        list(vecs.items()), "vec_id long, embedding array<double>"
+    )
+    scale = 10**6
+    qu = [_round_units(x * scale) for x in q]
+    xi = {i: [_round_units(x * scale) for x in v] for i, v in vecs.items()}
+
+    def dot(a, b):
+        return sum(p * r for p, r in zip(a, b))
+
+    # witness greedy (lambda = 1/2: score = rel - max_sim)
+    rel = {i: dot(v, qu) for i, v in xi.items()}
+    sel, expected = [], []
+    for rank in range(1, 4):
+        cands = [i for i in xi if i not in sel]
+        if sel:
+            scored = [
+                (rel[i] - max(dot(xi[i], xi[s]) for s in sel), -i, i)
+                for i in cands
+            ]
+        else:
+            scored = [(rel[i], -i, i) for i in cands]
+        _, _, best = max(scored)
+        expected.append(
+            (
+                rank,
+                best,
+                rel[best],
+                max(dot(xi[best], xi[s]) for s in sel) if sel else None,
+            )
+        )
+        sel.append(best)
+
+    picks = similarity.mmr_select(df, qu, k=3)
+    got = [
+        (p["rank"], p["id"], p["rel_units"], p["max_prev_sim_units"])
+        for p in picks
+    ]
+    assert got == expected
+    # first pick is the pure-relevance argmax; later picks diversify
+    assert got[0][1] == max(rel, key=lambda i: (rel[i], -i))
+
+
+def test_mmr_select_k_exceeding_corpus_truncates(spark):
+    from data_ingestion_framework_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    picks = similarity.mmr_select(df, [10**6, 0], k=5)
+    assert len(picks) == 2
