@@ -67,8 +67,19 @@ def hashed_token_features(
     hashing trick with an engine-reproducible hash (DuckDB replays it
     as ``('0x' || substr(md5(t),1,15))::BIGINT % D``). Index
     ``n_features`` is the intercept (constant 1). Pure column
-    expression: one pass, no shuffle, O(D · tokens) work per row.
+    expression: one pass, no shuffle, O(D · tokens) work per row —
+    which is why ``n_features`` is capped at 4096: a fastText-width
+    feature space (millions of buckets) needs an explode → groupBy
+    sparse build, not this dense fold, and silently accepting it
+    would turn the scan quadratic-ish. The cap is enforced, not
+    assumed.
     """
+    if not 1 <= n_features <= 4096:
+        raise ValueError(
+            f"hashed_token_features: n_features={n_features} outside "
+            "[1, 4096] — the dense per-row fold is O(D·tokens); use a "
+            "sparse explode/groupBy build for wider feature spaces"
+        )
     toks = _tokens(text_col)
     hs = F.transform(
         toks,

@@ -136,3 +136,12 @@ def test_empty_training_frame_raises(spark):
         raise AssertionError("expected ValueError on empty frame")
     except ValueError:
         pass
+
+
+def test_feature_width_cap_enforced(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    try:
+        classify.hashed_token_features(df, n_features=5000)
+        raise AssertionError("expected ValueError above the dense-fold cap")
+    except ValueError as e:
+        assert "n_features" in str(e)
