@@ -106,14 +106,15 @@ def hashed_token_features(
     return spread_for_compute(df).select(*cols)
 
 
-def _z_units(feat_col: Column, w_units: list[int]) -> Column:
-    """Exact BIGINT dot product of integer counts with unit weights."""
-    w_lit = F.array(*[F.lit(int(w)).cast("bigint") for w in w_units])
-    return F.aggregate(
-        F.zip_with(feat_col, w_lit, lambda x, w: x * w),
-        F.lit(0).cast("bigint"),
-        lambda a, b: a + b,
-    )
+# The exact-BIGINT dot and the HALF_UP round twin are the package-wide
+# fixed-point primitives — one definition (similarity.py) keeps the
+# cross-engine exactness contract in one place.
+from data_ingestion_framework_spark.operators.similarity import (  # noqa: E402
+    _int_dot as _z_units,
+)
+from data_ingestion_framework_spark.operators.similarity import (  # noqa: E402
+    _round_units as _round_half_up,
+)
 
 
 def _surrogate_sigmoid(z_units: Column) -> Column:
@@ -172,18 +173,6 @@ def gd_train_linear_units(
             for j in range(n_features)
         ]
     return w
-
-
-def _round_half_up(x: float) -> int:
-    """Python twin of Spark's ``F.round(double)`` / DuckDB ``ROUND``:
-    HALF_UP on the shortest decimal repr (banker-free)."""
-    import decimal
-
-    return int(
-        decimal.Decimal(repr(float(x))).quantize(
-            decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
-        )
-    )
 
 
 def linear_classifier_scores(

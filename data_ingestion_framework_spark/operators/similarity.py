@@ -2146,6 +2146,33 @@ def _int_dot(vec_col: Column, units: list[int]) -> Column:
     )
 
 
+def _max_abs_units(xi: DataFrame) -> int:
+    """Largest |unit| in a fixed-point frame — one tiny agg over the
+    (checkpointed) frame, feeding the overflow guards below."""
+    row = xi.select(
+        F.max(
+            F.aggregate(
+                F.col("__xi"),
+                F.lit(0).cast("bigint"),
+                lambda a, b: F.greatest(a, F.abs(b)),
+            )
+        ).alias("m")
+    ).first()
+    return int(row["m"]) if row and row["m"] is not None else 0
+
+
+def _guard_int64(bound: int, what: str) -> None:
+    """The exact-integer pipelines MUST NOT wrap silently: Spark's
+    non-ANSI bigint arithmetic would return a plausible-looking wrong
+    answer. Raise while the bound is still a Python int."""
+    if bound >= 2**62:  # one bit of headroom under int64
+        raise ValueError(
+            f"integer fixed-point overflow risk in {what}: worst-case "
+            f"magnitude {bound:.3g} approaches 2^63 — rescale the "
+            "embeddings (or lower `scale`) before calling"
+        )
+
+
 def power_iteration_top_direction(
     corpus: DataFrame,
     iters: int = 3,
@@ -2173,6 +2200,12 @@ def power_iteration_top_direction(
     if first is None:
         raise ValueError("power_iteration_top_direction: empty corpus")
     dim = first[0]
+    bmax = _max_abs_units(xi)
+    # |z| <= dim·bmax·|v|max with |v|max <= scale (unit direction, and
+    # the all-ones init). Only the int64 dot can wrap SILENTLY — the
+    # DECIMAL(38,0) matvec sum overflows loudly (null/raise under
+    # Spark's decimal rules), so the guard covers the quiet case.
+    _guard_int64(dim * bmax * scale, "power_iteration_top_direction")
     v = [scale] * dim
     for _ in range(iters):
         s_rows = (
@@ -2274,6 +2307,11 @@ def kcenter_select(
     if k < 1:
         raise ValueError("kcenter_select: k must be >= 1")
     xi = _fixed_point_vectors(corpus, id_col, vec_col, scale).localCheckpoint()
+    bmax = _max_abs_units(xi)
+    # squared L2 <= dim·(2·bmax)² — silent int64 wrap forbidden
+    dim_row = xi.select(F.size("__xi")).first()
+    if dim_row is not None:
+        _guard_int64(dim_row[0] * (2 * bmax) ** 2, "kcenter_select")
     seed = (
         xi.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(1)
@@ -2326,8 +2364,11 @@ def kcenter_assign(
             ]
         )
     )[0]
+    # center ids keep the corpus id column's OWN type (a bigint cast
+    # would NULL out string ids silently)
+    id_type = corpus.schema[id_col].dataType
     rank_to_id = F.array(
-        *[F.lit(cid).cast("bigint") for cid, _ in centers]
+        *[F.lit(cid).cast(id_type) for cid, _ in centers]
     )
     return xi.select(
         id_col,
@@ -2375,9 +2416,20 @@ def mmr_select(
     xi = _fixed_point_vectors(corpus, id_col, vec_col, scale)
     if exclude_ids:
         xi = xi.where(~F.col(id_col).isin(list(exclude_ids)))
+    xi = xi.localCheckpoint()
+    # score = lam_num·rel − (lam_den−lam_num)·max_sim: every term is a
+    # dim·bmax·max(bmax, |q|max) dot times a lambda weight. Guard
+    # BEFORE the relevance dot — under ANSI the overflow would raise
+    # mid-job with a bare ArithmeticException, and on a non-ANSI
+    # session it would wrap silently.
+    bmax = _max_abs_units(xi)
+    qmax = max((abs(int(u)) for u in query_units), default=0)
+    _guard_int64(
+        lam_den * len(query_units) * bmax * max(bmax, qmax), "mmr_select"
+    )
     rel = xi.select(
         id_col, "__xi", _int_dot(F.col("__xi"), query_units).alias("__rel")
-    ).localCheckpoint()
+    )
     picks: list[dict] = []
     sims: list[Column] = []
     for rank in range(1, k + 1):

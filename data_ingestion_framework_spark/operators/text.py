@@ -1615,8 +1615,15 @@ def unigram_em_costs(
         )
         * F.lit(float(scale))
     ).cast("bigint")
-    return counts.crossJoin(F.broadcast(total)).select(
-        F.col(piece_col), cost.alias(cost_col), F.col("piece_count")
+    # EAGER: the result is vocab-sized (control-plane) but its lineage
+    # embeds the full distributed E-step DP — left lazy, every
+    # downstream action (max_plen probe, edge join, broadcast) would
+    # re-run the whole EM round; the checkpoint pins it to one
+    # execution, the same eager contract as substring_vocab
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(F.col(piece_col), cost.alias(cost_col), F.col("piece_count"))
+        .localCheckpoint()
     )
 
 

@@ -1057,7 +1057,11 @@ class ParquetTable:
         (``{seq:08d}.json``), ``None`` if absent. No log replay."""
         name = f"{seq:08d}.json"
         path = os.path.join(self._log_dir(), name)
-        if name not in self._record_names() or not os.path.isfile(path):
+        # isfile alone decides: the fixed 8-digit name can never collide
+        # with an aux-prefixed file, and re-listing the whole log dir
+        # here would put O(table-age) work back into the per-batch path
+        # these accessors exist to avoid
+        if not os.path.isfile(path):
             return None
         with open(path) as f:
             return json.load(f)

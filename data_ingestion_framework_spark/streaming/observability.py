@@ -111,11 +111,17 @@ class ProgressLogger(StreamingQueryListener):
     # -- explicit flush ------------------------------------------------------
     def flush(self) -> int:
         """Append buffered progress rows to the table; returns how many
-        landed. Call after ``awaitTermination`` — not from a callback."""
+        landed. Call after ``awaitTermination`` — not from a callback.
+        ``merge_schema=True`` so a ledger created before a telemetry
+        column existed (e.g. pre-``backlog_commits``) keeps accepting
+        flushes — old rows read the new column back as NULL — instead
+        of crashing on schema enforcement and dropping the buffer."""
         if not self.rows:
             return 0
         batch = self.spark.createDataFrame(self.rows, PROGRESS_SCHEMA)
         n = len(self.rows)
-        self.table.append(batch, metrics={"progress_events": n})
+        self.table.append(
+            batch, metrics={"progress_events": n}, merge_schema=True
+        )
         self.rows = []
         return n

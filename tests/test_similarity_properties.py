@@ -749,3 +749,40 @@ def test_mmr_select_k_exceeding_corpus_truncates(spark):
     )
     picks = similarity.mmr_select(df, [10**6, 0], k=5)
     assert len(picks) == 2
+
+
+def test_kcenter_assign_preserves_string_ids(spark):
+    from data_ingestion_framework_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("b", [5.0, 5.0]), ("c", [0.1, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    centers = similarity.kcenter_select(df, k=2)
+    got = {
+        r["vec_id"]: r["center_id"]
+        for r in similarity.kcenter_assign(df, centers).collect()
+    }
+    assert set(got.values()) <= {"a", "b", "c"}
+    assert None not in got.values()
+
+
+def test_fixed_point_operators_refuse_overflow_magnitudes(spark):
+    """Silent int64 wrap is forbidden: huge-magnitude embeddings raise
+    up front instead of returning a plausible wrong answer."""
+    from data_ingestion_framework_spark.operators import similarity
+
+    big = spark.createDataFrame(
+        [(1, [1.0e7, 0.0]), (2, [0.0, 1.0e7]), (3, [5.0e6, 5.0e6])],
+        "vec_id long, embedding array<double>",
+    )
+    for call in (
+        lambda: similarity.power_iteration_top_direction(big, iters=1),
+        lambda: similarity.kcenter_select(big, k=2),
+        lambda: similarity.mmr_select(big, [10**13, 10**13], k=2),
+    ):
+        try:
+            call()
+            raise AssertionError("expected overflow-guard ValueError")
+        except ValueError as e:
+            assert "overflow" in str(e)

@@ -1389,3 +1389,41 @@ def test_progress_logger_reports_difs_backlog(spark, tmp_path):
     plain.onQueryProgress(ev(0, '{"seq": 2}'))
     plain.flush()
     assert ledger2.read().collect()[0]["backlog_commits"] is None
+
+
+def test_progress_logger_flush_into_pre_backlog_ledger(spark, tmp_path):
+    """Schema-evolution compat: a metrics ledger created BEFORE the
+    backlog_commits column existed must keep accepting flushes (old
+    rows read the new column as NULL) instead of crashing on schema
+    enforcement and dropping the buffered telemetry."""
+    from types import SimpleNamespace
+
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+    from data_ingestion_framework_spark.streaming.observability import (
+        ProgressLogger,
+    )
+
+    old_schema = (
+        "query_id string, run_id string, batch_id bigint, ts string, "
+        "num_input_rows bigint, batch_duration_ms bigint, "
+        "state_rows_total bigint, sources string"
+    )
+    ledger = ParquetTable(spark, str(tmp_path / "metrics"))
+    ledger.append(
+        spark.createDataFrame(
+            [("q0", "r0", 0, "2025-01-01", 5, 10, 0, "[]")], old_schema
+        )
+    )
+    listener = ProgressLogger(spark, ledger)
+    listener.onQueryProgress(
+        SimpleNamespace(
+            progress=SimpleNamespace(
+                id="q1", runId="r1", batchId=1, timestamp="2026-01-01",
+                numInputRows=2, batchDuration=10, stateOperators=[],
+                sources=[],
+            )
+        )
+    )
+    assert listener.flush() == 1
+    got = {r["batch_id"]: r["backlog_commits"] for r in ledger.read().collect()}
+    assert got == {0: None, 1: None}
