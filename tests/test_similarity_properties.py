@@ -786,3 +786,32 @@ def test_fixed_point_operators_refuse_overflow_magnitudes(spark):
             raise AssertionError("expected overflow-guard ValueError")
         except ValueError as e:
             assert "overflow" in str(e)
+
+
+def test_power_iteration_rayleigh_quotient_is_monotone(spark):
+    """von Mises invariant: each iteration's direction explains at
+    least as much second-moment energy as the last (tiny slack for the
+    1e-6 unit rounding) — catches any sign/indexing bug the exact
+    witness parity test could share with the implementation."""
+    from data_ingestion_framework_spark.operators import similarity
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    xi = [
+        [float(x) for x in r["__xi"]]
+        for r in similarity._fixed_point_vectors(
+            df, "vec_id", "embedding", 10**6
+        ).collect()
+    ]
+
+    def rayleigh(v):
+        vv = sum(a * a for a in v)
+        return sum(
+            sum(a * b for a, b in zip(row, v)) ** 2 for row in xi
+        ) / vv
+
+    rqs = [
+        rayleigh([float(u) for u in similarity.power_iteration_top_direction(df, iters=i)])
+        for i in (1, 2, 3)
+    ]
+    assert rqs[1] >= rqs[0] * 0.999999
+    assert rqs[2] >= rqs[1] * 0.999999
