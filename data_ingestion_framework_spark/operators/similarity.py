@@ -850,9 +850,9 @@ def ivf_knn_join_pq(
     (measure with :func:`ann_recall`); ADC distances round to 6dp and
     sum as DECIMAL so the shortlist cut is engine-exact. Returns
     ``(left_id, right_id, cos_sim)``, ties on id ascending.
-    Reference semantics: the reference's ANN join surfaces
-    (vector_ops/knn.(rs|go)) rank by exact cosine; the PQ stages are
-    this repo's scale path on the same contract."""
+    Beyond-reference surface (the reference has no ANN code — SURVEY
+    §7.2 item 11): the contract is "rank by exact cosine", and the PQ
+    stages are this repo's scale path to it."""
     if shortlist is None:
         shortlist = 4 * k
     if shortlist < k:

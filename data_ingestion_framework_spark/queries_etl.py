@@ -1748,7 +1748,8 @@ def orders_stream_table_state(spark, sf_dir):
 # COPY INTO lifecycle under the oracle gate (Delta ``COPY INTO``
 # idempotent file ingestion; the reference's landing→raw loads re-list
 # the landing dir per run and depend on file-name tracking for
-# exactly-once — writers/reader.py landing scans). Three landing drops
+# exactly-once — readers/streaming_readers.py cloudFiles tracking).
+# Three landing drops
 # arrive; the loader runs FOUR times with overlapping scopes (drop0
 # alone, whole dir twice, whole dir once more after nothing changed).
 # The final state must equal orders exactly once — any break in the

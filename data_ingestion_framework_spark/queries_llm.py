@@ -183,7 +183,7 @@ def similarity_cosine_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # MinHash-LSH near-dup pairs — xxhash64-based, not portable to DuckDB:
 # registered without an oracle (driver rows-only check; semantics pinned
-# by tests/test_dedup.py on synthetic near-duplicates).
+# by tests/test_dedup_similarity.py on synthetic near-duplicates).
 # ---------------------------------------------------------------------------
 @bench_query("dedup_minhash_pairs")
 def dedup_minhash_pairs(spark, sf_dir):

@@ -3101,7 +3101,7 @@ class ParquetTable:
         """Idempotent incremental file ingestion — Delta's ``COPY INTO``
         (the reference's landing→raw loads re-list the landing dir per
         run and rely on Auto Loader / file-name tracking for
-        exactly-once, writers/reader.py landing scans; this is the
+        exactly-once, readers/streaming_readers.py cloudFiles; this is the
         batch-SQL equivalent). Every call lists ``source_dir``
         recursively, subtracts the files already in the ledger, appends
         only the new ones, and commits the updated cumulative ledger
