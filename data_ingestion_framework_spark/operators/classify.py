@@ -33,6 +33,26 @@ GD step shuffles only (feature_index, partial_sum) pairs — map-side
 combined, ≤ D+1 rows per partition; scoring is another pure
 expression scan. Steps are driver round-trips exactly like the BPE
 trainer's merge rounds.
+
+Two feature layouts share the same trainer contract:
+
+- **dense** (``hashed_token_features``): one ``array<bigint>`` column
+  per row, capped at D ≤ 4096 — the per-row fold is O(D·tokens).
+- **sparse** (``hashed_token_features_sparse``): long-format
+  ``(id, label, bucket, count)`` triples for fastText-width feature
+  spaces (10^5–10^7 buckets, CCNet-style quality filters) where the
+  dense fold is rightly refused. The shuffle carries only the
+  NONZERO (id, bucket, count) triples; each GD step is a broadcast
+  weight join + two aggs, and only the (D+1)-long gradient reaches
+  the driver. ``quality_lr_pipeline(sparse=True)`` threads it
+  end-to-end; ``tests/test_classify.py`` pins dense/sparse weight
+  parity at D=16.
+
+Every exact-integer sum is overflow-guarded BEFORE launching the job
+(``similarity._guard_int64`` — on a non-ANSI session BIGINT wraps
+silently into plausible-looking wrong weights): the gradient bound is
+``n_rows · UNIT_SCALE · max_count`` and the dot bound is
+``max|w| · max_row_count_sum``, both from one small stats agg.
 """
 
 from __future__ import annotations
@@ -106,15 +126,37 @@ def hashed_token_features(
     return spread_for_compute(df).select(*cols)
 
 
-# The exact-BIGINT dot and the HALF_UP round twin are the package-wide
-# fixed-point primitives — one definition (similarity.py) keeps the
-# cross-engine exactness contract in one place.
+# The exact-BIGINT dot, the HALF_UP round twin and the int64 overflow
+# guard are the package-wide fixed-point primitives — one definition
+# (similarity.py) keeps the cross-engine exactness contract in one
+# place.
+from data_ingestion_framework_spark.operators.similarity import (  # noqa: E402
+    _guard_int64,
+)
 from data_ingestion_framework_spark.operators.similarity import (  # noqa: E402
     _int_dot as _z_units,
 )
 from data_ingestion_framework_spark.operators.similarity import (  # noqa: E402
     _round_units as _round_half_up,
 )
+
+
+def _dense_feat_stats(feats: DataFrame, feat_col: str) -> tuple[int, int]:
+    """``(max_count, max_row_sum)`` over a dense feature frame — one
+    small agg feeding the overflow guards (counts are non-negative by
+    construction, so ``greatest`` is the max)."""
+    zero = F.lit(0).cast("bigint")
+    row = feats.select(
+        F.max(
+            F.aggregate(F.col(feat_col), zero, lambda a, b: F.greatest(a, b))
+        ).alias("mx"),
+        F.max(
+            F.aggregate(F.col(feat_col), zero, lambda a, b: a + b)
+        ).alias("rs"),
+    ).first()
+    if row is None or row["mx"] is None:
+        raise ValueError("empty feature frame")
+    return int(row["mx"]), int(row["rs"])
 
 
 def _surrogate_sigmoid(z_units: Column) -> Column:
@@ -142,6 +184,18 @@ def gd_train_linear_units(
     fraction (0.5, 0.25) so the update is correctly rounded from
     identical inputs on every engine.
     """
+    return _gd_train_dense_with_stats(feats, iters, lr, feat_col, label_col)[0]
+
+
+def _gd_train_dense_with_stats(
+    feats: DataFrame,
+    iters: int,
+    lr: float,
+    feat_col: str,
+    label_col: str,
+) -> tuple[list[int], int]:
+    """``(weights, max_row_sum)`` — the trainer body, also handing the
+    scoring guard its bound so the pipeline never re-scans for stats."""
     first = feats.select(F.size(feat_col)).first()
     if first is None:
         raise ValueError("gd_train_linear_units: empty training frame")
@@ -152,8 +206,18 @@ def gd_train_linear_units(
     n_rows = feats.count()
     if n_rows == 0:
         raise ValueError("gd_train_linear_units: empty training frame")
+    max_count, row_sum_max = _dense_feat_stats(feats, "__x")
+    # grad_j = Σ_rows g·x_j with |g| <= UNIT_SCALE — silent BIGINT wrap
+    # on a non-ANSI session would yield plausible wrong weights
+    _guard_int64(
+        n_rows * UNIT_SCALE * max(max_count, 1),
+        "gd_train_linear_units gradient",
+    )
     w = [0] * n_features
     for _ in range(iters):
+        maxw = max((abs(x) for x in w), default=0)
+        # |x·w| <= max|w| · Σ_j x_j — guard before each scoring pass
+        _guard_int64(maxw * row_sum_max, "gd_train_linear_units dot")
         g = F.round(
             (_surrogate_sigmoid(_z_units(F.col("__x"), w)) - F.col("__y").cast("double"))
             * F.lit(float(UNIT_SCALE))
@@ -172,23 +236,214 @@ def gd_train_linear_units(
             w[j] - _round_half_up(lr * grad.get(j, 0) / n_rows)
             for j in range(n_features)
         ]
-    return w
+    return w, row_sum_max
 
 
 def linear_classifier_scores(
     feats: DataFrame,
     w_units: list[int],
     feat_col: str = "features",
+    row_sum_max: int | None = None,
 ) -> DataFrame:
     """Score a feature frame under trained unit weights: appends
     ``score_units`` (exact BIGINT logit units), ``prob`` (surrogate
-    sigmoid, rounded 6) and ``pred``. Pure expression scan."""
+    sigmoid, rounded 6) and ``pred``. Pure expression scan; the
+    ``x·w`` fold is guarded against silent int64 wrap first —
+    ``row_sum_max`` skips the stats scan when the caller (the
+    pipeline) already measured it on the training frame."""
+    if row_sum_max is None:
+        _, row_sum_max = _dense_feat_stats(feats, feat_col)
+    maxw = max((abs(int(x)) for x in w_units), default=0)
+    _guard_int64(maxw * row_sum_max, "linear_classifier_scores dot")
     z = _z_units(F.col(feat_col), w_units)
     return feats.select(
         "*",
         z.alias("score_units"),
         F.round(_surrogate_sigmoid(z), 6).alias("prob"),
         (z >= 0).alias("pred"),
+    )
+
+
+def hashed_token_features_sparse(
+    df: DataFrame,
+    text_col: str = "text",
+    n_features: int = 65536,
+    id_col: str = "doc_id",
+    label: Column | None = None,
+) -> DataFrame:
+    """Long-format hashed bag-of-words: ``(id, [label,] bucket, count)``
+    — the fastText-width layout the dense fold refuses above D=4096.
+
+    Bucket ``j`` ∈ [0, D) counts tokens with md5 15-hex-prefix ≡ j
+    (mod D), the SAME engine-reproducible hash as the dense builder;
+    bucket ``D`` is the intercept (count 1 for every document,
+    including token-less ones — appended to the hash array before the
+    explode so the whole build is ONE scan). Only NONZERO triples
+    exist: the shuffle carries (id, bucket, count) with map-side
+    combine, never a D-wide row — O(tokens) work regardless of D."""
+    if n_features < 1:
+        raise ValueError(
+            f"hashed_token_features_sparse: n_features={n_features} < 1"
+        )
+    hs = F.transform(
+        _tokens(text_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+        .cast("bigint")
+        % n_features,
+    )
+    all_j = F.concat(hs, F.array(F.lit(n_features).cast("bigint")))
+    cols = [F.col(id_col)]
+    grp = [id_col]
+    if label is not None:
+        cols.append(label.cast("int").alias("label"))
+        grp.append("label")
+    rows = spread_for_compute(df).select(
+        *cols, F.explode(all_j).alias("bucket")
+    )
+    return rows.groupBy(*grp, "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("count")
+    )
+
+
+def _sparse_feat_stats(triples: DataFrame, id_col: str) -> tuple[int, int, int]:
+    """``(n_rows, max_count, max_row_sum)`` over a sparse triple frame
+    — one groupBy(id) agg (every document has its intercept row, so
+    the group count IS the document count)."""
+    per_doc = triples.groupBy(id_col).agg(
+        F.sum("count").alias("__rs"), F.max("count").alias("__mx")
+    )
+    row = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("__mx").alias("mx"),
+        F.max("__rs").alias("rs"),
+    ).first()
+    if row is None or row["n"] == 0:
+        raise ValueError("empty sparse feature frame")
+    return int(row["n"]), int(row["mx"]), int(row["rs"])
+
+
+def _nonzero_weight_frame(triples: DataFrame, w: list[int]) -> DataFrame:
+    """Driver weights → a broadcastable ``(bucket, __w)`` frame of the
+    NONZERO entries only (zero-weight buckets contribute nothing to
+    the dot; a left join + coalesce(0) restores them exactly)."""
+    spark = triples.sparkSession
+    nz = [(j, int(u)) for j, u in enumerate(w) if u != 0]
+    return spark.createDataFrame(nz, "bucket bigint, __w bigint")
+
+
+def _sparse_scores_units(triples: DataFrame, w: list[int], grp: list[str]) -> DataFrame:
+    """``grp + (score_units)`` — the sparse dot: broadcast the nonzero
+    weights, left-join on bucket, one map-side-combined sum per doc."""
+    wdf = _nonzero_weight_frame(triples, w)
+    return (
+        triples.join(F.broadcast(wdf), "bucket", "left")
+        .groupBy(*grp)
+        .agg(
+            F.sum(
+                F.col("count") * F.coalesce(F.col("__w"), F.lit(0).cast("bigint"))
+            ).alias("score_units")
+        )
+    )
+
+
+def gd_train_linear_units_sparse(
+    triples: DataFrame,
+    n_features: int,
+    iters: int = 2,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> list[int]:
+    """Full-batch GD over SPARSE triples; returns ``n_features + 1``
+    integer-unit weights — bit-identical to the dense trainer on the
+    same corpus (pinned by the D=16 parity test).
+
+    Per step: per-doc logit ``z`` via a broadcast nonzero-weight join
+    + one groupBy(id) sum; residual units ``g = round((σ(z)−y)·1e6)``;
+    exact BIGINT gradient ``grad_j = Σ g·x_j`` via a shuffle join of
+    the triples with the doc-level residual frame + groupBy(bucket) —
+    map-side combined, ≤ D+1 result rows to the driver; integer
+    update at the driver. Never materializes a D-wide anything:
+    driver state is the (D+1)-long weight list, executor state the
+    nonzero triples."""
+    return _gd_train_sparse_with_stats(
+        triples, n_features, iters, lr, id_col, label_col
+    )[0]
+
+
+def _gd_train_sparse_with_stats(
+    triples: DataFrame,
+    n_features: int,
+    iters: int,
+    lr: float,
+    id_col: str,
+    label_col: str,
+) -> tuple[list[int], int]:
+    """``(weights, max_row_sum)`` — sparse trainer body; the second
+    element feeds the scoring guard without another stats scan."""
+    t = triples.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("int").alias("__y"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("count").cast("bigint").alias("count"),
+    ).localCheckpoint()
+    n_rows, max_count, row_sum_max = _sparse_feat_stats(t, "__id")
+    _guard_int64(
+        n_rows * UNIT_SCALE * max(max_count, 1),
+        "gd_train_linear_units_sparse gradient",
+    )
+    w = [0] * (n_features + 1)
+    for _ in range(iters):
+        maxw = max((abs(x) for x in w), default=0)
+        _guard_int64(maxw * row_sum_max, "gd_train_linear_units_sparse dot")
+        z = _sparse_scores_units(t, w, ["__id", "__y"])
+        g = z.select(
+            "__id",
+            F.round(
+                (
+                    _surrogate_sigmoid(F.col("score_units"))
+                    - F.col("__y").cast("double")
+                )
+                * F.lit(float(UNIT_SCALE))
+            )
+            .cast("bigint")
+            .alias("__g"),
+        )
+        grad_rows = (
+            t.join(g, "__id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("__g") * F.col("count")).alias("__grad"))
+            .collect()
+        )
+        grad = {int(r["bucket"]): r["__grad"] for r in grad_rows}
+        w = [
+            w[j] - _round_half_up(lr * grad.get(j, 0) / n_rows)
+            for j in range(n_features + 1)
+        ]
+    return w, row_sum_max
+
+
+def linear_classifier_scores_sparse(
+    triples: DataFrame,
+    w_units: list[int],
+    id_col: str = "doc_id",
+    label_col: str | None = "label",
+    row_sum_max: int | None = None,
+) -> DataFrame:
+    """Score sparse triples under trained unit weights: ``(id,
+    [label,] score_units, prob, pred)`` — the sparse twin of
+    :func:`linear_classifier_scores`, same guard discipline."""
+    if row_sum_max is None:
+        _, _, row_sum_max = _sparse_feat_stats(triples, id_col)
+    maxw = max((abs(int(x)) for x in w_units), default=0)
+    _guard_int64(maxw * row_sum_max, "linear_classifier_scores_sparse dot")
+    grp = [id_col] + ([label_col] if label_col else [])
+    z = _sparse_scores_units(triples, list(w_units), grp)
+    return z.select(
+        *grp,
+        "score_units",
+        F.round(_surrogate_sigmoid(F.col("score_units")), 6).alias("prob"),
+        (F.col("score_units") >= 0).alias("pred"),
     )
 
 
@@ -200,13 +455,29 @@ def quality_lr_pipeline(
     iters: int = 2,
     lr: float = 0.5,
     id_col: str = "doc_id",
+    sparse: bool = False,
 ) -> DataFrame:
     """Train-and-score composite: hashed features → GD → scores.
-    Returns ``(id, label, score_units, prob, pred)``."""
+    Returns ``(id, label, score_units, prob, pred)``. ``sparse=True``
+    switches to the long-format triple layout — REQUIRED past the
+    dense builder's D=4096 cap, identical weights below it."""
+    if sparse:
+        tr = hashed_token_features_sparse(
+            df, text_col=text_col, n_features=n_features, id_col=id_col,
+            label=label,
+        )
+        w, row_sum_max = _gd_train_sparse_with_stats(
+            tr, n_features, iters, lr, id_col, "label"
+        )
+        return linear_classifier_scores_sparse(
+            tr, w, id_col=id_col, row_sum_max=row_sum_max
+        ).select(id_col, "label", "score_units", "prob", "pred")
     feats = hashed_token_features(
         df, text_col=text_col, n_features=n_features, id_col=id_col, label=label
     )
-    w = gd_train_linear_units(feats, iters=iters, lr=lr)
-    return linear_classifier_scores(feats, w).select(
+    w, row_sum_max = _gd_train_dense_with_stats(
+        feats, iters, lr, "features", "label"
+    )
+    return linear_classifier_scores(feats, w, row_sum_max=row_sum_max).select(
         id_col, "label", "score_units", "prob", "pred"
     )

@@ -5907,6 +5907,92 @@ def docs_quality_lr_scores(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SPARSE wide-feature quality classifier (operators/classify.py
+# hashed_token_features_sparse + gd_train_linear_units_sparse): the
+# fastText-width path — D = 65536 hash buckets, a width the dense
+# per-row fold REFUSES (cap 4096). Features live as nonzero
+# (doc, bucket, count) triples; each GD step is a broadcast
+# nonzero-weight join + two exact BIGINT aggs. Same rational-sigmoid
+# / integer-unit exactness contract as the dense query, so the
+# oracle unrolls both GD steps in the SAME long format (bucket-keyed
+# joins, never a 65537-wide row) and hash-matches bit-for-bit.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_quality_lr_sparse",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ),
+    lab AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 40 THEN 1 ELSE 0 END AS y
+      FROM tk
+    ),
+    tr AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 65536 AS j,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM (SELECT doc_id, UNNEST(toks) AS t FROM tk)
+      GROUP BY doc_id, j
+      UNION ALL
+      SELECT doc_id, 65536 AS j, CAST(1 AS BIGINT) AS x FROM tk
+    ),
+    n AS (SELECT COUNT(*) AS n FROM lab),
+    -- GD step 1 from w0 = 0: z = 0, sigma = 0.5 exactly
+    g1 AS (SELECT doc_id,
+                  CAST(ROUND((0.5 - y) * 1000000.0) AS BIGINT) AS g
+           FROM lab),
+    grad1 AS (
+      SELECT t.j, SUM(g.g * t.x) AS gr
+      FROM tr t JOIN g1 g USING (doc_id) GROUP BY t.j
+    ),
+    w1 AS (SELECT j, 0 - CAST(ROUND(0.5 * gr / n.n) AS BIGINT) AS w
+           FROM grad1, n),
+    -- GD step 2 under w1 (every bucket in tr has a grad1 row, so the
+    -- inner join loses nothing; w stays 0 for unseen buckets, which
+    -- contribute nothing to any dot by construction)
+    z2 AS (SELECT t.doc_id, CAST(SUM(t.x * w1.w) AS BIGINT) AS zu
+           FROM tr t JOIN w1 USING (j) GROUP BY t.doc_id),
+    g2 AS (
+      SELECT l.doc_id,
+             CAST(ROUND(((0.5 + (z.zu/1000000.0)/(2*(1+abs(z.zu/1000000.0)))) - l.y)
+                        * 1000000.0) AS BIGINT) AS g
+      FROM lab l JOIN z2 z USING (doc_id)
+    ),
+    grad2 AS (
+      SELECT t.j, SUM(g.g * t.x) AS gr
+      FROM tr t JOIN g2 g USING (doc_id) GROUP BY t.j
+    ),
+    w2 AS (SELECT w1.j, w1.w - CAST(ROUND(0.5 * g.gr / n.n) AS BIGINT) AS w
+           FROM w1 JOIN grad2 g ON g.j = w1.j, n),
+    zf AS (SELECT t.doc_id, CAST(SUM(t.x * w2.w) AS BIGINT) AS zu
+           FROM tr t JOIN w2 USING (j) GROUP BY t.doc_id)
+    SELECT l.doc_id, CAST(l.y AS INT) AS label, z.zu AS score_units,
+           ROUND(0.5 + (z.zu/1000000.0)/(2*(1+abs(z.zu/1000000.0))), 6) AS prob,
+           z.zu >= 0 AS pred
+    FROM lab l JOIN zf z USING (doc_id)
+    """,
+)
+def docs_quality_lr_sparse(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import classify
+
+    docs = load(spark, sf_dir, "documents")
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    return classify.quality_lr_pipeline(
+        docs, label, n_features=65536, iters=2, lr=0.5, sparse=True
+    )
+
+
+# ---------------------------------------------------------------------------
 # Power-iteration PCA (operators/similarity.py): three von Mises
 # rounds over the embeddings' uncentered second moment, then every
 # vector's projection onto the dominant direction. The whole

@@ -145,3 +145,109 @@ def test_feature_width_cap_enforced(spark):
         raise AssertionError("expected ValueError above the dense-fold cap")
     except ValueError as e:
         assert "n_features" in str(e)
+
+
+def test_sparse_dense_weight_parity_at_d16(spark):
+    """The sparse long-format trainer must produce the SAME weight
+    vector as the dense fold below the cap — same hash, same residuals,
+    same integer updates (round-11 verdict #1's done-gate)."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    label = (
+        F.size(
+            F.filter(
+                F.split(classify.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= THRESH
+    )
+    d16 = 16
+    feats = classify.hashed_token_features(df, n_features=d16, label=label)
+    w_dense = classify.gd_train_linear_units(feats, iters=ITERS, lr=LR)
+    tr = classify.hashed_token_features_sparse(
+        df, n_features=d16, label=label
+    )
+    w_sparse = classify.gd_train_linear_units_sparse(
+        tr, d16, iters=ITERS, lr=LR
+    )
+    assert w_sparse == w_dense
+
+    dense_out = {
+        r["doc_id"]: (r["label"], r["score_units"], r["prob"], r["pred"])
+        for r in classify.quality_lr_pipeline(
+            df, label, n_features=d16, iters=ITERS, lr=LR
+        ).collect()
+    }
+    sparse_out = {
+        r["doc_id"]: (r["label"], r["score_units"], r["prob"], r["pred"])
+        for r in classify.quality_lr_pipeline(
+            df, label, n_features=d16, iters=ITERS, lr=LR, sparse=True
+        ).collect()
+    }
+    assert sparse_out == dense_out
+
+
+def test_sparse_triples_match_dense_features(spark):
+    """Triple layout ⇄ dense array layout are the same multiset:
+    nonzero dense entries == sparse counts, intercept at bucket D."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    triples = {
+        (r["doc_id"], r["bucket"]): r["count"]
+        for r in classify.hashed_token_features_sparse(
+            df, n_features=D
+        ).collect()
+    }
+    for doc_id, s in DOCS:
+        dense = _py_features(s)
+        expected = {
+            (doc_id, j): c for j, c in enumerate(dense) if c != 0
+        }
+        got = {k: v for k, v in triples.items() if k[0] == doc_id}
+        assert got == expected, doc_id
+
+
+def test_trainers_refuse_overflow_magnitudes(spark):
+    """ADVICE r11 (medium): the exact-BIGINT gradient and dot sums
+    must REFUSE worst-case magnitudes near 2^63 instead of wrapping
+    silently on a non-ANSI session — same contract as the similarity
+    fixed-point operators."""
+    huge = 10**14  # n_rows(2) · 1e6 · 1e14 = 2e20 >> 2^62
+    feats = spark.createDataFrame(
+        [(1, 1, [huge, 1]), (2, 0, [huge, 1])],
+        "doc_id long, label int, features array<bigint>",
+    )
+    try:
+        classify.gd_train_linear_units(feats, iters=1)
+        raise AssertionError("expected overflow refusal (dense gradient)")
+    except ValueError as e:
+        assert "overflow" in str(e)
+
+    triples = spark.createDataFrame(
+        [(1, 1, 0, huge), (1, 1, 2, 1), (2, 0, 0, huge), (2, 0, 2, 1)],
+        "doc_id long, label int, bucket bigint, count bigint",
+    )
+    try:
+        classify.gd_train_linear_units_sparse(triples, 2, iters=1)
+        raise AssertionError("expected overflow refusal (sparse gradient)")
+    except ValueError as e:
+        assert "overflow" in str(e)
+
+    # scoring guard: huge trained weights x modest counts
+    small = spark.createDataFrame(
+        [(1, [3, 1])], "doc_id long, features array<bigint>"
+    )
+    try:
+        classify.linear_classifier_scores(small, [2**61, 2**61])
+        raise AssertionError("expected overflow refusal (dense scoring)")
+    except ValueError as e:
+        assert "overflow" in str(e)
+    small_tr = spark.createDataFrame(
+        [(1, 0, 3), (1, 2, 1)], "doc_id long, bucket bigint, count bigint"
+    )
+    try:
+        classify.linear_classifier_scores_sparse(
+            small_tr, [2**61, 0, 2**61], label_col=None
+        )
+        raise AssertionError("expected overflow refusal (sparse scoring)")
+    except ValueError as e:
+        assert "overflow" in str(e)
