@@ -2173,6 +2173,116 @@ def _guard_int64(bound: int, what: str) -> None:
         )
 
 
+def _assert_uniform_dim(xi: DataFrame, what: str) -> int:
+    """Vector length of a fixed-point frame, REFUSING ragged corpora:
+    ``zip_with`` pads the shorter side with NULL, so a length mismatch
+    would make the exact BIGINT dot fold to NULL and the affected rows
+    silently sort last / drop out of sums — a quiet wrong answer.
+    One tiny agg (min==max of sizes) over the (checkpointed) frame."""
+    row = xi.select(
+        F.min(F.size("__xi")).alias("lo"), F.max(F.size("__xi")).alias("hi")
+    ).first()
+    if row is None or row["lo"] is None:
+        raise ValueError(f"{what}: empty corpus")
+    if row["lo"] != row["hi"]:
+        raise ValueError(
+            f"{what}: ragged embedding lengths ({row['lo']}..{row['hi']}) "
+            "— zip_with would NULL-pad and the integer dot would fold to "
+            "NULL silently; make the vector column uniform first"
+        )
+    return int(row["hi"])
+
+
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    """Sequential left-to-right float fold — DuckDB ``list_sum`` over a
+    DOUBLE list folds in the same order, so the value is bit-identical
+    across the two engines."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _deflate(sd: list[float], prev: list[list[int]]) -> list[float]:
+    """Project ``sd`` orthogonal to each previously-found unit
+    direction (classical deflation): ``sd ← sd − (sd·v / v·v)·v``,
+    applied in discovery order. All IEEE double ops on
+    correctly-rounded inputs — engine-replayable."""
+    for v in prev:
+        vf = [float(u) for u in v]
+        c = _seq_dot(sd, vf) / _seq_dot(vf, vf)
+        sd = [x - c * y for x, y in zip(sd, vf)]
+    return sd
+
+
+def power_iteration_directions(
+    corpus: DataFrame,
+    n_directions: int = 1,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> list[list[int]]:
+    """Top-r eigendirections of ``X^T X`` in integer units, by von
+    Mises power iteration with driver-side deflation.
+
+    Each iteration is two exact distributed jobs over the fixed-point
+    frame: ``z_d = x_d · v`` (BIGINT fold per row) and ``s_j = Σ_d
+    z_d · x_dj`` (posexplode → groupBy(j), DECIMAL(38,0)-exact sums —
+    map-side combined, ``dim`` result rows). Only the dim-long ``s``
+    vector reaches the driver, where it is deflated against the
+    already-found directions (projection subtraction in IEEE doubles,
+    sequential folds — bit-identical on any engine), normalized and
+    re-scaled to units for the next pass. Init per direction: the
+    all-ones vector, deflated the same way (deterministic,
+    engine-free). The corpus never leaves the executors; driver data
+    is O(dim) per iteration — the same control-plane discipline as
+    ``ivf_train_centroids``. Returned directions are orthogonal up to
+    unit rounding (|v_a·v_b| ≤ dim·scale units, pinned by the
+    orthogonality property test)."""
+    import math
+
+    xi = _fixed_point_vectors(corpus, id_col, vec_col, scale).localCheckpoint()
+    dim = _assert_uniform_dim(xi, "power_iteration_directions")
+    bmax = _max_abs_units(xi)
+    dirs: list[list[int]] = []
+    for _ in range(max(1, n_directions)):
+        v = [_round_units(x) for x in _deflate([float(scale)] * dim, dirs)]
+        for _ in range(iters):
+            # |z| <= dim·bmax·|v|max. Only the int64 dot can wrap
+            # SILENTLY — the DECIMAL(38,0) matvec sum overflows loudly
+            # (null/raise under Spark's decimal rules), so the guard
+            # covers the quiet case. Re-checked per pass: deflated
+            # iterates can exceed `scale` slightly.
+            _guard_int64(
+                dim * bmax * max(max((abs(u) for u in v), default=0), 1),
+                "power_iteration_directions",
+            )
+            s_rows = (
+                xi.select(_int_dot(F.col("__xi"), v).alias("__z"), "__xi")
+                .select("__z", F.posexplode("__xi").alias("__j", "__xv"))
+                .groupBy("__j")
+                .agg(
+                    F.sum(
+                        F.col("__z").cast("decimal(20,0)")
+                        * F.col("__xv").cast("decimal(18,0)")
+                    ).alias("__s")
+                )
+                .collect()
+            )
+            s = {r["__j"]: int(r["__s"]) for r in s_rows}
+            sd = _deflate([float(s.get(j, 0)) for j in range(dim)], dirs)
+            norm = math.sqrt(_seq_dot(sd, sd))
+            if norm == 0.0:
+                raise ValueError(
+                    "power_iteration_directions: zero matvec (all-zero "
+                    "corpus or direction annihilated)"
+                )
+            v = [_round_units(x / norm * scale) for x in sd]
+        dirs.append(v)
+    return dirs
+
+
 def power_iteration_top_direction(
     corpus: DataFrame,
     iters: int = 3,
@@ -2180,59 +2290,12 @@ def power_iteration_top_direction(
     vec_col: str = "embedding",
     scale: int = 10**6,
 ) -> list[int]:
-    """Dominant eigendirection of ``X^T X`` in integer units.
-
-    Each iteration is two exact distributed jobs over the fixed-point
-    frame: ``z_d = x_d · v`` (BIGINT fold per row) and ``s_j = Σ_d
-    z_d · x_dj`` (posexplode → groupBy(j), DECIMAL(38,0)-exact sums —
-    map-side combined, ``dim`` result rows). Only the dim-long ``s``
-    vector reaches the driver, where it is normalized (IEEE ops on
-    correctly-rounded doubles — bit-identical on any engine) and
-    re-scaled to units for the next pass. Init: the all-ones
-    direction (deterministic, engine-free). The corpus never leaves
-    the executors; driver data is O(dim) per iteration — the same
-    control-plane discipline as ``ivf_train_centroids``.
-    """
-    import math
-
-    xi = _fixed_point_vectors(corpus, id_col, vec_col, scale).localCheckpoint()
-    first = xi.select(F.size("__xi")).first()
-    if first is None:
-        raise ValueError("power_iteration_top_direction: empty corpus")
-    dim = first[0]
-    bmax = _max_abs_units(xi)
-    # |z| <= dim·bmax·|v|max with |v|max <= scale (unit direction, and
-    # the all-ones init). Only the int64 dot can wrap SILENTLY — the
-    # DECIMAL(38,0) matvec sum overflows loudly (null/raise under
-    # Spark's decimal rules), so the guard covers the quiet case.
-    _guard_int64(dim * bmax * scale, "power_iteration_top_direction")
-    v = [scale] * dim
-    for _ in range(iters):
-        s_rows = (
-            xi.select(_int_dot(F.col("__xi"), v).alias("__z"), "__xi")
-            .select("__z", F.posexplode("__xi").alias("__j", "__xv"))
-            .groupBy("__j")
-            .agg(
-                F.sum(
-                    F.col("__z").cast("decimal(20,0)")
-                    * F.col("__xv").cast("decimal(18,0)")
-                ).alias("__s")
-            )
-            .collect()
-        )
-        s = {r["__j"]: int(r["__s"]) for r in s_rows}
-        sd = [float(s.get(j, 0)) for j in range(dim)]
-        acc = 0.0
-        for x in sd:  # sequential: DuckDB list_sum's fold order
-            acc += x * x
-        norm = math.sqrt(acc)
-        if norm == 0.0:
-            raise ValueError(
-                "power_iteration_top_direction: zero matvec (all-zero "
-                "corpus or direction annihilated)"
-            )
-        v = [_round_units(x / norm * scale) for x in sd]
-    return v
+    """Dominant eigendirection of ``X^T X`` in integer units — the
+    r=1 case of :func:`power_iteration_directions` (deflation is a
+    no-op with no prior directions, so the trajectory is unchanged)."""
+    return power_iteration_directions(
+        corpus, 1, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+    )[0]
 
 
 def _round_units(x: float) -> int:
@@ -2265,6 +2328,33 @@ def principal_projections(
     )
 
 
+def principal_projections_multi(
+    corpus: DataFrame,
+    directions: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Project every vector onto SEVERAL unit directions in one
+    expression-only scan: ``(id, proj1_units, proj1, proj2_units,
+    proj2, ...)`` — the top-r companion of
+    :func:`power_iteration_directions` (one corpus pass regardless of
+    r, instead of r scans + an r-way join)."""
+    if not directions:
+        raise ValueError("principal_projections_multi: no directions")
+    xi = _fixed_point_vectors(corpus, id_col, vec_col, scale)
+    cols: list[Column] = [F.col(id_col)]
+    for i, v in enumerate(directions, 1):
+        z = _int_dot(F.col("__xi"), v)
+        cols.append(z.alias(f"proj{i}_units"))
+        cols.append(
+            F.round(z.cast("double") / F.lit(float(scale) ** 2), 6).alias(
+                f"proj{i}"
+            )
+        )
+    return xi.select(*cols)
+
+
 # ---------------------------------------------------------------------------
 # Greedy k-center coreset selection (Gonzalez 1985 farthest-first
 # traversal; Sener & Savarese 2018 as the data-selection framing):
@@ -2275,6 +2365,29 @@ def principal_projections(
 # bit-reproducible on any engine — the DuckDB oracle replays every
 # greedy round.
 # ---------------------------------------------------------------------------
+#: Hard cap on the greedy selectors' k: round r inlines one
+#: O(dim)-literal distance/dot expression PER already-picked row, so
+#: the round-r plan carries an O(r·dim)-literal tree — O(k²·dim) over
+#: the trajectory. Somewhere in the hundreds that blows up Catalyst
+#: analysis time and eventually the 64KB codegen method limit. Same
+#: enforced-cap discipline as ``classify.hashed_token_features``; the
+#: scale path for larger k is to broadcast-JOIN the selected set as a
+#: frame (centers as rows, one zip_with dot against an array column)
+#: instead of inlining literals.
+GREEDY_SELECT_MAX_K = 128
+
+
+def _guard_greedy_k(k: int, what: str) -> None:
+    if k > GREEDY_SELECT_MAX_K:
+        raise ValueError(
+            f"{what}: k={k} exceeds GREEDY_SELECT_MAX_K="
+            f"{GREEDY_SELECT_MAX_K} — the greedy rounds inline an "
+            "O(k²·dim)-literal expression tree (a Catalyst/codegen "
+            "hazard); broadcast-join the selected set instead for "
+            "larger k"
+        )
+
+
 def _sq_dist_units(vec_col: Column, units: list[int]) -> Column:
     """Exact BIGINT squared L2 between an integer array column and
     literal units."""
@@ -2306,12 +2419,13 @@ def kcenter_select(
     """
     if k < 1:
         raise ValueError("kcenter_select: k must be >= 1")
+    _guard_greedy_k(k, "kcenter_select")
     xi = _fixed_point_vectors(corpus, id_col, vec_col, scale).localCheckpoint()
     bmax = _max_abs_units(xi)
-    # squared L2 <= dim·(2·bmax)² — silent int64 wrap forbidden
-    dim_row = xi.select(F.size("__xi")).first()
-    if dim_row is not None:
-        _guard_int64(dim_row[0] * (2 * bmax) ** 2, "kcenter_select")
+    # squared L2 <= dim·(2·bmax)² — silent int64 wrap forbidden; the
+    # dim probe also refuses ragged corpora (NULL-folding dots)
+    dim = _assert_uniform_dim(xi, "kcenter_select")
+    _guard_int64(dim * (2 * bmax) ** 2, "kcenter_select")
     seed = (
         xi.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(1)
@@ -2411,12 +2525,22 @@ def mmr_select(
     """
     if k < 1:
         raise ValueError("mmr_select: k must be >= 1")
+    _guard_greedy_k(k, "mmr_select")
     if not 0 < lam_num <= lam_den:
         raise ValueError("mmr_select: need 0 < lam_num <= lam_den")
     xi = _fixed_point_vectors(corpus, id_col, vec_col, scale)
     if exclude_ids:
         xi = xi.where(~F.col(id_col).isin(list(exclude_ids)))
     xi = xi.localCheckpoint()
+    # a ragged corpus would NULL-fold the dots (rows silently sort
+    # last); the query vector must share the corpus dim for the same
+    # reason
+    dim = _assert_uniform_dim(xi, "mmr_select")
+    if dim != len(query_units):
+        raise ValueError(
+            f"mmr_select: query vector length {len(query_units)} != "
+            f"corpus embedding length {dim}"
+        )
     # score = lam_num·rel − (lam_den−lam_num)·max_sim: every term is a
     # dim·bmax·max(bmax, |q|max) dot times a lambda weight. Guard
     # BEFORE the relevance dot — under ANSI the overflow would raise

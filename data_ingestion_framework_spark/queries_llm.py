@@ -6043,6 +6043,84 @@ def embeddings_power_iteration_proj(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Top-2 PCA via deflation (operators/similarity.py
+# power_iteration_directions + principal_projections_multi): the
+# second von Mises pass orthogonalizes every driver-side iterate (and
+# its all-ones init) against the found direction — projection
+# subtraction in IEEE doubles over sequential folds, the package's
+# engine-identical float discipline — so the oracle replays BOTH
+# directions: two matvec rounds for direction 1, the deflated init,
+# two deflate-normalize rounds for direction 2 (DuckDB list_sum over
+# DOUBLE lists folds left-to-right exactly like the driver loop), and
+# one final two-dot projection scan. Hash-matches bit-for-bit.
+# ---------------------------------------------------------------------------
+def _pca2_iter_sql(n: int) -> str:
+    return f"""
+    dz{n} AS (SELECT e.vec_id, CAST(SUM(e.xi * u.w) AS BIGINT) AS z
+             FROM ei e JOIN u{n-1} u ON u.j = e.i GROUP BY e.vec_id),
+    ds{n} AS (SELECT e.i AS j, SUM(CAST(z.z AS HUGEINT) * e.xi) AS s
+             FROM ei e JOIN dz{n} z USING (vec_id) GROUP BY e.i),
+    dsl{n} AS (SELECT list(CAST(s AS DOUBLE) ORDER BY j) AS sd FROM ds{n}),
+    dd{n} AS (
+      SELECT [CAST(ROUND(sd2[k] / nrm * 1000000.0) AS BIGINT)
+              for k in generate_series(1, len(sd2))] AS u
+      FROM (
+        SELECT sd2, sqrt(list_sum([x * x for x in sd2])) AS nrm
+        FROM (
+          SELECT [sd[k] - c * v[k] for k in generate_series(1, len(sd))] AS sd2
+          FROM (
+            SELECT d.sd, q.v,
+                   list_sum([d.sd[k] * q.v[k]
+                             for k in generate_series(1, len(q.v))])
+                   / list_sum([x * x for x in q.v]) AS c
+            FROM dsl{n} d, dl q)))
+    ),
+    u{n} AS (SELECT t.j, l.u[t.j] AS w
+             FROM dd{n} l, UNNEST(generate_series(1, len(l.u))) AS t(j))"""
+
+
+@bench_query(
+    "embeddings_pca2_proj",
+    oracle=f"""
+    WITH ei AS (
+      SELECT vec_id,
+             CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xi,
+             UNNEST(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    dim AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
+    v0 AS (SELECT UNNEST(generate_series(1, d)) AS j,
+                  CAST(1000000 AS BIGINT) AS w FROM dim),
+    {_power_iter_sql(1)},
+    {_power_iter_sql(2)},
+    dl AS (SELECT list(CAST(w AS DOUBLE) ORDER BY j) AS v FROM v2),
+    u0l AS (
+      SELECT [CAST(ROUND(1000000.0 - c * x) AS BIGINT) for x in v] AS u
+      FROM (SELECT v, list_sum([1000000.0 * x for x in v])
+                   / list_sum([x * x for x in v]) AS c FROM dl)
+    ),
+    u0 AS (SELECT t.j, l.u[t.j] AS w
+           FROM u0l l, UNNEST(generate_series(1, len(l.u))) AS t(j)),
+    {_pca2_iter_sql(1)},
+    {_pca2_iter_sql(2)},
+    p1 AS (SELECT e.vec_id, CAST(SUM(e.xi * v.w) AS BIGINT) AS pu
+           FROM ei e JOIN v2 v ON v.j = e.i GROUP BY e.vec_id),
+    p2 AS (SELECT e.vec_id, CAST(SUM(e.xi * u.w) AS BIGINT) AS pu
+           FROM ei e JOIN u2 u ON u.j = e.i GROUP BY e.vec_id)
+    SELECT p1.vec_id, p1.pu AS proj1_units,
+           ROUND(p1.pu / 1000000000000.0, 6) AS proj1,
+           p2.pu AS proj2_units,
+           ROUND(p2.pu / 1000000000000.0, 6) AS proj2
+    FROM p1 JOIN p2 USING (vec_id)
+    """,
+)
+def embeddings_pca2_proj(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    dirs = similarity.power_iteration_directions(emb, 2, iters=2)
+    return similarity.principal_projections_multi(emb, dirs)
+
+
+# ---------------------------------------------------------------------------
 # Greedy k-center coreset (operators/similarity.py kcenter_select /
 # kcenter_assign): Gonzalez farthest-first traversal as a
 # data-selection primitive — 4 greedy rounds, then every vector's

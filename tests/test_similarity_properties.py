@@ -815,3 +815,90 @@ def test_power_iteration_rayleigh_quotient_is_monotone(spark):
     ]
     assert rqs[1] >= rqs[0] * 0.999999
     assert rqs[2] >= rqs[1] * 0.999999
+
+
+def test_greedy_selectors_refuse_k_above_cap(spark):
+    """Round-11 verdict #5: the greedy rounds inline an O(k²·dim)
+    literal tree, so k above GREEDY_SELECT_MAX_K must raise up front
+    (same enforced-cap discipline as the dense feature fold)."""
+    from data_ingestion_framework_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    over = similarity.GREEDY_SELECT_MAX_K + 1
+    for call in (
+        lambda: similarity.kcenter_select(df, k=over),
+        lambda: similarity.mmr_select(df, [10**6, 0], k=over),
+    ):
+        try:
+            call()
+            raise AssertionError("expected k-cap ValueError")
+        except ValueError as e:
+            assert "GREEDY_SELECT_MAX_K" in str(e)
+
+
+def test_fixed_point_operators_refuse_ragged_corpus(spark):
+    """ADVICE r11: a ragged embedding column NULL-pads zip_with and
+    the exact dot folds to NULL — rows would silently sort last or
+    drop out of sums. The operators must refuse instead."""
+    from data_ingestion_framework_spark.operators import similarity
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0, 0.5]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    for call in (
+        lambda: similarity.power_iteration_directions(ragged, 1, iters=1),
+        lambda: similarity.kcenter_select(ragged, k=2),
+        lambda: similarity.mmr_select(ragged, [10**6, 0], k=2),
+    ):
+        try:
+            call()
+            raise AssertionError("expected ragged-corpus ValueError")
+        except ValueError as e:
+            assert "ragged" in str(e)
+    uniform = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    try:
+        similarity.mmr_select(uniform, [10**6, 0, 0], k=1)
+        raise AssertionError("expected query-length ValueError")
+    except ValueError as e:
+        assert "query vector length" in str(e)
+
+
+def test_power_iteration_directions_deflated_orthogonal(spark):
+    """Top-r deflation (round-11 verdict #7): the returned directions
+    are pairwise orthogonal up to unit rounding (|v_a·v_b| ≤
+    dim·scale), each is unit-norm in units, and the r=1 path is
+    bit-identical to the single-direction entry point."""
+    from data_ingestion_framework_spark.operators import similarity
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dirs = similarity.power_iteration_directions(df, 3, iters=2)
+    assert len(dirs) == 3
+    dim = len(dirs[0])
+    scale = 10**6
+    for v in dirs:
+        ss = sum(u * u for u in v)
+        assert abs(ss - scale**2) < 10**8, ss
+    for a in range(3):
+        for b in range(a + 1, 3):
+            dot = sum(x * y for x, y in zip(dirs[a], dirs[b]))
+            assert abs(dot) <= dim * scale, (a, b, dot)
+    assert dirs[0] == similarity.power_iteration_top_direction(df, iters=2)
+
+    projs = similarity.principal_projections_multi(df, dirs[:2]).collect()
+    xi = {
+        r["vec_id"]: [int(x) for x in r["__xi"]]
+        for r in similarity._fixed_point_vectors(
+            df, "vec_id", "embedding", scale
+        ).collect()
+    }
+    for r in projs:
+        row = xi[r["vec_id"]]
+        assert r["proj1_units"] == sum(a * b for a, b in zip(row, dirs[0]))
+        assert r["proj2_units"] == sum(a * b for a, b in zip(row, dirs[1]))
