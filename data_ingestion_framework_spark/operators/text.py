@@ -1608,6 +1608,14 @@ def unigram_em_costs(
         .agg(F.sum("__freq").alias("piece_count"))
     )
     total = counts.agg(F.sum("piece_count").alias("__total"))
+    # ACCEPTED TRANSCENDENTAL RISK (round-11 verdict watch item): this
+    # rounds -ln(p)·scale, and libm ln is only correctly-rounded to
+    # ~1 ULP — unlike the package's otherwise rational/fixed-point
+    # discipline. A JVM↔DuckDB divergence needs -ln(p)·scale to land
+    # within one double ULP of a .5 rounding boundary; the boundary
+    # margin is asserted on the test corpora by
+    # test_em_cost_units_clear_of_rounding_boundaries, so a future
+    # cross-engine flake here is diagnosable in minutes.
     cost = F.round(
         -F.log(
             F.col("piece_count").cast("double")
@@ -1625,6 +1633,94 @@ def unigram_em_costs(
         .select(F.col(piece_col), cost.alias(cost_col), F.col("piece_count"))
         .localCheckpoint()
     )
+
+
+def prune_vocab_bottom(
+    vocab: DataFrame,
+    prune_num: int = 1,
+    prune_den: int = 5,
+    piece_col: str = "piece",
+    cost_col: str = "cost_units",
+) -> DataFrame:
+    """Kudo-style vocabulary pruning: drop the
+    ``(n_multi·prune_num) // prune_den`` MULTI-char pieces with the
+    smallest occurrence counts (ties by piece ascending — a total,
+    engine-replayable order), always keeping every single-char piece
+    (``substring_vocab``'s segmentability discipline). The vocab is
+    control-plane sized by contract (``unigram_em_costs`` output ≤ its
+    input ≤ the substring_vocab cap), so this is one bounded driver
+    sort — enforced, not assumed. Returns ``(piece, cost_units,
+    piece_count)`` re-created from the driver (no lineage back into
+    the EM round)."""
+    if not 0 <= prune_num < prune_den:
+        raise ValueError(
+            "prune_vocab_bottom: need 0 <= prune_num < prune_den "
+            f"(got {prune_num}/{prune_den})"
+        )
+    rows = vocab.select(piece_col, cost_col, "piece_count").collect()
+    if len(rows) > SUBSTRING_VOCAB_MAX_KEPT:
+        raise ValueError(
+            f"prune_vocab_bottom: vocabulary exceeds the control-plane "
+            f"cap {SUBSTRING_VOCAB_MAX_KEPT} rows — this driver-side "
+            "sort is only sound for vocabulary-sized inputs"
+        )
+    multi = [r for r in rows if len(r[piece_col]) > 1]
+    singles = [r for r in rows if len(r[piece_col]) == 1]
+    n_drop = (len(multi) * prune_num) // prune_den
+    multi.sort(key=lambda r: (r["piece_count"], r[piece_col]))
+    kept = multi[n_drop:] + singles
+    return vocab.sparkSession.createDataFrame(
+        [(r[piece_col], r[cost_col], r["piece_count"]) for r in kept],
+        f"{piece_col} string, {cost_col} bigint, piece_count bigint",
+    )
+
+
+def unigram_em_train(
+    df: DataFrame,
+    vocab: DataFrame,
+    rounds: int = 2,
+    prune_num: int = 1,
+    prune_den: int = 5,
+    text_col: str = "text",
+    piece_col: str = "piece",
+    cost_col: str = "cost_units",
+    scale: int = 10**6,
+    max_word_len: int = 512,
+    word_freqs: DataFrame | None = None,
+) -> DataFrame:
+    """The ITERATED unigram-LM trainer (the full Kudo 2018 loop the
+    one-round :func:`unigram_em_costs` docstring points at): R hard-EM
+    rounds, with bottom-fraction piece pruning BETWEEN rounds
+    (:func:`prune_vocab_bottom` — the final round's costs are returned
+    unpruned, they are the trained vocabulary). Each round is the same
+    two-job EM shape; the loop is R driver round-trips exactly like
+    the BPE trainer's merge rounds, and every intermediate vocabulary
+    is control-plane sized. Hard-EM keeps the corpus's total Viterbi
+    cost non-increasing across unpruned rounds up to the ±0.5-unit
+    cost rounding (pinned by
+    ``test_unigram_em_train_total_cost_non_increasing``); pruning
+    trades a bounded cost increase for a smaller vocabulary. Pass a
+    checkpointed ``word_freqs`` to share one corpus scan across all
+    rounds."""
+    if rounds < 1:
+        raise ValueError("unigram_em_train: rounds must be >= 1")
+    wfreq = (
+        word_freqs
+        if word_freqs is not None
+        else word_frequencies(df, text_col).localCheckpoint()
+    )
+    cur = vocab
+    for r in range(rounds):
+        cur = unigram_em_costs(
+            df, cur, text_col=text_col, piece_col=piece_col,
+            cost_col=cost_col, scale=scale, max_word_len=max_word_len,
+            word_freqs=wfreq,
+        )
+        if r < rounds - 1 and prune_num > 0:
+            cur = prune_vocab_bottom(
+                cur, prune_num, prune_den, piece_col, cost_col
+            )
+    return cur
 
 
 def viterbi_token_counts(

@@ -4989,6 +4989,204 @@ def corpus_unigram_em_tokens(spark, sf_dir):
     )
 
 
+def _unigram_em2_oracle(
+    max_plen: int, top_n: int, max_word_len: int, prune_den: int
+) -> str:
+    """TWO iterated hard-EM rounds with the between-round bottom-1/den
+    prune, fully unrolled: rank-cost vocab → DP+backtrace → -ln costs
+    → PRUNE (drop the (n_multi // den) lowest-count multi-char pieces,
+    ties piece ASC, singles always kept) → second DP+backtrace under
+    the pruned costs → second M-step → final DP under the trained
+    costs → per-doc totals with LEFT-JOIN NULL poisoning. Three
+    forward DPs and two backtraces, each position-by-position — the
+    same integer recurrences the Spark folds run."""
+
+    def fwd(pfx: str, edges: str) -> str:
+        steps = []
+        for k in range(1, max_word_len + 1):
+            steps.append(
+                f"""{pfx}b{k} AS (
+      SELECT * FROM {pfx}b{k - 1}
+      UNION ALL
+      SELECT e.w, {k} AS pos, MIN(p.comb + e.cost * 1024 + 1) AS comb
+      FROM {edges} e JOIN {pfx}b{k - 1} p ON p.w = e.w AND p.pos = e.s - 1
+      WHERE e.e = {k}
+      GROUP BY e.w
+    )"""
+            )
+        return ",\n    ".join(steps)
+
+    def back(pfx: str, edges: str, bf: str) -> str:
+        steps = []
+        for j in range(1, max_word_len + 1):
+            steps.append(
+                f"""{pfx}c{j} AS (
+      SELECT t.w, t.p, MIN(e.s) AS s
+      FROM {pfx}t{j - 1} t
+      JOIN {edges} e ON e.w = t.w AND e.e = t.p
+      JOIN {bf} pb ON pb.w = t.w AND pb.pos = e.s - 1
+      JOIN {bf} cb ON cb.w = t.w AND cb.pos = t.p
+      WHERE t.p > 0 AND pb.comb + e.cost * 1024 + 1 = cb.comb
+      GROUP BY t.w, t.p
+    ),
+    {pfx}t{j} AS (SELECT w, s - 1 AS p FROM {pfx}c{j})"""
+            )
+        return ",\n    ".join(steps)
+
+    def segs_union(pfx: str) -> str:
+        return "\n      UNION ALL\n      ".join(
+            f"SELECT w, s, p AS e FROM {pfx}c{j}"
+            for j in range(1, max_word_len + 1)
+        )
+
+    def edges_sql(name: str, vocab_cte: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+      SELECT wr.w, t.i AS s, t.i + len(v.piece) - 1 AS e, v.cost
+      FROM words wr, UNNEST(generate_series(1, len(wr.w))) AS t(i), {vocab_cte} v
+      WHERE t.i + len(v.piece) - 1 <= len(wr.w)
+        AND v.piece = substr(wr.w, t.i, len(v.piece))
+    )"""
+
+    def piece_counts(name: str, segs: str) -> str:
+        return f"""{name} AS (
+      SELECT substr(sa.w, sa.s, sa.e - sa.s + 1) AS piece,
+             SUM(wf.freq) AS piece_count
+      FROM {segs} sa JOIN wfreq wf ON wf.w = sa.w
+      GROUP BY 1
+    )"""
+
+    def ln_vocab(name: str, pc: str, ptot: str) -> str:
+        return f"""{ptot} AS (SELECT SUM(piece_count) AS t FROM {pc}),
+    {name} AS (
+      SELECT piece,
+             CAST(ROUND(-ln(CAST(piece_count AS DOUBLE)
+                            / CAST(t.t AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS cost
+      FROM {pc}, {ptot} t
+    )"""
+
+    return f"""
+    WITH wocc AS MATERIALIZED (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, UNNEST(string_split(
+          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+        FROM documents) WHERE w <> ''
+    ),
+    wfreq AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM wocc GROUP BY w),
+    pcount AS (
+      SELECT piece, SUM(freq) AS f FROM (
+        SELECT freq, UNNEST(flatten(
+          [[substr(w, i, l) for l in generate_series(1, {max_plen})
+            if i + l - 1 <= len(w)]
+           for i in generate_series(1, len(w))])) AS piece
+        FROM wfreq)
+      GROUP BY piece
+    ),
+    vocab AS (
+      SELECT piece,
+             CAST(row_number() OVER (ORDER BY f DESC, piece) AS BIGINT)
+               AS cost
+      FROM (
+        SELECT piece, f FROM (
+          SELECT piece, f FROM pcount ORDER BY f DESC, piece LIMIT {top_n})
+        UNION
+        SELECT piece, f FROM pcount WHERE len(piece) = 1
+      )
+    ),
+    words AS MATERIALIZED (SELECT DISTINCT w FROM wocc),
+    {edges_sql('edges', 'vocab')},
+    b0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS comb FROM words),
+    {fwd('', 'edges')},
+    bf AS MATERIALIZED (SELECT * FROM b{max_word_len}),
+    t0 AS (
+      SELECT w, len(w) AS p FROM words
+      WHERE EXISTS (SELECT 1 FROM bf
+                    WHERE bf.w = words.w AND bf.pos = len(words.w))
+    ),
+    {back('', 'edges', 'bf')},
+    segs_all AS (
+      {segs_union('')}
+    ),
+    {piece_counts('pc', 'segs_all')},
+    {ln_vocab('vocab2', 'pc', 'ptot')},
+    prn AS (SELECT COUNT(*) // {prune_den} AS nd
+            FROM vocab2 WHERE len(piece) > 1),
+    vocab2p AS (
+      SELECT piece, cost FROM (
+        SELECT v.piece, v.cost,
+               row_number() OVER (ORDER BY p.piece_count ASC, v.piece ASC)
+                 AS rn
+        FROM vocab2 v JOIN pc p USING (piece)
+        WHERE len(v.piece) > 1) r, prn
+      WHERE r.rn > prn.nd
+      UNION ALL
+      SELECT piece, cost FROM vocab2 WHERE len(piece) = 1
+    ),
+    {edges_sql('edges2', 'vocab2p')},
+    qb0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS comb FROM words),
+    {fwd('q', 'edges2')},
+    qbf AS MATERIALIZED (SELECT * FROM qb{max_word_len}),
+    qt0 AS (
+      SELECT w, len(w) AS p FROM words
+      WHERE EXISTS (SELECT 1 FROM qbf
+                    WHERE qbf.w = words.w AND qbf.pos = len(words.w))
+    ),
+    {back('q', 'edges2', 'qbf')},
+    qsegs_all AS (
+      {segs_union('q')}
+    ),
+    {piece_counts('pc2', 'qsegs_all')},
+    {ln_vocab('vocab3', 'pc2', 'ptot2')},
+    {edges_sql('edges3', 'vocab3')},
+    fb0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS comb FROM words),
+    {fwd('f', 'edges3')},
+    fseg AS (
+      SELECT w, comb // 1024 AS cost, comb % 1024 AS np
+      FROM fb{max_word_len} f
+      WHERE pos = len(w)
+    )
+    SELECT o.doc_id,
+           CASE WHEN COUNT(*) = COUNT(s.np)
+                THEN CAST(SUM(s.np) AS BIGINT) END AS em2_tokens,
+           CASE WHEN COUNT(*) = COUNT(s.cost)
+                THEN CAST(SUM(s.cost) AS BIGINT) END AS em2_cost_units
+    FROM wocc o LEFT JOIN fseg s ON s.w = o.w
+    GROUP BY o.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# ITERATED unigram-LM training with vocabulary pruning (operators/
+# text.py unigram_em_train + prune_vocab_bottom — the full Kudo 2018
+# loop): two hard-EM rounds with a bottom-20% multi-char piece prune
+# between them (lowest occurrence counts drop, ties piece ASC,
+# single chars always survive), then the corpus re-tokenizes under
+# the trained costs. Every selection is integer arithmetic over
+# engine-exact counts, so the oracle unrolls all three DPs, both
+# backtraces and the prune's count-ordered row_number cut.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "corpus_unigram_em2_pruned", oracle=_unigram_em2_oracle(4, 50, 8, 5)
+)
+def corpus_unigram_em2_pruned(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    # one corpus word scan shared by all five stages (vocab build, two
+    # E-steps, two M-steps, final count DP)
+    wf = text.word_frequencies(docs).localCheckpoint()
+    vocab0 = text.substring_vocab(
+        docs, max_piece_len=4, top_n=50, word_freqs=wf
+    )
+    trained = text.unigram_em_train(
+        docs, vocab0, rounds=2, prune_num=1, prune_den=5, word_freqs=wf
+    )
+    out = text.viterbi_token_counts(docs, trained, words=wf)
+    return out.select(
+        "doc_id",
+        F.col("viterbi_tokens").alias("em2_tokens"),
+        F.col("viterbi_cost_units").alias("em2_cost_units"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE applied: per-document token counts under the merges trained on
 # this corpus (operators/text.py bpe_token_counts). The fold runs once
