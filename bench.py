@@ -138,6 +138,17 @@ HEADLINE = [
     # round-9: Viterbi unigram tokenization (one integer DP fold per
     # distinct word) — compare against corpus_bpe_token_counts above
     "corpus_viterbi_tokens",
+    # round-12: sparse fastText-width classifier (D=65536 — the dense
+    # fold refuses this width; compare against docs_quality_lr_scores
+    # above for the dense-vs-sparse step cost), top-2 PCA via
+    # deflation (two extra matvec rounds + driver orthogonalization
+    # over embeddings_power_iteration_proj's machinery), and the
+    # iterated 2-round unigram-EM with the between-round prune
+    # (roughly 2x corpus_unigram_em_tokens: one more E/M round plus a
+    # vocab-sized driver sort)
+    "docs_quality_lr_sparse",
+    "embeddings_pca2_proj",
+    "corpus_unigram_em2_pruned",
 ]
 
 
@@ -216,27 +227,35 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    def _final_line(qmap: dict[str, float]) -> str:
-        return json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": qmap,
-                "sf": sf,
-                "calibration_sec": round((cal_before + cal_after) / 2, 3),
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
-            }
-        )
+    def _final_line(qmap: dict[str, float], nd: int | None) -> str:
+        rec = {
+            "metric": "headline_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": qmap,
+            "sf": sf,
+            "calibration_sec": round((cal_before + cal_after) / 2, 3),
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        }
+        if nd != 3:
+            # 'value' is always the 3dp total of the UNROUNDED timings;
+            # when the map is degraded (or dropped, nd null) it no
+            # longer sums to 'value' — say so in the artifact instead
+            # of leaving a silent inconsistency (ADVICE r11)
+            rec["queries_precision"] = nd
+        return json.dumps(rec)
 
     # Degrade precision rather than abort: the line must stay inside the
     # driver's 2000-char stdout tail capture or the round loses its
     # official artifact (r10 lesson). Full 3dp samples are on the
     # per_query_rep_samples line above either way.
     candidates = [
-        {k: round(v, nd) for k, v in timings.items()} for nd in (3, 2, 1)
-    ] + [{}]  # last resort: drop the map, keep the headline value
-    final = next(s for q in candidates if len(s := _final_line(q)) < 1900)
+        ({k: round(v, nd) for k, v in timings.items()}, nd)
+        for nd in (3, 2, 1)
+    ] + [({}, None)]  # last resort: drop the map, keep the headline value
+    final = next(
+        s for q, nd in candidates if len(s := _final_line(q, nd)) < 1900
+    )
     print(final)
 
 

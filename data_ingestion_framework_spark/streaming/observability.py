@@ -40,8 +40,10 @@ class ProgressLogger(StreamingQueryListener):
     batches are flowing. The head comes from the commit log's
     filename listing (pure ``os.listdir`` — legal on the listener
     thread; the engine's source description carries no path, which is
-    why the watched table is named explicitly). NULL when unwatched
-    or when no source exposes a seq offset."""
+    why the watched table is named explicitly). NULL when unwatched,
+    when no source exposes a seq offset, or when SEVERAL sources do
+    and none can be attributed to the watched path (a multi-difs join
+    — another table's seq must not masquerade as this one's)."""
 
     def __init__(self, spark, table, difs_backlog_path: str | None = None):
         self.spark = spark
@@ -60,7 +62,14 @@ class ProgressLogger(StreamingQueryListener):
             state_rows += op.numRowsTotal or 0
         backlog = None
         if self.difs_backlog_path is not None:
-            consumed = None
+            # attribute the seq offset to the WATCHED table: prefer a
+            # source whose description carries the path; with exactly
+            # one seq-bearing source that one must be it; with several
+            # and no path match the offset is unattributable — record
+            # NULL rather than another table's (possibly higher) seq,
+            # which would under-report the watched backlog (ADVICE
+            # r11). Multi-difs joins should watch one logger per path.
+            seq_offsets = []
             for s in p.sources or []:
                 try:
                     off = json.loads(s.endOffset or "null")
@@ -69,8 +78,16 @@ class ProgressLogger(StreamingQueryListener):
                 if isinstance(off, dict) and isinstance(
                     off.get("seq"), int
                 ):
-                    seq = off["seq"]
-                    consumed = seq if consumed is None else max(consumed, seq)
+                    seq_offsets.append((s.description or "", off["seq"]))
+            matched = [
+                q for d, q in seq_offsets if self.difs_backlog_path in d
+            ]
+            if matched:
+                consumed = max(matched)
+            elif len(seq_offsets) == 1:
+                consumed = seq_offsets[0][1]
+            else:
+                consumed = None
             if consumed is not None:
                 from data_ingestion_framework_spark.sources.pyds import (
                     _records,

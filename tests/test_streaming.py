@@ -1391,6 +1391,59 @@ def test_progress_logger_reports_difs_backlog(spark, tmp_path):
     assert ledger2.read().collect()[0]["backlog_commits"] is None
 
 
+def test_progress_logger_backlog_attribution_multi_source(spark, tmp_path):
+    """ADVICE r11: a query joining TWO difs streams must not attribute
+    the OTHER table's (higher) seq to the watched one. Path match in
+    the description wins; several unattributable seq sources record
+    NULL instead of an under-reported backlog."""
+    from types import SimpleNamespace
+
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+    from data_ingestion_framework_spark.streaming.observability import (
+        ProgressLogger,
+    )
+
+    p = str(tmp_path / "t")
+    t = ParquetTable(spark, p)
+    for i in range(5):  # watched head: seq 5
+        t.append(spark.createDataFrame([(i,)], "k long").coalesce(1))
+    ledger = ParquetTable(spark, str(tmp_path / "metrics"))
+    listener = ProgressLogger(spark, ledger, difs_backlog_path=p)
+
+    def ev(batch_id, sources):
+        return SimpleNamespace(
+            progress=SimpleNamespace(
+                id="q", runId="r", batchId=batch_id, timestamp="2026-01-01",
+                numInputRows=1, batchDuration=10, stateOperators=[],
+                sources=[
+                    SimpleNamespace(
+                        description=d, numInputRows=1, endOffset=o
+                    )
+                    for d, o in sources
+                ],
+            )
+        )
+
+    # the OTHER difs table is at seq 9; the watched one consumed 2
+    listener.onQueryProgress(
+        ev(0, [(f"difs [{p}]", '{"seq": 2}'),
+               ("difs [/elsewhere/u]", '{"seq": 9}')])
+    )
+    # no path in either description, two seq sources -> unattributable
+    listener.onQueryProgress(
+        ev(1, [("difs", '{"seq": 2}'), ("difs", '{"seq": 9}')])
+    )
+    # single seq source without a path still attributes (only candidate)
+    listener.onQueryProgress(
+        ev(2, [("difs", '{"seq": 4}'), ("kafka", '{"topicOffsets": {}}')])
+    )
+    assert listener.flush() == 3
+    got = {
+        r["batch_id"]: r["backlog_commits"] for r in ledger.read().collect()
+    }
+    assert got == {0: 3, 1: None, 2: 1}
+
+
 def test_progress_logger_flush_into_pre_backlog_ledger(spark, tmp_path):
     """Schema-evolution compat: a metrics ledger created BEFORE the
     backlog_commits column existed must keep accepting flushes (old
