@@ -105,30 +105,39 @@ _PRIORITY = [
     # boundary too) and the same event-time normalization, so the NTZ
     # class stays covered. Still in the full local gate.
     "events_asof_nearest_click",
-    # ROUND-9 ROTATION (4th wave): docs_excise_dup_spans (green r7+r8)
-    # cedes to the cell-co-partitioned k-NN join (both-sides-large ANN,
-    # new this round); the corpus-global 13-gram broadcast machinery
-    # it rides runs INSIDE the in-window corpus_pipeline_staged. Still
-    # in the full local gate.
-    "similarity_knn_join_topk",
-    # ROUND-9 ROTATION: cdc_find_delta (driver-green r1-r7) cedes to
-    # integer fixed-point PageRank (new iterative-graph machinery worth
-    # certifying); the full-outer hash-diff mechanism stays window-
-    # graded via cdf_merge_changes (the change-feed computes the same
-    # insert/update/delete comparison) and hkey/hdiff are pytest-pinned.
-    # Still in the full local gate.
-    "graph_pagerank_interactions",
-    # ROUND-8 ROTATION: cdc_brute_force_diff (driver-green r5+r6)
-    # cedes to the identity-column lifecycle; the full-outer diff
-    # mechanism stays window-graded via cdc_find_delta (hash twin of
-    # the same comparison) and the IS DISTINCT FROM predicate is
-    # pytest-pinned. Still in the full local gate.
-    "orders_identity_state",
-    # ROUND-9 ROTATION: scd1_latest_event_per_user (green r4-r7)
-    # cedes to RRF hybrid retrieval; the row_number latest-per-key
-    # mechanism stays window-graded via customer_surrogate_scd1_state
-    # (same SCD1 executor) and events_sessionize's window family.
-    "retrieval_rrf_hybrid",
+    # ROUND-12 ROTATION: similarity_knn_join_topk (green r9-r11) cedes
+    # to the SPARSE fastText-width quality classifier (new this round:
+    # D=65536 long-format GD, a width the dense fold refuses); the
+    # cell-co-partitioned k-NN join mechanism stays window-graded via
+    # similarity_knn_join_pq, whose oracle composes the SAME
+    # deterministic cell join + exact rescore. Still in the full local
+    # gate.
+    "docs_quality_lr_sparse",
+    # ROUND-12 ROTATION: graph_pagerank_interactions (green r9-r11)
+    # cedes to top-2 PCA via deflation (new this round: the oracle
+    # replays both von Mises passes plus the driver-side
+    # orthogonalization); the integer fixed-point iterative-rank loop
+    # stays window-graded via graph_trustrank_seeded (the seeded
+    # superset of the same edges⋈ranks + groupBy recurrence) and
+    # graph_lpa_communities keeps the iterative-label join. Still in
+    # the full local gate.
+    "embeddings_pca2_proj",
+    # ROUND-12 ROTATION: orders_identity_state (green r8-r11) cedes to
+    # the Delta-export lifecycle (never driver-graded); the
+    # metadata-stamped-column family stays window-graded via
+    # orders_add_column_default_state (same spec-parse + backfill
+    # read path) and the surrogate-key generation family keeps
+    # customer_surrogate_scd1_state in-window. Still in the full
+    # local gate.
+    "orders_delta_export_state",
+    # ROUND-12 ROTATION: retrieval_rrf_hybrid (green r9-r11) cedes to
+    # the ITERATED unigram-EM with vocabulary pruning (new this
+    # round — the full Kudo trainer loop, its oracle unrolls three
+    # DPs, two backtraces and the prune cut); the BM25 ranking arm
+    # stays window-graded via docs_chunk_bm25_topk (whose oracle
+    # re-derives the full BM25 ranking) and the cosine arm via
+    # similarity_filtered_topk. Still in the full local gate.
+    "corpus_unigram_em2_pruned",
     # ROUND-9 ROTATION: scd2_as_of (green r4-r7) cedes to the
     # stream-stream interval join (the first streaming JOIN under the
     # oracle gate); interval reconstruction is pytest-pinned
@@ -141,12 +150,15 @@ _PRIORITY = [
     # driver-green r4 and ceded their slots to the round-4 lifecycle
     # queries below; orders_above_customer_avg ceded earlier to
     # docs_fuzzy_entity_pairs. All stay in the full local gate.)
-    # ROUND-9 ROTATION (3rd wave): docs_bm25_topk (green r7+r8) cedes
-    # to the completed-PPJoin set-similarity join (length + positional
-    # filters now replayed in the oracle); the BM25 arm stays window-
-    # graded via retrieval_rrf_hybrid, whose oracle re-derives the
-    # full BM25 ranking before fusing. Still in the full local gate.
-    "dedup_prefix_filter_pairs",
+    # ROUND-12 ROTATION: dedup_prefix_filter_pairs (green r9-r11)
+    # cedes to the LAZY end-to-end corpus pipeline twin (shares
+    # corpus_pipeline_staged's oracle verbatim but has never itself
+    # been driver-graded — closing the longest-standing row of the
+    # never-graded list); the exact set-similarity join mechanism
+    # stays window-graded via dedup_blocked_recall, whose oracle
+    # re-derives the SAME exact-Jaccard pair set before comparing the
+    # banding against it. Still in the full local gate.
+    "corpus_pipeline_end2end",
     # never driver-graded: corpus / text / cleaning / sampling
     # (corpus_pipeline_end2end shares corpus_pipeline_staged's oracle
     # verbatim — the staged form keeps the window slot, the lazy twin
@@ -208,14 +220,14 @@ _PRIORITY = [
     # state (which parses per-file specs across eras, a superset of
     # the hidden-transform read path). Still in the full local gate.
     "orders_version_diff_state",
-    # dedup_simhash_md5_pairs (green r4+r5) cedes to the new UPDATE
-    # statement lifecycle; its banded-signature-generator mechanism
-    # stays window-graded via dedup_minhash_md5_pairs
-    # ROUND-9 ROTATION: orders_update_state (green r6+r7) cedes to
-    # BPE tokenization (train + apply); the COW statement family keeps
-    # orders_delete_dv_state, orders_stats_skipping_state (which runs
-    # delete_where) and orders_replace_where_state in-window.
-    "corpus_bpe_token_counts",
+    # ROUND-12 ROTATION: corpus_bpe_token_counts (green r9-r11) cedes
+    # to the depth-64 BATCHED BPE trainer (the bench twin of the
+    # driver-certified batched8 — rows-only check, no portable oracle
+    # at depth 64); BPE train+apply stays window-graded via
+    # corpus_bpe_budget_mix (which runs the same trainer and
+    # tokenizer before budgeting) and corpus_bpe_merges_batched8.
+    # Still in the full local gate.
+    "corpus_bpe_merges_batched",
     # round-6: the generic MERGE INTO executor's NOT-MATCHED-BY-SOURCE
     # clause family and the IVFADC composite — both new, never graded
     "orders_merge_not_matched_state",
@@ -227,12 +239,13 @@ _PRIORITY = [
     # orders_stats_skipping_state (the skipping consumer of those
     # min/max footers). Still in the full local gate.
     "similarity_filtered_topk",
-    # ROUND-9 ROTATION (2nd wave): similarity_ivfpq_topk (green
-    # r6+r7) cedes to the nDCG index-quality gauge (whose oracle
-    # re-derives the IVF coarse index, the exact ranking AND the
-    # position-weighted fusion); IVFADC keeps
-    # similarity_ivfpq_sampled_topk in-window. Still in the full gate.
-    "similarity_ivf_ndcg",
+    # ROUND-12 ROTATION: similarity_ivf_ndcg (green r9-r11) cedes to
+    # the CALIBRATED int8 quantization shape (never driver-graded);
+    # the index-quality gauge family stays window-graded via
+    # similarity_ivf_recall (same oracle machinery: coarse index
+    # re-derivation + exact-ranking comparison, set-overlap instead
+    # of position-weighted fusion). Still in the full local gate.
+    "embeddings_quantize_calibrated",
     # ROUND-8 ROTATION: similarity_lsh_topk (driver-green r5+r6) cedes
     # to the surrogate-key SCD1 lifecycle; the sign-LSH bucket-join
     # mechanism stays window-graded via hybrid_dedup_clusters
@@ -263,13 +276,13 @@ _PRIORITY = [
     # events_incremental_rollup via events_incremental_partition_
     # rollup (the partition-scoped superset of the same commit-delta
     # refresh). All six stay in the full local gate.
-    # ROUND-9 ROTATION (5th wave): orders_column_stats (green r7+r8)
-    # cedes to the exact equi-depth histogram — its successor on the
-    # same ANALYZE-parity surface (per-column stats → distribution
-    # structure); the multi-distinct one-pass agg stays pytest-pinned
-    # and the stats' skipping consumer is in-window
-    # (orders_stats_skipping_state). Still in the full local gate.
-    "orders_custkey_histogram",
+    # ROUND-12 ROTATION: orders_custkey_histogram (green r9-r11)
+    # cedes to the seasonal-anomaly detector (never driver-graded);
+    # the dataset-distribution DQ family stays window-graded via
+    # dq_violation_counts (rule + dataset DQ composite) and the
+    # equi-depth bucket math is pytest-pinned. Still in the full
+    # local gate.
+    "events_seasonal_anomalies",
     # ROUND-9 ROTATION (3rd wave): merge_sql_generic_state (green
     # r7+r8) cedes to the disjunctive OR-of-ANDs cross-table pushdown
     # shape (the most mechanism-distinct of the round-8 TPC-H
@@ -390,13 +403,13 @@ _PRIORITY = [
     # the same cluster-then-dedup stage) and hybrid_dedup_clusters
     # (embedding near-dup edges). Still in the full local gate.
     "orders_partition_evolution_state",
-    # ROUND-9 ROTATION (3rd wave): events_m4_downsample (green r7+r8)
-    # cedes to the degree-oriented triangle count (re-shaped this
-    # round: wedges enumerate from the low-degree side, bounded by
-    # arboricity); the join-free time-series generator family keeps
-    # events_gapfill_locf in-window and the 4-rank M4 window is
-    # pytest-pinned (test_timeseries). Still in the full local gate.
-    "graph_supplier_triangles",
+    # ROUND-12 ROTATION: graph_supplier_triangles (green r9-r11)
+    # cedes to the incremental-join lifecycle (never driver-graded);
+    # the degree-oriented wedge enumeration stays window-graded via
+    # graph_clustering_coefficients (per-node triangle membership
+    # over the SAME low-degree-side enumeration — a strict superset).
+    # Still in the full local gate.
+    "orders_incremental_join_state",
     # ROUND-9 ROTATION (2nd wave): hybrid_dedup_clusters (green
     # r6+r7) cedes to label-propagation communities — the same
     # iterative-label-join machinery generalized (CC IS min-label
@@ -496,14 +509,14 @@ _PRIORITY = [
     # similarity_ivfpq_sampled_topk — each oracle re-derives the full
     # codebook build + ADC scoring). Still in the full local gate.
     "orders_stream_table_state",
-    # ROUND-9 ROTATION (5th wave): events_incremental_partition_rollup
-    # (green r5-r8) cedes to the JL-projection top-k (dim reduction
-    # before ANN — new this round); the commit-cursor incremental-
-    # refresh mechanism stays window-graded via the NEW
-    # embeddings_ivf_index_state (read_since cursor, delta-only fold),
-    # and the partition-scoped variant is pytest-pinned. Still in the
-    # full local gate.
-    "embeddings_jl_topk",
+    # ROUND-12 ROTATION: embeddings_jl_topk (green r9-r11) cedes to
+    # the FFD bin-packing report (rows-only: greedy first-fit-
+    # decreasing is order-dependent in a way portable SQL can't
+    # replay; semantics pytest-pinned) — the last never-driver-graded
+    # packing surface; the JL projection witness is pytest-pinned and
+    # the ANN shortlist family keeps similarity_filtered_topk and
+    # similarity_knn_join_pq in-window. Still in the full local gate.
+    "docs_pack_ffd",
     # ROUND-9 ROTATION (4th wave): orders_strict_log_state (green
     # r7+r8) cedes to local clustering coefficients (per-node triangle
     # membership over the degree-oriented enumeration, new this
@@ -519,6 +532,18 @@ _PRIORITY = [
     # history). Still in the full local gate.
     "orders_replace_where_state",
     # end of the 50-query driver window
+    # the ten rows ceded by the round-12 rotation (driver-green 3-4
+    # rounds; mechanisms window-covered per the notes above)
+    "similarity_knn_join_topk",
+    "graph_pagerank_interactions",
+    "orders_identity_state",
+    "retrieval_rrf_hybrid",
+    "dedup_prefix_filter_pairs",
+    "corpus_bpe_token_counts",
+    "similarity_ivf_ndcg",
+    "orders_custkey_histogram",
+    "graph_supplier_triangles",
+    "embeddings_jl_topk",
     # the rows ceded by the round-11 second-wave rotation
     "orders_delete_dv_state",
     "embeddings_hard_negatives_ann",
@@ -569,10 +594,8 @@ _PRIORITY = [
     "docs_quality_topfrac",
     "embeddings_pq_codes",
     "events_incremental_rollup",
-    "corpus_pipeline_end2end",
-    # rows-only (no oracle): the driver's hash gate can't grade it, so
-    # it cedes its window slot to an oracle-backed round-5 query
-    "docs_pack_ffd",
+    # (corpus_pipeline_end2end and docs_pack_ffd moved INTO the window
+    # in the round-12 rotation)
     # the three rows ceded by the round-8 rotation (driver-green r5+r6;
     # mechanisms window-covered per the rotation notes above)
     "cdc_brute_force_diff",

@@ -195,9 +195,9 @@ def test_driver_grading_window_covers_priority_queries():
         "events_range_join_counts",
         "streaming_daily_counts",
         "corpus_pipeline_staged",
-        # r9: cdc_find_delta ceded to PageRank (hash-diff mechanism
-        # stays via cdf_merge_changes)
-        "graph_pagerank_interactions",
+        # r12: graph_pagerank_interactions ceded to top-2 PCA via
+        # deflation (iterative-rank loop stays via trustrank + LPA)
+        "embeddings_pca2_proj",
         "dq_violation_counts",
         # r9 2nd wave: events_asof_purchase ceded to the nearest-
         # direction as-of (same operator, superset directions)
@@ -205,10 +205,10 @@ def test_driver_grading_window_covers_priority_queries():
         # r8: semantic_dedup_keep ceded to the partition-evolution
         # lifecycle (SemDeDup runs inside embeddings_pipeline_curated)
         "orders_partition_evolution_state",
-        # r9 3rd wave: events_m4_downsample ceded to the degree-
-        # oriented triangle count (gap-fill keeps the time-series
-        # generator family in-window)
-        "graph_supplier_triangles",
+        # r12: graph_supplier_triangles ceded to the incremental-join
+        # lifecycle (wedge enumeration stays via clustering
+        # coefficients, its strict superset)
+        "orders_incremental_join_state",
         # r9 2nd wave: hybrid clusters ceded to LPA communities
         "graph_lpa_communities",
         # r9 4th wave: orders_copy_into_state ceded to the persisted
@@ -238,10 +238,10 @@ def test_driver_grading_window_covers_priority_queries():
         # r8 2nd wave: similarity_pq_topk ceded to the streaming
         # table-source lifecycle (PQ keeps 3 in-window IVFADC reps)
         "orders_stream_table_state",
-        # r9 5th wave: events_incremental_partition_rollup ceded to
-        # the JL-projection top-k (cursor-refresh mechanism stays via
-        # embeddings_ivf_index_state)
-        "embeddings_jl_topk",
+        # r12: embeddings_jl_topk ceded to the FFD packing report
+        # (JL witness pytest-pinned; ANN shortlist family keeps
+        # filtered top-k + knn_pq in-window)
+        "docs_pack_ffd",
         # r9 4th wave: orders_strict_log_state ceded to clustering
         # coefficients (strict-log refusals pytest-pinned)
         "graph_clustering_coefficients",
@@ -263,18 +263,18 @@ def test_driver_grading_window_covers_priority_queries():
         "corpus_unigram_em_tokens",
         "corpus_pipeline_curated",
         "orders_merge_not_matched_state",
-        # r9 2nd wave: ivfpq_topk ceded to the nDCG gauge (oracle
-        # re-derives the IVF index); sampled IVFADC stays below
-        "similarity_ivf_ndcg",
+        # r12: similarity_ivf_ndcg ceded to calibrated int8
+        # quantization (gauge family stays via similarity_ivf_recall)
+        "embeddings_quantize_calibrated",
         # r9: similarity_ivfpq_residual_topk ceded to the ADD COLUMN
-        # DEFAULT lifecycle; orders_update_state ceded to BPE apply
+        # DEFAULT lifecycle
         "orders_add_column_default_state",
-        "corpus_bpe_token_counts",
-        # round-7 rotation: the three round-6 queries that were still
-        # awaiting a slot plus this round's three new surfaces
-        # r9 5th wave: orders_column_stats ceded to the equi-depth
-        # histogram (the ANALYZE-parity successor)
-        "orders_custkey_histogram",
+        # r12: corpus_bpe_token_counts ceded to the depth-64 batched
+        # BPE trainer (train+apply stays via corpus_bpe_budget_mix)
+        "corpus_bpe_merges_batched",
+        # r12: orders_custkey_histogram ceded to the seasonal-anomaly
+        # detector (dataset-DQ family stays via dq_violation_counts)
+        "events_seasonal_anomalies",
         # r9 3rd wave: merge_sql_generic_state ceded to the
         # disjunctive cross-table pushdown shape (executor semantics
         # stay via orders_merge_not_matched_state)
@@ -313,26 +313,25 @@ def test_driver_grading_window_covers_priority_queries():
         # r11: similarity_ivfpq_sampled_topk ceded to the
         # PQ-compressed k-NN join (same two index builds in its oracle)
         "similarity_knn_join_pq",
-        # r9 3rd wave: docs_bm25_topk ceded to the completed PPJoin
-        # (BM25 re-derived inside retrieval_rrf_hybrid's oracle);
-        # orders_hidden_partition_state ceded to the version-diff
-        # composite; orders_minmax_metadata ceded to filtered top-k
-        "dedup_prefix_filter_pairs",
+        # r12: dedup_prefix_filter_pairs ceded to the lazy end-to-end
+        # pipeline twin (exact-Jaccard pair set re-derived inside
+        # dedup_blocked_recall's oracle)
+        "corpus_pipeline_end2end",
         "orders_version_diff_state",
         "similarity_filtered_topk",
-        # round-8 rotation: log-stats data skipping + identity columns
-        # + duplicated-span excision
+        # round-8 rotation: log-stats data skipping
         "orders_stats_skipping_state",
-        "orders_identity_state",
-        # r9 4th wave: docs_excise_dup_spans ceded to the k-NN join
-        # (13-gram machinery runs inside corpus_pipeline_staged)
-        "similarity_knn_join_topk",
+        # r12: orders_identity_state ceded to the Delta-export
+        # lifecycle (stamped-column family stays via
+        # orders_add_column_default_state)
+        "orders_delta_export_state",
+        # r12: similarity_knn_join_topk ceded to the sparse
+        # fastText-width classifier (cell join stays via knn_join_pq)
+        "docs_quality_lr_sparse",
         "customer_surrogate_scd1_state",
-        # round-9 rotation: RRF hybrid retrieval and the stream-stream
-        # interval join (scd1_latest_event_per_user / scd2_as_of ceded;
-        # row_number-latest and interval reconstruction stay pinned by
-        # the SCD window siblings and test_as_of_reconstruction)
-        "retrieval_rrf_hybrid",
+        # r12: retrieval_rrf_hybrid ceded to the iterated unigram-EM
+        # with pruning (BM25 arm stays via docs_chunk_bm25_topk)
+        "corpus_unigram_em2_pruned",
         "streaming_click_purchase_join",
     ]:
         assert name in first50, f"{name} fell out of the driver's grading window"
