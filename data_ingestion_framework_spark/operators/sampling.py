@@ -294,7 +294,7 @@ def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
 def split_assign(
     df: DataFrame,
     weights: dict[str, float],
-    id_col: str = "doc_id",
+    id_col: str | Column = "doc_id",
     salt: str = "",
     split_col: str = "split",
 ) -> DataFrame:
@@ -324,6 +324,39 @@ def split_assign(
         keep = F.lit(True) if len(th) > _HEX_WIDTH else b < F.lit(th)
         col = (F.when if col is None else col.when)(keep, F.lit(name))
     return df.withColumn(split_col, col.otherwise(F.lit(names[-1])))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    group: Column | str | None = None,
+    text_col: str = "text",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Split assignment keyed by a GROUP expression instead of the row
+    id: every row sharing the group value lands in the SAME split, so
+    duplicated or derived content cannot straddle the train/eval
+    boundary — the leakage mode row-id splitting silently permits
+    (an eval document whose exact copy sits in train scores as
+    memorization, not generalization).
+
+    ``group`` defaults to the normalized-text md5 fingerprint — exact
+    duplicates co-assign with ZERO extra cost: the fingerprint is
+    computed row-locally, so this stays a pure scan-side projection
+    (no shuffle, no RNG), with all of :func:`split_assign`'s
+    stability-under-growth properties per GROUP. Pass a parent
+    document id to co-assign chunks, or a near-dup cluster id (e.g.
+    from the connected-components clustering) for fuzzy leakage — any
+    row-available expression keeps the zero-shuffle shape; a computed
+    cluster id costs whatever its join cost already was."""
+    if group is None:
+        from data_ingestion_framework_spark.operators.text import fingerprint
+
+        group = fingerprint(text_col)
+    return split_assign(
+        df, weights, id_col=group, salt=salt, split_col=split_col
+    )
 
 
 def token_budget_per_group(

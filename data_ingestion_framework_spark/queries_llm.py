@@ -656,6 +656,53 @@ def docs_split_assign(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Leakage-safe split (operators/sampling.py leakage_safe_split): the
+# split key is the normalized-text FINGERPRINT, not the row id — exact
+# duplicates co-assign, so no eval document has a training-set copy
+# (the memorization-leak mode row-id splits permit). Still a pure
+# scan-side projection: the fingerprint is row-local, zero shuffles.
+# The oracle replays md5-fingerprint → salted hex-bucket → the same
+# cumulative-threshold CASE as docs_split_assign.
+# ---------------------------------------------------------------------------
+def _leakage_split_case_sql() -> str:
+    from data_ingestion_framework_spark.operators.sampling import split_thresholds
+
+    fp = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+    whens = "\n           ".join(
+        (
+            f"WHEN TRUE THEN '{name}'"  # cum 1.0: 9-hex literal, absorb rest
+            if len(th) > 8
+            else f"WHEN substring(md5({fp}), 1, 8)"
+            f" < '{th}' THEN '{name}'"
+        )
+        for name, th in split_thresholds(_SPLIT_WEIGHTS)
+    )
+    last = list(_SPLIT_WEIGHTS)[-1]
+    return f"CASE {whens}\n           ELSE '{last}' END"
+
+
+@bench_query(
+    "docs_leakage_safe_split",
+    oracle=f"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+             AS fingerprint,
+           {_leakage_split_case_sql()} AS split
+    FROM documents
+    """,
+)
+def docs_leakage_safe_split(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, _SPLIT_WEIGHTS).select(
+        "doc_id", text.fingerprint("text").alias("fingerprint"), "split"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints (MOSS): minimum md5(k-gram) per sliding window
 # over normalized text. md5 hex + lexicographic min gives identical
 # semantics in both engines, so the whole operator sits under the

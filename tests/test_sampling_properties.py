@@ -126,3 +126,44 @@ def test_token_budget_per_group_prefix_semantics(spark):
     assert sorted(by_src["s"]) == sorted(order[:3])
     # oversized first doc still kept (budget < its token count)
     assert len(by_src["big"]) == 1
+
+
+def test_leakage_safe_split_coassigns_exact_duplicates(spark):
+    """Round-12: rows with identical normalized text must land in the
+    SAME split regardless of their ids (the leakage mode row-id
+    splitting permits), while distinct texts still spread across
+    splits; a custom group expression (parent id for chunks) co-assigns
+    by that key instead."""
+    from data_ingestion_framework_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    rows = [(i, f"unique text number {i}", i // 3) for i in range(60)]
+    # make ids 100..104 exact (whitespace/case) variants of doc 0's text
+    rows += [
+        (100, "unique TEXT number 0", 0),
+        (101, "  unique   text number 0 ", 0),
+        (102, "Unique Text Number 0", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, parent long")
+    out = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            df, {"train": 8, "val": 1, "test": 1}
+        ).collect()
+    }
+    assert len({out[i] for i in (0, 100, 101, 102)}) == 1
+    assert len(set(out.values())) > 1  # distinct texts do spread
+
+    from pyspark.sql import functions as F
+
+    by_parent = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            df, {"train": 8, "val": 1, "test": 1}, group=F.col("parent")
+        ).collect()
+    }
+    groups: dict[int, set] = {}
+    for (i, _, parent) in rows:
+        groups.setdefault(parent, set()).add(by_parent[i])
+    assert all(len(s) == 1 for s in groups.values())
