@@ -149,6 +149,11 @@ HEADLINE = [
     "docs_quality_lr_sparse",
     "embeddings_pca2_proj",
     "corpus_unigram_em2_pruned",
+    # content-keyed split: exact-dup copies co-assign across
+    # train/val/test — pure scan-side projection, compare against the
+    # row-id-keyed docs_split_assign shape (same threshold compare,
+    # fingerprint key instead of id)
+    "docs_leakage_safe_split",
 ]
 
 
@@ -243,7 +248,10 @@ def main() -> None:
             # longer sums to 'value' — say so in the artifact instead
             # of leaving a silent inconsistency (ADVICE r11)
             rec["queries_precision"] = nd
-        return json.dumps(rec)
+        # compact separators: ~3 chars/entry, the difference between
+        # the full 3dp map fitting the capture window at 58 queries
+        # (1856 chars) and the map being dropped entirely
+        return json.dumps(rec, separators=(",", ":"))
 
     # Degrade precision rather than abort: the line must stay inside the
     # driver's 2000-char stdout tail capture or the round loses its

@@ -364,11 +364,16 @@ _PRIORITY = [
     # embeddings_hard_negatives_ann and similarity_knn_join_topk
     # in-window. Still in the full local gate.
     "similarity_ivf_recall",
-    # round-7 third wave: the column-mapping lifecycle (metadata-only
-    # RENAME/DROP). Slot ceded by events_heavy_hitter_users (green
-    # r5+r6; the mergeable-bounded-sketch family stays window-graded
-    # via events_kmv_overlap, and the MG fold is pytest-pinned).
-    "orders_rename_state",
+    # ROUND-12 ROTATION (2nd wave): orders_rename_state (green
+    # r7-r11, the window's longest-green lifecycle row) cedes to the
+    # leakage-safe content-keyed split (new this round: exact-dup
+    # copies co-assign across train/val/test); the column-mapping
+    # read path is pytest-pinned (test_colmap_schema) and the
+    # metadata-only lifecycle family keeps
+    # orders_partition_evolution_state (per-file spec parsing across
+    # eras) and orders_version_diff_state in-window. Still in the
+    # full local gate.
+    "docs_leakage_safe_split",
     # round-7 fourth wave: the embedding-side curation flagship
     # (gate → exact dedup → SemDeDup → int8 quantize, one chained
     # oracle). Slot ceded by docs_shuffle_rank (green r5+r6; the
@@ -544,6 +549,7 @@ _PRIORITY = [
     "orders_custkey_histogram",
     "graph_supplier_triangles",
     "embeddings_jl_topk",
+    "orders_rename_state",
     # the rows ceded by the round-11 second-wave rotation
     "orders_delete_dv_state",
     "embeddings_hard_negatives_ann",

@@ -306,7 +306,10 @@ def test_driver_grading_window_covers_priority_queries():
         # r11: similarity_matryoshka_topk ceded to the IVF recall@k
         # gauge (sibling of the in-window nDCG gauge)
         "similarity_ivf_recall",
-        "orders_rename_state",
+        # r12 2nd wave: orders_rename_state ceded to the leakage-safe
+        # split (column-mapping reads pytest-pinned; lifecycle family
+        # keeps partition-evolution + version-diff in-window)
+        "docs_leakage_safe_split",
         "embeddings_pipeline_curated",
         # r9 3rd wave: corpus_zipf_alpha ceded to the BPE-budgeted mix
         "corpus_bpe_budget_mix",
