@@ -154,6 +154,10 @@ HEADLINE = [
     # row-id-keyed docs_split_assign shape (same threshold compare,
     # fingerprint key instead of id)
     "docs_leakage_safe_split",
+    # exact ROC-AUC of the trained quality filter (re-trains the dense
+    # D=16 model, then one distinct-score rank-sum — the delta over
+    # docs_quality_lr_scores is the gauge's cost)
+    "docs_quality_lr_auc",
 ]
 
 

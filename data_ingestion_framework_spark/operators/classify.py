@@ -447,6 +447,64 @@ def linear_classifier_scores_sparse(
     )
 
 
+def classifier_auc(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score_units",
+) -> DataFrame:
+    """EXACT ROC AUC of a scored frame — the Mann-Whitney rank-sum
+    form with average-rank tie handling, the standard quality gate for
+    a trained filter before it touches a corpus.
+
+    Scale shape (same discipline as ``dq.equi_depth_histogram``):
+    scores collapse to a DISTINCT-value count table first (one
+    map-side-combined agg carrying ``(score, n, n_pos)``), and the one
+    global-order window runs over |distinct scores| rows, not |rows| —
+    fine for the integer-unit logits a linear model emits (score
+    cardinality is bounded by the weight lattice); a genuinely
+    continuous 100 TB score column should pre-round. Ranks are
+    doubled so tie-averages stay integers: a tie group spanning ranks
+    [lo, hi] contributes ``n_pos·(lo+hi)`` with ``lo+hi = 2·hi_rank −
+    n + 1``, every term exact in DECIMAL(38,0) (bounded by 2n² — a
+    loud decimal overflow, never a silent wrap). The only float op is
+    the final division, identically rounded on any engine.
+
+    Returns ONE row ``(n_pos, n_neg, auc)``; ``auc`` is NULL when
+    either class is empty (undefined, not 0.5-by-fiat)."""
+    per = (
+        scored.where(F.col(score_col).isNotNull())
+        .groupBy(F.col(score_col).alias("__s"))
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum(F.col(label_col).cast("int")).alias("__p"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy("__s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    rk = per.withColumn("__hi", F.sum("__c").over(w))
+    agg = rk.agg(
+        F.sum(
+            F.col("__p").cast("decimal(19,0)")
+            * (2 * F.col("__hi") - F.col("__c") + 1).cast("decimal(19,0)")
+        ).alias("__rp2"),
+        F.sum("__p").cast("bigint").alias("__np"),
+        F.sum("__c").cast("bigint").alias("__n"),
+    )
+    np_d = F.col("__np").cast("decimal(19,0)")
+    nn_d = (F.col("__n") - F.col("__np")).cast("decimal(19,0)")
+    u2 = F.col("__rp2") - np_d * (np_d + 1)
+    den = F.lit(2).cast("decimal(19,0)") * np_d * nn_d
+    return agg.select(
+        F.col("__np").alias("n_pos"),
+        (F.col("__n") - F.col("__np")).alias("n_neg"),
+        F.when(
+            (F.col("__np") > 0) & (F.col("__n") > F.col("__np")),
+            F.round(u2.cast("double") / den.cast("double"), 6),
+        ).alias("auc"),
+    )
+
+
 def quality_lr_pipeline(
     df: DataFrame,
     label: Column,

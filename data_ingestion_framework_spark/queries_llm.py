@@ -6083,10 +6083,9 @@ def dedup_prefix_filter_pairs(spark, sf_dir):
 # both GD steps CTE by CTE and hash-matches bit-for-bit. Label: the
 # doc has >= 40 tokens (same token definition on both sides).
 # ---------------------------------------------------------------------------
-@bench_query(
-    "docs_quality_lr_scores",
-    oracle="""
-    WITH tk AS (
+#: the dense two-step GD unroll, shared verbatim by the scores query
+#: and the AUC gauge (whose oracle appends a rank-sum tail)
+_QLR_GD_CTES = """tk AS (
       SELECT doc_id, list_filter(string_split(
                lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
                t -> t <> '') AS toks
@@ -6126,7 +6125,13 @@ def dedup_prefix_filter_pairs(spark, sf_dir):
     w2 AS (SELECT w1.j, w1.w - CAST(ROUND(0.5 * g.gr / n.n) AS BIGINT) AS w
            FROM w1 JOIN grad2 g ON g.j = w1.j, n),
     zf AS (SELECT f.doc_id, f.y, CAST(SUM(f.x[w2.j+1] * w2.w) AS BIGINT) AS zu
-           FROM fx f CROSS JOIN w2 GROUP BY f.doc_id, f.y)
+           FROM fx f CROSS JOIN w2 GROUP BY f.doc_id, f.y)"""
+
+
+@bench_query(
+    "docs_quality_lr_scores",
+    oracle=f"""
+    WITH {_QLR_GD_CTES}
     SELECT doc_id, CAST(y AS INT) AS label, zu AS score_units,
            ROUND(0.5 + (zu/1000000.0)/(2*(1+abs(zu/1000000.0))), 6) AS prob,
            zu >= 0 AS pred
@@ -6149,6 +6154,50 @@ def docs_quality_lr_scores(spark, sf_dir):
     return classify.quality_lr_pipeline(
         docs, label, n_features=16, iters=2, lr=0.5
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier quality gate (operators/classify.py classifier_auc):
+# exact ROC AUC of the trained quality model by Mann-Whitney rank-sum
+# with average-rank ties — ranks doubled so tie averages stay
+# integers, every term DECIMAL-exact, one global-order window over
+# DISTINCT score values only. The oracle reuses the GD unroll
+# verbatim and appends the same rank-sum tail.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_quality_lr_auc",
+    oracle=f"""
+    WITH {_QLR_GD_CTES},
+    per AS (SELECT zu AS s, COUNT(*) AS c, SUM(y) AS p FROM zf GROUP BY zu),
+    rk AS (SELECT s, c, p, SUM(c) OVER (ORDER BY s) AS hi FROM per),
+    ag AS (SELECT SUM(CAST(p AS HUGEINT) * (2*hi - c + 1)) AS rp2,
+                  SUM(p) AS np, SUM(c) AS nn FROM rk)
+    SELECT CAST(np AS BIGINT) AS n_pos,
+           CAST(nn - np AS BIGINT) AS n_neg,
+           CASE WHEN np > 0 AND nn > np THEN
+             ROUND(CAST(rp2 - CAST(np AS HUGEINT) * (np + 1) AS DOUBLE)
+                   / CAST(2 * CAST(np AS HUGEINT) * (nn - np) AS DOUBLE), 6)
+           END AS auc
+    FROM ag
+    """,
+)
+def docs_quality_lr_auc(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import classify
+
+    docs = load(spark, sf_dir, "documents")
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    scored = classify.quality_lr_pipeline(
+        docs, label, n_features=16, iters=2, lr=0.5
+    )
+    return classify.classifier_auc(scored)
 
 
 # ---------------------------------------------------------------------------

@@ -507,13 +507,16 @@ _PRIORITY = [
     # + events_range_join_counts in-window. Still in the full local
     # gate.
     "docs_chunk_bm25_topk",
-    # ROUND-8 ROTATION (2nd wave): similarity_pq_topk (driver-green
-    # r5+r6) cedes to the table-as-a-streaming-source lifecycle; the
-    # PQ codebook/encode/ADC mechanism keeps THREE in-window reps
-    # (similarity_ivfpq_topk, similarity_ivfpq_residual_topk,
-    # similarity_ivfpq_sampled_topk — each oracle re-derives the full
-    # codebook build + ADC scoring). Still in the full local gate.
-    "orders_stream_table_state",
+    # ROUND-12 ROTATION (2nd wave): orders_stream_table_state (green
+    # r8-r11) cedes to the exact ROC-AUC gauge of the trained quality
+    # classifier (new this round: Mann-Whitney rank-sum over distinct
+    # score values, ranks doubled for integer tie averages); the
+    # commit-replay streaming-source mechanism stays graded via
+    # embeddings_ivf_index_state (the same read_since cursor +
+    # crash-safe commit-metrics discipline) and the difs reader's
+    # engine-sequence/restart/exactly-once pytest family. Still in
+    # the full local gate.
+    "docs_quality_lr_auc",
     # ROUND-12 ROTATION: embeddings_jl_topk (green r9-r11) cedes to
     # the FFD bin-packing report (rows-only: greedy first-fit-
     # decreasing is order-dependent in a way portable SQL can't
@@ -550,6 +553,7 @@ _PRIORITY = [
     "graph_supplier_triangles",
     "embeddings_jl_topk",
     "orders_rename_state",
+    "orders_stream_table_state",
     # the rows ceded by the round-11 second-wave rotation
     "orders_delete_dv_state",
     "embeddings_hard_negatives_ann",

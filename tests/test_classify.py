@@ -251,3 +251,60 @@ def test_trainers_refuse_overflow_magnitudes(spark):
         raise AssertionError("expected overflow refusal (sparse scoring)")
     except ValueError as e:
         assert "overflow" in str(e)
+
+
+def test_classifier_auc_matches_python_witness(spark):
+    """Exact rank-sum AUC with average-rank ties vs a plain-Python
+    witness, including a heavy tie group and the degenerate
+    single-class NULL."""
+    import decimal
+
+    rows = [
+        # (label, score): ties at 5 span both classes
+        (1, 9), (1, 7), (0, 7), (1, 5), (0, 5), (0, 5), (1, 5),
+        (0, 3), (0, 1), (1, -2), (0, -2),
+    ]
+    df = spark.createDataFrame(rows, "label int, score_units long")
+    got = spark.createDataFrame(df.collect(), df.schema)  # stable copy
+    from data_ingestion_framework_spark.operators import classify
+
+    out = classify.classifier_auc(got).collect()[0]
+
+    # witness: average ranks ascending by score
+    scores = sorted(s for _, s in rows)
+    rank2 = {}
+    i = 0
+    while i < len(scores):
+        j = i
+        while j < len(scores) and scores[j] == scores[i]:
+            j += 1
+        rank2[scores[i]] = (i + 1) + j  # lo + hi, ranks 1-based
+        i = j
+    n_pos = sum(lab for lab, _ in rows)
+    n_neg = len(rows) - n_pos
+    rp2 = sum(rank2[s] for lab, s in rows if lab == 1)
+    u2 = rp2 - n_pos * (n_pos + 1)
+    want = float(
+        decimal.Decimal(repr(u2 / (2 * n_pos * n_neg))).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+    assert (out["n_pos"], out["n_neg"]) == (n_pos, n_neg)
+    assert out["auc"] == want
+
+    # perfect separation -> 1.0; reversed -> 0.0
+    sep = spark.createDataFrame(
+        [(1, 10), (1, 9), (0, 2), (0, 1)], "label int, score_units long"
+    )
+    assert classify.classifier_auc(sep).collect()[0]["auc"] == 1.0
+    rev = spark.createDataFrame(
+        [(0, 10), (1, 1)], "label int, score_units long"
+    )
+    assert classify.classifier_auc(rev).collect()[0]["auc"] == 0.0
+
+    # single class -> NULL auc (undefined, not 0.5-by-fiat)
+    one = spark.createDataFrame(
+        [(1, 4), (1, 2)], "label int, score_units long"
+    )
+    r = classify.classifier_auc(one).collect()[0]
+    assert r["auc"] is None and r["n_neg"] == 0

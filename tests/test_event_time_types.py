@@ -235,9 +235,10 @@ def test_driver_grading_window_covers_priority_queries():
         # r11: events_gapfill_locf ceded to the chunk-then-BM25
         # composite (generator machinery pytest-pinned)
         "docs_chunk_bm25_topk",
-        # r8 2nd wave: similarity_pq_topk ceded to the streaming
-        # table-source lifecycle (PQ keeps 3 in-window IVFADC reps)
-        "orders_stream_table_state",
+        # r12 2nd wave: orders_stream_table_state ceded to the exact
+        # ROC-AUC gauge (commit-replay streaming stays graded via
+        # embeddings_ivf_index_state + the difs pytest family)
+        "docs_quality_lr_auc",
         # r12: embeddings_jl_topk ceded to the FFD packing report
         # (JL witness pytest-pinned; ANN shortlist family keeps
         # filtered top-k + knn_pq in-window)
