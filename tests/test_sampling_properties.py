@@ -167,3 +167,53 @@ def test_leakage_safe_split_coassigns_exact_duplicates(spark):
     for (i, _, parent) in rows:
         groups.setdefault(parent, set()).add(by_parent[i])
     assert all(len(s) == 1 for s in groups.values())
+
+
+def test_leakage_safe_split_with_near_dup_clusters(spark):
+    """Fuzzy-leakage composition: near-dup EDGES -> connected-component
+    cluster ids -> cluster-keyed split (singletons fall back to their
+    own id via coalesce). Every cluster must land whole in one split —
+    the group-key contract under a COMPUTED group expression."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_framework_spark.operators import dedup
+    from data_ingestion_framework_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    topics = [
+        "the quick brown fox jumps over the lazy dog near the river",
+        "machine learning pipelines shuffle data across many executors",
+        "volcanic eruptions reshape coastlines over geological epochs",
+        "the orchestra rehearsed the symphony in the old concert hall",
+        "quarterly revenue exceeded projections in the northern region",
+        "migrating birds navigate using magnetic fields and starlight",
+        "the recipe calls for saffron cardamom and slow roasted garlic",
+        "submarine cables carry almost all intercontinental traffic",
+    ]
+    rows = []
+    for c, base in enumerate(topics):  # 8 clusters of 3 near-dup docs
+        for v in range(3):
+            rows.append((c * 10 + v, base + (" indeed" * v)))
+    for i in range(200, 220):  # singletons
+        rows.append((i, f"completely unrelated document number {i} " * 3))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    edges = dedup.ngram_jaccard_pairs(
+        df, threshold=0.5, max_block_size=2000
+    ).select("id_a", "id_b")
+    clusters = dedup.dup_clusters(edges)  # (doc_id, cluster_id)
+    grouped = df.join(clusters, "doc_id", "left")
+    out = leakage_safe_split(
+        grouped,
+        {"train": 8, "val": 1, "test": 1},
+        group=F.coalesce(F.col("cluster_id"), F.col("doc_id")),
+    )
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    members = {}
+    for r in clusters.collect():
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    assert len(members) >= 8
+    for cid, docs in members.items():
+        assert len({split_of[d] for d in docs}) == 1, (cid, docs)
+    assert len(set(split_of.values())) > 1
