@@ -252,9 +252,10 @@ def main() -> None:
             # longer sums to 'value' — say so in the artifact instead
             # of leaving a silent inconsistency (ADVICE r11)
             rec["queries_precision"] = nd
-        # compact separators: ~3 chars/entry, the difference between
-        # the full 3dp map fitting the capture window at 58 queries
-        # (1856 chars) and the map being dropped entirely
+        # compact separators: ~3 chars/entry — keeps the per-query map
+        # in the capture window at all (it was being dropped outright).
+        # At the current 60 headline lines the map ships at 2dp with
+        # queries_precision set; 3dp returns if lines are ever culled.
         return json.dumps(rec, separators=(",", ":"))
 
     # Degrade precision rather than abort: the line must stay inside the

@@ -68,8 +68,14 @@ UNIT_SCALE = 10**6
 
 
 def _tokens(text_col: str) -> Column:
+    # NULL text is an EMPTY document (zero token features, intercept
+    # still 1), not a NULL row: without the coalesce the dense fold
+    # would yield NULL features while the sparse explode would drop
+    # the document entirely — silently divergent n_rows between the
+    # two trainers
     return F.filter(
-        F.split(normalize_text(text_col), " "), lambda t: t != F.lit("")
+        F.split(F.coalesce(normalize_text(text_col), F.lit("")), " "),
+        lambda t: t != F.lit(""),
     )
 
 
@@ -144,7 +150,10 @@ from data_ingestion_framework_spark.operators.similarity import (  # noqa: E402
 def _dense_feat_stats(feats: DataFrame, feat_col: str) -> tuple[int, int]:
     """``(max_count, max_row_sum)`` over a dense feature frame — one
     small agg feeding the overflow guards (counts are non-negative by
-    construction, so ``greatest`` is the max)."""
+    construction, so ``greatest`` is the max). An empty frame yields
+    ``(0, 0)``: nothing can overflow, and scoring an empty frame must
+    stay a no-op (the TRAINERS refuse emptiness themselves — the
+    gradient divisor needs n_rows > 0)."""
     zero = F.lit(0).cast("bigint")
     row = feats.select(
         F.max(
@@ -155,7 +164,7 @@ def _dense_feat_stats(feats: DataFrame, feat_col: str) -> tuple[int, int]:
         ).alias("rs"),
     ).first()
     if row is None or row["mx"] is None:
-        raise ValueError("empty feature frame")
+        return 0, 0
     return int(row["mx"]), int(row["rs"])
 
 
@@ -318,7 +327,9 @@ def _sparse_feat_stats(triples: DataFrame, id_col: str) -> tuple[int, int, int]:
         F.max("__rs").alias("rs"),
     ).first()
     if row is None or row["n"] == 0:
-        raise ValueError("empty sparse feature frame")
+        # scoring an empty frame is a no-op; the TRAINER refuses
+        # emptiness itself (its gradient divisor needs n_rows > 0)
+        return 0, 0, 0
     return int(row["n"]), int(row["mx"]), int(row["rs"])
 
 
@@ -388,6 +399,8 @@ def _gd_train_sparse_with_stats(
         F.col("count").cast("bigint").alias("count"),
     ).localCheckpoint()
     n_rows, max_count, row_sum_max = _sparse_feat_stats(t, "__id")
+    if n_rows == 0:
+        raise ValueError("gd_train_linear_units_sparse: empty training frame")
     _guard_int64(
         n_rows * UNIT_SCALE * max(max_count, 1),
         "gd_train_linear_units_sparse gradient",

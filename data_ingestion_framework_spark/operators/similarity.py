@@ -2315,11 +2315,20 @@ def principal_projections(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 10**6,
+    validate: bool = True,
 ) -> DataFrame:
     """Project every vector onto a unit-direction: ``(id, proj_units
     BIGINT exact, proj double)`` — one expression-only scan. ``proj``
-    rescales by ``scale²`` (vector units × direction units)."""
+    rescales by ``scale²`` (vector units × direction units).
+    ``validate`` as in :func:`principal_projections_multi`."""
     xi = _fixed_point_vectors(corpus, id_col, vec_col, scale)
+    if validate:
+        dim = _assert_uniform_dim(xi, "principal_projections")
+        if dim != len(v_units):
+            raise ValueError(
+                f"principal_projections: direction length {len(v_units)} "
+                f"!= corpus embedding length {dim}"
+            )
     z = _int_dot(F.col("__xi"), v_units)
     return xi.select(
         id_col,
@@ -2334,15 +2343,32 @@ def principal_projections_multi(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 10**6,
+    validate: bool = True,
 ) -> DataFrame:
     """Project every vector onto SEVERAL unit directions in one
     expression-only scan: ``(id, proj1_units, proj1, proj2_units,
     proj2, ...)`` — the top-r companion of
     :func:`power_iteration_directions` (one corpus pass regardless of
-    r, instead of r scans + an r-way join)."""
+    r, instead of r scans + an r-way join). ``validate`` refuses a
+    ragged corpus / direction-length mismatch up front (the
+    NULL-folding dot hazard) at the cost of one extra column-pruned
+    scan — pass ``False`` only when the same frame was just validated
+    by the direction trainer."""
     if not directions:
         raise ValueError("principal_projections_multi: no directions")
+    dlens = {len(v) for v in directions}
+    if len(dlens) != 1:
+        raise ValueError(
+            f"principal_projections_multi: direction lengths differ {dlens}"
+        )
     xi = _fixed_point_vectors(corpus, id_col, vec_col, scale)
+    if validate:
+        dim = _assert_uniform_dim(xi, "principal_projections_multi")
+        if dim != next(iter(dlens)):
+            raise ValueError(
+                f"principal_projections_multi: direction length "
+                f"{next(iter(dlens))} != corpus embedding length {dim}"
+            )
     cols: list[Column] = [F.col(id_col)]
     for i, v in enumerate(directions, 1):
         z = _int_dot(F.col("__xi"), v)

@@ -557,14 +557,17 @@ def docs_deterministic_sample(spark, sf_dir):
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
-def _split_case_sql() -> str:
+def _split_case_sql(key_sql: str = "CAST(doc_id AS VARCHAR)") -> str:
+    """Threshold CASE shared by every split-assignment oracle —
+    ``key_sql`` is the hashed expression (row id by default, the
+    normalized-text fingerprint for the leakage-safe variant)."""
     from data_ingestion_framework_spark.operators.sampling import split_thresholds
 
     whens = "\n           ".join(
         (
             f"WHEN TRUE THEN '{name}'"  # cum 1.0: 9-hex literal, absorb rest
             if len(th) > 8
-            else "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+            else f"WHEN substring(md5({key_sql}), 1, 8)"
             f" < '{th}' THEN '{name}'"
         )
         for name, th in split_thresholds(_SPLIT_WEIGHTS)
@@ -665,20 +668,9 @@ def docs_split_assign(spark, sf_dir):
 # cumulative-threshold CASE as docs_split_assign.
 # ---------------------------------------------------------------------------
 def _leakage_split_case_sql() -> str:
-    from data_ingestion_framework_spark.operators.sampling import split_thresholds
-
-    fp = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
-    whens = "\n           ".join(
-        (
-            f"WHEN TRUE THEN '{name}'"  # cum 1.0: 9-hex literal, absorb rest
-            if len(th) > 8
-            else f"WHEN substring(md5({fp}), 1, 8)"
-            f" < '{th}' THEN '{name}'"
-        )
-        for name, th in split_thresholds(_SPLIT_WEIGHTS)
+    return _split_case_sql(
+        "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
     )
-    last = list(_SPLIT_WEIGHTS)[-1]
-    return f"CASE {whens}\n           ELSE '{last}' END"
 
 
 @bench_query(

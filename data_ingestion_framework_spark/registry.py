@@ -540,8 +540,9 @@ _PRIORITY = [
     # history). Still in the full local gate.
     "orders_replace_where_state",
     # end of the 50-query driver window
-    # the ten rows ceded by the round-12 rotation (driver-green 3-4
-    # rounds; mechanisms window-covered per the notes above)
+    # the twelve rows ceded by the round-12 rotation (ten in the first
+    # wave, two in the second; driver-green 3-5 rounds; mechanisms
+    # window-covered per the notes above)
     "similarity_knn_join_topk",
     "graph_pagerank_interactions",
     "orders_identity_state",

@@ -21,6 +21,24 @@ import json
 
 from pyspark.sql.streaming import StreamingQueryListener
 
+def _path_token_in(description: str, path: str) -> bool:
+    """True when ``path`` appears in ``description`` as a COMPLETE path
+    token — i.e. not extendable to a longer path. Plain substring
+    containment would attribute a sibling table whose path has the
+    watched path as a prefix (``/data/t`` inside ``difs [/data/t2]``)
+    to the watched table, re-creating the masquerade the attribution
+    logic exists to prevent."""
+    i = description.find(path)
+    while i != -1:
+        j = i + len(path)
+        if j == len(description) or not (
+            description[j].isalnum() or description[j] in "_-./"
+        ):
+            return True
+        i = description.find(path, i + 1)
+    return False
+
+
 PROGRESS_SCHEMA = (
     "query_id string, run_id string, batch_id bigint, ts string, "
     "num_input_rows bigint, batch_duration_ms bigint, "
@@ -80,7 +98,9 @@ class ProgressLogger(StreamingQueryListener):
                 ):
                     seq_offsets.append((s.description or "", off["seq"]))
             matched = [
-                q for d, q in seq_offsets if self.difs_backlog_path in d
+                q
+                for d, q in seq_offsets
+                if _path_token_in(d, self.difs_backlog_path)
             ]
             if matched:
                 consumed = max(matched)

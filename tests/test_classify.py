@@ -308,3 +308,72 @@ def test_classifier_auc_matches_python_witness(spark):
     )
     r = classify.classifier_auc(one).collect()[0]
     assert r["auc"] is None and r["n_neg"] == 0
+
+
+def test_null_text_is_empty_document_in_both_layouts(spark):
+    """Self-review r12: a NULL text must behave as an EMPTY document
+    (zero token features, intercept 1) in BOTH layouts — not a NULL
+    dense row nor a silently dropped sparse row — so the dense/sparse
+    parity contract holds on corpora with NULL texts."""
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat again and again"), (2, None), (3, "x")],
+        "doc_id long, text string",
+    )
+    label = F.coalesce(F.length("text"), F.lit(0)) >= 10
+    dense = {
+        r["doc_id"]: list(r["features"])
+        for r in classify.hashed_token_features(
+            df, n_features=4, label=label
+        ).collect()
+    }
+    assert dense[2] == [0, 0, 0, 0, 1]
+    sparse = classify.hashed_token_features_sparse(
+        df, n_features=4, label=label
+    )
+    assert {
+        (r["bucket"], r["count"])
+        for r in sparse.where("doc_id = 2").collect()
+    } == {(4, 1)}
+
+    w_dense = classify.gd_train_linear_units(
+        classify.hashed_token_features(df, n_features=4, label=label),
+        iters=2,
+    )
+    w_sparse = classify.gd_train_linear_units_sparse(sparse, 4, iters=2)
+    assert w_sparse == w_dense
+
+    d_out = classify.quality_lr_pipeline(df, label, n_features=4).collect()
+    s_out = classify.quality_lr_pipeline(
+        df, label, n_features=4, sparse=True
+    ).collect()
+    key = lambda rows: {r["doc_id"]: tuple(r)[1:] for r in rows}
+    assert key(s_out) == key(d_out) and len(d_out) == 3
+
+
+def test_scoring_empty_frame_is_noop_not_error(spark):
+    """Self-review r12: scoring must stay a no-op on an empty frame
+    (the guard stats treat emptiness as nothing-to-overflow); only the
+    TRAINERS refuse emptiness."""
+    empty_dense = spark.createDataFrame(
+        [], "doc_id long, features array<bigint>"
+    )
+    assert classify.linear_classifier_scores(empty_dense, [1, 2]).count() == 0
+    empty_sparse = spark.createDataFrame(
+        [], "doc_id long, bucket bigint, count bigint"
+    )
+    assert (
+        classify.linear_classifier_scores_sparse(
+            empty_sparse, [1, 2], label_col=None
+        ).count()
+        == 0
+    )
+    try:
+        classify.gd_train_linear_units_sparse(
+            spark.createDataFrame(
+                [], "doc_id long, label int, bucket bigint, count bigint"
+            ),
+            2,
+        )
+        raise AssertionError("expected ValueError on empty sparse training")
+    except ValueError as e:
+        assert "empty" in str(e)

@@ -902,3 +902,57 @@ def test_power_iteration_directions_deflated_orthogonal(spark):
         row = xi[r["vec_id"]]
         assert r["proj1_units"] == sum(a * b for a, b in zip(row, dirs[0]))
         assert r["proj2_units"] == sum(a * b for a, b in zip(row, dirs[1]))
+
+
+def test_principal_projections_refuse_ragged_and_mismatch(spark):
+    """Self-review r12: the projection operators share the
+    NULL-folding-dot refusal (COVERAGE's 'every fixed-point vector
+    operator' claim) — ragged corpora and direction-length mismatches
+    raise instead of emitting silent NULL projections."""
+    from data_ingestion_framework_spark.operators import similarity
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    uniform = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for call, msg in (
+        (lambda: similarity.principal_projections(ragged, [10**6, 0]), "ragged"),
+        (
+            lambda: similarity.principal_projections_multi(
+                ragged, [[10**6, 0]]
+            ),
+            "ragged",
+        ),
+        (
+            lambda: similarity.principal_projections(uniform, [10**6, 0, 0]),
+            "direction length",
+        ),
+        (
+            lambda: similarity.principal_projections_multi(
+                uniform, [[10**6, 0, 0]]
+            ),
+            "direction length",
+        ),
+        (
+            lambda: similarity.principal_projections_multi(
+                uniform, [[10**6, 0], [10**6]]
+            ),
+            "direction lengths differ",
+        ),
+    ):
+        try:
+            call().collect()
+            raise AssertionError(f"expected ValueError ({msg})")
+        except ValueError as e:
+            assert msg in str(e), (msg, str(e))
+    # validate=False keeps the zero-extra-scan expression-only path
+    assert (
+        similarity.principal_projections(
+            uniform, [10**6, 0], validate=False
+        ).count()
+        == 2
+    )

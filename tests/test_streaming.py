@@ -1437,11 +1437,17 @@ def test_progress_logger_backlog_attribution_multi_source(spark, tmp_path):
     listener.onQueryProgress(
         ev(2, [("difs", '{"seq": 4}'), ("kafka", '{"topicOffsets": {}}')])
     )
-    assert listener.flush() == 3
+    # a SIBLING whose path extends the watched one ("/...t2") must NOT
+    # match by substring containment — only the true token does
+    listener.onQueryProgress(
+        ev(3, [(f"difs [{p}]", '{"seq": 2}'),
+               (f"difs [{p}2]", '{"seq": 9}')])
+    )
+    assert listener.flush() == 4
     got = {
         r["batch_id"]: r["backlog_commits"] for r in ledger.read().collect()
     }
-    assert got == {0: 3, 1: None, 2: 1}
+    assert got == {0: 3, 1: None, 2: 1, 3: 3}
 
 
 def test_progress_logger_flush_into_pre_backlog_ledger(spark, tmp_path):
