@@ -377,3 +377,53 @@ def test_scoring_empty_frame_is_noop_not_error(spark):
         raise AssertionError("expected ValueError on empty sparse training")
     except ValueError as e:
         assert "empty" in str(e)
+
+
+def test_sparse_dense_parity_property(spark):
+    """Property form of the parity contract: on arbitrary corpora
+    (empty strings, odd whitespace, repeated tokens, unicode), the
+    sparse long-format trainer and the dense fold produce identical
+    weights and identical pipeline outputs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    texts_st = st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab é\t\n")), max_size=24
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=texts_st)
+    def run(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        label = F.length(F.coalesce(F.col("text"), F.lit(""))) >= 4
+        d = 8
+        feats = classify.hashed_token_features(df, n_features=d, label=label)
+        w_dense = classify.gd_train_linear_units(feats, iters=2)
+        tr = classify.hashed_token_features_sparse(
+            df, n_features=d, label=label
+        )
+        w_sparse = classify.gd_train_linear_units_sparse(tr, d, iters=2)
+        assert w_sparse == w_dense
+
+        key = lambda rows: {r["doc_id"]: tuple(r)[1:] for r in rows}
+        dense_out = key(
+            classify.quality_lr_pipeline(df, label, n_features=d).collect()
+        )
+        sparse_out = key(
+            classify.quality_lr_pipeline(
+                df, label, n_features=d, sparse=True
+            ).collect()
+        )
+        assert sparse_out == dense_out and len(dense_out) == len(texts)
+
+    run()
