@@ -471,31 +471,40 @@ def classifier_auc(
 
     Scale shape (same discipline as ``dq.equi_depth_histogram``):
     scores collapse to a DISTINCT-value count table first (one
-    map-side-combined agg carrying ``(score, n, n_pos)``), and the one
-    global-order window runs over |distinct scores| rows, not |rows| —
-    fine for the integer-unit logits a linear model emits (score
-    cardinality is bounded by the weight lattice); a genuinely
-    continuous 100 TB score column should pre-round. Ranks are
-    doubled so tie-averages stay integers: a tie group spanning ranks
-    [lo, hi] contributes ``n_pos·(lo+hi)`` with ``lo+hi = 2·hi_rank −
-    n + 1``, every term exact in DECIMAL(38,0) (bounded by 2n² — a
-    loud decimal overflow, never a silent wrap). The only float op is
-    the final division, identically rounded on any engine.
+    map-side-combined agg carrying ``(score, n, n_pos)``), and the
+    end ranks come from ``rank.exact_cumulative_counts`` — the
+    range-partitioned two-pass prefix sum, so NO stage ever runs on a
+    single partition even when the score domain is huge (the naive
+    global-order window would plan ``Exchange SinglePartition`` over
+    |distinct scores| rows). Ranks are doubled so tie-averages stay
+    integers: a tie group spanning ranks [lo, hi] contributes
+    ``n_pos·(lo+hi)`` with ``lo+hi = 2·hi_rank − n + 1``, every term
+    exact in DECIMAL(38,0) (bounded by 2n² — a loud decimal overflow,
+    never a silent wrap). The only float op is the final division,
+    identically rounded on any engine.
+
+    Rows with a NULL score OR a NULL label are excluded up front — a
+    NULL label is unjudgeable, and counting it as an implicit
+    negative (what the pre-fix where-clause did) would silently skew
+    the reported AUC.
 
     Returns ONE row ``(n_pos, n_neg, auc)``; ``auc`` is NULL when
     either class is empty (undefined, not 0.5-by-fiat)."""
+    from data_ingestion_framework_spark.operators.rank import (
+        exact_cumulative_counts,
+    )
+
     per = (
-        scored.where(F.col(score_col).isNotNull())
+        scored.where(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
         .groupBy(F.col(score_col).alias("__s"))
         .agg(
             F.count(F.lit(1)).alias("__c"),
             F.sum(F.col(label_col).cast("int")).alias("__p"),
         )
     )
-    from pyspark.sql.window import Window as W
-
-    w = W.orderBy("__s").rowsBetween(W.unboundedPreceding, W.currentRow)
-    rk = per.withColumn("__hi", F.sum("__c").over(w))
+    rk, _ = exact_cumulative_counts(per, "__s", "__c", "__hi")
     agg = rk.agg(
         F.sum(
             F.col("__p").cast("decimal(19,0)")

@@ -335,29 +335,30 @@ def equi_depth_histogram(
     cumulative end-rank with integer arithmetic
     (``bucket = (hi_rank - 1) · B div n``), so ties never split across
     buckets and a DuckDB oracle replays membership bit-for-bit. Ranks
-    come from a cumulative sum over the DISTINCT-VALUE count table —
-    the one global-order window runs over |distinct values| rows, not
-    |rows| (documented bound: fine for key/categorical/bounded-domain
-    columns; for genuinely continuous 100 TB columns use
-    ``approx_percentile`` — this operator is the EXACT form the oracle
-    gate needs). NULLs are excluded, as ANALYZE does.
+    come from ``rank.exact_cumulative_counts`` over the DISTINCT-VALUE
+    count table — the range-partitioned two-pass prefix sum, so no
+    stage runs on a single partition even when the column is
+    high-cardinality (the naive global-order window would plan
+    ``Exchange SinglePartition`` over |distinct values| rows). The
+    grand total comes free from the same pass, replacing the old
+    crossJoined total row. NULLs are excluded, as ANALYZE does.
 
     Returns ``(bucket, lo, hi, n_rows, n_distinct)`` with lo/hi typed
     as the source column."""
+    from data_ingestion_framework_spark.operators.rank import (
+        exact_cumulative_counts,
+    )
+
     vals = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("v"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    total = vals.agg(F.sum("__c").alias("__n"))
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    ranked = (
-        vals.withColumn("__hi_rank", F.sum("__c").over(w))
-        .crossJoin(F.broadcast(total))
-        .withColumn(
-            "bucket",
-            F.expr(f"(__hi_rank - 1) * {int(buckets)} div __n").cast("int"),
-        )
+    ranked_base, total = exact_cumulative_counts(vals, "v", "__c", "__hi_rank")
+    ranked = ranked_base.withColumn(
+        "bucket",
+        F.expr(f"(__hi_rank - 1) * {int(buckets)} div {max(int(total), 1)}")
+        .cast("int"),
     )
     return ranked.groupBy("bucket").agg(
         F.min("v").alias("lo"),

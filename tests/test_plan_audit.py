@@ -30,25 +30,67 @@ NESTED_LOOP_BY_DESIGN = {
     "corpus_unigram_em_tokens",    # M-step piece-count total row
 }
 
+#: queries whose plan intentionally carries a window fed by
+#: ``Exchange SinglePartition``. EMPTY and intended to stay that way:
+#: the round-12 audit's dead detector hid a real global-order rank
+#: window inside classifier_auc; the fix was the range-partitioned
+#: prefix-sum primitive (operators/rank.py), not a pin. Any future
+#: entry needs an argued cardinality bound here.
+SINGLE_PARTITION_BY_DESIGN: set[str] = set()
+
 
 def test_headline_plans_have_no_row_python_and_bounded_nested_loops(spark):
     from bench import HEADLINE
     from tools.plan_audit import audit_query
 
     sf_dir = "/root/testdata/sf0.001"
-    offenders, py_row = [], []
+    offenders, py_row, one_part = [], [], []
     for name in HEADLINE:
         r = audit_query(spark, name, sf_dir)
         if r["py_row"]:
             py_row.append(name)
         if r["nested_loop"] and name not in NESTED_LOOP_BY_DESIGN:
             offenders.append(name)
+        if r["single_part_win"] and name not in SINGLE_PARTITION_BY_DESIGN:
+            one_part.append(name)
     assert not py_row, f"row-at-a-time Python UDF in hot path: {py_row}"
     assert not offenders, (
         "unexpected nested-loop/cartesian join (quadratic unless one "
         f"side is a 1-row control frame): {offenders} — if intentional, "
         "document it in NESTED_LOOP_BY_DESIGN"
     )
+    assert not one_part, (
+        "window fed by Exchange SinglePartition (every row through one "
+        f"task): {one_part} — use operators/rank.py's range-partitioned "
+        "prefix sum, or argue a bound in SINGLE_PARTITION_BY_DESIGN"
+    )
+
+
+def test_single_partition_window_counter_is_alive(spark):
+    """Regression for the round-12 dead counter: the old detector
+    required Window/Sort/Exchange on CONSECUTIVE lines, which a
+    finalized AQE plan never satisfies (a ShuffleQueryStage line
+    interposes), so it reported 0 on plans carrying real global-order
+    windows. A deliberately global cumulative-sum window must now
+    count — on the EXECUTED (AQE-finalized) plan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from tools.plan_audit import audit_plan
+
+    df = spark.range(100).withColumn(
+        "run",
+        F.sum("id").over(
+            W.orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    r = audit_plan(plan)
+    assert r["single_part_win"] >= 1, plan
+    assert r["single_part_exchange"] >= 1, plan
+    # ...and the exchanges counter sees the SinglePartition spelling too
+    assert r["exchanges"] >= 1, plan
 
 
 def test_codegen_counter_sees_finalized_aqe_spans(spark):

@@ -24,7 +24,19 @@ smallest data suffices) and counts the plan features that decide
 - ``pushed``         scans with non-empty PushedFilters
 - ``single_part_win`` windows forced to one partition (global orderBy
                      without partitionBy that did NOT collapse into a
-                     TakeOrderedAndProject)
+                     TakeOrderedAndProject). The detector tolerates the
+                     ``ShuffleQueryStage`` / ``AQEShuffleRead`` lines AQE
+                     interposes between the Sort and its Exchange — the
+                     round-12 regex required Window/Sort/Exchange on
+                     consecutive lines, which NEVER matches a finalized
+                     AQE plan, so it reported 0 while real
+                     ``Exchange SinglePartition`` windows ran
+                     (``tests/test_plan_audit.py`` pins the counter on a
+                     known global-order window now)
+- ``single_part_exchange`` every ``Exchange SinglePartition`` in the
+                     final plan, window-feeding or not (the ``exchanges``
+                     counter also includes them since round 13 — its
+                     regex previously matched only hash/range spellings)
 
 Prints one JSON line per query plus a totals line — diffable across
 rounds, and the red-flag columns are pinned by
@@ -47,6 +59,36 @@ from data_ingestion_framework_spark.session import get_spark  # noqa: E402
 registry.load_all_queries()
 
 
+#: plan-tree lines that legitimately sit BETWEEN a Window's Sort and
+#: the Exchange that feeds it in a finalized AQE plan string
+_WINDOW_FEED_NODES = re.compile(
+    r"(Sort |ShuffleQueryStage|AQEShuffleRead|InputAdapter"
+    r"|WholeStageCodegen|WindowGroupLimit)"
+)
+
+
+def _count_single_partition_windows(plan: str) -> int:
+    """Count Window operators fed (possibly through AQE stage
+    wrappers) by an ``Exchange SinglePartition`` — a global-order
+    window that escaped TakeOrderedAndProject collapse, i.e. a stage
+    where EVERY row funnels through one task."""
+    lines = plan.splitlines()
+    n = 0
+    for i, ln in enumerate(lines):
+        # "Window" also prefixes WindowGroupLimit (the rank-pushdown
+        # helper below the real Window of the same spec) — counting
+        # both would double-count one logical window
+        if "Window " not in ln or "WindowGroupLimit" in ln:
+            continue
+        for nxt in lines[i + 1 : i + 7]:
+            if "Exchange SinglePartition" in nxt:
+                n += 1
+                break
+            if not _WINDOW_FEED_NODES.search(nxt):
+                break
+    return n
+
+
 def audit_plan(plan: str) -> dict:
     """Feature counts from an executedPlan/explain string. When the
     string carries a finalized AQE plan (``== Final Plan ==`` +
@@ -55,7 +97,13 @@ def audit_plan(plan: str) -> dict:
     if "== Initial Plan ==" in plan:
         plan = plan.split("== Initial Plan ==")[0]
     return {
-        "exchanges": len(re.findall(r"Exchange (hash|range|single)", plan)),
+        "exchanges": len(
+            re.findall(
+                r"Exchange (hashpartitioning|rangepartitioning|"
+                r"SinglePartition)",
+                plan,
+            )
+        ),
         "bhj": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
         "nested_loop": plan.count("BroadcastNestedLoopJoin")
@@ -74,9 +122,8 @@ def audit_plan(plan: str) -> dict:
             [m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m.strip()]
         ),
         "take_ordered": plan.count("TakeOrderedAndProject"),
-        "single_part_win": len(
-            re.findall(r"Window .*\n.*Sort.*\n.*Exchange SinglePartition", plan)
-        ),
+        "single_part_win": _count_single_partition_windows(plan),
+        "single_part_exchange": plan.count("Exchange SinglePartition"),
     }
 
 
