@@ -40,13 +40,20 @@ Two feature layouts share the same trainer contract:
   per row, capped at D ≤ 4096 — the per-row fold is O(D·tokens).
 - **sparse** (``hashed_token_features_sparse``): long-format
   ``(id, label, bucket, count)`` triples for fastText-width feature
-  spaces (10^5–10^7 buckets, CCNet-style quality filters) where the
-  dense fold is rightly refused. The shuffle carries only the
-  NONZERO (id, bucket, count) triples; each GD step is a broadcast
-  weight join + two aggs, and only the (D+1)-long gradient reaches
-  the driver. ``quality_lr_pipeline(sparse=True)`` threads it
-  end-to-end; ``tests/test_classify.py`` pins dense/sparse weight
-  parity at D=16.
+  spaces (CCNet-style quality filters) where the dense fold is
+  rightly refused. The shuffle carries only the NONZERO (id, bucket,
+  count) triples; each GD step is a broadcast weight join + two
+  aggs, and only the (D+1)-long gradient reaches the driver.
+  ``quality_lr_pipeline(sparse=True)`` threads it end-to-end;
+  ``tests/test_classify.py`` pins dense/sparse weight parity at
+  D=16. Width contract: the TRAINER holds the (D+1)-long weight list
+  at the driver and re-uploads its nonzero entries every step, so
+  ``n_features`` is capped at ``SPARSE_FEATURES_MAX`` (2^20) — an
+  enforced raise, not an assumption. Past that, per-step driver work
+  (a D-entry list comprehension, a D-row createDataFrame upload and
+  a ~16·D-byte broadcast) overtakes the executors; the next width
+  tier needs weights AS a DataFrame with a join-based update, a
+  different trainer, not a bigger cap.
 
 Every exact-integer sum is overflow-guarded BEFORE launching the job
 (``similarity._guard_int64`` — on a non-ANSI session BIGINT wraps
@@ -66,6 +73,15 @@ from data_ingestion_framework_spark.operators.text import normalize_text
 #: Weight fixed-point scale: 1 unit = 1e-6 of real weight.
 UNIT_SCALE = 10**6
 
+#: Sparse-trainer width cap. The trainer's driver state is the
+#: (D+1)-long Python weight list, re-built and re-uploaded (nonzero
+#: entries) each GD step; at 2^20 that is ~8 MB of driver work per
+#: step — still control-plane sized. Past it the driver becomes the
+#: trainer's bottleneck (the benched fastText configs use 2^16-2^21
+#: buckets; CCNet's published filter is 2^21 ≈ this cap). Enforced,
+#: not assumed — the same discipline as similarity.GREEDY_SELECT_MAX_K.
+SPARSE_FEATURES_MAX = 1 << 20
+
 
 def _tokens(text_col: str) -> Column:
     # NULL text is an EMPTY document (zero token features, intercept
@@ -77,6 +93,34 @@ def _tokens(text_col: str) -> Column:
         F.split(F.coalesce(normalize_text(text_col), F.lit("")), " "),
         lambda t: t != F.lit(""),
     )
+
+
+def _dense_features_expr(text_col: str, n_features: int) -> Column:
+    """The dense hashed-count feature vector as a pure Column
+    expression (``n_features`` counts + the intercept 1) — shared by
+    the feature-frame builder and by :func:`quality_lr_gate`, whose
+    deployment filter evaluates it INSIDE the corpus scan with no
+    join."""
+    toks = _tokens(text_col)
+    hs = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+        .cast("bigint")
+        % n_features,
+    )
+    counts = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("bigint"), n_features),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(n_features - 1)),
+            lambda a, j: a
+            + F.when(j.cast("bigint") == h, F.lit(1).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+    )
+    return F.concat(counts, F.array(F.lit(1).cast("bigint")))
 
 
 def hashed_token_features(
@@ -106,26 +150,7 @@ def hashed_token_features(
             "[1, 4096] — the dense per-row fold is O(D·tokens); use a "
             "sparse explode/groupBy build for wider feature spaces"
         )
-    toks = _tokens(text_col)
-    hs = F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
-        .cast("bigint")
-        % n_features,
-    )
-    counts = F.aggregate(
-        hs,
-        F.array_repeat(F.lit(0).cast("bigint"), n_features),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.sequence(F.lit(0), F.lit(n_features - 1)),
-            lambda a, j: a
-            + F.when(j.cast("bigint") == h, F.lit(1).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            ),
-        ),
-    )
-    feats = F.concat(counts, F.array(F.lit(1).cast("bigint")))
+    feats = _dense_features_expr(text_col, n_features)
     cols = [F.col(id_col), feats.alias("features")]
     if label is not None:
         cols.insert(1, label.cast("int").alias("label"))
@@ -289,10 +314,17 @@ def hashed_token_features_sparse(
     including token-less ones — appended to the hash array before the
     explode so the whole build is ONE scan). Only NONZERO triples
     exist: the shuffle carries (id, bucket, count) with map-side
-    combine, never a D-wide row — O(tokens) work regardless of D."""
-    if n_features < 1:
+    combine, never a D-wide row — O(tokens) work regardless of D.
+    The TRAINER's driver-side weight list is what bounds the width:
+    ``n_features`` must stay ≤ ``SPARSE_FEATURES_MAX`` (see the
+    module docstring's width contract)."""
+    if not 1 <= n_features <= SPARSE_FEATURES_MAX:
         raise ValueError(
-            f"hashed_token_features_sparse: n_features={n_features} < 1"
+            f"hashed_token_features_sparse: n_features={n_features} "
+            f"outside [1, {SPARSE_FEATURES_MAX}] — past 2^20 the "
+            "trainer's per-step driver work (D-entry weight list + "
+            "D-row upload) dominates; a wider model needs a "
+            "distributed-weights trainer, not a bigger cap"
         )
     hs = F.transform(
         _tokens(text_col),
@@ -389,15 +421,29 @@ def _gd_train_sparse_with_stats(
     lr: float,
     id_col: str,
     label_col: str,
+    pre_materialized: bool = False,
 ) -> tuple[list[int], int]:
     """``(weights, max_row_sum)`` — sparse trainer body; the second
-    element feeds the scoring guard without another stats scan."""
+    element feeds the scoring guard without another stats scan.
+    ``pre_materialized=True`` promises the caller already
+    localCheckpointed ``triples`` (the pipeline does, so the scorer
+    can reuse the same materialization) — the trainer then skips its
+    own checkpoint and its renames stay a cheap projection."""
+    if not 0 <= n_features <= SPARSE_FEATURES_MAX:
+        raise ValueError(
+            f"gd_train_linear_units_sparse: n_features={n_features} "
+            f"outside [0, {SPARSE_FEATURES_MAX}] — the driver-side "
+            "weight list is (n_features + 1) long; a wider model "
+            "needs a distributed-weights trainer, not a bigger cap"
+        )
     t = triples.select(
         F.col(id_col).alias("__id"),
         F.col(label_col).cast("int").alias("__y"),
         F.col("bucket").cast("bigint").alias("bucket"),
         F.col("count").cast("bigint").alias("count"),
-    ).localCheckpoint()
+    )
+    if not pre_materialized:
+        t = t.localCheckpoint()
     n_rows, max_count, row_sum_max = _sparse_feat_stats(t, "__id")
     if n_rows == 0:
         raise ValueError("gd_train_linear_units_sparse: empty training frame")
@@ -542,12 +588,17 @@ def quality_lr_pipeline(
     switches to the long-format triple layout — REQUIRED past the
     dense builder's D=4096 cap, identical weights below it."""
     if sparse:
+        # materialize the triple build ONCE: the trainer scans it every
+        # GD step and the scorer once more — without this checkpoint the
+        # scorer would re-run the whole tokenize→hash→explode→groupBy
+        # lineage from scratch (one full extra corpus shuffle)
         tr = hashed_token_features_sparse(
             df, text_col=text_col, n_features=n_features, id_col=id_col,
             label=label,
-        )
+        ).localCheckpoint()
         w, row_sum_max = _gd_train_sparse_with_stats(
-            tr, n_features, iters, lr, id_col, "label"
+            tr, n_features, iters, lr, id_col, "label",
+            pre_materialized=True,
         )
         return linear_classifier_scores_sparse(
             tr, w, id_col=id_col, row_sum_max=row_sum_max
@@ -561,3 +612,43 @@ def quality_lr_pipeline(
     return linear_classifier_scores(feats, w, row_sum_max=row_sum_max).select(
         id_col, "label", "score_units", "prob", "pred"
     )
+
+
+def quality_lr_gate(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    n_features: int = 16,
+    iters: int = 2,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+    min_score_units: int = 0,
+) -> DataFrame:
+    """Train-and-FILTER: the CCNet-style deployment of the quality
+    classifier inside a corpus pipeline. Trains the dense model on
+    ``df`` itself (``label`` is a Column expression — a cheap proxy
+    signal such as a length or source rule) and returns the rows whose
+    trained logit reaches ``min_score_units`` (0 = predicted
+    positive), with ALL original columns intact.
+
+    Scale shape: ``df`` is localCheckpointed ONCE (it is typically the
+    expensive upstream pipeline plan — training scans it ``iters``
+    times and the gate once more; without the checkpoint every pass
+    would replay the whole upstream plan). The gate itself is a pure
+    expression filter — the feature fold and the integer dot evaluate
+    INSIDE the corpus scan (whole-stage codegen, zero joins, zero
+    shuffles): the trained weights are driver-side constants, the
+    classic broadcast-the-model deployment. Same exactness contract
+    as the trainer (BIGINT dot, overflow guard before the scan)."""
+    df = df.localCheckpoint()
+    feats = hashed_token_features(
+        df, text_col=text_col, n_features=n_features, id_col=id_col,
+        label=label,
+    )
+    w, row_sum_max = _gd_train_dense_with_stats(
+        feats, iters, lr, "features", "label"
+    )
+    maxw = max((abs(x) for x in w), default=0)
+    _guard_int64(maxw * row_sum_max, "quality_lr_gate dot")
+    z = _z_units(_dense_features_expr(text_col, n_features), w)
+    return df.where(z >= F.lit(int(min_score_units)))

@@ -1657,13 +1657,17 @@ def prune_vocab_bottom(
             "prune_vocab_bottom: need 0 <= prune_num < prune_den "
             f"(got {prune_num}/{prune_den})"
         )
-    rows = vocab.select(piece_col, cost_col, "piece_count").collect()
-    if len(rows) > SUBSTRING_VOCAB_MAX_KEPT:
+    # probe the size BEFORE collect(): the guard must fire while the
+    # oversized vocabulary is still on the executors, not after it has
+    # already been materialized onto (and possibly OOMed) the driver.
+    # limit(cap + 1).count() scans at most cap + 1 rows.
+    if vocab.limit(SUBSTRING_VOCAB_MAX_KEPT + 1).count() > SUBSTRING_VOCAB_MAX_KEPT:
         raise ValueError(
             f"prune_vocab_bottom: vocabulary exceeds the control-plane "
             f"cap {SUBSTRING_VOCAB_MAX_KEPT} rows — this driver-side "
             "sort is only sound for vocabulary-sized inputs"
         )
+    rows = vocab.select(piece_col, cost_col, "piece_count").collect()
     multi = [r for r in rows if len(r[piece_col]) > 1]
     singles = [r for r in rows if len(r[piece_col]) == 1]
     n_drop = (len(multi) * prune_num) // prune_den

@@ -52,10 +52,16 @@ def corpus_pipeline(
     stage_layout_by: list[str] | None = None,
     stage_layout_curve: str = "morton",
     stage_layout_files: int | None = None,
+    quality_label=None,
+    quality_n_features: int = 16,
+    quality_iters: int = 2,
+    quality_lr: float = 0.5,
+    quality_min_score_units: int = 0,
 ) -> DataFrame:
     """Clean → redact → quality-gate → [badword-gate] → dedup →
-    decontaminate → quota → sample. Returns ``(id, source, text,
-    n_tokens)`` where ``text`` is the cleaned+redacted body.
+    decontaminate → quota → sample → [trained-classifier gate].
+    Returns ``(id, source, text, n_tokens)`` where ``text`` is the
+    cleaned+redacted body.
 
     ``benchmark`` is the eval set to decontaminate against (its own
     raw text column ``text_col``); at 100 TB it is KBs and broadcast.
@@ -87,6 +93,16 @@ def corpus_pipeline(
     same-value clustering, not meaningful order). ``stage_layout_curve``
     picks ``"morton"`` or ``"hilbert"``; layout is value-neutral —
     survivors are identical with or without it.
+
+    ``quality_label`` (opt-in, a Column expression over the cleaned
+    text) appends the TRAINED-classifier stage — the way CCNet-style
+    pipelines deploy a learned quality filter: train
+    ``classify.quality_lr_gate``'s dense model on the pipeline's own
+    survivors under the proxy label, then keep only rows whose
+    trained logit reaches ``quality_min_score_units``. The stage
+    checkpoints the survivor frame once (training scans it per GD
+    step) and the final filter is a pure expression inside that scan
+    — no join, the weights travel as plan constants.
     """
     cleaned = cleaning.remove_boilerplate_lines(
         docs,
@@ -173,9 +189,25 @@ def corpus_pipeline(
         survivors = deterministic_sample(
             survivors, sample_fraction, id_col=id_col, salt=sample_salt
         )
-    return survivors.select(
+    out = survivors.select(
         id_col, source_col, text_col, F.col("n_tokens").cast("bigint").alias("n_tokens")
     )
+    if quality_label is not None:
+        from data_ingestion_framework_spark.operators.classify import (
+            quality_lr_gate,
+        )
+
+        out = quality_lr_gate(
+            out,
+            quality_label,
+            text_col=text_col,
+            n_features=quality_n_features,
+            iters=quality_iters,
+            lr=quality_lr,
+            id_col=id_col,
+            min_score_units=quality_min_score_units,
+        )
+    return out
 
 
 @dataclass

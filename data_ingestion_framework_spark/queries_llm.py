@@ -6075,17 +6075,21 @@ def dedup_prefix_filter_pairs(spark, sf_dir):
 # both GD steps CTE by CTE and hash-matches bit-for-bit. Label: the
 # doc has >= 40 tokens (same token definition on both sides).
 # ---------------------------------------------------------------------------
-#: the dense two-step GD unroll, shared verbatim by the scores query
-#: and the AUC gauge (whose oracle appends a rank-sum tail)
-_QLR_GD_CTES = """tk AS (
+#: the dense two-step GD unroll, shared verbatim by the scores query,
+#: the AUC gauge (whose oracle appends a rank-sum tail) and the
+#: classifier-gated corpus pipeline (which trains over the pipeline's
+#: own survivor subquery instead of raw documents — hence the src
+#: parameter)
+def _qlr_gd_ctes(src: str = "documents", min_tokens: int = 40) -> str:
+    return f"""tk AS (
       SELECT doc_id, list_filter(string_split(
                lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
                t -> t <> '') AS toks
-      FROM documents
+      FROM {src}
     ),
     fx AS (
       SELECT doc_id,
-             CASE WHEN len(toks) >= 40 THEN 1 ELSE 0 END AS y,
+             CASE WHEN len(toks) >= {min_tokens} THEN 1 ELSE 0 END AS y,
              [CAST(len(list_filter(toks,
                 t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 16 = j)) AS BIGINT)
               for j in generate_series(0, 15)] || [CAST(1 AS BIGINT)] AS x
@@ -6118,6 +6122,27 @@ _QLR_GD_CTES = """tk AS (
            FROM w1 JOIN grad2 g ON g.j = w1.j, n),
     zf AS (SELECT f.doc_id, f.y, CAST(SUM(f.x[w2.j+1] * w2.w) AS BIGINT) AS zu
            FROM fx f CROSS JOIN w2 GROUP BY f.doc_id, f.y)"""
+
+
+_QLR_GD_CTES = _qlr_gd_ctes()
+
+
+#: the Mann-Whitney rank-sum tail of the exact-AUC oracles, over any
+#: CTE exposing per-row (y, zu) — shared by the dense and sparse AUC
+#: gauges so the two stay the same SQL
+def _auc_rank_sum_sql(scored_cte: str) -> str:
+    return f"""per AS (SELECT zu AS s, COUNT(*) AS c, SUM(y) AS p
+           FROM {scored_cte} GROUP BY zu),
+    rk AS (SELECT s, c, p, SUM(c) OVER (ORDER BY s) AS hi FROM per),
+    ag AS (SELECT SUM(CAST(p AS HUGEINT) * (2*hi - c + 1)) AS rp2,
+                  SUM(p) AS np, SUM(c) AS nn FROM rk)
+    SELECT CAST(np AS BIGINT) AS n_pos,
+           CAST(nn - np AS BIGINT) AS n_neg,
+           CASE WHEN np > 0 AND nn > np THEN
+             ROUND(CAST(rp2 - CAST(np AS HUGEINT) * (np + 1) AS DOUBLE)
+                   / CAST(2 * CAST(np AS HUGEINT) * (nn - np) AS DOUBLE), 6)
+           END AS auc
+    FROM ag"""
 
 
 @bench_query(
@@ -6160,17 +6185,7 @@ def docs_quality_lr_scores(spark, sf_dir):
     "docs_quality_lr_auc",
     oracle=f"""
     WITH {_QLR_GD_CTES},
-    per AS (SELECT zu AS s, COUNT(*) AS c, SUM(y) AS p FROM zf GROUP BY zu),
-    rk AS (SELECT s, c, p, SUM(c) OVER (ORDER BY s) AS hi FROM per),
-    ag AS (SELECT SUM(CAST(p AS HUGEINT) * (2*hi - c + 1)) AS rp2,
-                  SUM(p) AS np, SUM(c) AS nn FROM rk)
-    SELECT CAST(np AS BIGINT) AS n_pos,
-           CAST(nn - np AS BIGINT) AS n_neg,
-           CASE WHEN np > 0 AND nn > np THEN
-             ROUND(CAST(rp2 - CAST(np AS HUGEINT) * (np + 1) AS DOUBLE)
-                   / CAST(2 * CAST(np AS HUGEINT) * (nn - np) AS DOUBLE), 6)
-           END AS auc
-    FROM ag
+    {_auc_rank_sum_sql("zf")}
     """,
 )
 def docs_quality_lr_auc(spark, sf_dir):
@@ -6203,10 +6218,9 @@ def docs_quality_lr_auc(spark, sf_dir):
 # oracle unrolls both GD steps in the SAME long format (bucket-keyed
 # joins, never a 65537-wide row) and hash-matches bit-for-bit.
 # ---------------------------------------------------------------------------
-@bench_query(
-    "docs_quality_lr_sparse",
-    oracle="""
-    WITH tk AS (
+#: the sparse (long-format, D=65536) two-step GD unroll — shared by
+#: the sparse scores query and the sparse AUC gauge below
+_QLR_SPARSE_GD_CTES = """tk AS (
       SELECT doc_id, list_filter(string_split(
                lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
                t -> t <> '') AS toks
@@ -6253,7 +6267,13 @@ def docs_quality_lr_auc(spark, sf_dir):
     w2 AS (SELECT w1.j, w1.w - CAST(ROUND(0.5 * g.gr / n.n) AS BIGINT) AS w
            FROM w1 JOIN grad2 g ON g.j = w1.j, n),
     zf AS (SELECT t.doc_id, CAST(SUM(t.x * w2.w) AS BIGINT) AS zu
-           FROM tr t JOIN w2 USING (j) GROUP BY t.doc_id)
+           FROM tr t JOIN w2 USING (j) GROUP BY t.doc_id)"""
+
+
+@bench_query(
+    "docs_quality_lr_sparse",
+    oracle=f"""
+    WITH {_QLR_SPARSE_GD_CTES}
     SELECT l.doc_id, CAST(l.y AS INT) AS label, z.zu AS score_units,
            ROUND(0.5 + (z.zu/1000000.0)/(2*(1+abs(z.zu/1000000.0))), 6) AS prob,
            z.zu >= 0 AS pred
@@ -6275,6 +6295,95 @@ def docs_quality_lr_sparse(spark, sf_dir):
     )
     return classify.quality_lr_pipeline(
         docs, label, n_features=65536, iters=2, lr=0.5, sparse=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC AUC of the SPARSE fastText-width model (operators/
+# classify.py classifier_auc over quality_lr_pipeline(sparse=True)):
+# the gauge exercised at D=65536, not just the dense D=16 — the
+# distinct-score domain of a wide model is exactly the case the
+# range-partitioned rank primitive (operators/rank.py) exists for.
+# The oracle composes the sparse GD unroll with the same rank-sum
+# tail as the dense gauge.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_quality_lr_sparse_auc",
+    oracle=f"""
+    WITH {_QLR_SPARSE_GD_CTES},
+    sc AS (SELECT l.y, z.zu FROM lab l JOIN zf z USING (doc_id)),
+    {_auc_rank_sum_sql("sc")}
+    """,
+)
+def docs_quality_lr_sparse_auc(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import classify
+
+    docs = load(spark, sf_dir, "documents")
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    scored = classify.quality_lr_pipeline(
+        docs, label, n_features=65536, iters=2, lr=0.5, sparse=True
+    )
+    return classify.classifier_auc(scored)
+
+
+# ---------------------------------------------------------------------------
+# Classifier-gated corpus pipeline (plans/corpus.py corpus_pipeline
+# with quality_label= → operators/classify.py quality_lr_gate): the
+# full clean→redact→gate→dedup→decontam→quota→sample chain, then a
+# quality model TRAINED ON THE PIPELINE'S OWN SURVIVORS (proxy label:
+# ≥ 40 tokens, the same one the standalone classifier queries train
+# under) filters the final corpus — the CCNet-style deployment where
+# the trained weights travel as plan constants and the gate is a pure
+# expression inside the survivor scan (no join). The cut runs at
+# 35_000_000 logit units: a 2-step GD model is uncalibrated (every
+# survivor's raw logit lands positive), so — exactly as CCNet picks
+# its per-slice perplexity cutoffs — the threshold is chosen
+# empirically between the two classes' score ranges (negatives top
+# out near 34M units, positives' median is ~66M), giving a gate that
+# actually cuts the low-quality tail instead of rubber-stamping. The
+# oracle wraps the whole chained pipeline oracle as a subquery,
+# re-runs the dense GD unroll over it, and applies the identical cut.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "corpus_pipeline_classified",
+    oracle=f"""
+    WITH final AS ({_CORPUS_PIPELINE_ORACLE}),
+    {_qlr_gd_ctes("final")}
+    SELECT f.doc_id, f.source, f.text, f.n_tokens
+    FROM final f JOIN zf ON zf.doc_id = f.doc_id
+    WHERE zf.zu >= 35000000
+    """,
+)
+def corpus_pipeline_classified(spark, sf_dir):
+    from data_ingestion_framework_spark.plans.corpus import corpus_pipeline
+
+    docs, benchmark = _corpus_pipeline_inputs(spark, sf_dir)
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    return corpus_pipeline(
+        docs,
+        benchmark,
+        min_words=15,
+        max_per_source=30,
+        sample_fraction=0.5,
+        sample_salt="s2",
+        quality_label=label,
+        quality_min_score_units=35_000_000,
     )
 
 

@@ -23,17 +23,24 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 def _path_token_in(description: str, path: str) -> bool:
     """True when ``path`` appears in ``description`` as a COMPLETE path
-    token — i.e. not extendable to a longer path. Plain substring
-    containment would attribute a sibling table whose path has the
-    watched path as a prefix (``/data/t`` inside ``difs [/data/t2]``)
-    to the watched table, re-creating the masquerade the attribution
-    logic exists to prevent."""
+    token — i.e. not extendable to a longer path on EITHER side. Plain
+    substring containment would attribute a sibling table whose path
+    has the watched path as a prefix (``/data/t`` inside
+    ``difs [/data/t2]``) OR as a suffix (``/data/t`` inside
+    ``difs [/backup/data/t]``) to the watched table, re-creating the
+    masquerade the attribution logic exists to prevent."""
     i = description.find(path)
     while i != -1:
         j = i + len(path)
-        if j == len(description) or not (
+        right_clean = j == len(description) or not (
             description[j].isalnum() or description[j] in "_-./"
-        ):
+        )
+        # a preceding path character means the cited path extends the
+        # watched one LEFTWARDS (…/backup/data/t vs /data/t)
+        left_clean = i == 0 or not (
+            description[i - 1].isalnum() or description[i - 1] in "_-."
+        )
+        if right_clean and left_clean:
             return True
         i = description.find(path, i + 1)
     return False

@@ -427,3 +427,91 @@ def test_sparse_dense_parity_property(spark):
         assert sparse_out == dense_out and len(dense_out) == len(texts)
 
     run()
+
+
+def test_sparse_width_cap_enforced(spark):
+    """Round-12 verdict #4: the sparse trainer's driver state is the
+    (D+1)-long weight list, so widths past SPARSE_FEATURES_MAX (2^20)
+    must be an enforced raise — in the feature builder AND the trainer
+    (which can be handed pre-built triples) — not a docstring claim."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    too_wide = classify.SPARSE_FEATURES_MAX + 1
+    try:
+        classify.hashed_token_features_sparse(df, n_features=too_wide)
+        raise AssertionError("expected ValueError above the sparse cap")
+    except ValueError as e:
+        assert "distributed-weights" in str(e)
+    tr = classify.hashed_token_features_sparse(df, n_features=16)
+    try:
+        classify.gd_train_linear_units_sparse(tr, too_wide, iters=1)
+        raise AssertionError("expected ValueError above the sparse cap")
+    except ValueError as e:
+        assert "distributed-weights" in str(e)
+    # the cap itself (and everything below) stays accepted by the
+    # builder — plan-only check, no execution at 2^20
+    classify.hashed_token_features_sparse(
+        df, n_features=classify.SPARSE_FEATURES_MAX
+    )
+
+
+def test_exact_cumulative_counts_matches_python_witness(spark):
+    """The range-partitioned prefix-sum primitive must reproduce the
+    naive ordered cumulative sum exactly — including when values
+    spread across many range partitions — and report the grand total."""
+    import random
+
+    from data_ingestion_framework_spark.operators.rank import (
+        exact_cumulative_counts,
+    )
+
+    rng = random.Random(7)
+    vals = [(v, rng.randint(1, 5)) for v in rng.sample(range(10_000), 500)]
+    per = spark.createDataFrame(vals, "v bigint, c bigint").repartition(16)
+    out, total = exact_cumulative_counts(per, "v", "c", "hi")
+    got = {r["v"]: r["hi"] for r in out.collect()}
+    run, want = 0, {}
+    for v, c in sorted(vals):
+        run += c
+        want[v] = run
+    assert got == want
+    assert total == run
+    # empty input: empty frame, zero total, no job failure
+    empty = spark.createDataFrame([], "v bigint, c bigint")
+    out_e, total_e = exact_cumulative_counts(empty, "v", "c", "hi")
+    assert out_e.count() == 0 and total_e == 0
+
+
+def test_quality_lr_gate_matches_scored_filter(spark):
+    """quality_lr_gate (the CCNet-style train-and-filter deployment)
+    must keep exactly the rows quality_lr_pipeline scores at or above
+    the threshold — same weights, same integer logits — while passing
+    every original column through untouched."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"]).withColumn(
+        "extra", F.concat(F.lit("s"), F.col("doc_id").cast("string"))
+    )
+    label = (
+        F.size(
+            F.filter(
+                F.split(classify.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= THRESH
+    )
+    scored = {
+        r["doc_id"]: r["score_units"]
+        for r in classify.quality_lr_pipeline(
+            df, label, n_features=D, iters=ITERS, lr=LR
+        ).collect()
+    }
+    for thr in (0, max(scored.values())):
+        got = classify.quality_lr_gate(
+            df, label, n_features=D, iters=ITERS, lr=LR,
+            min_score_units=thr,
+        )
+        assert set(got.columns) == {"doc_id", "text", "extra"}
+        rows = got.collect()
+        assert {r["doc_id"] for r in rows} == {
+            i for i, z in scored.items() if z >= thr
+        }
+        assert all(r["extra"] == f"s{r['doc_id']}" for r in rows)

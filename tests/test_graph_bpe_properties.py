@@ -565,3 +565,32 @@ def test_em_cost_units_clear_of_rounding_boundaries(spark):
             z = -math.log(r["piece_count"] / total) * 1e6
             dist = abs((z % 1.0) - 0.5)
             assert dist > 1e-6, (r["piece"], z)
+
+
+def test_prune_vocab_cap_probed_before_collect(spark, monkeypatch):
+    """ADVICE r12: the control-plane cap must fire BEFORE collect()
+    materializes the vocabulary on the driver (probe via
+    limit(cap+1).count()), or the guard only runs after the OOM it
+    exists to prevent. Driven by shrinking the cap under a 3-row
+    vocab."""
+    from data_ingestion_framework_spark.operators import text as text_mod
+
+    vocab = spark.createDataFrame(
+        [("ab", 100, 2), ("cd", 90, 1), ("e", 60, 1)],
+        "piece string, cost_units bigint, piece_count bigint",
+    )
+    monkeypatch.setattr(text_mod, "SUBSTRING_VOCAB_MAX_KEPT", 2)
+    collected = {"called": False}
+    orig_collect = type(vocab).collect
+
+    def spy(self):
+        collected["called"] = True
+        return orig_collect(self)
+
+    monkeypatch.setattr(type(vocab), "collect", spy)
+    try:
+        text_mod.prune_vocab_bottom(vocab, 1, 2)
+        raise AssertionError("expected ValueError above the vocab cap")
+    except ValueError as e:
+        assert "control-plane cap" in str(e)
+    assert not collected["called"], "collect() ran before the cap probe"

@@ -1486,3 +1486,24 @@ def test_progress_logger_flush_into_pre_backlog_ledger(spark, tmp_path):
     assert listener.flush() == 1
     got = {r["batch_id"]: r["backlog_commits"] for r in ledger.read().collect()}
     assert got == {0: None, 1: None}
+
+
+def test_path_token_matching_rejects_left_extending_sibling():
+    """ADVICE r12: the complete-path-token matcher guarded only the
+    RIGHT boundary, so a sibling whose path ends with the watched path
+    (watched /data/t inside 'difs [/backup/data/t]') still matched and
+    stole the attribution. Both boundaries must be clean now."""
+    from data_ingestion_framework_spark.streaming.observability import (
+        _path_token_in,
+    )
+
+    assert _path_token_in("difs [/data/t]", "/data/t")
+    assert _path_token_in("/data/t", "/data/t")
+    # right-extending sibling (the originally-guarded class)
+    assert not _path_token_in("difs [/data/t2]", "/data/t")
+    assert not _path_token_in("difs [/data/t/sub]", "/data/t")
+    # left-extending sibling (the ADVICE class)
+    assert not _path_token_in("difs [/backup/data/t]", "/data/t")
+    assert not _path_token_in("difs [x/data/t]", "/data/t")
+    # both siblings present AND the real one — still a match
+    assert _path_token_in("difs [/backup/data/t] difs [/data/t]", "/data/t")
