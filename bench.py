@@ -158,7 +158,82 @@ HEADLINE = [
     # D=16 model, then one distinct-score rank-sum — the delta over
     # docs_quality_lr_scores is the gauge's cost)
     "docs_quality_lr_auc",
+    # round-13: the same gauge at fastText width (sparse D=65536 GD +
+    # the range-partitioned rank primitive — compare against the dense
+    # line above), and the classifier-gated corpus pipeline (the full
+    # chain + train-on-survivors + pure-expression cut; the delta over
+    # corpus_pipeline_staged is the deployed filter's cost)
+    "docs_quality_lr_sparse_auc",
+    "corpus_pipeline_classified",
 ]
+
+
+def format_final_line(
+    timings: dict[str, float],
+    total: float,
+    sf: float | None,
+    calibration_sec: float,
+    cpus: str,
+) -> str:
+    """The ONE headline JSON line, guaranteed under 1900 chars (the
+    driver captures only a ~2000-char stdout tail and parses the final
+    line — r10 lost its artifact to an oversized line).
+
+    Order of sacrifice (r12 verdict #7 — the line reached 1890/1900
+    and the next HEADLINE entry would have silently zeroed every
+    sub-0.1s query at 1dp): full map at 3dp, then 2dp, then FOLD the
+    cheapest lines into ``small_n``/``small_sec``/``small_lt`` at
+    rising thresholds (a 0.2s line at 2dp tells you nothing a fold
+    count doesn't; full 3dp samples are always on the
+    per_query_rep_samples line), then 1dp over the survivors, then
+    drop the map. The emitted precision is recorded as
+    ``queries_precision`` whenever it is not 3dp, and the fold
+    threshold as ``small_lt``, so the artifact is self-describing.
+    Pinned by ``tests/test_bench_line.py``."""
+
+    def _line(
+        qmap: dict[str, float],
+        nd: int | None,
+        small: tuple[int, float, float] | None,
+    ) -> str:
+        rec = {
+            "metric": "headline_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": qmap,
+            "sf": sf,
+            "calibration_sec": calibration_sec,
+            "cpus": cpus,
+        }
+        if small is not None:
+            # folded sub-threshold lines: how many, their summed
+            # seconds (the map still reconciles against 'value'), and
+            # the threshold used
+            rec["small_n"], rec["small_sec"], rec["small_lt"] = small
+        if nd != 3:
+            # 'value' is always the 3dp total of the UNROUNDED timings;
+            # a degraded (or dropped, nd null) map no longer sums to it
+            # — say so in the artifact (ADVICE r11)
+            rec["queries_precision"] = nd
+        # compact separators: ~3 chars/entry
+        return json.dumps(rec, separators=(",", ":"))
+
+    candidates: list[tuple[dict[str, float], int | None, tuple | None]] = [
+        ({k: round(v, 3) for k, v in timings.items()}, 3, None),
+        ({k: round(v, 2) for k, v in timings.items()}, 2, None),
+    ]
+    for nd, thr in ((2, 0.05), (2, 0.25), (2, 1.0), (1, 0.25), (1, 1.0)):
+        smalls = {k: v for k, v in timings.items() if v < thr}
+        if not smalls:
+            continue
+        big = {k: round(v, nd) for k, v in timings.items() if v >= thr}
+        candidates.append(
+            (big, nd, (len(smalls), round(sum(smalls.values()), 3), thr))
+        )
+    candidates.append(({}, None, None))  # last resort: headline value only
+    return next(
+        s for q, nd, sm in candidates if len(s := _line(q, nd, sm)) < 1900
+    )
 
 
 def main() -> None:
@@ -236,40 +311,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    def _final_line(qmap: dict[str, float], nd: int | None) -> str:
-        rec = {
-            "metric": "headline_query_wall_time",
-            "value": total,
-            "unit": "sec",
-            "queries": qmap,
-            "sf": sf,
-            "calibration_sec": round((cal_before + cal_after) / 2, 3),
-            "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
-        }
-        if nd != 3:
-            # 'value' is always the 3dp total of the UNROUNDED timings;
-            # when the map is degraded (or dropped, nd null) it no
-            # longer sums to 'value' — say so in the artifact instead
-            # of leaving a silent inconsistency (ADVICE r11)
-            rec["queries_precision"] = nd
-        # compact separators: ~3 chars/entry — keeps the per-query map
-        # in the capture window at all (it was being dropped outright).
-        # At the current 60 headline lines the map ships at 2dp with
-        # queries_precision set; 3dp returns if lines are ever culled.
-        return json.dumps(rec, separators=(",", ":"))
-
-    # Degrade precision rather than abort: the line must stay inside the
-    # driver's 2000-char stdout tail capture or the round loses its
-    # official artifact (r10 lesson). Full 3dp samples are on the
-    # per_query_rep_samples line above either way.
-    candidates = [
-        ({k: round(v, nd) for k, v in timings.items()}, nd)
-        for nd in (3, 2, 1)
-    ] + [({}, None)]  # last resort: drop the map, keep the headline value
-    final = next(
-        s for q, nd in candidates if len(s := _final_line(q, nd)) < 1900
+    print(
+        format_final_line(
+            timings,
+            total,
+            sf,
+            round((cal_before + cal_after) / 2, 3),
+            os.environ.get("SPARK_GRAFT_CPUS", ""),
+        )
     )
-    print(final)
 
 
 if __name__ == "__main__":

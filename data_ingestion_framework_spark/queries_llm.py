@@ -3,9 +3,12 @@
 Oracles are written where the semantics are expressible in portable SQL
 (exact dedup, token stats, fingerprints, brute-force cosine top-k);
 hash-family operators whose primitives differ across engines
-(xxhash64-based MinHash/SimHash) are registered without an oracle — the
-driver records a rows-only check and pytest pins their semantics on
-hand-built fixtures instead.
+(xxhash64-based MinHash/SimHash) are registered without an oracle —
+NOTE the driver has no rows-only pass mode: an oracle-less query inside
+the graded first-50 window is recorded as ``err: no_oracle`` and graded
+as a miss, so these names live in ``registry.ROWS_ONLY`` territory
+(outside the window) and pytest pins their semantics on hand-built
+fixtures instead.
 """
 
 from __future__ import annotations
@@ -182,8 +185,10 @@ def similarity_cosine_topk(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # MinHash-LSH near-dup pairs — xxhash64-based, not portable to DuckDB:
-# registered without an oracle (driver rows-only check; semantics pinned
-# by tests/test_dedup_similarity.py on synthetic near-duplicates).
+# registered without an oracle, so it must stay OUT of the graded
+# first-50 window (the driver would record ``err: no_oracle`` — a
+# graded miss); semantics pinned by tests/test_dedup_similarity.py on
+# synthetic near-duplicates.
 # ---------------------------------------------------------------------------
 @bench_query("dedup_minhash_pairs")
 def dedup_minhash_pairs(spark, sf_dir):
@@ -2329,11 +2334,12 @@ def corpus_pipeline_splits(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# First-fit-decreasing pack assignment (rows-only: FFD is a sequential
-# per-shard loop — each placement depends on all previous bins' fill —
-# which is exactly the non-SQL-expressible case the driver's weaker
-# rows-only check exists for; semantics are pinned by
-# test_pack_documents_ffd_* instead).
+# First-fit-decreasing pack assignment — NO oracle is possible (FFD is
+# a sequential per-shard loop: each placement depends on all previous
+# bins' fill), and the driver has no rows-only pass mode, so this name
+# is in registry.ROWS_ONLY and must stay out of the graded first-50
+# window (its r12 window slot graded ``err: no_oracle``); semantics are
+# pinned by test_pack_documents_ffd_* instead.
 # ---------------------------------------------------------------------------
 @bench_query("docs_pack_ffd")
 def docs_pack_ffd(spark, sf_dir):
@@ -4736,7 +4742,8 @@ def _bpe_batched_oracle(n_merges: int, batch: int, min_freq: int) -> str:
 # algorithm as corpus_bpe_merges_batched (rank-capped buffer, greedy
 # disjoint selection, chained application) at a depth the SQL replay
 # can unroll — certifies the batched MODE, while the depth-64 sibling
-# stays the rows-only bench line
+# stays an oracle-less bench-only line (registry.ROWS_ONLY: outside the
+# graded window, where it would record err: no_oracle)
 @bench_query(
     "corpus_bpe_merges_batched8", oracle=_bpe_batched_oracle(8, 4, 2)
 )
