@@ -165,6 +165,11 @@ HEADLINE = [
     # corpus_pipeline_staged is the deployed filter's cost)
     "docs_quality_lr_sparse_auc",
     "corpus_pipeline_classified",
+    # the width-unbounded distributed-weights trainer at D=2^22 (4x the
+    # list trainer's cap; weights as a bucket-keyed frame, full-outer
+    # join update — compare against docs_quality_lr_sparse for the
+    # frame-vs-driver-list step cost)
+    "docs_quality_lr_distributed",
 ]
 
 

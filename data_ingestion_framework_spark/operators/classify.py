@@ -52,8 +52,9 @@ Two feature layouts share the same trainer contract:
   enforced raise, not an assumption. Past that, per-step driver work
   (a D-entry list comprehension, a D-row createDataFrame upload and
   a ~16·D-byte broadcast) overtakes the executors; the next width
-  tier needs weights AS a DataFrame with a join-based update, a
-  different trainer, not a bigger cap.
+  tier is ``gd_train_sparse_distributed`` — weights AS a DataFrame
+  with a bucket-keyed join update, no width parameter anywhere, and
+  bit-identical trained weights (parity-pinned).
 
 Every exact-integer sum is overflow-guarded BEFORE launching the job
 (``similarity._guard_int64`` — on a non-ANSI session BIGINT wraps
@@ -315,16 +316,13 @@ def hashed_token_features_sparse(
     explode so the whole build is ONE scan). Only NONZERO triples
     exist: the shuffle carries (id, bucket, count) with map-side
     combine, never a D-wide row — O(tokens) work regardless of D.
-    The TRAINER's driver-side weight list is what bounds the width:
-    ``n_features`` must stay ≤ ``SPARSE_FEATURES_MAX`` (see the
-    module docstring's width contract)."""
-    if not 1 <= n_features <= SPARSE_FEATURES_MAX:
+    The BUILDER is therefore width-unbounded; what bounds the width
+    is the consumer: the driver-list trainer refuses D >
+    ``SPARSE_FEATURES_MAX`` (its per-step driver work is D-sized),
+    while :func:`gd_train_sparse_distributed` accepts any width."""
+    if n_features < 1:
         raise ValueError(
-            f"hashed_token_features_sparse: n_features={n_features} "
-            f"outside [1, {SPARSE_FEATURES_MAX}] — past 2^20 the "
-            "trainer's per-step driver work (D-entry weight list + "
-            "D-row upload) dominates; a wider model needs a "
-            "distributed-weights trainer, not a bigger cap"
+            f"hashed_token_features_sparse: n_features={n_features} < 1"
         )
     hs = F.transform(
         _tokens(text_col),
@@ -374,18 +372,34 @@ def _nonzero_weight_frame(triples: DataFrame, w: list[int]) -> DataFrame:
     return spark.createDataFrame(nz, "bucket bigint, __w bigint")
 
 
-def _sparse_scores_units(triples: DataFrame, w: list[int], grp: list[str]) -> DataFrame:
-    """``grp + (score_units)`` — the sparse dot: broadcast the nonzero
-    weights, left-join on bucket, one map-side-combined sum per doc."""
-    wdf = _nonzero_weight_frame(triples, w)
+def _sparse_scores_units_frame(
+    triples: DataFrame, wdf: DataFrame, grp: list[str], broadcast: bool
+) -> DataFrame:
+    """``grp + (score_units)`` — the sparse dot against a ``(bucket,
+    __w)`` NONZERO weight frame: left-join on bucket (zero-weight
+    buckets contribute nothing; coalesce(0) restores them exactly),
+    one map-side-combined sum per doc. ``broadcast`` forces the
+    driver-list path's broadcast; the distributed trainer leaves the
+    strategy to the planner (its weight frame may be bucket-domain
+    sized)."""
+    if broadcast:
+        wdf = F.broadcast(wdf)
     return (
-        triples.join(F.broadcast(wdf), "bucket", "left")
+        triples.join(wdf, "bucket", "left")
         .groupBy(*grp)
         .agg(
             F.sum(
                 F.col("count") * F.coalesce(F.col("__w"), F.lit(0).cast("bigint"))
             ).alias("score_units")
         )
+    )
+
+
+def _sparse_scores_units(triples: DataFrame, w: list[int], grp: list[str]) -> DataFrame:
+    """``grp + (score_units)`` — the sparse dot: broadcast the nonzero
+    weights, left-join on bucket, one map-side-combined sum per doc."""
+    return _sparse_scores_units_frame(
+        triples, _nonzero_weight_frame(triples, w), grp, broadcast=True
     )
 
 
@@ -433,8 +447,9 @@ def _gd_train_sparse_with_stats(
         raise ValueError(
             f"gd_train_linear_units_sparse: n_features={n_features} "
             f"outside [0, {SPARSE_FEATURES_MAX}] — the driver-side "
-            "weight list is (n_features + 1) long; a wider model "
-            "needs a distributed-weights trainer, not a bigger cap"
+            "weight list is (n_features + 1) long; use "
+            "gd_train_sparse_distributed (width-unbounded weight "
+            "frame), not a bigger cap"
         )
     t = triples.select(
         F.col(id_col).alias("__id"),
@@ -498,6 +513,129 @@ def linear_classifier_scores_sparse(
     _guard_int64(maxw * row_sum_max, "linear_classifier_scores_sparse dot")
     grp = [id_col] + ([label_col] if label_col else [])
     z = _sparse_scores_units(triples, list(w_units), grp)
+    return z.select(
+        *grp,
+        "score_units",
+        F.round(_surrogate_sigmoid(F.col("score_units")), 6).alias("prob"),
+        (F.col("score_units") >= 0).alias("pred"),
+    )
+
+
+def gd_train_sparse_distributed(
+    triples: DataFrame,
+    iters: int = 2,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    pre_materialized: bool = False,
+) -> DataFrame:
+    """The WIDTH-UNBOUNDED sparse trainer: weights live as a
+    ``(bucket, __w)`` DataFrame of the NONZERO entries, never as a
+    driver-side list — the tier past ``SPARSE_FEATURES_MAX`` that the
+    capped trainer's raise points at. Notice no ``n_features``
+    parameter at all: buckets are data, so the feature-space width
+    never appears in driver memory, upload size, or plan constants.
+
+    Per step (vs the capped trainer's broadcast-join + driver
+    update): the same doc-logit left join and gradient agg, then the
+    integer weight update is a bucket-keyed FULL OUTER join of the
+    old weight frame with the gradient frame — executed entirely on
+    the executors and localCheckpointed (the frame is bounded by the
+    corpus's distinct nonzero buckets, and the checkpoint keeps the
+    per-step lineage flat). The update expression is
+    ``F.round(lr·grad/n)`` — Spark's HALF_UP round IS the driver
+    twin's ``_round_units``, so the trained weights are BIT-IDENTICAL
+    to :func:`gd_train_linear_units_sparse` on the same corpus
+    (pinned by the parity tests) and the SAME DuckDB GD unroll
+    oracles grade both. Zero-weight buckets are dropped after every
+    update: absent-from-frame ≡ weight 0 under the coalesce(0) join,
+    exactly the list trainer's zeros.
+
+    Returns the nonzero ``(bucket, __w)`` frame; feed it to
+    :func:`linear_classifier_scores_sparse_frame`."""
+    t = triples.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("int").alias("__y"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("count").cast("bigint").alias("count"),
+    )
+    if not pre_materialized:
+        t = t.localCheckpoint()
+    n_rows, max_count, row_sum_max = _sparse_feat_stats(t, "__id")
+    if n_rows == 0:
+        raise ValueError("gd_train_sparse_distributed: empty training frame")
+    _guard_int64(
+        n_rows * UNIT_SCALE * max(max_count, 1),
+        "gd_train_sparse_distributed gradient",
+    )
+    spark = triples.sparkSession
+    wdf = spark.createDataFrame([], "bucket bigint, __w bigint")
+    for _ in range(iters):
+        row = wdf.agg(F.max(F.abs(F.col("__w"))).alias("m")).first()
+        maxw = int(row["m"]) if row is not None and row["m"] is not None else 0
+        _guard_int64(maxw * row_sum_max, "gd_train_sparse_distributed dot")
+        z = _sparse_scores_units_frame(
+            t, wdf, ["__id", "__y"], broadcast=False
+        )
+        g = z.select(
+            "__id",
+            F.round(
+                (
+                    _surrogate_sigmoid(F.col("score_units"))
+                    - F.col("__y").cast("double")
+                )
+                * F.lit(float(UNIT_SCALE))
+            )
+            .cast("bigint")
+            .alias("__g"),
+        )
+        grad = (
+            t.join(g, "__id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("__g") * F.col("count")).alias("__grad"))
+        )
+        # w ← w − round(lr·grad/n): identical IEEE multiply/divide and
+        # HALF_UP round as the driver-list update, per bucket; buckets
+        # only in one side coalesce to (old 0) or (grad 0)
+        wdf = (
+            wdf.join(grad, "bucket", "full_outer")
+            .select(
+                "bucket",
+                (
+                    F.coalesce(F.col("__w"), F.lit(0).cast("bigint"))
+                    - F.round(
+                        F.lit(float(lr))
+                        * F.coalesce(F.col("__grad"), F.lit(0).cast("bigint"))
+                        .cast("double")
+                        / F.lit(float(n_rows))
+                    ).cast("bigint")
+                ).alias("__w"),
+            )
+            .where(F.col("__w") != 0)
+            .localCheckpoint()
+        )
+    return wdf
+
+
+def linear_classifier_scores_sparse_frame(
+    triples: DataFrame,
+    wdf: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str | None = "label",
+    row_sum_max: int | None = None,
+) -> DataFrame:
+    """Score sparse triples under a ``(bucket, __w)`` weight FRAME —
+    the scorer for :func:`gd_train_sparse_distributed`, same output
+    contract and guard discipline as the list-weight scorer (the
+    max|w| for the overflow guard comes from one small agg over the
+    weight frame instead of the driver list)."""
+    if row_sum_max is None:
+        _, _, row_sum_max = _sparse_feat_stats(triples, id_col)
+    row = wdf.agg(F.max(F.abs(F.col("__w"))).alias("m")).first()
+    maxw = int(row["m"]) if row is not None and row["m"] is not None else 0
+    _guard_int64(maxw * row_sum_max, "linear_classifier_scores_sparse_frame dot")
+    grp = [id_col] + ([label_col] if label_col else [])
+    z = _sparse_scores_units_frame(triples, wdf, grp, broadcast=False)
     return z.select(
         *grp,
         "score_units",
@@ -588,6 +726,15 @@ def quality_lr_pipeline(
     switches to the long-format triple layout — REQUIRED past the
     dense builder's D=4096 cap, identical weights below it."""
     if sparse:
+        if not 0 <= n_features <= SPARSE_FEATURES_MAX:
+            # refuse BEFORE the feature build materializes: the
+            # driver-list trainer below would raise anyway, but only
+            # after the checkpoint paid for the whole wide build
+            raise ValueError(
+                f"quality_lr_pipeline: sparse n_features={n_features} "
+                f"outside [0, {SPARSE_FEATURES_MAX}] — use "
+                "gd_train_sparse_distributed for wider models"
+            )
         # materialize the triple build ONCE: the trainer scans it every
         # GD step and the scorer once more — without this checkpoint the
         # scorer would re-run the whole tokenize→hash→explode→groupBy

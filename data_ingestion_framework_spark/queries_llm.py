@@ -6225,9 +6225,12 @@ def docs_quality_lr_auc(spark, sf_dir):
 # oracle unrolls both GD steps in the SAME long format (bucket-keyed
 # joins, never a 65537-wide row) and hash-matches bit-for-bit.
 # ---------------------------------------------------------------------------
-#: the sparse (long-format, D=65536) two-step GD unroll — shared by
-#: the sparse scores query and the sparse AUC gauge below
-_QLR_SPARSE_GD_CTES = """tk AS (
+#: the sparse (long-format) two-step GD unroll — shared by the sparse
+#: scores query, the sparse AUC gauge, and the DISTRIBUTED-weights
+#: trainer query (same math at any width, so d parameterizes the
+#: bucket modulus / intercept index)
+def _qlr_sparse_gd_ctes(d: int = 65536) -> str:
+    return f"""tk AS (
       SELECT doc_id, list_filter(string_split(
                lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
                t -> t <> '') AS toks
@@ -6238,12 +6241,12 @@ _QLR_SPARSE_GD_CTES = """tk AS (
       FROM tk
     ),
     tr AS (
-      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 65536 AS j,
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % {d} AS j,
              CAST(COUNT(*) AS BIGINT) AS x
       FROM (SELECT doc_id, UNNEST(toks) AS t FROM tk)
       GROUP BY doc_id, j
       UNION ALL
-      SELECT doc_id, 65536 AS j, CAST(1 AS BIGINT) AS x FROM tk
+      SELECT doc_id, {d} AS j, CAST(1 AS BIGINT) AS x FROM tk
     ),
     n AS (SELECT COUNT(*) AS n FROM lab),
     -- GD step 1 from w0 = 0: z = 0, sigma = 0.5 exactly
@@ -6277,6 +6280,9 @@ _QLR_SPARSE_GD_CTES = """tk AS (
            FROM tr t JOIN w2 USING (j) GROUP BY t.doc_id)"""
 
 
+_QLR_SPARSE_GD_CTES = _qlr_sparse_gd_ctes()
+
+
 @bench_query(
     "docs_quality_lr_sparse",
     oracle=f"""
@@ -6303,6 +6309,50 @@ def docs_quality_lr_sparse(spark, sf_dir):
     return classify.quality_lr_pipeline(
         docs, label, n_features=65536, iters=2, lr=0.5, sparse=True
     )
+
+
+# ---------------------------------------------------------------------------
+# DISTRIBUTED-weights sparse trainer (operators/classify.py
+# gd_train_sparse_distributed + linear_classifier_scores_sparse_frame):
+# the width-unbounded tier past SPARSE_FEATURES_MAX — weights live as
+# a (bucket, w) DataFrame, the per-step update is a bucket-keyed full
+# outer join on the executors, and NO width parameter exists anywhere
+# in driver memory or plan constants. Run here at D = 2^22, four times
+# the capped trainer's limit, which the list trainer REFUSES — and
+# still graded exactly: F.round is the bit-exact HALF_UP twin of the
+# driver _round_units, so the same long-format GD unroll replays it
+# (width just changes the hash modulus).
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_quality_lr_distributed",
+    oracle=f"""
+    WITH {_qlr_sparse_gd_ctes(1 << 22)}
+    SELECT l.doc_id, CAST(l.y AS INT) AS label, z.zu AS score_units,
+           ROUND(0.5 + (z.zu/1000000.0)/(2*(1+abs(z.zu/1000000.0))), 6) AS prob,
+           z.zu >= 0 AS pred
+    FROM lab l JOIN zf z USING (doc_id)
+    """,
+)
+def docs_quality_lr_distributed(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import classify
+
+    docs = load(spark, sf_dir, "documents")
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    tr = classify.hashed_token_features_sparse(
+        docs, n_features=1 << 22, label=label
+    ).localCheckpoint()
+    wdf = classify.gd_train_sparse_distributed(
+        tr, iters=2, lr=0.5, pre_materialized=True
+    )
+    return classify.linear_classifier_scores_sparse_frame(tr, wdf)
 
 
 # ---------------------------------------------------------------------------

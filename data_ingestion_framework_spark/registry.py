@@ -162,7 +162,8 @@ _PRIORITY = [
     # stream-stream interval join (the first streaming JOIN under the
     # oracle gate); interval reconstruction is pytest-pinned
     # (test_as_of_reconstruction) and pre-commit history reads keep
-    # three window reps (orders_delete_dv/stats_skipping/replace_where).
+    # window reps (orders_stats_skipping_state + orders_version_diff_
+    # state; delete_dv and replace_where ceded in r11/r13).
     "streaming_click_purchase_join",
     "dq_violation_counts",
     # never driver-graded: window/agg composites
@@ -550,17 +551,22 @@ _PRIORITY = [
     # orders_stream_table_state keeps the commit-log discipline
     # in-window. Still in the full local gate.
     "graph_clustering_coefficients",
-    # ROUND-8 ROTATION: orders_restore_state (driver-green r5+r6)
-    # cedes to the replaceWhere lifecycle; the history-snapshot
-    # retention + resolution machinery RESTORE rides stays window-
-    # graded via orders_update_state / orders_delete_dv_state /
-    # orders_stats_skipping_state (each creates and reads pre-commit
-    # history). Still in the full local gate.
-    "orders_replace_where_state",
+    # ROUND-13 ROTATION: orders_replace_where_state (green r8-r12)
+    # cedes to the DISTRIBUTED-weights sparse trainer (new this round:
+    # weights as a bucket-keyed DataFrame, run at D = 2^22 — four
+    # times the list trainer's enforced cap — under the same
+    # long-format GD unroll oracle); the COW statement/lifecycle
+    # family keeps SEVEN window reps (stats_skipping — which executes
+    # the same delete_where path — partition_evolution, version_diff,
+    # add_column_default, delta_export, widen, incremental_join) and
+    # the replaceWhere predicate-scope semantics are pytest-pinned
+    # (test_writers). Still in the full local gate.
+    "docs_quality_lr_distributed",
     # end of the 50-query driver window
-    # the seven rows ceded by the round-13 rotation (driver-green 2-9
+    # the eight rows ceded by the round-13 rotation (driver-green 2-9
     # rounds; mechanisms window-covered per the notes above) plus the
     # two ROWS_ONLY rows rotated back out (oracle-less — see ROWS_ONLY)
+    "orders_replace_where_state",
     "events_asof_nearest_click",
     "corpus_unigram_em_tokens",
     "corpus_pipeline_staged",

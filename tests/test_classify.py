@@ -430,28 +430,35 @@ def test_sparse_dense_parity_property(spark):
 
 
 def test_sparse_width_cap_enforced(spark):
-    """Round-12 verdict #4: the sparse trainer's driver state is the
+    """Round-12 verdict #4: the LIST trainer's driver state is the
     (D+1)-long weight list, so widths past SPARSE_FEATURES_MAX (2^20)
-    must be an enforced raise — in the feature builder AND the trainer
-    (which can be handed pre-built triples) — not a docstring claim."""
+    must be an enforced raise — in the trainer and in the pipeline
+    (BEFORE its checkpoint pays for the wide build) — pointing at the
+    width-unbounded distributed trainer. The feature BUILDER itself
+    stays unbounded: long format, no D-sized state anywhere."""
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
     too_wide = classify.SPARSE_FEATURES_MAX + 1
+    tr16 = classify.hashed_token_features_sparse(df, n_features=16)
     try:
-        classify.hashed_token_features_sparse(df, n_features=too_wide)
+        classify.gd_train_linear_units_sparse(tr16, too_wide, iters=1)
         raise AssertionError("expected ValueError above the sparse cap")
     except ValueError as e:
-        assert "distributed-weights" in str(e)
-    tr = classify.hashed_token_features_sparse(df, n_features=16)
+        assert "gd_train_sparse_distributed" in str(e)
     try:
-        classify.gd_train_linear_units_sparse(tr, too_wide, iters=1)
+        classify.quality_lr_pipeline(
+            df, F.lit(True), n_features=too_wide, sparse=True
+        )
         raise AssertionError("expected ValueError above the sparse cap")
     except ValueError as e:
-        assert "distributed-weights" in str(e)
-    # the cap itself (and everything below) stays accepted by the
-    # builder — plan-only check, no execution at 2^20
-    classify.hashed_token_features_sparse(
-        df, n_features=classify.SPARSE_FEATURES_MAX
+        assert "gd_train_sparse_distributed" in str(e)
+    # the builder accepts any width (plan-only check, no execution),
+    # and the distributed trainer actually RUNS past the cap
+    classify.hashed_token_features_sparse(df, n_features=too_wide)
+    wide = classify.hashed_token_features_sparse(
+        df, n_features=1 << 22, label=F.lit(True)
     )
+    wdf = classify.gd_train_sparse_distributed(wide, iters=1)
+    assert wdf.count() > 0
 
 
 def test_exact_cumulative_counts_matches_python_witness(spark):
@@ -515,3 +522,84 @@ def test_quality_lr_gate_matches_scored_filter(spark):
             i for i, z in scored.items() if z >= thr
         }
         assert all(r["extra"] == f"s{r['doc_id']}" for r in rows)
+
+
+def test_distributed_trainer_matches_list_trainer(spark):
+    """gd_train_sparse_distributed (weights as a DataFrame, the
+    width-unbounded tier past SPARSE_FEATURES_MAX) must produce
+    BIT-IDENTICAL weights to the driver-list sparse trainer — same
+    joins, same residuals, and F.round as the exact HALF_UP twin of
+    the driver's _round_units — and its frame scorer must reproduce
+    the list scorer row for row."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    label = (
+        F.size(
+            F.filter(
+                F.split(classify.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= THRESH
+    )
+    d = 16
+    tr = classify.hashed_token_features_sparse(df, n_features=d, label=label)
+    w_list = classify.gd_train_linear_units_sparse(tr, d, iters=ITERS, lr=LR)
+    wdf = classify.gd_train_sparse_distributed(tr, iters=ITERS, lr=LR)
+    got = {r["bucket"]: r["__w"] for r in wdf.collect()}
+    want = {j: w for j, w in enumerate(w_list) if w != 0}
+    assert got == want
+    key = lambda rows: {r["doc_id"]: tuple(r)[1:] for r in rows}
+    s_frame = key(
+        classify.linear_classifier_scores_sparse_frame(tr, wdf).collect()
+    )
+    s_list = key(
+        classify.linear_classifier_scores_sparse(tr, w_list).collect()
+    )
+    assert s_frame == s_list and len(s_frame) == len(DOCS)
+
+
+def test_distributed_trainer_parity_property(spark):
+    """Property form on arbitrary corpora (unicode, whitespace, empty
+    strings): the distributed-weights trainer equals the list trainer
+    — the rounding-twin claim exercised on awkward gradients."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    texts_st = st.lists(
+        st.text(alphabet=st.sampled_from(list("ab é\t\n")), max_size=24),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=texts_st)
+    def run(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        label = F.length(F.coalesce(F.col("text"), F.lit(""))) >= 4
+        d = 8
+        tr = classify.hashed_token_features_sparse(
+            df, n_features=d, label=label
+        )
+        w_list = classify.gd_train_linear_units_sparse(tr, d, iters=2)
+        wdf = classify.gd_train_sparse_distributed(tr, iters=2)
+        got = {r["bucket"]: r["__w"] for r in wdf.collect()}
+        assert got == {j: w for j, w in enumerate(w_list) if w != 0}
+
+    run()
+
+
+def test_distributed_trainer_refuses_empty_frame(spark):
+    tr = spark.createDataFrame(
+        [], "doc_id bigint, label int, bucket bigint, count bigint"
+    )
+    try:
+        classify.gd_train_sparse_distributed(tr, iters=1)
+        raise AssertionError("expected ValueError on empty training frame")
+    except ValueError as e:
+        assert "empty training frame" in str(e)

@@ -244,8 +244,10 @@ def test_driver_grading_window_covers_priority_queries():
         # r9 4th wave: orders_strict_log_state ceded to clustering
         # coefficients (strict-log refusals pytest-pinned)
         "graph_clustering_coefficients",
-        # r8: orders_restore_state ceded to the replaceWhere lifecycle
-        "orders_replace_where_state",
+        # r13: orders_replace_where_state ceded to the
+        # distributed-weights sparse trainer at D=2^22 (lifecycle
+        # family keeps seven window reps; replaceWhere pytest-pinned)
+        "docs_quality_lr_distributed",
         # round-6 rotation: the four never-driver-graded round-5
         # queries plus this round's two new surfaces
         # r9: orders_merge_into_state ceded to BPE training (executor
