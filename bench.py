@@ -227,6 +227,13 @@ def format_final_line(
         ({k: round(v, 3) for k, v in timings.items()}, 3, None),
         ({k: round(v, 2) for k, v in timings.items()}, 2, None),
     ]
+    # absolute-threshold fold tiers first; then QUANTILE folds (the
+    # cheapest half / three-quarters of the entries BY RANK) so an
+    # ALL-SLOW run — where no absolute threshold catches anything and
+    # 1dp saves only ~1 char/entry over 2dp — still ships the
+    # expensive tail of the map instead of dropping it entirely.
+    # ``small_lt`` records the largest folded value either way (for
+    # the absolute tiers every folded value is strictly below it).
     for nd, thr in ((2, 0.05), (2, 0.25), (2, 1.0), (1, 0.25), (1, 1.0)):
         smalls = {k: v for k, v in timings.items() if v < thr}
         if not smalls:
@@ -234,6 +241,23 @@ def format_final_line(
         big = {k: round(v, nd) for k, v in timings.items() if v >= thr}
         candidates.append(
             (big, nd, (len(smalls), round(sum(smalls.values()), 3), thr))
+        )
+    by_cost = sorted(timings.items(), key=lambda kv: (kv[1], kv[0]))
+    for nd, frac in ((2, 0.5), (1, 0.5), (1, 0.75)):
+        cut = int(len(by_cost) * frac)
+        if cut == 0:
+            continue
+        folded, kept = by_cost[:cut], by_cost[cut:]
+        candidates.append(
+            (
+                {k: round(v, nd) for k, v in kept},
+                nd,
+                (
+                    len(folded),
+                    round(sum(v for _, v in folded), 3),
+                    round(folded[-1][1], 3),
+                ),
+            )
         )
     candidates.append(({}, None, None))  # last resort: headline value only
     return next(

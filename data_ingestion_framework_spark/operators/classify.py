@@ -403,6 +403,37 @@ def _sparse_scores_units(triples: DataFrame, w: list[int], grp: list[str]) -> Da
     )
 
 
+def _sparse_gd_gradient(
+    t: DataFrame, wdf: DataFrame, broadcast: bool
+) -> DataFrame:
+    """ONE GD step's gradient frame ``(bucket, __grad)`` over renamed
+    triples ``(__id, __y, bucket, count)`` under a ``(bucket, __w)``
+    weight frame: per-doc logit (sparse dot) → residual units
+    ``g = round((σ(z)−y)·1e6)`` → ``grad_j = Σ g·x_j`` via a
+    bucket-keyed agg. The SINGLE definition both sparse trainers
+    share — the bit-identical-weights parity between them (and the
+    DuckDB GD unroll oracles) rides on this step being one piece of
+    code, not two hand-synced copies."""
+    z = _sparse_scores_units_frame(t, wdf, ["__id", "__y"], broadcast)
+    g = z.select(
+        "__id",
+        F.round(
+            (
+                _surrogate_sigmoid(F.col("score_units"))
+                - F.col("__y").cast("double")
+            )
+            * F.lit(float(UNIT_SCALE))
+        )
+        .cast("bigint")
+        .alias("__g"),
+    )
+    return (
+        t.join(g, "__id")
+        .groupBy("bucket")
+        .agg(F.sum(F.col("__g") * F.col("count")).alias("__grad"))
+    )
+
+
 def gd_train_linear_units_sparse(
     triples: DataFrame,
     n_features: int,
@@ -470,25 +501,9 @@ def _gd_train_sparse_with_stats(
     for _ in range(iters):
         maxw = max((abs(x) for x in w), default=0)
         _guard_int64(maxw * row_sum_max, "gd_train_linear_units_sparse dot")
-        z = _sparse_scores_units(t, w, ["__id", "__y"])
-        g = z.select(
-            "__id",
-            F.round(
-                (
-                    _surrogate_sigmoid(F.col("score_units"))
-                    - F.col("__y").cast("double")
-                )
-                * F.lit(float(UNIT_SCALE))
-            )
-            .cast("bigint")
-            .alias("__g"),
-        )
-        grad_rows = (
-            t.join(g, "__id")
-            .groupBy("bucket")
-            .agg(F.sum(F.col("__g") * F.col("count")).alias("__grad"))
-            .collect()
-        )
+        grad_rows = _sparse_gd_gradient(
+            t, _nonzero_weight_frame(t, w), broadcast=True
+        ).collect()
         grad = {int(r["bucket"]): r["__grad"] for r in grad_rows}
         w = [
             w[j] - _round_half_up(lr * grad.get(j, 0) / n_rows)
@@ -553,6 +568,22 @@ def gd_train_sparse_distributed(
 
     Returns the nonzero ``(bucket, __w)`` frame; feed it to
     :func:`linear_classifier_scores_sparse_frame`."""
+    return _gd_train_sparse_distributed_with_stats(
+        triples, iters, lr, id_col, label_col, pre_materialized
+    )[0]
+
+
+def _gd_train_sparse_distributed_with_stats(
+    triples: DataFrame,
+    iters: int,
+    lr: float,
+    id_col: str,
+    label_col: str,
+    pre_materialized: bool = False,
+) -> tuple[DataFrame, int]:
+    """``(weight_frame, max_row_sum)`` — distributed trainer body; the
+    second element feeds the scorer's overflow guard without another
+    stats scan (the same threading discipline as the list trainers)."""
     t = triples.select(
         F.col(id_col).alias("__id"),
         F.col(label_col).cast("int").alias("__y"),
@@ -574,26 +605,7 @@ def gd_train_sparse_distributed(
         row = wdf.agg(F.max(F.abs(F.col("__w"))).alias("m")).first()
         maxw = int(row["m"]) if row is not None and row["m"] is not None else 0
         _guard_int64(maxw * row_sum_max, "gd_train_sparse_distributed dot")
-        z = _sparse_scores_units_frame(
-            t, wdf, ["__id", "__y"], broadcast=False
-        )
-        g = z.select(
-            "__id",
-            F.round(
-                (
-                    _surrogate_sigmoid(F.col("score_units"))
-                    - F.col("__y").cast("double")
-                )
-                * F.lit(float(UNIT_SCALE))
-            )
-            .cast("bigint")
-            .alias("__g"),
-        )
-        grad = (
-            t.join(g, "__id")
-            .groupBy("bucket")
-            .agg(F.sum(F.col("__g") * F.col("count")).alias("__grad"))
-        )
+        grad = _sparse_gd_gradient(t, wdf, broadcast=False)
         # w ← w − round(lr·grad/n): identical IEEE multiply/divide and
         # HALF_UP round as the driver-list update, per bucket; buckets
         # only in one side coalesce to (old 0) or (grad 0)
@@ -614,7 +626,7 @@ def gd_train_sparse_distributed(
             .where(F.col("__w") != 0)
             .localCheckpoint()
         )
-    return wdf
+    return wdf, row_sum_max
 
 
 def linear_classifier_scores_sparse_frame(
@@ -786,8 +798,16 @@ def quality_lr_gate(
     INSIDE the corpus scan (whole-stage codegen, zero joins, zero
     shuffles): the trained weights are driver-side constants, the
     classic broadcast-the-model deployment. Same exactness contract
-    as the trainer (BIGINT dot, overflow guard before the scan)."""
+    as the trainer (BIGINT dot, overflow guard before the scan).
+
+    An EMPTY input trains nothing and gates nothing — it returns the
+    (empty) frame unchanged rather than raising: the upstream pipeline
+    may legitimately filter every row away, and the gate-less pipeline
+    (and the DuckDB oracle, whose GD unroll over an empty subquery
+    yields an empty join) both return empty there."""
     df = df.localCheckpoint()
+    if df.first() is None:
+        return df
     feats = hashed_token_features(
         df, text_col=text_col, n_features=n_features, id_col=id_col,
         label=label,

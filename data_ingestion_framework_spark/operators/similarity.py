@@ -1989,8 +1989,14 @@ def rrf_fuse(
     row). Returns the top ``k`` ids as ``(id, rrf_units, rrf_rank)``.
 
     Scale shape: one union (no shuffle) + one groupBy(id) partial-agg
-    + one global top-k (TakeOrderedAndProject via the final orderBy on
-    a window-free path when k is small).
+    + one global top-k as a DISTRIBUTED TakeOrderedAndProject (orderBy
+    + limit(k) — per-partition top-k, then a k-row merge), and only
+    then the rank-number window over the ≤ k survivors. Before round
+    13 the window ranked the WHOLE fused id domain through one
+    partition and filtered afterwards — the exact single-partition
+    shape the plan audit's revived detector flagged; the remaining
+    window is bounded by ``k`` rows by construction (pinned with that
+    argument in ``SINGLE_PARTITION_BY_DESIGN``).
     """
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
@@ -2005,11 +2011,9 @@ def rrf_fuse(
     for p in parts[1:]:
         u = u.unionByName(p)
     fused = u.groupBy(id_col).agg(F.sum("__u").alias("rrf_units"))
-    w = W.orderBy(F.col("rrf_units").desc(), F.col(id_col).asc())
-    return (
-        fused.withColumn("rrf_rank", F.row_number().over(w))
-        .where(F.col("rrf_rank") <= k)
-    )
+    order = [F.col("rrf_units").desc(), F.col(id_col).asc()]
+    topk = fused.orderBy(*order).limit(k)
+    return topk.withColumn("rrf_rank", F.row_number().over(W.orderBy(*order)))
 
 
 def ndcg_discounts(k: int) -> list[tuple[int, str]]:

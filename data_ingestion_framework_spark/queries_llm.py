@@ -6349,10 +6349,12 @@ def docs_quality_lr_distributed(spark, sf_dir):
     tr = classify.hashed_token_features_sparse(
         docs, n_features=1 << 22, label=label
     ).localCheckpoint()
-    wdf = classify.gd_train_sparse_distributed(
-        tr, iters=2, lr=0.5, pre_materialized=True
+    wdf, row_sum_max = classify._gd_train_sparse_distributed_with_stats(
+        tr, 2, 0.5, "doc_id", "label", pre_materialized=True
     )
-    return classify.linear_classifier_scores_sparse_frame(tr, wdf)
+    return classify.linear_classifier_scores_sparse_frame(
+        tr, wdf, row_sum_max=row_sum_max
+    )
 
 
 # ---------------------------------------------------------------------------

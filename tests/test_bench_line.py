@@ -64,3 +64,22 @@ def test_final_line_last_resort_drops_map_but_keeps_value():
     rec = _line_for(timings)
     assert rec["queries"] == {} and rec["queries_precision"] is None
     assert rec["value"] == round(sum(timings.values()), 3)
+
+
+def test_final_line_all_slow_run_folds_by_quantile():
+    """An all-slow run (nothing under any absolute fold threshold —
+    here every value is identical, so even a strict-below percentile
+    cut would catch nothing) must fold the cheapest entries BY RANK
+    and ship the expensive tail of the map, instead of jumping from
+    2dp-full straight to dropping the map."""
+    timings = {
+        f"quite_long_query_name_number_{i:03d}": 10.123 for i in range(58)
+    }
+    rec = _line_for(timings)
+    assert rec.get("queries_precision", 3) is not None, "map was dropped"
+    n_map, n_small = len(rec["queries"]), rec.get("small_n", 0)
+    assert n_map + n_small == 58 and n_map > 0 and n_small > 0
+    # the fold reconciles: folded seconds + mapped seconds ≈ value
+    assert abs(rec["small_sec"] + sum(rec["queries"].values())
+               - rec["value"]) < 0.1 * 58
+    assert rec["small_lt"] == 10.123

@@ -603,3 +603,15 @@ def test_distributed_trainer_refuses_empty_frame(spark):
         raise AssertionError("expected ValueError on empty training frame")
     except ValueError as e:
         assert "empty training frame" in str(e)
+
+
+def test_quality_lr_gate_empty_input_returns_empty(spark):
+    """An upstream pipeline may filter every row away; the gate must
+    return the empty frame (matching the gate-less pipeline and the
+    oracle's empty GD-unroll join), not crash in the trainer."""
+    df = spark.createDataFrame([], "doc_id bigint, text string").where(
+        F.lit(False)
+    )
+    out = classify.quality_lr_gate(df, F.lit(True), n_features=8, iters=1)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "text"]

@@ -31,12 +31,19 @@ NESTED_LOOP_BY_DESIGN = {
 }
 
 #: queries whose plan intentionally carries a window fed by
-#: ``Exchange SinglePartition``. EMPTY and intended to stay that way:
-#: the round-12 audit's dead detector hid a real global-order rank
-#: window inside classifier_auc; the fix was the range-partitioned
-#: prefix-sum primitive (operators/rank.py), not a pin. Any future
-#: entry needs an argued cardinality bound here.
-SINGLE_PARTITION_BY_DESIGN: set[str] = set()
+#: ``Exchange SinglePartition`` — every entry needs an ARGUED
+#: cardinality bound. Unbounded cases get fixed, not pinned: the
+#: round-12 dead detector hid an unbounded rank window inside
+#: classifier_auc (fixed with operators/rank.py's range-partitioned
+#: prefix sum) and, once revived, caught rrf_fuse ranking the whole
+#: fused id domain through one task (fixed with a distributed
+#: TakeOrdered top-k BEFORE the rank window).
+SINGLE_PARTITION_BY_DESIGN: set[str] = {
+    # rrf_fuse's rank-number tail: the window input is the OUTPUT of
+    # orderBy().limit(k) — at most k = 10 rows by construction
+    # (control-plane sized at any corpus scale)
+    "retrieval_rrf_hybrid",
+}
 
 
 def test_headline_plans_have_no_row_python_and_bounded_nested_loops(spark):

@@ -60,18 +60,21 @@ registry.load_all_queries()
 
 
 #: plan-tree lines that legitimately sit BETWEEN a Window's Sort and
-#: the Exchange that feeds it in a finalized AQE plan string
+#: the Exchange that feeds it in a finalized AQE plan string (stage
+#: wrappers, codegen markers, and column-pruning Projects)
 _WINDOW_FEED_NODES = re.compile(
     r"(Sort |ShuffleQueryStage|AQEShuffleRead|InputAdapter"
-    r"|WholeStageCodegen|WindowGroupLimit)"
+    r"|WholeStageCodegen|WindowGroupLimit|Project)"
 )
 
 
 def _count_single_partition_windows(plan: str) -> int:
     """Count Window operators fed (possibly through AQE stage
-    wrappers) by an ``Exchange SinglePartition`` — a global-order
-    window that escaped TakeOrderedAndProject collapse, i.e. a stage
-    where EVERY row funnels through one task."""
+    wrappers, Projects, or a ReusedExchange) by an
+    ``Exchange SinglePartition`` — a global-order window that escaped
+    TakeOrderedAndProject collapse, i.e. a stage where EVERY row
+    funnels through one task. Matching on the bare ``SinglePartition``
+    token also catches ``ReusedExchange [...SinglePartition...]``."""
     lines = plan.splitlines()
     n = 0
     for i, ln in enumerate(lines):
@@ -80,8 +83,8 @@ def _count_single_partition_windows(plan: str) -> int:
         # both would double-count one logical window
         if "Window " not in ln or "WindowGroupLimit" in ln:
             continue
-        for nxt in lines[i + 1 : i + 7]:
-            if "Exchange SinglePartition" in nxt:
+        for nxt in lines[i + 1 : i + 9]:
+            if "SinglePartition" in nxt:
                 n += 1
                 break
             if not _WINDOW_FEED_NODES.search(nxt):
