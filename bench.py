@@ -234,7 +234,9 @@ def format_final_line(
     # expensive tail of the map instead of dropping it entirely.
     # ``small_lt`` records the largest folded value either way (for
     # the absolute tiers every folded value is strictly below it).
-    for nd, thr in ((2, 0.05), (2, 0.25), (2, 1.0), (1, 0.25), (1, 1.0)):
+    for nd, thr in (
+        (2, 0.05), (2, 0.25), (2, 0.5), (2, 1.0), (1, 0.25), (1, 1.0),
+    ):
         smalls = {k: v for k, v in timings.items() if v < thr}
         if not smalls:
             continue
