@@ -165,6 +165,11 @@ HEADLINE = [
     # corpus_pipeline_staged is the deployed filter's cost)
     "docs_quality_lr_sparse_auc",
     "corpus_pipeline_classified",
+    # exact distributed nearest-rank percentiles (distinct-value counts
+    # -> range-partitioned prefix sum -> broadcast 4-row rank frame;
+    # compare against lineitem_percentiles' buffer-everything
+    # F.percentile for the scale-path cost)
+    "orders_price_exact_percentiles",
     # the width-unbounded distributed-weights trainer at D=2^22 (4x the
     # list trainer's cap; weights as a bucket-keyed frame, full-outer
     # join update — compare against docs_quality_lr_sparse for the

@@ -366,3 +366,72 @@ def equi_depth_histogram(
         F.sum("__c").cast("bigint").alias("n_rows"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    fractions: list[tuple[int, int]] = ((1, 4), (1, 2), (3, 4), (99, 100)),
+) -> DataFrame:
+    """EXACT nearest-rank percentiles of a column, computed
+    distributedly — the scale path for the profiler/CBO numbers that
+    ``F.percentile`` (which buffers every group value in one
+    aggregation state) and ``approx_percentile`` (bounded error, not
+    exact) each trade away.
+
+    Percentile ``num/den`` is the smallest value whose cumulative
+    count reaches ``rank = max(1, ceil(num·n / den))`` — the classic
+    nearest-rank definition, all-integer arithmetic
+    (``ceil(a/b) = (a + b − 1) div b``), so a SQL oracle replays rank
+    selection bit-for-bit and no float ulp can move a boundary.
+    Fractions are (numerator, denominator) INTEGER pairs for exactly
+    that reason: ``ceil(0.25·n)`` in doubles can misround at large n;
+    ``(n + 3) div 4`` cannot.
+
+    Scale shape: distinct-value counts (one map-side-combined agg) →
+    ``rank.exact_cumulative_counts`` (the range-partitioned two-pass
+    prefix sum — zero single-partition stages) → a broadcast
+    crossJoin of the |fractions|-row rank frame (a k-row control
+    frame, the corpus-total pattern) → one min-per-fraction agg over
+    the rows at-or-past each rank. NULLs are excluded, as ANALYZE
+    does.
+
+    Returns ``(p_num, p_den, rank, value, n_rows)`` with ``value``
+    typed as the source column; empty when the input (after the NULL
+    filter) is empty."""
+    from data_ingestion_framework_spark.operators.rank import (
+        exact_cumulative_counts,
+    )
+
+    for num, den in fractions:
+        if not (0 < num <= den):
+            raise ValueError(
+                f"exact_percentiles: fraction {num}/{den} outside (0, 1]"
+            )
+    vals = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ranked, total = exact_cumulative_counts(vals, "v", "__c", "__hi")
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        [
+            (num, den, max(1, (num * total + den - 1) // den))
+            for num, den in fractions
+        ],
+        "p_num int, p_den int, __r bigint",
+    )
+    return (
+        ranked.crossJoin(F.broadcast(targets))
+        .where(F.col("__hi") >= F.col("__r"))
+        .groupBy("p_num", "p_den", "__r")
+        .agg(F.min("v").alias("value"))
+        .select(
+            "p_num",
+            "p_den",
+            F.col("__r").alias("rank"),
+            "value",
+            F.lit(total).cast("bigint").alias("n_rows"),
+        )
+    )

@@ -429,6 +429,47 @@ def orders_custkey_histogram(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Exact DISTRIBUTED nearest-rank percentiles (operators/dq.py
+# exact_percentiles over operators/rank.py's range-partitioned prefix
+# sum): the scale path where F.percentile buffers every value in one
+# aggregation state and approx_percentile trades exactness away.
+# Integer-exact rank selection — rank = max(1, ceil(num*n/den)) via
+# (num*n + den - 1) div den — so the oracle replays the same cumsum
+# and the same integer rank math, never a float quantile function.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "orders_price_exact_percentiles",
+    oracle="""
+    WITH vals AS (
+      SELECT o_totalprice AS v, COUNT(*) AS c
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ),
+    ranked AS (
+      SELECT v, SUM(c) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      FROM vals
+    ),
+    tot AS (SELECT SUM(c) AS n FROM vals),
+    f(p_num, p_den) AS (VALUES (1, 4), (1, 2), (3, 4), (99, 100)),
+    t AS (SELECT p_num, p_den,
+                 GREATEST((p_num * tot.n + p_den - 1) // p_den, 1) AS r
+          FROM f, tot)
+    SELECT t.p_num, t.p_den, CAST(t.r AS BIGINT) AS rank,
+           MIN(rk.v) AS value, CAST(tot.n AS BIGINT) AS n_rows
+    FROM t JOIN ranked rk ON rk.hi >= t.r, tot
+    GROUP BY t.p_num, t.p_den, t.r, tot.n
+    """,
+)
+def orders_price_exact_percentiles(spark, sf_dir):
+    from data_ingestion_framework_spark.operators.dq import exact_percentiles
+
+    orders = load(spark, sf_dir, "orders")
+    return exact_percentiles(
+        orders, "o_totalprice", [(1, 4), (1, 2), (3, 4), (99, 100)]
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q13-shape customer distribution: LEFT OUTER join with a JOIN-SIDE
 # filter (the predicate lives in the ON clause, not WHERE — a WHERE
 # would turn the outer join inner and drop zero-order customers), a

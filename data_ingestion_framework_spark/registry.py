@@ -367,13 +367,15 @@ _PRIORITY = [
     # shallow-clone metadata mechanics are pytest-pinned. Still in the
     # full local gate.
     "events_variant_extract",
-    # ROUND-9 ROTATION (3rd wave): events_kmv_overlap (green r7+r8)
-    # cedes to the cumulative-distinct composite (agg + unbounded-
-    # preceding window, never driver-graded); the mergeable-sketch
-    # family keeps events_hll_distinct_users in-window and the KMV
-    # estimator/overlap algebra is pytest-pinned (test_sketches).
-    # Still in the full local gate.
-    "events_cumulative_distinct_users",
+    # ROUND-13 ROTATION (2nd wave): events_cumulative_distinct_users
+    # (green r9-r12) cedes to exact distributed nearest-rank
+    # percentiles (new this round: the rank primitive's third
+    # consumer, integer-exact rank selection); the unbounded-preceding
+    # cumulative-window mechanism is EXACTLY what the incoming query's
+    # range-partitioned prefix sum re-certifies, and ordered windows
+    # keep events_sessionize + docs_chunk_bm25_topk in-window. Still
+    # in the full local gate.
+    "orders_price_exact_percentiles",
     # ROUND-11 ROTATION: similarity_matryoshka_topk (green r9+r10)
     # cedes to the IVF recall@k gauge (the never-driver-graded sibling
     # of the in-window similarity_ivf_ndcg — its oracle re-derives the
@@ -563,10 +565,11 @@ _PRIORITY = [
     # (test_writers). Still in the full local gate.
     "docs_quality_lr_distributed",
     # end of the 50-query driver window
-    # the eight rows ceded by the round-13 rotation (driver-green 2-9
+    # the nine rows ceded by the round-13 rotation (driver-green 2-9
     # rounds; mechanisms window-covered per the notes above) plus the
     # two ROWS_ONLY rows rotated back out (oracle-less — see ROWS_ONLY)
     "orders_replace_where_state",
+    "events_cumulative_distinct_users",
     "events_asof_nearest_click",
     "corpus_unigram_em_tokens",
     "corpus_pipeline_staged",

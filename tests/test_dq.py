@@ -198,3 +198,34 @@ def test_equi_depth_histogram_exact_semantics(spark):
     # value 1's end rank is 25 -> bucket (25-1)*3//30 = 2; value 9's is
     # 30 -> bucket 2 as well: one bucket holds everything, no split
     assert got == {2: (1, 9, 30)}
+
+
+def test_exact_percentiles_match_python_witness(spark):
+    """Nearest-rank percentiles over the distributed prefix sum must
+    equal the naive sorted-list witness — including duplicate-heavy
+    data, the p100 edge, fraction validation and the empty frame."""
+    import random
+
+    from data_ingestion_framework_spark.operators.dq import exact_percentiles
+
+    rng = random.Random(11)
+    vals = [rng.randint(0, 50) for _ in range(997)] + [None] * 5
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    fr = [(1, 4), (1, 2), (3, 4), (99, 100), (1, 1)]
+    got = {
+        (r["p_num"], r["p_den"]): (r["rank"], r["value"], r["n_rows"])
+        for r in exact_percentiles(df, "x", fr).collect()
+    }
+    clean = sorted(v for v in vals if v is not None)
+    n = len(clean)
+    for num, den in fr:
+        r = max(1, (num * n + den - 1) // den)
+        assert got[(num, den)] == (r, clean[r - 1], n), (num, den)
+    # invalid fraction refused; empty input yields an empty frame
+    try:
+        exact_percentiles(df, "x", [(0, 4)])
+        raise AssertionError("expected ValueError on fraction 0/4")
+    except ValueError:
+        pass
+    empty = spark.createDataFrame([], "x int")
+    assert exact_percentiles(empty, "x", [(1, 2)]).count() == 0

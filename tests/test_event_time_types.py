@@ -298,9 +298,10 @@ def test_driver_grading_window_covers_priority_queries():
         # r11: orders_clone_state ceded to the VARIANT extraction
         # shape (lifecycle family keeps five window reps)
         "events_variant_extract",
-        # r9 3rd wave: events_kmv_overlap ceded to the cumulative-
-        # distinct composite (HLL keeps the sketch family in-window)
-        "events_cumulative_distinct_users",
+        # r13 2nd wave: events_cumulative_distinct_users ceded to
+        # exact distributed percentiles (the rank primitive's third
+        # consumer; cumulative-window machinery re-certified by it)
+        "orders_price_exact_percentiles",
         # r11: similarity_matryoshka_topk ceded to the IVF recall@k
         # gauge (sibling of the in-window nDCG gauge)
         "similarity_ivf_recall",

@@ -28,6 +28,7 @@ NESTED_LOOP_BY_DESIGN = {
     "docs_bm25_topk",              # corpus stats (N, avgdl) row
     "retrieval_rrf_hybrid",        # BM25 corpus-stats row (twice: two arms)
     "corpus_unigram_em_tokens",    # M-step piece-count total row
+    "orders_price_exact_percentiles",  # broadcast 4-row fraction-rank frame
 }
 
 #: queries whose plan intentionally carries a window fed by
