@@ -53,7 +53,23 @@ ROWS_ONLY = {
     # first-fit-decreasing packing: each placement depends on every
     # previous bin's fill — pinned by the test_pack_documents_ffd_* trio
     "docs_pack_ffd",
+    # xxhash64-based MinHash/SimHash candidate generators: the hash
+    # primitive has no DuckDB twin — their md5-twin mechanisms ARE
+    # driver-certified (dedup_minhash_md5_pairs, dedup_simhash_md5_pairs,
+    # dedup_blocked_recall re-runs the banding against exact Jaccard)
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
 }
+
+#: Rotation ledger (r13): 11 never-driver-graded rows entered the
+#: window this round. The gradeable never-graded backlog for FUTURE
+#: rotations — all local-green, mechanisms window-covered by siblings:
+#: linestatus_priority_counts, customer_order_histogram,
+#: large_quantity_orders, volume_shipping, brand_supplier_counts,
+#: late_supplier_blame, forecast_revenue_change,
+#: returned_item_customers, promo_revenue_share, docs_cap_per_source,
+#: docs_chunk_windows, corpus_vocab_top_terms,
+#: orders_above_customer_avg (13 Q-shape/doc-utility variants).
 
 
 def bench_query(name: str, oracle: str | None = None):
