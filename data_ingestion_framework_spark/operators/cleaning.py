@@ -610,3 +610,69 @@ def excise_duplicate_spans(
             .alias("n_removed_tokens"),
         )
     )
+
+
+#: (artifact, repaired) pairs for the common UTF-8-bytes-read-as-
+#: cp1252/Latin-1 double-encoding class ("mojibake"). LONGEST FIRST:
+#: several three-byte artifacts ("\u00e2\u20ac\u2122") contain shorter
+#: ones as substrings, so the chain must fix them before the short
+#: forms run (order is part of the operator's contract and the oracle
+#: replays the same chain in the same order). The table is a small
+#: curated set — the high-frequency punctuation/Latin-accent artifacts
+#: every large web corpus carries — not a full ftfy; the point is the
+#: Spark shape (pure expression chain, zero shuffles). Escapes keep
+#: the table byte-exact regardless of editor/terminal encodings.
+MOJIBAKE_PAIRS: list[tuple[str, str]] = [
+    ("\u00e2\u20ac\u2122", "\u2019"),  # a-hat euro quote  -> right single quote
+    ("\u00e2\u20ac\u0153", "\u201c"),  # a-hat euro oe     -> left double quote
+    ("\u00e2\u20ac\u201c", "\u2013"),  # a-hat euro endash -> en dash
+    ("\u00e2\u20ac\u201d", "\u2014"),  # a-hat euro emdash -> em dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),  # a-hat euro brokenbar-> ellipsis
+    ("\u00e2\u20ac", "\u201d"),        # bare a-hat euro   -> right double quote
+    ("\u00c3\u00a9", "\u00e9"),  # A-tilde copyright -> e acute
+    ("\u00c3\u00a8", "\u00e8"),  # A-tilde umlaut    -> e grave
+    ("\u00c3\u00a4", "\u00e4"),  # -> a umlaut
+    ("\u00c3\u00b6", "\u00f6"),  # -> o umlaut
+    ("\u00c3\u00bc", "\u00fc"),  # -> u umlaut
+    ("\u00c3\u00b1", "\u00f1"),  # -> n tilde
+    ("\u00c3\u00a7", "\u00e7"),  # -> c cedilla
+    ("\u00c3\u00af", "\u00ef"),  # -> i umlaut
+    ("\u00c2\u00a0", " "),        # A-circumflex nbsp -> plain space
+]
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encoding repair — the ftfy step of a corpus pipeline, reduced
+    to the high-frequency UTF-8-as-cp1252 double-encoding artifacts
+    (``MOJIBAKE_PAIRS``) and expressed as a PURE column expression: a
+    fixed ``replace`` chain in table order, evaluated inside the scan
+    (whole-stage codegen, zero shuffles, zero UDFs — the repair table
+    travels as plan constants, like the trained-classifier gate's
+    weights).
+
+    Appends ``fixed_text`` and ``n_mojibake`` — the number of artifact
+    occurrences repaired, computed EXACTLY from length deltas
+    (``(len_before − len_after) / (len(bad) − len(good))`` per chain
+    step, each an integer by construction since every pair shrinks)
+    rather than a regex count, so an oracle replays it with the same
+    ``replace``/``length`` calls and no regex-dialect risk. NULL text
+    passes through as NULL with ``n_mojibake`` 0."""
+    fixed = F.col(text_col)
+    n_fixed = F.lit(0).cast("bigint")
+    for bad, good in MOJIBAKE_PAIRS:
+        before = fixed
+        fixed = F.replace(before, F.lit(bad), F.lit(good))
+        step = (
+            (F.length(before) - F.length(fixed))
+            / F.lit(len(bad) - len(good))
+        ).cast("bigint")
+        n_fixed = n_fixed + F.coalesce(step, F.lit(0).cast("bigint"))
+    return spread_for_compute(df).select(
+        "*",
+        fixed.alias("fixed_text"),
+        n_fixed.alias("n_mojibake"),
+    )

@@ -6719,3 +6719,61 @@ def embeddings_mmr_select(spark, sf_dir):
         ],
         "rank int, vec_id bigint, rel_units bigint, max_prev_sim_units bigint",
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Encoding repair (operators/cleaning.py fix_mojibake): the ftfy step
+# of a corpus pipeline for the high-frequency UTF-8-as-cp1252
+# double-encoding artifacts, as a pure replace-chain expression (zero
+# shuffles, zero UDFs; repair table = plan constants). The driver
+# corpus is clean ASCII, so the query INJECTS a deterministic
+# artifact suffix (even doc_ids get one extra curly-quote artifact)
+# the way the corpus-pipeline fixture injects PII; the oracle replays
+# injection, the 15-step replace chain IN TABLE ORDER, and the exact
+# length-delta repair counts.
+# ---------------------------------------------------------------------------
+def _mojibake_oracle() -> str:
+    from data_ingestion_framework_spark.operators.cleaning import (
+        MOJIBAKE_PAIRS,
+    )
+
+    suffix = " caf\u00c3\u00a9 \u00e2\u20ac\u201d na\u00c3\u00afve \u00c3\u00bcber"
+    extra = "\u00e2\u20ac\u2122"
+    parts = [
+        "moji AS (SELECT doc_id, text || '" + suffix + "' || "
+        "CASE WHEN doc_id % 2 = 0 THEN '" + extra + "' ELSE '' END AS t, "
+        "CAST(0 AS BIGINT) AS n FROM documents)"
+    ]
+    prev = "moji"
+    for i, (bad, good) in enumerate(MOJIBAKE_PAIRS, 1):
+        d = len(bad) - len(good)
+        parts.append(
+            f"s{i} AS (SELECT doc_id, replace(t, '{bad}', '{good}') AS t, "
+            f"n + coalesce((length(t) - length(replace(t, '{bad}', '{good}'))) // {d}, 0) AS n "
+            f"FROM {prev})"
+        )
+        prev = f"s{i}"
+    return (
+        "\n    WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT doc_id, t AS fixed_text, n AS n_mojibake FROM {prev}\n    "
+    )
+
+
+@bench_query("docs_fix_mojibake", oracle=_mojibake_oracle())
+def docs_fix_mojibake(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import cleaning
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" caf\u00c3\u00a9 \u00e2\u20ac\u201d na\u00c3\u00afve \u00c3\u00bcber"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("\u00e2\u20ac\u2122")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return cleaning.fix_mojibake(docs).select(
+        "doc_id", "fixed_text", "n_mojibake"
+    )

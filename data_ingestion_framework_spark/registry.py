@@ -220,7 +220,16 @@ _PRIORITY = [
     # similarity_ivf_topk via similarity_ivfpq_topk (same coarse
     # quantizer + probe) + semantic_dedup_keep (same index build).
     # All six stay in the full local gate.
-    "corpus_pipeline_curated",
+    # ROUND-13 ROTATION (2nd wave): corpus_pipeline_curated (green
+    # r6-r12, seven rounds) cedes to encoding repair (new this round:
+    # the ftfy mojibake step as a pure replace-chain expression with
+    # exact length-delta repair counts); the curated chain's distinct
+    # mechanisms stay covered — badword gating and graded
+    # contamination are pytest-pinned (test_pipeline) and the pipeline
+    # family keeps corpus_pipeline_end2end, corpus_pipeline_classified
+    # and embeddings_pipeline_curated in-window. Still in the full
+    # local gate.
+    "docs_fix_mojibake",
     # ROUND-13 ROTATION: corpus_unigram_em_tokens (green r11+r12)
     # cedes to the BPE-tokenized source-budget mix's token-budget
     # sibling (docs_token_budget_mix — never driver-graded); the
@@ -586,6 +595,7 @@ _PRIORITY = [
     # two ROWS_ONLY rows rotated back out (oracle-less — see ROWS_ONLY)
     "orders_replace_where_state",
     "events_cumulative_distinct_users",
+    "corpus_pipeline_curated",
     "events_asof_nearest_click",
     "corpus_unigram_em_tokens",
     "corpus_pipeline_staged",

@@ -746,3 +746,46 @@ def test_udtf_term_frequencies(spark):
         ).collect()
     }
     assert got == {"a": 2, "b": 2, "c": 1}
+
+
+
+def test_fix_mojibake_matches_python_witness(spark):
+    """The replace-chain repair must equal a Python replay of the same
+    table in the same order — counts included — with NULL passthrough
+    and clean text untouched."""
+    from data_ingestion_framework_spark.operators.cleaning import (
+        MOJIBAKE_PAIRS,
+        fix_mojibake,
+    )
+
+    rows = [
+        (1, "caf\u00c3\u00a9 cr\u00c3\u00a8me"),
+        (2, "it\u00e2\u20ac\u2122s \u00e2\u20ac\u0153quoted\u00e2\u20ac"),
+        (3, "na\u00c3\u00afve \u00c3\u00bcber stra\u00c3\u00bce"),
+        (4, "plain ascii text, no artifacts"),
+        (5, None),
+        (6, "nbsp\u00c2\u00a0joined \u00e2\u20ac\u00a6 end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["fixed_text"], r["n_mojibake"])
+        for r in fix_mojibake(df).collect()
+    }
+
+    def witness(s):
+        if s is None:
+            return None, 0
+        n = 0
+        for bad, good in MOJIBAKE_PAIRS:
+            before = s
+            s = s.replace(bad, good)
+            n += (len(before) - len(s)) // (len(bad) - len(good))
+        return s, n
+
+    for doc_id, s in rows:
+        assert got[doc_id] == witness(s), doc_id
+    # the repaired text really is the intended clean form
+    assert got[1][0] == "caf\u00e9 cr\u00e8me" and got[1][1] == 2
+    assert got[2][0] == "it\u2019s \u201cquoted\u201d" and got[2][1] == 3
+    assert got[4] == ("plain ascii text, no artifacts", 0)
+    assert got[5] == (None, 0)

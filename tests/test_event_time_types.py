@@ -266,7 +266,10 @@ def test_driver_grading_window_covers_priority_queries():
         # r13: corpus_unigram_em_tokens ceded to the token-budget mix
         # (hard-EM round stays via its iterated superset em2_pruned)
         "docs_token_budget_mix",
-        "corpus_pipeline_curated",
+        # r13 2nd wave: corpus_pipeline_curated ceded to encoding
+        # repair (badwords + graded contamination pytest-pinned; the
+        # pipeline family keeps end2end/classified/embeddings-curated)
+        "docs_fix_mojibake",
         "orders_merge_not_matched_state",
         # r12: similarity_ivf_ndcg ceded to calibrated int8
         # quantization (gauge family stays via similarity_ivf_recall)
