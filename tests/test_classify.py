@@ -615,3 +615,42 @@ def test_quality_lr_gate_empty_input_returns_empty(spark):
     out = classify.quality_lr_gate(df, F.lit(True), n_features=8, iters=1)
     assert out.count() == 0
     assert out.columns == ["doc_id", "text"]
+
+
+def test_classifier_auc_excludes_null_labels(spark):
+    """ADVICE r12: a row with a non-NULL score but NULL label must be
+    EXCLUDED (a NULL label is unjudgeable), not silently counted as an
+    implicit negative in n_neg and the rank mass."""
+    clean = spark.createDataFrame(
+        [(1, 10), (1, 20), (0, 5), (0, 15)],
+        "label int, score_units bigint",
+    )
+    base = classify.classifier_auc(clean).collect()[0]
+    with_nulls = spark.createDataFrame(
+        [(1, 10), (1, 20), (0, 5), (0, 15), (None, 99), (None, 1)],
+        "label int, score_units bigint",
+    )
+    got = classify.classifier_auc(with_nulls).collect()[0]
+    assert (got["n_pos"], got["n_neg"], got["auc"]) == (
+        base["n_pos"], base["n_neg"], base["auc"],
+    )
+    assert got["n_neg"] == 2  # the two NULL-label rows never entered
+
+
+def test_exact_cumulative_counts_on_string_values(spark):
+    """The rank primitive must range-partition and rank STRING-typed
+    value domains too (the histogram runs over arbitrary column
+    types), matching the sorted witness."""
+    from data_ingestion_framework_spark.operators.rank import (
+        exact_cumulative_counts,
+    )
+
+    vals = [(f"key_{i:04d}", (i % 3) + 1) for i in range(300)]
+    per = spark.createDataFrame(vals, "v string, c bigint").repartition(8)
+    out, total = exact_cumulative_counts(per, "v", "c", "hi")
+    got = {r["v"]: r["hi"] for r in out.collect()}
+    run, want = 0, {}
+    for v, c in sorted(vals):
+        run += c
+        want[v] = run
+    assert got == want and total == run
