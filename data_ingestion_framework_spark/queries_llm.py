@@ -6423,6 +6423,8 @@ def docs_quality_lr_sparse_auc(spark, sf_dir):
 )
 def corpus_pipeline_classified(spark, sf_dir):
     from data_ingestion_framework_spark.plans.corpus import corpus_pipeline
+    from data_ingestion_framework_spark.queries_etl import _scratch_dir
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
 
     docs, benchmark = _corpus_pipeline_inputs(spark, sf_dir)
     label = (
@@ -6434,6 +6436,11 @@ def corpus_pipeline_classified(spark, sf_dir):
         )
         >= 40
     )
+    # silver staging, like corpus_pipeline_staged: without it the
+    # decontamination anti-join consumes the clean+dedup subplan TWICE
+    # before the gate's checkpoint ever materializes it — staging is
+    # value-neutral (the staged and lazy forms share one oracle)
+    stage = ParquetTable(spark, _scratch_dir("corpus_cls_") + "/silver")
     return corpus_pipeline(
         docs,
         benchmark,
@@ -6441,6 +6448,7 @@ def corpus_pipeline_classified(spark, sf_dir):
         max_per_source=30,
         sample_fraction=0.5,
         sample_salt="s2",
+        stage_store=stage,
         quality_label=label,
         quality_min_score_units=35_000_000,
     )
