@@ -474,10 +474,10 @@ def _gd_train_sparse_with_stats(
     localCheckpointed ``triples`` (the pipeline does, so the scorer
     can reuse the same materialization) — the trainer then skips its
     own checkpoint and its renames stay a cheap projection."""
-    if not 0 <= n_features <= SPARSE_FEATURES_MAX:
+    if not 1 <= n_features <= SPARSE_FEATURES_MAX:
         raise ValueError(
             f"gd_train_linear_units_sparse: n_features={n_features} "
-            f"outside [0, {SPARSE_FEATURES_MAX}] — the driver-side "
+            f"outside [1, {SPARSE_FEATURES_MAX}] — the driver-side "
             "weight list is (n_features + 1) long; use "
             "gd_train_sparse_distributed (width-unbounded weight "
             "frame), not a bigger cap"
@@ -684,6 +684,13 @@ def classifier_auc(
     negative (what the pre-fix where-clause did) would silently skew
     the reported AUC.
 
+    Eager/frozen-snapshot semantics: the rank primitive runs jobs at
+    CALL time (localCheckpoint + a subtotal collect), so the returned
+    frame is a POINT-IN-TIME gauge of ``scored`` as of this call —
+    it does not re-read the input if the underlying table changes
+    later, and the checkpointed blocks are not recoverable across
+    executor loss (re-call to re-gauge).
+
     Returns ONE row ``(n_pos, n_neg, auc)``; ``auc`` is NULL when
     either class is empty (undefined, not 0.5-by-fiat)."""
     from data_ingestion_framework_spark.operators.rank import (
@@ -738,13 +745,15 @@ def quality_lr_pipeline(
     switches to the long-format triple layout — REQUIRED past the
     dense builder's D=4096 cap, identical weights below it."""
     if sparse:
-        if not 0 <= n_features <= SPARSE_FEATURES_MAX:
+        if not 1 <= n_features <= SPARSE_FEATURES_MAX:
             # refuse BEFORE the feature build materializes: the
             # driver-list trainer below would raise anyway, but only
             # after the checkpoint paid for the whole wide build
+            # (n_features=0 would otherwise fall through to a % 0
+            # crash inside hashed_token_features_sparse)
             raise ValueError(
                 f"quality_lr_pipeline: sparse n_features={n_features} "
-                f"outside [0, {SPARSE_FEATURES_MAX}] — use "
+                f"outside [1, {SPARSE_FEATURES_MAX}] — use "
                 "gd_train_sparse_distributed for wider models"
             )
         # materialize the triple build ONCE: the trainer scans it every

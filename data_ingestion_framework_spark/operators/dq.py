@@ -343,6 +343,11 @@ def equi_depth_histogram(
     grand total comes free from the same pass, replacing the old
     crossJoined total row. NULLs are excluded, as ANALYZE does.
 
+    Eager/frozen-snapshot semantics: the rank primitive runs jobs at
+    CALL time (localCheckpoint + subtotal collect) — the returned
+    frame is a point-in-time profile of ``df`` as of this call, not a
+    live view, exactly what a statistics snapshot should be.
+
     Returns ``(bucket, lo, hi, n_rows, n_distinct)`` with lo/hi typed
     as the source column."""
     from data_ingestion_framework_spark.operators.rank import (
@@ -395,6 +400,11 @@ def exact_percentiles(
     frame, the corpus-total pattern) → one min-per-fraction agg over
     the rows at-or-past each rank. NULLs are excluded, as ANALYZE
     does.
+
+    Eager/frozen-snapshot semantics: the rank primitive runs jobs at
+    CALL time (localCheckpoint + subtotal collect) — the returned
+    frame is a point-in-time profile of ``df`` as of this call, not a
+    live view, exactly what a statistics snapshot should be.
 
     Returns ``(p_num, p_den, rank, value, n_rows)`` with ``value``
     typed as the source column; empty when the input (after the NULL

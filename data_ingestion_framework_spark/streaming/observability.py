@@ -29,6 +29,12 @@ def _path_token_in(description: str, path: str) -> bool:
     ``difs [/data/t2]``) OR as a suffix (``/data/t`` inside
     ``difs [/backup/data/t]``) to the watched table, re-creating the
     masquerade the attribution logic exists to prevent."""
+    # a RELATIVE watched path must also refuse a preceding '/' —
+    # 'data/t' inside '/backup/data/t' is a left-extension; for an
+    # absolute path the leading '/' is part of the match itself, so a
+    # preceding '/' there is a (pathological) '//' doubling, not an
+    # extension of the watched name
+    left_block = "_-." + ("" if path.startswith("/") else "/")
     i = description.find(path)
     while i != -1:
         j = i + len(path)
@@ -38,7 +44,7 @@ def _path_token_in(description: str, path: str) -> bool:
         # a preceding path character means the cited path extends the
         # watched one LEFTWARDS (…/backup/data/t vs /data/t)
         left_clean = i == 0 or not (
-            description[i - 1].isalnum() or description[i - 1] in "_-."
+            description[i - 1].isalnum() or description[i - 1] in left_block
         )
         if right_clean and left_clean:
             return True

@@ -147,6 +147,28 @@ def test_feature_width_cap_enforced(spark):
         assert "n_features" in str(e)
 
 
+def test_sparse_width_zero_refused(spark):
+    """r13 verdict #6: n_features=0 used to pass the trainer-level
+    guards ('0 <=') and die later as a '% 0' inside the feature
+    builder — both guards must now refuse it with the documented
+    message."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    triples = classify.hashed_token_features_sparse(
+        df, n_features=16, label=F.lit(True)
+    )
+    for call in (
+        lambda: classify.gd_train_linear_units_sparse(triples, 0),
+        lambda: classify.quality_lr_pipeline(
+            df, F.lit(True), n_features=0, sparse=True
+        ),
+    ):
+        try:
+            call()
+            raise AssertionError("expected ValueError on n_features=0")
+        except ValueError as e:
+            assert "n_features=0" in str(e) and "[1," in str(e)
+
+
 def test_sparse_dense_weight_parity_at_d16(spark):
     """The sparse long-format trainer must produce the SAME weight
     vector as the dense fold below the cap — same hash, same residuals,

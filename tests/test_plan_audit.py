@@ -101,6 +101,19 @@ def test_single_partition_window_counter_is_alive(spark):
     assert r["exchanges"] >= 1, plan
 
 
+def test_exchange_counter_sees_round_robin(spark):
+    """ADVICE r13: plain ``repartition(n)`` plans
+    ``Exchange RoundRobinPartitioning`` — a spelling the exchanges
+    regex used to miss, undercounting shuffles in audited plans."""
+    from tools.plan_audit import audit_plan
+
+    df = spark.range(100).repartition(7)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan, plan
+    assert audit_plan(plan)["exchanges"] >= 1, plan
+
+
 def test_codegen_counter_sees_finalized_aqe_spans(spark):
     """Regression for the dead-counter class: an UNEXECUTED AQE plan
     string contains no codegen markers, so audit_query(execute=True)

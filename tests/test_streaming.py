@@ -1507,3 +1507,19 @@ def test_path_token_matching_rejects_left_extending_sibling():
     assert not _path_token_in("difs [x/data/t]", "/data/t")
     # both siblings present AND the real one — still a match
     assert _path_token_in("difs [/backup/data/t] difs [/data/t]", "/data/t")
+
+
+def test_path_token_matching_relative_watched_path_left_boundary():
+    """ADVICE r13: a RELATIVE watched path must also refuse a
+    preceding '/' — 'data/t' inside '/backup/data/t' is a
+    left-extension (the absolute-path fix above left '/' out of the
+    left blocker set, so relative paths still leaked)."""
+    from data_ingestion_framework_spark.streaming.observability import (
+        _path_token_in,
+    )
+
+    assert _path_token_in("difs [data/t]", "data/t")
+    assert not _path_token_in("difs [/backup/data/t]", "data/t")
+    assert not _path_token_in("difs [/data/t]", "data/t")
+    # the absolute form keeps matching through its own leading '/'
+    assert _path_token_in("difs [/data/t]", "/data/t")

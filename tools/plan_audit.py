@@ -103,7 +103,7 @@ def audit_plan(plan: str) -> dict:
         "exchanges": len(
             re.findall(
                 r"Exchange (hashpartitioning|rangepartitioning|"
-                r"SinglePartition)",
+                r"SinglePartition|RoundRobinPartitioning)",
                 plan,
             )
         ),
