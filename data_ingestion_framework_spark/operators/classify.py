@@ -791,13 +791,39 @@ def quality_lr_gate(
     lr: float = 0.5,
     id_col: str = "doc_id",
     min_score_units: int = 0,
+    keep_fraction: tuple[int, int] | None = None,
+    slice_col: str | None = None,
 ) -> DataFrame:
     """Train-and-FILTER: the CCNet-style deployment of the quality
     classifier inside a corpus pipeline. Trains the dense model on
     ``df`` itself (``label`` is a Column expression — a cheap proxy
     signal such as a length or source rule) and returns the rows whose
-    trained logit reaches ``min_score_units`` (0 = predicted
-    positive), with ALL original columns intact.
+    trained logit reaches the cut, with ALL original columns intact.
+
+    Two threshold modes:
+
+    - ``min_score_units`` (default 0 = predicted positive): a FIXED
+      logit cut in integer units.
+    - ``keep_fraction=(num, den)``: a CALIBRATED cut — the threshold
+      is SELECTED from the trained scores themselves so that the gate
+      keeps the top ``ceil(num·n/den)`` scorers (plus any ties of the
+      boundary score: the kept count is the SMALLEST count ≥ the
+      target reachable with a value threshold). This is how CCNet
+      actually deploys its filter — the cutoff is a quantile of the
+      scored corpus, not a hand-picked constant. All-integer
+      nearest-rank math (``keep_rank = (num·n + den − 1) div den``;
+      the cutoff is the smallest score whose ascending cumulative
+      count reaches ``n − keep_rank + 1``), so a SQL oracle replays
+      threshold SELECTION bit-for-bit — no float quantile can move
+      the boundary. Ranks come from ``rank.exact_cumulative_counts``
+      (the range-partitioned two-pass prefix sum — no
+      single-partition stage even when the score domain is huge).
+      With ``slice_col`` the cutoff is computed PER SLICE VALUE
+      (CCNet picks per-language/source cutoffs): slice-partitioned
+      cumulative windows (``partitionBy(slice)`` — partition-local
+      work, never a global funnel), then a broadcast join of the
+      |slices|-row cutoff frame. The two modes are mutually
+      exclusive.
 
     Scale shape: ``df`` is localCheckpointed ONCE (it is typically the
     expensive upstream pipeline plan — training scans it ``iters``
@@ -806,7 +832,9 @@ def quality_lr_gate(
     expression filter — the feature fold and the integer dot evaluate
     INSIDE the corpus scan (whole-stage codegen, zero joins, zero
     shuffles): the trained weights are driver-side constants, the
-    classic broadcast-the-model deployment. Same exactness contract
+    classic broadcast-the-model deployment; a global calibrated cut
+    adds one score-domain agg job and lands as one more plan constant,
+    a per-slice cut as a broadcast k-row join. Same exactness contract
     as the trainer (BIGINT dot, overflow guard before the scan).
 
     An EMPTY input trains nothing and gates nothing — it returns the
@@ -814,6 +842,22 @@ def quality_lr_gate(
     may legitimately filter every row away, and the gate-less pipeline
     (and the DuckDB oracle, whose GD unroll over an empty subquery
     yields an empty join) both return empty there."""
+    if keep_fraction is not None:
+        num, den = int(keep_fraction[0]), int(keep_fraction[1])
+        if not 0 < num <= den:
+            raise ValueError(
+                f"quality_lr_gate: keep_fraction {num}/{den} outside (0, 1]"
+            )
+        if min_score_units != 0:
+            raise ValueError(
+                "quality_lr_gate: min_score_units and keep_fraction are "
+                "mutually exclusive — a calibrated cut IS the threshold"
+            )
+    elif slice_col is not None:
+        raise ValueError(
+            "quality_lr_gate: slice_col requires keep_fraction (a fixed "
+            "min_score_units cut has no per-slice calibration to do)"
+        )
     df = df.localCheckpoint()
     if df.first() is None:
         return df
@@ -827,4 +871,81 @@ def quality_lr_gate(
     maxw = max((abs(x) for x in w), default=0)
     _guard_int64(maxw * row_sum_max, "quality_lr_gate dot")
     z = _z_units(_dense_features_expr(text_col, n_features), w)
-    return df.where(z >= F.lit(int(min_score_units)))
+    if keep_fraction is None:
+        return df.where(z >= F.lit(int(min_score_units)))
+    num, den = int(keep_fraction[0]), int(keep_fraction[1])
+    if slice_col is None:
+        return _calibrated_cut_global(df, z, num, den)
+    return _calibrated_cut_by_slice(df, z, num, den, slice_col)
+
+
+def _calibrated_cut_global(
+    df: DataFrame, z: Column, num: int, den: int
+) -> DataFrame:
+    """Filter ``df`` to the rows whose score expression ``z`` reaches
+    the exact keep-rate cutoff: the smallest score whose ascending
+    cumulative count reaches ``n − keep_rank + 1`` where
+    ``keep_rank = ceil(num·n/den)`` — all-integer nearest-rank
+    selection over the distinct-score count table via the
+    range-partitioned rank primitive. The cutoff collect is ONE row
+    (control-plane); the returned filter is a pure expression with
+    the cutoff as a plan constant."""
+    from data_ingestion_framework_spark.operators.rank import (
+        exact_cumulative_counts,
+    )
+
+    per = df.groupBy(z.alias("__z")).agg(F.count(F.lit(1)).alias("__c"))
+    ranked, n = exact_cumulative_counts(per, "__z", "__c", "__hi")
+    keep_rank = (num * n + den - 1) // den
+    cut_rank = n - keep_rank + 1
+    row = (
+        ranked.where(F.col("__hi") >= F.lit(cut_rank))
+        .agg(F.min("__z").alias("__cut"))
+        .first()
+    )
+    return df.where(z >= F.lit(int(row["__cut"])))
+
+
+def _calibrated_cut_by_slice(
+    df: DataFrame, z: Column, num: int, den: int, slice_col: str
+) -> DataFrame:
+    """Per-slice keep-rate cut: the same integer nearest-rank
+    selection as the global form, computed independently inside every
+    ``slice_col`` value (CCNet's per-language cutoffs). Cumulative
+    ranks come from slice-PARTITIONED windows — partition-local work
+    (the shuffle key is the slice, never a global funnel) — and the
+    |slices|-row cutoff frame joins back broadcast. Rows whose slice
+    is NULL form their own slice (null-safe join)."""
+    from pyspark.sql.window import Window as W
+
+    per = df.groupBy(
+        F.col(slice_col).alias("__s"), z.alias("__z")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    wcum = (
+        W.partitionBy("__s")
+        .orderBy("__z")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = per.select(
+        "__s",
+        "__z",
+        F.sum(F.col("__c").cast("bigint")).over(wcum).alias("__hi"),
+        F.sum(F.col("__c").cast("bigint"))
+        .over(W.partitionBy("__s"))
+        .alias("__n"),
+    )
+    cuts = (
+        ranked.where(
+            F.col("__hi")
+            >= F.expr(f"__n - (({num} * __n + {den - 1}) div {den}) + 1")
+        )
+        .groupBy("__s")
+        .agg(F.min("__z").alias("__cut"))
+    )
+    return (
+        df.join(
+            F.broadcast(cuts), F.col(slice_col).eqNullSafe(F.col("__s"))
+        )
+        .where(z >= F.col("__cut"))
+        .drop("__s", "__cut")
+    )

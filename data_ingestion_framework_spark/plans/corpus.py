@@ -57,6 +57,8 @@ def corpus_pipeline(
     quality_iters: int = 2,
     quality_lr: float = 0.5,
     quality_min_score_units: int = 0,
+    quality_keep_fraction: tuple[int, int] | None = None,
+    quality_keep_by_source: bool = False,
 ) -> DataFrame:
     """Clean → redact → quality-gate → [badword-gate] → dedup →
     decontaminate → quota → sample → [trained-classifier gate].
@@ -99,10 +101,19 @@ def corpus_pipeline(
     pipelines deploy a learned quality filter: train
     ``classify.quality_lr_gate``'s dense model on the pipeline's own
     survivors under the proxy label, then keep only rows whose
-    trained logit reaches ``quality_min_score_units``. The stage
+    trained logit reaches the cut. The cut is either the fixed
+    ``quality_min_score_units`` or — the principled form —
+    ``quality_keep_fraction=(num, den)``: an exact integer
+    nearest-rank quantile of the trained scores themselves, so the
+    gate keeps the top ``ceil(num·n/den)`` survivors (ties kept) and
+    no hand-picked constant appears anywhere;
+    ``quality_keep_by_source=True`` calibrates the cutoff per
+    ``source_col`` slice (CCNet's per-slice cutoffs). The stage
     checkpoints the survivor frame once (training scans it per GD
     step) and the final filter is a pure expression inside that scan
-    — no join, the weights travel as plan constants.
+    — no join, the weights (and a global calibrated cutoff) travel
+    as plan constants; a per-source cutoff adds one broadcast
+    |sources|-row join.
     """
     cleaned = cleaning.remove_boilerplate_lines(
         docs,
@@ -206,6 +217,8 @@ def corpus_pipeline(
             lr=quality_lr,
             id_col=id_col,
             min_score_units=quality_min_score_units,
+            keep_fraction=quality_keep_fraction,
+            slice_col=source_col if quality_keep_by_source else None,
         )
     return out
 

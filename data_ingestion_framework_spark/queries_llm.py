@@ -6455,6 +6455,176 @@ def corpus_pipeline_classified(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# PERCENTILE-CALIBRATED classifier-gated pipeline (plans/corpus.py
+# corpus_pipeline with quality_keep_fraction= → operators/classify.py
+# quality_lr_gate's calibrated mode): the same chain and the same
+# trained-on-survivors model as corpus_pipeline_classified, but the
+# threshold is not a hand-picked constant — it is SELECTED from the
+# trained scores by exact integer nearest-rank math (keep the top
+# ceil(3n/4) scorers, ties kept: keep_rank = (3n+3) div 4, cutoff =
+# the smallest score whose ascending cumulative count reaches
+# n − keep_rank + 1), computed through the range-partitioned rank
+# primitive (operators/rank.py) so no stage funnels through one task.
+# The oracle re-derives the whole chain, re-runs the dense GD unroll
+# over it, and replays the SAME rank selection — threshold CHOICE is
+# under the correctness gate, not just threshold application.
+# ---------------------------------------------------------------------------
+_CALIBRATED_KEEP = (3, 4)
+
+
+def _keep_rank_cut_sql(
+    num: int, den: int, zf: str = "zf", part: str = ""
+) -> str:
+    """The integer nearest-rank cutoff CTEs over a scored CTE
+    ``zf(doc_id, …, zu)``: ``cut`` holds the smallest score whose
+    cumulative count reaches ``n − ceil(num·n/den) + 1`` — per
+    ``part`` slice when given (e.g. ``"source,"``). Shared by the
+    calibrated-pipeline and per-source-calibration oracles so both
+    replay the same selection math."""
+    p = part.rstrip(",").strip()
+    cum = f"PARTITION BY {p} ORDER BY zu" if p else "ORDER BY zu"
+    tot = f"PARTITION BY {p}" if p else ""
+    sel = f"{p}, MIN(zu) AS t" if p else "MIN(zu) AS t"
+    grp = f"GROUP BY {p}" if p else ""
+    return f"""cper AS (SELECT {part} zu, COUNT(*) AS c FROM {zf} GROUP BY {part} zu),
+    crk AS (SELECT {part} zu, SUM(c) OVER ({cum}) AS hi,
+                   SUM(c) OVER ({tot}) AS n
+            FROM cper),
+    cut AS (SELECT {sel} FROM crk
+            WHERE hi >= n - (({num} * n + {den - 1}) // {den}) + 1 {grp})"""
+
+
+@bench_query(
+    "corpus_pipeline_calibrated",
+    oracle=f"""
+    WITH final AS ({_CORPUS_PIPELINE_ORACLE}),
+    {_qlr_gd_ctes("final")},
+    {_keep_rank_cut_sql(*_CALIBRATED_KEEP)}
+    SELECT f.doc_id, f.source, f.text, f.n_tokens
+    FROM final f JOIN zf ON zf.doc_id = f.doc_id, cut
+    WHERE zf.zu >= cut.t
+    """,
+)
+def corpus_pipeline_calibrated(spark, sf_dir):
+    from data_ingestion_framework_spark.plans.corpus import corpus_pipeline
+    from data_ingestion_framework_spark.queries_etl import _scratch_dir
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    docs, benchmark = _corpus_pipeline_inputs(spark, sf_dir)
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    stage = ParquetTable(spark, _scratch_dir("corpus_cal_") + "/silver")
+    return corpus_pipeline(
+        docs,
+        benchmark,
+        min_words=15,
+        max_per_source=30,
+        sample_fraction=0.5,
+        sample_salt="s2",
+        stage_store=stage,
+        quality_label=label,
+        quality_keep_fraction=_CALIBRATED_KEEP,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PER-SOURCE calibrated quality cut (operators/classify.py
+# quality_lr_gate with keep_fraction= + slice_col=): CCNet picks its
+# perplexity cutoffs PER LANGUAGE SLICE — here the trained model is
+# one global GD fit, but the keep-rate quantile is selected
+# independently inside every source (slice-partitioned cumulative
+# windows — partition-local, never a global funnel — then a broadcast
+# |sources|-row cutoff join). Keep 3/5 per source; the oracle replays
+# the identical per-slice integer rank selection.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_quality_calibrated_by_source",
+    oracle=f"""
+    WITH {_QLR_GD_CTES},
+    sz AS (SELECT z.doc_id, d.source, z.zu
+           FROM zf z JOIN documents d USING (doc_id)),
+    {_keep_rank_cut_sql(3, 5, zf="sz", part="source,")}
+    SELECT s.doc_id, s.source
+    FROM sz s JOIN cut USING (source)
+    WHERE s.zu >= cut.t
+    """,
+)
+def docs_quality_calibrated_by_source(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import classify
+
+    docs = load(spark, sf_dir, "documents")
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    kept = classify.quality_lr_gate(
+        docs.select("doc_id", "source", "text"),
+        label,
+        n_features=16,
+        iters=2,
+        lr=0.5,
+        keep_fraction=(3, 5),
+        slice_col="source",
+    )
+    return kept.select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC AUC at the WIDTH-UNBOUNDED tier (operators/classify.py
+# gd_train_sparse_distributed + linear_classifier_scores_sparse_frame
+# + classifier_auc): completes the gauge matrix — dense D=16, sparse
+# D=65536, and now the distributed-weights trainer at D=2^22, where
+# the model itself never leaves the executors and the score domain is
+# exactly the case the range-partitioned rank primitive exists for.
+# The oracle composes the width-parameterized sparse GD unroll with
+# the shared Mann-Whitney rank-sum tail.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_quality_lr_distributed_auc",
+    oracle=f"""
+    WITH {_qlr_sparse_gd_ctes(1 << 22)},
+    sc AS (SELECT l.y, z.zu FROM lab l JOIN zf z USING (doc_id)),
+    {_auc_rank_sum_sql("sc")}
+    """,
+)
+def docs_quality_lr_distributed_auc(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import classify
+
+    docs = load(spark, sf_dir, "documents")
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    tr = classify.hashed_token_features_sparse(
+        docs, n_features=1 << 22, label=label
+    ).localCheckpoint()
+    wdf, row_sum_max = classify._gd_train_sparse_distributed_with_stats(
+        tr, 2, 0.5, "doc_id", "label", pre_materialized=True
+    )
+    scored = classify.linear_classifier_scores_sparse_frame(
+        tr, wdf, row_sum_max=row_sum_max
+    )
+    return classify.classifier_auc(scored)
+
+
+# ---------------------------------------------------------------------------
 # Power-iteration PCA (operators/similarity.py): three von Mises
 # rounds over the embeddings' uncentered second moment, then every
 # vector's projection onto the dominant direction. The whole

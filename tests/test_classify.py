@@ -546,6 +546,127 @@ def test_quality_lr_gate_matches_scored_filter(spark):
         assert all(r["extra"] == f"s{r['doc_id']}" for r in rows)
 
 
+#: the gate's docs plus a second token-less row (7 ties with 5 on the
+#: intercept-only score) so the calibrated cut exercises a tie group
+#: that straddles the keep boundary
+CAL_DOCS = DOCS + [(7, "   ")]
+
+
+def _py_keep_set(scored: dict[int, int], num: int, den: int) -> set[int]:
+    """The keep-rate rule's Python witness: keep_rank = ceil(num·n/den)
+    rows from the top, cutoff = the value at ascending rank
+    n − keep_rank + 1, keep every row scoring ≥ cutoff (ties kept —
+    the smallest kept count ≥ keep_rank reachable with a value
+    threshold)."""
+    n = len(scored)
+    keep_rank = (num * n + den - 1) // den
+    cutoff = sorted(scored.values())[(n - keep_rank + 1) - 1]
+    return {d for d, z in scored.items() if z >= cutoff}
+
+
+def test_quality_lr_gate_calibrated_keep_fraction(spark):
+    """r13 verdict #1: the calibrated gate must keep EXACTLY the
+    integer nearest-rank selection of its own trained scores — the
+    kept count is the smallest count ≥ ceil(num·n/den) given ties,
+    pinned against a Python witness over several fractions including
+    keep-everything and a boundary that lands inside a tie group."""
+    df = spark.createDataFrame(CAL_DOCS, ["doc_id", "text"]).withColumn(
+        "extra", F.concat(F.lit("s"), F.col("doc_id").cast("string"))
+    )
+    label = (
+        F.size(
+            F.filter(
+                F.split(classify.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= THRESH
+    )
+    scored = {
+        r["doc_id"]: r["score_units"]
+        for r in classify.quality_lr_pipeline(
+            df, label, n_features=D, iters=ITERS, lr=LR
+        ).collect()
+    }
+    n = len(CAL_DOCS)
+    for num, den in ((1, 2), (3, 4), (1, 1), (1, n), (2, 7)):
+        got = classify.quality_lr_gate(
+            df, label, n_features=D, iters=ITERS, lr=LR,
+            keep_fraction=(num, den),
+        )
+        assert set(got.columns) == {"doc_id", "text", "extra"}
+        want = _py_keep_set(scored, num, den)
+        kept = {r["doc_id"] for r in got.collect()}
+        assert kept == want, (num, den)
+        # minimality: the kept count reaches the target, and dropping
+        # the boundary tie group would fall below it
+        keep_rank = (num * n + den - 1) // den
+        assert len(kept) >= keep_rank
+        cutoff = min(scored[d] for d in kept)
+        above = {d for d, z in scored.items() if z > cutoff}
+        assert len(above) < keep_rank
+
+
+def test_quality_lr_gate_calibrated_per_slice(spark):
+    """Per-slice calibration (slice_col=): the same nearest-rank rule
+    applied independently inside every slice value — witnessed
+    per-slice, with the trained model still one GLOBAL fit."""
+    df = spark.createDataFrame(
+        [(i, t, f"src{i % 2}") for i, t in CAL_DOCS],
+        ["doc_id", "text", "source"],
+    )
+    label = (
+        F.size(
+            F.filter(
+                F.split(classify.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= THRESH
+    )
+    scored = {
+        r["doc_id"]: r["score_units"]
+        for r in classify.quality_lr_pipeline(
+            df, label, n_features=D, iters=ITERS, lr=LR
+        ).collect()
+    }
+    num, den = 1, 2
+    got = classify.quality_lr_gate(
+        df, label, n_features=D, iters=ITERS, lr=LR,
+        keep_fraction=(num, den), slice_col="source",
+    )
+    assert set(got.columns) == {"doc_id", "text", "source"}
+    want = set()
+    for s in ("src0", "src1"):
+        sl = {d: z for d, z in scored.items() if f"src{d % 2}" == s}
+        want |= _py_keep_set(sl, num, den)
+    assert {r["doc_id"] for r in got.collect()} == want
+
+
+def test_quality_lr_gate_calibrated_guards(spark):
+    """Mode guards: keep_fraction excludes min_score_units; slice_col
+    without keep_fraction is meaningless; fractions outside (0, 1]
+    refused."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    for kwargs in (
+        {"keep_fraction": (1, 2), "min_score_units": 5},
+        {"slice_col": "text"},
+        {"keep_fraction": (0, 2)},
+        {"keep_fraction": (3, 2)},
+    ):
+        try:
+            classify.quality_lr_gate(df, F.lit(True), n_features=D, **kwargs)
+            raise AssertionError(f"expected ValueError for {kwargs}")
+        except ValueError:
+            pass
+    # and the empty-input contract holds in calibrated mode too
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    out = classify.quality_lr_gate(
+        empty, F.lit(True), n_features=D, iters=1, keep_fraction=(1, 2)
+    )
+    assert out.count() == 0
+
+
 def test_distributed_trainer_matches_list_trainer(spark):
     """gd_train_sparse_distributed (weights as a DataFrame, the
     width-unbounded tier past SPARSE_FEATURES_MAX) must produce
