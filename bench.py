@@ -175,7 +175,98 @@ HEADLINE = [
     # join update — compare against docs_quality_lr_sparse for the
     # frame-vs-driver-list step cost)
     "docs_quality_lr_distributed",
+    # round-14: the PERCENTILE-CALIBRATED classifier gate family — the
+    # calibrated pipeline's delta over corpus_pipeline_classified is
+    # one score-domain rank job (the threshold is SELECTED, not
+    # hand-picked); the per-source form swaps the plan-constant cut
+    # for a broadcast |sources|-row cutoff join
+    "corpus_pipeline_calibrated",
+    "docs_quality_calibrated_by_source",
+    # exact AUC at the width-unbounded tier (D=2^22 distributed-weights
+    # trainer + the rank primitive — compare against
+    # docs_quality_lr_sparse_auc for the width step)
+    "docs_quality_lr_distributed_auc",
+    # r13 verdict #4: the mojibake repair line its r13 commit promised
+    # (scan-only replace chain; folds into small_n)
+    "docs_fix_mojibake",
+    # round-14 window-rotation entrants (rotation discipline: every
+    # driver-graded row gets a bench line): Q21/Q14/Q10/Q7 shapes and
+    # the per-source quota / vocabulary top-k doc utilities
+    "late_supplier_blame",
+    "promo_revenue_share",
+    "returned_item_customers",
+    "volume_shipping",
+    "docs_cap_per_source",
+    "corpus_vocab_top_terms",
 ]
+
+
+def load_previous_timings(
+    repo_dir: str, sf: float | None = None
+) -> dict[str, float] | None:
+    """The per-query map of the HIGHEST-numbered readable
+    ``BENCH_r{N}.json`` in ``repo_dir`` — the outlier guard's baseline.
+    Returns None when no artifact with a queries map exists (round 1,
+    or a run outside the repo): the guard then never fires. When ``sf``
+    is given, artifacts recorded at a DIFFERENT scale factor are
+    skipped — an sf0.1 baseline says nothing about an sf0.001 smoke
+    run's timings. Folded (small_n) queries are absent from the map —
+    absent means no-baseline, not zero."""
+    best, best_n = None, -1
+    try:
+        names = os.listdir(repo_dir)
+    except OSError:
+        return None
+    for f in names:
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if not m or int(m.group(1)) <= best_n:
+            continue
+        try:
+            with open(os.path.join(repo_dir, f)) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if sf is not None and rec.get("sf") != sf:
+            continue
+        q = rec.get("queries")
+        if isinstance(q, dict) and q:
+            best, best_n = (
+                {k: float(v) for k, v in q.items()},
+                int(m.group(1)),
+            )
+    return best
+
+
+def is_suspect_timing(
+    min_sec: float, prev_sec: float | None, abs_floor: float = 1.0
+) -> bool:
+    """True when a query's min-of-reps looks like HOST CONTENTION
+    rather than the code: the previous round recorded it and this
+    round's min exceeds BOTH 2x that value AND the absolute floor
+    (sub-second lines regress by whole multiples on fixed overhead
+    alone — only a >=1 s excursion is worth a re-run). The r13
+    artifact shipped a 6.6x phantom (embeddings_mmr_select 12.66 s,
+    reproduced at 2.49 s) because both back-to-back reps sat inside
+    one contention window — a LATER third rep is the cheap cure."""
+    if prev_sec is None:
+        return False
+    return min_sec > max(2.0 * prev_sec, abs_floor)
+
+
+def rerun_candidates(
+    timings: dict[str, float], prev: dict[str, float] | None
+) -> list[str]:
+    """The queries whose recorded min deserves one post-sweep re-run,
+    in HEADLINE order (the sweep is long past by then, so the
+    contention window that poisoned their reps has had time to
+    clear)."""
+    if not prev:
+        return []
+    return [
+        n
+        for n, v in timings.items()
+        if is_suspect_timing(v, prev.get(n))
+    ]
 
 
 def format_final_line(
@@ -204,7 +295,7 @@ def format_final_line(
     def _line(
         qmap: dict[str, float],
         nd: int | None,
-        small: tuple[int, float, float] | None,
+        small: tuple[int, float, float, str] | None,
     ) -> str:
         rec = {
             "metric": "headline_query_wall_time",
@@ -217,9 +308,18 @@ def format_final_line(
         }
         if small is not None:
             # folded sub-threshold lines: how many, their summed
-            # seconds (the map still reconciles against 'value'), and
-            # the threshold used
-            rec["small_n"], rec["small_sec"], rec["small_lt"] = small
+            # seconds (the map still reconciles against 'value'), the
+            # threshold, and WHICH fold semantics applied (ADVICE r13:
+            # 'lt' = absolute tier, small_lt is an EXCLUSIVE bound —
+            # every folded value < small_lt; 'rank' = quantile tier,
+            # small_lt is the INCLUSIVE max folded value and kept
+            # entries may equal it)
+            (
+                rec["small_n"],
+                rec["small_sec"],
+                rec["small_lt"],
+                rec["small_fold"],
+            ) = small
         if nd != 3:
             # 'value' is always the 3dp total of the UNROUNDED timings;
             # a degraded (or dropped, nd null) map no longer sums to it
@@ -247,7 +347,7 @@ def format_final_line(
             continue
         big = {k: round(v, nd) for k, v in timings.items() if v >= thr}
         candidates.append(
-            (big, nd, (len(smalls), round(sum(smalls.values()), 3), thr))
+            (big, nd, (len(smalls), round(sum(smalls.values()), 3), thr, "lt"))
         )
     by_cost = sorted(timings.items(), key=lambda kv: (kv[1], kv[0]))
     for nd, frac in ((2, 0.5), (1, 0.5), (1, 0.75)):
@@ -263,6 +363,7 @@ def format_final_line(
                     len(folded),
                     round(sum(v for _, v in folded), 3),
                     round(folded[-1][1], 3),
+                    "rank",
                 ),
             )
         )
@@ -326,7 +427,45 @@ def main() -> None:
             samples.append(round(time.time() - t0, 3))
         reps[name] = samples
         timings[name] = min(samples)
+
+    # outlier re-run guard (r13 verdict #3): both reps of a query run
+    # back-to-back, so one host-contention window can poison them BOTH
+    # and min-of-reps ships a phantom regression. Any query whose min
+    # exceeds max(2x its previous-round value, 1 s) gets ONE more rep
+    # now — after the sweep, outside the original contention window —
+    # and the overall min wins. Logged on its own stdout line so the
+    # artifact self-reports which values were adjudicated.
+    prev = load_previous_timings(
+        os.path.dirname(os.path.abspath(__file__)), sf
+    )
+    reruns: dict[str, float] = {}
+    for name in rerun_candidates(timings, prev):
+        t0 = time.time()
+        run(registry.QUERIES[name](spark, sf_dir))
+        extra = round(time.time() - t0, 3)
+        reps[name].append(extra)
+        reruns[name] = extra
+        timings[name] = min(timings[name], extra)
     cal_after = calibrate()
+
+    # rep-spread flags: queries whose reps disagree by >=2x AND >=0.5s
+    # — a loaded-host fingerprint even when no rerun fired
+    spread_flagged = sorted(
+        n
+        for n, s in reps.items()
+        if max(s) >= 2.0 * min(s) and max(s) - min(s) >= 0.5
+    )
+    if reruns or spread_flagged:
+        print(
+            json.dumps(
+                {
+                    "metric_detail": "outlier_rerun_guard",
+                    "reruns": reruns,
+                    "spread_flagged": spread_flagged,
+                },
+                separators=(",", ":"),
+            )
+        )
 
     # per-rep samples go on their OWN line: the driver captures only
     # the last ~2000 chars of stdout and parses the FINAL line, so the

@@ -61,15 +61,16 @@ ROWS_ONLY = {
     "dedup_simhash_pairs",
 }
 
-#: Rotation ledger (r13): 11 never-driver-graded rows entered the
-#: window this round. The gradeable never-graded backlog for FUTURE
-#: rotations — all local-green, mechanisms window-covered by siblings:
+#: Rotation ledger (r14): 6 of the 13-row never-driver-graded backlog
+#: rotated in this round (late_supplier_blame, promo_revenue_share,
+#: returned_item_customers, volume_shipping, docs_cap_per_source,
+#: corpus_vocab_top_terms) alongside the 3 new round-14 queries. The
+#: gradeable never-graded backlog for FUTURE rotations — all
+#: local-green, mechanisms window-covered by siblings:
 #: linestatus_priority_counts, customer_order_histogram,
-#: large_quantity_orders, volume_shipping, brand_supplier_counts,
-#: late_supplier_blame, forecast_revenue_change,
-#: returned_item_customers, promo_revenue_share, docs_cap_per_source,
-#: docs_chunk_windows, corpus_vocab_top_terms,
-#: orders_above_customer_avg (13 Q-shape/doc-utility variants).
+#: large_quantity_orders, brand_supplier_counts,
+#: forecast_revenue_change, docs_chunk_windows,
+#: orders_above_customer_avg (7 Q-shape/doc-utility variants).
 
 
 def bench_query(name: str, oracle: str | None = None):
@@ -276,9 +277,15 @@ _PRIORITY = [
     # the widen-on-read lifecycle (the last never-driver-graded
     # lifecycle row).
     "orders_widen_state",
-    # round-6: the generic MERGE INTO executor's NOT-MATCHED-BY-SOURCE
-    # clause family and the IVFADC composite — both new, never graded
-    "orders_merge_not_matched_state",
+    # ROUND-14 ROTATION: orders_merge_not_matched_state (green r6-r13,
+    # eight rounds — the window's longest-green row) cedes to the Q21
+    # late-supplier-blame shape (semi + anti self-joins on the same
+    # fact table — never driver-graded); the generic MERGE executor's
+    # clause family is pytest-pinned (test_writers/test_merge_sql) and
+    # the merge write path stays window-graded via
+    # customer_surrogate_scd1_state (merge_write SCD1 lifecycle).
+    # Still in the full local gate.
+    "late_supplier_blame",
     # ROUND-13 ROTATION: similarity_filtered_topk (green r9-r12)
     # cedes to z-normalized pattern matching (closed-form correlation
     # over array folds — never driver-graded); the exact-cosine
@@ -335,14 +342,14 @@ _PRIORITY = [
     # equi-depth bucket math is pytest-pinned. Still in the full
     # local gate.
     "events_seasonal_anomalies",
-    # ROUND-9 ROTATION (3rd wave): merge_sql_generic_state (green
-    # r7+r8) cedes to the disjunctive OR-of-ANDs cross-table pushdown
-    # shape (the most mechanism-distinct of the round-8 TPC-H
-    # additions); the generic MERGE semantics stay window-graded via
-    # orders_merge_not_matched_state (the executor runs the same
-    # clause family) and the emitted SQL text is pytest-pinned
-    # (test_merge_sql). Still in the full local gate.
-    "disjunctive_promo_revenue",
+    # ROUND-14 ROTATION: disjunctive_promo_revenue (green r9-r13)
+    # cedes to the Q14 promo-revenue-share sibling (conditional agg
+    # over the same part⋈lineitem join — never driver-graded); the
+    # OR-of-ANDs cross-table pushdown shape is plan-audit/pytest
+    # pinned (pushed-filters counter) and the star-join family keeps
+    # market_share + top_supplier_revenue in-window. Still in the
+    # full local gate.
+    "promo_revenue_share",
     # ROUND-13 ROTATION: docs_quality_lr_scores (green r11+r12) cedes
     # to the SPARSE-model exact-AUC gauge (new this round: the
     # D=65536 pipeline under the range-partitioned rank primitive);
@@ -401,15 +408,16 @@ _PRIORITY = [
     # keep events_sessionize + docs_chunk_bm25_topk in-window. Still
     # in the full local gate.
     "orders_price_exact_percentiles",
-    # ROUND-11 ROTATION: similarity_matryoshka_topk (green r9+r10)
-    # cedes to the IVF recall@k gauge (the never-driver-graded sibling
-    # of the in-window similarity_ivf_ndcg — its oracle re-derives the
-    # coarse index, the exact ranking AND the set-overlap recall); the
-    # prefix-funnel rescore is pytest-pinned and the ANN shortlist
-    # family keeps similarity_filtered_topk, embeddings_jl_topk,
-    # embeddings_hard_negatives_ann and similarity_knn_join_topk
-    # in-window. Still in the full local gate.
-    "similarity_ivf_recall",
+    # ROUND-14 ROTATION: similarity_ivf_recall (green r11-r13) cedes
+    # to the exact-AUC gauge at the WIDTH-UNBOUNDED tier (new this
+    # round: D=2^22 distributed-weights trainer + the rank primitive —
+    # completing the dense/sparse/distributed gauge matrix); the
+    # index-quality gauge machinery (coarse-index re-derivation +
+    # exact-ranking comparison) stays window-graded via
+    # similarity_knn_join_pq (exact rescore oracle) and
+    # embeddings_ivf_index_state (the IVF build + probe lifecycle).
+    # Still in the full local gate.
+    "docs_quality_lr_distributed_auc",
     # ROUND-12 ROTATION (2nd wave): orders_rename_state (green
     # r7-r11, the window's longest-green lifecycle row) cedes to the
     # leakage-safe content-keyed split (new this round: exact-dup
@@ -420,19 +428,25 @@ _PRIORITY = [
     # eras) and orders_version_diff_state in-window. Still in the
     # full local gate.
     "docs_leakage_safe_split",
-    # round-7 fourth wave: the embedding-side curation flagship
-    # (gate → exact dedup → SemDeDup → int8 quantize, one chained
-    # oracle). Slot ceded by docs_shuffle_rank (green r5+r6; the
-    # deterministic hash-rank ordering mechanism stays window-graded
-    # via docs_ccnet_buckets' TakeOrdered hash sample and is pinned
-    # by the sampling property tests).
-    "embeddings_pipeline_curated",
-    # ROUND-9 ROTATION (3rd wave): corpus_zipf_alpha (green r7+r8)
-    # cedes to the BPE-budgeted source mix (tokenize→budget composite,
-    # never driver-graded); the vocabulary-keyed DECIMAL-exact
-    # aggregation mechanism stays window-graded via docs_ccnet_buckets
-    # and docs_dsir_weights. Still in the full local gate.
-    "corpus_bpe_budget_mix",
+    # ROUND-14 ROTATION: embeddings_pipeline_curated (green r7-r13,
+    # seven rounds) cedes to the PERCENTILE-CALIBRATED classifier-gated
+    # pipeline (new this round: the same chain as
+    # corpus_pipeline_classified but the threshold is SELECTED from the
+    # trained scores by exact integer nearest-rank math — the oracle
+    # replays threshold CHOICE, closing the r13 magic-number finding);
+    # the curated chain's mechanisms stay covered —
+    # embeddings_quantize_calibrated keeps int8 quantization in-window,
+    # the corpus pipeline family keeps end2end/classified/calibrated,
+    # and SemDeDup is pytest-pinned (test_similarity). Still in the
+    # full local gate.
+    "corpus_pipeline_calibrated",
+    # ROUND-14 ROTATION: corpus_bpe_budget_mix (green r9-r13) cedes
+    # to the corpus vocabulary top-terms shape (global term ranking —
+    # never driver-graded); BPE train/apply stays window-graded via
+    # corpus_bpe_merges_batched8 and the token-budget mix via
+    # docs_token_budget_mix (the same budget walk over BPE token
+    # counts). Still in the full local gate.
+    "corpus_vocab_top_terms",
     # round-7 sixth wave: sample-trained IVFADC (bounded-training
     # index build under the oracle gate). Slot ceded by
     # docs_decontaminate_bloom (green r4-r6; the decontamination
@@ -481,15 +495,14 @@ _PRIORITY = [
     # crash-safe cursor discipline and the in-window
     # orders_stream_table_state exercise. Still in the full local gate.
     "embeddings_ivf_index_state",
-    # ROUND-11 ROTATION (2nd wave): cdf_merge_changes (driver-green
-    # r1-r10, the window's longest-green row) cedes to the greedy
-    # k-center coreset (farthest-first data selection, new this
-    # round — its oracle replays the full greedy trajectory); the
-    # change-feed full-outer diff mechanism stays window-graded via
-    # orders_version_diff_state (as_of ∘ find_delta composes the same
-    # insert/update/delete comparison) and the merge executors
-    # (orders_merge_not_matched_state). Still in the full local gate.
-    "embeddings_kcenter_coreset",
+    # ROUND-14 ROTATION: embeddings_kcenter_coreset (green r11-r13)
+    # cedes to the Q7 volume-shipping shape (two-nation directional
+    # join with a year bucket — never driver-graded); the greedy
+    # integer-trajectory selection mechanism stays window-graded via
+    # embeddings_mmr_select (the same argmax-loop oracle machinery,
+    # relevance-vs-redundancy instead of farthest-first). Still in
+    # the full local gate.
+    "volume_shipping",
     # ROUND-8 ROTATION: docs_fuzzy_entity_pairs (driver-green r5+r6)
     # cedes to the HyperLogLog distinct sketch; the blocked-capped
     # self-join mechanism stays window-graded via
@@ -506,12 +519,15 @@ _PRIORITY = [
     # driver-graded (all oracle-backed, local-pass) take the slots
     # ceded above by rows green since r2/r3:
     "multimodal_audio_meta",
-    # ROUND-8 ROTATION: orders_delete_state (driver-green r5+r6) cedes
-    # to the log-stats data-skipping lifecycle — which itself RUNS the
-    # same delete_where COW path before its range_scan, so the ceded
-    # mechanism stays graded by its successor (plus orders_update_state
-    # and orders_delete_dv_state in-window). Still in the full gate.
-    "orders_stats_skipping_state",
+    # ROUND-14 ROTATION: orders_stats_skipping_state (green r8-r13,
+    # six rounds) cedes to the per-source document quota
+    # (docs_cap_per_source — the pipeline stage as a standalone row,
+    # never driver-graded); the min/max stats-skipping + delete_where
+    # COW machinery stays pytest-pinned (test_tablestore) and the
+    # lifecycle family keeps SIX window reps (version_diff,
+    # partition_evolution, add_column_default, delta_export, widen,
+    # incremental_join). Still in the full local gate.
+    "docs_cap_per_source",
     # ROUND-5 BUILD ROTATION: ten r4-green rows cede their slots to the
     # ten new-in-round-5 oracle-backed queries (inserted before the
     # window marker below) — each ceded row's mechanism stays graded by
@@ -525,19 +541,16 @@ _PRIORITY = [
     # docs_quality_weighted_sample + docs_split_assign, and
     # corpus_pipeline_splits via corpus_pipeline_staged +
     # docs_split_assign. All stay in the full local gate.
-    # ROUND-9 ROTATION: docs_quality_weighted_sample (green r5-r7)
-    # cedes to the integer-scaled global-fraction threshold shape
-    # (important_part_values; its sibling top_supplier_revenue stays in
-    # the full gate — same scalar-subquery decorrelation one MAX apart);
-    # the weighted deterministic-hash draw stays pinned by the sampling
-    # property tests and corpus_pipeline_staged's sample stage.
-    # ROUND-11 ROTATION: important_part_values (green r9+r10) cedes to
-    # the Q22 anti-join shape (left anti + global scalar-average
-    # threshold, never driver-graded); the integer-scaled
-    # global-fraction threshold mechanism stays graded by the SAME
-    # incoming query (both decorrelate a global aggregate subquery)
-    # and top_supplier_revenue stays in the full local gate.
-    "wealthy_inactive_customers",
+    # ROUND-14 ROTATION: wealthy_inactive_customers (green r11-r13)
+    # cedes to the PER-SOURCE calibrated quality cut (new this round:
+    # CCNet-style per-slice keep-rate quantiles — slice-partitioned
+    # cumulative windows + a broadcast cutoff join, the oracle replays
+    # the per-slice integer rank selection); the Q22 anti-join +
+    # global-scalar-threshold mechanisms stay window-graded via
+    # top_supplier_revenue (scalar-subquery decorrelation) and the
+    # decontamination anti-joins inside the three in-window corpus
+    # pipelines. Still in the full local gate.
+    "docs_quality_calibrated_by_source",
     # ROUND-8 ROTATION: dedup_containment_pairs (driver-green r5+r6)
     # cedes to the time-series gap-fill operator (LOCF + linear
     # interpolation through a join-free generator); the explode-once +
@@ -571,13 +584,14 @@ _PRIORITY = [
     # goes to ANN-backed hard-negative mining's BRUTE-FORCE sibling
     # (never driver-graded; the _ann form was green r9+r10).
     "embeddings_hard_negatives",
-    # ROUND-9 ROTATION (4th wave): orders_strict_log_state (green
-    # r7+r8) cedes to local clustering coefficients (per-node triangle
-    # membership over the degree-oriented enumeration, new this
-    # round); the strict-log refusal semantics are pytest-pinned and
-    # orders_stream_table_state keeps the commit-log discipline
-    # in-window. Still in the full local gate.
-    "graph_clustering_coefficients",
+    # ROUND-14 ROTATION: graph_clustering_coefficients (green r9-r13)
+    # cedes to the Q10 returned-item-customers shape (revenue agg over
+    # customer⋈orders⋈lineitem⋈nation with a flag predicate + top-20 —
+    # never driver-graded); the iterative-graph family keeps
+    # graph_lpa_communities in-window and the degree-oriented wedge
+    # enumeration is pytest-pinned (test_graph). Still in the full
+    # local gate.
+    "returned_item_customers",
     # ROUND-13 ROTATION: orders_replace_where_state (green r8-r12)
     # cedes to the DISTRIBUTED-weights sparse trainer (new this round:
     # weights as a bucket-keyed DataFrame, run at D = 2^22 — four
@@ -590,6 +604,17 @@ _PRIORITY = [
     # (test_writers). Still in the full local gate.
     "docs_quality_lr_distributed",
     # end of the 50-query driver window
+    # the nine rows ceded by the round-14 rotation (driver-green 3-8
+    # rounds; mechanisms window-covered per the notes above)
+    "orders_merge_not_matched_state",
+    "disjunctive_promo_revenue",
+    "graph_clustering_coefficients",
+    "embeddings_kcenter_coreset",
+    "orders_stats_skipping_state",
+    "embeddings_pipeline_curated",
+    "corpus_bpe_budget_mix",
+    "wealthy_inactive_customers",
+    "similarity_ivf_recall",
     # the nine rows ceded by the round-13 rotation (driver-green 2-9
     # rounds; mechanisms window-covered per the notes above) plus the
     # two ROWS_ONLY rows rotated back out (oracle-less — see ROWS_ONLY)

@@ -57,6 +57,10 @@ def test_final_line_folds_small_queries_before_dropping_precision():
     assert rec.get("small_n") == 40
     assert rec.get("queries_precision", 3) >= 2
     assert len(rec["queries"]) == 25
+    # ADVICE r13: the artifact says WHICH fold semantics applied —
+    # absolute tiers are exclusive ('lt': every folded value < small_lt)
+    assert rec["small_fold"] == "lt"
+    assert all(v < rec["small_lt"] for v in (0.04,))
 
 
 def test_final_line_last_resort_drops_map_but_keeps_value():
@@ -83,3 +87,48 @@ def test_final_line_all_slow_run_folds_by_quantile():
     assert abs(rec["small_sec"] + sum(rec["queries"].values())
                - rec["value"]) < 0.1 * 58
     assert rec["small_lt"] == 10.123
+    # quantile tiers fold BY RANK: small_lt is the inclusive max
+    # folded value (kept entries may equal it) — self-described
+    assert rec["small_fold"] == "rank"
+
+
+def test_outlier_rerun_guard_selection():
+    """r13 verdict #3: a min-of-reps that exceeds BOTH 2x the previous
+    round's recorded value AND the 1 s floor is a re-run candidate;
+    missing baselines (new or previously-folded queries) never fire."""
+    from bench import is_suspect_timing, rerun_candidates
+
+    prev = {"mmr": 1.91, "cheap": 0.06, "slowish": 3.0}
+    timings = {
+        "mmr": 12.66,     # the r13 phantom: 6.6x prev -> rerun
+        "cheap": 0.49,    # 8x prev but under the 1 s floor -> no
+        "slowish": 5.0,   # 1.7x prev -> within noise band -> no
+        "brand_new": 9.0, # no baseline -> no
+    }
+    assert rerun_candidates(timings, prev) == ["mmr"]
+    assert rerun_candidates(timings, None) == []
+    assert is_suspect_timing(2.4, 1.0) and not is_suspect_timing(1.9, 1.0)
+    # floor dominates when the previous value was sub-0.5 s
+    assert not is_suspect_timing(0.9, 0.1)
+    assert is_suspect_timing(1.1, 0.1)
+
+
+def test_load_previous_timings_picks_highest_round(tmp_path):
+    from bench import load_previous_timings
+
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"queries": {"a": 1.0}})
+    )
+    (tmp_path / "BENCH_r11.json").write_text(
+        json.dumps({"queries": {"a": 3.5, "b": 0.2}})
+    )
+    (tmp_path / "BENCH_r12.json").write_text("not json at all")
+    assert load_previous_timings(str(tmp_path)) == {"a": 3.5, "b": 0.2}
+    assert load_previous_timings(str(tmp_path / "missing")) is None
+    # sf-scoped: a baseline recorded at another scale factor is
+    # skipped (an sf0.1 artifact says nothing about an sf0.001 run)
+    (tmp_path / "BENCH_r13.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 9.9}})
+    )
+    assert load_previous_timings(str(tmp_path), 0.1) == {"a": 9.9}
+    assert load_previous_timings(str(tmp_path), 0.001) is None

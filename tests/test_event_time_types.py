@@ -217,9 +217,9 @@ def test_driver_grading_window_covers_priority_queries():
         # IVF index lifecycle (idempotent-ledger ingestion semantics
         # stay via the index cursor + orders_stream_table_state)
         "embeddings_ivf_index_state",
-        # r11 2nd wave: cdf_merge_changes ceded to the greedy k-center
-        # coreset (full-outer diff stays via orders_version_diff_state)
-        "embeddings_kcenter_coreset",
+        # r14: embeddings_kcenter_coreset ceded to the Q7
+        # volume-shipping shape (greedy trajectory stays via MMR)
+        "volume_shipping",
         # r8: docs_fuzzy_entity_pairs ceded to the HLL sketch;
         # r11: events_hll_distinct_users ceded to the count-min sketch
         # (same mergeable-bounded family; HLL fold pytest-pinned)
@@ -228,11 +228,10 @@ def test_driver_grading_window_covers_priority_queries():
         # orders_delete_state ceded in r8 to its stats-skipping
         # successor, which runs the same delete_where path)
         "multimodal_audio_meta",
-        # r9: docs_quality_weighted_sample ceded to the integer-scaled
-        # global-fraction threshold shape; r11: important_part_values
-        # ceded to the Q22 anti-join shape (same global-aggregate
-        # subquery decorrelation)
-        "wealthy_inactive_customers",
+        # r14: wealthy_inactive_customers ceded to the PER-SOURCE
+        # calibrated quality cut (anti-join + scalar threshold stay via
+        # top_supplier_revenue and the pipeline decontamination joins)
+        "docs_quality_calibrated_by_source",
         # r8: dedup_containment_pairs ceded to the gap-fill operator;
         # r11: events_gapfill_locf ceded to the chunk-then-BM25
         # composite (generator machinery pytest-pinned)
@@ -241,9 +240,10 @@ def test_driver_grading_window_covers_priority_queries():
         # ROC-AUC gauge (commit-replay streaming stays graded via
         # embeddings_ivf_index_state + the difs pytest family)
         "docs_quality_lr_auc",
-        # r9 4th wave: orders_strict_log_state ceded to clustering
-        # coefficients (strict-log refusals pytest-pinned)
-        "graph_clustering_coefficients",
+        # r14: graph_clustering_coefficients ceded to the Q10
+        # returned-item-customers shape (graph family keeps LPA;
+        # wedge enumeration pytest-pinned)
+        "returned_item_customers",
         # r13: orders_replace_where_state ceded to the
         # distributed-weights sparse trainer at D=2^22 (lifecycle
         # family keeps seven window reps; replaceWhere pytest-pinned)
@@ -270,7 +270,10 @@ def test_driver_grading_window_covers_priority_queries():
         # repair (badwords + graded contamination pytest-pinned; the
         # pipeline family keeps end2end/classified/embeddings-curated)
         "docs_fix_mojibake",
-        "orders_merge_not_matched_state",
+        # r14: orders_merge_not_matched_state ceded to the Q21
+        # late-supplier-blame shape (MERGE executor pytest-pinned; the
+        # merge write path stays via customer_surrogate_scd1_state)
+        "late_supplier_blame",
         # r12: similarity_ivf_ndcg ceded to calibrated int8
         # quantization (gauge family stays via similarity_ivf_recall)
         "embeddings_quantize_calibrated",
@@ -280,10 +283,10 @@ def test_driver_grading_window_covers_priority_queries():
         # r12: orders_custkey_histogram ceded to the seasonal-anomaly
         # detector (dataset-DQ family stays via dq_violation_counts)
         "events_seasonal_anomalies",
-        # r9 3rd wave: merge_sql_generic_state ceded to the
-        # disjunctive cross-table pushdown shape (executor semantics
-        # stay via orders_merge_not_matched_state)
-        "disjunctive_promo_revenue",
+        # r14: disjunctive_promo_revenue ceded to the Q14
+        # promo-revenue-share sibling (OR-of-ANDs pushdown is
+        # plan-audit pinned; star joins stay via market_share)
+        "promo_revenue_share",
         # r13: docs_quality_lr_scores ceded to the sparse-model AUC
         # gauge (the dense GD unroll stays via docs_quality_lr_auc and
         # the classifier-gated pipeline)
@@ -305,16 +308,22 @@ def test_driver_grading_window_covers_priority_queries():
         # exact distributed percentiles (the rank primitive's third
         # consumer; cumulative-window machinery re-certified by it)
         "orders_price_exact_percentiles",
-        # r11: similarity_matryoshka_topk ceded to the IVF recall@k
-        # gauge (sibling of the in-window nDCG gauge)
-        "similarity_ivf_recall",
+        # r14: similarity_ivf_recall ceded to the width-unbounded
+        # AUC gauge (index-quality machinery stays via knn_join_pq +
+        # the IVF index lifecycle)
+        "docs_quality_lr_distributed_auc",
         # r12 2nd wave: orders_rename_state ceded to the leakage-safe
         # split (column-mapping reads pytest-pinned; lifecycle family
         # keeps partition-evolution + version-diff in-window)
         "docs_leakage_safe_split",
-        "embeddings_pipeline_curated",
-        # r9 3rd wave: corpus_zipf_alpha ceded to the BPE-budgeted mix
-        "corpus_bpe_budget_mix",
+        # r14: embeddings_pipeline_curated ceded to the
+        # percentile-CALIBRATED classifier-gated pipeline (int8 stays
+        # via embeddings_quantize_calibrated; SemDeDup pytest-pinned)
+        "corpus_pipeline_calibrated",
+        # r9 3rd wave: corpus_zipf_alpha ceded to the BPE-budgeted
+        # mix; r14: corpus_bpe_budget_mix ceded to the vocabulary
+        # top-terms shape (budget walk stays via docs_token_budget_mix)
+        "corpus_vocab_top_terms",
         # r11: similarity_ivfpq_sampled_topk ceded to the
         # PQ-compressed k-NN join (same two index builds in its oracle)
         "similarity_knn_join_pq",
@@ -326,8 +335,10 @@ def test_driver_grading_window_covers_priority_queries():
         # r13: similarity_filtered_topk ceded to z-normalized pattern
         # matching (exact-cosine ranking stays via ivf_recall + knn_pq)
         "events_pattern_topk",
-        # round-8 rotation: log-stats data skipping
-        "orders_stats_skipping_state",
+        # r14: orders_stats_skipping_state ceded to the per-source
+        # document quota (stats skipping pytest-pinned; lifecycle
+        # family keeps six window reps)
+        "docs_cap_per_source",
         # r12: orders_identity_state ceded to the Delta-export
         # lifecycle (stamped-column family stays via
         # orders_add_column_default_state)
