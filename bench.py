@@ -182,6 +182,10 @@ HEADLINE = [
     # for a broadcast |sources|-row cutoff join
     "corpus_pipeline_calibrated",
     "docs_quality_calibrated_by_source",
+    # the full CCNet shape: D=2^21 distributed-weights model +
+    # per-source calibrated cut + semi-join deployment (compare
+    # against docs_quality_lr_distributed for the gate's delta)
+    "docs_quality_calibrated_distributed",
     # exact AUC at the width-unbounded tier (D=2^22 distributed-weights
     # trainer + the rank primitive — compare against
     # docs_quality_lr_sparse_auc for the width step)

@@ -793,6 +793,7 @@ def quality_lr_gate(
     min_score_units: int = 0,
     keep_fraction: tuple[int, int] | None = None,
     slice_col: str | None = None,
+    trainer: str = "dense",
 ) -> DataFrame:
     """Train-and-FILTER: the CCNet-style deployment of the quality
     classifier inside a corpus pipeline. Trains the dense model on
@@ -825,16 +826,36 @@ def quality_lr_gate(
       |slices|-row cutoff frame. The two modes are mutually
       exclusive.
 
+    ``trainer`` picks the model tier — the SAME selection rule and cut
+    semantics at every width:
+
+    - ``"dense"`` (default, D ≤ 4096): the filter is a PURE EXPRESSION
+      — the feature fold and the integer dot evaluate inside the
+      corpus scan (whole-stage codegen, zero joins), weights as plan
+      constants.
+    - ``"sparse"`` (D ≤ ``SPARSE_FEATURES_MAX``): long-format triple
+      features, driver-list weights broadcast into the scoring join.
+    - ``"distributed"`` (any width): ``gd_train_sparse_distributed``
+      — the model itself stays on the executors as a (bucket, w)
+      frame; fastText-width CCNet deployment at the engine's widest
+      tier. Bit-identical weights to the sparse tier below its cap
+      (parity-pinned), so the tiers differ only in WHERE the weights
+      live, never in which rows survive.
+
+    At the sparse/distributed tiers the gate scores through the
+    triple build (checkpointed once) and keeps survivors with an
+    id-keyed LEFT SEMI join — the necessary price at widths where the
+    model cannot travel as plan constants.
+
     Scale shape: ``df`` is localCheckpointed ONCE (it is typically the
     expensive upstream pipeline plan — training scans it ``iters``
     times and the gate once more; without the checkpoint every pass
-    would replay the whole upstream plan). The gate itself is a pure
-    expression filter — the feature fold and the integer dot evaluate
-    INSIDE the corpus scan (whole-stage codegen, zero joins, zero
-    shuffles): the trained weights are driver-side constants, the
-    classic broadcast-the-model deployment; a global calibrated cut
-    adds one score-domain agg job and lands as one more plan constant,
-    a per-slice cut as a broadcast k-row join. Same exactness contract
+    would replay the whole upstream plan). The dense gate itself is a
+    pure expression filter — zero joins, zero shuffles: the trained
+    weights are driver-side constants, the classic
+    broadcast-the-model deployment; a global calibrated cut adds one
+    score-domain agg job and lands as one more plan constant, a
+    per-slice cut as a broadcast k-row join. Same exactness contract
     as the trainer (BIGINT dot, overflow guard before the scan).
 
     An EMPTY input trains nothing and gates nothing — it returns the
@@ -858,9 +879,19 @@ def quality_lr_gate(
             "quality_lr_gate: slice_col requires keep_fraction (a fixed "
             "min_score_units cut has no per-slice calibration to do)"
         )
+    if trainer not in ("dense", "sparse", "distributed"):
+        raise ValueError(
+            f"quality_lr_gate: unknown trainer {trainer!r} — one of "
+            "'dense', 'sparse', 'distributed'"
+        )
     df = df.localCheckpoint()
     if df.first() is None:
         return df
+    if trainer != "dense":
+        return _gate_wide(
+            df, label, text_col, n_features, iters, lr, id_col,
+            min_score_units, keep_fraction, slice_col, trainer,
+        )
     feats = hashed_token_features(
         df, text_col=text_col, n_features=n_features, id_col=id_col,
         label=label,
@@ -877,6 +908,62 @@ def quality_lr_gate(
     if slice_col is None:
         return _calibrated_cut_global(df, z, num, den)
     return _calibrated_cut_by_slice(df, z, num, den, slice_col)
+
+
+def _gate_wide(
+    df: DataFrame,
+    label: Column,
+    text_col: str,
+    n_features: int,
+    iters: int,
+    lr: float,
+    id_col: str,
+    min_score_units: int,
+    keep_fraction: tuple[int, int] | None,
+    slice_col: str | None,
+    trainer: str,
+) -> DataFrame:
+    """The sparse/distributed gate tail: triple features built ONCE
+    (checkpointed — the trainer scans them per GD step, the scorer
+    once more), per-doc logits via the weight join, the fixed or
+    calibrated cut on the scored frame, then an id-keyed LEFT SEMI
+    join back onto ``df`` (model too wide for plan constants — the
+    survivors' ids are the only thing that crosses back)."""
+    tr = hashed_token_features_sparse(
+        df, text_col=text_col, n_features=n_features, id_col=id_col,
+        label=label,
+    ).localCheckpoint()
+    if trainer == "sparse":
+        w, row_sum_max = _gd_train_sparse_with_stats(
+            tr, n_features, iters, lr, id_col, "label",
+            pre_materialized=True,
+        )
+        maxw = max((abs(x) for x in w), default=0)
+        _guard_int64(maxw * row_sum_max, "quality_lr_gate sparse dot")
+        scored = _sparse_scores_units(tr, w, [id_col])
+    else:
+        wdf, row_sum_max = _gd_train_sparse_distributed_with_stats(
+            tr, iters, lr, id_col, "label", pre_materialized=True
+        )
+        row = wdf.agg(F.max(F.abs(F.col("__w"))).alias("m")).first()
+        maxw = int(row["m"]) if row is not None and row["m"] is not None else 0
+        _guard_int64(maxw * row_sum_max, "quality_lr_gate distributed dot")
+        scored = _sparse_scores_units_frame(
+            tr, wdf, [id_col], broadcast=False
+        )
+    z = F.col("score_units")
+    if keep_fraction is None:
+        kept = scored.where(z >= F.lit(int(min_score_units)))
+    else:
+        num, den = int(keep_fraction[0]), int(keep_fraction[1])
+        if slice_col is None:
+            kept = _calibrated_cut_global(scored, z, num, den)
+        else:
+            kept = _calibrated_cut_by_slice(
+                scored.join(df.select(id_col, slice_col), id_col),
+                z, num, den, slice_col,
+            )
+    return df.join(kept.select(id_col), id_col, "left_semi")
 
 
 def _calibrated_cut_global(

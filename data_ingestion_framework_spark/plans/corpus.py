@@ -59,6 +59,7 @@ def corpus_pipeline(
     quality_min_score_units: int = 0,
     quality_keep_fraction: tuple[int, int] | None = None,
     quality_keep_by_source: bool = False,
+    quality_trainer: str = "dense",
 ) -> DataFrame:
     """Clean → redact → quality-gate → [badword-gate] → dedup →
     decontaminate → quota → sample → [trained-classifier gate].
@@ -108,7 +109,11 @@ def corpus_pipeline(
     gate keeps the top ``ceil(num·n/den)`` survivors (ties kept) and
     no hand-picked constant appears anywhere;
     ``quality_keep_by_source=True`` calibrates the cutoff per
-    ``source_col`` slice (CCNet's per-slice cutoffs). The stage
+    ``source_col`` slice (CCNet's per-slice cutoffs), and
+    ``quality_trainer`` picks the model tier (``"dense"`` pure-scan
+    weights; ``"sparse"`` / ``"distributed"`` fastText-width models
+    deployed through a semi-join — the full CCNet shape at the
+    engine's widest tier). The stage
     checkpoints the survivor frame once (training scans it per GD
     step) and the final filter is a pure expression inside that scan
     — no join, the weights (and a global calibrated cutoff) travel
@@ -219,6 +224,7 @@ def corpus_pipeline(
             min_score_units=quality_min_score_units,
             keep_fraction=quality_keep_fraction,
             slice_col=source_col if quality_keep_by_source else None,
+            trainer=quality_trainer,
         )
     return out
 

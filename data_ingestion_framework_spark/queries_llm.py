@@ -6582,6 +6582,55 @@ def docs_quality_calibrated_by_source(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# The FULL CCNet deployment shape (operators/classify.py
+# quality_lr_gate with trainer="distributed" + keep_fraction= +
+# slice_col=): a fastText-width model (D = 2^21 — past the
+# driver-list trainer's enforced cap, so the weights live as a
+# (bucket, w) frame on the executors) trained on the corpus itself,
+# cut at a PER-SOURCE keep-rate quantile, survivors kept via an
+# id-keyed semi-join. Every stage exact: the oracle composes the
+# width-parameterized sparse GD unroll with the shared per-slice
+# nearest-rank cut CTEs.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_quality_calibrated_distributed",
+    oracle=f"""
+    WITH {_qlr_sparse_gd_ctes(1 << 21)},
+    sz AS (SELECT z.doc_id, d.source, z.zu
+           FROM zf z JOIN documents d USING (doc_id)),
+    {_keep_rank_cut_sql(1, 2, zf="sz", part="source,")}
+    SELECT s.doc_id, s.source
+    FROM sz s JOIN cut USING (source)
+    WHERE s.zu >= cut.t
+    """,
+)
+def docs_quality_calibrated_distributed(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import classify
+
+    docs = load(spark, sf_dir, "documents")
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    kept = classify.quality_lr_gate(
+        docs.select("doc_id", "source", "text"),
+        label,
+        n_features=1 << 21,
+        iters=2,
+        lr=0.5,
+        keep_fraction=(1, 2),
+        slice_col="source",
+        trainer="distributed",
+    )
+    return kept.select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
 # Exact ROC AUC at the WIDTH-UNBOUNDED tier (operators/classify.py
 # gd_train_sparse_distributed + linear_classifier_scores_sparse_frame
 # + classifier_auc): completes the gauge matrix — dense D=16, sparse

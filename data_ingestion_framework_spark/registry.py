@@ -243,12 +243,17 @@ _PRIORITY = [
     # IVFADC — its two-stage agg + broadcast-total mechanism stays
     # window-graded via text_unigram_ce / text_bigram_ce's corpus-count
     # joins; still in the full gate
-    # ROUND-9 ROTATION: similarity_ivfpq_residual_topk (green r6+r7)
-    # cedes to the ADD COLUMN ... DEFAULT lifecycle; the IVFADC
-    # machinery keeps TWO window reps (similarity_ivfpq_topk,
-    # similarity_ivfpq_sampled_topk) and the residual fused build is
-    # pytest-pinned. Still in the full local gate.
-    "orders_add_column_default_state",
+    # ROUND-14 ROTATION (2nd wave): orders_add_column_default_state
+    # (green r9-r13, five rounds) cedes to the FULL CCNet deployment
+    # shape (new this round: a D=2^21 distributed-weights model — past
+    # the driver-list cap — cut at per-source keep-rate quantiles,
+    # survivors via semi-join; the oracle replays the width-
+    # parameterized GD unroll AND the per-slice rank selection); the
+    # metadata-default lifecycle read path stays pytest-pinned
+    # (test_tablestore) and the lifecycle family keeps FIVE window
+    # reps (version_diff, partition_evolution, delta_export, widen,
+    # incremental_join). Still in the full local gate.
+    "docs_quality_calibrated_distributed",
     # ROUND-9 ROTATION: orders_merge_into_state (green r6+r7) cedes
     # to distributed BPE training; the generic MERGE executor stays
     # window-graded via orders_merge_not_matched_state (same executor,
@@ -604,8 +609,9 @@ _PRIORITY = [
     # (test_writers). Still in the full local gate.
     "docs_quality_lr_distributed",
     # end of the 50-query driver window
-    # the nine rows ceded by the round-14 rotation (driver-green 3-8
+    # the ten rows ceded by the round-14 rotation (driver-green 3-8
     # rounds; mechanisms window-covered per the notes above)
+    "orders_add_column_default_state",
     "orders_merge_not_matched_state",
     "disjunctive_promo_revenue",
     "graph_clustering_coefficients",

@@ -643,6 +643,63 @@ def test_quality_lr_gate_calibrated_per_slice(spark):
     assert {r["doc_id"] for r in got.collect()} == want
 
 
+def test_quality_lr_gate_wide_tiers_match_scored_filter(spark):
+    """r13 verdict #8 (stretch): the sparse and distributed gate
+    tiers must keep EXACTLY the rows the sparse scored pipeline
+    passes — the tiers differ only in where the weights live. Run at
+    a width the dense fold refuses (D=5000 > 4096), with fixed-cut,
+    global-calibrated AND per-slice-calibrated modes, each witnessed
+    from the sparse pipeline's own scores."""
+    df = spark.createDataFrame(
+        [(i, t, f"src{i % 2}") for i, t in CAL_DOCS],
+        ["doc_id", "text", "source"],
+    )
+    label = (
+        F.size(
+            F.filter(
+                F.split(classify.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= THRESH
+    )
+    d = 5000
+    scored = {
+        r["doc_id"]: r["score_units"]
+        for r in classify.quality_lr_pipeline(
+            df, label, n_features=d, iters=ITERS, lr=LR, sparse=True
+        ).collect()
+    }
+    thr = sorted(scored.values())[len(scored) // 2]
+    for trainer in ("sparse", "distributed"):
+        got = classify.quality_lr_gate(
+            df, label, n_features=d, iters=ITERS, lr=LR,
+            min_score_units=thr, trainer=trainer,
+        )
+        assert set(got.columns) == {"doc_id", "text", "source"}
+        assert {r["doc_id"] for r in got.collect()} == {
+            i for i, z in scored.items() if z >= thr
+        }, trainer
+    # calibrated global cut at the distributed tier
+    kept = classify.quality_lr_gate(
+        df, label, n_features=d, iters=ITERS, lr=LR,
+        keep_fraction=(1, 2), trainer="distributed",
+    )
+    assert {r["doc_id"] for r in kept.collect()} == _py_keep_set(
+        scored, 1, 2
+    )
+    # per-slice calibrated cut at the distributed tier (full CCNet)
+    kept_s = classify.quality_lr_gate(
+        df, label, n_features=d, iters=ITERS, lr=LR,
+        keep_fraction=(1, 2), slice_col="source", trainer="distributed",
+    )
+    want = set()
+    for s in ("src0", "src1"):
+        sl = {i: z for i, z in scored.items() if f"src{i % 2}" == s}
+        want |= _py_keep_set(sl, 1, 2)
+    assert {r["doc_id"] for r in kept_s.collect()} == want
+
+
 def test_quality_lr_gate_calibrated_guards(spark):
     """Mode guards: keep_fraction excludes min_score_units; slice_col
     without keep_fraction is meaningless; fractions outside (0, 1]
@@ -653,6 +710,7 @@ def test_quality_lr_gate_calibrated_guards(spark):
         {"slice_col": "text"},
         {"keep_fraction": (0, 2)},
         {"keep_fraction": (3, 2)},
+        {"trainer": "mystery"},
     ):
         try:
             classify.quality_lr_gate(df, F.lit(True), n_features=D, **kwargs)

@@ -277,9 +277,11 @@ def test_driver_grading_window_covers_priority_queries():
         # r12: similarity_ivf_ndcg ceded to calibrated int8
         # quantization (gauge family stays via similarity_ivf_recall)
         "embeddings_quantize_calibrated",
-        # r9: similarity_ivfpq_residual_topk ceded to the ADD COLUMN
-        # DEFAULT lifecycle
-        "orders_add_column_default_state",
+        # r14 2nd wave: orders_add_column_default_state ceded to the
+        # full CCNet deployment shape (D=2^21 distributed weights +
+        # per-source calibrated cut; default-column reads pytest-pinned,
+        # lifecycle family keeps five window reps)
+        "docs_quality_calibrated_distributed",
         # r12: orders_custkey_histogram ceded to the seasonal-anomaly
         # detector (dataset-DQ family stays via dq_violation_counts)
         "events_seasonal_anomalies",
