@@ -215,7 +215,15 @@ def load_previous_timings(
     is given, artifacts recorded at a DIFFERENT scale factor are
     skipped — an sf0.1 baseline says nothing about an sf0.001 smoke
     run's timings. Folded (small_n) queries are absent from the map —
-    absent means no-baseline, not zero."""
+    absent means no-baseline, not zero.
+
+    The driver wraps this script's final stdout line under a
+    ``parsed`` key ({n, rc, cpus, sf, tail, parsed: {queries, sf,
+    ...}}) — every real BENCH_r{N}.json has that shape — while a raw
+    re-run of bench.py redirected to a file would be the line itself;
+    both layouts are read. One malformed artifact (bad JSON, a
+    non-numeric timing) is SKIPPED, never fatal: the guard is an
+    optimization, not a gate."""
     best, best_n = None, -1
     try:
         names = os.listdir(repo_dir)
@@ -228,16 +236,18 @@ def load_previous_timings(
         try:
             with open(os.path.join(repo_dir, f)) as fh:
                 rec = json.load(fh)
-        except (OSError, ValueError):
+            if isinstance(rec.get("parsed"), dict):
+                rec = rec["parsed"]
+            if sf is not None and rec.get("sf") != sf:
+                continue
+            q = rec.get("queries")
+            if isinstance(q, dict) and q:
+                best, best_n = (
+                    {k: float(v) for k, v in q.items()},
+                    int(m.group(1)),
+                )
+        except (OSError, ValueError, TypeError):
             continue
-        if sf is not None and rec.get("sf") != sf:
-            continue
-        q = rec.get("queries")
-        if isinstance(q, dict) and q:
-            best, best_n = (
-                {k: float(v) for k, v in q.items()},
-                int(m.group(1)),
-            )
     return best
 
 

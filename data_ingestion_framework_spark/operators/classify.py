@@ -929,27 +929,38 @@ def _gate_wide(
     calibrated cut on the scored frame, then an id-keyed LEFT SEMI
     join back onto ``df`` (model too wide for plan constants — the
     survivors' ids are the only thing that crosses back)."""
+    if trainer == "sparse" and not 1 <= n_features <= SPARSE_FEATURES_MAX:
+        # refuse BEFORE the feature build materializes (the same
+        # discipline as quality_lr_pipeline's pre-check: the list
+        # trainer would raise anyway, but only after the checkpoint
+        # paid for the whole corpus-wide build)
+        raise ValueError(
+            f"quality_lr_gate: sparse n_features={n_features} outside "
+            f"[1, {SPARSE_FEATURES_MAX}] — use trainer='distributed' "
+            "for wider models"
+        )
     tr = hashed_token_features_sparse(
         df, text_col=text_col, n_features=n_features, id_col=id_col,
         label=label,
     ).localCheckpoint()
+    # score through the library scorers (one definition of the
+    # guard-and-dot block, not a hand-synced copy); the extra
+    # prob/pred columns are two pure expressions, dropped by the
+    # id-only selects below
     if trainer == "sparse":
         w, row_sum_max = _gd_train_sparse_with_stats(
             tr, n_features, iters, lr, id_col, "label",
             pre_materialized=True,
         )
-        maxw = max((abs(x) for x in w), default=0)
-        _guard_int64(maxw * row_sum_max, "quality_lr_gate sparse dot")
-        scored = _sparse_scores_units(tr, w, [id_col])
+        scored = linear_classifier_scores_sparse(
+            tr, w, id_col=id_col, label_col=None, row_sum_max=row_sum_max
+        )
     else:
         wdf, row_sum_max = _gd_train_sparse_distributed_with_stats(
             tr, iters, lr, id_col, "label", pre_materialized=True
         )
-        row = wdf.agg(F.max(F.abs(F.col("__w"))).alias("m")).first()
-        maxw = int(row["m"]) if row is not None and row["m"] is not None else 0
-        _guard_int64(maxw * row_sum_max, "quality_lr_gate distributed dot")
-        scored = _sparse_scores_units_frame(
-            tr, wdf, [id_col], broadcast=False
+        scored = linear_classifier_scores_sparse_frame(
+            tr, wdf, id_col=id_col, label_col=None, row_sum_max=row_sum_max
         )
     z = F.col("score_units")
     if keep_fraction is None:

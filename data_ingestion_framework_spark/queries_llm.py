@@ -6552,7 +6552,7 @@ def corpus_pipeline_calibrated(spark, sf_dir):
            FROM zf z JOIN documents d USING (doc_id)),
     {_keep_rank_cut_sql(3, 5, zf="sz", part="source,")}
     SELECT s.doc_id, s.source
-    FROM sz s JOIN cut USING (source)
+    FROM sz s JOIN cut ON s.source IS NOT DISTINCT FROM cut.source
     WHERE s.zu >= cut.t
     """,
 )
@@ -6600,7 +6600,7 @@ def docs_quality_calibrated_by_source(spark, sf_dir):
            FROM zf z JOIN documents d USING (doc_id)),
     {_keep_rank_cut_sql(1, 2, zf="sz", part="source,")}
     SELECT s.doc_id, s.source
-    FROM sz s JOIN cut USING (source)
+    FROM sz s JOIN cut ON s.source IS NOT DISTINCT FROM cut.source
     WHERE s.zu >= cut.t
     """,
 )

@@ -64,7 +64,10 @@ ROWS_ONLY = {
 #: Rotation ledger (r14): 6 of the 13-row never-driver-graded backlog
 #: rotated in this round (late_supplier_blame, promo_revenue_share,
 #: returned_item_customers, volume_shipping, docs_cap_per_source,
-#: corpus_vocab_top_terms) alongside the 3 new round-14 queries. The
+#: corpus_vocab_top_terms) alongside the 4 new round-14 queries
+#: (corpus_pipeline_calibrated, docs_quality_calibrated_by_source,
+#: docs_quality_calibrated_distributed,
+#: docs_quality_lr_distributed_auc). The
 #: gradeable never-graded backlog for FUTURE rotations — all
 #: local-green, mechanisms window-covered by siblings:
 #: linestatus_priority_counts, customer_order_histogram,

@@ -29,12 +29,6 @@ def _path_token_in(description: str, path: str) -> bool:
     ``difs [/data/t2]``) OR as a suffix (``/data/t`` inside
     ``difs [/backup/data/t]``) to the watched table, re-creating the
     masquerade the attribution logic exists to prevent."""
-    # a RELATIVE watched path must also refuse a preceding '/' —
-    # 'data/t' inside '/backup/data/t' is a left-extension; for an
-    # absolute path the leading '/' is part of the match itself, so a
-    # preceding '/' there is a (pathological) '//' doubling, not an
-    # extension of the watched name
-    left_block = "_-." + ("" if path.startswith("/") else "/")
     i = description.find(path)
     while i != -1:
         j = i + len(path)
@@ -42,9 +36,14 @@ def _path_token_in(description: str, path: str) -> bool:
             description[j].isalnum() or description[j] in "_-./"
         )
         # a preceding path character means the cited path extends the
-        # watched one LEFTWARDS (…/backup/data/t vs /data/t)
+        # watched one LEFTWARDS (…/backup/data/t vs /data/t). '/' is
+        # blocked for ABSOLUTE watched paths too: '/backup//data/t'
+        # (a doubled slash from concatenated path config, which the OS
+        # normalizes to /backup/data/t) is still a sibling masquerade,
+        # and attribution prefers a false negative (NULL backlog) over
+        # crediting the wrong table
         left_clean = i == 0 or not (
-            description[i - 1].isalnum() or description[i - 1] in left_block
+            description[i - 1].isalnum() or description[i - 1] in "_-./"
         )
         if right_clean and left_clean:
             return True

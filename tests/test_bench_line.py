@@ -132,3 +132,35 @@ def test_load_previous_timings_picks_highest_round(tmp_path):
     )
     assert load_previous_timings(str(tmp_path), 0.1) == {"a": 9.9}
     assert load_previous_timings(str(tmp_path), 0.001) is None
+    # the DRIVER's artifact shape nests the final line under 'parsed'
+    # ({n, rc, cpus, sf, tail, parsed: {...}}) — every real
+    # BENCH_r{N}.json looks like this; the guard must read it
+    (tmp_path / "BENCH_r14.json").write_text(
+        json.dumps(
+            {
+                "n": 14, "rc": 0, "sf": 0.1, "tail": "...",
+                "parsed": {"sf": 0.1, "queries": {"a": 7.7, "c": 1.1}},
+            }
+        )
+    )
+    assert load_previous_timings(str(tmp_path), 0.1) == {"a": 7.7, "c": 1.1}
+    # one malformed timing value skips THAT artifact, never crashes
+    (tmp_path / "BENCH_r15.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": None}})
+    )
+    assert load_previous_timings(str(tmp_path), 0.1) == {"a": 7.7, "c": 1.1}
+
+
+def test_load_previous_timings_reads_real_artifacts():
+    """The guard must actually fire against the repo's own committed
+    driver artifacts (the review-caught bug: the real shape nests
+    queries under 'parsed', so the top-level read returned None and
+    the guard was dead in production)."""
+    import os
+
+    from bench import load_previous_timings
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = load_previous_timings(repo, 0.1)
+    assert prev, "no baseline parsed from the committed BENCH_r*.json"
+    assert all(isinstance(v, float) for v in prev.values())

@@ -610,10 +610,15 @@ def test_quality_lr_gate_calibrated_keep_fraction(spark):
 def test_quality_lr_gate_calibrated_per_slice(spark):
     """Per-slice calibration (slice_col=): the same nearest-rank rule
     applied independently inside every slice value — witnessed
-    per-slice, with the trained model still one GLOBAL fit."""
+    per-slice, with the trained model still one GLOBAL fit. A NULL
+    slice forms its OWN slice (the null-safe cutoff join), it is not
+    dropped — witnessed by the doc_id-7 row."""
     df = spark.createDataFrame(
-        [(i, t, f"src{i % 2}") for i, t in CAL_DOCS],
-        ["doc_id", "text", "source"],
+        [
+            (i, t, None if i == 7 else f"src{i % 2}")
+            for i, t in CAL_DOCS
+        ],
+        "doc_id long, text string, source string",
     )
     label = (
         F.size(
@@ -636,10 +641,12 @@ def test_quality_lr_gate_calibrated_per_slice(spark):
         keep_fraction=(num, den), slice_col="source",
     )
     assert set(got.columns) == {"doc_id", "text", "source"}
+    slice_of = lambda d: None if d == 7 else f"src{d % 2}"
     want = set()
-    for s in ("src0", "src1"):
-        sl = {d: z for d, z in scored.items() if f"src{d % 2}" == s}
+    for s in ("src0", "src1", None):
+        sl = {d: z for d, z in scored.items() if slice_of(d) == s}
         want |= _py_keep_set(sl, num, den)
+    assert 7 in want  # the NULL slice keeps its own quantile
     assert {r["doc_id"] for r in got.collect()} == want
 
 

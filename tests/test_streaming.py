@@ -1523,3 +1523,7 @@ def test_path_token_matching_relative_watched_path_left_boundary():
     assert not _path_token_in("difs [/data/t]", "data/t")
     # the absolute form keeps matching through its own leading '/'
     assert _path_token_in("difs [/data/t]", "/data/t")
+    # ...but a doubled-slash left extension of an ABSOLUTE path is
+    # still a sibling masquerade (review r14: '/backup//data/t'
+    # OS-normalizes to /backup/data/t)
+    assert not _path_token_in("difs [/backup//data/t]", "/data/t")
