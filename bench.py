@@ -202,6 +202,10 @@ HEADLINE = [
     "volume_shipping",
     "docs_cap_per_source",
     "corpus_vocab_top_terms",
+    # round-14 3rd-wave entrants (Q4 / Q13 / Q18 shapes)
+    "linestatus_priority_counts",
+    "customer_order_histogram",
+    "large_quantity_orders",
 ]
 
 

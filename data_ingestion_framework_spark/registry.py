@@ -64,16 +64,17 @@ ROWS_ONLY = {
 #: Rotation ledger (r14): 6 of the 13-row never-driver-graded backlog
 #: rotated in this round (late_supplier_blame, promo_revenue_share,
 #: returned_item_customers, volume_shipping, docs_cap_per_source,
-#: corpus_vocab_top_terms) alongside the 4 new round-14 queries
-#: (corpus_pipeline_calibrated, docs_quality_calibrated_by_source,
+#: corpus_vocab_top_terms; a 3rd wave added
+#: linestatus_priority_counts, customer_order_histogram and
+#: large_quantity_orders — 9 backlog rows total) alongside the 4 new
+#: round-14 queries (corpus_pipeline_calibrated,
+#: docs_quality_calibrated_by_source,
 #: docs_quality_calibrated_distributed,
-#: docs_quality_lr_distributed_auc). The
-#: gradeable never-graded backlog for FUTURE rotations — all
-#: local-green, mechanisms window-covered by siblings:
-#: linestatus_priority_counts, customer_order_histogram,
-#: large_quantity_orders, brand_supplier_counts,
+#: docs_quality_lr_distributed_auc). The gradeable never-graded
+#: backlog for FUTURE rotations — all local-green, mechanisms
+#: window-covered by siblings: brand_supplier_counts,
 #: forecast_revenue_change, docs_chunk_windows,
-#: orders_above_customer_avg (7 Q-shape/doc-utility variants).
+#: orders_above_customer_avg (4 Q-shape/doc-utility variants).
 
 
 def bench_query(name: str, oracle: str | None = None):
@@ -145,14 +146,14 @@ _PRIORITY = [
     # three window reps (events_sessionize, events_range_join_counts,
     # streaming_daily_counts). Still in the full local gate.
     "events_session_purchase_overlap",
-    # ROUND-12 ROTATION: similarity_knn_join_topk (green r9-r11) cedes
-    # to the SPARSE fastText-width quality classifier (new this round:
-    # D=65536 long-format GD, a width the dense fold refuses); the
-    # cell-co-partitioned k-NN join mechanism stays window-graded via
-    # similarity_knn_join_pq, whose oracle composes the SAME
-    # deterministic cell join + exact rescore. Still in the full local
-    # gate.
-    "docs_quality_lr_sparse",
+    # ROUND-14 ROTATION (3rd wave): docs_quality_lr_sparse (green
+    # r12+r13) cedes to the Q4 linestatus/priority existence-count
+    # shape (semi-join + grouped counts — never driver-graded); the
+    # D=65536 sparse pipeline's VALUE SET is literally recomputed
+    # inside the in-window docs_quality_lr_sparse_auc (same trainer,
+    # same scores, plus the rank-sum tail), so the mechanism keeps a
+    # strict-superset window rep. Still in the full local gate.
+    "linestatus_priority_counts",
     # ROUND-12 ROTATION: graph_pagerank_interactions (green r9-r11)
     # cedes to top-2 PCA via deflation (new this round: the oracle
     # replays both von Mises passes plus the driver-side
@@ -162,14 +163,14 @@ _PRIORITY = [
     # graph_lpa_communities keeps the iterative-label join. Still in
     # the full local gate.
     "embeddings_pca2_proj",
-    # ROUND-12 ROTATION: orders_identity_state (green r8-r11) cedes to
-    # the Delta-export lifecycle (never driver-graded); the
-    # metadata-stamped-column family stays window-graded via
-    # orders_add_column_default_state (same spec-parse + backfill
-    # read path) and the surrogate-key generation family keeps
-    # customer_surrogate_scd1_state in-window. Still in the full
-    # local gate.
-    "orders_delta_export_state",
+    # ROUND-14 ROTATION (3rd wave): orders_delta_export_state (green
+    # r12+r13) cedes to the Q13 customer-order distribution shape
+    # (left outer join + two-level grouped histogram — never
+    # driver-graded); the export lifecycle's tx-log emission is
+    # pytest-pinned (test_delta_log round-trip) and the lifecycle
+    # family keeps FOUR window reps (version_diff, partition_evolution,
+    # widen, incremental_join). Still in the full local gate.
+    "customer_order_histogram",
     # ROUND-12 ROTATION: retrieval_rrf_hybrid (green r9-r11) cedes to
     # the ITERATED unigram-EM with vocabulary pruning (new this
     # round — the full Kudo trainer loop, its oracle unrolls three
@@ -343,13 +344,15 @@ _PRIORITY = [
     # events_incremental_rollup via events_incremental_partition_
     # rollup (the partition-scoped superset of the same commit-delta
     # refresh). All six stay in the full local gate.
-    # ROUND-12 ROTATION: orders_custkey_histogram (green r9-r11)
-    # cedes to the seasonal-anomaly detector (never driver-graded);
-    # the dataset-distribution DQ family stays window-graded via
-    # dq_violation_counts (rule + dataset DQ composite) and the
-    # equi-depth bucket math is pytest-pinned. Still in the full
-    # local gate.
-    "events_seasonal_anomalies",
+    # ROUND-14 ROTATION (3rd wave): events_seasonal_anomalies (green
+    # r12+r13) cedes to the Q18 large-quantity-orders shape (HAVING
+    # over a grouped sum feeding a semi-join — never driver-graded);
+    # the seasonal-baseline z-score mechanism is pytest-pinned
+    # (test_timeseries) and the events window/agg family keeps FIVE
+    # reps in-window (sessionize, range_join_counts,
+    # session_purchase_overlap, pattern_topk, cm_user_counts). Still
+    # in the full local gate.
+    "large_quantity_orders",
     # ROUND-14 ROTATION: disjunctive_promo_revenue (green r9-r13)
     # cedes to the Q14 promo-revenue-share sibling (conditional agg
     # over the same part⋈lineitem join — never driver-graded); the
@@ -612,8 +615,12 @@ _PRIORITY = [
     # (test_writers). Still in the full local gate.
     "docs_quality_lr_distributed",
     # end of the 50-query driver window
-    # the ten rows ceded by the round-14 rotation (driver-green 3-8
-    # rounds; mechanisms window-covered per the notes above)
+    # the thirteen rows ceded by the round-14 rotation across three
+    # waves (driver-green 2-8 rounds; mechanisms window-covered per
+    # the notes above)
+    "docs_quality_lr_sparse",
+    "orders_delta_export_state",
+    "events_seasonal_anomalies",
     "orders_add_column_default_state",
     "orders_merge_not_matched_state",
     "disjunctive_promo_revenue",

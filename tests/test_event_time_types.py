@@ -282,9 +282,10 @@ def test_driver_grading_window_covers_priority_queries():
         # per-source calibrated cut; default-column reads pytest-pinned,
         # lifecycle family keeps five window reps)
         "docs_quality_calibrated_distributed",
-        # r12: orders_custkey_histogram ceded to the seasonal-anomaly
-        # detector (dataset-DQ family stays via dq_violation_counts)
-        "events_seasonal_anomalies",
+        # r14 3rd wave: events_seasonal_anomalies ceded to the Q18
+        # HAVING-sum semi-join shape (seasonal z-score pytest-pinned;
+        # events family keeps five window reps)
+        "large_quantity_orders",
         # r14: disjunctive_promo_revenue ceded to the Q14
         # promo-revenue-share sibling (OR-of-ANDs pushdown is
         # plan-audit pinned; star joins stay via market_share)
@@ -341,13 +342,14 @@ def test_driver_grading_window_covers_priority_queries():
         # document quota (stats skipping pytest-pinned; lifecycle
         # family keeps six window reps)
         "docs_cap_per_source",
-        # r12: orders_identity_state ceded to the Delta-export
-        # lifecycle (stamped-column family stays via
-        # orders_add_column_default_state)
-        "orders_delta_export_state",
-        # r12: similarity_knn_join_topk ceded to the sparse
-        # fastText-width classifier (cell join stays via knn_join_pq)
-        "docs_quality_lr_sparse",
+        # r14 3rd wave: orders_delta_export_state ceded to the Q13
+        # histogram shape (tx-log emission pytest-pinned; lifecycle
+        # family keeps four window reps)
+        "customer_order_histogram",
+        # r14 3rd wave: docs_quality_lr_sparse ceded to the Q4
+        # existence-count shape (its value set is recomputed verbatim
+        # inside the in-window docs_quality_lr_sparse_auc)
+        "linestatus_priority_counts",
         "customer_surrogate_scd1_state",
         # r12: retrieval_rrf_hybrid ceded to the iterated unigram-EM
         # with pruning (BM25 arm stays via docs_chunk_bm25_topk)
