@@ -206,6 +206,9 @@ HEADLINE = [
     "linestatus_priority_counts",
     "customer_order_histogram",
     "large_quantity_orders",
+    # reliability-diagram/ECE gauge over the trained dense model (the
+    # delta over docs_quality_lr_scores is one ≤B-row aggregation)
+    "docs_quality_lr_calibration",
 ]
 
 

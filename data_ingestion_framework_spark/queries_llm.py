@@ -6215,6 +6215,59 @@ def docs_quality_lr_auc(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Reliability-diagram / ECE calibration gauge (operators/classify.py
+# calibration_report): per-probability-bin predicted-vs-empirical
+# rates for the trained quality model — the trust check before the
+# model's probabilities drive sampling weights. Bin membership is
+# exact integer arithmetic over micro-unit probabilities
+# (min(B−1, pu·B div 1e6)), so no float boundary can move a row
+# across bins between engines; the oracle reuses the dense GD unroll
+# and replays the identical binning and the same division trees.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_quality_lr_calibration",
+    oracle=f"""
+    WITH {_QLR_GD_CTES},
+    pr AS (SELECT y,
+                  CAST(ROUND(ROUND(0.5 + (zu/1000000.0)/(2*(1+abs(zu/1000000.0))), 6)
+                             * 1000000.0) AS BIGINT) AS pu
+           FROM zf),
+    bi AS (SELECT CASE WHEN (pu*100)//1000000 > 99 THEN 99
+                       ELSE (pu*100)//1000000 END AS bin, y, pu
+           FROM pr)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(SUM(pu) / (COUNT(*) * 1000000.0), 6) AS avg_prob,
+           ROUND(SUM(y) * 1.0 / COUNT(*), 6) AS pos_rate,
+           ROUND(abs(ROUND(SUM(pu) / (COUNT(*) * 1000000.0), 6)
+                     - ROUND(SUM(y) * 1.0 / COUNT(*), 6)), 6) AS gap
+    FROM bi GROUP BY bin
+    """,
+)
+def docs_quality_lr_calibration(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import classify
+
+    docs = load(spark, sf_dir, "documents")
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    scored = classify.quality_lr_pipeline(
+        docs, label, n_features=16, iters=2, lr=0.5
+    )
+    # B=100: the rational-sigmoid surrogate compresses a 2-step
+    # model's probabilities into [0.93, 1.0) — centile bins resolve
+    # that range into a real diagram where decile bins collapse to one
+    return classify.calibration_report(scored, bins=100)
+
+
+# ---------------------------------------------------------------------------
 # SPARSE wide-feature quality classifier (operators/classify.py
 # hashed_token_features_sparse + gd_train_linear_units_sparse): the
 # fastText-width path — D = 65536 hash buckets, a width the dense

@@ -479,13 +479,16 @@ _PRIORITY = [
     # the same cluster-then-dedup stage) and hybrid_dedup_clusters
     # (embedding near-dup edges). Still in the full local gate.
     "orders_partition_evolution_state",
-    # ROUND-12 ROTATION: graph_supplier_triangles (green r9-r11)
-    # cedes to the incremental-join lifecycle (never driver-graded);
-    # the degree-oriented wedge enumeration stays window-graded via
-    # graph_clustering_coefficients (per-node triangle membership
-    # over the SAME low-degree-side enumeration — a strict superset).
-    # Still in the full local gate.
-    "orders_incremental_join_state",
+    # ROUND-14 ROTATION (4th wave): orders_incremental_join_state
+    # (green r12+r13) cedes to the reliability-diagram/ECE calibration
+    # gauge (NEW this round — per-bin predicted-vs-empirical rates for
+    # the trained model, exact integer centile binning; completes the
+    # classifier gauge family next to AUC); the commit-cursor
+    # read_since mechanism stays window-graded via
+    # embeddings_ivf_index_state (the same incremental-cursor +
+    # O(delta)-refresh discipline) and the join-refresh composition is
+    # pytest-pinned (test_incremental). Still in the full local gate.
+    "docs_quality_lr_calibration",
     # ROUND-9 ROTATION (2nd wave): hybrid_dedup_clusters (green
     # r6+r7) cedes to label-propagation communities — the same
     # iterative-label-join machinery generalized (CC IS min-label
@@ -615,9 +618,10 @@ _PRIORITY = [
     # (test_writers). Still in the full local gate.
     "docs_quality_lr_distributed",
     # end of the 50-query driver window
-    # the thirteen rows ceded by the round-14 rotation across three
+    # the fourteen rows ceded by the round-14 rotation across four
     # waves (driver-green 2-8 rounds; mechanisms window-covered per
     # the notes above)
+    "orders_incremental_join_state",
     "docs_quality_lr_sparse",
     "orders_delta_export_state",
     "events_seasonal_anomalies",

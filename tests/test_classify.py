@@ -732,6 +732,35 @@ def test_quality_lr_gate_calibrated_guards(spark):
     assert out.count() == 0
 
 
+def test_calibration_report_witness(spark):
+    """Reliability/ECE gauge: exact per-bin counts, probability means
+    and gaps against a hand-computed witness — including the prob=1.0
+    row clamping into the TOP bin, a NULL label and a NULL prob being
+    excluded (the classifier_auc rule), and the bins>=1 guard."""
+    rows = [
+        # (label, prob): bins of B=4 -> [0,.25) [.25,.5) [.5,.75) [.75,1]
+        (1, 0.10), (0, 0.20),          # bin 0: avg .15, pos_rate .5
+        (1, 0.60),                      # bin 2: avg .6, pos_rate 1.0
+        (0, 0.75), (1, 1.00),           # bin 3: avg .875, pos_rate .5
+        (None, 0.99), (1, None),        # excluded
+    ]
+    df = spark.createDataFrame(rows, "label int, prob double")
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["avg_prob"], r["pos_rate"], r["gap"])
+        for r in classify.calibration_report(df, bins=4).collect()
+    }
+    assert got == {
+        0: (2, 1, 0.15, 0.5, 0.35),
+        2: (1, 1, 0.6, 1.0, 0.4),
+        3: (2, 1, 0.875, 0.5, 0.375),
+    }
+    try:
+        classify.calibration_report(df, bins=0)
+        raise AssertionError("expected ValueError on bins=0")
+    except ValueError:
+        pass
+
+
 def test_distributed_trainer_matches_list_trainer(spark):
     """gd_train_sparse_distributed (weights as a DataFrame, the
     width-unbounded tier past SPARSE_FEATURES_MAX) must produce

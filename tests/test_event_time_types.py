@@ -207,10 +207,10 @@ def test_driver_grading_window_covers_priority_queries():
         # r8: semantic_dedup_keep ceded to the partition-evolution
         # lifecycle (SemDeDup runs inside embeddings_pipeline_curated)
         "orders_partition_evolution_state",
-        # r12: graph_supplier_triangles ceded to the incremental-join
-        # lifecycle (wedge enumeration stays via clustering
-        # coefficients, its strict superset)
-        "orders_incremental_join_state",
+        # r14 4th wave: orders_incremental_join_state ceded to the
+        # reliability/ECE calibration gauge (read_since cursor stays
+        # via embeddings_ivf_index_state; join refresh pytest-pinned)
+        "docs_quality_lr_calibration",
         # r9 2nd wave: hybrid clusters ceded to LPA communities
         "graph_lpa_communities",
         # r9 4th wave: orders_copy_into_state ceded to the persisted
