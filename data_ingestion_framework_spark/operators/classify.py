@@ -762,15 +762,25 @@ def calibration_report(
     map-side-combined groupBy over ≤ ``bins`` result rows — a pure
     aggregation scan, nothing driver-side.
 
-    Returns ``(bin, n, n_pos, avg_prob, pos_rate, gap)`` sorted by
-    ``bin`` implicitly via the group key (empty bins are absent, as
-    in a standard reliability diagram)."""
-    if bins < 1:
-        raise ValueError(f"calibration_report: bins={bins} < 1")
+    Returns ``(bin, n, n_pos, avg_prob, pos_rate, gap)``; empty bins
+    are absent, as in a standard reliability diagram, and row ORDER is
+    unspecified (hash aggregation) — ``orderBy("bin")`` before any
+    positional consumption."""
+    if not 1 <= bins <= UNIT_SCALE:
+        # the exactness argument below needs bins ≤ 1e6: past it
+        # pu·bins can leave the 2^53-exact double range and the
+        # floor-over-division could disagree with the oracle's
+        # integer // — refuse loudly instead of drifting silently
+        # (1e6 one-row bins is also past any diagram's usefulness)
+        raise ValueError(
+            f"calibration_report: bins={bins} outside [1, {UNIT_SCALE}]"
+        )
     pu = F.round(F.col(prob_col) * F.lit(float(UNIT_SCALE))).cast("bigint")
-    # pu·bins ≤ 1e7 ≪ 2^53, and the true quotient sits ≥ 1e-6 from any
-    # integer it isn't exactly equal to — so floor over the correctly
-    # rounded double IS the integer division the oracle spells as //
+    # pu ≤ 1e6 and bins ≤ 1e6, so pu·bins ≤ 1e12 ≪ 2^53 (exact), and
+    # the true quotient pu·bins/1e6 sits ≥ 1e-6 away from any integer
+    # it doesn't exactly equal, while the correctly-rounded double is
+    # within ~2.3e-10 ulp — so floor over the double IS the integer
+    # division the oracle spells as //
     b = F.least(
         F.lit(int(bins) - 1).cast("bigint"),
         F.floor((pu * F.lit(int(bins))) / F.lit(UNIT_SCALE)).cast("bigint"),

@@ -66,11 +66,12 @@ ROWS_ONLY = {
 #: returned_item_customers, volume_shipping, docs_cap_per_source,
 #: corpus_vocab_top_terms; a 3rd wave added
 #: linestatus_priority_counts, customer_order_histogram and
-#: large_quantity_orders — 9 backlog rows total) alongside the 4 new
+#: large_quantity_orders — 9 backlog rows total) alongside the 5 new
 #: round-14 queries (corpus_pipeline_calibrated,
 #: docs_quality_calibrated_by_source,
 #: docs_quality_calibrated_distributed,
-#: docs_quality_lr_distributed_auc). The gradeable never-graded
+#: docs_quality_lr_distributed_auc, docs_quality_lr_calibration) —
+#: 14 rotations across four waves. The gradeable never-graded
 #: backlog for FUTURE rotations — all local-green, mechanisms
 #: window-covered by siblings: brand_supplier_counts,
 #: forecast_revenue_change, docs_chunk_windows,
@@ -168,8 +169,10 @@ _PRIORITY = [
     # (left outer join + two-level grouped histogram — never
     # driver-graded); the export lifecycle's tx-log emission is
     # pytest-pinned (test_delta_log round-trip) and the lifecycle
-    # family keeps FOUR window reps (version_diff, partition_evolution,
-    # widen, incremental_join). Still in the full local gate.
+    # family keeps THREE window reps (version_diff,
+    # partition_evolution, widen — the r14 waves rotated the other
+    # lifecycle rows out; their mechanisms are pytest-pinned). Still
+    # in the full local gate.
     "customer_order_histogram",
     # ROUND-12 ROTATION: retrieval_rrf_hybrid (green r9-r11) cedes to
     # the ITERATED unigram-EM with vocabulary pruning (new this
@@ -183,8 +186,8 @@ _PRIORITY = [
     # stream-stream interval join (the first streaming JOIN under the
     # oracle gate); interval reconstruction is pytest-pinned
     # (test_as_of_reconstruction) and pre-commit history reads keep
-    # window reps (orders_stats_skipping_state + orders_version_diff_
-    # state; delete_dv and replace_where ceded in r11/r13).
+    # orders_version_diff_state in-window (stats_skipping ceded in
+    # r14; delete_dv and replace_where ceded in r11/r13).
     "streaming_click_purchase_join",
     "dq_violation_counts",
     # never driver-graded: window/agg composites
@@ -254,9 +257,9 @@ _PRIORITY = [
     # survivors via semi-join; the oracle replays the width-
     # parameterized GD unroll AND the per-slice rank selection); the
     # metadata-default lifecycle read path stays pytest-pinned
-    # (test_tablestore) and the lifecycle family keeps FIVE window
-    # reps (version_diff, partition_evolution, delta_export, widen,
-    # incremental_join). Still in the full local gate.
+    # (test_tablestore) and the lifecycle family keeps THREE window
+    # reps (version_diff, partition_evolution, widen). Still in the
+    # full local gate.
     "docs_quality_calibrated_distributed",
     # ROUND-9 ROTATION: orders_merge_into_state (green r6+r7) cedes
     # to distributed BPE training; the generic MERGE executor stays
@@ -538,9 +541,10 @@ _PRIORITY = [
     # (docs_cap_per_source — the pipeline stage as a standalone row,
     # never driver-graded); the min/max stats-skipping + delete_where
     # COW machinery stays pytest-pinned (test_tablestore) and the
-    # lifecycle family keeps SIX window reps (version_diff,
-    # partition_evolution, add_column_default, delta_export, widen,
-    # incremental_join). Still in the full local gate.
+    # lifecycle family keeps window reps version_diff,
+    # partition_evolution and widen (the other lifecycle rows rotated
+    # out across the r14 waves, pytest-pinned). Still in the full
+    # local gate.
     "docs_cap_per_source",
     # ROUND-5 BUILD ROTATION: ten r4-green rows cede their slots to the
     # ten new-in-round-5 oracle-backed queries (inserted before the
@@ -611,9 +615,9 @@ _PRIORITY = [
     # weights as a bucket-keyed DataFrame, run at D = 2^22 — four
     # times the list trainer's enforced cap — under the same
     # long-format GD unroll oracle); the COW statement/lifecycle
-    # family keeps SEVEN window reps (stats_skipping — which executes
-    # the same delete_where path — partition_evolution, version_diff,
-    # add_column_default, delta_export, widen, incremental_join) and
+    # family keeps window reps (at r14's end: version_diff,
+    # partition_evolution, widen; the rest rotated out across the
+    # r14 waves with pytest pins) and
     # the replaceWhere predicate-scope semantics are pytest-pinned
     # (test_writers). Still in the full local gate.
     "docs_quality_lr_distributed",

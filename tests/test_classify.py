@@ -754,11 +754,12 @@ def test_calibration_report_witness(spark):
         2: (1, 1, 0.6, 1.0, 0.4),
         3: (2, 1, 0.875, 0.5, 0.375),
     }
-    try:
-        classify.calibration_report(df, bins=0)
-        raise AssertionError("expected ValueError on bins=0")
-    except ValueError:
-        pass
+    for bad in (0, 10**6 + 1):
+        try:
+            classify.calibration_report(df, bins=bad)
+            raise AssertionError(f"expected ValueError on bins={bad}")
+        except ValueError:
+            pass
 
 
 def test_distributed_trainer_matches_list_trainer(spark):

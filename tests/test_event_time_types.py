@@ -246,7 +246,8 @@ def test_driver_grading_window_covers_priority_queries():
         "returned_item_customers",
         # r13: orders_replace_where_state ceded to the
         # distributed-weights sparse trainer at D=2^22 (lifecycle
-        # family keeps seven window reps; replaceWhere pytest-pinned)
+        # family keeps version_diff/partition_evolution/widen after
+        # the r14 waves; replaceWhere pytest-pinned)
         "docs_quality_lr_distributed",
         # round-6 rotation: the four never-driver-graded round-5
         # queries plus this round's two new surfaces
@@ -280,7 +281,7 @@ def test_driver_grading_window_covers_priority_queries():
         # r14 2nd wave: orders_add_column_default_state ceded to the
         # full CCNet deployment shape (D=2^21 distributed weights +
         # per-source calibrated cut; default-column reads pytest-pinned,
-        # lifecycle family keeps five window reps)
+        # lifecycle family keeps version_diff/partition_evolution/widen)
         "docs_quality_calibrated_distributed",
         # r14 3rd wave: events_seasonal_anomalies ceded to the Q18
         # HAVING-sum semi-join shape (seasonal z-score pytest-pinned;
@@ -340,11 +341,11 @@ def test_driver_grading_window_covers_priority_queries():
         "events_pattern_topk",
         # r14: orders_stats_skipping_state ceded to the per-source
         # document quota (stats skipping pytest-pinned; lifecycle
-        # family keeps six window reps)
+        # family keeps version_diff/partition_evolution/widen)
         "docs_cap_per_source",
         # r14 3rd wave: orders_delta_export_state ceded to the Q13
         # histogram shape (tx-log emission pytest-pinned; lifecycle
-        # family keeps four window reps)
+        # family keeps version_diff/partition_evolution/widen)
         "customer_order_histogram",
         # r14 3rd wave: docs_quality_lr_sparse ceded to the Q4
         # existence-count shape (its value set is recomputed verbatim
