@@ -707,6 +707,60 @@ def test_quality_lr_gate_wide_tiers_match_scored_filter(spark):
     assert {r["doc_id"] for r in kept_s.collect()} == want
 
 
+def test_calibrated_cut_property(spark):
+    """Property form of the nearest-rank cut primitives on arbitrary
+    integer score multisets (heavy ties, negatives, singletons) and
+    arbitrary fractions — the selection math alone, no trainer: both
+    the global rank-primitive path and the slice-partitioned window
+    path must equal the Python witness."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_ingestion_framework_spark.operators.classify import (
+        _calibrated_cut_by_slice,
+        _calibrated_cut_global,
+    )
+
+    scores_st = st.lists(
+        st.integers(min_value=-5, max_value=5), min_size=1, max_size=24
+    )
+    frac_st = st.integers(min_value=1, max_value=8).flatmap(
+        lambda den: st.tuples(st.integers(min_value=1, max_value=den),
+                              st.just(den))
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(scores=scores_st, frac=frac_st)
+    def run(scores, frac):
+        num, den = frac
+        rows = [(i, z, f"s{i % 2}") for i, z in enumerate(scores)]
+        df = spark.createDataFrame(rows, "id long, z long, sl string")
+        got = {
+            r["id"]
+            for r in _calibrated_cut_global(
+                df, F.col("z"), num, den
+            ).collect()
+        }
+        assert got == _py_keep_set({i: z for i, z, _ in rows}, num, den)
+        got_s = {
+            r["id"]
+            for r in _calibrated_cut_by_slice(
+                df, F.col("z"), num, den, "sl"
+            ).collect()
+        }
+        want = set()
+        for s in {sl for _, _, sl in rows}:
+            sub = {i: z for i, z, sl in rows if sl == s}
+            want |= _py_keep_set(sub, num, den)
+        assert got_s == want
+
+    run()
+
+
 def test_quality_lr_gate_calibrated_guards(spark):
     """Mode guards: keep_fraction excludes min_score_units; slice_col
     without keep_fraction is meaningless; fractions outside (0, 1]
