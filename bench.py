@@ -243,6 +243,11 @@ def load_previous_timings(
         try:
             with open(os.path.join(repo_dir, f)) as fh:
                 rec = json.load(fh)
+            if not isinstance(rec, dict):
+                # valid-but-non-object JSON (a bare list/number) would
+                # raise AttributeError on .get below — the docstring's
+                # "skipped, never fatal" contract covers it too
+                continue
             if isinstance(rec.get("parsed"), dict):
                 rec = rec["parsed"]
             if sf is not None and rec.get("sf") != sf:

@@ -814,6 +814,183 @@ def calibration_report(
     )
 
 
+#: 2^53 — the largest double-exact integer magnitude; temperature
+#: scaling converts BIGINT logit units to doubles, so the product
+#: z_units·t_den must stay below it for the conversion to be exact.
+_DOUBLE_EXACT_MAX = 1 << 53
+
+
+def temperature_scaled_probs(
+    scored: DataFrame,
+    t_num: int,
+    t_den: int,
+    score_col: str = "score_units",
+    out_col: str = "prob_t",
+) -> DataFrame:
+    """Append the temperature-scaled probability ``σ(z/T)`` for the
+    rational temperature ``T = t_num/t_den`` — the APPLY arm of
+    :func:`temperature_fit` (post-hoc calibration, Guo et al. 2017:
+    one scalar divides the logit; T > 1 softens overconfident
+    probabilities, T < 1 sharpens).
+
+    Cross-engine exactness: ``z/T = (z_units·t_den) / (t_num·1e6)`` —
+    the numerator is an exact BIGINT (guarded below 2^53 so the
+    double conversion is exact), the denominator an exact small
+    double, the division one IEEE op; the rational-sigmoid surrogate
+    then uses only +, |·|, / — identical doubles on any engine, same
+    contract as the scorers. ``T = 1`` reproduces the scorer's
+    ``prob`` bit-for-bit."""
+    if t_num < 1 or t_den < 1:
+        raise ValueError(
+            f"temperature_scaled_probs: T = {t_num}/{t_den} must be a "
+            "positive rational"
+        )
+    row = scored.agg(F.max(F.abs(F.col(score_col)))).first()
+    maxzu = int(row[0]) if row is not None and row[0] is not None else 0
+    if maxzu * t_den >= _DOUBLE_EXACT_MAX:
+        raise ValueError(
+            f"temperature_scaled_probs: |score|·t_den = {maxzu}·{t_den} "
+            "exceeds 2^53 — the double conversion would round and the "
+            "cross-engine exactness contract breaks"
+        )
+    z = (F.col(score_col) * F.lit(int(t_den))).cast("double") / (
+        F.lit(float(t_num)) * F.lit(float(UNIT_SCALE))
+    )
+    prob = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+    return scored.select("*", F.round(prob, 6).alias(out_col))
+
+
+def temperature_fit(
+    scored: DataFrame,
+    temps: list[tuple[int, int]] = (
+        (1, 2),
+        (2, 3),
+        (1, 1),
+        (3, 2),
+        (2, 1),
+        (3, 1),
+    ),
+    label_col: str = "label",
+    score_col: str = "score_units",
+    bins: int = 100,
+) -> DataFrame:
+    """Temperature-scaling calibration FIT (Guo et al. 2017's
+    one-parameter post-hoc fix): grid-search over rational
+    temperatures ``T = t_num/t_den``, choosing the one that minimizes
+    the expected calibration error under
+    :func:`calibration_report`'s exact integer binning — the remedial
+    arm of the ECE gauge (gauge says the model lies; this picks the
+    T that makes its probabilities honest).
+
+    Exactness end to end, so a SQL oracle replays SELECTION, not just
+    application: per T the scaled probability is
+    ``σ((z_units·t_den)/(t_num·1e6))`` (exact BIGINT numerator
+    guarded under 2^53, one IEEE division, the rational sigmoid — no
+    transcendentals), rounded 6 and quantized to micro-units; bin
+    membership is the gauge's pure-integer rule
+    ``min(bins−1, pu·bins div 1e6)``; the per-bin gap quantizes to
+    integer micro-units ``gap6 = round(|avg_prob − pos_rate|·1e6)``;
+    and the SELECTION metric is the exact BIGINT ``Σ_bins n·gap6`` —
+    every candidate shares the same row count N, so the argmin needs
+    NO division at all (ECE = Σ n·gap6 / (N·1e6) is monotone in the
+    sum). Ties break on ``(t_num, t_den)`` ascending — deterministic
+    on any engine.
+
+    ``temps`` must contain ``(1, 1)``: the reported ``ece_before`` is
+    the unscaled model's ECE, and having T=1 in the grid guarantees
+    ``ece_after <= ece_before`` by construction (the argmin can
+    always keep the identity temperature).
+
+    Scale shape: ONE aggregation job — the scored frame cross-joins
+    the broadcast |T|-row grid (|T|× scan cost, one pass — cheaper
+    than |T| separate passes), map-side combines to ≤ |T|·bins rows,
+    reduces to |T| ECE rows, and the argmin is a bounded
+    TakeOrdered over those |T| rows. Nothing driver-side but the
+    guard stats. Rows with a NULL score or NULL label are excluded
+    (the gauge's rule). An EMPTY input returns an empty frame.
+
+    Returns ONE row ``(t_num, t_den, ece_before, ece_after)``."""
+    if not 1 <= bins <= UNIT_SCALE:
+        raise ValueError(
+            f"temperature_fit: bins={bins} outside [1, {UNIT_SCALE}]"
+        )
+    tl = [(int(tn), int(td)) for tn, td in temps]
+    if not tl or any(tn < 1 or td < 1 for tn, td in tl):
+        raise ValueError(
+            "temperature_fit: temps must be non-empty positive rationals"
+        )
+    if len(set(tl)) != len(tl):
+        raise ValueError("temperature_fit: duplicate temperatures in grid")
+    if (1, 1) not in tl:
+        raise ValueError(
+            "temperature_fit: the grid must contain (1, 1) — ece_before "
+            "is the unscaled ECE and guarantees ece_after <= ece_before"
+        )
+    base = scored.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("int").alias("__y"),
+        F.col(score_col).cast("bigint").alias("__zu"),
+    )
+    row = base.agg(F.max(F.abs(F.col("__zu")))).first()
+    maxzu = int(row[0]) if row is not None and row[0] is not None else 0
+    max_td = max(td for _, td in tl)
+    if maxzu * max_td >= _DOUBLE_EXACT_MAX:
+        raise ValueError(
+            f"temperature_fit: |score|·t_den = {maxzu}·{max_td} exceeds "
+            "2^53 — the double conversion would round"
+        )
+    spark = scored.sparkSession
+    tdf = F.broadcast(spark.createDataFrame(tl, "tn int, td int"))
+    j = base.crossJoin(tdf)
+    z = (F.col("__zu") * F.col("td")).cast("double") / (
+        F.col("tn").cast("double") * F.lit(float(UNIT_SCALE))
+    )
+    prob = F.round(
+        F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z))), 6
+    )
+    pu = F.round(prob * F.lit(float(UNIT_SCALE))).cast("bigint")
+    b = F.least(
+        F.lit(int(bins) - 1).cast("bigint"),
+        F.floor((pu * F.lit(int(bins))) / F.lit(UNIT_SCALE)).cast("bigint"),
+    )
+    per = j.groupBy("tn", "td", b.alias("__bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(F.col("__y")).cast("bigint").alias("__np"),
+        F.sum(pu).alias("__spu"),
+    )
+    avg_prob = F.round(
+        F.col("__spu").cast("double")
+        / (F.col("__n").cast("double") * F.lit(float(UNIT_SCALE))),
+        6,
+    )
+    pos_rate = F.round(
+        F.col("__np").cast("double") / F.col("__n").cast("double"), 6
+    )
+    gap6 = F.round(
+        F.abs(avg_prob - pos_rate) * F.lit(float(UNIT_SCALE))
+    ).cast("bigint")
+    ece = per.groupBy("tn", "td").agg(
+        F.sum(F.col("__n") * gap6).alias("__esum"),
+        F.sum("__n").alias("__nn"),
+    )
+    chosen = ece.orderBy("__esum", "tn", "td").limit(1)
+    before = ece.where((F.col("tn") == 1) & (F.col("td") == 1)).select(
+        F.col("__esum").alias("__eb"), F.col("__nn").alias("__nb")
+    )
+    ece_expr = lambda s, n: F.round(  # noqa: E731
+        F.col(s).cast("double")
+        / (F.col(n).cast("double") * F.lit(float(UNIT_SCALE))),
+        6,
+    )
+    return chosen.crossJoin(before).select(
+        F.col("tn").alias("t_num"),
+        F.col("td").alias("t_den"),
+        ece_expr("__eb", "__nb").alias("ece_before"),
+        ece_expr("__esum", "__nn").alias("ece_after"),
+    )
+
+
 def quality_lr_pipeline(
     df: DataFrame,
     label: Column,
@@ -946,7 +1123,14 @@ def quality_lr_gate(
     (empty) frame unchanged rather than raising: the upstream pipeline
     may legitimately filter every row away, and the gate-less pipeline
     (and the DuckDB oracle, whose GD unroll over an empty subquery
-    yields an empty join) both return empty there."""
+    yields an empty join) both return empty there.
+
+    Precondition: ``id_col`` values must be UNIQUE. The dense tier is
+    a per-row expression and tolerates duplicates, but the sparse /
+    distributed tiers build features by ``groupBy(id)`` (duplicate ids
+    would merge into one feature row) and deploy by an id-keyed
+    left-semi join (every copy of an id survives if any does) — the
+    tier==filter parity contract only holds over unique ids."""
     if keep_fraction is not None:
         num, den = int(keep_fraction[0]), int(keep_fraction[1])
         if not 0 < num <= den:
@@ -1013,6 +1197,22 @@ def _gate_wide(
     calibrated cut on the scored frame, then an id-keyed LEFT SEMI
     join back onto ``df`` (model too wide for plan constants — the
     survivors' ids are the only thing that crosses back)."""
+    if slice_col is not None and slice_col in (
+        id_col,
+        "score_units",
+        "prob",
+        "pred",
+    ):
+        # the per-slice cut joins scored (id, score_units, prob, pred)
+        # with df.select(id, slice) — a slice column named like the
+        # scorer's outputs (or the id itself) would hit an ambiguous-
+        # column error deep inside the join; refuse with the real reason
+        raise ValueError(
+            f"quality_lr_gate: slice_col {slice_col!r} collides with "
+            f"the id column or the scorer's output columns "
+            "('score_units', 'prob', 'pred') at the sparse/distributed "
+            "tiers — rename the slice column first"
+        )
     if trainer == "sparse" and not 1 <= n_features <= SPARSE_FEATURES_MAX:
         # refuse BEFORE the feature build materializes (the same
         # discipline as quality_lr_pipeline's pre-check: the list

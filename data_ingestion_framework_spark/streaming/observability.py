@@ -45,6 +45,18 @@ def _path_token_in(description: str, path: str) -> bool:
         left_clean = i == 0 or not (
             description[i - 1].isalnum() or description[i - 1] in "_-./"
         )
+        # a URI scheme's empty-authority doubled slash ('file:///data/t',
+        # 'hdfs:///data/t') or a scheme-colon slash ('file:/data/t' with
+        # a relative watched path) puts a '/' immediately left of the
+        # match without naming a DIFFERENT parent directory — that '/'
+        # is a clean boundary, not a sibling masquerade. A doubled
+        # slash AFTER a non-empty authority ('s3a://bucket//data/t')
+        # stays blocked: there the bucket really is a distinct parent
+        # (the documented false-negative tradeoff).
+        if not left_clean and (
+            description[:i].endswith("://") or description[:i].endswith(":/")
+        ):
+            left_clean = True
         if right_clean and left_clean:
             return True
         i = description.find(path, i + 1)

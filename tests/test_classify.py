@@ -946,3 +946,152 @@ def test_exact_cumulative_counts_on_string_values(spark):
         run += c
         want[v] = run
     assert got == want and total == run
+
+def _witness_ece_units(rows, tn, td, bins):
+    """Python twin of temperature_fit's per-T selection metric: the
+    exact integer Σ_bins n·gap6 (and N) over (label, score_units)
+    rows — op-for-op the Spark expressions (HALF_UP rounds, integer
+    binning)."""
+    from data_ingestion_framework_spark.operators.similarity import (
+        _round6_half_up,
+    )
+
+    per = {}
+    for y, zu in rows:
+        z = (zu * td) / (tn * 1e6)
+        p = _round6_half_up(0.5 + z / (2.0 * (1.0 + abs(z))))
+        pu = classify._round_half_up(p * 1e6)
+        b = min(bins - 1, (pu * bins) // 10**6)
+        n, np_, spu = per.get(b, (0, 0, 0))
+        per[b] = (n + 1, np_ + y, spu + pu)
+    esum, total = 0, 0
+    for n, np_, spu in per.values():
+        avg = _round6_half_up(spu / (n * 1e6))
+        rate = _round6_half_up(np_ / n)
+        esum += n * classify._round_half_up(abs(avg - rate) * 1e6)
+        total += n
+    return esum, total
+
+
+def test_temperature_fit_matches_python_witness(spark):
+    """temperature_fit must pick the grid T with the smallest exact
+    integer Σ n·gap6 (ties on (t_num, t_den)), report ece_before as
+    the T=1 ECE, and satisfy ece_after <= ece_before by construction.
+    Witness replays every candidate's binned ECE in plain Python."""
+    from data_ingestion_framework_spark.operators.similarity import (
+        _round6_half_up,
+    )
+
+    rows = [
+        (1, 40_000_000), (1, 9_000_000), (0, 6_000_000), (1, 2_500_000),
+        (0, 1_200_000), (0, -800_000), (1, -300_000), (0, -5_000_000),
+        (0, -20_000_000), (1, 150_000), (0, 2_500_000), (1, 70_000_000),
+    ]
+    temps = [(1, 2), (2, 3), (1, 1), (3, 2), (2, 1), (3, 1)]
+    bins = 10
+    df = spark.createDataFrame(rows, "label int, score_units bigint")
+    got = classify.temperature_fit(df, temps=temps, bins=bins).collect()
+    assert len(got) == 1
+    r = got[0]
+    metrics = {t: _witness_ece_units(rows, *t, bins) for t in temps}
+    want_t = min(temps, key=lambda t: (metrics[t][0], t[0], t[1]))
+    assert (r["t_num"], r["t_den"]) == want_t
+    eb, nb = metrics[(1, 1)]
+    ea, na = metrics[want_t]
+    assert r["ece_before"] == _round6_half_up(eb / (nb * 1e6))
+    assert r["ece_after"] == _round6_half_up(ea / (na * 1e6))
+    assert r["ece_after"] <= r["ece_before"]
+
+
+def test_temperature_fit_guards(spark):
+    """Grid validation: missing (1,1), duplicates, non-positive T,
+    empty grid, bins out of range, and the 2^53 double-exactness
+    guard all refuse loudly; an empty input returns an empty frame."""
+    df = spark.createDataFrame(
+        [(1, 1_000_000), (0, -1_000_000)], "label int, score_units bigint"
+    )
+    for bad_temps in (
+        [(1, 2), (2, 1)],          # no (1,1)
+        [(1, 1), (1, 1)],          # duplicate
+        [(1, 1), (0, 2)],          # non-positive
+        [],                        # empty
+    ):
+        try:
+            classify.temperature_fit(df, temps=bad_temps)
+            raise AssertionError(f"expected ValueError on {bad_temps}")
+        except ValueError:
+            pass
+    for bad_bins in (0, 10**6 + 1):
+        try:
+            classify.temperature_fit(df, bins=bad_bins)
+            raise AssertionError(f"expected ValueError on bins={bad_bins}")
+        except ValueError:
+            pass
+    huge = spark.createDataFrame(
+        [(1, 1 << 52), (0, 0)], "label int, score_units bigint"
+    )
+    try:
+        classify.temperature_fit(huge, temps=[(1, 1), (1, 2)])
+        raise AssertionError("expected 2^53 guard to fire")
+    except ValueError as e:
+        assert "2^53" in str(e)
+    empty = spark.createDataFrame([], "label int, score_units bigint")
+    assert classify.temperature_fit(empty).count() == 0
+
+
+def test_temperature_scaled_probs_identity_at_t1(spark):
+    """temperature_scaled_probs at T=1 must reproduce the scorer's
+    prob column bit-for-bit (same doubles, same rounds), and a T>1
+    must pull every probability toward 0.5."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    label = (
+        F.size(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "),
+                    " ",
+                ),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= THRESH
+    )
+    scored = classify.quality_lr_pipeline(
+        df, label, n_features=D, iters=ITERS, lr=LR, id_col="doc_id"
+    )
+    t1 = classify.temperature_scaled_probs(scored, 1, 1)
+    assert all(r["prob"] == r["prob_t"] for r in t1.collect())
+    t2 = classify.temperature_scaled_probs(scored, 2, 1).collect()
+    assert all(
+        abs(r["prob_t"] - 0.5) <= abs(r["prob"] - 0.5) + 1e-9 for r in t2
+    )
+    try:
+        classify.temperature_scaled_probs(scored, 0, 1)
+        raise AssertionError("expected ValueError on T=0")
+    except ValueError:
+        pass
+
+
+def test_gate_wide_slice_collision_refused(spark):
+    """A slice_col colliding with the id column or the scorer's output
+    columns must refuse with a clear message at the wide tiers (the
+    join would otherwise die on an ambiguous column deep inside)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta", 1), (2, "gamma", 0)],
+        ["doc_id", "text", "pred"],
+    )
+    for bad in ("doc_id", "score_units", "prob", "pred"):
+        cols = df if bad in df.columns else df.withColumn(bad, F.lit(1))
+        try:
+            classify.quality_lr_gate(
+                cols,
+                F.lit(True),
+                n_features=4,
+                iters=1,
+                keep_fraction=(1, 2),
+                slice_col=bad,
+                trainer="sparse",
+            )
+            raise AssertionError(f"expected refusal on slice_col={bad}")
+        except ValueError as e:
+            assert "collides" in str(e)
