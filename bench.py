@@ -209,6 +209,26 @@ HEADLINE = [
     # reliability-diagram/ECE gauge over the trained dense model (the
     # delta over docs_quality_lr_scores is one ≤B-row aggregation)
     "docs_quality_lr_calibration",
+    # round-15: the calibrated probabilities DRIVE the corpus — the
+    # trained model's probs feed quality_weighted_sample (delta over
+    # docs_quality_lr_scores is one join + the scan-side draw), and
+    # the temperature-scaling fit (one cross-join agg over the |T|=8
+    # grid — compare against docs_quality_lr_calibration for the
+    # grid's multiplier)
+    "docs_quality_prob_mix",
+    "docs_quality_temperature_fit",
+    # the pipeline-integrated full-CCNet gate: the whole chain +
+    # D=2^21 distributed weights + per-source calibrated cuts (the
+    # delta over corpus_pipeline_calibrated is the wide trainer's
+    # join-update steps replacing the dense plan-constant cut)
+    "corpus_pipeline_calibrated_wide",
+    # round-15 window-rotation entrants (rotation discipline: every
+    # driver-graded row gets a bench line): Q16/Q6 shapes, standalone
+    # chunking, and the correlated-average decorrelation
+    "brand_supplier_counts",
+    "forecast_revenue_change",
+    "docs_chunk_windows",
+    "orders_above_customer_avg",
 ]
 
 

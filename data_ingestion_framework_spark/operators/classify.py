@@ -1178,6 +1178,109 @@ def quality_lr_gate(
     return _calibrated_cut_by_slice(df, z, num, den, slice_col)
 
 
+class FrozenQualityGate:
+    """A trained dense quality gate FROZEN for later application —
+    the train-offline / apply-anywhere deployment (e.g. inside a
+    streaming ``foreachBatch``, where re-training per micro-batch
+    would be both wrong and unaffordable). Carries the trained
+    integer-unit weights and the resolved cut; :meth:`filter_expr`
+    compiles them into a pure Column expression (the feature fold +
+    BIGINT dot + the cut, all plan constants — exactly the dense
+    tier of :func:`quality_lr_gate`), so applying the gate adds zero
+    joins and zero shuffles to any batch or micro-batch scan."""
+
+    def __init__(
+        self,
+        w_units: list[int],
+        min_score_units: int,
+        n_features: int,
+        text_col: str = "text",
+    ) -> None:
+        self.w_units = [int(x) for x in w_units]
+        self.min_score_units = int(min_score_units)
+        self.n_features = int(n_features)
+        self.text_col = text_col
+
+    def score_expr(self) -> Column:
+        """The trained logit in integer units, as a pure expression."""
+        return _z_units(
+            _dense_features_expr(self.text_col, self.n_features),
+            self.w_units,
+        )
+
+    def filter_expr(self) -> Column:
+        """``trained_logit >= frozen_cut`` as one Column expression."""
+        return self.score_expr() >= F.lit(self.min_score_units)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        """Keep the rows passing the frozen gate (all columns intact).
+        Works on batch AND streaming DataFrames — the expression has
+        no joins, aggregations or state."""
+        return df.where(self.filter_expr())
+
+
+def fit_quality_gate(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    n_features: int = 16,
+    iters: int = 2,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+    min_score_units: int = 0,
+    keep_fraction: tuple[int, int] | None = None,
+) -> FrozenQualityGate:
+    """Train the dense quality model on ``df`` and FREEZE it as a
+    :class:`FrozenQualityGate` — the offline half of the
+    train-offline / apply-in-stream deployment. With
+    ``keep_fraction=(num, den)`` the calibrated cutoff is resolved
+    NOW, on the training corpus (the same integer nearest-rank
+    selection as :func:`quality_lr_gate`), and frozen as a constant:
+    a stream then applies a STABLE cut chosen from the offline
+    corpus, rather than re-quantiling every micro-batch (whose tiny
+    score sample would make the boundary wander batch to batch).
+
+    Parity contract (pinned by pytest):
+    ``fit_quality_gate(df, ...).apply(df)`` keeps exactly the rows
+    ``quality_lr_gate(df, ...)`` keeps, for both the fixed-cut and
+    global calibrated modes. Per-slice cuts are deliberately not
+    frozen here — a |slices|-row cut table belongs in a broadcast
+    join, not in a plan-constant expression; use
+    :func:`quality_lr_gate` with ``slice_col`` for batch per-slice
+    gating. Raises on an EMPTY training frame (nothing to train —
+    unlike the batch gate, there is no frame to pass through)."""
+    if keep_fraction is not None:
+        num, den = int(keep_fraction[0]), int(keep_fraction[1])
+        if not 0 < num <= den:
+            raise ValueError(
+                f"fit_quality_gate: keep_fraction {num}/{den} outside (0, 1]"
+            )
+        if min_score_units != 0:
+            raise ValueError(
+                "fit_quality_gate: min_score_units and keep_fraction are "
+                "mutually exclusive"
+            )
+    df = df.localCheckpoint()
+    if df.first() is None:
+        raise ValueError("fit_quality_gate: empty training frame")
+    feats = hashed_token_features(
+        df, text_col=text_col, n_features=n_features, id_col=id_col,
+        label=label,
+    )
+    w, row_sum_max = _gd_train_dense_with_stats(
+        feats, iters, lr, "features", "label"
+    )
+    maxw = max((abs(x) for x in w), default=0)
+    _guard_int64(maxw * row_sum_max, "fit_quality_gate dot")
+    cut = int(min_score_units)
+    if keep_fraction is not None:
+        z = _z_units(_dense_features_expr(text_col, n_features), w)
+        cut = _calibrated_cut_value(
+            df, z, int(keep_fraction[0]), int(keep_fraction[1])
+        )
+    return FrozenQualityGate(w, cut, n_features, text_col)
+
+
 def _gate_wide(
     df: DataFrame,
     label: Column,
@@ -1261,17 +1364,13 @@ def _gate_wide(
     return df.join(kept.select(id_col), id_col, "left_semi")
 
 
-def _calibrated_cut_global(
-    df: DataFrame, z: Column, num: int, den: int
-) -> DataFrame:
-    """Filter ``df`` to the rows whose score expression ``z`` reaches
-    the exact keep-rate cutoff: the smallest score whose ascending
-    cumulative count reaches ``n − keep_rank + 1`` where
-    ``keep_rank = ceil(num·n/den)`` — all-integer nearest-rank
-    selection over the distinct-score count table via the
-    range-partitioned rank primitive. The cutoff collect is ONE row
-    (control-plane); the returned filter is a pure expression with
-    the cutoff as a plan constant."""
+def _calibrated_cut_value(df: DataFrame, z: Column, num: int, den: int) -> int:
+    """The exact keep-rate cutoff VALUE over ``df``'s score expression
+    ``z``: the smallest score whose ascending cumulative count reaches
+    ``n − keep_rank + 1`` where ``keep_rank = ceil(num·n/den)`` —
+    all-integer nearest-rank selection over the distinct-score count
+    table via the range-partitioned rank primitive. The cutoff collect
+    is ONE row (control-plane). ``df`` must be non-empty."""
     from data_ingestion_framework_spark.operators.rank import (
         exact_cumulative_counts,
     )
@@ -1285,7 +1384,17 @@ def _calibrated_cut_global(
         .agg(F.min("__z").alias("__cut"))
         .first()
     )
-    return df.where(z >= F.lit(int(row["__cut"])))
+    return int(row["__cut"])
+
+
+def _calibrated_cut_global(
+    df: DataFrame, z: Column, num: int, den: int
+) -> DataFrame:
+    """Filter ``df`` to the rows whose score expression ``z`` reaches
+    the exact keep-rate cutoff (:func:`_calibrated_cut_value`); the
+    returned filter is a pure expression with the cutoff as a plan
+    constant."""
+    return df.where(z >= F.lit(_calibrated_cut_value(df, z, num, den)))
 
 
 def _calibrated_cut_by_slice(

@@ -6281,13 +6281,15 @@ def docs_quality_lr_calibration(spark, sf_dir):
 #: the sparse (long-format) two-step GD unroll — shared by the sparse
 #: scores query, the sparse AUC gauge, and the DISTRIBUTED-weights
 #: trainer query (same math at any width, so d parameterizes the
-#: bucket modulus / intercept index)
-def _qlr_sparse_gd_ctes(d: int = 65536) -> str:
+#: bucket modulus / intercept index; src lets the pipeline-integrated
+#: wide gate train over the chained survivor subquery instead of raw
+#: documents, mirroring _qlr_gd_ctes's src parameter)
+def _qlr_sparse_gd_ctes(d: int = 65536, src: str = "documents") -> str:
     return f"""tk AS (
       SELECT doc_id, list_filter(string_split(
                lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
                t -> t <> '') AS toks
-      FROM documents
+      FROM {src}
     ),
     lab AS (
       SELECT doc_id, CASE WHEN len(toks) >= 40 THEN 1 ELSE 0 END AS y
@@ -6724,6 +6726,196 @@ def docs_quality_lr_distributed_auc(spark, sf_dir):
         tr, wdf, row_sum_max=row_sum_max
     )
     return classify.classifier_auc(scored)
+
+
+# ---------------------------------------------------------------------------
+# Trained probabilities DRIVE sampling (operators/classify.py
+# quality_lr_pipeline -> operators/sampling.py quality_weighted_sample):
+# the composition the calibration gauge exists to make trustworthy —
+# each document's keep probability is base_fraction · prob where prob
+# is the TRAINED model's calibout probability, so high-quality docs
+# survive at the base rate and low-quality docs proportionally less
+# (the importance-resampling deployment of a learned quality filter:
+# DSIR / CCNet-style quality-weighted corpus mixing). Exact end to
+# end: prob quantizes to integer micro-units, the per-row threshold is
+# the sampler's two-step exact integer computation, and membership is
+# the deterministic salted-md5 draw — the oracle re-runs the GD unroll,
+# the identical weight arithmetic, and the identical hash-draw replay.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_quality_prob_mix",
+    oracle=f"""
+    WITH {_QLR_GD_CTES},
+    pr AS (SELECT f.doc_id,
+                  ROUND(0.5 + (f.zu/1000000.0)/(2*(1+abs(f.zu/1000000.0))), 6)
+                    AS prob
+           FROM zf f),
+    wt AS (SELECT doc_id, prob,
+                  CAST(floor(LEAST(GREATEST(prob, 0.0), 1.0) * 1000000 + 0.5)
+                       AS BIGINT) AS w6
+           FROM pr),
+    th AS (SELECT doc_id, prob,
+                  ((600000 * w6) // 1000000) * 4294967296 // 1000000 AS thr
+           FROM wt)
+    SELECT t.doc_id, d.source, t.prob
+    FROM th t JOIN documents d USING (doc_id)
+    WHERE ('0x' || substr(md5('qp' || CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < t.thr
+    """,
+)
+def docs_quality_prob_mix(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import classify
+    from data_ingestion_framework_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    scored = classify.quality_lr_pipeline(
+        docs, label, n_features=16, iters=2, lr=0.5
+    )
+    with_src = scored.join(docs.select("doc_id", "source"), "doc_id")
+    return quality_weighted_sample(
+        with_src, "prob", base_fraction=0.6, salt="qp"
+    ).select("doc_id", "source", "prob")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaling calibration FIT (operators/classify.py
+# temperature_fit — Guo et al. 2017's one-parameter post-hoc fix, the
+# remedial arm of the ECE gauge): grid-search over rational T
+# minimizing the exact integer ECE metric Σ n·gap6 under the gauge's
+# centile binning. Selection itself is under the correctness gate:
+# the oracle re-runs the dense GD unroll, replays every candidate's
+# scaled probabilities / binning / integer gap sum, and applies the
+# SAME argmin + tie-break — and because (1,1) is in the grid,
+# ece_after <= ece_before by construction.
+# ---------------------------------------------------------------------------
+_TFIT_GRID = [(1, 2), (1, 1), (2, 1), (4, 1), (8, 1), (16, 1), (32, 1), (64, 1)]
+
+
+@bench_query(
+    "docs_quality_temperature_fit",
+    oracle=f"""
+    WITH {_QLR_GD_CTES},
+    tg AS (SELECT * FROM (VALUES {", ".join(f"({tn}, {td})" for tn, td in _TFIT_GRID)})
+           AS t(tn, td)),
+    pz AS (SELECT g.tn, g.td, f.y,
+             CAST(ROUND(ROUND(0.5 + ((f.zu*g.td)/(g.tn*1000000.0))
+                    / (2*(1+abs((f.zu*g.td)/(g.tn*1000000.0)))), 6)
+                  * 1000000.0) AS BIGINT) AS pu
+           FROM zf f CROSS JOIN tg g),
+    bi AS (SELECT tn, td, y, pu,
+             CASE WHEN (pu*100)//1000000 > 99 THEN 99
+                  ELSE (pu*100)//1000000 END AS bin
+           FROM pz),
+    pb AS (SELECT tn, td, bin, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS np, SUM(pu) AS spu
+           FROM bi GROUP BY tn, td, bin),
+    gp AS (SELECT tn, td, n,
+             CAST(ROUND(abs(ROUND(spu/(n*1000000.0), 6)
+                            - ROUND(np*1.0/n, 6)) * 1000000.0) AS BIGINT)
+               AS gap6
+           FROM pb),
+    ec AS (SELECT tn, td, SUM(n*gap6) AS esum, SUM(n) AS nn
+           FROM gp GROUP BY tn, td),
+    ch AS (SELECT tn, td, esum, nn FROM ec ORDER BY esum, tn, td LIMIT 1),
+    bf AS (SELECT esum AS eb, nn AS nb FROM ec WHERE tn = 1 AND td = 1)
+    SELECT ch.tn AS t_num, ch.td AS t_den,
+           ROUND(CAST(bf.eb AS DOUBLE) / (bf.nb * 1000000.0), 6) AS ece_before,
+           ROUND(CAST(ch.esum AS DOUBLE) / (ch.nn * 1000000.0), 6) AS ece_after
+    FROM ch, bf
+    """,
+)
+def docs_quality_temperature_fit(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import classify
+
+    docs = load(spark, sf_dir, "documents")
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    scored = classify.quality_lr_pipeline(
+        docs, label, n_features=16, iters=2, lr=0.5
+    )
+    # B=100 for the same reason as docs_quality_lr_calibration: the
+    # 2-step surrogate compresses probs into a narrow band — centile
+    # bins resolve it; the wide-T tail (up to 64) gives the fit room
+    # to pull the band toward honest mid-range probabilities
+    return classify.temperature_fit(scored, temps=_TFIT_GRID, bins=100)
+
+
+# ---------------------------------------------------------------------------
+# PIPELINE-INTEGRATED full-CCNet gate (plans/corpus.py corpus_pipeline
+# with quality_trainer="distributed" + quality_keep_by_source=True):
+# the complete chain — clean → redact → gate → dedup → decontam →
+# quota → sample — then a fastText-width model (D = 2^21, past the
+# driver-list cap: weights live as a (bucket, w) frame on the
+# executors) trained ON THE PIPELINE'S OWN SURVIVORS and cut at
+# PER-SOURCE keep-rate quantiles, survivors kept via an id-keyed
+# semi-join. The standalone docs_quality_calibrated_distributed gates
+# raw documents; this row grades the same machinery composed INSIDE
+# the pipeline — its oracle wraps the whole chained pipeline oracle,
+# re-runs the width-parameterized sparse GD unroll over it, and
+# replays the per-slice integer rank selection.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "corpus_pipeline_calibrated_wide",
+    oracle=f"""
+    WITH final AS ({_CORPUS_PIPELINE_ORACLE}),
+    {_qlr_sparse_gd_ctes(1 << 21, src="final")},
+    sz AS (SELECT z.doc_id, f.source, z.zu
+           FROM zf z JOIN final f USING (doc_id)),
+    {_keep_rank_cut_sql(1, 2, zf="sz", part="source,")}
+    SELECT f.doc_id, f.source, f.text, f.n_tokens
+    FROM final f JOIN sz s USING (doc_id)
+    JOIN cut ON s.source IS NOT DISTINCT FROM cut.source
+    WHERE s.zu >= cut.t
+    """,
+)
+def corpus_pipeline_calibrated_wide(spark, sf_dir):
+    from data_ingestion_framework_spark.plans.corpus import corpus_pipeline
+    from data_ingestion_framework_spark.queries_etl import _scratch_dir
+    from data_ingestion_framework_spark.sources.tablestore import ParquetTable
+
+    docs, benchmark = _corpus_pipeline_inputs(spark, sf_dir)
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    stage = ParquetTable(spark, _scratch_dir("corpus_cw_") + "/silver")
+    return corpus_pipeline(
+        docs,
+        benchmark,
+        min_words=15,
+        max_per_source=30,
+        sample_fraction=0.5,
+        sample_salt="s2",
+        stage_store=stage,
+        quality_label=label,
+        quality_keep_fraction=(1, 2),
+        quality_keep_by_source=True,
+        quality_n_features=1 << 21,
+        quality_trainer="distributed",
+    )
 
 
 # ---------------------------------------------------------------------------

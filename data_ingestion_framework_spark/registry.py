@@ -61,21 +61,14 @@ ROWS_ONLY = {
     "dedup_simhash_pairs",
 }
 
-#: Rotation ledger (r14): 6 of the 13-row never-driver-graded backlog
-#: rotated in this round (late_supplier_blame, promo_revenue_share,
-#: returned_item_customers, volume_shipping, docs_cap_per_source,
-#: corpus_vocab_top_terms; a 3rd wave added
-#: linestatus_priority_counts, customer_order_histogram and
-#: large_quantity_orders — 9 backlog rows total) alongside the 5 new
-#: round-14 queries (corpus_pipeline_calibrated,
-#: docs_quality_calibrated_by_source,
-#: docs_quality_calibrated_distributed,
-#: docs_quality_lr_distributed_auc, docs_quality_lr_calibration) —
-#: 14 rotations across four waves. The gradeable never-graded
-#: backlog for FUTURE rotations — all local-green, mechanisms
-#: window-covered by siblings: brand_supplier_counts,
-#: forecast_revenue_change, docs_chunk_windows,
-#: orders_above_customer_avg (4 Q-shape/doc-utility variants).
+#: Rotation ledger (r15): the never-driver-graded backlog is CLOSED —
+#: the final 4 rows (brand_supplier_counts, forecast_revenue_change,
+#: docs_chunk_windows, orders_above_customer_avg) rotated in this
+#: round alongside the 3 new round-15 queries (docs_quality_prob_mix,
+#: docs_quality_temperature_fit, corpus_pipeline_calibrated_wide) —
+#: every oracle-backed registry query has now been driver-certified
+#: at least once (or is scheduled in this window). Future rotations
+#: draw from long-green rows ceding to NEW queries only.
 
 
 def bench_query(name: str, oracle: str | None = None):
@@ -195,25 +188,25 @@ _PRIORITY = [
     # driver-green r4 and ceded their slots to the round-4 lifecycle
     # queries below; orders_above_customer_avg ceded earlier to
     # docs_fuzzy_entity_pairs. All stay in the full local gate.)
-    # ROUND-12 ROTATION: dedup_prefix_filter_pairs (green r9-r11)
-    # cedes to the LAZY end-to-end corpus pipeline twin (shares
-    # corpus_pipeline_staged's oracle verbatim but has never itself
-    # been driver-graded — closing the longest-standing row of the
-    # never-graded list); the exact set-similarity join mechanism
-    # stays window-graded via dedup_blocked_recall, whose oracle
-    # re-derives the SAME exact-Jaccard pair set before comparing the
-    # banding against it. Still in the full local gate.
-    "corpus_pipeline_end2end",
-    # ROUND-13 ROTATION: corpus_pipeline_staged (green r4-r12, the
-    # window's longest-green pipeline row) cedes to the
-    # CLASSIFIER-GATED pipeline (new this round: the same chain plus
-    # a quality model trained on the pipeline's own survivors and
-    # deployed as a pure scan-expression cut); the staged chain's
-    # value set stays window-graded via corpus_pipeline_end2end
-    # (which shares the staged form's oracle VERBATIM) and the
-    # incoming query's oracle re-derives the whole chain as its
-    # subquery. Still in the full local gate.
-    "corpus_pipeline_classified",
+    # ROUND-15 ROTATION: corpus_pipeline_end2end (green r12-r14) cedes
+    # to the temperature-scaling calibration FIT (new this round: the
+    # remedial arm of the ECE gauge — rational-T grid argmin over the
+    # exact integer Σ n·gap6, SELECTION replayed by the oracle); the
+    # end-to-end chain's value set stays window-graded TWICE — both
+    # corpus_pipeline_calibrated and corpus_pipeline_calibrated_wide
+    # re-derive the whole chain as their oracle subquery. Still in
+    # the full local gate.
+    "docs_quality_temperature_fit",
+    # ROUND-15 ROTATION: corpus_pipeline_classified (green r13+r14)
+    # cedes to the PIPELINE-INTEGRATED full-CCNet gate (new this
+    # round: the same chain but the gate runs at D=2^21 distributed
+    # weights with PER-SOURCE calibrated cuts — the deployment shape
+    # that supersedes the hand-picked 35M-unit constant); the fixed
+    # min_score_units mode stays pytest-pinned via the tier==filter
+    # parity tests, and the chain+dense-gate composition stays
+    # window-graded via corpus_pipeline_calibrated. Still in the
+    # full local gate.
+    "corpus_pipeline_calibrated_wide",
     # ROUND-6 ROTATION: six rows driver-green 2+ rounds cede their
     # slots to the four never-driver-graded round-5 queries plus the
     # two new round-6 queries; each ceded mechanism stays graded by a
@@ -321,14 +314,14 @@ _PRIORITY = [
     # shortlist family keeps similarity_hamming_topk +
     # similarity_matryoshka_topk in-window. Still in the full gate.
     "customer_surrogate_scd1_state",
-    # ROUND-13 ROTATION: graph_trustrank_seeded (green r9-r12) cedes
-    # to the max-revenue supplier shape (windowed scalar-subquery
-    # decorrelation, TPC-H Q15 — never driver-graded); the iterative
-    # edges⋈ranks + groupBy-SUM loop stays window-graded via
-    # graph_lpa_communities (the same iterative-join machinery) and
-    # the integer fixed-point rank recurrence is pytest-pinned
-    # (test_graph). Still in the full local gate.
-    "top_supplier_revenue",
+    # ROUND-15 ROTATION: top_supplier_revenue (green r13+r14) cedes
+    # to the correlated-average shape (orders above their customer's
+    # average — the LAST never-driver-graded backlog row's family);
+    # the scalar-subquery decorrelation mechanism is EXACTLY what the
+    # incoming row grades (per-customer average via window + filter),
+    # and the windowed max-over-group shape stays via
+    # large_quantity_orders. Still in the full local gate.
+    "orders_above_customer_avg",
     # ROUND-7 ROTATION: six rows driver-green 2+ rounds (r5+r6) cede
     # their slots to the three round-6 queries still awaiting a slot
     # (ANALYZE column stats, emitted generic-merge SQL, deletion-vector
@@ -380,14 +373,14 @@ _PRIORITY = [
     # broadcast total) and docs_chunk_bm25_topk (corpus-stats
     # weighting). Still in the full local gate.
     "embeddings_mmr_select",
-    # ROUND-13 ROTATION: embeddings_power_iteration_proj (green
-    # r11+r12) cedes to the TPC-H Q8 market-share shape (two-level
-    # date-bucketed conditional aggregation over a 6-table star join
-    # — never driver-graded); the von Mises matvec machinery stays
-    # window-graded via embeddings_pca2_proj, whose deflation oracle
-    # replays the SAME two power rounds before orthogonalizing.
-    # Still in the full local gate.
-    "market_share",
+    # ROUND-15 ROTATION: market_share (green r13+r14) cedes to the
+    # Q6-shape forecast revenue (pure scan-side pushdown + one global
+    # DECIMAL agg — never driver-graded); the star-join conditional
+    # aggregation mechanism stays window-graded via volume_shipping
+    # (two-nation directional star join) and promo_revenue_share
+    # (conditional agg over part⋈lineitem). Still in the full local
+    # gate.
+    "forecast_revenue_change",
     # ROUND-11 ROTATION: dedup_incremental_minhash (green r7-r10)
     # cedes to the blocked-vs-exact recall gauge — whose oracle
     # RE-RUNS the same MinHash banding against the exact-Jaccard pair
@@ -432,16 +425,17 @@ _PRIORITY = [
     # embeddings_ivf_index_state (the IVF build + probe lifecycle).
     # Still in the full local gate.
     "docs_quality_lr_distributed_auc",
-    # ROUND-12 ROTATION (2nd wave): orders_rename_state (green
-    # r7-r11, the window's longest-green lifecycle row) cedes to the
-    # leakage-safe content-keyed split (new this round: exact-dup
-    # copies co-assign across train/val/test); the column-mapping
-    # read path is pytest-pinned (test_colmap_schema) and the
-    # metadata-only lifecycle family keeps
-    # orders_partition_evolution_state (per-file spec parsing across
-    # eras) and orders_version_diff_state in-window. Still in the
-    # full local gate.
-    "docs_leakage_safe_split",
+    # ROUND-15 ROTATION: docs_leakage_safe_split (green r12-r14)
+    # cedes to the probabilities-DRIVE-sampling composition (new this
+    # round: the trained model's calibrated probabilities feed
+    # quality_weighted_sample — the importance-resampling deployment
+    # the calibration gauge exists to make trustworthy); the
+    # deterministic md5-threshold draw mechanism is EXACTLY what the
+    # incoming row grades per row, the hash-order quota stays via
+    # docs_cap_per_source, and the content-fingerprint keying is
+    # pytest-pinned (test_sampling_properties). Still in the full
+    # local gate.
+    "docs_quality_prob_mix",
     # ROUND-14 ROTATION: embeddings_pipeline_curated (green r7-r13,
     # seven rounds) cedes to the PERCENTILE-CALIBRATED classifier-gated
     # pipeline (new this round: the same chain as
@@ -576,24 +570,24 @@ _PRIORITY = [
     # docs_dsir_weights, and the dedup family keeps three in-window
     # reps (dedup_minhash_md5_pairs, dedup_incremental_minhash,
     # hybrid_dedup_clusters). Still in the full local gate.
-    # ROUND-11 ROTATION: events_gapfill_locf (green r8-r10) cedes to
-    # the chunk-then-BM25 composite (fixed-size token chunking feeding
-    # the ranked retrieval window, never driver-graded); the join-free
-    # sequence-generator machinery is pytest-pinned (test_timeseries)
-    # and the time-series event family keeps events_asof_nearest_click
-    # + events_range_join_counts in-window. Still in the full local
-    # gate.
-    "docs_chunk_bm25_topk",
-    # ROUND-12 ROTATION (2nd wave): orders_stream_table_state (green
-    # r8-r11) cedes to the exact ROC-AUC gauge of the trained quality
-    # classifier (new this round: Mann-Whitney rank-sum over distinct
-    # score values, ranks doubled for integer tie averages); the
-    # commit-replay streaming-source mechanism stays graded via
-    # embeddings_ivf_index_state (the same read_since cursor +
-    # crash-safe commit-metrics discipline) and the difs reader's
-    # engine-sequence/restart/exactly-once pytest family. Still in
-    # the full local gate.
-    "docs_quality_lr_auc",
+    # ROUND-15 ROTATION: docs_chunk_bm25_topk (green r11-r14, four
+    # rounds) cedes to the standalone fixed-size chunking shape
+    # (docs_chunk_windows — the backlog's doc-utility row, never
+    # driver-graded: the SAME slice arithmetic the composite ran, as
+    # its own value set); the BM25 ranking arm is pytest-pinned
+    # (test_dedup_similarity) and ranked-retrieval windows stay via
+    # events_pattern_topk + similarity_knn_join_pq. Still in the
+    # full local gate.
+    "docs_chunk_windows",
+    # ROUND-15 ROTATION: docs_quality_lr_auc (green r12-r14) cedes to
+    # the Q16-shape supplier-diversity counts (distinct-count over a
+    # broadcast-dim join — never driver-graded); the dense GD unroll
+    # stays window-graded THREE ways (docs_quality_lr_calibration,
+    # docs_quality_prob_mix and docs_quality_temperature_fit all
+    # re-run it) and the Mann-Whitney rank-sum tail stays via
+    # docs_quality_lr_sparse_auc + docs_quality_lr_distributed_auc.
+    # Still in the full local gate.
+    "brand_supplier_counts",
     # ROUND-13 ROTATION: docs_pack_ffd (rotated in r12) rotates back
     # OUT for the same reason as corpus_bpe_merges_batched above — no
     # oracle is possible (FFD's sequential bin state), so its window
@@ -622,6 +616,15 @@ _PRIORITY = [
     # (test_writers). Still in the full local gate.
     "docs_quality_lr_distributed",
     # end of the 50-query driver window
+    # the seven rows ceded by the round-15 rotation (driver-green 2-4
+    # rounds; mechanisms window-covered per the notes above)
+    "corpus_pipeline_end2end",
+    "corpus_pipeline_classified",
+    "top_supplier_revenue",
+    "market_share",
+    "docs_leakage_safe_split",
+    "docs_chunk_bm25_topk",
+    "docs_quality_lr_auc",
     # the fourteen rows ceded by the round-14 rotation across four
     # waves (driver-green 2-8 rounds; mechanisms window-covered per
     # the notes above)

@@ -1095,3 +1095,162 @@ def test_gate_wide_slice_collision_refused(spark):
             raise AssertionError(f"expected refusal on slice_col={bad}")
         except ValueError as e:
             assert "collides" in str(e)
+
+def test_prob_weighted_sample_per_bucket_counts(spark):
+    """The probabilities-drive-sampling composition (trained model ->
+    quality_weighted_sample on prob): per-calibration-bin KEEP counts
+    must match a Python witness that replays the trained probs, the
+    sampler's two-step integer threshold and the salted-md5 draw —
+    membership is deterministic, so the counts pin exactly."""
+    from data_ingestion_framework_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+    from data_ingestion_framework_spark.operators.similarity import (
+        _round6_half_up,
+    )
+
+    bins, base6, salt = 4, 600_000, "qp"
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    label = (
+        F.size(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "),
+                    " ",
+                ),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= THRESH
+    )
+    scored = classify.quality_lr_pipeline(
+        df, label, n_features=D, iters=ITERS, lr=LR, id_col="doc_id"
+    )
+    kept = quality_weighted_sample(
+        scored, "prob", base_fraction=0.6, salt=salt
+    )
+    pu = F.round(F.col("prob") * 1e6).cast("bigint")
+    b = F.least(
+        F.lit(bins - 1).cast("bigint"),
+        F.floor((pu * bins) / 1_000_000).cast("bigint"),
+    )
+    got = {
+        r["bin"]: r["n"]
+        for r in kept.groupBy(b.alias("bin")).count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    # witness: replay training, probs, thresholds and the hash draw
+    rows = [(_py_features(t), int(len(_py_tokens(t)) >= THRESH)) for _, t in DOCS]
+    w = _py_train(rows)
+    want: dict[int, int] = {}
+    for (doc_id, _), (x, _y) in zip(DOCS, rows):
+        zu = sum(a * b_ for a, b_ in zip(x, w))
+        prob = _round6_half_up(_py_sig(zu))
+        w6 = int(min(max(prob, 0.0), 1.0) * 1_000_000 + 0.5)
+        thr = ((base6 * w6) // 1_000_000) * (16**8) // 1_000_000
+        bucket = int(
+            hashlib.md5((salt + str(doc_id)).encode()).hexdigest()[:8], 16
+        )
+        if bucket < thr:
+            pu_py = classify._round_half_up(prob * 1e6)
+            bin_py = min(bins - 1, (pu_py * bins) // 1_000_000)
+            want[bin_py] = want.get(bin_py, 0) + 1
+    assert sum(want.values()) > 0, "witness kept nothing — weak fixture"
+    assert got == want
+
+def test_frozen_gate_stream_matches_batch(spark, tmp_path):
+    """Train-offline / apply-in-stream (the streaming deployment of
+    the trained+calibrated gate): fit_quality_gate freezes the dense
+    weights AND the calibrated cutoff; applying the frozen gate
+    inside a foreachBatch over a file stream of the SAME documents
+    must keep exactly the rows the batch quality_lr_gate keeps — the
+    cut was chosen offline, so stream and batch agree row for row."""
+    from data_ingestion_framework_spark.streaming.readers import (
+        read_file_stream,
+    )
+
+    docs = DOCS + [
+        (7, "gamma delta epsilon zeta eta theta iota kappa"),
+        (8, "alpha beta"),
+        (9, "one two three four five six seven eight nine ten"),
+    ]
+    label = (
+        F.size(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "),
+                    " ",
+                ),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= THRESH
+    )
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    gate = classify.fit_quality_gate(
+        df, label, n_features=D, iters=ITERS, lr=LR, keep_fraction=(1, 2)
+    )
+    # batch reference: the in-engine gate on the same frame
+    batch_kept = {
+        r["doc_id"]
+        for r in classify.quality_lr_gate(
+            df, label, n_features=D, iters=ITERS, lr=LR,
+            keep_fraction=(1, 2),
+        ).collect()
+    }
+    # frozen-apply parity on the batch frame first
+    assert {
+        r["doc_id"] for r in gate.apply(df).collect()
+    } == batch_kept
+    # stream the same documents as two files; apply the FROZEN gate
+    # per micro-batch and append survivors
+    landing = str(tmp_path / "landing")
+    for half in (docs[:4], docs[4:]):
+        spark.createDataFrame(half, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+    out = str(tmp_path / "survivors")
+    stream = read_file_stream(spark, landing, "parquet", control_columns=False)
+    q = (
+        gate.apply(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert stream_kept == batch_kept
+    assert len(batch_kept) >= 3  # the calibrated cut kept ~half
+
+
+def test_fit_quality_gate_guards(spark):
+    """fit_quality_gate refuses empty frames, bad fractions and the
+    mixed-mode call; the fixed-cut freeze matches the batch gate."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    label = F.length("text") >= 10
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    for bad in (
+        lambda: classify.fit_quality_gate(empty, F.lit(True), n_features=D),
+        lambda: classify.fit_quality_gate(df, label, keep_fraction=(0, 2)),
+        lambda: classify.fit_quality_gate(
+            df, label, keep_fraction=(1, 2), min_score_units=5
+        ),
+    ):
+        try:
+            bad()
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+    gate = classify.fit_quality_gate(
+        df, label, n_features=D, iters=ITERS, lr=LR, min_score_units=10
+    )
+    want = {
+        r["doc_id"]
+        for r in classify.quality_lr_gate(
+            df, label, n_features=D, iters=ITERS, lr=LR, min_score_units=10
+        ).collect()
+    }
+    assert {r["doc_id"] for r in gate.apply(df).collect()} == want

@@ -194,9 +194,10 @@ def test_driver_grading_window_covers_priority_queries():
         "events_sessionize",
         "events_range_join_counts",
         "streaming_daily_counts",
-        # r13: corpus_pipeline_staged ceded to the classifier-gated
-        # pipeline (end2end shares the staged oracle verbatim)
-        "corpus_pipeline_classified",
+        # r15: corpus_pipeline_classified ceded to the pipeline-
+        # integrated full-CCNet gate (fixed-cut mode pytest-pinned;
+        # chain + dense gate stay via corpus_pipeline_calibrated)
+        "corpus_pipeline_calibrated_wide",
         # r12: graph_pagerank_interactions ceded to top-2 PCA via
         # deflation (iterative-rank loop stays via trustrank + LPA)
         "embeddings_pca2_proj",
@@ -232,14 +233,13 @@ def test_driver_grading_window_covers_priority_queries():
         # calibrated quality cut (anti-join + scalar threshold stay via
         # top_supplier_revenue and the pipeline decontamination joins)
         "docs_quality_calibrated_by_source",
-        # r8: dedup_containment_pairs ceded to the gap-fill operator;
-        # r11: events_gapfill_locf ceded to the chunk-then-BM25
-        # composite (generator machinery pytest-pinned)
-        "docs_chunk_bm25_topk",
-        # r12 2nd wave: orders_stream_table_state ceded to the exact
-        # ROC-AUC gauge (commit-replay streaming stays graded via
-        # embeddings_ivf_index_state + the difs pytest family)
-        "docs_quality_lr_auc",
+        # r15: docs_chunk_bm25_topk ceded to the standalone chunking
+        # shape (same slice arithmetic; BM25 arm pytest-pinned)
+        "docs_chunk_windows",
+        # r15: docs_quality_lr_auc ceded to the Q16 supplier-diversity
+        # counts (dense GD stays via calibration/prob-mix/T-fit rows;
+        # the rank-sum tail via the sparse + distributed AUC gauges)
+        "brand_supplier_counts",
         # r14: graph_clustering_coefficients ceded to the Q10
         # returned-item-customers shape (graph family keeps LPA;
         # wedge enumeration pytest-pinned)
@@ -261,9 +261,10 @@ def test_driver_grading_window_covers_priority_queries():
         # hard-negative miner
         "orders_widen_state",
         "embeddings_hard_negatives",
-        # r13: graph_trustrank_seeded ceded to the Q15 max-revenue
-        # supplier shape (iterative-rank loop stays via LPA)
-        "top_supplier_revenue",
+        # r15: top_supplier_revenue ceded to the correlated-average
+        # shape (the same scalar-subquery decorrelation, graded by the
+        # incoming row itself)
+        "orders_above_customer_avg",
         # r13: corpus_unigram_em_tokens ceded to the token-budget mix
         # (hard-EM round stays via its iterated superset em2_pruned)
         "docs_token_budget_mix",
@@ -299,9 +300,10 @@ def test_driver_grading_window_covers_priority_queries():
         # selection (weighting mechanism stays via the EM tokenizer
         # counts and BM25 corpus stats)
         "embeddings_mmr_select",
-        # r13: embeddings_power_iteration_proj ceded to the Q8
-        # market-share shape (von Mises matvec stays via pca2_proj)
-        "market_share",
+        # r15: market_share ceded to the Q6 pushdown-showcase scan
+        # (star-join conditional aggs stay via volume_shipping +
+        # promo_revenue_share)
+        "forecast_revenue_change",
         # r11: dedup_incremental_minhash ceded to the blocked-vs-exact
         # recall gauge (its oracle re-runs the same banding)
         "dedup_blocked_recall",
@@ -316,10 +318,11 @@ def test_driver_grading_window_covers_priority_queries():
         # AUC gauge (index-quality machinery stays via knn_join_pq +
         # the IVF index lifecycle)
         "docs_quality_lr_distributed_auc",
-        # r12 2nd wave: orders_rename_state ceded to the leakage-safe
-        # split (column-mapping reads pytest-pinned; lifecycle family
-        # keeps partition-evolution + version-diff in-window)
-        "docs_leakage_safe_split",
+        # r15: docs_leakage_safe_split ceded to the probabilities-
+        # drive-sampling composition (the same md5-threshold draw,
+        # graded per row by the incoming query; fingerprint keying
+        # pytest-pinned)
+        "docs_quality_prob_mix",
         # r14: embeddings_pipeline_curated ceded to the
         # percentile-CALIBRATED classifier-gated pipeline (int8 stays
         # via embeddings_quantize_calibrated; SemDeDup pytest-pinned)
@@ -331,10 +334,10 @@ def test_driver_grading_window_covers_priority_queries():
         # r11: similarity_ivfpq_sampled_topk ceded to the
         # PQ-compressed k-NN join (same two index builds in its oracle)
         "similarity_knn_join_pq",
-        # r12: dedup_prefix_filter_pairs ceded to the lazy end-to-end
-        # pipeline twin (exact-Jaccard pair set re-derived inside
-        # dedup_blocked_recall's oracle)
-        "corpus_pipeline_end2end",
+        # r15: corpus_pipeline_end2end ceded to the temperature-
+        # scaling calibration fit (the chain stays graded inside both
+        # calibrated pipelines' oracle subqueries)
+        "docs_quality_temperature_fit",
         "orders_version_diff_state",
         # r13: similarity_filtered_topk ceded to z-normalized pattern
         # matching (exact-cosine ranking stays via ivf_recall + knn_pq)

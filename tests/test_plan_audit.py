@@ -29,6 +29,11 @@ NESTED_LOOP_BY_DESIGN = {
     "retrieval_rrf_hybrid",        # BM25 corpus-stats row (twice: two arms)
     "corpus_unigram_em_tokens",    # M-step piece-count total row
     "orders_price_exact_percentiles",  # broadcast 4-row fraction-rank frame
+    # temperature grid: the scored frame crossJoins the broadcast
+    # |T|=8-row candidate frame (a bounded constant — the |T|× scan is
+    # the point: one pass instead of |T|), and the final
+    # chosen×before assembly crossJoins two 1-row frames
+    "docs_quality_temperature_fit",
 }
 
 #: queries whose plan intentionally carries a window fed by
