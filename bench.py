@@ -217,6 +217,10 @@ HEADLINE = [
     # grid's multiplier)
     "docs_quality_prob_mix",
     "docs_quality_temperature_fit",
+    # quality-aware DOMAIN reweighting (per-source keep rates from the
+    # trained model's mean quality — one control-plane per-source agg
+    # + a scan-side when-chain; the per-domain complement of prob_mix)
+    "docs_quality_domain_reweight",
     # the pipeline-integrated full-CCNet gate: the whole chain +
     # D=2^21 distributed weights + per-source calibrated cuts (the
     # delta over corpus_pipeline_calibrated is the wide trainer's

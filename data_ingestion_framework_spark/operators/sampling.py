@@ -188,6 +188,84 @@ def quality_weighted_sample(
     return df.where(bucket_int < thr)
 
 
+def domain_reweight_by_quality(
+    df: DataFrame,
+    weight_col: str,
+    target_fraction: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Quality-aware DOMAIN reweighting (the DoReMi-flavored mixing
+    move, public idea — Xie et al. 2023 reweight domains, not rows):
+    each source's keep fraction is proportional to its MEAN quality
+    weight, scaled so the expected total is ``target_fraction`` of the
+    corpus — a high-quality domain is sampled at a higher rate, a
+    low-quality domain at a lower one, while every domain keeps a
+    uniform random draw INSIDE itself (unlike
+    :func:`quality_weighted_sample`, which thins per row and so skews
+    each domain toward its own best rows).
+
+    Math, all-integer and oracle-replayable: per-row weights quantize
+    to micro-units ``w6 = floor(clamp(w,0,1)·1e6 + 0.5)``; per source
+    ``n_s`` and ``spu_s = Σ w6``; the keep fraction solves
+    ``f_s ∝ spu_s/n_s`` with ``Σ n_s·f_s = target·N``, i.e.
+    ``f_s = target·N·spu_s / (n_s·S)`` with ``S = Σ_s spu_s`` — computed
+    in exact arbitrary-precision integers at the driver
+    (``f4 = (tf6·N·spu_s·1e4) div (1e6·n_s·S)``, threshold
+    ``min(f4·16⁸ div 1e4, 16⁸)``), so an engine re-deriving them in
+    128-bit integers (the DuckDB oracle) reproduces membership
+    bit-for-bit. Fractions clip at 1.0 (single-pass, no water-filling
+    redistribution — the :func:`temperature_mix` contract). A corpus
+    whose total quality mass is ZERO keeps nothing (every f_s is 0).
+
+    Scale shape (same as :func:`temperature_mix`): one per-source
+    aggregate whose result is control-plane sized (sources ≪ rows)
+    feeds driver-side threshold arithmetic; the sample itself is a
+    scan-side when-chain predicate — zero extra shuffles, no join.
+    NULL sources form their own group.
+    """
+    w = F.col(weight_col).cast("double")
+    w6 = F.floor(
+        F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)) * 1_000_000 + F.lit(0.5)
+    ).cast("bigint")
+    stats = {
+        r[source_col]: (int(r["__n"]), int(r["__spu"]))
+        for r in df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum(w6).alias("__spu"))
+        .collect()
+    }
+    if not stats:
+        return df.where(F.lit(False))
+    n_total = sum(n for n, _ in stats.values())
+    s_total = sum(spu for _, spu in stats.values())
+    tf6 = int(round(min(max(target_fraction, 0.0), 1.0) * 10**6))
+    bucket = hash_bucket_hex(id_col, salt)
+    col = None
+    for s in sorted(stats, key=lambda v: (v is None, str(v))):
+        ns, spu = stats[s]
+        if s_total == 0:
+            thr = 0
+        else:
+            f4 = (tf6 * n_total * spu * 10**4) // (10**6 * ns * s_total)
+            thr = min((f4 * _HEX_SPACE) // 10**4, _HEX_SPACE)
+        keep = (
+            F.lit(True)
+            if thr >= _HEX_SPACE
+            else (
+                F.lit(False)
+                if thr <= 0
+                else bucket < F.lit(format(thr, f"0{_HEX_WIDTH}x"))
+            )
+        )
+        match = (
+            F.col(source_col).isNull() if s is None else F.col(source_col) == s
+        )
+        cond = match & keep
+        col = F.when(cond, True) if col is None else col.when(cond, True)
+    return df.where(col.otherwise(F.lit(False)))
+
+
 def shuffle_rank(
     df: DataFrame,
     id_col: str = "doc_id",

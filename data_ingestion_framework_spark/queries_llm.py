@@ -6859,6 +6859,73 @@ def docs_quality_temperature_fit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Quality-aware DOMAIN reweighting (operators/sampling.py
+# domain_reweight_by_quality — the DoReMi-flavored mixing move: Xie et
+# al. 2023 reweight DOMAINS, not rows): each source's keep fraction is
+# proportional to the TRAINED model's mean quality over that source,
+# scaled to a 0.5 corpus target — the per-domain complement of
+# docs_quality_prob_mix's per-row thinning (inside a domain the draw
+# stays uniform, so no domain is skewed toward its own best rows).
+# Everything exact: micro-unit weights, per-source BIGINT sums, the
+# driver's arbitrary-precision threshold arithmetic replayed by the
+# oracle in HUGEINT, and the deterministic salted-md5 draw.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_quality_domain_reweight",
+    oracle=f"""
+    WITH {_QLR_GD_CTES},
+    pr AS (SELECT f.doc_id,
+                  ROUND(0.5 + (f.zu/1000000.0)/(2*(1+abs(f.zu/1000000.0))), 6)
+                    AS prob
+           FROM zf f),
+    w AS (SELECT doc_id, prob,
+                 CAST(floor(LEAST(GREATEST(prob, 0.0), 1.0) * 1000000 + 0.5)
+                      AS BIGINT) AS w6
+          FROM pr),
+    ds AS (SELECT d.source, w.doc_id, w.prob, w.w6
+           FROM w JOIN documents d USING (doc_id)),
+    st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns,
+                  CAST(SUM(w6) AS BIGINT) AS spu
+           FROM ds GROUP BY source),
+    tot AS (SELECT SUM(ns) AS n, SUM(spu) AS s FROM st),
+    th AS (SELECT st.source,
+             LEAST(((500000::HUGEINT * t.n * st.spu * 10000)
+                    // (1000000::HUGEINT * st.ns * t.s))
+                   * 4294967296 // 10000,
+                   4294967296::HUGEINT) AS thr
+           FROM st, tot t)
+    SELECT ds.doc_id, ds.source, ds.prob
+    FROM ds JOIN th ON ds.source IS NOT DISTINCT FROM th.source
+    WHERE ('0x' || substr(md5('dr' || CAST(ds.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < th.thr
+    """,
+)
+def docs_quality_domain_reweight(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import classify
+    from data_ingestion_framework_spark.operators.sampling import (
+        domain_reweight_by_quality,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    scored = classify.quality_lr_pipeline(
+        docs, label, n_features=16, iters=2, lr=0.5
+    )
+    with_src = scored.join(docs.select("doc_id", "source"), "doc_id")
+    return domain_reweight_by_quality(
+        with_src, "prob", target_fraction=0.5, salt="dr"
+    ).select("doc_id", "source", "prob")
+
+
+# ---------------------------------------------------------------------------
 # PIPELINE-INTEGRATED full-CCNet gate (plans/corpus.py corpus_pipeline
 # with quality_trainer="distributed" + quality_keep_by_source=True):
 # the complete chain — clean → redact → gate → dedup → decontam →

@@ -67,8 +67,10 @@ ROWS_ONLY = {
 #: round alongside the 3 new round-15 queries (docs_quality_prob_mix,
 #: docs_quality_temperature_fit, corpus_pipeline_calibrated_wide) —
 #: every oracle-backed registry query has now been driver-certified
-#: at least once (or is scheduled in this window). Future rotations
-#: draw from long-green rows ceding to NEW queries only.
+#: at least once (or is scheduled in this window). A 2nd wave added
+#: docs_quality_domain_reweight (ceding embeddings_quantize_calibrated)
+#: — 8 rotations total. Future rotations draw from long-green rows
+#: ceding to NEW queries only.
 
 
 def bench_query(name: str, oracle: str | None = None):
@@ -300,13 +302,18 @@ _PRIORITY = [
     # the pushed-predicate-before-ANN shape is pytest/plan-audit
     # pinned. Still in the full local gate.
     "events_pattern_topk",
-    # ROUND-12 ROTATION: similarity_ivf_ndcg (green r9-r11) cedes to
-    # the CALIBRATED int8 quantization shape (never driver-graded);
-    # the index-quality gauge family stays window-graded via
-    # similarity_ivf_recall (same oracle machinery: coarse index
-    # re-derivation + exact-ranking comparison, set-overlap instead
-    # of position-weighted fusion). Still in the full local gate.
-    "embeddings_quantize_calibrated",
+    # ROUND-15 ROTATION: embeddings_quantize_calibrated (green
+    # r12-r14) cedes to quality-aware DOMAIN reweighting (new this
+    # round: per-source keep rates from the trained model's mean
+    # quality — the DoReMi-flavored mixing move, completing the
+    # corpus-mixing arc next to the per-row prob_mix); the exact
+    # discrete percentile-selection machinery stays window-graded via
+    # orders_price_exact_percentiles (the same integer nearest-rank
+    # picks) and the int8 encode expression is pytest-pinned
+    # (test_quantize_int8_roundtrip_error_bounded; the calibrated
+    # build also runs inside embeddings_pipeline_curated in the full
+    # local gate). Still in the full local gate.
+    "docs_quality_domain_reweight",
     # ROUND-8 ROTATION: similarity_lsh_topk (driver-green r5+r6) cedes
     # to the surrogate-key SCD1 lifecycle; the sign-LSH bucket-join
     # mechanism stays window-graded via hybrid_dedup_clusters
@@ -616,8 +623,9 @@ _PRIORITY = [
     # (test_writers). Still in the full local gate.
     "docs_quality_lr_distributed",
     # end of the 50-query driver window
-    # the seven rows ceded by the round-15 rotation (driver-green 2-4
+    # the eight rows ceded by the round-15 rotation (driver-green 2-4
     # rounds; mechanisms window-covered per the notes above)
+    "embeddings_quantize_calibrated",
     "corpus_pipeline_end2end",
     "corpus_pipeline_classified",
     "top_supplier_revenue",

@@ -276,9 +276,10 @@ def test_driver_grading_window_covers_priority_queries():
         # late-supplier-blame shape (MERGE executor pytest-pinned; the
         # merge write path stays via customer_surrogate_scd1_state)
         "late_supplier_blame",
-        # r12: similarity_ivf_ndcg ceded to calibrated int8
-        # quantization (gauge family stays via similarity_ivf_recall)
-        "embeddings_quantize_calibrated",
+        # r15: embeddings_quantize_calibrated ceded to quality-aware
+        # domain reweighting (percentile picks stay via
+        # orders_price_exact_percentiles; int8 encode pytest-pinned)
+        "docs_quality_domain_reweight",
         # r14 2nd wave: orders_add_column_default_state ceded to the
         # full CCNet deployment shape (D=2^21 distributed weights +
         # per-source calibrated cut; default-column reads pytest-pinned,

@@ -217,3 +217,74 @@ def test_leakage_safe_split_with_near_dup_clusters(spark):
     for cid, docs in members.items():
         assert len({split_of[d] for d in docs}) == 1, (cid, docs)
     assert len(set(split_of.values())) > 1
+
+def test_domain_reweight_by_quality_witness(spark):
+    """domain_reweight_by_quality: membership must match a Python
+    witness replaying the micro-unit weights, per-source sums, the
+    arbitrary-precision threshold arithmetic and the salted-md5 draw
+    — including a NULL source group, a zero-mass source (keeps
+    nothing), the clip at f_s = 1, and the all-zero corpus."""
+    import hashlib
+
+    from data_ingestion_framework_spark.operators.sampling import (
+        domain_reweight_by_quality,
+    )
+
+    rows = []
+    weights = {"a": 0.9, "b": 0.2, "c": 0.0, None: 0.5}
+    for i in range(200):
+        src = [None, "a", "b", "c"][i % 4]
+        rows.append((i, src, weights[src] + (0.05 if i % 8 == 0 else 0.0)))
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, w double")
+    got = {
+        r["doc_id"]
+        for r in domain_reweight_by_quality(
+            df, "w", target_fraction=0.5, salt="t"
+        ).collect()
+    }
+    # witness
+    stats: dict = {}
+    for i, src, w in rows:
+        w6 = int(min(max(w, 0.0), 1.0) * 1_000_000 + 0.5)
+        n, spu = stats.get(src, (0, 0))
+        stats[src] = (n + 1, spu + w6)
+    n_total = sum(n for n, _ in stats.values())
+    s_total = sum(s for _, s in stats.values())
+    thr = {}
+    for src, (ns, spu) in stats.items():
+        f4 = (500_000 * n_total * spu * 10**4) // (10**6 * ns * s_total)
+        thr[src] = min(f4 * 16**8 // 10**4, 16**8)
+    want = {
+        i
+        for i, src, w in rows
+        if int(hashlib.md5(("t" + str(i)).encode()).hexdigest()[:8], 16)
+        < thr[src]
+    }
+    assert got == want
+    assert any(src == "a" for i, src, _ in rows if i in got)
+    assert not any(src == "c" for i, src, _ in rows if i in got)
+    # clip at 1: a tiny all-quality domain under a high target keeps
+    # EVERY row (threshold saturates the hex space)
+    clip = spark.createDataFrame(
+        [(1, "hi", 1.0), (2, "hi", 1.0)]
+        + [(10 + i, "lo", 0.01) for i in range(50)],
+        "doc_id bigint, source string, w double",
+    )
+    kept_hi = {
+        r["doc_id"]
+        for r in domain_reweight_by_quality(
+            clip, "w", target_fraction=0.9, salt="t"
+        ).collect()
+        if r["source"] == "hi"
+    }
+    assert kept_hi == {1, 2}
+    # zero total quality mass keeps nothing
+    zero = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "b", 0.0)], "doc_id bigint, source string, w double"
+    )
+    assert (
+        domain_reweight_by_quality(zero, "w", target_fraction=0.5).count() == 0
+    )
+    # empty input keeps nothing (and does not raise)
+    empty = spark.createDataFrame([], "doc_id bigint, source string, w double")
+    assert domain_reweight_by_quality(empty, "w").count() == 0
