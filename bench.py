@@ -221,6 +221,14 @@ HEADLINE = [
     # trained model's mean quality — one control-plane per-source agg
     # + a scan-side when-chain; the per-domain complement of prob_mix)
     "docs_quality_domain_reweight",
+    # implicit domains: IVF-clustered embeddings as the reweighting
+    # groups (delta over domain_reweight is the 16-cell coarse
+    # quantizer build + one scan-side assignment join)
+    "docs_implicit_domain_reweight",
+    # the frozen gate applied on a file STREAM (train + calibrate
+    # offline, expression-only filter in-stream; cost = the dense
+    # trainer + one staged write + the availableNow drain)
+    "streaming_frozen_quality_gate",
     # the pipeline-integrated full-CCNet gate: the whole chain +
     # D=2^21 distributed weights + per-source calibrated cuts (the
     # delta over corpus_pipeline_calibrated is the wide trainer's

@@ -130,20 +130,48 @@ def temperature_mix(
         s: int(n ** (1.0 / temperature) * 10**6 + 0.5) for s, n in counts.items()
     }
     sw = sum(w6.values())
+    thresholds = {
+        # f4 = floor(target·N·w_s / (ΣW·n_s) · 10⁴) in exact ints
+        s: min(
+            ((tf6 * n_total * w6[s] * 10**4) // (10**6 * sw * counts[s]))
+            * _HEX_SPACE
+            // 10**4,
+            _HEX_SPACE,
+        )
+        for s in counts
+    }
+    return _keep_by_group_thresholds(df, thresholds, source_col, id_col, salt)
+
+
+def _keep_by_group_thresholds(
+    df: DataFrame,
+    thresholds: dict,
+    source_col: str,
+    id_col: str,
+    salt: str,
+) -> DataFrame:
+    """Scan-side when-chain shared by the per-group samplers
+    (:func:`temperature_mix`, :func:`domain_reweight_by_quality`):
+    keep a row iff its salted-md5 bucket falls under its group's
+    integer threshold in the 16⁸ hex space. A saturated threshold
+    (≥ 16⁸) keeps every row — the 9-hex literal would compare wrong
+    lexicographically, so it short-circuits to TRUE; a non-positive
+    one to FALSE. NULL groups match via ``isNull`` (an ``==``
+    predicate would silently drop them); group order is
+    deterministic. Zero shuffles, zero joins — the thresholds ride
+    in the plan as literals."""
     bucket = hash_bucket_hex(id_col, salt)
     col = None
-    # NULL sources form their own group (isNull match — an == predicate
-    # would silently drop them); sort key tolerates the None
-    for s in sorted(counts, key=lambda v: (v is None, str(v))):
-        # f4 = floor(target·N·w_s / (ΣW·n_s) · 10⁴) in exact ints
-        f4 = (tf6 * n_total * w6[s] * 10**4) // (10**6 * sw * counts[s])
-        thr = min((f4 * _HEX_SPACE) // 10**4, _HEX_SPACE)
-        # a clipped source (thr = 16^8) keeps every row — the 9-hex
-        # literal would compare wrong lexicographically, so special-case
+    for s in sorted(thresholds, key=lambda v: (v is None, str(v))):
+        thr = thresholds[s]
         keep = (
             F.lit(True)
             if thr >= _HEX_SPACE
-            else bucket < F.lit(format(thr, f"0{_HEX_WIDTH}x"))
+            else (
+                F.lit(False)
+                if thr <= 0
+                else bucket < F.lit(format(thr, f"0{_HEX_WIDTH}x"))
+            )
         )
         match = (
             F.col(source_col).isNull() if s is None else F.col(source_col) == s
@@ -240,30 +268,14 @@ def domain_reweight_by_quality(
     n_total = sum(n for n, _ in stats.values())
     s_total = sum(spu for _, spu in stats.values())
     tf6 = int(round(min(max(target_fraction, 0.0), 1.0) * 10**6))
-    bucket = hash_bucket_hex(id_col, salt)
-    col = None
-    for s in sorted(stats, key=lambda v: (v is None, str(v))):
-        ns, spu = stats[s]
+    thresholds = {}
+    for s, (ns, spu) in stats.items():
         if s_total == 0:
-            thr = 0
+            thresholds[s] = 0
         else:
             f4 = (tf6 * n_total * spu * 10**4) // (10**6 * ns * s_total)
-            thr = min((f4 * _HEX_SPACE) // 10**4, _HEX_SPACE)
-        keep = (
-            F.lit(True)
-            if thr >= _HEX_SPACE
-            else (
-                F.lit(False)
-                if thr <= 0
-                else bucket < F.lit(format(thr, f"0{_HEX_WIDTH}x"))
-            )
-        )
-        match = (
-            F.col(source_col).isNull() if s is None else F.col(source_col) == s
-        )
-        cond = match & keep
-        col = F.when(cond, True) if col is None else col.when(cond, True)
-    return df.where(col.otherwise(F.lit(False)))
+            thresholds[s] = min((f4 * _HEX_SPACE) // 10**4, _HEX_SPACE)
+    return _keep_by_group_thresholds(df, thresholds, source_col, id_col, salt)
 
 
 def shuffle_rank(

@@ -548,6 +548,30 @@ def ivf_train_centroids(
     return centroids
 
 
+def cell_assignments(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell id per corpus vector — the coarse
+    quantizer's assignment pass as a standalone frame ``(id, cell)``.
+
+    This is the clustering half of SemDeDup (Abbas et al. 2023) and
+    the partition step every cluster-as-domain treatment starts from
+    (DoGE/DoReMi-style mixing over LEARNED domains when no source
+    label exists): train centroids once (``ivf_train_centroids``),
+    then one scan assigns every vector to its argmax-cosine cell —
+    ties on the lower cell id, cosines rounded to 6 decimals first,
+    exactly the ``_nearest_cells`` semantics every IVF oracle
+    replays. Pure scan-side projection: the centroid matrix rides in
+    the plan as one literal, no shuffle, no UDF."""
+    return _spread(corpus.select(id_col, vec_col)).select(
+        F.col(id_col),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -6870,34 +6870,49 @@ def docs_quality_temperature_fit(spark, sf_dir):
 # driver's arbitrary-precision threshold arithmetic replayed by the
 # oracle in HUGEINT, and the deterministic salted-md5 draw.
 # ---------------------------------------------------------------------------
-@bench_query(
-    "docs_quality_domain_reweight",
-    oracle=f"""
-    WITH {_QLR_GD_CTES},
-    pr AS (SELECT f.doc_id,
+#: the trained model's probability → micro-unit weight CTEs (pr, w),
+#: shared by the two domain-reweight oracles: prob exactly as the
+#: scorer rounds it, w6 exactly as the sampler quantizes it
+_QLR_PROB_W6_CTES = """pr AS (SELECT f.doc_id,
                   ROUND(0.5 + (f.zu/1000000.0)/(2*(1+abs(f.zu/1000000.0))), 6)
                     AS prob
            FROM zf f),
     w AS (SELECT doc_id, prob,
                  CAST(floor(LEAST(GREATEST(prob, 0.0), 1.0) * 1000000 + 0.5)
                       AS BIGINT) AS w6
-          FROM pr),
-    ds AS (SELECT d.source, w.doc_id, w.prob, w.w6
-           FROM w JOIN documents d USING (doc_id)),
-    st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns,
+          FROM pr)"""
+
+
+def _domain_reweight_sql(rows: str, group_col: str, salt: str) -> str:
+    """CTE tail replaying ``domain_reweight_by_quality`` at target 0.5
+    over ``rows`` (any CTE exposing (doc_id, {group_col}, prob, w6)):
+    the per-group HUGEINT threshold re-derivation + the salted-md5
+    draw — shared by the explicit-source and learned-cluster domain
+    queries so both grade the SAME arithmetic."""
+    return f"""st AS (SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS ns,
                   CAST(SUM(w6) AS BIGINT) AS spu
-           FROM ds GROUP BY source),
+           FROM {rows} GROUP BY {group_col}),
     tot AS (SELECT SUM(ns) AS n, SUM(spu) AS s FROM st),
-    th AS (SELECT st.source,
+    th AS (SELECT st.{group_col},
              LEAST(((500000::HUGEINT * t.n * st.spu * 10000)
                     // (1000000::HUGEINT * st.ns * t.s))
                    * 4294967296 // 10000,
                    4294967296::HUGEINT) AS thr
            FROM st, tot t)
-    SELECT ds.doc_id, ds.source, ds.prob
-    FROM ds JOIN th ON ds.source IS NOT DISTINCT FROM th.source
-    WHERE ('0x' || substr(md5('dr' || CAST(ds.doc_id AS VARCHAR)), 1, 8))::BIGINT
-          < th.thr
+    SELECT r.doc_id, r.{group_col}, r.prob
+    FROM {rows} r JOIN th ON r.{group_col} IS NOT DISTINCT FROM th.{group_col}
+    WHERE ('0x' || substr(md5('{salt}' || CAST(r.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < th.thr"""
+
+
+@bench_query(
+    "docs_quality_domain_reweight",
+    oracle=f"""
+    WITH {_QLR_GD_CTES},
+    {_QLR_PROB_W6_CTES},
+    ds AS (SELECT d.source, w.doc_id, w.prob, w.w6
+           FROM w JOIN documents d USING (doc_id)),
+    {_domain_reweight_sql("ds", "source", "dr")}
     """,
 )
 def docs_quality_domain_reweight(spark, sf_dir):
@@ -6923,6 +6938,123 @@ def docs_quality_domain_reweight(spark, sf_dir):
     return domain_reweight_by_quality(
         with_src, "prob", target_fraction=0.5, salt="dr"
     ).select("doc_id", "source", "prob")
+
+
+# ---------------------------------------------------------------------------
+# IMPLICIT-domain reweighting (similarity.cell_assignments +
+# sampling.domain_reweight_by_quality): when no source label exists,
+# the domains are LEARNED — cluster the embedding space with the
+# deterministic IVF coarse quantizer (16 cells, 2 Lloyd iterations)
+# and reweight the CLUSTERS by the trained model's mean quality, the
+# DoGE/DoReMi-over-learned-domains treatment. The oracle composes
+# three existing machines verbatim: the full IVF index re-derivation
+# (seeds → 2 unrolled Lloyd iterations → argmax-cosine cells), the
+# dense GD unroll, and the shared HUGEINT reweight tail — clustering,
+# scoring AND threshold selection all under the gate at once.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_implicit_domain_reweight",
+    oracle=f"""
+    WITH {_ivf_index_sql(16)},
+    {_QLR_GD_CTES},
+    {_QLR_PROB_W6_CTES},
+    ds AS (SELECT cc.cell, w.doc_id, w.prob, w.w6
+           FROM w JOIN corpus_cell cc ON cc.vec_id = w.doc_id),
+    {_domain_reweight_sql("ds", "cell", "im")}
+    """,
+)
+def docs_implicit_domain_reweight(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import classify
+    from data_ingestion_framework_spark.operators.sampling import (
+        domain_reweight_by_quality,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_train_centroids(emb, n_cells=16, iters=2)
+    cells = similarity.cell_assignments(emb, centroids).select(
+        F.col("vec_id").alias("doc_id"), "cell"
+    )
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    scored = classify.quality_lr_pipeline(
+        docs, label, n_features=16, iters=2, lr=0.5
+    )
+    with_cell = scored.join(cells, "doc_id")
+    return domain_reweight_by_quality(
+        with_cell, "prob", target_fraction=0.5, source_col="cell", salt="im"
+    ).select("doc_id", "cell", "prob")
+
+
+# ---------------------------------------------------------------------------
+# STREAMING frozen quality gate, oracle-backed (operators/classify.py
+# fit_quality_gate + FrozenQualityGate): the train-offline /
+# apply-in-stream deployment graded END TO END — the dense model is
+# trained and its keep-1/2 calibrated cutoff RESOLVED on the offline
+# corpus, both frozen as plan constants; the gate then filters an
+# availableNow file stream as a pure expression (no joins, no state,
+# the cut stable across micro-batches instead of re-quantiling each
+# one). Over bounded input the streamed survivors equal the batch
+# gate's, so the batch SQL — the dense GD unroll + the SAME integer
+# nearest-rank cut selection — is a true oracle for the streaming
+# execution path, exactly the streaming_daily_counts contract.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "streaming_frozen_quality_gate",
+    oracle=f"""
+    WITH {_QLR_GD_CTES},
+    {_keep_rank_cut_sql(1, 2)}
+    SELECT zf.doc_id, d.source, zf.zu AS score_units
+    FROM zf JOIN documents d USING (doc_id), cut
+    WHERE zf.zu >= cut.t
+    """,
+)
+def streaming_frozen_quality_gate(spark, sf_dir):
+    import uuid
+
+    from data_ingestion_framework_spark.operators import classify
+    from data_ingestion_framework_spark.queries_etl import _scratch_dir
+    from data_ingestion_framework_spark.streaming import read_file_stream
+
+    docs = load(spark, sf_dir, "documents")
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    gate = classify.fit_quality_gate(
+        docs, label, n_features=16, iters=2, lr=0.5, keep_fraction=(1, 2)
+    )
+    tmp = _scratch_dir("difs_fgate_")
+    docs.write.mode("overwrite").parquet(f"{tmp}/landing")
+    stream = read_file_stream(
+        spark, f"{tmp}/landing", "parquet", control_columns=False
+    )
+    survivors = gate.apply(stream).select(
+        "doc_id", "source", gate.score_expr().alias("score_units")
+    )
+    name = f"sfg_{uuid.uuid4().hex[:8]}"
+    q = (
+        survivors.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------

@@ -69,8 +69,10 @@ ROWS_ONLY = {
 #: every oracle-backed registry query has now been driver-certified
 #: at least once (or is scheduled in this window). A 2nd wave added
 #: docs_quality_domain_reweight (ceding embeddings_quantize_calibrated)
-#: — 8 rotations total. Future rotations draw from long-green rows
-#: ceding to NEW queries only.
+#: and a 3rd added docs_implicit_domain_reweight (ceding
+#: docs_quality_lr_sparse_auc), a 4th streaming_frozen_quality_gate
+#: (ceding embeddings_hard_negatives) — 10 rotations total. Future
+#: rotations draw from long-green rows ceding to NEW queries only.
 
 
 def bench_query(name: str, oracle: str | None = None):
@@ -145,10 +147,11 @@ _PRIORITY = [
     # ROUND-14 ROTATION (3rd wave): docs_quality_lr_sparse (green
     # r12+r13) cedes to the Q4 linestatus/priority existence-count
     # shape (semi-join + grouped counts — never driver-graded); the
-    # D=65536 sparse pipeline's VALUE SET is literally recomputed
-    # inside the in-window docs_quality_lr_sparse_auc (same trainer,
-    # same scores, plus the rank-sum tail), so the mechanism keeps a
-    # strict-superset window rep. Still in the full local gate.
+    # sparse-trainer mechanism keeps window reps via
+    # docs_quality_lr_distributed_auc (the same sparse GD CTEs at
+    # D=2^22) and corpus_pipeline_calibrated_wide (the
+    # width-parameterized sparse unroll as the pipeline gate). Still
+    # in the full local gate.
     "linestatus_priority_counts",
     # ROUND-12 ROTATION: graph_pagerank_interactions (green r9-r11)
     # cedes to top-2 PCA via deflation (new this round: the oracle
@@ -364,13 +367,17 @@ _PRIORITY = [
     # market_share + top_supplier_revenue in-window. Still in the
     # full local gate.
     "promo_revenue_share",
-    # ROUND-13 ROTATION: docs_quality_lr_scores (green r11+r12) cedes
-    # to the SPARSE-model exact-AUC gauge (new this round: the
-    # D=65536 pipeline under the range-partitioned rank primitive);
-    # the dense GD unroll stays window-graded TWICE — docs_quality_lr_
-    # auc re-runs the identical trainer and corpus_pipeline_classified
-    # deploys it as the corpus gate. Still in the full local gate.
-    "docs_quality_lr_sparse_auc",
+    # ROUND-15 ROTATION (3rd wave): docs_quality_lr_sparse_auc (green
+    # r13+r14) cedes to IMPLICIT-domain reweighting (new this round:
+    # embedding clusters as learned domains — the IVF coarse quantizer
+    # composed with the quality-weighted domain reweighter, all three
+    # machines re-derived by the oracle at once); the sparse-model
+    # rank-sum AUC mechanism keeps a strict-superset window rep in
+    # docs_quality_lr_distributed_auc (the SAME sparse GD CTEs at
+    # D=2^22 plus the same Mann-Whitney tail) and the sparse trainer
+    # also grades inside corpus_pipeline_calibrated_wide. Still in the
+    # full local gate.
+    "docs_implicit_domain_reweight",
     # ROUND-11 ROTATION (2nd wave): docs_dsir_weights (green r7-r10)
     # cedes to MMR diversified selection (greedy relevance-vs-
     # redundancy retrieval, new this round — its oracle replays the
@@ -592,7 +599,7 @@ _PRIORITY = [
     # stays window-graded THREE ways (docs_quality_lr_calibration,
     # docs_quality_prob_mix and docs_quality_temperature_fit all
     # re-run it) and the Mann-Whitney rank-sum tail stays via
-    # docs_quality_lr_sparse_auc + docs_quality_lr_distributed_auc.
+    # docs_quality_lr_distributed_auc.
     # Still in the full local gate.
     "brand_supplier_counts",
     # ROUND-13 ROTATION: docs_pack_ffd (rotated in r12) rotates back
@@ -602,7 +609,16 @@ _PRIORITY = [
     # stay pinned by the test_pack_documents_ffd_* trio. The slot
     # goes to ANN-backed hard-negative mining's BRUTE-FORCE sibling
     # (never driver-graded; the _ann form was green r9+r10).
-    "embeddings_hard_negatives",
+    # ROUND-15 ROTATION (4th wave): embeddings_hard_negatives (green
+    # r13+r14) cedes to the STREAMING frozen quality gate (new this
+    # round: train-offline/apply-in-stream graded end-to-end — the
+    # file-stream execution path under the batch GD-unroll +
+    # rank-cut oracle); the negative-mining shape stays pytest-pinned
+    # (test_hard_negatives*) and its IVF machinery keeps window reps
+    # via similarity_knn_join_pq, embeddings_ivf_index_state and
+    # docs_implicit_domain_reweight's full index re-derivation. Still
+    # in the full local gate.
+    "streaming_frozen_quality_gate",
     # ROUND-14 ROTATION: graph_clustering_coefficients (green r9-r13)
     # cedes to the Q10 returned-item-customers shape (revenue agg over
     # customer⋈orders⋈lineitem⋈nation with a flag predicate + top-20 —
@@ -623,8 +639,10 @@ _PRIORITY = [
     # (test_writers). Still in the full local gate.
     "docs_quality_lr_distributed",
     # end of the 50-query driver window
-    # the eight rows ceded by the round-15 rotation (driver-green 2-4
+    # the ten rows ceded by the round-15 rotation (driver-green 2-4
     # rounds; mechanisms window-covered per the notes above)
+    "embeddings_hard_negatives",
+    "docs_quality_lr_sparse_auc",
     "embeddings_quantize_calibrated",
     "corpus_pipeline_end2end",
     "corpus_pipeline_classified",

@@ -462,6 +462,44 @@ def test_semantic_dedup_matches_brute_force_on_planted_clusters(spark):
     assert keepers == [0, 5, 10, 15]
 
 
+def test_cell_assignments_matches_brute_force(spark):
+    """cell_assignments: every vector lands in its argmax-cosine cell
+    (cosine rounded to 6 first, ties on the LOWER cell id) — checked
+    against a cell-blind Python argmax over the same centroids,
+    including the zero vector (cos 0 to every cell → cell 0 by the
+    tie rule)."""
+    import math
+
+    from data_ingestion_framework_spark.operators.similarity import (
+        cell_assignments,
+        ivf_train_centroids,
+    )
+
+    rows = [
+        Row(vec_id=i, embedding=[math.sin(i * j + 1.0) for j in range(6)])
+        for i in range(40)
+    ] + [Row(vec_id=40, embedding=[0.0] * 6)]
+    emb = spark.createDataFrame(rows)
+    cents = ivf_train_centroids(emb, n_cells=5, iters=2)
+    got = {
+        r["vec_id"]: r["cell"] for r in cell_assignments(emb, cents).collect()
+    }
+    assert len(got) == 41
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return 0.0 if na * nb == 0 else d / (na * nb)
+
+    for r in rows:
+        best = min(
+            range(len(cents)),
+            key=lambda c: (-round(cos(r["embedding"], cents[c]), 6), c),
+        )
+        assert got[r["vec_id"]] == best, r["vec_id"]
+
+
 def test_split_assign_partitions_disjoint_stable(spark):
     from data_ingestion_framework_spark.operators.sampling import split_assign
 

@@ -260,7 +260,11 @@ def test_driver_grading_window_covers_priority_queries():
         # slots went to the last ungraded lifecycle + the brute-force
         # hard-negative miner
         "orders_widen_state",
-        "embeddings_hard_negatives",
+        # r15 4th wave: embeddings_hard_negatives ceded to the
+        # streaming frozen quality gate (negative mining pytest-pinned;
+        # IVF machinery stays via knn_join_pq / ivf_index_state /
+        # implicit_domain_reweight)
+        "streaming_frozen_quality_gate",
         # r15: top_supplier_revenue ceded to the correlated-average
         # shape (the same scalar-subquery decorrelation, graded by the
         # incoming row itself)
@@ -293,10 +297,10 @@ def test_driver_grading_window_covers_priority_queries():
         # promo-revenue-share sibling (OR-of-ANDs pushdown is
         # plan-audit pinned; star joins stay via market_share)
         "promo_revenue_share",
-        # r13: docs_quality_lr_scores ceded to the sparse-model AUC
-        # gauge (the dense GD unroll stays via docs_quality_lr_auc and
-        # the classifier-gated pipeline)
-        "docs_quality_lr_sparse_auc",
+        # r15 3rd wave: docs_quality_lr_sparse_auc ceded to
+        # implicit-domain reweighting (sparse GD + rank-sum AUC stay
+        # via docs_quality_lr_distributed_auc at D=2^22)
+        "docs_implicit_domain_reweight",
         # r11 2nd wave: docs_dsir_weights ceded to MMR diversified
         # selection (weighting mechanism stays via the EM tokenizer
         # counts and BM25 corpus stats)
@@ -352,8 +356,8 @@ def test_driver_grading_window_covers_priority_queries():
         # family keeps version_diff/partition_evolution/widen)
         "customer_order_histogram",
         # r14 3rd wave: docs_quality_lr_sparse ceded to the Q4
-        # existence-count shape (its value set is recomputed verbatim
-        # inside the in-window docs_quality_lr_sparse_auc)
+        # existence-count shape (sparse trainer stays via
+        # docs_quality_lr_distributed_auc + the wide pipeline gate)
         "linestatus_priority_counts",
         "customer_surrogate_scd1_state",
         # r12: retrieval_rrf_hybrid ceded to the iterated unigram-EM
