@@ -857,7 +857,11 @@ def temperature_scaled_probs(
         F.lit(float(t_num)) * F.lit(float(UNIT_SCALE))
     )
     prob = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
-    return scored.select("*", F.round(prob, 6).alias(out_col))
+    # withColumn, not select("*", alias): when out_col already exists
+    # (overwriting the scorer's ``prob`` in place is the natural call)
+    # it REPLACES the column — the select form would append a silent
+    # duplicate and make every later F.col(out_col) ambiguous
+    return scored.withColumn(out_col, F.round(prob, 6))
 
 
 def temperature_fit(
@@ -1160,6 +1164,34 @@ def quality_lr_gate(
             df, label, text_col, n_features, iters, lr, id_col,
             min_score_units, keep_fraction, slice_col, trainer,
         )
+    w, z = _train_dense_scored_expr(
+        df, label, text_col, n_features, iters, lr, id_col,
+        "quality_lr_gate dot",
+    )
+    if keep_fraction is None:
+        return df.where(z >= F.lit(int(min_score_units)))
+    num, den = int(keep_fraction[0]), int(keep_fraction[1])
+    if slice_col is None:
+        return _calibrated_cut_global(df, z, num, den)
+    return _calibrated_cut_by_slice(df, z, num, den, slice_col)
+
+
+def _train_dense_scored_expr(
+    df: DataFrame,
+    label: Column,
+    text_col: str,
+    n_features: int,
+    iters: int,
+    lr: float,
+    id_col: str,
+    guard_what: str,
+) -> tuple[list[int], Column]:
+    """The dense train-then-guard block shared by
+    :func:`quality_lr_gate` and :func:`fit_quality_gate` — ONE
+    definition keeps their pytest-pinned frozen-vs-batch parity by
+    construction. Returns the trained integer-unit weights and the
+    logit as a pure expression over ``df``'s ``text_col``. ``df``
+    must already be checkpointed and non-empty."""
     feats = hashed_token_features(
         df, text_col=text_col, n_features=n_features, id_col=id_col,
         label=label,
@@ -1168,14 +1200,8 @@ def quality_lr_gate(
         feats, iters, lr, "features", "label"
     )
     maxw = max((abs(x) for x in w), default=0)
-    _guard_int64(maxw * row_sum_max, "quality_lr_gate dot")
-    z = _z_units(_dense_features_expr(text_col, n_features), w)
-    if keep_fraction is None:
-        return df.where(z >= F.lit(int(min_score_units)))
-    num, den = int(keep_fraction[0]), int(keep_fraction[1])
-    if slice_col is None:
-        return _calibrated_cut_global(df, z, num, den)
-    return _calibrated_cut_by_slice(df, z, num, den, slice_col)
+    _guard_int64(maxw * row_sum_max, guard_what)
+    return w, _z_units(_dense_features_expr(text_col, n_features), w)
 
 
 class FrozenQualityGate:
@@ -1202,11 +1228,37 @@ class FrozenQualityGate:
         self.text_col = text_col
 
     def score_expr(self) -> Column:
-        """The trained logit in integer units, as a pure expression."""
-        return _z_units(
+        """The trained logit in integer units, as a pure expression.
+
+        The fit-time ``_guard_int64`` only certified the TRAINING
+        corpus's longest row; the gate's whole purpose is applying to
+        NEW data (a streaming micro-batch can carry a vastly longer
+        document), so the expression re-checks per row: a row whose
+        token count exceeds the certified bound ``int64_max //
+        max|w|`` raises loudly instead of letting the BIGINT dot wrap
+        silently on a non-ANSI session and flip keep/drop. One extra
+        ``size()`` over the already-built token array — noise next
+        to the O(D·tokens) fold itself."""
+        # same 2^62 one-bit-headroom bound as _guard_int64, resolved
+        # per row instead of per corpus
+        maxw = max((abs(x) for x in self.w_units), default=0)
+        safe_rows = (2**62) // max(maxw, 1)
+        n_row = F.size(_tokens(self.text_col)).cast("bigint") + F.lit(1)
+        z = _z_units(
             _dense_features_expr(self.text_col, self.n_features),
             self.w_units,
         )
+        return F.when(
+            n_row > F.lit(safe_rows),
+            F.raise_error(
+                F.lit(
+                    "FrozenQualityGate: a row's token count exceeds the "
+                    f"int64-certified bound ({safe_rows}) for the frozen "
+                    "weights — the dot product would overflow; re-fit "
+                    "with smaller weights or pre-truncate the text"
+                )
+            ).cast("bigint"),
+        ).otherwise(z)
 
     def filter_expr(self) -> Column:
         """``trained_logit >= frozen_cut`` as one Column expression."""
@@ -1263,18 +1315,12 @@ def fit_quality_gate(
     df = df.localCheckpoint()
     if df.first() is None:
         raise ValueError("fit_quality_gate: empty training frame")
-    feats = hashed_token_features(
-        df, text_col=text_col, n_features=n_features, id_col=id_col,
-        label=label,
+    w, z = _train_dense_scored_expr(
+        df, label, text_col, n_features, iters, lr, id_col,
+        "fit_quality_gate dot",
     )
-    w, row_sum_max = _gd_train_dense_with_stats(
-        feats, iters, lr, "features", "label"
-    )
-    maxw = max((abs(x) for x in w), default=0)
-    _guard_int64(maxw * row_sum_max, "fit_quality_gate dot")
     cut = int(min_score_units)
     if keep_fraction is not None:
-        z = _z_units(_dense_features_expr(text_col, n_features), w)
         cut = _calibrated_cut_value(
             df, z, int(keep_fraction[0]), int(keep_fraction[1])
         )

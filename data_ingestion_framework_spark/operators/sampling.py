@@ -258,7 +258,9 @@ def domain_reweight_by_quality(
         F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)) * 1_000_000 + F.lit(0.5)
     ).cast("bigint")
     stats = {
-        r[source_col]: (int(r["__n"]), int(r["__spu"]))
+        # a group whose weights are ALL NULL sums to NULL — treat it
+        # as zero quality mass (keeps nothing) instead of crashing
+        r[source_col]: (int(r["__n"]), int(r["__spu"] or 0))
         for r in df.groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("__n"), F.sum(w6).alias("__spu"))
         .collect()

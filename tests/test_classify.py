@@ -1254,3 +1254,29 @@ def test_fit_quality_gate_guards(spark):
         ).collect()
     }
     assert {r["doc_id"] for r in gate.apply(df).collect()} == want
+
+
+def test_frozen_gate_overflow_guard_raises_on_long_new_rows(spark):
+    """Review r15: the fit-time int64 guard only certifies the
+    TRAINING corpus — applying frozen weights to a NEW frame with a
+    vastly longer document must raise loudly (the per-row certified
+    bound), never let the BIGINT dot wrap silently and flip keep/drop
+    decisions."""
+    from data_ingestion_framework_spark.operators.classify import (
+        FrozenQualityGate,
+    )
+
+    # hand-frozen huge weights: safe bound = 2^62 // 2^55 = 128 tokens
+    gate = FrozenQualityGate([2**55] * 3, 0, 2)
+    ok = spark.createDataFrame(
+        [(1, "w " * 100)], "doc_id bigint, text string"
+    )
+    assert gate.apply(ok).count() >= 0  # under the bound: evaluates fine
+    too_long = spark.createDataFrame(
+        [(2, "w " * 200)], "doc_id bigint, text string"
+    )
+    try:
+        gate.apply(too_long).count()
+        raise AssertionError("expected the certified-bound raise")
+    except Exception as e:  # Spark wraps raise_error in its own type
+        assert "int64-certified" in str(e)

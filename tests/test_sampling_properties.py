@@ -285,6 +285,20 @@ def test_domain_reweight_by_quality_witness(spark):
     assert (
         domain_reweight_by_quality(zero, "w", target_fraction=0.5).count() == 0
     )
+    # a group whose weights are ALL NULL is zero-mass (keeps nothing),
+    # not a driver crash; the non-NULL group still samples
+    part_null = spark.createDataFrame(
+        [(1, "a", None), (2, "a", None)]
+        + [(10 + i, "b", 1.0) for i in range(20)],
+        "doc_id bigint, source string, w double",
+    )
+    kept = {
+        r["doc_id"]
+        for r in domain_reweight_by_quality(
+            part_null, "w", target_fraction=0.5, salt="t"
+        ).collect()
+    }
+    assert kept and all(i >= 10 for i in kept)
     # empty input keeps nothing (and does not raise)
     empty = spark.createDataFrame([], "doc_id bigint, source string, w double")
     assert domain_reweight_by_quality(empty, "w").count() == 0

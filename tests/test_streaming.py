@@ -1527,3 +1527,27 @@ def test_path_token_matching_relative_watched_path_left_boundary():
     # still a sibling masquerade (review r14: '/backup//data/t'
     # OS-normalizes to /backup/data/t)
     assert not _path_token_in("difs [/backup//data/t]", "/data/t")
+
+
+def test_path_token_matching_uri_scheme_boundaries():
+    """Review r15: the URI-scheme clean-boundary exception must be
+    exactly 'empty-authority ``://`` + absolute watched path' — a
+    relative watched path after ``scheme://`` matches the AUTHORITY
+    (bucket/host), not a path, and must stay blocked."""
+    from data_ingestion_framework_spark.streaming.observability import (
+        _path_token_in,
+    )
+
+    # empty authority: the '/' after '://' is the path's own slash
+    assert _path_token_in("parquet [file:///data/t]", "/data/t")
+    assert _path_token_in("parquet [hdfs:///data/t]", "/data/t")
+    # single-slash scheme form: ':' is already a clean boundary
+    assert _path_token_in("parquet [file:/data/t]", "/data/t")
+    # relative watched path after a scheme names the AUTHORITY — the
+    # bucket called 'data' is not the watched table 'data/t'
+    assert not _path_token_in("parquet [s3a://data/t]", "data/t")
+    # absolute path whose match begins at the authority ('data' is
+    # the host in file://data/t) stays blocked
+    assert not _path_token_in("parquet [file://data/t]", "/data/t")
+    # non-empty authority + doubled slash: still a distinct parent
+    assert not _path_token_in("parquet [s3a://bucket//data/t]", "/data/t")
