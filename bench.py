@@ -229,6 +229,10 @@ HEADLINE = [
     # offline, expression-only filter in-stream; cost = the dense
     # trainer + one staged write + the availableNow drain)
     "streaming_frozen_quality_gate",
+    # multi-epoch domain upsampling (rates > 1 repeat rows via
+    # explode(sequence) — delta over domain_reweight is the per-row
+    # copy generation)
+    "docs_quality_domain_upsample",
     # the pipeline-integrated full-CCNet gate: the whole chain +
     # D=2^21 distributed weights + per-source calibrated cuts (the
     # delta over corpus_pipeline_calibrated is the wide trainer's

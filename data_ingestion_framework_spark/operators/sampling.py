@@ -253,18 +253,7 @@ def domain_reweight_by_quality(
     scan-side when-chain predicate — zero extra shuffles, no join.
     NULL sources form their own group.
     """
-    w = F.col(weight_col).cast("double")
-    w6 = F.floor(
-        F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)) * 1_000_000 + F.lit(0.5)
-    ).cast("bigint")
-    stats = {
-        # a group whose weights are ALL NULL sums to NULL — treat it
-        # as zero quality mass (keeps nothing) instead of crashing
-        r[source_col]: (int(r["__n"]), int(r["__spu"] or 0))
-        for r in df.groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("__n"), F.sum(w6).alias("__spu"))
-        .collect()
-    }
+    stats = _group_quality_stats(df, weight_col, source_col)
     if not stats:
         return df.where(F.lit(False))
     n_total = sum(n for n, _ in stats.values())
@@ -278,6 +267,114 @@ def domain_reweight_by_quality(
             f4 = (tf6 * n_total * spu * 10**4) // (10**6 * ns * s_total)
             thresholds[s] = min((f4 * _HEX_SPACE) // 10**4, _HEX_SPACE)
     return _keep_by_group_thresholds(df, thresholds, source_col, id_col, salt)
+
+
+def _group_quality_stats(
+    df: DataFrame, weight_col: str, source_col: str
+) -> dict:
+    """Per-group ``(count, Σ micro-unit weight)`` — the one
+    control-plane aggregate behind the quality-driven domain samplers.
+    Weights clamp to [0,1] and quantize to ``w6 = floor(w·1e6 + 0.5)``;
+    a group whose weights are ALL NULL sums to zero mass."""
+    w = F.col(weight_col).cast("double")
+    w6 = F.floor(
+        F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)) * 1_000_000 + F.lit(0.5)
+    ).cast("bigint")
+    return {
+        r[source_col]: (int(r["__n"]), int(r["__spu"] or 0))
+        for r in df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum(w6).alias("__spu"))
+        .collect()
+    }
+
+
+def domain_upsample_by_quality(
+    df: DataFrame,
+    weight_col: str,
+    target_factor: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    copy_col: str = "copy",
+    max_rate: int = 16,
+) -> DataFrame:
+    """Multi-EPOCH domain mixing: like
+    :func:`domain_reweight_by_quality` but rates do NOT clip at 1 — a
+    domain whose mean quality earns it a rate above one is REPEATED
+    (emitted more than once per row), the way production mixtures
+    actually deploy domain weights (DoReMi's weights multiply epochs;
+    Muennighoff et al. 2023 show repeating high-quality data beats
+    adding low-quality data under a token budget). The expected
+    output size is ``target_factor · N`` redistributed across domains
+    ∝ mean quality.
+
+    All-integer and oracle-replayable: per-source rate in 10⁻⁴ units
+    ``r4 = (tf6·N·spu_s·1e4) div (1e6·n_s·S)`` (exact driver-side
+    arbitrary precision, HUGEINT in the oracle); every row of source
+    s gets ``r4 div 1e4`` whole copies plus one more iff its
+    salted-md5 bucket falls under ``((r4 mod 1e4)·16⁸) div 1e4`` — so
+    fractional epochs land on a deterministic, engine-reproducible
+    subset of rows rather than a float coin flip. Output = input
+    columns plus ``copy_col`` (1..copies); rows with zero copies are
+    dropped. A zero-quality-mass corpus emits nothing.
+
+    Guards: a source whose rate exceeds ``max_rate`` raises — an
+    extreme skew (one tiny high-quality domain under a large target)
+    would otherwise explode the output silently; raise loudly and let
+    the caller cap ``target_factor`` or pre-balance.
+
+    Scale shape: one control-plane per-source aggregate; the copies
+    column is a scan-side when-chain of plan constants; the repeat is
+    ``explode(sequence(1, copies))`` — per-row generation, zero
+    shuffles, zero joins. Repeated rows carry distinct ``copy_col``
+    values so downstream exact dedup does not silently undo the
+    epochs.
+    """
+    if target_factor < 0:
+        raise ValueError(
+            f"domain_upsample_by_quality: target_factor {target_factor} < 0"
+        )
+    stats = _group_quality_stats(df, weight_col, source_col)
+    empty = df.where(F.lit(False)).withColumn(
+        copy_col, F.lit(1).cast("int")
+    )
+    if not stats:
+        return empty
+    n_total = sum(n for n, _ in stats.values())
+    s_total = sum(spu for _, spu in stats.values())
+    if s_total == 0:
+        return empty
+    tf6 = int(round(target_factor * 10**6))
+    rates = {}
+    for s, (ns, spu) in stats.items():
+        r4 = (tf6 * n_total * spu * 10**4) // (10**6 * ns * s_total)
+        if r4 > max_rate * 10**4:
+            raise ValueError(
+                f"domain_upsample_by_quality: source {s!r} rate "
+                f"{r4 / 10**4:.2f} exceeds max_rate={max_rate} — extreme "
+                "domain skew; lower target_factor or rebalance first"
+            )
+        rates[s] = r4
+    bucket = hash_bucket_hex(id_col, salt)
+    col = None
+    for s in sorted(rates, key=lambda v: (v is None, str(v))):
+        r4 = rates[s]
+        base, frac4 = r4 // 10**4, r4 % 10**4
+        thr = (frac4 * _HEX_SPACE) // 10**4
+        copies = F.lit(base)
+        if thr > 0:
+            copies = copies + (
+                bucket < F.lit(format(thr, f"0{_HEX_WIDTH}x"))
+            ).cast("int")
+        match = (
+            F.col(source_col).isNull() if s is None else F.col(source_col) == s
+        )
+        col = F.when(match, copies) if col is None else col.when(match, copies)
+    copies = col.otherwise(F.lit(0))
+    seq = F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(copy_col, F.explode(seq))
 
 
 def shuffle_rank(

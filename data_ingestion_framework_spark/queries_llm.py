@@ -6883,16 +6883,22 @@ _QLR_PROB_W6_CTES = """pr AS (SELECT f.doc_id,
           FROM pr)"""
 
 
+def _group_stats_sql(rows: str, group_col: str) -> str:
+    """The per-group (count, Σw6) + corpus-total CTEs shared by every
+    quality-driven domain-sampler oracle."""
+    return f"""st AS (SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS ns,
+                  CAST(SUM(w6) AS BIGINT) AS spu
+           FROM {rows} GROUP BY {group_col}),
+    tot AS (SELECT SUM(ns) AS n, SUM(spu) AS s FROM st)"""
+
+
 def _domain_reweight_sql(rows: str, group_col: str, salt: str) -> str:
     """CTE tail replaying ``domain_reweight_by_quality`` at target 0.5
     over ``rows`` (any CTE exposing (doc_id, {group_col}, prob, w6)):
     the per-group HUGEINT threshold re-derivation + the salted-md5
     draw — shared by the explicit-source and learned-cluster domain
     queries so both grade the SAME arithmetic."""
-    return f"""st AS (SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS ns,
-                  CAST(SUM(w6) AS BIGINT) AS spu
-           FROM {rows} GROUP BY {group_col}),
-    tot AS (SELECT SUM(ns) AS n, SUM(spu) AS s FROM st),
+    return f"""{_group_stats_sql(rows, group_col)},
     th AS (SELECT st.{group_col},
              LEAST(((500000::HUGEINT * t.n * st.spu * 10000)
                     // (1000000::HUGEINT * st.ns * t.s))
@@ -6991,6 +6997,68 @@ def docs_implicit_domain_reweight(spark, sf_dir):
     return domain_reweight_by_quality(
         with_cell, "prob", target_fraction=0.5, source_col="cell", salt="im"
     ).select("doc_id", "cell", "prob")
+
+
+# ---------------------------------------------------------------------------
+# Multi-EPOCH domain mixing (operators/sampling.py
+# domain_upsample_by_quality): rates do NOT clip at 1 — a domain whose
+# trained mean quality earns a rate above one is REPEATED, the way
+# production mixtures deploy domain weights (epochs, not just keep
+# probabilities; Muennighoff et al. 2023's repeat-good-data regime).
+# Whole copies come from the integer rate; the fractional epoch lands
+# on the deterministic salted-md5 subset; the oracle re-derives every
+# per-source rate in HUGEINT and regenerates the copy index with
+# generate_series — count AND identity of every repeated row graded.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_quality_domain_upsample",
+    oracle=f"""
+    WITH {_QLR_GD_CTES},
+    {_QLR_PROB_W6_CTES},
+    ds AS (SELECT d.source, w.doc_id, w.prob, w.w6
+           FROM w JOIN documents d USING (doc_id)),
+    {_group_stats_sql("ds", "source")},
+    rt AS (SELECT st.source,
+             (1500000::HUGEINT * t.n * st.spu * 10000)
+               // (1000000::HUGEINT * st.ns * t.s) AS r4
+           FROM st, tot t),
+    cp AS (SELECT ds.doc_id, ds.source, ds.prob,
+             CAST(r.r4 // 10000 AS BIGINT)
+             + CASE WHEN ('0x' || substr(md5('du' || CAST(ds.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         < ((r.r4 % 10000) * 4294967296) // 10000
+                    THEN 1 ELSE 0 END AS copies
+           FROM ds JOIN rt r ON ds.source IS NOT DISTINCT FROM r.source)
+    SELECT doc_id, source, prob,
+           CAST(UNNEST(generate_series(1, copies)) AS BIGINT) AS copy
+    FROM cp
+    """,
+)
+def docs_quality_domain_upsample(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import classify
+    from data_ingestion_framework_spark.operators.sampling import (
+        domain_upsample_by_quality,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    scored = classify.quality_lr_pipeline(
+        docs, label, n_features=16, iters=2, lr=0.5
+    )
+    with_src = scored.join(docs.select("doc_id", "source"), "doc_id")
+    # target_factor 1.5: the corpus GROWS — the high-quality domains
+    # must cross rate 1 so whole-copy repetition is actually graded,
+    # not just the fractional draw
+    return domain_upsample_by_quality(
+        with_src, "prob", target_factor=1.5, salt="du"
+    ).select("doc_id", "source", "prob", "copy")
 
 
 # ---------------------------------------------------------------------------

@@ -71,8 +71,10 @@ ROWS_ONLY = {
 #: docs_quality_domain_reweight (ceding embeddings_quantize_calibrated)
 #: and a 3rd added docs_implicit_domain_reweight (ceding
 #: docs_quality_lr_sparse_auc), a 4th streaming_frozen_quality_gate
-#: (ceding embeddings_hard_negatives) — 10 rotations total. Future
-#: rotations draw from long-green rows ceding to NEW queries only.
+#: (ceding embeddings_hard_negatives), a 5th
+#: docs_quality_domain_upsample (ceding volume_shipping) — 11
+#: rotations total. Future rotations draw from long-green rows ceding
+#: to NEW queries only.
 
 
 def bench_query(name: str, oracle: str | None = None):
@@ -527,7 +529,15 @@ _PRIORITY = [
     # embeddings_mmr_select (the same argmax-loop oracle machinery,
     # relevance-vs-redundancy instead of farthest-first). Still in
     # the full local gate.
-    "volume_shipping",
+    # ROUND-15 ROTATION (5th wave): volume_shipping (green r14) cedes
+    # to multi-EPOCH domain upsampling (new this round: rates above 1
+    # REPEAT rows — copy counts and copy identity both under the
+    # oracle via per-source HUGEINT rates + generate_series); the Q7
+    # directional-join shape's mechanisms stay window-graded via
+    # late_supplier_blame (multi-dim join + per-order windows) and
+    # promo_revenue_share (conditional aggregation over the same
+    # lineitem joins). Still in the full local gate.
+    "docs_quality_domain_upsample",
     # ROUND-8 ROTATION: docs_fuzzy_entity_pairs (driver-green r5+r6)
     # cedes to the HyperLogLog distinct sketch; the blocked-capped
     # self-join mechanism stays window-graded via
@@ -639,8 +649,9 @@ _PRIORITY = [
     # (test_writers). Still in the full local gate.
     "docs_quality_lr_distributed",
     # end of the 50-query driver window
-    # the ten rows ceded by the round-15 rotation (driver-green 2-4
+    # the eleven rows ceded by the round-15 rotation (driver-green 2-4
     # rounds; mechanisms window-covered per the notes above)
+    "volume_shipping",
     "embeddings_hard_negatives",
     "docs_quality_lr_sparse_auc",
     "embeddings_quantize_calibrated",

@@ -218,9 +218,10 @@ def test_driver_grading_window_covers_priority_queries():
         # IVF index lifecycle (idempotent-ledger ingestion semantics
         # stay via the index cursor + orders_stream_table_state)
         "embeddings_ivf_index_state",
-        # r14: embeddings_kcenter_coreset ceded to the Q7
-        # volume-shipping shape (greedy trajectory stays via MMR)
-        "volume_shipping",
+        # r15 5th wave: volume_shipping ceded to multi-epoch domain
+        # upsampling (Q7 join mechanisms stay via late_supplier_blame
+        # + promo_revenue_share)
+        "docs_quality_domain_upsample",
         # r8: docs_fuzzy_entity_pairs ceded to the HLL sketch;
         # r11: events_hll_distinct_users ceded to the count-min sketch
         # (same mergeable-bounded family; HLL fold pytest-pinned)

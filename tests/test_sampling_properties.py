@@ -302,3 +302,75 @@ def test_domain_reweight_by_quality_witness(spark):
     # empty input keeps nothing (and does not raise)
     empty = spark.createDataFrame([], "doc_id bigint, source string, w double")
     assert domain_reweight_by_quality(empty, "w").count() == 0
+
+
+def test_domain_upsample_by_quality_witness(spark):
+    """domain_upsample_by_quality: the full output MULTISET — which
+    rows repeat, how many whole copies, which rows win the fractional
+    epoch — must match a Python witness replaying the integer rate
+    arithmetic and the salted-md5 draw; plus the skew guard, the
+    zero-mass corpus and the empty frame."""
+    import hashlib
+
+    from data_ingestion_framework_spark.operators.sampling import (
+        domain_upsample_by_quality,
+    )
+
+    rows = []
+    weights = {"hi": 0.95, "mid": 0.5, None: 0.25}
+    for i in range(120):
+        src = ["hi", "mid", None][i % 3]
+        rows.append((i, src, weights[src] + (0.03 if i % 7 == 0 else 0.0)))
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, w double")
+    out = domain_upsample_by_quality(
+        df, "w", target_factor=1.5, salt="u"
+    ).collect()
+    got = sorted((r["doc_id"], r["copy"]) for r in out)
+    # witness
+    stats: dict = {}
+    for i, src, w in rows:
+        w6 = int(min(max(w, 0.0), 1.0) * 1_000_000 + 0.5)
+        n, spu = stats.get(src, (0, 0))
+        stats[src] = (n + 1, spu + w6)
+    n_total = sum(n for n, _ in stats.values())
+    s_total = sum(s for _, s in stats.values())
+    want = []
+    for i, src, w in rows:
+        ns, spu = stats[src]
+        r4 = (1_500_000 * n_total * spu * 10**4) // (10**6 * ns * s_total)
+        copies = r4 // 10**4
+        thr = ((r4 % 10**4) * 16**8) // 10**4
+        if int(hashlib.md5(("u" + str(i)).encode()).hexdigest()[:8], 16) < thr:
+            copies += 1
+        want.extend((i, c) for c in range(1, copies + 1))
+    assert got == sorted(want)
+    # the high-quality domain must actually cross rate 1 (whole-copy
+    # repetition graded, not only the fractional draw)
+    per_doc = {}
+    for i, c in got:
+        per_doc[i] = max(per_doc.get(i, 0), c)
+    assert any(v >= 2 for i, v in per_doc.items() if i % 3 == 0)
+    # skew guard: a tiny all-quality domain under a big target raises
+    skew = spark.createDataFrame(
+        [(1, "tiny", 1.0)] + [(10 + i, "big", 0.001) for i in range(400)],
+        "doc_id bigint, source string, w double",
+    )
+    try:
+        domain_upsample_by_quality(skew, "w", target_factor=1.0)
+        raise AssertionError("expected max_rate ValueError")
+    except ValueError as e:
+        assert "max_rate" in str(e)
+    # zero total mass emits nothing; empty frame emits nothing
+    zero = spark.createDataFrame(
+        [(1, "a", 0.0)], "doc_id bigint, source string, w double"
+    )
+    assert domain_upsample_by_quality(zero, "w").count() == 0
+    empty = spark.createDataFrame([], "doc_id bigint, source string, w double")
+    e = domain_upsample_by_quality(empty, "w")
+    assert e.count() == 0 and "copy" in e.columns
+    # negative target refuses
+    try:
+        domain_upsample_by_quality(df, "w", target_factor=-0.1)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
