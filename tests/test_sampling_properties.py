@@ -374,3 +374,80 @@ def test_domain_upsample_by_quality_witness(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+# -- pure-integer arithmetic invariants of the domain samplers --------------
+# (no Spark: these pin the driver-side threshold/rate math the Spark
+# witnesses above deploy — arbitrary group multisets via hypothesis,
+# the r14 calibrated-cut-property precedent)
+
+groups_st = st.lists(
+    st.tuples(st.integers(1, 10_000), st.integers(0, 10_000)),
+    min_size=1,
+    max_size=8,
+).map(
+    # (n_s, mean-quality in milli-units) -> (n_s, spu_s) with
+    # spu_s <= n_s * 1e6 (weights clamp to [0, 1])
+    lambda gs: [(n, n * q * 1000) for n, q in gs]
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(groups=groups_st, tf6=st.integers(0, 10**6))
+def test_domain_reweight_threshold_arithmetic_invariants(groups, tf6):
+    """The reweighter's exact keep fractions: (1) the expected kept
+    total never exceeds the target (floor only loses); (2) the
+    per-group rounding deficit is bounded by one 1e-4 unit per group;
+    (3) fractions are monotone in mean quality; (4) thresholds clip
+    into the hex space."""
+    n_total = sum(n for n, _ in groups)
+    s_total = sum(spu for _, spu in groups)
+    if s_total == 0:
+        return
+    f4s = [
+        (n, spu, (tf6 * n_total * spu * 10**4) // (10**6 * n * s_total))
+        for n, spu in groups
+    ]
+    kept4 = sum(n * f4 for n, _, f4 in f4s)
+    target4 = tf6 * n_total // 100  # tf6/1e6 * N * 1e4
+    assert kept4 <= target4
+    assert kept4 > target4 - sum(n for n, _, _ in f4s) - 10**4
+    # monotone: a group with a higher mean has a >= keep fraction
+    means = sorted((spu / n, f4) for n, spu, f4 in f4s)
+    for (m1, f1), (m2, f2) in zip(means, means[1:]):
+        if m1 < m2:
+            assert f1 <= f2
+    for n, spu, f4 in f4s:
+        thr = min((f4 * 16**8) // 10**4, 16**8)
+        assert 0 <= thr <= 16**8
+
+
+@settings(max_examples=200, deadline=None)
+@given(groups=groups_st, tf6=st.integers(0, 4 * 10**6))
+def test_domain_upsample_rate_arithmetic_invariants(groups, tf6):
+    """The upsampler's exact rates: (1) expected OUTPUT size (whole
+    copies + fractional-draw expectation) never exceeds target·N and
+    loses at most one 1e-4 unit per group; (2) rates are monotone in
+    mean quality; (3) the whole/fractional split reassembles r4
+    exactly."""
+    n_total = sum(n for n, _ in groups)
+    s_total = sum(spu for _, spu in groups)
+    if s_total == 0:
+        return
+    r4s = [
+        (n, spu, (tf6 * n_total * spu * 10**4) // (10**6 * n * s_total))
+        for n, spu in groups
+    ]
+    out4 = sum(n * r4 for n, _, r4 in r4s)
+    target4 = tf6 * n_total // 100
+    assert out4 <= target4
+    assert out4 > target4 - sum(n for n, _, _ in r4s) - 10**4
+    means = sorted((spu / n, r4) for n, spu, r4 in r4s)
+    for (m1, r1), (m2, r2) in zip(means, means[1:]):
+        if m1 < m2:
+            assert r1 <= r2
+    for n, spu, r4 in r4s:
+        base, frac4 = r4 // 10**4, r4 % 10**4
+        assert base * 10**4 + frac4 == r4
+        thr = (frac4 * 16**8) // 10**4
+        assert 0 <= thr < 16**8  # fractional part strictly inside
