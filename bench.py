@@ -233,6 +233,9 @@ HEADLINE = [
     # explode(sequence) — delta over domain_reweight is the per-row
     # copy generation)
     "docs_quality_domain_upsample",
+    # the iterated DoReMi loop (two trainings + two reweights; cost
+    # ~2x domain_reweight plus the round-2 semi-join)
+    "docs_quality_doremi_iterated",
     # the pipeline-integrated full-CCNet gate: the whole chain +
     # D=2^21 distributed weights + per-source calibrated cuts (the
     # delta over corpus_pipeline_calibrated is the wide trainer's

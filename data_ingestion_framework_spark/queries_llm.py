@@ -6087,48 +6087,55 @@ def dedup_prefix_filter_pairs(spark, sf_dir):
 #: classifier-gated corpus pipeline (which trains over the pipeline's
 #: own survivor subquery instead of raw documents — hence the src
 #: parameter)
-def _qlr_gd_ctes(src: str = "documents", min_tokens: int = 40) -> str:
-    return f"""tk AS (
+def _qlr_gd_ctes(
+    src: str = "documents", min_tokens: int = 40, pfx: str = ""
+) -> str:
+    # ``pfx`` renames every CTE so TWO unrolls can coexist in one
+    # WITH (the iterated-reweighting oracle trains round 2 on round
+    # 1's survivors); the default "" emits byte-identical SQL to the
+    # historical text, so every existing oracle is untouched
+    p = pfx
+    return f"""{p}tk AS (
       SELECT doc_id, list_filter(string_split(
                lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
                t -> t <> '') AS toks
       FROM {src}
     ),
-    fx AS (
+    {p}fx AS (
       SELECT doc_id,
              CASE WHEN len(toks) >= {min_tokens} THEN 1 ELSE 0 END AS y,
              [CAST(len(list_filter(toks,
                 t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 16 = j)) AS BIGINT)
               for j in generate_series(0, 15)] || [CAST(1 AS BIGINT)] AS x
-      FROM tk
+      FROM {p}tk
     ),
-    n AS (SELECT COUNT(*) AS n FROM fx),
+    {p}n AS (SELECT COUNT(*) AS n FROM {p}fx),
     -- GD step 1 from w0 = 0: z = 0, sigma = 0.5 exactly
-    g1 AS (SELECT doc_id, x, CAST(ROUND((0.5 - y) * 1000000.0) AS BIGINT) AS g FROM fx),
-    grad1 AS (
+    {p}g1 AS (SELECT doc_id, x, CAST(ROUND((0.5 - y) * 1000000.0) AS BIGINT) AS g FROM {p}fx),
+    {p}grad1 AS (
       SELECT j, SUM(g * x[j+1]) AS gr
-      FROM g1 CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS j) js
+      FROM {p}g1 CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS j) js
       GROUP BY j
     ),
-    w1 AS (SELECT j, 0 - CAST(ROUND(0.5 * gr / n.n) AS BIGINT) AS w FROM grad1, n),
+    {p}w1 AS (SELECT j, 0 - CAST(ROUND(0.5 * gr / {p}n.n) AS BIGINT) AS w FROM {p}grad1, {p}n),
     -- GD step 2 under w1 (integer-unit dot, rational sigmoid)
-    z2 AS (SELECT f.doc_id, CAST(SUM(f.x[w1.j+1] * w1.w) AS BIGINT) AS zu
-           FROM fx f CROSS JOIN w1 GROUP BY f.doc_id),
-    g2 AS (
+    {p}z2 AS (SELECT f.doc_id, CAST(SUM(f.x[{p}w1.j+1] * {p}w1.w) AS BIGINT) AS zu
+           FROM {p}fx f CROSS JOIN {p}w1 GROUP BY f.doc_id),
+    {p}g2 AS (
       SELECT f.doc_id, f.x,
              CAST(ROUND(((0.5 + (z.zu/1000000.0)/(2*(1+abs(z.zu/1000000.0)))) - f.y)
                         * 1000000.0) AS BIGINT) AS g
-      FROM fx f JOIN z2 z USING (doc_id)
+      FROM {p}fx f JOIN {p}z2 z USING (doc_id)
     ),
-    grad2 AS (
+    {p}grad2 AS (
       SELECT j, SUM(g * x[j+1]) AS gr
-      FROM g2 CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS j) js
+      FROM {p}g2 CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS j) js
       GROUP BY j
     ),
-    w2 AS (SELECT w1.j, w1.w - CAST(ROUND(0.5 * g.gr / n.n) AS BIGINT) AS w
-           FROM w1 JOIN grad2 g ON g.j = w1.j, n),
-    zf AS (SELECT f.doc_id, f.y, CAST(SUM(f.x[w2.j+1] * w2.w) AS BIGINT) AS zu
-           FROM fx f CROSS JOIN w2 GROUP BY f.doc_id, f.y)"""
+    {p}w2 AS (SELECT {p}w1.j, {p}w1.w - CAST(ROUND(0.5 * g.gr / {p}n.n) AS BIGINT) AS w
+           FROM {p}w1 JOIN {p}grad2 g ON g.j = {p}w1.j, {p}n),
+    {p}zf AS (SELECT f.doc_id, f.y, CAST(SUM(f.x[{p}w2.j+1] * {p}w2.w) AS BIGINT) AS zu
+           FROM {p}fx f CROSS JOIN {p}w2 GROUP BY f.doc_id, f.y)"""
 
 
 _QLR_GD_CTES = _qlr_gd_ctes()
@@ -6873,23 +6880,50 @@ def docs_quality_temperature_fit(spark, sf_dir):
 #: the trained model's probability → micro-unit weight CTEs (pr, w),
 #: shared by the two domain-reweight oracles: prob exactly as the
 #: scorer rounds it, w6 exactly as the sampler quantizes it
-_QLR_PROB_W6_CTES = """pr AS (SELECT f.doc_id,
+def _qlr_prob_w6_ctes(pfx: str = "") -> str:
+    p = pfx
+    return f"""{p}pr AS (SELECT f.doc_id,
                   ROUND(0.5 + (f.zu/1000000.0)/(2*(1+abs(f.zu/1000000.0))), 6)
                     AS prob
-           FROM zf f),
-    w AS (SELECT doc_id, prob,
+           FROM {p}zf f),
+    {p}w AS (SELECT doc_id, prob,
                  CAST(floor(LEAST(GREATEST(prob, 0.0), 1.0) * 1000000 + 0.5)
                       AS BIGINT) AS w6
-          FROM pr)"""
+          FROM {p}pr)"""
 
 
-def _group_stats_sql(rows: str, group_col: str) -> str:
+_QLR_PROB_W6_CTES = _qlr_prob_w6_ctes()
+
+
+def _group_stats_sql(rows: str, group_col: str, pfx: str = "") -> str:
     """The per-group (count, Σw6) + corpus-total CTEs shared by every
     quality-driven domain-sampler oracle."""
-    return f"""st AS (SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS ns,
+    p = pfx
+    return f"""{p}st AS (SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS ns,
                   CAST(SUM(w6) AS BIGINT) AS spu
            FROM {rows} GROUP BY {group_col}),
-    tot AS (SELECT SUM(ns) AS n, SUM(spu) AS s FROM st)"""
+    {p}tot AS (SELECT SUM(ns) AS n, SUM(spu) AS s FROM {p}st)"""
+
+
+def _domain_threshold_ctes(rows: str, group_col: str, pfx: str = "") -> str:
+    """Group stats + the per-group HUGEINT keep-threshold CTE
+    (target 0.5) — ends with ``{pfx}th(group, thr)``."""
+    p = pfx
+    return f"""{_group_stats_sql(rows, group_col, pfx)},
+    {p}th AS (SELECT {p}st.{group_col},
+             LEAST(((500000::HUGEINT * t.n * {p}st.spu * 10000)
+                    // (1000000::HUGEINT * {p}st.ns * t.s))
+                   * 4294967296 // 10000,
+                   4294967296::HUGEINT) AS thr
+           FROM {p}st, {p}tot t)"""
+
+
+def _domain_keep_where(salt: str, th: str, alias: str = "r") -> str:
+    """The salted-md5 membership predicate against a threshold CTE."""
+    return (
+        f"('0x' || substr(md5('{salt}' || CAST({alias}.doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        f" < {th}.thr"
+    )
 
 
 def _domain_reweight_sql(rows: str, group_col: str, salt: str) -> str:
@@ -6898,17 +6932,10 @@ def _domain_reweight_sql(rows: str, group_col: str, salt: str) -> str:
     the per-group HUGEINT threshold re-derivation + the salted-md5
     draw — shared by the explicit-source and learned-cluster domain
     queries so both grade the SAME arithmetic."""
-    return f"""{_group_stats_sql(rows, group_col)},
-    th AS (SELECT st.{group_col},
-             LEAST(((500000::HUGEINT * t.n * st.spu * 10000)
-                    // (1000000::HUGEINT * st.ns * t.s))
-                   * 4294967296 // 10000,
-                   4294967296::HUGEINT) AS thr
-           FROM st, tot t)
+    return f"""{_domain_threshold_ctes(rows, group_col)}
     SELECT r.doc_id, r.{group_col}, r.prob
     FROM {rows} r JOIN th ON r.{group_col} IS NOT DISTINCT FROM th.{group_col}
-    WHERE ('0x' || substr(md5('{salt}' || CAST(r.doc_id AS VARCHAR)), 1, 8))::BIGINT
-          < th.thr"""
+    WHERE {_domain_keep_where(salt, "th")}"""
 
 
 @bench_query(
@@ -7059,6 +7086,75 @@ def docs_quality_domain_upsample(spark, sf_dir):
     return domain_upsample_by_quality(
         with_src, "prob", target_factor=1.5, salt="du"
     ).select("doc_id", "source", "prob", "copy")
+
+
+# ---------------------------------------------------------------------------
+# ITERATED quality reweighting (the DoReMi loop shape, Xie et al.
+# 2023: proxy-train -> reweight -> RETRAIN ON THE REWEIGHTED MIX ->
+# reweight again): round 1 trains on the raw corpus and draws the
+# round-1 mixture; round 2 retrains the same proxy objective ON that
+# mixture — so the round-2 model's quality estimates (and therefore
+# the final per-source rates) reflect the resampled distribution, not
+# the raw one. The oracle replays BOTH rounds end-to-end in one WITH:
+# the prefix-parameterized GD unrolls (a*/b*), both HUGEINT threshold
+# derivations and both salted draws — iteration itself is under the
+# correctness gate.
+# ---------------------------------------------------------------------------
+@bench_query(
+    "docs_quality_doremi_iterated",
+    oracle=f"""
+    WITH {_qlr_gd_ctes(pfx="a")},
+    {_qlr_prob_w6_ctes(pfx="a")},
+    ads AS (SELECT d.source, w.doc_id, w.prob, w.w6
+            FROM aw w JOIN documents d USING (doc_id)),
+    {_domain_threshold_ctes("ads", "source", pfx="a")},
+    r1docs AS (SELECT d.*
+               FROM documents d
+               JOIN ads r ON r.doc_id = d.doc_id
+               JOIN ath ON r.source IS NOT DISTINCT FROM ath.source
+               WHERE {_domain_keep_where("d1", "ath")}),
+    {_qlr_gd_ctes("r1docs", pfx="b")},
+    {_qlr_prob_w6_ctes(pfx="b")},
+    bds AS (SELECT d.source, w.doc_id, w.prob, w.w6
+            FROM bw w JOIN documents d USING (doc_id)),
+    {_domain_threshold_ctes("bds", "source", pfx="b")}
+    SELECT r.doc_id, r.source, r.prob
+    FROM bds r JOIN bth ON r.source IS NOT DISTINCT FROM bth.source
+    WHERE {_domain_keep_where("d2", "bth")}
+    """,
+)
+def docs_quality_doremi_iterated(spark, sf_dir):
+    from data_ingestion_framework_spark.operators import classify
+    from data_ingestion_framework_spark.operators.sampling import (
+        domain_reweight_by_quality,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    label = (
+        F.size(
+            F.filter(
+                F.split(text.normalize_text("text"), " "),
+                lambda t: t != F.lit(""),
+            )
+        )
+        >= 40
+    )
+    src = docs.select("doc_id", "source")
+    scored1 = classify.quality_lr_pipeline(
+        docs, label, n_features=16, iters=2, lr=0.5
+    )
+    mix1 = domain_reweight_by_quality(
+        scored1.join(src, "doc_id"), "prob", target_fraction=0.5, salt="d1"
+    )
+    # round 2 trains on the round-1 MIXTURE (semi-join keeps the drawn
+    # rows; the label expression re-evaluates on the surviving text)
+    docs2 = docs.join(mix1.select("doc_id"), "doc_id", "left_semi")
+    scored2 = classify.quality_lr_pipeline(
+        docs2, label, n_features=16, iters=2, lr=0.5
+    )
+    return domain_reweight_by_quality(
+        scored2.join(src, "doc_id"), "prob", target_fraction=0.5, salt="d2"
+    ).select("doc_id", "source", "prob")
 
 
 # ---------------------------------------------------------------------------

@@ -72,9 +72,10 @@ ROWS_ONLY = {
 #: and a 3rd added docs_implicit_domain_reweight (ceding
 #: docs_quality_lr_sparse_auc), a 4th streaming_frozen_quality_gate
 #: (ceding embeddings_hard_negatives), a 5th
-#: docs_quality_domain_upsample (ceding volume_shipping) — 11
-#: rotations total. Future rotations draw from long-green rows ceding
-#: to NEW queries only.
+#: docs_quality_domain_upsample (ceding volume_shipping), a 6th
+#: docs_quality_doremi_iterated (ceding
+#: events_session_purchase_overlap) — 12 rotations total. Future
+#: rotations draw from long-green rows ceding to NEW queries only.
 
 
 def bench_query(name: str, oracle: str | None = None):
@@ -145,7 +146,15 @@ _PRIORITY = [
     # (test_asof) and the event-time/NTZ normalization class keeps
     # three window reps (events_sessionize, events_range_join_counts,
     # streaming_daily_counts). Still in the full local gate.
-    "events_session_purchase_overlap",
+    # ROUND-15 ROTATION (6th wave): events_session_purchase_overlap
+    # (green r13+r14) cedes to ITERATED quality reweighting (new this
+    # round: the DoReMi loop — round 2 retrains on round 1's drawn
+    # mixture, both GD unrolls + both threshold selections replayed by
+    # one prefix-parameterized oracle); the interval-overlap machinery
+    # stays window-graded via events_range_join_counts (the same
+    # bucketed interval equi-join) and session construction via
+    # events_sessionize. Still in the full local gate.
+    "docs_quality_doremi_iterated",
     # ROUND-14 ROTATION (3rd wave): docs_quality_lr_sparse (green
     # r12+r13) cedes to the Q4 linestatus/priority existence-count
     # shape (semi-join + grouped counts — never driver-graded); the
@@ -649,8 +658,9 @@ _PRIORITY = [
     # (test_writers). Still in the full local gate.
     "docs_quality_lr_distributed",
     # end of the 50-query driver window
-    # the eleven rows ceded by the round-15 rotation (driver-green 2-4
+    # the twelve rows ceded by the round-15 rotation (driver-green 2-4
     # rounds; mechanisms window-covered per the notes above)
+    "events_session_purchase_overlap",
     "volume_shipping",
     "embeddings_hard_negatives",
     "docs_quality_lr_sparse_auc",

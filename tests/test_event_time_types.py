@@ -204,7 +204,10 @@ def test_driver_grading_window_covers_priority_queries():
         "dq_violation_counts",
         # r13: events_asof_nearest_click ceded to the session/purchase
         # interval-overlap composite (as-of machinery pytest-pinned)
-        "events_session_purchase_overlap",
+        # r15 6th wave: events_session_purchase_overlap ceded to the
+        # iterated DoReMi reweighting (interval overlap stays via
+        # events_range_join_counts; sessions via events_sessionize)
+        "docs_quality_doremi_iterated",
         # r8: semantic_dedup_keep ceded to the partition-evolution
         # lifecycle (SemDeDup runs inside embeddings_pipeline_curated)
         "orders_partition_evolution_state",
