@@ -161,24 +161,34 @@ def _keep_by_group_thresholds(
     deterministic. Zero shuffles, zero joins — the thresholds ride
     in the plan as literals."""
     bucket = hash_bucket_hex(id_col, salt)
+
+    def keep(thr):
+        if thr >= _HEX_SPACE:
+            return F.lit(True)
+        if thr <= 0:
+            return F.lit(False)
+        return bucket < F.lit(format(thr, f"0{_HEX_WIDTH}x"))
+
+    col = _group_when_chain(thresholds, source_col, keep)
+    return df.where(col.otherwise(F.lit(False)))
+
+
+def _group_when_chain(values: dict, source_col: str, build) -> Column:
+    """Chained per-group CASE shared by the domain samplers: for each
+    group key s (deterministic order, NULL groups matched via
+    ``isNull`` — an ``==`` predicate would silently drop them), WHEN
+    <row's source is s> THEN ``build(values[s])``. Returned WITHOUT an
+    ``otherwise`` so each caller picks its own default. One definition
+    keeps the keep-predicate and copy-count chains' group-matching
+    semantics identical by construction."""
     col = None
-    for s in sorted(thresholds, key=lambda v: (v is None, str(v))):
-        thr = thresholds[s]
-        keep = (
-            F.lit(True)
-            if thr >= _HEX_SPACE
-            else (
-                F.lit(False)
-                if thr <= 0
-                else bucket < F.lit(format(thr, f"0{_HEX_WIDTH}x"))
-            )
-        )
+    for s in sorted(values, key=lambda v: (v is None, str(v))):
         match = (
             F.col(source_col).isNull() if s is None else F.col(source_col) == s
         )
-        cond = match & keep
-        col = F.when(cond, True) if col is None else col.when(cond, True)
-    return df.where(col.otherwise(F.lit(False)))
+        expr = build(values[s])
+        col = F.when(match, expr) if col is None else col.when(match, expr)
+    return col
 
 
 def quality_weighted_sample(
@@ -356,21 +366,26 @@ def domain_upsample_by_quality(
             )
         rates[s] = r4
     bucket = hash_bucket_hex(id_col, salt)
-    col = None
-    for s in sorted(rates, key=lambda v: (v is None, str(v))):
-        r4 = rates[s]
+
+    def copy_count(r4):
         base, frac4 = r4 // 10**4, r4 % 10**4
         thr = (frac4 * _HEX_SPACE) // 10**4
         copies = F.lit(base)
         if thr > 0:
-            copies = copies + (
-                bucket < F.lit(format(thr, f"0{_HEX_WIDTH}x"))
-            ).cast("int")
-        match = (
-            F.col(source_col).isNull() if s is None else F.col(source_col) == s
-        )
-        col = F.when(match, copies) if col is None else col.when(match, copies)
-    copies = col.otherwise(F.lit(0))
+            # coalesce: a NULL id can't enter the fractional lottery
+            # (its md5 bucket is NULL) but must still keep its WHOLE
+            # copies — without it base + NULL = NULL and the row
+            # vanishes entirely, diverging from the oracle's CASE
+            # (whose NULL comparison lands in ELSE 0)
+            copies = copies + F.coalesce(
+                (bucket < F.lit(format(thr, f"0{_HEX_WIDTH}x"))).cast("int"),
+                F.lit(0),
+            )
+        return copies
+
+    copies = _group_when_chain(rates, source_col, copy_count).otherwise(
+        F.lit(0)
+    )
     seq = F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
         F.array().cast("array<int>")
     )

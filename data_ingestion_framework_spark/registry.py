@@ -375,8 +375,9 @@ _PRIORITY = [
     # over the same part⋈lineitem join — never driver-graded); the
     # OR-of-ANDs cross-table pushdown shape is plan-audit/pytest
     # pinned (pushed-filters counter) and the star-join family keeps
-    # market_share + top_supplier_revenue in-window. Still in the
-    # full local gate.
+    # late_supplier_blame + returned_item_customers in-window (r15
+    # waves later ceded market_share/top_supplier_revenue/
+    # volume_shipping). Still in the full local gate.
     "promo_revenue_share",
     # ROUND-15 ROTATION (3rd wave): docs_quality_lr_sparse_auc (green
     # r13+r14) cedes to IMPLICIT-domain reweighting (new this round:
@@ -401,10 +402,12 @@ _PRIORITY = [
     # ROUND-15 ROTATION: market_share (green r13+r14) cedes to the
     # Q6-shape forecast revenue (pure scan-side pushdown + one global
     # DECIMAL agg — never driver-graded); the star-join conditional
-    # aggregation mechanism stays window-graded via volume_shipping
-    # (two-nation directional star join) and promo_revenue_share
-    # (conditional agg over part⋈lineitem). Still in the full local
-    # gate.
+    # aggregation mechanism stays window-graded via
+    # late_supplier_blame (multi-dimension directional joins +
+    # per-order windows) and promo_revenue_share (conditional agg
+    # over part⋈lineitem) — volume_shipping, the note's original
+    # third rep, itself ceded in the 5th wave. Still in the full
+    # local gate.
     "forecast_revenue_change",
     # ROUND-11 ROTATION: dedup_incremental_minhash (green r7-r10)
     # cedes to the blocked-vs-exact recall gauge — whose oracle

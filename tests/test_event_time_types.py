@@ -310,7 +310,7 @@ def test_driver_grading_window_covers_priority_queries():
         # counts and BM25 corpus stats)
         "embeddings_mmr_select",
         # r15: market_share ceded to the Q6 pushdown-showcase scan
-        # (star-join conditional aggs stay via volume_shipping +
+        # (star-join conditional aggs stay via late_supplier_blame +
         # promo_revenue_share)
         "forecast_revenue_change",
         # r11: dedup_incremental_minhash ceded to the blocked-vs-exact

@@ -321,11 +321,17 @@ def test_domain_upsample_by_quality_witness(spark):
     for i in range(120):
         src = ["hi", "mid", None][i % 3]
         rows.append((i, src, weights[src] + (0.03 if i % 7 == 0 else 0.0)))
+    # a NULL-id row (review r15): it cannot enter the fractional
+    # lottery (its md5 bucket is NULL) but must keep its WHOLE copies
+    rows.append((None, "hi", 0.95))
     df = spark.createDataFrame(rows, "doc_id bigint, source string, w double")
     out = domain_upsample_by_quality(
         df, "w", target_factor=1.5, salt="u"
     ).collect()
-    got = sorted((r["doc_id"], r["copy"]) for r in out)
+    got = sorted(
+        (r["doc_id"], r["copy"]) for r in out if r["doc_id"] is not None
+    )
+    null_copies = sorted(r["copy"] for r in out if r["doc_id"] is None)
     # witness
     stats: dict = {}
     for i, src, w in rows:
@@ -335,15 +341,21 @@ def test_domain_upsample_by_quality_witness(spark):
     n_total = sum(n for n, _ in stats.values())
     s_total = sum(s for _, s in stats.values())
     want = []
+    null_want = None
     for i, src, w in rows:
         ns, spu = stats[src]
         r4 = (1_500_000 * n_total * spu * 10**4) // (10**6 * ns * s_total)
         copies = r4 // 10**4
         thr = ((r4 % 10**4) * 16**8) // 10**4
+        if i is None:
+            # NULL id: whole copies only — no fractional draw
+            null_want = list(range(1, copies + 1))
+            continue
         if int(hashlib.md5(("u" + str(i)).encode()).hexdigest()[:8], 16) < thr:
             copies += 1
         want.extend((i, c) for c in range(1, copies + 1))
     assert got == sorted(want)
+    assert null_copies == null_want and null_want  # hi rate > 1: kept
     # the high-quality domain must actually cross rate 1 (whole-copy
     # repetition graded, not only the fractional draw)
     per_doc = {}
@@ -382,7 +394,7 @@ def test_domain_upsample_by_quality_witness(spark):
 # the r14 calibrated-cut-property precedent)
 
 groups_st = st.lists(
-    st.tuples(st.integers(1, 10_000), st.integers(0, 10_000)),
+    st.tuples(st.integers(1, 10_000), st.integers(0, 1_000)),
     min_size=1,
     max_size=8,
 ).map(
