@@ -228,20 +228,39 @@ def _gd_train_dense_with_stats(
     lr: float,
     feat_col: str,
     label_col: str,
-) -> tuple[list[int], int]:
-    """``(weights, max_row_sum)`` — the trainer body, also handing the
-    scoring guard its bound so the pipeline never re-scans for stats."""
-    first = feats.select(F.size(feat_col)).first()
-    if first is None:
+) -> tuple[list[int], int, DataFrame]:
+    """``(weights, max_row_sum, feats_ckpt)`` — the trainer body, also
+    handing the scoring guard its bound so the pipeline never re-scans
+    for stats, and the CHECKPOINTED feature frame (all input columns
+    intact) so the caller's scoring pass reads the materialization the
+    training already paid for instead of re-running the tokenize→hash
+    →fold lineage.
+
+    Job discipline (r15 opt): checkpoint FIRST, then ONE fused stats
+    agg (n_rows, width, max_count, max_row_sum) over the materialized
+    frame — the previous shape paid a separate width probe over the
+    UNCHECKPOINTED frame (re-running the whole upstream plan), then a
+    count, then the stats agg: three driver round-trips where one
+    suffices. Width via ``first(size(x))`` is exact because the dense
+    builder emits a constant-width array on every row."""
+    feats = feats.localCheckpoint()
+    zero = F.lit(0).cast("bigint")
+    stats = feats.select(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(feat_col)).alias("d"),
+        F.max(
+            F.aggregate(F.col(feat_col), zero, lambda a, b: F.greatest(a, b))
+        ).alias("mx"),
+        F.max(
+            F.aggregate(F.col(feat_col), zero, lambda a, b: a + b)
+        ).alias("rs"),
+    ).first()
+    if stats is None or stats["n"] == 0:
         raise ValueError("gd_train_linear_units: empty training frame")
-    n_features = first[0]
-    feats = feats.select(
-        F.col(feat_col).alias("__x"), F.col(label_col).alias("__y")
-    ).localCheckpoint()
-    n_rows = feats.count()
-    if n_rows == 0:
-        raise ValueError("gd_train_linear_units: empty training frame")
-    max_count, row_sum_max = _dense_feat_stats(feats, "__x")
+    n_rows = int(stats["n"])
+    n_features = int(stats["d"])
+    max_count = int(stats["mx"]) if stats["mx"] is not None else 0
+    row_sum_max = int(stats["rs"]) if stats["rs"] is not None else 0
     # grad_j = Σ_rows g·x_j with |g| <= UNIT_SCALE — silent BIGINT wrap
     # on a non-ANSI session would yield plausible wrong weights
     _guard_int64(
@@ -254,13 +273,16 @@ def _gd_train_dense_with_stats(
         # |x·w| <= max|w| · Σ_j x_j — guard before each scoring pass
         _guard_int64(maxw * row_sum_max, "gd_train_linear_units dot")
         g = F.round(
-            (_surrogate_sigmoid(_z_units(F.col("__x"), w)) - F.col("__y").cast("double"))
+            (
+                _surrogate_sigmoid(_z_units(F.col(feat_col), w))
+                - F.col(label_col).cast("double")
+            )
             * F.lit(float(UNIT_SCALE))
         ).cast("bigint")
         # generator in its own projection (struct-lambda canonicalization,
         # same pattern as ivf_train_centroids)
         grad_rows = (
-            feats.select(g.alias("__g"), "__x")
+            feats.select(g.alias("__g"), F.col(feat_col).alias("__x"))
             .select("__g", F.posexplode("__x").alias("__j", "__xv"))
             .groupBy("__j")
             .agg(F.sum(F.col("__g") * F.col("__xv")).alias("__grad"))
@@ -271,7 +293,7 @@ def _gd_train_dense_with_stats(
             w[j] - _round_half_up(lr * grad.get(j, 0) / n_rows)
             for j in range(n_features)
         ]
-    return w, row_sum_max
+    return w, row_sum_max, feats
 
 
 def linear_classifier_scores(
@@ -1039,10 +1061,13 @@ def quality_lr_pipeline(
     feats = hashed_token_features(
         df, text_col=text_col, n_features=n_features, id_col=id_col, label=label
     )
-    w, row_sum_max = _gd_train_dense_with_stats(
+    # score the trainer's CHECKPOINTED frame — the tokenize→hash→fold
+    # lineage ran once for training; re-deriving it for scoring would
+    # pay the fold over the whole corpus a second time (r15 opt)
+    w, row_sum_max, feats_ck = _gd_train_dense_with_stats(
         feats, iters, lr, "features", "label"
     )
-    return linear_classifier_scores(feats, w, row_sum_max=row_sum_max).select(
+    return linear_classifier_scores(feats_ck, w, row_sum_max=row_sum_max).select(
         id_col, "label", "score_units", "prob", "pred"
     )
 
@@ -1196,7 +1221,7 @@ def _train_dense_scored_expr(
         df, text_col=text_col, n_features=n_features, id_col=id_col,
         label=label,
     )
-    w, row_sum_max = _gd_train_dense_with_stats(
+    w, row_sum_max, _ = _gd_train_dense_with_stats(
         feats, iters, lr, "features", "label"
     )
     maxw = max((abs(x) for x in w), default=0)
