@@ -301,27 +301,61 @@ def minhash_lsh_candidates(
 
     ``max_bucket_size`` caps each (band, bucket): a duplicate-heavy
     corpus (common at 100 TB) puts thousands of identical docs in one
-    bucket, making the self-join quadratic in that bucket. Buckets over
-    the cap are dropped before the join (count window — same shuffle key
-    as the join) and observable via ``lsh_oversize_buckets``; route the
-    members of a dropped bucket through ``exact_dedup`` instead (docs
-    identical enough to overflow a bucket are near-exact duplicates).
+    bucket, making the pair blow-up quadratic in that bucket. Buckets
+    over the cap are dropped (a size filter on the same aggregate) and
+    observable via ``lsh_oversize_buckets``; route the members of a
+    dropped bucket through ``exact_dedup`` instead (docs identical
+    enough to overflow a bucket are near-exact duplicates).
+
+    Shape (r15 opt): ONE groupBy per (band, bucket) collecting the
+    member ids, pairs generated inside the bucket row — not a
+    banded-frame self-join. The self-join evaluated the signature
+    fold once per join side (and again under the oversize anti-join:
+    4 evaluations at runtime — exchange reuse does not fire across
+    MapInPandas subplans), and shuffled the band rows twice; the
+    grouped form computes signatures ONCE, shuffles once, and the cap
+    bounds the per-bucket buffer at ``max_bucket_size`` ids (8 bytes
+    each) — the deployment at scale always sets the cap, for exactly
+    the reason the join form needed it too. Pair identity is
+    unchanged: ids sort ascending inside the bucket, so (earlier,
+    later) pairs are exactly the ``id_a < id_b`` join pairs.
     """
     banded = minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_size)
+    return _bucket_pairs(banded, ["band", "bucket"], id_col, max_bucket_size)
+
+
+def _bucket_pairs(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Distinct ``(id_a, id_b)`` with ``id_a < id_b`` from bucketed
+    membership rows, via ONE aggregation: collect the bucket's ids
+    (sorted — ``collect_list`` order is nondeterministic), drop
+    over-cap buckets with a size filter (the same rows the anti-join
+    form dropped), and emit ascending in-bucket pairs from a nested
+    transform. Shared by the xxhash64 and md5 MinHash candidate
+    generators — one definition keeps their pair semantics identical."""
+    grp = banded.groupBy(*bucket_cols).agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("__ids")
+    )
     if max_bucket_size is not None:
-        banded = _drop_oversize(banded, ["band", "bucket"], max_bucket_size)
-    left = banded.alias("a")
-    right = banded.alias("b")
+        grp = grp.where(F.size("__ids") <= max_bucket_size)
+    pairs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("__ids"), i + F.lit(2), F.size("__ids") - i - F.lit(1)
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        grp.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
@@ -559,18 +593,10 @@ def minhash_md5_pairs(
         df, id_col, text_col, num_hashes, shingle_size
     )
     band_rows = minhash_sig_bands(signed, id_col, num_hashes, bands)
-    left = band_rows.select(
-        F.col(id_col).alias("id_a"), "band", "bucket"
-    )
-    right = band_rows.select(
-        F.col(id_col).alias("id_b"), "band", "bucket"
-    )
-    cands = (
-        left.join(right, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # grouped in-bucket pair generation (see _bucket_pairs): the md5
+    # family pays k md5 calls per shingle, and the join form evaluated
+    # that fold once per join side — the aggregate pays it once
+    cands = _bucket_pairs(band_rows, ["band", "bucket"], id_col, None)
     return verify_candidate_pairs(
         df, cands, id_col, text_col, shingle_size, threshold
     )

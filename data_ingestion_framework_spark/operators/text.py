@@ -1657,17 +1657,22 @@ def prune_vocab_bottom(
             "prune_vocab_bottom: need 0 <= prune_num < prune_den "
             f"(got {prune_num}/{prune_den})"
         )
-    # probe the size BEFORE collect(): the guard must fire while the
-    # oversized vocabulary is still on the executors, not after it has
-    # already been materialized onto (and possibly OOMed) the driver.
-    # limit(cap + 1).count() scans at most cap + 1 rows.
-    if vocab.limit(SUBSTRING_VOCAB_MAX_KEPT + 1).count() > SUBSTRING_VOCAB_MAX_KEPT:
+    # the guard must fire before an UNBOUNDED collect can land on the
+    # driver — a limit(cap + 1) bounds the materialization at cap + 1
+    # rows, so the size probe and the collect are ONE job (r15 opt:
+    # this runs once per EM round; the separate probe+collect paid two
+    # driver round-trips for the same scan)
+    rows = (
+        vocab.select(piece_col, cost_col, "piece_count")
+        .limit(SUBSTRING_VOCAB_MAX_KEPT + 1)
+        .collect()
+    )
+    if len(rows) > SUBSTRING_VOCAB_MAX_KEPT:
         raise ValueError(
             f"prune_vocab_bottom: vocabulary exceeds the control-plane "
             f"cap {SUBSTRING_VOCAB_MAX_KEPT} rows — this driver-side "
             "sort is only sound for vocabulary-sized inputs"
         )
-    rows = vocab.select(piece_col, cost_col, "piece_count").collect()
     multi = [r for r in rows if len(r[piece_col]) > 1]
     singles = [r for r in rows if len(r[piece_col]) == 1]
     n_drop = (len(multi) * prune_num) // prune_den

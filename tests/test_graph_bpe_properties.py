@@ -567,12 +567,14 @@ def test_em_cost_units_clear_of_rounding_boundaries(spark):
             assert dist > 1e-6, (r["piece"], z)
 
 
-def test_prune_vocab_cap_probed_before_collect(spark, monkeypatch):
-    """ADVICE r12: the control-plane cap must fire BEFORE collect()
-    materializes the vocabulary on the driver (probe via
-    limit(cap+1).count()), or the guard only runs after the OOM it
-    exists to prevent. Driven by shrinking the cap under a 3-row
-    vocab."""
+def test_prune_vocab_cap_collect_is_limit_bounded(spark, monkeypatch):
+    """ADVICE r12 invariant, r15 single-job form: the control-plane
+    cap guard must run before an UNBOUNDED vocabulary can land on the
+    driver. The probe and the collect are now one limit(cap + 1) job —
+    so the pinned property is that every driver materialization in
+    prune_vocab_bottom is bounded at cap + 1 rows (the guard then
+    raises from the bounded result), never the whole oversized vocab.
+    Driven by shrinking the cap under a 3-row vocab."""
     from data_ingestion_framework_spark.operators import text as text_mod
 
     vocab = spark.createDataFrame(
@@ -580,12 +582,13 @@ def test_prune_vocab_cap_probed_before_collect(spark, monkeypatch):
         "piece string, cost_units bigint, piece_count bigint",
     )
     monkeypatch.setattr(text_mod, "SUBSTRING_VOCAB_MAX_KEPT", 2)
-    collected = {"called": False}
+    sizes: list[int] = []
     orig_collect = type(vocab).collect
 
     def spy(self):
-        collected["called"] = True
-        return orig_collect(self)
+        rows = orig_collect(self)
+        sizes.append(len(rows))
+        return rows
 
     monkeypatch.setattr(type(vocab), "collect", spy)
     try:
@@ -593,4 +596,8 @@ def test_prune_vocab_cap_probed_before_collect(spark, monkeypatch):
         raise AssertionError("expected ValueError above the vocab cap")
     except ValueError as e:
         assert "control-plane cap" in str(e)
-    assert not collected["called"], "collect() ran before the cap probe"
+    assert sizes, "the guard never materialized the bounded probe"
+    assert all(n <= text_mod.SUBSTRING_VOCAB_MAX_KEPT + 1 for n in sizes), (
+        "a driver materialization exceeded the cap+1 bound: "
+        f"{sizes} (the 3-row vocab must arrive limit-truncated)"
+    )
