@@ -623,9 +623,18 @@ def _gd_train_sparse_distributed_with_stats(
     )
     spark = triples.sparkSession
     wdf = spark.createDataFrame([], "bucket bigint, __w bigint")
-    for _ in range(iters):
-        row = wdf.agg(F.max(F.abs(F.col("__w"))).alias("m")).first()
-        maxw = int(row["m"]) if row is not None and row["m"] is not None else 0
+    for it in range(iters):
+        if it == 0:
+            # the weight frame is the literal empty frame on the first
+            # step — max|w| is 0 by construction, no job needed (r15
+            # opt; later steps read the checkpointed update, one tiny
+            # agg each)
+            maxw = 0
+        else:
+            row = wdf.agg(F.max(F.abs(F.col("__w"))).alias("m")).first()
+            maxw = (
+                int(row["m"]) if row is not None and row["m"] is not None else 0
+            )
         _guard_int64(maxw * row_sum_max, "gd_train_sparse_distributed dot")
         grad = _sparse_gd_gradient(t, wdf, broadcast=False)
         # w ← w − round(lr·grad/n): identical IEEE multiply/divide and
