@@ -894,9 +894,13 @@ def ivf_knn_join_pq(
             ]
         ).alias("codes"),
     )
+    # the replicated left side carries the per-query ADC table (r15
+    # opt, m×k doubles) instead of the float vector: each in-cell pair
+    # costs m lookups, not an m·dsub fold (values identical); the
+    # exact-rescore stage re-reads the floats from ``left`` anyway
     l = left.select(
         F.col(left_id_col).alias("__lid"),
-        _to_double(F.col(left_vec_col)).alias("__lv"),
+        _adc_table(codebooks, m, dsub, left_vec_col).alias("__adctab"),
         F.explode(
             _nearest_cells(F.col(left_vec_col), centroids, nprobe)
         ).alias("__cell"),
@@ -908,7 +912,7 @@ def ivf_knn_join_pq(
     cand = cand.select(
         "__lid",
         "__rid",
-        _adc_dist(codebooks, m, dsub, qcol="__lv").alias("__adc"),
+        _adc_dist_table(m).alias("__adc"),
     )
     ws = W.partitionBy("__lid").orderBy(
         F.col("__adc").asc(), F.col("__rid").asc()
@@ -1539,13 +1543,17 @@ def pq_adc_topk(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     encoded = _spread(pq_encode(corpus, codebooks, id_col, vec_col))
+    # ADC table per query (r15 opt): the broadcast side carries the
+    # m×k distance table instead of the float vector — each candidate
+    # pair then costs m lookups, not an m·dsub fold (values identical)
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias(query_id_col),
+        _adc_table(codebooks, m, dsub, vec_col).alias("__adctab"),
     )
     scored = encoded.join(F.broadcast(q), F.lit(True)).select(
         F.col(query_id_col),
         F.col(id_col),
-        _adc_dist(codebooks, m, dsub).alias("adc_dist"),
+        _adc_dist_table(m).alias("adc_dist"),
     )
     w = W.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
@@ -1567,12 +1575,65 @@ def _adc_dist(
     """Asymmetric PQ distance between ``qcol`` (query-side vector) and
     ``codes`` (row code array): per-subspace squared L2 to the code's
     centroid, rounded to 6 and summed as DECIMAL(18,6) — order-free
-    exact addition, so rankings agree across engines."""
+    exact addition, so rankings agree across engines.
+
+    This inline form costs O(m·dsub) interpreted higher-order-function
+    work PER CANDIDATE PAIR; the scoring operators precompute the
+    standard ADC lookup table per query row instead
+    (:func:`_adc_table` + :func:`_adc_dist_table` — m array lookups
+    per pair, bit-identical values). Kept as the definitional form and
+    for single-use callers."""
     dist = None
     for s in range(m):
         qs = _pq_sub(F.col(qcol), s, dsub)
         cent = F.element_at(matrix_literal(codebooks[s]), F.col("codes")[s] + 1)
         d = F.round(_sq_l2(qs, cent), 6).cast("decimal(18,6)")
+        dist = d if dist is None else dist + d
+    return dist
+
+
+def _adc_table(
+    codebooks: list[list[list[float]]],
+    m: int,
+    dsub: int,
+    qcol: str,
+) -> Column:
+    """The FAISS ADC lookup table as a per-query-row expression (r15
+    opt): entry ``[s][c] = round(sq_l2(q_s, codebooks[s][c]), 6)`` —
+    every per-subspace distance a candidate pair could need, computed
+    ONCE per query row (m·k·dsub work) instead of per pair (m·dsub
+    work × |candidates|). Each entry is exactly the value
+    :func:`_adc_dist` computed inline, so scoring through the table is
+    bit-identical; the table rides the (tiny, broadcast/replicated)
+    query side through the candidate join as an m×k double array.
+
+    The per-subspace builder is a named closure, not a two-parameter
+    lambda with an ``s=s`` default — pyspark treats arity-2 lambdas as
+    (element, index) and would silently shadow ``s`` with the index
+    Column (the ``_md5_sig_member`` lesson)."""
+
+    def sub_tab(s: int) -> Column:
+        qs = _pq_sub(F.col(qcol), s, dsub)
+        return F.transform(
+            matrix_literal(codebooks[s]),
+            lambda cb: F.round(_sq_l2(qs, cb), 6),
+        )
+
+    return F.array(*[sub_tab(s) for s in range(m)])
+
+
+def _adc_dist_table(m: int, tab_col: str = "__adctab") -> Column:
+    """ADC distance from a precomputed :func:`_adc_table` column: m
+    1-based lookups ``tab[s][codes[s] + 1]``, each cast to
+    DECIMAL(18,6) and summed exactly — the same terms, rounding and
+    order-free sum as the inline :func:`_adc_dist`."""
+    dist = None
+    for s in range(m):
+        d = (
+            F.element_at(
+                F.element_at(F.col(tab_col), s + 1), F.col("codes")[s] + 1
+            )
+        ).cast("decimal(18,6)")
         dist = d if dist is None else dist + d
     return dist
 
@@ -1702,23 +1763,33 @@ def ivfpq_adc_topk(
             _nearest_cells(F.col(vec_col), centroids, nprobe)
         ).alias("__cell"),
     )
-    # equi-join on cell replaces pq_adc_topk's full cross product; a
-    # corpus row lives in exactly one cell and a query's probed cells
-    # are distinct, so (q, doc) appears at most once — no dedup needed
-    joined = enc.join(F.broadcast(q), "__cell")
+    # ADC table per (query, probed cell) row (r15 opt): built BEFORE
+    # the candidate join — the residual form subtracts the probed
+    # cell's centroid here, exactly where the inline form did it after
+    # the join — so each candidate pair costs m lookups, not an m·dsub
+    # fold (values identical)
     if residual:
         qres = F.zip_with(
             _to_double(F.col("__qv")),
             F.element_at(matrix_literal(centroids), F.col("__cell") + 1),
             lambda x, c: x - c,
         )
-        joined = joined.withColumn("__qres", qres)
+        q = q.withColumn("__qres", qres)
+    q = q.select(
+        query_id_col,
+        "__cell",
+        _adc_table(
+            codebooks, m, dsub, "__qres" if residual else "__qv"
+        ).alias("__adctab"),
+    )
+    # equi-join on cell replaces pq_adc_topk's full cross product; a
+    # corpus row lives in exactly one cell and a query's probed cells
+    # are distinct, so (q, doc) appears at most once — no dedup needed
+    joined = enc.join(F.broadcast(q), "__cell")
     scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
-        _adc_dist(
-            codebooks, m, dsub, "__qres" if residual else "__qv"
-        ).alias("adc_dist"),
+        _adc_dist_table(m).alias("adc_dist"),
     )
     w = W.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
