@@ -114,6 +114,21 @@ from data_ingestion_framework_spark.operators.skew import (  # noqa: E402
 )
 
 
+def _matrix_sql(rows: list[list[float]]) -> str:
+    """The ``array<array<double>>`` literal as SQL text — the building
+    block :func:`matrix_literal` parses, exposed so the composite
+    expression builders below can INLINE it into their own single
+    ``F.expr`` string instead of paying a separate round-trip."""
+    for r in rows:
+        for x in r:
+            if x != x or x in (float("inf"), float("-inf")):
+                raise ValueError(f"non-finite matrix literal value: {x}")
+    body = ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")" for r in rows
+    )
+    return f"array({body})"
+
+
 def matrix_literal(rows: list[list[float]]) -> Column:
     """``array<array<double>>`` literal built from ONE parsed expression.
 
@@ -126,14 +141,70 @@ def matrix_literal(rows: list[list[float]]) -> Column:
     through Spark's double-literal parser (shortest-repr law), so the
     values are bit-identical to the ``F.lit`` form the oracles assume.
     """
-    for r in rows:
-        for x in r:
-            if x != x or x in (float("inf"), float("-inf")):
-                raise ValueError(f"non-finite matrix literal value: {x}")
-    body = ",".join(
-        "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")" for r in rows
+    return F.expr(_matrix_sql(rows))
+
+
+def _qident(name: str) -> str:
+    """Backtick-quoted SQL identifier for a column NAME (the r16 expr
+    builders reference input columns textually)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+# --- SQL-text twins of the array-math primitives (r16 opt) -----------------
+#
+# The Column builders below (``dot``/``l2_norm``/``cosine``/``_sq_l2``)
+# construct their folds through pyspark lambda plumbing: every operator
+# inside a higher-order-function body is one Py4J round-trip (~1 ms), so
+# a composite like the per-subspace PQ argmin costs ~75 ms of DRIVER
+# time per construction — and the ANN operators rebuild them once per
+# Lloyd iteration / encode / probe site (measured r16 §1: 0.1–0.3 s per
+# builder call, ~half the wall time of the ANN bench lines at sf0.1).
+# The *_sql twins emit the same expression as TEXT; the top-level
+# builders parse ONE string (a single round-trip, ~10 ms). Value
+# identity: the SQL forms parse to the same Catalyst operators with the
+# same literal values (float text via ``repr`` — the shortest-repr law
+# ``matrix_literal`` already relies on), pinned bit-for-bit by
+# tests/test_expr_sql_twins.py against frozen copies of the lambda
+# builders, and end-to-end by the unchanged DuckDB oracles.
+
+def _dv_sql(arr: str) -> str:
+    """SQL twin of ``_to_double``."""
+    return f"transform({arr}, x -> cast(x as double))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL twin of :func:`dot` (left-to-right sum, double zero seed)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
     )
-    return F.expr(f"array({body})")
+
+
+def _l2_sql(a: str) -> str:
+    """SQL twin of :func:`l2_norm`."""
+    return (
+        f"sqrt(aggregate({a}, cast(0.0 as double), "
+        "(acc, x) -> acc + x * x))"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """SQL twin of :func:`cosine` (same double casts, same
+    zero-denominator contract)."""
+    da, db = _dv_sql(a), _dv_sql(b)
+    denom = f"({_l2_sql(da)} * {_l2_sql(db)})"
+    return (
+        f"(case when {denom} = 0 then cast(0.0 as double) "
+        f"else {_dot_sql(da, db)} / {denom} end)"
+    )
+
+
+def _sq_l2_sql(a: str, b: str) -> str:
+    """SQL twin of :func:`_sq_l2`."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -324,25 +395,30 @@ def lsh_cosine_topk(
 
 # -- IVF (inverted-file) ANN -------------------------------------------------
 
-def _nearest_cells(vec_col: Column, centroids: list[list[float]], nprobe: int) -> Column:
+def _nearest_cells(
+    vec_col: str, centroids: list[list[float]], nprobe: int
+) -> Column:
     """Array of the ``nprobe`` nearest centroid ids by cosine (ties on
-    cell id). Centroids are ONE matrix literal (see ``matrix_literal`` —
-    the per-element ``F.lit`` form cost ~1 s of driver build/analysis
-    time per call, re-paid on every Lloyd iteration) — evaluated
-    scan-side, nothing broadcast except the plan itself. The per-cell
-    cosine math (zip_with product, left-to-right aggregate, sqrt norms,
-    round to 6) is op-for-op what the per-cell literal form computed, so
-    cell assignments are unchanged and the DuckDB oracles still match."""
-    dv = _to_double(vec_col)
-    scored = F.transform(
-        matrix_literal(centroids),
-        lambda c, i: F.struct(
-            (-F.round(cosine(dv, c), 6)).alias("d"),
-            i.alias("cell"),
-        ),
+    cell id), over the named vector column. The WHOLE expression —
+    centroid matrix literal, per-cell cosine (zip_with product,
+    left-to-right aggregate, sqrt norms, round to 6), sort, probe slice
+    — is ONE parsed ``F.expr`` string (r16 opt: the lambda-built form
+    cost ~0.1 s of Py4J round-trips per construction, re-paid on every
+    Lloyd iteration / encode / probe site). Op-for-op the same Catalyst
+    operators as the lambda form (pinned by
+    tests/test_expr_sql_twins.py), so cell assignments are unchanged
+    and the DuckDB oracles still match."""
+    dv = _dv_sql(_qident(vec_col))
+    # cosine(dv, c): `cosine` re-casts BOTH sides to double exactly as
+    # the Column form did (a double→double transform is value-neutral
+    # but kept so the twin test compares identical shapes)
+    scored = (
+        f"transform({_matrix_sql(centroids)}, (c, i) -> "
+        f"struct(-round({_cos_sql(dv, 'c')}, 6) as d, i as cell))"
     )
-    return F.transform(
-        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cell"]
+    return F.expr(
+        f"transform(slice(array_sort({scored}), 1, {int(nprobe)}), "
+        "s -> s.cell)"
     )
 
 
@@ -528,7 +604,7 @@ def ivf_train_centroids(
         # rewrite canonicalize the struct field names away
         # (FIELD_NOT_FOUND on `cell`)
         assigned = corpus.select(
-            _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
+            _nearest_cells(vec_col, centroids, 1)[0].alias("__cell"),
             vec_col,
         ).select(
             "__cell", F.posexplode(_to_double(F.col(vec_col))).alias("__pos", "__x")
@@ -568,7 +644,7 @@ def cell_assignments(
     the plan as one literal, no shuffle, no UDF."""
     return _spread(corpus.select(id_col, vec_col)).select(
         F.col(id_col),
-        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+        _nearest_cells(vec_col, centroids, 1)[0].alias("cell"),
     )
 
 
@@ -596,14 +672,14 @@ def ivf_cosine_topk(
     c = _spread(corpus).select(
         "*",
         l2_norm(cdv).alias("__cn"),
-        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
+        _nearest_cells(vec_col, centroids, 1)[0].alias("__cell"),
     )
     qdv = _to_double(F.col(vec_col))
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         qdv.alias("__qv"),
         l2_norm(qdv).alias("__qn"),
-        F.explode(_nearest_cells(F.col(vec_col), centroids, nprobe)).alias("__cell"),
+        F.explode(_nearest_cells(vec_col, centroids, nprobe)).alias("__cell"),
     )
     denom = F.col("__qn") * F.col("__cn")
     scored = c.join(F.broadcast(q), "__cell").select(
@@ -688,7 +764,7 @@ def ivf_index_refresh(
     assigned = _spread(new.select(id_col, vec_col)).select(
         F.col(id_col),
         F.col(vec_col),
-        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+        _nearest_cells(vec_col, centroids, 1)[0].alias("cell"),
     )
     index_table.partition_by = ["cell"]
     index_table.append(assigned, metrics={cursor_prop: current_seq})
@@ -722,7 +798,7 @@ def ivf_index_probe_topk(
         qdv.alias("__qv"),
         l2_norm(qdv).alias("__qn"),
         F.explode(
-            _nearest_cells(F.col(vec_col), centroids, nprobe)
+            _nearest_cells(vec_col, centroids, nprobe)
         ).alias("cell"),
     )
     cells = sorted(
@@ -798,7 +874,7 @@ def ivf_knn_join(
         F.col(right_id_col).alias("__rid"),
         rdv.alias("__rv"),
         l2_norm(rdv).alias("__rn"),
-        _nearest_cells(F.col(right_vec_col), centroids, 1)[0].alias("__cell"),
+        _nearest_cells(right_vec_col, centroids, 1)[0].alias("__cell"),
     )
     ldv = _to_double(F.col(left_vec_col))
     l = left.select(
@@ -806,7 +882,7 @@ def ivf_knn_join(
         ldv.alias("__lv"),
         l2_norm(ldv).alias("__ln"),
         F.explode(
-            _nearest_cells(F.col(left_vec_col), centroids, nprobe)
+            _nearest_cells(left_vec_col, centroids, nprobe)
         ).alias("__cell"),
     )
     scored = l.join(r, "__cell")
@@ -886,10 +962,10 @@ def ivf_knn_join_pq(
     # right: (id, cell, codes) — no float vector crosses the exchange
     r = _spread(right.select(right_id_col, right_vec_col)).select(
         F.col(right_id_col).alias("__rid"),
-        _nearest_cells(F.col(right_vec_col), centroids, 1)[0].alias("__cell"),
+        _nearest_cells(right_vec_col, centroids, 1)[0].alias("__cell"),
         F.array(
             *[
-                _pq_code(F.col(right_vec_col), s, codebooks[s], dsub)
+                _pq_code(right_vec_col, s, codebooks[s], dsub)
                 for s in range(m)
             ]
         ).alias("codes"),
@@ -902,7 +978,7 @@ def ivf_knn_join_pq(
         F.col(left_id_col).alias("__lid"),
         _adc_table(codebooks, m, dsub, left_vec_col).alias("__adctab"),
         F.explode(
-            _nearest_cells(F.col(left_vec_col), centroids, nprobe)
+            _nearest_cells(left_vec_col, centroids, nprobe)
         ).alias("__cell"),
     )
     cand = l.join(r, "__cell")
@@ -989,7 +1065,7 @@ def ivf_hard_negatives(
     c = _spread(corpus).select(
         "*",
         l2_norm(cdv).alias("__cn"),
-        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
+        _nearest_cells(vec_col, centroids, 1)[0].alias("__cell"),
     )
     qdv = _to_double(F.col(vec_col))
     q = anchors.select(
@@ -998,7 +1074,7 @@ def ivf_hard_negatives(
         l2_norm(qdv).alias("__qn"),
         F.col(label_col).alias("__ql"),
         F.explode(
-            _nearest_cells(F.col(vec_col), centroids, nprobe)
+            _nearest_cells(vec_col, centroids, nprobe)
         ).alias("__cell"),
     )
     denom = F.col("__qn") * F.col("__cn")
@@ -1065,7 +1141,7 @@ def semantic_dedup(
         F.col(id_col),
         dv.alias("__v"),
         l2_norm(dv).alias("__n"),
-        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
+        _nearest_cells(vec_col, centroids, 1)[0].alias("__cell"),
     )
     # the assignment frame feeds THREE consumers (both self-join
     # branches and the final keep-mark join); without a materialization
@@ -1213,16 +1289,23 @@ def _pq_sub(vec: Column, sub: int, dsub: int) -> Column:
     return F.slice(_to_double(vec), sub * dsub + 1, dsub)
 
 
-def _pq_code(vec: Column, sub: int, codebook: list[list[float]], dsub: int) -> Column:
+def _pq_sub_sql(vec: str, sub: int, dsub: int) -> str:
+    """SQL twin of :func:`_pq_sub` over a column NAME."""
+    return f"slice({_dv_sql(_qident(vec))}, {sub * dsub + 1}, {dsub})"
+
+
+def _pq_code(vec: str, sub: int, codebook: list[list[float]], dsub: int) -> Column:
     """Nearest code in one subspace by squared L2 (rounded to 6 so
     cross-engine float-summation order can't flip an argmin; ties on
-    the lower code id)."""
-    sv = _pq_sub(vec, sub, dsub)
-    scored = F.transform(
-        matrix_literal(codebook),
-        lambda c, i: F.struct(F.round(_sq_l2(sv, c), 6).alias("d"), i.alias("code")),
+    the lower code id), over the named vector column — ONE parsed
+    expression (r16 opt, same rationale as :func:`_nearest_cells`;
+    value-identity pinned by tests/test_expr_sql_twins.py)."""
+    sv = _pq_sub_sql(vec, sub, dsub)
+    scored = (
+        f"transform({_matrix_sql(codebook)}, (c, i) -> "
+        f"struct(round({_sq_l2_sql(sv, 'c')}, 6) as d, i as code))"
     )
-    return F.array_sort(scored)[0]["code"]
+    return F.expr(f"array_sort({scored})[0].code")
 
 
 def pq_train_codebooks(
@@ -1292,7 +1375,7 @@ def pq_train_codebooks(
             *[
                 F.struct(
                     F.lit(s).alias("sub"),
-                    _pq_code(F.col(vec_col), s, books[s], dsub).alias("code"),
+                    _pq_code(vec_col, s, books[s], dsub).alias("code"),
                     _pq_sub(F.col(vec_col), s, dsub).alias("sv"),
                 )
                 for s in range(m)
@@ -1385,7 +1468,7 @@ def ivfpq_train(
     for _ in range(iters):
         # IVF side: (kind=-1, cell, pos, x) over the full vector
         ivf_rows = corpus.select(
-            _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__b"),
+            _nearest_cells(vec_col, centroids, 1)[0].alias("__b"),
             vec_col,
         ).select(
             F.lit(-1).alias("__a"),
@@ -1397,7 +1480,7 @@ def ivfpq_train(
             *[
                 F.struct(
                     F.lit(s).alias("sub"),
-                    _pq_code(F.col(vec_col), s, books[s], dsub).alias("code"),
+                    _pq_code(vec_col, s, books[s], dsub).alias("code"),
                     _pq_sub(F.col(vec_col), s, dsub).alias("sv"),
                 )
                 for s in range(m)
@@ -1516,7 +1599,7 @@ def pq_encode(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     codes = F.array(
-        *[_pq_code(F.col(vec_col), s, codebooks[s], dsub) for s in range(m)]
+        *[_pq_code(vec_col, s, codebooks[s], dsub) for s in range(m)]
     )
     return df.select(F.col(id_col), codes.alias("codes"))
 
@@ -1607,19 +1690,18 @@ def _adc_table(
     bit-identical; the table rides the (tiny, broadcast/replicated)
     query side through the candidate join as an m×k double array.
 
-    The per-subspace builder is a named closure, not a two-parameter
-    lambda with an ``s=s`` default — pyspark treats arity-2 lambdas as
-    (element, index) and would silently shadow ``s`` with the index
-    Column (the ``_md5_sig_member`` lesson)."""
+    Built as ONE parsed expression (r16 opt — the lambda-built form
+    cost ~0.2 s of Py4J round-trips per construction; value-identity
+    pinned by tests/test_expr_sql_twins.py)."""
 
-    def sub_tab(s: int) -> Column:
-        qs = _pq_sub(F.col(qcol), s, dsub)
-        return F.transform(
-            matrix_literal(codebooks[s]),
-            lambda cb: F.round(_sq_l2(qs, cb), 6),
+    def sub_tab(s: int) -> str:
+        qs = _pq_sub_sql(qcol, s, dsub)
+        return (
+            f"transform({_matrix_sql(codebooks[s])}, "
+            f"cb -> round({_sq_l2_sql(qs, 'cb')}, 6))"
         )
 
-    return F.array(*[sub_tab(s) for s in range(m)])
+    return F.expr("array(" + ",".join(sub_tab(s) for s in range(m)) + ")")
 
 
 def _adc_dist_table(m: int, tab_col: str = "__adctab") -> Column:
@@ -1685,7 +1767,7 @@ def ivf_residuals(
     assigned = _spread(corpus.select(id_col, vec_col)).select(
         F.col(id_col),
         F.col(vec_col),
-        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
+        _nearest_cells(vec_col, centroids, 1)[0].alias("__cell"),
     )
     res = F.zip_with(
         _to_double(F.col(vec_col)),
@@ -1740,7 +1822,7 @@ def ivfpq_adc_topk(
             F.col("__cell"),
             F.array(
                 *[
-                    _pq_code(F.col("__residual"), s, codebooks[s], dsub)
+                    _pq_code("__residual", s, codebooks[s], dsub)
                     for s in range(m)
                 ]
             ).alias("codes"),
@@ -1748,10 +1830,10 @@ def ivfpq_adc_topk(
     else:
         enc = _spread(corpus).select(
             F.col(id_col),
-            _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("__cell"),
+            _nearest_cells(vec_col, centroids, 1)[0].alias("__cell"),
             F.array(
                 *[
-                    _pq_code(F.col(vec_col), s, codebooks[s], dsub)
+                    _pq_code(vec_col, s, codebooks[s], dsub)
                     for s in range(m)
                 ]
             ).alias("codes"),
@@ -1760,7 +1842,7 @@ def ivfpq_adc_topk(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qv"),
         F.explode(
-            _nearest_cells(F.col(vec_col), centroids, nprobe)
+            _nearest_cells(vec_col, centroids, nprobe)
         ).alias("__cell"),
     )
     # ADC table per (query, probed cell) row (r15 opt): built BEFORE
