@@ -1088,6 +1088,55 @@ def _bpe_merge_step(syms: Column, left: Column, right: Column) -> Column:
     return F.aggregate(syms, acc0, step, fin)
 
 
+def _bpe_merge_chain(pairs: list[tuple[str, str]], syms_col: str = "syms") -> tuple[Column, Column]:
+    """A whole round's sequential merge folds as ONE parsed expression
+    (r16 opt). The lambda-built :func:`_bpe_merge_step` costs ~60 ms of
+    Py4J round-trips per merge — ~0.5 s per batched round, the dominant
+    driver cost of the depth-64 trainer (measured r16 §1: 0.6 s/round
+    of pure Column construction at sf0.1). This builder emits the same
+    nested ``aggregate`` chain as SQL text and parses it once.
+
+    Returns ``(mp, syms)``: ``mp`` is a literal ``array<struct<l, r,
+    m>>`` column of the round's (left, right, left||right) triples —
+    the symbols ride a LITERAL COLUMN, preserving
+    :func:`_bpe_merge_step`'s no-symbol-text-in-SQL discipline (the
+    fold references ``element_at(__mp, i)``, and constant folding
+    reduces those lookups to the same inline literals the per-step form
+    carried) — and ``syms`` is the chained fold over ``syms_col``,
+    referencing ``mp`` as ``__mp``. Apply as
+    ``withColumn("__mp", mp).select(..., syms.alias("syms"), ...)``.
+    Value identity with the per-step chain is pinned by
+    ``test_bpe_merge_chain_matches_per_step_chain``; the batched-BPE
+    oracle (corpus_bpe_merges_batched8) replays the same application.
+    """
+    mp = F.array(
+        *[
+            F.struct(
+                F.lit(l).alias("l"), F.lit(r).alias("r"), F.lit(l + r).alias("m")
+            )
+            for l, r in pairs
+        ]
+    )
+    syms = "`" + syms_col.replace("`", "``") + "`"
+    for i in range(1, len(pairs) + 1):
+        p = f"element_at(__mp, {i})"
+        syms = (
+            f"aggregate({syms}, "
+            "struct(cast(array() as array<string>) as out, "
+            "cast(null as string) as pend), "
+            "(acc, x) -> case "
+            "when acc.pend is null then struct(acc.out as out, x as pend) "
+            f"when acc.pend = {p}.l and x = {p}.r then "
+            f"struct(array_append(acc.out, {p}.m) as out, "
+            "cast(null as string) as pend) "
+            "else struct(array_append(acc.out, acc.pend) as out, x as pend) "
+            "end, "
+            "acc -> case when acc.pend is null then acc.out "
+            "else array_append(acc.out, acc.pend) end)"
+        )
+    return mp, F.expr(syms)
+
+
 def bpe_train_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -1196,11 +1245,17 @@ def bpe_train_merges(
                 continue
             selected.append(r)
             used.update((r["l"], r["r"]))
-        syms = F.col("syms")
         for r in selected:
             merges.append((len(merges) + 1, r["l"], r["r"], r["cnt"]))
-            syms = _bpe_merge_step(syms, F.lit(r["l"]), F.lit(r["r"]))
-        words = words.select("w", syms.alias("syms"), "freq").localCheckpoint()
+        # one parsed expression for the whole round's sequential folds
+        # (r16 opt — see _bpe_merge_chain; value-identical to chaining
+        # _bpe_merge_step per merge)
+        mp, syms = _bpe_merge_chain([(r["l"], r["r"]) for r in selected])
+        words = (
+            words.withColumn("__mp", mp)
+            .select("w", syms.alias("syms"), "freq")
+            .localCheckpoint()
+        )
     spark = df.sparkSession
     merge_df = spark.createDataFrame(
         merges, "step int, left string, right string, pair_freq bigint"

@@ -601,3 +601,36 @@ def test_prune_vocab_cap_collect_is_limit_bounded(spark, monkeypatch):
         "a driver materialization exceeded the cap+1 bound: "
         f"{sizes} (the 3-row vocab must arrive limit-truncated)"
     )
+
+
+def test_bpe_merge_chain_matches_per_step_chain(spark):
+    """r16 opt: a round's single parsed-expression merge chain
+    (_bpe_merge_chain) segments exactly like chaining _bpe_merge_step
+    per merge — including the interacting case where an earlier merge
+    in the round CREATES instances of a later pair (sequential
+    application order is the pinned semantics), and symbols that would
+    break naive SQL quoting."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_framework_spark.operators.text import (
+        _bpe_merge_chain,
+        _bpe_merge_step,
+    )
+
+    rows = [
+        (["a", "b", "x", "a", "b"],),
+        (["a", "b", "c", "a", "b", "a"],),
+        (["'", "\\", "`", "'", "\\"],),   # quoting hazards as symbols
+        (["ab", "x", "a", "b", "x"],),    # pre-existing merged symbol
+        ([],),
+        (["a"],),
+    ]
+    df = spark.createDataFrame(rows, "syms array<string>")
+    pairs = [("a", "b"), ("ab", "x"), ("'", "\\")]
+    syms_old = F.col("syms")
+    for l, r in pairs:
+        syms_old = _bpe_merge_step(syms_old, F.lit(l), F.lit(r))
+    old = df.select(syms_old.alias("s")).collect()
+    mp, syms_new = _bpe_merge_chain(pairs)
+    new = df.withColumn("__mp", mp).select(syms_new.alias("s")).collect()
+    assert old == new
