@@ -242,8 +242,14 @@ def _gd_train_dense_with_stats(
     UNCHECKPOINTED frame (re-running the whole upstream plan), then a
     count, then the stats agg: three driver round-trips where one
     suffices. Width via ``first(size(x))`` is exact because the dense
-    builder emits a constant-width array on every row."""
-    feats = feats.localCheckpoint()
+    builder emits a constant-width array on every row.
+
+    r16 opt (guide §5): the checkpoint is LAZY — the stats agg is a
+    full-scan action (global aggregate, every partition computed), so
+    it materializes the checkpoint in the SAME job; the eager form
+    paid a separate materialization job plus one extra pass over the
+    cached frame, per training call."""
+    feats = feats.localCheckpoint(eager=False)
     zero = F.lit(0).cast("bigint")
     stats = feats.select(
         F.count(F.lit(1)).alias("n"),
@@ -511,7 +517,9 @@ def _gd_train_sparse_with_stats(
         F.col("count").cast("bigint").alias("count"),
     )
     if not pre_materialized:
-        t = t.localCheckpoint()
+        # lazy: the stats agg below is a full-scan action and
+        # materializes the checkpoint in the same job (r16 opt)
+        t = t.localCheckpoint(eager=False)
     n_rows, max_count, row_sum_max = _sparse_feat_stats(t, "__id")
     if n_rows == 0:
         raise ValueError("gd_train_linear_units_sparse: empty training frame")
@@ -602,10 +610,21 @@ def _gd_train_sparse_distributed_with_stats(
     id_col: str,
     label_col: str,
     pre_materialized: bool = False,
-) -> tuple[DataFrame, int]:
-    """``(weight_frame, max_row_sum)`` — distributed trainer body; the
-    second element feeds the scorer's overflow guard without another
-    stats scan (the same threading discipline as the list trainers)."""
+) -> tuple[DataFrame, int, int]:
+    """``(weight_frame, max_row_sum, max_w_units)`` — distributed
+    trainer body; the second element feeds the scorer's overflow guard
+    without another stats scan (the same threading discipline as the
+    list trainers), and the third is max|w| over the FINAL weight
+    frame so the scorer's guard needs no extra agg job either.
+
+    Per-iteration job discipline (r16 opt, guide §5 — the r15 verdict's
+    task #4): the update's ``localCheckpoint`` is LAZY and the max|w|
+    guard agg runs immediately after — a full-scan action that
+    materializes the checkpoint in the SAME job, so each GD step costs
+    ONE driver round-trip where the eager-checkpoint + next-step-agg
+    shape cost two. The guard value feeds the NEXT step's overflow
+    check (and, after the last step, the scorer's) — the same integers
+    the old shape read one job later."""
     t = triples.select(
         F.col(id_col).alias("__id"),
         F.col(label_col).cast("int").alias("__y"),
@@ -613,7 +632,8 @@ def _gd_train_sparse_distributed_with_stats(
         F.col("count").cast("bigint").alias("count"),
     )
     if not pre_materialized:
-        t = t.localCheckpoint()
+        # lazy: materialized by the stats agg's full scan (r16 opt)
+        t = t.localCheckpoint(eager=False)
     n_rows, max_count, row_sum_max = _sparse_feat_stats(t, "__id")
     if n_rows == 0:
         raise ValueError("gd_train_sparse_distributed: empty training frame")
@@ -623,18 +643,10 @@ def _gd_train_sparse_distributed_with_stats(
     )
     spark = triples.sparkSession
     wdf = spark.createDataFrame([], "bucket bigint, __w bigint")
-    for it in range(iters):
-        if it == 0:
-            # the weight frame is the literal empty frame on the first
-            # step — max|w| is 0 by construction, no job needed (r15
-            # opt; later steps read the checkpointed update, one tiny
-            # agg each)
-            maxw = 0
-        else:
-            row = wdf.agg(F.max(F.abs(F.col("__w"))).alias("m")).first()
-            maxw = (
-                int(row["m"]) if row is not None and row["m"] is not None else 0
-            )
+    # max|w| of the empty frame is 0 by construction (r15 opt) — each
+    # iteration below refreshes it from the fused checkpoint+agg job
+    maxw = 0
+    for _ in range(iters):
         _guard_int64(maxw * row_sum_max, "gd_train_sparse_distributed dot")
         grad = _sparse_gd_gradient(t, wdf, broadcast=False)
         # w ← w − round(lr·grad/n): identical IEEE multiply/divide and
@@ -655,9 +667,11 @@ def _gd_train_sparse_distributed_with_stats(
                 ).alias("__w"),
             )
             .where(F.col("__w") != 0)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-    return wdf, row_sum_max
+        row = wdf.agg(F.max(F.abs(F.col("__w"))).alias("m")).first()
+        maxw = int(row["m"]) if row is not None and row["m"] is not None else 0
+    return wdf, row_sum_max, maxw
 
 
 def linear_classifier_scores_sparse_frame(
@@ -666,16 +680,23 @@ def linear_classifier_scores_sparse_frame(
     id_col: str = "doc_id",
     label_col: str | None = "label",
     row_sum_max: int | None = None,
+    max_w_units: int | None = None,
 ) -> DataFrame:
     """Score sparse triples under a ``(bucket, __w)`` weight FRAME —
     the scorer for :func:`gd_train_sparse_distributed`, same output
     contract and guard discipline as the list-weight scorer (the
     max|w| for the overflow guard comes from one small agg over the
-    weight frame instead of the driver list)."""
+    weight frame instead of the driver list; ``max_w_units`` skips
+    that agg when the caller already holds the trainer's fused guard
+    value — r16 opt, the same threading discipline as
+    ``row_sum_max``)."""
     if row_sum_max is None:
         _, _, row_sum_max = _sparse_feat_stats(triples, id_col)
-    row = wdf.agg(F.max(F.abs(F.col("__w"))).alias("m")).first()
-    maxw = int(row["m"]) if row is not None and row["m"] is not None else 0
+    if max_w_units is None:
+        row = wdf.agg(F.max(F.abs(F.col("__w"))).alias("m")).first()
+        maxw = int(row["m"]) if row is not None and row["m"] is not None else 0
+    else:
+        maxw = int(max_w_units)
     _guard_int64(maxw * row_sum_max, "linear_classifier_scores_sparse_frame dot")
     grp = [id_col] + ([label_col] if label_col else [])
     z = _sparse_scores_units_frame(triples, wdf, grp, broadcast=False)
@@ -1059,7 +1080,7 @@ def quality_lr_pipeline(
         tr = hashed_token_features_sparse(
             df, text_col=text_col, n_features=n_features, id_col=id_col,
             label=label,
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         w, row_sum_max = _gd_train_sparse_with_stats(
             tr, n_features, iters, lr, id_col, "label",
             pre_materialized=True,
@@ -1409,7 +1430,7 @@ def _gate_wide(
     tr = hashed_token_features_sparse(
         df, text_col=text_col, n_features=n_features, id_col=id_col,
         label=label,
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # score through the library scorers (one definition of the
     # guard-and-dot block, not a hand-synced copy); the extra
     # prob/pred columns are two pure expressions, dropped by the
@@ -1423,11 +1444,12 @@ def _gate_wide(
             tr, w, id_col=id_col, label_col=None, row_sum_max=row_sum_max
         )
     else:
-        wdf, row_sum_max = _gd_train_sparse_distributed_with_stats(
+        wdf, row_sum_max, maxw = _gd_train_sparse_distributed_with_stats(
             tr, iters, lr, id_col, "label", pre_materialized=True
         )
         scored = linear_classifier_scores_sparse_frame(
-            tr, wdf, id_col=id_col, label_col=None, row_sum_max=row_sum_max
+            tr, wdf, id_col=id_col, label_col=None, row_sum_max=row_sum_max,
+            max_w_units=maxw,
         )
     z = F.col("score_units")
     if keep_fraction is None:

@@ -104,7 +104,11 @@ def pagerank(
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     e_deg = e.join(deg, "src")
     if not preserve_scan_partitioning:
-        e_deg = e_deg.localCheckpoint()
+        # lazy (r16 opt, guide §5): the nodes checkpoint's eager job
+        # below scans e_deg (twice, via the union), materializing this
+        # checkpoint in the same job — the eager form paid a separate
+        # materialization job per pagerank call
+        e_deg = e_deg.localCheckpoint(eager=False)
     nodes = (
         e_deg.select(F.col("src").alias("node"))
         .union(e_deg.select(F.col("dst").alias("node")))
@@ -157,7 +161,9 @@ def pagerank(
             ).alias("units"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint()
+            # lazy: the next iteration's inflow agg scans ranks fully
+            # and materializes the cut in the same job (r16 opt)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("units").alias("rank_units"))
 
 

@@ -55,10 +55,17 @@ def exact_cumulative_counts(
     the grand total comes free from the subtotal pass (callers use it
     in place of a crossJoined total row).
     """
+    # lazy checkpoint (r16 opt, guide §5): the subtotal agg below is a
+    # full-scan action, so it materializes (and freezes) the range
+    # exchange in the SAME job — the eager form paid a separate
+    # materialization job per rank-primitive call. The one-execution
+    # guarantee the docstring requires still holds: the exchange's
+    # sampled boundaries are computed once, in that job, and every
+    # later consumer reads the persisted partitions.
     part = (
         per.repartitionByRange(F.col(value_col))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     subtotals = (
         part.groupBy("__pid")

@@ -1574,7 +1574,15 @@ def ivfpq_train_residual(
         )
         return [x - cx for x, cx in zip(v, centroids[best])]
 
-    rs = ivf_residuals(corpus, centroids, id_col, vec_col)
+    # lazy-checkpoint the residual frame (r16 opt, guide §5): the PQ
+    # Lloyd below scans it once per iteration, and each scan would
+    # otherwise re-run the full cell-assignment + subtraction chain
+    # over the corpus; the first means job materializes it instead
+    # (MEMORY_AND_DISK — the same trade quality_lr_pipeline makes for
+    # its per-GD-step feature frame)
+    rs = ivf_residuals(corpus, centroids, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     books = pq_train_codebooks(
         rs,
         m,

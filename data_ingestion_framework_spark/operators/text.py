@@ -1199,11 +1199,17 @@ def bpe_train_merges(
         df.select(F.explode(F.split(normalize_text(text_col), " ")).alias("w"))
         .where(F.col("w") != "")
     )
+    # lazy checkpoints throughout the merge loop (r16 opt, guide §5):
+    # each round's pair-count job is a full scan of the previous
+    # round's words, so it materializes that checkpoint in the same
+    # job — the eager form paid one extra materialization job per
+    # round (and always materialized the FINAL round's words, which a
+    # return_vocab=False caller never reads)
     words = (
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select("w", F.split("w", "").alias("syms"), "freq")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, int]] = []
     rounds_run = 0
@@ -1254,7 +1260,7 @@ def bpe_train_merges(
         words = (
             words.withColumn("__mp", mp)
             .select("w", syms.alias("syms"), "freq")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     spark = df.sparkSession
     merge_df = spark.createDataFrame(

@@ -6410,12 +6410,12 @@ def docs_quality_lr_distributed(spark, sf_dir):
     )
     tr = classify.hashed_token_features_sparse(
         docs, n_features=1 << 22, label=label
-    ).localCheckpoint()
-    wdf, row_sum_max = classify._gd_train_sparse_distributed_with_stats(
+    ).localCheckpoint(eager=False)
+    wdf, row_sum_max, maxw = classify._gd_train_sparse_distributed_with_stats(
         tr, 2, 0.5, "doc_id", "label", pre_materialized=True
     )
     return classify.linear_classifier_scores_sparse_frame(
-        tr, wdf, row_sum_max=row_sum_max
+        tr, wdf, row_sum_max=row_sum_max, max_w_units=maxw
     )
 
 
@@ -6725,12 +6725,12 @@ def docs_quality_lr_distributed_auc(spark, sf_dir):
     )
     tr = classify.hashed_token_features_sparse(
         docs, n_features=1 << 22, label=label
-    ).localCheckpoint()
-    wdf, row_sum_max = classify._gd_train_sparse_distributed_with_stats(
+    ).localCheckpoint(eager=False)
+    wdf, row_sum_max, maxw = classify._gd_train_sparse_distributed_with_stats(
         tr, 2, 0.5, "doc_id", "label", pre_materialized=True
     )
     scored = classify.linear_classifier_scores_sparse_frame(
-        tr, wdf, row_sum_max=row_sum_max
+        tr, wdf, row_sum_max=row_sum_max, max_w_units=maxw
     )
     return classify.classifier_auc(scored)
 
