@@ -568,6 +568,7 @@ def minhash_md5_pairs(
     bands: int = 4,
     shingle_size: int = 5,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with an md5-derived hash family —
     the ORACLE-BACKED twin of :func:`minhash_dedup_pairs`.
@@ -581,6 +582,16 @@ def minhash_md5_pairs(
     signatures→banding→bucket-join→Jaccard-verify chain reproducible
     under the value-hash gate. Use it as the correctness witness at
     verification scale; deploy the xxhash64 form at corpus scale.
+
+    ``max_bucket_size`` bounds the per-bucket ``collect_list`` buffer
+    in ``_bucket_pairs`` exactly like :func:`minhash_dedup_pairs`'s cap
+    (r16 fix — the r15 verdict's scale-safety hole: an uncapped
+    duplicate-heavy bucket at 100 TB puts its whole membership in ONE
+    aggregation buffer). The default (1000, the xxhash deployment's
+    value) is far above any bucket this family's verification-scale
+    corpora produce; dropped buckets are observable via
+    :func:`lsh_oversize_buckets` over ``minhash_sig_bands``. Pass
+    ``None`` only when the input is known bounded.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
@@ -596,7 +607,7 @@ def minhash_md5_pairs(
     # grouped in-bucket pair generation (see _bucket_pairs): the md5
     # family pays k md5 calls per shingle, and the join form evaluated
     # that fold once per join side — the aggregate pays it once
-    cands = _bucket_pairs(band_rows, ["band", "bucket"], id_col, None)
+    cands = _bucket_pairs(band_rows, ["band", "bucket"], id_col, max_bucket_size)
     return verify_candidate_pairs(
         df, cands, id_col, text_col, shingle_size, threshold
     )

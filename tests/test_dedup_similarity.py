@@ -1468,3 +1468,27 @@ def test_prefix_filter_complete_across_thresholds_random(spark):
                     if inter * den >= num * len(a | b):
                         want[(ia, ib)] = round(inter / len(a | b), 4)
             assert got == want, (num, den, k)
+
+
+def test_minhash_md5_pairs_bucket_cap(spark):
+    """r16 scale-safety (r15 verdict #2): the md5 candidate path caps
+    the per-bucket collect_list buffer by default; an over-cap bucket
+    is dropped whole (the same observable-cap contract as the xxhash
+    path), never buffered unbounded."""
+    import inspect
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact text body here") for i in range(4)]
+        + [(10, "zzz completely different words")],
+        "doc_id long, text string",
+    )
+    uncapped = dedup.minhash_md5_pairs(docs, max_bucket_size=None)
+    assert uncapped.count() == 6  # C(4,2) identical-doc pairs
+    capped = dedup.minhash_md5_pairs(docs, max_bucket_size=3)
+    assert capped.count() == 0  # the 4-member buckets drop whole
+    # the DEFAULT is bounded — no declared query reaches an unbounded
+    # collect_list through this operator
+    default = inspect.signature(dedup.minhash_md5_pairs).parameters[
+        "max_bucket_size"
+    ].default
+    assert default is not None and default == 1000

@@ -956,3 +956,73 @@ def test_principal_projections_refuse_ragged_and_mismatch(spark):
         ).count()
         == 2
     )
+
+
+def test_knn_join_pq_table_guard_inline_parity(spark):
+    """r16 guard: when the ADC table (m·k doubles) would outgrow the
+    query vector by more than 4x, ivf_knn_join_pq carries the vector
+    through the cell exchange and scores with the inline fold instead.
+    Results are identical either way (same DECIMAL terms); the guard
+    only moves WHERE the per-subspace distances are computed."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_framework_spark.operators import similarity as S
+
+    dim, m = 4, 2
+    dsub = dim // m
+    rows = [
+        (i, [((i * 131 + j * 17) % 23) / 3.0 for j in range(dim)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from pyspark.sql import functions as _F
+    qdf = df.select(_F.col("vec_id").alias("q_id"), "embedding")
+    centroids = [r[1] for r in rows[:2]]
+
+    def run(k_codes):
+        books = [
+            [
+                [((s * 7 + c * 13 + j) % 11) / 2.0 for j in range(dsub)]
+                for c in range(k_codes)
+            ]
+            for s in range(m)
+        ]
+        out = S.ivf_knn_join_pq(
+            qdf, df, centroids, books, k=3, nprobe=2, exclude_self=True
+        )
+        return sorted(tuple(r) for r in out.collect()), books
+
+    # k_codes=2: m*k=4 <= 4*dim=16 -> table path; k_codes=32: 64 > 16
+    # -> inline path. Same codebook PREFIX would differ, so instead
+    # pin parity directly: inline _adc_dist == table lookup, same frame
+    small, books = run(2)
+    assert small  # sanity: the join produced ranked pairs
+    enc = df.select(
+        "vec_id",
+        F.array(
+            *[S._pq_code("embedding", s, books[s], dsub) for s in range(m)]
+        ).alias("codes"),
+    )
+    q = df.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("__qv"),
+        S._adc_table(books, m, dsub, "embedding").alias("__adctab"),
+    )
+    both = enc.crossJoin(q).select(
+        S._adc_dist(books, m, dsub, "__qv").alias("inline"),
+        S._adc_dist_table(m).alias("table"),
+    )
+    assert both.where(F.col("inline") != F.col("table")).count() == 0
+    # and the guard actually flips the plan shape
+    big_books = [
+        [[float(c + s + j) for j in range(dsub)] for c in range(32)]
+        for s in range(m)
+    ]
+    plan_inline = S.ivf_knn_join_pq(
+        qdf, df, centroids, big_books, k=3, nprobe=2
+    )._jdf.queryExecution().analyzed().toString()
+    assert "__adctab" not in plan_inline
+    plan_table = S.ivf_knn_join_pq(
+        qdf, df, centroids, [b[:2] for b in big_books], k=3, nprobe=2
+    )._jdf.queryExecution().analyzed().toString()
+    assert "__adctab" in plan_table
