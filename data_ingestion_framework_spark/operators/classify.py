@@ -1451,6 +1451,14 @@ def _gate_wide(
             tr, wdf, id_col=id_col, label_col=None, row_sum_max=row_sum_max,
             max_w_units=maxw,
         )
+    # materialize the scored frame once (r16 opt, lazy — the r15
+    # verdict's re-derived-lineage check #8): the calibrated-cut path
+    # consumes it two-to-three times (the rank primitive's jobs plus
+    # the final filter), and each evaluation would replay the
+    # weight-join + per-doc aggregation over the corpus; the first
+    # cut job materializes it instead and every later consumer reads
+    # the persisted narrow (id, score...) rows
+    scored = scored.localCheckpoint(eager=False)
     z = F.col("score_units")
     if keep_fraction is None:
         kept = scored.where(z >= F.lit(int(min_score_units)))

@@ -7031,7 +7031,12 @@ def docs_implicit_domain_reweight(spark, sf_dir):
     scored = classify.quality_lr_pipeline(
         docs, label, n_features=16, iters=2, lr=0.5
     )
-    with_cell = scored.join(cells, "doc_id")
+    # materialize the scored⋈cell frame once (r16 opt): the reweighter
+    # consumes it twice (group-stats collect + the final keep
+    # predicate), and each evaluation would replay the join AND the
+    # cell-assignment scan over the embeddings; the stats job
+    # materializes it instead (lazy checkpoint, guide §5)
+    with_cell = scored.join(cells, "doc_id").localCheckpoint(eager=False)
     return domain_reweight_by_quality(
         with_cell, "prob", target_fraction=0.5, source_col="cell", salt="im"
     ).select("doc_id", "cell", "prob")
