@@ -1378,6 +1378,7 @@ def viterbi_segment_words(
     cost_col: str = "cost_units",
     max_word_len: int = 512,
     words: DataFrame | None = None,
+    max_piece_len: int | None = None,
 ) -> DataFrame:
     """Minimum-cost (Viterbi) segmentation of every DISTINCT word under
     an integer piece-cost vocabulary — the unigram-LM tokenizer's
@@ -1396,7 +1397,8 @@ def viterbi_segment_words(
     character outside the vocab) return NULL pieces. Returns
     ``(w, vit_cost_units, vit_n_pieces)``."""
     base = _viterbi_base(
-        df, vocab, text_col, piece_col, cost_col, max_word_len, words=words
+        df, vocab, text_col, piece_col, cost_col, max_word_len, words=words,
+        max_piece_len=max_piece_len,
     )
     folded = base.select("w", _viterbi_best_col().alias("__bestarr"))
     big, k = _VITERBI_BIG, _VITERBI_K
@@ -1435,6 +1437,7 @@ def _viterbi_base(
     cost_col: str,
     max_word_len: int,
     words: DataFrame | None = None,
+    max_piece_len: int | None = None,
 ) -> DataFrame:
     """Shared DP input frame ``(w, __edges)``: the corpus's distinct
     words, each with its packed edge list — every ``(start, end,
@@ -1465,12 +1468,23 @@ def _viterbi_base(
     v = vocab.select(
         F.col(piece_col).alias("__p"), F.col(cost_col).alias("__c")
     )
-    max_plen = v.agg(F.max(F.length("__p"))).first()[0]
-    if max_plen is None:
-        raise ValueError(
-            "viterbi_segment_words: empty vocabulary — nothing can "
-            "segment (substring_vocab always keeps the single chars)"
-        )
+    if max_piece_len is not None:
+        # caller-supplied UPPER BOUND on piece length (r16 opt, guide
+        # §5): the builders know it statically — substring_vocab's own
+        # max_piece_len, preserved by every EM round and prune — so the
+        # per-stage max(length) probe job is pure overhead. Any bound
+        # >= the true max yields IDENTICAL edges: longer candidate
+        # substrings simply find no vocab match in the span join. The
+        # caller also asserts the vocab is non-empty (the probe's other
+        # duty); the library composites satisfy both by construction.
+        max_plen = int(max_piece_len)
+    else:
+        max_plen = v.agg(F.max(F.length("__p"))).first()[0]
+        if max_plen is None:
+            raise ValueError(
+                "viterbi_segment_words: empty vocabulary — nothing can "
+                "segment (substring_vocab always keeps the single chars)"
+            )
     spans = words.select(
         "w",
         F.explode(
@@ -1542,6 +1556,7 @@ def viterbi_segment_pieces(
     cost_col: str = "cost_units",
     max_word_len: int = 512,
     words: DataFrame | None = None,
+    max_piece_len: int | None = None,
 ) -> DataFrame:
     """The argmin segmentation ITSELF per distinct word — ``(w, pieces
     array<string>)``, NULL for unsegmentable words. Forward DP (the
@@ -1555,7 +1570,8 @@ def viterbi_segment_pieces(
     loop. The unigram-LM hard-EM trainer's E-step
     (:func:`unigram_em_costs`) consumes this."""
     base = _viterbi_base(
-        df, vocab, text_col, piece_col, cost_col, max_word_len, words=words
+        df, vocab, text_col, piece_col, cost_col, max_word_len, words=words,
+        max_piece_len=max_piece_len,
     )
     folded = base.select(
         "w", "__edges", _viterbi_best_col().alias("__best")
@@ -1631,6 +1647,7 @@ def unigram_em_costs(
     scale: int = 10**6,
     max_word_len: int = 512,
     word_freqs: DataFrame | None = None,
+    max_piece_len: int | None = None,
 ) -> DataFrame:
     """ONE hard-EM (Viterbi-EM) round of the unigram LM tokenizer
     (Kudo 2018, public): E-step = each distinct word's argmin
@@ -1659,7 +1676,7 @@ def unigram_em_costs(
     seg = viterbi_segment_pieces(
         df, vocab, text_col=text_col, piece_col=piece_col,
         cost_col=cost_col, max_word_len=max_word_len,
-        words=wfreq,
+        words=wfreq, max_piece_len=max_piece_len,
     )
     counts = (
         wfreq.join(seg, "w")
@@ -1757,6 +1774,7 @@ def unigram_em_train(
     scale: int = 10**6,
     max_word_len: int = 512,
     word_freqs: DataFrame | None = None,
+    max_piece_len: int | None = None,
 ) -> DataFrame:
     """The ITERATED unigram-LM trainer (the full Kudo 2018 loop the
     one-round :func:`unigram_em_costs` docstring points at): R hard-EM
@@ -1784,7 +1802,7 @@ def unigram_em_train(
         cur = unigram_em_costs(
             df, cur, text_col=text_col, piece_col=piece_col,
             cost_col=cost_col, scale=scale, max_word_len=max_word_len,
-            word_freqs=wfreq,
+            word_freqs=wfreq, max_piece_len=max_piece_len,
         )
         if r < rounds - 1 and prune_num > 0:
             cur = prune_vocab_bottom(
@@ -1801,6 +1819,7 @@ def viterbi_token_counts(
     piece_col: str = "piece",
     cost_col: str = "cost_units",
     words: DataFrame | None = None,
+    max_piece_len: int | None = None,
 ) -> DataFrame:
     """Per-document token counts and total segmentation cost under the
     Viterbi tokenizer — the unigram sibling of :func:`bpe_token_counts`
@@ -1813,7 +1832,7 @@ def viterbi_token_counts(
     that reads as a valid token count."""
     seg = viterbi_segment_words(
         df, vocab, text_col=text_col, piece_col=piece_col, cost_col=cost_col,
-        words=words,
+        words=words, max_piece_len=max_piece_len,
     )
     toks = df.select(
         F.col(id_col),

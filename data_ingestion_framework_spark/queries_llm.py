@@ -4887,7 +4887,9 @@ def _viterbi_oracle(max_plen: int, top_n: int, max_word_len: int) -> str:
 def corpus_viterbi_tokens(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     vocab = text.substring_vocab(docs, max_piece_len=4, top_n=50)
-    return text.viterbi_token_counts(docs, vocab)
+    # max_piece_len=4 is the vocab's own build bound — skips the
+    # per-stage max(length) probe job (identical edges; r16 opt)
+    return text.viterbi_token_counts(docs, vocab, max_piece_len=4)
 
 
 def _unigram_em_oracle(max_plen: int, top_n: int, max_word_len: int) -> str:
@@ -5037,8 +5039,10 @@ def corpus_unigram_em_tokens(spark, sf_dir):
     # E-step base, M-step weights, final count DP)
     wf = text.word_frequencies(docs).localCheckpoint()
     vocab0 = text.substring_vocab(docs, max_piece_len=4, top_n=50, word_freqs=wf)
-    vocab1 = text.unigram_em_costs(docs, vocab0, word_freqs=wf)
-    out = text.viterbi_token_counts(docs, vocab1, words=wf)
+    vocab1 = text.unigram_em_costs(
+        docs, vocab0, word_freqs=wf, max_piece_len=4
+    )
+    out = text.viterbi_token_counts(docs, vocab1, words=wf, max_piece_len=4)
     return out.select(
         "doc_id",
         F.col("viterbi_tokens").alias("em_tokens"),
@@ -5234,9 +5238,10 @@ def corpus_unigram_em2_pruned(spark, sf_dir):
         docs, max_piece_len=4, top_n=50, word_freqs=wf
     )
     trained = text.unigram_em_train(
-        docs, vocab0, rounds=2, prune_num=1, prune_den=5, word_freqs=wf
+        docs, vocab0, rounds=2, prune_num=1, prune_den=5, word_freqs=wf,
+        max_piece_len=4,
     )
-    out = text.viterbi_token_counts(docs, trained, words=wf)
+    out = text.viterbi_token_counts(docs, trained, words=wf, max_piece_len=4)
     return out.select(
         "doc_id",
         F.col("viterbi_tokens").alias("em2_tokens"),

@@ -634,3 +634,28 @@ def test_bpe_merge_chain_matches_per_step_chain(spark):
     mp, syms_new = _bpe_merge_chain(pairs)
     new = df.withColumn("__mp", mp).select(syms_new.alias("s")).collect()
     assert old == new
+
+
+def test_viterbi_max_piece_len_hint_value_identity(spark):
+    """r16 opt: passing the vocab builder's own max_piece_len bound
+    skips the per-stage max(length) probe job; any bound >= the true
+    max yields identical segmentations (extra candidate lengths find
+    no vocab match in the span join)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_framework_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [("abcab abc ab a xyz",), ("ababab cdcd",)], "text string"
+    )
+    vocab = TX.substring_vocab(df, max_piece_len=4, top_n=20)
+    probe = TX.viterbi_token_counts(df.withColumn("doc_id", F.lit(1)), vocab)
+    hint4 = TX.viterbi_token_counts(
+        df.withColumn("doc_id", F.lit(1)), vocab, max_piece_len=4
+    )
+    hint9 = TX.viterbi_token_counts(
+        df.withColumn("doc_id", F.lit(1)), vocab, max_piece_len=9
+    )
+    ref = sorted(tuple(r) for r in probe.collect())
+    assert sorted(tuple(r) for r in hint4.collect()) == ref
+    assert sorted(tuple(r) for r in hint9.collect()) == ref
