@@ -1524,27 +1524,24 @@ def _viterbi_best_col() -> Column:
     frame: returns the FULL best array (length ``len(w)+1``;
     1-indexed ``element_at(arr, i+1)`` is the packed optimum for the
     prefix of length ``i``, ``_VITERBI_BIG`` = unreachable). Shared by
-    the cost-only entry point and the backtracing one."""
+    the cost-only entry point and the backtracing one.
+
+    ONE parsed expression (r16 opt — the lambda-built fold cost
+    ~0.1 s of Py4J round-trips per construction, rebuilt once per EM
+    stage; same Catalyst operators, value identity pinned by the
+    Viterbi/EM oracles and test_viterbi_best_col_expr_matches_lambda)."""
     big, k = _VITERBI_BIG, _VITERBI_K
-
-    def step(acc, i):
-        cands = F.transform(
-            F.filter(F.col("__edges"), lambda e: e.getField("e") == i),
-            lambda e: F.when(
-                F.element_at(acc, e.getField("s")) < big,
-                F.element_at(acc, e.getField("s"))
-                + e.getField("c") * k
-                + 1,
-            ).otherwise(F.lit(big).cast("bigint")),
-        )
-        return F.array_append(
-            acc, F.coalesce(F.array_min(cands), F.lit(big).cast("bigint"))
-        )
-
-    return F.aggregate(
-        F.sequence(F.lit(1), F.length("w")),
-        F.array(F.lit(0).cast("bigint")),
-        step,
+    step = (
+        "(acc, i) -> array_append(acc, coalesce(array_min("
+        "transform(filter(__edges, e -> e.e = i), "
+        f"e -> case when element_at(acc, e.s) < {big} "
+        f"then element_at(acc, e.s) + e.c * {k} + 1 "
+        f"else cast({big} as bigint) end)), cast({big} as bigint)))"
+    )
+    return F.expr(
+        "aggregate(sequence(1, length(w)), array(cast(0 as bigint)), "
+        + step
+        + ")"
     )
 
 
@@ -1577,63 +1574,37 @@ def viterbi_segment_pieces(
         "w", "__edges", _viterbi_best_col().alias("__best")
     )
     big, k = _VITERBI_BIG, _VITERBI_K
-    init = F.struct(
-        F.length("w").cast("int").alias("p"),
-        F.expr("cast(array() as array<struct<s:int,e:int>>)").alias("segs"),
+    # backtrace fold as ONE parsed expression (r16 opt — the same
+    # Py4J-construction collapse as _viterbi_best_col; op-for-op the
+    # lambda form it replaces, and `chosen` repeats textually exactly
+    # where the Column handle was reused, so the Catalyst tree is the
+    # same duplicated subtree either way). Each step consumes >= 1
+    # character, so len(w) iterations always reach position 0.
+    chosen = (
+        "array_sort(transform(filter(__edges, ed -> ed.e = st.p "
+        f"and element_at(__best, ed.s) < {big} "
+        f"and element_at(__best, ed.s) + ed.c * {k} + 1 = "
+        "element_at(__best, st.p + 1)), "
+        "ed -> struct(ed.s as s, ed.e as e)))[0]"
     )
-
-    def back(st, _):
-        p = st.getField("p")
-        best_p = F.element_at(F.col("__best"), p + 1)
-        cands = F.filter(
-            F.col("__edges"),
-            lambda ed: (ed.getField("e") == p)
-            & (F.element_at(F.col("__best"), ed.getField("s")) < big)
-            & (
-                F.element_at(F.col("__best"), ed.getField("s"))
-                + ed.getField("c") * k
-                + 1
-                == best_p
-            ),
-        )
-        chosen = F.array_sort(
-            F.transform(
-                cands,
-                lambda ed: F.struct(
-                    ed.getField("s").alias("s"), ed.getField("e").alias("e")
-                ),
-            )
-        )[0]
-        return F.when(p <= 0, st).otherwise(
-            F.struct(
-                (chosen.getField("s") - 1).cast("int").alias("p"),
-                F.array_append(st.getField("segs"), chosen).alias("segs"),
-            )
-        )
-
-    # each backtrace step consumes >= 1 character, so len(w) iterations
-    # always reach position 0
+    back_fold = (
+        "aggregate(sequence(1, length(w)), "
+        "struct(cast(length(w) as int) as p, "
+        "cast(array() as array<struct<s:int,e:int>>) as segs), "
+        "(st, i) -> case when st.p <= 0 then st else "
+        f"struct(cast({chosen}.s - 1 as int) as p, "
+        f"array_append(st.segs, {chosen}) as segs) end).segs"
+    )
     traced = folded.select(
         "w",
         F.element_at(F.col("__best"), -1).alias("__fin"),
-        F.aggregate(F.sequence(F.lit(1), F.length("w")), init, back)
-        .getField("segs")
-        .alias("__segs"),
+        F.expr(back_fold).alias("__segs"),
     )
     return traced.select(
         "w",
-        F.when(
-            F.col("__fin") < big,
-            F.reverse(
-                F.transform(
-                    F.col("__segs"),
-                    lambda g: F.substring(
-                        F.col("w"),
-                        g.getField("s"),
-                        g.getField("e") - g.getField("s") + 1,
-                    ),
-                )
-            ),
+        F.expr(
+            f"case when __fin < {big} then reverse(transform(__segs, "
+            "g -> substring(w, g.s, g.e - g.s + 1))) end"
         ).alias("pieces"),
     )
 

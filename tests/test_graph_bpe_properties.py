@@ -659,3 +659,51 @@ def test_viterbi_max_piece_len_hint_value_identity(spark):
     ref = sorted(tuple(r) for r in probe.collect())
     assert sorted(tuple(r) for r in hint4.collect()) == ref
     assert sorted(tuple(r) for r in hint9.collect()) == ref
+
+
+def test_viterbi_best_col_expr_matches_lambda(spark):
+    """r16 opt: the forward-DP fold and the backtrace fold are single
+    parsed expressions; pin value identity against frozen copies of
+    the lambda builders on a (w, __edges) frame."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_framework_spark.operators import text as TX
+    from data_ingestion_framework_spark.operators.text import (
+        _VITERBI_BIG as big,
+        _VITERBI_K as k,
+        _viterbi_best_col,
+    )
+
+    def old_best():
+        def step(acc, i):
+            cands = F.transform(
+                F.filter(F.col("__edges"), lambda e: e.getField("e") == i),
+                lambda e: F.when(
+                    F.element_at(acc, e.getField("s")) < big,
+                    F.element_at(acc, e.getField("s"))
+                    + e.getField("c") * k
+                    + 1,
+                ).otherwise(F.lit(big).cast("bigint")),
+            )
+            return F.array_append(
+                acc, F.coalesce(F.array_min(cands), F.lit(big).cast("bigint"))
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length("w")),
+            F.array(F.lit(0).cast("bigint")),
+            step,
+        )
+
+    docs = spark.createDataFrame(
+        [("abcab ab ba xq abcabc",), ("aaaa bb a",)], "text string"
+    )
+    vocab = TX.substring_vocab(docs, max_piece_len=3, top_n=10)
+    base = TX._viterbi_base(docs, vocab, "text", "piece", "cost_units", 64)
+    new = base.select("w", _viterbi_best_col().alias("b")).collect()
+    old = base.select("w", old_best().alias("b")).collect()
+    assert sorted(map(tuple, new)) == sorted(map(tuple, old))
+    # and the backtraced pieces re-segment every word consistently
+    seg = TX.viterbi_segment_pieces(docs, vocab, max_word_len=64)
+    for r in seg.collect():
+        assert r["pieces"] is not None and "".join(r["pieces"]) == r["w"]
