@@ -442,7 +442,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    spark = get_spark("bench")
+    # raised status-store retention so the post-sweep exec-time pass
+    # sees every query's jobs/stages (telemetry only: listener-memory
+    # sizing, no effect on plans or execution)
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.retainedJobs": "20000",
+            "spark.ui.retainedStages": "50000",
+        },
+    )
 
     def run(df):
         df.write.format("noop").mode("overwrite").save()
@@ -477,22 +486,47 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
-    def executor_task_ms() -> int | None:
-        # summed task duration across executors from the app status
-        # store (one ExecutorSummary row per executor — O(executors),
-        # not O(stages), so it is cheap enough to snapshot per query).
+    def collect_exec_sec() -> dict[str, float] | None:
+        # Per-query summed executor task time, attributed through job
+        # groups (each query's reps run under group "benchq:<name>"),
+        # read from the app status store in ONE pass AFTER the timed
+        # sweep — zero per-query overhead inside the timed region.
         # The r15 verdict's resolution gap: at sf0.1 most lines are
         # driver/overhead-bound and WALL time cannot see executor-side
-        # wins; the per-query task-time deltas below restore that
-        # signal as an additions-only detail line (the headline line
-        # and its timing methodology are unchanged).
+        # wins; these totals restore that signal as an additions-only
+        # detail line (the headline line and its timing methodology
+        # are unchanged). Stage executorRunTime is the ground metric
+        # (ExecutorSummary.totalDuration measurably under-reports).
         try:
-            st = spark.sparkContext._jsc.sc().statusStore()
-            it = st.executorList(False).iterator()
-            total = 0
+            sc = spark.sparkContext
+            st = sc._jsc.sc().statusStore()
+            dbl0 = sc._gateway.new_array(sc._jvm.double, 0)
+            empty = sc._jvm.java.util.ArrayList()
+            stage_rt: dict[int, int] = {}
+            it = st.stageList(
+                empty, False, False, dbl0, sc._jvm.java.util.ArrayList()
+            ).iterator()
             while it.hasNext():
-                total += it.next().totalDuration()
-            return int(total)
+                s = it.next()
+                sid = s.stageId()
+                stage_rt[sid] = stage_rt.get(sid, 0) + s.executorRunTime()
+            agg: dict[str, int] = {}
+            seen: set[int] = set()
+            jit = st.jobsList(None).iterator()
+            while jit.hasNext():
+                j = jit.next()
+                g = j.jobGroup()
+                if not g.isDefined() or not g.get().startswith("benchq:"):
+                    continue
+                q = g.get()[len("benchq:"):]
+                sit = j.stageIds().iterator()
+                while sit.hasNext():
+                    sid = sit.next()
+                    if sid in seen:
+                        continue
+                    seen.add(sid)
+                    agg[q] = agg.get(q, 0) + stage_rt.get(sid, 0)
+            return {k: round(v / 1000.0, 2) for k, v in agg.items()}
         except Exception:
             return None  # never let telemetry break the bench
 
@@ -502,18 +536,17 @@ def main() -> None:
     n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
-    exec_ms: dict[str, list[int]] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
+        # thread-local label: attributes this query's jobs (all reps,
+        # plus any outlier re-run below) for the post-sweep exec-time
+        # pass; no effect on the plans or the timed work
+        spark.sparkContext.setJobGroup(f"benchq:{name}", name)
         samples = []
         for _ in range(n_reps):
-            e0 = executor_task_ms()
             t0 = time.time()
             run(fn(spark, sf_dir))
             samples.append(round(time.time() - t0, 3))
-            e1 = executor_task_ms()
-            if e0 is not None and e1 is not None:
-                exec_ms.setdefault(name, []).append(e1 - e0)
         reps[name] = samples
         timings[name] = min(samples)
 
@@ -529,12 +562,16 @@ def main() -> None:
     )
     reruns: dict[str, float] = {}
     for name in rerun_candidates(timings, prev):
+        spark.sparkContext.setJobGroup(f"benchq:{name}", name)
         t0 = time.time()
         run(registry.QUERIES[name](spark, sf_dir))
         extra = round(time.time() - t0, 3)
         reps[name].append(extra)
         reruns[name] = extra
         timings[name] = min(timings[name], extra)
+    # un-label: the calibration probe and anything after must not
+    # attribute to the last query's group
+    spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
     cal_after = calibrate()
 
     # rep-spread flags: queries whose reps disagree by >=2x AND >=0.5s
@@ -556,18 +593,17 @@ def main() -> None:
             )
         )
 
-    if exec_ms:
-        # per-query summed executor task time (min over reps, seconds)
-        # on its OWN detail line — the executor-side witness the wall
-        # clock cannot provide at this SF (r16, additions-only)
+    exec_sec = collect_exec_sec()
+    if exec_sec:
+        # per-query summed executor task time across ALL the query's
+        # reps (reps_per_query gives the denominator) on its OWN
+        # detail line — the executor-side witness the wall clock
+        # cannot provide at this SF (r16, additions-only)
         print(
             json.dumps(
                 {
                     "metric_detail": "per_query_executor_task_sec",
-                    "queries_exec_sec": {
-                        n: round(min(v) / 1000.0, 2)
-                        for n, v in exec_ms.items()
-                    },
+                    "queries_exec_sec": exec_sec,
                 },
                 separators=(",", ":"),
             )
