@@ -228,7 +228,8 @@ def _gd_train_dense_with_stats(
     lr: float,
     feat_col: str,
     label_col: str,
-) -> tuple[list[int], int, DataFrame]:
+    empty_ok: bool = False,
+) -> tuple[list[int], int, DataFrame] | None:
     """``(weights, max_row_sum, feats_ckpt)`` — the trainer body, also
     handing the scoring guard its bound so the pipeline never re-scans
     for stats, and the CHECKPOINTED feature frame (all input columns
@@ -262,6 +263,11 @@ def _gd_train_dense_with_stats(
         ).alias("rs"),
     ).first()
     if stats is None or stats["n"] == 0:
+        if empty_ok:
+            # the gates fold their emptiness probe into this stats agg
+            # (r16 opt): an empty frame is a legal gate input (return
+            # the input unchanged), not a trainer error
+            return None
         raise ValueError("gd_train_linear_units: empty training frame")
     n_rows = int(stats["n"])
     n_features = int(stats["d"])
@@ -495,7 +501,8 @@ def _gd_train_sparse_with_stats(
     id_col: str,
     label_col: str,
     pre_materialized: bool = False,
-) -> tuple[list[int], int]:
+    empty_ok: bool = False,
+) -> tuple[list[int], int] | None:
     """``(weights, max_row_sum)`` — sparse trainer body; the second
     element feeds the scoring guard without another stats scan.
     ``pre_materialized=True`` promises the caller already
@@ -522,6 +529,8 @@ def _gd_train_sparse_with_stats(
         t = t.localCheckpoint(eager=False)
     n_rows, max_count, row_sum_max = _sparse_feat_stats(t, "__id")
     if n_rows == 0:
+        if empty_ok:
+            return None
         raise ValueError("gd_train_linear_units_sparse: empty training frame")
     _guard_int64(
         n_rows * UNIT_SCALE * max(max_count, 1),
@@ -610,7 +619,8 @@ def _gd_train_sparse_distributed_with_stats(
     id_col: str,
     label_col: str,
     pre_materialized: bool = False,
-) -> tuple[DataFrame, int, int]:
+    empty_ok: bool = False,
+) -> tuple[DataFrame, int, int] | None:
     """``(weight_frame, max_row_sum, max_w_units)`` — distributed
     trainer body; the second element feeds the scorer's overflow guard
     without another stats scan (the same threading discipline as the
@@ -636,6 +646,8 @@ def _gd_train_sparse_distributed_with_stats(
         t = t.localCheckpoint(eager=False)
     n_rows, max_count, row_sum_max = _sparse_feat_stats(t, "__id")
     if n_rows == 0:
+        if empty_ok:
+            return None
         raise ValueError("gd_train_sparse_distributed: empty training frame")
     _guard_int64(
         n_rows * UNIT_SCALE * max(max_count, 1),
@@ -1211,18 +1223,26 @@ def quality_lr_gate(
             f"quality_lr_gate: unknown trainer {trainer!r} — one of "
             "'dense', 'sparse', 'distributed'"
         )
-    df = df.localCheckpoint()
-    if df.first() is None:
-        return df
+    # lazy checkpoint + no separate emptiness probe (r16 opt, guide
+    # §5): the trainer's fused stats agg is the first full-scan action
+    # — it materializes the (typically expensive) upstream plan in the
+    # same job AND reports emptiness, where the previous shape paid an
+    # eager materialization job plus a first() probe before training
+    df = df.localCheckpoint(eager=False)
     if trainer != "dense":
         return _gate_wide(
             df, label, text_col, n_features, iters, lr, id_col,
             min_score_units, keep_fraction, slice_col, trainer,
         )
-    w, z = _train_dense_scored_expr(
+    trained = _train_dense_scored_expr(
         df, label, text_col, n_features, iters, lr, id_col,
-        "quality_lr_gate dot",
+        "quality_lr_gate dot", empty_ok=True,
     )
+    if trained is None:
+        # empty input: trains nothing, gates nothing (the documented
+        # contract — same frame back)
+        return df
+    w, z = trained
     if keep_fraction is None:
         return df.where(z >= F.lit(int(min_score_units)))
     num, den = int(keep_fraction[0]), int(keep_fraction[1])
@@ -1240,7 +1260,8 @@ def _train_dense_scored_expr(
     lr: float,
     id_col: str,
     guard_what: str,
-) -> tuple[list[int], Column]:
+    empty_ok: bool = False,
+) -> tuple[list[int], Column] | None:
     """The dense train-then-guard block shared by
     :func:`quality_lr_gate` and :func:`fit_quality_gate` — ONE
     definition keeps their pytest-pinned frozen-vs-batch parity by
@@ -1251,9 +1272,12 @@ def _train_dense_scored_expr(
         df, text_col=text_col, n_features=n_features, id_col=id_col,
         label=label,
     )
-    w, row_sum_max, _ = _gd_train_dense_with_stats(
-        feats, iters, lr, "features", "label"
+    trained = _gd_train_dense_with_stats(
+        feats, iters, lr, "features", "label", empty_ok=empty_ok
     )
+    if trained is None:
+        return None
+    w, row_sum_max, _ = trained
     maxw = max((abs(x) for x in w), default=0)
     _guard_int64(maxw * row_sum_max, guard_what)
     return w, _z_units(_dense_features_expr(text_col, n_features), w)
@@ -1367,13 +1391,14 @@ def fit_quality_gate(
                 "fit_quality_gate: min_score_units and keep_fraction are "
                 "mutually exclusive"
             )
-    df = df.localCheckpoint()
-    if df.first() is None:
-        raise ValueError("fit_quality_gate: empty training frame")
-    w, z = _train_dense_scored_expr(
+    df = df.localCheckpoint(eager=False)
+    trained = _train_dense_scored_expr(
         df, label, text_col, n_features, iters, lr, id_col,
-        "fit_quality_gate dot",
+        "fit_quality_gate dot", empty_ok=True,
     )
+    if trained is None:
+        raise ValueError("fit_quality_gate: empty training frame")
+    w, z = trained
     cut = int(min_score_units)
     if keep_fraction is not None:
         cut = _calibrated_cut_value(
@@ -1436,17 +1461,24 @@ def _gate_wide(
     # prob/pred columns are two pure expressions, dropped by the
     # id-only selects below
     if trainer == "sparse":
-        w, row_sum_max = _gd_train_sparse_with_stats(
+        trained = _gd_train_sparse_with_stats(
             tr, n_features, iters, lr, id_col, "label",
-            pre_materialized=True,
+            pre_materialized=True, empty_ok=True,
         )
+        if trained is None:
+            return df  # empty input: trains nothing, gates nothing
+        w, row_sum_max = trained
         scored = linear_classifier_scores_sparse(
             tr, w, id_col=id_col, label_col=None, row_sum_max=row_sum_max
         )
     else:
-        wdf, row_sum_max, maxw = _gd_train_sparse_distributed_with_stats(
-            tr, iters, lr, id_col, "label", pre_materialized=True
+        trained = _gd_train_sparse_distributed_with_stats(
+            tr, iters, lr, id_col, "label", pre_materialized=True,
+            empty_ok=True,
         )
+        if trained is None:
+            return df  # empty input: trains nothing, gates nothing
+        wdf, row_sum_max, maxw = trained
         scored = linear_classifier_scores_sparse_frame(
             tr, wdf, id_col=id_col, label_col=None, row_sum_max=row_sum_max,
             max_w_units=maxw,
