@@ -101,7 +101,34 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``unix_micros``/``withWatermark`` reject. Both are normalized to
     ``TIMESTAMP`` here (value-identical under the UTC session timezone)
     so every downstream operator sees one type.
-    """
+
+    The returned frame is memoized PER SESSION per (sf_dir, name) —
+    r16 opt, guide §6 (repeated listing/inference): a warm
+    ``spark.read.parquet`` still pays ~120 ms of file-index + footer
+    schema inference per call, and a bench/oracle sweep calls this
+    hundreds of times for the same static driver tables. The cache
+    holds an UNEXECUTED plan handle (DataFrames are immutable): every
+    action still scans the parquet files, so no result or data is
+    reused across runs — this is the file-index/schema caching a
+    metastore gives a real deployment. Keyed on the live session
+    object itself, so a new session (tests, the driver's vanilla
+    harness) builds its own entries."""
+    cache = getattr(spark, "_difs_load_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._difs_load_cache = cache
+        except AttributeError:
+            cache = None  # exotic session wrapper: stay uncached
+    if cache is not None and (sf_dir, name) in cache:
+        return cache[(sf_dir, name)]
+    df = _load_uncached(spark, sf_dir, name)
+    if cache is not None:
+        cache[(sf_dir, name)] = df
+    return df
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
